@@ -17,10 +17,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.StreamingOps.queries ++
+      operators.DedupOps.queries ++
+      operators.TextOps.queries ++
+      operators.Similarity.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracleSql
+    operators.Relational.oracleSql ++
+      operators.StreamingOps.oracleSql ++
+      operators.DedupOps.oracleSql ++
+      operators.TextOps.oracleSql ++
+      operators.Similarity.oracleSql ++
+      operators.Multimodal.oracleSql
 }

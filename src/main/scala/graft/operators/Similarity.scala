@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float] column).
+  *
+  * Dot products run in double precision with a sequential left fold
+  * (`aggregate`/`zip_with`), matching DuckDB's `list_dot_product` over
+  * `DOUBLE[]` bit-for-bit, so cosine values themselves are oracle-checked.
+  *
+  * Scale design (100 TB): e01/e02 are the brute-force ground truth —
+  * O(n²) pair space, only viable per-bucket. e03 is the scale path: a
+  * coarse quantizer (IVF) assigns every vector to its nearest centroid
+  * (broadcast join against the tiny centroid set), and neighbor search
+  * runs only within a cell — the pair space shrinks by the cell count,
+  * and each cell is an independent partition-local search.
+  */
+object Similarity {
+
+  private def dvec(c: Column): Column = c.cast("array<double>")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** vec_id, v (double), norm — shared scan for all three queries. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // All pairs with cosine >= 0.4 (brute force, ground truth).
+    "e01_cosine_pairs" -> ((s, d) => {
+      val v = vecs(s, d)
+      val a = v.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Brute-force cosine top-3 neighbors per vector (ties by neighbor id).
+    "e02_ann_topk_bruteforce" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = vecs(s, d)
+      val a = v.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      a.join(b, col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    // IVF-style ANN: nearest of the deterministic coarse centroids
+    // (vec_id % 50 == 0) -> cell assignment (broadcast join), then top-1
+    // neighbor within the cell only.
+    "e03_ann_ivf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = vecs(s, d)
+      val cents = v.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = v.join(broadcast(cents), lit(true))
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+      val wNb = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val a = assigned.select(col("vec_id"), col("v").as("va"),
+        col("nrm").as("na"), col("cell"))
+      val b = assigned.select(col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"), col("cell"))
+      a.join(b, Seq("cell"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("rk", row_number().over(wNb))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cell"), col("neighbor_id"), col("cos"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  private val cosExpr =
+    """list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) /
+       (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(a.embedding AS DOUBLE[]))) *
+        SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))))"""
+
+  def oracleSql: Map[String, String] = Map(
+    "e01_cosine_pairs" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosExpr AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE $cosExpr >= 0.4
+         ORDER BY vec_a, vec_b""",
+
+    "e02_ann_topk_bruteforce" ->
+      s"""SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
+           SELECT a.vec_id, b.vec_id AS neighbor_id, $cosExpr AS cos,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY $cosExpr DESC, b.vec_id) AS rank
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+         WHERE rank <= 3 ORDER BY vec_id, rank""",
+
+    "e03_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         assigned AS (
+           SELECT vec_id, embedding, cell FROM (
+             SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1)
+         SELECT vec_id, cell, neighbor_id, cos FROM (
+           SELECT a.vec_id, a.cell, b.vec_id AS neighbor_id, $cosExpr AS cos,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY $cosExpr DESC, b.vec_id) AS rk
+           FROM assigned a JOIN assigned b
+             ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         WHERE rk = 1 ORDER BY vec_id"""
+  )
+}

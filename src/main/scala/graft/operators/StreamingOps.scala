@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.{Parity, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Event-time / streaming-semantics operators, expressed over the bounded
+  * `events` table so the driver's DuckDB oracle can check them. The same
+  * plans run unchanged on a `readStream` DataFrame (plus `withWatermark`) —
+  * the streaming integration specs in `src/test` drive that path.
+  *
+  * Reference mapping: the reference has no event-time story at all — its
+  * only time is arrival time (reference
+  * main/consumer/ConsumerProcessingManager.scala:82-89); windows/watermarks
+  * are the declared Spark-side extension (SURVEY.md §2.2 "Streaming").
+  * The per-key state machine (q44) is the analogue of the reference's
+  * per-shard `ConsumerWorker` batch state machine
+  * (main/consumer/ConsumerWorker.scala:202-548) re-expressed as
+  * `mapGroupsWithState`.
+  */
+object StreamingOps {
+  import Parity._
+
+  /** Typed row for the stateful sessionization (q44). */
+  case class Ev(user_id: Long, ts_ms: Long, event_id: Long)
+  case class SessionAcc(nSessions: Long, nEvents: Long, maxLen: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
+      max_session_events: Long)
+
+  private val GapMs = 30L * 60 * 1000
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling event-time window aggregate. Streaming twin: identical plan
+    // + withWatermark("ts", ...); partial agg keeps the shuffle tiny.
+    "q40_tumbling_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // Sliding window (60 min width, 30 min slide): each event lands in 2
+    // windows; Spark's window() expands rows internally.
+    "q41_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "60 minutes", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("n"), col("n_users"))
+        .orderBy(col("ws"))
+    }),
+
+    // Session window with a 30-minute inactivity gap, keyed by user.
+    "q42_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // Stream dedup semantics (keep FIRST by event time) — the
+    // deterministic batch twin of dropDuplicates(["user_id","event_type"]).
+    "q43_dedup_keep_first" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Arbitrary per-key state via mapGroupsWithState (the reference's
+    // per-shard batch state machine slot). Batch mode calls the function
+    // once per key; the streaming specs drive it incrementally. Events are
+    // sorted in-group before folding so the result is deterministic.
+    "q44_stateful_sessionization" -> ((s, d) => {
+      import s.implicits._
+      val evs = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 1000").as("ts_ms"), col("event_id"))
+        .as[Ev]
+      def fold(uid: Long, it: Iterator[Ev],
+          state: GroupState[SessionAcc]): UserSessions = {
+        val sorted = it.toArray.sortBy(e => (e.ts_ms, e.event_id))
+        var acc = state.getOption.getOrElse(SessionAcc(0, 0, 0))
+        var curLen = 0L
+        var lastTs = Long.MinValue
+        sorted.foreach { e =>
+          if (lastTs == Long.MinValue || e.ts_ms >= lastTs + GapMs) {
+            acc = SessionAcc(acc.nSessions + 1, acc.nEvents, acc.maxLen)
+            curLen = 0
+          }
+          curLen += 1
+          acc = SessionAcc(acc.nSessions, acc.nEvents + 1,
+            math.max(acc.maxLen, curLen))
+          lastTs = e.ts_ms
+        }
+        state.update(acc)
+        UserSessions(uid, acc.nSessions, acc.nEvents, acc.maxLen)
+      }
+      evs.groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
+        .toDF()
+        .orderBy(col("user_id"))
+    }),
+
+    // Contiguous-ack watermark — the reference's ResponseCollector
+    // semantics (reference main/consumer/ConsumerWorker.scala:259-276,
+    // pinned by test/consumer/ConsumerWorkerSpec.scala:156-224): highest
+    // sequence number such that every earlier sequence in the shard is
+    // acked. Acks are simulated deterministically (every 97th seq fails).
+    "q45_contiguous_ack_watermark" -> ((s, d) => {
+      val env = Tables.events(s, d)
+        .select(col("event_id").as("seq"),
+          pmod(col("event_id"), lit(8)).as("shard"),
+          (pmod(col("event_id"), lit(97)) =!= 0).as("acked"))
+      val firstUnacked = env.filter(!col("acked"))
+        .groupBy(col("shard")).agg(min(col("seq")).as("first_unacked"))
+      env.filter(col("acked"))
+        .join(broadcast(firstUnacked), Seq("shard"), "left")
+        .filter(col("first_unacked").isNull
+          || col("seq") < col("first_unacked"))
+        .groupBy(col("shard")).agg(max(col("seq")).as("watermark"))
+        .orderBy(col("shard"))
+    }),
+
+    // Canonical ingest envelope (SURVEY.md §1.3) materialized from events
+    // and aggregated per shard — proves the envelope schema plumbing
+    // (binary payload, decimal seqNo) end-to-end.
+    "q46_envelope_per_shard" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(
+          lit("events").as("streamName"),
+          concat(lit("shardId-"),
+            lpad(pmod(col("user_id"), lit(8)).cast("string"), 12, "0"))
+            .as("shardId"),
+          col("user_id").cast("string").as("partitionKey"),
+          col("event_id").cast("decimal(38,0)").as("seqNo"),
+          lit(0L).as("subSeqNo"),
+          encode(col("props"), "UTF-8").as("data"),
+          col("ts").as("approxArrivalTs"))
+        .groupBy(col("shardId"))
+        .agg(count(lit(1)).as("n"),
+          min(col("seqNo")).as("min_seq"), max(col("seqNo")).as("max_seq"),
+          sum(octet_length(col("data"))).as("payload_bytes"))
+        .orderBy(col("shardId"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q40_tumbling_window" ->
+      s"""SELECT DATE_TRUNC('hour', ts) AS ws,
+         DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS we,
+         event_type, COUNT(1) AS n, ${dsumSql("value")} AS total_value
+         FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+
+    "q41_sliding_window" ->
+      """WITH b AS (SELECT ts, user_id,
+           DATE_TRUNC('hour', ts) + CASE WHEN EXTRACT(minute FROM ts) >= 30
+             THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS b0
+           FROM events),
+         w2 AS (SELECT b0 AS ws, user_id FROM b
+                UNION ALL
+                SELECT b0 - INTERVAL 30 MINUTE AS ws, user_id FROM b)
+         SELECT ws, ws + INTERVAL 60 MINUTE AS we, COUNT(1) AS n,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM w2 GROUP BY ws ORDER BY ws""",
+
+    "q42_session_window" ->
+      """WITH mk AS (SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                WHEN ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+                ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sid AS (SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS s
+           FROM mk)
+         SELECT user_id, MIN(ts) AS session_start,
+                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                COUNT(1) AS n_events
+         FROM sid GROUP BY user_id, s
+         ORDER BY user_id, session_start""",
+
+    "q43_dedup_keep_first" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+           SELECT user_id, event_type, event_id, ts,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "q44_stateful_sessionization" ->
+      """WITH mk AS (SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                WHEN ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+                ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sid AS (SELECT user_id,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS s
+           FROM mk),
+         g AS (SELECT user_id, s, COUNT(1) AS n FROM sid GROUP BY user_id, s)
+         SELECT user_id, COUNT(1) AS n_sessions,
+                CAST(SUM(n) AS BIGINT) AS n_events,
+                MAX(n) AS max_session_events
+         FROM g GROUP BY user_id ORDER BY user_id""",
+
+    "q45_contiguous_ack_watermark" ->
+      """WITH env AS (SELECT event_id AS seq, event_id % 8 AS shard,
+                             event_id % 97 <> 0 AS acked FROM events),
+         gap AS (SELECT shard, MIN(seq) AS first_unacked
+                 FROM env WHERE NOT acked GROUP BY shard)
+         SELECT e.shard, MAX(e.seq) AS watermark
+         FROM env e LEFT JOIN gap g USING (shard)
+         WHERE e.acked AND (g.first_unacked IS NULL OR e.seq < g.first_unacked)
+         GROUP BY e.shard ORDER BY e.shard""",
+
+    "q46_envelope_per_shard" ->
+      """SELECT 'shardId-' || LPAD(CAST(user_id % 8 AS VARCHAR), 12, '0')
+                  AS shardId,
+                COUNT(1) AS n,
+                MIN(CAST(event_id AS DECIMAL(38,0))) AS min_seq,
+                MAX(CAST(event_id AS DECIMAL(38,0))) AS max_seq,
+                CAST(SUM(OCTET_LENGTH(CAST(props AS BLOB))) AS BIGINT)
+                  AS payload_bytes
+         FROM events GROUP BY 1 ORDER BY shardId"""
+  )
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * token counting (whitespace + BPE-ish regex), quality scoring, n-gram
+  * heuristic language ID, rolling fingerprints. All pure `functions._`
+  * column expressions (whole-stage codegen, no UDFs), each with a DuckDB
+  * twin computing the identical arithmetic.
+  */
+object TextOps {
+
+  private val stopEn = Seq("the", "and", "of", "to", "a", "in", "is")
+  private val markers = Map(
+    "en" -> Seq("the", "and", "of", "to"),
+    "es" -> Seq("el", "la", "los", "de"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "les", "des", "et"))
+
+  private def inList(vs: Seq[String]): String =
+    vs.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Whitespace + regex ("BPE-ish") token counting, distinct-token ratio.
+    "t01_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("words", split(trim(col("text")), " "))
+        .select(col("doc_id"),
+          size(col("words")).as("n_tokens"),
+          size(array_distinct(col("words"))).as("n_distinct_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
+          length(col("text")).as("n_chars_actual"),
+          col("n_chars").as("n_chars_meta"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: stopword ratio, mean token length, repetition.
+    "t02_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("words", split(trim(col("text")), " "))
+        .withColumn("n_tokens", size(col("words")))
+        .withColumn("n_stop", size(expr(
+          s"filter(words, w -> w IN ${inList(stopEn)})")))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("words"))).cast("double") / col("n_tokens"))
+        .withColumn("mean_token_len",
+          (length(col("text")) - col("n_tokens") + 1).cast("double")
+            / col("n_tokens"))
+        .withColumn("quality",
+          when(col("n_tokens") < 10, "too_short")
+            .when(col("distinct_ratio") < 0.5, "repetitive")
+            .when(col("stop_ratio") > 0.4, "boilerplate")
+            .otherwise("ok"))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          col("stop_ratio"), col("distinct_ratio"), col("mean_token_len"),
+          col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID by marker-word scoring (n-gram heuristic): argmax over
+    // per-language hit counts with a fixed tie-break order.
+    "t03_langid" -> ((s, d) => {
+      val df = Tables.documents(s, d)
+        .withColumn("words", split(trim(col("text")), " "))
+      val scored = markers.keys.toSeq.sorted.foldLeft(df) { (acc, lang) =>
+        acc.withColumn(s"s_$lang", size(expr(
+          s"filter(words, w -> w IN ${inList(markers(lang))})")))
+      }
+      scored
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
+            && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .select(col("doc_id"), col("s_en"), col("s_es"), col("s_de"),
+          col("s_fr"), col("pred_lang"),
+          (col("pred_lang") === col("lang")).as("matches_label"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Position-weighted rolling fingerprint over tokens — a polynomial
+    // rolling hash computed with identical integer arithmetic in both
+    // engines (sum of token_length * 31^(i mod 8) mod 2^31-1).
+    "t04_rolling_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("words", split(trim(col("text")), " "))
+        .select(col("doc_id"),
+          expr("""aggregate(
+                    zip_with(words, sequence(0, size(words) - 1),
+                             (w, i) -> named_struct('w', w, 'i', i)),
+                    0L,
+                    (acc, x) -> pmod(acc + length(x.w) *
+                      CAST(pow(31, x.i % 8) AS BIGINT), 2147483647L))""")
+            .as("fingerprint"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id,
+         CAST(LEN(string_split(TRIM(text), ' ')) AS INT) AS n_tokens,
+         CAST(LEN(list_distinct(string_split(TRIM(text), ' '))) AS INT)
+           AS n_distinct_tokens,
+         CAST(LEN(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INT)
+           AS n_bpe_tokens,
+         CAST(LENGTH(text) AS INT) AS n_chars_actual,
+         n_chars AS n_chars_meta
+         FROM documents ORDER BY doc_id""",
+
+    "t02_quality_score" ->
+      """WITH w AS (SELECT doc_id, text,
+           string_split(TRIM(text), ' ') AS words FROM documents),
+         m AS (SELECT doc_id, text, words,
+           CAST(LEN(words) AS INT) AS n_tokens,
+           CAST(LEN(list_filter(words,
+             w -> w IN ('the', 'and', 'of', 'to', 'a', 'in', 'is'))) AS INT)
+             AS n_stop,
+           CAST(LEN(list_distinct(words)) AS DOUBLE) / LEN(words)
+             AS distinct_ratio
+           FROM w)
+         SELECT doc_id, n_tokens, n_stop,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           distinct_ratio,
+           CAST(LENGTH(text) - n_tokens + 1 AS DOUBLE) / n_tokens
+             AS mean_token_len,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN distinct_ratio < 0.5 THEN 'repetitive'
+                WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.4 THEN 'boilerplate'
+                ELSE 'ok' END AS quality
+         FROM m ORDER BY doc_id""",
+
+    "t03_langid" ->
+      """WITH w AS (SELECT doc_id, lang,
+           string_split(TRIM(text), ' ') AS words FROM documents),
+         sc AS (SELECT doc_id, lang,
+           CAST(LEN(list_filter(words, w -> w IN ('the','and','of','to'))) AS INT) AS s_en,
+           CAST(LEN(list_filter(words, w -> w IN ('el','la','los','de'))) AS INT) AS s_es,
+           CAST(LEN(list_filter(words, w -> w IN ('der','die','das','und'))) AS INT) AS s_de,
+           CAST(LEN(list_filter(words, w -> w IN ('le','les','des','et'))) AS INT) AS s_fr
+           FROM w)
+         SELECT doc_id, s_en, s_es, s_de, s_fr,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang,
+           (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END) = lang AS matches_label
+         FROM sc ORDER BY doc_id""",
+
+    "t04_rolling_fingerprint" ->
+      """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+                    FROM documents),
+         tok AS (SELECT doc_id, LENGTH(words[i]) AS wl, i - 1 AS idx
+                 FROM w, UNNEST(GENERATE_SERIES(1, LEN(words))) AS t(i))
+         SELECT doc_id,
+           CAST(SUM(wl * CAST(POW(31, idx % 8) AS BIGINT)) % 2147483647
+             AS BIGINT) AS fingerprint
+         FROM tok GROUP BY doc_id ORDER BY doc_id"""
+  )
+}
