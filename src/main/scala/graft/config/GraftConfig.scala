@@ -1,0 +1,119 @@
+package graft.config
+
+import scala.concurrent.duration._
+
+/** Typed configuration with the reference's fallback-merge semantics: a
+  * per-name option block overlaid on a default block
+  * (reference main/consumer/KinesisConsumer.scala:60-101,
+  * main/producer/ProducerConf.scala:53-86). Spark-style: everything is a
+  * flat options map (`spark.readStream.option(...)`), keys
+  * `<scope>.default.<key>` overridden by `<scope>.<name>.<key>`.
+  */
+object OptionsMerge {
+  def resolve(options: Map[String, String], scope: String, name: String)
+      : Map[String, String] = {
+    val defaults = prefixed(options, s"$scope.default.")
+    val named = prefixed(options, s"$scope.$name.")
+    defaults ++ named
+  }
+  private def prefixed(m: Map[String, String], p: String) =
+    m.collect { case (k, v) if k.startsWith(p) => k.drop(p.length) -> v }
+}
+
+/** Consumer-side worker semantics, defaults per the reference's
+  * reference.conf (main/resources/reference.conf:412-487, SURVEY.md §2.1
+  * "Key numeric semantics").
+  */
+final case class ConsumerConf(
+    streamName: String,
+    applicationName: String,
+    batchTimeout: FiniteDuration = 10.seconds,
+    failedMessageRetries: Int = 1,
+    failureTolerancePercentage: Double = 0.25,
+    maxRecords: Int = 10000,
+    checkpointInterval: FiniteDuration = 2.seconds,
+    checkpointBackoff: FiniteDuration = 3.seconds,
+    initialPosition: InitialPosition = InitialPosition.TrimHorizon,
+    shutdownTimeout: FiniteDuration = 25.seconds) {
+
+  /** DynamoDB-table-name rule kept as the checkpoint namespace
+    * (reference main/consumer/KinesisConsumer.scala:71-74). */
+  def checkpointNamespace: String = s"$applicationName-$streamName"
+
+  /** Allowed in-batch failures: floor(pct/100 * batchSize)
+    * (reference main/consumer/ConsumerWorker.scala:525-527). */
+  def allowedFailures(batchSize: Long): Long =
+    ((failureTolerancePercentage / 100.0) * batchSize).toLong
+}
+
+sealed trait InitialPosition
+object InitialPosition {
+  case object TrimHorizon extends InitialPosition
+  case object Latest extends InitialPosition
+  final case class AtTimestamp(epochMillis: Long) extends InitialPosition
+
+  def parse(s: String): InitialPosition = s.trim.toUpperCase match {
+    case "TRIM_HORIZON" => TrimHorizon
+    case "LATEST" => Latest
+    case ts if ts.startsWith("AT_TIMESTAMP:") =>
+      AtTimestamp(ts.stripPrefix("AT_TIMESTAMP:").toLong)
+    case other => throw new IllegalArgumentException(
+      s"unknown initial position: $other")
+  }
+}
+
+/** Producer-side config (reference main/producer/ProducerConf.scala:40-41,
+  * main/stream/Kinesis.scala:192-202: default 1000 outstanding,
+  * retry delay 100 ms).
+  */
+final case class ProducerConf(
+    streamName: String,
+    maxOutstandingRequests: Int = 1000,
+    throttlingRetry: FiniteDuration = 100.millis,
+    aggregationEnabled: Boolean = true,
+    aggregationMaxCount: Int = 500,
+    failFast: Boolean = true)
+
+object ConsumerConf {
+  /** Build from an options map with default/named fallback merge. */
+  def fromOptions(options: Map[String, String], name: String): ConsumerConf = {
+    val o = OptionsMerge.resolve(options, "consumer", name)
+    val stream = o.getOrElse("stream-name",
+      throw new IllegalArgumentException("consumer stream-name required"))
+    val app = o.getOrElse("application-name", name)
+    val base = ConsumerConf(stream, app)
+    base.copy(
+      batchTimeout = o.get("batch-timeout-seconds")
+        .map(_.toInt.seconds).getOrElse(base.batchTimeout),
+      failedMessageRetries = o.get("failed-message-retries")
+        .map(_.toInt).getOrElse(base.failedMessageRetries),
+      failureTolerancePercentage = o.get("failure-tolerance-percentage")
+        .map(_.toDouble).getOrElse(base.failureTolerancePercentage),
+      maxRecords = o.get("max-records").map(_.toInt).getOrElse(base.maxRecords),
+      checkpointInterval = o.get("checkpoint-interval-millis")
+        .map(_.toLong.millis).getOrElse(base.checkpointInterval),
+      checkpointBackoff = o.get("checkpoint-backoff-millis")
+        .map(_.toLong.millis).getOrElse(base.checkpointBackoff),
+      initialPosition = o.get("initial-position")
+        .map(InitialPosition.parse).getOrElse(base.initialPosition),
+      shutdownTimeout = o.get("shutdown-timeout-seconds")
+        .map(_.toInt.seconds).getOrElse(base.shutdownTimeout))
+  }
+}
+
+object ProducerConf {
+  def fromOptions(options: Map[String, String], name: String): ProducerConf = {
+    val o = OptionsMerge.resolve(options, "producer", name)
+    val stream = o.getOrElse("stream-name",
+      throw new IllegalArgumentException("producer stream-name required"))
+    val base = ProducerConf(stream)
+    base.copy(
+      maxOutstandingRequests = o.get("max-outstanding-requests")
+        .map(_.toInt).getOrElse(base.maxOutstandingRequests),
+      throttlingRetry = o.get("throttling-retry-millis")
+        .map(_.toLong.millis).getOrElse(base.throttlingRetry),
+      aggregationEnabled = o.get("aggregation-enabled")
+        .map(_.toBoolean).getOrElse(base.aggregationEnabled),
+      failFast = o.get("fail-fast").map(_.toBoolean).getOrElse(base.failFast))
+  }
+}

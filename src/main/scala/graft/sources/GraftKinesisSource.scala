@@ -1,0 +1,218 @@
+package graft.sources
+
+import java.util
+import graft.config.InitialPosition
+import graft.models.Envelope
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{Decimal, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 micro-batch source `graft-kinesis` — the Spark-native
+  * re-expression of the reference's sharded consumer (S1/S2/S6 in
+  * SURVEY.md §2.1: KinesisConsumer wrapping KCL Worker,
+  * reference main/consumer/KinesisConsumer.scala:189-308, and the Akka
+  * Streams facade main/stream/KinesisSourceGraphStage.scala:140-220).
+  *
+  * Architecture mapping:
+  *  - shard leases / one record-processor per shard  →
+  *    `planInputPartitions`: one [[InputPartition]] per shard range; the
+  *    driver coordinates, no DynamoDB lease table
+  *  - per-shard ordered delivery → each partition reader emits its
+  *    shard's records in `(seqNo, subSeqNo)` order
+  *  - DynamoDB checkpoints (S5) → offset WAL at the query's
+  *    checkpointLocation (per-shard positions serialized in
+  *    [[GraftShardOffsets]])
+  *  - `kcl.maxRecords` batch cap → [[SupportsAdmissionControl]] read
+  *    limit (per-shard, per-trigger)
+  *  - TRIM_HORIZON / LATEST / AT_TIMESTAMP initial positions
+  *    (reference main/resources/reference.conf:469-477) → `initialOffset`;
+  *    an existing checkpoint always wins (Structured Streaming restores
+  *    the WAL before asking the source)
+  *  - KPL deaggregation (S13) → sub-record expansion in the reader
+  *
+  * Usage:
+  * {{{
+  * spark.readStream.format("graft-kinesis")
+  *   .option("service.id", ShardServiceRegistry.register(svc))
+  *   .option("initial-position", "TRIM_HORIZON")
+  *   .option("max-records-per-shard", "10000")
+  *   .load()
+  * }}}
+  * emits the canonical envelope schema (SURVEY.md §1.3).
+  */
+class GraftKinesisSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kinesis"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Envelope.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftKinesisTable(properties.asScala.toMap)
+}
+
+final class GraftKinesisTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-kinesis(${props.getOrElse("service.id", "?")})"
+  override def schema(): StructType = Envelope.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftKinesisScan(
+        props ++ options.asCaseSensitiveMap().asScala)
+    }
+}
+
+final class GraftKinesisScan(options: Map[String, String]) extends Scan {
+  override def readSchema(): StructType = Envelope.schema
+  override def description(): String = "graft-kinesis"
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new GraftKinesisMicroBatchStream(options)
+}
+
+/** Offset = last-consumed position per shard. JSON form (stable key
+  * order): {"shard-0":"123:0","shard-1":"45:2"}.
+  */
+final case class GraftShardOffsets(positions: Map[String, ShardPos])
+    extends Offset {
+  override def json(): String =
+    positions.toSeq.sortBy(_._1)
+      .map { case (s, p) => s""""${s}":"${p.seqNo}:${p.subSeqNo}"""" }
+      .mkString("{", ",", "}")
+}
+
+object GraftShardOffsets {
+  private val Entry = """"([^"]+)":"(-?\d+):(-?\d+)"""".r
+  def fromJson(json: String): GraftShardOffsets =
+    GraftShardOffsets(
+      Entry.findAllMatchIn(json).map { m =>
+        m.group(1) -> ShardPos(BigInt(m.group(2)), m.group(3).toLong)
+      }.toMap)
+}
+
+final class GraftKinesisMicroBatchStream(options: Map[String, String])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val serviceId = options.getOrElse("service.id",
+    throw new IllegalArgumentException("option service.id required"))
+  @transient private lazy val service = ShardServiceRegistry.get(serviceId)
+  private val maxRecordsPerShard =
+    options.getOrElse("max-records-per-shard", "10000").toInt
+  private val initialPosition = InitialPosition.parse(
+    options.getOrElse("initial-position", "TRIM_HORIZON"))
+
+  override def initialOffset(): Offset = {
+    val shards = service.listShards()
+    GraftShardOffsets(shards.map { s =>
+      val pos = initialPosition match {
+        case InitialPosition.TrimHorizon => ShardPos.Beginning
+        case InitialPosition.Latest => service.latestPosition(s)
+        case InitialPosition.AtTimestamp(ms) =>
+          service.positionAtTimestamp(s, ms * 1000L)
+      }
+      s -> pos
+    }.toMap)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(maxRecordsPerShard.toLong)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is used")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftShardOffsets].positions
+    // shard discovery on every trigger: new shards (resharding) start at
+    // the beginning, mirroring KCL lease creation for child shards
+    val shards = service.listShards()
+    GraftShardOffsets(shards.map { s =>
+      val f = from.getOrElse(s, ShardPos.Beginning)
+      s -> service.positionAfter(s, f, maxRecordsPerShard)
+    }.toMap)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    GraftShardOffsets.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftShardOffsets].positions
+    val e = end.asInstanceOf[GraftShardOffsets].positions
+    e.toSeq.sortBy(_._1).flatMap { case (shard, to) =>
+      val fromPos = s.getOrElse(shard, ShardPos.Beginning)
+      if (ShardPos.ordering.lt(fromPos, to))
+        Some(GraftShardInputPartition(serviceId, streamNameOf(shard), shard,
+          fromPos, to))
+      else None
+    }.toArray
+  }
+
+  private def streamNameOf(shard: String): String = service.streamName
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftShardReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class GraftShardInputPartition(
+    serviceId: String,
+    streamName: String,
+    shardId: String,
+    from: ShardPos,
+    to: ShardPos) extends InputPartition
+
+final class GraftShardReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftShardInputPartition]
+    new GraftShardPartitionReader(p)
+  }
+}
+
+/** Reads one shard range, deaggregating producer-aggregated records into
+  * sub-records (consecutive subSeqNo) — the KCL `UserRecord` semantics
+  * (S13). Emits envelope rows in per-shard order.
+  */
+final class GraftShardPartitionReader(p: GraftShardInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val service = ShardServiceRegistry.get(p.serviceId)
+  private val raw = service.read(p.shardId, p.from, p.to)
+  private var subs: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+
+  private def expand(r: RawShardRecord): Iterator[InternalRow] =
+    r.payloads.iterator.zipWithIndex
+      // resume mid-aggregate: skip sub-records at/before the from position
+      .filter { case (_, i) =>
+        r.seqNo != p.from.seqNo || i.toLong > p.from.subSeqNo
+      }
+      .map { case (bytes, i) =>
+        InternalRow(
+          UTF8String.fromString(p.streamName),
+          UTF8String.fromString(p.shardId),
+          UTF8String.fromString(r.partitionKey),
+          Decimal(scala.math.BigDecimal(r.seqNo), 38, 0),
+          i.toLong,
+          bytes,
+          r.arrivalEpochMicros)
+      }
+
+  override def next(): Boolean = {
+    while (!subs.hasNext && raw.hasNext) subs = expand(raw.next())
+    if (subs.hasNext) { current = subs.next(); true } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

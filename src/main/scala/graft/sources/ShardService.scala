@@ -1,0 +1,121 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+/** Position within a shard: identity of the last-consumed record.
+  * Numeric `(BigInt seq, Long sub)` ordering — see
+  * [[graft.models.CompoundSequenceNumber]] for why numeric (the reference's
+  * string-concat comparison hazard, reference
+  * main/models/ConsumerEvent.scala:29-39).
+  */
+final case class ShardPos(seqNo: BigInt, subSeqNo: Long)
+
+object ShardPos {
+  implicit val ordering: Ordering[ShardPos] =
+    Ordering.by(p => (p.seqNo, p.subSeqNo))
+  /** Below every real position (TRIM_HORIZON start). */
+  val Beginning: ShardPos = ShardPos(BigInt(-1), Long.MaxValue)
+}
+
+/** One wire-level record as fetched from a shard. `payloads.size > 1`
+  * models a producer-aggregated record (KPL aggregation, reference
+  * main/resources/reference.conf:57-92): the partition reader deaggregates
+  * into sub-records with consecutive `subSeqNo`, mirroring KCL's
+  * `UserRecord` handling (reference
+  * main/consumer/ConsumerProcessingManager.scala:82-89).
+  */
+final case class RawShardRecord(
+    partitionKey: String,
+    seqNo: BigInt,
+    arrivalEpochMicros: Long,
+    payloads: Seq[Array[Byte]])
+
+/** Pluggable shard transport — the seam where a real Kinesis client
+  * (ListShards/GetShardIterator/GetRecords) plugs in. Implementations
+  * must be cheap to construct per partition-reader from options; the
+  * in-memory implementation below backs tests and local replay.
+  */
+trait ShardService extends Serializable {
+  def streamName: String
+  def listShards(): Seq[String]
+  /** Position of the last record currently in the shard (LATEST). */
+  def latestPosition(shardId: String): ShardPos
+  /** Position just before the first record with arrival >= tsMicros. */
+  def positionAtTimestamp(shardId: String, tsMicros: Long): ShardPos
+  /** Last position reachable from `from` consuming at most `maxRecords`
+    * wire records (per-shard admission control, reference `kcl.maxRecords`
+    * main/resources/reference.conf:479-482). */
+  def positionAfter(shardId: String, from: ShardPos, maxRecords: Int): ShardPos
+  /** Ordered records with position in (from, to]. */
+  def read(shardId: String, from: ShardPos, to: ShardPos)
+      : Iterator[RawShardRecord]
+}
+
+/** In-memory shard store: deterministic test/replay twin of a Kinesis
+  * stream (localstack analogue of the reference's integration suite,
+  * reference it/common/KinesisSuite.scala:147-303). Thread-safe appends;
+  * per-shard order preserved.
+  */
+final class InMemoryShardService(
+    override val streamName: String,
+    shardIds: Seq[String]) extends ShardService {
+
+  private val shards: Map[String, scala.collection.mutable.ArrayBuffer[RawShardRecord]] =
+    shardIds.map(_ -> scala.collection.mutable.ArrayBuffer.empty[RawShardRecord]).toMap
+
+  def append(shardId: String, rec: RawShardRecord): Unit =
+    shards(shardId).synchronized { shards(shardId) += rec }
+
+  override def listShards(): Seq[String] = shardIds
+
+  private def posOf(r: RawShardRecord): ShardPos =
+    ShardPos(r.seqNo, (r.payloads.size - 1).toLong)
+
+  override def latestPosition(shardId: String): ShardPos =
+    shards(shardId).synchronized {
+      shards(shardId).lastOption.map(posOf).getOrElse(ShardPos.Beginning)
+    }
+
+  override def positionAtTimestamp(shardId: String, tsMicros: Long): ShardPos =
+    shards(shardId).synchronized {
+      val buf = shards(shardId)
+      val before = buf.takeWhile(_.arrivalEpochMicros < tsMicros)
+      before.lastOption.map(posOf).getOrElse(ShardPos.Beginning)
+    }
+
+  override def positionAfter(shardId: String, from: ShardPos,
+      maxRecords: Int): ShardPos =
+    shards(shardId).synchronized {
+      val after = shards(shardId).iterator
+        .filter(r => ShardPos.ordering.gt(posOf(r), from)).take(maxRecords)
+      after.foldLeft(from)((_, r) => posOf(r))
+    }
+
+  override def read(shardId: String, from: ShardPos, to: ShardPos)
+      : Iterator[RawShardRecord] =
+    shards(shardId).synchronized {
+      shards(shardId).iterator
+        .filter { r =>
+          val p = posOf(r)
+          ShardPos.ordering.gt(p, from) && ShardPos.ordering.lteq(p, to)
+        }
+        .toVector
+    }.iterator
+}
+
+/** JVM-local service registry so a Serializable handle (the id string in
+  * the options map) can reach partition readers in local/test mode. A
+  * cluster deployment instead constructs the client inside each reader
+  * from connection options — the [[ShardService]] seam is identical.
+  */
+object ShardServiceRegistry {
+  private val services = TrieMap.empty[String, ShardService]
+  def register(service: ShardService): String = {
+    val id = java.util.UUID.randomUUID().toString
+    services.put(id, service)
+    id
+  }
+  def get(id: String): ShardService =
+    services.getOrElse(id,
+      throw new IllegalStateException(s"no shard service registered: $id"))
+}

@@ -1,0 +1,82 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.config.ProducerConf
+import org.apache.spark.sql.functions._
+
+/** Spark twin of the reference's sink specs
+  * (test/stream/KinesisSinkGraphStageSpec.scala:52-96 and
+  * it/stream/KinesisSinkGraphStageIntegrationSpec.scala:23-44):
+  * produced == consumed, ack-gated completion, bounded in-flight window,
+  * fail-fast on send failure.
+  */
+class GraftKinesisSinkSpec extends SparkSpec {
+
+  private def mkDF(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (s"pk${i % 7}", s"$i")).toDF("partitionKey", "payload")
+      .select(col("partitionKey"), encode(col("payload"), "UTF-8").as("data"))
+  }
+
+  test("batch write: every record delivered, flush-on-close honored " +
+      "(produced == consumed)") {
+    val key = "sink-all"
+    InMemoryAsyncClient.reset(key)
+    GraftKinesisSink.writeBatch(mkDF(100),
+      InMemoryAsyncClient.Factory(key, latencyMillis = 2),
+      ProducerConf("out", maxOutstandingRequests = 10))
+    val sent = InMemoryAsyncClient.sent(key)
+    assert(sent.size == 100)
+    assert(sent.map(_.payload).toSet == (1 to 100).map(_.toString).toSet)
+  }
+
+  test("bounded in-flight window: outstanding never exceeds " +
+      "maxOutstandingRequests") {
+    val key = "sink-window"
+    InMemoryAsyncClient.reset(key)
+    GraftKinesisSink.writeBatch(mkDF(200).repartition(1),
+      InMemoryAsyncClient.Factory(key, latencyMillis = 1),
+      ProducerConf("out", maxOutstandingRequests = 5))
+    assert(InMemoryAsyncClient.sent(key).size == 200)
+    val hw = InMemoryAsyncClient.highWaterMark(key)
+    assert(hw <= 5, s"in-flight high-water $hw exceeded window 5")
+    assert(hw >= 2, s"expected some concurrency, got $hw")
+  }
+
+  test("fail-fast: a single failed send fails the batch " +
+      "(KinesisSinkGraphStage SendFailed semantics)") {
+    val key = "sink-fail"
+    InMemoryAsyncClient.reset(key)
+    val e = intercept[Exception] {
+      GraftKinesisSink.writeBatch(mkDF(50).repartition(1),
+        InMemoryAsyncClient.Factory(key, failOnPayload = Some("25")),
+        ProducerConf("out", maxOutstandingRequests = 4))
+    }
+    assert(e.getMessage.contains("write failed")
+      || Option(e.getCause).exists(_.getMessage.contains("write failed")))
+  }
+
+  test("streaming foreach sink: all micro-batch records delivered") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val key = "sink-stream"
+    InMemoryAsyncClient.reset(key)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val input = MemoryStream[Int](spark)
+    input.addData(1 to 40: _*)
+    val df = input.toDS().toDF("n")
+      .select(col("n").cast("string").as("partitionKey"),
+        encode(col("n").cast("string"), "UTF-8").as("data"))
+    val q = df.writeStream
+      .foreach(new GraftSinkWriter(InMemoryAsyncClient.Factory(key),
+        ProducerConf("out", maxOutstandingRequests = 8)))
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      q.processAllAvailable()
+      input.addData(41 to 60: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(InMemoryAsyncClient.sent(key).map(_.payload).toSet ==
+      (1 to 60).map(_.toString).toSet)
+  }
+}

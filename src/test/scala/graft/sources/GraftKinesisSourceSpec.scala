@@ -1,0 +1,146 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spark twin of the reference's source integration suite
+  * (it/stream/KinesisSourceGraphStageIntegrationSpec.scala:26-130):
+  * exactly-all-messages, per-shard ordering, restart read-position
+  * persistence, deaggregation, initial positions, admission control.
+  */
+class GraftKinesisSourceSpec extends SparkSpec {
+
+  private def mkService(nPerShard: Int, shards: Int = 2)
+      : InMemoryShardService = {
+    val svc = new InMemoryShardService("it-stream",
+      (0 until shards).map(i => s"shard-$i"))
+    for (s <- 0 until shards; n <- 1 to nPerShard)
+      svc.append(s"shard-$s", RawShardRecord(s"shard-$s", BigInt(n),
+        1700000000000000L + n, Seq(s"$n".getBytes(UTF_8))))
+    svc
+  }
+
+  private def readAll(svcId: String, tmp: String,
+      extra: Map[String, String] = Map.empty): DataFrame = {
+    var reader = spark.readStream.format("graft-kinesis")
+      .option("service.id", svcId)
+    extra.foreach { case (k, v) => reader = reader.option(k, v) }
+    val name = s"sourcespec_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = reader.load()
+      .selectExpr("shardId", "CAST(seqNo AS LONG) AS seq", "subSeqNo",
+        "CAST(data AS STRING) AS payload", "partitionKey")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("delivers exactly all messages across shards (no loss, no dup)") {
+    val svc = mkService(100)
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val got = readAll(id, tmp)
+    assert(got.count() == 200)
+    assert(got.select("shardId", "seq").distinct().count() == 200)
+    val perShard = got.groupBy("shardId").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perShard == Map("shard-0" -> 100L, "shard-1" -> 100L))
+  }
+
+  test("restart resumes from checkpoint — read-position persistence, " +
+      "no-commit => no-progress analogue") {
+    val svc = mkService(50)
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-kinesis")
+        .option("service.id", id).load()
+        .selectExpr("shardId", "CAST(seqNo AS LONG) AS seq")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/chk").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$tmp/out").count() == 100)
+    // more data arrives while the query is down
+    for (s <- 0 until 2; n <- 51 to 80)
+      svc.append(s"shard-$s", RawShardRecord(s"shard-$s", BigInt(n),
+        1700000000000000L + n, Seq(s"$n".getBytes(UTF_8))))
+    runOnce() // same checkpoint dir: must resume at seq 50, not replay
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 160, "restart must neither lose nor duplicate")
+    assert(out.select("shardId", "seq").distinct().count() == 160)
+    val seqs = out.select("seq").collect().map(_.getLong(0))
+    assert(seqs.count(_ > 50) == 60)
+  }
+
+  test("KPL-aggregated records deaggregate into subSeqNo sub-records " +
+      "(S13; ConsumerProcessingManagerSpec aggregated cases)") {
+    val svc = new InMemoryShardService("it-stream", Seq("shard-0"))
+    svc.append("shard-0", RawShardRecord("pk", BigInt(1), 1L,
+      Seq("a", "b", "c").map(_.getBytes(UTF_8))))
+    svc.append("shard-0", RawShardRecord("pk", BigInt(2), 2L,
+      Seq("d".getBytes(UTF_8))))
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val got = readAll(id, tmp).orderBy("seq", "subSeqNo")
+      .select("seq", "subSeqNo", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 0L, "a"), (1L, 1L, "b"), (1L, 2L, "c"),
+      (2L, 0L, "d")))
+  }
+
+  test("initial-position LATEST skips existing records") {
+    val svc = mkService(30, shards = 1)
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
+    var reader = spark.readStream.format("graft-kinesis")
+      .option("service.id", id).option("initial-position", "LATEST")
+    val q = reader.load().selectExpr("CAST(seqNo AS LONG) AS seq")
+      .writeStream.format("memory").queryName("latest_test")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("latest_test").count() == 0)
+      svc.append("shard-0", RawShardRecord("pk", BigInt(31), 31L,
+        Seq("31".getBytes(UTF_8))))
+      q.processAllAvailable()
+      val seqs = spark.table("latest_test").collect().map(_.getLong(0)).toSeq
+      assert(seqs == Seq(31L))
+    } finally q.stop()
+  }
+
+  test("admission control caps records per shard per micro-batch " +
+      "(kcl.maxRecords analogue)") {
+    val svc = mkService(25, shards = 1)
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val name = "cap_test"
+    val q = spark.readStream.format("graft-kinesis")
+      .option("service.id", id).option("max-records-per-shard", "10")
+      .load().selectExpr("CAST(seqNo AS LONG) AS seq")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 25) // all delivered eventually
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.forall(_ <= 10), s"batch sizes: ${batches.toSeq}")
+      assert(batches.length >= 3)
+    } finally q.stop()
+  }
+
+  test("per-shard arrival order is preserved within partitions") {
+    val svc = mkService(40, shards = 1)
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val got = readAll(id, tmp)
+    // single shard -> single input partition per batch; collect in the
+    // physical row order of the source output (no re-sort)
+    val seqs = got.select("seq").collect().map(_.getLong(0)).toSeq
+    assert(seqs == seqs.sorted, "per-shard order must be preserved")
+  }
+}
