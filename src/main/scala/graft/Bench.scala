@@ -1,24 +1,129 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: headline analytical queries at the given scale
+  * factor plus the streaming-ingest reliability replay (BASELINE.md):
+  *
+  *  - each headline query is forced end-to-end through the noop sink
+  *    (count() would let Catalyst drop sorts/projections)
+  *  - `ingest_replay_5m`: 5,000,000 sequential records through the
+  *    graft-kinesis DSv2 source across 8 shards with per-micro-batch
+  *    contiguity assertions (the reference's pit-stop, zero loss / zero
+  *    duplication — it/SimpleKinesisConsumer.scala:99-121,168-205)
+  *  - `rate_ingest_5m_eps`: resulting events/sec (BASELINE target:
+  *    >= 20,000 sustained, >= 1,000 per shard)
+  *
+  * Prints ONE JSON line: {"metric","value","unit","queries","sf"}.
+  */
 object Bench {
+
+  private val headline = Seq(
+    "q01_pricing_summary", "q03_join_broadcast_agg", "q04_topk_revenue",
+    "q09_count_distinct", "q13_window_topk_per_group", "q26_asof_join",
+    "q40_tumbling_window", "q42_session_window", "q43_dedup_keep_first",
+    "q44_stateful_sessionization", "q45_contiguous_ack_watermark",
+    "d01_dedup_exact", "d03_ngram_jaccard_pairs", "d04_minhash_lsh_dedup",
+    "e01_cosine_pairs", "e03_ann_ivf", "t02_quality_score",
+    "m01_multimodal_decode")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // session warmup so the first measured query doesn't pay JVM/codegen init
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).limit(1).collect()
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    headline.filter(SparkEntry.queries.contains).foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def run(): Unit =
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      run() // warm run (IO cache, codegen)
+      results(name) = time(run())
+    }
+
+    results ++= ingestReplay(spark)
+
+    val qs = results.map { case (k, v) => s""""$k":${"%.6f".format(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total = wall seconds only (rate/flag pseudo-entries excluded)
+    val total = results.collect {
+      case (k, v) if !k.startsWith("rate_") && !k.startsWith("ingest_integrity") => v
+    }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** 5M-record zero-loss/zero-dup replay through the DSv2 source with
+    * per-batch contiguity checking; returns timing + rate entries. */
+  private def ingestReplay(spark: SparkSession): Seq[(String, Double)] = {
+    import graft.sources.{GeneratorShardService, ShardServiceRegistry}
+    val nShards = 8
+    val perShard = 625000L // 5M total
+    val svc = new GeneratorShardService("bench", nShards, perShard)
+    val svcId = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+
+    // pit-stop state: per-shard last-seen seq; any gap or regression fails
+    val lastSeq = scala.collection.mutable.Map.empty[String, Long]
+    var total = 0L
+    var violations = 0L
+
+    val t0 = System.nanoTime()
+    val q = spark.readStream.format("graft-kinesis")
+      .option("service.id", svcId)
+      .option("max-records-per-shard", "100000")
+      .load()
+      .selectExpr("shardId", "CAST(seqNo AS LONG) AS seq")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/chk")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-shard min/max/count of this batch: tiny aggregate, the
+        // contiguity math runs on the driver over shard summaries only
+        val rows = df.groupBy("shardId")
+          .agg(count(lit(1)).as("n"), min("seq").as("lo"), max("seq").as("hi"))
+          .collect()
+        rows.foreach { r =>
+          val (shard, n, lo, hi) =
+            (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          val prev = lastSeq.getOrElse(shard, 0L)
+          // contiguous iff batch covers exactly (prev, hi] with no holes
+          if (lo != prev + 1 || hi - lo + 1 != n) violations += 1
+          lastSeq(shard) = hi
+          total += n
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val expected = nShards * perShard
+    val ok = total == expected && violations == 0 &&
+      lastSeq.values.forall(_ == perShard)
+    if (!ok) System.err.println(
+      s"[bench] INGEST INTEGRITY FAILURE: total=$total expected=$expected " +
+        s"violations=$violations lastSeq=$lastSeq")
+    Seq(
+      "ingest_replay_5m" -> sec,
+      "rate_ingest_5m_eps" -> (if (sec > 0) expected / sec else 0.0),
+      "ingest_integrity_ok" -> (if (ok) 1.0 else 0.0))
   }
 }

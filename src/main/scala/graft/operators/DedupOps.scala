@@ -33,16 +33,29 @@ object DedupOps {
             "ELSE array() END")).as("sh"))
       .distinct()
 
-  /** Exact-Jaccard pairs at/above `thr` given a candidate pair set
-    * (columns doc_a, doc_b). */
+  /** Shingles restricted to document frequency >= 2: a shingle occurring
+    * in a single document can never contribute to a pair, and df=1 is the
+    * overwhelming majority — pruning it shrinks the self-join input
+    * dramatically (the standard inverted-index optimization; at real
+    * scale the same groupBy would also drop stop-shingles above a df cap
+    * into a salted path). Intersection counts are unaffected.
+    */
+  private def pruned(sh: DataFrame): DataFrame = {
+    val shared = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("sh"))
+    sh.join(shared, "sh")
+  }
+
+  /** Attach exact Jaccard to candidate pairs and filter at `thr`. The
+    * intersection join is keyed on (doc, shingle) pairs — no blowup
+    * beyond actually-shared shingles. */
   private def jaccardOf(cand: DataFrame, sh: DataFrame, thr: Double)
       : DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shp = pruned(sh)
     val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        Seq("doc_b"))
-      .filter(col("sh") === col("sh_b"))
+      .join(shp.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(shp.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
@@ -77,11 +90,23 @@ object DedupOps {
     // a shingle, not in the corpus).
     "d03_ngram_jaccard_pairs" -> ((s, d) => {
       val sh = shingles(s, d)
-      val cand = sh.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      val shp = pruned(sh)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      // intersection counts fall directly out of the inverted-index
+      // self-join — one shuffle on shingle, one on the pair key
+      val inter = shp.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(shp.select(col("doc_id").as("doc_b"), col("sh")), "sh")
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      jaccardOf(cand, sh, 0.8)
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("sa") + col("sb") - col("inter")).as("un"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // MinHash + banded LSH near-dup: 64 permutations (xxhash64 seeded by

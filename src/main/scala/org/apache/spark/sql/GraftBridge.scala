@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> Expression bridge. Spark 4 made the conversion utilities
+  * `private[sql]` (`classic.ExpressionUtils`); extension libraries place
+  * this one-liner inside the package to build Columns from custom
+  * Catalyst expressions (same approach as delta/frameless).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
