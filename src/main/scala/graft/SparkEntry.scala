@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.CustomAgg.queries ++
       operators.StreamingOps.queries ++
       operators.DedupOps.queries ++
       operators.TextOps.queries ++
@@ -28,6 +29,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++
+      operators.CustomAgg.oracleSql ++
       operators.StreamingOps.oracleSql ++
       operators.DedupOps.oracleSql ++
       operators.TextOps.oracleSql ++

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Custom aggregation / UDF / typed-decode surface (SURVEY.md §2.2 "custom
+  * aggregates" and "UDF surface"). Native `functions._` stay the default;
+  * these demonstrate the extension points with deterministic semantics so
+  * the DuckDB oracle still applies.
+  */
+object CustomAgg {
+
+  case class EvRow(user_id: Long, ts_us: Long, event_id: Long, value: Double)
+
+  /** Typed Aggregator: arg-max with a total (ts, event_id) order — the
+    * event id carrying each user's latest event. Merge is associative and
+    * commutative (lexicographic max), so partial aggregation is safe at
+    * any parallelism.
+    */
+  object LatestEvent extends Aggregator[EvRow, (Long, Long), Long] {
+    override def zero: (Long, Long) = (Long.MinValue, Long.MinValue)
+    override def reduce(b: (Long, Long), e: EvRow): (Long, Long) =
+      merge(b, (e.ts_us, e.event_id))
+    override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      if (b._1 > a._1 || (b._1 == a._1 && b._2 > a._2)) b else a
+    override def finish(r: (Long, Long)): Long = r._2
+    override def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    override def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Custom typed Aggregator through the untyped agg surface.
+    "q30_custom_aggregator" -> ((s, d) => {
+      import s.implicits._
+      val evs = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+          col("event_id"), col("value"))
+        .as[EvRow]
+      evs.groupByKey(_.user_id)
+        .agg(LatestEvent.toColumn.name("latest_event_id"))
+        .toDF("user_id", "latest_event_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // Scalar Scala UDF (the escape hatch; everything else here is native
+    // expressions — this pins the registration/usage surface).
+    "q31_udf_surface" -> ((s, d) => {
+      val tag = udf((name: String) => s"${name.reverse}:${name.length}")
+      Tables.part(s, d)
+        .select(col("p_partkey"), tag(col("p_name")).as("name_tag"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Schema-driven payload decode: from_json into a typed struct — the
+    // engine-internalized form of the reference's user-code payload
+    // parsing (payloadAsString + hand-rolled JSON,
+    // reference main/models/ConsumerEvent.scala:54-61).
+    "q32_from_json_decode" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(pmod(col("k"), lit(7)).as("k_mod7"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_mod7"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q30_custom_aggregator" ->
+      """SELECT user_id, event_id AS latest_event_id FROM (
+           SELECT user_id, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+
+    "q31_udf_surface" ->
+      """SELECT p_partkey,
+         REVERSE(p_name) || ':' || CAST(LENGTH(p_name) AS VARCHAR) AS name_tag
+         FROM part ORDER BY p_partkey""",
+
+    "q32_from_json_decode" ->
+      """WITH e AS (SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+         SELECT k % 7 AS k_mod7, COUNT(1) AS n,
+                CAST(SUM(k) AS BIGINT) AS sum_k
+         FROM e WHERE k IS NOT NULL GROUP BY k % 7 ORDER BY k_mod7"""
+  )
+}

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** SURVEY.md §2.2 streaming rows that only make sense on an unbounded
+  * Dataset: watermark late-data drop, stream-stream join with state TTL,
+  * stream-static enrichment, dropDuplicates(WithinWatermark), and
+  * batch/stream plan equivalence for the windowed aggregates that the
+  * DuckDB oracle checks in batch form.
+  */
+class EventTimeStreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling-window agg: identical plan runs on a stream; late data " +
+      "beyond the watermark is dropped") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-et").toString
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val agg = input.toDS().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("et_tumbling")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData((ts(0), "a"), (ts(1), "a"), (ts(6), "b"))
+      q.processAllAvailable()
+      // advance watermark far past the first windows
+      input.addData((ts(40), "c"))
+      q.processAllAvailable()
+      // late arrival for the 10:00 window — beyond watermark, dropped
+      input.addData((ts(2), "a"))
+      // flush: push watermark further so any (wrongly) accepted late row
+      // would have been emitted
+      input.addData((ts(55), "c"))
+      q.processAllAvailable()
+      val rows = spark.table("et_tumbling")
+        .select("ws", "event_type", "n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      assert(rows.contains((ts(0), "a", 2L)), s"got $rows") // late row NOT counted
+      assert(rows.contains((ts(5), "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups a stream by key") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-et").toString
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val dedup = input.toDS().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("et_dedup")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      input.addData((ts(3), 2L), (ts(4), 3L))
+      q.processAllAvailable()
+      input.addData((ts(50), 99L)) // close windows
+      q.processAllAvailable()
+      val ids = spark.table("et_dedup").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 99L))
+    } finally q.stop()
+  }
+
+  test("stream-stream inner join within watermark + time-range condition " +
+      "(the reference leaves this to user code entirely)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-et").toString
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    val views = MemoryStream[(Timestamp, Long)](spark)
+    val c = clicks.toDS().toDF("c_ts", "c_user").withWatermark("c_ts", "20 minutes")
+    val v = views.toDS().toDF("v_ts", "v_user").withWatermark("v_ts", "20 minutes")
+    val joined = c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("et_ssj")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      clicks.addData((ts(0), 7L), (ts(0), 8L))
+      views.addData((ts(5), 7L), (ts(30), 8L)) // 8's view outside range
+      q.processAllAvailable()
+      clicks.addData((ts(59), 1L)); views.addData((ts(59), 2L))
+      q.processAllAvailable()
+      val got = spark.table("et_ssj").select("c_user", "v_user")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((7L, 7L)))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join against a dimension table") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-et").toString
+    val dim = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold"))
+      .toDF("tier_id", "tier")
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val enriched = input.toDS().toDF("ts", "user_id")
+      .withColumn("tier_id", pmod(col("user_id"), lit(3)))
+      .join(broadcast(dim), "tier_id")
+    val q = enriched.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("et_enrich")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData((ts(0), 10L), (ts(1), 11L), (ts(2), 12L))
+      q.processAllAvailable()
+      val got = spark.table("et_enrich").select("user_id", "tier")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((10L, "silver"), (11L, "gold"), (12L, "bronze")))
+    } finally q.stop()
+  }
+
+  test("batch and stream produce identical results for the oracle-checked " +
+      "tumbling aggregate (plan equivalence)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-et").toString
+    val data = (0 until 120).map(i => (ts(i % 60), if (i % 2 == 0) "a" else "b"))
+    def plan(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val batch = plan(data.toDF("ts", "event_type"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val q = plan(input.toDS().toDF("ts", "event_type"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("et_equiv")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      data.grouped(50).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val stream = spark.table("et_equiv")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
+}
