@@ -55,6 +55,25 @@ object CustomAgg {
         .orderBy(col("p_partkey"))
     }),
 
+    // Two-phase (salted) aggregation: the skew-mitigation pattern for a
+    // hot group key — pre-aggregate on (key, salt), then merge partials.
+    // Result provably equals the direct aggregate (the oracle computes
+    // it unsalted); at 100 TB this is how a dominant key stops pinning
+    // one reducer.
+    "q33_salted_two_phase_agg" -> ((s, d) => {
+      import graft.Parity._
+      val partial = Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .as("pv"))
+      partial
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), sum(col("pv")).cast("double").as("total"))
+        .orderBy(col("event_type"))
+    }),
+
     // Schema-driven payload decode: from_json into a typed struct — the
     // engine-internalized form of the reference's user-code payload
     // parsing (payloadAsString + hand-rolled JSON,
@@ -83,6 +102,11 @@ object CustomAgg {
       """SELECT p_partkey,
          REVERSE(p_name) || ':' || CAST(LENGTH(p_name) AS VARCHAR) AS name_tag
          FROM part ORDER BY p_partkey""",
+
+    "q33_salted_two_phase_agg" ->
+      """SELECT event_type, COUNT(1) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q32_from_json_decode" ->
       """WITH e AS (SELECT event_id,
