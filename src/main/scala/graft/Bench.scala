@@ -59,6 +59,7 @@ object Bench {
     }
 
     results ++= ingestReplay(spark)
+    results ++= eventsReplay(spark, sfDir)
 
     val qs = results.map { case (k, v) => s""""$k":${"%.6f".format(v)}""" }
       .mkString("{", ",", "}")
@@ -125,5 +126,50 @@ object Bench {
       "ingest_replay_5m" -> sec,
       "rate_ingest_5m_eps" -> (if (sec > 0) expected / sec else 0.0),
       "ingest_integrity_ok" -> (if (ok) 1.0 else 0.0))
+  }
+
+  /** BASELINE.md reliability replay on real data: the `events` table
+    * sharded by user across 8 shards, streamed through the DSv2 source
+    * end-to-end (envelope rows, JSON payloads). */
+  private def eventsReplay(spark: SparkSession,
+      sfDir: String): Seq[(String, Double)] = {
+    import graft.sources.{InMemoryShardService, RawShardRecord, ShardServiceRegistry}
+    val nShards = 8
+    val svc = new InMemoryShardService("events-replay",
+      (0 until nShards).map(i => s"shard-$i"))
+    // driver-side seed of the replay stream (bounded: |events| rows)
+    val rows = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "props", "unix_micros(ts) AS us")
+      .collect()
+    var n = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val shard = s"shard-${(r.getLong(1) % nShards).toInt}"
+      svc.append(shard, RawShardRecord(r.getLong(1).toString,
+        BigInt(r.getLong(0)), r.getLong(3),
+        Seq(r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      n += 1
+    }
+    val svcId = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-ev").toString
+    var seen = 0L
+    val t0 = System.nanoTime()
+    val q = spark.readStream.format("graft-kinesis")
+      .option("service.id", svcId)
+      .option("max-records-per-shard", "10000")
+      .load()
+      .selectExpr("shardId", "CAST(data AS STRING) AS payload")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/chk")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen += df.count(); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (seen != n) System.err.println(
+      s"[bench] EVENTS REPLAY MISMATCH: seen=$seen expected=$n")
+    Seq("ingest_events_replay" -> sec,
+      "rate_events_replay_eps" -> (if (sec > 0) seen / sec else 0.0))
   }
 }

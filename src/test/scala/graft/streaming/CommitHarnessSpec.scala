@@ -126,6 +126,35 @@ class CommitHarnessSpec extends SparkSpec {
     // second batch processed despite first batch's dead letter
     assert(attemptsOf("stream", "a4") == 1 && attemptsOf("stream", "a5") == 1)
   }
+  test("above-tolerance batch fails the QUERY and does not commit the " +
+      "offset range — restart reprocesses the same batch " +
+      "(ConsumerWorkerFailure -> worker shutdown, S15; at-least-once)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fail").toString
+    val input = MemoryStream[String](spark)
+    input.addData("911x", "911y", "b1")
+    val q1 = CommitHarness.runStream[String](
+      input.toDS(), mkAttempt("prop"), conf(0, 0.0),
+      None, s"$tmp/chk").start()
+    val ex = intercept[StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    def rootCauses(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: rootCauses(t.getCause)
+    assert(rootCauses(ex).exists(_.isInstanceOf[BatchFailedException]),
+      s"expected BatchFailedException in cause chain: $ex")
+    // restart with a tolerant config: the SAME records are redelivered
+    // (the failed batch's offsets were never committed)
+    val q2 = CommitHarness.runStream[String](
+      input.toDS(), mkAttempt("prop2"), conf(0, 100.0),
+      None, s"$tmp/chk").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(attemptsOf("prop2", "911x") == 1 && attemptsOf("prop2", "b1") == 1,
+      "failed batch must be redelivered after restart")
+  }
 }
 
 object CommitHarnessSpec {
