@@ -144,9 +144,9 @@ object Bench {
     var n = 0L
     rows.sortBy(_.getLong(0)).foreach { r =>
       val shard = s"shard-${(r.getLong(1) % nShards).toInt}"
-      svc.append(shard, RawShardRecord(r.getLong(1).toString,
+      svc.append(shard, RawShardRecord.single(r.getLong(1).toString,
         BigInt(r.getLong(0)), r.getLong(3),
-        Seq(r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       n += 1
     }
     val svcId = ShardServiceRegistry.register(svc)

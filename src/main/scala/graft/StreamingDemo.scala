@@ -30,8 +30,8 @@ object StreamingDemo {
       (0 until nShards).map(i => s"shard-$i"))
     for (s <- 0 until nShards; n <- 1 to perShard)
       svc.append(s"shard-$s",
-        RawShardRecord(s"pk-$s", BigInt(n), 1700000000000000L + n,
-          Seq(s"${s * perShard + n}".getBytes(UTF_8))))
+        RawShardRecord.single(s"pk-$s", BigInt(n), 1700000000000000L + n,
+          s"${s * perShard + n}".getBytes(UTF_8)))
     val svcId = ShardServiceRegistry.register(svc)
 
     val sinkKey = "demo-sink"

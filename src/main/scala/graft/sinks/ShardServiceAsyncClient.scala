@@ -1,0 +1,76 @@
+package graft.sinks
+
+import graft.models.ProducerEvent
+import graft.sources.{InMemoryShardService, SubRecord}
+import scala.collection.mutable
+
+/** Producer-side transport writing into a [[graft.sources.ShardService]]
+  * stream — closes the loop with the `graft-kinesis` source so
+  * produced == consumed is testable through the actual stream abstraction
+  * (the reference's sink integration spec shape,
+  * it/stream/KinesisSinkGraphStageIntegrationSpec.scala:23-44).
+  *
+  * Implements the two producer-side semantics the reference surfaces:
+  *
+  *  - '''partition-key routing''' (S12): records with the same
+  *    partitionKey always land on the same shard (deterministic
+  *    hash(key) % shards), preserving per-key order
+  *    (reference README.md:669-672)
+  *  - '''record aggregation''' (S13, KPL `AggregationEnabled`): up to
+  *    `aggregationMaxCount` buffered payloads per shard pack into ONE
+  *    wire record whose sub-records carry consecutive subSeqNo; the
+  *    source's partition reader deaggregates them back
+  *    (reference main/resources/reference.conf:57-92)
+  */
+final class ShardServiceAsyncClient(
+    service: InMemoryShardService,
+    aggregationMaxCount: Int = 1) extends AsyncRecordClient {
+
+  private val shards = service.listShards().toIndexedSeq
+  // per-shard aggregation buffers: (partitionKey of first event, payloads)
+  private val buffers =
+    mutable.Map.empty[String, mutable.ArrayBuffer[(String, Array[Byte])]]
+
+  private def shardOf(partitionKey: String): String =
+    shards(math.floorMod(scala.util.hashing.MurmurHash3
+      .stringHash(partitionKey), shards.size))
+
+  override def put(event: ProducerEvent)(
+      onComplete: Option[Throwable] => Unit): Unit = {
+    val shard = shardOf(event.partitionKey)
+    this.synchronized {
+      val buf = buffers.getOrElseUpdate(shard, mutable.ArrayBuffer.empty)
+      buf += ((event.partitionKey, event.data))
+      if (buf.size >= aggregationMaxCount) flushShard(shard)
+    }
+    onComplete(None)
+  }
+
+  private def flushShard(shard: String): Unit = {
+    val buf = buffers(shard)
+    if (buf.nonEmpty) {
+      service.appendAssigned(shard,
+        buf.map { case (k, d) => SubRecord(k, d) }.toSeq)
+      buf.clear()
+    }
+  }
+
+  /** flushSync: drain every aggregation buffer (KinesisProducer.stop,
+    * reference main/producer/KinesisProducer.scala:159-163). */
+  override def close(): Unit = this.synchronized {
+    buffers.keys.foreach(flushShard)
+  }
+}
+
+object ShardServiceAsyncClient {
+  /** Serializable factory resolving the target stream from the registry
+    * (one client per partition writer). */
+  final case class Factory(serviceId: String, aggregationMaxCount: Int = 1)
+      extends AsyncRecordClientFactory {
+    override def create(): AsyncRecordClient =
+      new ShardServiceAsyncClient(
+        graft.sources.ShardServiceRegistry.get(serviceId)
+          .asInstanceOf[InMemoryShardService],
+        aggregationMaxCount)
+  }
+}

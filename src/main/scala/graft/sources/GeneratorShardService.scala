@@ -43,8 +43,8 @@ final class GeneratorShardService(
     val end = to.seqNo.min(BigInt(perShard)).toLong
     Iterator.range(start, end + 1).map { n =>
       val global = s * perShard + n
-      RawShardRecord(s"pk-$s", BigInt(n), 1700000000000000L + n,
-        Seq(global.toString.getBytes(UTF_8)))
+      RawShardRecord.single(s"pk-$s", BigInt(n), 1700000000000000L + n,
+        global.toString.getBytes(UTF_8))
     }
   }
 }

@@ -193,19 +193,19 @@ final class GraftShardPartitionReader(p: GraftShardInputPartition)
   private var current: InternalRow = _
 
   private def expand(r: RawShardRecord): Iterator[InternalRow] =
-    r.payloads.iterator.zipWithIndex
+    r.subRecords.iterator.zipWithIndex
       // resume mid-aggregate: skip sub-records at/before the from position
       .filter { case (_, i) =>
         r.seqNo != p.from.seqNo || i.toLong > p.from.subSeqNo
       }
-      .map { case (bytes, i) =>
+      .map { case (sub, i) =>
         InternalRow(
           UTF8String.fromString(p.streamName),
           UTF8String.fromString(p.shardId),
-          UTF8String.fromString(r.partitionKey),
+          UTF8String.fromString(sub.partitionKey),
           Decimal(scala.math.BigDecimal(r.seqNo), 38, 0),
           i.toLong,
-          bytes,
+          sub.data,
           r.arrivalEpochMicros)
       }
 

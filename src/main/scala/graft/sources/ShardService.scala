@@ -17,7 +17,12 @@ object ShardPos {
   val Beginning: ShardPos = ShardPos(BigInt(-1), Long.MaxValue)
 }
 
-/** One wire-level record as fetched from a shard. `payloads.size > 1`
+/** One user record inside a (possibly aggregated) wire record. Each
+  * sub-record keeps its own partition key, as KPL aggregation does.
+  */
+final case class SubRecord(partitionKey: String, data: Array[Byte])
+
+/** One wire-level record as fetched from a shard. `subRecords.size > 1`
   * models a producer-aggregated record (KPL aggregation, reference
   * main/resources/reference.conf:57-92): the partition reader deaggregates
   * into sub-records with consecutive `subSeqNo`, mirroring KCL's
@@ -28,7 +33,15 @@ final case class RawShardRecord(
     partitionKey: String,
     seqNo: BigInt,
     arrivalEpochMicros: Long,
-    payloads: Seq[Array[Byte]])
+    subRecords: Seq[SubRecord])
+
+object RawShardRecord {
+  /** Non-aggregated record: one payload, record-level key. */
+  def single(partitionKey: String, seqNo: BigInt, arrivalEpochMicros: Long,
+      data: Array[Byte]): RawShardRecord =
+    RawShardRecord(partitionKey, seqNo, arrivalEpochMicros,
+      Seq(SubRecord(partitionKey, data)))
+}
 
 /** Pluggable shard transport — the seam where a real Kinesis client
   * (ListShards/GetShardIterator/GetRecords) plugs in. Implementations
@@ -66,10 +79,24 @@ final class InMemoryShardService(
   def append(shardId: String, rec: RawShardRecord): Unit =
     shards(shardId).synchronized { shards(shardId) += rec }
 
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Producer-side append with service-assigned sequence number —
+    * allocation and insertion are atomic under the shard lock, so
+    * per-shard order always matches sequence order even with many
+    * concurrent writers (as Kinesis itself guarantees).
+    */
+  def appendAssigned(shardId: String, subRecords: Seq[SubRecord]): Unit =
+    shards(shardId).synchronized {
+      shards(shardId) += RawShardRecord(subRecords.head.partitionKey,
+        BigInt(seqGen.incrementAndGet()),
+        System.currentTimeMillis() * 1000L, subRecords)
+    }
+
   override def listShards(): Seq[String] = shardIds
 
   private def posOf(r: RawShardRecord): ShardPos =
-    ShardPos(r.seqNo, (r.payloads.size - 1).toLong)
+    ShardPos(r.seqNo, (r.subRecords.size - 1).toLong)
 
   override def latestPosition(shardId: String): ShardPos =
     shards(shardId).synchronized {

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets.UTF_8
 import graft.SparkSpec
+import graft.sources.{RawShardRecord, SubRecord}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -17,8 +18,8 @@ class GraftKinesisSourceSpec extends SparkSpec {
     val svc = new InMemoryShardService("it-stream",
       (0 until shards).map(i => s"shard-$i"))
     for (s <- 0 until shards; n <- 1 to nPerShard)
-      svc.append(s"shard-$s", RawShardRecord(s"shard-$s", BigInt(n),
-        1700000000000000L + n, Seq(s"$n".getBytes(UTF_8))))
+      svc.append(s"shard-$s", RawShardRecord.single(s"shard-$s", BigInt(n),
+        1700000000000000L + n, s"$n".getBytes(UTF_8)))
     svc
   }
 
@@ -67,8 +68,8 @@ class GraftKinesisSourceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() == 100)
     // more data arrives while the query is down
     for (s <- 0 until 2; n <- 51 to 80)
-      svc.append(s"shard-$s", RawShardRecord(s"shard-$s", BigInt(n),
-        1700000000000000L + n, Seq(s"$n".getBytes(UTF_8))))
+      svc.append(s"shard-$s", RawShardRecord.single(s"shard-$s", BigInt(n),
+        1700000000000000L + n, s"$n".getBytes(UTF_8)))
     runOnce() // same checkpoint dir: must resume at seq 50, not replay
     val out = spark.read.parquet(s"$tmp/out")
     assert(out.count() == 160, "restart must neither lose nor duplicate")
@@ -81,9 +82,9 @@ class GraftKinesisSourceSpec extends SparkSpec {
       "(S13; ConsumerProcessingManagerSpec aggregated cases)") {
     val svc = new InMemoryShardService("it-stream", Seq("shard-0"))
     svc.append("shard-0", RawShardRecord("pk", BigInt(1), 1L,
-      Seq("a", "b", "c").map(_.getBytes(UTF_8))))
-    svc.append("shard-0", RawShardRecord("pk", BigInt(2), 2L,
-      Seq("d".getBytes(UTF_8))))
+      Seq("a", "b", "c").map(x => SubRecord(s"pk-$x", x.getBytes(UTF_8)))))
+    svc.append("shard-0", RawShardRecord.single("pk", BigInt(2), 2L,
+      "d".getBytes(UTF_8)))
     val id = ShardServiceRegistry.register(svc)
     val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
     val got = readAll(id, tmp).orderBy("seq", "subSeqNo")
@@ -105,8 +106,8 @@ class GraftKinesisSourceSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       assert(spark.table("latest_test").count() == 0)
-      svc.append("shard-0", RawShardRecord("pk", BigInt(31), 31L,
-        Seq("31".getBytes(UTF_8))))
+      svc.append("shard-0", RawShardRecord.single("pk", BigInt(31), 31L,
+        "31".getBytes(UTF_8)))
       q.processAllAvailable()
       val seqs = spark.table("latest_test").collect().map(_.getLong(0)).toSeq
       assert(seqs == Seq(31L))
