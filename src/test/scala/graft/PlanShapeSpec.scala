@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Locks in the physical-plan properties the 100 TB design depends on:
+  * parquet predicate pushdown + column pruning, broadcast join selection,
+  * TakeOrderedAndProject for top-k, whole-stage codegen coverage, and the
+  * codegen'd custom expression.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30.0)"))
+    // pruned read schema: only the 6 referenced columns, not all 11
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+      + "l_quantity:double,l_extendedprice:double,l_discount:double,"
+      + "l_returnflag:string>"))
+  }
+
+  test("q03: dimension side broadcasts (no fact shuffle for the join)") {
+    val p = planOf("q03_join_broadcast_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q04: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = planOf("q04_topk_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q01: whole-stage codegen covers the aggregation pipeline") {
+    // AQE finalizes the plan only on execution
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined,
+      s"expected WholeStageCodegen stages:\n${p.take(800)}")
+  }
+
+  test("e01: custom dot-product expression participates in codegen " +
+      "(no fallback marker in the pair-scan stage)") {
+    val df = SparkEntry.queries("e01_cosine_pairs")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("double_dot_product") || p.contains("DoubleDotProduct")
+      || p.contains("doubledotproduct"),
+      s"expected custom expression in plan:\n${p.take(1200)}")
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined,
+      "pair scan must stay inside whole-stage codegen")
+  }
+
+  test("double_dot_product is SQL-callable after extension registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT double_dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
+}
