@@ -55,6 +55,20 @@ object CustomAgg {
         .orderBy(col("p_partkey"))
     }),
 
+    // TypedImperativeAggregate sketch: bounded top-k buffer, mergeable
+    // map-side — the shuffle carries at most k pairs per group whatever
+    // the input size (the sketch extension point for HLL/quantiles).
+    "q34_topk_sketch_aggregate" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TopKFunctions
+          .topK(col("value"), col("event_id"), 5).as("topk"))
+        .select(col("event_type"), posexplode(col("topk")))
+        .select(col("event_type"), (col("pos") + 1).as("rank"),
+          col("col.id").as("event_id"), col("col.value").as("value"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // Two-phase (salted) aggregation: the skew-mitigation pattern for a
     // hot group key — pre-aggregate on (key, salt), then merge partials.
     // Result provably equals the direct aggregate (the oracle computes
@@ -102,6 +116,14 @@ object CustomAgg {
       """SELECT p_partkey,
          REVERSE(p_name) || ':' || CAST(LENGTH(p_name) AS VARCHAR) AS name_tag
          FROM part ORDER BY p_partkey""",
+
+    "q34_topk_sketch_aggregate" ->
+      """SELECT event_type, CAST(rn AS INT) AS rank, event_id, value FROM (
+           SELECT event_type, event_id, value,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id) AS rn
+           FROM events) t
+         WHERE rn <= 5 ORDER BY event_type, rank""",
 
     "q33_salted_two_phase_agg" ->
       """SELECT event_type, COUNT(1) AS n,

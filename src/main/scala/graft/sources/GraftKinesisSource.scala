@@ -6,7 +6,7 @@ import graft.models.Envelope
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{Decimal, StructType}
@@ -64,18 +64,30 @@ final class GraftKinesisTable(props: Map[String, String])
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new GraftKinesisScan(
-        props ++ options.asCaseSensitiveMap().asScala)
-    }
+    new GraftKinesisScanBuilder(props ++ options.asCaseSensitiveMap().asScala)
 }
 
-final class GraftKinesisScan(options: Map[String, String]) extends Scan {
-  override def readSchema(): StructType = Envelope.schema
-  override def description(): String = "graft-kinesis"
+/** Column pruning (`SupportsPushDownRequiredColumns`): a query that never
+  * touches `data` (e.g. per-shard counts) skips materializing payload
+  * bytes in the reader — the decode path is the ingest hot path
+  * (SURVEY.md §4 "worthwhile since payload decode is the hot path").
+  */
+final class GraftKinesisScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = Envelope.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftKinesisScan(options, required)
+}
+
+final class GraftKinesisScan(options: Map[String, String],
+    required: StructType) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-kinesis [${required.fieldNames.mkString(",")}]"
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new GraftKinesisMicroBatchStream(options)
+    new GraftKinesisMicroBatchStream(options, required)
 }
 
 /** Offset = last-consumed position per shard. JSON form (stable key
@@ -98,7 +110,8 @@ object GraftShardOffsets {
       }.toMap)
 }
 
-final class GraftKinesisMicroBatchStream(options: Map[String, String])
+final class GraftKinesisMicroBatchStream(options: Map[String, String],
+    required: StructType = Envelope.schema)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val serviceId = options.getOrElse("service.id",
@@ -150,16 +163,14 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String])
     e.toSeq.sortBy(_._1).flatMap { case (shard, to) =>
       val fromPos = s.getOrElse(shard, ShardPos.Beginning)
       if (ShardPos.ordering.lt(fromPos, to))
-        Some(GraftShardInputPartition(serviceId, streamNameOf(shard), shard,
+        Some(GraftShardInputPartition(serviceId, service.streamName, shard,
           fromPos, to))
       else None
     }.toArray
   }
 
-  private def streamNameOf(shard: String): String = service.streamName
-
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftShardReaderFactory
+    new GraftShardReaderFactory(required.fieldNames)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -172,11 +183,12 @@ final case class GraftShardInputPartition(
     from: ShardPos,
     to: ShardPos) extends InputPartition
 
-final class GraftShardReaderFactory extends PartitionReaderFactory {
+final class GraftShardReaderFactory(fieldNames: Array[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftShardInputPartition]
-    new GraftShardPartitionReader(p)
+    new GraftShardPartitionReader(p, fieldNames)
   }
 }
 
@@ -184,13 +196,30 @@ final class GraftShardReaderFactory extends PartitionReaderFactory {
   * sub-records (consecutive subSeqNo) — the KCL `UserRecord` semantics
   * (S13). Emits envelope rows in per-shard order.
   */
-final class GraftShardPartitionReader(p: GraftShardInputPartition)
-    extends PartitionReader[InternalRow] {
+final class GraftShardPartitionReader(p: GraftShardInputPartition,
+    fieldNames: Array[String]) extends PartitionReader[InternalRow] {
 
   private val service = ShardServiceRegistry.get(p.serviceId)
   private val raw = service.read(p.shardId, p.from, p.to)
   private var subs: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
+
+  // per-field extractors for the pruned schema: unneeded envelope fields
+  // (notably the payload bytes) are never materialized
+  private type Extract = (RawShardRecord, SubRecord, Long) => Any
+  private val extractors: Array[Extract] = fieldNames.map {
+    case "streamName" => (_, _, _) => UTF8String.fromString(p.streamName)
+    case "shardId" => (_, _, _) => UTF8String.fromString(p.shardId)
+    case "partitionKey" =>
+      (_, sub, _) => UTF8String.fromString(sub.partitionKey)
+    case "seqNo" =>
+      (r, _, _) => Decimal(scala.math.BigDecimal(r.seqNo), 38, 0)
+    case "subSeqNo" => (_, _, i) => i
+    case "data" => (_, sub, _) => sub.data
+    case "approxArrivalTs" => (r, _, _) => r.arrivalEpochMicros
+    case other => throw new IllegalArgumentException(
+      s"unknown envelope field: $other")
+  }
 
   private def expand(r: RawShardRecord): Iterator[InternalRow] =
     r.subRecords.iterator.zipWithIndex
@@ -199,14 +228,7 @@ final class GraftShardPartitionReader(p: GraftShardInputPartition)
         r.seqNo != p.from.seqNo || i.toLong > p.from.subSeqNo
       }
       .map { case (sub, i) =>
-        InternalRow(
-          UTF8String.fromString(p.streamName),
-          UTF8String.fromString(p.shardId),
-          UTF8String.fromString(sub.partitionKey),
-          Decimal(scala.math.BigDecimal(r.seqNo), 38, 0),
-          i.toLong,
-          sub.data,
-          r.arrivalEpochMicros)
+        InternalRow.fromSeq(extractors.map(_(r, sub, i.toLong)).toSeq)
       }
 
   override def next(): Boolean = {
