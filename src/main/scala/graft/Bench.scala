@@ -60,6 +60,7 @@ object Bench {
 
     results ++= ingestReplay(spark)
     results ++= eventsReplay(spark, sfDir)
+    results ++= harnessReplay(spark)
 
     val qs = results.map { case (k, v) => s""""$k":${"%.6f".format(v)}""" }
       .mkString("{", ",", "}")
@@ -171,5 +172,26 @@ object Bench {
       s"[bench] EVENTS REPLAY MISMATCH: seen=$seen expected=$n")
     Seq("ingest_events_replay" -> sec,
       "rate_events_replay_eps" -> (if (sec > 0) seen / sec else 0.0))
+  }
+
+  /** Commit-harness overhead at scale: 1M records through
+    * processBatch (per-record attempt tracking + localCheckpoint +
+    * tolerance accounting — the reference's ConsumerWorker semantics). */
+  private def harnessReplay(spark: SparkSession): Seq[(String, Double)] = {
+    import graft.config.ConsumerConf
+    import graft.streaming.CommitHarness
+    import spark.implicits._
+    val n = 1000000L
+    val batch = spark.range(n).map(i => s"payload-$i")
+    val conf = ConsumerConf("bench", "bench", failedMessageRetries = 1,
+      failureTolerancePercentage = 0.25)
+    val t0 = System.nanoTime()
+    val (_, stats) = CommitHarness.processBatch[String](
+      batch, s => s.nonEmpty, conf)
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (stats.succeeded != n) System.err.println(
+      s"[bench] HARNESS MISMATCH: ${stats.succeeded} != $n")
+    Seq("harness_replay_1m" -> sec,
+      "rate_harness_1m_eps" -> (if (sec > 0) n / sec else 0.0))
   }
 }

@@ -114,6 +114,21 @@ class GraftKinesisSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("initial-position AT_TIMESTAMP starts at the first record arriving " +
+      "at/after the timestamp") {
+    val svc = new InMemoryShardService("it-stream", Seq("shard-0"))
+    // arrival micros: records 1..20 at t = n * 1000 ms
+    for (n <- 1 to 20)
+      svc.append("shard-0", RawShardRecord.single("pk", BigInt(n),
+        n * 1000000L, s"$n".getBytes(UTF_8)))
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val got = readAll(id, tmp,
+      Map("initial-position" -> "AT_TIMESTAMP:15000")) // 15s => record 15
+    val seqs = got.select("seq").collect().map(_.getLong(0)).toSet
+    assert(seqs == (15 to 20).map(_.toLong).toSet, s"got $seqs")
+  }
+
   test("admission control caps records per shard per micro-batch " +
       "(kcl.maxRecords analogue)") {
     val svc = mkService(25, shards = 1)
