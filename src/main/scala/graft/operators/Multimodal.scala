@@ -19,6 +19,9 @@ object Multimodal {
   case class MediaIn(doc_id: Long, payload: Array[Byte])
   case class MediaMeta(doc_id: Long, n_bytes: Int, header: Int,
       fp: String, sample_checksum: Long)
+  case class MediaResized(doc_id: Long, resized_len: Int, resized_fp: String)
+  case class MediaFeatures(doc_id: Long, mean_byte: Double, max_byte: Int,
+      n_distinct_bytes: Int)
 
   /** STUB decoder: stands in for image/audio decode + feature extraction.
     * Deterministic byte-level "features": length, first byte, md5 hex,
@@ -38,6 +41,30 @@ object Multimodal {
       }
       MediaMeta(m.doc_id, m.payload.length, header, hex, checksum)
     }
+
+    /** "Resize" stub: stride-4 downsample of the payload (the byte-level
+      * shape of image downscaling: output size n/4, deterministic). */
+    def resize(m: MediaIn): MediaResized = {
+      val out = Array.range(0, m.payload.length, 4).map(m.payload(_))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      MediaResized(m.doc_id, out.length,
+        md.digest(out).map("%02x".format(_)).mkString)
+    }
+
+    /** "Feature extraction" stub: byte-level statistics (mean/max/
+      * cardinality) — the shape of embedding/feature computation. */
+    def features(m: MediaIn): MediaFeatures = {
+      var sum = 0L
+      var mx = -1
+      val seen = new java.util.BitSet(256)
+      m.payload.foreach { b =>
+        val v = b & 0xff
+        sum += v; if (v > mx) mx = v; seen.set(v)
+      }
+      val mean =
+        if (m.payload.isEmpty) 0.0 else sum.toDouble / m.payload.length
+      MediaFeatures(m.doc_id, mean, mx, seen.cardinality())
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -48,6 +75,28 @@ object Multimodal {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[MediaIn]
         .mapPartitions(_.map(MultimodalStub.decode))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stride-downsample "resize" stage over binary payloads.
+    "m02_multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaIn]
+        .mapPartitions(_.map(MultimodalStub.resize))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // Byte-statistics "feature extraction" stage.
+    "m03_multimodal_features" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaIn]
+        .mapPartitions(_.map(MultimodalStub.features))
         .toDF()
         .orderBy(col("doc_id"))
     })
@@ -68,6 +117,26 @@ object Multimodal {
            MD5(s.text) AS fp,
            COALESCE(samp.sample_checksum, 0) AS sample_checksum
          FROM s LEFT JOIN samp ON s.doc_id = samp.doc_id
-         ORDER BY s.doc_id"""
+         ORDER BY s.doc_id""",
+
+    "m02_multimodal_resize" ->
+      """WITH r AS (SELECT doc_id,
+           STRING_AGG(SUBSTR(text, i, 1), '' ORDER BY i) AS rs
+           FROM documents,
+                UNNEST(GENERATE_SERIES(1, LENGTH(text), 4)) AS t(i)
+           GROUP BY doc_id)
+         SELECT doc_id, CAST(LENGTH(rs) AS INT) AS resized_len,
+                MD5(rs) AS resized_fp
+         FROM r ORDER BY doc_id""",
+
+    "m03_multimodal_features" ->
+      """WITH b AS (SELECT doc_id, ORD(SUBSTR(text, i, 1)) AS v
+           FROM documents,
+                UNNEST(GENERATE_SERIES(1, LENGTH(text))) AS t(i))
+         SELECT doc_id,
+                CAST(CAST(SUM(v) AS DOUBLE) / COUNT(1) AS DOUBLE) AS mean_byte,
+                CAST(MAX(v) AS INT) AS max_byte,
+                CAST(COUNT(DISTINCT v) AS INT) AS n_distinct_bytes
+         FROM b GROUP BY doc_id ORDER BY doc_id"""
   )
 }
