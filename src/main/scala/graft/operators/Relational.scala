@@ -506,7 +506,7 @@ object Relational {
          ORDER BY nation, segment""",
 
     "q13_window_topk_per_group" ->
-      """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+      """SELECT p_brand, CAST(rn AS INT) AS rn, p_partkey, p_retailprice FROM (
            SELECT p_brand, p_partkey, p_retailprice,
                   ROW_NUMBER() OVER (PARTITION BY p_brand
                     ORDER BY p_retailprice DESC, p_partkey) AS rn
@@ -519,8 +519,8 @@ object Relational {
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
            AS run_total,
-         ROW_NUMBER() OVER (PARTITION BY o_custkey
-           ORDER BY o_orderdate, o_orderkey) AS order_seq
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
          FROM orders""",
 
     "q15_window_lag_lead" ->
@@ -535,8 +535,8 @@ object Relational {
 
     "q16_window_rank_family" ->
       """SELECT s_suppkey, s_acctbal,
-         NTILE(4) OVER w AS quartile,
-         DENSE_RANK() OVER w AS drank,
+         CAST(NTILE(4) OVER w AS INT) AS quartile,
+         CAST(DENSE_RANK() OVER w AS INT) AS drank,
          PERCENT_RANK() OVER w AS prank
          FROM supplier
          WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
