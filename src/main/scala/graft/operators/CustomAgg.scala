@@ -37,7 +37,7 @@ object CustomAgg {
     "q30_custom_aggregator" -> ((s, d) => {
       import s.implicits._
       val evs = Tables.events(s, d)
-        .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        .select(col("user_id"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
           col("event_id"), col("value"))
         .as[EvRow]
       evs.groupByKey(_.user_id)

@@ -276,10 +276,11 @@ object Relational {
           month(col("o_orderdate")).as("mo"),
           dayofmonth(col("o_orderdate")).as("dom"),
           quarter(col("o_orderdate")).as("qtr"),
-          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+            .as("month_start"),
           datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since_epoch"),
-          date_add(col("o_orderdate"), 30).as("due_date"),
-          last_day(col("o_orderdate")).as("month_end"))
+          date_add(col("o_orderdate"), 30).cast("timestamp_ntz").as("due_date"),
+          last_day(col("o_orderdate")).cast("timestamp_ntz").as("month_end"))
         .orderBy(col("o_orderkey"))
     }),
 

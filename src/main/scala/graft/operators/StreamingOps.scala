@@ -86,7 +86,7 @@ object StreamingOps {
       import s.implicits._
       val evs = Tables.events(s, d)
         .select(col("user_id"),
-          expr("unix_micros(ts) div 1000").as("ts_ms"), col("event_id"))
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000").as("ts_ms"), col("event_id"))
         .as[Ev]
       def fold(uid: Long, it: Iterator[Ev],
           state: GroupState[SessionAcc]): UserSessions = {
@@ -150,7 +150,8 @@ object StreamingOps {
           col("ts").as("approxArrivalTs"))
         .groupBy(col("shardId"))
         .agg(count(lit(1)).as("n"),
-          min(col("seqNo")).as("min_seq"), max(col("seqNo")).as("max_seq"),
+          min(col("seqNo")).cast("double").as("min_seq"),
+          max(col("seqNo")).cast("double").as("max_seq"),
           sum(octet_length(col("data"))).as("payload_bytes"))
         .orderBy(col("shardId"))
     })
@@ -231,8 +232,8 @@ object StreamingOps {
       """SELECT 'shardId-' || LPAD(CAST(user_id % 8 AS VARCHAR), 12, '0')
                   AS shardId,
                 COUNT(1) AS n,
-                MIN(CAST(event_id AS DECIMAL(38,0))) AS min_seq,
-                MAX(CAST(event_id AS DECIMAL(38,0))) AS max_seq,
+                CAST(MIN(CAST(event_id AS DECIMAL(38,0))) AS DOUBLE) AS min_seq,
+                CAST(MAX(CAST(event_id AS DECIMAL(38,0))) AS DOUBLE) AS max_seq,
                 CAST(SUM(OCTET_LENGTH(CAST(props AS BLOB))) AS BIGINT)
                   AS payload_bytes
          FROM events GROUP BY 1 ORDER BY shardId"""
