@@ -396,6 +396,45 @@ object Relational {
         .limit(20)
     }),
 
+    // TPC-H Q5 shape: 6-table star join. Dimensions (region, nation,
+    // supplier, customer) broadcast; orders/lineitem stream through —
+    // Catalyst + AQE pick the join order from sizes.
+    "q35_regional_revenue" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Correlated scalar subquery (decorrelated by Catalyst into a join):
+    // parts priced above their brand's average.
+    "q36_scalar_subquery" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("ssq_part")
+      s.sql("""
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM ssq_part p
+        WHERE p_retailprice > (
+          SELECT CAST(CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,6)))
+                   AS DOUBLE) / COUNT(1) AS DOUBLE)
+          FROM ssq_part p2 WHERE p2.p_brand = p.p_brand)
+        ORDER BY p_partkey
+      """)
+    }),
+
     // Approximate aggregates (HLL++ / approximate quantiles). No DuckDB
     // oracle — sketch outputs are engine-specific; driver does a
     // rows-only check.
@@ -635,6 +674,32 @@ object Relational {
          COUNT(1) FILTER (WHERE event_type = 'signup') AS "signup",
          COUNT(1) FILTER (WHERE event_type = 'view') AS "view"
          FROM events GROUP BY user_id % 10 ORDER BY bucket""",
+
+    "q35_regional_revenue" ->
+      s"""SELECT n_name,
+         ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         COUNT(1) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+
+    "q36_scalar_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+         FROM part p
+         WHERE p_retailprice > (
+           SELECT CAST(CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(1) AS DOUBLE)
+           FROM part p2 WHERE p2.p_brand = p.p_brand)
+         ORDER BY p_partkey""",
 
     "q28_explode_wordcount" ->
       """SELECT word, COUNT(1) AS n FROM (

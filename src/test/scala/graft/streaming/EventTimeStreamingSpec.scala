@@ -121,6 +121,37 @@ class EventTimeStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session window with gap runs on a stream (append after watermark)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-et").toString
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val agg = input.toDS().toDF("ts", "user_id")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("et_session")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      // user 1: two events 3 min apart (one session), then a 20-min gap
+      input.addData((ts(0), 1L), (ts(3), 1L))
+      q.processAllAvailable()
+      input.addData((ts(23), 1L))
+      q.processAllAvailable()
+      input.addData((ts(59), 9L)) // advance watermark, close sessions
+      q.processAllAvailable()
+      val rows = spark.table("et_session")
+        .select("user_id", "ss", "se", "n")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().filter(_._1 == 1L)
+        .sortBy(_._2.getTime)
+      assert(rows.length == 2, s"got ${rows.toSeq}")
+      assert(rows(0) == ((1L, ts(0), ts(13), 2L)))  // merged session
+      assert(rows(1) == ((1L, ts(23), ts(33), 1L)))
+    } finally q.stop()
+  }
+
   test("batch and stream produce identical results for the oracle-checked " +
       "tumbling aggregate (plan equivalence)") {
     import spark.implicits._
