@@ -140,7 +140,7 @@ object Bench {
       (0 until nShards).map(i => s"shard-$i"))
     // driver-side seed of the replay stream (bounded: |events| rows)
     val rows = Tables.events(spark, sfDir)
-      .selectExpr("event_id", "user_id", "props", "unix_micros(ts) AS us")
+      .selectExpr("event_id", "user_id", "props", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
       .collect()
     var n = 0L
     rows.sortBy(_.getLong(0)).foreach { r =>
