@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{Decimal, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -112,7 +112,20 @@ object GraftShardOffsets {
 
 final class GraftKinesisMicroBatchStream(options: Map[String, String],
     required: StructType = Envelope.schema)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: end positions frozen at query start; batches
+  // keep draining (respecting the admission cap) until they reach them
+  @volatile private var availableNowEnd: Option[Map[String, ShardPos]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(service.listShards()
+      .map(s => s -> service.latestPosition(s)).toMap)
+
+  override def reportLatestOffset(): Offset =
+    GraftShardOffsets(service.listShards()
+      .map(s => s -> service.latestPosition(s)).toMap)
 
   private val serviceId = options.getOrElse("service.id",
     throw new IllegalArgumentException("option service.id required"))
@@ -149,7 +162,13 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
     val shards = service.listShards()
     GraftShardOffsets(shards.map { s =>
       val f = from.getOrElse(s, ShardPos.Beginning)
-      s -> service.positionAfter(s, f, maxRecordsPerShard)
+      val next = service.positionAfter(s, f, maxRecordsPerShard)
+      // under AvailableNow, never read past the frozen end positions
+      val capped = availableNowEnd.flatMap(_.get(s)) match {
+        case Some(end) if ShardPos.ordering.gt(next, end) => end
+        case _ => next
+      }
+      s -> capped
     }.toMap)
   }
 

@@ -58,6 +58,22 @@ class PlanShapeSpec extends SparkSpec {
       "pair scan must stay inside whole-stage codegen")
   }
 
+  test("fact-fact join falls back to shuffle sort-merge when neither " +
+      "side broadcasts") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val o = Tables.orders(spark, dir)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      "10485760")
+  }
+
   test("double_dot_product is SQL-callable after extension registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

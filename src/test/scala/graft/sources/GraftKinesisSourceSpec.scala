@@ -149,6 +149,23 @@ class GraftKinesisSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains everything in capped batches then " +
+      "stops (bounded-replay batch pump)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val svc = mkService(35, shards = 1)
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val q = spark.readStream.format("graft-kinesis")
+      .option("service.id", id).option("max-records-per-shard", "10")
+      .load().selectExpr("CAST(seqNo AS LONG) AS seq")
+      .writeStream.format("memory").queryName("avail_now")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-stop")
+    val seqs = spark.table("avail_now").collect().map(_.getLong(0)).toSet
+    assert(seqs == (1 to 35).map(_.toLong).toSet)
+  }
+
   test("per-shard arrival order is preserved within partitions") {
     val svc = mkService(40, shards = 1)
     val id = ShardServiceRegistry.register(svc)
