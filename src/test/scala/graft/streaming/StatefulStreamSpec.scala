@@ -43,6 +43,43 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful query runs on the RocksDB state store (the bounded-memory " +
+      "store for 100 TB-scale state)") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rocks").toString
+      val input = MemoryStream[Long](spark)
+      def fn(user: Long, rows: Iterator[Long],
+          state: GroupState[Int]): Iterator[Hit] = {
+        val total = state.getOption.getOrElse(0) + rows.size
+        state.update(total)
+        Iterator.single(Hit(user, total))
+      }
+      val q = input.toDS().groupByKey(identity)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(fn)
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("rocks_state")
+        .option("checkpointLocation", s"$tmp/chk").start()
+      try {
+        input.addData(1L, 1L, 2L)
+        q.processAllAvailable()
+        input.addData(1L)
+        q.processAllAvailable()
+        val latest = spark.table("rocks_state").as[Hit].collect()
+          .groupBy(_.user).view.mapValues(_.map(_.n).max).toMap
+        assert(latest == Map(1L -> 3, 2L -> 1))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
 
 object StatefulStreamSpec {
