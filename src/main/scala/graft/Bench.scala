@@ -62,8 +62,11 @@ object Bench {
     results ++= eventsReplay(spark, sfDir)
     results ++= harnessReplay(spark)
 
-    val qs = results.map { case (k, v) => s""""$k":${"%.6f".format(v)}""" }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      val num = String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(v)) // locale-proof: decimal POINT regardless of LANG
+      s""""$k":$num"""
+    }.mkString("{", ",", "}")
     // total = wall seconds only (rate/flag pseudo-entries excluded)
     val total = results.collect {
       case (k, v) if !k.startsWith("rate_") && !k.startsWith("ingest_integrity") => v

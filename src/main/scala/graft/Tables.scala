@@ -22,6 +22,14 @@ object Tables {
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4 refuses
     * by default. Read nanos as long and truncate to microseconds — exactly
     * what DuckDB's TIMESTAMP cast does, so oracle comparisons line up.
+    *
+    * NB: `nanosAsLong` is a session-wide flag with no per-read form, and
+    * it is read lazily at scan execution, so it must stay set for the
+    * session (restoring it immediately would break the returned plan).
+    * Session-wide it is harmless here: it only affects TIMESTAMP(NANOS)
+    * parquet columns, and every nanos read in this engine goes through
+    * this method. A deployment mixing nanos datasets with different
+    * expectations would scope sessions via SparkSession.newSession().
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -114,6 +114,8 @@ object ProducerConf {
         .map(_.toLong.millis).getOrElse(base.throttlingRetry),
       aggregationEnabled = o.get("aggregation-enabled")
         .map(_.toBoolean).getOrElse(base.aggregationEnabled),
+      aggregationMaxCount = o.get("aggregation-max-count")
+        .map(_.toInt).getOrElse(base.aggregationMaxCount),
       failFast = o.get("fail-fast").map(_.toBoolean).getOrElse(base.failFast))
   }
 }

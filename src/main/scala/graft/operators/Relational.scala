@@ -659,11 +659,16 @@ object Relational {
            ON p_retailprice >= lo AND p_retailprice < hi
          GROUP BY band ORDER BY band""",
 
+    // NB: not DuckDB's ASOF JOIN — ASOF breaks exact-timestamp ties
+    // arbitrarily, while the Spark plan deterministically picks the
+    // largest signup_id; the correlated subquery pins the same tiebreak.
     "q26_asof_join" ->
-      """SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-           ON p.user_id = s.user_id AND p.ts >= s.ts
+      """SELECT p.event_id AS purchase_id, p.user_id,
+           (SELECT s.event_id FROM events s
+            WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+              AND s.ts <= p.ts
+            ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS signup_id
+         FROM events p WHERE p.event_type = 'purchase'
          ORDER BY purchase_id""",
 
     "q27_pivot" ->

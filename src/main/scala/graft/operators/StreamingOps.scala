@@ -25,11 +25,37 @@ object StreamingOps {
 
   /** Typed row for the stateful sessionization (q44). */
   case class Ev(user_id: Long, ts_ms: Long, event_id: Long)
-  case class SessionAcc(nSessions: Long, nEvents: Long, maxLen: Long)
+  /** Carries lastTs/curLen so a session spanning micro-batches continues
+    * instead of splitting (incremental correctness, not just batch). */
+  case class SessionAcc(nSessions: Long, nEvents: Long, maxLen: Long,
+      lastTs: Long, curLen: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
       max_session_events: Long)
 
   private val GapMs = 30L * 60 * 1000
+
+  /** Sessionization fold shared by the batch query (q44) and the
+    * incremental streaming path: state carries (lastTs, curLen) so a
+    * session spanning micro-batches continues rather than splitting.
+    */
+  def sessionFold(uid: Long, it: Iterator[Ev],
+      state: GroupState[SessionAcc]): UserSessions = {
+    val sorted = it.toArray.sortBy(e => (e.ts_ms, e.event_id))
+    var acc = state.getOption
+      .getOrElse(SessionAcc(0, 0, 0, Long.MinValue, 0))
+    sorted.foreach { e =>
+      val newSession =
+        acc.lastTs == Long.MinValue || e.ts_ms >= acc.lastTs + GapMs
+      val curLen = if (newSession) 1L else acc.curLen + 1
+      acc = SessionAcc(
+        acc.nSessions + (if (newSession) 1 else 0),
+        acc.nEvents + 1,
+        math.max(acc.maxLen, curLen),
+        e.ts_ms, curLen)
+    }
+    state.update(acc)
+    UserSessions(uid, acc.nSessions, acc.nEvents, acc.maxLen)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling event-time window aggregate. Streaming twin: identical plan
@@ -88,27 +114,8 @@ object StreamingOps {
         .select(col("user_id"),
           expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000").as("ts_ms"), col("event_id"))
         .as[Ev]
-      def fold(uid: Long, it: Iterator[Ev],
-          state: GroupState[SessionAcc]): UserSessions = {
-        val sorted = it.toArray.sortBy(e => (e.ts_ms, e.event_id))
-        var acc = state.getOption.getOrElse(SessionAcc(0, 0, 0))
-        var curLen = 0L
-        var lastTs = Long.MinValue
-        sorted.foreach { e =>
-          if (lastTs == Long.MinValue || e.ts_ms >= lastTs + GapMs) {
-            acc = SessionAcc(acc.nSessions + 1, acc.nEvents, acc.maxLen)
-            curLen = 0
-          }
-          curLen += 1
-          acc = SessionAcc(acc.nSessions, acc.nEvents + 1,
-            math.max(acc.maxLen, curLen))
-          lastTs = e.ts_ms
-        }
-        state.update(acc)
-        UserSessions(uid, acc.nSessions, acc.nEvents, acc.maxLen)
-      }
       evs.groupByKey(_.user_id)
-        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(sessionFold)
         .toDF()
         .orderBy(col("user_id"))
     }),

@@ -73,4 +73,11 @@ object ShardServiceAsyncClient {
           .asInstanceOf[InMemoryShardService],
         aggregationMaxCount)
   }
+
+  /** Factory honoring the producer config's KPL-style aggregation block
+    * (`aggregation-enabled` / `aggregation-max-count`, reference
+    * main/resources/reference.conf:57-92). */
+  def factoryFor(conf: graft.config.ProducerConf, serviceId: String): Factory =
+    Factory(serviceId,
+      if (conf.aggregationEnabled) conf.aggregationMaxCount else 1)
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{Decimal, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -149,7 +149,25 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
   }
 
   override def getDefaultReadLimit: ReadLimit =
-    ReadLimit.maxRows(maxRecordsPerShard.toLong)
+    ReadLimit.maxRows(
+      maxRecordsPerShard.toLong * math.max(service.listShards().size, 1))
+
+  /** Per-shard wire-record cap for an engine-requested limit: None means
+    * unbounded (Trigger.Once / ReadAllAvailable must drain everything).
+    * ReadMaxRows is a total — distributed evenly across shards
+    * (aggregated sub-records may overshoot by an aggregate's width,
+    * like KCL's maxRecords which also counts wire records).
+    */
+  private def perShardCap(limit: ReadLimit): Option[Int] = limit match {
+    case _: ReadAllAvailable => None
+    case r: ReadMaxRows =>
+      val n = math.max(service.listShards().size, 1)
+      Some(math.max(1, math.ceil(r.maxRows().toDouble / n).toInt))
+    case c: CompositeReadLimit =>
+      val caps = c.getReadLimits.flatMap(l => perShardCap(l))
+      if (caps.isEmpty) None else Some(caps.min)
+    case _ => Some(maxRecordsPerShard)
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -160,9 +178,13 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
     // shard discovery on every trigger: new shards (resharding) start at
     // the beginning, mirroring KCL lease creation for child shards
     val shards = service.listShards()
+    val cap = perShardCap(limit)
     GraftShardOffsets(shards.map { s =>
       val f = from.getOrElse(s, ShardPos.Beginning)
-      val next = service.positionAfter(s, f, maxRecordsPerShard)
+      val next = cap match {
+        case Some(c) => service.positionAfter(s, f, c)
+        case None => service.latestPosition(s)
+      }
       // under AvailableNow, never read past the frozen end positions
       val capped = availableNowEnd.flatMap(_.get(s)) match {
         case Some(end) if ShardPos.ordering.gt(next, end) => end

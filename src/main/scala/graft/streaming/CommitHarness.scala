@@ -65,6 +65,7 @@ object CommitHarness {
 
     val total = batch.count()
     var pending = batch
+    var toFree: List[Dataset[(T, Boolean)]] = Nil
     var pendingCount = total
     var attemptsMade = 0
     val maxAttempts = conf.failedMessageRetries + 1
@@ -77,6 +78,12 @@ object CommitHarness {
       val results = pending.map(t => (t, safe(t))).localCheckpoint(true)
       val failed = results.filter(!_._2).map(_._1)
       pendingCount = failed.count()
+      // previous round's checkpoint blocks are no longer referenced once
+      // this round's failed-set is materialized — free them now; the last
+      // round backs the returned dead-letter Dataset and is freed by
+      // freeDeadLetters (runStream does this after the dead-letter write)
+      toFree.foreach(org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+      toFree = List(results)
       pending = failed
       attemptsMade += 1
     }
@@ -86,6 +93,11 @@ object CommitHarness {
     (pending, BatchStats(total, total - pendingCount, pendingCount,
       attemptsMade))
   }
+
+  /** Release the checkpoint storage behind the dead-letter Dataset
+    * returned by [[processBatch]] (call after consuming it). */
+  def freeDeadLetters(dead: Dataset[_]): Unit =
+    org.apache.spark.sql.GraftBridge.unpersistCheckpoint(dead)
 
   /** Wire the harness into a streaming query: per-batch retry/tolerance
     * processing with dead letters appended to a parquet path (the
@@ -105,7 +117,7 @@ object CommitHarness {
         if (stats.deadLettered > 0) deadLetterPath.foreach { p =>
           dead.write.mode("append").parquet(p)
         }
-        dead.unpersist()
+        freeDeadLetters(dead)
         ()
       }
   }

@@ -43,6 +43,35 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization state carries across micro-batches: a session " +
+      "split over two batches stays ONE session") {
+    import spark.implicits._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{Ev, UserSessions}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val input = MemoryStream[Ev](spark)
+    val q = input.toDS().groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        StreamingOps.sessionFold _)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("session_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      val min = 60L * 1000
+      // batch 1: two events 5 minutes apart
+      input.addData(Ev(1, 0 * min, 1), Ev(1, 5 * min, 2))
+      q.processAllAvailable()
+      // batch 2: 10 minutes later (inside the 30-min gap) + one event
+      // 40 minutes after that (a genuine new session)
+      input.addData(Ev(1, 15 * min, 3), Ev(1, 55 * min, 4))
+      q.processAllAvailable()
+      val latest = spark.table("session_xbatch").as[UserSessions]
+        .collect().maxBy(_.n_events)
+      assert(latest == UserSessions(1, 2, 4, 3),
+        s"continued session must not split: $latest")
+    } finally q.stop()
+  }
+
   test("stateful query runs on the RocksDB state store (the bounded-memory " +
       "store for 100 TB-scale state)") {
     import spark.implicits._
