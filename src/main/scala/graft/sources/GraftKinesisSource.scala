@@ -6,7 +6,7 @@ import graft.models.Envelope
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{Decimal, StructType}
@@ -62,7 +62,7 @@ final class GraftKinesisTable(props: Map[String, String])
     s"graft-kinesis(${props.getOrElse("service.id", "?")})"
   override def schema(): StructType = Envelope.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftKinesisScanBuilder(props ++ options.asCaseSensitiveMap().asScala)
 }
@@ -71,6 +71,9 @@ final class GraftKinesisTable(props: Map[String, String])
   * touches `data` (e.g. per-shard counts) skips materializing payload
   * bytes in the reader — the decode path is the ingest hot path
   * (SURVEY.md §4 "worthwhile since payload decode is the hot path").
+  * NB: Spark applies V2 pushdown on the BATCH read path (snapshot /
+  * backfill reads via `spark.read`); micro-batch streaming plans keep a
+  * Project above the scan — an engine, not connector, limitation.
   */
 final class GraftKinesisScanBuilder(options: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
@@ -88,6 +91,25 @@ final class GraftKinesisScan(options: Map[String, String],
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new GraftKinesisMicroBatchStream(options, required)
+
+  /** Bounded snapshot read of the stream (backfill/replay as a batch
+    * table): every shard from TRIM_HORIZON to the current latest. */
+  override def toBatch: Batch = new Batch {
+    private val serviceId = options.getOrElse("service.id",
+      throw new IllegalArgumentException("option service.id required"))
+    override def planInputPartitions(): Array[InputPartition] = {
+      val service = ShardServiceRegistry.get(serviceId)
+      service.listShards().sorted.flatMap { s =>
+        val to = service.latestPosition(s)
+        if (ShardPos.ordering.lt(ShardPos.Beginning, to))
+          Some(GraftShardInputPartition(serviceId, service.streamName, s,
+            ShardPos.Beginning, to))
+        else None
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftShardReaderFactory(required.fieldNames)
+  }
 }
 
 /** Offset = last-consumed position per shard. JSON form (stable key
