@@ -72,7 +72,10 @@ final case class ProducerConf(
     throttlingRetry: FiniteDuration = 100.millis,
     aggregationEnabled: Boolean = true,
     aggregationMaxCount: Int = 500,
-    failFast: Boolean = true)
+    failFast: Boolean = true,
+    /** Ack-drain budget on writer close — the analogue of the reference's
+      * graceful shutdown timeout (main/resources/reference.conf:432-438). */
+    drainTimeout: FiniteDuration = 30.seconds)
 
 object ConsumerConf {
   /** Build from an options map with default/named fallback merge. */
@@ -116,6 +119,8 @@ object ProducerConf {
         .map(_.toBoolean).getOrElse(base.aggregationEnabled),
       aggregationMaxCount = o.get("aggregation-max-count")
         .map(_.toInt).getOrElse(base.aggregationMaxCount),
-      failFast = o.get("fail-fast").map(_.toBoolean).getOrElse(base.failFast))
+      failFast = o.get("fail-fast").map(_.toBoolean).getOrElse(base.failFast),
+      drainTimeout = o.get("drain-timeout-seconds")
+        .map(_.toInt.seconds).getOrElse(base.drainTimeout))
   }
 }

@@ -33,26 +33,45 @@ object DedupOps {
             "ELSE array() END")).as("sh"))
       .distinct()
 
-  /** Shingles restricted to document frequency >= 2: a shingle occurring
-    * in a single document can never contribute to a pair, and df=1 is the
-    * overwhelming majority — pruning it shrinks the self-join input
-    * dramatically (the standard inverted-index optimization; at real
-    * scale the same groupBy would also drop stop-shingles above a df cap
-    * into a salted path). Intersection counts are unaffected.
+  /** Shingles annotated with corpus document frequency (doc_id, sh, df) —
+    * computed once and shared by candidate generation and verification.
+    * df >= 2 restriction (a df=1 shingle can never contribute to a pair —
+    * the standard inverted-index pruning; at real scale the same groupBy
+    * would also drop stop-shingles above a df cap into a salted path)
+    * is applied by the consumers; intersection counts are unaffected.
     */
-  private def pruned(sh: DataFrame): DataFrame = {
-    val shared = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("sh"))
-    sh.join(shared, "sh")
+  private def withDocFreq(sh: DataFrame): DataFrame =
+    sh.join(sh.groupBy(col("sh")).agg(count(lit(1)).as("df")), "sh")
+
+  /** Candidate pairs by prefix filtering at Jaccard threshold `t`: each
+    * document indexes only its (sz - ceil(t*sz) + 1) globally-rarest
+    * shingles (order: document frequency asc, shingle asc — a total
+    * order, so the prefix-intersection theorem applies); any qualifying
+    * pair is guaranteed to collide on some prefix shingle. df=1 prefix
+    * shingles are dropped after slicing — they can never match.
+    */
+  private def prefixCandidates(shd: DataFrame, t: Double): DataFrame = {
+    val prefix = shd
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("sh"))).as("l"))
+      .select(col("doc_id"),
+        explode(expr(s"slice(array_sort(l), 1, " +
+          s"size(l) - CAST(ceil($t * size(l)) AS INT) + 1)")).as("e"))
+      .filter(col("e.df") >= 2)
+      .select(col("doc_id"), col("e.sh").as("sh"))
+    prefix.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
   }
 
   /** Attach exact Jaccard to candidate pairs and filter at `thr`. The
     * intersection join is keyed on (doc, shingle) pairs — no blowup
     * beyond actually-shared shingles. */
-  private def jaccardOf(cand: DataFrame, sh: DataFrame, thr: Double)
+  private def jaccardOf(cand: DataFrame, shd: DataFrame, thr: Double)
       : DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shp = pruned(sh)
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shp = shd.filter(col("df") >= 2).select(col("doc_id"), col("sh"))
     val inter = cand
       .join(shp.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
       .join(shp.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
@@ -85,28 +104,18 @@ object DedupOps {
         .orderBy(col("doc_id"))
     }),
 
-    // Exact n-gram Jaccard near-dup pairs via shingle inverted index —
-    // the ground-truth near-dup operator (quadratic only in docs sharing
-    // a shingle, not in the corpus).
+    // Exact n-gram Jaccard near-dup pairs. Candidate generation uses
+    // PREFIX FILTERING (AllPairs/PPJoin): under a global rarest-first
+    // shingle order, two sets with Jaccard >= t must share a shingle
+    // within each one's first (sz - ceil(t*sz) + 1) shingles — pigeonhole
+    // on the smallest common shingle. Exact (zero recall loss), and the
+    // candidate join touches only prefix shingles, which are by
+    // construction the rarest — the pair blowup of the naive
+    // inverted-index self-join on frequent shingles disappears. The few
+    // surviving candidates are then verified with exact Jaccard.
     "d03_ngram_jaccard_pairs" -> ((s, d) => {
-      val sh = shingles(s, d)
-      val shp = pruned(sh)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      // intersection counts fall directly out of the inverted-index
-      // self-join — one shuffle on shingle, one on the pair key
-      val inter = shp.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(shp.select(col("doc_id").as("doc_b"), col("sh")), "sh")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          (col("sa") + col("sb") - col("inter")).as("un"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      val shd = withDocFreq(shingles(s, d))
+      jaccardOf(prefixCandidates(shd, 0.8), shd, 0.8)
     }),
 
     // MinHash + banded LSH near-dup: 64 permutations (xxhash64 seeded by
@@ -132,7 +141,7 @@ object DedupOps {
           Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      jaccardOf(cand, sh, 0.8)
+      jaccardOf(cand, withDocFreq(sh), 0.8)
     }),
 
     // SimHash 64-bit fingerprints + banded hamming-near candidate pairs.

@@ -75,7 +75,8 @@ final class GraftSinkWriter(
   override def close(errorOrNull: Throwable): Unit = {
     // flushSync: wait until every in-flight record is acked
     if (window != null && errorOrNull == null) {
-      if (!window.tryAcquire(conf.maxOutstandingRequests, 30, TimeUnit.SECONDS))
+      if (!window.tryAcquire(conf.maxOutstandingRequests,
+          conf.drainTimeout.toMillis, TimeUnit.MILLISECONDS))
         throw new IllegalStateException(
           "sink close timed out waiting for outstanding acks")
     }

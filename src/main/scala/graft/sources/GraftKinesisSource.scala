@@ -125,11 +125,27 @@ final case class GraftShardOffsets(positions: Map[String, ShardPos])
 
 object GraftShardOffsets {
   private val Entry = """"([^"]+)":"(-?\d+):(-?\d+)"""".r
-  def fromJson(json: String): GraftShardOffsets =
-    GraftShardOffsets(
-      Entry.findAllMatchIn(json).map { m =>
-        m.group(1) -> ShardPos(BigInt(m.group(2)), m.group(3).toLong)
-      }.toMap)
+
+  /** Strict parse: a corrupted or foreign checkpoint must fail loudly —
+    * silently dropping an entry would restart that shard at Beginning and
+    * mass-duplicate. Every comma-separated entry must match the offset
+    * grammar exactly.
+    */
+  def fromJson(json: String): GraftShardOffsets = {
+    val t = json.trim
+    if (!t.startsWith("{") || !t.endsWith("}"))
+      throw new IllegalArgumentException(s"malformed shard-offset JSON: $json")
+    val body = t.substring(1, t.length - 1).trim
+    if (body.isEmpty) GraftShardOffsets(Map.empty)
+    else GraftShardOffsets(body.split(",", -1).map { e =>
+      e.trim match {
+        case Entry(shard, seq, sub) =>
+          shard -> ShardPos(BigInt(seq), sub.toLong)
+        case other => throw new IllegalArgumentException(
+          s"unparseable shard-offset entry '$other' in: $json")
+      }
+    }.toMap)
+  }
 }
 
 final class GraftKinesisMicroBatchStream(options: Map[String, String],
@@ -203,16 +219,25 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
     val cap = perShardCap(limit)
     GraftShardOffsets(shards.map { s =>
       val f = from.getOrElse(s, ShardPos.Beginning)
-      val next = cap match {
-        case Some(c) => service.positionAfter(s, f, c)
-        case None => service.latestPosition(s)
+      // under AvailableNow, never read past the frozen end positions; a
+      // shard discovered after the freeze has no frozen end and is skipped
+      // entirely (AvailableNow's contract: only data available at start)
+      val next = availableNowEnd match {
+        case Some(frozen) => frozen.get(s) match {
+          case Some(end) =>
+            val n = cap match {
+              case Some(c) => service.positionAfter(s, f, c)
+              case None => service.latestPosition(s)
+            }
+            if (ShardPos.ordering.gt(n, end)) end else n
+          case None => f
+        }
+        case None => cap match {
+          case Some(c) => service.positionAfter(s, f, c)
+          case None => service.latestPosition(s)
+        }
       }
-      // under AvailableNow, never read past the frozen end positions
-      val capped = availableNowEnd.flatMap(_.get(s)) match {
-        case Some(end) if ShardPos.ordering.gt(next, end) => end
-        case _ => next
-      }
-      s -> capped
+      s -> next
     }.toMap)
   }
 

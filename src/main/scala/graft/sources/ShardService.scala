@@ -106,8 +106,14 @@ final class InMemoryShardService(
   override def positionAtTimestamp(shardId: String, tsMicros: Long): ShardPos =
     shards(shardId).synchronized {
       val buf = shards(shardId)
-      val before = buf.takeWhile(_.arrivalEpochMicros < tsMicros)
-      before.lastOption.map(posOf).getOrElse(ShardPos.Beginning)
+      // position of the predecessor of the FIRST record with arrival >=
+      // ts: indexWhere, not takeWhile, so an out-of-order arrival later in
+      // the shard cannot stop the scan early
+      buf.indexWhere(_.arrivalEpochMicros >= tsMicros) match {
+        case -1 => buf.lastOption.map(posOf).getOrElse(ShardPos.Beginning)
+        case 0 => ShardPos.Beginning
+        case i => posOf(buf(i - 1))
+      }
     }
 
   override def positionAfter(shardId: String, from: ShardPos,
