@@ -23,7 +23,8 @@ object SparkEntry {
       operators.DedupOps.queries ++
       operators.TextOps.queries ++
       operators.Similarity.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Extended.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -34,5 +35,6 @@ object SparkEntry {
       operators.DedupOps.oracleSql ++
       operators.TextOps.oracleSql ++
       operators.Similarity.oracleSql ++
-      operators.Multimodal.oracleSql
+      operators.Multimodal.oracleSql ++
+      operators.Extended.oracleSql
 }

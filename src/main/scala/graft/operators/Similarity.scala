@@ -27,8 +27,9 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dotProduct(a, b)
 
-  /** vec_id, v (double), norm — shared scan for all three queries. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** vec_id, v (double), norm — shared scan for the similarity queries
+    * (and [[Extended]]'s embedding near-dup). */
+  private[operators] def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), dvec(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
