@@ -24,8 +24,11 @@ object Bench {
     "q09_count_distinct", "q13_window_topk_per_group", "q26_asof_join",
     "q40_tumbling_window", "q42_session_window", "q43_dedup_keep_first",
     "q44_stateful_sessionization", "q45_contiguous_ack_watermark",
+    "q37_higher_order_fns", "q47_interval_join", "q48_set_ops_all",
+    "q50_exact_percentiles",
     "d01_dedup_exact", "d03_ngram_jaccard_pairs", "d04_minhash_lsh_dedup",
-    "e01_cosine_pairs", "e03_ann_ivf", "t02_quality_score",
+    "d06_embedding_neardup", "e01_cosine_pairs", "e03_ann_ivf",
+    "t02_quality_score", "t05_char_ngram_profile",
     "m01_multimodal_decode")
 
   def main(args: Array[String]): Unit = {

@@ -50,6 +50,10 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(p.maxOutstandingRequests == 10)
     assert(p.throttlingRetry == 100.millis)
     assert(p.failFast)
+    assert(p.drainTimeout == 30.seconds) // default
+    val p2 = ProducerConf.fromOptions(
+      options + ("producer.p1.drain-timeout-seconds" -> "5"), "p1")
+    assert(p2.drainTimeout == 5.seconds)
   }
 
   test("initial position parsing") {

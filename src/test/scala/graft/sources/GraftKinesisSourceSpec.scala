@@ -166,6 +166,59 @@ class GraftKinesisSourceSpec extends SparkSpec {
     assert(seqs == (1 to 35).map(_.toLong).toSet)
   }
 
+  test("AvailableNow skips shards discovered after the end-position " +
+      "freeze (read-only-data-available-at-start contract)") {
+    // mutable shard list to model resharding mid-run
+    val inner = new InMemoryShardService("it-stream", Seq("shard-0", "shard-new"))
+    for (n <- 1 to 5) {
+      inner.append("shard-0", RawShardRecord.single("pk", BigInt(n), n,
+        s"$n".getBytes(UTF_8)))
+      inner.append("shard-new", RawShardRecord.single("pk", BigInt(n), n,
+        s"$n".getBytes(UTF_8)))
+    }
+    @volatile var visible = Seq("shard-0")
+    val svc = new ShardService {
+      override def streamName: String = inner.streamName
+      override def listShards(): Seq[String] = visible
+      override def latestPosition(s: String): ShardPos = inner.latestPosition(s)
+      override def positionAtTimestamp(s: String, t: Long): ShardPos =
+        inner.positionAtTimestamp(s, t)
+      override def positionAfter(s: String, f: ShardPos, m: Int): ShardPos =
+        inner.positionAfter(s, f, m)
+      override def read(s: String, f: ShardPos, t: ShardPos) =
+        inner.read(s, f, t)
+    }
+    val id = ShardServiceRegistry.register(svc)
+    val stream = new GraftKinesisMicroBatchStream(Map("service.id" -> id))
+    stream.prepareForTriggerAvailableNow() // freeze: only shard-0 known
+    visible = Seq("shard-0", "shard-new") // resharding after the freeze
+    val start = stream.initialOffset().asInstanceOf[GraftShardOffsets]
+    val end = stream.latestOffset(start,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[GraftShardOffsets]
+    assert(end.positions("shard-0") == ShardPos(BigInt(5), 0L))
+    // new shard must be capped at its start: zero records planned
+    val parts = stream.planInputPartitions(start, end)
+    assert(parts.map(_.asInstanceOf[GraftShardInputPartition].shardId)
+      .toSeq == Seq("shard-0"))
+  }
+
+  test("positionAtTimestamp honors 'first arrival >= ts' even with " +
+      "out-of-order arrival timestamps") {
+    val svc = new InMemoryShardService("it-stream", Seq("shard-0"))
+    // arrivals: 10, 30, 20, 40 — out of order at index 2
+    Seq(10L, 30L, 20L, 40L).zipWithIndex.foreach { case (t, i) =>
+      svc.append("shard-0", RawShardRecord.single("pk", BigInt(i + 1), t,
+        s"$i".getBytes(UTF_8)))
+    }
+    // first arrival >= 25 is seq 2 (t=30): position = predecessor seq 1
+    assert(svc.positionAtTimestamp("shard-0", 25L) == ShardPos(BigInt(1), 0L))
+    // first arrival >= 5 is the head: Beginning
+    assert(svc.positionAtTimestamp("shard-0", 5L) == ShardPos.Beginning)
+    // no arrival >= 100: everything is before the timestamp
+    assert(svc.positionAtTimestamp("shard-0", 100L) == ShardPos(BigInt(4), 0L))
+  }
+
   test("per-shard arrival order is preserved within partitions") {
     val svc = mkService(40, shards = 1)
     val id = ShardServiceRegistry.register(svc)

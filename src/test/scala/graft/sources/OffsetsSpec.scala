@@ -23,6 +23,18 @@ class OffsetsSpec extends AnyFunSuite {
     assert(a.json() == """{"a":"2:0","b":"1:0"}""")
   }
 
+  test("corrupted offset JSON fails loudly instead of dropping entries") {
+    // silent drop would restart the shard at Beginning => mass duplication
+    val corrupt = """{"shard-0":"123:0","shard-1":"not-a-position"}"""
+    assertThrows[IllegalArgumentException](GraftShardOffsets.fromJson(corrupt))
+    assertThrows[IllegalArgumentException](
+      GraftShardOffsets.fromJson("""["shard-0"]"""))
+    assertThrows[IllegalArgumentException](
+      GraftShardOffsets.fromJson("""{"shard-0":123}"""))
+    // empty map is legal
+    assert(GraftShardOffsets.fromJson("{}").positions.isEmpty)
+  }
+
   test("ShardPos ordering: numeric seq, sub tiebreak, Beginning below all") {
     import ShardPos.ordering
     assert(ordering.lt(ShardPos(BigInt(9), 5), ShardPos(BigInt(10), 0)))
