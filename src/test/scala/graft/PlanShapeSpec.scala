@@ -74,6 +74,29 @@ class PlanShapeSpec extends SparkSpec {
       "10485760")
   }
 
+  test("q47: interval join plans as an equi join on user_id with the " +
+      "range predicate as join condition — never a nested-loop product") {
+    val p = planOf("q47_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q37: higher-order functions stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("q37_higher_order_fns")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p.take(800))
+  }
+
+  test("t05: trigram profile aggregates partially before the shuffle " +
+      "and takes top-k without a global sort") {
+    val p = planOf("t05_char_ngram_profile")
+    assert(p.contains("HashAggregate"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("double_dot_product is SQL-callable after extension registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

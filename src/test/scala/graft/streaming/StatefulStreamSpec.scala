@@ -109,8 +109,57 @@ class StatefulStreamSpec extends SparkSpec {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+  test("transformWithState (Spark 4 arbitrary-state API): ValueState " +
+      "accumulates per key across micro-batches on RocksDB") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tws").toString
+      val input = MemoryStream[Long](spark)
+      val q = input.toDS().groupByKey(identity)
+        .transformWithState(new StatefulStreamSpec.CountProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("tws_state")
+        .option("checkpointLocation", s"$tmp/chk").start()
+      try {
+        input.addData(1L, 1L, 2L)
+        q.processAllAvailable()
+        input.addData(1L, 2L)
+        q.processAllAvailable()
+        val latest = spark.table("tws_state").as[Hit].collect()
+          .groupBy(_.user).view.mapValues(_.map(_.n).max).toMap
+        assert(latest == Map(1L -> 3, 2L -> 2))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
 
 object StatefulStreamSpec {
   case class Hit(user: Long, n: Int)
+
+  /** Per-key running count on the transformWithState ValueState API. */
+  class CountProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Long, Hit] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var count: ValueState[Int] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Int]("count",
+        org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+        timerValues: TimerValues): Iterator[Hit] = {
+      val total = Option(count.get()).getOrElse(0) + rows.size
+      count.update(total)
+      Iterator.single(Hit(key, total))
+    }
+  }
 }
