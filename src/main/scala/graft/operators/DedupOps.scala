@@ -144,27 +144,31 @@ object DedupOps {
       jaccardOf(cand, withDocFreq(sh), 0.8)
     }),
 
-    // SimHash 64-bit fingerprints + banded hamming-near candidate pairs.
-    // Hash-specific → rows-only check (no portable oracle).
+    // SimHash fingerprints + banded hamming-near candidate pairs. The
+    // per-word hash is the first 60 bits of md5 (15 hex chars) — portable
+    // integer arithmetic in any engine, so unlike a seeded xxhash64 the
+    // whole operator is DuckDB-oracle-checkable.
     "d05_simhash_pairs" -> ((s, d) => {
       val words = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
-        .withColumn("h", xxhash64(col("w")))
-      val bitSums: Seq[Column] = (0 until 64).map(i =>
+        .withColumn("h",
+          conv(substring(md5(encode(col("w"), "UTF-8")), 1, 15), 16, 10)
+            .cast("long"))
+      val bitSums: Seq[Column] = (0 until 60).map(i =>
         sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1)
           .otherwise(-1)).as(s"b$i"))
       val fp = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
         .withColumn("simhash",
-          (0 until 64).map(i =>
+          (0 until 60).map(i =>
             when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
             .reduce((a, b) => a.bitwiseOR(b)))
         .select(col("doc_id"), col("simhash"))
-      // candidates: any of 4 16-bit bands equal; verified hamming <= 8
+      // candidates: any of 4 15-bit bands equal; verified hamming <= 8
       val banded = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"),
-            shiftright(col("simhash"), j * 16)
-              .bitwiseAND(lit(0xFFFFL)).as("bh"))): _*)).as("e"))
+            shiftright(col("simhash"), j * 15)
+              .bitwiseAND(lit(0x7FFFL)).as("bh"))): _*)).as("e"))
         .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bh"))
       banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
           col("band"), col("bh"))
@@ -208,7 +212,37 @@ object DedupOps {
         "SELECT doc_id, MD5(text) AS fp FROM documents ORDER BY doc_id",
       "d03_ngram_jaccard_pairs" -> jaccardSql,
       // LSH output == exact output at this corpus/threshold (see scaladoc)
-      "d04_minhash_lsh_dedup" -> jaccardSql
+      "d04_minhash_lsh_dedup" -> jaccardSql,
+      // identical 60-bit md5 word hash + bit-vote + banding arithmetic
+      "d05_simhash_pairs" ->
+        """WITH w AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' ')) AS w
+                      FROM documents),
+           h AS (SELECT doc_id,
+                   CAST(list_reduce(
+                     list_transform(generate_series(1, 15),
+                       i -> strpos('0123456789abcdef',
+                              substring(md5(w), i, 1)) - 1),
+                     (a, x) -> a * 16 + x) AS BIGINT) AS h
+                 FROM w),
+           bits AS (SELECT doc_id, i,
+                      SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                    FROM h, UNNEST(generate_series(0, 59)) AS t(i)
+                    GROUP BY doc_id, i),
+           fp AS (SELECT doc_id,
+                    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i)
+                             ELSE 0 END) AS BIGINT) AS simhash
+                  FROM bits GROUP BY doc_id),
+           banded AS (SELECT doc_id, simhash,
+                        (simhash >> (j * 15)) & 32767 AS bh, j AS band
+                      FROM fp, UNNEST(generate_series(0, 3)) AS t2(j)),
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                        AS hamming
+                    FROM banded a JOIN banded b
+                      ON a.band = b.band AND a.bh = b.bh
+                     AND a.doc_id < b.doc_id)
+           SELECT doc_a, doc_b, hamming FROM cand
+           WHERE hamming <= 8 ORDER BY doc_a, doc_b"""
     )
   }
 }
