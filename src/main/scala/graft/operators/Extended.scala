@@ -154,6 +154,35 @@ object Extended {
         .orderBy(col("vec_id"))
     }),
 
+    // KMV (k-minimum-values) distinct-count sketch with a DETERMINISTIC
+    // portable hash (60-bit md5, as d05) — unlike HLL++ (q29, engine
+    // internal) the estimate (k-1)/F(h_k) is bit-identical in any
+    // engine, so the approximate-aggregate category gets a value-level
+    // oracle. At scale the distinct+window runs on the shuffled hash
+    // space; a TypedImperativeAggregate variant would fold partitions
+    // without the row_number pass (q34 demonstrates that machinery).
+    "q51_kmv_distinct_sketch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val h = Tables.events(s, d)
+        .select(col("event_type"),
+          conv(substring(
+            md5(encode(col("user_id").cast("string"), "UTF-8")), 1, 15),
+            16, 10).cast("long").as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      h.withColumn("rn", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ndv_exact"),
+          max(when(col("rn") === k, col("h"))).as("hk"))
+        .select(col("event_type"), col("ndv_exact"),
+          when(col("ndv_exact") < k, col("ndv_exact").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+              / col("hk"))
+            .as("ndv_est"))
+        .orderBy(col("event_type"))
+    }),
+
     // Character trigram corpus profile (language-ID style fingerprint):
     // top-20 trigrams by frequency. Counts are partial-aggregated
     // map-side; the final top-k is a tiny sorted limit.
@@ -249,6 +278,24 @@ object Extended {
                   SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])))) >= 0.4)
          ORDER BY vec_id""",
+
+    "q51_kmv_distinct_sketch" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+           CAST(list_reduce(
+             list_transform(generate_series(1, 15),
+               i -> strpos('0123456789abcdef',
+                      substring(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1),
+             (a, x) -> a * 16 + x) AS BIGINT) AS h
+           FROM events),
+         r AS (SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM h)
+         SELECT event_type, COUNT(1) AS ndv_exact,
+           CASE WHEN COUNT(1) < 64 THEN CAST(COUNT(1) AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976
+                     / MAX(CASE WHEN rn = 64 THEN h END)
+           END AS ndv_est
+         FROM r GROUP BY event_type ORDER BY event_type""",
 
     "t05_char_ngram_profile" ->
       """SELECT tri, COUNT(1) AS n FROM (

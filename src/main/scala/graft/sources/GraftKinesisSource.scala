@@ -8,7 +8,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.SupportsPushDownFilters
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.{Decimal, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -71,41 +72,81 @@ final class GraftKinesisTable(props: Map[String, String])
   * touches `data` (e.g. per-shard counts) skips materializing payload
   * bytes in the reader — the decode path is the ingest hot path
   * (SURVEY.md §4 "worthwhile since payload decode is the hot path").
+  *
+  * Shard pruning (`SupportsPushDownFilters`): `shardId = x` / `shardId
+  * IN (...)` predicates prune whole input partitions — a single-shard
+  * backfill of a 1000-shard stream reads 1/1000th of the data (the
+  * SURVEY §4 stretch item: partition pruning at the source). The
+  * pushdown is exact (a kept shard's rows all satisfy the predicate),
+  * so the filters are fully absorbed — no residual evaluation.
+  *
   * NB: Spark applies V2 pushdown on the BATCH read path (snapshot /
   * backfill reads via `spark.read`); micro-batch streaming plans keep a
   * Project above the scan — an engine, not connector, limitation.
   */
 final class GraftKinesisScanBuilder(options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, In}
+
   private var required: StructType = Envelope.schema
+  private var shardFilters: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftKinesisScan(options, required)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pushable, residual) = filters.partition {
+      case EqualTo("shardId", _: String) => true
+      case In("shardId", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    shardFilters = pushable
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = shardFilters
+
+  /** Shards admitted by the pushed filters (None = all). */
+  private def allowedShards: Option[Set[String]] =
+    if (shardFilters.isEmpty) None
+    else Some(shardFilters.map {
+      case EqualTo(_, v: String) => Set(v)
+      case In(_, vs) => vs.collect { case s: String => s }.toSet
+      case f => throw new IllegalStateException(s"unexpected pushed filter $f")
+    }.reduce(_ intersect _))
+
+  override def build(): Scan =
+    new GraftKinesisScan(options, required, allowedShards)
 }
 
 final class GraftKinesisScan(options: Map[String, String],
-    required: StructType) extends Scan {
+    required: StructType,
+    allowedShards: Option[Set[String]] = None) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graft-kinesis [${required.fieldNames.mkString(",")}]"
+    s"graft-kinesis [${required.fieldNames.mkString(",")}]" +
+      allowedShards.fold("")(s => s" shards=${s.toSeq.sorted.mkString(",")}")
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new GraftKinesisMicroBatchStream(options, required)
 
   /** Bounded snapshot read of the stream (backfill/replay as a batch
-    * table): every shard from TRIM_HORIZON to the current latest. */
+    * table): every admitted shard from TRIM_HORIZON to the current
+    * latest. */
   override def toBatch: Batch = new Batch {
     private val serviceId = options.getOrElse("service.id",
       throw new IllegalArgumentException("option service.id required"))
     override def planInputPartitions(): Array[InputPartition] = {
       val service = ShardServiceRegistry.get(serviceId)
-      service.listShards().sorted.flatMap { s =>
-        val to = service.latestPosition(s)
-        if (ShardPos.ordering.lt(ShardPos.Beginning, to))
-          Some(GraftShardInputPartition(serviceId, service.streamName, s,
-            ShardPos.Beginning, to))
-        else None
-      }.toArray
+      service.listShards().sorted
+        .filter(s => allowedShards.forall(_.contains(s)))
+        .flatMap { s =>
+          val to = service.latestPosition(s)
+          if (ShardPos.ordering.lt(ShardPos.Beginning, to))
+            Some(GraftShardInputPartition(serviceId, service.streamName, s,
+              ShardPos.Beginning, to))
+          else None
+        }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftShardReaderFactory(required.fieldNames)

@@ -27,6 +27,25 @@ class BatchReadSpec extends SparkSpec {
     assert(payloads == (1 to 100).toSet)
   }
 
+  test("shardId filter prunes whole shards at planning time (partition " +
+      "pruning: a single-shard backfill reads one partition)") {
+    val id = mkService()
+    val df = spark.read.format("graft-kinesis").option("service.id", id)
+      .load().where(col("shardId") === "shard-1")
+      .select(col("shardId"), col("seqNo"))
+    assert(df.rdd.getNumPartitions == 1,
+      "only the matching shard may be planned")
+    assert(df.count() == 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("shards=shard-1"),
+      s"scan description must show the pruned shard set:\n${plan.take(600)}")
+
+    val in = spark.read.format("graft-kinesis").option("service.id", id)
+      .load().where(col("shardId").isin("shard-0", "shard-1", "ghost"))
+    assert(in.rdd.getNumPartitions == 2)
+    assert(in.count() == 100)
+  }
+
   test("batch scan prunes unused envelope columns (payload bytes not " +
       "materialized for a count-style query)") {
     val id = mkService()
