@@ -75,7 +75,11 @@ final case class ProducerConf(
     failFast: Boolean = true,
     /** Ack-drain budget on writer close — the analogue of the reference's
       * graceful shutdown timeout (main/resources/reference.conf:432-438). */
-    drainTimeout: FiniteDuration = 30.seconds)
+    drainTimeout: FiniteDuration = 30.seconds,
+    /** Opt-in idempotent producer (SURVEY §7.3.5 extension): name of the
+      * row column whose value becomes the record's dedup id; task
+      * retries re-sending the same ids are dropped at the transport. */
+    idempotencyColumn: Option[String] = None)
 
 object ConsumerConf {
   /** Build from an options map with default/named fallback merge. */
@@ -121,6 +125,7 @@ object ProducerConf {
         .map(_.toInt).getOrElse(base.aggregationMaxCount),
       failFast = o.get("fail-fast").map(_.toBoolean).getOrElse(base.failFast),
       drainTimeout = o.get("drain-timeout-seconds")
-        .map(_.toInt.seconds).getOrElse(base.drainTimeout))
+        .map(_.toInt.seconds).getOrElse(base.drainTimeout),
+      idempotencyColumn = o.get("idempotency-column"))
   }
 }

@@ -48,8 +48,15 @@ final case class ConsumerEvent(
 /** A record to produce: partition key (shard routing unit — records with
   * equal keys preserve order) + opaque payload
   * (reference main/models/ProducerEvent.scala:22-37).
+  *
+  * `dedupId` is an OPT-IN extension beyond the reference (which is
+  * at-least-once and fails fast on send errors,
+  * main/stream/KinesisSinkGraphStage.scala:138-143): a caller-supplied
+  * idempotency key the transport may use to drop re-sends after a task
+  * retry (SURVEY.md §7.3.5 "offer idempotent-producer option").
   */
-final case class ProducerEvent(partitionKey: String, data: Array[Byte])
+final case class ProducerEvent(partitionKey: String, data: Array[Byte],
+    dedupId: Option[String] = None)
 
 object ProducerEvent {
   def apply(partitionKey: String, payload: String): ProducerEvent =

@@ -64,7 +64,8 @@ final class GraftSinkWriter(
   override def process(row: Row): Unit = {
     failIfErrored()
     val ev = ProducerEvent(row.getAs[String](keyColumn),
-      row.getAs[Array[Byte]](dataColumn))
+      row.getAs[Array[Byte]](dataColumn),
+      conf.idempotencyColumn.map(c => String.valueOf(row.getAs[Any](c))))
     window.acquire() // backpressure: blocks at maxOutstandingRequests
     client.put(ev) { result =>
       result.foreach(t => firstError.compareAndSet(null, t))

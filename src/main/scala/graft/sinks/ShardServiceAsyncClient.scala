@@ -27,9 +27,9 @@ final class ShardServiceAsyncClient(
     aggregationMaxCount: Int = 1) extends AsyncRecordClient {
 
   private val shards = service.listShards().toIndexedSeq
-  // per-shard aggregation buffers: (partitionKey of first event, payloads)
+  // per-shard aggregation buffers of pending events
   private val buffers =
-    mutable.Map.empty[String, mutable.ArrayBuffer[(String, Array[Byte])]]
+    mutable.Map.empty[String, mutable.ArrayBuffer[ProducerEvent]]
 
   private def shardOf(partitionKey: String): String =
     shards(math.floorMod(scala.util.hashing.MurmurHash3
@@ -40,7 +40,7 @@ final class ShardServiceAsyncClient(
     val shard = shardOf(event.partitionKey)
     this.synchronized {
       val buf = buffers.getOrElseUpdate(shard, mutable.ArrayBuffer.empty)
-      buf += ((event.partitionKey, event.data))
+      buf += event
       if (buf.size >= aggregationMaxCount) flushShard(shard)
     }
     onComplete(None)
@@ -49,8 +49,16 @@ final class ShardServiceAsyncClient(
   private def flushShard(shard: String): Unit = {
     val buf = buffers(shard)
     if (buf.nonEmpty) {
+      // idempotent re-send drop: a task retry replays the partition in
+      // the same order, so the aggregated wire record carries the same
+      // composite key and the service drops it (only when every event
+      // has a dedupId — mixed batches fall back to at-least-once)
+      val key =
+        if (buf.forall(_.dedupId.isDefined))
+          Some(buf.flatMap(_.dedupId).mkString("|"))
+        else None
       service.appendAssigned(shard,
-        buf.map { case (k, d) => SubRecord(k, d) }.toSeq)
+        buf.map(e => SubRecord(e.partitionKey, e.data)).toSeq, key)
       buf.clear()
     }
   }

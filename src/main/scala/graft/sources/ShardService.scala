@@ -80,17 +80,27 @@ final class InMemoryShardService(
     shards(shardId).synchronized { shards(shardId) += rec }
 
   private val seqGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val seenKeys: Map[String, scala.collection.mutable.Set[String]] =
+    shardIds.map(_ -> scala.collection.mutable.Set.empty[String]).toMap
 
   /** Producer-side append with service-assigned sequence number —
     * allocation and insertion are atomic under the shard lock, so
     * per-shard order always matches sequence order even with many
     * concurrent writers (as Kinesis itself guarantees).
+    *
+    * `idempotencyKey`: when present, a key already appended to this
+    * shard is silently dropped — the service-side dedup window backing
+    * the opt-in idempotent producer (SURVEY.md §7.3.5; a real transport
+    * maps this to a server-side token/dedup table).
     */
-  def appendAssigned(shardId: String, subRecords: Seq[SubRecord]): Unit =
+  def appendAssigned(shardId: String, subRecords: Seq[SubRecord],
+      idempotencyKey: Option[String] = None): Unit =
     shards(shardId).synchronized {
-      shards(shardId) += RawShardRecord(subRecords.head.partitionKey,
-        BigInt(seqGen.incrementAndGet()),
-        System.currentTimeMillis() * 1000L, subRecords)
+      val duplicate = idempotencyKey.exists(k => !seenKeys(shardId).add(k))
+      if (!duplicate)
+        shards(shardId) += RawShardRecord(subRecords.head.partitionKey,
+          BigInt(seqGen.incrementAndGet()),
+          System.currentTimeMillis() * 1000L, subRecords)
     }
 
   override def listShards(): Seq[String] = shardIds

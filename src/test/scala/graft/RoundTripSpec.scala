@@ -43,6 +43,31 @@ class RoundTripSpec extends SparkSpec {
     assert(payloads.map(_.toInt).toSet == (1 to 500).toSet)
   }
 
+  test("idempotent producer option: re-sending the same batch (task " +
+      "retry) is dropped at the transport; without it, duplicates") {
+    import spark.implicits._
+    def runTwice(conf: ProducerConf): Long = {
+      val svc = new InMemoryShardService("idem",
+        (0 until 2).map(i => s"shard-$i"))
+      val svcId = ShardServiceRegistry.register(svc)
+      val df = (1 to 100).map(i => (s"key-${i % 7}", s"$i", s"id-$i"))
+        .toDF("partitionKey", "payload", "record_id")
+        .select(col("partitionKey"),
+          encode(col("payload"), "UTF-8").as("data"), col("record_id"))
+      // the same rows flow twice — the shape of a Spark task retry
+      GraftKinesisSink.writeBatch(df.coalesce(1),
+        ShardServiceAsyncClient.Factory(svcId, 10), conf)
+      GraftKinesisSink.writeBatch(df.coalesce(1),
+        ShardServiceAsyncClient.Factory(svcId, 10), conf)
+      spark.read.format("graft-kinesis").option("service.id", svcId)
+        .load().count()
+    }
+    val base = ProducerConf("idem", maxOutstandingRequests = 16)
+    assert(runTwice(base) == 200, "at-least-once default: duplicates kept")
+    assert(runTwice(base.copy(idempotencyColumn = Some("record_id"))) == 100,
+      "idempotent option must drop the re-sent batch")
+  }
+
   test("round trip WITH producer aggregation: sub-records deaggregate, " +
       "nothing lost, partition keys stay shard-sticky") {
     val out = produceAndConsume(aggMax = 25, n = 500)
