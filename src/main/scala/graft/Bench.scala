@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -31,6 +33,24 @@ object Bench {
     "t02_quality_score", "t05_char_ngram_profile",
     "m01_multimodal_decode")
 
+  /** Accumulates task-level shuffle/spill bytes — the scale evidence
+    * (a plan that shuffles the fact table or spills would show here). */
+  private final class MetricsListener extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spilled = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spilled.addAndGet(m.diskBytesSpilled)
+        ()
+      }
+    }
+    def reset(): Unit = { shuffleRead.set(0); shuffleWrite.set(0); spilled.set(0) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -53,6 +73,10 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val spillMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
     headline.filter(SparkEntry.queries.contains).foreach { name =>
       val fn = SparkEntry.queries(name)
       def run(): Unit =
@@ -60,23 +84,34 @@ object Bench {
       run() // warm run (IO cache, codegen)
       // min of two measured runs: JIT/GC noise on wide generated code
       // (64-agg minhash) can inflate a single sample several-fold
-      results(name) = math.min(time(run()), time(run()))
+      val t1 = time(run())
+      listener.reset()
+      val t2 = time(run())
+      results(name) = math.min(t1, t2)
+      Thread.sleep(100) // let the async listener bus drain
+      shuffleMb(name) =
+        (listener.shuffleRead.get + listener.shuffleWrite.get) / 1048576.0
+      spillMb(name) = listener.spilled.get / 1048576.0
     }
 
     results ++= ingestReplay(spark)
     results ++= eventsReplay(spark, sfDir)
     results ++= harnessReplay(spark)
 
-    val qs = results.map { case (k, v) =>
-      val num = String.format(java.util.Locale.ROOT, "%.6f",
-        Double.box(v)) // locale-proof: decimal POINT regardless of LANG
-      s""""$k":$num"""
-    }.mkString("{", ",", "}")
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) =>
+        val num = String.format(java.util.Locale.ROOT, "%.6f",
+          Double.box(v)) // locale-proof: decimal POINT regardless of LANG
+        s""""$k":$num"""
+      }.mkString("{", ",", "}")
     // total = wall seconds only (rate/flag pseudo-entries excluded)
     val total = results.collect {
       case (k, v) if !k.startsWith("rate_") && !k.startsWith("ingest_integrity") => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jmap(results)},""" +
+      s""""shuffle_mb":${jmap(shuffleMb)},"spill_mb":${jmap(spillMb)},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 
