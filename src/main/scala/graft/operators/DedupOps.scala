@@ -68,9 +68,11 @@ object DedupOps {
   /** Attach exact Jaccard to candidate pairs and filter at `thr`. The
     * intersection join is keyed on (doc, shingle) pairs — no blowup
     * beyond actually-shared shingles. */
-  private def jaccardOf(cand: DataFrame, shd: DataFrame, thr: Double)
-      : DataFrame = {
-    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+  private def jaccardOf(cand: DataFrame, sh: DataFrame, shd: DataFrame,
+      thr: Double): DataFrame = {
+    // set sizes come from the raw shingle set (the df join preserves row
+    // counts but re-evaluating it here would cost an extra shuffle pass)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val shp = shd.filter(col("df") >= 2).select(col("doc_id"), col("sh"))
     val inter = cand
       .join(shp.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
@@ -114,8 +116,9 @@ object DedupOps {
     // inverted-index self-join on frequent shingles disappears. The few
     // surviving candidates are then verified with exact Jaccard.
     "d03_ngram_jaccard_pairs" -> ((s, d) => {
-      val shd = withDocFreq(shingles(s, d))
-      jaccardOf(prefixCandidates(shd, 0.8), shd, 0.8)
+      val sh = shingles(s, d)
+      val shd = withDocFreq(sh)
+      jaccardOf(prefixCandidates(shd, 0.8), sh, shd, 0.8)
     }),
 
     // MinHash + banded LSH near-dup: 64 permutations (xxhash64 seeded by
@@ -141,7 +144,7 @@ object DedupOps {
           Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      jaccardOf(cand, withDocFreq(sh), 0.8)
+      jaccardOf(cand, sh, withDocFreq(sh), 0.8)
     }),
 
     // SimHash fingerprints + banded hamming-near candidate pairs. The

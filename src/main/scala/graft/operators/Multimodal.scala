@@ -22,6 +22,8 @@ object Multimodal {
   case class MediaResized(doc_id: Long, resized_len: Int, resized_fp: String)
   case class MediaFeatures(doc_id: Long, mean_byte: Double, max_byte: Int,
       n_distinct_bytes: Int)
+  case class Frame(doc_id: Long, frame_idx: Int, frame_len: Int,
+      frame_fp: String)
 
   /** STUB decoder: stands in for image/audio decode + feature extraction.
     * Deterministic byte-level "features": length, first byte, md5 hex,
@@ -49,6 +51,22 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       MediaResized(m.doc_id, out.length,
         md.digest(out).map("%02x".format(_)).mkString)
+    }
+
+    /** "Frame sampling" stub: one frame of up to 32 bytes every 64-byte
+      * stride — the one-record-to-many-frames generator shape of video
+      * frame extraction (each frame independently fingerprinted). */
+    def frames(m: MediaIn): Iterator[Frame] = {
+      val stride = 64
+      val flen = 32
+      Iterator.range(0, math.max(m.payload.length, 1), stride).zipWithIndex
+        .map { case (off, idx) =>
+          val end = math.min(off + flen, m.payload.length)
+          val frame = java.util.Arrays.copyOfRange(m.payload, off, end)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          Frame(m.doc_id, idx, frame.length,
+            md.digest(frame).map("%02x".format(_)).mkString)
+        }
     }
 
     /** "Feature extraction" stub: byte-level statistics (mean/max/
@@ -99,6 +117,17 @@ object Multimodal {
         .mapPartitions(_.map(MultimodalStub.features))
         .toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // One-record-to-many-frames sampling stage (generator shape).
+    "m04_multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaIn]
+        .mapPartitions(_.flatMap(MultimodalStub.frames))
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
     })
   )
 
@@ -137,6 +166,17 @@ object Multimodal {
                 CAST(CAST(SUM(v) AS DOUBLE) / COUNT(1) AS DOUBLE) AS mean_byte,
                 CAST(MAX(v) AS INT) AS max_byte,
                 CAST(COUNT(DISTINCT v) AS INT) AS n_distinct_bytes
-         FROM b GROUP BY doc_id ORDER BY doc_id"""
+         FROM b GROUP BY doc_id ORDER BY doc_id""",
+
+    // documents.text is ASCII, so char-based SUBSTR == byte slicing
+    "m04_multimodal_frames" ->
+      """SELECT doc_id,
+           CAST((off - 1) / 64 AS INT) AS frame_idx,
+           CAST(LENGTH(SUBSTR(text, off, 32)) AS INT) AS frame_len,
+           MD5(SUBSTR(text, off, 32)) AS frame_fp
+         FROM documents,
+              UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(text), 1), 64))
+                AS t(off)
+         ORDER BY doc_id, frame_idx"""
   )
 }
