@@ -1,0 +1,48 @@
+package graft
+
+/** Plan lint over the ENTIRE query inventory: no operator may plan a
+  * CartesianProduct or BroadcastNestedLoopJoin unless it is one of the
+  * intentional brute-force pair generators (ground-truth similarity
+  * scans whose non-equi conditions have no equi form, or an O(1)
+  * broadcast band table). Any new operator that accidentally degrades
+  * to a product join fails here before it ever reaches a cluster.
+  */
+class PlanLintSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plans legitimately contain a nested-loop/cartesian
+    * stage — each line documents why.
+    */
+  private val allowed: Set[String] = Set(
+    "q25_range_band_join", // O(1) broadcast band table, non-equi bounds
+    "e01_cosine_pairs", // brute-force ground truth (vec_a < vec_b)
+    "e02_ann_topk_bruteforce", // brute-force ground truth (!=)
+    "e03_ann_ivf", // broadcast coarse-centroid assignment (cross, O(cents))
+    "d06_embedding_neardup") // brute-force ground truth (dup_of < vec_id)
+
+  test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
+      "in the operator inventory") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val bad = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (bad && !allowed.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"product joins outside the allowlist: $offenders")
+  }
+
+  test("every allowlisted brute-force query really needs its product " +
+      "join (allowlist is not stale)") {
+    val stale = allowed.filter { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution
+        .explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      !plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin")
+    }
+    assert(stale.isEmpty, s"allowlist entries without product joins: $stale")
+  }
+}
