@@ -169,6 +169,9 @@ object Bench {
     Seq(
       "ingest_replay_5m" -> sec,
       "rate_ingest_5m_eps" -> (if (sec > 0) expected / sec else 0.0),
+      // BASELINE.md floor: >= 1,000 events/s per shard worker
+      "rate_ingest_per_shard_eps" ->
+        (if (sec > 0) expected / sec / nShards else 0.0),
       "ingest_integrity_ok" -> (if (ok) 1.0 else 0.0))
   }
 
