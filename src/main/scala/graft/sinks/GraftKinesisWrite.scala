@@ -1,0 +1,145 @@
+package graft.sinks
+
+import java.util.concurrent.{Semaphore, TimeUnit}
+import java.util.concurrent.atomic.AtomicReference
+import graft.config.ProducerConf
+import graft.models.ProducerEvent
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.StructType
+
+/** DataSource V2 write path for `graft-kinesis` — the sink twin of the
+  * source, so egress is a first-class `df.writeStream.format(...)` /
+  * `df.write.format(...)` target (the reference's `Kinesis.sink`
+  * surface, main/stream/Kinesis.scala:169-202) instead of only the
+  * `ForeachWriter` facade.
+  *
+  * Rows must carry `partitionKey` (string) and `data` (binary); extra
+  * columns are ignored, and an optional dedup-id column (producer conf
+  * `idempotency-column`) feeds the opt-in idempotent transport. Each
+  * task writer is one bounded-in-flight async client window — identical
+  * semantics to [[GraftSinkWriter]] (S9–S11): semaphore backpressure,
+  * fail-fast on the first failed ack, drain-before-commit.
+  *
+  * Commit protocol: `DataWriter.commit()` drains outstanding acks, so a
+  * task only reports success once everything it sent is acked (the
+  * reference's "materialized future completes when all acked",
+  * main/stream/KinesisSinkGraphStage.scala:84-95). Task retry after a
+  * mid-write failure re-sends the partition — at-least-once, as the
+  * reference; the idempotency column upgrades that to effective
+  * exactly-once at the transport.
+  */
+object GraftKinesisWriteSupport {
+
+  final class GraftWriteBuilder(info: LogicalWriteInfo,
+      props: Map[String, String]) extends WriteBuilder {
+    override def build(): Write = new Write {
+      private val options =
+        props ++ {
+          import scala.jdk.CollectionConverters._
+          info.options().asCaseSensitiveMap().asScala
+        }
+      override def toBatch: BatchWrite =
+        new GraftBatchWrite(options, info.schema())
+      override def toStreaming: StreamingWrite =
+        new GraftStreamingWrite(options, info.schema())
+    }
+  }
+
+  private def factoryFromOptions(options: Map[String, String])
+      : AsyncRecordClientFactory = {
+    val serviceId = options.getOrElse("service.id",
+      throw new IllegalArgumentException("option service.id required"))
+    ShardServiceAsyncClient.Factory(serviceId,
+      options.get("aggregation-max-count").map(_.toInt).getOrElse(1))
+  }
+
+  private def confFromOptions(options: Map[String, String]): ProducerConf =
+    ProducerConf.fromOptions(
+      options.map { case (k, v) => s"producer.default.$k" -> v } +
+        ("producer.default.stream-name" ->
+          options.getOrElse("stream-name", "graft")), "default")
+
+  final class GraftBatchWrite(options: Map[String, String],
+      schema: StructType) extends BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo)
+        : DataWriterFactory = new DataWriterFactory {
+      private val f = factoryFromOptions(options)
+      private val conf = confFromOptions(options)
+      private val s = schema
+      override def createWriter(partitionId: Int, taskId: Long)
+          : DataWriter[InternalRow] = new GraftDataWriter(f, conf, s)
+    }
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+
+  final class GraftStreamingWrite(options: Map[String, String],
+      schema: StructType) extends StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+        : StreamingDataWriterFactory = new StreamingDataWriterFactory {
+      private val f = factoryFromOptions(options)
+      private val conf = confFromOptions(options)
+      private val s = schema
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new GraftDataWriter(f, conf, s)
+    }
+    override def commit(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = ()
+  }
+
+  private case object Committed extends WriterCommitMessage
+
+  /** One task's bounded-async writer (the GraftSinkWriter semantics on
+    * the InternalRow path). */
+  final class GraftDataWriter(factory: AsyncRecordClientFactory,
+      conf: ProducerConf, schema: StructType)
+      extends DataWriter[InternalRow] {
+
+    private val keyOrd = schema.fieldIndex("partitionKey")
+    private val dataOrd = schema.fieldIndex("data")
+    private val dedupOrd = conf.idempotencyColumn.map(schema.fieldIndex)
+
+    private val client = factory.create()
+    private val window = new Semaphore(conf.maxOutstandingRequests)
+    private val firstError = new AtomicReference[Throwable]()
+
+    override def write(row: InternalRow): Unit = {
+      failIfErrored()
+      val ev = ProducerEvent(
+        row.getUTF8String(keyOrd).toString,
+        row.getBinary(dataOrd),
+        dedupOrd.map(i => row.getUTF8String(i).toString))
+      window.acquire() // backpressure at maxOutstandingRequests
+      client.put(ev) { result =>
+        result.foreach(t => firstError.compareAndSet(null, t))
+        window.release()
+      }
+    }
+
+    override def commit(): WriterCommitMessage = {
+      // drain: the task succeeds only once every send is acked
+      if (!window.tryAcquire(conf.maxOutstandingRequests,
+          conf.drainTimeout.toMillis, TimeUnit.MILLISECONDS))
+        throw new IllegalStateException(
+          "write commit timed out waiting for outstanding acks")
+      client.close()
+      failIfErrored()
+      Committed
+    }
+
+    override def abort(): Unit = client.close()
+    override def close(): Unit = ()
+
+    private def failIfErrored(): Unit = {
+      val t = firstError.get()
+      if (t != null && conf.failFast)
+        throw new IllegalStateException(
+          s"record write failed: ${t.getMessage}", t)
+    }
+  }
+}

@@ -4,7 +4,8 @@ import java.util
 import graft.config.InitialPosition
 import graft.models.Envelope
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -58,14 +59,22 @@ class GraftKinesisSource extends TableProvider with DataSourceRegister {
 }
 
 final class GraftKinesisTable(props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"graft-kinesis(${props.getOrElse("service.id", "?")})"
   override def schema(): StructType = Envelope.schema
+  // ACCEPT_ANY_SCHEMA: writes carry (partitionKey, data[, dedup id]) —
+  // the producer-record shape, not the consumer envelope — and the
+  // write builder validates the ordinals itself (the Kafka-connector
+  // pattern for asymmetric read/write schemas)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftKinesisScanBuilder(props ++ options.asCaseSensitiveMap().asScala)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new graft.sinks.GraftKinesisWriteSupport.GraftWriteBuilder(info, props)
 }
 
 /** Column pruning (`SupportsPushDownRequiredColumns`): a query that never

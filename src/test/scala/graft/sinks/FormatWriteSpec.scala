@@ -1,0 +1,80 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.sources.{InMemoryShardService, ShardServiceRegistry}
+import org.apache.spark.sql.functions._
+
+/** The DSv2 write path: `df.write.format("graft-kinesis")` and
+  * `df.writeStream.format("graft-kinesis")` land records in the stream
+  * with the same routing/aggregation/idempotency semantics as the
+  * ForeachWriter facade — egress as a first-class format target.
+  */
+class FormatWriteSpec extends SparkSpec {
+
+  private def newStream(name: String): (String, InMemoryShardService) = {
+    val svc = new InMemoryShardService(name, (0 until 4).map(i => s"shard-$i"))
+    (ShardServiceRegistry.register(svc), svc)
+  }
+
+  private def producerFrame(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (s"key-${i % 11}", s"payload-$i", s"rec-$i"))
+      .toDF("partitionKey", "payload", "record_id")
+      .select(col("partitionKey"), encode(col("payload"), "UTF-8").as("data"),
+        col("record_id"))
+  }
+
+  test("batch df.write.format(graft-kinesis) round-trips through the " +
+      "source") {
+    val (id, _) = newStream("fw-batch")
+    producerFrame(300).write.format("graft-kinesis")
+      .option("service.id", id).mode("append").save()
+    val back = spark.read.format("graft-kinesis").option("service.id", id)
+      .load().selectExpr("CAST(data AS STRING) AS p", "partitionKey")
+    assert(back.count() == 300)
+    assert(back.select("p").collect().map(_.getString(0)).toSet ==
+      (1 to 300).map(i => s"payload-$i").toSet)
+    // same-key records stay shard-sticky through the format path too
+    val keyShards = spark.read.format("graft-kinesis")
+      .option("service.id", id).load()
+      .select("partitionKey", "shardId").distinct()
+      .groupBy("partitionKey").count().collect()
+    assert(keyShards.forall(_.getLong(1) == 1))
+  }
+
+  test("streaming writeStream.format(graft-kinesis): source-to-sink " +
+      "pipe, exactly the input lands in the target stream") {
+    val (srcId, srcSvc) = newStream("fw-src")
+    val (dstId, _) = newStream("fw-dst")
+    for (n <- 1 to 200)
+      srcSvc.append(s"shard-${n % 4}", graft.sources.RawShardRecord.single(
+        s"pk-${n % 7}", BigInt(n), n.toLong,
+        s"$n".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fw").toString
+    val q = spark.readStream.format("graft-kinesis")
+      .option("service.id", srcId).load()
+      .select(col("partitionKey"), col("data"))
+      .writeStream.format("graft-kinesis")
+      .option("service.id", dstId)
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.format("graft-kinesis").option("service.id", dstId)
+      .load().selectExpr("CAST(data AS STRING) AS p")
+      .collect().map(_.getString(0).toInt).toSet
+    assert(got == (1 to 200).toSet)
+  }
+
+  test("format write honors the idempotency column: duplicate batch " +
+      "write is dropped at the transport") {
+    val (id, _) = newStream("fw-idem")
+    val df = producerFrame(100).coalesce(1)
+    def writeOnce(): Unit = df.write.format("graft-kinesis")
+      .option("service.id", id)
+      .option("idempotency-column", "record_id")
+      .mode("append").save()
+    writeOnce(); writeOnce()
+    assert(spark.read.format("graft-kinesis").option("service.id", id)
+      .load().count() == 100)
+  }
+}
