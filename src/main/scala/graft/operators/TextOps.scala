@@ -84,6 +84,31 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF top terms per document (linear-idf variant: score =
+    // tf / df — the idf factor enters as an exact single IEEE division,
+    // so the score is bit-identical cross-engine, unlike ln-based idf
+    // where libm rounding differs). Inverted-index shape: one shuffle
+    // on term for df, one on doc for the top-k window.
+    "t06_tfidf_top_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val occ = words.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("occ"))
+      val df = occ.groupBy(col("w"))
+        .agg(count(lit(1)).as("df"))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("w"))
+      occ.join(df, "w")
+        .withColumn("score", col("occ").cast("double") / col("df"))
+        .withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w").as("term"),
+          col("occ"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // Position-weighted rolling fingerprint over tokens — a polynomial
     // rolling hash computed with identical integer arithmetic in both
     // engines (sum of token_length * 31^(i mod 8) mod 2^31-1).
@@ -155,6 +180,21 @@ object TextOps {
                 WHEN s_de >= s_fr THEN 'de'
                 ELSE 'fr' END) = lang AS matches_label
          FROM sc ORDER BY doc_id""",
+
+    "t06_tfidf_top_terms" ->
+      """WITH w AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' ')) AS w
+                    FROM documents),
+         occ AS (SELECT doc_id, w, COUNT(1) AS occ FROM w
+                 WHERE w <> '' GROUP BY doc_id, w),
+         df AS (SELECT w, COUNT(1) AS df FROM occ GROUP BY w),
+         sc AS (SELECT occ.doc_id, occ.w, occ.occ, df.df,
+                  CAST(occ.occ AS DOUBLE) / df.df AS score,
+                  ROW_NUMBER() OVER (PARTITION BY occ.doc_id
+                    ORDER BY CAST(occ.occ AS DOUBLE) / df.df DESC, occ.w)
+                    AS rank
+                FROM occ JOIN df USING (w))
+         SELECT doc_id, CAST(rank AS INT) AS rank, w AS term, occ, df, score
+         FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "t04_rolling_fingerprint" ->
       """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
