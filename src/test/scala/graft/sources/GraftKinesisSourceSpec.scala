@@ -219,6 +219,57 @@ class GraftKinesisSourceSpec extends SparkSpec {
     assert(svc.positionAtTimestamp("shard-0", 100L) == ShardPos(BigInt(4), 0L))
   }
 
+  test("graceful stop during an in-flight batch: committed batches are " +
+      "never redelivered, the aborted batch is fully redelivered " +
+      "(reference graceful-shutdown matrix — abort in-flight, keep acked)") {
+    import GraftKinesisSourceSpec._
+    val svc = mkService(30, shards = 1)
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stop").toString
+    seenSeqs.clear()
+    val q = spark.readStream.format("graft-kinesis")
+      .option("service.id", id).option("max-records-per-shard", "10")
+      .load().selectExpr("CAST(seqNo AS LONG) AS seq")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/chk")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val seqs = df.collect().map(_.getLong(0))
+        if (seqs.exists(_ > 10)) {
+          // second batch: signal the test thread, then block until the
+          // stop() interrupt aborts this batch mid-flight
+          midBatch.countDown()
+          Thread.sleep(60000)
+        }
+        seqs.foreach(s => seenSeqs.put(s, java.lang.Boolean.TRUE))
+        ()
+      }
+      .start()
+    assert(midBatch.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "second batch must start")
+    q.stop() // graceful shutdown while batch 1 is processing
+    assert(seenSeqs.keySet().size() == 10,
+      s"only batch 0 may complete: ${seenSeqs.keySet()}")
+    // restart: batch 0 (seqs 1-10) committed, never redelivered; the
+    // aborted batch redelivers from seq 11 — no loss, duplication
+    // bounded to the one in-flight batch (SURVEY §7.3.1)
+    seenSeqs.clear()
+    val q2 = spark.readStream.format("graft-kinesis")
+      .option("service.id", id).option("max-records-per-shard", "10")
+      .load().selectExpr("CAST(seqNo AS LONG) AS seq")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/chk")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().map(_.getLong(0))
+          .foreach(s => seenSeqs.put(s, java.lang.Boolean.TRUE))
+        ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seenSeqs.keySet().asScala.map(_.toLong) == (11L to 30L).toSet,
+      "restart must redeliver exactly the uncommitted range")
+  }
+
   test("per-shard arrival order is preserved within partitions") {
     val svc = mkService(40, shards = 1)
     val id = ShardServiceRegistry.register(svc)
@@ -229,4 +280,11 @@ class GraftKinesisSourceSpec extends SparkSpec {
     val seqs = got.select("seq").collect().map(_.getLong(0)).toSeq
     assert(seqs == seqs.sorted, "per-shard order must be preserved")
   }
+}
+
+object GraftKinesisSourceSpec {
+  // companion-held state: foreachBatch closures are serialized per task,
+  // so shared state must be reached through the companion object
+  val seenSeqs = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]()
+  val midBatch = new java.util.concurrent.CountDownLatch(1)
 }
