@@ -40,6 +40,22 @@ object GraftKinesisWriteSupport {
           import scala.jdk.CollectionConverters._
           info.options().asCaseSensitiveMap().asScala
         }
+      // ACCEPT_ANY_SCHEMA skips the engine's schema check, so validate
+      // the producer-record shape here — at analysis, not on executors
+      locally {
+        val s = info.schema()
+        def req(name: String, t: org.apache.spark.sql.types.DataType): Unit = {
+          require(s.fieldNames.contains(name),
+            s"graft-kinesis write requires a '$name' column; got ${s.simpleString}")
+          require(s(name).dataType == t,
+            s"column '$name' must be $t; got ${s(name).dataType}")
+        }
+        req("partitionKey", org.apache.spark.sql.types.StringType)
+        req("data", org.apache.spark.sql.types.BinaryType)
+        confFromOptions(options).idempotencyColumn.foreach(c =>
+          require(s.fieldNames.contains(c),
+            s"idempotency-column '$c' not in ${s.simpleString}"))
+      }
       override def toBatch: BatchWrite =
         new GraftBatchWrite(options, info.schema())
       override def toStreaming: StreamingWrite =
@@ -132,7 +148,12 @@ object GraftKinesisWriteSupport {
       Committed
     }
 
-    override def abort(): Unit = client.close()
+    // abort must NOT close(): close flushes buffered aggregation records,
+    // and an aborted task's buffered-but-unsent records must be DISCARDED
+    // (the retry re-sends them; flushing here would double-send even with
+    // task retry working correctly). A real transport would destroy()
+    // without flushSync on this path.
+    override def abort(): Unit = ()
     override def close(): Unit = ()
 
     private def failIfErrored(): Unit = {

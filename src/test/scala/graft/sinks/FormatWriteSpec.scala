@@ -65,6 +65,25 @@ class FormatWriteSpec extends SparkSpec {
     assert(got == (1 to 200).toSet)
   }
 
+  test("format write validates the producer-record shape at planning " +
+      "time (missing/wrongly-typed columns fail before any task runs)") {
+    import spark.implicits._
+    val (id, _) = newStream("fw-schema")
+    val noData = Seq(("k", "v")).toDF("partitionKey", "notData")
+    val e1 = intercept[Exception] {
+      noData.write.format("graft-kinesis").option("service.id", id)
+        .mode("append").save()
+    }
+    assert(e1.getMessage.contains("data"), e1.getMessage)
+    val wrongType = Seq(("k", "plain-string")).toDF("partitionKey", "data")
+    val e2 = intercept[Exception] {
+      wrongType.write.format("graft-kinesis").option("service.id", id)
+        .mode("append").save()
+    }
+    assert(e2.getMessage.contains("BinaryType") ||
+      e2.getMessage.contains("binary"), e2.getMessage)
+  }
+
   test("format write honors the idempotency column: duplicate batch " +
       "write is dropped at the transport") {
     val (id, _) = newStream("fw-idem")
