@@ -85,10 +85,12 @@ object Bench {
       // min of two measured runs: JIT/GC noise on wide generated code
       // (64-agg minhash) can inflate a single sample several-fold
       val t1 = time(run())
+      Thread.sleep(100) // drain run-1 task-end events off the async bus
       listener.reset()
       val t2 = time(run())
       results(name) = math.min(t1, t2)
-      Thread.sleep(100) // let the async listener bus drain
+      Thread.sleep(100) // drain run-2 events before reading
+      // shuffle/spill always describe run 2 (timing is min of both runs)
       shuffleMb(name) =
         (listener.shuffleRead.get + listener.shuffleWrite.get) / 1048576.0
       spillMb(name) = listener.spilled.get / 1048576.0
@@ -98,20 +100,40 @@ object Bench {
     results ++= eventsReplay(spark, sfDir)
     results ++= harnessReplay(spark)
 
-    def jmap(m: scala.collection.Map[String, Double]): String =
+    def jmap(m: scala.collection.Map[String, Double], decimals: Int): String =
       m.map { case (k, v) =>
-        val num = String.format(java.util.Locale.ROOT, "%.6f",
+        val num = String.format(java.util.Locale.ROOT, s"%.${decimals}f",
           Double.box(v)) // locale-proof: decimal POINT regardless of LANG
         s""""$k":$num"""
       }.mkString("{", ",", "}")
+    def j1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // total = wall seconds only (rate/flag pseudo-entries excluded)
     val total = results.collect {
       case (k, v) if !k.startsWith("rate_") && !k.startsWith("ingest_integrity") => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${jmap(results)},""" +
-      s""""shuffle_mb":${jmap(shuffleMb)},"spill_mb":${jmap(spillMb)},""" +
-      s""""sf":"$sfDir"}""")
+    // Full per-query detail: separate stdout line + file (the driver only
+    // keeps a ~2000-char tail of stdout, so the FINAL line must stay small;
+    // shuffle/spill reflect the second measured run).
+    val detail = s"""{"metric":"total","value":${j1(total)},"unit":"sec",""" +
+      s""""queries":${jmap(results, 6)},""" +
+      s""""shuffle_mb":${jmap(shuffleMb, 6)},"spill_mb":${jmap(spillMb, 6)},""" +
+      s""""note":"shuffle/spill are from the 2nd measured run",""" +
+      s""""sf":"$sfDir"}"""
+    println(detail)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] detail write: $e") }
+    // Compact machine-readable summary — keep this the LAST line printed
+    // and well under the driver's tail window.
+    val line = s"""{"metric":"total","value":${j1(total)},"unit":"sec",""" +
+      s""""queries":${jmap(results, 3)},""" +
+      s""""shuffle_mb_total":${j1(shuffleMb.values.sum)},""" +
+      s""""spill_mb_total":${j1(spillMb.values.sum)},""" +
+      s""""sf":"$sfDir"}"""
+    if (line.length > 1800) System.err.println(
+      s"[bench] WARNING: summary line ${line.length} chars may exceed tail window")
+    println(line)
     spark.stop()
   }
 

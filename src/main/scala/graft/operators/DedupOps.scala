@@ -22,14 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** doc_id + distinct word-level 3-gram shingles. */
+  /** doc_id + distinct word-level 3-gram shingles, keyed by xxhash64 of
+    * the shingle text. The hash happens in the scan stage, BEFORE any
+    * exchange, so every downstream shuffle (distinct, document frequency,
+    * prefix-candidate join, minhash agg, intersection count) moves 8-byte
+    * longs instead of ~25-byte strings — at 100 TB the shingle index is
+    * the dominant shuffle, so this is a ~3× shuffle-volume cut.
+    * Exactness: results differ from string-keyed shingles only on a
+    * 64-bit collision; P(any collision) < n²/2^65 ≈ 3e-8 at n = 10^6
+    * distinct shingles (sf0.1 is ~5·10^5), and a collision shifts one
+    * pair's intersection count by one — irrelevant to the near-dup
+    * decision and far below the oracle-gate scale. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), " ").as("words"))
       .select(col("doc_id"),
         explode(expr(
           "CASE WHEN size(words) >= 3 THEN transform(sequence(0, size(words) - 3), " +
-            "i -> concat_ws(' ', slice(words, i + 1, 3))) " +
+            "i -> xxhash64(concat_ws(' ', slice(words, i + 1, 3)))) " +
             "ELSE array() END")).as("sh"))
       .distinct()
 

@@ -63,9 +63,22 @@ final class GraftSinkWriter(
 
   override def process(row: Row): Unit = {
     failIfErrored()
+    // dedup ids must be non-null strings: a null would give every null-id
+    // record the same dedup key (silent data loss at the transport), so
+    // fail fast instead (same contract as the DSv2 path)
+    val dedup = conf.idempotencyColumn.map { c =>
+      row.getAs[Any](c) match {
+        case s: String => s
+        case null => throw new IllegalArgumentException(
+          s"idempotency column '$c' is null; idempotent produce requires " +
+            "a non-null string id per record")
+        case other => throw new IllegalArgumentException(
+          s"idempotency column '$c' must be a string; got " +
+            other.getClass.getName)
+      }
+    }
     val ev = ProducerEvent(row.getAs[String](keyColumn),
-      row.getAs[Array[Byte]](dataColumn),
-      conf.idempotencyColumn.map(c => String.valueOf(row.getAs[Any](c))))
+      row.getAs[Array[Byte]](dataColumn), dedup)
     window.acquire() // backpressure: blocks at maxOutstandingRequests
     client.put(ev) { result =>
       result.foreach(t => firstError.compareAndSet(null, t))

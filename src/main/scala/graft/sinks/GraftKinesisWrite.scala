@@ -52,9 +52,10 @@ object GraftKinesisWriteSupport {
         }
         req("partitionKey", org.apache.spark.sql.types.StringType)
         req("data", org.apache.spark.sql.types.BinaryType)
+        // dedup ids ride the idempotent transport as strings; a non-string
+        // column would pass here but CCE on executors, so pin the type now
         confFromOptions(options).idempotencyColumn.foreach(c =>
-          require(s.fieldNames.contains(c),
-            s"idempotency-column '$c' not in ${s.simpleString}"))
+          req(c, org.apache.spark.sql.types.StringType))
       }
       override def toBatch: BatchWrite =
         new GraftBatchWrite(options, info.schema())
@@ -63,12 +64,14 @@ object GraftKinesisWriteSupport {
     }
   }
 
+  // derive the transport from the parsed ProducerConf so this path honors
+  // the same aggregation config (aggregation-enabled / aggregation-max-count
+  // / producer-conf defaults) as the ForeachWriter facade
   private def factoryFromOptions(options: Map[String, String])
       : AsyncRecordClientFactory = {
     val serviceId = options.getOrElse("service.id",
       throw new IllegalArgumentException("option service.id required"))
-    ShardServiceAsyncClient.Factory(serviceId,
-      options.get("aggregation-max-count").map(_.toInt).getOrElse(1))
+    ShardServiceAsyncClient.factoryFor(confFromOptions(options), serviceId)
   }
 
   private def confFromOptions(options: Map[String, String]): ProducerConf =
@@ -129,7 +132,12 @@ object GraftKinesisWriteSupport {
       val ev = ProducerEvent(
         row.getUTF8String(keyOrd).toString,
         row.getBinary(dataOrd),
-        dedupOrd.map(i => row.getUTF8String(i).toString))
+        dedupOrd.map { i =>
+          if (row.isNullAt(i)) throw new IllegalArgumentException(
+            s"idempotency column '${conf.idempotencyColumn.get}' is null; " +
+              "idempotent produce requires a non-null string id per record")
+          row.getUTF8String(i).toString
+        })
       window.acquire() // backpressure at maxOutstandingRequests
       client.put(ev) { result =>
         result.foreach(t => firstError.compareAndSet(null, t))

@@ -52,10 +52,13 @@ final class ShardServiceAsyncClient(
       // idempotent re-send drop: a task retry replays the partition in
       // the same order, so the aggregated wire record carries the same
       // composite key and the service drops it (only when every event
-      // has a dedupId — mixed batches fall back to at-least-once)
+      // has a dedupId — mixed batches fall back to at-least-once).
+      // Components are length-prefixed so ids containing the separator
+      // can't collide: ["a|b"] -> "3:a|b" vs ["a","b"] -> "1:a|1:b".
       val key =
         if (buf.forall(_.dedupId.isDefined))
-          Some(buf.flatMap(_.dedupId).mkString("|"))
+          Some(buf.flatMap(_.dedupId).map(id => s"${id.length}:$id")
+            .mkString("|"))
         else None
       service.appendAssigned(shard,
         buf.map(e => SubRecord(e.partitionKey, e.data)).toSeq, key)

@@ -96,4 +96,59 @@ class FormatWriteSpec extends SparkSpec {
     assert(spark.read.format("graft-kinesis").option("service.id", id)
       .load().count() == 100)
   }
+
+  test("format write pins the idempotency column to StringType at " +
+      "planning time (non-string would CCE on executors otherwise)") {
+    import spark.implicits._
+    val (id, _) = newStream("fw-idem-type")
+    val df = Seq(("k", "p", 7L)).toDF("partitionKey", "payload", "record_id")
+      .select(col("partitionKey"), encode(col("payload"), "UTF-8").as("data"),
+        col("record_id"))
+    val e = intercept[Exception] {
+      df.write.format("graft-kinesis").option("service.id", id)
+        .option("idempotency-column", "record_id").mode("append").save()
+    }
+    assert(e.getMessage.contains("StringType"), e.getMessage)
+  }
+
+  test("format write fails fast on a null idempotency value") {
+    import spark.implicits._
+    val (id, _) = newStream("fw-idem-null")
+    val df = Seq(("k1", "p1", "r1"), ("k2", "p2", null))
+      .toDF("partitionKey", "payload", "record_id")
+      .select(col("partitionKey"), encode(col("payload"), "UTF-8").as("data"),
+        col("record_id"))
+    val e = intercept[Exception] {
+      df.coalesce(1).write.format("graft-kinesis").option("service.id", id)
+        .option("idempotency-column", "record_id").mode("append").save()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(chain.contains("null"), chain)
+  }
+
+  test("format write honors producer aggregation config: max-count packs " +
+      "sub-records into one wire record; aggregation-enabled=false " +
+      "disables packing (same semantics as the ForeachWriter facade)") {
+    // default conf: aggregation on (KPL AggregationEnabled, max 500) ->
+    // one wire record per shard buffer flushed at commit
+    val (idOn, _) = newStream("fw-agg-on")
+    producerFrame(100).coalesce(1).write.format("graft-kinesis")
+      .option("service.id", idOn).mode("append").save()
+    def wireAndUser(id: String): (Long, Long) = {
+      val df = spark.read.format("graft-kinesis").option("service.id", id).load()
+      (df.select("shardId", "seqNo").distinct().count(), df.count())
+    }
+    val (wireOn, userOn) = wireAndUser(idOn)
+    assert(userOn == 100)
+    assert(wireOn <= 4, s"expected one wire record per shard, got $wireOn")
+
+    val (idOff, _) = newStream("fw-agg-off")
+    producerFrame(100).coalesce(1).write.format("graft-kinesis")
+      .option("service.id", idOff)
+      .option("aggregation-enabled", "false").mode("append").save()
+    val (wireOff, userOff) = wireAndUser(idOff)
+    assert(userOff == 100)
+    assert(wireOff == 100, s"aggregation off must mean 1 record per event, got $wireOff")
+  }
 }

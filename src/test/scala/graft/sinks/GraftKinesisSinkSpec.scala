@@ -79,4 +79,60 @@ class GraftKinesisSinkSpec extends SparkSpec {
     assert(InMemoryAsyncClient.sent(key).map(_.payload).toSet ==
       (1 to 60).map(_.toString).toSet)
   }
+
+  test("idempotent produce fails fast on a null dedup id (a null would " +
+      "collapse all null-id records onto one dedup key = silent loss)") {
+    import spark.implicits._
+    val key = "sink-null-idem"
+    InMemoryAsyncClient.reset(key)
+    val df = Seq(("k1", "p1", "r1"), ("k2", "p2", null))
+      .toDF("partitionKey", "payload", "record_id")
+      .select(col("partitionKey"), encode(col("payload"), "UTF-8").as("data"),
+        col("record_id"))
+    val e = intercept[Exception] {
+      GraftKinesisSink.writeBatch(df.repartition(1),
+        InMemoryAsyncClient.Factory(key),
+        ProducerConf("out", idempotencyColumn = Some("record_id")))
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(chain.contains("null"), chain)
+  }
+
+  test("idempotent produce rejects a non-string dedup id at the record " +
+      "(no String.valueOf coercion)") {
+    import spark.implicits._
+    val key = "sink-int-idem"
+    InMemoryAsyncClient.reset(key)
+    val df = Seq(("k1", "p1", 7L))
+      .toDF("partitionKey", "payload", "record_id")
+      .select(col("partitionKey"), encode(col("payload"), "UTF-8").as("data"),
+        col("record_id"))
+    val e = intercept[Exception] {
+      GraftKinesisSink.writeBatch(df.repartition(1),
+        InMemoryAsyncClient.Factory(key),
+        ProducerConf("out", idempotencyColumn = Some("record_id")))
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(chain.contains("must be a string"), chain)
+  }
+
+  test("composite dedup keys are separator-proof: batch [\"a|b\"] vs " +
+      "batches [\"a\"],[\"b\"] never collide") {
+    import graft.models.ProducerEvent
+    import graft.sources.InMemoryShardService
+    val svc = new InMemoryShardService("amb", Seq("s0"))
+    val c1 = new ShardServiceAsyncClient(svc, aggregationMaxCount = 2)
+    c1.put(ProducerEvent("k", "p1".getBytes("UTF-8"), Some("a|b")))(_ => ())
+    c1.close() // flush the 1-element buffer -> dedup key for ["a|b"]
+    val c2 = new ShardServiceAsyncClient(svc, aggregationMaxCount = 2)
+    c2.put(ProducerEvent("k", "p2".getBytes("UTF-8"), Some("a")))(_ => ())
+    c2.put(ProducerEvent("k", "p3".getBytes("UTF-8"), Some("b")))(_ => ())
+    c2.close() // key for ["a","b"] — distinct from ["a|b"]'s
+    val payloads = svc.read("s0", graft.sources.ShardPos.Beginning,
+      svc.latestPosition("s0"))
+      .flatMap(_.subRecords.map(s => new String(s.data, "UTF-8"))).toSeq
+    assert(payloads.sorted == Seq("p1", "p2", "p3"), payloads.toString)
+  }
 }
