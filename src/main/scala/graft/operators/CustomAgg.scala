@@ -88,6 +88,31 @@ object CustomAgg {
         .orderBy(col("event_type"))
     }),
 
+    // Mergeable quantile sketch (KMV bottom-k distinct sample by portable
+    // 60-bit md5 hash + type-7 interpolation). The sample is a pure
+    // function of the value set — independent of partitioning and merge
+    // order — so unlike a t-digest the estimates are exactly
+    // reproducible by the oracle. Prices go through round(x*100) cents
+    // so the hashed string form is an integer in both engines.
+    "q52_quantile_sketch" -> ((s, d) => {
+      val cents = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+        .withColumn("h",
+          conv(substring(md5(encode(col("v").cast("string"), "UTF-8")), 1, 15),
+            16, 10).cast("long"))
+      cents.groupBy(col("l_returnflag"))
+        .agg(graft.functions.QuantileSketchFunctions
+          .quantileSketch(col("h"), col("v"), 128,
+            Seq(0.25, 0.5, 0.9, 0.99)).as("qs"))
+        .select(col("l_returnflag"),
+          (col("qs")(0) / 100.0).as("p25"),
+          (col("qs")(1) / 100.0).as("p50"),
+          (col("qs")(2) / 100.0).as("p90"),
+          (col("qs")(3) / 100.0).as("p99"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Schema-driven payload decode: from_json into a typed struct — the
     // engine-internalized form of the reference's user-code payload
     // parsing (payloadAsString + hand-rolled JSON,
@@ -129,6 +154,60 @@ object CustomAgg {
       """SELECT event_type, COUNT(1) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // Replays the sketch exactly: same portable 60-bit md5 hash over the
+    // cents string, same bottom-128 distinct (h, v) sample, and the same
+    // type-7 interpolation with the IDENTICAL expression order
+    // (v_lo + (r - floor(r)) * (v_hi - v_lo), then / 100.0) so the
+    // doubles agree bit-for-bit.
+    "q52_quantile_sketch" ->
+      """WITH cents AS (
+           SELECT l_returnflag,
+                  CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v
+           FROM lineitem),
+         hv AS (
+           SELECT DISTINCT l_returnflag,
+             CAST(list_reduce(list_transform(generate_series(1, 15),
+               i -> strpos('0123456789abcdef',
+                      substring(md5(CAST(v AS VARCHAR)), i, 1)) - 1),
+               (a, x) -> a * 16 + x) AS BIGINT) AS h, v
+           FROM cents),
+         samp AS (
+           SELECT l_returnflag, v,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                    ORDER BY h, v) AS rn
+           FROM hv),
+         kept AS (
+           SELECT l_returnflag, v,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                    ORDER BY v) - 1 AS idx,
+                  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM samp WHERE rn <= 128),
+         qs AS (
+           SELECT UNNEST(CAST([0.25, 0.5, 0.9, 0.99] AS DOUBLE[])) AS p,
+                  UNNEST([1, 2, 3, 4]) AS qi),
+         pts AS (
+           SELECT k.l_returnflag, q.qi,
+                  MAX(q.p * (k.n - 1)) AS r,
+                  MAX(CASE WHEN k.idx =
+                    CAST(FLOOR(q.p * (k.n - 1)) AS BIGINT)
+                    THEN k.v END) AS vlo,
+                  MAX(CASE WHEN k.idx =
+                    CAST(CEIL(q.p * (k.n - 1)) AS BIGINT)
+                    THEN k.v END) AS vhi
+           FROM kept k CROSS JOIN qs q
+           GROUP BY k.l_returnflag, q.qi),
+         est AS (
+           SELECT l_returnflag, qi,
+                  (CAST(vlo AS DOUBLE) +
+                   (r - FLOOR(r)) * CAST(vhi - vlo AS DOUBLE)) / 100.0 AS e
+           FROM pts)
+         SELECT l_returnflag,
+                MAX(CASE WHEN qi = 1 THEN e END) AS p25,
+                MAX(CASE WHEN qi = 2 THEN e END) AS p50,
+                MAX(CASE WHEN qi = 3 THEN e END) AS p90,
+                MAX(CASE WHEN qi = 4 THEN e END) AS p99
+         FROM est GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q32_from_json_decode" ->
       """WITH e AS (SELECT event_id,
