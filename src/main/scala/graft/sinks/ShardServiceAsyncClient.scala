@@ -32,8 +32,7 @@ final class ShardServiceAsyncClient(
     mutable.Map.empty[String, mutable.ArrayBuffer[ProducerEvent]]
 
   private def shardOf(partitionKey: String): String =
-    shards(math.floorMod(scala.util.hashing.MurmurHash3
-      .stringHash(partitionKey), shards.size))
+    graft.sources.KeyRouting.shardFor(partitionKey, shards)
 
   override def put(event: ProducerEvent)(
       onComplete: Option[Throwable] => Unit): Unit = {

@@ -89,6 +89,17 @@ final class GraftKinesisTable(props: Map[String, String])
   * pushdown is exact (a kept shard's rows all satisfy the predicate),
   * so the filters are fully absorbed — no residual evaluation.
   *
+  * Key-routing pruning (opt-in `key-routing-pruning=true`):
+  * `partitionKey = k` / `partitionKey IN (...)` predicates prune to the
+  * shards the producer's deterministic [[KeyRouting]] maps those keys
+  * to — a point lookup on a 1000-shard stream reads ONE shard. Only
+  * sound when every record reached the stream through the partition-key
+  * router (as real Kinesis guarantees server-side via md5 hash ranges;
+  * our in-memory service also exposes raw `append`, hence opt-in).
+  * Unlike shardId pushdown this is shard-level, not row-level — other
+  * keys share the shard — so the key filters stay residual and Spark
+  * still evaluates them per row.
+  *
   * NB: Spark applies V2 pushdown on the BATCH read path (snapshot /
   * backfill reads via `spark.read`); micro-batch streaming plans keep a
   * Project above the scan — an engine, not connector, limitation.
@@ -100,6 +111,9 @@ final class GraftKinesisScanBuilder(options: Map[String, String])
 
   private var required: StructType = Envelope.schema
   private var shardFilters: Array[Filter] = Array.empty
+  private var keyFilters: Array[Filter] = Array.empty
+  private val keyPruning =
+    options.get("key-routing-pruning").exists(_.toBoolean)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -111,30 +125,43 @@ final class GraftKinesisScanBuilder(options: Map[String, String])
       case _ => false
     }
     shardFilters = pushable
+    if (keyPruning) keyFilters = residual.collect {
+      case f @ EqualTo("partitionKey", _: String) => f
+      case f @ In("partitionKey", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) => f
+    }
+    // key filters prune shards but other keys share a shard: residual
     residual
   }
-  override def pushedFilters(): Array[Filter] = shardFilters
+  override def pushedFilters(): Array[Filter] = shardFilters ++ keyFilters
 
-  /** Shards admitted by the pushed filters (None = all). */
-  private def allowedShards: Option[Set[String]] =
-    if (shardFilters.isEmpty) None
-    else Some(shardFilters.map {
+  private def filterValues(fs: Array[Filter]): Option[Set[String]] =
+    if (fs.isEmpty) None
+    else Some(fs.map {
       case EqualTo(_, v: String) => Set(v)
       case In(_, vs) => vs.collect { case s: String => s }.toSet
       case f => throw new IllegalStateException(s"unexpected pushed filter $f")
     }.reduce(_ intersect _))
 
+  /** Shards admitted by the pushed filters (None = all). */
+  private def allowedShards: Option[Set[String]] = filterValues(shardFilters)
+
+  /** Partition keys the scan must cover (None = all keys). */
+  private def allowedKeys: Option[Set[String]] = filterValues(keyFilters)
+
   override def build(): Scan =
-    new GraftKinesisScan(options, required, allowedShards)
+    new GraftKinesisScan(options, required, allowedShards, allowedKeys)
 }
 
 final class GraftKinesisScan(options: Map[String, String],
     required: StructType,
-    allowedShards: Option[Set[String]] = None) extends Scan {
+    allowedShards: Option[Set[String]] = None,
+    allowedKeys: Option[Set[String]] = None) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-kinesis [${required.fieldNames.mkString(",")}]" +
-      allowedShards.fold("")(s => s" shards=${s.toSeq.sorted.mkString(",")}")
+      allowedShards.fold("")(s => s" shards=${s.toSeq.sorted.mkString(",")}") +
+      allowedKeys.fold("")(k => s" keys=${k.toSeq.sorted.mkString(",")}")
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new GraftKinesisMicroBatchStream(options, required)
@@ -147,8 +174,15 @@ final class GraftKinesisScan(options: Map[String, String],
       throw new IllegalArgumentException("option service.id required"))
     override def planInputPartitions(): Array[InputPartition] = {
       val service = ShardServiceRegistry.get(serviceId)
+      // key-routed shards resolve against the UNSORTED listShards() order
+      // — the exact IndexedSeq the producer transport routed over
+      val keyShards: Option[Set[String]] = allowedKeys.map { keys =>
+        val routed = service.listShards().toIndexedSeq
+        keys.map(k => KeyRouting.shardFor(k, routed))
+      }
       service.listShards().sorted
-        .filter(s => allowedShards.forall(_.contains(s)))
+        .filter(s => allowedShards.forall(_.contains(s)) &&
+          keyShards.forall(_.contains(s)))
         .flatMap { s =>
           val to = service.latestPosition(s)
           if (ShardPos.ordering.lt(ShardPos.Beginning, to))

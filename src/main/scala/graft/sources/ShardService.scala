@@ -43,6 +43,19 @@ object RawShardRecord {
       Seq(SubRecord(partitionKey, data)))
 }
 
+/** Deterministic partition-key → shard routing, shared by the producer
+  * transport (write side) and the scan's key-based shard pruning (read
+  * side). Must stay a single definition: pruning is only sound because
+  * both sides compute the identical mapping over the identical shard
+  * list order (the analogue of Kinesis' server-side md5 hash-range
+  * routing, reference README.md:669-672).
+  */
+object KeyRouting {
+  def shardFor(partitionKey: String, shards: IndexedSeq[String]): String =
+    shards(math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(partitionKey), shards.size))
+}
+
 /** Pluggable shard transport — the seam where a real Kinesis client
   * (ListShards/GetShardIterator/GetRecords) plugs in. Implementations
   * must be cheap to construct per partition-reader from options; the

@@ -46,6 +46,44 @@ class BatchReadSpec extends SparkSpec {
     assert(in.count() == 100)
   }
 
+  test("partitionKey filter prunes to the key-routed shard when " +
+      "key-routing-pruning is on (point lookup reads 1 of 4 shards); " +
+      "rows are still filtered (other keys share the shard)") {
+    import graft.models.ProducerEvent
+    import graft.sinks.ShardServiceAsyncClient
+    val shardIds = (0 until 4).map(i => s"shard-$i")
+    val svc = new InMemoryShardService("keyprune", shardIds)
+    val client = new ShardServiceAsyncClient(svc)
+    for (n <- 1 to 200)
+      client.put(ProducerEvent(s"pk${n % 40}", s"$n".getBytes(UTF_8)))(_ => ())
+    client.close()
+    val id = ShardServiceRegistry.register(svc)
+
+    val eq = spark.read.format("graft-kinesis").option("service.id", id)
+      .option("key-routing-pruning", "true")
+      .load().where(col("partitionKey") === "pk7")
+    assert(eq.rdd.getNumPartitions == 1,
+      "point lookup must plan only the key-routed shard")
+    assert(eq.count() == 5) // n in {7,47,87,127,167}
+    assert(eq.select("partitionKey").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("pk7"),
+      "key filter must stay residual: only matching rows survive")
+    val plan = eq.queryExecution.executedPlan.toString
+    assert(plan.contains("keys=pk7"), plan.take(600))
+
+    val in = spark.read.format("graft-kinesis").option("service.id", id)
+      .option("key-routing-pruning", "true")
+      .load().where(col("partitionKey").isin("pk7", "pk8"))
+    assert(in.rdd.getNumPartitions <= 2)
+    assert(in.count() == 10)
+
+    // without the opt-in, the same query scans every shard
+    val off = spark.read.format("graft-kinesis").option("service.id", id)
+      .load().where(col("partitionKey") === "pk7")
+    assert(off.rdd.getNumPartitions == 4)
+    assert(off.count() == 5)
+  }
+
   test("batch scan prunes unused envelope columns (payload bytes not " +
       "materialized for a count-style query)") {
     val id = mkService()
