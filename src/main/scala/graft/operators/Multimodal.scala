@@ -24,6 +24,8 @@ object Multimodal {
       n_distinct_bytes: Int)
   case class Frame(doc_id: Long, frame_idx: Int, frame_len: Int,
       frame_fp: String)
+  case class MediaHeader(doc_id: Long, width: Int, height: Int,
+      codec: String, duration_ms: Int)
 
   /** STUB decoder: stands in for image/audio decode + feature extraction.
     * Deterministic byte-level "features": length, first byte, md5 hex,
@@ -67,6 +69,22 @@ object Multimodal {
           Frame(m.doc_id, idx, frame.length,
             md.digest(frame).map("%02x".format(_)).mkString)
         }
+    }
+
+    /** "Container header" stub: parses the leading 7 payload bytes as a
+      * fixed fake header — width/height as 16-bit big-endian pairs, a
+      * codec id byte, a 16-bit duration — the typed-metadata-struct
+      * shape of real container probing (ffprobe/EXIF). Callers filter
+      * payloads shorter than the 7-byte header first. */
+    val codecNames: IndexedSeq[String] =
+      IndexedSeq("h264", "vp9", "av1", "hevc")
+    def header(m: MediaIn): MediaHeader = {
+      def u(i: Int): Int = m.payload(i) & 0xff
+      MediaHeader(m.doc_id,
+        u(0) * 256 + u(1),
+        u(2) * 256 + u(3),
+        codecNames(u(4) % 4),
+        u(5) * 256 + u(6))
     }
 
     /** "Feature extraction" stub: byte-level statistics (mean/max/
@@ -119,6 +137,26 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // Typed metadata-struct decode (fake container header) + a rollup
+    // by codec — the "probe then aggregate by format" pipeline stage.
+    "m05_multimodal_header" -> ((s, d) => {
+      import s.implicits._
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .where(length(col("payload")) >= 7)
+        .as[MediaIn]
+        .mapPartitions(_.map(MultimodalStub.header))
+        .toDF()
+      meta.groupBy(col("codec"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("width")).cast("double") / count(lit(1)))
+            .as("avg_width"),
+          (sum(col("height")).cast("double") / count(lit(1)))
+            .as("avg_height"),
+          max(col("duration_ms")).as("max_duration_ms"))
+        .orderBy(col("codec"))
+    }),
+
     // One-record-to-many-frames sampling stage (generator shape).
     "m04_multimodal_frames" -> ((s, d) => {
       import s.implicits._
@@ -167,6 +205,22 @@ object Multimodal {
                 CAST(MAX(v) AS INT) AS max_byte,
                 CAST(COUNT(DISTINCT v) AS INT) AS n_distinct_bytes
          FROM b GROUP BY doc_id ORDER BY doc_id""",
+
+    // same byte arithmetic over ASCII chars; DuckDB lists are 1-indexed
+    "m05_multimodal_header" ->
+      """WITH h AS (SELECT doc_id,
+           ORD(SUBSTR(text, 1, 1)) * 256 + ORD(SUBSTR(text, 2, 1)) AS width,
+           ORD(SUBSTR(text, 3, 1)) * 256 + ORD(SUBSTR(text, 4, 1)) AS height,
+           ['h264', 'vp9', 'av1', 'hevc'][ORD(SUBSTR(text, 5, 1)) % 4 + 1]
+             AS codec,
+           ORD(SUBSTR(text, 6, 1)) * 256 + ORD(SUBSTR(text, 7, 1))
+             AS duration_ms
+           FROM documents WHERE LENGTH(text) >= 7)
+         SELECT codec, COUNT(1) AS n,
+                CAST(SUM(width) AS DOUBLE) / COUNT(1) AS avg_width,
+                CAST(SUM(height) AS DOUBLE) / COUNT(1) AS avg_height,
+                CAST(MAX(duration_ms) AS INT) AS max_duration_ms
+         FROM h GROUP BY codec ORDER BY codec""",
 
     // documents.text is ASCII, so char-based SUBSTR == byte slicing
     "m04_multimodal_frames" ->
