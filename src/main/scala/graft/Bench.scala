@@ -27,11 +27,11 @@ object Bench {
     "q40_tumbling_window", "q42_session_window", "q43_dedup_keep_first",
     "q44_stateful_sessionization", "q45_contiguous_ack_watermark",
     "q37_higher_order_fns", "q47_interval_join", "q48_set_ops_all",
-    "q50_exact_percentiles",
+    "q50_exact_percentiles", "q52_quantile_sketch",
     "d01_dedup_exact", "d03_ngram_jaccard_pairs", "d04_minhash_lsh_dedup",
     "d06_embedding_neardup", "e01_cosine_pairs", "e03_ann_ivf",
     "t02_quality_score", "t05_char_ngram_profile",
-    "m01_multimodal_decode")
+    "m01_multimodal_decode", "m05_multimodal_header")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

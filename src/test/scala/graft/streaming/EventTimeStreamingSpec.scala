@@ -100,6 +100,43 @@ class EventTimeStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits the unmatched left row with " +
+      "nulls once the watermark passes the join window (state eviction, " +
+      "not data loss)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-et").toString
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    val views = MemoryStream[(Timestamp, Long)](spark)
+    val c = clicks.toDS().toDF("c_ts", "c_user").withWatermark("c_ts", "5 minutes")
+    val v = views.toDS().toDF("v_ts", "v_user").withWatermark("v_ts", "5 minutes")
+    val joined = c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "leftOuter")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("et_ssj_left")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      clicks.addData((ts(0), 7L), (ts(0), 8L))
+      views.addData((ts(5), 7L)) // 7 matches; 8 never will
+      q.processAllAvailable()
+      // advance both watermarks far past click(0)'s join window so the
+      // unmatched left row is evictable and must be emitted with nulls
+      clicks.addData((ts(60), 1L)); views.addData((ts(60), 2L))
+      q.processAllAvailable()
+      clicks.addData((ts(90), 1L)); views.addData((ts(90), 2L))
+      q.processAllAvailable()
+      val got = spark.table("et_ssj_left")
+        .select(col("c_user"), col("v_user"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(got.contains((7L, 7L)), s"matched pair missing: $got")
+      assert(got.contains((8L, -1L)),
+        s"unmatched left row must surface with null right side: $got")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join against a dimension table") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-et").toString
