@@ -2,33 +2,60 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.Decimal
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * expressions as SQL functions, so `spark.sql("... double_dot_product
-  * (a, b) ...")` works cluster-wide via
+  * expressions and sketch aggregates as SQL functions, so
+  * `spark.sql("... double_dot_product(a, b) ...")` and
+  * `spark.sql("... quantile_sketch(h, v, 128, 0.5) ...")` work
+  * cluster-wide via
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   * [[GraftFunctions.register]] does the same for an existing session
   * (local/test convenience).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.doubleDotProductDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
-  private[functions] val doubleDotProductDescriptor = (
-    FunctionIdentifier("double_dot_product"),
-    new ExpressionInfo(classOf[DoubleDotProduct].getName,
-      "double_dot_product"),
-    (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      DoubleDotProduct(exprs(0), exprs(1)))
+  private def intArg(e: Expression, fn: String): Int = e.eval() match {
+    case n: Number => n.intValue
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal, got $other")
+  }
+  private def doubleArg(e: Expression, fn: String): Double = e.eval() match {
+    case d: Decimal => d.toDouble // SQL numeric literals like 0.25
+    case n: Number => n.doubleValue
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a numeric literal, got $other")
+  }
+
+  private def descriptor(name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      builder)
+
+  /** Aggregate builders return the bare AggregateFunction — the analyzer
+    * wraps it in an AggregateExpression itself. */
+  private[functions] val descriptors = Seq(
+    descriptor("double_dot_product", classOf[DoubleDotProduct],
+      exprs => DoubleDotProduct(exprs(0), exprs(1))),
+    // graft_topk(value, id, k): k rows with the largest (value, id)
+    descriptor("graft_topk", classOf[TopKAggregate],
+      exprs => TopKAggregate(exprs(0), exprs(1),
+        intArg(exprs(2), "graft_topk"))),
+    // quantile_sketch(hash, value, k, p...): KMV bottom-k estimates
+    descriptor("quantile_sketch", classOf[QuantileSketchAggregate],
+      exprs => QuantileSketchAggregate(exprs(0), exprs(1),
+        intArg(exprs(2), "quantile_sketch"),
+        exprs.drop(3).map(doubleArg(_, "quantile_sketch")))))
 
   /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit = {
-    val (_, info, builder) = doubleDotProductDescriptor
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "double_dot_product", builder, "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
 }

@@ -104,4 +104,21 @@ class PlanShapeSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(r == 11.0)
   }
+
+  test("sketch aggregates are SQL-callable: graft_topk and quantile_sketch " +
+      "run from SQL text with literal k / percentile args") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.range(1, 101).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("sketch_in")
+    val top = spark.sql(
+      "SELECT graft_topk(v, id, 3) AS t FROM sketch_in")
+      .selectExpr("transform(t, x -> x.id) AS ids")
+      .collect().head.getSeq[Long](0)
+    assert(top == Seq(100L, 99L, 98L))
+    // hash = value so the bottom-k sample is just 1..64: quantiles exact
+    val qs = spark.sql(
+      "SELECT quantile_sketch(id, id, 64, 0.25, 0.5) AS q FROM sketch_in")
+      .collect().head.getSeq[Double](0)
+    assert(qs == Seq(16.75, 32.5))
+  }
 }
