@@ -24,7 +24,8 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
-      operators.Extended.queries
+      operators.Extended.queries ++
+      operators.Extended3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -36,5 +37,6 @@ object SparkEntry {
       operators.TextOps.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.Multimodal.oracleSql ++
-      operators.Extended.oracleSql
+      operators.Extended.oracleSql ++
+      operators.Extended3.oracleSql
 }

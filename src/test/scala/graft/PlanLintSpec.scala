@@ -18,7 +18,8 @@ class PlanLintSpec extends SparkSpec {
     "e01_cosine_pairs", // brute-force ground truth (vec_a < vec_b)
     "e02_ann_topk_bruteforce", // brute-force ground truth (!=)
     "e03_ann_ivf", // broadcast coarse-centroid assignment (cross, O(cents))
-    "d06_embedding_neardup") // brute-force ground truth (dup_of < vec_id)
+    "d06_embedding_neardup", // brute-force ground truth (dup_of < vec_id)
+    "e04_ann_topk_partial") // brute-force pair scan (!=), reduced map-side
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {

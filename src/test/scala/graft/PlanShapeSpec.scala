@@ -105,6 +105,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("q55: bucketed co-located join is exchange-free — the sort-merge " +
+      "join reads bucket-aligned splits with no shuffle on either side") {
+    import org.apache.spark.sql.functions._
+    // invoking the query CTAS-es the bucketed tables as a side effect
+    SparkEntry.queries("q55_bucketed_colocated_join")(spark, dir).collect()
+    val j = spark.table("graft_orders_bucketed").hint("merge")
+      .join(spark.table("graft_customer_bucketed"),
+        col("o_custkey") === col("c_custkey"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("Exchange"),
+      s"bucketed join must not shuffle:\n${p.take(1200)}")
+  }
+
+  test("e04: exact top-k ANN aggregates partially map-side (object-hash " +
+      "aggregate), replacing e02's full-pair window sort") {
+    val p = planOf("e04_ann_topk_partial")
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(!p.contains("Window"),
+      s"top-k must come from the aggregate, not a window sort:\n${p.take(1200)}")
+  }
+
+  test("q56: time-range window frame produces RangeFrame, one shuffle on " +
+      "user_id only") {
+    val df = SparkEntry.queries("q56_time_range_window")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("specifiedwindowframe(RangeFrame, -3600000000, currentrow"),
+      p.take(1200))
+  }
+
   test("sketch aggregates are SQL-callable: graft_topk and quantile_sketch " +
       "run from SQL text with literal k / percentile args") {
     graft.functions.GraftFunctions.register(spark)
