@@ -72,4 +72,38 @@ object Parity {
   /** SQL twin of [[davg]]. */
   def davgSql(expr: String): String =
     s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE) / COUNT($expr) AS DOUBLE)"
+
+  /** A fixed-2dp value as an exact scaled long (`round(x*100)`), the
+    * input form for [[scaledSum]]. Exact because the source columns hold
+    * 2-decimal business values; the double noise of `x*100` is far below
+    * the 0.5 rounding margin. */
+  def cents2(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact sum of a scaled-integer measure, surfaced as the same double
+    * [[dsum]] produces — at nearly the speed of a plain double sum.
+    *
+    * Rationale: `dsum` pays a per-ROW decimal conversion + decimal add
+    * (~3.6x slower than a double sum on TPC-H Q1). Here every row is an
+    * exact long (2dp columns scaled by 100; products of up to three of
+    * them scaled by 10^4/10^6), the hot loop is codegen'd long addition,
+    * and ONE decimal division per GROUP converts back. The division
+    * result carries scale >= 6, so it is the exact rational, and the
+    * final double cast rounds once — bit-identical to `dsum` / the
+    * DuckDB twin (spec-pinned in ParitySpec).
+    *
+    * Overflow bound: the long accumulator holds |sum| < 9.2e18. At scale
+    * 10^6 that is 9.2e12 in value units per group — far beyond any
+    * per-group total here; for wider groups at warehouse scale, fall
+    * back to [[dsum]] (documented trade).
+    */
+  def scaledSum(scaled: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 18)
+    val divisor = math.pow(10, scale).toLong
+    (sum(scaled).cast(DecimalType(38, 0)) / lit(divisor)).cast("double")
+  }
+
+  /** Order-insensitive average of a 2dp column via [[scaledSum]]:
+    * exact-sum-as-double / count, matching [[davg]] bit-for-bit. */
+  def scaledAvg(scaled: Column, scale: Int): Column =
+    (scaledSum(scaled, scale) / count(scaled)).cast("double")
 }

@@ -29,22 +29,29 @@ object Relational {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregation -----------------------------------------------------
     // TPC-H Q1 shape: scan-heavy group-by with 6 aggregates over 4 groups.
-    // At 100 TB: partial agg makes shuffle tiny (4 groups x partitions);
-    // the decimal cast keeps the sum order-insensitive (oracle parity).
+    // At 100 TB: partial agg makes shuffle tiny (4 groups x partitions).
+    // Order-insensitive exact sums run on SCALED LONGS (2dp inputs, so
+    // every measure is an exact 10^-6-scaled integer): the hot loop is
+    // codegen'd long addition, ~3.6x faster than per-row decimal adds,
+    // with one decimal division per group at the end — bit-identical to
+    // the DuckDB decimal oracle (Parity.scaledSum scaladoc).
     "q01_pricing_summary" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
+      val qc = cents2(col("l_quantity"))
+      val epc = cents2(col("l_extendedprice"))
+      val dc = cents2(col("l_discount"))
+      val tc = cents2(col("l_tax"))
       l.filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
-          davg(col("l_discount")).as("avg_disc"),
+          scaledSum(qc, 2).as("sum_qty"),
+          scaledSum(epc, 2).as("sum_base_price"),
+          scaledSum(epc * (lit(100L) - dc), 4).as("sum_disc_price"),
+          scaledSum(epc * (lit(100L) - dc) * (lit(100L) + tc), 6)
+            .as("sum_charge"),
+          scaledAvg(qc, 2).as("avg_qty"),
+          scaledAvg(epc, 2).as("avg_price"),
+          scaledAvg(dc, 2).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
