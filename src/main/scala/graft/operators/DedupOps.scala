@@ -43,15 +43,21 @@ object DedupOps {
             "ELSE array() END")).as("sh"))
       .distinct()
 
-  /** Shingles annotated with corpus document frequency (doc_id, sh, df) —
+  /** Shingles annotated with corpus document frequency (sh, df, doc_id) —
     * computed once and shared by candidate generation and verification.
-    * df >= 2 restriction (a df=1 shingle can never contribute to a pair —
-    * the standard inverted-index pruning; at real scale the same groupBy
-    * would also drop stop-shingles above a df cap into a salted path)
-    * is applied by the consumers; intersection counts are unaffected.
+    * ONE exchange keyed on the shingle produces both the count and the
+    * posting list (collect_list), re-exploded in place — vs the naive
+    * groupBy + self-join, which shuffles the full shingle index twice.
+    * Posting-list length is bounded by df, so the same df cap that
+    * handles stop-shingles at real scale (documented above) bounds the
+    * collect_list buffer. df >= 2 restriction (a df=1 shingle can never
+    * contribute to a pair — standard inverted-index pruning) is applied
+    * by the consumers; intersection counts are unaffected.
     */
   private def withDocFreq(sh: DataFrame): DataFrame =
-    sh.join(sh.groupBy(col("sh")).agg(count(lit(1)).as("df")), "sh")
+    sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("docs"))
+      .select(col("sh"), col("df"), explode(col("docs")).as("doc_id"))
 
   /** Candidate pairs by prefix filtering at Jaccard threshold `t`: each
     * document indexes only its (sz - ceil(t*sz) + 1) globally-rarest
