@@ -163,6 +163,52 @@ object DedupOps {
       jaccardOf(cand, sh, withDocFreq(sh), 0.8)
     }),
 
+    // Near-dup CLUSTERING: connected components over the verified
+    // near-dup pair graph (d03's output), so each duplicate group gets a
+    // canonical representative (min doc_id) — the step after pair
+    // detection in a real dedup pipeline (keep one doc per component).
+    // Distributed min-label propagation: every iteration is one shuffle
+    // join (labels x edges) + groupBy-min; iterations = component
+    // diameter (near-dup components are shallow; for adversarial chains
+    // the large-star/small-star variant halves diameter per round — same
+    // join shape). Edges are checkpointed eagerly so the shingle
+    // pipeline runs ONCE, not once per iteration; label frontiers are
+    // checkpointed per round to sever lineage (iterative-algorithm
+    // hygiene at scale).
+    "d07_neardup_components" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val shd = withDocFreq(sh)
+      val pairs = jaccardOf(prefixCandidates(shd, 0.8), sh, shd, 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"),
+          col("doc_a").as("doc_b")))
+        .localCheckpoint(true)
+      var labels = Tables.documents(s, d)
+        .select(col("doc_id"), col("doc_id").as("lbl"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 25) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("doc_b"),
+            col("lbl").as("nlbl")), "doc_b")
+          .groupBy(col("doc_a")).agg(min(col("nlbl")).as("minn"))
+        val stepped = labels
+          .join(nbrMin, labels("doc_id") === nbrMin("doc_a"), "left")
+          .select(col("doc_id"), col("lbl"),
+            least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl2"))
+          .localCheckpoint(true)
+        changed = stepped.filter(col("lbl2") =!= col("lbl")).count()
+        val next = stepped.select(col("doc_id"), col("lbl2").as("lbl"))
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labels)
+        labels = next
+        iters += 1
+      }
+      labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash fingerprints + banded hamming-near candidate pairs. The
     // per-word hash is the first 60 bits of md5 (15 hex chars) — portable
     // integer arithmetic in any engine, so unlike a seeded xxhash64 the
@@ -204,9 +250,9 @@ object DedupOps {
   )
 
   def oracleSql: Map[String, String] = {
-    val jaccardSql =
-      """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
-                    FROM documents),
+    val pairCtes =
+      """w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+              FROM documents),
          sh AS (SELECT DISTINCT doc_id,
                   words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
                 FROM w, UNNEST(GENERATE_SERIES(1, LEN(words) - 2)) AS t(i)),
@@ -214,7 +260,9 @@ object DedupOps {
          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                           COUNT(1) AS inter
                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
+                   GROUP BY 1, 2)"""
+    val jaccardSql =
+      s"""WITH $pairCtes
          SELECT doc_a, doc_b, inter,
                 CAST(sa.sz + sb.sz - inter AS BIGINT) AS un,
                 CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
@@ -232,6 +280,26 @@ object DedupOps {
       "d03_ngram_jaccard_pairs" -> jaccardSql,
       // LSH output == exact output at this corpus/threshold (see scaladoc)
       "d04_minhash_lsh_dedup" -> jaccardSql,
+      // components via transitive closure (recursive CTE) + min over the
+      // reachable set — the declarative twin of label propagation
+      "d07_neardup_components" ->
+        s"""WITH RECURSIVE $pairCtes,
+           qual AS (SELECT doc_a, doc_b FROM pairs
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+                    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+                          >= 0.8),
+           bidir AS (SELECT doc_a AS a, doc_b AS b FROM qual
+                     UNION SELECT doc_b, doc_a FROM qual),
+           reach(a, b) AS (SELECT a, b FROM bidir
+                           UNION
+                           SELECT r.a, e.b FROM reach r
+                           JOIN bidir e ON r.b = e.a),
+           rep AS (SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a)
+           SELECT d.doc_id,
+                  COALESCE(LEAST(d.doc_id, r.m), d.doc_id) AS cluster_rep
+           FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
+           ORDER BY d.doc_id""",
       // identical 60-bit md5 word hash + bit-vote + banding arithmetic
       "d05_simhash_pairs" ->
         """WITH w AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' ')) AS w
