@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -43,6 +44,32 @@ case class QuantileSketchAggregate(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "quantile_sketch"
+
+  /** Analysis-time validation (ExpectsInputTypes is private[sql] in
+    * Spark 4, so the declaration is manual — same trade as the other
+    * graft expressions): hash/value must be BIGINT (anything else used
+    * to CCE deep inside update()), k >= 1 (k <= 0 made the buffer call
+    * TreeSet.last on an empty set), at least one percentile, every
+    * percentile in [0, 1] (outside used to index out of bounds in
+    * eval). */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (hashExpr.dataType != LongType || valueExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"quantile_sketch: hash and value must be BIGINT, got " +
+          s"(${hashExpr.dataType.simpleString}, " +
+          s"${valueExpr.dataType.simpleString}) — cast the inputs")
+    else if (k < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"quantile_sketch: sample size k must be >= 1, got $k")
+    else if (ps.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        "quantile_sketch: at least one percentile is required")
+    else if (ps.exists(p => p.isNaN || p < 0.0 || p > 1.0))
+      TypeCheckResult.TypeCheckFailure(
+        s"quantile_sketch: percentiles must be in [0, 1], got " +
+          ps.mkString("(", ", ", ")"))
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def createAggregationBuffer(): QuantileSketchBuffer =
     new QuantileSketchBuffer(k)
@@ -110,6 +137,7 @@ case class QuantileSketchAggregate(
 /** Bottom-k set of (hash, value) pairs, distinct, ordered ascending.
   * TreeSet gives O(log k) insert with cheap max eviction. */
 final class QuantileSketchBuffer(val k: Int) {
+  require(k >= 1, s"QuantileSketchBuffer: k must be >= 1, got $k")
   private val set = scala.collection.mutable.TreeSet.empty[(Long, Long)]
 
   def add(h: Long, v: Long): Unit = {

@@ -64,4 +64,32 @@ class ParitySpec extends SparkSpec {
     assert(java.lang.Double.doubleToLongBits(one) ==
       java.lang.Double.doubleToLongBits(dec))
   }
+
+  test("scaledSum raises on long-accumulator overflow instead of " +
+      "silently wrapping when ANSI is off") {
+    import Parity._
+    import spark.implicits._
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      // two rows near Long.MaxValue: the long sum wraps negative, the
+      // double shadow tracks ~1.8e19 — guard must fire, never return
+      // the wrapped value
+      val df = Seq(Long.MaxValue - 10L, Long.MaxValue - 10L).toDF("x")
+      val e = intercept[Exception] {
+        df.agg(scaledSum(col("x"), 2)).head
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("overflow")), e.toString)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
+  test("scaledSum of an empty input is null, not an overflow error") {
+    import Parity._
+    import spark.implicits._
+    val df = Seq.empty[Long].toDF("x")
+    assert(df.agg(scaledSum(col("x"), 2)).head.isNullAt(0))
+  }
 }

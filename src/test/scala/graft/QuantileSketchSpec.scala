@@ -46,6 +46,28 @@ class QuantileSketchSpec extends SparkSpec {
     assert(math.abs(qs(1) - 50000.0) / 50000.0 < 0.10, qs.mkString(","))
   }
 
+  test("invalid arguments fail analysis with a clear error (k < 1, " +
+      "percentile outside [0,1], non-bigint inputs)") {
+    import spark.implicits._
+    val df = (1L to 10L).toDF("v")
+    df.createOrReplaceTempView("qs_args_in")
+    graft.functions.GraftFunctions.register(spark)
+    def err(sql: String): String = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def msgs(t: Throwable): String =
+        if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+      msgs(e)
+    }
+    assert(err("SELECT quantile_sketch(v, v, 0, 0.5) FROM qs_args_in")
+      .contains("k must be >= 1"))
+    assert(err("SELECT quantile_sketch(v, v, 64, 1.5) FROM qs_args_in")
+      .contains("percentiles must be in [0, 1]"))
+    assert(err("SELECT quantile_sketch(v, v, 64) FROM qs_args_in")
+      .contains("at least one percentile"))
+    assert(err("SELECT quantile_sketch(CAST(v AS STRING), v, 64, 0.5) " +
+      "FROM qs_args_in").contains("must be BIGINT"))
+  }
+
   test("q52 plan: partial aggregation runs map-side (objHashAggregate " +
       "partial_quantile_sketch before the exchange)") {
     val df = graft.operators.CustomAgg.queries("q52_quantile_sketch")(
