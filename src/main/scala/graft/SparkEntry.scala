@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.Extended.queries ++
-      operators.Extended3.queries
+      operators.Extended3.queries ++
+      operators.Extended4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -38,5 +39,6 @@ object SparkEntry {
       operators.Similarity.oracleSql ++
       operators.Multimodal.oracleSql ++
       operators.Extended.oracleSql ++
-      operators.Extended3.oracleSql
+      operators.Extended3.oracleSql ++
+      operators.Extended4.oracleSql
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.{Parity, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 widening of the analytical surface (SURVEY.md §2.2):
+  *
+  *  - '''Random-hyperplane LSH cosine pairs''' (e05): the sign-random-
+  *    projection (SimHash-for-vectors) variant of approximate similarity
+  *    search — 16 signed projections per vector, banded 4×4, candidate
+  *    pairs from band-bucket collisions only, then EXACT cosine
+  *    verification. This is the embedding twin of d04's MinHash+LSH: at
+  *    100 TB the pair space is bounded by bucket collisions (a shuffle
+  *    keyed on (band, bucket)), never O(n²). The hyperplane sign matrix
+  *    is derived from md5 (portable integer/hex arithmetic — same idiom
+  *    as d05/q51), so the DuckDB oracle reproduces the bucketing AND the
+  *    verified cosines bit-for-bit.
+  *  - '''Dynamic partition pruning''' (q57): fact table CTAS'd
+  *    partitioned on the join key; the dim side carries a selective
+  *    predicate on a NON-key column, so static pushdown cannot prune the
+  *    fact scan — only Catalyst's runtime DPP subquery can. At 100 TB
+  *    this is the difference between scanning every date/priority
+  *    partition of a fact table and scanning only the 2-of-5 the dim
+  *    filter selects. PlanShapeSpec pins the `dynamicpruning` partition
+  *    filter so the plan can't silently regress to a full scan.
+  */
+object Extended4 {
+
+  /** Drop a managed table AND its warehouse directory (same hygiene as
+    * [[Extended3]] — a previous session's files otherwise fail the CTAS
+    * with LOCATION_ALREADY_EXISTS). */
+  private def dropManaged(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, name)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) { fs.delete(path, true); () }
+  }
+
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** e05 geometry: 16 hyperplanes in 4 bands of 4 bits over the 64-dim
+    * embeddings (TESTDATA.md). Sign(j)(i) = +1 iff the first hex digit
+    * of md5("hp-j-i") is < '8' — one unbiased portable bit per
+    * component, computed ONCE on the driver (the oracle derives the
+    * identical matrix with SQL md5; per-row md5 would be 1024 hashes a
+    * row at scale). */
+  private val NPlanes = 16
+  private val BandRows = 4
+  private val Dims = 64
+  private lazy val hyperplaneSigns: IndexedSeq[Seq[Double]] =
+    (0 until NPlanes).map(j =>
+      (0 until Dims).map(i =>
+        if (md5hex(s"hp-$j-$i").charAt(0) < '8') 1.0 else -1.0))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LSH-bucketed cosine pairs: candidates share >= 1 of 4 sign-bands;
+    // survivors verified with the exact cosine at 0.4 (e01's threshold,
+    // so e01 is the recall ground truth for this scale path).
+    "e05_lsh_cosine_pairs" -> ((s, d) => {
+      val dot = graft.functions.VectorFunctions.dotProduct _
+      val v = Similarity.vecs(s, d)
+      val withBits = (0 until NPlanes).foldLeft(v)((df, j) =>
+        df.withColumn(s"bit$j",
+          when(dot(col("v"), typedLit(hyperplaneSigns(j))) >= 0d, 1)
+            .otherwise(0)))
+      val bands: Column = array((0 until NPlanes / BandRows).map { b =>
+        struct(lit(b).as("band"),
+          (0 until BandRows)
+            .map(r => col(s"bit${b * BandRows + r}") * lit(1 << r))
+            .reduce(_ + _).as("bv"))
+      }: _*)
+      val buckets = withBits
+        .select(col("vec_id"), explode(bands).as("e"))
+        .select(col("vec_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+      val cand = buckets
+        .select(col("vec_id").as("vec_a"), col("band"), col("bv"))
+        .join(buckets.select(col("vec_id").as("vec_b"), col("band"),
+          col("bv")), Seq("band", "bv"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b")).distinct()
+      val va = v.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val vb = v.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      cand.join(va, "vec_a").join(vb, "vec_b")
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // DPP: orders partitioned by o_orderpriority; the dim is a SEPARATE
+    // stored table whose urgency class is plain data (not derivable from
+    // the join key by constraint propagation), so the fact scan's
+    // partition filter can only come from the runtime DPP subquery over
+    // the broadcast dim — the exact "scan 2 of 5 partitions because the
+    // dim filter said so at runtime" shape of a warehouse star join.
+    "q57_dpp_partitioned_join" -> ((s, d) => {
+      dropManaged(s, "graft_orders_by_priority")
+      dropManaged(s, "graft_priority_dim")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("o_orderpriority")
+        .saveAsTable("graft_orders_by_priority")
+      Tables.orders(s, d)
+        .select(col("o_orderpriority").as("p")).distinct()
+        .withColumn("cls", substring(col("p"), 1, 1).cast("int"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable("graft_priority_dim")
+      val urgent = s.table("graft_priority_dim").filter(col("cls") <= 2)
+      s.table("graft_orders_by_priority")
+        .join(broadcast(urgent), col("o_orderpriority") === col("p"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Parity.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "e05_lsh_cosine_pairs" -> {
+      val cosExpr =
+        """list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[])) /
+           (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[]))) *
+            SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))))"""
+      s"""WITH sgn AS (
+           SELECT j, list_transform(generate_series(0, ${Dims - 1}), i ->
+             CASE WHEN substring(md5('hp-' || j || '-' || i), 1, 1) < '8'
+                  THEN 1.0 ELSE -1.0 END) AS sv
+           FROM UNNEST(generate_series(0, ${NPlanes - 1})) AS tj(j)),
+         bits AS (
+           SELECT e.vec_id, s.j,
+             CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), s.sv)
+                       >= 0 THEN 1 ELSE 0 END AS b
+           FROM embeddings e CROSS JOIN sgn s),
+         bands AS (
+           SELECT vec_id, j // $BandRows AS band,
+                  SUM(b * (1 << (j % $BandRows))) AS bv
+           FROM bits GROUP BY vec_id, j // $BandRows),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
+         SELECT c.vec_a, c.vec_b, $cosExpr AS cos
+         FROM cand c
+         JOIN embeddings a ON a.vec_id = c.vec_a
+         JOIN embeddings b ON b.vec_id = c.vec_b
+         WHERE $cosExpr >= 0.4
+         ORDER BY vec_a, vec_b"""
+    },
+
+    "q57_dpp_partitioned_join" ->
+      s"""SELECT o_orderpriority, COUNT(1) AS n_orders,
+         ${Parity.dsumSql("o_totalprice")} AS revenue
+         FROM orders
+         WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) <= 2
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  )
+}

@@ -137,6 +137,54 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("q57: fact scan is pruned ONLY by the runtime DPP subquery — the " +
+      "dim filter is data, not a propagatable constraint") {
+    val df = SparkEntry.queries("q57_dpp_partitioned_join")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected a DPP partition filter on the fact scan:\n${p.take(1500)}")
+    // the urgency-class predicate must NOT appear as a static partition
+    // filter (that would mean constraint propagation did the pruning and
+    // DPP proved nothing)
+    assert(!p.contains("PartitionFilters: [(cast(substring"),
+      s"dim predicate leaked into static partition filters:\n${p.take(1500)}")
+  }
+
+  test("e05: LSH candidate generation joins on (band, bucket) — never a " +
+      "pair product — and verification reuses the codegen'd dot product") {
+    val p = planOf("e05_lsh_cosine_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.toLowerCase.contains("doubledotproduct")
+      || p.contains("double_dot_product"), p.take(1500))
+  }
+
+  test("runtime bloom filter: a selective dim filter injects " +
+      "bloom_filter_agg/might_contain onto the fact side of a shuffle join") {
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, dir)
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n${p.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("sketch aggregates are SQL-callable: graft_topk and quantile_sketch " +
       "run from SQL text with literal k / percentile args") {
     graft.functions.GraftFunctions.register(spark)
