@@ -29,9 +29,10 @@ object Bench {
     "q37_higher_order_fns", "q47_interval_join", "q48_set_ops_all",
     "q50_exact_percentiles", "q52_quantile_sketch", "q53_variant_shred",
     "q55_bucketed_colocated_join", "q56_time_range_window",
+    "q57_dpp_partitioned_join",
     "d01_dedup_exact", "d03_ngram_jaccard_pairs", "d04_minhash_lsh_dedup",
     "d06_embedding_neardup", "e01_cosine_pairs", "e03_ann_ivf",
-    "e04_ann_topk_partial",
+    "e04_ann_topk_partial", "e05_lsh_cosine_pairs",
     "t02_quality_score", "t05_char_ngram_profile",
     "m01_multimodal_decode", "m05_multimodal_header")
 

@@ -63,6 +63,16 @@ object DedupOps {
       col("doc_id"))
   }
 
+  /** The df-annotated shingle index, MATERIALIZED once (eager local
+    * checkpoint, same hygiene as d07's edge set): d03/d04 read it three
+    * times (prefix/band candidates, set sizes, intersection counts), and
+    * without materialization each read re-runs the whole scan → explode →
+    * distinct → window pipeline — two exchanges apiece. At cluster scale
+    * the equivalent is persist(MEMORY_AND_DISK) or a checkpoint to DFS;
+    * the shape (pay the index once, reuse it N times) is the same. */
+  private def docFreqIndex(s: SparkSession, d: String): DataFrame =
+    withDocFreq(shingles(s, d)).localCheckpoint(true)
+
   /** Candidate pairs by prefix filtering at Jaccard threshold `t`: each
     * document indexes only its (sz - ceil(t*sz) + 1) globally-rarest
     * shingles (order: document frequency asc, shingle asc — a total
@@ -88,11 +98,11 @@ object DedupOps {
   /** Attach exact Jaccard to candidate pairs and filter at `thr`. The
     * intersection join is keyed on (doc, shingle) pairs — no blowup
     * beyond actually-shared shingles. */
-  private def jaccardOf(cand: DataFrame, sh: DataFrame, shd: DataFrame,
+  private def jaccardOf(cand: DataFrame, shd: DataFrame,
       thr: Double): DataFrame = {
-    // set sizes come from the raw shingle set (the df join preserves row
-    // counts but re-evaluating it here would cost an extra shuffle pass)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // set sizes from the (materialized) df-annotated index — it is
+    // row-for-row the raw shingle set, so the per-doc count is identical
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val shp = shd.filter(col("df") >= 2).select(col("doc_id"), col("sh"))
     val inter = cand
       .join(shp.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
@@ -136,9 +146,8 @@ object DedupOps {
     // inverted-index self-join on frequent shingles disappears. The few
     // surviving candidates are then verified with exact Jaccard.
     "d03_ngram_jaccard_pairs" -> ((s, d) => {
-      val sh = shingles(s, d)
-      val shd = withDocFreq(sh)
-      jaccardOf(prefixCandidates(shd, 0.8), sh, shd, 0.8)
+      val shd = docFreqIndex(s, d)
+      jaccardOf(prefixCandidates(shd, 0.8), shd, 0.8)
     }),
 
     // MinHash + banded LSH near-dup: 64 permutations (xxhash64 seeded by
@@ -146,12 +155,12 @@ object DedupOps {
     // This is the scale path: candidate generation touches only
     // band-hash collisions.
     "d04_minhash_lsh_dedup" -> ((s, d) => {
-      val sh = shingles(s, d)
+      val shd = docFreqIndex(s, d)
       val nHashes = 64
       val bandRows = 4
       val mins: Seq[Column] = (0 until nHashes).map(i =>
         min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-      val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      val sig = shd.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       val bands: Column = array((0 until nHashes / bandRows).map { b =>
         struct(lit(b).as("band"),
           xxhash64((b * bandRows until (b + 1) * bandRows)
@@ -164,7 +173,7 @@ object DedupOps {
           Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      jaccardOf(cand, sh, withDocFreq(sh), 0.8)
+      jaccardOf(cand, shd, 0.8)
     }),
 
     // Near-dup CLUSTERING: connected components over the verified
@@ -186,9 +195,8 @@ object DedupOps {
     // hit with changes still pending we THROW: an unconverged labelling
     // must never pass silently as a clustering.
     "d07_neardup_components" -> ((s, d) => {
-      val sh = shingles(s, d)
-      val shd = withDocFreq(sh)
-      val pairs = jaccardOf(prefixCandidates(shd, 0.8), sh, shd, 0.8)
+      val shd = docFreqIndex(s, d)
+      val pairs = jaccardOf(prefixCandidates(shd, 0.8), shd, 0.8)
         .select(col("doc_a"), col("doc_b"))
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"),

@@ -109,6 +109,48 @@ object TextOps {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // Sequence packing: assign each document to the fixed-token-budget
+    // training chunk (512 tokens) its tokens START in, per language
+    // stream — the deterministic form of the "pack documents into
+    // fixed-length sequences" step before LLM training. bin is a pure
+    // function of the running token total under (lang, doc_id) order, so
+    // it is reproducible at any parallelism. At 100 TB the running sum
+    // is a range-partition + two-phase prefix sum (per-partition totals,
+    // then offset broadcast) — same semantics, same output.
+    "t07_sequence_packing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(trim(col("text")), " ")))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("bin",
+          expr("(cum_tokens - n_tokens) div 512"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling: per-language keep rates applied
+    // by portable hash bucket (60-bit md5 of doc_id, mod 100) — the
+    // downsampling/mixture-weighting step of a training-data pipeline.
+    // Hash-based (not rand()-based) so the sample is stable across runs,
+    // partitionings, and engines; a doc's fate depends only on its id.
+    "t08_stratified_sample" -> ((s, d) => {
+      val h = conv(substring(
+        md5(encode(col("doc_id").cast("string"), "UTF-8")), 1, 15),
+        16, 10).cast("long")
+      Tables.documents(s, d)
+        .withColumn("bucket", pmod(h, lit(100L)).cast("int"))
+        .withColumn("keep_pct",
+          when(col("lang") === "en", 50)
+            .when(col("lang") === "de", 25)
+            .otherwise(10))
+        .filter(col("bucket") < col("keep_pct"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("keep_pct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Position-weighted rolling fingerprint over tokens — a polynomial
     // rolling hash computed with identical integer arithmetic in both
     // engines (sum of token_length * 31^(i mod 8) mod 2^31-1).
@@ -195,6 +237,34 @@ object TextOps {
                 FROM occ JOIN df USING (w))
          SELECT doc_id, CAST(rank AS INT) AS rank, w AS term, occ, df, score
          FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "t07_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, lang,
+           CAST(LEN(string_split(TRIM(text), ' ')) AS INT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST((SUM(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS bin
+         FROM t
+         WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY doc_id""",
+
+    "t08_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+           CAST(list_reduce(
+             list_transform(generate_series(1, 15),
+               i -> strpos('0123456789abcdef',
+                      substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+             (a, x) -> a * 16 + x) AS BIGINT) % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, lang, CAST(bucket AS INT) AS bucket,
+           CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25
+                ELSE 10 END AS keep_pct
+         FROM h
+         WHERE bucket < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25
+                             ELSE 10 END
+         ORDER BY doc_id""",
 
     "t04_rolling_fingerprint" ->
       """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
