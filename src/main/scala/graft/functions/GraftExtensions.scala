@@ -42,6 +42,8 @@ object GraftFunctions {
   private[functions] val descriptors = Seq(
     descriptor("double_dot_product", classOf[DoubleDotProduct],
       exprs => DoubleDotProduct(exprs(0), exprs(1))),
+    descriptor("packed_trigrams", classOf[PackedTrigrams],
+      exprs => PackedTrigrams(exprs(0))),
     // graft_topk(value, id, k): k rows with the largest (value, id)
     descriptor("graft_topk", classOf[TopKAggregate],
       exprs => TopKAggregate(exprs(0), exprs(1),

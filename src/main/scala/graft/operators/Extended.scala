@@ -184,17 +184,24 @@ object Extended {
     }),
 
     // Character trigram corpus profile (language-ID style fingerprint):
-    // top-20 trigrams by frequency. Counts are partial-aggregated
-    // map-side; the final top-k is a tiny sorted limit.
+    // top-20 trigrams by frequency. The scan uses the codegen'd
+    // packed_trigrams expression — one long per trigram instead of one
+    // string allocation, so the partial aggregate runs on fixed-width
+    // keys; UTF-8 order == code-point order, so ordering by the packed
+    // long IS ordering by the trigram string, and only the final 20
+    // rows are decoded back.
     "t05_char_ngram_profile" -> ((s, d) => {
+      val unpack = udf((l: Long) => graft.functions.PackedTrigrams.unpack(l))
       Tables.documents(s, d)
         .filter(length(col("text")) >= 3)
-        .select(explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-          .as("tri"))
-        .groupBy(col("tri")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("tri"))
+        .select(explode(
+          graft.functions.TextFunctions.packedTrigrams(col("text")))
+          .as("tri_p"))
+        .groupBy(col("tri_p")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tri_p"))
         .limit(20)
+        .select(unpack(col("tri_p")).as("tri"), col("n"))
+        .orderBy(col("n").desc, col("tri"))
     })
   )
 
