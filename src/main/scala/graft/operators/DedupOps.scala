@@ -37,11 +37,16 @@ object DedupOps {
     Tables.documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), " ").as("words"))
       .select(col("doc_id"),
+        // array_distinct BEFORE the explode: per-set dedup is doc-LOCAL,
+        // so doing it on the in-row array (cheap, codegen'd) instead of
+        // a post-explode distinct() saves a full exchange of the
+        // pre-dedup shingle stream — the difference between shuffling
+        // every occurrence and shuffling nothing at this stage.
         explode(expr(
-          "CASE WHEN size(words) >= 3 THEN transform(sequence(0, size(words) - 3), " +
-            "i -> xxhash64(concat_ws(' ', slice(words, i + 1, 3)))) " +
+          "CASE WHEN size(words) >= 3 THEN array_distinct(" +
+            "transform(sequence(0, size(words) - 3), " +
+            "i -> xxhash64(concat_ws(' ', slice(words, i + 1, 3))))) " +
             "ELSE array() END")).as("sh"))
-      .distinct()
 
   /** Shingles annotated with corpus document frequency (sh, df, doc_id) —
     * computed once and shared by candidate generation and verification.
@@ -73,6 +78,19 @@ object DedupOps {
   private def docFreqIndex(s: SparkSession, d: String): DataFrame =
     withDocFreq(shingles(s, d)).localCheckpoint(true)
 
+  /** Per-document rollup of the index — the df-sorted shingle list AND
+    * the set size from ONE doc_id exchange, materialized (one row per
+    * document, so it is tiny) and shared by prefix generation and the
+    * Jaccard size lookup; computing them separately would re-shuffle the
+    * full index per consumer. The collect_list here is doc-bounded (a
+    * document's own shingles), unlike the per-shingle posting lists the
+    * df index deliberately avoids. */
+  private def byDocIndex(shd: DataFrame): DataFrame =
+    shd.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("sh"))).as("l"),
+        count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+
   /** Candidate pairs by prefix filtering at Jaccard threshold `t`: each
     * document indexes only its (sz - ceil(t*sz) + 1) globally-rarest
     * shingles (order: document frequency asc, shingle asc — a total
@@ -80,10 +98,8 @@ object DedupOps {
     * pair is guaranteed to collide on some prefix shingle. df=1 prefix
     * shingles are dropped after slicing — they can never match.
     */
-  private def prefixCandidates(shd: DataFrame, t: Double): DataFrame = {
-    val prefix = shd
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("df"), col("sh"))).as("l"))
+  private def prefixCandidates(byDoc: DataFrame, t: Double): DataFrame = {
+    val prefix = byDoc
       .select(col("doc_id"),
         explode(expr(s"slice(array_sort(l), 1, " +
           s"size(l) - CAST(ceil($t * size(l)) AS INT) + 1)")).as("e"))
@@ -97,12 +113,10 @@ object DedupOps {
 
   /** Attach exact Jaccard to candidate pairs and filter at `thr`. The
     * intersection join is keyed on (doc, shingle) pairs — no blowup
-    * beyond actually-shared shingles. */
-  private def jaccardOf(cand: DataFrame, shd: DataFrame,
+    * beyond actually-shared shingles. `sizes` is (doc_id, sz) from the
+    * caller's existing per-doc aggregate (no extra exchange). */
+  private def jaccardOf(cand: DataFrame, shd: DataFrame, sizes: DataFrame,
       thr: Double): DataFrame = {
-    // set sizes from the (materialized) df-annotated index — it is
-    // row-for-row the raw shingle set, so the per-doc count is identical
-    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val shp = shd.filter(col("df") >= 2).select(col("doc_id"), col("sh"))
     val inter = cand
       .join(shp.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
@@ -147,7 +161,9 @@ object DedupOps {
     // surviving candidates are then verified with exact Jaccard.
     "d03_ngram_jaccard_pairs" -> ((s, d) => {
       val shd = docFreqIndex(s, d)
-      jaccardOf(prefixCandidates(shd, 0.8), shd, 0.8)
+      val byDoc = byDocIndex(shd)
+      jaccardOf(prefixCandidates(byDoc, 0.8), shd,
+        byDoc.select(col("doc_id"), col("sz")), 0.8)
     }),
 
     // MinHash + banded LSH near-dup: 64 permutations (xxhash64 seeded by
@@ -158,9 +174,13 @@ object DedupOps {
       val shd = docFreqIndex(s, d)
       val nHashes = 64
       val bandRows = 4
+      // the signature aggregate doubles as the size lookup (count rides
+      // along in the same exchange); materialized — one row per doc
       val mins: Seq[Column] = (0 until nHashes).map(i =>
-        min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+        min(xxhash64(lit(i), col("sh"))).as(s"h$i")) :+
+        count(lit(1)).as("sz")
       val sig = shd.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        .localCheckpoint(true)
       val bands: Column = array((0 until nHashes / bandRows).map { b =>
         struct(lit(b).as("band"),
           xxhash64((b * bandRows until (b + 1) * bandRows)
@@ -173,7 +193,7 @@ object DedupOps {
           Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      jaccardOf(cand, shd, 0.8)
+      jaccardOf(cand, shd, sig.select(col("doc_id"), col("sz")), 0.8)
     }),
 
     // Near-dup CLUSTERING: connected components over the verified
@@ -196,7 +216,9 @@ object DedupOps {
     // must never pass silently as a clustering.
     "d07_neardup_components" -> ((s, d) => {
       val shd = docFreqIndex(s, d)
-      val pairs = jaccardOf(prefixCandidates(shd, 0.8), shd, 0.8)
+      val byDoc = byDocIndex(shd)
+      val pairs = jaccardOf(prefixCandidates(byDoc, 0.8), shd,
+        byDoc.select(col("doc_id"), col("sz")), 0.8)
         .select(col("doc_a"), col("doc_b"))
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"),
