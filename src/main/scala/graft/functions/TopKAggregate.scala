@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -33,6 +34,21 @@ case class TopKAggregate(
     StructField("value", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false))))
   override def prettyName: String = "topk_sketch"
+
+  /** Analysis-time validation (same trade as quantile_sketch —
+    * ExpectsInputTypes is private[sql]): value must be DOUBLE, id
+    * BIGINT (anything else CCEs in update), and k >= 1 (k <= 0 made
+    * the buffer call List.last on Nil). */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (valueExpr.dataType != DoubleType || idExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk: value must be DOUBLE and id BIGINT, got " +
+          s"(${valueExpr.dataType.simpleString}, " +
+          s"${idExpr.dataType.simpleString}) — cast the inputs")
+    else if (k < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk: k must be >= 1, got $k")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
@@ -85,6 +101,7 @@ case class TopKAggregate(
 /** Mutable top-k buffer ordered by (value desc, id asc). Small k: a
   * sorted array with binary-free insertion is fine (k entries max). */
 final class TopKBuffer(val k: Int) {
+  require(k >= 1, s"TopKBuffer: k must be >= 1, got $k")
   private var items: List[(Double, Long)] = Nil
 
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =

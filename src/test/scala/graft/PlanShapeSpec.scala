@@ -200,5 +200,14 @@ class PlanShapeSpec extends SparkSpec {
       "SELECT quantile_sketch(id, id, 64, 0.25, 0.5) AS q FROM sketch_in")
       .collect().head.getSeq[Double](0)
     assert(qs == Seq(16.75, 32.5))
+    // invalid args fail analysis, not mid-task
+    val e = intercept[Exception](spark.sql(
+      "SELECT graft_topk(v, id, 0) FROM sketch_in").collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("k must be >= 1"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT graft_topk(id, id, 3) FROM sketch_in").collect())
+    assert(msgs(e2).contains("value must be DOUBLE"))
   }
 }
