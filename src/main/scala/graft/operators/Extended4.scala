@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Parity, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-4 widening of the analytical surface (SURVEY.md §2.2):
   *
@@ -119,6 +120,39 @@ object Extended4 {
         .agg(count(lit(1)).as("n_orders"),
           Parity.dsum(col("o_totalprice")).as("revenue"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Closed-form per-group OLS (y = l_extendedprice on x = l_quantity):
+    // the moments (n, Sx, Sy, Sxx, Sxy) accumulate as EXACT integers
+    // (2dp values scaled to cents, products in DECIMAL(38,0) — the
+    // 128-bit-integer idiom), so slope/intercept come out of a fixed
+    // sequence of IEEE ops on exact inputs — deterministic at any
+    // parallelism and bit-identical cross-engine, unlike built-in
+    // corr/covar/regr_* whose double running sums are merge-order
+    // dependent. Scale shape: one partial-aggregated groupBy, five
+    // numbers per group on the wire; the scale factors (100x, 100y)
+    // cancel in the slope quotient.
+    "q58_group_linear_fit" -> ((s, d) => {
+      import Parity.cents2
+      val dec = DecimalType(38, 0)
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          cents2(col("l_quantity")).cast(dec).as("xc"),
+          cents2(col("l_extendedprice")).cast(dec).as("yc"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
+          sum(col("xc") * col("xc")).as("sxx"),
+          sum(col("xc") * col("yc")).as("sxy"))
+      base
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+            / (col("n") * lit(100L)).cast("double"))
+        .select(col("l_returnflag"), col("n"), col("slope"), col("intercept"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -162,6 +196,27 @@ object Extended4 {
          ${Parity.dsumSql("o_totalprice")} AS revenue
          FROM orders
          WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) <= 2
-         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // HUGEINT moments are DuckDB's exact-128-bit twin of Spark's
+    // DECIMAL(38,0); both cast exact integers to double before the same
+    // IEEE op sequence, so slope/intercept match bit-for-bit
+    "q58_group_linear_fit" ->
+      """WITH t AS (SELECT l_returnflag,
+           CAST(round(l_quantity * 100) AS HUGEINT) AS xc,
+           CAST(round(l_extendedprice * 100) AS HUGEINT) AS yc
+           FROM lineitem),
+         a AS (SELECT l_returnflag, COUNT(1) AS n,
+           SUM(xc) AS sx, SUM(yc) AS sy,
+           SUM(xc * xc) AS sxx, SUM(xc * yc) AS sxy
+           FROM t GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n * 100 AS DOUBLE) AS intercept
+         FROM a ORDER BY l_returnflag"""
   )
 }
