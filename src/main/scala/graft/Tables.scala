@@ -93,29 +93,35 @@ object Parity {
     *
     * Overflow SAFETY (not just a bound): the long accumulator holds
     * |sum| < 9.2e18 — at scale 10^6 only ~9.2e12 value units per group,
-    * which a warehouse-scale group CAN exceed (TPC-H sf>~150). Under
-    * ANSI mode (the Spark 4 default) `sum(long)` already hard-fails on
-    * overflow; with ANSI off it would silently wrap, so a SHADOW double
-    * sum rides along and the result raises an error whenever
-    * |longSum - shadowSum| > 1e17. A wrap shifts the long sum by a
-    * multiple of 2^64 ~ 1.8e19 while the shadow tracks the true sum
-    * within n*2^-52*|sum| (< 1e17 for any n up to ~5e13 rows/group), so
-    * every wrap is detected and no plausible group is misflagged. The
-    * shadow is one extra codegen'd double add per row — the fast path
-    * stays ~2x quicker than [[dsum]], which remains the fallback for
-    * workloads whose per-group totals genuinely exceed Long range.
+    * which a warehouse-scale group CAN exceed (TPC-H sf>~150). Overflow
+    * can therefore never be silent:
+    *  - under ANSI mode (the Spark 4 default) `sum(long)` itself
+    *    hard-fails on overflow — nothing extra needed;
+    *  - with ANSI off (checked per session at plan build) a SHADOW
+    *    double sum rides along and the result raises an error whenever
+    *    |longSum - shadowSum| > 1e17. A wrap shifts the long sum by a
+    *    multiple of 2^64 ~ 1.8e19 while the shadow tracks the true sum
+    *    within n*2^-52*|sum| (< 1e17 for any n up to ~5e13 rows/group),
+    *    so every wrap is detected and no plausible group is misflagged.
+    * Either way the fast path stays well ahead of [[dsum]], which
+    * remains the fallback for workloads whose per-group totals
+    * genuinely exceed Long range.
     */
   def scaledSum(scaled: Column, scale: Int): Column = {
     require(scale >= 0 && scale <= 18)
     val divisor = math.pow(10, scale).toLong
     val exact = sum(scaled)
-    val shadow = sum(scaled.cast("double"))
-    val guarded = when(
-      exact.isNull || abs(exact.cast("double") - shadow) <= lit(1e17), exact)
-      .otherwise(raise_error(concat(
-        lit("Parity.scaledSum: long accumulator overflow (wrapped sum="),
-        exact.cast("string"), lit(", shadow="), shadow.cast("string"),
-        lit(") — use Parity.dsum for this group size"))).cast("long"))
+    val ansiOn = org.apache.spark.sql.SparkSession.getActiveSession
+      .forall(_.conf.get("spark.sql.ansi.enabled", "true") == "true")
+    val guarded = if (ansiOn) exact else {
+      val shadow = sum(scaled.cast("double"))
+      when(
+        exact.isNull || abs(exact.cast("double") - shadow) <= lit(1e17), exact)
+        .otherwise(raise_error(concat(
+          lit("Parity.scaledSum: long accumulator overflow (wrapped sum="),
+          exact.cast("string"), lit(", shadow="), shadow.cast("string"),
+          lit(") — use Parity.dsum for this group size"))).cast("long"))
+    }
     (guarded.cast(DecimalType(38, 0)) / lit(divisor)).cast("double")
   }
 

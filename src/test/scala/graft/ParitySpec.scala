@@ -86,6 +86,23 @@ class ParitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
   }
 
+  test("scaledSum raises on overflow under ANSI too (engine overflow " +
+      "error — never a silent wrap in either mode)") {
+    import Parity._
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val df = Seq(Long.MaxValue - 10L, Long.MaxValue - 10L).toDF("x")
+    val e = intercept[Exception] {
+      df.agg(scaledSum(col("x"), 2)).head
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.toLowerCase.contains("overflow") || m.contains("ARITHMETIC")),
+      e.toString)
+  }
+
   test("scaledSum of an empty input is null, not an overflow error") {
     import Parity._
     import spark.implicits._
