@@ -28,16 +28,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Extended4 {
 
-  /** Drop a managed table AND its warehouse directory (same hygiene as
-    * [[Extended3]] — a previous session's files otherwise fail the CTAS
-    * with LOCATION_ALREADY_EXISTS). */
-  private def dropManaged(s: SparkSession, name: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    val wh = s.conf.get("spark.sql.warehouse.dir")
-    val path = new org.apache.hadoop.fs.Path(wh, name)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) { fs.delete(path, true); () }
-  }
+  private def dropManaged(s: SparkSession, name: String): Unit =
+    Extended3.dropManaged(s, name)
 
   private def md5hex(x: String): String =
     java.security.MessageDigest.getInstance("MD5")
