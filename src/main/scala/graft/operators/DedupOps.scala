@@ -68,56 +68,84 @@ object DedupOps {
       col("doc_id"))
   }
 
-  /** The df-annotated shingle index, MATERIALIZED once (eager local
-    * checkpoint, same hygiene as d07's edge set): d03/d04 read it three
-    * times (prefix/band candidates, set sizes, intersection counts), and
-    * without materialization each read re-runs the whole scan → explode →
-    * distinct → window pipeline — two exchanges apiece. At cluster scale
-    * the equivalent is persist(MEMORY_AND_DISK) or a checkpoint to DFS;
-    * the shape (pay the index once, reuse it N times) is the same. */
-  private def docFreqIndex(s: SparkSession, d: String): DataFrame =
-    withDocFreq(shingles(s, d)).localCheckpoint(true)
-
-  /** Per-document rollup of the index — the df-sorted shingle list AND
-    * the set size from ONE doc_id exchange, materialized (one row per
-    * document, so it is tiny) and shared by prefix generation and the
-    * Jaccard size lookup; computing them separately would re-shuffle the
-    * full index per consumer. The collect_list here is doc-bounded (a
-    * document's own shingles), unlike the per-shingle posting lists the
-    * df index deliberately avoids. */
-  private def byDocIndex(shd: DataFrame): DataFrame =
-    shd.groupBy(col("doc_id"))
+  /** Per-document rollup of the df-annotated index — each document's
+    * (df, sh) list plus its set size — and the SINGLE materialization
+    * point of the whole dedup pipeline (eager local checkpoint; at
+    * cluster scale, persist(MEMORY_AND_DISK) or a DFS checkpoint — pay
+    * the index once, reuse it N times). Everything downstream (prefix
+    * candidates, minhash signatures, set sizes, intersection postings)
+    * derives from this one frame: [[postings]] re-explodes it WITHOUT a
+    * shuffle (explode preserves the doc_id partitioning), so no
+    * consumer re-runs the scan → window → groupBy pipeline. The
+    * collect_list here is doc-bounded (a document's own shingles),
+    * unlike the per-shingle posting lists [[withDocFreq]] deliberately
+    * avoids. */
+  private def byDocIndex(s: SparkSession, d: String): DataFrame =
+    withDocFreq(shingles(s, d))
+      .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("sh"))).as("l"),
         count(lit(1)).as("sz"))
       .localCheckpoint(true)
 
-  /** Candidate pairs by prefix filtering at Jaccard threshold `t`: each
-    * document indexes only its (sz - ceil(t*sz) + 1) globally-rarest
-    * shingles (order: document frequency asc, shingle asc — a total
-    * order, so the prefix-intersection theorem applies); any qualifying
-    * pair is guaranteed to collide on some prefix shingle. df=1 prefix
-    * shingles are dropped after slicing — they can never match.
+  /** (doc_id, df, sh) rows re-exploded from the materialized per-doc
+    * index — no exchange, already doc_id-partitioned. */
+  private def postings(byDoc: DataFrame): DataFrame =
+    byDoc.select(col("doc_id"), explode(col("l")).as("e"))
+      .select(col("doc_id"), col("e.df").as("df"), col("e.sh").as("sh"))
+
+  /** Candidate pairs by PPJoin-style prefix filtering at Jaccard
+    * threshold `t`. Three EXACT pruning rules compose (each a necessary
+    * condition of J >= t — zero recall loss):
+    *  - prefix filter: each document indexes only its
+    *    (sz - ceil(t*sz) + 1) globally-rarest shingles (order: document
+    *    frequency asc, shingle asc — a total order, so the
+    *    prefix-intersection theorem applies); any qualifying pair must
+    *    collide on some prefix shingle. df=1 prefix shingles are
+    *    dropped after slicing — they can never match.
+    *  - length filter: J >= t forces min(sa,sb) >= t*max(sa,sb).
+    *  - positional filter: a collision at (1-based, full-sorted-list)
+    *    positions (pa, pb) bounds the overlap by
+    *    1 + min(sa-pa, sb-pb); require that to reach
+    *    ceil(t/(1+t)*(sa+sb)), the overlap J >= t demands. A pair is
+    *    kept if ANY of its collisions passes — the first (rarest)
+    *    common shingle yields the largest bound, so nothing true is
+    *    lost. (The double constant t/(1+t) rounds DOWN, which only
+    *    admits extra candidates — the safe direction.)
+    * At sf0.1 this cuts surviving candidates ~40x vs the prefix filter
+    * alone, which is the difference between verifying a candidate set
+    * and re-verifying a large fraction of the corpus at 100 TB.
     */
   private def prefixCandidates(byDoc: DataFrame, t: Double): DataFrame = {
     val prefix = byDoc
-      .select(col("doc_id"),
-        explode(expr(s"slice(array_sort(l), 1, " +
-          s"size(l) - CAST(ceil($t * size(l)) AS INT) + 1)")).as("e"))
-      .filter(col("e.df") >= 2)
-      .select(col("doc_id"), col("e.sh").as("sh"))
-    prefix.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr(s"slice(array_sort(l), 1, " +
+          s"size(l) - CAST(ceil($t * size(l)) AS INT) + 1)")))
+      .filter(col("col.df") >= 2)
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"),
+        col("col.sh").as("sh"))
+    val a = prefix.select(col("doc_id").as("doc_a"), col("sz").as("sa"),
+      col("p").as("pa"), col("sh"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("sz").as("sb"),
+      col("p").as("pb"), col("sh"))
+    a.join(b, "sh")
       .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("sa"), col("sb")).cast("double")
+        >= lit(t) * greatest(col("sa"), col("sb")))
+      .filter((lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")))
+        .cast("double")
+        >= ceil(lit(t / (1 + t)) * (col("sa") + col("sb"))))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
   /** Attach exact Jaccard to candidate pairs and filter at `thr`. The
     * intersection join is keyed on (doc, shingle) pairs — no blowup
-    * beyond actually-shared shingles. `sizes` is (doc_id, sz) from the
-    * caller's existing per-doc aggregate (no extra exchange). */
-  private def jaccardOf(cand: DataFrame, shd: DataFrame, sizes: DataFrame,
+    * beyond actually-shared shingles. Both the posting rows and the set
+    * sizes derive from the one materialized per-doc index. */
+  private def jaccardOf(cand: DataFrame, byDoc: DataFrame,
       thr: Double): DataFrame = {
-    val shp = shd.filter(col("df") >= 2).select(col("doc_id"), col("sh"))
+    val sizes = byDoc.select(col("doc_id"), col("sz"))
+    val shp = postings(byDoc).filter(col("df") >= 2)
+      .select(col("doc_id"), col("sh"))
     val inter = cand
       .join(shp.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
       .join(shp.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
@@ -160,10 +188,8 @@ object DedupOps {
     // inverted-index self-join on frequent shingles disappears. The few
     // surviving candidates are then verified with exact Jaccard.
     "d03_ngram_jaccard_pairs" -> ((s, d) => {
-      val shd = docFreqIndex(s, d)
-      val byDoc = byDocIndex(shd)
-      jaccardOf(prefixCandidates(byDoc, 0.8), shd,
-        byDoc.select(col("doc_id"), col("sz")), 0.8)
+      val byDoc = byDocIndex(s, d)
+      jaccardOf(prefixCandidates(byDoc, 0.8), byDoc, 0.8)
     }),
 
     // MinHash + banded LSH near-dup: 64 permutations (xxhash64 seeded by
@@ -171,16 +197,15 @@ object DedupOps {
     // This is the scale path: candidate generation touches only
     // band-hash collisions.
     "d04_minhash_lsh_dedup" -> ((s, d) => {
-      val shd = docFreqIndex(s, d)
+      val byDoc = byDocIndex(s, d)
       val nHashes = 64
       val bandRows = 4
-      // the signature aggregate doubles as the size lookup (count rides
-      // along in the same exchange); materialized — one row per doc
+      // signatures from the re-exploded index: rows arrive already
+      // doc_id-partitioned, so this groupBy plans WITHOUT an exchange
       val mins: Seq[Column] = (0 until nHashes).map(i =>
-        min(xxhash64(lit(i), col("sh"))).as(s"h$i")) :+
-        count(lit(1)).as("sz")
-      val sig = shd.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-        .localCheckpoint(true)
+        min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      val sig = postings(byDoc)
+        .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       val bands: Column = array((0 until nHashes / bandRows).map { b =>
         struct(lit(b).as("band"),
           xxhash64((b * bandRows until (b + 1) * bandRows)
@@ -193,7 +218,7 @@ object DedupOps {
           Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      jaccardOf(cand, shd, sig.select(col("doc_id"), col("sz")), 0.8)
+      jaccardOf(cand, byDoc, 0.8)
     }),
 
     // Near-dup CLUSTERING: connected components over the verified
@@ -215,10 +240,8 @@ object DedupOps {
     // hit with changes still pending we THROW: an unconverged labelling
     // must never pass silently as a clustering.
     "d07_neardup_components" -> ((s, d) => {
-      val shd = docFreqIndex(s, d)
-      val byDoc = byDocIndex(shd)
-      val pairs = jaccardOf(prefixCandidates(byDoc, 0.8), shd,
-        byDoc.select(col("doc_id"), col("sz")), 0.8)
+      val byDoc = byDocIndex(s, d)
+      val pairs = jaccardOf(prefixCandidates(byDoc, 0.8), byDoc, 0.8)
         .select(col("doc_a"), col("doc_b"))
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"),
