@@ -1,0 +1,142 @@
+package graft
+
+import graft.functions.{PackedTrigrams, QuantileSketchBuffer, TopKBuffer}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (JVM-level, no SparkSession — fast) for the custom
+  * primitives: buffer sketches against naive models under random streams
+  * and merge trees, trigram packing against the sliding-window model,
+  * and — most importantly — the ZERO-RECALL-LOSS theorem behind the
+  * PPJoin candidate filters: on random corpora, every pair at
+  * Jaccard >= t must survive prefix + length + positional filtering.
+  */
+class GraftPropertiesSpec extends AnyFunSuite {
+
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  // --- TopKBuffer -------------------------------------------------------
+
+  private val streamGen: Gen[List[(Double, Long)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(-5.0, 5.0), Gen.chooseNum(0L, 30L)))
+
+  test("TopKBuffer equals naive top-k under random streams and merges") {
+    forAllSeeded(Gen.zip(streamGen, streamGen, Gen.chooseNum(1, 6))) {
+      case (s1, s2, k) =>
+        val direct = new TopKBuffer(k)
+        (s1 ++ s2).foreach { case (v, id) => direct.add(v, id) }
+        val left = new TopKBuffer(k)
+        s1.foreach { case (v, id) => left.add(v, id) }
+        val right = new TopKBuffer(k)
+        s2.foreach { case (v, id) => right.add(v, id) }
+        right.entries.foreach { case (v, id) => left.add(v, id) }
+        val model = (s1 ++ s2)
+          .sortBy { case (v, id) => (-v, id) }.take(k)
+        assert(direct.entries == model)
+        assert(left.entries == model, "merge must equal single-stream")
+    }
+  }
+
+  // --- QuantileSketchBuffer --------------------------------------------
+
+  test("QuantileSketchBuffer is the bottom-k DISTINCT (hash, value) set, " +
+      "independent of order and merge tree") {
+    val pairGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(0L, 9L)))
+    forAllSeeded(Gen.zip(pairGen, pairGen, Gen.chooseNum(1, 8))) {
+      case (s1, s2, k) =>
+        val direct = new QuantileSketchBuffer(k)
+        (s1 ++ s2).foreach { case (h, v) => direct.add(h, v) }
+        val a = new QuantileSketchBuffer(k)
+        s1.reverse.foreach { case (h, v) => a.add(h, v) }
+        val b = new QuantileSketchBuffer(k)
+        s2.foreach { case (h, v) => b.add(h, v) }
+        b.entries.foreach { case (h, v) => a.add(h, v) }
+        val model = (s1 ++ s2).distinct.sorted.take(k)
+        assert(direct.entries.toList == model)
+        assert(a.entries.toList == model,
+          "reversed + merged must equal single-pass")
+    }
+  }
+
+  // --- PackedTrigrams ---------------------------------------------------
+
+  test("PackedTrigrams.pack equals the sliding-window model and " +
+      "unpack inverts it, over random unicode strings") {
+    val cpGen = Gen.frequency(
+      8 -> Gen.chooseNum(32, 126),
+      2 -> Gen.chooseNum(0x80, 0x2FFF),
+      1 -> Gen.chooseNum(0x10000, 0x10FFF)) // supplementary plane
+    val strGen = Gen.listOf(cpGen).map(cps =>
+      new String(cps.toArray, 0, cps.length))
+    forAllSeeded(strGen) { s =>
+      val packed = PackedTrigrams.pack(UTF8String.fromString(s))
+      val cps = s.codePoints().toArray
+      val model = cps.sliding(3).filter(_.length == 3)
+        .map(w => new String(w, 0, 3)).toList
+      val got = (0 until packed.numElements())
+        .map(i => PackedTrigrams.unpack(packed.getLong(i))).toList
+      assert(got == model)
+    }
+  }
+
+  // --- PPJoin filter recall --------------------------------------------
+
+  /** Model of DedupOps.prefixCandidates' pruning rules on an explicit
+    * corpus: returns the candidate pairs the filters admit. */
+  private def candidateModel(corpus: Vector[Set[Int]], t: Double)
+      : Set[(Int, Int)] = {
+    val df = corpus.flatMap(_.toSeq).groupBy(identity).map {
+      case (sh, occ) => sh -> occ.size
+    }
+    // global rarest-first total order: (df asc, shingle asc)
+    val sorted = corpus.map(s =>
+      s.toVector.sortBy(sh => (df(sh), sh)))
+    val prefixes = sorted.map { l =>
+      val keep = l.size - math.ceil(t * l.size).toInt + 1
+      l.take(keep).zipWithIndex // (shingle, 0-based position)
+        .filter { case (sh, _) => df(sh) >= 2 }
+    }
+    val out = scala.collection.mutable.Set.empty[(Int, Int)]
+    for {
+      i <- corpus.indices; j <- corpus.indices if i < j
+      (sh, pi) <- prefixes(i)
+      pj <- prefixes(j).collectFirst { case (`sh`, p) => p }
+    } {
+      val (sa, sb) = (corpus(i).size, corpus(j).size)
+      val lengthOk = math.min(sa, sb).toDouble >= t * math.max(sa, sb)
+      val bound = 1 + math.min(sa - (pi + 1), sb - (pj + 1))
+      val needed = math.ceil(t / (1 + t) * (sa + sb))
+      if (lengthOk && bound >= needed) out += ((i, j))
+    }
+    out.toSet
+  }
+
+  test("PPJoin prefix + length + positional filters never drop a pair " +
+      "with Jaccard >= t (zero recall loss on random corpora)") {
+    val setGen = Gen.chooseNum(3, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 40)).map(_.toSet))
+    val corpusGen = Gen.chooseNum(4, 15).flatMap(n =>
+      Gen.listOfN(n, setGen).map(_.toVector))
+    val tGen = Gen.oneOf(0.5, 0.7, 0.8, 0.9)
+    var qualifying = 0
+    forAllSeeded(Gen.zip(corpusGen, tGen), n = 300) { case (corpus, t) =>
+      val cands = candidateModel(corpus, t)
+      for (i <- corpus.indices; j <- corpus.indices if i < j) {
+        val inter = (corpus(i) & corpus(j)).size
+        val un = (corpus(i) | corpus(j)).size
+        if (un > 0 && inter.toDouble / un >= t) {
+          qualifying += 1
+          assert(cands.contains((i, j)),
+            s"pair ($i,$j) J=${inter.toDouble / un} >= $t dropped; " +
+              s"corpus=$corpus")
+        }
+      }
+    }
+    assert(qualifying > 50, s"property under-exercised: $qualifying pairs")
+  }
+}
