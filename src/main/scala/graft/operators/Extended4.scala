@@ -145,6 +145,24 @@ object Extended4 {
             / (col("n") * lit(100L)).cast("double"))
         .select(col("l_returnflag"), col("n"), col("slope"), col("intercept"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Unpivot (melt): the inverse of q27's pivot — wide per-type count
+    // columns back to (bucket, event_type, n) long form, zero-filled
+    // cells included. Pivot/unpivot round-trip pins both directions of
+    // the reshape family; unpivot is a zero-shuffle per-row expansion.
+    "q59_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, d)
+        .withColumn("bucket", pmod(col("user_id"), lit(10)))
+        .groupBy(col("bucket"))
+        .pivot("event_type", types)
+        .count()
+      p.select(col("bucket") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .unpivot(Array(col("bucket")), types.map(col).toArray,
+          "event_type", "n")
+        .orderBy(col("bucket"), col("event_type"))
     })
   )
 
@@ -209,6 +227,17 @@ object Extended4 {
              - (CAST(n * sxy - sx * sy AS DOUBLE)
                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
              / CAST(n * 100 AS DOUBLE) AS intercept
-         FROM a ORDER BY l_returnflag"""
+         FROM a ORDER BY l_returnflag""",
+
+    "q59_unpivot" ->
+      """WITH b AS (SELECT DISTINCT user_id % 10 AS bucket FROM events),
+         t AS (SELECT UNNEST(['click','error','purchase','signup','view'])
+                 AS event_type),
+         c AS (SELECT user_id % 10 AS bucket, event_type, COUNT(1) AS n
+               FROM events GROUP BY 1, 2)
+         SELECT b.bucket, t.event_type, COALESCE(c.n, 0) AS n
+         FROM b CROSS JOIN t
+         LEFT JOIN c ON c.bucket = b.bucket AND c.event_type = t.event_type
+         ORDER BY b.bucket, t.event_type"""
   )
 }
