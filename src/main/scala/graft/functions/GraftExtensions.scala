@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.Decimal
   * (local/test convenience).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }
 
 object GraftFunctions {
@@ -54,10 +56,16 @@ object GraftFunctions {
         intArg(exprs(2), "quantile_sketch"),
         exprs.drop(3).map(doubleArg(_, "quantile_sketch")))))
 
-  /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session: SQL functions plus the
+    * dot-product rewrite (via the experimental-methods hook, the only
+    * post-construction optimizer extension point). */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "built-in")
     }
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraOptimizations.contains(DotProductRewrite))
+      em.extraOptimizations = em.extraOptimizations :+ DotProductRewrite
+  }
 }
