@@ -151,6 +151,30 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Fuzzy near-dup pairs by bounded edit distance with PREFIX
+    // BLOCKING: candidates share (lang, first word) — the classic
+    // record-linkage blocking step, an equi-keyed join at any scale —
+    // then exact levenshtein over the 400-char head, kept at <= 60.
+    // The missing dedup flavor next to token-set Jaccard (d03) and
+    // bit-fingerprint hamming (d05): edit distance catches in-place
+    // character edits those miss.
+    "t09_fuzzy_blocked_pairs" -> ((s, d) => {
+      val b = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          split(trim(col("text")), " ").getItem(0).as("blk"),
+          substring(col("text"), 1, 400).as("head"))
+      val a = b.select(col("doc_id").as("doc_a"), col("lang"), col("blk"),
+        col("head").as("ha"))
+      val c = b.select(col("doc_id").as("doc_b"), col("lang"), col("blk"),
+        col("head").as("hb"))
+      a.join(c, Seq("lang", "blk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("lev", levenshtein(col("ha"), col("hb")))
+        .filter(col("lev") <= 60)
+        .select(col("doc_a"), col("doc_b"), col("lev"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Position-weighted rolling fingerprint over tokens — a polynomial
     // rolling hash computed with identical integer arithmetic in both
     // engines (sum of token_length * 31^(i mod 8) mod 2^31-1).
@@ -265,6 +289,17 @@ object TextOps {
          WHERE bucket < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25
                              ELSE 10 END
          ORDER BY doc_id""",
+
+    "t09_fuzzy_blocked_pairs" ->
+      """WITH b AS (SELECT doc_id, lang,
+           string_split(TRIM(text), ' ')[1] AS blk,
+           substring(text, 1, 400) AS head FROM documents)
+         SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(a.head, c.head) AS INT) AS lev
+         FROM b a JOIN b c
+           ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
+         WHERE levenshtein(a.head, c.head) <= 60
+         ORDER BY doc_a, doc_b""",
 
     "t04_rolling_fingerprint" ->
       """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
