@@ -125,19 +125,28 @@ object Extended3 {
 
     // Exact top-3 neighbors via the mergeable top-k aggregate: identical
     // output to e02, but the O(n²) pair stream is reduced map-side — the
-    // exchange moves ≤ k entries per vector.
+    // exchange moves ≤ k entries per vector. Symmetry halves the float
+    // work: each unordered pair is joined ONCE (a < b), the cosine is
+    // computed once, and the pair then fans into both endpoints' top-k
+    // groups (cos(a,b) = cos(b,a)).
     "e04_ann_topk_partial" -> ((s, d) => {
       val v = Similarity.vecs(s, d)
-      val a = v.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-      val b = v.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+      val a = v.select(col("vec_id").as("ia"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("ib"), col("v").as("vb"),
         col("nrm").as("nb"))
-      a.join(b, col("vec_id") =!= col("neighbor_id"))
+      a.join(b, col("ia") < col("ib"))
         .withColumn("cos",
           graft.functions.VectorFunctions.dotProduct(col("va"), col("vb"))
             / (col("na") * col("nb")))
-        .groupBy(col("vec_id"))
+        .select(explode(array(
+          struct(col("ia").as("vec_id"), col("ib").as("neighbor_id"),
+            col("cos")),
+          struct(col("ib").as("vec_id"), col("ia").as("neighbor_id"),
+            col("cos")))).as("e"))
+        .groupBy(col("e.vec_id").as("vec_id"))
         .agg(graft.functions.TopKFunctions.topK(
-          col("cos"), col("neighbor_id"), 3).as("t"))
+          col("e.cos"), col("e.neighbor_id"), 3).as("t"))
         .select(col("vec_id"), posexplode(col("t")))
         .select(col("vec_id"), (col("pos") + 1).cast("int").as("rank"),
           col("col.id").as("neighbor_id"), col("col.value").as("cos"))
