@@ -161,6 +161,72 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Min-label connected components over an undirected pair graph:
+    * distributed label propagation WITH PATH HALVING. Each round
+    * (a) takes the min label over graph neighbours (one shuffle join +
+    * groupBy-min) and (b) shortcuts lbl -> labels[lbl] (one more join
+    * on the labels table). Labels are monotone non-increasing and
+    * always point at a node whose own label is <= it, so (b) is
+    * exactly pointer-jumping: the distance to the component minimum at
+    * least halves per round, giving O(log diameter) rounds even for
+    * adversarial chains — at 100 TB a 10^6-node path converges in ~20
+    * rounds where plain propagation needs 10^6 (the property is pinned
+    * empirically by ConnectedComponentsSpec on a 1024-node path).
+    * Edges are checkpointed eagerly so the upstream pipeline runs
+    * ONCE, not once per iteration; label frontiers are checkpointed
+    * per round to sever lineage (iterative-algorithm hygiene at
+    * scale). If the round cap is hit with changes still pending we
+    * THROW: an unconverged labelling must never pass silently as a
+    * clustering.
+    *
+    * @param nodes one column: the node id (numeric/orderable)
+    * @param pairs two columns doc_a, doc_b — undirected edges
+    * @return (labels (doc_id, lbl = component min), rounds used)
+    */
+  private[graft] def connectedComponents(nodes: DataFrame,
+      pairs: DataFrame, maxIters: Int = 60): (DataFrame, Int) = {
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = nodes
+      .select(col(nodes.columns.head).as("doc_id"),
+        col(nodes.columns.head).as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"),
+          col("lbl").as("nlbl")), "doc_b")
+        .groupBy(col("doc_a")).agg(min(col("nlbl")).as("minn"))
+      val viaNbr = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("doc_a"), "left")
+        .select(col("doc_id"), col("lbl"),
+          least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lblN"))
+      // path halving: jump to the label's own current label
+      // (labels[x] <= x by monotonicity, so least() just guards nulls)
+      val stepped = viaNbr
+        .join(labels.select(col("doc_id").as("jmp_id"),
+          col("lbl").as("jmp_lbl")), viaNbr("lblN") === col("jmp_id"), "left")
+        .select(col("doc_id"), col("lbl"),
+          least(col("lblN"), coalesce(col("jmp_lbl"), col("lblN")))
+            .as("lbl2"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("lbl2") =!= col("lbl")).count()
+      val next = stepped.select(col("doc_id"), col("lbl2").as("lbl"))
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labels)
+      labels = next
+      iters += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents: label propagation did not converge " +
+          s"in $maxIters rounds ($changed labels still changing) — " +
+          s"refusing to return an unconverged clustering")
+    (labels, iters)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on full content; representative = min id.
     "d01_dedup_exact" -> ((s, d) => {
@@ -243,46 +309,9 @@ object DedupOps {
       val byDoc = byDocIndex(s, d)
       val pairs = jaccardOf(prefixCandidates(byDoc, 0.8), byDoc, 0.8)
         .select(col("doc_a"), col("doc_b"))
-      val edges = pairs
-        .union(pairs.select(col("doc_b").as("doc_a"),
-          col("doc_a").as("doc_b")))
-        .localCheckpoint(true)
-      var labels = Tables.documents(s, d)
-        .select(col("doc_id"), col("doc_id").as("lbl"))
-        .localCheckpoint(true)
-      var changed = 1L
-      var iters = 0
-      val maxIters = 60 // >= log2(any component diameter) with headroom
-      while (changed > 0 && iters < maxIters) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("doc_b"),
-            col("lbl").as("nlbl")), "doc_b")
-          .groupBy(col("doc_a")).agg(min(col("nlbl")).as("minn"))
-        val viaNbr = labels
-          .join(nbrMin, labels("doc_id") === nbrMin("doc_a"), "left")
-          .select(col("doc_id"), col("lbl"),
-            least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lblN"))
-        // path halving: jump to the label's own current label
-        // (labels[x] <= x by monotonicity, so least() just guards nulls)
-        val stepped = viaNbr
-          .join(labels.select(col("doc_id").as("jmp_id"),
-            col("lbl").as("jmp_lbl")), viaNbr("lblN") === col("jmp_id"), "left")
-          .select(col("doc_id"), col("lbl"),
-            least(col("lblN"), coalesce(col("jmp_lbl"), col("lblN")))
-              .as("lbl2"))
-          .localCheckpoint(true)
-        changed = stepped.filter(col("lbl2") =!= col("lbl")).count()
-        val next = stepped.select(col("doc_id"), col("lbl2").as("lbl"))
-        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labels)
-        labels = next
-        iters += 1
-      }
-      if (changed > 0)
-        throw new IllegalStateException(
-          s"d07_neardup_components: label propagation did not converge " +
-            s"in $maxIters rounds ($changed labels still changing) — " +
-            s"refusing to return an unconverged clustering")
-      labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
+      val nodes = Tables.documents(s, d).select(col("doc_id"))
+      connectedComponents(nodes, pairs)._1
+        .select(col("doc_id"), col("lbl").as("cluster_rep"))
         .orderBy(col("doc_id"))
     }),
 
