@@ -135,15 +135,25 @@ case class QuantileSketchAggregate(
 }
 
 /** Bottom-k set of (hash, value) pairs, distinct, ordered ascending.
-  * TreeSet gives O(log k) insert with cheap max eviction. */
+  * TreeSet gives O(log k) insert with cheap max eviction; the current
+  * maximum is CACHED in two fields so the hot path (buffer full, row
+  * above the threshold — almost every row once warm) rejects with two
+  * primitive compares and zero allocation instead of a tuple alloc +
+  * O(log k) `set.last` per row. */
 final class QuantileSketchBuffer(val k: Int) {
   require(k >= 1, s"QuantileSketchBuffer: k must be >= 1, got $k")
   private val set = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+  private var maxH = Long.MaxValue
+  private var maxV = Long.MaxValue
+
+  private def refreshMax(): Unit =
+    if (set.size == k) { val m = set.last; maxH = m._1; maxV = m._2 }
 
   def add(h: Long, v: Long): Unit = {
-    if (set.size < k) { set.add((h, v)); () }
-    else if (Ordering[(Long, Long)].lt((h, v), set.last)) {
-      if (set.add((h, v))) { set.remove(set.last); () }
+    if (set.size < k) {
+      if (set.add((h, v))) refreshMax()
+    } else if (h < maxH || (h == maxH && v < maxV)) {
+      if (set.add((h, v))) { set.remove(set.last); refreshMax() }
     }
   }
 
