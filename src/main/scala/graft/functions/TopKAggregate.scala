@@ -99,19 +99,31 @@ case class TopKAggregate(
 }
 
 /** Mutable top-k buffer ordered by (value desc, id asc). Small k: a
-  * sorted array with binary-free insertion is fine (k entries max). */
+  * sorted list with linear insertion is fine (k entries max). The
+  * worst retained entry is CACHED in two primitive fields so the hot
+  * path (buffer full, row below threshold — almost every row of an
+  * O(n²) pair scan once warm) rejects with two compares and zero
+  * allocation. */
 final class TopKBuffer(val k: Int) {
   require(k >= 1, s"TopKBuffer: k must be >= 1, got $k")
   private var items: List[(Double, Long)] = Nil
+  private var count = 0
+  private var worstV = Double.NaN // defined only when count == k
+  private var worstId = 0L
 
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
   def add(v: Double, id: Long): Unit = {
+    if (count == k && !(v > worstV || (v == worstV && id < worstId))) return
     val e = (v, id)
-    if (items.size < k || better(e, items.last)) {
-      val (before, after) = items.span(better(_, e))
-      items = (before ::: (e :: after)).take(k)
+    val (before, after) = items.span(better(_, e))
+    items = (before ::: (e :: after)).take(k)
+    count = math.min(count + 1, k)
+    if (count == k) {
+      val last = items.last
+      worstV = last._1
+      worstId = last._2
     }
   }
 
