@@ -147,6 +147,66 @@ object Extended4 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Time-series gap-fill with last-observation-carried-forward: an
+    // hourly grid per user (that user's own [min, max] hour range, via
+    // sequence+explode — no driver-side loop) left-joined with hourly
+    // rollups; missing hours get n = 0 and the LOCF event id through a
+    // last-ignoreNulls running window. All carried values are
+    // integers/strings, so the fill is bit-deterministic. Scale shape:
+    // one groupBy for the rollup, one window partitioned by user — the
+    // grid explode is row-local.
+    "q60_gapfill_locf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+        .withColumn("hr", date_trunc("hour", col("ts")))
+      val hourly = e.groupBy(col("user_id"), col("hr"))
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("last_eid"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("user_id"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val types = Tables.events(s, d)
+        .select(col("event_id").as("locf_eid"),
+          col("event_type").as("locf_type"))
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("locf_eid",
+          last(col("last_eid"), ignoreNulls = true).over(w))
+        .join(types, Seq("locf_eid"))
+        .select(col("user_id"), col("hr"), col("n"), col("locf_eid"),
+          col("locf_type"))
+        .orderBy(col("user_id"), col("hr"))
+    }),
+
+    // Sequential funnel (MATCH_RECOGNIZE-style ordered pattern): first
+    // view, then the first click strictly after it, then the first
+    // purchase strictly after that — per user, with the end-to-end
+    // minutes. Three conditional min-aggregations, each an equi-keyed
+    // join + groupBy; deterministic because every step takes a MIN.
+    "q61_funnel_steps" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      def firstAfter(df: DataFrame, typ: String, prev: DataFrame,
+          prevTs: String, outTs: String): DataFrame =
+        df.filter(col("event_type") === typ)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevTs))
+          .groupBy(col("user_id"), col(prevTs))
+          .agg(min(col("ts")).as(outTs))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val c = firstAfter(e, "click", v, "view_ts", "click_ts")
+      val p = firstAfter(e, "purchase", c, "click_ts", "purchase_ts")
+      v.join(p, "user_id")
+        .select(col("user_id"), col("view_ts"), col("click_ts"),
+          col("purchase_ts"),
+          ((expr("unix_micros(CAST(purchase_ts AS TIMESTAMP))")
+            - expr("unix_micros(CAST(view_ts AS TIMESTAMP))"))
+            / lit(60000000L)).cast("long").as("mins_view_to_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     // Unpivot (melt): the inverse of q27's pivot — wide per-type count
     // columns back to (bucket, event_type, n) long form, zero-filled
     // cells included. Pivot/unpivot round-trip pins both directions of
@@ -228,6 +288,45 @@ object Extended4 {
                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
              / CAST(n * 100 AS DOUBLE) AS intercept
          FROM a ORDER BY l_returnflag""",
+
+    "q60_gapfill_locf" ->
+      """WITH e AS (SELECT *, date_trunc('hour', ts) AS hr FROM events),
+         hourly AS (SELECT user_id, hr, COUNT(1) AS n,
+                      MAX(event_id) AS last_eid
+                    FROM e GROUP BY 1, 2),
+         bounds AS (SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi
+                    FROM hourly GROUP BY 1),
+         grid AS (SELECT user_id,
+                    UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                  FROM bounds),
+         filled AS (SELECT g.user_id, g.hr, COALESCE(h.n, 0) AS n,
+                      last_value(h.last_eid IGNORE NULLS) OVER (
+                        PARTITION BY g.user_id ORDER BY g.hr
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS locf_eid
+                    FROM grid g LEFT JOIN hourly h
+                      ON h.user_id = g.user_id AND h.hr = g.hr)
+         SELECT f.user_id, f.hr, f.n, f.locf_eid,
+                e2.event_type AS locf_type
+         FROM filled f JOIN events e2 ON e2.event_id = f.locf_eid
+         ORDER BY f.user_id, f.hr""",
+
+    "q61_funnel_steps" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, v.view_ts, MIN(e.ts) AS click_ts
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.view_ts
+               GROUP BY e.user_id, v.view_ts),
+         p AS (SELECT e.user_id, c.click_ts, MIN(e.ts) AS purchase_ts
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+               GROUP BY e.user_id, c.click_ts)
+         SELECT v.user_id, v.view_ts, p.click_ts, p.purchase_ts,
+                (epoch_us(p.purchase_ts) - epoch_us(v.view_ts)) // 60000000
+                  AS mins_view_to_purchase
+         FROM v JOIN p ON p.user_id = v.user_id
+         ORDER BY v.user_id""",
 
     "q59_unpivot" ->
       """WITH b AS (SELECT DISTINCT user_id % 10 AS bucket FROM events),
