@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.SparkSpec
+import graft.sources.{InMemoryShardService, RawShardRecord, ShardServiceRegistry}
+import org.apache.spark.sql.functions._
+
+/** End-to-end integration of the two halves of the engine: documents
+  * arriving through the graft-kinesis DSv2 source are content-
+  * fingerprinted (d02's md5) and exact-deduped ON THE STREAM with
+  * `dropDuplicates` — the streaming form of d01, keeping the FIRST
+  * arrival of each distinct payload across micro-batches and shards.
+  * This is the "dedup at ingest time" shape of a training-data
+  * pipeline: state is keyed by fingerprint (bounded by distinct
+  * content, watermark-evictable in production), and offsets advance
+  * independently of duplicate density.
+  */
+class StreamingDedupPipelineSpec extends SparkSpec {
+
+  test("streamed exact dedup keeps the first arrival of each distinct " +
+      "payload across batches and shards") {
+    val texts = Seq("alpha doc", "beta doc", "alpha doc", "gamma doc",
+      "beta doc", "alpha doc", "delta doc", "gamma doc")
+    val svc = new InMemoryShardService("dedup-stream",
+      Seq("shard-0", "shard-1"))
+    // duplicates deliberately straddle shards AND positions: content i
+    // goes to shard i%2 at per-shard increasing seq
+    val perShardSeq = scala.collection.mutable.Map(
+      "shard-0" -> 0L, "shard-1" -> 0L)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val shard = s"shard-${i % 2}"
+      val seq = perShardSeq(shard) + 1
+      perShardSeq(shard) = seq
+      svc.append(shard, RawShardRecord.single(shard, BigInt(seq),
+        1700000000000000L + i, t.getBytes(UTF_8)))
+    }
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val name = s"dedup_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("graft-kinesis")
+      .option("service.id", id)
+      // small batches so duplicates arrive in DIFFERENT micro-batches
+      .option("max-records-per-shard", "1")
+      .load()
+      .selectExpr("shardId", "CAST(seqNo AS LONG) AS seq",
+        "CAST(data AS STRING) AS text")
+      .withColumn("fp", md5(encode(col("text"), "UTF-8")))
+      .dropDuplicates("fp")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // exactly one row per distinct text
+    assert(out.map(_._3).sorted.toSeq ==
+      Seq("alpha doc", "beta doc", "delta doc", "gamma doc"))
+    // and it is the FIRST arrival: texts 0..3 are the first occurrences,
+    // landing at shard i%2 seq (i/2)+1
+    val byText = out.map(t => t._3 -> ((t._1, t._2))).toMap
+    assert(byText("alpha doc") == (("shard-0", 1L)))
+    assert(byText("beta doc") == (("shard-1", 1L)))
+    assert(byText("gamma doc") == (("shard-1", 2L)))
+    assert(byText("delta doc") == (("shard-0", 4L)))
+  }
+}
