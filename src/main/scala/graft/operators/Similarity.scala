@@ -66,6 +66,41 @@ object Similarity {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // IVF with multi-probe (nprobe = 2): each query vector searches its
+    // TWO nearest cells instead of one — the standard IVF recall knob
+    // (a near-boundary query recovers neighbors assigned to the cell
+    // just across the boundary). Ownership stays single-cell; only the
+    // probe set widens, so the candidate space scales linearly with
+    // nprobe and the plan shape is identical to e03: broadcast
+    // centroid assignment, equi join on cell, top-1 by exact cosine.
+    "e06_ann_ivf_nprobe" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = vecs(s, d)
+      val cents = v.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val ranked = v.join(broadcast(cents), lit(true))
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crk", row_number().over(wAssign))
+      val assigned = ranked.filter(col("crk") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+          col("nrm").as("nb"), col("cent_id").as("cell"))
+      val probes = ranked.filter(col("crk") <= 2)
+        .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"),
+          col("cent_id").as("cell"))
+      val wNb = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      probes.join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("rk", row_number().over(wNb))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("neighbor_id"), col("cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF-style ANN: nearest of the deterministic coarse centroids
     // (vec_id % 50 == 0) -> cell assignment (broadcast join), then top-1
     // neighbor within the cell only.
@@ -120,6 +155,25 @@ object Similarity {
                     ORDER BY $cosExpr DESC, b.vec_id) AS rank
            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
          WHERE rank <= 3 ORDER BY vec_id, rank""",
+
+    "e06_ann_ivf_nprobe" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         ranked AS (
+           SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY $cosExpr DESC, b.cent_id) AS crk
+           FROM embeddings a CROSS JOIN cents b)
+         SELECT vec_id, neighbor_id, cos FROM (
+           SELECT a.vec_id, b.vec_id AS neighbor_id, $cosExpr AS cos,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY $cosExpr DESC, b.vec_id) AS rk
+           FROM (SELECT vec_id, embedding, cell FROM ranked
+                 WHERE crk <= 2) a
+           JOIN (SELECT vec_id, embedding, cell FROM ranked
+                 WHERE crk = 1) b
+             ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         WHERE rk = 1 ORDER BY vec_id""",
 
     "e03_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
