@@ -18,6 +18,7 @@ class PlanLintSpec extends SparkSpec {
     "e01_cosine_pairs", // brute-force ground truth (vec_a < vec_b)
     "e02_ann_topk_bruteforce", // brute-force ground truth (!=)
     "e03_ann_ivf", // broadcast coarse-centroid assignment (cross, O(cents))
+    "e06_ann_ivf_nprobe", // same centroid assignment, nprobe = 2
     "d06_embedding_neardup", // brute-force ground truth (dup_of < vec_id)
     "e04_ann_topk_partial") // brute-force pair scan (!=), reduced map-side
 
