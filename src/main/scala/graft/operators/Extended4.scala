@@ -159,22 +159,24 @@ object Extended4 {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)
         .withColumn("hr", date_trunc("hour", col("ts")))
+      // the hourly rollup carries the last event's TYPE via max_by, so
+      // no second events scan / row-level join is needed downstream —
+      // both LOCF columns ride the same window pass
       val hourly = e.groupBy(col("user_id"), col("hr"))
-        .agg(count(lit(1)).as("n"), max(col("event_id")).as("last_eid"))
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("last_eid"),
+          max_by(col("event_type"), col("event_id")).as("last_type"))
       val grid = hourly.groupBy(col("user_id"))
         .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
         .select(col("user_id"),
           explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val types = Tables.events(s, d)
-        .select(col("event_id").as("locf_eid"),
-          col("event_type").as("locf_type"))
       grid.join(hourly, Seq("user_id", "hr"), "left")
         .withColumn("n", coalesce(col("n"), lit(0L)))
         .withColumn("locf_eid",
           last(col("last_eid"), ignoreNulls = true).over(w))
-        .join(types, Seq("locf_eid"))
+        .withColumn("locf_type",
+          last(col("last_type"), ignoreNulls = true).over(w))
         .select(col("user_id"), col("hr"), col("n"), col("locf_eid"),
           col("locf_type"))
         .orderBy(col("user_id"), col("hr"))
@@ -292,24 +294,22 @@ object Extended4 {
     "q60_gapfill_locf" ->
       """WITH e AS (SELECT *, date_trunc('hour', ts) AS hr FROM events),
          hourly AS (SELECT user_id, hr, COUNT(1) AS n,
-                      MAX(event_id) AS last_eid
+                      MAX(event_id) AS last_eid,
+                      arg_max(event_type, event_id) AS last_type
                     FROM e GROUP BY 1, 2),
          bounds AS (SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi
                     FROM hourly GROUP BY 1),
          grid AS (SELECT user_id,
                     UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
-                  FROM bounds),
-         filled AS (SELECT g.user_id, g.hr, COALESCE(h.n, 0) AS n,
-                      last_value(h.last_eid IGNORE NULLS) OVER (
-                        PARTITION BY g.user_id ORDER BY g.hr
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS locf_eid
-                    FROM grid g LEFT JOIN hourly h
-                      ON h.user_id = g.user_id AND h.hr = g.hr)
-         SELECT f.user_id, f.hr, f.n, f.locf_eid,
-                e2.event_type AS locf_type
-         FROM filled f JOIN events e2 ON e2.event_id = f.locf_eid
-         ORDER BY f.user_id, f.hr""",
+                  FROM bounds)
+         SELECT g.user_id, g.hr, COALESCE(h.n, 0) AS n,
+                last_value(h.last_eid IGNORE NULLS) OVER w AS locf_eid,
+                last_value(h.last_type IGNORE NULLS) OVER w AS locf_type
+         FROM grid g LEFT JOIN hourly h
+           ON h.user_id = g.user_id AND h.hr = g.hr
+         WINDOW w AS (PARTITION BY g.user_id ORDER BY g.hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY g.user_id, g.hr""",
 
     "q61_funnel_steps" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
