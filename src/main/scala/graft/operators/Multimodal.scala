@@ -157,6 +157,27 @@ object Multimodal {
         .orderBy(col("codec"))
     }),
 
+    // Media dedup by content fingerprint: the binary-payload twin of
+    // d01 — identical payload bytes collapse to one representative
+    // (min doc_id) with a copy count. This is the "dedup images/audio
+    // across a crawl" step: the groupBy key is the md5 of the OPAQUE
+    // payload, so it works for any modality without decoding, and the
+    // shuffle moves 32-hex fingerprints, not payloads.
+    "m06_multimodal_dedup" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaIn]
+        .mapPartitions(_.map(MultimodalStub.decode))
+        .toDF()
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(col("n_bytes")).as("n_bytes"),
+          count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("fp"), col("n_bytes"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
     // One-record-to-many-frames sampling stage (generator shape).
     "m04_multimodal_frames" -> ((s, d) => {
       import s.implicits._
@@ -221,6 +242,12 @@ object Multimodal {
                 CAST(SUM(height) AS DOUBLE) / COUNT(1) AS avg_height,
                 CAST(MAX(duration_ms) AS INT) AS max_duration_ms
          FROM h GROUP BY codec ORDER BY codec""",
+
+    "m06_multimodal_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, MD5(text) AS fp,
+         CAST(MIN(OCTET_LENGTH(CAST(text AS BLOB))) AS INT) AS n_bytes,
+         COUNT(1) AS n_copies
+         FROM documents GROUP BY MD5(text) ORDER BY doc_id""",
 
     // documents.text is ASCII, so char-based SUBSTR == byte slicing
     "m04_multimodal_frames" ->
