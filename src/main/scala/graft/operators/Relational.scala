@@ -81,15 +81,17 @@ object Relational {
     }),
 
     // TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
-    // customer/orders broadcast; lineitem streams. Top-k = sort+limit,
-    // which Spark executes as per-partition TakeOrdered (no full sort).
+    // customer (true dim) broadcast; orders is fact-proportional, so no
+    // hint — AQE sizes the lineitem⋈orders edge (SMJ/shuffled-hash at
+    // scale, broadcast only if the runtime stats say it fits). Top-k =
+    // sort+limit, which Spark executes as per-partition TakeOrdered.
     "q04_topk_revenue" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") < lit("1998-01-01"))
       val l = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1998-01-01"))
-      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -403,9 +405,11 @@ object Relational {
         .limit(20)
     }),
 
-    // TPC-H Q5 shape: 6-table star join. Dimensions (region, nation,
-    // supplier, customer) broadcast; orders/lineitem stream through —
-    // Catalyst + AQE pick the join order from sizes.
+    // TPC-H Q5 shape: 6-table star join. Only the fixed-cardinality
+    // dims (region = 5 rows, nation = 25 rows) carry a broadcast hint;
+    // customer/supplier/orders all grow with SF, so AQE sizes those
+    // edges at runtime (SMJ/shuffled-hash at 100 TB, broadcast only if
+    // the post-filter stats say a side fits under the threshold).
     "q35_regional_revenue" -> ((s, d) => {
       val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
       val n = Tables.nation(s, d)
@@ -415,9 +419,9 @@ object Relational {
           && col("o_orderdate") < lit("1998-01-01"))
       val l = Tables.lineitem(s, d)
       val sup = Tables.supplier(s, d)
-      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey")
           && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

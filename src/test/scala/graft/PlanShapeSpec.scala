@@ -185,6 +185,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q04/q35: fact-proportional sides carry no broadcast hint — with " +
+      "auto-broadcast off, only the hinted dims broadcast and the " +
+      "lineitem⋈orders edge shuffles (the 100 TB shape)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p4 = planOf("q04_topk_revenue")
+      // customer keeps its dim hint; orders must NOT be broadcast
+      assert(p4.contains("BroadcastHashJoin"), p4.take(1500))
+      assert(p4.contains("SortMergeJoin") || p4.contains("ShuffledHashJoin"),
+        s"orders edge must shuffle, not broadcast a fact table:\n${p4.take(1500)}")
+      val p35 = planOf("q35_regional_revenue")
+      assert(p35.contains("BroadcastHashJoin"), p35.take(1500))
+      assert(p35.contains("SortMergeJoin") || p35.contains("ShuffledHashJoin"),
+        s"orders/customer/supplier edges must shuffle:\n${p35.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      "10485760")
+  }
+
   test("sketch aggregates are SQL-callable: graft_topk and quantile_sketch " +
       "run from SQL text with literal k / percentile args") {
     graft.functions.GraftFunctions.register(spark)
