@@ -26,7 +26,10 @@ final class ShardServiceAsyncClient(
     service: InMemoryShardService,
     aggregationMaxCount: Int = 1) extends AsyncRecordClient {
 
-  private val shards = service.listShards().toIndexedSeq
+  // route over OPEN shards only: after a reshard, writes go to children
+  // (the closed parent rejects appends). One epoch snapshot per client —
+  // a writer constructed mid-reshard routes consistently for its task.
+  private val shards = service.openShards().toIndexedSeq
   // per-shard aggregation buffers of pending events
   private val buffers =
     mutable.Map.empty[String, mutable.ArrayBuffer[ProducerEvent]]

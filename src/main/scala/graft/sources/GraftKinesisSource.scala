@@ -174,12 +174,23 @@ final class GraftKinesisScan(options: Map[String, String],
       throw new IllegalArgumentException("option service.id required"))
     override def planInputPartitions(): Array[InputPartition] = {
       val service = ShardServiceRegistry.get(serviceId)
-      // key-routed shards resolve against the UNSORTED listShards() order
-      // — the exact IndexedSeq the producer transport routed over
-      val keyShards: Option[Set[String]] = allowedKeys.map { keys =>
-        val routed = service.listShards().toIndexedSeq
-        keys.map(k => KeyRouting.shardFor(k, routed))
+      // key-routing pruning is only sound while ONE routing epoch covers
+      // the whole stream: after a split/merge, records in closed parents
+      // (and in open shards written pre-reshard) were routed over a
+      // different shard list, so the current mapping can't prune them.
+      // Degrade to no key pruning the moment lineage metadata shows a
+      // reshard ever happened. shardId pushdown stays exact regardless.
+      val resharded = service.listShards().exists { s =>
+        val i = service.shardInfo(s); i.closed || i.parentIds.nonEmpty
       }
+      // key-routed shards resolve against the UNSORTED openShards() order
+      // — the exact IndexedSeq the producer transport routed over
+      val keyShards: Option[Set[String]] =
+        if (resharded) None
+        else allowedKeys.map { keys =>
+          val routed = service.openShards().toIndexedSeq
+          keys.map(k => KeyRouting.shardFor(k, routed))
+        }
       service.listShards().sorted
         .filter(s => allowedShards.forall(_.contains(s)) &&
           keyShards.forall(_.contains(s)))
@@ -295,6 +306,19 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
     throw new UnsupportedOperationException(
       "admission-control latestOffset(start, limit) is used")
 
+  /** Resharding lineage (KCL parent-before-child, reference
+    * it/consumer/ConsumerProcessingManagerIntegrationSpec.scala:33-69:
+    * a child shard's lease is only worked after the parent checkpoints
+    * SHARD_END): a parent is drained once it is closed AND the restored
+    * offset has consumed it to its current end.
+    */
+  private def parentDrained(from: Map[String, ShardPos], pid: String)
+      : Boolean = {
+    val info = service.shardInfo(pid)
+    info.closed && ShardPos.ordering.gteq(
+      from.getOrElse(pid, ShardPos.Beginning), service.latestPosition(pid))
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftShardOffsets].positions
     // shard discovery on every trigger: new shards (resharding) start at
@@ -303,25 +327,34 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
     val cap = perShardCap(limit)
     GraftShardOffsets(shards.map { s =>
       val f = from.getOrElse(s, ShardPos.Beginning)
-      // under AvailableNow, never read past the frozen end positions; a
-      // shard discovered after the freeze has no frozen end and is skipped
-      // entirely (AvailableNow's contract: only data available at start)
-      val next = availableNowEnd match {
-        case Some(frozen) => frozen.get(s) match {
-          case Some(end) =>
-            val n = cap match {
-              case Some(c) => service.positionAfter(s, f, c)
-              case None => service.latestPosition(s)
-            }
-            if (ShardPos.ordering.gt(n, end)) end else n
-          case None => f
+      // parent-before-child: a child advances only when every parent was
+      // already drained in the START offset. Gating on the start (not
+      // this trigger's end) matters — partitions within one micro-batch
+      // run in parallel with no cross-partition ordering, so the child
+      // may begin at the earliest one batch after its parents finish.
+      val gated = service.shardInfo(s).parentIds
+        .exists(p => !parentDrained(from, p))
+      if (gated) s -> f else {
+        // under AvailableNow, never read past the frozen end positions; a
+        // shard discovered after the freeze has no frozen end and is
+        // skipped entirely (AvailableNow: only data available at start)
+        val next = availableNowEnd match {
+          case Some(frozen) => frozen.get(s) match {
+            case Some(end) =>
+              val n = cap match {
+                case Some(c) => service.positionAfter(s, f, c)
+                case None => service.latestPosition(s)
+              }
+              if (ShardPos.ordering.gt(n, end)) end else n
+            case None => f
+          }
+          case None => cap match {
+            case Some(c) => service.positionAfter(s, f, c)
+            case None => service.latestPosition(s)
+          }
         }
-        case None => cap match {
-          case Some(c) => service.positionAfter(s, f, c)
-          case None => service.latestPosition(s)
-        }
+        s -> next
       }
-      s -> next
     }.toMap)
   }
 

@@ -56,6 +56,17 @@ object KeyRouting {
       scala.util.hashing.MurmurHash3.stringHash(partitionKey), shards.size))
 }
 
+/** Shard lineage + lifecycle, the resharding metadata a real ListShards
+  * response carries (ParentShardId/AdjacentParentShardId + an ending
+  * sequence number on closed shards). A split closes the parent and
+  * opens children with `parentIds = Seq(parent)`; a merge closes both
+  * parents and opens one child with both in `parentIds`.
+  */
+final case class ShardInfo(
+    shardId: String,
+    parentIds: Seq[String],
+    closed: Boolean)
+
 /** Pluggable shard transport — the seam where a real Kinesis client
   * (ListShards/GetShardIterator/GetRecords) plugs in. Implementations
   * must be cheap to construct per partition-reader from options; the
@@ -64,6 +75,15 @@ object KeyRouting {
 trait ShardService extends Serializable {
   def streamName: String
   def listShards(): Seq[String]
+  /** Lineage/lifecycle for one shard. Default: open, no parents — a
+    * service that never reshards needs nothing else. */
+  def shardInfo(shardId: String): ShardInfo =
+    ShardInfo(shardId, Nil, closed = false)
+  /** Shards currently accepting writes — the producer's routing domain
+    * (closed parents stay in `listShards()` for readers, as Kinesis
+    * keeps closed shards listed until retention expiry). */
+  def openShards(): Seq[String] =
+    listShards().filterNot(s => shardInfo(s).closed)
   /** Position of the last record currently in the shard (LATEST). */
   def latestPosition(shardId: String): ShardPos
   /** Position just before the first record with arrival >= tsMicros. */
@@ -84,17 +104,61 @@ trait ShardService extends Serializable {
   */
 final class InMemoryShardService(
     override val streamName: String,
-    shardIds: Seq[String]) extends ShardService {
+    initialShards: Seq[String]) extends ShardService {
 
-  private val shards: Map[String, scala.collection.mutable.ArrayBuffer[RawShardRecord]] =
-    shardIds.map(_ -> scala.collection.mutable.ArrayBuffer.empty[RawShardRecord]).toMap
+  // shard catalog is mutable: split/merge add children and close parents.
+  // `order` preserves creation order — it IS the routing epoch the
+  // producer transport hashes over, so it must be deterministic.
+  private val order = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val shards =
+    TrieMap.empty[String, scala.collection.mutable.ArrayBuffer[RawShardRecord]]
+  private val seenKeys =
+    TrieMap.empty[String, scala.collection.mutable.Set[String]]
+  private val infos = TrieMap.empty[String, ShardInfo]
+
+  private def addShard(id: String, parents: Seq[String]): Unit = {
+    require(!shards.contains(id), s"shard $id already exists")
+    order += id
+    shards.put(id, scala.collection.mutable.ArrayBuffer.empty[RawShardRecord])
+    seenKeys.put(id, scala.collection.mutable.Set.empty[String])
+    infos.put(id, ShardInfo(id, parents, closed = false))
+  }
+  initialShards.foreach(addShard(_, Nil))
+
+  override def shardInfo(shardId: String): ShardInfo = infos(shardId)
+
+  /** Split: close the parent (no further writes) and open children that
+    * must not be consumed past the parent's drain point — the Kinesis
+    * SplitShard lifecycle (reference
+    * it/consumer/ConsumerProcessingManagerIntegrationSpec.scala:33-69
+    * inherits the ordering via KCL lease handover).
+    */
+  def split(parentId: String, childIds: Seq[String]): Unit = synchronized {
+    require(childIds.nonEmpty, "split needs at least one child")
+    closeShard(parentId)
+    childIds.foreach(addShard(_, Seq(parentId)))
+  }
+
+  /** Merge: close both parents, open one child carrying both lineages —
+    * the Kinesis MergeShards lifecycle (ParentShardId +
+    * AdjacentParentShardId). */
+  def merge(parentIds: Seq[String], childId: String): Unit = synchronized {
+    require(parentIds.nonEmpty, "merge needs at least one parent")
+    parentIds.foreach(closeShard)
+    addShard(childId, parentIds)
+  }
+
+  private def closeShard(id: String): Unit =
+    infos.put(id, infos(id).copy(closed = true))
+
+  private def requireOpen(shardId: String): Unit =
+    if (infos(shardId).closed) throw new IllegalStateException(
+      s"shard $shardId is closed (resharded): writes must route to children")
 
   def append(shardId: String, rec: RawShardRecord): Unit =
-    shards(shardId).synchronized { shards(shardId) += rec }
+    shards(shardId).synchronized { requireOpen(shardId); shards(shardId) += rec }
 
   private val seqGen = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val seenKeys: Map[String, scala.collection.mutable.Set[String]] =
-    shardIds.map(_ -> scala.collection.mutable.Set.empty[String]).toMap
 
   /** Producer-side append with service-assigned sequence number —
     * allocation and insertion are atomic under the shard lock, so
@@ -109,6 +173,7 @@ final class InMemoryShardService(
   def appendAssigned(shardId: String, subRecords: Seq[SubRecord],
       idempotencyKey: Option[String] = None): Unit =
     shards(shardId).synchronized {
+      requireOpen(shardId)
       val duplicate = idempotencyKey.exists(k => !seenKeys(shardId).add(k))
       if (!duplicate)
         shards(shardId) += RawShardRecord(subRecords.head.partitionKey,
@@ -116,7 +181,7 @@ final class InMemoryShardService(
           System.currentTimeMillis() * 1000L, subRecords)
     }
 
-  override def listShards(): Seq[String] = shardIds
+  override def listShards(): Seq[String] = synchronized { order.toList }
 
   private def posOf(r: RawShardRecord): ShardPos =
     ShardPos(r.seqNo, (r.subRecords.size - 1).toLong)

@@ -270,6 +270,130 @@ class GraftKinesisSourceSpec extends SparkSpec {
       "restart must redeliver exactly the uncommitted range")
   }
 
+  test("resharding: a split mid-stream holds children at their position " +
+      "until the parent is drained in the START offset (KCL parent-" +
+      "before-child lease handover; ConsumerProcessingManager" +
+      "IntegrationSpec.scala:33-69 analogue), no loss/dup across the split") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val svc = new InMemoryShardService("it-stream", Seq("shard-0"))
+    for (n <- 1 to 25)
+      svc.append("shard-0", RawShardRecord.single("pk", BigInt(n), n,
+        s"$n".getBytes(UTF_8)))
+    val id = ShardServiceRegistry.register(svc)
+    val stream = new GraftKinesisMicroBatchStream(Map("service.id" -> id))
+    val o0 = stream.initialOffset().asInstanceOf[GraftShardOffsets]
+    val o1 = stream.latestOffset(o0, ReadLimit.maxRows(10))
+      .asInstanceOf[GraftShardOffsets]
+    assert(o1.positions("shard-0") == ShardPos(BigInt(10), 0L))
+
+    // split while the parent still has 15 unconsumed records
+    svc.split("shard-0", Seq("shard-1", "shard-2"))
+    for (c <- 1 to 2; n <- 1 to 5)
+      svc.append(s"shard-$c", RawShardRecord.single("pk", BigInt(n), 100 + n,
+        s"c$c-$n".getBytes(UTF_8)))
+    // the closed parent rejects further writes
+    intercept[IllegalStateException] {
+      svc.append("shard-0", RawShardRecord.single("pk", BigInt(26), 26L,
+        "26".getBytes(UTF_8)))
+    }
+
+    // trigger 2: parent catches up to its end; children stay frozen at
+    // Beginning (parent was NOT drained in the start offset o1)
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+      .asInstanceOf[GraftShardOffsets]
+    assert(o2.positions("shard-0") == ShardPos(BigInt(25), 0L))
+    assert(o2.positions("shard-1") == ShardPos.Beginning)
+    assert(o2.positions("shard-2") == ShardPos.Beginning)
+    assert(stream.planInputPartitions(o1, o2)
+      .map(_.asInstanceOf[GraftShardInputPartition].shardId).toSeq ==
+      Seq("shard-0"))
+
+    // trigger 3: start offset o2 has the parent at its end -> children
+    // advance; the parent plans nothing further
+    val o3 = stream.latestOffset(o2, ReadLimit.allAvailable())
+      .asInstanceOf[GraftShardOffsets]
+    assert(o3.positions("shard-1") == ShardPos(BigInt(5), 0L))
+    assert(o3.positions("shard-2") == ShardPos(BigInt(5), 0L))
+    assert(stream.planInputPartitions(o2, o3)
+      .map(_.asInstanceOf[GraftShardInputPartition].shardId).toSeq.sorted ==
+      Seq("shard-1", "shard-2"))
+
+    // merge the children back: grandchild gated until BOTH parents are
+    // drained in the start offset, then advances
+    svc.merge(Seq("shard-1", "shard-2"), "shard-3")
+    for (n <- 1 to 3)
+      svc.append("shard-3", RawShardRecord.single("pk", BigInt(n), 200 + n,
+        s"m-$n".getBytes(UTF_8)))
+    val o4 = stream.latestOffset(o3, ReadLimit.allAvailable())
+      .asInstanceOf[GraftShardOffsets]
+    assert(o4.positions("shard-3") == ShardPos(BigInt(3), 0L),
+      "both parents drained in o3: merge child must advance")
+  }
+
+  test("resharding: a merge child stays gated while ANY parent is " +
+      "undrained") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val svc = new InMemoryShardService("it-stream", Seq("shard-a", "shard-b"))
+    for (n <- 1 to 2)
+      svc.append("shard-a", RawShardRecord.single("pk", BigInt(n), n,
+        s"$n".getBytes(UTF_8)))
+    // shard-b stays empty: a closed empty parent is trivially drained
+    svc.merge(Seq("shard-a", "shard-b"), "shard-c")
+    svc.append("shard-c", RawShardRecord.single("pk", BigInt(1), 10L,
+      "c".getBytes(UTF_8)))
+    val id = ShardServiceRegistry.register(svc)
+    val stream = new GraftKinesisMicroBatchStream(Map("service.id" -> id))
+    val o0 = stream.initialOffset().asInstanceOf[GraftShardOffsets]
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable())
+      .asInstanceOf[GraftShardOffsets]
+    // shard-a had unconsumed data at o0 -> shard-c must hold
+    assert(o1.positions("shard-a") == ShardPos(BigInt(2), 0L))
+    assert(o1.positions("shard-c") == ShardPos.Beginning)
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+      .asInstanceOf[GraftShardOffsets]
+    assert(o2.positions("shard-c") == ShardPos(BigInt(1), 0L))
+  }
+
+  test("resharding end-to-end: every parent record is delivered in an " +
+      "earlier micro-batch than every child record; exactly-once across " +
+      "the split") {
+    import GraftKinesisSourceSpec._
+    val svc = new InMemoryShardService("it-stream", Seq("shard-0"))
+    for (n <- 1 to 25)
+      svc.append("shard-0", RawShardRecord.single("pk", BigInt(n), n,
+        s"$n".getBytes(UTF_8)))
+    svc.split("shard-0", Seq("shard-1", "shard-2"))
+    for (c <- 1 to 2; n <- 1 to 10)
+      svc.append(s"shard-$c", RawShardRecord.single("pk", BigInt(n), 100 + n,
+        s"c$c-$n".getBytes(UTF_8)))
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-reshard").toString
+    batchLog.clear()
+    val q = spark.readStream.format("graft-kinesis")
+      .option("service.id", id).option("max-records-per-shard", "10")
+      .load().selectExpr("shardId", "CAST(seqNo AS LONG) AS seq")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/chk")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        df.collect().foreach(r =>
+          batchLog.add((bid, r.getString(0), r.getLong(1))))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val rows = batchLog.asScala.toSeq
+    // exactly-once: 25 parent + 20 child records, no duplicates
+    assert(rows.size == 45, s"expected 45 deliveries, got ${rows.size}")
+    assert(rows.map(r => (r._2, r._3)).distinct.size == 45, "no duplicates")
+    val parentBatches = rows.filter(_._2 == "shard-0").map(_._1)
+    val childBatches = rows.filter(_._2 != "shard-0").map(_._1)
+    assert(parentBatches.nonEmpty && childBatches.nonEmpty)
+    assert(parentBatches.max < childBatches.min,
+      s"child records must only flow after the parent fully drains: " +
+        s"parent batches ${parentBatches.distinct.sorted}, " +
+        s"child batches ${childBatches.distinct.sorted}")
+  }
+
   test("per-shard arrival order is preserved within partitions") {
     val svc = mkService(40, shards = 1)
     val id = ShardServiceRegistry.register(svc)
@@ -287,4 +411,7 @@ object GraftKinesisSourceSpec {
   // so shared state must be reached through the companion object
   val seenSeqs = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]()
   val midBatch = new java.util.concurrent.CountDownLatch(1)
+  // (batchId, shardId, seqNo) deliveries for the resharding ordering test
+  val batchLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
 }
