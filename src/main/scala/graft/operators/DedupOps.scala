@@ -229,12 +229,32 @@ object DedupOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact dedup: hash-groupBy on full content; representative = min id.
+    // Exact dedup, FINGERPRINT-FIRST: group by md5(text) so the shuffle
+    // moves 16-byte keys instead of full documents (at 100 TB the
+    // difference between shuffling hashes and shuffling the corpus).
+    // Grouping by a hash is only exact if no two distinct texts collide,
+    // so every group carries an independent second hash (xxhash64) plus
+    // the byte length; any within-group disagreement means an md5
+    // collision and the query throws rather than silently merging
+    // distinct documents. Map-side partial aggregation collapses
+    // duplicates before the exchange.
     "d01_dedup_exact" -> ((s, d) => {
-      Tables.documents(s, d)
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-        .select(col("doc_id"), col("n_copies"))
+      val hashed = Tables.documents(s, d).select(
+        md5(encode(col("text"), "UTF-8")).as("fp"),
+        xxhash64(col("text")).as("h2"),
+        length(col("text")).as("len"),
+        col("doc_id"))
+      hashed.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+          min(col("h2")).as("h2_min"), max(col("h2")).as("h2_max"),
+          min(col("len")).as("len_min"), max(col("len")).as("len_max"))
+        .select(
+          when(col("h2_min") =!= col("h2_max")
+              || col("len_min") =!= col("len_max"),
+            raise_error(lit("d01_dedup_exact: md5 fingerprint collision " +
+              "— distinct texts share a fingerprint; refusing to merge")))
+            .otherwise(col("doc_id")).as("doc_id"),
+          col("n_copies"))
         .orderBy(col("doc_id"))
     }),
 

@@ -114,16 +114,44 @@ object TextOps {
     // stream — the deterministic form of the "pack documents into
     // fixed-length sequences" step before LLM training. bin is a pure
     // function of the running token total under (lang, doc_id) order, so
-    // it is reproducible at any parallelism. At 100 TB the running sum
-    // is a range-partition + two-phase prefix sum (per-partition totals,
-    // then offset broadcast) — same semantics, same output.
+    // it is reproducible at any parallelism.
+    //
+    // TWO-PHASE PREFIX SUM (the 100 TB shape). A naive
+    // Window.partitionBy(lang) funnels the whole corpus through one task
+    // per language (~4 tasks total). Instead documents are statically
+    // range-partitioned into blocks of 4096 doc_ids — deterministic, no
+    // sampling, monotone in the prefix-sum order. Phase 1 computes the
+    // running sum inside each (lang, block): thousands of bounded window
+    // groups, no task ever holds more than one block of one language.
+    // Phase 2 aggregates one total per (lang, block) with map-side
+    // partial aggregation, computes cross-block cumulative offsets with
+    // a window over that tiny per-block table (rows = corpus/4096, not
+    // the corpus), and broadcast-joins the offsets back. Block size
+    // trades window-group memory against offset-table size; at 100 TB
+    // raise it so the offset table stays broadcastable.
     "t07_sequence_packing" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val blkSize = 4096L
+      val base = Tables.documents(s, d)
         .withColumn("n_tokens", size(split(trim(col("text")), " ")))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("blk", expr(s"doc_id div $blkSize"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("blk"))
+      // phase 1: bounded local prefix sums, one group per (lang, blk)
+      val wLocal = Window.partitionBy(col("lang"), col("blk"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = base
+        .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      // phase 2: per-block totals -> cumulative offsets of earlier blocks
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("lang"), col("blk"))
+        .agg(sum(col("n_tokens")).as("blk_total"))
+        .withColumn("offset",
+          coalesce(sum(col("blk_total")).over(wOff), lit(0L)))
+        .select(col("lang"), col("blk"), col("offset"))
+      local.join(broadcast(offsets), Seq("lang", "blk"))
+        .withColumn("cum_tokens", col("local_cum") + col("offset"))
         .withColumn("bin",
           expr("(cum_tokens - n_tokens) div 512"))
         .select(col("doc_id"), col("lang"), col("n_tokens"),

@@ -203,6 +203,24 @@ class PlanShapeSpec extends SparkSpec {
       "10485760")
   }
 
+  test("t07: two-phase prefix sum — every window over the corpus is " +
+      "block-bounded; only the tiny per-block offset table gets a " +
+      "per-lang window, and the offsets broadcast back") {
+    val p = planOf("t07_sequence_packing")
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, p.take(1200))
+    // corpus-side windows (anything not over the aggregated blk_total
+    // table) must partition by blk as well as lang — no task may own a
+    // whole language
+    val corpusWins = winLines.filterNot(_.contains("blk_total"))
+    assert(corpusWins.nonEmpty, winLines.mkString("\n"))
+    assert(corpusWins.forall(_.contains("blk")),
+      s"found a corpus-wide per-lang window:\n${corpusWins.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets must broadcast-join back:\n${p.take(1200)}")
+  }
+
   test("sketch aggregates are SQL-callable: graft_topk and quantile_sketch " +
       "run from SQL text with literal k / percentile args") {
     graft.functions.GraftFunctions.register(spark)
