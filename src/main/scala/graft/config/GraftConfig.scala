@@ -79,7 +79,12 @@ final case class ProducerConf(
     /** Opt-in idempotent producer (SURVEY §7.3.5 extension): name of the
       * row column whose value becomes the record's dedup id; task
       * retries re-sending the same ids are dropped at the transport. */
-    idempotencyColumn: Option[String] = None)
+    idempotencyColumn: Option[String] = None,
+    /** Opt-in producer rate cap in records/second per writer task — the
+      * reference's KPL `RateLimit` (reference.conf:283-301, a % of the
+      * shard backend limit) re-expressed as an absolute per-task cap.
+      * None = uncapped (the in-flight window is then the only brake). */
+    rateLimitPerShard: Option[Double] = None)
 
 object ConsumerConf {
   /** Build from an options map with default/named fallback merge. */
@@ -126,6 +131,7 @@ object ProducerConf {
       failFast = o.get("fail-fast").map(_.toBoolean).getOrElse(base.failFast),
       drainTimeout = o.get("drain-timeout-seconds")
         .map(_.toInt.seconds).getOrElse(base.drainTimeout),
-      idempotencyColumn = o.get("idempotency-column"))
+      idempotencyColumn = o.get("idempotency-column"),
+      rateLimitPerShard = o.get("rate-limit-per-shard").map(_.toDouble))
   }
 }

@@ -42,7 +42,12 @@ trait AsyncRecordClientFactory extends Serializable {
   * No unthrottle hysteresis is needed: the semaphore window resumes
   * admission per-ack instead of batch-unstashing at 90%
   * (main/producer/KinesisProducerActor.scala:135-152) — a documented
-  * simplification with equivalent throughput behavior.
+  * simplification with equivalent throughput behavior (pinned by the
+  * sustained-overload spec in GraftKinesisSinkSpec).
+  *
+  * Opt-in rate cap: producer option `rate-limit-per-shard` (records/s per
+  * task writer) engages a [[RateLimiter]] ahead of the in-flight window —
+  * the reference's KPL `RateLimit` (reference.conf:283-301).
   */
 final class GraftSinkWriter(
     factory: AsyncRecordClientFactory,
@@ -53,11 +58,13 @@ final class GraftSinkWriter(
   @transient private var client: AsyncRecordClient = _
   @transient private var window: Semaphore = _
   @transient private var firstError: AtomicReference[Throwable] = _
+  @transient private var rateLimiter: RateLimiter = _
 
   override def open(partitionId: Long, epochId: Long): Boolean = {
     client = factory.create()
     window = new Semaphore(conf.maxOutstandingRequests)
     firstError = new AtomicReference[Throwable]()
+    rateLimiter = conf.rateLimitPerShard.map(new RateLimiter(_)).orNull
     true
   }
 
@@ -79,6 +86,7 @@ final class GraftSinkWriter(
     }
     val ev = ProducerEvent(row.getAs[String](keyColumn),
       row.getAs[Array[Byte]](dataColumn), dedup)
+    if (rateLimiter != null) rateLimiter.acquire() // opt-in records/s cap
     window.acquire() // backpressure: blocks at maxOutstandingRequests
     client.put(ev) { result =>
       result.foreach(t => firstError.compareAndSet(null, t))

@@ -126,6 +126,8 @@ object GraftKinesisWriteSupport {
     private val client = factory.create()
     private val window = new Semaphore(conf.maxOutstandingRequests)
     private val firstError = new AtomicReference[Throwable]()
+    private val rateLimiter =
+      conf.rateLimitPerShard.map(new RateLimiter(_)).orNull
 
     override def write(row: InternalRow): Unit = {
       failIfErrored()
@@ -138,6 +140,7 @@ object GraftKinesisWriteSupport {
               "idempotent produce requires a non-null string id per record")
           row.getUTF8String(i).toString
         })
+      if (rateLimiter != null) rateLimiter.acquire() // opt-in records/s cap
       window.acquire() // backpressure at maxOutstandingRequests
       client.put(ev) { result =>
         result.foreach(t => firstError.compareAndSet(null, t))
