@@ -56,4 +56,46 @@ object Kinesis {
     val conf = ProducerConf.fromOptions(options, name)
     df.writeStream.foreach(new GraftSinkWriter(clientFactory, conf))
   }
+
+  /** The reference's `mapAsync` stage (S7, reference
+    * main/stream/KinesisSourceGraphStage.scala:109-115: async transform
+    * with bounded in-flight futures, emitting IN INPUT ORDER so the
+    * commit identity of each element survives the transform).
+    *
+    * Spark form: `mapPartitions` with a sliding window of at most
+    * `parallelism` outstanding futures per partition — up to
+    * `parallelism` calls to `f` run concurrently while results are
+    * emitted strictly in input order (mapAsync, not mapAsyncUnordered).
+    * Pair it with an envelope-typed input
+    * (`boundedMapAsync(Kinesis.typed(env), 8)(e => Future(...)(ec))`
+    * returning `(e.shardId, e.seqNo, result)`) and the (shardId, seqNo)
+    * commit identity rides through a type-changing async transform, which
+    * is exactly what the reference's map/mapAsync on `CommittableEvent`
+    * guarantees.
+    *
+    * `f` must be serializable and create/obtain its ExecutionContext on
+    * the executor (pass a lazy/static one, not a driver-captured pool).
+    */
+  def boundedMapAsync[T, U: org.apache.spark.sql.Encoder](
+      ds: Dataset[T], parallelism: Int)(
+      f: T => scala.concurrent.Future[U]): Dataset[U] = {
+    require(parallelism >= 1, s"parallelism must be >= 1; got $parallelism")
+    ds.mapPartitions { it =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val inFlight = scala.collection.mutable.Queue.empty[Future[U]]
+      new Iterator[U] {
+        private def fill(): Unit =
+          while (inFlight.size < parallelism && it.hasNext)
+            inFlight.enqueue(f(it.next()))
+        fill()
+        override def hasNext: Boolean = inFlight.nonEmpty
+        override def next(): U = {
+          val r = Await.result(inFlight.dequeue(), Duration.Inf)
+          fill()
+          r
+        }
+      }
+    }
+  }
 }

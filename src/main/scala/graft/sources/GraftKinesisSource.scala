@@ -208,18 +208,26 @@ final class GraftKinesisScan(options: Map[String, String],
 }
 
 /** Offset = last-consumed position per shard. JSON form (stable key
-  * order): {"shard-0":"123:0","shard-1":"45:2"}.
+  * order): {"shard-0":"123:0","shard-1":"45:2"}. A drained closed shard
+  * checkpoints as {"shard-0":"SHARD_END"} — KCL's SHARD_END lease state,
+  * the token that later allows its WAL entry to be dropped cleanly when
+  * the shard ages out of the listing.
   */
 final case class GraftShardOffsets(positions: Map[String, ShardPos])
     extends Offset {
   override def json(): String =
     positions.toSeq.sortBy(_._1)
-      .map { case (s, p) => s""""${s}":"${p.seqNo}:${p.subSeqNo}"""" }
+      .map { case (s, p) =>
+        val pos =
+          if (p == ShardPos.ShardEnd) "SHARD_END" else s"${p.seqNo}:${p.subSeqNo}"
+        s""""${s}":"$pos""""
+      }
       .mkString("{", ",", "}")
 }
 
 object GraftShardOffsets {
   private val Entry = """"([^"]+)":"(-?\d+):(-?\d+)"""".r
+  private val EndEntry = """"([^"]+)":"SHARD_END"""".r
 
   /** Strict parse: a corrupted or foreign checkpoint must fail loudly —
     * silently dropping an entry would restart that shard at Beginning and
@@ -236,6 +244,7 @@ object GraftShardOffsets {
       e.trim match {
         case Entry(shard, seq, sub) =>
           shard -> ShardPos(BigInt(seq), sub.toLong)
+        case EndEntry(shard) => shard -> ShardPos.ShardEnd
         case other => throw new IllegalArgumentException(
           s"unparseable shard-offset entry '$other' in: $json")
       }
@@ -312,18 +321,41 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
     * SHARD_END): a parent is drained once it is closed AND the restored
     * offset has consumed it to its current end.
     */
-  private def parentDrained(from: Map[String, ShardPos], pid: String)
-      : Boolean = {
+  private def parentDrained(from: Map[String, ShardPos], listed: Set[String],
+      pid: String): Boolean = {
+    // a parent that already aged out of the listing is drained by
+    // definition: its records are gone, nothing can be ordered after it
+    // (the data-loss check in latestOffset has vetted the expiry)
+    if (!listed.contains(pid)) return true
     val info = service.shardInfo(pid)
     info.closed && ShardPos.ordering.gteq(
       from.getOrElse(pid, ShardPos.Beginning), service.latestPosition(pid))
   }
+
+  private val failOnDataLoss =
+    options.getOrElse("fail-on-data-loss", "true").toBoolean
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftShardOffsets].positions
     // shard discovery on every trigger: new shards (resharding) start at
     // the beginning, mirroring KCL lease creation for child shards
     val shards = service.listShards()
+    val listed = shards.toSet
+    // retention expiry: a shard the WAL tracks but the listing no longer
+    // contains. Only a SHARD_END entry (drained before it aged out) may
+    // drop silently; anything else is unread data that no longer exists —
+    // fail loudly (Kafka-source failOnDataLoss semantics; opt out with
+    // fail-on-data-loss=false for conscious lossy catch-up).
+    val lost = (from.keySet -- listed)
+      .filter(v => from(v) != ShardPos.ShardEnd)
+    if (lost.nonEmpty) {
+      val msg = s"shards ${lost.toSeq.sorted.mkString(", ")} disappeared " +
+        "from the stream listing with unconsumed WAL positions — records " +
+        "expired before they were read (data loss). Set " +
+        "fail-on-data-loss=false to drop them and continue."
+      if (failOnDataLoss) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft-kinesis] WARN: $msg")
+    }
     val cap = perShardCap(limit)
     GraftShardOffsets(shards.map { s =>
       val f = from.getOrElse(s, ShardPos.Beginning)
@@ -333,8 +365,8 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
       // run in parallel with no cross-partition ordering, so the child
       // may begin at the earliest one batch after its parents finish.
       val gated = service.shardInfo(s).parentIds
-        .exists(p => !parentDrained(from, p))
-      if (gated) s -> f else {
+        .exists(p => !parentDrained(from, listed, p))
+      if (gated || f == ShardPos.ShardEnd) s -> f else {
         // under AvailableNow, never read past the frozen end positions; a
         // shard discovered after the freeze has no frozen end and is
         // skipped entirely (AvailableNow: only data available at start)
@@ -353,7 +385,13 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
             case None => service.latestPosition(s)
           }
         }
-        s -> next
+        // a CLOSED shard admitted through its final record checkpoints as
+        // SHARD_END (KCL lease semantics): closed shards reject writes, so
+        // latestPosition is its final end — the token that later lets the
+        // WAL entry drop cleanly once the shard ages out of the listing
+        val drained = service.shardInfo(s).closed &&
+          ShardPos.ordering.gteq(next, service.latestPosition(s))
+        s -> (if (drained) ShardPos.ShardEnd else next)
       }
     }.toMap)
   }

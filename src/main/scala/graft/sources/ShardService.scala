@@ -15,6 +15,17 @@ object ShardPos {
     Ordering.by(p => (p.seqNo, p.subSeqNo))
   /** Below every real position (TRIM_HORIZON start). */
   val Beginning: ShardPos = ShardPos(BigInt(-1), Long.MaxValue)
+  /** KCL's SHARD_END checkpoint: recorded in the offset WAL once a CLOSED
+    * shard has been drained to its final record. Orders above every real
+    * position (Kinesis sequence numbers are 128-bit, so 2^160 is safely
+    * beyond), which keeps the parent-before-child drain comparison and
+    * range reads working unchanged. Its presence is what lets the source
+    * distinguish "this shard aged out after we finished it" (drop the WAL
+    * entry cleanly) from "this shard vanished with unread data" (fail
+    * loudly) — the same contract KCL's lease cleanup enforces by only
+    * deleting SHARD_END leases.
+    */
+  val ShardEnd: ShardPos = ShardPos(BigInt(2).pow(160), 0L)
 }
 
 /** One user record inside a (possibly aggregated) wire record. Each
@@ -150,6 +161,20 @@ final class InMemoryShardService(
 
   private def closeShard(id: String): Unit =
     infos.put(id, infos(id).copy(closed = true))
+
+  /** Retention expiry: a closed shard eventually disappears from the
+    * ListShards response (real Kinesis keeps closed shards listed only
+    * until their records age out). Removes the shard from the listing;
+    * the record buffers are kept so an in-flight reader planned before
+    * the expiry can finish — only discovery is affected, as with the
+    * real API where an already-obtained shard iterator keeps working
+    * briefly. Expiring an OPEN shard is a model violation.
+    */
+  def expire(shardId: String): Unit = synchronized {
+    require(infos(shardId).closed,
+      s"shard $shardId is open; only closed shards age out of the listing")
+    order -= shardId
+  }
 
   private def requireOpen(shardId: String): Unit =
     if (infos(shardId).closed) throw new IllegalStateException(

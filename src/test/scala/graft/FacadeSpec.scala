@@ -63,6 +63,33 @@ class FacadeSpec extends SparkSpec {
       (1 to 25).map(_.toString).toSet)
   }
 
+  test("boundedMapAsync (S7 mapAsync analogue): a type-changing async " +
+      "transform keeps (shardId, seqNo) commit identity, emits in input " +
+      "order, and never exceeds the concurrency bound") {
+    import spark.implicits._
+    import FacadeSpec._
+    inFlight.set(0); highWater.set(0)
+    val events = (1 to 60).map(n => ("shard-0", n.toLong, s"payload-$n"))
+    val ds = events.toDF("shardId", "seq", "payload")
+      .as[(String, Long, String)].repartition(1)
+    val out = Kinesis.boundedMapAsync(ds, parallelism = 4) {
+      case (sh, seq, p) =>
+        scala.concurrent.Future {
+          val cur = inFlight.incrementAndGet()
+          highWater.accumulateAndGet(cur, math.max)
+          Thread.sleep((seq % 3) + 1) // completion order != input order
+          inFlight.decrementAndGet()
+          (sh, seq, p.length) // type-changing: payload -> derived value
+        }(asyncEc)
+    }
+    val rows = out.collect().toSeq
+    assert(rows == events.map { case (sh, seq, p) => (sh, seq, p.length) },
+      "output must preserve input order and (shardId, seqNo) identity")
+    val hw = highWater.get()
+    assert(hw <= 4, s"in-flight futures $hw exceeded parallelism 4")
+    assert(hw >= 2, s"expected real concurrency under the bound; got $hw")
+  }
+
   test("38-digit sequence numbers flow through source, checkpoint and " +
       "typed view intact (aggregated-record ordering hazard class)") {
     import spark.implicits._
@@ -91,4 +118,14 @@ class FacadeSpec extends SparkSpec {
       .as[String].collect().map(BigInt(_)).sorted.toSeq
     assert(seqs == (0 to 5).map(i => big + i).toSeq)
   }
+}
+
+object FacadeSpec {
+  // static (not closure-captured) so executor threads in local mode share
+  // them — the in-flight gauge backing the concurrency-bound assertion
+  val inFlight = new java.util.concurrent.atomic.AtomicInteger()
+  val highWater = new java.util.concurrent.atomic.AtomicInteger()
+  lazy val asyncEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(16))
 }

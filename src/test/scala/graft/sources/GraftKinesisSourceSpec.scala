@@ -301,7 +301,8 @@ class GraftKinesisSourceSpec extends SparkSpec {
     // Beginning (parent was NOT drained in the start offset o1)
     val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
       .asInstanceOf[GraftShardOffsets]
-    assert(o2.positions("shard-0") == ShardPos(BigInt(25), 0L))
+    // the closed parent drains through its final record -> SHARD_END
+    assert(o2.positions("shard-0") == ShardPos.ShardEnd)
     assert(o2.positions("shard-1") == ShardPos.Beginning)
     assert(o2.positions("shard-2") == ShardPos.Beginning)
     assert(stream.planInputPartitions(o1, o2)
@@ -347,7 +348,8 @@ class GraftKinesisSourceSpec extends SparkSpec {
     val o1 = stream.latestOffset(o0, ReadLimit.allAvailable())
       .asInstanceOf[GraftShardOffsets]
     // shard-a had unconsumed data at o0 -> shard-c must hold
-    assert(o1.positions("shard-a") == ShardPos(BigInt(2), 0L))
+    assert(o1.positions("shard-a") == ShardPos.ShardEnd,
+      "closed parent drained in this trigger checkpoints as SHARD_END")
     assert(o1.positions("shard-c") == ShardPos.Beginning)
     val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
       .asInstanceOf[GraftShardOffsets]
@@ -392,6 +394,66 @@ class GraftKinesisSourceSpec extends SparkSpec {
       s"child records must only flow after the parent fully drains: " +
         s"parent batches ${parentBatches.distinct.sorted}, " +
         s"child batches ${childBatches.distinct.sorted}")
+  }
+
+  test("retention expiry: a closed, fully-consumed shard that vanishes " +
+      "from the listing drops cleanly from the offsets (SHARD_END lease " +
+      "cleanup semantics)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val svc = new InMemoryShardService("it-stream", Seq("shard-0"))
+    for (n <- 1 to 5)
+      svc.append("shard-0", RawShardRecord.single("pk", BigInt(n), n,
+        s"$n".getBytes(UTF_8)))
+    svc.split("shard-0", Seq("shard-1"))
+    svc.append("shard-1", RawShardRecord.single("pk", BigInt(1), 10L,
+      "c".getBytes(UTF_8)))
+    val id = ShardServiceRegistry.register(svc)
+    val stream = new GraftKinesisMicroBatchStream(Map("service.id" -> id))
+    val o0 = stream.initialOffset().asInstanceOf[GraftShardOffsets]
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable())
+      .asInstanceOf[GraftShardOffsets]
+    assert(o1.positions("shard-0") == ShardPos.ShardEnd)
+    // SHARD_END survives a WAL round-trip
+    assert(GraftShardOffsets.fromJson(o1.json()) == o1)
+    // retention expiry drops the drained parent from the listing
+    svc.expire("shard-0")
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+      .asInstanceOf[GraftShardOffsets]
+    assert(!o2.positions.contains("shard-0"),
+      "a drained, aged-out shard must leave the offset map")
+    // the child (whose parent lineage now points at an expired shard)
+    // still advances: an expired parent is drained by definition
+    assert(o2.positions("shard-1") == ShardPos(BigInt(1), 0L))
+  }
+
+  test("retention expiry: a NON-drained shard vanishing from the listing " +
+      "fails loudly (unread records aged out = data loss), unless " +
+      "fail-on-data-loss=false") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val svc = new InMemoryShardService("it-stream", Seq("shard-0"))
+    for (n <- 1 to 25)
+      svc.append("shard-0", RawShardRecord.single("pk", BigInt(n), n,
+        s"$n".getBytes(UTF_8)))
+    val id = ShardServiceRegistry.register(svc)
+    val stream = new GraftKinesisMicroBatchStream(Map("service.id" -> id))
+    val o0 = stream.initialOffset().asInstanceOf[GraftShardOffsets]
+    // consume only 10 of 25, then the shard closes and ages out
+    val o1 = stream.latestOffset(o0, ReadLimit.maxRows(10))
+      .asInstanceOf[GraftShardOffsets]
+    assert(o1.positions("shard-0") == ShardPos(BigInt(10), 0L))
+    svc.split("shard-0", Seq("shard-1"))
+    svc.expire("shard-0")
+    val e = intercept[IllegalStateException] {
+      stream.latestOffset(o1, ReadLimit.allAvailable())
+    }
+    assert(e.getMessage.contains("shard-0") &&
+      e.getMessage.contains("data loss"), e.getMessage)
+    // opt-out: conscious lossy catch-up drops the entry and continues
+    val lossy = new GraftKinesisMicroBatchStream(
+      Map("service.id" -> id, "fail-on-data-loss" -> "false"))
+    val o2 = lossy.latestOffset(o1, ReadLimit.allAvailable())
+      .asInstanceOf[GraftShardOffsets]
+    assert(!o2.positions.contains("shard-0"))
   }
 
   test("per-shard arrival order is preserved within partitions") {
