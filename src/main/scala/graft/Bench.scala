@@ -33,7 +33,8 @@ object Bench {
     "d01_dedup_exact", "d03_ngram_jaccard_pairs", "d04_minhash_lsh_dedup",
     "d06_embedding_neardup", "e01_cosine_pairs", "e03_ann_ivf",
     "e04_ann_topk_partial", "e05_lsh_cosine_pairs", "e06_ann_ivf_nprobe",
-    "t02_quality_score", "t05_char_ngram_profile", "t09_fuzzy_blocked_pairs",
+    "t02_quality_score", "t05_char_ngram_profile", "t07_sequence_packing",
+    "t09_fuzzy_blocked_pairs",
     "q60_gapfill_locf", "q61_funnel_steps",
     "m01_multimodal_decode", "m05_multimodal_header")
 

@@ -129,6 +129,12 @@ object TextOps {
     // the corpus), and broadcast-joins the offsets back. Block size
     // trades window-group memory against offset-table size; at 100 TB
     // raise it so the offset table stays broadcastable.
+    //
+    // The narrow token frame (doc_id, lang, n_tokens, blk — ~24 B/row,
+    // ~1/1000th of the corpus) is checkpointed once so BOTH phases read
+    // it: without this, the two branches would each re-scan and
+    // re-tokenize the full text column (the dedup index uses the same
+    // materialize-once pattern, DedupOps.byDocIndex).
     "t07_sequence_packing" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val blkSize = 4096L
@@ -136,6 +142,7 @@ object TextOps {
         .withColumn("n_tokens", size(split(trim(col("text")), " ")))
         .withColumn("blk", expr(s"doc_id div $blkSize"))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("blk"))
+        .localCheckpoint(true)
       // phase 1: bounded local prefix sums, one group per (lang, blk)
       val wLocal = Window.partitionBy(col("lang"), col("blk"))
         .orderBy(col("doc_id"))

@@ -221,6 +221,22 @@ class PlanShapeSpec extends SparkSpec {
       s"offsets must broadcast-join back:\n${p.take(1200)}")
   }
 
+  test("d01: the exact-dedup exchange carries md5 fingerprints, never " +
+      "document text — aggregation keys on fp with map-side partials") {
+    val df = SparkEntry.queries("d01_dedup_exact")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(fp"),
+      s"dedup must shuffle on the fingerprint:\n${p.take(1500)}")
+    // the text column must die at the scan/project below the first
+    // (partial) aggregate: no hash exchange may carry it
+    val exchangeLines = p.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty, p.take(1500))
+    assert(exchangeLines.forall(!_.contains("text")),
+      s"document text leaked into a shuffle:\n${exchangeLines.mkString("\n")}")
+  }
+
   test("sketch aggregates are SQL-callable: graft_topk and quantile_sketch " +
       "run from SQL text with literal k / percentile args") {
     graft.functions.GraftFunctions.register(spark)
