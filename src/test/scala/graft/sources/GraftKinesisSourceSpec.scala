@@ -396,6 +396,50 @@ class GraftKinesisSourceSpec extends SparkSpec {
         s"child batches ${childBatches.distinct.sorted}")
   }
 
+  test("SHARD_END survives a REAL checkpoint restart: a query whose WAL " +
+      "holds the sentinel resumes cleanly, reads only the children, and " +
+      "keeps working after the parent ages out between runs") {
+    val svc = new InMemoryShardService("it-stream", Seq("shard-0"))
+    for (n <- 1 to 8)
+      svc.append("shard-0", RawShardRecord.single("pk", BigInt(n), n,
+        s"p$n".getBytes(UTF_8)))
+    svc.split("shard-0", Seq("shard-1", "shard-2"))
+    for (c <- 1 to 2; n <- 1 to 4)
+      svc.append(s"shard-$c", RawShardRecord.single("pk", BigInt(n), 100 + n,
+        s"c$c-$n".getBytes(UTF_8)))
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shardend").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-kinesis")
+        .option("service.id", id).load()
+        .selectExpr("shardId", "CAST(seqNo AS LONG) AS seq")
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/chk").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // drains parent + children: WAL now holds shard-0 SHARD_END
+    assert(spark.read.parquet(s"$tmp/out").count() == 16)
+    // restart 1: Spark's OffsetSeqLog must hand SHARD_END back through
+    // deserializeOffset; new child data flows, parent plans nothing
+    for (c <- 1 to 2; n <- 5 to 6)
+      svc.append(s"shard-$c", RawShardRecord.single("pk", BigInt(n), 200 + n,
+        s"c$c-$n".getBytes(UTF_8)))
+    runOnce()
+    val afterRestart = spark.read.parquet(s"$tmp/out")
+    assert(afterRestart.count() == 20, "restart across SHARD_END lost/duped")
+    assert(afterRestart.filter(col("shardId") === "shard-0").count() == 8)
+    // restart 2: the parent ages out of the listing between runs — the
+    // SHARD_END entry drops cleanly and the query keeps consuming
+    svc.expire("shard-0")
+    for (c <- 1 to 2)
+      svc.append(s"shard-$c", RawShardRecord.single("pk", BigInt(7), 300L,
+        s"c$c-7".getBytes(UTF_8)))
+    runOnce()
+    val fin = spark.read.parquet(s"$tmp/out")
+    assert(fin.count() == 22, "post-expiry restart must keep consuming")
+    assert(fin.select("shardId", "seq").distinct().count() == 22)
+  }
+
   test("retention expiry: a closed, fully-consumed shard that vanishes " +
       "from the listing drops cleanly from the offsets (SHARD_END lease " +
       "cleanup semantics)") {
