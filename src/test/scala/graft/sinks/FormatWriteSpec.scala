@@ -42,6 +42,23 @@ class FormatWriteSpec extends SparkSpec {
     assert(keyShards.forall(_.getLong(1) == 1))
   }
 
+  test("rate-limit-per-shard throttles the DSv2 write path too: a " +
+      "single-task batch write above the cap is paced, nothing lost") {
+    val (id, svc) = newStream("fw-rate")
+    val t0 = System.nanoTime()
+    producerFrame(300).repartition(1).write.format("graft-kinesis")
+      .option("service.id", id)
+      .option("rate-limit-per-shard", "600")
+      .mode("append").save()
+    val elapsed = (System.nanoTime() - t0) * 1e-9 // sec
+    val total = svc.listShards()
+      .map(s => svc.read(s, graft.sources.ShardPos.Beginning,
+        svc.latestPosition(s)).map(_.subRecords.size).sum).sum
+    assert(total == 300, s"expected all 300 records delivered, got $total")
+    assert(elapsed >= 0.4,
+      f"300 records at cap 600/s must take >= ~0.5s; took $elapsed%.2fs")
+  }
+
   test("streaming writeStream.format(graft-kinesis): source-to-sink " +
       "pipe, exactly the input lands in the target stream") {
     val (srcId, srcSvc) = newStream("fw-src")
