@@ -336,6 +336,35 @@ object DedupOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Decontamination: the standard pre-training step that removes
+    // training documents sharing any 8-gram with the evaluation set
+    // (the GPT-3/PaLM-style n-gram overlap rule). Here the "eval set"
+    // is the deterministic doc_id % 7 == 0 slice, standing in for a
+    // benchmark suite. Scale shape: eval sets are tiny relative to a
+    // 100 TB corpus, so the DISTINCT eval 8-grams BROADCAST and the
+    // training side never shuffles — the corpus-side explode is
+    // map-local and the per-doc hit count partial-aggregates before the
+    // one exchange on doc_id. Output is the audit view (contaminated
+    // doc + distinct shared grams); the clean corpus is its anti-join.
+    "d08_decontamination" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .withColumn("words", split(trim(col("text")), " "))
+        .withColumn("gs",
+          when(size(col("words")) >= 8,
+            expr("transform(sequence(1, size(words) - 7), " +
+              "i -> array_join(slice(words, i, 8), ' '))"))
+            .otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), col("gs"))
+      val evalGrams = grams.filter(col("doc_id") % 7 === 0)
+        .select(explode(col("gs")).as("g")).distinct()
+      val train = grams.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), explode(col("gs")).as("g"))
+      train.join(broadcast(evalGrams), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash fingerprints + banded hamming-near candidate pairs. The
     // per-word hash is the first 60 bits of md5 (15 hex chars) — portable
     // integer arithmetic in any engine, so unlike a seeded xxhash64 the
@@ -404,6 +433,17 @@ object DedupOps {
            FROM documents GROUP BY text ORDER BY doc_id""",
       "d02_fingerprint_md5" ->
         "SELECT doc_id, MD5(text) AS fp FROM documents ORDER BY doc_id",
+      "d08_decontamination" ->
+        """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+                      FROM documents),
+           g AS (SELECT doc_id, array_to_string(words[i:i+7], ' ') AS g
+                 FROM w, UNNEST(generate_series(1,
+                   GREATEST(LEN(words) - 7, 0))) AS t(i)),
+           ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+           tr AS (SELECT doc_id, g FROM g WHERE doc_id % 7 <> 0)
+           SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared
+           FROM tr JOIN ev USING (g)
+           GROUP BY tr.doc_id ORDER BY doc_id""",
       "d03_ngram_jaccard_pairs" -> jaccardSql,
       // LSH output == exact output at this corpus/threshold (see scaladoc)
       "d04_minhash_lsh_dedup" -> jaccardSql,

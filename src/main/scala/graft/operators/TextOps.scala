@@ -216,6 +216,33 @@ object TextOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Source-level (domain) quality filtering — the CommonCrawl-style
+    // step that drops every document from a low-quality source rather
+    // than scoring docs one by one. Source quality here is the exact
+    // integer test 100*sum(distinct tokens) >= 43*sum(tokens) (a
+    // ratio-of-sums at threshold 0.43, NOT a mean of per-doc double
+    // ratios: float means differ in summation order across engines and
+    // sources sit arbitrarily close to any threshold, so the metric
+    // itself must be integral to be reproducible). Scale shape: the
+    // per-source aggregate is tiny
+    // (one row per source/domain) and partial-aggregates map-side; the
+    // passing-source list broadcasts back, so the corpus never shuffles.
+    "t10_source_filter" -> ((s, d) => {
+      val stats = Tables.documents(s, d)
+        .withColumn("words", split(trim(col("text")), " "))
+        .select(col("doc_id"), col("source"),
+          size(col("words")).as("nt"),
+          size(array_distinct(col("words"))).as("nd"))
+      val passing = stats.groupBy(col("source"))
+        .agg(sum(col("nt")).as("src_tokens"),
+          sum(col("nd")).as("src_distinct"))
+        .filter(col("src_distinct") * 100 >= col("src_tokens") * 43)
+      stats.join(broadcast(passing), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          col("src_tokens"), col("src_distinct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Position-weighted rolling fingerprint over tokens — a polynomial
     // rolling hash computed with identical integer arithmetic in both
     // engines (sum of token_length * 31^(i mod 8) mod 2^31-1).
@@ -342,6 +369,20 @@ object TextOps {
            ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
          WHERE levenshtein(a.head, c.head) <= 60
          ORDER BY doc_a, doc_b""",
+
+    "t10_source_filter" ->
+      """WITH st AS (SELECT doc_id, source,
+           CAST(LEN(string_split(TRIM(text), ' ')) AS INT) AS nt,
+           CAST(LEN(list_distinct(string_split(TRIM(text), ' '))) AS INT)
+             AS nd
+           FROM documents),
+         src AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS src_tokens,
+                        CAST(SUM(nd) AS BIGINT) AS src_distinct
+                 FROM st GROUP BY source
+                 HAVING SUM(nd) * 100 >= SUM(nt) * 43)
+         SELECT st.doc_id, st.source, src.src_tokens, src.src_distinct
+         FROM st JOIN src USING (source)
+         ORDER BY st.doc_id""",
 
     "t04_rolling_fingerprint" ->
       """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
