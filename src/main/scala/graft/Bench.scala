@@ -31,6 +31,7 @@ object Bench {
     "q55_bucketed_colocated_join", "q56_time_range_window",
     "q57_dpp_partitioned_join",
     "d01_dedup_exact", "d03_ngram_jaccard_pairs", "d04_minhash_lsh_dedup",
+    "d08_decontamination", "t10_source_filter",
     "d06_embedding_neardup", "e01_cosine_pairs", "e03_ann_ivf",
     "e04_ann_topk_partial", "e05_lsh_cosine_pairs", "e06_ann_ivf_nprobe",
     "t02_quality_score", "t05_char_ngram_profile", "t07_sequence_packing",

@@ -347,13 +347,16 @@ object DedupOps {
     // one exchange on doc_id. Output is the audit view (contaminated
     // doc + distinct shared grams); the clean corpus is its anti-join.
     "d08_decontamination" -> ((s, d) => {
+      // grams are row-distinct BEFORE the explode: (doc_id, g) is then
+      // unique, so the per-doc hit count is a plain count(1) — no
+      // count-distinct Expand — and the probe side shrinks for free
       val grams = Tables.documents(s, d)
         .withColumn("words", split(trim(col("text")), " "))
-        .withColumn("gs",
+        .withColumn("gs", array_distinct(
           when(size(col("words")) >= 8,
             expr("transform(sequence(1, size(words) - 7), " +
               "i -> array_join(slice(words, i, 8), ' '))"))
-            .otherwise(array().cast("array<string>")))
+            .otherwise(array().cast("array<string>"))))
         .select(col("doc_id"), col("gs"))
       val evalGrams = grams.filter(col("doc_id") % 7 === 0)
         .select(explode(col("gs")).as("g")).distinct()
@@ -361,7 +364,7 @@ object DedupOps {
         .select(col("doc_id"), explode(col("gs")).as("g"))
       train.join(broadcast(evalGrams), Seq("g"))
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("g")).as("n_shared"))
+        .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("doc_id"))
     }),
 
