@@ -228,6 +228,36 @@ object DedupOps {
     (labels, iters)
   }
 
+  /** Eval-set n-gram decontamination, the reusable surface behind d08:
+    * returns (idCol, n_shared) for every training document sharing at
+    * least one word n-gram with the eval corpus — drop them with an
+    * anti-join to get the clean training set.
+    *
+    * Scale shape (the reason this survives 100 TB): eval/benchmark sets
+    * are tiny relative to a training corpus, so the DISTINCT eval
+    * n-grams BROADCAST and the training side never shuffles — the
+    * corpus-side n-gram explode is map-local and the per-doc hit count
+    * partial-aggregates before the one exchange on idCol. Grams are
+    * row-distinct BEFORE the explode: (id, gram) is then unique, so the
+    * hit count is a plain count(1) with no count-distinct Expand.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n-gram width must be >= 2; got $n")
+    def gramsOf(df: DataFrame): DataFrame = df
+      .withColumn("words", split(trim(col(textCol)), " "))
+      .withColumn("gs", array_distinct(
+        when(size(col("words")) >= n,
+          expr(s"transform(sequence(1, size(words) - ${n - 1}), " +
+            s"i -> array_join(slice(words, i, $n), ' '))"))
+          .otherwise(array().cast("array<string>"))))
+      .select(col(idCol), explode(col("gs")).as("g"))
+    val evalGrams = gramsOf(eval).select(col("g")).distinct()
+    gramsOf(train).join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup, FINGERPRINT-FIRST: group by md5(text) so the shuffle
     // moves 16-byte keys instead of full documents (at 100 TB the
@@ -340,31 +370,12 @@ object DedupOps {
     // training documents sharing any 8-gram with the evaluation set
     // (the GPT-3/PaLM-style n-gram overlap rule). Here the "eval set"
     // is the deterministic doc_id % 7 == 0 slice, standing in for a
-    // benchmark suite. Scale shape: eval sets are tiny relative to a
-    // 100 TB corpus, so the DISTINCT eval 8-grams BROADCAST and the
-    // training side never shuffles — the corpus-side explode is
-    // map-local and the per-doc hit count partial-aggregates before the
-    // one exchange on doc_id. Output is the audit view (contaminated
-    // doc + distinct shared grams); the clean corpus is its anti-join.
+    // benchmark suite; [[decontaminate]] is the reusable surface.
     "d08_decontamination" -> ((s, d) => {
-      // grams are row-distinct BEFORE the explode: (doc_id, g) is then
-      // unique, so the per-doc hit count is a plain count(1) — no
-      // count-distinct Expand — and the probe side shrinks for free
-      val grams = Tables.documents(s, d)
-        .withColumn("words", split(trim(col("text")), " "))
-        .withColumn("gs", array_distinct(
-          when(size(col("words")) >= 8,
-            expr("transform(sequence(1, size(words) - 7), " +
-              "i -> array_join(slice(words, i, 8), ' '))"))
-            .otherwise(array().cast("array<string>"))))
-        .select(col("doc_id"), col("gs"))
-      val evalGrams = grams.filter(col("doc_id") % 7 === 0)
-        .select(explode(col("gs")).as("g")).distinct()
-      val train = grams.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"), explode(col("gs")).as("g"))
-      train.join(broadcast(evalGrams), Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shared"))
+      val docs = Tables.documents(s, d)
+      decontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
         .orderBy(col("doc_id"))
     }),
 

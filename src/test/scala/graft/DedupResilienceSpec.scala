@@ -44,4 +44,25 @@ class DedupResilienceSpec extends SparkSpec {
       }
     }
   }
+
+  test("decontaminate() is a reusable surface: custom frames, n-gram " +
+      "width, id/text columns; the anti-join yields the clean set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val train = Seq(
+      (1L, "a b c d e x y z"),   // shares 4-gram "a b c d" with eval
+      (2L, "p q r s t u v w"),   // clean
+      (3L, "c d e f g h i j"),   // shares "c d e f"
+      (4L, "one two")            // shorter than n: never contaminated
+    ).toDF("id", "body")
+    val eval = Seq((100L, "a b c d e f g")).toDF("id", "body")
+    val hits = graft.operators.DedupOps
+      .decontaminate(train, eval, n = 4, idCol = "id", textCol = "body")
+    val got = hits.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "a b c d" + "b c d e"; doc 3 "c d e f" + "d e f g"
+    assert(got == Map(1L -> 2L, 3L -> 2L), got.toString)
+    val clean = train.join(hits, Seq("id"), "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(2L, 4L))
+  }
 }
