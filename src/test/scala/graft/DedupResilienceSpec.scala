@@ -65,4 +65,32 @@ class DedupResilienceSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(clean == Seq(2L, 4L))
   }
+
+  test("decontaminate equals the naive n-gram intersection model on " +
+      "random small-vocabulary corpora (overlap-dense by construction)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def mkDoc(len: Int, vocab: Int): String =
+      Seq.fill(len)(s"w${rnd.nextInt(vocab)}").mkString(" ")
+    (0 until 6).foreach { iter =>
+      val n = 3 + rnd.nextInt(4) // gram width 3..6
+      val vocab = 4 + rnd.nextInt(8)
+      val docs = (0 until 20).map(i =>
+        (i.toLong, mkDoc(8 + rnd.nextInt(30), vocab)))
+      val (ev, tr) = docs.partition(_._1 % 5 == 0)
+      def gramsOf(t: String): Set[String] = {
+        val w = t.trim.split(" ").toSeq
+        if (w.size < n) Set.empty
+        else (0 to w.size - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+      }
+      val evalSet = ev.iterator.flatMap(d => gramsOf(d._2)).toSet
+      val expected = tr.map { case (id, t) =>
+        id -> (gramsOf(t) & evalSet).size.toLong
+      }.filter(_._2 > 0).toMap
+      val got = graft.operators.DedupOps.decontaminate(
+        tr.toDF("doc_id", "text"), ev.toDF("doc_id", "text"), n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"iter=$iter n=$n vocab=$vocab")
+    }
+  }
 }
