@@ -63,4 +63,61 @@ class StreamingDedupPipelineSpec extends SparkSpec {
     assert(byText("gamma doc") == (("shard-1", 2L)))
     assert(byText("delta doc") == (("shard-0", 4L)))
   }
+
+  test("decontamination at ingest time: streamed documents anti-join the " +
+      "static broadcast eval-gram set (stream-static join), only clean " +
+      "docs reach the sink") {
+    import spark.implicits._
+    val evalDocs = Seq((100L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    // pre-compute the eval gram set once, as a production pipeline would
+    val evalGrams = evalDocs
+      .withColumn("words", split(trim(col("text")), " "))
+      .select(explode(expr(
+        "transform(sequence(1, size(words) - 3), " +
+          "i -> array_join(slice(words, i, 4), ' '))")).as("g"))
+      .distinct()
+    val texts = Seq(
+      (1L, "the quick brown fox went home"),     // shares "the quick brown fox"
+      (2L, "entirely different content here now"), // clean
+      (3L, "she saw the quick brown fox jumps"), // contaminated
+      (4L, "clean text with no overlap at all")) // clean
+    val svc = new InMemoryShardService("decon-stream", Seq("shard-0"))
+    texts.foreach { case (i, t) =>
+      svc.append("shard-0", RawShardRecord.single("pk", BigInt(i), i,
+        s"$i|$t".getBytes(UTF_8)))
+    }
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    val name = s"decon_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val stream = spark.readStream.format("graft-kinesis")
+      .option("service.id", id).load()
+      .selectExpr("CAST(data AS STRING) AS payload")
+      .select(
+        split(col("payload"), "\\|").getItem(0).cast("long").as("doc_id"),
+        split(col("payload"), "\\|").getItem(1).as("text"))
+      .withColumn("words", split(trim(col("text")), " "))
+      .withColumn("gs", expr(
+        "transform(sequence(1, size(words) - 3), " +
+          "i -> array_join(slice(words, i, 4), ' '))"))
+      .select(col("doc_id"), col("text"), explode(col("gs")).as("g"))
+      // stream-static LEFT ANTI join against the broadcast eval grams:
+      // contaminated (doc, gram) rows die here, map-locally
+      .join(broadcast(evalGrams), Seq("g"), "left_anti")
+      .groupBy(col("doc_id"))
+      // a doc survives iff ALL its grams survived the anti-join
+      .agg(count(lit(1)).as("n_clean_grams"), first(col("text")).as("text"))
+    val q = stream
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: 3 grams, 1 contaminated -> 2 clean; doc 3: 4 grams, 1 hit
+    // -> 3 clean; docs 2/4: all grams clean (3 each)
+    val gramCount = texts.toMap.view.mapValues(t => t.split(" ").length - 3).toMap
+    assert(out(2L) == gramCount(2L) && out(4L) == gramCount(4L))
+    assert(out(1L) < gramCount(1L) && out(3L) < gramCount(3L),
+      s"contaminated docs must lose grams: $out vs $gramCount")
+  }
 }
