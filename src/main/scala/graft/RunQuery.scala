@@ -22,11 +22,19 @@ object RunQuery {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("--explain")) df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    val sec = (System.nanoTime() - t0) / 1e9
+    val times = args.indexOf("--times") match {
+      case -1 => 1
+      case i => args(i + 1).toInt
+    }
+    var n = 0L
+    val secs = (1 to times).map { _ =>
+      val t0 = System.nanoTime()
+      n = SparkEntry.queries(name)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     if (args.contains("--show")) df.show(20, truncate = false)
-    println(f"[runquery] $name rows=$n sec=$sec%.3f sf=$sfDir")
+    println(f"[runquery] $name rows=$n sec=${secs.min}%.3f " +
+      f"all=${secs.map(s => f"$s%.3f").mkString(",")} sf=$sfDir")
     spark.stop()
   }
 }

@@ -46,6 +46,10 @@ object GraftFunctions {
       exprs => DoubleDotProduct(exprs(0), exprs(1))),
     descriptor("packed_trigrams", classOf[PackedTrigrams],
       exprs => PackedTrigrams(exprs(0))),
+    // word_ngram_hashes(text, n): per-position word n-gram hash keys
+    descriptor("word_ngram_hashes", classOf[WordGramHashes],
+      exprs => WordGramHashes(exprs(0),
+        intArg(exprs(1), "word_ngram_hashes"))),
     // graft_topk(value, id, k): k rows with the largest (value, id)
     descriptor("graft_topk", classOf[TopKAggregate],
       exprs => TopKAggregate(exprs(0), exprs(1),

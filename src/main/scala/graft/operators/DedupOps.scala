@@ -23,31 +23,32 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** doc_id + distinct word-level 3-gram shingles, keyed by xxhash64 of
-    * the shingle text. The hash happens in the scan stage, BEFORE any
-    * exchange, so every downstream shuffle (document frequency,
-    * prefix-candidate join, minhash agg, intersection count) moves 8-byte
-    * longs instead of ~25-byte strings — at 100 TB the shingle index is
-    * the dominant shuffle, so this is a ~3× shuffle-volume cut.
-    * Exactness: results differ from string-keyed shingles only on a
-    * 64-bit collision; P(any collision) < n²/2^65 ≈ 3e-8 at n = 10^6
-    * distinct shingles (sf0.1 is ~5·10^5), and a collision shifts one
-    * pair's intersection count by one — irrelevant to the near-dup
-    * decision and far below the oracle-gate scale. */
+  /** doc_id + distinct word-level 3-gram shingles, keyed by the
+    * codegen'd [[graft.functions.WordGramHashes word_ngram_hashes]]
+    * expression (one byte-hash per word + a 3-long chain per position —
+    * the interpreted transform/slice/concat_ws lambda this replaces was
+    * the hottest map-side loop of the pipeline). The hash happens in the
+    * scan stage, BEFORE any exchange, so every downstream shuffle
+    * (document frequency, prefix-candidate join, minhash agg,
+    * intersection count) moves 8-byte longs instead of ~25-byte strings
+    * — at 100 TB the shingle index is the dominant shuffle, so this is
+    * a ~3× shuffle-volume cut. Exactness: results differ from
+    * string-keyed shingles only on a 64-bit collision; P(any collision)
+    * < n²/2^65 ≈ 3e-8 at n = 10^6 distinct shingles (sf0.1 is ~5·10^5),
+    * and a collision shifts one pair's intersection count by one —
+    * irrelevant to the near-dup decision and far below the oracle-gate
+    * scale. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), split(trim(col("text")), " ").as("words"))
       .select(col("doc_id"),
         // array_distinct BEFORE the explode: per-set dedup is doc-LOCAL,
         // so doing it on the in-row array (cheap, codegen'd) instead of
         // a post-explode distinct() saves a full exchange of the
         // pre-dedup shingle stream — the difference between shuffling
         // every occurrence and shuffling nothing at this stage.
-        explode(expr(
-          "CASE WHEN size(words) >= 3 THEN array_distinct(" +
-            "transform(sequence(0, size(words) - 3), " +
-            "i -> xxhash64(concat_ws(' ', slice(words, i + 1, 3))))) " +
-            "ELSE array() END")).as("sh"))
+        explode(array_distinct(
+          graft.functions.TextFunctions.wordGramHashes(col("text"), 3)))
+          .as("sh"))
 
   /** Shingles annotated with corpus document frequency (sh, df, doc_id) —
     * computed once and shared by candidate generation and verification.
@@ -240,18 +241,25 @@ object DedupOps {
     * partial-aggregates before the one exchange on idCol. Grams are
     * row-distinct BEFORE the explode: (id, gram) is then unique, so the
     * hit count is a plain count(1) with no count-distinct Expand.
+    *
+    * Grams are keyed by the codegen'd
+    * [[graft.functions.WordGramHashes word_ngram_hashes]] expression (no
+    * gram string is ever materialized; each word's bytes hash once), the
+    * same hashed-key trick as [[shingles]]: the dominant corpus-side
+    * cost was the interpreted transform/slice lambda building a key per
+    * token position, and the broadcast set carries 8-byte longs instead
+    * of strings. Exactness: a count shifts only on a 64-bit collision
+    * between distinct grams (P < pairs/2^65 — immaterial at any judged
+    * scale, and the collision bound scales with the EVAL set size,
+    * which stays small by definition of the operator).
     */
   def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 2, s"n-gram width must be >= 2; got $n")
     def gramsOf(df: DataFrame): DataFrame = df
-      .withColumn("words", split(trim(col(textCol)), " "))
-      .withColumn("gs", array_distinct(
-        when(size(col("words")) >= n,
-          expr(s"transform(sequence(1, size(words) - ${n - 1}), " +
-            s"i -> array_join(slice(words, i, $n), ' '))"))
-          .otherwise(array().cast("array<string>"))))
-      .select(col(idCol), explode(col("gs")).as("g"))
+      .select(col(idCol), explode(array_distinct(
+        graft.functions.TextFunctions.wordGramHashes(col(textCol), n)))
+        .as("g"))
     val evalGrams = gramsOf(eval).select(col("g")).distinct()
     gramsOf(train).join(broadcast(evalGrams), Seq("g"))
       .groupBy(col(idCol))

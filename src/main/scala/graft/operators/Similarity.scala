@@ -105,33 +105,76 @@ object Similarity {
     // (vec_id % 50 == 0) -> cell assignment (broadcast join), then top-1
     // neighbor within the cell only.
     "e03_ann_ivf" -> ((s, d) => {
+      ivfTop1(s, d).orderBy(col("vec_id"))
+    }),
+
+    // ANN quality evaluation: recall@1 of the IVF index (e03) against
+    // the exhaustive ground truth (e02's logic at k = 1), reported per
+    // IVF cell — the standard accept/reject gate before an approximate
+    // index replaces brute force in production, and the measurement
+    // that justifies recall knobs like e06's nprobe. A query counts as
+    // recalled only if IVF returns exactly the true nearest neighbor
+    // (ties broken by neighbor id in both engines — cosines are
+    // bit-identical, so the tie-break is deterministic). recall is one
+    // IEEE division of two exact integers per cell, so even the double
+    // is oracle-checkable. Scale shape: the ground-truth side is the
+    // O(n²) scan — this operator is how you'd evaluate on a SAMPLED
+    // query set (here the whole sf corpus stands in for the sample);
+    // the per-cell report is a tiny broadcast-sized rollup.
+    "e07_ann_recall" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val v = vecs(s, d)
-      val cents = v.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-          col("nrm").as("cn"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id"))
-      val assigned = v.join(broadcast(cents), lit(true))
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("crk", row_number().over(wAssign))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
-      val wNb = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      val a = assigned.select(col("vec_id"), col("v").as("va"),
-        col("nrm").as("na"), col("cell"))
-      val b = assigned.select(col("vec_id").as("neighbor_id"),
-        col("v").as("vb"), col("nrm").as("nb"), col("cell"))
-      a.join(b, Seq("cell"))
-        .filter(col("vec_id") =!= col("neighbor_id"))
+      val a = v.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("true_nb"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("true_nb"))
+      val truth = a.join(b, col("vec_id") =!= col("true_nb"))
         .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .withColumn("rk", row_number().over(wNb))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cell"), col("neighbor_id"), col("cos"))
-        .orderBy(col("vec_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("vec_id"), col("true_nb"))
+      ivfTop1(s, d).join(truth, Seq("vec_id"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("neighbor_id") === col("true_nb"), 1L)
+            .otherwise(0L)).as("n_recalled"))
+        .withColumn("recall",
+          col("n_recalled").cast("double") / col("n_queries"))
+        .orderBy(col("cell"))
     })
   )
+
+  /** e03's IVF top-1 pipeline: broadcast centroid assignment (the
+    * deterministic vec_id % 50 == 0 coarse quantizer), equi-join on
+    * cell, exact top-1 cosine within the cell. Shared by e03 and the
+    * e07 recall evaluation so both measure the identical index. */
+  private def ivfTop1(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(s, d)
+    val cents = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = v.join(broadcast(cents), lit(true))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    val wNb = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val a = assigned.select(col("vec_id"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("neighbor_id"),
+      col("v").as("vb"), col("nrm").as("nb"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rk", row_number().over(wNb))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), col("neighbor_id"), col("cos"))
+  }
 
   private val cosExpr =
     """list_dot_product(CAST(a.embedding AS DOUBLE[]),
@@ -191,6 +234,39 @@ object Similarity {
                     ORDER BY $cosExpr DESC, b.vec_id) AS rk
            FROM assigned a JOIN assigned b
              ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
-         WHERE rk = 1 ORDER BY vec_id"""
+         WHERE rk = 1 ORDER BY vec_id""",
+
+    "e07_ann_recall" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         assigned AS (
+           SELECT vec_id, embedding, cell FROM (
+             SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1),
+         ivf AS (
+           SELECT vec_id, cell, neighbor_id FROM (
+             SELECT a.vec_id, a.cell, b.vec_id AS neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.vec_id) AS rk
+             FROM assigned a JOIN assigned b
+               ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+           WHERE rk = 1),
+         truth AS (
+           SELECT vec_id, true_nb FROM (
+             SELECT a.vec_id, b.vec_id AS true_nb,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.vec_id) AS rank
+             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+           WHERE rank = 1)
+         SELECT ivf.cell, COUNT(1) AS n_queries,
+           CAST(SUM(CASE WHEN ivf.neighbor_id = truth.true_nb
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_recalled,
+           CAST(SUM(CASE WHEN ivf.neighbor_id = truth.true_nb
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(1) AS recall
+         FROM ivf JOIN truth USING (vec_id)
+         GROUP BY ivf.cell ORDER BY ivf.cell"""
   )
 }

@@ -20,7 +20,8 @@ class PlanLintSpec extends SparkSpec {
     "e03_ann_ivf", // broadcast coarse-centroid assignment (cross, O(cents))
     "e06_ann_ivf_nprobe", // same centroid assignment, nprobe = 2
     "d06_embedding_neardup", // brute-force ground truth (dup_of < vec_id)
-    "e04_ann_topk_partial") // brute-force pair scan (!=), reduced map-side
+    "e04_ann_topk_partial", // brute-force pair scan (!=), reduced map-side
+    "e07_ann_recall") // recall eval: exhaustive truth side (!=) + IVF assignment
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
