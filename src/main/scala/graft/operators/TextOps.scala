@@ -243,6 +243,116 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Intra-document repetition filter (the Gopher/MassiveText
+    // "duplicate n-gram fraction" rule): the fraction of a document's
+    // 3-gram positions whose gram occurs more than once IN THAT
+    // DOCUMENT. Fully doc-local — grams are hashed by the codegen'd
+    // word_ngram_hashes expression, sorted in-row, and duplicated
+    // positions counted with an index lambda over the sorted array
+    // (a position is duplicated iff it equals a neighbour after
+    // sorting), so the corpus NEVER shuffles: at 100 TB this is a pure
+    // map over the scan, unlike the per-(doc, gram) groupBy the same
+    // metric naively suggests. The oracle computes the identical
+    // counts from string grams via UNNEST + GROUP BY — values differ
+    // only on an intra-document 64-bit hash collision (P < g²/2^65
+    // per doc, g ≈ corpus's grams-per-doc).
+    "t11_repetition_filter" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("g", array_sort(
+          graft.functions.TextFunctions.wordGramHashes(col("text"), 3)))
+        .withColumn("n_grams", size(col("g")))
+        .withColumn("n_singleton", size(expr(
+          "filter(sequence(1, size(g)), i -> " +
+            "(i = 1 OR element_at(g, i) != element_at(g, i - 1)) AND " +
+            "(i = size(g) OR element_at(g, i) != element_at(g, i + 1)))")))
+        .withColumn("n_dup_pos", col("n_grams") - col("n_singleton"))
+        .withColumn("dup_frac",
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(col("n_dup_pos").cast("double") / col("n_grams")))
+        .withColumn("flag_repetitive", col("dup_frac") > 0.2)
+        .select(col("doc_id"), col("n_grams"), col("n_dup_pos"),
+          col("dup_frac"), col("flag_repetitive"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Overlapping token-window chunking — the "split long documents
+    // into training-context windows" step (64-token chunks, stride 48,
+    // so consecutive chunks share 16 tokens). chunk count and content
+    // are pure per-row functions of the token array: map-local explode,
+    // no shuffle, embarrassingly parallel at any scale.
+    "t12_doc_chunking" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("words", split(trim(col("text")), " "))
+        .withColumn("chunk_idx",
+          explode(expr("sequence(CAST(0 AS BIGINT), (size(words) - 1) div 48)")))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr("array_join(slice(words, CAST(chunk_idx * 48 + 1 AS INT), 64), ' ')")
+            .as("chunk_text"),
+          least(size(col("words")) - col("chunk_idx") * 48, lit(64L))
+            .as("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Vocabulary induction with cumulative coverage — the tokenizer-
+    // vocabulary step: corpus term frequencies, rank by (count desc,
+    // term), and each rank's cumulative share of all token occurrences.
+    // Scale shape: the ONLY corpus-wide stage is the map-side-combined
+    // groupBy(term); the rank/cumulative windows run over the VOCABULARY
+    // (zipf-bounded, millions of rows at 100 TB, not the corpus), where
+    // a single-partition window is the correct plan, not a bottleneck.
+    // cum_share is one IEEE division of two exact integers per row.
+    "t13_vocab_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val order = Window.orderBy(col("cnt").desc, col("term"))
+      val wCum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      counts
+        .withColumn("rank", row_number().over(order))
+        .withColumn("cum_cnt", sum(col("cnt")).over(wCum))
+        .withColumn("cum_share",
+          col("cum_cnt").cast("double") / sum(col("cnt")).over(wAll))
+        .filter(col("rank") <= 30)
+        .select(col("rank"), col("term"), col("cnt"), col("cum_cnt"),
+          col("cum_share"))
+        .orderBy(col("rank"))
+    }),
+
+    // Data-mixture weighting — given target language shares for the
+    // training mix, compute each language's actual token share and the
+    // relative sampling rate (normalized so the most over-sampled
+    // language keeps rate 1.0 — downsample-only, no upsampling). Every
+    // double is a composition of single IEEE operations on
+    // engine-identical inputs (exact integer token counts and literal
+    // target shares), so even the rates are hash-comparable. The
+    // per-language aggregate partial-aggregates map-side; the windows
+    // run over 5 rows.
+    "t14_mixture_weights" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(s, d)
+        .select(col("lang"), size(split(trim(col("text")), " ")).as("nt"))
+        .groupBy(col("lang")).agg(sum(col("nt")).as("lang_tokens"))
+        .withColumn("actual_share",
+          col("lang_tokens").cast("double") / sum(col("lang_tokens")).over(wAll))
+        .withColumn("target_share",
+          when(col("lang") === "en", 0.45)
+            .when(col("lang") === "es", 0.20)
+            .when(col("lang") === "de", 0.20)
+            .when(col("lang") === "fr", 0.10)
+            .otherwise(0.05))
+        .withColumn("ratio", col("target_share") / col("actual_share"))
+        .withColumn("sample_rate", col("ratio") / max(col("ratio")).over(wAll))
+        .select(col("lang"), col("lang_tokens"), col("actual_share"),
+          col("target_share"), col("sample_rate"))
+        .orderBy(col("lang"))
+    }),
+
     // Position-weighted rolling fingerprint over tokens — a polynomial
     // rolling hash computed with identical integer arithmetic in both
     // engines (sum of token_length * 31^(i mod 8) mod 2^31-1).
@@ -383,6 +493,77 @@ object TextOps {
          SELECT st.doc_id, st.source, src.src_tokens, src.src_distinct
          FROM st JOIN src USING (source)
          ORDER BY st.doc_id""",
+
+    "t11_repetition_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+                    FROM documents),
+         g AS (SELECT doc_id,
+                 UNNEST(list_transform(
+                   generate_series(1, GREATEST(LEN(words) - 2, 0)),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                 AS gram
+               FROM w),
+         c AS (SELECT doc_id, gram, COUNT(1) AS cnt FROM g
+               GROUP BY doc_id, gram),
+         a AS (SELECT doc_id, CAST(SUM(cnt) AS INT) AS n_grams,
+                 CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS INT)
+                   AS n_dup_pos
+               FROM c GROUP BY doc_id)
+         SELECT w.doc_id,
+           COALESCE(a.n_grams, 0) AS n_grams,
+           COALESCE(a.n_dup_pos, 0) AS n_dup_pos,
+           CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0
+                ELSE CAST(a.n_dup_pos AS DOUBLE) / a.n_grams END AS dup_frac,
+           (CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0
+                 ELSE CAST(a.n_dup_pos AS DOUBLE) / a.n_grams END) > 0.2
+             AS flag_repetitive
+         FROM w LEFT JOIN a USING (doc_id) ORDER BY doc_id""",
+
+    "t12_doc_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+                    FROM documents),
+         c AS (SELECT doc_id, words,
+                 UNNEST(generate_series(0, (LEN(words) - 1) // 48))
+                   AS chunk_idx
+               FROM w)
+         SELECT doc_id, chunk_idx,
+           array_to_string(words[(chunk_idx*48 + 1):(chunk_idx*48 + 64)], ' ')
+             AS chunk_text,
+           LEAST(LEN(words) - chunk_idx*48, 64) AS n_chunk_tokens
+         FROM c ORDER BY doc_id, chunk_idx""",
+
+    "t13_vocab_coverage" ->
+      """WITH t AS (SELECT UNNEST(string_split(TRIM(text), ' ')) AS term
+                    FROM documents),
+         c AS (SELECT term, COUNT(1) AS cnt FROM t
+               WHERE term <> '' GROUP BY term),
+         r AS (SELECT term, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank,
+                 SUM(cnt) OVER (ORDER BY cnt DESC, term
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cnt,
+                 SUM(cnt) OVER () AS total
+               FROM c)
+         SELECT CAST(rank AS INT) AS rank, term, cnt, cum_cnt,
+           CAST(cum_cnt AS DOUBLE) / total AS cum_share
+         FROM r WHERE rank <= 30 ORDER BY rank""",
+
+    "t14_mixture_weights" ->
+      """WITH lt AS (SELECT lang,
+           CAST(SUM(LEN(string_split(TRIM(text), ' '))) AS BIGINT)
+             AS lang_tokens
+           FROM documents GROUP BY lang),
+         sh AS (SELECT lang, lang_tokens,
+                  CAST(lang_tokens AS DOUBLE) / SUM(lang_tokens) OVER ()
+                    AS actual_share,
+                  CASE lang WHEN 'en' THEN 0.45 WHEN 'es' THEN 0.20
+                            WHEN 'de' THEN 0.20 WHEN 'fr' THEN 0.10
+                            ELSE 0.05 END AS target_share
+                FROM lt),
+         rt AS (SELECT *, target_share / actual_share AS ratio FROM sh)
+         SELECT lang, lang_tokens, actual_share, target_share,
+           ratio / MAX(ratio) OVER () AS sample_rate
+         FROM rt ORDER BY lang""",
 
     "t04_rolling_fingerprint" ->
       """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words

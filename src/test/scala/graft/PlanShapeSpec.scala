@@ -221,6 +221,45 @@ class PlanShapeSpec extends SparkSpec {
       s"offsets must broadcast-join back:\n${p.take(1200)}")
   }
 
+  test("t11/t12: doc-local text operators keep the corpus out of every " +
+      "exchange — the only shuffle is the final presentation sort") {
+    Seq("t11_repetition_filter", "t12_doc_chunking").foreach { name =>
+      val p = planOf(name)
+      // no hash-partitioned exchange at all: the metric/chunking is a
+      // pure map over the scan; rangepartitioning for the orderBy is
+      // presentation-only and drops out of a pipeline composition
+      assert(!p.contains("hashpartitioning"),
+        s"$name: doc-local operator planned a hash exchange:\n${p.take(1500)}")
+    }
+  }
+
+  test("t13: the corpus-wide stage is a map-side partial aggregate; " +
+      "rank/coverage windows run over the vocabulary only") {
+    val p = planOf("t13_vocab_coverage")
+    // partial_count before the exchange = map-side combine on term
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"term counting must partial-aggregate map-side:\n${p.take(1500)}")
+    assert(p.contains("hashpartitioning(term"),
+      s"the only corpus exchange keys on term:\n${p.take(1500)}")
+  }
+
+  test("word_ngram_hashes stays inside whole-stage codegen (no " +
+      "interpreted lambda in the dedup scan stage)") {
+    val df = SparkEntry.queries("d08_decontamination")(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen spans appear
+    // AQE's toString prints Final + Initial plans; only the final one
+    // carries codegen stage markers
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // every Generate node carrying the expression must be inside a
+    // WholeStageCodegen span — starred `*(n)` in the simple plan form
+    val gens = p.linesIterator
+      .filter(_.contains("word_ngram_hashes")).toSeq
+    assert(gens.nonEmpty, p.take(1200))
+    assert(gens.forall(_.matches(""".*\*\(\d+\) Generate .*""")),
+      s"word_ngram_hashes fell out of codegen:\n${gens.mkString("\n")}")
+  }
+
   test("d01: the exact-dedup exchange carries md5 fingerprints, never " +
       "document text — aggregation keys on fp with map-side partials") {
     val df = SparkEntry.queries("d01_dedup_exact")(spark, dir)

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Semantics of the codegen'd word n-gram hash expression
+  * (graft.functions.WordGramHashes): the hash keys behind the dedup
+  * shingle index (d03/d04/d07) and decontamination grams (d08). The
+  * contract is `split(trim(text), " ")` word boundaries + one hash per
+  * n-gram position; values only need determinism and injectivity-in-
+  * practice (collisions bounded, documented at call sites).
+  */
+class WordGramHashesSpec extends SparkSpec {
+
+  private def hashesOf(text: String, n: Int): Seq[Long] =
+    graft.functions.WordGramHashes.hashes(UTF8String.fromString(text), n)
+      .toLongArray().toSeq
+
+  test("position count matches split(trim(text), ' ') semantics, " +
+      "including empty input, multi-space runs, and trim") {
+    // words = regex-split on single spaces, trailing empties kept
+    def model(text: String): Seq[String] = text.trim.split(" ", -1).toSeq
+    val cases = Seq("a b c d", "  a b  ", "", " ", "a", "a  b", // double space
+      "x  ", "a b c d e f g h i j")
+    for (t <- cases; n <- 1 to 4) {
+      val words = model(t)
+      val expected = math.max(words.size - n + 1, 0)
+      assert(hashesOf(t, n).size == expected,
+        s"text='$t' n=$n words=$words")
+    }
+  }
+
+  test("equal word sequences hash equal; word-boundary structure is " +
+      "part of the key (no concat ambiguity)") {
+    // same grams, independent of surrounding context
+    val h1 = hashesOf("a b c", 2)
+    val h2 = hashesOf("z a b c", 2)
+    assert(h1.head == h2(1), "gram 'a b' must hash identically anywhere")
+    // "ab c" vs "a bc": same concatenated bytes, different boundaries
+    assert(hashesOf("ab c", 2) != hashesOf("a bc", 2))
+    // distinct grams distinct in practice on a real vocabulary
+    val distinctGrams = hashesOf("q w e r t y u i o p", 3)
+    assert(distinctGrams.distinct.size == distinctGrams.size)
+  }
+
+  test("DataFrame (codegen) path, SQL registration, and the declarative " +
+      "transform/slice form agree") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq("the quick brown fox jumps", "  padded   text  ", "one")
+      .toDF("text")
+    val viaColumn = df.select(
+      graft.functions.TextFunctions.wordGramHashes(col("text"), 3).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    val viaSql = df.selectExpr("word_ngram_hashes(text, 3) AS h")
+      .as[Seq[Long]].collect().toSeq
+    val viaHelper = df.as[String].collect().toSeq.map(hashesOf(_, 3))
+    assert(viaColumn == viaSql)
+    assert(viaColumn == viaHelper)
+    // counts match the declarative HOF form this expression replaces
+    val declarative = df
+      .withColumn("words", split(trim(col("text")), " "))
+      .select(expr("CASE WHEN size(words) >= 3 THEN size(words) - 2 " +
+        "ELSE 0 END").as("k")).as[Int].collect().toSeq
+    assert(viaColumn.map(_.size) == declarative)
+  }
+
+  test("analysis-time validation: non-string input and n < 1 fail " +
+      "with a clear error") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("x")
+    val e1 = intercept[Exception] {
+      df.select(graft.functions.TextFunctions.wordGramHashes(col("x"), 3))
+        .collect()
+    }
+    assert(e1.getMessage.contains("word_ngram_hashes"), e1.getMessage)
+    val df2 = Seq("a b").toDF("text")
+    val e2 = intercept[Exception] {
+      df2.select(graft.functions.TextFunctions.wordGramHashes(col("text"), 0))
+        .collect()
+    }
+    assert(e2.getMessage.contains("word_ngram_hashes"), e2.getMessage)
+  }
+}
