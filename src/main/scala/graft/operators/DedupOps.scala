@@ -253,15 +253,23 @@ object DedupOps {
     * scale, and the collision bound scales with the EVAL set size,
     * which stays small by definition of the operator).
     */
+  /** `broadcastEval = false` drops the broadcast hint for the rare case
+    * where the "eval" side is itself corpus-sized (e.g. decontaminating
+    * one training corpus against another): the gram join then plans as
+    * a shuffle join on the 8-byte gram key — both sides exchange hashed
+    * grams, never text — with AQE still free to broadcast if the built
+    * side turns out small. Results are identical either way. */
   def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastEval: Boolean = true): DataFrame = {
     require(n >= 2, s"n-gram width must be >= 2; got $n")
     def gramsOf(df: DataFrame): DataFrame = df
       .select(col(idCol), explode(array_distinct(
         graft.functions.TextFunctions.wordGramHashes(col(textCol), n)))
         .as("g"))
     val evalGrams = gramsOf(eval).select(col("g")).distinct()
-    gramsOf(train).join(broadcast(evalGrams), Seq("g"))
+    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    gramsOf(train).join(evalSide, Seq("g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }

@@ -209,6 +209,30 @@ object Extended4 {
         .orderBy(col("user_id"))
     }),
 
+    // CDC compaction (keep-latest-per-key): collapse an event/changelog
+    // stream to each key's most recent row — the merge/upsert
+    // materialization step of a warehouse ingest. Deterministic
+    // tie-break: (ts, event_id) is a total order. THE SCALE POINT: this
+    // is an AGGREGATION (max_by over a struct ordering key), not a
+    // row_number window — partial aggregation collapses each map
+    // partition to one row per key BEFORE the exchange, so the shuffle
+    // carries |keys| rows, not |events|; the window form would shuffle
+    // the entire changelog. (The oracle uses the window form — same
+    // result, scale shape irrelevant there.)
+    "q62_cdc_compact" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"),
+          col("last.event_id").as("last_event_id"),
+          col("last.ts").as("last_ts"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Unpivot (melt): the inverse of q27's pivot — wide per-type count
     // columns back to (bucket, event_type, n) long form, zero-filled
     // cells included. Pivot/unpivot round-trip pins both directions of
@@ -327,6 +351,13 @@ object Extended4 {
                   AS mins_view_to_purchase
          FROM v JOIN p ON p.user_id = v.user_id
          ORDER BY v.user_id""",
+
+    "q62_cdc_compact" ->
+      """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, value AS last_value
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rk FROM events) t
+         WHERE rk = 1 ORDER BY user_id""",
 
     "q59_unpivot" ->
       """WITH b AS (SELECT DISTINCT user_id % 10 AS bucket FROM events),

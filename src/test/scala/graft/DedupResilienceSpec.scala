@@ -66,6 +66,33 @@ class DedupResilienceSpec extends SparkSpec {
     assert(clean == Seq(2L, 4L))
   }
 
+  test("decontaminate corpus-vs-corpus path (broadcastEval = false): " +
+      "identical results, and with auto-broadcast off the gram join " +
+      "shuffles both hashed-gram sides instead of broadcasting") {
+    import spark.implicits._
+    val train = (0 until 40).map(i =>
+      (i.toLong, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 5} w${i % 7} end$i"))
+      .toDF("doc_id", "text")
+    val eval = (100 until 120).map(i =>
+      (i.toLong, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 5} w${i % 3} tail"))
+      .toDF("doc_id", "text")
+    val viaBroadcast = graft.operators.DedupOps
+      .decontaminate(train, eval, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = graft.operators.DedupOps
+        .decontaminate(train, eval, n = 3, broadcastEval = false)
+      assert(big.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        == viaBroadcast)
+      val p = big.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"gram join must shuffle when the eval side is corpus-sized:\n" +
+          p.take(1200))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("decontaminate equals the naive n-gram intersection model on " +
       "random small-vocabulary corpora (overlap-dense by construction)") {
     import spark.implicits._
