@@ -274,6 +274,43 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Incremental exact dedup — the daily-ingest shape: which documents
+    * of a (small) new `batch` already exist, by content, in the
+    * (enormous) `corpus`. Returns one row per duplicate batch document:
+    * (batch id, `dup_of` = smallest matching corpus id).
+    *
+    * Scale shape: BOTH sides reduce to 16-byte md5 fingerprints at the
+    * scan; the batch fingerprint set BROADCASTS, so the corpus is
+    * neither shuffled nor re-fingerprinted into an index — one pure map
+    * pass over the big side per ingest, the same
+    * stream-the-big-side/broadcast-the-delta pattern as
+    * [[decontaminate]]. The corpus side pre-aggregates min(id) per
+    * fingerprint AFTER the broadcast-join filter, so only matching
+    * fingerprints (≤ |batch|) ever reach the one tiny exchange.
+    *
+    * Exactness: same collision contract as d01 — every survivor carries
+    * an independent second hash (xxhash64) plus the byte length, and
+    * any disagreement between matched rows raises instead of reporting
+    * a false duplicate. */
+  def dedupeAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def fps(df: DataFrame, as: String): DataFrame = df.select(
+      col(idCol).as(as),
+      md5(encode(col(textCol), "UTF-8")).as("fp"),
+      xxhash64(col(textCol)).as(s"h2_$as"),
+      length(col(textCol)).as(s"len_$as"))
+    fps(corpus, "dup_of").join(broadcast(fps(batch, "batch_id")), Seq("fp"))
+      .select(col("batch_id"),
+        when(col("h2_dup_of") =!= col("h2_batch_id")
+            || col("len_dup_of") =!= col("len_batch_id"),
+          raise_error(lit("dedupeAgainst: md5 fingerprint collision — " +
+            "distinct texts share a fingerprint; refusing to report a " +
+            "duplicate")))
+          .otherwise(col("dup_of")).as("dup_of"))
+      .groupBy(col("batch_id"))
+      .agg(min(col("dup_of")).as("dup_of"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup, FINGERPRINT-FIRST: group by md5(text) so the shuffle
     // moves 16-byte keys instead of full documents (at 100 TB the

@@ -93,6 +93,38 @@ class DedupResilienceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("dedupeAgainst (incremental exact dedup): finds every batch doc " +
+      "whose content exists in the corpus, reports the smallest corpus " +
+      "id, never shuffles the corpus, and raises on fingerprint-" +
+      "collision evidence") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma"), (11L, "delta epsilon"),
+      (12L, "alpha beta gamma"), // corpus-internal dup: min id wins
+      (13L, "unique corpus doc")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "alpha beta gamma"), // dup of 10 (not 12)
+      (101L, "brand new"), // clean
+      (102L, "delta epsilon"), // dup of 11
+      (103L, "unique corpus doc")).toDF("doc_id", "text")
+    val out = graft.operators.DedupOps.dedupeAgainst(corpus, batch)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 10L, 102L -> 11L, 103L -> 13L))
+    // plan: the batch side broadcasts; the corpus side reaches the join
+    // without any exchange below it
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val belowJoin = p.substring(joinIdx)
+    val streamSide = belowJoin.linesIterator
+      .filterNot(_.contains("BroadcastExchange"))
+      .takeWhile(l => !l.contains("BroadcastQueryStage") &&
+        !l.contains("BroadcastExchange"))
+      .mkString("\n")
+    assert(!streamSide.contains("Exchange hashpartitioning"),
+      s"corpus side must not shuffle below the join:\n$streamSide")
+  }
+
   test("decontaminate equals the naive n-gram intersection model on " +
       "random small-vocabulary corpora (overlap-dense by construction)") {
     import spark.implicits._

@@ -65,6 +65,25 @@ class WordGramHashesSpec extends SparkSpec {
     assert(viaColumn.map(_.size) == declarative)
   }
 
+  test("t11 repetition-filter arithmetic equals an independent string-" +
+      "gram count model on the real corpus (no hash-collision effect, " +
+      "no formula drift)") {
+    val dir = "/root/testdata/sf0.001"
+    val model = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val words = r.getString(1).trim.split(" ", -1).toSeq
+        val counts = words.sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSeq.groupBy(identity).map(_._2.size)
+        val total = counts.sum
+        val dup = counts.filter(_ > 1).sum
+        r.getLong(0) -> ((total, dup))
+      }.toMap
+    val got = SparkEntry.queries("t11_repetition_filter")(spark, dir)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got == model)
+  }
+
   test("analysis-time validation: non-string input and n < 1 fail " +
       "with a clear error") {
     import spark.implicits._
