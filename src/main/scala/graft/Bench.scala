@@ -38,7 +38,8 @@ object Bench {
     "t09_fuzzy_blocked_pairs", "t11_repetition_filter", "t12_doc_chunking",
     "t13_vocab_coverage",
     "q60_gapfill_locf", "q61_funnel_steps", "q62_cdc_compact",
-    "m01_multimodal_decode", "m05_multimodal_header")
+    "m01_multimodal_decode", "m05_multimodal_header",
+    "m07_multimodal_phash_neardup")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -26,6 +26,7 @@ object Multimodal {
       frame_fp: String)
   case class MediaHeader(doc_id: Long, width: Int, height: Int,
       codec: String, duration_ms: Int)
+  case class MediaAHash(doc_id: Long, ahash: Long)
 
   /** STUB decoder: stands in for image/audio decode + feature extraction.
     * Deterministic byte-level "features": length, first byte, md5 hex,
@@ -85,6 +86,39 @@ object Multimodal {
         u(2) * 256 + u(3),
         codecNames(u(4) % 4),
         u(5) * 256 + u(6))
+    }
+
+    /** Perceptual hash (aHash) over the opaque payload: the bytes are
+      * divided into 60 equal block ranges; bit b is set iff block b's
+      * byte mean exceeds the whole-payload mean. The mean comparison is
+      * an exact integer cross-multiplication
+      * (block_sum * n > total_sum * block_len), so the hash — unlike a
+      * float-mean aHash — is bit-identical in any engine. This is the
+      * downsample-and-threshold shape of real image aHash/dHash; a real
+      * deployment swaps the byte blocks for decoded pixel blocks and
+      * keeps everything downstream (banding, hamming verify) unchanged. */
+    def ahash(m: MediaIn): MediaAHash = {
+      val n = m.payload.length
+      if (n == 0) return MediaAHash(m.doc_id, 0L)
+      val bsum = new Array[Long](60)
+      val blen = new Array[Long](60)
+      var total = 0L
+      var i = 0
+      while (i < n) {
+        val b = (i.toLong * 60 / n).toInt
+        val v = m.payload(i) & 0xff
+        bsum(b) += v
+        blen(b) += 1
+        total += v
+        i += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 60) {
+        if (bsum(b) * n > total * blen(b)) h |= 1L << b
+        b += 1
+      }
+      MediaAHash(m.doc_id, h)
     }
 
     /** "Feature extraction" stub: byte-level statistics (mean/max/
@@ -178,6 +212,39 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual-hash media NEAR-dup: aHash fingerprints (exact
+    // integer block-mean thresholding, see MultimodalStub.ahash) +
+    // banded LSH candidates (4 x 15-bit bands) + hamming <= 12
+    // verification — the "find visually-near-identical images across a
+    // crawl" step, next to m06's exact content-hash dedup. Scale
+    // shape: the hash is one map pass over the payload; the only
+    // shuffles key on (band, band-hash) — the canonical LSH exchange,
+    // |docs| x 4 rows of 16 bytes, never a payload.
+    "m07_multimodal_phash_neardup" -> ((s, d) => {
+      import s.implicits._
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .where(length(col("payload")) > 0)
+        .as[MediaIn]
+        .mapPartitions(_.map(MultimodalStub.ahash))
+        .toDF()
+      val banded = fp
+        .select(col("doc_id"), col("ahash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bh", expr("shiftright(ahash, band * 15) & 32767"))
+      val a = banded.select(col("doc_id").as("doc_a"),
+        col("ahash").as("ha"), col("band"), col("bh"))
+      val b = banded.select(col("doc_id").as("doc_b"),
+        col("ahash").as("hb"), col("band"), col("bh"))
+      a.join(b, Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 12)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // One-record-to-many-frames sampling stage (generator shape).
     "m04_multimodal_frames" -> ((s, d) => {
       import s.implicits._
@@ -248,6 +315,38 @@ object Multimodal {
          CAST(MIN(OCTET_LENGTH(CAST(text AS BLOB))) AS INT) AS n_bytes,
          COUNT(1) AS n_copies
          FROM documents GROUP BY MD5(text) ORDER BY doc_id""",
+
+    // identical integer block-mean arithmetic as MultimodalStub.ahash
+    // (exact cross-multiplication — no float means), then the d05-style
+    // band + hamming idiom; ASCII text makes ORD(SUBSTR) == payload byte
+    "m07_multimodal_phash_neardup" ->
+      """WITH s AS (SELECT doc_id, text,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS n
+           FROM documents WHERE OCTET_LENGTH(CAST(text AS BLOB)) > 0),
+         ch AS (SELECT doc_id, n, i, ORD(SUBSTR(text, i, 1)) AS v,
+                  ((i-1)*60)//n AS b
+                FROM s, UNNEST(GENERATE_SERIES(1, n)) AS t(i)),
+         tot AS (SELECT doc_id, n, SUM(v) AS total FROM ch
+                 GROUP BY doc_id, n),
+         blk AS (SELECT doc_id, b, SUM(v) AS bsum, COUNT(1) AS blen
+                 FROM ch GROUP BY doc_id, b),
+         fp AS (SELECT blk.doc_id,
+                  CAST(SUM(CASE WHEN bsum*tot.n > tot.total*blen
+                           THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                    AS ahash
+                FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+                GROUP BY blk.doc_id),
+         banded AS (SELECT doc_id, ahash,
+                      (ahash >> (j*15)) & 32767 AS bh, j AS band
+                    FROM fp, UNNEST(GENERATE_SERIES(0, 3)) AS t2(j)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(bit_count(xor(a.ahash, b.ahash)) AS INT)
+                      AS hamming
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.bh = b.bh
+                   AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM cand
+         WHERE hamming <= 12 ORDER BY doc_a, doc_b""",
 
     // documents.text is ASCII, so char-based SUBSTR == byte slicing
     "m04_multimodal_frames" ->
