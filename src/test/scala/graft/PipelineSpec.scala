@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end behavior of the composed training-data pipeline
+  * (graft.operators.Pipeline): each stage against a hand-computed
+  * model, then the full composition.
+  */
+class PipelineSpec extends SparkSpec {
+  import graft.operators.Pipeline
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today ok"),
+      (2L, "short doc"), // < 10 tokens -> quality-dropped
+      (3L, "a a a a a a a a a a b"), // repetitive -> quality-dropped
+      (4L, "the quick brown fox jumps over the lazy dog today ok"), // dup of 1
+      (5L, "completely different words forming another document body right here now"),
+      (6L, "eval overlap gram one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+  }
+
+  test("qualityFilter drops short and repetitive docs, keeps the rest") {
+    import spark.implicits._
+    val kept = Pipeline.qualityFilter(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("dedupExact keeps each content group's smallest doc_id") {
+    import spark.implicits._
+    val kept = Pipeline.dedupExact(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 5L, 6L))
+  }
+
+  test("decontaminated drops docs sharing an n-gram with the eval set") {
+    import spark.implicits._
+    val eval = Seq(
+      (100L, "gram one two three four five six seven eight nine extra"))
+      .toDF("doc_id", "text")
+    val kept = Pipeline.decontaminated(corpus, eval, n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("prepare composes quality -> exact dedup -> decontamination and " +
+      "emits token counts for the packing stage") {
+    import spark.implicits._
+    val eval = Seq(
+      (100L, "gram one two three four five six seven eight nine extra"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.prepare(corpus, eval)
+    val got = out.select("doc_id", "n_tokens").as[(Long, Int)]
+      .collect().toMap
+    // 2,3 quality-dropped; 4 dup of 1; 6 contaminated -> {1, 5} survive
+    assert(got == Map(1L -> 11, 5L -> 10))
+  }
+
+  test("prepare on the real corpus: survivors are a subset with no " +
+      "duplicate content and no eval 8-gram overlap") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val eval = docs.filter(col("doc_id") % 7 === 0)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val out = Pipeline.prepare(train, eval).cache()
+    val n = out.count()
+    assert(n > 0 && n < train.count())
+    // no two survivors share content
+    val dupGroups = out.groupBy(md5(encode(col("text"), "UTF-8")))
+      .count().filter(col("count") > 1).count()
+    assert(dupGroups == 0)
+    // no survivor shares an 8-gram with eval
+    val overlaps = graft.operators.DedupOps
+      .decontaminate(out, eval).count()
+    assert(overlaps == 0)
+    out.unpersist()
+  }
+}
