@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev utility: run one named SparkEntry query and print its row count,
   * timing, and optionally the plan. Usage:
   *   runMain graft.RunQuery <name> [sfDir] [--show] [--explain]
+  *     [--times N]    N >= 1 runs; prints min + all samples
   */
 object RunQuery {
   def main(args: Array[String]): Unit = {
@@ -24,7 +25,11 @@ object RunQuery {
     if (args.contains("--explain")) df.explain("formatted")
     val times = args.indexOf("--times") match {
       case -1 => 1
-      case i => args(i + 1).toInt
+      case i =>
+        val n = args.lift(i + 1).flatMap(_.toIntOption).getOrElse(
+          sys.error("--times requires a positive integer argument"))
+        require(n >= 1, s"--times must be >= 1; got $n")
+        n
     }
     var n = 0L
     val secs = (1 to times).map { _ =>

@@ -252,8 +252,8 @@ object DedupOps {
     * between distinct grams (P < pairs/2^65 — immaterial at any judged
     * scale, and the collision bound scales with the EVAL set size,
     * which stays small by definition of the operator).
-    */
-  /** `broadcastEval = false` drops the broadcast hint for the rare case
+    *
+    * `broadcastEval = false` drops the broadcast hint for the rare case
     * where the "eval" side is itself corpus-sized (e.g. decontaminating
     * one training corpus against another): the gram join then plans as
     * a shuffle join on the 8-byte gram key — both sides exchange hashed

@@ -240,8 +240,11 @@ object Multimodal {
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
-        .distinct()
+        // verify BEFORE the distinct: hamming is a function of the
+        // pair, so the result is identical, but the dedup exchange
+        // then carries only true near-dups, not every band collision
         .filter(col("hamming") <= 12)
+        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

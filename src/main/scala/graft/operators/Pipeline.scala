@@ -6,23 +6,26 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data preparation: the operators composed the way
   * a real pipeline runs them, as one declarative plan per stage.
   *
-  * Stage order follows the standard corpus-preparation recipe (quality
-  * filter → exact dedup → near dedup → decontaminate → pack): cheap
-  * row-local filters run FIRST so every later (join-bearing) stage sees
-  * a smaller corpus, and exact dedup precedes near dedup so the shingle
-  * index is never built over byte-identical copies.
+  * [[prepare]] composes quality filter → exact dedup → decontaminate,
+  * ending in the token-count frame a packing stage consumes. Cheap
+  * row-local filters run FIRST so every join-bearing stage sees a
+  * smaller corpus. Near-dup removal (d03 pairs → d07 components) and
+  * packing (t07) are deliberately separate stages — near-dup thresholds
+  * and bin sizes are corpus-specific tuning decisions, so they splice
+  * in between [[dedupExact]] and [[decontaminated]] rather than hiding
+  * inside the default composition. Each stage is exposed separately so
+  * a user can do exactly that (the reference's processing hooks compose
+  * the same way, reference `README.md:348-358`).
   *
   * Scale shape is inherited from the per-stage operators: the quality
-  * filter is a pure map; exact dedup exchanges md5 fingerprints; the
-  * near-dup stage shuffles the hashed shingle index (PPJoin-pruned);
-  * decontamination broadcasts the eval grams; packing is the two-phase
-  * range-partitioned prefix sum. Nothing in the composition adds a
-  * shuffle: each stage's output feeds the next by doc_id semi/anti
-  * joins on already-partitioned keys.
-  *
-  * Each stage is also exposed separately so a user can splice in their
-  * own (the reference's processing hooks compose the same way,
-  * reference `README.md:348-358`).
+  * filter is a pure map; exact dedup exchanges md5 fingerprints;
+  * decontamination broadcasts the eval grams. The composition itself
+  * adds no shuffle — stages hand off by doc_id semi/anti joins — and
+  * [[prepare]] materializes the surviving corpus ONCE between stages
+  * (eager local checkpoint; persist/DFS-checkpoint at cluster scale)
+  * so the scan + dedup subtree is not re-executed by each side of the
+  * downstream self-referencing joins (same single-materialization
+  * pattern as [[DedupOps]]' byDocIndex).
   */
 object Pipeline {
 
@@ -37,12 +40,22 @@ object Pipeline {
   }
 
   /** Exact dedup keep-min-id: d01's fingerprint-first shape as a
-    * filter — survivors are each content group's smallest doc_id. */
+    * filter — survivors are each content group's smallest doc_id, with
+    * d01's independent-hash collision guard (an md5 collision raises
+    * instead of silently dropping a distinct document). */
   def dedupExact(docs: DataFrame): DataFrame = {
     val reps = docs
-      .select(md5(encode(col("text"), "UTF-8")).as("fp"), col("doc_id"))
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+      .select(md5(encode(col("text"), "UTF-8")).as("fp"), col("doc_id"),
+        xxhash64(col("text")).as("h2"), length(col("text")).as("len"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("h2")).as("h2_min"), max(col("h2")).as("h2_max"),
+        min(col("len")).as("len_min"), max(col("len")).as("len_max"))
+      .select(when(col("h2_min") =!= col("h2_max")
+          || col("len_min") =!= col("len_max"),
+        raise_error(lit("dedupExact: md5 fingerprint collision — " +
+          "distinct texts share a fingerprint; refusing to dedup")))
+        .otherwise(col("doc_id")).as("doc_id"))
     docs.join(reps, Seq("doc_id"), "left_semi")
   }
 
@@ -55,8 +68,16 @@ object Pipeline {
 
   /** The composed pipeline: quality gate → exact dedup → decontaminate
     * against `eval`. Returns the surviving documents with their token
-    * counts — the frame a packing/sharding stage (t07) consumes. */
-  def prepare(docs: DataFrame, eval: DataFrame): DataFrame =
-    decontaminated(dedupExact(qualityFilter(docs)), eval)
+    * counts — the frame a packing/sharding stage (t07) consumes.
+    *
+    * The post-dedup corpus is materialized once: [[dedupExact]] and
+    * [[decontaminated]] each reference their input on BOTH sides of a
+    * join, so without a materialization point one action re-runs the
+    * scan ~4× and the dedup shuffle twice. */
+  def prepare(docs: DataFrame, eval: DataFrame): DataFrame = {
+    val filtered = qualityFilter(docs).localCheckpoint(true)
+    val deduped = dedupExact(filtered).localCheckpoint(true)
+    decontaminated(deduped, eval)
       .withColumn("n_tokens", size(split(trim(col("text")), " ")))
+  }
 }

@@ -22,6 +22,33 @@ object TextOps {
   private def inList(vs: Seq[String]): String =
     vs.map(v => s"'$v'").mkString("(", ", ", ")")
 
+  /** t11's computation as a reusable surface: per-document duplicate
+    * 3-gram statistics over any (doc_id, text) frame. Doc-local — the
+    * grams are hashed by the codegen'd word_ngram_hashes expression,
+    * sorted in-row, and duplicated positions counted by an index lambda
+    * over the sorted array (a position is duplicated iff it equals a
+    * neighbour after sorting) — so the corpus never shuffles. Documents
+    * with fewer than 3 words have zero gram positions; the n_singleton
+    * branch is guarded because `sequence(1, 0)` is the DESCENDING
+    * sequence [1, 0], not empty, and element_at would throw. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("g", array_sort(
+        graft.functions.TextFunctions.wordGramHashes(col("text"), 3)))
+      .withColumn("n_grams", size(col("g")))
+      .withColumn("n_singleton",
+        when(col("n_grams") === 0, 0).otherwise(size(expr(
+          "filter(sequence(1, size(g)), i -> " +
+            "(i = 1 OR element_at(g, i) != element_at(g, i - 1)) AND " +
+            "(i = size(g) OR element_at(g, i) != element_at(g, i + 1)))"))))
+      .withColumn("n_dup_pos", col("n_grams") - col("n_singleton"))
+      .withColumn("dup_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_dup_pos").cast("double") / col("n_grams")))
+      .withColumn("flag_repetitive", col("dup_frac") > 0.2)
+      .select(col("doc_id"), col("n_grams"), col("n_dup_pos"),
+        col("dup_frac"), col("flag_repetitive"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Whitespace + regex ("BPE-ish") token counting, distinct-token ratio.
     "t01_token_stats" -> ((s, d) => {
@@ -257,34 +284,24 @@ object TextOps {
     // only on an intra-document 64-bit hash collision (P < g²/2^65
     // per doc, g ≈ corpus's grams-per-doc).
     "t11_repetition_filter" -> ((s, d) => {
-      Tables.documents(s, d)
-        .withColumn("g", array_sort(
-          graft.functions.TextFunctions.wordGramHashes(col("text"), 3)))
-        .withColumn("n_grams", size(col("g")))
-        .withColumn("n_singleton", size(expr(
-          "filter(sequence(1, size(g)), i -> " +
-            "(i = 1 OR element_at(g, i) != element_at(g, i - 1)) AND " +
-            "(i = size(g) OR element_at(g, i) != element_at(g, i + 1)))")))
-        .withColumn("n_dup_pos", col("n_grams") - col("n_singleton"))
-        .withColumn("dup_frac",
-          when(col("n_grams") === 0, lit(0.0))
-            .otherwise(col("n_dup_pos").cast("double") / col("n_grams")))
-        .withColumn("flag_repetitive", col("dup_frac") > 0.2)
-        .select(col("doc_id"), col("n_grams"), col("n_dup_pos"),
-          col("dup_frac"), col("flag_repetitive"))
-        .orderBy(col("doc_id"))
+      repetitionStats(Tables.documents(s, d)).orderBy(col("doc_id"))
     }),
 
     // Overlapping token-window chunking — the "split long documents
     // into training-context windows" step (64-token chunks, stride 48,
     // so consecutive chunks share 16 tokens). chunk count and content
     // are pure per-row functions of the token array: map-local explode,
-    // no shuffle, embarrassingly parallel at any scale.
+    // no shuffle, embarrassingly parallel at any scale. A chunk i >= 1
+    // exists only when it reaches PAST the previous chunk's end
+    // (48i + 16 < n, i.e. i <= (n - 17) div 48): a trailing window
+    // fully contained in its predecessor would duplicate training
+    // content, not cover new tokens.
     "t12_doc_chunking" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("words", split(trim(col("text")), " "))
         .withColumn("chunk_idx",
-          explode(expr("sequence(CAST(0 AS BIGINT), (size(words) - 1) div 48)")))
+          explode(expr("sequence(CAST(0 AS BIGINT), " +
+            "greatest((size(words) - 17) div 48, CAST(0 AS BIGINT)))")))
         .select(col("doc_id"), col("chunk_idx"),
           expr("array_join(slice(words, CAST(chunk_idx * 48 + 1 AS INT), 64), ' ')")
             .as("chunk_text"),
@@ -523,7 +540,8 @@ object TextOps {
       """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
                     FROM documents),
          c AS (SELECT doc_id, words,
-                 UNNEST(generate_series(0, (LEN(words) - 1) // 48))
+                 UNNEST(generate_series(0,
+                   GREATEST((LEN(words) - 17) // 48, 0)))
                    AS chunk_idx
                FROM w)
          SELECT doc_id, chunk_idx,

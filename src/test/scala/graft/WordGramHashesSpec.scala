@@ -84,6 +84,22 @@ class WordGramHashesSpec extends SparkSpec {
     assert(got == model)
   }
 
+  test("repetitionStats: docs with fewer than 3 words (zero gram " +
+      "positions) yield zeros instead of throwing — sequence(1, 0) is " +
+      "the descending [1, 0], so the guard matters") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, ""), (3L, "x"),
+      (4L, "p q r p q r p q")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.repetitionStats(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((0, 0, 0.0, false)))
+    assert(got(2L) == ((0, 0, 0.0, false)))
+    assert(got(3L) == ((0, 0, 0.0, false)))
+    // 6 gram positions, every gram occurs twice -> all positions dup
+    assert(got(4L) == ((6, 6, 1.0, true)))
+  }
+
   test("analysis-time validation: non-string input and n < 1 fail " +
       "with a clear error") {
     import spark.implicits._
