@@ -38,8 +38,8 @@ object DedupOps {
     * and a collision shifts one pair's intersection count by one —
     * irrelevant to the near-dup decision and far below the oracle-gate
     * scale. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         // array_distinct BEFORE the explode: per-set dedup is doc-LOCAL,
         // so doing it on the in-row array (cheap, codegen'd) instead of
@@ -82,8 +82,8 @@ object DedupOps {
     * collect_list here is doc-bounded (a document's own shingles),
     * unlike the per-shingle posting lists [[withDocFreq]] deliberately
     * avoids. */
-  private def byDocIndex(s: SparkSession, d: String): DataFrame =
-    withDocFreq(shingles(s, d))
+  private[operators] def byDocIndex(docs: DataFrame): DataFrame =
+    withDocFreq(shingles(docs))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("sh"))).as("l"),
         count(lit(1)).as("sz"))
@@ -311,6 +311,27 @@ object DedupOps {
       .agg(min(col("dup_of")).as("dup_of"))
   }
 
+  /** Exact n-gram Jaccard near-dup PAIRS over any (doc_id, text) frame
+    * — d03's PPJoin pipeline as a library surface: prefix + length +
+    * positional filtering (zero recall loss), exact verification.
+    * Returns (doc_a, doc_b, inter, un, jaccard) at jaccard >= t. */
+  def nearDupPairs(docs: DataFrame, t: Double = 0.8): DataFrame = {
+    require(t > 0 && t <= 1, s"jaccard threshold must be in (0, 1]; got $t")
+    val byDoc = byDocIndex(docs)
+    jaccardOf(prefixCandidates(byDoc, t), byDoc, t)
+  }
+
+  /** Near-dup CLUSTERS over any (doc_id, text) frame — d07 as a library
+    * surface: connected components (path-halving min-label propagation,
+    * throws on non-convergence) over the verified pair graph. Returns
+    * every document with its cluster representative (min doc_id;
+    * singletons point at themselves). */
+  def nearDupComponents(docs: DataFrame, t: Double = 0.8): DataFrame = {
+    val pairs = nearDupPairs(docs, t).select(col("doc_a"), col("doc_b"))
+    connectedComponents(docs.select(col("doc_id")), pairs)._1
+      .select(col("doc_id"), col("lbl").as("cluster_rep"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup, FINGERPRINT-FIRST: group by md5(text) so the shuffle
     // moves 16-byte keys instead of full documents (at 100 TB the
@@ -357,17 +378,15 @@ object DedupOps {
     // construction the rarest — the pair blowup of the naive
     // inverted-index self-join on frequent shingles disappears. The few
     // surviving candidates are then verified with exact Jaccard.
-    "d03_ngram_jaccard_pairs" -> ((s, d) => {
-      val byDoc = byDocIndex(s, d)
-      jaccardOf(prefixCandidates(byDoc, 0.8), byDoc, 0.8)
-    }),
+    "d03_ngram_jaccard_pairs" -> ((s, d) =>
+      nearDupPairs(Tables.documents(s, d), 0.8)),
 
     // MinHash + banded LSH near-dup: 64 permutations (xxhash64 seeded by
     // slot), 16 bands × 4 rows; candidates verified with exact Jaccard.
     // This is the scale path: candidate generation touches only
     // band-hash collisions.
     "d04_minhash_lsh_dedup" -> ((s, d) => {
-      val byDoc = byDocIndex(s, d)
+      val byDoc = byDocIndex(Tables.documents(s, d))
       val nHashes = 64
       val bandRows = 4
       // signatures from the re-exploded index: rows arrive already
@@ -409,15 +428,9 @@ object DedupOps {
     // (iterative-algorithm hygiene at scale). If the round cap is ever
     // hit with changes still pending we THROW: an unconverged labelling
     // must never pass silently as a clustering.
-    "d07_neardup_components" -> ((s, d) => {
-      val byDoc = byDocIndex(s, d)
-      val pairs = jaccardOf(prefixCandidates(byDoc, 0.8), byDoc, 0.8)
-        .select(col("doc_a"), col("doc_b"))
-      val nodes = Tables.documents(s, d).select(col("doc_id"))
-      connectedComponents(nodes, pairs)._1
-        .select(col("doc_id"), col("lbl").as("cluster_rep"))
-        .orderBy(col("doc_id"))
-    }),
+    "d07_neardup_components" -> ((s, d) =>
+      nearDupComponents(Tables.documents(s, d), 0.8)
+        .orderBy(col("doc_id"))),
 
     // Decontamination: the standard pre-training step that removes
     // training documents sharing any 8-gram with the evaluation set

@@ -59,6 +59,19 @@ object Pipeline {
     docs.join(reps, Seq("doc_id"), "left_semi")
   }
 
+  /** Near-dup removal keep-canonical: drop every document whose
+    * near-dup cluster representative ([[DedupOps.nearDupComponents]],
+    * exact Jaccard >= t on 3-gram shingles) is a different document —
+    * one survivor per cluster, singletons untouched. The optional stage
+    * between [[dedupExact]] and [[decontaminated]]; t is corpus-specific
+    * tuning, which is why [[prepare]] doesn't bake it in. */
+  def dedupNear(docs: DataFrame, t: Double = 0.8): DataFrame =
+    docs.join(
+      DedupOps.nearDupComponents(docs, t)
+        .filter(col("cluster_rep") === col("doc_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
   /** Decontamination as a filter: drop every document sharing an
     * n-gram with `eval` ([[DedupOps.decontaminate]] anti-joined). */
   def decontaminated(docs: DataFrame, eval: DataFrame,

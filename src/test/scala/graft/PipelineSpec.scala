@@ -35,6 +35,23 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Seq(1L, 2L, 3L, 5L, 6L))
   }
 
+  test("dedupNear keeps one representative per near-dup cluster and " +
+      "leaves singletons untouched") {
+    import spark.implicits._
+    // 12-word docs differing only in the last word: 10 shingles each,
+    // 9 shared -> Jaccard 9/11 ~ 0.818 >= 0.8
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    val docs = Seq(
+      (1L, s"$base endA"),
+      (2L, s"$base endB"), // near-dup of 1
+      (3L, s"$base endC"), // near-dup of 1 and 2 -> one cluster {1,2,3}
+      (4L, "entirely different words without any shared shingles at all x y")
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Pipeline.dedupNear(docs, 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+  }
+
   test("decontaminated drops docs sharing an n-gram with the eval set") {
     import spark.implicits._
     val eval = Seq(

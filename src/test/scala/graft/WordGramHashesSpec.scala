@@ -100,6 +100,38 @@ class WordGramHashesSpec extends SparkSpec {
     assert(got(4L) == ((6, 6, 1.0, true)))
   }
 
+  test("t12 chunking invariants on the real corpus: chunks cover every " +
+      "token exactly once per 48-stride slot, no chunk is contained in " +
+      "its predecessor, adjacent chunks overlap by exactly 16 tokens") {
+    val dir = "/root/testdata/sf0.001"
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = SparkEntry.queries("t12_doc_chunking")(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    for ((doc, rows) <- chunks) {
+      val n = lens(doc)
+      val sorted = rows.sortBy(_._2)
+      // contiguous chunk indexes from 0
+      assert(sorted.map(_._2).toSeq ==
+        (0L until sorted.length.toLong).toSeq, s"doc $doc")
+      for ((_, idx, clen) <- sorted) {
+        val start = idx * 48 + 1
+        val end = start + clen - 1
+        assert(end <= n, s"doc $doc chunk $idx overruns")
+        // chunks after the first must reach past the predecessor's end
+        if (idx > 0) assert(end > (idx - 1) * 48 + 64,
+          s"doc $doc chunk $idx is contained in its predecessor")
+      }
+      // the last chunk must reach the final token => full coverage
+      val (_, lastIdx, lastLen) = sorted.last
+      assert(lastIdx * 48 + lastLen == n, s"doc $doc misses tail tokens")
+    }
+  }
+
   test("analysis-time validation: non-string input and n < 1 fail " +
       "with a clear error") {
     import spark.implicits._
