@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data preparation: the operators composed the way
@@ -78,6 +78,32 @@ object Pipeline {
       n: Int = 8): DataFrame =
     docs.join(DedupOps.decontaminate(docs, eval, n),
       Seq("doc_id"), "left_anti")
+
+  /** Leakage-safe split assignment over ANY grouping: `reps` maps each
+    * doc_id to a representative (exact-content group min id, a d07
+    * near-dup cluster_rep, a URL domain hash — whatever defines "same
+    * source of leakage"), and the split is a deterministic 60-bit md5
+    * bucket OF THE REPRESENTATIVE, so everything sharing a
+    * representative lands in the same split. `cuts` are cumulative
+    * percentage upper bounds, e.g. Seq(("train", 90), ("val", 95),
+    * ("test", 100)). Scale shape: reps is doc_id→rep (semi-join-sized);
+    * the join is equi-keyed on doc_id; the bucket is a pure map. */
+  def leakageSafeSplit(docs: DataFrame, reps: DataFrame,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must be ascending cumulative percentages ending at 100: $cuts")
+    val h = conv(substring(
+      md5(encode(col("rep").cast("string"), "UTF-8")), 1, 15),
+      16, 10).cast("long")
+    val bucketed = docs.join(reps, Seq("doc_id"))
+      .withColumn("bucket", pmod(h, lit(100L)).cast("int"))
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, cut), rest) => when(col("bucket") < cut, name)
+        .otherwise(rest)
+    }
+    bucketed.withColumn("split", split)
+  }
 
   /** The composed pipeline: quality gate → exact dedup → decontaminate
     * against `eval`. Returns the surviving documents with their token

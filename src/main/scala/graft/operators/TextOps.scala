@@ -370,6 +370,33 @@ object TextOps {
         .orderBy(col("lang"))
     }),
 
+    // Leakage-safe train/val/test split: the split is a deterministic
+    // hash of the document's CONTENT-GROUP REPRESENTATIVE (the exact-dup
+    // group's min doc_id), not of the document itself — byte-identical
+    // copies can never straddle train and test, the classic eval-leak.
+    // (For near-dup safety, substitute d07's cluster_rep as the
+    // representative — Pipeline.leakageSafeSplit takes any rep column.)
+    // Same portable 60-bit md5 bucket as t08: stable across runs,
+    // partitionings, and engines. Scale shape: one fingerprint groupBy
+    // (16-byte keys, map-side combined) + a broadcast-sized join back.
+    "t15_leakage_safe_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("fp", md5(encode(col("text"), "UTF-8")))
+      val reps = docs.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("rep"))
+      val h = conv(substring(
+        md5(encode(col("rep").cast("string"), "UTF-8")), 1, 15),
+        16, 10).cast("long")
+      docs.join(reps, Seq("fp"))
+        .withColumn("bucket", pmod(h, lit(100L)).cast("int"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Position-weighted rolling fingerprint over tokens — a polynomial
     // rolling hash computed with identical integer arithmetic in both
     // engines (sum of token_length * 31^(i mod 8) mod 2^31-1).
@@ -582,6 +609,22 @@ object TextOps {
          SELECT lang, lang_tokens, actual_share, target_share,
            ratio / MAX(ratio) OVER () AS sample_rate
          FROM rt ORDER BY lang""",
+
+    "t15_leakage_safe_split" ->
+      """WITH f AS (SELECT doc_id, MD5(text) AS fp FROM documents),
+         r AS (SELECT fp, MIN(doc_id) AS rep FROM f GROUP BY fp),
+         j AS (SELECT f.doc_id, r.rep,
+                 CAST(CAST(list_reduce(
+                   list_transform(generate_series(1, 15),
+                     i -> strpos('0123456789abcdef',
+                            substring(md5(CAST(r.rep AS VARCHAR)), i, 1)) - 1),
+                   (a, x) -> a * 16 + x) AS BIGINT) % 100 AS INT) AS bucket
+               FROM f JOIN r USING (fp))
+         SELECT doc_id, rep, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM j ORDER BY doc_id""",
 
     "t04_rolling_fingerprint" ->
       """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words

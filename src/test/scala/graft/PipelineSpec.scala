@@ -75,6 +75,49 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map(1L -> 11, 5L -> 10))
   }
 
+  test("leakageSafeSplit: docs sharing a representative always land in " +
+      "the same split; cuts validate; near-dup reps plug in directly") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    val docs = Seq(
+      (1L, s"$base endA"), (2L, s"$base endB"), (3L, s"$base endC"),
+      (4L, "entirely different words without any shared shingles at all x y")
+    ).toDF("doc_id", "text")
+    val reps = graft.operators.DedupOps.nearDupComponents(docs, 0.8)
+      .withColumnRenamed("cluster_rep", "rep")
+    val out = graft.operators.Pipeline.leakageSafeSplit(docs, reps,
+      Seq(("train", 90), ("val", 95), ("test", 100)))
+    val rows = out.select("doc_id", "rep", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 4)
+    // cluster {1,2,3} shares rep 1 -> identical split for all three
+    val clusterSplits = rows.filter(_._2 == 1L).map(_._3).distinct
+    assert(rows.count(_._2 == 1L) == 3 && clusterSplits.length == 1)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Pipeline.leakageSafeSplit(docs, reps,
+        Seq(("train", 90), ("val", 80)))
+    }
+    assert(e.getMessage.contains("cuts"))
+  }
+
+  test("t15: split is a pure function of the representative's bucket " +
+      "and no group straddles splits on the real corpus") {
+    val out = SparkEntry.queries("t15_leakage_safe_split")(
+      spark, "/root/testdata/sf0.001").cache()
+    val perRep = out.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    assert(perRep.filter(col("n_splits") > 1).count() == 0)
+    // split must equal the declared bucket thresholds row-by-row
+    val bad = out.filter(
+      col("split") =!= when(col("bucket") < 90, "train")
+        .when(col("bucket") < 95, "val").otherwise("test")).count()
+    assert(bad == 0)
+    // every doc is assigned exactly once
+    assert(out.count() ==
+      Tables.documents(spark, "/root/testdata/sf0.001").count())
+    out.unpersist()
+  }
+
   test("prepare on the real corpus: survivors are a subset with no " +
       "duplicate content and no eval 8-gram overlap") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
