@@ -183,6 +183,46 @@ object Extended {
         .orderBy(col("event_type"))
     }),
 
+    // KMV sketch UNION — the mergeability property that makes sketches
+    // work on a distributed engine: the bottom-k of a union equals the
+    // bottom-k of the union of per-part bottom-k sets, so per-group
+    // (here per-event-type) sketches of k rows each merge into the
+    // all-types distinct-user estimate WITHOUT revisiting the data.
+    // The estimate is derived ONLY from the merged k-row sketches;
+    // ndv_union_exact rides along to make the error visible — and both
+    // are deterministic (portable 60-bit md5 hash as q51), so even the
+    // estimate is value-level oracle-checked. Scale shape: the one
+    // corpus-side exchange is the distinct on (type, hash); everything
+    // after runs on k·|types| rows.
+    "q63_kmv_sketch_union" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val h = Tables.events(s, d)
+        .select(col("event_type"),
+          conv(substring(
+            md5(encode(col("user_id").cast("string"), "UTF-8")), 1, 15),
+            16, 10).cast("long").as("h"))
+        .distinct()
+      val wType = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val sketches = h.withColumn("rn", row_number().over(wType))
+        .filter(col("rn") <= k)
+      val wAll = Window.orderBy(col("h"))
+      val merged = sketches.select(col("h")).distinct()
+        .withColumn("rn", row_number().over(wAll))
+        .filter(col("rn") <= k)
+        .agg(count(lit(1)).as("sketch_size"),
+          max(when(col("rn") === k, col("h"))).as("hk"))
+      val exact = Tables.events(s, d)
+        .agg(count_distinct(col("user_id")).as("ndv_union_exact"))
+      merged.join(exact, lit(true))
+        .select(col("sketch_size"),
+          when(col("sketch_size") < k, col("sketch_size").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+              / col("hk"))
+            .as("ndv_union_est"),
+          col("ndv_union_exact"))
+    }),
+
     // Character trigram corpus profile (language-ID style fingerprint):
     // top-20 trigrams by frequency. The scan uses the codegen'd
     // packed_trigrams expression — one long per trigram instead of one
@@ -303,6 +343,30 @@ object Extended {
                      / MAX(CASE WHEN rn = 64 THEN h END)
            END AS ndv_est
          FROM r GROUP BY event_type ORDER BY event_type""",
+
+    "q63_kmv_sketch_union" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+           CAST(list_reduce(
+             list_transform(generate_series(1, 15),
+               i -> strpos('0123456789abcdef',
+                      substring(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1),
+             (a, x) -> a * 16 + x) AS BIGINT) AS h
+           FROM events),
+         r AS (SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM h),
+         sk AS (SELECT DISTINCT h FROM r WHERE rn <= 64),
+         m AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM sk),
+         est AS (SELECT COUNT(1) AS sketch_size,
+                   MAX(CASE WHEN rn = 64 THEN h END) AS hk
+                 FROM m WHERE rn <= 64),
+         ex AS (SELECT COUNT(DISTINCT user_id) AS ndv_union_exact
+                FROM events)
+         SELECT sketch_size,
+           CASE WHEN sketch_size < 64 THEN CAST(sketch_size AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976 / hk END AS ndv_union_est,
+           ndv_union_exact
+         FROM est, ex""",
 
     "t05_char_ngram_profile" ->
       """SELECT tri, COUNT(1) AS n FROM (

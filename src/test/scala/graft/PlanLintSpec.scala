@@ -21,7 +21,8 @@ class PlanLintSpec extends SparkSpec {
     "e06_ann_ivf_nprobe", // same centroid assignment, nprobe = 2
     "d06_embedding_neardup", // brute-force ground truth (dup_of < vec_id)
     "e04_ann_topk_partial", // brute-force pair scan (!=), reduced map-side
-    "e07_ann_recall") // recall eval: exhaustive truth side (!=) + IVF assignment
+    "e07_ann_recall", // recall eval: exhaustive truth side (!=) + IVF assignment
+    "q63_kmv_sketch_union") // 1-row sketch x 1-row exact scalar join, O(1)
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
