@@ -82,12 +82,12 @@ object DedupOps {
     * collect_list here is doc-bounded (a document's own shingles),
     * unlike the per-shingle posting lists [[withDocFreq]] deliberately
     * avoids. */
-  private[operators] def byDocIndex(docs: DataFrame): DataFrame =
-    withDocFreq(shingles(docs))
+  private[operators] def byDocIndex(docs: DataFrame,
+      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame =
+    materialize(withDocFreq(shingles(docs))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("sh"))).as("l"),
-        count(lit(1)).as("sz"))
-      .localCheckpoint(true)
+        count(lit(1)).as("sz")))
 
   /** (doc_id, df, sh) rows re-exploded from the materialized per-doc
     * index — no exchange, already doc_id-partitioned. */
@@ -186,15 +186,15 @@ object DedupOps {
     * @return (labels (doc_id, lbl = component min), rounds used)
     */
   private[graft] def connectedComponents(nodes: DataFrame,
-      pairs: DataFrame, maxIters: Int = 60): (DataFrame, Int) = {
-    val edges = pairs
+      pairs: DataFrame, maxIters: Int = 60,
+      materialize: Materialize = Materialize.LocalCheckpoint)
+      : (DataFrame, Int) = {
+    val edges = materialize(pairs
       .union(pairs.select(col("doc_b").as("doc_a"),
-        col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
-    var labels = nodes
+        col("doc_a").as("doc_b"))))
+    var labels = materialize(nodes
       .select(col(nodes.columns.head).as("doc_id"),
-        col(nodes.columns.head).as("lbl"))
-      .localCheckpoint(true)
+        col(nodes.columns.head).as("lbl")))
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -208,16 +208,18 @@ object DedupOps {
           least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lblN"))
       // path halving: jump to the label's own current label
       // (labels[x] <= x by monotonicity, so least() just guards nulls)
-      val stepped = viaNbr
+      val stepped = materialize(viaNbr
         .join(labels.select(col("doc_id").as("jmp_id"),
           col("lbl").as("jmp_lbl")), viaNbr("lblN") === col("jmp_id"), "left")
         .select(col("doc_id"), col("lbl"),
           least(col("lblN"), coalesce(col("jmp_lbl"), col("lblN")))
-            .as("lbl2"))
-        .localCheckpoint(true)
+            .as("lbl2")))
       changed = stepped.filter(col("lbl2") =!= col("lbl")).count()
       val next = stepped.select(col("doc_id"), col("lbl2").as("lbl"))
+      // free the superseded frontier: checkpoint RDD storage (local
+      // checkpoint) AND CacheManager entry (Persist strategy)
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labels)
+      labels.unpersist(blocking = false)
       labels = next
       iters += 1
     }
@@ -315,9 +317,10 @@ object DedupOps {
     * — d03's PPJoin pipeline as a library surface: prefix + length +
     * positional filtering (zero recall loss), exact verification.
     * Returns (doc_a, doc_b, inter, un, jaccard) at jaccard >= t. */
-  def nearDupPairs(docs: DataFrame, t: Double = 0.8): DataFrame = {
+  def nearDupPairs(docs: DataFrame, t: Double = 0.8,
+      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
     require(t > 0 && t <= 1, s"jaccard threshold must be in (0, 1]; got $t")
-    val byDoc = byDocIndex(docs)
+    val byDoc = byDocIndex(docs, materialize)
     jaccardOf(prefixCandidates(byDoc, t), byDoc, t)
   }
 
@@ -326,9 +329,12 @@ object DedupOps {
     * throws on non-convergence) over the verified pair graph. Returns
     * every document with its cluster representative (min doc_id;
     * singletons point at themselves). */
-  def nearDupComponents(docs: DataFrame, t: Double = 0.8): DataFrame = {
-    val pairs = nearDupPairs(docs, t).select(col("doc_a"), col("doc_b"))
-    connectedComponents(docs.select(col("doc_id")), pairs)._1
+  def nearDupComponents(docs: DataFrame, t: Double = 0.8,
+      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
+    val pairs = nearDupPairs(docs, t, materialize)
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponents(docs.select(col("doc_id")), pairs,
+      materialize = materialize)._1
       .select(col("doc_id"), col("lbl").as("cluster_rep"))
   }
 

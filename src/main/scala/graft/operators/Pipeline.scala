@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   * decontamination broadcasts the eval grams. The composition itself
   * adds no shuffle — stages hand off by doc_id semi/anti joins — and
   * [[prepare]] materializes the surviving corpus ONCE between stages
-  * (eager local checkpoint; persist/DFS-checkpoint at cluster scale)
+  * (strategy selectable via [[Materialize]]: local checkpoint by
+  * default, persist/DFS-checkpoint for fault tolerance at cluster scale)
   * so the scan + dedup subtree is not re-executed by each side of the
   * downstream self-referencing joins (same single-materialization
   * pattern as [[DedupOps]]' byDocIndex).
@@ -112,10 +113,16 @@ object Pipeline {
     * The post-dedup corpus is materialized once: [[dedupExact]] and
     * [[decontaminated]] each reference their input on BOTH sides of a
     * join, so without a materialization point one action re-runs the
-    * scan ~4× and the dedup shuffle twice. */
-  def prepare(docs: DataFrame, eval: DataFrame): DataFrame = {
-    val filtered = qualityFilter(docs).localCheckpoint(true)
-    val deduped = dedupExact(filtered).localCheckpoint(true)
+    * scan ~4× and the dedup shuffle twice. `materialize` picks the
+    * strategy for those cut points — [[Materialize.LocalCheckpoint]]
+    * (default) is fastest on local/small clusters but not fault-
+    * tolerant; use [[Materialize.Persist]] or
+    * [[Materialize.ReliableCheckpoint]] at cluster scale (output is
+    * identical under every strategy, pinned by PipelineSpec). */
+  def prepare(docs: DataFrame, eval: DataFrame,
+      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
+    val filtered = materialize(qualityFilter(docs))
+    val deduped = materialize(dedupExact(filtered))
     decontaminated(deduped, eval)
       .withColumn("n_tokens", size(split(trim(col("text")), " ")))
   }

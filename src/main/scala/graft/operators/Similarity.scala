@@ -142,6 +142,72 @@ object Similarity {
         .withColumn("recall",
           col("n_recalled").cast("double") / col("n_queries"))
         .orderBy(col("cell"))
+    }),
+
+    // ANN tuning curve: recall@k (k = 3) of the IVF index under an
+    // nprobe sweep {1, 2, 4} against the exhaustive top-k ground
+    // truth — how a real user PICKS nprobe. recall@k is monotone in
+    // nprobe (each extra probe only widens the candidate set), and the
+    // knee of this curve is the cost/recall trade-off the index is
+    // tuned on. ONE plan computes the whole sweep: the centroid
+    // assignment ranking runs once (crk <= max nprobe), each candidate
+    // row explodes into the sweep values that admit it, and top-k
+    // re-ranks per (nprobe, query) inside the exploded frame — three
+    // index configurations measured for one assignment pass + one
+    // cell join. Scale shape: same as e03/e06 (broadcast centroids,
+    // equi-join on cell, pair space bounded by cell size × nprobe);
+    // the ground-truth side is the O(n²) scan, run on a SAMPLED query
+    // set in production (the sf corpus stands in here).
+    "e08_ann_recall_sweep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 3
+      val v = vecs(s, d)
+      val cents = v.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val ranked = v.join(broadcast(cents), lit(true))
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crk", row_number().over(wAssign))
+      val assigned = ranked.filter(col("crk") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+          col("nrm").as("nb"), col("cent_id").as("cell"))
+      val probes = ranked.filter(col("crk") <= 4)
+        .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"),
+          col("cent_id").as("cell"), col("crk"))
+      val cand = probes.join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .select(col("vec_id"), col("neighbor_id"), col("cos"), col("crk"))
+      val wNb = Window.partitionBy(col("nprobe"), col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val topk = cand
+        .withColumn("nprobe", explode(array(lit(1), lit(2), lit(4))))
+        .filter(col("crk") <= col("nprobe"))
+        .withColumn("rk", row_number().over(wNb))
+        .filter(col("rk") <= k)
+        .select(col("nprobe"), col("vec_id"), col("neighbor_id"))
+      val a = v.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      val wT = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val truth = a.join(b, col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= k)
+        .select(col("vec_id"), col("neighbor_id"))
+      val totals = truth.agg(count(lit(1)).as("n_truth"))
+      topk.join(truth, Seq("vec_id", "neighbor_id"))
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_recalled"))
+        .join(broadcast(totals), lit(true))
+        .withColumn("recall",
+          col("n_recalled").cast("double") / col("n_truth").cast("double"))
+        .select(col("nprobe"), col("n_truth"), col("n_recalled"),
+          col("recall"))
+        .orderBy(col("nprobe"))
     })
   )
 
@@ -267,6 +333,46 @@ object Similarity {
            CAST(SUM(CASE WHEN ivf.neighbor_id = truth.true_nb
                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(1) AS recall
          FROM ivf JOIN truth USING (vec_id)
-         GROUP BY ivf.cell ORDER BY ivf.cell"""
+         GROUP BY ivf.cell ORDER BY ivf.cell""",
+
+    "e08_ann_recall_sweep" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         ranked AS (
+           SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY $cosExpr DESC, b.cent_id) AS crk
+           FROM embeddings a CROSS JOIN cents b),
+         cand AS (
+           SELECT a.vec_id, b.vec_id AS neighbor_id, $cosExpr AS cos, a.crk
+           FROM (SELECT vec_id, embedding, cell, crk FROM ranked
+                 WHERE crk <= 4) a
+           JOIN (SELECT vec_id, embedding, cell FROM ranked
+                 WHERE crk = 1) b
+             ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         topk AS (
+           SELECT nprobe, vec_id, neighbor_id FROM (
+             SELECT p.nprobe, c.vec_id, c.neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY p.nprobe, c.vec_id
+                      ORDER BY c.cos DESC, c.neighbor_id) AS rk
+             FROM cand c
+             JOIN (SELECT UNNEST([1, 2, 4]) AS nprobe) p
+               ON c.crk <= p.nprobe) t
+           WHERE rk <= 3),
+         truth AS (
+           SELECT vec_id, neighbor_id FROM (
+             SELECT a.vec_id, b.vec_id AS neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.vec_id) AS rank
+             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+           WHERE rank <= 3),
+         tot AS (SELECT COUNT(1) AS n_truth FROM truth)
+         SELECT CAST(k.nprobe AS INT) AS nprobe, tot.n_truth,
+                COUNT(1) AS n_recalled,
+                CAST(COUNT(1) AS DOUBLE) / CAST(tot.n_truth AS DOUBLE)
+                  AS recall
+         FROM topk k JOIN truth USING (vec_id, neighbor_id) CROSS JOIN tot
+         GROUP BY k.nprobe, tot.n_truth
+         ORDER BY nprobe"""
   )
 }

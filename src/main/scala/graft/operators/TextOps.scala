@@ -162,36 +162,7 @@ object TextOps {
     // it: without this, the two branches would each re-scan and
     // re-tokenize the full text column (the dedup index uses the same
     // materialize-once pattern, DedupOps.byDocIndex).
-    "t07_sequence_packing" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val blkSize = 4096L
-      val base = Tables.documents(s, d)
-        .withColumn("n_tokens", size(split(trim(col("text")), " ")))
-        .withColumn("blk", expr(s"doc_id div $blkSize"))
-        .select(col("doc_id"), col("lang"), col("n_tokens"), col("blk"))
-        .localCheckpoint(true)
-      // phase 1: bounded local prefix sums, one group per (lang, blk)
-      val wLocal = Window.partitionBy(col("lang"), col("blk"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = base
-        .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
-      // phase 2: per-block totals -> cumulative offsets of earlier blocks
-      val wOff = Window.partitionBy(col("lang")).orderBy(col("blk"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = base.groupBy(col("lang"), col("blk"))
-        .agg(sum(col("n_tokens")).as("blk_total"))
-        .withColumn("offset",
-          coalesce(sum(col("blk_total")).over(wOff), lit(0L)))
-        .select(col("lang"), col("blk"), col("offset"))
-      local.join(broadcast(offsets), Seq("lang", "blk"))
-        .withColumn("cum_tokens", col("local_cum") + col("offset"))
-        .withColumn("bin",
-          expr("(cum_tokens - n_tokens) div 512"))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          col("cum_tokens"), col("bin"))
-        .orderBy(col("doc_id"))
-    }),
+    "t07_sequence_packing" -> ((s, d) => sequencePacking(Tables.documents(s, d))),
 
     // Deterministic stratified sampling: per-language keep rates applied
     // by portable hash bucket (60-bit md5 of doc_id, mod 100) — the
@@ -415,6 +386,48 @@ object TextOps {
     })
   )
 
+  /** t07's engine as a library surface: pack `docs(doc_id, lang, text)`
+    * into fixed-token-budget bins via the two-phase prefix sum described
+    * at the queries entry. `blkSize` trades window-group memory against
+    * offset-table size (raise it at 100 TB so the broadcast offset table
+    * stays small); `materialize` picks the strategy for the single cut
+    * point where the narrow token frame is stored for both phases —
+    * [[Materialize.LocalCheckpoint]] (default) on local/small clusters,
+    * [[Materialize.Persist]] / [[Materialize.ReliableCheckpoint]] where
+    * executor loss must not kill the query. Output is identical under
+    * every strategy (pinned by PipelineSpec).
+    */
+  def sequencePacking(docs: DataFrame, blkSize: Long = 4096L,
+      binTokens: Long = 512L,
+      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = materialize(docs
+      .withColumn("n_tokens", size(split(trim(col("text")), " ")))
+      .withColumn("blk", expr(s"doc_id div $blkSize"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("blk")))
+    // phase 1: bounded local prefix sums, one group per (lang, blk)
+    val wLocal = Window.partitionBy(col("lang"), col("blk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base
+      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    // phase 2: per-block totals -> cumulative offsets of earlier blocks
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("lang"), col("blk"))
+      .agg(sum(col("n_tokens")).as("blk_total"))
+      .withColumn("offset",
+        coalesce(sum(col("blk_total")).over(wOff), lit(0L)))
+      .select(col("lang"), col("blk"), col("offset"))
+    local.join(broadcast(offsets), Seq("lang", "blk"))
+      .withColumn("cum_tokens", col("local_cum") + col("offset"))
+      .withColumn("bin",
+        expr(s"(cum_tokens - n_tokens) div $binTokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_tokens"), col("bin"))
+      .orderBy(col("doc_id"))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "t01_token_stats" ->
       """SELECT doc_id,
@@ -589,7 +602,8 @@ object TextOps {
                    AS cum_cnt,
                  SUM(cnt) OVER () AS total
                FROM c)
-         SELECT CAST(rank AS INT) AS rank, term, cnt, cum_cnt,
+         SELECT CAST(rank AS INT) AS rank, term, cnt,
+           CAST(cum_cnt AS BIGINT) AS cum_cnt,
            CAST(cum_cnt AS DOUBLE) / total AS cum_share
          FROM r WHERE rank <= 30 ORDER BY rank""",
 

@@ -14,6 +14,11 @@ import scala.collection.concurrent.TrieMap
 trait AsyncRecordClient extends Serializable {
   def put(event: ProducerEvent)(onComplete: Option[Throwable] => Unit): Unit
   def close(): Unit
+  /** Target shard this key routes to, when the transport knows its
+    * routing (the in-process [[ShardServiceAsyncClient]] does; a raw
+    * PutRecords transport may not). Drives the per-shard rate cap —
+    * `None` degrades the cap to one shared bucket per writer. */
+  def targetShard(partitionKey: String): Option[String] = None
 }
 
 /** Factory is what ships to executors (a client is created per partition
@@ -45,9 +50,13 @@ trait AsyncRecordClientFactory extends Serializable {
   * simplification with equivalent throughput behavior (pinned by the
   * sustained-overload spec in GraftKinesisSinkSpec).
   *
-  * Opt-in rate cap: producer option `rate-limit-per-shard` (records/s per
-  * task writer) engages a [[RateLimiter]] ahead of the in-flight window —
-  * the reference's KPL `RateLimit` (reference.conf:283-301).
+  * Opt-in rate cap: producer option `rate-limit-per-shard` (records/s
+  * per TARGET SHARD) engages [[ShardRateLimiters]] ahead of the in-flight
+  * window — the reference's KPL `RateLimit` (reference.conf:283-301, a %
+  * of the shard backend limit). Buckets key on the shard the record's
+  * partition key routes to, so hot keys sharing a shard share its quota
+  * while other shards proceed; see [[ShardRateLimiters]] for the
+  * aggregate math across N writer tasks.
   */
 final class GraftSinkWriter(
     factory: AsyncRecordClientFactory,
@@ -58,13 +67,13 @@ final class GraftSinkWriter(
   @transient private var client: AsyncRecordClient = _
   @transient private var window: Semaphore = _
   @transient private var firstError: AtomicReference[Throwable] = _
-  @transient private var rateLimiter: RateLimiter = _
+  @transient private var rateLimiter: ShardRateLimiters = _
 
   override def open(partitionId: Long, epochId: Long): Boolean = {
     client = factory.create()
     window = new Semaphore(conf.maxOutstandingRequests)
     firstError = new AtomicReference[Throwable]()
-    rateLimiter = conf.rateLimitPerShard.map(new RateLimiter(_)).orNull
+    rateLimiter = conf.rateLimitPerShard.map(new ShardRateLimiters(_)).orNull
     true
   }
 
@@ -86,7 +95,8 @@ final class GraftSinkWriter(
     }
     val ev = ProducerEvent(row.getAs[String](keyColumn),
       row.getAs[Array[Byte]](dataColumn), dedup)
-    if (rateLimiter != null) rateLimiter.acquire() // opt-in records/s cap
+    if (rateLimiter != null) // opt-in records/s cap per target shard
+      rateLimiter.acquire(client.targetShard(ev.partitionKey))
     window.acquire() // backpressure: blocks at maxOutstandingRequests
     client.put(ev) { result =>
       result.foreach(t => firstError.compareAndSet(null, t))

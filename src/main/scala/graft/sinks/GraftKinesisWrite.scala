@@ -127,7 +127,7 @@ object GraftKinesisWriteSupport {
     private val window = new Semaphore(conf.maxOutstandingRequests)
     private val firstError = new AtomicReference[Throwable]()
     private val rateLimiter =
-      conf.rateLimitPerShard.map(new RateLimiter(_)).orNull
+      conf.rateLimitPerShard.map(new ShardRateLimiters(_)).orNull
 
     override def write(row: InternalRow): Unit = {
       failIfErrored()
@@ -140,7 +140,8 @@ object GraftKinesisWriteSupport {
               "idempotent produce requires a non-null string id per record")
           row.getUTF8String(i).toString
         })
-      if (rateLimiter != null) rateLimiter.acquire() // opt-in records/s cap
+      if (rateLimiter != null) // opt-in records/s cap per target shard
+        rateLimiter.acquire(client.targetShard(ev.partitionKey))
       window.acquire() // backpressure at maxOutstandingRequests
       client.put(ev) { result =>
         result.foreach(t => firstError.compareAndSet(null, t))

@@ -2,10 +2,10 @@ package graft.sinks
 
 /** Producer-side rate cap — the analogue of the reference's KPL
   * `RateLimit` setting (reference src/main/resources/reference.conf:283-301:
-  * a percentage of the shard backend limit, default 150%). Here the cap is
-  * expressed directly as records/second per writer task (one task writer ≈
-  * one producer actor in the reference), configured via the producer
-  * option `rate-limit-per-shard`.
+  * a percentage of the shard backend limit, default 150%). The cap is
+  * expressed as records/second per TARGET SHARD within one writer task
+  * (see [[ShardRateLimiters]]); this class is the single token bucket
+  * backing one (writer, shard) pair.
   *
   * Token bucket with continuous refill and a small burst allowance (1/20 s
   * of the rate) so steady-state throughput lands on the cap without
@@ -38,4 +38,36 @@ final class RateLimiter(ratePerSec: Double) {
       Thread.sleep(math.max(1L, waitMs))
     }
   }
+}
+
+/** Per-target-shard token buckets for one writer task — the reference's
+  * KPL `RateLimit` contract is a percentage of the SHARD backend limit
+  * (reference.conf:283-301), enforced independently per shard inside each
+  * producer instance. Keying by target shard means two hot keys that both
+  * route to one shard share that shard's quota, while traffic to other
+  * shards is admitted from its own bucket — exactly KPL's per-shard
+  * limiter behavior within one KPL instance.
+  *
+  * Aggregate math across tasks (document, don't hide): with N concurrent
+  * writer tasks the worst-case admission for one shard is N × rate —
+  * same as N independent KPL instances, where `RateLimit` is likewise a
+  * per-instance spike-smoother (deliberately loose at 150% by default)
+  * and service-side throttling + retry is the hard backstop. For a hard
+  * aggregate bound, configure `rate-limit-per-shard` as
+  * shardLimit / expectedWriterTasks; when the upstream is repartitioned
+  * by partition key, each shard receives from a bounded task set and the
+  * configured rate applies directly.
+  *
+  * A transport that cannot expose routing ([[AsyncRecordClient.targetShard]]
+  * = None) degrades to one shared bucket per writer task — the pre-keying
+  * behavior, documented as per-writer semantics.
+  */
+final class ShardRateLimiters(ratePerSec: Double) {
+  private val buckets =
+    scala.collection.concurrent.TrieMap.empty[String, RateLimiter]
+
+  /** Block until the target shard's bucket admits one record. */
+  def acquire(targetShard: Option[String]): Unit =
+    buckets.getOrElseUpdate(targetShard.getOrElse(""),
+      new RateLimiter(ratePerSec)).acquire()
 }

@@ -37,6 +37,11 @@ final class ShardServiceAsyncClient(
   private def shardOf(partitionKey: String): String =
     graft.sources.KeyRouting.shardFor(partitionKey, shards)
 
+  /** Expose routing so the writer's per-shard rate cap keys its buckets
+    * by the shard this key actually lands on. */
+  override def targetShard(partitionKey: String): Option[String] =
+    Some(shardOf(partitionKey))
+
   override def put(event: ProducerEvent)(
       onComplete: Option[Throwable] => Unit): Unit = {
     val shard = shardOf(event.partitionKey)

@@ -118,6 +118,30 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("materialization strategy is semantics-free: prepare and " +
+      "sequencePacking emit identical output under localCheckpoint (the " +
+      "default), persist, and reliable checkpoint") {
+    import graft.operators.{Materialize, TextOps}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val eval = docs.filter(col("doc_id") % 7 === 0)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val chkDir = java.nio.file.Files
+      .createTempDirectory("graft-chk").toString
+    spark.sparkContext.setCheckpointDir(chkDir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    val prepDefault = canon(Pipeline.prepare(train, eval))
+    assert(prepDefault ==
+      canon(Pipeline.prepare(train, eval, Materialize.Persist)))
+    assert(prepDefault ==
+      canon(Pipeline.prepare(train, eval, Materialize.ReliableCheckpoint)))
+    val packDefault = canon(TextOps.sequencePacking(docs))
+    assert(packDefault == canon(
+      TextOps.sequencePacking(docs, materialize = Materialize.Persist)))
+    assert(packDefault == canon(TextOps.sequencePacking(docs,
+      materialize = Materialize.ReliableCheckpoint)))
+  }
+
   test("prepare on the real corpus: survivors are a subset with no " +
       "duplicate content and no eval 8-gram overlap") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

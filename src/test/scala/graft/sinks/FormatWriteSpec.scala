@@ -43,8 +43,13 @@ class FormatWriteSpec extends SparkSpec {
   }
 
   test("rate-limit-per-shard throttles the DSv2 write path too: a " +
-      "single-task batch write above the cap is paced, nothing lost") {
-    val (id, svc) = newStream("fw-rate")
+      "single-task batch write above the cap is paced, nothing lost " +
+      "(single-shard stream, so every record shares one shard bucket)") {
+    // one shard: the per-shard cap applies to ALL traffic — the multi-
+    // shard joint/independent bucket behavior is pinned in
+    // GraftKinesisSinkSpec's per-shard rate cap case
+    val svc = new InMemoryShardService("fw-rate", Seq("shard-0"))
+    val id = ShardServiceRegistry.register(svc)
     val t0 = System.nanoTime()
     producerFrame(300).repartition(1).write.format("graft-kinesis")
       .option("service.id", id)

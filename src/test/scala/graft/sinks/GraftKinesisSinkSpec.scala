@@ -204,4 +204,57 @@ class GraftKinesisSinkSpec extends SparkSpec {
       .flatMap(_.subRecords.map(s => new String(s.data, "UTF-8"))).toSeq
     assert(payloads.sorted == Seq("p1", "p2", "p3"), payloads.toString)
   }
+
+  test("per-shard rate cap: two hot keys routed to ONE shard are jointly " +
+      "capped at the shard rate while another shard's traffic proceeds " +
+      "from its own bucket (KPL per-shard RateLimit, reference.conf:283-301)") {
+    import graft.sources.{InMemoryShardService, KeyRouting, ShardServiceRegistry}
+    val shards = IndexedSeq("shard-0", "shard-1")
+    val svc = new InMemoryShardService("rate-shard", shards)
+    val id = ShardServiceRegistry.register(svc)
+    // derive keys from the actual routing, not hardcoded hash guesses
+    def keysFor(shard: String, n: Int): Seq[String] =
+      Iterator.from(0).map(i => s"key-$i")
+        .filter(k => KeyRouting.shardFor(k, shards) == shard).take(n).toSeq
+    val Seq(hot1, hot2) = keysFor("shard-0", 2)
+    val Seq(cool) = keysFor("shard-1", 1)
+
+    val rate = 1200.0
+    val writer = new GraftSinkWriter(
+      ShardServiceAsyncClient.Factory(id),
+      ProducerConf("rate-shard", rateLimitPerShard = Some(rate)))
+    assert(writer.open(0, 0))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("partitionKey",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("data",
+        org.apache.spark.sql.types.BinaryType)))
+    def row(key: String, i: Int) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](key, s"$key-$i".getBytes("UTF-8")), schema)
+    // interleave 360 shard-0 records (180 per hot key) with 360 shard-1
+    // records: a 720-record stream where half the load shares one shard
+    val t0 = System.nanoTime()
+    (0 until 360).foreach { i =>
+      writer.process(row(if (i % 2 == 0) hot1 else hot2, i))
+      writer.process(row(cool, i))
+    }
+    writer.close(null)
+    val elapsed = (System.nanoTime() - t0) * 1e-9
+    // joint cap: hot1+hot2 share shard-0's bucket — 360 records at
+    // 1200/s is a ~0.3s floor (less one 60-token burst width) even
+    // though each key alone would only need ~0.15s
+    assert(elapsed >= 0.22,
+      f"shard-0's 360 records at 1200/s must take >= ~0.25s; took $elapsed%.2fs")
+    // independence: shard-1's bucket refills while shard-0 blocks — a
+    // single shared per-writer bucket would pace all 720 records
+    // (~0.55s incl. burst); per-shard buckets overlap the two streams
+    assert(elapsed <= 0.45,
+      f"shard-1 traffic must not queue behind shard-0's bucket; took $elapsed%.2fs")
+    // delivery is complete and routed as derived
+    def count(shard: String) =
+      svc.read(shard, graft.sources.ShardPos.Beginning,
+        svc.latestPosition(shard)).map(_.subRecords.size).sum
+    assert(count("shard-0") == 360 && count("shard-1") == 360)
+  }
 }

@@ -120,4 +120,64 @@ class StreamingDedupPipelineSpec extends SparkSpec {
     assert(out(1L) < gramCount(1L) && out(3L) < gramCount(3L),
       s"contaminated docs must lose grams: $out vs $gramCount")
   }
+
+  test("composed streamed ingest (the streaming form of Pipeline.prepare): " +
+      "quality filter -> incremental dedup against the standing corpus " +
+      "(dedupeAgainst, broadcast-the-delta) -> decontamination, end-to-end " +
+      "on the DSv2 source across micro-batches") {
+    import spark.implicits._
+    import graft.operators.{DedupOps, Pipeline}
+    import org.apache.spark.sql.DataFrame
+    val corpusText =
+      "the corpus already holds this exact document body right here today"
+    val evalText =
+      "evaluation answer key the secret question phrase alpha beta gamma delta"
+    // the standing 100 TB corpus and the eval set are the STATIC sides;
+    // each micro-batch is the small delta that gets broadcast
+    val corpus = Seq((1000L, corpusText)).toDF("doc_id", "text")
+    val evalDocs = Seq((2000L, evalText)).toDF("doc_id", "text")
+    val incoming = Seq(
+      11L -> corpusText, // exact dup of a corpus doc -> dedupeAgainst drops
+      12L -> "tiny doc", // < 10 tokens -> quality-dropped
+      13L -> ("students memorize the secret question phrase alpha " +
+        "carefully before their final exam"), // shares an eval 4-gram
+      14L -> ("completely novel writing covering subjects nobody " +
+        "mentioned anywhere else before now"), // clean -> survives
+      15L -> "spam spam spam spam spam spam spam spam spam spam one two")
+      // ^ distinct ratio 3/12 -> quality-dropped
+    val svc = new InMemoryShardService("pipe-stream", Seq("shard-0", "shard-1"))
+    incoming.zipWithIndex.foreach { case ((i, t), idx) =>
+      svc.append(s"shard-${idx % 2}", RawShardRecord.single("pk",
+        BigInt(idx / 2 + 1), idx, s"$i|$t".getBytes(UTF_8)))
+    }
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val survivors =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft-kinesis")
+      .option("service.id", id)
+      // small admission so the pipeline provably composes across batches
+      .option("max-records-per-shard", "1")
+      .load()
+      .selectExpr("CAST(data AS STRING) AS payload")
+      .select(
+        split(col("payload"), "\\|").getItem(0).cast("long").as("doc_id"),
+        split(col("payload"), "\\|").getItem(1).as("text"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val quality = Pipeline.qualityFilter(batch)
+        val dups = DedupOps.dedupeAgainst(corpus, quality)
+          .select(col("batch_id").as("doc_id"))
+        val fresh = quality.join(dups, Seq("doc_id"), "left_anti")
+        val clean = Pipeline.decontaminated(fresh, evalDocs, n = 4)
+        val rows = clean.select("doc_id", "text").as[(Long, String)].collect()
+        survivors.synchronized { survivors ++= rows }
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(survivors.sortBy(_._1).toSeq == Seq(incoming(3)),
+      s"only the clean novel doc survives; got $survivors")
+  }
 }
