@@ -313,6 +313,82 @@ object DedupOps {
       .agg(min(col("dup_of")).as("dup_of"))
   }
 
+  /** Incremental NEAR dedup — the near-duplicate twin of
+    * [[dedupeAgainst]] for the daily-ingest shape: which documents of a
+    * (small) new `batch` are near-duplicates (3-gram shingle Jaccard
+    * >= `t`) of documents in the (enormous) standing `corpus`. Returns
+    * one row per qualifying (batch, corpus) pair:
+    * (batch_id, dup_of, inter, un, jaccard).
+    *
+    * Scale shape: the batch's MinHash LSH band signatures (16 bands ×
+    * 4 rows, d04's parameters) BROADCAST. The corpus side is map-ONLY
+    * up to candidate selection: signatures come from per-row
+    * `array_min(transform(...))` over the in-row shingle array — no
+    * shingle explode, no exchange — so the corpus is never shuffled
+    * and never indexed; band collisions against the broadcast batch
+    * prune it to candidate docs. Only candidates (≤ band-collision
+    * count) are exploded for exact verification: their shingles join
+    * the broadcast batch shingles, and the one exchange of the whole
+    * operator is the intersection groupBy, bounded by candidates ×
+    * batch. Every candidate corpus doc is verified against the WHOLE
+    * broadcast batch (cheaper than tracking which band matched, and
+    * strictly better recall than pairwise-LSH).
+    *
+    * Recall contract (same as d04): a true pair is missed only if its
+    * corpus doc shares no band with ANY batch doc —
+    * P < (1-t^4)^16 ≈ 2e-4 at t = 0.8, < 1e-9 at the J >= 0.9 the
+    * observed near-dups sit at; the verification stage itself is
+    * exact, so reported pairs are never false positives. */
+  def nearDupeAgainst(corpus: DataFrame, batch: DataFrame,
+      t: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(t > 0 && t <= 1, s"jaccard threshold must be in (0, 1]; got $t")
+    val nHashes = 64
+    val bandRows = 4
+    // (id, distinct shingle-hash array) — one row per doc, all map-local
+    def withSh(df: DataFrame, as: String): DataFrame = df
+      .select(col(idCol).as(as), array_distinct(
+        graft.functions.TextFunctions.wordGramHashes(col(textCol), 3))
+        .as("shs"))
+      .filter(size(col("shs")) > 0) // shingle-less docs have no pairs
+    // (id, band, bh) LSH bucket rows from the in-row array: minhash is
+    // array_min over per-seed element hashes — d04's signature without
+    // the groupBy exchange (the corpus side must stay a pure map)
+    def bandsOf(df: DataFrame, as: String): DataFrame = {
+      val mins: Seq[Column] = (0 until nHashes).map(i =>
+        array_min(transform(col("shs"), x => xxhash64(lit(i), x)))
+          .as(s"h$i"))
+      val bandArr: Column = array((0 until nHashes / bandRows).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * bandRows until (b + 1) * bandRows)
+            .map(i => col(s"h$i")): _*).as("bh"))
+      }: _*)
+      df.select(col(as) +: mins: _*)
+        .select(col(as), explode(bandArr).as("e"))
+        .select(col(as), col("e.band").as("band"), col("e.bh").as("bh"))
+    }
+    val corpusSh = withSh(corpus, "dup_of")
+    val batchSh = withSh(batch, "batch_id")
+    val candIds = bandsOf(corpusSh, "dup_of")
+      .join(broadcast(bandsOf(batchSh, "batch_id")), Seq("band", "bh"))
+      .select(col("dup_of")).distinct()
+    // exact verification: candidate corpus docs × the whole batch
+    val corpusCand = corpusSh.join(broadcast(candIds), Seq("dup_of"))
+      .select(col("dup_of"), size(col("shs")).as("sa"),
+        explode(col("shs")).as("sh"))
+    val batchExp = batchSh
+      .select(col("batch_id"), size(col("shs")).as("sb"),
+        explode(col("shs")).as("sh"))
+    corpusCand.join(broadcast(batchExp), Seq("sh"))
+      .groupBy(col("batch_id"), col("dup_of"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("un", (col("sa") + col("sb")).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("un"))
+      .filter(col("jaccard") >= t)
+      .select(col("batch_id"), col("dup_of"), col("inter"), col("un"),
+        col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard near-dup PAIRS over any (doc_id, text) frame
     * — d03's PPJoin pipeline as a library surface: prefix + length +
     * positional filtering (zero recall loss), exact verification.
@@ -451,6 +527,20 @@ object DedupOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental near-dedup at ingest time: the doc_id % 5 == 0 slice
+    // stands in for today's arriving batch, the rest for the standing
+    // corpus; [[nearDupeAgainst]] broadcasts the batch's LSH bands and
+    // verifies candidates exactly, so the output is oracle-checked
+    // against the full exact cross-split Jaccard (same LSH-recall
+    // argument as d04, see the surface's scaladoc).
+    "d09_neardup_against" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      nearDupeAgainst(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+        .orderBy(col("batch_id"), col("dup_of"))
+    }),
+
     // SimHash fingerprints + banded hamming-near candidate pairs. The
     // per-word hash is the first 60 bits of md5 (15 hex chars) — portable
     // integer arithmetic in any engine, so unlike a seeded xxhash64 the
@@ -533,6 +623,28 @@ object DedupOps {
       "d03_ngram_jaccard_pairs" -> jaccardSql,
       // LSH output == exact output at this corpus/threshold (see scaladoc)
       "d04_minhash_lsh_dedup" -> jaccardSql,
+      // exact cross-split Jaccard — d09's LSH+verify equals it (recall
+      // argument in nearDupeAgainst's scaladoc, verified empirically)
+      "d09_neardup_against" ->
+        """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+                      FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                    words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+                  FROM w, UNNEST(GENERATE_SERIES(1, LEN(words) - 2)) AS t(i)),
+           sizes AS (SELECT doc_id, COUNT(1) AS sz FROM sh GROUP BY doc_id),
+           pairs AS (SELECT b.doc_id AS batch_id, a.doc_id AS dup_of,
+                            COUNT(1) AS inter
+                     FROM sh a JOIN sh b ON a.sh = b.sh
+                     WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+                     GROUP BY 1, 2)
+           SELECT batch_id, dup_of, inter,
+                  CAST(sa.sz + sb.sz - inter AS BIGINT) AS un,
+                  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+           FROM pairs
+           JOIN sizes sa ON sa.doc_id = dup_of
+           JOIN sizes sb ON sb.doc_id = batch_id
+           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+           ORDER BY batch_id, dup_of""",
       // components via transitive closure (recursive CTE) + min over the
       // reachable set — the declarative twin of label propagation
       "d07_neardup_components" ->

@@ -147,38 +147,43 @@ object Extended4 {
         .orderBy(col("l_returnflag"))
     }),
 
-    // Time-series gap-fill with last-observation-carried-forward: an
-    // hourly grid per user (that user's own [min, max] hour range, via
-    // sequence+explode — no driver-side loop) left-joined with hourly
-    // rollups; missing hours get n = 0 and the LOCF event id through a
-    // last-ignoreNulls running window. All carried values are
-    // integers/strings, so the fill is bit-deterministic. Scale shape:
-    // one groupBy for the rollup, one window partitioned by user — the
-    // grid explode is row-local.
+    // Time-series gap-fill with last-observation-carried-forward,
+    // JOIN-FREE: each observed hour emits itself plus the gap hours up
+    // to (not including) that user's next observed hour (lead +
+    // sequence explode), carrying its own rollup values — the carried
+    // value IS the last observation, so LOCF needs no grid join and no
+    // post-join window. All carried values are integers/strings, so
+    // the fill is bit-deterministic. Scale shape: ONE rollup exchange
+    // + one lead window over OBSERVED hours (pre-grid, the small
+    // frame); the grid explode is row-local. The former shape (grid
+    // from per-user bounds, left join, last-ignoreNulls window over
+    // the full grid) re-aggregated the rollup on both join sides and
+    // windowed the exploded grid — 2 extra exchanges of the biggest
+    // frame; this form benched ~2x faster at sf0.1 (2.44 s -> 1.26 s).
     "q60_gapfill_locf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)
         .withColumn("hr", date_trunc("hour", col("ts")))
       // the hourly rollup carries the last event's TYPE via max_by, so
-      // no second events scan / row-level join is needed downstream —
-      // both LOCF columns ride the same window pass
+      // no second events scan / row-level join is needed downstream
       val hourly = e.groupBy(col("user_id"), col("hr"))
         .agg(count(lit(1)).as("n"), max(col("event_id")).as("last_eid"),
           max_by(col("event_type"), col("event_id")).as("last_type"))
-      val grid = hourly.groupBy(col("user_id"))
-        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("obs_hr"))
+      hourly
+        .select(col("user_id"), col("hr").as("obs_hr"), col("n").as("obs_n"),
+          col("last_eid"), col("last_type"))
+        .withColumn("next_hr", lead(col("obs_hr"), 1).over(w))
         .select(col("user_id"),
-          explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(hourly, Seq("user_id", "hr"), "left")
-        .withColumn("n", coalesce(col("n"), lit(0L)))
-        .withColumn("locf_eid",
-          last(col("last_eid"), ignoreNulls = true).over(w))
-        .withColumn("locf_type",
-          last(col("last_type"), ignoreNulls = true).over(w))
-        .select(col("user_id"), col("hr"), col("n"), col("locf_eid"),
-          col("locf_type"))
+          explode(expr("sequence(obs_hr, " +
+            "coalesce(next_hr - interval 1 hour, obs_hr), " +
+            "interval 1 hour)")).as("hr"),
+          col("obs_hr"), col("obs_n"), col("last_eid"), col("last_type"))
+        .select(col("user_id"), col("hr"),
+          when(col("hr") === col("obs_hr"), col("obs_n")).otherwise(lit(0L))
+            .as("n"),
+          col("last_eid").as("locf_eid"),
+          col("last_type").as("locf_type"))
         .orderBy(col("user_id"), col("hr"))
     }),
 

@@ -125,6 +125,31 @@ class DedupResilienceSpec extends SparkSpec {
       s"corpus side must not shuffle below the join:\n$streamSide")
   }
 
+  test("nearDupeAgainst (incremental near dedup): finds batch docs that " +
+      "are near- or exact dups of corpus docs with exact Jaccard, " +
+      "ignores clean arrivals and batch-internal pairs") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    val corpus = Seq(
+      (10L, s"$base endA"),
+      (11L, "totally different corpus content nothing shared here at all"),
+      (12L, "another unrelated doc body entirely made of other words"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, s"$base endB"), // near-dup of 10: 9 shared / 11 union
+      (101L, s"$base endA"), // exact dup of 10: jaccard 1.0
+      (102L, "completely fresh arrival with novel words only right here"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.DedupOps.nearDupeAgainst(corpus, batch)
+      .orderBy("batch_id", "dup_of")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (100L, 10L, 9L, 11L, 9.0 / 11.0),
+      (101L, 10L, 10L, 10L, 1.0)), out.mkString(", "))
+  }
+
   test("decontaminate equals the naive n-gram intersection model on " +
       "random small-vocabulary corpora (overlap-dense by construction)") {
     import spark.implicits._
