@@ -31,7 +31,7 @@ object Bench {
     "q55_bucketed_colocated_join", "q56_time_range_window",
     "q57_dpp_partitioned_join",
     "d01_dedup_exact", "d03_ngram_jaccard_pairs", "d04_minhash_lsh_dedup",
-    "d08_decontamination", "t10_source_filter",
+    "d08_decontamination", "d09_neardup_against", "t10_source_filter",
     "d06_embedding_neardup", "e01_cosine_pairs", "e03_ann_ivf",
     "e04_ann_topk_partial", "e05_lsh_cosine_pairs", "e06_ann_ivf_nprobe",
     "t02_quality_score", "t05_char_ngram_profile", "t07_sequence_packing",
@@ -39,7 +39,8 @@ object Bench {
     "t13_vocab_coverage", "t15_leakage_safe_split",
     "q60_gapfill_locf", "q61_funnel_steps", "q62_cdc_compact",
     "m01_multimodal_decode", "m05_multimodal_header",
-    "m07_multimodal_phash_neardup")
+    "m07_multimodal_phash_neardup", "m08_media_shard_manifest",
+    "e09_ann_ivf_sq8")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

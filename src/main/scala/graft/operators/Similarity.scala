@@ -208,6 +208,57 @@ object Similarity {
         .select(col("nprobe"), col("n_truth"), col("n_recalled"),
           col("recall"))
         .orderBy(col("nprobe"))
+    }),
+
+    // IVF + int8 scalar quantization with EXACT re-rank — the
+    // FAISS-style IVF-SQ index shape, which is what actually fits in
+    // memory at 100 TB: the scan side ranks candidates by a dot
+    // product over per-vector-scaled int8 codes (4x smaller than
+    // float32 — the difference between an in-RAM index and a
+    // disk-bound one), then only the top-5 candidates per query are
+    // re-ranked with the exact float cosine. Quantizer is
+    // floor(127*x/max|x|) — floor, not round, because floor is
+    // bit-portable across engines, which keeps even this approximate
+    // index fully oracle-checkable. Plan shape: identical to e03
+    // (broadcast centroids, equi-join on cell); the quantized rank and
+    // the exact re-rank ride the same window pass family.
+    "e09_ann_ivf_sq8" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = vecs(s, d)
+      val cents = v.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = v.join(broadcast(cents), lit(true))
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("q", transform(col("v"),
+          x => floor(lit(127.0) * x / col("scale"))).cast("array<double>"))
+      val a = assigned.select(col("vec_id"), col("v").as("va"),
+        col("nrm").as("na"), col("scale").as("sa"), col("q").as("qa"),
+        col("cell"))
+      val b = assigned.select(col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"), col("scale").as("sb"),
+        col("q").as("qb"), col("cell"))
+      val wQ = Window.partitionBy(col("vec_id"))
+        .orderBy(col("qcos").desc, col("neighbor_id"))
+      val wE = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      a.join(b, Seq("cell"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("qcos", dot(col("qa"), col("qb")) * col("sa") * col("sb")
+          / (lit(16129.0) * col("na") * col("nb")))
+        .withColumn("qrk", row_number().over(wQ))
+        .filter(col("qrk") <= 5)
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("rk", row_number().over(wE))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("neighbor_id"), col("cos"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -373,6 +424,44 @@ object Similarity {
                   AS recall
          FROM topk k JOIN truth USING (vec_id, neighbor_id) CROSS JOIN tot
          GROUP BY k.nprobe, tot.n_truth
-         ORDER BY nprobe"""
+         ORDER BY nprobe""",
+
+    "e09_ann_ivf_sq8" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         assigned AS (
+           SELECT vec_id, embedding, cell FROM (
+             SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1),
+         prep AS (
+           SELECT vec_id, cell, embedding,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> abs(x))) AS s,
+             SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM assigned),
+         q AS (
+           SELECT vec_id, cell, embedding, s, nrm,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> FLOOR(127 * x / s)) AS qv
+           FROM prep),
+         topq AS (
+           SELECT vec_id, neighbor_id, cos FROM (
+             SELECT a.vec_id, b.vec_id AS neighbor_id, $cosExpr AS cos,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                      list_dot_product(a.qv, b.qv) * a.s * b.s
+                        / (16129 * a.nrm * b.nrm) DESC, b.vec_id) AS qrk
+             FROM q a JOIN q b
+               ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+           WHERE qrk <= 5)
+         SELECT vec_id, neighbor_id, cos FROM (
+           SELECT vec_id, neighbor_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, neighbor_id) AS rk
+           FROM topq) t
+         WHERE rk = 1 ORDER BY vec_id"""
   )
 }

@@ -23,6 +23,7 @@ class PlanLintSpec extends SparkSpec {
     "e04_ann_topk_partial", // brute-force pair scan (!=), reduced map-side
     "e07_ann_recall", // recall eval: exhaustive truth side (!=) + IVF assignment
     "e08_ann_recall_sweep", // nprobe sweep: same centroid cross + exhaustive truth + O(1) totals join
+    "e09_ann_ivf_sq8", // IVF-SQ8: same broadcast centroid assignment cross
     "q63_kmv_sketch_union") // 1-row sketch x 1-row exact scalar join, O(1)
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
