@@ -172,6 +172,78 @@ object WordGramHashes {
   }
 }
 
+/** Native Catalyst expression for the per-document MinHash signature
+  * (d09's corpus-side map pass).
+  *
+  * The declarative form — n separate
+  * `array_min(transform(shs, x -> xxhash64(lit(i), x)))` columns — runs
+  * INTERPRETED (each lambda HOF is outside whole-stage codegen) and
+  * walks the shingle array n times, allocating a transformed ArrayData
+  * per walk; at n = 64 that was the dominant cost of d09's corpus scan
+  * (~2x the rest of the query at sf0.1). This expression computes all n
+  * minima in ONE pass of a tight primitive loop: n×m `XXH64.hashLong`
+  * calls, zero allocation beyond the n-long output.
+  *
+  * Bit-compatibility contract: element i equals
+  * `array_min(transform(arr, x -> xxhash64(lit(i), x)))` EXACTLY —
+  * per-seed prefix `XXH64.hashInt(i, 42)` (Spark hashes the INT literal
+  * first at seed 42) then `XXH64.hashLong(x, prefix)` per element, the
+  * identical fold Spark's `xxhash64(lit(i), x)` applies — so swapping
+  * the declarative form for this expression cannot change any LSH
+  * bucket (pinned by WordGramHashesSpec's minhash parity case).
+  * An empty input array yields Long.MaxValue minima (callers filter
+  * shingle-less docs first, as d09 does).
+  */
+case class MinHashSignature(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != ArrayType(LongType, containsNull = false) &&
+        child.dataType != ArrayType(LongType, containsNull = true))
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature: expected ARRAY<BIGINT>, got " +
+          child.dataType.simpleString)
+    else if (n < 1 || n > 1024) TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature: signature width must be in [1, 1024], got $n")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.sign(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSignature.sign($c, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object MinHashSignature {
+  def sign(arr: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val m = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val prefix = XXH64.hashInt(i, 42L) // xxhash64(lit(i), _)'s 1st fold
+      var best = Long.MaxValue
+      var j = 0
+      while (j < m) {
+        val h = XXH64.hashLong(arr.getLong(j), prefix)
+        if (h < best) best = h
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   /** Codegen'd packed character trigrams of a string column. */
   def packedTrigrams(c: Column): Column =
@@ -180,4 +252,8 @@ object TextFunctions {
   /** Codegen'd per-position word n-gram hash keys of a text column. */
   def wordGramHashes(c: Column, n: Int): Column =
     GraftBridge.column(WordGramHashes(GraftBridge.expression(c), n))
+
+  /** Codegen'd n-wide MinHash signature of an array<bigint> column. */
+  def minhashSignature(c: Column, n: Int): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(c), n))
 }

@@ -195,6 +195,12 @@ object DedupOps {
     var labels = materialize(nodes
       .select(col(nodes.columns.head).as("doc_id"),
         col(nodes.columns.head).as("lbl")))
+    // the frame whose storage backs the current `labels` — unpersist
+    // must target the MATERIALIZED frame itself: with Persist, calling
+    // unpersist on a projection of it is a CacheManager no-op (plan
+    // mismatch) and every round's corpus-scale cache entry would stay
+    // pinned for the session
+    var labelsStorage = labels
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -215,12 +221,14 @@ object DedupOps {
           least(col("lblN"), coalesce(col("jmp_lbl"), col("lblN")))
             .as("lbl2")))
       changed = stepped.filter(col("lbl2") =!= col("lbl")).count()
-      val next = stepped.select(col("doc_id"), col("lbl2").as("lbl"))
-      // free the superseded frontier: checkpoint RDD storage (local
-      // checkpoint) AND CacheManager entry (Persist strategy)
-      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labels)
-      labels.unpersist(blocking = false)
-      labels = next
+      // the count() above forced stepped's materialization, so the
+      // PREVIOUS frontier's storage is no longer referenced: free its
+      // checkpoint RDD blocks (localCheckpoint) and CacheManager entry
+      // (Persist) — on the materialized frame, where unpersist matches
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labelsStorage)
+      labelsStorage.unpersist(blocking = false)
+      labelsStorage = stepped
+      labels = stepped.select(col("doc_id"), col("lbl2").as("lbl"))
       iters += 1
     }
     if (changed > 0)
@@ -328,9 +336,11 @@ object DedupOps {
     * and never indexed; band collisions against the broadcast batch
     * prune it to candidate docs. Only candidates (≤ band-collision
     * count) are exploded for exact verification: their shingles join
-    * the broadcast batch shingles, and the one exchange of the whole
-    * operator is the intersection groupBy, bounded by candidates ×
-    * batch. Every candidate corpus doc is verified against the WHOLE
+    * the broadcast batch shingles, and the operator's only exchanges
+    * are candidate-bounded — the candidate-id `distinct` over band
+    * collisions and the intersection groupBy (candidates × batch);
+    * the corpus itself never shuffles. Every candidate corpus doc is
+    * verified against the WHOLE
     * broadcast batch (cheaper than tracking which band matched, and
     * strictly better recall than pairwise-LSH).
     *
@@ -352,18 +362,19 @@ object DedupOps {
         .as("shs"))
       .filter(size(col("shs")) > 0) // shingle-less docs have no pairs
     // (id, band, bh) LSH bucket rows from the in-row array: minhash is
-    // array_min over per-seed element hashes — d04's signature without
-    // the groupBy exchange (the corpus side must stay a pure map)
+    // the codegen'd [[graft.functions.MinHashSignature]] (one pass, all
+    // 64 minima, bit-identical to array_min-of-xxhash64 per seed) —
+    // d04's signature without the groupBy exchange (the corpus side
+    // must stay a pure map)
     def bandsOf(df: DataFrame, as: String): DataFrame = {
-      val mins: Seq[Column] = (0 until nHashes).map(i =>
-        array_min(transform(col("shs"), x => xxhash64(lit(i), x)))
-          .as(s"h$i"))
       val bandArr: Column = array((0 until nHashes / bandRows).map { b =>
         struct(lit(b).as("band"),
           xxhash64((b * bandRows until (b + 1) * bandRows)
-            .map(i => col(s"h$i")): _*).as("bh"))
+            .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
       }: _*)
-      df.select(col(as) +: mins: _*)
+      df.select(col(as),
+          graft.functions.TextFunctions.minhashSignature(col("shs"), nHashes)
+            .as("sig"))
         .select(col(as), explode(bandArr).as("e"))
         .select(col(as), col("e.band").as("band"), col("e.bh").as("bh"))
     }

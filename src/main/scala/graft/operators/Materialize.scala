@@ -21,6 +21,17 @@ import org.apache.spark.storage.StorageLevel
   *    session's checkpoint dir (`SparkContext.setCheckpointDir`, an
   *    HDFS/S3 path at cluster scale) — survives executor AND lineage
   *    loss; the durable choice for very long pipelines.
+  *
+  * Storage lifetime: `LocalCheckpoint` blocks are released by the
+  * ContextCleaner once the checkpoint RDD is unreferenced (and the
+  * iterative operators free superseded frontiers explicitly). `Persist`
+  * entries live in the CacheManager until `unpersist`/`clearCache` —
+  * a long-lived session invoking a Persist-strategy operator per batch
+  * should `spark.catalog.clearCache()` between invocations (or prefer
+  * LocalCheckpoint, whose storage is GC-driven). `ReliableCheckpoint`
+  * files remain under the checkpoint dir; enable
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` or clean the dir
+  * by retention policy, as with any Spark reliable checkpoint.
   */
 sealed trait Materialize {
   def apply(df: DataFrame): DataFrame = this match {

@@ -263,38 +263,23 @@ object Multimodal {
     // record to the fixed-byte-budget shard (64 KiB here; GB-scale in
     // production) its bytes START in, per codec stream — the "pack
     // media into webdataset-style shards" layout step of a multimodal
-    // training pipeline, computed with t07's TWO-PHASE PREFIX SUM
-    // (bounded (codec, 4096-doc block) windows + broadcast per-block
-    // offsets) so no codec stream ever funnels through one task. The
-    // manifest is what a downstream shard writer consumes; shard
-    // boundaries are deterministic functions of (codec, doc order).
+    // training pipeline, computed with [[Packing.twoPhasePrefixSum]]
+    // (t07's shared 100 TB running-sum shape) so no codec stream ever
+    // funnels through one task. The manifest is what a downstream
+    // shard writer consumes; shard boundaries are deterministic
+    // functions of (codec, doc order).
     "m08_media_shard_manifest" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val blkSize = 4096L
       val shardBytes = 65536L
       val codecs = array(MultimodalStub.codecNames.map(lit): _*)
-      val base = Materialize.LocalCheckpoint(Tables.documents(s, d)
+      val frame = Tables.documents(s, d)
         .filter(length(col("text")) >= 7) // header-parseable media (m05)
         .select(col("doc_id"),
           element_at(codecs,
             (ascii(substring(col("text"), 5, 1)) % 4) + 1).as("codec"),
           octet_length(encode(col("text"), "UTF-8")).cast("int")
-            .as("n_bytes"),
-          expr(s"doc_id div $blkSize").as("blk")))
-      val wLocal = Window.partitionBy(col("codec"), col("blk"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = base
-        .withColumn("local_cum", sum(col("n_bytes")).over(wLocal))
-      val wOff = Window.partitionBy(col("codec")).orderBy(col("blk"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = base.groupBy(col("codec"), col("blk"))
-        .agg(sum(col("n_bytes")).as("blk_total"))
-        .withColumn("offset",
-          coalesce(sum(col("blk_total")).over(wOff), lit(0L)))
-        .select(col("codec"), col("blk"), col("offset"))
-      local.join(broadcast(offsets), Seq("codec", "blk"))
-        .withColumn("cum_bytes", col("local_cum") + col("offset"))
+            .as("n_bytes"))
+      Packing.twoPhasePrefixSum(frame, "codec", "n_bytes")
+        .withColumn("cum_bytes", col("cum"))
         .withColumn("shard_idx",
           expr(s"(cum_bytes - n_bytes) div $shardBytes"))
         .select(col("doc_id"), col("codec"), col("n_bytes"),

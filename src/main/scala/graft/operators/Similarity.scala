@@ -34,6 +34,28 @@ object Similarity {
       .select(col("vec_id"), dvec(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
+  /** Shared IVF coarse quantizer: every vector ranked against the
+    * broadcast deterministic centroid set (vec_id % 50 == 0) by cosine,
+    * ties by cent_id. crk = 1 is the owning cell; crk <= nprobe is a
+    * probe set. e03/e06/e07/e08/e09 ALL derive from this single
+    * assignment, so the recall evaluations (e07/e08) measure exactly
+    * the index the search queries (e03/e06/e09) use — a divergent copy
+    * here would silently invalidate the recall numbers. */
+  private def centroidRanked(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(s, d)
+    val cents = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    v.join(broadcast(cents), lit(true))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crk", row_number().over(wAssign))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        col("crk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // All pairs with cosine >= 0.4 (brute force, ground truth).
     "e01_cosine_pairs" -> ((s, d) => {
@@ -75,15 +97,7 @@ object Similarity {
     // centroid assignment, equi join on cell, top-1 by exact cosine.
     "e06_ann_ivf_nprobe" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val v = vecs(s, d)
-      val cents = v.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-          col("nrm").as("cn"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id"))
-      val ranked = v.join(broadcast(cents), lit(true))
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("crk", row_number().over(wAssign))
+      val ranked = centroidRanked(s, d)
       val assigned = ranked.filter(col("crk") === 1)
         .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
           col("nrm").as("nb"), col("cent_id").as("cell"))
@@ -162,14 +176,7 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       val k = 3
       val v = vecs(s, d)
-      val cents = v.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-          col("nrm").as("cn"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id"))
-      val ranked = v.join(broadcast(cents), lit(true))
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("crk", row_number().over(wAssign))
+      val ranked = centroidRanked(s, d)
       val assigned = ranked.filter(col("crk") === 1)
         .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
           col("nrm").as("nb"), col("cent_id").as("cell"))
@@ -224,15 +231,7 @@ object Similarity {
     // the exact re-rank ride the same window pass family.
     "e09_ann_ivf_sq8" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val v = vecs(s, d)
-      val cents = v.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-          col("nrm").as("cn"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id"))
-      val assigned = v.join(broadcast(cents), lit(true))
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("crk", row_number().over(wAssign))
+      val assigned = centroidRanked(s, d)
         .filter(col("crk") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
         .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
@@ -268,15 +267,7 @@ object Similarity {
     * e07 recall evaluation so both measure the identical index. */
   private def ivfTop1(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = vecs(s, d)
-    val cents = v.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = v.join(broadcast(cents), lit(true))
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("crk", row_number().over(wAssign))
+    val assigned = centroidRanked(s, d)
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
     val wNb = Window.partitionBy(col("vec_id"))

@@ -141,27 +141,13 @@ object TextOps {
     // stream — the deterministic form of the "pack documents into
     // fixed-length sequences" step before LLM training. bin is a pure
     // function of the running token total under (lang, doc_id) order, so
-    // it is reproducible at any parallelism.
-    //
-    // TWO-PHASE PREFIX SUM (the 100 TB shape). A naive
-    // Window.partitionBy(lang) funnels the whole corpus through one task
-    // per language (~4 tasks total). Instead documents are statically
-    // range-partitioned into blocks of 4096 doc_ids — deterministic, no
-    // sampling, monotone in the prefix-sum order. Phase 1 computes the
-    // running sum inside each (lang, block): thousands of bounded window
-    // groups, no task ever holds more than one block of one language.
-    // Phase 2 aggregates one total per (lang, block) with map-side
-    // partial aggregation, computes cross-block cumulative offsets with
-    // a window over that tiny per-block table (rows = corpus/4096, not
-    // the corpus), and broadcast-joins the offsets back. Block size
-    // trades window-group memory against offset-table size; at 100 TB
-    // raise it so the offset table stays broadcastable.
-    //
-    // The narrow token frame (doc_id, lang, n_tokens, blk — ~24 B/row,
-    // ~1/1000th of the corpus) is checkpointed once so BOTH phases read
-    // it: without this, the two branches would each re-scan and
-    // re-tokenize the full text column (the dedup index uses the same
-    // materialize-once pattern, DedupOps.byDocIndex).
+    // it is reproducible at any parallelism. The running sum is
+    // [[Packing.twoPhasePrefixSum]] — the shared 100 TB shape (bounded
+    // (lang, block) windows + broadcast per-block offsets; m08's shard
+    // manifest uses the same helper over bytes). The narrow token frame
+    // (doc_id, lang, n_tokens — ~24 B/row, ~1/1000th of the corpus) is
+    // materialized once so BOTH phases read it instead of re-scanning
+    // and re-tokenizing the text column.
     "t07_sequence_packing" -> ((s, d) => sequencePacking(Tables.documents(s, d))),
 
     // Deterministic stratified sampling: per-language keep rates applied
@@ -387,11 +373,11 @@ object TextOps {
   )
 
   /** t07's engine as a library surface: pack `docs(doc_id, lang, text)`
-    * into fixed-token-budget bins via the two-phase prefix sum described
-    * at the queries entry. `blkSize` trades window-group memory against
-    * offset-table size (raise it at 100 TB so the broadcast offset table
-    * stays small); `materialize` picks the strategy for the single cut
-    * point where the narrow token frame is stored for both phases —
+    * into fixed-token-budget bins via [[Packing.twoPhasePrefixSum]]
+    * (the shared 100 TB running-sum shape; see its scaladoc for the
+    * block-partitioned design and the `blkSize` trade-off).
+    * `materialize` picks the strategy for the single cut point where
+    * the narrow token frame is stored for both phases —
     * [[Materialize.LocalCheckpoint]] (default) on local/small clusters,
     * [[Materialize.Persist]] / [[Materialize.ReliableCheckpoint]] where
     * executor loss must not kill the query. Output is identical under
@@ -399,34 +385,17 @@ object TextOps {
     */
   def sequencePacking(docs: DataFrame, blkSize: Long = 4096L,
       binTokens: Long = 512L,
-      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = materialize(docs
-      .withColumn("n_tokens", size(split(trim(col("text")), " ")))
-      .withColumn("blk", expr(s"doc_id div $blkSize"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("blk")))
-    // phase 1: bounded local prefix sums, one group per (lang, blk)
-    val wLocal = Window.partitionBy(col("lang"), col("blk"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = base
-      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
-    // phase 2: per-block totals -> cumulative offsets of earlier blocks
-    val wOff = Window.partitionBy(col("lang")).orderBy(col("blk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("lang"), col("blk"))
-      .agg(sum(col("n_tokens")).as("blk_total"))
-      .withColumn("offset",
-        coalesce(sum(col("blk_total")).over(wOff), lit(0L)))
-      .select(col("lang"), col("blk"), col("offset"))
-    local.join(broadcast(offsets), Seq("lang", "blk"))
-      .withColumn("cum_tokens", col("local_cum") + col("offset"))
+      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame =
+    Packing.twoPhasePrefixSum(
+      docs.withColumn("n_tokens", size(split(trim(col("text")), " ")))
+        .select(col("doc_id"), col("lang"), col("n_tokens")),
+      "lang", "n_tokens", blkSize, materialize)
+      .withColumn("cum_tokens", col("cum"))
       .withColumn("bin",
         expr(s"(cum_tokens - n_tokens) div $binTokens"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("cum_tokens"), col("bin"))
       .orderBy(col("doc_id"))
-  }
 
   def oracleSql: Map[String, String] = Map(
     "t01_token_stats" ->

@@ -34,8 +34,19 @@ final class ShardServiceAsyncClient(
   private val buffers =
     mutable.Map.empty[String, mutable.ArrayBuffer[ProducerEvent]]
 
-  private def shardOf(partitionKey: String): String =
-    graft.sources.KeyRouting.shardFor(partitionKey, shards)
+  // one-entry route memo: the writer resolves each record's shard twice
+  // when the rate cap is on (targetShard for the limiter, then put) —
+  // a client serves exactly one single-threaded task writer, so the
+  // second lookup hits the memo instead of re-hashing the key
+  private var lastKey: String = _
+  private var lastShard: String = _
+  private def shardOf(partitionKey: String): String = {
+    if (partitionKey != lastKey) {
+      lastKey = partitionKey
+      lastShard = graft.sources.KeyRouting.shardFor(partitionKey, shards)
+    }
+    lastShard
+  }
 
   /** Expose routing so the writer's per-shard rate cap keys its buckets
     * by the shard this key actually lands on. */

@@ -148,4 +148,39 @@ class WordGramHashesSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("word_ngram_hashes"), e2.getMessage)
   }
+
+  test("MinHashSignature minima are bit-identical to the declarative " +
+      "array_min(transform(xxhash64(lit(i), x))) per seed on real " +
+      "shingle arrays (the parity that keeps d09's LSH buckets stable)") {
+    val n = 8
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+      .select(col("doc_id"), array_distinct(
+        graft.functions.TextFunctions.wordGramHashes(col("text"), 3))
+        .as("shs"))
+      .filter(size(col("shs")) > 0)
+    val declarative = (0 until n).map(i =>
+      array_min(transform(col("shs"), x => xxhash64(lit(i), x))).as(s"h$i"))
+    val both = docs.select(
+      (col("doc_id") +:
+        graft.functions.TextFunctions.minhashSignature(col("shs"), n)
+          .as("sig") +: declarative): _*)
+    val mismatches = both.filter(
+      (0 until n).map(i => element_at(col("sig"), i + 1) =!= col(s"h$i"))
+        .reduce(_ || _)).count()
+    assert(mismatches == 0)
+    // empty input contract: Long.MaxValue minima (callers filter first)
+    import spark.implicits._
+    val empty = Seq(Seq.empty[Long]).toDF("shs")
+      .select(graft.functions.TextFunctions.minhashSignature(col("shs"), 4)
+        .as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(empty == Seq.fill(4)(Long.MaxValue))
+    // analysis-time validation: wrong element type and n out of range
+    val e = intercept[Exception] {
+      Seq("x").toDF("s")
+        .select(graft.functions.TextFunctions.minhashSignature(col("s"), 4))
+        .collect()
+    }
+    assert(e.getMessage.contains("minhash_signature"), e.getMessage)
+  }
 }

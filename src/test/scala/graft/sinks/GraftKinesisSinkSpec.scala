@@ -219,7 +219,14 @@ class GraftKinesisSinkSpec extends SparkSpec {
     val Seq(hot1, hot2) = keysFor("shard-0", 2)
     val Seq(cool) = keysFor("shard-1", 1)
 
-    val rate = 1200.0
+    // rate chosen so the two hypotheses' floors separate widely:
+    // per-shard buckets pace the interleaved stream at ~0.55 s (each
+    // shard's 360 records at 600/s, buckets refilling concurrently),
+    // while a single shared per-writer bucket would need ~1.15 s for
+    // all 720 — the 0.90 upper bound sits 0.35 s of slack above the
+    // expected value and 0.25 s below the shared-bucket floor, so it
+    // discriminates without being GC/CI-load flaky
+    val rate = 600.0
     val writer = new GraftSinkWriter(
       ShardServiceAsyncClient.Factory(id),
       ProducerConf("rate-shard", rateLimitPerShard = Some(rate)))
@@ -242,14 +249,14 @@ class GraftKinesisSinkSpec extends SparkSpec {
     writer.close(null)
     val elapsed = (System.nanoTime() - t0) * 1e-9
     // joint cap: hot1+hot2 share shard-0's bucket — 360 records at
-    // 1200/s is a ~0.3s floor (less one 60-token burst width) even
-    // though each key alone would only need ~0.15s
-    assert(elapsed >= 0.22,
-      f"shard-0's 360 records at 1200/s must take >= ~0.25s; took $elapsed%.2fs")
+    // 600/s is a ~0.55s floor (less one 30-token burst width) even
+    // though each key alone would only need ~0.27s
+    assert(elapsed >= 0.45,
+      f"shard-0's 360 records at 600/s must take >= ~0.55s; took $elapsed%.2fs")
     // independence: shard-1's bucket refills while shard-0 blocks — a
     // single shared per-writer bucket would pace all 720 records
-    // (~0.55s incl. burst); per-shard buckets overlap the two streams
-    assert(elapsed <= 0.45,
+    // (~1.15s incl. burst); per-shard buckets overlap the two streams
+    assert(elapsed <= 0.90,
       f"shard-1 traffic must not queue behind shard-0's bucket; took $elapsed%.2fs")
     // delivery is complete and routed as derived
     def count(shard: String) =

@@ -24,7 +24,11 @@ for name in sorted(oracle):
     p = f"{out_dir}/{name}"
     files = glob.glob(f"{p}/*.parquet")
     if not files:
-        print(f"SKIP {name}: no spark output"); continue
+        # a missing dump means this oracle was never dtype-checked —
+        # that must fail the audit, not silently pass as CLEAN
+        print(f"FLAG {name}: no spark output to audit against")
+        flagged += 1
+        continue
     got = pd.concat([pd.read_parquet(f) for f in files])
     try:
         exp = con.execute(oracle[name]).df()
