@@ -482,16 +482,17 @@ object DedupOps {
       val byDoc = byDocIndex(Tables.documents(s, d))
       val nHashes = 64
       val bandRows = 4
-      // signatures from the re-exploded index: rows arrive already
-      // doc_id-partitioned, so this groupBy plans WITHOUT an exchange
-      val mins: Seq[Column] = (0 until nHashes).map(i =>
-        min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-      val sig = postings(byDoc)
-        .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      // signatures straight off the per-doc index's in-row shingle
+      // list via the codegen'd MinHashSignature — one map pass per doc
+      // (vs the former 64-column min-aggregate over re-exploded
+      // postings), bit-identical minima (parity in WordGramHashesSpec)
+      val sig = byDoc.select(col("doc_id"),
+        graft.functions.TextFunctions.minhashSignature(
+          expr("transform(l, e -> e.sh)"), nHashes).as("sig"))
       val bands: Column = array((0 until nHashes / bandRows).map { b =>
         struct(lit(b).as("band"),
           xxhash64((b * bandRows until (b + 1) * bandRows)
-            .map(i => col(s"h$i")): _*).as("bh"))
+            .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
       }: _*)
       val buckets = sig.select(col("doc_id"), explode(bands).as("e"))
         .select(col("doc_id"), col("e.band"), col("e.bh"))

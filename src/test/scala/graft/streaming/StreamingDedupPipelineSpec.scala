@@ -122,9 +122,9 @@ class StreamingDedupPipelineSpec extends SparkSpec {
   }
 
   test("composed streamed ingest (the streaming form of Pipeline.prepare): " +
-      "quality filter -> incremental dedup against the standing corpus " +
-      "(dedupeAgainst, broadcast-the-delta) -> decontamination, end-to-end " +
-      "on the DSv2 source across micro-batches") {
+      "quality filter -> incremental exact dedup -> incremental NEAR dedup " +
+      "(dedupeAgainst + nearDupeAgainst, broadcast-the-delta) -> " +
+      "decontamination, end-to-end on the DSv2 source across micro-batches") {
     import spark.implicits._
     import graft.operators.{DedupOps, Pipeline}
     import org.apache.spark.sql.DataFrame
@@ -139,12 +139,16 @@ class StreamingDedupPipelineSpec extends SparkSpec {
     val incoming = Seq(
       11L -> corpusText, // exact dup of a corpus doc -> dedupeAgainst drops
       12L -> "tiny doc", // < 10 tokens -> quality-dropped
+      // (13..16 below: contaminated, clean, repetitive, near-dup)
       13L -> ("students memorize the secret question phrase alpha " +
         "carefully before their final exam"), // shares an eval 4-gram
       14L -> ("completely novel writing covering subjects nobody " +
         "mentioned anywhere else before now"), // clean -> survives
-      15L -> "spam spam spam spam spam spam spam spam spam spam one two")
+      15L -> "spam spam spam spam spam spam spam spam spam spam one two",
       // ^ distinct ratio 3/12 -> quality-dropped
+      16L -> ("the corpus already holds this exact document body right " +
+        "here tonight")) // NEAR-dup of the corpus doc (8 of 10 shingles
+      // shared -> jaccard 0.8) -> nearDupeAgainst drops
     val svc = new InMemoryShardService("pipe-stream", Seq("shard-0", "shard-1"))
     incoming.zipWithIndex.foreach { case ((i, t), idx) =>
       svc.append(s"shard-${idx % 2}", RawShardRecord.single("pk",
@@ -169,7 +173,10 @@ class StreamingDedupPipelineSpec extends SparkSpec {
         val dups = DedupOps.dedupeAgainst(corpus, quality)
           .select(col("batch_id").as("doc_id"))
         val fresh = quality.join(dups, Seq("doc_id"), "left_anti")
-        val clean = Pipeline.decontaminated(fresh, evalDocs, n = 4)
+        val nearDups = DedupOps.nearDupeAgainst(corpus, fresh)
+          .select(col("batch_id").as("doc_id")).distinct()
+        val freshNear = fresh.join(nearDups, Seq("doc_id"), "left_anti")
+        val clean = Pipeline.decontaminated(freshNear, evalDocs, n = 4)
         val rows = clean.select("doc_id", "text").as[(Long, String)].collect()
         survivors.synchronized { survivors ++= rows }
         ()
