@@ -276,6 +276,30 @@ class PlanShapeSpec extends SparkSpec {
       s"document text leaked into a shuffle:\n${exchangeLines.mkString("\n")}")
   }
 
+  test("d09: incremental near-dedup never shuffles the corpus — the " +
+      "batch bands and candidate ids broadcast, text never rides an " +
+      "exchange, and hash exchanges are candidate-bounded") {
+    val df = SparkEntry.queries("d09_neardup_against")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // batch bands + candidate-id set + batch shingles all broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // no exchange may carry the corpus text — only derived keys shuffle
+    val exchangeLines = p.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(exchangeLines.forall(!_.contains("text")),
+      s"corpus text leaked into a shuffle:\n${exchangeLines.mkString("\n")}")
+    // exchange inventory: candidate-id distinct + intersection groupBy
+    // (both candidate-bounded) — anything more means the corpus side
+    // started shuffling. AQE prints the plan twice (final + initial),
+    // so count DISTINCT exchanges by expr-id-normalized keys.
+    val distinctExchanges = """Exchange hashpartitioning\(([^)]*)\)""".r
+      .findAllMatchIn(p).map(_.group(1).replaceAll("#\\d+", "")).toSet
+    assert(distinctExchanges.size <= 2,
+      s"expected <= 2 candidate-bounded hash exchanges, got " +
+        s"${distinctExchanges.size}: $distinctExchanges")
+  }
+
   test("sketch aggregates are SQL-callable: graft_topk and quantile_sketch " +
       "run from SQL text with literal k / percentile args") {
     graft.functions.GraftFunctions.register(spark)
