@@ -269,18 +269,46 @@ object DedupOps {
     * a shuffle join on the 8-byte gram key — both sides exchange hashed
     * grams, never text — with AQE still free to broadcast if the built
     * side turns out small. Results are identical either way. */
+  /** (id-as-`as`, g) rows — each document's DISTINCT n-gram hash keys,
+    * deduped in-row before the explode (doc-local, costs no exchange).
+    * Shared by [[decontaminate]] and [[contaminationAttribution]]. */
+  private def gramRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int, as: String): DataFrame = df
+    .select(col(idCol).as(as), explode(array_distinct(
+      graft.functions.TextFunctions.wordGramHashes(col(textCol), n)))
+      .as("g"))
+
   def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
       broadcastEval: Boolean = true): DataFrame = {
     require(n >= 2, s"n-gram width must be >= 2; got $n")
-    def gramsOf(df: DataFrame): DataFrame = df
-      .select(col(idCol), explode(array_distinct(
-        graft.functions.TextFunctions.wordGramHashes(col(textCol), n)))
-        .as("g"))
-    val evalGrams = gramsOf(eval).select(col("g")).distinct()
+    val evalGrams = gramRows(eval, idCol, textCol, n, idCol)
+      .select(col("g")).distinct()
     val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
-    gramsOf(train).join(evalSide, Seq("g"))
+    gramRows(train, idCol, textCol, n, idCol).join(evalSide, Seq("g"))
       .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Contamination ATTRIBUTION — the compliance-report twin of
+    * [[decontaminate]]: for every (training doc, eval doc) pair sharing
+    * at least one word n-gram, the count of distinct shared grams. This
+    * is the report a decontamination decision is audited against
+    * ("which benchmark leaked into which documents, and how badly"),
+    * where [[decontaminate]] only answers the drop/keep question.
+    *
+    * Scale shape: same as [[decontaminate]] except the broadcast eval
+    * side keeps its doc ids (still eval-sized — tiny by definition);
+    * the corpus side is one map pass, and the only exchange is the
+    * (train, eval) pair groupBy, bounded by actual contamination. */
+  def contaminationAttribution(train: DataFrame, eval: DataFrame,
+      n: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n-gram width must be >= 2; got $n")
+    gramRows(train, idCol, textCol, n, idCol)
+      .join(broadcast(gramRows(eval, idCol, textCol, n, "eval_doc_id")),
+        Seq("g"))
+      .groupBy(col(idCol), col("eval_doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
 
@@ -539,6 +567,17 @@ object DedupOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Contamination attribution: which eval doc leaked into which
+    // training docs, by distinct shared 8-grams — the audit report
+    // behind d08's drop/keep decision (same deterministic % 7 split).
+    "d10_contamination_attribution" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      contaminationAttribution(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+        .orderBy(col("doc_id"), col("eval_doc_id"))
+    }),
+
     // Incremental near-dedup at ingest time: the doc_id % 5 == 0 slice
     // stands in for today's arriving batch, the rest for the standing
     // corpus; [[nearDupeAgainst]] broadcasts the batch's LSH bands and
@@ -632,6 +671,19 @@ object DedupOps {
            SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared
            FROM tr JOIN ev USING (g)
            GROUP BY tr.doc_id ORDER BY doc_id""",
+      "d10_contamination_attribution" ->
+        """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+                      FROM documents),
+           g AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ')
+                   AS g
+                 FROM w, UNNEST(generate_series(1,
+                   GREATEST(LEN(words) - 7, 0))) AS t(i)),
+           ev AS (SELECT doc_id AS eval_doc_id, g FROM g
+                  WHERE doc_id % 7 = 0),
+           tr AS (SELECT doc_id, g FROM g WHERE doc_id % 7 <> 0)
+           SELECT tr.doc_id, ev.eval_doc_id, COUNT(1) AS n_shared
+           FROM tr JOIN ev USING (g)
+           GROUP BY 1, 2 ORDER BY doc_id, eval_doc_id""",
       "d03_ngram_jaccard_pairs" -> jaccardSql,
       // LSH output == exact output at this corpus/threshold (see scaladoc)
       "d04_minhash_lsh_dedup" -> jaccardSql,
