@@ -36,7 +36,7 @@ object Bench {
     "e04_ann_topk_partial", "e05_lsh_cosine_pairs", "e06_ann_ivf_nprobe",
     "t02_quality_score", "t05_char_ngram_profile", "t07_sequence_packing",
     "t09_fuzzy_blocked_pairs", "t11_repetition_filter", "t12_doc_chunking",
-    "t13_vocab_coverage", "t15_leakage_safe_split",
+    "t13_vocab_coverage", "t15_leakage_safe_split", "t16_unigram_quality",
     "q60_gapfill_locf", "q61_funnel_steps", "q62_cdc_compact",
     "m01_multimodal_decode", "m05_multimodal_header",
     "m07_multimodal_phash_neardup", "m08_media_shard_manifest",

@@ -354,6 +354,45 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram-frequency quality scoring — the integer-exact
+    // perplexity-proxy filter of LLM data prep: documents whose tokens
+    // are, on average, RARE in the corpus (or absent from the top-1000
+    // vocabulary) are noise candidates (boilerplate, mojibake, code in
+    // a prose corpus). Real perplexity filtering uses an LM's logprobs;
+    // the standard engine-side stand-in keeps the statistics exact so
+    // the operator is oracle-checkable: per doc, the mean corpus-wide
+    // count of its tokens (one IEEE division of exact integers) and
+    // its out-of-vocabulary token fraction vs the deterministic
+    // top-1000 vocab (cnt desc, term asc — a total order). Scale
+    // shape: the unigram table is vocab-sized and BROADCASTS with its
+    // in-vocab flag; the token explode is map-local; the one exchange
+    // is the per-doc partial aggregate. At 100 TB the vocab table is
+    // millions of rows, still broadcast range; the count table itself
+    // shuffles 8-byte-hashable terms once to build.
+    "t16_unigram_quality" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val wRank = Window.orderBy(col("cnt").desc, col("w"))
+      val vocab = toks.groupBy(col("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("in_vocab", row_number().over(wRank) <= 1000)
+      toks.join(broadcast(vocab), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("cnt")).as("freq_sum"),
+          sum(when(col("in_vocab"), 0L).otherwise(1L)).as("n_oov"))
+        .withColumn("avg_tok_freq",
+          col("freq_sum").cast("double") / col("n_tokens"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("freq_sum"),
+          col("n_oov"), col("avg_tok_freq"), col("oov_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Position-weighted rolling fingerprint over tokens — a polynomial
     // rolling hash computed with identical integer arithmetic in both
     // engines (sum of token_length * 31^(i mod 8) mod 2^31-1).
@@ -617,6 +656,27 @@ object TextOps {
          SELECT doc_id,
            CAST(SUM(wl * CAST(POW(31, idx % 8) AS BIGINT)) % 2147483647
              AS BIGINT) AS fingerprint
-         FROM tok GROUP BY doc_id ORDER BY doc_id"""
+         FROM tok GROUP BY doc_id ORDER BY doc_id""",
+
+    "t16_unigram_quality" ->
+      """WITH t AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' '))
+                      AS w
+                    FROM documents),
+         tk AS (SELECT doc_id, w FROM t WHERE w <> ''),
+         c AS (SELECT w, COUNT(1) AS cnt FROM tk GROUP BY w),
+         v AS (SELECT w, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, w) <= 1000
+                   AS in_vocab
+               FROM c)
+         SELECT tk.doc_id, COUNT(1) AS n_tokens,
+           CAST(SUM(v.cnt) AS BIGINT) AS freq_sum,
+           CAST(SUM(CASE WHEN v.in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_oov,
+           CAST(CAST(SUM(v.cnt) AS BIGINT) AS DOUBLE) / COUNT(1)
+             AS avg_tok_freq,
+           CAST(CAST(SUM(CASE WHEN v.in_vocab THEN 0 ELSE 1 END)
+                  AS BIGINT) AS DOUBLE) / COUNT(1) AS oov_rate
+         FROM tk JOIN v USING (w)
+         GROUP BY tk.doc_id ORDER BY doc_id"""
   )
 }
