@@ -50,6 +50,10 @@ object GraftFunctions {
     descriptor("word_ngram_hashes", classOf[WordGramHashes],
       exprs => WordGramHashes(exprs(0),
         intArg(exprs(1), "word_ngram_hashes"))),
+    // minhash_signature(hashes, n): n-wide MinHash minima in one pass
+    descriptor("minhash_signature", classOf[MinHashSignature],
+      exprs => MinHashSignature(exprs(0),
+        intArg(exprs(1), "minhash_signature"))),
     // graft_topk(value, id, k): k rows with the largest (value, id)
     descriptor("graft_topk", classOf[TopKAggregate],
       exprs => TopKAggregate(exprs(0), exprs(1),

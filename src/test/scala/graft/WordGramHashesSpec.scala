@@ -175,6 +175,15 @@ class WordGramHashesSpec extends SparkSpec {
         .as("sig"))
       .collect()(0).getSeq[Long](0)
     assert(empty == Seq.fill(4)(Long.MaxValue))
+    // SQL registration agrees with the Column path
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = docs.limit(5)
+      .selectExpr("minhash_signature(shs, 8) AS sig")
+      .as[Seq[Long]].collect().toSeq
+    val viaColumn = docs.limit(5)
+      .select(graft.functions.TextFunctions.minhashSignature(col("shs"), 8)
+        .as("sig")).as[Seq[Long]].collect().toSeq
+    assert(viaSql == viaColumn)
     // analysis-time validation: wrong element type and n out of range
     val e = intercept[Exception] {
       Seq("x").toDF("s")
