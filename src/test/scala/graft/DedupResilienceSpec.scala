@@ -150,6 +150,48 @@ class DedupResilienceSpec extends SparkSpec {
       (101L, 10L, 10L, 10L, 1.0)), out.mkString(", "))
   }
 
+  test("nearDupeAgainst equals the naive cross-split exact-Jaccard model " +
+      "on random corpora with planted near-dups (J >= 0.9, where the " +
+      "16x4 LSH miss probability is < 1e-9)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def word(i: Int): String = s"w$i"
+    (0 until 4).foreach { iter =>
+      // corpus: 12 random docs of 20..40 words over a 60-word vocab
+      val corpus = (0 until 12).map(i => (i.toLong,
+        Seq.fill(20 + rnd.nextInt(21))(word(rnd.nextInt(60))).mkString(" ")))
+      // batch: 2 planted near-dups (one word changed at a random
+      // position -> ~J >= 0.9 on 3-gram shingles) + 2 fresh docs
+      val planted = (0 until 2).map { j =>
+        val src = corpus(rnd.nextInt(corpus.size))._2.split(" ")
+        val pos = rnd.nextInt(src.length)
+        (100L + j, src.updated(pos, "zz" + j).mkString(" "))
+      }
+      val fresh = (0 until 2).map(j => (200L + j,
+        Seq.fill(25)(word(100 + rnd.nextInt(40))).mkString(" ")))
+      val batch = planted ++ fresh
+      // naive model: exact Jaccard on word 3-gram shingle sets
+      def shingleSet(t: String): Set[Seq[String]] = {
+        val w = t.trim.split(" ").toSeq
+        (0 to w.size - 3).map(i => w.slice(i, i + 3)).toSet
+      }
+      val expected = (for {
+        (cid, ctext) <- corpus
+        (bid, btext) <- batch
+        cs = shingleSet(ctext)
+        bs = shingleSet(btext)
+        inter = (cs & bs).size
+        un = (cs | bs).size
+        if un > 0 && inter.toDouble / un >= 0.8
+      } yield (bid, cid, inter.toLong, un.toLong)).toSet
+      val got = graft.operators.DedupOps.nearDupeAgainst(
+        corpus.toDF("doc_id", "text"), batch.toDF("doc_id", "text"))
+        .select("batch_id", "dup_of", "inter", "un")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"iter=$iter got=$got expected=$expected")
+    }
+  }
+
   test("decontaminate equals the naive n-gram intersection model on " +
       "random small-vocabulary corpora (overlap-dense by construction)") {
     import spark.implicits._
