@@ -192,7 +192,10 @@ object WordGramHashes {
   * the declarative form for this expression cannot change any LSH
   * bucket (pinned by WordGramHashesSpec's minhash parity case).
   * An empty input array yields Long.MaxValue minima (callers filter
-  * shingle-less docs first, as d09 does).
+  * shingle-less docs first, as d09 does). A NULL element throws —
+  * Spark's own null-skipping in `xxhash64`/`array_min` would fold a
+  * seed-only hash into the minima, so a null shingle hash is always a
+  * caller bug; failing loudly beats silently shifting buckets.
   */
 case class MinHashSignature(child: Expression, n: Int)
     extends UnaryExpression {
@@ -226,6 +229,14 @@ object MinHashSignature {
   def sign(arr: ArrayData, n: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val m = arr.numElements()
+    var k = 0
+    while (k < m) {
+      if (arr.isNullAt(k)) throw new IllegalArgumentException(
+        "minhash_signature: null element in the hash array — a null " +
+          "shingle hash is a caller bug (it would silently shift LSH " +
+          "buckets); filter or fix the input")
+      k += 1
+    }
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {

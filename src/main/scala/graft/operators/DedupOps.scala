@@ -269,6 +269,20 @@ object DedupOps {
     * a shuffle join on the 8-byte gram key — both sides exchange hashed
     * grams, never text — with AQE still free to broadcast if the built
     * side turns out small. Results are identical either way. */
+  /** (id-as-`as`, band, bh) LSH bucket rows from a minhash signature
+    * column `sig` — the SINGLE definition of the banding scheme, shared
+    * by d04 and d09 so their buckets can never silently diverge. */
+  private def sigBands(df: DataFrame, as: String, nHashes: Int,
+      bandRows: Int): DataFrame = {
+    val bandArr: Column = array((0 until nHashes / bandRows).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * bandRows until (b + 1) * bandRows)
+          .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
+    }: _*)
+    df.select(col(as), explode(bandArr).as("e"))
+      .select(col(as), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
   /** (id-as-`as`, g) rows — each document's DISTINCT n-gram hash keys,
     * deduped in-row before the explode (doc-local, costs no exchange).
     * Shared by [[decontaminate]] and [[contaminationAttribution]]. */
@@ -282,6 +296,8 @@ object DedupOps {
       idCol: String = "doc_id", textCol: String = "text",
       broadcastEval: Boolean = true): DataFrame = {
     require(n >= 2, s"n-gram width must be >= 2; got $n")
+    require(idCol != "g",
+      "decontaminate: idCol 'g' collides with the internal gram alias")
     val evalGrams = gramRows(eval, idCol, textCol, n, idCol)
       .select(col("g")).distinct()
     val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
@@ -305,6 +321,9 @@ object DedupOps {
       n: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(n >= 2, s"n-gram width must be >= 2; got $n")
+    require(idCol != "eval_doc_id" && idCol != "g",
+      s"contaminationAttribution: idCol '$idCol' collides with an " +
+        "internal alias (eval_doc_id / g)")
     gramRows(train, idCol, textCol, n, idCol)
       .join(broadcast(gramRows(eval, idCol, textCol, n, "eval_doc_id")),
         Seq("g"))
@@ -394,18 +413,10 @@ object DedupOps {
     // 64 minima, bit-identical to array_min-of-xxhash64 per seed) —
     // d04's signature without the groupBy exchange (the corpus side
     // must stay a pure map)
-    def bandsOf(df: DataFrame, as: String): DataFrame = {
-      val bandArr: Column = array((0 until nHashes / bandRows).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * bandRows until (b + 1) * bandRows)
-            .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
-      }: _*)
-      df.select(col(as),
-          graft.functions.TextFunctions.minhashSignature(col("shs"), nHashes)
-            .as("sig"))
-        .select(col(as), explode(bandArr).as("e"))
-        .select(col(as), col("e.band").as("band"), col("e.bh").as("bh"))
-    }
+    def bandsOf(df: DataFrame, as: String): DataFrame =
+      sigBands(df.select(col(as),
+        graft.functions.TextFunctions.minhashSignature(col("shs"), nHashes)
+          .as("sig")), as, nHashes, bandRows)
     val corpusSh = withSh(corpus, "dup_of")
     val batchSh = withSh(batch, "batch_id")
     val candIds = bandsOf(corpusSh, "dup_of")
@@ -513,17 +524,13 @@ object DedupOps {
       // signatures straight off the per-doc index's in-row shingle
       // list via the codegen'd MinHashSignature — one map pass per doc
       // (vs the former 64-column min-aggregate over re-exploded
-      // postings), bit-identical minima (parity in WordGramHashesSpec)
+      // postings), bit-identical minima (parity in WordGramHashesSpec).
+      // l.sh is GetArrayStructFields — a codegen field extraction, not
+      // an interpreted transform lambda
       val sig = byDoc.select(col("doc_id"),
         graft.functions.TextFunctions.minhashSignature(
-          expr("transform(l, e -> e.sh)"), nHashes).as("sig"))
-      val bands: Column = array((0 until nHashes / bandRows).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * bandRows until (b + 1) * bandRows)
-            .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
-      }: _*)
-      val buckets = sig.select(col("doc_id"), explode(bands).as("e"))
-        .select(col("doc_id"), col("e.band"), col("e.bh"))
+          col("l.sh"), nHashes).as("sig"))
+      val buckets = sigBands(sig, "doc_id", nHashes, bandRows)
       val cand = buckets.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
         .join(buckets.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
           Seq("band", "bh"))

@@ -363,22 +363,28 @@ object TextOps {
     // the operator is oracle-checkable: per doc, the mean corpus-wide
     // count of its tokens (one IEEE division of exact integers) and
     // its out-of-vocabulary token fraction vs the deterministic
-    // top-1000 vocab (cnt desc, term asc — a total order). Scale
-    // shape: the unigram table is vocab-sized and BROADCASTS with its
-    // in-vocab flag; the token explode is map-local; the one exchange
-    // is the per-doc partial aggregate. At 100 TB the vocab table is
-    // millions of rows, still broadcast range; the count table itself
-    // shuffles 8-byte-hashable terms once to build.
+    // top-1000 vocab (cnt desc, term asc — a total order, selected by
+    // TakeOrderedAndProject: distributed top-k, NOT a single-partition
+    // rank window). Scale shape: the unigram count table shuffles
+    // 8-byte-hashable terms once to build; the top-1000 set is O(1)
+    // and broadcasts trivially. The per-token probe joins the FULL
+    // distinct-token table — broadcast here (fine at judged SFs), but
+    // corpus-dependent: a 100 TB web corpus's distinct-token table
+    // (every URL/number/typo is a "token" under space splitting) can
+    // exceed broadcast range, at which point drop the hint and the
+    // probe plans as a shuffle join on the term, with the rest of the
+    // query unchanged.
     "t16_unigram_quality" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(split(trim(col("text")), " ")).as("w"))
         .filter(col("w") =!= "")
-      val wRank = Window.orderBy(col("cnt").desc, col("w"))
-      val vocab = toks.groupBy(col("w"))
+      val counts = toks.groupBy(col("w"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("in_vocab", row_number().over(wRank) <= 1000)
+      val top = counts.orderBy(col("cnt").desc, col("w")).limit(1000)
+        .select(col("w"), lit(true).as("in_vocab"))
+      val vocab = counts.join(broadcast(top), Seq("w"), "left")
+        .withColumn("in_vocab", coalesce(col("in_vocab"), lit(false)))
       toks.join(broadcast(vocab), Seq("w"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),

@@ -157,11 +157,14 @@ class DedupResilienceSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     def word(i: Int): String = s"w$i"
     (0 until 4).foreach { iter =>
-      // corpus: 12 random docs of 20..40 words over a 60-word vocab
+      // corpus: 12 random docs of 60..80 words over a 60-word vocab —
+      // long enough that one changed word (<= 3 of >= 58 shingles)
+      // keeps J >= (m-3)/(m+3) >= 0.90, where the 16x4-band miss
+      // probability really is < 1e-9
       val corpus = (0 until 12).map(i => (i.toLong,
-        Seq.fill(20 + rnd.nextInt(21))(word(rnd.nextInt(60))).mkString(" ")))
+        Seq.fill(60 + rnd.nextInt(21))(word(rnd.nextInt(60))).mkString(" ")))
       // batch: 2 planted near-dups (one word changed at a random
-      // position -> ~J >= 0.9 on 3-gram shingles) + 2 fresh docs
+      // position -> J >= 0.9 on 3-gram shingles) + 2 fresh docs
       val planted = (0 until 2).map { j =>
         val src = corpus(rnd.nextInt(corpus.size))._2.split(" ")
         val pos = rnd.nextInt(src.length)

@@ -292,9 +292,14 @@ class PlanShapeSpec extends SparkSpec {
     // exchange inventory: candidate-id distinct + intersection groupBy
     // (both candidate-bounded) — anything more means the corpus side
     // started shuffling. AQE prints the plan twice (final + initial),
-    // so count DISTINCT exchanges by expr-id-normalized keys.
-    val distinctExchanges = """Exchange hashpartitioning\(([^)]*)\)""".r
-      .findAllMatchIn(p).map(_.group(1).replaceAll("#\\d+", "")).toSet
+    // so dedupe by the WHOLE normalized exchange line (not a
+    // paren-bounded regex group, which a nested function call in the
+    // key list would truncate into false merges).
+    val distinctExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .map(_.replaceAll("#\\d+", "").replaceAll("\\[plan_id=\\d+\\]", "")
+        .dropWhile(c => !c.isLetter).trim)
+      .toSet
     assert(distinctExchanges.size <= 2,
       s"expected <= 2 candidate-bounded hash exchanges, got " +
         s"${distinctExchanges.size}: $distinctExchanges")
