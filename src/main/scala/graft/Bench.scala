@@ -37,6 +37,7 @@ object Bench {
     "t02_quality_score", "t05_char_ngram_profile", "t07_sequence_packing",
     "t09_fuzzy_blocked_pairs", "t11_repetition_filter", "t12_doc_chunking",
     "t13_vocab_coverage", "t15_leakage_safe_split", "t16_unigram_quality",
+    "t17_boilerplate_chunks",
     "q60_gapfill_locf", "q61_funnel_steps", "q62_cdc_compact",
     "m01_multimodal_decode", "m05_multimodal_header",
     "m07_multimodal_phash_neardup", "m08_media_shard_manifest",

@@ -399,6 +399,36 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Boilerplate chunk detection — the line-level dedup step of web
+    // corpus pipelines (headers, nav bars, license blurbs repeat
+    // verbatim across many pages; CCNet/RefinedWeb drop repeated lines
+    // before document-level dedup). "Lines" here are 16-word
+    // non-overlapping windows (the synthetic corpus has no newlines);
+    // a chunk appearing in >= 2 DISTINCT documents is boilerplate, and
+    // each document reports its boilerplate fraction — the filter
+    // signal. Scale shape: one exchange keyed on the chunk (group +
+    // distinct-doc count; at 100 TB key on xxhash64(chunk) so the
+    // shuffle carries 8-byte keys — same trick as the shingle index),
+    // one join back, one per-doc partial aggregate.
+    "t17_boilerplate_chunks" -> ((s, d) => {
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(split(trim(text), ' ')) - 1) div 16), "
+            + "i -> array_join(slice(split(trim(text), ' '), i*16 + 1, 16), ' '))"))
+          .as("chunk"))
+      val boiler = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 2)
+        .select(col("chunk"), lit(true).as("is_boiler"))
+      chunks.join(boiler, Seq("chunk"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_frac",
+          col("n_boiler").cast("double") / col("n_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Position-weighted rolling fingerprint over tokens — a polynomial
     // rolling hash computed with identical integer arithmetic in both
     // engines (sum of token_length * 31^(i mod 8) mod 2^31-1).
@@ -683,6 +713,24 @@ object TextOps {
            CAST(CAST(SUM(CASE WHEN v.in_vocab THEN 0 ELSE 1 END)
                   AS BIGINT) AS DOUBLE) / COUNT(1) AS oov_rate
          FROM tk JOIN v USING (w)
-         GROUP BY tk.doc_id ORDER BY doc_id"""
+         GROUP BY tk.doc_id ORDER BY doc_id""",
+
+    "t17_boilerplate_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+                    FROM documents),
+         ch AS (SELECT doc_id,
+                  array_to_string(words[(i*16 + 1):(i*16 + 16)], ' ')
+                    AS chunk
+                FROM w, UNNEST(generate_series(0, (LEN(words) - 1) // 16))
+                  AS t(i)),
+         b AS (SELECT chunk FROM ch GROUP BY chunk
+               HAVING COUNT(DISTINCT doc_id) >= 2)
+         SELECT ch.doc_id, COUNT(1) AS n_chunks,
+           CAST(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(1) AS boiler_frac
+         FROM ch LEFT JOIN b USING (chunk)
+         GROUP BY ch.doc_id ORDER BY doc_id"""
   )
 }
