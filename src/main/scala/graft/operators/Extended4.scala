@@ -238,6 +238,42 @@ object Extended4 {
         .orderBy(col("user_id"))
     }),
 
+    // Incremental aggregate maintenance — the warehouse incremental-
+    // refresh shape: a standing per-key aggregate (history) absorbs a
+    // delta batch by MERGING partial states (count add, decimal-sum
+    // add, max of maxes) through one equi full-outer join on the key —
+    // history is never rescanned, which at 100 TB is the difference
+    // between a refresh proportional to the delta and one proportional
+    // to all of time. The sums ride a DECIMAL(18,6) carrier until
+    // AFTER the merge (decimal addition is exact, so merged == full
+    // recompute bit-for-bit; summing doubles per part and adding would
+    // not be) — the oracle IS the full recompute, so the correctness
+    // of incremental maintenance itself is what's checked.
+    "q64_incremental_agg" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, d)
+      def part(pred: Column): DataFrame = ev.filter(pred)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).as("dec_total"),
+          max(col("ts")).as("last_ts"))
+      val hist = part(col("event_id") % 10 =!= 0)
+        .select(col("user_id"), col("n").as("n_h"),
+          col("dec_total").as("t_h"), col("last_ts").as("ts_h"))
+      val delta = part(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("n").as("n_d"),
+          col("dec_total").as("t_d"), col("last_ts").as("ts_d"))
+      val zero = lit(0).cast(DecimalType(18, 6))
+      hist.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n_h"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n"),
+          (coalesce(col("t_h"), zero) + coalesce(col("t_d"), zero))
+            .cast("double").as("total_value"),
+          greatest(col("ts_h"), col("ts_d")).as("last_ts"))
+        .orderBy(col("user_id"))
+    }),
+
     // Unpivot (melt): the inverse of q27's pivot — wide per-type count
     // columns back to (bucket, event_type, n) long form, zero-filled
     // cells included. Pivot/unpivot round-trip pins both directions of
@@ -363,6 +399,14 @@ object Extended4 {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                  ORDER BY ts DESC, event_id DESC) AS rk FROM events) t
          WHERE rk = 1 ORDER BY user_id""",
+
+    // full recompute over ALL events — equality with the merged
+    // incremental form is exactly the property being verified
+    "q64_incremental_agg" ->
+      """SELECT user_id, COUNT(1) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+         MAX(ts) AS last_ts
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q59_unpivot" ->
       """WITH b AS (SELECT DISTINCT user_id % 10 AS bucket FROM events),
