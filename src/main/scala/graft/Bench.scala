@@ -39,7 +39,7 @@ object Bench {
     "t13_vocab_coverage", "t15_leakage_safe_split", "t16_unigram_quality",
     "t17_boilerplate_chunks",
     "q60_gapfill_locf", "q61_funnel_steps", "q62_cdc_compact",
-    "q64_incremental_agg",
+    "q64_incremental_agg", "q65_cohort_retention",
     "m01_multimodal_decode", "m05_multimodal_header",
     "m07_multimodal_phash_neardup", "m08_media_shard_manifest",
     "e09_ann_ivf_sq8")

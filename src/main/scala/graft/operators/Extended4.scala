@@ -274,6 +274,32 @@ object Extended4 {
         .orderBy(col("user_id"))
     }),
 
+    // Cohort retention — the classic event-analytics rollup: users
+    // cohorted by first-active week, retention = distinct users of
+    // cohort C active in week C+k, for every (cohort, week offset)
+    // cell. Week offsets are exact integer arithmetic on epoch seconds
+    // (truncated weeks differ by exact multiples of 604800), so the
+    // whole matrix is integers — fully oracle-checked. Scale shape:
+    // one distinct over (user, week) (map-side partial), one per-user
+    // min for the cohort, one equi join on user_id, one cell groupBy —
+    // every exchange keyed on user or cell, nothing event-sized past
+    // the first distinct.
+    "q65_cohort_retention" -> ((s, d) => {
+      val active = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val cohorts = active.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort"))
+      active.join(cohorts, Seq("user_id"))
+        .withColumn("week_offset",
+          ((unix_timestamp(col("week")) - unix_timestamp(col("cohort")))
+            / lit(604800L)).cast("int"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
     // Unpivot (melt): the inverse of q27's pivot — wide per-type count
     // columns back to (bucket, event_type, n) long form, zero-filled
     // cells included. Pivot/unpivot round-trip pins both directions of
@@ -399,6 +425,18 @@ object Extended4 {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                  ORDER BY ts DESC, event_id DESC) AS rk FROM events) t
          WHERE rk = 1 ORDER BY user_id""",
+
+    "q65_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS week
+                    FROM events),
+         c AS (SELECT user_id, MIN(week) AS cohort FROM a GROUP BY user_id)
+         SELECT c.cohort,
+           CAST((CAST(EPOCH(a.week) AS BIGINT)
+                 - CAST(EPOCH(c.cohort) AS BIGINT)) // 604800 AS INT)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+         FROM a JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort, week_offset""",
 
     // full recompute over ALL events — equality with the merged
     // incremental form is exactly the property being verified
