@@ -42,6 +42,7 @@ object Bench {
     "q64_incremental_agg", "q65_cohort_retention",
     "m01_multimodal_decode", "m05_multimodal_header",
     "m07_multimodal_phash_neardup", "m08_media_shard_manifest",
+    "m09_repeated_frames", "t18_token_budget",
     "e09_ann_ivf_sq8")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence

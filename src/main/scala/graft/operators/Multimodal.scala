@@ -259,6 +259,28 @@ object Multimodal {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Cross-media repeated-frame detection: frames (m04's sampling
+    // stage) whose fingerprint recurs in >= 2 distinct media records —
+    // the intro/outro/watermark-frame signal of video corpus prep
+    // (shared openings dominate crawled video; dropping them is the
+    // frame-level analogue of t17's boilerplate lines). Report rows
+    // are (frame_fp, n_media, n_occurrences, first doc) — the shuffle
+    // carries 32-hex fingerprints, never frame bytes.
+    "m09_repeated_frames" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaIn]
+        .mapPartitions(_.flatMap(MultimodalStub.frames))
+        .toDF()
+        .groupBy(col("frame_fp"))
+        .agg(countDistinct(col("doc_id")).as("n_media"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_media") >= 2)
+        .orderBy(col("frame_fp"))
+    }),
+
     // Training-shard manifest for media payloads: assign each media
     // record to the fixed-byte-budget shard (64 KiB here; GB-scale in
     // production) its bytes START in, per codec stream — the "pack
@@ -389,6 +411,17 @@ object Multimodal {
               UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(text), 1), 64))
                 AS t(off)
          ORDER BY doc_id, frame_idx""",
+
+    "m09_repeated_frames" ->
+      """WITH f AS (SELECT doc_id, MD5(SUBSTR(text, off, 32)) AS frame_fp
+                    FROM documents,
+                    UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(text), 1), 64))
+                      AS t(off))
+         SELECT frame_fp, COUNT(DISTINCT doc_id) AS n_media,
+                COUNT(1) AS n_occurrences, MIN(doc_id) AS first_doc
+         FROM f GROUP BY frame_fp
+         HAVING COUNT(DISTINCT doc_id) >= 2
+         ORDER BY frame_fp""",
 
     "m08_media_shard_manifest" ->
       """WITH m AS (SELECT doc_id,

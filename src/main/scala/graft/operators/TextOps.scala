@@ -429,6 +429,28 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Effective token budget — the number epoch planning actually
+    // needs: raw corpus tokens vs tokens after exact dedup (each
+    // distinct content counted once) and the implied duplication
+    // factor. All integers until the one final division, computed
+    // fingerprint-first (the groupBy keys on md5, never text) with a
+    // single-row result — the corpus-level summary a data-mixture
+    // plan starts from (t14's shares then split the deduped budget).
+    "t18_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(md5(encode(col("text"), "UTF-8")).as("fp"),
+          size(split(trim(col("text")), " ")).as("nt"))
+      val perContent = docs.groupBy(col("fp"))
+        .agg(min(col("nt")).as("nt"), count(lit(1)).as("copies"))
+      perContent.agg(
+          sum(col("nt") * col("copies")).as("total_tokens"),
+          sum(col("nt")).as("deduped_tokens"),
+          count(lit(1)).as("n_distinct_docs"),
+          sum(col("copies")).as("n_docs"))
+        .withColumn("duplication_factor",
+          col("total_tokens").cast("double") / col("deduped_tokens"))
+    }),
+
     // Position-weighted rolling fingerprint over tokens — a polynomial
     // rolling hash computed with identical integer arithmetic in both
     // engines (sum of token_length * 31^(i mod 8) mod 2^31-1).
@@ -731,6 +753,19 @@ object TextOps {
            CAST(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)
              AS DOUBLE) / COUNT(1) AS boiler_frac
          FROM ch LEFT JOIN b USING (chunk)
-         GROUP BY ch.doc_id ORDER BY doc_id"""
+         GROUP BY ch.doc_id ORDER BY doc_id""",
+
+    "t18_token_budget" ->
+      """WITH pc AS (SELECT MD5(text) AS fp,
+             MIN(LEN(string_split(TRIM(text), ' '))) AS nt,
+             COUNT(1) AS copies
+           FROM documents GROUP BY MD5(text))
+         SELECT CAST(SUM(nt * copies) AS BIGINT) AS total_tokens,
+           CAST(SUM(nt) AS BIGINT) AS deduped_tokens,
+           COUNT(1) AS n_distinct_docs,
+           CAST(SUM(copies) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(nt * copies) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(nt) AS BIGINT) AS duplication_factor
+         FROM pc"""
   )
 }
