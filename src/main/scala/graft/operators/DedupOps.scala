@@ -464,6 +464,49 @@ object DedupOps {
       .select(col("doc_id"), col("lbl").as("cluster_rep"))
   }
 
+  /** Boilerplate REMOVAL with document reconstruction — the transform
+    * twin of t17's detection report (CCNet/Dolma-style line-level
+    * dedup, applied at chunk granularity): any `chunkWords`-word window
+    * occurring in >= `minDocs` DISTINCT documents is boilerplate
+    * (headers, footers, navigation chrome) and is stripped from every
+    * document; the survivors are re-joined in original order. Returns
+    * (doc_id, n_chunks, n_removed, clean_text).
+    *
+    * Scale shape: the corpus text NEVER shuffles. Chunking and
+    * fingerprinting are in-row (`transform` over the split array); the
+    * one exchange carries (16-byte md5, doc_id) rows for the
+    * document-frequency count; the resulting boiler fingerprint SET —
+    * bounded by the number of distinct repeated chunks, not corpus
+    * size — collapses to one row and BROADCASTS back, so removal and
+    * reconstruction are a pure map pass over the original frame (the
+    * same broadcast-the-small-set pattern as [[decontaminate]] and
+    * t10's pass-list). Membership is by md5: 128-bit fingerprints, the
+    * d02 identity contract — a collision would need two distinct
+    * 16-word windows sharing a digest. */
+  def stripBoilerplate(docs: DataFrame, chunkWords: Int = 16,
+      minDocs: Int = 2): DataFrame = {
+    require(chunkWords > 0 && minDocs >= 2,
+      s"need chunkWords > 0, minDocs >= 2; got $chunkWords, $minDocs")
+    val chunked = docs.select(col("doc_id"), expr(
+      s"transform(sequence(0, (size(split(trim(text), ' ')) - 1) div $chunkWords), " +
+        s"i -> array_join(slice(split(trim(text), ' '), i*$chunkWords + 1, " +
+        s"$chunkWords), ' '))").as("chunks"))
+    val fps = chunked.select(col("doc_id"),
+      explode(expr("transform(chunks, c -> md5(encode(c, 'UTF-8')))")).as("fp"))
+    val boilerSet = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .agg(coalesce(collect_set(col("fp")), array()).as("bfps"))
+    chunked.join(broadcast(boilerSet), lit(true))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        expr("filter(chunks, c -> NOT array_contains(bfps, md5(encode(c, 'UTF-8'))))")
+          .as("keep"))
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - size(col("keep"))).cast("long").as("n_removed"),
+        array_join(col("keep"), " ").as("clean_text"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup, FINGERPRINT-FIRST: group by md5(text) so the shuffle
     // moves 16-byte keys instead of full documents (at 100 TB the
@@ -599,6 +642,12 @@ object DedupOps {
         .orderBy(col("batch_id"), col("dup_of"))
     }),
 
+    // Boilerplate stripping: t17 detects cross-document repeated
+    // 16-word chunks; this REMOVES them and reconstructs each cleaned
+    // document (see [[stripBoilerplate]] for the broadcast scale shape).
+    "d11_boilerplate_strip" -> ((s, d) =>
+      stripBoilerplate(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
     // SimHash fingerprints + banded hamming-near candidate pairs. The
     // per-word hash is the first 60 bits of md5 (15 hex chars) — portable
     // integer arithmetic in any engine, so unlike a seeded xxhash64 the
@@ -691,6 +740,25 @@ object DedupOps {
            SELECT tr.doc_id, ev.eval_doc_id, COUNT(1) AS n_shared
            FROM tr JOIN ev USING (g)
            GROUP BY 1, 2 ORDER BY doc_id, eval_doc_id""",
+      // same 16-word chunking arithmetic as t17; membership by chunk
+      // text == membership by md5 (the fingerprint identity contract)
+      "d11_boilerplate_strip" ->
+        """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+                      FROM documents),
+           ch AS (SELECT doc_id, i AS ci,
+                    array_to_string(words[(i*16 + 1):(i*16 + 16)], ' ')
+                      AS chunk
+                  FROM w, UNNEST(generate_series(0, (LEN(words) - 1) // 16))
+                    AS t(i)),
+           b AS (SELECT chunk FROM ch GROUP BY chunk
+                 HAVING COUNT(DISTINCT doc_id) >= 2)
+           SELECT ch.doc_id, COUNT(1) AS n_chunks,
+             CAST(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_removed,
+             COALESCE(string_agg(CASE WHEN b.chunk IS NULL THEN ch.chunk END,
+               ' ' ORDER BY ch.ci), '') AS clean_text
+           FROM ch LEFT JOIN b USING (chunk)
+           GROUP BY ch.doc_id ORDER BY doc_id""",
       "d03_ngram_jaccard_pairs" -> jaccardSql,
       // LSH output == exact output at this corpus/threshold (see scaladoc)
       "d04_minhash_lsh_dedup" -> jaccardSql,

@@ -195,6 +195,41 @@ class DedupResilienceSpec extends SparkSpec {
     }
   }
 
+  test("stripBoilerplate equals the naive chunk-frequency model on random " +
+      "corpora with planted shared chunks (order preserved, all-boiler " +
+      "docs come back empty)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 5).foreach { iter =>
+      val cw = 3 + rnd.nextInt(3) // chunk width 3..5
+      val shared = Seq.fill(cw)("boiler" + iter).mkString(" ")
+      val docs = (0 until 14).map { i =>
+        val own = Seq.fill(cw * (1 + rnd.nextInt(3)))(
+          s"u${i}_${rnd.nextInt(50)}").mkString(" ")
+        // ~half the docs carry the shared chunk at a chunk boundary;
+        // doc 13 is NOTHING BUT the shared chunk (must come back empty)
+        val t =
+          if (i == 13) shared
+          else if (i % 2 == 0) s"$shared $own"
+          else own
+        (i.toLong, t)
+      }
+      def chunksOf(t: String): Seq[String] =
+        t.trim.split(" ").grouped(cw).map(_.mkString(" ")).toSeq
+      val freq = docs.flatMap { case (id, t) => chunksOf(t).distinct.map((_, id)) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val expected = docs.map { case (id, t) =>
+        val kept = chunksOf(t).filter(c => freq(c) < 2)
+        (id, chunksOf(t).size.toLong, (chunksOf(t).size - kept.size).toLong,
+          kept.mkString(" "))
+      }.toSet
+      val got = graft.operators.DedupOps.stripBoilerplate(
+        docs.toDF("doc_id", "text"), chunkWords = cw)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == expected, s"iter=$iter cw=$cw\ngot=$got\nexp=$expected")
+    }
+  }
+
   test("decontaminate equals the naive n-gram intersection model on " +
       "random small-vocabulary corpora (overlap-dense by construction)") {
     import spark.implicits._

@@ -24,7 +24,8 @@ class PlanLintSpec extends SparkSpec {
     "e07_ann_recall", // recall eval: exhaustive truth side (!=) + IVF assignment
     "e08_ann_recall_sweep", // nprobe sweep: same centroid cross + exhaustive truth + O(1) totals join
     "e09_ann_ivf_sq8", // IVF-SQ8: same broadcast centroid assignment cross
-    "q63_kmv_sketch_union") // 1-row sketch x 1-row exact scalar join, O(1)
+    "q63_kmv_sketch_union", // 1-row sketch x 1-row exact scalar join, O(1)
+    "d11_boilerplate_strip") // 1-row broadcast boiler-fingerprint set
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
