@@ -300,6 +300,28 @@ object Extended4 {
         .orderBy(col("cohort"), col("week_offset"))
     }),
 
+    // Trailing 7-day distinct users per day (the "WAU curve") — sliding
+    // COUNT(DISTINCT) has no window-frame form, and the naive shape (a
+    // day x events range join) is O(days * |events|). Scale shape:
+    // collapse to DISTINCT (day, user) first (key-only exchange with
+    // map-side partial), then each pair fans out to the <= 7 window
+    // days it contributes to (bounded in-row explode), and the final
+    // per-day distinct count shuffles (day, user) keys only. The
+    // observed-day semi join (drop synthetic days past the data edge)
+    // broadcasts the tiny day dimension.
+    "q66_trailing_distinct_users" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val cover = ud.select(
+        explode(expr("sequence(day, date_add(day, 6))")).as("day"),
+        col("user_id"))
+      cover.join(ud.select(col("day")).distinct(), Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("users_7d"))
+        .orderBy(col("day"))
+    }),
+
     // Unpivot (melt): the inverse of q27's pivot — wide per-type count
     // columns back to (bucket, event_type, n) long form, zero-filled
     // cells included. Pivot/unpivot round-trip pins both directions of
@@ -445,6 +467,14 @@ object Extended4 {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
          MAX(ts) AS last_ts
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q66_trailing_distinct_users" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                     FROM events),
+         days AS (SELECT DISTINCT day FROM ud)
+         SELECT d.day, COUNT(DISTINCT u.user_id) AS users_7d
+         FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+         GROUP BY d.day ORDER BY d.day""",
 
     "q59_unpivot" ->
       """WITH b AS (SELECT DISTINCT user_id % 10 AS bucket FROM events),

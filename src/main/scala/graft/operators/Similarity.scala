@@ -122,6 +122,39 @@ object Similarity {
       ivfTop1(s, d).orderBy(col("vec_id"))
     }),
 
+    // Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    // embedding-level near-duplicate pruning that catches paraphrases
+    // lexical dedup (d03-d05) cannot see. Scale shape: pairwise cosine
+    // runs ONLY within an IVF cell (the same shared centroidRanked
+    // assignment the ANN queries use — broadcast centroids, equi-join
+    // on cell), so the pair space shrinks by the cell count exactly
+    // like e03's search; the tau-graph components then collapse via
+    // the path-halving label propagation (O(log diameter) rounds).
+    // Keep rule: the component minimum vec_id survives — deterministic
+    // and oracle-checkable (the paper's keep-by-centroid-distance is a
+    // one-line ORDER BY swap on the same frame). Returns every vector
+    // with its cell, its cluster representative, and the keep verdict.
+    "e10_semantic_dedup" -> ((s, d) => {
+      val assigned = centroidRanked(s, d).filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cent_id").as("cell"))
+      val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
+        col("v").as("xa"), col("nrm").as("na"))
+      val b = assigned.select(col("cell"), col("vec_id").as("doc_b"),
+        col("v").as("xb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(dot(col("xa"), col("xb")) / (col("na") * col("nb")) >= 0.35)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = DedupOps.connectedComponents(
+        assigned.select(col("vec_id")), pairs)._1
+      assigned.select(col("vec_id"), col("cell"))
+        .join(labels.select(col("doc_id").as("vec_id"),
+          col("lbl").as("rep_id")), Seq("vec_id"))
+        .withColumn("is_kept", col("rep_id") === col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ANN quality evaluation: recall@1 of the IVF index (e03) against
     // the exhaustive ground truth (e02's logic at k = 1), reported per
     // IVF cell — the standard accept/reject gate before an approximate
@@ -343,6 +376,33 @@ object Similarity {
            FROM assigned a JOIN assigned b
              ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
          WHERE rk = 1 ORDER BY vec_id""",
+
+    "e10_semantic_dedup" ->
+      s"""WITH RECURSIVE cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         assigned AS (
+           SELECT vec_id, embedding, cell FROM (
+             SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1),
+         p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+               FROM assigned a JOIN assigned b
+                 ON a.cell = b.cell AND a.vec_id < b.vec_id
+               WHERE $cosExpr >= 0.35),
+         bidir AS (SELECT va AS a, vb AS b FROM p
+                   UNION SELECT vb, va FROM p),
+         reach(a, b) AS (SELECT a, b FROM bidir
+                         UNION
+                         SELECT r.a, e.b FROM reach r
+                         JOIN bidir e ON r.b = e.a),
+         rep AS (SELECT a AS vec_id, MIN(b) AS m FROM reach GROUP BY a)
+         SELECT s.vec_id, s.cell,
+           COALESCE(LEAST(s.vec_id, r.m), s.vec_id) AS rep_id,
+           COALESCE(LEAST(s.vec_id, r.m), s.vec_id) = s.vec_id AS is_kept
+         FROM assigned s LEFT JOIN rep r USING (vec_id)
+         ORDER BY s.vec_id""",
 
     "e07_ann_recall" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding

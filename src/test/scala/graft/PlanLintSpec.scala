@@ -25,7 +25,8 @@ class PlanLintSpec extends SparkSpec {
     "e08_ann_recall_sweep", // nprobe sweep: same centroid cross + exhaustive truth + O(1) totals join
     "e09_ann_ivf_sq8", // IVF-SQ8: same broadcast centroid assignment cross
     "q63_kmv_sketch_union", // 1-row sketch x 1-row exact scalar join, O(1)
-    "d11_boilerplate_strip") // 1-row broadcast boiler-fingerprint set
+    "d11_boilerplate_strip", // 1-row broadcast boiler-fingerprint set
+    "e10_semantic_dedup") // same broadcast centroid assignment cross
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
