@@ -62,7 +62,15 @@ object GraftFunctions {
     descriptor("quantile_sketch", classOf[QuantileSketchAggregate],
       exprs => QuantileSketchAggregate(exprs(0), exprs(1),
         intArg(exprs(2), "quantile_sketch"),
-        exprs.drop(3).map(doubleArg(_, "quantile_sketch")))))
+        exprs.drop(3).map(doubleArg(_, "quantile_sketch")))),
+    // graft_bloom_agg(key, numBits, numHashes): serialized Bloom filter
+    descriptor("graft_bloom_agg", classOf[BloomFilterAggregate],
+      exprs => BloomFilterAggregate(exprs(0),
+        intArg(exprs(1), "graft_bloom_agg"),
+        intArg(exprs(2), "graft_bloom_agg"))),
+    // graft_bloom_contains(bloom, key): probe — false = definitely absent
+    descriptor("graft_bloom_contains", classOf[BloomMightContain],
+      exprs => BloomMightContain(exprs(0), exprs(1))))
 
   /** Register on an already-built session: SQL functions plus the
     * dot-product rewrite (via the experimental-methods hook, the only

@@ -113,6 +113,49 @@ object CustomAgg {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Bloom-filter semi-join reduction: build a compact key digest of
+    // the filtered build side ([[graft.functions.BloomFilterAggregate]],
+    // mergeable bit array — the shuffle carries one 8 KiB filter per
+    // partition), broadcast it, and discard probe rows that CANNOT join
+    // before they reach the exchange (codegen'd
+    // `graft_bloom_contains` probe inside the scan stage). False
+    // positives only, so the exact semi join downstream returns exactly
+    // the unfiltered result — at 100 TB the shuffle moves
+    // selectivity + fpp of lineitem instead of all of it (the
+    // engine-native form of AQE's injected runtime row filter, as a
+    // reusable surface: build the digest once, apply it across
+    // queries). Oracle = the plain exact semi join.
+    "q67_bloom_semi_join" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.orders(s, d).createOrReplaceTempView("bsj_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("bsj_lineitem")
+      // The digest rides a SCALAR SUBQUERY — the same plan shape
+      // Spark's AQE runtime row filtering injects — so the probe is a
+      // plain Filter on the scan side, BELOW the exchange (a join-
+      // shaped probe gets reordered above the semi join by
+      // PushDownLeftSemiAntiJoin, which defeats the reduction).
+      val pre = s.sql("""
+        SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount
+        FROM bsj_lineitem
+        WHERE graft_bloom_contains(
+          (SELECT graft_bloom_agg(o_orderkey, 65536, 5) FROM bsj_orders
+           WHERE o_orderpriority = '1-URGENT'),
+          l_orderkey)""")
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      // merge hint: the exact join SHUFFLES (the 100 TB reality a bloom
+      // digest exists for — with a broadcastable build side you'd skip
+      // the bloom entirely and PLAN-pin the broadcast instead).
+      pre.join(urgent.hint("merge"),
+          pre("l_orderkey") === urgent("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          graft.Parity.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Schema-driven payload decode: from_json into a typed struct — the
     // engine-internalized form of the reference's user-code payload
     // parsing (payloadAsString + hand-rolled JSON,
@@ -160,6 +203,17 @@ object CustomAgg {
     // type-7 interpolation with the IDENTICAL expression order
     // (v_lo + (r - floor(r)) * (v_hi - v_lo), then / 100.0) so the
     // doubles agree bit-for-bit.
+    // the UNFILTERED exact semi join — equality with the bloom-prefiltered
+    // plan is exactly the no-false-negative property being verified
+    "q67_bloom_semi_join" ->
+      s"""SELECT l_returnflag, COUNT(1) AS n,
+         ${graft.Parity.dsumSql("l_extendedprice * (1 - l_discount)")}
+           AS revenue
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q52_quantile_sketch" ->
       """WITH cents AS (
            SELECT l_returnflag,

@@ -185,6 +185,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q67: the engine-native bloom digest probes BELOW the probe-side " +
+      "exchange (scalar-subquery filter on the scan), and the exact " +
+      "semi join shuffles above it") {
+    val p = planOf("q67_bloom_semi_join")
+    assert(p.contains("SortMergeJoin LeftSemi"), p.take(1200))
+    // the probe really is the bloom digest riding a scalar subquery
+    // (a join-shaped probe would be reordered above the semi join)
+    assert(p.contains("graft_bloom_contains(Subquery"),
+      s"probe filter must be the scalar-subquery bloom digest:\n${p.take(1500)}")
+    // operator ids are bottom-up within a subtree: the lineitem-side
+    // Filter (probe) must carry a smaller id than the lineitem-side
+    // Exchange — the digest discards rows BEFORE they reach the shuffle
+    val probeFilterId = """\((\d+)\) Filter\nInput[^\n]*l_extendedprice""".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    val probeExchangeId = """\((\d+)\) Exchange\nInput[^\n]*l_extendedprice""".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(probeFilterId.isDefined && probeExchangeId.isDefined,
+      s"expected lineitem-side Filter and Exchange blocks:\n${p.take(1500)}")
+    assert(probeFilterId.get < probeExchangeId.get,
+      s"bloom probe (op ${probeFilterId.get}) must sit below the " +
+        s"probe-side exchange (op ${probeExchangeId.get})")
+  }
+
   test("q04/q35: fact-proportional sides carry no broadcast hint — with " +
       "auto-broadcast off, only the hinted dims broadcast and the " +
       "lineitem⋈orders edge shuffles (the 100 TB shape)") {
