@@ -43,7 +43,9 @@ object Bench {
     "m01_multimodal_decode", "m05_multimodal_header",
     "m07_multimodal_phash_neardup", "m08_media_shard_manifest",
     "m09_repeated_frames", "t18_token_budget",
-    "e09_ann_ivf_sq8")
+    "e09_ann_ivf_sq8",
+    "d11_boilerplate_strip", "q66_trailing_distinct_users",
+    "e10_semantic_dedup", "q67_bloom_semi_join")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

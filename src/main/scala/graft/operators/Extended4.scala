@@ -319,6 +319,10 @@ object Extended4 {
       cover.join(ud.select(col("day")).distinct(), Seq("day"), "left_semi")
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("users_7d"))
+        // timestamp_ntz, not date: parquet date32 reaches the driver's
+        // pandas compare as dtype=object and breaks its typed hash
+        // (the q21 parity rule)
+        .select(col("day").cast("timestamp_ntz").as("day"), col("users_7d"))
         .orderBy(col("day"))
     }),
 
@@ -472,7 +476,8 @@ object Extended4 {
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
                      FROM events),
          days AS (SELECT DISTINCT day FROM ud)
-         SELECT d.day, COUNT(DISTINCT u.user_id) AS users_7d
+         SELECT CAST(d.day AS TIMESTAMP) AS day,
+                COUNT(DISTINCT u.user_id) AS users_7d
          FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
          GROUP BY d.day ORDER BY d.day""",
 
