@@ -326,6 +326,67 @@ object Extended4 {
         .orderBy(col("day"))
     }),
 
+    // Time-weighted average (TWAP): each observation's value holds
+    // until the user's next event; the mean is duration-weighted —
+    // the correct aggregate for irregularly-sampled series (a plain
+    // AVG over-weights bursts). Exactness: durations are integer
+    // microseconds, the weighted sum runs in DECIMAL (the q64 carrier
+    // pattern), and the single IEEE division at the end is
+    // oracle-bit-equal. Scale shape: one window + one groupBy, both
+    // keyed by user_id (high cardinality, no global stage).
+    "q68_time_weighted_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seg = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        // ts is TIMESTAMP_NTZ; the session is pinned UTC, so the cast
+        // is wall-clock identity and unix_micros == DuckDB epoch_us
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("dur_us", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dur_us").isNotNull)
+      // q58's integer-moment idiom: 2dp values scale to exact cents,
+      // the weighted sum is a pure INTEGER decimal, and the only
+      // doubles are the final two IEEE divisions — decimal(38,>0) →
+      // double conversions are NOT cross-engine bit-stable (DuckDB
+      // double-rounds via 10^-scale), integer decimals are
+      seg.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("dur_us")).as("span_us"),
+          sum(Parity.cents2(col("value")).cast(DecimalType(24, 0))
+            * col("dur_us").cast(DecimalType(14, 0))).as("wsum_c"))
+        .select(col("user_id"), col("n_segments"), col("span_us"),
+          (col("wsum_c").cast("double") / col("span_us").cast("double")
+            / lit(100.0)).as("twap"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Equal-width histogram with zero-filled bins — the profiling
+    // primitive behind skew diagnostics and bucket sizing. Two fact
+    // passes, both map-side partial aggregates (bounds, then bucket
+    // counts); the data-derived bounds ride a 1-row broadcast, bucket
+    // arithmetic mirrors the oracle operation-for-operation (IEEE ops
+    // are deterministic, so the bin assignment is bit-identical), and
+    // the zero-fill join touches only the 20-row grid.
+    "q69_histogram" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+      val bounds = li.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val bucketed = li.join(broadcast(bounds), lit(true))
+        .select(least(floor((col("v") - col("lo")) * lit(20.0)
+          / (col("hi") - col("lo"))).cast("int"), lit(19)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      bounds.select(explode(sequence(lit(0), lit(19))).as("bucket"),
+          col("lo"), col("hi"))
+        .join(bucketed, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("lo") + col("bucket").cast("double")
+            * (col("hi") - col("lo")) / lit(20.0)).as("lo_edge"),
+          (col("lo") + (col("bucket") + 1).cast("double")
+            * (col("hi") - col("lo")) / lit(20.0)).as("hi_edge"),
+          coalesce(col("cnt"), lit(0L)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
     // Unpivot (melt): the inverse of q27's pivot — wide per-type count
     // columns back to (bucket, event_type, n) long form, zero-filled
     // cells included. Pivot/unpivot round-trip pins both directions of
@@ -471,6 +532,37 @@ object Extended4 {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
          MAX(ts) AS last_ts
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q68_time_weighted_avg" ->
+      """WITH seg AS (
+           SELECT user_id, value,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) - epoch_us(ts) AS dur_us
+           FROM events)
+         SELECT user_id, COUNT(1) AS n_segments,
+           CAST(SUM(dur_us) AS BIGINT) AS span_us,
+           CAST(SUM(CAST(ROUND(value * 100) AS DECIMAL(24,0))
+                    * CAST(dur_us AS DECIMAL(14,0))) AS DOUBLE)
+             / CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE) / 100.0 AS twap
+         FROM seg WHERE dur_us IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q69_histogram" ->
+      """WITH b AS (SELECT MIN(l_extendedprice) AS lo,
+                           MAX(l_extendedprice) AS hi FROM lineitem),
+         bk AS (SELECT LEAST(CAST(FLOOR((l_extendedprice - b.lo) * 20.0
+                    / (b.hi - b.lo)) AS INT), 19) AS bucket,
+                  COUNT(1) AS cnt
+                FROM lineitem, b GROUP BY 1),
+         g AS (SELECT UNNEST(generate_series(0, 19)) AS bucket)
+         SELECT CAST(g.bucket AS INT) AS bucket,
+           b.lo + CAST(g.bucket AS DOUBLE) * (b.hi - b.lo) / 20.0
+             AS lo_edge,
+           b.lo + CAST(g.bucket + 1 AS DOUBLE) * (b.hi - b.lo) / 20.0
+             AS hi_edge,
+           COALESCE(bk.cnt, 0) AS n
+         FROM g CROSS JOIN b LEFT JOIN bk USING (bucket)
+         ORDER BY bucket""",
 
     "q66_trailing_distinct_users" ->
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id

@@ -26,7 +26,8 @@ class PlanLintSpec extends SparkSpec {
     "e09_ann_ivf_sq8", // IVF-SQ8: same broadcast centroid assignment cross
     "q63_kmv_sketch_union", // 1-row sketch x 1-row exact scalar join, O(1)
     "d11_boilerplate_strip", // 1-row broadcast boiler-fingerprint set
-    "e10_semantic_dedup") // same broadcast centroid assignment cross
+    "e10_semantic_dedup", // same broadcast centroid assignment cross
+    "q69_histogram") // 1-row broadcast min/max bounds for bin edges
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
