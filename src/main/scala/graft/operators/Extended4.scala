@@ -387,6 +387,37 @@ object Extended4 {
         .orderBy(col("bucket"))
     }),
 
+    // Event-type co-occurrence affinity — the market-basket primitive
+    // (which behaviors travel together): for every unordered type
+    // pair, the number of users exhibiting both, plus the Jaccard
+    // affinity n_pair / (n_a + n_b - n_pair) — integers until one
+    // IEEE division, so fully oracle-checked. Scale shape: collapse
+    // to DISTINCT (user, type) first (key-only exchange), then the
+    // user-keyed self-join fans out to at most C(|types|, 2) = 10
+    // pairs per user — bounded in-partition work, never a type-pair
+    // cross product over raw events; the 5-row per-type totals
+    // broadcast.
+    "q70_cooccurrence_pairs" -> ((s, d) => {
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val perType = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_type"))
+      val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+      val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+      a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .join(broadcast(perType.select(col("event_type").as("type_a"),
+          col("n_type").as("n_a"))), Seq("type_a"))
+        .join(broadcast(perType.select(col("event_type").as("type_b"),
+          col("n_type").as("n_b"))), Seq("type_b"))
+        .withColumn("affinity", col("n_pair").cast("double")
+          / (col("n_a") + col("n_b") - col("n_pair")).cast("double"))
+        .select(col("type_a"), col("type_b"), col("n_pair"),
+          col("n_a"), col("n_b"), col("affinity"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Unpivot (melt): the inverse of q27's pivot — wide per-type count
     // columns back to (bucket, event_type, n) long form, zero-filled
     // cells included. Pivot/unpivot round-trip pins both directions of
@@ -532,6 +563,24 @@ object Extended4 {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
          MAX(ts) AS last_ts
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q70_cooccurrence_pairs" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         pt AS (SELECT event_type, COUNT(1) AS n_type FROM ut
+                GROUP BY event_type),
+         pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  COUNT(1) AS n_pair
+                FROM ut a JOIN ut b ON a.user_id = b.user_id
+                  AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+         SELECT pr.type_a, pr.type_b, pr.n_pair,
+           pa.n_type AS n_a, pb.n_type AS n_b,
+           CAST(pr.n_pair AS DOUBLE)
+             / CAST(pa.n_type + pb.n_type - pr.n_pair AS DOUBLE)
+             AS affinity
+         FROM pr JOIN pt pa ON pa.event_type = pr.type_a
+         JOIN pt pb ON pb.event_type = pr.type_b
+         ORDER BY type_a, type_b""",
 
     "q68_time_weighted_avg" ->
       """WITH seg AS (

@@ -399,6 +399,39 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source n-gram novelty — the "what does this source actually
+    // add" number behind corpus acquisition decisions: of each
+    // source's distinct word 8-grams, how many appear in NO
+    // lexicographically-earlier source (a deterministic stand-in for
+    // acquisition order). A source whose novelty_rate is near zero is
+    // already covered by the corpus and can be dropped from the mix
+    // (the d08/t14 curation loop's missing third measure). Scale
+    // shape: in-row gram explode to (md5 fingerprint, source) rows,
+    // DISTINCT per source, then ONE fp-keyed exchange: the
+    // first-seeing source is a min() window over fp (a groupBy +
+    // join-back would shuffle the gram frame twice for the same
+    // partitioning), and the per-source rollup partially aggregates
+    // map-side.
+    "t19_source_novelty" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables.documents(s, d)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, greatest(size(split(trim(text), ' ')) - 7, 0)), " +
+            "i -> md5(encode(array_join(slice(split(trim(text), ' '), i, 8), ' '), 'UTF-8')))"))
+          .as("fp"))
+        .distinct()
+      grams
+        .withColumn("first_src",
+          min(col("source")).over(Window.partitionBy(col("fp"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_src") === col("source"), 1L).otherwise(0L))
+            .as("n_new"))
+        .withColumn("novelty_rate",
+          col("n_new").cast("double") / col("n_grams"))
+        .orderBy(col("source"))
+    }),
+
     // Boilerplate chunk detection — the line-level dedup step of web
     // corpus pipelines (headers, nav bars, license blurbs repeat
     // verbatim across many pages; CCNet/RefinedWeb drop repeated lines
@@ -736,6 +769,23 @@ object TextOps {
                   AS BIGINT) AS DOUBLE) / COUNT(1) AS oov_rate
          FROM tk JOIN v USING (w)
          GROUP BY tk.doc_id ORDER BY doc_id""",
+
+    // membership by the same md5 gram fingerprint (d02 identity contract)
+    "t19_source_novelty" ->
+      """WITH w AS (SELECT source, string_split(TRIM(text), ' ') AS words
+                    FROM documents),
+         g AS (SELECT DISTINCT source,
+                 MD5(array_to_string(words[i:i+7], ' ')) AS fp
+               FROM w, UNNEST(generate_series(1,
+                 GREATEST(LEN(words) - 7, 0))) AS t(i)),
+         f AS (SELECT fp, MIN(source) AS first_src FROM g GROUP BY fp)
+         SELECT g.source, COUNT(1) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_src = g.source THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN f.first_src = g.source THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(1) AS novelty_rate
+         FROM g JOIN f USING (fp)
+         GROUP BY g.source ORDER BY g.source""",
 
     "t17_boilerplate_chunks" ->
       """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
