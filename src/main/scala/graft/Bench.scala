@@ -47,7 +47,8 @@ object Bench {
     "d11_boilerplate_strip", "q66_trailing_distinct_users",
     "e10_semantic_dedup", "q67_bloom_semi_join",
     "q68_time_weighted_avg", "q69_histogram",
-    "t19_source_novelty", "q70_cooccurrence_pairs")
+    "t19_source_novelty", "q70_cooccurrence_pairs",
+    "q71_transition_matrix")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

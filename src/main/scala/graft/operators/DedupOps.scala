@@ -482,22 +482,44 @@ object DedupOps {
     * same broadcast-the-small-set pattern as [[decontaminate]] and
     * t10's pass-list). Membership is by md5: 128-bit fingerprints, the
     * d02 identity contract — a collision would need two distinct
-    * 16-word windows sharing a digest. */
-  def stripBoilerplate(docs: DataFrame, chunkWords: Int = 16,
+    * 16-word windows sharing a digest.
+    *
+    * Split into [[boilerplateSet]] (the corpus-wide count) and
+    * [[stripBoilerplateWith]] (the map-only rewrite) so the set can be
+    * built once and applied to later batches or a stream. */
+  private def chunkArray(chunkWords: Int) = expr(
+    s"transform(sequence(0, (size(split(trim(text), ' ')) - 1) div $chunkWords), " +
+      s"i -> array_join(slice(split(trim(text), ' '), i*$chunkWords + 1, " +
+      s"$chunkWords), ' '))")
+
+  /** The corpus-wide half of [[stripBoilerplate]]: a ONE-ROW frame
+    * holding the md5 fingerprints of every chunk occurring in >=
+    * `minDocs` distinct documents (column `bfps`, array<string>). Build
+    * it once on the standing corpus, then [[stripBoilerplateWith]] is a
+    * pure map — including over STREAMING micro-batches, where the
+    * global count is unobtainable per batch (the same
+    * static-set-vs-delta shape as `dedupeAgainst` / streamed
+    * decontamination). */
+  def boilerplateSet(docs: DataFrame, chunkWords: Int = 16,
       minDocs: Int = 2): DataFrame = {
     require(chunkWords > 0 && minDocs >= 2,
       s"need chunkWords > 0, minDocs >= 2; got $chunkWords, $minDocs")
-    val chunked = docs.select(col("doc_id"), expr(
-      s"transform(sequence(0, (size(split(trim(text), ' ')) - 1) div $chunkWords), " +
-        s"i -> array_join(slice(split(trim(text), ' '), i*$chunkWords + 1, " +
-        s"$chunkWords), ' '))").as("chunks"))
-    val fps = chunked.select(col("doc_id"),
-      explode(expr("transform(chunks, c -> md5(encode(c, 'UTF-8')))")).as("fp"))
-    val boilerSet = fps.groupBy(col("fp"))
+    docs.select(col("doc_id"), chunkArray(chunkWords).as("chunks"))
+      .select(col("doc_id"),
+        explode(expr("transform(chunks, c -> md5(encode(c, 'UTF-8')))")).as("fp"))
+      .groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= minDocs)
       .agg(coalesce(collect_set(col("fp")), array()).as("bfps"))
-    chunked.join(broadcast(boilerSet), lit(true))
+  }
+
+  /** Apply a prebuilt [[boilerplateSet]]: broadcast the one-row set and
+    * rewrite each document in a single map pass (no exchange touches
+    * `docs`). */
+  def stripBoilerplateWith(docs: DataFrame, boilerSet: DataFrame,
+      chunkWords: Int = 16): DataFrame =
+    docs.select(col("doc_id"), chunkArray(chunkWords).as("chunks"))
+      .join(broadcast(boilerSet), lit(true))
       .select(col("doc_id"),
         size(col("chunks")).cast("long").as("n_chunks"),
         expr("filter(chunks, c -> NOT array_contains(bfps, md5(encode(c, 'UTF-8'))))")
@@ -505,7 +527,11 @@ object DedupOps {
       .select(col("doc_id"), col("n_chunks"),
         (col("n_chunks") - size(col("keep"))).cast("long").as("n_removed"),
         array_join(col("keep"), " ").as("clean_text"))
-  }
+
+  def stripBoilerplate(docs: DataFrame, chunkWords: Int = 16,
+      minDocs: Int = 2): DataFrame =
+    stripBoilerplateWith(docs,
+      boilerplateSet(docs, chunkWords, minDocs), chunkWords)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup, FINGERPRINT-FIRST: group by md5(text) so the shuffle

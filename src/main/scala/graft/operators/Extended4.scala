@@ -387,6 +387,31 @@ object Extended4 {
         .orderBy(col("bucket"))
     }),
 
+    // First-order behavior transition matrix: P(next event type |
+    // current type) from each user's time-ordered stream — the Markov
+    // summary behind funnel design and anomaly baselines (q61 checks
+    // ONE fixed path; this measures every edge). Scale shape: the lag
+    // window is user-keyed (high cardinality), the count rollup
+    // carries 25 cells, and the per-from normalization is a window
+    // over that tiny frame; probabilities are integer-exact until one
+    // IEEE division.
+    "q71_transition_matrix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      tr.groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double")
+          / sum(col("n")).over(Window.partitionBy(col("from_type")))
+            .cast("double"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // Event-type co-occurrence affinity — the market-basket primitive
     // (which behaviors travel together): for every unordered type
     // pair, the number of users exhibiting both, plus the Jaccard
@@ -563,6 +588,19 @@ object Extended4 {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
          MAX(ts) AS last_ts
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q71_transition_matrix" ->
+      """WITH tr AS (SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, COUNT(1) AS n FROM tr
+               WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                    AS DOUBLE) AS p
+         FROM c ORDER BY from_type, to_type""",
 
     "q70_cooccurrence_pairs" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -406,18 +406,21 @@ object TextOps {
     // acquisition order). A source whose novelty_rate is near zero is
     // already covered by the corpus and can be dropped from the mix
     // (the d08/t14 curation loop's missing third measure). Scale
-    // shape: in-row gram explode to (md5 fingerprint, source) rows,
-    // DISTINCT per source, then ONE fp-keyed exchange: the
-    // first-seeing source is a min() window over fp (a groupBy +
-    // join-back would shuffle the gram frame twice for the same
-    // partitioning), and the per-source rollup partially aggregates
-    // map-side.
+    // shape: in-row gram explode to (60-bit portable fingerprint,
+    // source) rows — the d05/q51 md5-prefix integer, so the exchange
+    // carries 8-byte longs instead of 32-char digests AND stays
+    // DuckDB-checkable — DISTINCT per source, then ONE fp-keyed
+    // exchange: the first-seeing source is a min() window over fp (a
+    // groupBy + join-back would shuffle the gram frame twice for the
+    // same partitioning), and the per-source rollup partially
+    // aggregates map-side. A 60-bit collision would fold two grams
+    // (~1e-7 at 1M distinct grams) identically in both engines.
     "t19_source_novelty" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val grams = Tables.documents(s, d)
         .select(col("source"), explode(expr(
           "transform(sequence(1, greatest(size(split(trim(text), ' ')) - 7, 0)), " +
-            "i -> md5(encode(array_join(slice(split(trim(text), ' '), i, 8), ' '), 'UTF-8')))"))
+            "i -> CAST(conv(substring(md5(encode(array_join(slice(split(trim(text), ' '), i, 8), ' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"))
           .as("fp"))
         .distinct()
       grams
@@ -770,14 +773,18 @@ object TextOps {
          FROM tk JOIN v USING (w)
          GROUP BY tk.doc_id ORDER BY doc_id""",
 
-    // membership by the same md5 gram fingerprint (d02 identity contract)
+    // identical 60-bit md5-prefix integer fingerprint (d05/q51 idiom)
     "t19_source_novelty" ->
       """WITH w AS (SELECT source, string_split(TRIM(text), ' ') AS words
                     FROM documents),
          g AS (SELECT DISTINCT source,
-                 MD5(array_to_string(words[i:i+7], ' ')) AS fp
+                 CAST(list_reduce(list_transform(generate_series(1, 15),
+                   i -> strpos('0123456789abcdef',
+                          substring(md5(array_to_string(words[p:p+7], ' ')),
+                            i, 1)) - 1),
+                   (a, x) -> a * 16 + x) AS BIGINT) AS fp
                FROM w, UNNEST(generate_series(1,
-                 GREATEST(LEN(words) - 7, 0))) AS t(i)),
+                 GREATEST(LEN(words) - 7, 0))) AS t(p)),
          f AS (SELECT fp, MIN(source) AS first_src FROM g GROUP BY fp)
          SELECT g.source, COUNT(1) AS n_grams,
            CAST(SUM(CASE WHEN f.first_src = g.source THEN 1 ELSE 0 END)

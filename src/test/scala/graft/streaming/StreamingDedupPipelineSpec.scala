@@ -121,6 +121,51 @@ class StreamingDedupPipelineSpec extends SparkSpec {
       s"contaminated docs must lose grams: $out vs $gramCount")
   }
 
+  test("boilerplate stripping at ingest time: a static boilerplateSet " +
+      "built on the standing corpus rewrites streamed documents " +
+      "map-only (stripBoilerplateWith on micro-batches)") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val boiler = "subscribe to our newsletter now"  // 5-word chunk unit
+    val corpus = Seq(
+      (1L, s"$boiler unique alpha body text here"),
+      (2L, s"$boiler another beta document body here"),
+      (3L, "totally organic content with no chrome at all")).toDF("doc_id", "text")
+    // built ONCE on the standing corpus (chunkWords = 5 -> the shared
+    // first chunk is boilerplate, per-doc tails are not)
+    val boilerSet = DedupOps.boilerplateSet(corpus, chunkWords = 5)
+    val arrivals = Seq(
+      (10L, s"$boiler fresh gamma arrival body text"),
+      (11L, "clean streamed document with original words only"))
+    val svc = new InMemoryShardService("boiler-stream", Seq("shard-0"))
+    arrivals.foreach { case (i, t) =>
+      svc.append("shard-0", RawShardRecord.single("pk", BigInt(i), i,
+        s"$i|$t".getBytes(UTF_8)))
+    }
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-boiler").toString
+    val name = s"boiler_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val stream = spark.readStream.format("graft-kinesis")
+      .option("service.id", id).option("max-records-per-shard", "1").load()
+      .selectExpr("CAST(data AS STRING) AS payload")
+      .select(
+        split(col("payload"), "\\|").getItem(0).cast("long").as("doc_id"),
+        split(col("payload"), "\\|").getItem(1).as("text"))
+    val q = DedupOps.stripBoilerplateWith(stream, boilerSet, chunkWords = 5)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(10L) == ((2L, 1L, "fresh gamma arrival body text")),
+      s"boiler chunk must be stripped from the streamed doc: $out")
+    assert(out(11L) ==
+      ((2L, 0L, "clean streamed document with original words only")),
+      s"clean doc must pass through unchanged: $out")
+  }
+
   test("composed streamed ingest (the streaming form of Pipeline.prepare): " +
       "quality filter -> incremental exact dedup -> incremental NEAR dedup " +
       "(dedupeAgainst + nearDupeAgainst, broadcast-the-delta) -> " +
