@@ -515,18 +515,22 @@ object DedupOps {
 
   /** Apply a prebuilt [[boilerplateSet]]: broadcast the one-row set and
     * rewrite each document in a single map pass (no exchange touches
-    * `docs`). */
+    * `docs`). Every input column except `text` passes through, plus
+    * (n_chunks, n_removed, clean_text) — so the rewrite composes into
+    * pipelines without a join back for the metadata columns. */
   def stripBoilerplateWith(docs: DataFrame, boilerSet: DataFrame,
-      chunkWords: Int = 16): DataFrame =
-    docs.select(col("doc_id"), chunkArray(chunkWords).as("chunks"))
+      chunkWords: Int = 16): DataFrame = {
+    val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
+    docs.select(keep :+ chunkArray(chunkWords).as("chunks"): _*)
       .join(broadcast(boilerSet), lit(true))
-      .select(col("doc_id"),
+      .select(keep ++ Seq(
         size(col("chunks")).cast("long").as("n_chunks"),
         expr("filter(chunks, c -> NOT array_contains(bfps, md5(encode(c, 'UTF-8'))))")
-          .as("keep"))
-      .select(col("doc_id"), col("n_chunks"),
-        (col("n_chunks") - size(col("keep"))).cast("long").as("n_removed"),
-        array_join(col("keep"), " ").as("clean_text"))
+          .as("kept")): _*)
+      .select(keep ++ Seq(col("n_chunks"),
+        (col("n_chunks") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text")): _*)
+  }
 
   def stripBoilerplate(docs: DataFrame, chunkWords: Int = 16,
       minDocs: Int = 2): DataFrame =
@@ -672,7 +676,10 @@ object DedupOps {
     // 16-word chunks; this REMOVES them and reconstructs each cleaned
     // document (see [[stripBoilerplate]] for the broadcast scale shape).
     "d11_boilerplate_strip" -> ((s, d) =>
-      stripBoilerplate(Tables.documents(s, d)).orderBy(col("doc_id"))),
+      stripBoilerplate(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+          col("clean_text"))
+        .orderBy(col("doc_id"))),
 
     // SimHash fingerprints + banded hamming-near candidate pairs. The
     // per-word hash is the first 60 bits of md5 (15 hex chars) — portable

@@ -30,6 +30,22 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Boilerplate stripping as a pipeline stage
+    * ([[DedupOps.stripBoilerplate]] rewired to the corpus schema):
+    * repeated chunks are removed, each document's `text` becomes its
+    * cleaned form, and documents that were NOTHING but boilerplate are
+    * dropped. Runs FIRST in a real pipeline (CCNet/RefinedWeb order:
+    * line-level dedup before document-level) because chrome inflates
+    * every downstream signal — length gates, fingerprints, shingles.
+    * Cost: one fp-keyed exchange for the chunk counts + two scans of
+    * the raw input (set build + rewrite). */
+  def boilerplateStripped(docs: DataFrame, chunkWords: Int = 16,
+      minDocs: Int = 2): DataFrame =
+    DedupOps.stripBoilerplate(docs, chunkWords, minDocs)
+      .filter(length(col("clean_text")) > 0)
+      .withColumn("text", col("clean_text"))
+      .drop("clean_text", "n_chunks", "n_removed")
+
   /** Row-local quality gate: minimum token count + distinct-token ratio
     * (t02's "too_short"/"repetitive" rules). Pure map — no exchange. */
   def qualityFilter(docs: DataFrame, minTokens: Int = 10,
@@ -106,9 +122,11 @@ object Pipeline {
     bucketed.withColumn("split", split)
   }
 
-  /** The composed pipeline: quality gate → exact dedup → decontaminate
-    * against `eval`. Returns the surviving documents with their token
-    * counts — the frame a packing/sharding stage (t07) consumes.
+  /** The composed pipeline: (optional boilerplate strip, when
+    * `boilerplateChunk = Some(chunkWords)`) → quality gate → exact
+    * dedup → decontaminate against `eval`. Returns the surviving
+    * documents with their token counts — the frame a packing/sharding
+    * stage (t07) consumes.
     *
     * The post-dedup corpus is materialized once: [[dedupExact]] and
     * [[decontaminated]] each reference their input on BOTH sides of a
@@ -120,8 +138,12 @@ object Pipeline {
     * [[Materialize.ReliableCheckpoint]] at cluster scale (output is
     * identical under every strategy, pinned by PipelineSpec). */
   def prepare(docs: DataFrame, eval: DataFrame,
-      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
-    val filtered = materialize(qualityFilter(docs))
+      materialize: Materialize = Materialize.LocalCheckpoint,
+      boilerplateChunk: Option[Int] = None): DataFrame = {
+    val base = boilerplateChunk
+      .map(cw => materialize(boilerplateStripped(docs, cw)))
+      .getOrElse(docs)
+    val filtered = materialize(qualityFilter(base))
     val deduped = materialize(dedupExact(filtered))
     decontaminated(deduped, eval)
       .withColumn("n_tokens", size(split(trim(col("text")), " ")))

@@ -155,6 +155,49 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // k-NN label classification (k = 3, majority vote, ties to the
+    // smaller label): the standard "are these embeddings any good"
+    // probe — if nearest neighbors don't share labels, no downstream
+    // index will retrieve semantically. Per-label accuracy against
+    // the vectors' own labels, fully deterministic (cosines are
+    // bit-identical cross-engine, both tie-breaks are total orders).
+    // Scale shape: the exhaustive top-3 side is e02's O(n²) contract —
+    // run on a SAMPLED eval set in production; votes/rollup are
+    // key-only exchanges.
+    "e11_knn_label_accuracy" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = vecs(s, d)
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val a = v.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("nb"), col("v").as("vb"),
+        col("nrm").as("nbn"))
+      val wk = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nb"))
+      val top3 = a.join(b, col("vec_id") =!= col("nb"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nbn")))
+        .withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id"), col("nb"))
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("votes").desc, col("nb_label"))
+      val pred = top3
+        .join(lab.select(col("vec_id").as("nb"), col("label").as("nb_label")),
+          Seq("nb"))
+        .groupBy(col("vec_id"), col("nb_label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("vec_id"), col("nb_label").as("pred"))
+      pred.join(lab, Seq("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy",
+          col("n_correct").cast("double") / col("n"))
+        .orderBy(col("label"))
+    }),
+
     // ANN quality evaluation: recall@1 of the IVF index (e03) against
     // the exhaustive ground truth (e02's logic at k = 1), reported per
     // IVF cell — the standard accept/reject gate before an approximate
@@ -376,6 +419,33 @@ object Similarity {
            FROM assigned a JOIN assigned b
              ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
          WHERE rk = 1 ORDER BY vec_id""",
+
+    "e11_knn_label_accuracy" ->
+      s"""WITH top3 AS (
+           SELECT vec_id, nb FROM (
+             SELECT a.vec_id, b.vec_id AS nb,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.vec_id) AS rk
+             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+           WHERE rk <= 3),
+         votes AS (
+           SELECT t.vec_id, e.label AS nb_label, COUNT(1) AS votes
+           FROM top3 t JOIN embeddings e ON e.vec_id = t.nb
+           GROUP BY 1, 2),
+         pred AS (
+           SELECT vec_id, nb_label AS pred FROM (
+             SELECT vec_id, nb_label,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY votes DESC, nb_label) AS vr
+             FROM votes) t
+           WHERE vr = 1)
+         SELECT e.label, COUNT(1) AS n,
+           CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(1) AS accuracy
+         FROM pred p JOIN embeddings e USING (vec_id)
+         GROUP BY e.label ORDER BY e.label""",
 
     "e10_semantic_dedup" ->
       s"""WITH RECURSIVE cents AS (SELECT vec_id AS cent_id, embedding

@@ -75,6 +75,40 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map(1L -> 11, 5L -> 10))
   }
 
+  test("prepare with boilerplateChunk strips repeated chunks FIRST and " +
+      "equals prepare over a naively pre-cleaned corpus (metadata " +
+      "columns ride through)") {
+    import spark.implicits._
+    val cw = 4
+    val boiler = "subscribe banner chrome footer" // one cw-word chunk
+    val docs = Seq(
+      (1L, s"$boiler alpha body words here live original thinking prose flows onward daily still", "src0"),
+      (2L, s"$boiler beta content body here again fresh original material text keeps moving along", "src1"),
+      (3L, "organic document with plenty of original words to pass quality", "src0"),
+      (4L, boiler, "src1") // pure chrome -> dropped by the strip
+    ).toDF("doc_id", "text", "source")
+    val evalDocs = Seq((9L, "nothing shared with anything at all kept clean"))
+      .toDF("doc_id", "text")
+    // naive model of the strip
+    def strip(t: String): String =
+      t.split(" ").grouped(cw).map(_.mkString(" "))
+        .filterNot(_ == boiler).mkString(" ")
+    val precleaned = docs.as[(Long, String, String)].collect().toSeq
+      .map { case (id, t, src) => (id, strip(t), src) }
+      .filter(_._2.nonEmpty)
+      .toDF("doc_id", "text", "source")
+    val got = Pipeline.prepare(docs, evalDocs,
+        boilerplateChunk = Some(cw))
+      .select("doc_id", "source", "n_tokens")
+      .as[(Long, String, Int)].collect().toSet
+    val expected = Pipeline.prepare(precleaned, evalDocs)
+      .select("doc_id", "source", "n_tokens")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.map(_._1) == Set(1L, 2L, 3L),
+      s"stripped docs 1/2 must pass quality with chrome removed: $got")
+  }
+
   test("leakageSafeSplit: docs sharing a representative always land in " +
       "the same split; cuts validate; near-dup reps plug in directly") {
     import spark.implicits._

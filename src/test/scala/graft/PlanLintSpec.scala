@@ -27,7 +27,8 @@ class PlanLintSpec extends SparkSpec {
     "q63_kmv_sketch_union", // 1-row sketch x 1-row exact scalar join, O(1)
     "d11_boilerplate_strip", // 1-row broadcast boiler-fingerprint set
     "e10_semantic_dedup", // same broadcast centroid assignment cross
-    "q69_histogram") // 1-row broadcast min/max bounds for bin edges
+    "q69_histogram", // 1-row broadcast min/max bounds for bin edges
+    "e11_knn_label_accuracy") // exhaustive top-3 ground truth (!=)
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
