@@ -48,7 +48,8 @@ object Bench {
     "e10_semantic_dedup", "q67_bloom_semi_join",
     "q68_time_weighted_avg", "q69_histogram",
     "t19_source_novelty", "q70_cooccurrence_pairs",
-    "q71_transition_matrix", "e11_knn_label_accuracy")
+    "q71_transition_matrix", "e11_knn_label_accuracy",
+    "m10_media_neardup_components")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

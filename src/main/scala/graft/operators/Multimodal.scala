@@ -137,6 +137,41 @@ object Multimodal {
     }
   }
 
+  /** m07's verified near-dup pair frame: aHash fingerprints (exact
+    * integer block-mean thresholding, see MultimodalStub.ahash) +
+    * banded LSH candidates (4 x 15-bit bands) + hamming <= 12
+    * verification — the "find visually-near-identical images across a
+    * crawl" step, next to m06's exact content-hash dedup. Scale shape:
+    * the hash is one map pass over the payload; the only shuffles key
+    * on (band, band-hash) — the canonical LSH exchange, |docs| x 4
+    * rows of 16 bytes, never a payload. Verification runs BEFORE the
+    * pair distinct: hamming is a function of the pair, so the result
+    * is identical, but the dedup exchange then carries only true
+    * near-dups, not every band collision. */
+  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .where(length(col("payload")) > 0)
+      .as[MediaIn]
+      .mapPartitions(_.map(MultimodalStub.ahash))
+      .toDF()
+    val banded = fp
+      .select(col("doc_id"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bh", expr("shiftright(ahash, band * 15) & 32767"))
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("ahash").as("ha"), col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("ahash").as("hb"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 12)
+      .distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary ingest -> typed partition-mapped decode -> metadata table.
     "m01_multimodal_decode" -> ((s, d) => {
@@ -212,40 +247,28 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
-    // Perceptual-hash media NEAR-dup: aHash fingerprints (exact
-    // integer block-mean thresholding, see MultimodalStub.ahash) +
-    // banded LSH candidates (4 x 15-bit bands) + hamming <= 12
-    // verification — the "find visually-near-identical images across a
-    // crawl" step, next to m06's exact content-hash dedup. Scale
-    // shape: the hash is one map pass over the payload; the only
-    // shuffles key on (band, band-hash) — the canonical LSH exchange,
-    // |docs| x 4 rows of 16 bytes, never a payload.
-    "m07_multimodal_phash_neardup" -> ((s, d) => {
+    // Perceptual-hash media NEAR-dup pairs (see [[phashPairs]]).
+    "m07_multimodal_phash_neardup" -> ((s, d) =>
+      phashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+
+    // Media near-dup CLUSTERS: m07's verified pair graph collapsed by
+    // the same path-halving connected components the text corpus uses
+    // (d07) — keep-canonical over visually-near-identical media is a
+    // cluster decision, not a pair decision (A~B and B~C must land in
+    // one group even when A~C's hamming exceeds the bound). Every
+    // medium reports its cluster representative (min doc_id;
+    // singletons point at themselves) — the frame a keep-canonical
+    // filter or a m08 manifest consumes.
+    "m10_media_neardup_components" -> ((s, d) => {
       import s.implicits._
-      val fp = Tables.documents(s, d)
+      val nodes = Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .where(length(col("payload")) > 0)
-        .as[MediaIn]
-        .mapPartitions(_.map(MultimodalStub.ahash))
-        .toDF()
-      val banded = fp
-        .select(col("doc_id"), col("ahash"),
-          explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("bh", expr("shiftright(ahash, band * 15) & 32767"))
-      val a = banded.select(col("doc_id").as("doc_a"),
-        col("ahash").as("ha"), col("band"), col("bh"))
-      val b = banded.select(col("doc_id").as("doc_b"),
-        col("ahash").as("hb"), col("band"), col("bh"))
-      a.join(b, Seq("band", "bh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
-        // verify BEFORE the distinct: hamming is a function of the
-        // pair, so the result is identical, but the dedup exchange
-        // then carries only true near-dups, not every band collision
-        .filter(col("hamming") <= 12)
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
+        .select(col("doc_id"))
+      val pairs = phashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      DedupOps.connectedComponents(nodes, pairs)._1
+        .select(col("doc_id"), col("lbl").as("cluster_rep"))
+        .orderBy(col("doc_id"))
     }),
 
     // One-record-to-many-frames sampling stage (generator shape).
@@ -372,6 +395,44 @@ object Multimodal {
     // identical integer block-mean arithmetic as MultimodalStub.ahash
     // (exact cross-multiplication — no float means), then the d05-style
     // band + hamming idiom; ASCII text makes ORD(SUBSTR) == payload byte
+    // m07's pair CTEs + recursive reachability (d07's oracle pattern)
+    "m10_media_neardup_components" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, text,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS n
+           FROM documents WHERE OCTET_LENGTH(CAST(text AS BLOB)) > 0),
+         ch AS (SELECT doc_id, n, i, ORD(SUBSTR(text, i, 1)) AS v,
+                  ((i-1)*60)//n AS b
+                FROM s, UNNEST(GENERATE_SERIES(1, n)) AS t(i)),
+         tot AS (SELECT doc_id, n, SUM(v) AS total FROM ch
+                 GROUP BY doc_id, n),
+         blk AS (SELECT doc_id, b, SUM(v) AS bsum, COUNT(1) AS blen
+                 FROM ch GROUP BY doc_id, b),
+         fp AS (SELECT blk.doc_id,
+                  CAST(SUM(CASE WHEN bsum*tot.n > tot.total*blen
+                           THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                    AS ahash
+                FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+                GROUP BY blk.doc_id),
+         banded AS (SELECT doc_id, ahash,
+                      (ahash >> (j*15)) & 32767 AS bh, j AS band
+                    FROM fp, UNNEST(GENERATE_SERIES(0, 3)) AS t2(j)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.bh = b.bh
+                   AND a.doc_id < b.doc_id
+                   AND bit_count(xor(a.ahash, b.ahash)) <= 12),
+         bidir AS (SELECT doc_a AS a, doc_b AS b FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach(a, b) AS (SELECT a, b FROM bidir
+                         UNION
+                         SELECT r.a, e.b FROM reach r
+                         JOIN bidir e ON r.b = e.a),
+         rep AS (SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a)
+         SELECT s.doc_id,
+                COALESCE(LEAST(s.doc_id, r.m), s.doc_id) AS cluster_rep
+         FROM s LEFT JOIN rep r ON r.doc_id = s.doc_id
+         ORDER BY s.doc_id""",
+
     "m07_multimodal_phash_neardup" ->
       """WITH s AS (SELECT doc_id, text,
            CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS n

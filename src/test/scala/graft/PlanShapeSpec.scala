@@ -208,6 +208,36 @@ class PlanShapeSpec extends SparkSpec {
         s"probe-side exchange (op ${probeExchangeId.get})")
   }
 
+  /** Input column lists of every HASH-partitioned Exchange block in a
+    * formatted plan — what actually crosses the wire on a keyed
+    * shuffle (the result orderBy's range exchange and single-partition
+    * collects are presentation/summary, not the scale path). */
+  private def exchangeInputs(p: String): Seq[String] =
+    """\(\d+\) Exchange\nInput[^\n]*\nArguments: hashpartitioning[^\n]*""".r
+      .findAllIn(p).toSeq
+
+  test("d11: the corpus text never shuffles — both hash exchanges (the " +
+      "two-phase distinct-doc count) carry chunk fingerprints only, and " +
+      "the boiler set arrives at the rewrite by broadcast") {
+    val p = planOf("d11_boilerplate_strip")
+    val ex = exchangeInputs(p)
+    assert(ex.size == 2, s"expected the 2 fp-count exchanges, got:\n$ex")
+    ex.foreach(e => assert(!e.contains("chunks") && !e.contains("text"),
+      s"an exchange carries document content:\n$e"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "boiler set must arrive by broadcast")
+  }
+
+  test("t19: the gram frame's exchanges (distinct, fp window, source " +
+      "rollup) carry the 8-byte fingerprint and source — never text") {
+    val p = planOf("t19_source_novelty")
+    val ex = exchangeInputs(p)
+    assert(ex.size == 3,
+      s"expected 3 hash exchanges (distinct, window, rollup), got:\n$ex")
+    ex.foreach(e => assert(!e.contains("text"),
+      s"an exchange carries document text:\n$e"))
+  }
+
   test("q04/q35: fact-proportional sides carry no broadcast hint — with " +
       "auto-broadcast off, only the hinted dims broadcast and the " +
       "lineitem⋈orders edge shuffles (the 100 TB shape)") {
