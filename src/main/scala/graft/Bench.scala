@@ -49,7 +49,8 @@ object Bench {
     "q68_time_weighted_avg", "q69_histogram",
     "t19_source_novelty", "q70_cooccurrence_pairs",
     "q71_transition_matrix", "e11_knn_label_accuracy",
-    "m10_media_neardup_components")
+    "m10_media_neardup_components", "q72_rfm_segmentation",
+    "t20_source_overlap")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -387,6 +387,44 @@ object Extended4 {
         .orderBy(col("bucket"))
     }),
 
+    // RFM segmentation — the classic customer-value partitioning:
+    // recency (days since last event, against the corpus max day),
+    // frequency (event count), monetary (cents-exact value sum), each
+    // cut into quintiles with NTILE. Determinism: every NTILE ordering
+    // carries user_id as the tie-break (equal metrics would otherwise
+    // tile by partition order), and monetary is integer cents, so both
+    // engines tile identically. Scale shape: one user-keyed partial
+    // aggregate; the corpus max day is a 1-row broadcast; the NTILE
+    // windows run over the per-user frame (|users| rows, not events)
+    // — at cluster scale swap NTILE for percentile cuts if even the
+    // user frame outgrows a window partition.
+    "q72_rfm_segmentation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          Parity.cents2(col("value")).as("cents"))
+        .groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"),
+          count(lit(1)).as("n_events"),
+          sum(col("cents")).as("monetary_cents"))
+      val maxDay = perUser.agg(max(col("last_day")).as("corpus_max_day"))
+      def quintile(c: Column) =
+        ntile(5).over(Window.orderBy(c, col("user_id")))
+      perUser.join(broadcast(maxDay), lit(true))
+        .withColumn("recency_days",
+          datediff(col("corpus_max_day"), col("last_day")))
+        .select(col("user_id"),
+          col("recency_days").cast("int").as("recency_days"),
+          col("n_events"), col("monetary_cents"),
+          // 5 = best on every axis: recency DESC (most recent last),
+          // frequency/monetary ASC (highest last)
+          quintile(col("recency_days").desc).as("r"),
+          quintile(col("n_events")).as("f"),
+          quintile(col("monetary_cents")).as("m"))
+        .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
+        .orderBy(col("user_id"))
+    }),
+
     // First-order behavior transition matrix: P(next event type |
     // current type) from each user's time-ordered stream — the Markov
     // summary behind funnel design and anomaly baselines (q61 checks
@@ -588,6 +626,26 @@ object Extended4 {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
          MAX(ts) AS last_ts
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q72_rfm_segmentation" ->
+      """WITH pu AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+             COUNT(1) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+           FROM events GROUP BY user_id),
+         mx AS (SELECT MAX(last_day) AS corpus_max_day FROM pu),
+         t AS (SELECT user_id,
+             CAST(corpus_max_day - last_day AS INT) AS recency_days,
+             n_events, monetary_cents,
+             NTILE(5) OVER (ORDER BY corpus_max_day - last_day DESC,
+               user_id) AS r,
+             NTILE(5) OVER (ORDER BY n_events, user_id) AS f,
+             NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS m
+           FROM pu CROSS JOIN mx)
+         SELECT user_id, recency_days, n_events, monetary_cents,
+           CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(r * 100 + f * 10 + m AS INT) AS rfm
+         FROM t ORDER BY user_id""",
 
     "q71_transition_matrix" ->
       """WITH tr AS (SELECT event_type AS from_type,

@@ -435,6 +435,30 @@ object TextOps {
         .orderBy(col("source"))
     }),
 
+    // Cross-source overlap matrix — the provenance signal behind
+    // mirror/scrape detection: for every source pair, the number of
+    // distinct 16-word chunks appearing in BOTH (t17's chunk unit,
+    // t19's pairwise twin — novelty is ordered, this is symmetric).
+    // Two mirrored sources light up immediately; dropping one is a
+    // t14 mixture decision. Scale shape: chunks reduce in-row to the
+    // 60-bit md5-prefix integer; the fp-keyed self-join fans out to
+    // at most C(|sources|, 2) pairs per chunk (source count is small
+    // and bounded); the pair rollup is map-side partial.
+    "t20_source_overlap" -> ((s, d) => {
+      val cf = Tables.documents(s, d)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, (size(split(trim(text), ' ')) - 1) div 16), " +
+            "i -> CAST(conv(substring(md5(encode(array_join(slice(split(trim(text), ' '), i*16 + 1, 16), ' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"))
+          .as("fp"))
+        .distinct()
+      val a = cf.select(col("fp"), col("source").as("source_a"))
+      val b = cf.select(col("fp"), col("source").as("source_b"))
+      a.join(b, Seq("fp")).filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Boilerplate chunk detection — the line-level dedup step of web
     // corpus pipelines (headers, nav bars, license blurbs repeat
     // verbatim across many pages; CCNet/RefinedWeb drop repeated lines
@@ -772,6 +796,23 @@ object TextOps {
                   AS BIGINT) AS DOUBLE) / COUNT(1) AS oov_rate
          FROM tk JOIN v USING (w)
          GROUP BY tk.doc_id ORDER BY doc_id""",
+
+    // same 16-word chunk + 60-bit md5-prefix integer as the Spark side
+    "t20_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(TRIM(text), ' ') AS words
+                    FROM documents),
+         cf AS (SELECT DISTINCT source,
+                  CAST(list_reduce(list_transform(generate_series(1, 15),
+                    i -> strpos('0123456789abcdef',
+                           substring(md5(array_to_string(
+                             words[(p*16 + 1):(p*16 + 16)], ' ')), i, 1)) - 1),
+                    (a, x) -> a * 16 + x) AS BIGINT) AS fp
+                FROM w, UNNEST(generate_series(0, (LEN(words) - 1) // 16))
+                  AS t(p))
+         SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(1) AS n_shared
+         FROM cf a JOIN cf b ON a.fp = b.fp AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY source_a, source_b""",
 
     // identical 60-bit md5-prefix integer fingerprint (d05/q51 idiom)
     "t19_source_novelty" ->

@@ -28,7 +28,8 @@ class PlanLintSpec extends SparkSpec {
     "d11_boilerplate_strip", // 1-row broadcast boiler-fingerprint set
     "e10_semantic_dedup", // same broadcast centroid assignment cross
     "q69_histogram", // 1-row broadcast min/max bounds for bin edges
-    "e11_knn_label_accuracy") // exhaustive top-3 ground truth (!=)
+    "e11_knn_label_accuracy", // exhaustive top-3 ground truth (!=)
+    "q72_rfm_segmentation") // 1-row broadcast corpus-max-day reference
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
