@@ -33,7 +33,7 @@ object BloomBits {
   val Seed2 = 43L
   val HeaderBytes = 8
 
-  private def readInt(b: Array[Byte], off: Int): Int =
+  def readInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
@@ -73,12 +73,8 @@ final class BloomBuffer(val bytes: Array[Byte]) {
     BloomBits.writeInt(bytes, 4, numBits)
   }
 
-  private def numHashes: Int =
-    ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
-      ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
-  private def numBits: Int =
-    ((bytes(4) & 0xff) << 24) | ((bytes(5) & 0xff) << 16) |
-      ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+  private def numHashes: Int = BloomBits.readInt(bytes, 0)
+  private def numBits: Int = BloomBits.readInt(bytes, 4)
 
   def add(key: Long): Unit = {
     val nh = numHashes

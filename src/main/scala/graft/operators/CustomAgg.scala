@@ -124,7 +124,12 @@ object CustomAgg {
     // selectivity + fpp of lineitem instead of all of it (the
     // engine-native form of AQE's injected runtime row filter, as a
     // reusable surface: build the digest once, apply it across
-    // queries). Oracle = the plain exact semi join.
+    // queries). SIZE THE FILTER FROM THE BUILD SIDE: ~10 bits and 5
+    // hashes per expected key keeps fpp ~1% — 2^19 bits (64 KiB)
+    // covers the ~30k urgent keys at the sf0.1 bench scale with fpp
+    // ~0.1%; an undersized filter saturates and silently stops
+    // reducing the shuffle (2^16 here would pass ~59% of non-joining
+    // rows at sf0.1). Oracle = the plain exact semi join.
     "q67_bloom_semi_join" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       Tables.orders(s, d).createOrReplaceTempView("bsj_orders")
@@ -138,7 +143,7 @@ object CustomAgg {
         SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount
         FROM bsj_lineitem
         WHERE graft_bloom_contains(
-          (SELECT graft_bloom_agg(o_orderkey, 65536, 5) FROM bsj_orders
+          (SELECT graft_bloom_agg(o_orderkey, 524288, 5) FROM bsj_orders
            WHERE o_orderpriority = '1-URGENT'),
           l_orderkey)""")
       val urgent = Tables.orders(s, d)
@@ -198,11 +203,6 @@ object CustomAgg {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
          FROM events GROUP BY event_type ORDER BY event_type""",
 
-    // Replays the sketch exactly: same portable 60-bit md5 hash over the
-    // cents string, same bottom-128 distinct (h, v) sample, and the same
-    // type-7 interpolation with the IDENTICAL expression order
-    // (v_lo + (r - floor(r)) * (v_hi - v_lo), then / 100.0) so the
-    // doubles agree bit-for-bit.
     // the UNFILTERED exact semi join — equality with the bloom-prefiltered
     // plan is exactly the no-false-negative property being verified
     "q67_bloom_semi_join" ->
@@ -214,6 +214,11 @@ object CustomAgg {
                               WHERE o_orderpriority = '1-URGENT')
          GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // Replays the sketch exactly: same portable 60-bit md5 hash over the
+    // cents string, same bottom-128 distinct (h, v) sample, and the same
+    // type-7 interpolation with the IDENTICAL expression order
+    // (v_lo + (r - floor(r)) * (v_hi - v_lo), then / 100.0) so the
+    // doubles agree bit-for-bit.
     "q52_quantile_sketch" ->
       """WITH cents AS (
            SELECT l_returnflag,

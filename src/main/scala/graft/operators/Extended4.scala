@@ -316,7 +316,8 @@ object Extended4 {
       val cover = ud.select(
         explode(expr("sequence(day, date_add(day, 6))")).as("day"),
         col("user_id"))
-      cover.join(ud.select(col("day")).distinct(), Seq("day"), "left_semi")
+      cover.join(broadcast(ud.select(col("day")).distinct()), Seq("day"),
+          "left_semi")
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("users_7d"))
         // timestamp_ntz, not date: parquet date32 reaches the driver's

@@ -31,6 +31,21 @@ object TextOps {
     * with fewer than 3 words have zero gram positions; the n_singleton
     * branch is guarded because `sequence(1, 0)` is the DESCENDING
     * sequence [1, 0], not empty, and element_at would throw. */
+  /** Per-source DISTINCT 8-gram fingerprints (t19's index frame):
+    * (source, 60-bit md5-prefix integer fp) rows. Guard: Spark's
+    * `sequence(1, 0)` is the DESCENDING [1, 0] (see
+    * [[repetitionStats]]), so a <= 7-word doc must short-circuit to an
+    * empty gram array — matching the oracle's empty series — or the
+    * lambda would evaluate `slice(words, 0, 8)` and throw. */
+  private[graft] def sourceGramFps(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(expr(
+      "CASE WHEN size(split(trim(text), ' ')) >= 8 THEN " +
+        "transform(sequence(1, size(split(trim(text), ' ')) - 7), " +
+        "i -> CAST(conv(substring(md5(encode(array_join(slice(split(trim(text), ' '), i, 8), ' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT)) " +
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
+      .as("fp"))
+      .distinct()
+
   def repetitionStats(docs: DataFrame): DataFrame =
     docs
       .withColumn("g", array_sort(
@@ -417,12 +432,7 @@ object TextOps {
     // (~1e-7 at 1M distinct grams) identically in both engines.
     "t19_source_novelty" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val grams = Tables.documents(s, d)
-        .select(col("source"), explode(expr(
-          "transform(sequence(1, greatest(size(split(trim(text), ' ')) - 7, 0)), " +
-            "i -> CAST(conv(substring(md5(encode(array_join(slice(split(trim(text), ' '), i, 8), ' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"))
-          .as("fp"))
-        .distinct()
+      val grams = sourceGramFps(Tables.documents(s, d))
       grams
         .withColumn("first_src",
           min(col("source")).over(Window.partitionBy(col("fp"))))

@@ -36,13 +36,20 @@ class BloomFilterSpec extends SparkSpec {
     intercept[IllegalArgumentException](a.merge(wrong))
   }
 
-  test("false-positive rate at the q67 geometry (2^16 bits, 5 hashes, " +
-      "~3k keys) stays under 1%") {
-    val buf = new BloomBuffer(1 << 16, 5)
-    (0L until 3000L).foreach(k => buf.add(k * 7919L))
+  test("false-positive rate at the q67 geometry (2^19 bits, 5 hashes) " +
+      "stays under 1% at the sf0.1 build-side count (~30k keys) — an " +
+      "undersized filter (2^16) saturates at that count") {
+    val buf = new BloomBuffer(1 << 19, 5)
+    (0L until 30000L).foreach(k => buf.add(k * 7919L))
     val probes = (0 until 20000).map(i => 1000000000L + i)
     val fp = probes.count(buf.mightContain)
     assert(fp < 200, s"fpr ${fp / 20000.0} >= 1%")
+    // the saturation counter-example the sizing comment warns about
+    val small = new BloomBuffer(1 << 16, 5)
+    (0L until 30000L).foreach(k => small.add(k * 7919L))
+    val fpSmall = probes.count(small.mightContain)
+    assert(fpSmall > 8000,
+      s"expected a saturated 2^16 filter at 30k keys (got $fpSmall/20000)")
   }
 
   test("SQL surface: graft_bloom_agg + graft_bloom_contains pre-filter " +

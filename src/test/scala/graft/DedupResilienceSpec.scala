@@ -230,6 +230,20 @@ class DedupResilienceSpec extends SparkSpec {
     }
   }
 
+  test("t19's gram index short-circuits docs with <= 7 words to zero " +
+      "grams instead of evaluating slice at index 0 (the descending " +
+      "sequence(1, 0) guard)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "only seven words in this tiny doc", "srcA"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TextOps.sourceGramFps(docs)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(!got.contains("srcA"), s"7-word doc must yield no grams: $got")
+    assert(got("srcB") == 2, s"9 words -> 2 distinct 8-grams: $got")
+  }
+
   test("decontaminate equals the naive n-gram intersection model on " +
       "random small-vocabulary corpora (overlap-dense by construction)") {
     import spark.implicits._
