@@ -50,7 +50,8 @@ object Bench {
     "t19_source_novelty", "q70_cooccurrence_pairs",
     "q71_transition_matrix", "e11_knn_label_accuracy",
     "m10_media_neardup_components", "q72_rfm_segmentation",
-    "t20_source_overlap")
+    "t20_source_overlap", "e12_semantic_dedup_against",
+    "q73_weighted_median")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -388,6 +388,36 @@ object Extended4 {
         .orderBy(col("bucket"))
     }),
 
+    // Exact WEIGHTED median — q50's percentile family extended with a
+    // weight column (price weighted by quantity: "the median dollar,
+    // not the median line item"). All integer arithmetic: cents-scaled
+    // values, integral quantities, cumulative weights as longs; the
+    // median is the smallest value whose cumulative weight reaches
+    // half the total (2*cw >= tw avoids any division). Scale shape:
+    // pre-collapse to (group, value) bounds the window frame by
+    // distinct values; one group-keyed exchange serves both the
+    // cumulative and total window sums.
+    "q73_weighted_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          Parity.cents2(col("l_extendedprice")).as("vc"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy(col("l_returnflag"), col("vc"))
+        .agg(sum(col("w")).as("w"))
+      val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("vc"))
+      val wtot = Window.partitionBy(col("l_returnflag"))
+      g.withColumn("cw", sum(col("w")).over(wcum))
+        .withColumn("tw", sum(col("w")).over(wtot))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("vc")).as("med_cents"), min(col("tw")).as("total_w"))
+        .select(col("l_returnflag"),
+          (col("med_cents").cast("double") / 100.0).as("weighted_median"),
+          col("total_w"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // RFM segmentation — the classic customer-value partitioning:
     // recency (days since last event, against the corpus max day),
     // frequency (event count), monetary (cents-exact value sum), each
@@ -627,6 +657,22 @@ object Extended4 {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
          MAX(ts) AS last_ts
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q73_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS vc,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, vc, w,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY vc)
+               AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+           FROM g)
+         SELECT l_returnflag,
+           CAST(MIN(vc) AS DOUBLE) / 100.0 AS weighted_median,
+           CAST(MIN(tw) AS BIGINT) AS total_w
+         FROM c WHERE cw * 2 >= tw
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q72_rfm_segmentation" ->
       """WITH pu AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,

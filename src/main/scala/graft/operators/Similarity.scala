@@ -155,6 +155,36 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // Incremental semantic dedup — e10's daily-ingest twin (and d09's
+    // embedding analogue): which of today's arriving vectors (vec_id %
+    // 5 == 0 stands in for the batch) are near-dups (cos >= 0.35, same
+    // tau as e10) of the STANDING corpus. Scale shape: both sides
+    // assign to IVF cells against the broadcast centroid set (one map
+    // pass each — the corpus is never indexed or shuffled beyond its
+    // cell equi-join); the batch side is small and BROADCASTS, so
+    // candidate verification is map-local over the corpus; the one
+    // exchange is the per-batch-vector min, bounded by |batch|.
+    // Returns (batch_id, dup_of = smallest near-dup corpus vec_id,
+    // cos of that pair).
+    "e12_semantic_dedup_against" -> ((s, d) => {
+      val ranked = centroidRanked(s, d).filter(col("crk") === 1)
+      val corpus = ranked.filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("dup_of"), col("v").as("cv"),
+          col("nrm").as("cn"), col("cent_id").as("cell"))
+      val batch = ranked.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("batch_id"), col("v").as("bv"),
+          col("nrm").as("bn"), col("cent_id").as("cell"))
+      corpus.join(broadcast(batch), Seq("cell"))
+        .withColumn("cos", dot(col("cv"), col("bv")) / (col("cn") * col("bn")))
+        .filter(col("cos") >= 0.35)
+        .groupBy(col("batch_id"))
+        .agg(min_by(struct(col("dup_of"), col("cos")), col("dup_of"))
+          .as("best"))
+        .select(col("batch_id"), col("best.dup_of").as("dup_of"),
+          col("best.cos").as("cos"))
+        .orderBy(col("batch_id"))
+    }),
+
     // k-NN label classification (k = 3, majority vote, ties to the
     // smaller label): the standard "are these embeddings any good"
     // probe — if nearest neighbors don't share labels, no downstream
@@ -419,6 +449,29 @@ object Similarity {
            FROM assigned a JOIN assigned b
              ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
          WHERE rk = 1 ORDER BY vec_id""",
+
+    "e12_semantic_dedup_against" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         assigned AS (
+           SELECT vec_id, embedding, cell FROM (
+             SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1),
+         p AS (SELECT b.vec_id AS batch_id, a.vec_id AS dup_of,
+                 $cosExpr AS cos
+               FROM assigned a JOIN assigned b
+                 ON a.cell = b.cell
+                AND a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0
+               WHERE $cosExpr >= 0.35)
+         SELECT batch_id, dup_of, cos FROM (
+           SELECT batch_id, dup_of, cos,
+                  ROW_NUMBER() OVER (PARTITION BY batch_id
+                    ORDER BY dup_of) AS rk
+           FROM p) t
+         WHERE rk = 1 ORDER BY batch_id""",
 
     "e11_knn_label_accuracy" ->
       s"""WITH top3 AS (
