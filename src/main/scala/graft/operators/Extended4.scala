@@ -388,6 +388,29 @@ object Extended4 {
         .orderBy(col("bucket"))
     }),
 
+    // Deterministic grouped MODE — the most frequent value per group
+    // with a total tie order (count desc, then value asc), which the
+    // built-in `mode()` does not guarantee across partitionings: a
+    // nondeterministic aggregate can pass one run and hash-mismatch
+    // the next, so the deterministic form is the only oracle-safe one.
+    // Scale shape: (group, value) partial-aggregated count, then a
+    // per-group window pick — both exchanges key-only.
+    "q74_grouped_mode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt").desc, col("k"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(25)).as("k"))
+        .groupBy(col("event_type"), col("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("k").as("mode_k"),
+          col("cnt").as("n_occurrences"))
+        .orderBy(col("event_type"))
+    }),
+
     // Exact WEIGHTED median — q50's percentile family extended with a
     // weight column (price weighted by quantity: "the median dollar,
     // not the median line item"). All integer arithmetic: cents-scaled
@@ -657,6 +680,16 @@ object Extended4 {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
          MAX(ts) AS last_ts
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q74_grouped_mode" ->
+      """WITH c AS (SELECT event_type, user_id % 25 AS k, COUNT(1) AS cnt
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type, k AS mode_k, cnt AS n_occurrences FROM (
+           SELECT event_type, k, cnt,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY cnt DESC, k) AS rk
+           FROM c) t
+         WHERE rk = 1 ORDER BY event_type""",
 
     "q73_weighted_median" ->
       """WITH g AS (SELECT l_returnflag,

@@ -27,6 +27,12 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dotProduct(a, b)
 
+  /** Squared L2 distance with a FIXED operation order —
+    * `(dot(a,a) - 2*dot(a,b)) + dot(b,b)` — so the doubles match the
+    * DuckDB oracle's identically-parenthesized form bit-for-bit. */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
   /** vec_id, v (double), norm — shared scan for the similarity queries
     * (and [[Extended]]'s embedding near-dup). */
   private[operators] def vecs(s: SparkSession, d: String): DataFrame =
@@ -152,6 +158,58 @@ object Similarity {
         .join(labels.select(col("doc_id").as("vec_id"),
           col("lbl").as("rep_id")), Seq("vec_id"))
         .withColumn("is_kept", col("rep_id") === col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // IVF-PQ — the FAISS IVF-PQ index shape, completing the
+    // quantization family next to e09's SQ8: 8 subspaces x 8 dims,
+    // per-subspace codebook = the deterministic sample's subvectors
+    // (10 codewords), every vector ENCODED as 8 small codeword ids
+    // (the 64x in-RAM compression PQ exists for), and search ranked by
+    // asymmetric distance (ADC). Exact cross-engine determinism: ADC
+    // is computed against the RECONSTRUCTED vector (chosen codewords
+    // concatenated in subspace order), so the distance is ONE
+    // sequential 64-dim pass — mathematically the sum of per-subspace
+    // terms, and bit-identical in both engines where a per-subspace
+    // groupBy SUM would be merge-order dependent. Scale shape: encode
+    // is a broadcast join against the tiny codebook (window over 10
+    // candidates per (vector, subspace)); search joins on the IVF
+    // cell exactly like e03.
+    "e13_ann_ivf_pq" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = 8
+      val sub = 8
+      val assigned = centroidRanked(s, d).filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      val csub = vecs(s, d).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cb_id"),
+          explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("v"))
+        .withColumn("cs", expr(s"slice(v, j*$sub + 1, $sub)"))
+        .select(col("cb_id"), col("j"), col("cs"))
+      val vsub = assigned
+        .select(col("vec_id"), col("cell"),
+          explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("v"))
+        .withColumn("vs", expr(s"slice(v, j*$sub + 1, $sub)"))
+      val wEnc = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("dist"), col("cb_id"))
+      val recon = vsub.join(broadcast(csub), Seq("j"))
+        .withColumn("dist", l2sq(col("vs"), col("cs")))
+        .withColumn("rk", row_number().over(wEnc))
+        .filter(col("rk") === 1)
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("j"), col("cs")))),
+          x => x.getField("cs"))).as("rv"))
+      val wAdc = Window.partitionBy(col("vec_id"))
+        .orderBy(col("adist"), col("neighbor_id"))
+      assigned.select(col("vec_id"), col("v").as("qv"), col("cell"))
+        .join(recon.select(col("vec_id").as("neighbor_id"),
+          col("rv"), col("cell")), Seq("cell"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("adist", l2sq(col("qv"), col("rv")))
+        .withColumn("rk", row_number().over(wAdc))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("neighbor_id"), col("adist"))
         .orderBy(col("vec_id"))
     }),
 
@@ -448,6 +506,53 @@ object Similarity {
                     ORDER BY $cosExpr DESC, b.vec_id) AS rk
            FROM assigned a JOIN assigned b
              ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+         WHERE rk = 1 ORDER BY vec_id""",
+
+    "e13_ann_ivf_pq" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         assigned AS (
+           SELECT vec_id, embedding, cell FROM (
+             SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1),
+         cb AS (SELECT vec_id AS cb_id, CAST(embedding AS DOUBLE[]) AS cbv
+                FROM embeddings WHERE vec_id % 50 = 0),
+         csub AS (SELECT cb_id, j, cbv[(j*8 + 1):(j*8 + 8)] AS cs
+                  FROM cb, UNNEST(generate_series(0, 7)) AS t(j)),
+         vsub AS (SELECT a.vec_id, a.cell, j,
+                    (CAST(a.embedding AS DOUBLE[]))[(j*8 + 1):(j*8 + 8)]
+                      AS vs
+                  FROM assigned a, UNNEST(generate_series(0, 7)) AS t(j)),
+         enc AS (SELECT vec_id, cell, j, cs FROM (
+                   SELECT v.vec_id, v.cell, v.j, c.cs,
+                     ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.j
+                       ORDER BY (list_dot_product(v.vs, v.vs)
+                                 - 2 * list_dot_product(v.vs, c.cs))
+                                + list_dot_product(c.cs, c.cs),
+                                c.cb_id) AS rk
+                   FROM vsub v JOIN csub c USING (j)) t
+                 WHERE rk = 1),
+         recon AS (SELECT vec_id, cell,
+                     flatten(list(cs ORDER BY j)) AS rv
+                   FROM enc GROUP BY vec_id, cell)
+         SELECT vec_id, neighbor_id, adist FROM (
+           SELECT q.vec_id, r.vec_id AS neighbor_id,
+             (list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[]))
+              - 2 * list_dot_product(CAST(q.embedding AS DOUBLE[]), r.rv))
+             + list_dot_product(r.rv, r.rv) AS adist,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY (list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[]))
+                         - 2 * list_dot_product(
+                             CAST(q.embedding AS DOUBLE[]), r.rv))
+                        + list_dot_product(r.rv, r.rv),
+                        r.vec_id) AS rk
+           FROM assigned q JOIN recon r
+             ON q.cell = r.cell AND q.vec_id <> r.vec_id) t
          WHERE rk = 1 ORDER BY vec_id""",
 
     "e12_semantic_dedup_against" ->

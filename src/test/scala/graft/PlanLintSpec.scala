@@ -30,7 +30,8 @@ class PlanLintSpec extends SparkSpec {
     "q69_histogram", // 1-row broadcast min/max bounds for bin edges
     "e11_knn_label_accuracy", // exhaustive top-3 ground truth (!=)
     "q72_rfm_segmentation", // 1-row broadcast corpus-max-day reference
-    "e12_semantic_dedup_against") // same broadcast centroid assignment cross
+    "e12_semantic_dedup_against", // same broadcast centroid assignment cross
+    "e13_ann_ivf_pq") // same broadcast centroid assignment cross
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
