@@ -213,6 +213,39 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // PQ quality gate — e07's recall evaluation applied to the e13
+    // index: how often does ADC-over-codes return the true nearest
+    // neighbor (exhaustive cosine top-1)? This is the accept/reject
+    // number for the 64x compression: quantization error shows up
+    // here, per cell, before the index ever serves a query. The
+    // ground-truth side is the O(n²) scan — sampled query set in
+    // production.
+    "e14_pq_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = vecs(s, d)
+      val a = v.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("true_nb"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("true_nb"))
+      val truth = a.join(b, col("vec_id") =!= col("true_nb"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("vec_id"), col("true_nb"))
+      queries("e13_ann_ivf_pq")(s, d)
+        .join(truth, Seq("vec_id"))
+        .join(centroidRanked(s, d).filter(col("crk") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell")), Seq("vec_id"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("neighbor_id") === col("true_nb"), 1L)
+            .otherwise(0L)).as("n_recalled"))
+        .withColumn("recall",
+          col("n_recalled").cast("double") / col("n_queries"))
+        .orderBy(col("cell"))
+    }),
+
     // Incremental semantic dedup — e10's daily-ingest twin (and d09's
     // embedding analogue): which of today's arriving vectors (vec_id %
     // 5 == 0 stands in for the batch) are near-dups (cos >= 0.35, same
@@ -456,6 +489,58 @@ object Similarity {
         SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                               CAST(b.embedding AS DOUBLE[]))))"""
 
+  /** Shared DuckDB CTE chain for the PQ oracles (e13/e14): centroid
+    * assignment, per-subspace codebooks, encode (argmin codeword per
+    * subspace), reconstruction (codewords concatenated in j order),
+    * and the ADC top-1 frame `pq(vec_id, neighbor_id, adist)`. */
+  private lazy val pqCtes: String =
+    s"""cents AS (SELECT vec_id AS cent_id, embedding
+                  FROM embeddings WHERE vec_id % 50 = 0),
+       assigned AS (
+         SELECT vec_id, embedding, cell FROM (
+           SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY $cosExpr DESC, b.cent_id) AS crk
+           FROM embeddings a CROSS JOIN cents b) t
+         WHERE crk = 1),
+       cb AS (SELECT vec_id AS cb_id, CAST(embedding AS DOUBLE[]) AS cbv
+              FROM embeddings WHERE vec_id % 50 = 0),
+       csub AS (SELECT cb_id, j, cbv[(j*8 + 1):(j*8 + 8)] AS cs
+                FROM cb, UNNEST(generate_series(0, 7)) AS t(j)),
+       vsub AS (SELECT a.vec_id, a.cell, j,
+                  (CAST(a.embedding AS DOUBLE[]))[(j*8 + 1):(j*8 + 8)]
+                    AS vs
+                FROM assigned a, UNNEST(generate_series(0, 7)) AS t(j)),
+       enc AS (SELECT vec_id, cell, j, cs FROM (
+                 SELECT v.vec_id, v.cell, v.j, c.cs,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.j
+                     ORDER BY (list_dot_product(v.vs, v.vs)
+                               - 2 * list_dot_product(v.vs, c.cs))
+                              + list_dot_product(c.cs, c.cs),
+                              c.cb_id) AS rk
+                 FROM vsub v JOIN csub c USING (j)) t
+               WHERE rk = 1),
+       recon AS (SELECT vec_id, cell,
+                   flatten(list(cs ORDER BY j)) AS rv
+                 FROM enc GROUP BY vec_id, cell),
+       pq AS (SELECT vec_id, neighbor_id, adist FROM (
+                SELECT q.vec_id, r.vec_id AS neighbor_id,
+                  (list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[]))
+                   - 2 * list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                          r.rv))
+                  + list_dot_product(r.rv, r.rv) AS adist,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY (list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(q.embedding AS DOUBLE[]))
+                              - 2 * list_dot_product(
+                                  CAST(q.embedding AS DOUBLE[]), r.rv))
+                             + list_dot_product(r.rv, r.rv),
+                             r.vec_id) AS rk
+                FROM assigned q JOIN recon r
+                  ON q.cell = r.cell AND q.vec_id <> r.vec_id) t
+              WHERE rk = 1)"""
+
   def oracleSql: Map[String, String] = Map(
     "e01_cosine_pairs" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosExpr AS cos
@@ -509,51 +594,26 @@ object Similarity {
          WHERE rk = 1 ORDER BY vec_id""",
 
     "e13_ann_ivf_pq" ->
-      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
-         assigned AS (
-           SELECT vec_id, embedding, cell FROM (
-             SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+      s"""WITH $pqCtes
+         SELECT vec_id, neighbor_id, adist FROM pq ORDER BY vec_id""",
+
+    "e14_pq_recall" ->
+      s"""WITH $pqCtes,
+         truth AS (
+           SELECT vec_id, true_nb FROM (
+             SELECT a.vec_id, b.vec_id AS true_nb,
                     ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                      ORDER BY $cosExpr DESC, b.cent_id) AS crk
-             FROM embeddings a CROSS JOIN cents b) t
-           WHERE crk = 1),
-         cb AS (SELECT vec_id AS cb_id, CAST(embedding AS DOUBLE[]) AS cbv
-                FROM embeddings WHERE vec_id % 50 = 0),
-         csub AS (SELECT cb_id, j, cbv[(j*8 + 1):(j*8 + 8)] AS cs
-                  FROM cb, UNNEST(generate_series(0, 7)) AS t(j)),
-         vsub AS (SELECT a.vec_id, a.cell, j,
-                    (CAST(a.embedding AS DOUBLE[]))[(j*8 + 1):(j*8 + 8)]
-                      AS vs
-                  FROM assigned a, UNNEST(generate_series(0, 7)) AS t(j)),
-         enc AS (SELECT vec_id, cell, j, cs FROM (
-                   SELECT v.vec_id, v.cell, v.j, c.cs,
-                     ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.j
-                       ORDER BY (list_dot_product(v.vs, v.vs)
-                                 - 2 * list_dot_product(v.vs, c.cs))
-                                + list_dot_product(c.cs, c.cs),
-                                c.cb_id) AS rk
-                   FROM vsub v JOIN csub c USING (j)) t
-                 WHERE rk = 1),
-         recon AS (SELECT vec_id, cell,
-                     flatten(list(cs ORDER BY j)) AS rv
-                   FROM enc GROUP BY vec_id, cell)
-         SELECT vec_id, neighbor_id, adist FROM (
-           SELECT q.vec_id, r.vec_id AS neighbor_id,
-             (list_dot_product(CAST(q.embedding AS DOUBLE[]),
-                               CAST(q.embedding AS DOUBLE[]))
-              - 2 * list_dot_product(CAST(q.embedding AS DOUBLE[]), r.rv))
-             + list_dot_product(r.rv, r.rv) AS adist,
-             ROW_NUMBER() OVER (PARTITION BY q.vec_id
-               ORDER BY (list_dot_product(CAST(q.embedding AS DOUBLE[]),
-                                          CAST(q.embedding AS DOUBLE[]))
-                         - 2 * list_dot_product(
-                             CAST(q.embedding AS DOUBLE[]), r.rv))
-                        + list_dot_product(r.rv, r.rv),
-                        r.vec_id) AS rk
-           FROM assigned q JOIN recon r
-             ON q.cell = r.cell AND q.vec_id <> r.vec_id) t
-         WHERE rk = 1 ORDER BY vec_id""",
+                      ORDER BY $cosExpr DESC, b.vec_id) AS rank
+             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+           WHERE rank = 1)
+         SELECT s.cell, COUNT(1) AS n_queries,
+           CAST(SUM(CASE WHEN pq.neighbor_id = truth.true_nb
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_recalled,
+           CAST(SUM(CASE WHEN pq.neighbor_id = truth.true_nb
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(1) AS recall
+         FROM pq JOIN truth USING (vec_id)
+         JOIN assigned s USING (vec_id)
+         GROUP BY s.cell ORDER BY s.cell""",
 
     "e12_semantic_dedup_against" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding

@@ -31,7 +31,8 @@ class PlanLintSpec extends SparkSpec {
     "e11_knn_label_accuracy", // exhaustive top-3 ground truth (!=)
     "q72_rfm_segmentation", // 1-row broadcast corpus-max-day reference
     "e12_semantic_dedup_against", // same broadcast centroid assignment cross
-    "e13_ann_ivf_pq") // same broadcast centroid assignment cross
+    "e13_ann_ivf_pq", // same broadcast centroid assignment cross
+    "e14_pq_recall") // exhaustive ground truth (!=) + PQ index side
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
