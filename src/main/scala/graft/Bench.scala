@@ -52,7 +52,7 @@ object Bench {
     "m10_media_neardup_components", "q72_rfm_segmentation",
     "t20_source_overlap", "e12_semantic_dedup_against",
     "q73_weighted_median", "q74_grouped_mode", "e13_ann_ivf_pq",
-    "e14_pq_recall")
+    "e14_pq_recall", "q75_growth_accounting")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

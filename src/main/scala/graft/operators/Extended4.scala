@@ -388,6 +388,39 @@ object Extended4 {
         .orderBy(col("bucket"))
     }),
 
+    // Growth accounting — the canonical DAU decomposition: every
+    // active (user, day) is NEW (first-ever day), RETAINED (also
+    // active the previous calendar day) or RESURRECTED (returning
+    // after a gap), and CHURNED(d) = active(d-1) - retained(d) —
+    // the identity the four series must satisfy. Scale shape: distinct
+    // (user, day) pairs, one user-keyed window (lag + running min),
+    // then a tiny per-day rollup joined to its own previous day.
+    "q75_growth_accounting" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("prev_day", lag(col("day"), 1).over(w))
+      val daily = ud.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(datediff(col("day"), col("prev_day")) === 1, 1L)
+            .otherwise(0L)).as("n_retained"),
+          sum(when(col("prev_day").isNotNull
+              && datediff(col("day"), col("prev_day")) > 1, 1L)
+            .otherwise(0L)).as("n_resurrected"))
+      daily
+        .join(daily.select(date_add(col("day"), 1).as("day"),
+          col("n_active").as("prev_active")), Seq("day"), "left")
+        .withColumn("n_churned",
+          coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          col("n_active"), col("n_new"), col("n_retained"),
+          col("n_resurrected"), col("n_churned"))
+        .orderBy(col("day"))
+    }),
+
     // Deterministic grouped MODE — the most frequent value per group
     // with a total tie order (count desc, then value asc), which the
     // built-in `mode()` does not guarantee across partitionings: a
@@ -680,6 +713,25 @@ object Extended4 {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
          MAX(ts) AS last_ts
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q75_growth_accounting" ->
+      """WITH ud AS (SELECT user_id, day, LAG(day) OVER
+             (PARTITION BY user_id ORDER BY day) AS prev_day
+           FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events) t),
+         daily AS (SELECT day, COUNT(1) AS n_active,
+             CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN day - prev_day = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN prev_day IS NOT NULL AND day - prev_day > 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+           FROM ud GROUP BY day)
+         SELECT CAST(d.day AS TIMESTAMP) AS day, d.n_active, d.n_new,
+           d.n_retained, d.n_resurrected,
+           COALESCE(p.n_active, 0) - d.n_retained AS n_churned
+         FROM daily d LEFT JOIN daily p ON p.day = d.day - 1
+         ORDER BY d.day""",
 
     "q74_grouped_mode" ->
       """WITH c AS (SELECT event_type, user_id % 25 AS k, COUNT(1) AS cnt
