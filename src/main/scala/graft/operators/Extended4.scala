@@ -49,6 +49,52 @@ object Extended4 {
       (0 until Dims).map(i =>
         if (md5hex(s"hp-$j-$i").charAt(0) < '8') 1.0 else -1.0))
 
+  /** q75's engine over any distinct (user_id, day) frame: per day
+    * n_active / n_new / n_retained / n_resurrected / n_churned with
+    * churned(d) = active(d-1) - retained(d). A calendar day with zero
+    * actives still gets a row when the day before had any (candidate
+    * days = observed UNION observed + 1), so churn after a fully-dead
+    * day is attributed instead of silently dropped — but days past the
+    * last observed day are right-censored (the data ending is not
+    * evidence everyone churned), so candidates are capped at
+    * max(observed). The cap's global window runs over the per-day
+    * rollup (calendar-bounded, thousands of rows), never the events. */
+  private[graft] def growthAccounting(userDays: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val ud = userDays.withColumn("prev_day", lag(col("day"), 1).over(w))
+    val daily = ud.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(datediff(col("day"), col("prev_day")) === 1, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("prev_day").isNotNull
+            && datediff(col("day"), col("prev_day")) > 1, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val capped = daily.withColumn("max_day", max(col("day")).over(wAll))
+    val days = capped.select(col("day"))
+      .union(capped.filter(date_add(col("day"), 1) <= col("max_day"))
+        .select(date_add(col("day"), 1).as("day")))
+      .distinct()
+    days
+      .join(daily, Seq("day"), "left")
+      .join(daily.select(date_add(col("day"), 1).as("day"),
+        col("n_active").as("prev_active")), Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L))
+          - coalesce(col("n_retained"), lit(0L))).as("n_churned"))
+      .filter(col("n_active") > 0 || col("n_churned") > 0)
+      .select(col("day").cast("timestamp_ntz").as("day"),
+        col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // LSH-bucketed cosine pairs: candidates share >= 1 of 4 sign-bands;
     // survivors verified with the exact cosine at 0.4 (e01's threshold,
@@ -392,32 +438,16 @@ object Extended4 {
     // active (user, day) is NEW (first-ever day), RETAINED (also
     // active the previous calendar day) or RESURRECTED (returning
     // after a gap), and CHURNED(d) = active(d-1) - retained(d) —
-    // the identity the four series must satisfy. Scale shape: distinct
-    // (user, day) pairs, one user-keyed window (lag + running min),
-    // then a tiny per-day rollup joined to its own previous day.
+    // the identity the four series must satisfy. A calendar day with
+    // ZERO actives still gets a row when the day before had any
+    // (its churn must be attributed somewhere), so the candidate day
+    // set is observed days UNION observed days + 1, right-censored at
+    // the last observed day. Scale shape:
+    // distinct (user, day) pairs, one user-keyed window (lag), then a
+    // tiny per-day rollup joined to its own previous day.
     "q75_growth_accounting" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      val ud = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-        .distinct()
-        .withColumn("prev_day", lag(col("day"), 1).over(w))
-      val daily = ud.groupBy(col("day"))
-        .agg(count(lit(1)).as("n_active"),
-          sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
-          sum(when(datediff(col("day"), col("prev_day")) === 1, 1L)
-            .otherwise(0L)).as("n_retained"),
-          sum(when(col("prev_day").isNotNull
-              && datediff(col("day"), col("prev_day")) > 1, 1L)
-            .otherwise(0L)).as("n_resurrected"))
-      daily
-        .join(daily.select(date_add(col("day"), 1).as("day"),
-          col("n_active").as("prev_active")), Seq("day"), "left")
-        .withColumn("n_churned",
-          coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
-        .select(col("day").cast("timestamp_ntz").as("day"),
-          col("n_active"), col("n_new"), col("n_retained"),
-          col("n_resurrected"), col("n_churned"))
+      growthAccounting(Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
         .orderBy(col("day"))
     }),
 
@@ -726,12 +756,22 @@ object Extended4 {
                AS BIGINT) AS n_retained,
              CAST(SUM(CASE WHEN prev_day IS NOT NULL AND day - prev_day > 1
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
-           FROM ud GROUP BY day)
-         SELECT CAST(d.day AS TIMESTAMP) AS day, d.n_active, d.n_new,
-           d.n_retained, d.n_resurrected,
-           COALESCE(p.n_active, 0) - d.n_retained AS n_churned
-         FROM daily d LEFT JOIN daily p ON p.day = d.day - 1
-         ORDER BY d.day""",
+           FROM ud GROUP BY day),
+         days AS (SELECT day FROM daily
+                  UNION SELECT day + 1 FROM daily
+                  WHERE day + 1 <= (SELECT max(day) FROM daily))
+         SELECT CAST(dy.day AS TIMESTAMP) AS day,
+           COALESCE(d.n_active, 0) AS n_active,
+           COALESCE(d.n_new, 0) AS n_new,
+           COALESCE(d.n_retained, 0) AS n_retained,
+           COALESCE(d.n_resurrected, 0) AS n_resurrected,
+           COALESCE(p.n_active, 0) - COALESCE(d.n_retained, 0) AS n_churned
+         FROM days dy
+         LEFT JOIN daily d ON d.day = dy.day
+         LEFT JOIN daily p ON p.day = dy.day - 1
+         WHERE COALESCE(d.n_active, 0) > 0
+            OR COALESCE(p.n_active, 0) - COALESCE(d.n_retained, 0) > 0
+         ORDER BY dy.day""",
 
     "q74_grouped_mode" ->
       """WITH c AS (SELECT event_type, user_id % 25 AS k, COUNT(1) AS cnt

@@ -176,39 +176,7 @@ object Similarity {
     // candidates per (vector, subspace)); search joins on the IVF
     // cell exactly like e03.
     "e13_ann_ivf_pq" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val m = 8
-      val sub = 8
-      val assigned = centroidRanked(s, d).filter(col("crk") === 1)
-        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-      val csub = vecs(s, d).filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cb_id"),
-          explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("v"))
-        .withColumn("cs", expr(s"slice(v, j*$sub + 1, $sub)"))
-        .select(col("cb_id"), col("j"), col("cs"))
-      val vsub = assigned
-        .select(col("vec_id"), col("cell"),
-          explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("v"))
-        .withColumn("vs", expr(s"slice(v, j*$sub + 1, $sub)"))
-      val wEnc = Window.partitionBy(col("vec_id"), col("j"))
-        .orderBy(col("dist"), col("cb_id"))
-      val recon = vsub.join(broadcast(csub), Seq("j"))
-        .withColumn("dist", l2sq(col("vs"), col("cs")))
-        .withColumn("rk", row_number().over(wEnc))
-        .filter(col("rk") === 1)
-        .groupBy(col("vec_id"), col("cell"))
-        .agg(flatten(transform(
-          array_sort(collect_list(struct(col("j"), col("cs")))),
-          x => x.getField("cs"))).as("rv"))
-      val wAdc = Window.partitionBy(col("vec_id"))
-        .orderBy(col("adist"), col("neighbor_id"))
-      assigned.select(col("vec_id"), col("v").as("qv"), col("cell"))
-        .join(recon.select(col("vec_id").as("neighbor_id"),
-          col("rv"), col("cell")), Seq("cell"))
-        .filter(col("vec_id") =!= col("neighbor_id"))
-        .withColumn("adist", l2sq(col("qv"), col("rv")))
-        .withColumn("rk", row_number().over(wAdc))
-        .filter(col("rk") === 1)
+      pqTop1(s, d)
         .select(col("vec_id"), col("neighbor_id"), col("adist"))
         .orderBy(col("vec_id"))
     }),
@@ -221,22 +189,8 @@ object Similarity {
     // ground-truth side is the O(n²) scan — sampled query set in
     // production.
     "e14_pq_recall" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val v = vecs(s, d)
-      val a = v.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-      val b = v.select(col("vec_id").as("true_nb"), col("v").as("vb"),
-        col("nrm").as("nb"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("true_nb"))
-      val truth = a.join(b, col("vec_id") =!= col("true_nb"))
-        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") === 1)
-        .select(col("vec_id"), col("true_nb"))
-      queries("e13_ann_ivf_pq")(s, d)
-        .join(truth, Seq("vec_id"))
-        .join(centroidRanked(s, d).filter(col("crk") === 1)
-          .select(col("vec_id"), col("cent_id").as("cell")), Seq("vec_id"))
+      pqTop1(s, d)
+        .join(truthTop1(s, d), Seq("vec_id"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_queries"),
           sum(when(col("neighbor_id") === col("true_nb"), 1L)
@@ -248,21 +202,23 @@ object Similarity {
 
     // Incremental semantic dedup — e10's daily-ingest twin (and d09's
     // embedding analogue): which of today's arriving vectors (vec_id %
-    // 5 == 0 stands in for the batch) are near-dups (cos >= 0.35, same
-    // tau as e10) of the STANDING corpus. Scale shape: both sides
-    // assign to IVF cells against the broadcast centroid set (one map
-    // pass each — the corpus is never indexed or shuffled beyond its
-    // cell equi-join); the batch side is small and BROADCASTS, so
-    // candidate verification is map-local over the corpus; the one
-    // exchange is the per-batch-vector min, bounded by |batch|.
-    // Returns (batch_id, dup_of = smallest near-dup corpus vec_id,
-    // cos of that pair).
+    // 5 == 1 stands in for the batch — DISJOINT from the % 50 == 0
+    // centroid sample, so the standing corpus's quantizer predates
+    // the arrivals, as in a real incremental pipeline) are near-dups
+    // (cos >= 0.35, same tau as e10) of the STANDING corpus. Scale
+    // shape: both sides assign to cells via the shared centroidRanked
+    // window (one corpus-keyed exchange — the price the whole ANN
+    // family pays once for its index); the batch side is small and
+    // BROADCASTS, so candidate verification is map-local over the
+    // corpus, and the remaining exchange is the per-batch-vector min,
+    // bounded by |batch|. Returns (batch_id, dup_of = smallest
+    // near-dup corpus vec_id, cos of that pair).
     "e12_semantic_dedup_against" -> ((s, d) => {
       val ranked = centroidRanked(s, d).filter(col("crk") === 1)
-      val corpus = ranked.filter(col("vec_id") % 5 =!= 0)
+      val corpus = ranked.filter(col("vec_id") % 5 =!= 1)
         .select(col("vec_id").as("dup_of"), col("v").as("cv"),
           col("nrm").as("cn"), col("cent_id").as("cell"))
-      val batch = ranked.filter(col("vec_id") % 5 === 0)
+      val batch = ranked.filter(col("vec_id") % 5 === 1)
         .select(col("vec_id").as("batch_id"), col("v").as("bv"),
           col("nrm").as("bn"), col("cent_id").as("cell"))
       corpus.join(broadcast(batch), Seq("cell"))
@@ -333,19 +289,7 @@ object Similarity {
     // query set (here the whole sf corpus stands in for the sample);
     // the per-cell report is a tiny broadcast-sized rollup.
     "e07_ann_recall" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val v = vecs(s, d)
-      val a = v.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-      val b = v.select(col("vec_id").as("true_nb"), col("v").as("vb"),
-        col("nrm").as("nb"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("true_nb"))
-      val truth = a.join(b, col("vec_id") =!= col("true_nb"))
-        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") === 1)
-        .select(col("vec_id"), col("true_nb"))
-      ivfTop1(s, d).join(truth, Seq("vec_id"))
+      ivfTop1(s, d).join(truthTop1(s, d), Seq("vec_id"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_queries"),
           sum(when(col("neighbor_id") === col("true_nb"), 1L)
@@ -479,6 +423,74 @@ object Similarity {
       .withColumn("rk", row_number().over(wNb))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("cell"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Exhaustive cosine top-1 ground truth: (vec_id, true_nb). Shared
+    * by the e07 and e14 recall gates — a tie-break or distance fix
+    * applied to one and not the other would silently make the gates
+    * measure different ground truths. O(n²) by contract (sampled
+    * query set in production). */
+  private def truthTop1(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(s, d)
+    val a = v.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("true_nb"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("true_nb"))
+    a.join(b, col("vec_id") =!= col("true_nb"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("true_nb"))
+  }
+
+  /** e13's IVF-PQ top-1 pipeline, the quantized sibling of [[ivfTop1]]:
+    * per-subspace codebooks (8x8 dims) from the deterministic sample,
+    * argmin codeword per (vector, subspace) against the broadcast
+    * codebook, reconstruction by concatenating chosen codewords in
+    * subspace order, then ADC top-1 within the IVF cell. Returns
+    * (vec_id, cell, neighbor_id, adist); shared by e13 and the e14
+    * recall gate so both provably measure the same index (and the
+    * centroid assignment runs ONCE, not once per caller). */
+  private def pqTop1(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 8
+    val sub = 8
+    val assigned = centroidRanked(s, d).filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val csub = vecs(s, d).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cb_id"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("v"))
+      .withColumn("cs", expr(s"slice(v, j*$sub + 1, $sub)"))
+      .select(col("cb_id"), col("j"), col("cs"))
+    // drop the full vector after slicing: the encode window would
+    // otherwise haul 64 unused doubles through every candidate row
+    val vsub = assigned
+      .select(col("vec_id"), col("cell"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("v"))
+      .withColumn("vs", expr(s"slice(v, j*$sub + 1, $sub)"))
+      .select(col("vec_id"), col("cell"), col("j"), col("vs"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dist"), col("cb_id"))
+    val recon = vsub.join(broadcast(csub), Seq("j"))
+      .withColumn("dist", l2sq(col("vs"), col("cs")))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j"), col("cs")))),
+        x => x.getField("cs"))).as("rv"))
+    val wAdc = Window.partitionBy(col("vec_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    assigned.select(col("vec_id"), col("v").as("qv"), col("cell"))
+      .join(recon.select(col("vec_id").as("neighbor_id"),
+        col("rv"), col("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("adist", l2sq(col("qv"), col("rv")))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), col("neighbor_id"), col("adist"))
   }
 
   private val cosExpr =
@@ -629,7 +641,7 @@ object Similarity {
                  $cosExpr AS cos
                FROM assigned a JOIN assigned b
                  ON a.cell = b.cell
-                AND a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0
+                AND a.vec_id % 5 <> 1 AND b.vec_id % 5 = 1
                WHERE $cosExpr >= 0.35)
          SELECT batch_id, dup_of, cos FROM (
            SELECT batch_id, dup_of, cos,

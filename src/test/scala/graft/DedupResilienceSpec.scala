@@ -244,6 +244,31 @@ class DedupResilienceSpec extends SparkSpec {
     assert(got("srcB") == 2, s"9 words -> 2 distinct 8-grams: $got")
   }
 
+  test("growthAccounting attributes churn to a fully-dead calendar day " +
+      "and the four series satisfy churned(d) = active(d-1) - retained(d)") {
+    import spark.implicits._
+    import java.sql.Date
+    def day(d: Int) = Date.valueOf(f"2024-01-$d%02d")
+    // u1 active d1,d2 then gone; u2 active d1 only; u3 appears d4
+    // (resurrection is impossible here; d3 is fully dead but must
+    // carry churn = active(d2) = 1). No d5 row: the window ends at
+    // d4, so u3's fate is right-censored, not churn.
+    val ud = Seq((1L, day(1)), (2L, day(1)), (1L, day(2)), (3L, day(4)))
+      .toDF("user_id", "day")
+    val got = graft.operators.Extended4.growthAccounting(ud)
+      .orderBy("day")
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toLocalDate.toString,
+        r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      ("2024-01-01", 2L, 2L, 0L, 0L, 0L),
+      ("2024-01-02", 1L, 0L, 1L, 0L, 1L), // u2 churned
+      ("2024-01-03", 0L, 0L, 0L, 0L, 1L), // DEAD day: u1's churn lands here
+      ("2024-01-04", 1L, 1L, 0L, 0L, 0L)), got.toString)
+  }
+
   test("decontaminate equals the naive n-gram intersection model on " +
       "random small-vocabulary corpora (overlap-dense by construction)") {
     import spark.implicits._
