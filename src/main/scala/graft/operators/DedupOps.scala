@@ -537,6 +537,51 @@ object DedupOps {
     stripBoilerplateWith(docs,
       boilerplateSet(docs, chunkWords, minDocs), chunkWords)
 
+  /** Keep-first passage dedup (d12): each distinct `chunkWords`-word
+    * chunk survives only at its first corpus-wide occurrence (minimum
+    * (doc_id, chunk_idx)); later occurrences are excised and each
+    * document's text reconstructed from its kept chunks in order.
+    *
+    * Scale shape — the text crosses exactly ONE exchange: ownership is
+    * elected on a fingerprint frame (doc_id, chunk_idx, md5) whose
+    * fp-keyed shuffle moves 16-byte keys, never chunk text; the
+    * resulting removal list joins back on doc_id, the same key as the
+    * reconstruction groupBy, so the chunk text shuffles once and the
+    * partitioning is reused. As in d01, grouping by a hash is exact
+    * only collision-free: each fp group carries an independent
+    * xxhash64 and raises on disagreement rather than silently merging
+    * distinct passages. */
+  def passageDedupKeepFirst(docs: DataFrame,
+      chunkWords: Int = 16): DataFrame = {
+    require(chunkWords > 0, s"need chunkWords > 0; got $chunkWords")
+    val ch = docs
+      .select(col("doc_id"), posexplode(chunkArray(chunkWords)))
+      .toDF("doc_id", "ci", "chunk")
+    val fp = ch.select(col("doc_id"), col("ci"),
+      md5(encode(col("chunk"), "UTF-8")).as("fp"),
+      xxhash64(col("chunk")).as("h2"))
+    val owners = fp.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("ci"))).as("own"),
+        min(col("h2")).as("h2_min"), max(col("h2")).as("h2_max"))
+      .select(col("fp"),
+        when(col("h2_min") =!= col("h2_max"),
+          raise_error(lit("d12_passage_dedup_keep_first: md5 chunk " +
+            "fingerprint collision — refusing to merge distinct passages")))
+          .otherwise(col("own.doc_id")).as("o_doc"),
+        col("own.ci").as("o_ci"))
+    val removals = fp.join(owners, Seq("fp"))
+      .filter(col("doc_id") =!= col("o_doc") || col("ci") =!= col("o_ci"))
+      .select(col("doc_id"), col("ci"), lit(true).as("removed"))
+    ch.join(removals, Seq("doc_id", "ci"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN removed IS NULL " +
+            "THEN struct(ci, chunk) END)), x -> x.chunk)"), " ")
+          .as("clean_text"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup, FINGERPRINT-FIRST: group by md5(text) so the shuffle
     // moves 16-byte keys instead of full documents (at 100 TB the
@@ -681,6 +726,17 @@ object DedupOps {
           col("clean_text"))
         .orderBy(col("doc_id"))),
 
+    // Passage-level exact dedup, KEEP-FIRST (the "deduplicating
+    // training data" excision): every 16-word chunk keeps exactly its
+    // first corpus-wide occurrence (min (doc_id, chunk_idx)) and every
+    // later occurrence is excised — unlike d11, which removes ALL
+    // occurrences of any chunk shared by >= 2 docs, this preserves one
+    // copy of repeated passages so no content is lost from the corpus.
+    // See [[passageDedupKeepFirst]] for the two-exchange scale shape.
+    "d12_passage_dedup_keep_first" -> ((s, d) =>
+      passageDedupKeepFirst(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     // SimHash fingerprints + banded hamming-near candidate pairs. The
     // per-word hash is the first 60 bits of md5 (15 hex chars) — portable
     // integer arithmetic in any engine, so unlike a seeded xxhash64 the
@@ -792,6 +848,28 @@ object DedupOps {
                ' ' ORDER BY ch.ci), '') AS clean_text
            FROM ch LEFT JOIN b USING (chunk)
            GROUP BY ch.doc_id ORDER BY doc_id""",
+      // keep-first: the owner of a chunk is its min (doc_id, ci)
+      // occurrence — rn = 1 under that order; every rn > 1 is excised.
+      // Grouping by chunk text == grouping by md5 (fingerprint identity
+      // contract; the Spark side raises on collision).
+      "d12_passage_dedup_keep_first" ->
+        """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+                      FROM documents),
+           ch AS (SELECT doc_id, i AS ci,
+                    array_to_string(words[(i*16 + 1):(i*16 + 16)], ' ')
+                      AS chunk
+                  FROM w, UNNEST(generate_series(0, (LEN(words) - 1) // 16))
+                    AS t(i)),
+           r AS (SELECT doc_id, ci, chunk,
+                   ROW_NUMBER() OVER (PARTITION BY chunk
+                     ORDER BY doc_id, ci) AS rn
+                 FROM ch)
+           SELECT doc_id, COUNT(1) AS n_chunks,
+             CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END,
+               ' ' ORDER BY ci), '') AS clean_text
+           FROM r GROUP BY doc_id ORDER BY doc_id""",
       "d03_ngram_jaccard_pairs" -> jaccardSql,
       // LSH output == exact output at this corpus/threshold (see scaladoc)
       "d04_minhash_lsh_dedup" -> jaccardSql,

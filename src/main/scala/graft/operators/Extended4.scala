@@ -474,6 +474,36 @@ object Extended4 {
         .orderBy(col("event_type"))
     }),
 
+    // Key-skew profiler — the diagnostic behind every salting /
+    // broadcast decision in this library (q33 is the cure; this is the
+    // instrument). Per-key counts, then the top-10 hottest keys with
+    // their share of all rows, cumulative share, and skew ratio
+    // (count / mean count); keys whose ratio exceeds 1.25 are flagged
+    // 'salt'. Scale shape: one key-keyed partial aggregate (the only
+    // exchange that sees data volume), a TakeOrdered top-10 (per-
+    // partition partial top-k, no global sort), and a 1-row broadcast
+    // for the corpus scalars; the rank/cum windows run over 10 rows.
+    "q76_key_skew_profile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val scalars = counts.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_keys"))
+      val wTop = Window.orderBy(col("cnt").desc, col("user_id"))
+      val ratio = col("cnt").cast("double") * col("n_keys") / col("total")
+      counts.orderBy(col("cnt").desc, col("user_id")).limit(10)
+        .join(broadcast(scalars), lit(true))
+        .select(row_number().over(wTop).as("rank"),
+          col("user_id"), col("cnt"),
+          (col("cnt").cast("double") / col("total")).as("share"),
+          (sum(col("cnt")).over(wTop).cast("double") / col("total"))
+            .as("cum_share"),
+          ratio.as("skew_ratio"),
+          when(ratio > 1.25, lit("salt")).otherwise(lit("hash-ok"))
+            .as("hint"))
+        .orderBy(col("rank"))
+    }),
+
     // Exact WEIGHTED median — q50's percentile family extended with a
     // weight column (price weighted by quantity: "the median dollar,
     // not the median line item"). All integer arithmetic: cents-scaled
@@ -618,6 +648,27 @@ object Extended4 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // share/cum_share/skew_ratio are double divisions of exact integer
+    // counts — bit-identical in both engines; the windowed BIGINT SUM
+    // is cast to DOUBLE before dividing so no HUGEINT reaches pandas
+    "q76_key_skew_profile" ->
+      """WITH c AS (SELECT user_id, COUNT(1) AS cnt FROM events
+                    GROUP BY user_id),
+         s AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+                 COUNT(1) AS n_keys FROM c),
+         t AS (SELECT user_id, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rank,
+                 CAST(SUM(cnt) OVER (ORDER BY cnt DESC, user_id) AS DOUBLE)
+                   AS ccnt
+               FROM c)
+         SELECT CAST(rank AS INT) AS rank, user_id, cnt,
+           CAST(cnt AS DOUBLE) / s.total AS share,
+           ccnt / s.total AS cum_share,
+           CAST(cnt AS DOUBLE) * s.n_keys / s.total AS skew_ratio,
+           CASE WHEN CAST(cnt AS DOUBLE) * s.n_keys / s.total > 1.25
+                THEN 'salt' ELSE 'hash-ok' END AS hint
+         FROM t, s WHERE rank <= 10 ORDER BY rank""",
+
     "e05_lsh_cosine_pairs" -> {
       val cosExpr =
         """list_dot_product(CAST(a.embedding AS DOUBLE[]),

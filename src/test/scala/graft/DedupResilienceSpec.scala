@@ -269,6 +269,27 @@ class DedupResilienceSpec extends SparkSpec {
       ("2024-01-04", 1L, 1L, 0L, 0L, 0L)), got.toString)
   }
 
+  test("passageDedupKeepFirst keeps exactly the first corpus-wide " +
+      "occurrence of a repeated chunk (d11 would remove both)") {
+    import spark.implicits._
+    // chunkWords = 4: docs 1 and 2 share their first 4-word chunk;
+    // doc 2 also repeats it internally as its second chunk
+    val boiler = "alpha beta gamma delta"
+    val docs = Seq(
+      (1L, s"$boiler one two three four"),
+      (2L, s"$boiler $boiler five six seven eight")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.DedupOps
+      .passageDedupKeepFirst(docs, chunkWords = 4)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, s"$boiler one two three four"),
+      (2L, 3L, 2L, "five six seven eight")), got.toString)
+  }
+
   test("decontaminate equals the naive n-gram intersection model on " +
       "random small-vocabulary corpora (overlap-dense by construction)") {
     import spark.implicits._

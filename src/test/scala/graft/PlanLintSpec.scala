@@ -32,7 +32,8 @@ class PlanLintSpec extends SparkSpec {
     "q72_rfm_segmentation", // 1-row broadcast corpus-max-day reference
     "e12_semantic_dedup_against", // same broadcast centroid assignment cross
     "e13_ann_ivf_pq", // same broadcast centroid assignment cross
-    "e14_pq_recall") // exhaustive ground truth (!=) + PQ index side
+    "e14_pq_recall", // exhaustive ground truth (!=) + PQ index side
+    "q76_key_skew_profile") // 1-row broadcast corpus scalars (total, n_keys)
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
