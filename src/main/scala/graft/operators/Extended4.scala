@@ -95,7 +95,44 @@ object Extended4 {
         col("n_resurrected"), col("n_churned"))
   }
 
+  /** Bit-interleave (Morton / Z-order) of two non-negative integer
+    * columns as a pure-arithmetic SQL expression — `((x div 2^i) % 2)`
+    * picks bit i, scaled back to position 2i+1 (x) / 2i (y) — so the
+    * identical formula runs in Spark (`divOp = "div"`) and DuckDB
+    * (`divOp = "//"`). 2*`bits` result bits. */
+  private[graft] def zInterleave(xc: String, yc: String, bits: Int,
+      divOp: String): String =
+    (0 until bits).map(i =>
+      s"(($xc $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"(($yc $divOp ${1L << i}) % 2) * ${1L << (2 * i)}")
+      .mkString(" + ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-ORDER data layout: interleave the bits of the two classic
+    // filter dimensions (customer, order day) into one Morton key, so
+    // sorting by z clusters BOTH dimensions at once — every run of
+    // 2^18 consecutive z values is a 512x512 (custkey, day) tile. The
+    // per-tile min/max spans returned here are exactly the file-footer
+    // stats a z-sorted write produces, i.e. the proof that a scan
+    // filtered on EITHER dimension prunes to a bounded set of tiles
+    // (1-D sorting gives this for one dimension only). The cluster
+    // write path is `repartitionByRange($"z").sortWithinPartitions
+    // ($"z")` + parquet min/max pruning; this query computes the key
+    // (one map pass) and the tile stats (one tile-keyed aggregate).
+    // 16 bits per dimension covers custkey/day up to 65535 — past
+    // that, widen bits (the formula, and its cost, scale linearly).
+    "q77_zorder_layout" -> ((s, d) => {
+      val xy = Tables.orders(s, d).select(col("o_custkey").as("x"),
+        expr("CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT)")
+          .as("y"))
+      xy.withColumn("z", expr(zInterleave("x", "y", 16, "div")))
+        .groupBy(expr(s"z div ${1L << 18}").as("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("custkey_min"), max(col("x")).as("custkey_max"),
+          min(col("y")).as("day_min"), max(col("y")).as("day_max"))
+        .orderBy(col("tile"))
+    }),
+
     // LSH-bucketed cosine pairs: candidates share >= 1 of 4 sign-bands;
     // survivors verified with the exact cosine at 0.4 (e01's threshold,
     // so e01 is the recall ground truth for this scale path).
@@ -648,6 +685,19 @@ object Extended4 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical interleave arithmetic, DuckDB's // for integer division
+    "q77_zorder_layout" ->
+      s"""WITH xy AS (SELECT o_custkey AS x,
+             CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+               AS y
+           FROM orders),
+         zz AS (SELECT x, y, ${zInterleave("x", "y", 16, "//")} AS z
+                FROM xy)
+         SELECT z // ${1L << 18} AS tile, COUNT(1) AS n,
+           MIN(x) AS custkey_min, MAX(x) AS custkey_max,
+           MIN(y) AS day_min, MAX(y) AS day_max
+         FROM zz GROUP BY 1 ORDER BY tile""",
+
     // share/cum_share/skew_ratio are double divisions of exact integer
     // counts — bit-identical in both engines; the windowed BIGINT SUM
     // is cast to DOUBLE before dividing so no HUGEINT reaches pandas

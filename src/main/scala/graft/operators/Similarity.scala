@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Parity, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   * and each cell is an independent partition-local search.
   */
 object Similarity {
+
+  /** Embedding dimensionality of the `embeddings` table. */
+  private val EmbDims = 64
 
   private def dvec(c: Column): Column = c.cast("array<double>")
 
@@ -198,6 +201,35 @@ object Similarity {
         .withColumn("recall",
           col("n_recalled").cast("double") / col("n_queries"))
         .orderBy(col("cell"))
+    }),
+
+    // Lloyd (k-means) refinement of the IVF coarse quantizer: the
+    // deterministic % 50 sample is a STARTING point, not a trained
+    // codebook — two Lloyd iterations (assign to nearest centroid by
+    // L2, recenter each cell on its member mean) and the per-iteration
+    // quantization MSE, the number that justifies (or rejects)
+    // retraining the index. Scale shape per iteration: assignment is
+    // the same broadcast-centroid cross every IVF query pays; the
+    // recenter is a (cell, dim)-keyed partial aggregate whose shuffle
+    // carries one double per dimension, never vectors. Determinism:
+    // member means use DECIMAL sums (Parity.dsum — order-insensitive),
+    // so the refined centroids, and therefore the iteration-2
+    // assignment itself, are bit-identical in both engines.
+    "e15_kmeans_refine" -> ((s, d) => {
+      val v = vecs(s, d).select(col("vec_id"), col("v"))
+      val c0 = vecs(s, d).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val a0 = assignTo(v, c0)
+      val c1 = cellMeans(a0)
+      val a1 = assignTo(v, c1)
+      val c2 = cellMeans(a1)
+      val a2 = assignTo(v, c2)
+      def stats(a: DataFrame, iter: Int): DataFrame =
+        a.agg(countDistinct(col("cent_id")).as("n_cells"),
+          Parity.davg(col("dist")).as("mse"))
+          .select(lit(iter).as("iter"), col("n_cells"), col("mse"))
+      stats(a0, 0).unionAll(stats(a1, 1)).unionAll(stats(a2, 2))
+        .orderBy(col("iter"))
     }),
 
     // Incremental semantic dedup — e10's daily-ingest twin (and d09's
@@ -493,6 +525,61 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("neighbor_id"), col("adist"))
   }
 
+  /** Nearest-centroid assignment by squared L2 (ties by cent_id):
+    * (vec_id, v, cent_id, dist). The centroid side broadcasts — the
+    * corpus never shuffles for an assignment, at any scale. */
+  private def assignTo(v: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    v.join(broadcast(cents), lit(true))
+      .withColumn("dist", l2sq(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id"), col("dist"))
+  }
+
+  /** Per-cell element-wise member mean — the Lloyd recenter step.
+    * Explodes to (cell, dim, x) so the shuffle carries single doubles
+    * keyed by (cell, dim), then reassembles each centroid in dimension
+    * order. DECIMAL sums keep the means order-insensitive and
+    * bit-identical across engines. */
+  private def cellMeans(assigned: DataFrame): DataFrame =
+    assigned.select(col("cent_id"), posexplode(col("v")))
+      .toDF("cent_id", "dim", "x")
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(Parity.davg(col("x")).as("mx"))
+      .groupBy(col("cent_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mx")))).as("p"))
+      .select(col("cent_id"), expr("transform(p, e -> e.mx)").as("cv"))
+
+  /** DuckDB twin of [[assignTo]] over CTE `v` (vec_id, v DOUBLE[]):
+    * nearest centroid from CTE `cents` by the identically-parenthesized
+    * squared-L2 form, ties by cent_id. */
+  private def lloydAssignSql(cents: String): String =
+    s"""SELECT vec_id, v, cent_id, dist FROM (
+         SELECT q.vec_id, q.v, c.cent_id,
+           (list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, c.cv))
+             + list_dot_product(c.cv, c.cv) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             (list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, c.cv))
+               + list_dot_product(c.cv, c.cv), c.cent_id) AS rk
+         FROM v q CROSS JOIN $cents c) t WHERE rk = 1"""
+
+  /** DuckDB twin of [[cellMeans]]: per-(cell, dim) DECIMAL-mean, then
+    * reassemble each centroid in dimension order. */
+  private def lloydMeansSql(assigned: String): String =
+    s"""SELECT cent_id, list(mx ORDER BY i) AS cv FROM (
+         SELECT cent_id, i, ${Parity.davgSql("x")} AS mx
+         FROM (SELECT cent_id, i, v[i] AS x
+               FROM $assigned, UNNEST(generate_series(1, ${EmbDims}))
+                 AS t(i)) e
+         GROUP BY cent_id, i) m GROUP BY cent_id"""
+
+  private def lloydStatsSql(a: String, iter: Int): String =
+    s"""SELECT $iter AS iter, COUNT(DISTINCT cent_id) AS n_cells,
+         ${Parity.davgSql("dist")} AS mse FROM $a"""
+
   private val cosExpr =
     """list_dot_product(CAST(a.embedding AS DOUBLE[]),
                         CAST(b.embedding AS DOUBLE[])) /
@@ -608,6 +695,26 @@ object Similarity {
     "e13_ann_ivf_pq" ->
       s"""WITH $pqCtes
          SELECT vec_id, neighbor_id, adist FROM pq ORDER BY vec_id""",
+
+    // Lloyd refinement: the L2 form and the DECIMAL member means are
+    // parenthesized identically to the Spark side, so the refined
+    // centroids — and hence the iteration-2 assignment — match
+    // bit-for-bit
+    "e15_kmeans_refine" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         c0 AS (SELECT vec_id AS cent_id, v AS cv FROM v
+                WHERE vec_id % 50 = 0),
+         a0 AS (${lloydAssignSql("c0")}),
+         c1 AS (${lloydMeansSql("a0")}),
+         a1 AS (${lloydAssignSql("c1")}),
+         c2 AS (${lloydMeansSql("a1")}),
+         a2 AS (${lloydAssignSql("c2")})
+         SELECT * FROM (
+           ${lloydStatsSql("a0", 0)}
+           UNION ALL ${lloydStatsSql("a1", 1)}
+           UNION ALL ${lloydStatsSql("a2", 2)}) s
+         ORDER BY iter""",
 
     "e14_pq_recall" ->
       s"""WITH $pqCtes,

@@ -290,6 +290,35 @@ class DedupResilienceSpec extends SparkSpec {
       (2L, 3L, 2L, "five six seven eight")), got.toString)
   }
 
+  test("zInterleave's pure-arithmetic expression equals true bit " +
+      "interleaving (independent bit-ops model) across random 16-bit pairs") {
+    import spark.implicits._
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L)((z, i) =>
+        z | (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i)))
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L)) ++
+      Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pairs.toDF("x", "y")
+      .withColumn("z", org.apache.spark.sql.functions.expr(
+        graft.operators.Extended4.zInterleave("x", "y", 16, "div")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      assert(z == morton(x, y), s"interleave($x, $y): got $z")
+    }
+  }
+
+  test("e15 Lloyd refinement never increases quantization MSE " +
+      "(the k-means descent guarantee)") {
+    val rows = SparkEntry.queries("e15_kmeans_refine")(
+      spark, "/root/testdata/sf0.001").collect()
+    val mses = rows.sortBy(_.getInt(0)).map(_.getDouble(2)).toSeq
+    assert(mses.size == 3, s"expected 3 iterations: $mses")
+    assert(mses.sliding(2).forall { case Seq(a, b) => b <= a },
+      s"MSE must be non-increasing: $mses")
+  }
+
   test("decontaminate equals the naive n-gram intersection model on " +
       "random small-vocabulary corpora (overlap-dense by construction)") {
     import spark.implicits._
