@@ -542,15 +542,18 @@ object DedupOps {
     * (doc_id, chunk_idx)); later occurrences are excised and each
     * document's text reconstructed from its kept chunks in order.
     *
-    * Scale shape — the text crosses exactly ONE exchange: ownership is
-    * elected on a fingerprint frame (doc_id, chunk_idx, md5) whose
-    * fp-keyed shuffle moves 16-byte keys, never chunk text; the
-    * resulting removal list joins back on doc_id, the same key as the
-    * reconstruction groupBy, so the chunk text shuffles once and the
-    * partitioning is reused. As in d01, grouping by a hash is exact
-    * only collision-free: each fp group carries an independent
-    * xxhash64 and raises on disagreement rather than silently merging
-    * distinct passages. */
+    * Scale shape — the chunk text crosses exactly ONE exchange, at any
+    * size: ownership is elected on a fingerprint frame (doc_id,
+    * chunk_idx, md5) whose fp-keyed shuffle moves 16-byte keys, never
+    * chunk text; the losing occurrences collapse to per-doc removal
+    * index sets (a doc-keyed shuffle of ints); and both that aggregate
+    * and the text-carrying chunk aggregate are hash-partitioned on
+    * doc_id, so their join needs no further exchange (the bucketed-join
+    * shape, without buckets) and the excision itself is a map-side
+    * array filter. As in d01, grouping by a hash is exact only
+    * collision-free: each fp group carries an independent xxhash64 and
+    * raises on disagreement rather than silently merging distinct
+    * passages. */
   def passageDedupKeepFirst(docs: DataFrame,
       chunkWords: Int = 16): DataFrame = {
     require(chunkWords > 0, s"need chunkWords > 0; got $chunkWords")
@@ -569,17 +572,20 @@ object DedupOps {
             "fingerprint collision — refusing to merge distinct passages")))
           .otherwise(col("own.doc_id")).as("o_doc"),
         col("own.ci").as("o_ci"))
-    val removals = fp.join(owners, Seq("fp"))
+    val remSets = fp.join(owners, Seq("fp"))
       .filter(col("doc_id") =!= col("o_doc") || col("ci") =!= col("o_ci"))
-      .select(col("doc_id"), col("ci"), lit(true).as("removed"))
-    ch.join(removals, Seq("doc_id", "ci"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+      .agg(collect_list(col("ci")).as("rem"))
+    ch.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("ci"), col("chunk"))).as("chs"))
+      .join(remSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("chs")).cast("long").as("n_chunks"),
+        coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
         array_join(expr(
-          "transform(array_sort(collect_list(CASE WHEN removed IS NULL " +
-            "THEN struct(ci, chunk) END)), x -> x.chunk)"), " ")
-          .as("clean_text"))
+          "transform(filter(array_sort(chs), " +
+            "x -> rem IS NULL OR NOT array_contains(rem, x.ci)), " +
+            "x -> x.chunk)"), " ").as("clean_text"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -228,6 +228,25 @@ class PlanShapeSpec extends SparkSpec {
       "boiler set must arrive by broadcast")
   }
 
+  test("d12: chunk text crosses exactly one exchange even with " +
+      "broadcast off — the removal-set join reuses the doc_id " +
+      "partitioning of both aggregates (bucketed-join shape, no buckets)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf("d12_passage_dedup_keep_first")
+      val ex = exchangeInputs(p)
+      // fp-election agg, fp-side of the owners join, removal-set agg,
+      // and the ONE text-carrying chunk agg — the doc_id join itself
+      // must add none
+      assert(ex.size == 4,
+        s"expected 4 hash exchanges (fp agg, fp join side, rem agg, " +
+          s"chunk agg), got ${ex.size}:\n${ex.mkString("\n")}")
+      assert(ex.count(_.contains("chunk")) <= 1,
+        s"more than one exchange carries chunk text:\n${ex.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      "10485760")
+  }
+
   test("t19: the gram frame's exchanges (distinct, fp window, source " +
       "rollup) carry the 8-byte fingerprint and source — never text") {
     val p = planOf("t19_source_novelty")
