@@ -743,6 +743,32 @@ object DedupOps {
       passageDedupKeepFirst(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // Canonical selection POLICY over d07's near-dup clusters: keep
+    // the LONGEST member (ties by min doc_id), not the min-id one —
+    // the policy a real corpus wants, since near-dup clusters usually
+    // contain truncated copies of one best document. Returns one row
+    // per cluster with its elected canonical and member count. Scale
+    // shape: the cluster frame joins token counts on doc_id and the
+    // election window partitions by cluster_rep — clusters are small
+    // by construction (near-dup groups), so no partition outgrows a
+    // task.
+    "d13_canonical_keep_longest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("cluster_rep"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      nearDupComponents(docs).join(toks, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster_rep"), col("doc_id").as("canonical_id"),
+          col("n_tokens").as("canonical_tokens"), col("n_members"))
+        .orderBy(col("cluster_rep"))
+    }),
+
     // SimHash fingerprints + banded hamming-near candidate pairs. The
     // per-word hash is the first 60 bits of md5 (15 hex chars) — portable
     // integer arithmetic in any engine, so unlike a seeded xxhash64 the
@@ -921,6 +947,39 @@ object DedupOps {
                   COALESCE(LEAST(d.doc_id, r.m), d.doc_id) AS cluster_rep
            FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
            ORDER BY d.doc_id""",
+      // d07's component closure + token counts; canonical = longest
+      // member, ties by min doc_id (rn = 1 under that order)
+      "d13_canonical_keep_longest" ->
+        s"""WITH RECURSIVE $pairCtes,
+           qual AS (SELECT doc_a, doc_b FROM pairs
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+                    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+                          >= 0.8),
+           bidir AS (SELECT doc_a AS a, doc_b AS b FROM qual
+                     UNION SELECT doc_b, doc_a FROM qual),
+           reach(a, b) AS (SELECT a, b FROM bidir
+                           UNION
+                           SELECT r.a, e.b FROM reach r
+                           JOIN bidir e ON r.b = e.a),
+           rep AS (SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a),
+           comp AS (SELECT d.doc_id,
+                      COALESCE(LEAST(d.doc_id, r.m), d.doc_id)
+                        AS cluster_rep
+                    FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id),
+           toks AS (SELECT doc_id,
+                      CAST(LEN(string_split(TRIM(text), ' ')) AS BIGINT)
+                        AS n_tokens
+                    FROM documents),
+           j AS (SELECT c.cluster_rep, c.doc_id, t.n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+                     ORDER BY t.n_tokens DESC, c.doc_id) AS rn,
+                   COUNT(1) OVER (PARTITION BY c.cluster_rep) AS n_members
+                 FROM comp c JOIN toks t USING (doc_id))
+           SELECT cluster_rep, doc_id AS canonical_id,
+             n_tokens AS canonical_tokens,
+             CAST(n_members AS BIGINT) AS n_members
+           FROM j WHERE rn = 1 ORDER BY cluster_rep""",
       // identical 60-bit md5 word hash + bit-vote + banding arithmetic
       "d05_simhash_pairs" ->
         """WITH w AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' ')) AS w

@@ -541,6 +541,72 @@ object Extended4 {
         .orderBy(col("rank"))
     }),
 
+    // Snapshot DIFF — the dataset-versioning primitive: which keys were
+    // added, removed, or changed between two snapshots of the same
+    // table (two deterministic views of orders stand in: snapshot A
+    // drops keys % 3 = 0, snapshot B drops % 3 = 1 and re-prices keys
+    // % 7 = 0). Rows are compared by an md5 fingerprint of their
+    // STABLE string forms (cents-scaled price, yyyy-MM-dd date — the
+    // double and the raw timestamp never enter a string). Scale shape:
+    // the full-outer join shuffles (key, 16-byte fingerprint) only —
+    // the row payload never crosses the wire; at 100 TB the changed
+    // keys (a tiny set) would be joined back for their payloads.
+    // 'unchanged' rows are filtered before the result leaves the join.
+    "q78_snapshot_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey"), col("o_orderstatus"),
+        Parity.cents2(col("o_totalprice")).as("cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        col("o_orderpriority").as("op"))
+      def fp(cents: Column) = md5(concat_ws("|", col("k"), col("o_custkey"),
+        col("o_orderstatus"), cents, col("od"), col("op")))
+      val a = base.filter(col("k") % 3 =!= 0)
+        .select(col("k"), fp(col("cents")).as("fpa"))
+      val b = base.filter(col("k") % 3 =!= 1)
+        .select(col("k"), fp(when(col("k") % 7 === 0, col("cents") * 2)
+          .otherwise(col("cents"))).as("fpb"))
+      a.join(b, Seq("k"), "full")
+        .select(col("k").as("o_orderkey"),
+          when(col("fpa").isNull, lit("added"))
+            .when(col("fpb").isNull, lit("removed"))
+            .when(col("fpa") =!= col("fpb"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // SCD TYPE-2 history build — collapse an event changelog into
+    // validity intervals: one row per run of consecutive equal
+    // event_type per user, [valid_from, valid_to) with NULL valid_to
+    // for the current state. Gaps-and-islands: a lag-change flag and
+    // its running sum assign run ids in ONE user-keyed window pass
+    // over the events; the interval frame that the second window
+    // (valid_to = lead of the next run's start) re-shuffles is runs,
+    // not events — already collapsed, orders of magnitude smaller.
+    "q79_scd2_history" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("event_type"), 1).over(w)
+      val runs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("chg",
+          when(prev.isNull || prev =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run", sum(col("chg")).over(w))
+        .groupBy(col("user_id"), col("run"))
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+      runs
+        .select(col("user_id"), col("run"), col("event_type"),
+          col("valid_from"),
+          lead(col("valid_from"), 1).over(w2).as("valid_to"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("run"))
+    }),
+
     // Exact WEIGHTED median — q50's percentile family extended with a
     // weight column (price weighted by quantity: "the median dollar,
     // not the median line item"). All integer arithmetic: cents-scaled
@@ -697,6 +763,54 @@ object Extended4 {
            MIN(x) AS custkey_min, MAX(x) AS custkey_max,
            MIN(y) AS day_min, MAX(y) AS day_max
          FROM zz GROUP BY 1 ORDER BY tile""",
+
+    // identical fingerprint recipe: stable string forms only (cents as
+    // BIGINT, yyyy-MM-dd), '|' separator, md5 hex
+    "q78_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             strftime(o_orderdate, '%Y-%m-%d') AS od,
+             o_orderpriority AS op
+           FROM orders),
+         a AS (SELECT k, md5(concat_ws('|', k, o_custkey, o_orderstatus,
+                 cents, od, op)) AS fpa
+               FROM base WHERE k % 3 <> 0),
+         b AS (SELECT k, md5(concat_ws('|', k, o_custkey, o_orderstatus,
+                 CASE WHEN k % 7 = 0 THEN cents * 2 ELSE cents END,
+                 od, op)) AS fpb
+               FROM base WHERE k % 3 <> 1)
+         SELECT k AS o_orderkey,
+           CASE WHEN fpa IS NULL THEN 'added'
+                WHEN fpb IS NULL THEN 'removed'
+                WHEN fpa <> fpb THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM a FULL JOIN b USING (k)
+         WHERE CASE WHEN fpa IS NULL THEN 'added'
+                    WHEN fpb IS NULL THEN 'removed'
+                    WHEN fpa <> fpb THEN 'changed'
+                    ELSE 'unchanged' END <> 'unchanged'
+         ORDER BY o_orderkey""",
+
+    // run is a windowed SUM -> HUGEINT in DuckDB; cast to BIGINT
+    "q79_scd2_history" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         r AS (SELECT user_id, ts, event_id, event_type,
+                 CAST(SUM(chg) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS BIGINT) AS run
+               FROM c),
+         g AS (SELECT user_id, run, MIN(event_type) AS event_type,
+                 MIN(ts) AS valid_from, COUNT(1) AS n_events
+               FROM r GROUP BY user_id, run)
+         SELECT user_id, run, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+             ORDER BY valid_from) AS valid_to,
+           n_events
+         FROM g ORDER BY user_id, run""",
 
     // share/cum_share/skew_ratio are double divisions of exact integer
     // counts — bit-identical in both engines; the windowed BIGINT SUM
