@@ -52,7 +52,10 @@ object Bench {
     "m10_media_neardup_components", "q72_rfm_segmentation",
     "t20_source_overlap", "e12_semantic_dedup_against",
     "q73_weighted_median", "q74_grouped_mode", "e13_ann_ivf_pq",
-    "e14_pq_recall", "q75_growth_accounting")
+    "e14_pq_recall", "q75_growth_accounting",
+    "d12_passage_dedup_keep_first", "d13_canonical_keep_longest",
+    "e15_kmeans_refine", "q76_key_skew_profile", "q77_zorder_layout",
+    "q78_snapshot_diff", "q79_scd2_history", "q80_column_profile")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

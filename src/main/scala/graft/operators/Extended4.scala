@@ -541,6 +541,38 @@ object Extended4 {
         .orderBy(col("rank"))
     }),
 
+    // Column PROFILE — the catalog-statistics pass behind CBO and
+    // data-quality gates: per column, row count, null count, exact
+    // distinct count, and lexicographic min/max over a STABLE string
+    // form (cents for the double, yyyy-MM-dd for the date — engine
+    // float/timestamp rendering never enters the profile). Shape:
+    // stack() unpivots to (column, value) so one generic aggregate
+    // serves any schema; the exchange carries single values. At 100 TB
+    // swap the exact distinct for approx_count_distinct (q29's HLL) —
+    // exact distinct per column is the one genuinely expensive term.
+    "q80_column_profile" -> ((s, d) => {
+      val stable = Tables.orders(s, d).select(
+        col("o_orderkey").cast("string").as("o_orderkey"),
+        col("o_custkey").cast("string").as("o_custkey"),
+        col("o_orderstatus").as("o_orderstatus"),
+        Parity.cents2(col("o_totalprice")).cast("string")
+          .as("o_totalprice_cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority").as("o_orderpriority"))
+      val unpivoted = stable.select(expr(
+        "stack(6, 'o_orderkey', o_orderkey, 'o_custkey', o_custkey, " +
+          "'o_orderstatus', o_orderstatus, " +
+          "'o_totalprice_cents', o_totalprice_cents, " +
+          "'o_orderdate', o_orderdate, " +
+          "'o_orderpriority', o_orderpriority) AS (column_name, v)"))
+      unpivoted.groupBy(col("column_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("column_name"))
+    }),
+
     // Snapshot DIFF — the dataset-versioning primitive: which keys were
     // added, removed, or changed between two snapshots of the same
     // table (two deterministic views of orders stand in: snapshot A
@@ -763,6 +795,32 @@ object Extended4 {
            MIN(x) AS custkey_min, MAX(x) AS custkey_max,
            MIN(y) AS day_min, MAX(y) AS day_max
          FROM zz GROUP BY 1 ORDER BY tile""",
+
+    // same stable string forms; UNION ALL is DuckDB's unpivot
+    "q80_column_profile" ->
+      """WITH stable AS (SELECT
+             CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+             CAST(o_custkey AS VARCHAR) AS o_custkey,
+             o_orderstatus,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               AS o_totalprice_cents,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o_orderpriority
+           FROM orders),
+         u AS (
+           SELECT 'o_orderkey' AS column_name, o_orderkey AS v FROM stable
+           UNION ALL SELECT 'o_custkey', o_custkey FROM stable
+           UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM stable
+           UNION ALL SELECT 'o_totalprice_cents', o_totalprice_cents
+             FROM stable
+           UNION ALL SELECT 'o_orderdate', o_orderdate FROM stable
+           UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM stable)
+         SELECT column_name, COUNT(1) AS n,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           COUNT(DISTINCT v) AS n_distinct,
+           MIN(v) AS min_v, MAX(v) AS max_v
+         FROM u GROUP BY 1 ORDER BY 1""",
 
     // identical fingerprint recipe: stable string forms only (cents as
     // BIGINT, yyyy-MM-dd), '|' separator, md5 hex

@@ -45,6 +45,26 @@ class DedupResilienceSpec extends SparkSpec {
     }
   }
 
+  test("d12 under forced sort-based aggregation fallback " +
+      "(ObjectHashAggregate fallbackThreshold = 1): results unchanged") {
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("d12_passage_dedup_keep_first")
+    val baseline = q(spark, d).collect().toSeq
+    val k = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val saved = spark.conf.getOption(k)
+    try {
+      spark.conf.set(k, "1")
+      val under = q(spark, d).collect().toSeq
+      assert(under == baseline,
+        "sort-based aggregation fallback changed the result")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("decontaminate() is a reusable surface: custom frames, n-gram " +
       "width, id/text columns; the anti-join yields the clean set") {
     import spark.implicits._
