@@ -55,7 +55,8 @@ object Bench {
     "e14_pq_recall", "q75_growth_accounting",
     "d12_passage_dedup_keep_first", "d13_canonical_keep_longest",
     "e15_kmeans_refine", "q76_key_skew_profile", "q77_zorder_layout",
-    "q78_snapshot_diff", "q79_scd2_history", "q80_column_profile")
+    "q78_snapshot_diff", "q79_scd2_history", "q80_column_profile",
+    "e16_embedding_drift", "q81_funnel_timing", "q82_top_paths")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

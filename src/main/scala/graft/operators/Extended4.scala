@@ -297,6 +297,60 @@ object Extended4 {
         .orderBy(col("user_id"))
     }),
 
+    // Funnel TIMING — q61 reports who converts; this reports HOW FAST:
+    // exact p25/median/p75 of the time spent on each funnel edge
+    // (view→click, click→purchase, view→purchase) across converting
+    // users, in seconds. The latency distribution is the number a
+    // growth team actually tunes against. Shape: the q61 chain (all
+    // user-keyed aggregates), a row-local 3-edge explode, then one
+    // exact-percentile aggregate per edge over integer-µs deltas —
+    // the percentile frame is |converting users| × 3, tiny by
+    // construction.
+    "q81_funnel_timing" -> ((s, d) => {
+      val f = queries("q61_funnel_steps")(s, d)
+      def us(c: String) = expr(s"unix_micros(CAST($c AS TIMESTAMP))")
+      val edges = f.select(explode(array(
+        struct(lit("1_view_to_click").as("edge"),
+          (us("click_ts") - us("view_ts")).as("dt_us")),
+        struct(lit("2_click_to_purchase").as("edge"),
+          (us("purchase_ts") - us("click_ts")).as("dt_us")),
+        struct(lit("3_view_to_purchase").as("edge"),
+          (us("purchase_ts") - us("view_ts")).as("dt_us")))).as("x"))
+        .select(col("x.edge").as("edge"), col("x.dt_us").as("dt_us"))
+      edges.groupBy(col("edge"))
+        .agg(count(lit(1)).as("n"),
+          (expr("percentile(dt_us, 0.25)") / 1000000.0).as("p25_s"),
+          (expr("percentile(dt_us, 0.5)") / 1000000.0).as("med_s"),
+          (expr("percentile(dt_us, 0.75)") / 1000000.0).as("p75_s"))
+        .orderBy(col("edge"))
+    }),
+
+    // Top user JOURNEYS — the path-analysis rollup behind q71's
+    // one-step transition matrix: every 3 consecutive events per user
+    // forms a path trigram (view>click>purchase, ...); report the
+    // top-10 corpus-wide with counts. Shape: one user-keyed window
+    // pass (two leads share the frame), a rollup whose key space is
+    // bounded by |event types|^3 (partial agg collapses map-side),
+    // and a TakeOrdered top-10 — no global sort, ties broken by path.
+    "q82_top_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wTop = Window.orderBy(col("n").desc, col("path"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+        .select(row_number().over(wTop).as("rank"), col("path"), col("n"))
+        .orderBy(col("rank"))
+    }),
+
     // CDC compaction (keep-latest-per-key): collapse an event/changelog
     // stream to each key's most recent row — the merge/upsert
     // materialization step of a warehouse ingest. Deterministic
@@ -989,6 +1043,48 @@ object Extended4 {
                   AS mins_view_to_purchase
          FROM v JOIN p ON p.user_id = v.user_id
          ORDER BY v.user_id""",
+
+    // q61's chain + a 3-edge unpivot; quantile_cont mirrors Spark's
+    // interpolating percentile() on the same integer-µs deltas
+    "q81_funnel_timing" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, v.view_ts, MIN(e.ts) AS click_ts
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.view_ts
+               GROUP BY e.user_id, v.view_ts),
+         p AS (SELECT e.user_id, c.click_ts, MIN(e.ts) AS purchase_ts
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+               GROUP BY e.user_id, c.click_ts),
+         f AS (SELECT v.user_id, v.view_ts, p.click_ts, p.purchase_ts
+               FROM v JOIN p ON p.user_id = v.user_id),
+         edges AS (
+           SELECT '1_view_to_click' AS edge,
+             epoch_us(click_ts) - epoch_us(view_ts) AS dt_us FROM f
+           UNION ALL SELECT '2_click_to_purchase',
+             epoch_us(purchase_ts) - epoch_us(click_ts) FROM f
+           UNION ALL SELECT '3_view_to_purchase',
+             epoch_us(purchase_ts) - epoch_us(view_ts) FROM f)
+         SELECT edge, COUNT(1) AS n,
+           quantile_cont(dt_us, 0.25) / 1000000.0 AS p25_s,
+           quantile_cont(dt_us, 0.5) / 1000000.0 AS med_s,
+           quantile_cont(dt_us, 0.75) / 1000000.0 AS p75_s
+         FROM edges GROUP BY edge ORDER BY edge""",
+
+    "q82_top_paths" ->
+      """WITH s AS (SELECT event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         c AS (SELECT event_type || '>' || t2 || '>' || t3 AS path,
+                 COUNT(1) AS n
+               FROM s WHERE t3 IS NOT NULL GROUP BY 1)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT)
+             AS rank,
+           path, n
+         FROM c QUALIFY rank <= 10 ORDER BY rank""",
 
     "q62_cdc_compact" ->
       """SELECT user_id, event_id AS last_event_id, ts AS last_ts,

@@ -232,6 +232,37 @@ object Similarity {
         .orderBy(col("iter"))
     }),
 
+    // Embedding DRIFT monitor — the pipeline-health probe for a corpus
+    // that re-embeds or re-ingests over time: split the corpus into
+    // two snapshots (vec_id parity stands in for yesterday/today),
+    // assign both to the SAME standing quantizer cells, and compare
+    // the per-cell mean vectors by cosine. cos_drift ~ 1 means the
+    // cell's population is stable; a dropping cell is where the
+    // embedding distribution moved. Scale shape: both sides are one
+    // broadcast-assignment map pass + a (cell, dim)-keyed mean whose
+    // shuffle carries single doubles; the per-cell report is tiny.
+    // DECIMAL means make both engines' mean vectors — and therefore
+    // the cosine itself — bit-identical. Cells present on only one
+    // side have no drift to measure and are dropped by the inner join.
+    "e16_embedding_drift" -> ((s, d) => {
+      val r = centroidRanked(s, d).filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id"))
+      def meansOf(m: Int) = cellMeans(
+        r.filter(col("vec_id") % 2 === m).select(col("cent_id"), col("v")))
+      def countsOf(m: Int, n: String) = r.filter(col("vec_id") % 2 === m)
+        .groupBy(col("cent_id")).agg(count(lit(1)).as(n))
+      val ma = meansOf(0).select(col("cent_id"), col("cv").as("va"))
+      val mb = meansOf(1).select(col("cent_id"), col("cv").as("vb"))
+      ma.join(mb, Seq("cent_id"))
+        .join(countsOf(0, "n_a"), Seq("cent_id"))
+        .join(countsOf(1, "n_b"), Seq("cent_id"))
+        .select(col("cent_id").as("cell"), col("n_a"), col("n_b"),
+          (dot(col("va"), col("vb")) /
+            (sqrt(dot(col("va"), col("va"))) *
+              sqrt(dot(col("vb"), col("vb"))))).as("cos_drift"))
+        .orderBy(col("cell"))
+    }),
+
     // Incremental semantic dedup — e10's daily-ingest twin (and d09's
     // embedding analogue): which of today's arriving vectors (vec_id %
     // 5 == 1 stands in for the batch — DISJOINT from the % 50 == 0
@@ -576,6 +607,17 @@ object Similarity {
                  AS t(i)) e
          GROUP BY cent_id, i) m GROUP BY cent_id"""
 
+  /** One snapshot side of e16's oracle: per-cell DECIMAL-mean vector
+    * over the `assigned` CTE rows with vec_id parity `m`. */
+  private def driftMeanSql(m: Int): String =
+    s"""SELECT cell, list(mx ORDER BY i) AS v FROM (
+         SELECT cell, i, ${Parity.davgSql("x")} AS mx
+         FROM (SELECT cell, i, v[i] AS x
+               FROM assigned, UNNEST(generate_series(1, ${EmbDims}))
+                 AS t(i)
+               WHERE vec_id % 2 = $m) e
+         GROUP BY cell, i) mm GROUP BY cell"""
+
   private def lloydStatsSql(a: String, iter: Int): String =
     s"""SELECT $iter AS iter, COUNT(DISTINCT cent_id) AS n_cells,
          ${Parity.davgSql("dist")} AS mse FROM $a"""
@@ -733,6 +775,33 @@ object Similarity {
          FROM pq JOIN truth USING (vec_id)
          JOIN assigned s USING (vec_id)
          GROUP BY s.cell ORDER BY s.cell""",
+
+    // same cosine cell assignment as the ANN family; per-side DECIMAL
+    // means (identical to the Spark side), cosine of the mean vectors
+    "e16_embedding_drift" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         assigned AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT a.vec_id, CAST(a.embedding AS DOUBLE[]) AS v,
+                    b.cent_id AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1),
+         ma AS (${driftMeanSql(0)}),
+         mb AS (${driftMeanSql(1)}),
+         na AS (SELECT cell, COUNT(1) AS n_a FROM assigned
+                WHERE vec_id % 2 = 0 GROUP BY cell),
+         nb AS (SELECT cell, COUNT(1) AS n_b FROM assigned
+                WHERE vec_id % 2 = 1 GROUP BY cell)
+         SELECT cell, n_a, n_b,
+           list_dot_product(ma.v, mb.v) /
+             (SQRT(list_dot_product(ma.v, ma.v)) *
+              SQRT(list_dot_product(mb.v, mb.v))) AS cos_drift
+         FROM ma JOIN mb USING (cell) JOIN na USING (cell)
+         JOIN nb USING (cell)
+         ORDER BY cell""",
 
     "e12_semantic_dedup_against" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding

@@ -34,7 +34,8 @@ class PlanLintSpec extends SparkSpec {
     "e13_ann_ivf_pq", // same broadcast centroid assignment cross
     "e14_pq_recall", // exhaustive ground truth (!=) + PQ index side
     "q76_key_skew_profile", // 1-row broadcast corpus scalars (total, n_keys)
-    "e15_kmeans_refine") // broadcast centroid assignment cross, x3 iterations
+    "e15_kmeans_refine", // broadcast centroid assignment cross, x3 iterations
+    "e16_embedding_drift") // same broadcast centroid assignment cross
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
