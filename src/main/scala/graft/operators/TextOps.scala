@@ -414,6 +414,44 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram-LM quality scoring — t16's unigram proxy sharpened one
+    // order: mean corpus BIGRAM frequency and unseen-bigram rate per
+    // document against the deterministic top-1000 bigram vocabulary.
+    // A doc of common words in uncommon ORDER scores well on t16 and
+    // badly here — word-order degeneracy (shuffled/generated text) is
+    // exactly what the bigram signal catches and the unigram one
+    // can't. Integer-exact until the two final divisions (the same
+    // log-free design as t16: a real LM perplexity would sum
+    // engine-specific ln() doubles and lose the oracle). Scale shape:
+    // bigram build is row-local; the count rollup and the doc rollup
+    // are the only exchanges; top-1000 vocab + annotated counts ride
+    // broadcasts.
+    "t21_bigram_quality" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(trim(text), ' '), x -> x <> '')").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
+            "i -> concat(ws[i], ' ', ws[i+1])) ELSE array() END")).as("b"))
+      val counts = bg.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("b")).limit(1000)
+        .select(col("b"), lit(true).as("in_vocab"))
+      val vocab = counts.join(broadcast(top), Seq("b"), "left")
+        .withColumn("in_vocab", coalesce(col("in_vocab"), lit(false)))
+      bg.join(broadcast(vocab), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("cnt")).as("freq_sum"),
+          sum(when(col("in_vocab"), 0L).otherwise(1L)).as("n_oov"))
+        .withColumn("avg_bigram_freq",
+          col("freq_sum").cast("double") / col("n_bigrams"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
+          col("n_oov"), col("avg_bigram_freq"), col("oov_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-source n-gram novelty — the "what does this source actually
     // add" number behind corpus acquisition decisions: of each
     // source's distinct word 8-grams, how many appear in NO
@@ -806,6 +844,32 @@ object TextOps {
                   AS BIGINT) AS DOUBLE) / COUNT(1) AS oov_rate
          FROM tk JOIN v USING (w)
          GROUP BY tk.doc_id ORDER BY doc_id""",
+
+    // t16's oracle at bigram granularity; generate_series(1, 0) is
+    // empty in DuckDB, so sub-2-word docs contribute no bigrams on
+    // either side
+    "t21_bigram_quality" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split(TRIM(text), ' '), x -> x <> '')
+               AS ws
+           FROM documents),
+         bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+                FROM w, UNNEST(generate_series(1, LEN(ws) - 1)) AS t(i)),
+         c AS (SELECT b, COUNT(1) AS cnt FROM bg GROUP BY b),
+         v AS (SELECT b, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, b) <= 1000
+                   AS in_vocab
+               FROM c)
+         SELECT bg.doc_id, COUNT(1) AS n_bigrams,
+           CAST(SUM(v.cnt) AS BIGINT) AS freq_sum,
+           CAST(SUM(CASE WHEN v.in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_oov,
+           CAST(CAST(SUM(v.cnt) AS BIGINT) AS DOUBLE) / COUNT(1)
+             AS avg_bigram_freq,
+           CAST(CAST(SUM(CASE WHEN v.in_vocab THEN 0 ELSE 1 END)
+                  AS BIGINT) AS DOUBLE) / COUNT(1) AS oov_rate
+         FROM bg JOIN v USING (b)
+         GROUP BY bg.doc_id ORDER BY doc_id""",
 
     // same 16-word chunk + 60-bit md5-prefix integer as the Spark side
     "t20_source_overlap" ->
