@@ -537,6 +537,66 @@ object DedupOps {
     stripBoilerplateWith(docs,
       boilerplateSet(docs, chunkWords, minDocs), chunkWords)
 
+  /** Directional CONTAINMENT near-dup pairs (d14): C(A→B) =
+    * |S_A ∩ S_B| / |S_A| >= `t` over distinct 3-word shingles — the
+    * asymmetric signal symmetric Jaccard cannot see: a truncated copy,
+    * a quoted excerpt, or a doc embedded in a larger one scores near 1
+    * on containment while its Jaccard can be arbitrarily low.
+    *
+    * Candidate pruning (each rule a NECESSARY condition of C >= t —
+    * zero recall loss, same discipline as [[prefixCandidates]]):
+    *  - A-prefix: at most floor((1-t)·sa) of A's shingles may miss B,
+    *    so A must collide within its (sa - ceil(t·sa) + 1)
+    *    globally-rarest shingles. B carries NO prefix — containment
+    *    bounds only A's misses — so B indexes its full sorted list.
+    *  - size: inter >= ceil(t·sa) and inter <= sb force sb >= ceil(t·sa).
+    *  - positional: the FIRST common shingle at sorted positions
+    *    (pa, pb) bounds inter <= 1 + min(sa-pa, sb-pb); keep-if-any
+    *    collision passes, and the first collision is always present.
+    * All ceil(t·sa) bounds subtract 1e-9 first: double rounding (e.g.
+    * 0.9*20 = 18.000000000000004) may only LOOSEN a prune, never drop
+    * a true pair; exact division-form verification decides membership,
+    * mirroring the oracle bit-for-bit. */
+  def containmentPairs(docs: DataFrame, t: Double = 0.9,
+      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
+    require(t > 0 && t <= 1, s"need containment threshold in (0, 1]: $t")
+    val byDoc = byDocIndex(docs, materialize)
+    def ceilT(c: Column) = ceil(lit(t) * c - lit(1e-9))
+    val aPrefix = byDoc
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr(s"slice(array_sort(l), 1, " +
+          s"size(l) - CAST(ceil($t * size(l) - 1e-9) AS INT) + 1)")))
+      .filter(col("col.df") >= 2)
+      .select(col("doc_id").as("doc_a"), col("sz").as("sa"),
+        (col("pos") + 1).as("pa"), col("col.sh").as("sh"))
+    val bFull = byDoc
+      .select(col("doc_id"), col("sz"), posexplode(expr("array_sort(l)")))
+      .filter(col("col.df") >= 2)
+      .select(col("doc_id").as("doc_b"), col("sz").as("sb"),
+        (col("pos") + 1).as("pb"), col("col.sh").as("sh"))
+    val cand = aPrefix.join(bFull, "sh")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("sb") >= ceilT(col("sa")))
+      .filter(lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb"))
+        >= ceilT(col("sa")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sizes = byDoc.select(col("doc_id"), col("sz"))
+    val shp = postings(byDoc).filter(col("df") >= 2)
+      .select(col("doc_id"), col("sh"))
+    cand
+      .join(shp.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(shp.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")),
+        "doc_a")
+      .withColumn("containment",
+        col("inter").cast("double") / col("sa"))
+      .filter(col("containment") >= t)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sa"),
+        col("containment"))
+  }
+
   /** Keep-first passage dedup (d12): each distinct `chunkWords`-word
     * chunk survives only at its first corpus-wide occurrence (minimum
     * (doc_id, chunk_idx)); later occurrences are excised and each
@@ -743,6 +803,13 @@ object DedupOps {
       passageDedupKeepFirst(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // Directional containment pairs at 0.9 — the truncation/quotation
+    // detector (see [[containmentPairs]] for the asymmetric prefix
+    // filter and why Jaccard misses these).
+    "d14_containment_pairs" -> ((s, d) =>
+      containmentPairs(Tables.documents(s, d), 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // Canonical selection POLICY over d07's near-dup clusters: keep
     // the LONGEST member (ties by min doc_id), not the min-id one —
     // the policy a real corpus wants, since near-dup clusters usually
@@ -905,6 +972,25 @@ object DedupOps {
       "d03_ngram_jaccard_pairs" -> jaccardSql,
       // LSH output == exact output at this corpus/threshold (see scaladoc)
       "d04_minhash_lsh_dedup" -> jaccardSql,
+      // DIRECTIONAL pairs (doc_a <> doc_b, not <): containment divides
+      // by the contained side's size only
+      "d14_containment_pairs" ->
+        """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+                      FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                    words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+                  FROM w, UNNEST(GENERATE_SERIES(1, LEN(words) - 2)) AS t(i)),
+           sizes AS (SELECT doc_id, COUNT(1) AS sz FROM sh GROUP BY doc_id),
+           pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            COUNT(1) AS inter
+                     FROM sh a JOIN sh b
+                       ON a.sh = b.sh AND a.doc_id <> b.doc_id
+                     GROUP BY 1, 2)
+           SELECT doc_a, doc_b, inter, sa.sz AS sa,
+                  CAST(inter AS DOUBLE) / sa.sz AS containment
+           FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+           WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.9
+           ORDER BY doc_a, doc_b""",
       // exact cross-split Jaccard — d09's LSH+verify equals it (recall
       // argument in nearDupeAgainst's scaladoc, verified empirically)
       "d09_neardup_against" ->

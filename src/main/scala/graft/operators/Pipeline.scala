@@ -46,6 +46,26 @@ object Pipeline {
       .withColumn("text", col("clean_text"))
       .drop("clean_text", "n_chunks", "n_removed")
 
+  /** Keep-first passage dedup as a pipeline stage
+    * ([[DedupOps.passageDedupKeepFirst]] rewired to the corpus
+    * schema): every repeated chunk keeps its first corpus-wide
+    * occurrence, each document's `text` becomes its excised form, and
+    * documents whose every chunk was a later duplicate are dropped.
+    * The alternative to [[boilerplateStripped]] when repeated content
+    * should survive ONCE rather than vanish — web chrome wants the
+    * strip; a syndicated article wants exactly one surviving copy.
+    * Cost: the fingerprint election exchange + one text exchange (see
+    * d12's scaladoc), plus the doc_id equi-join back to the corpus
+    * columns. */
+  def passageDeduped(docs: DataFrame, chunkWords: Int = 16): DataFrame =
+    docs.join(
+      DedupOps.passageDedupKeepFirst(docs, chunkWords)
+        .filter(length(col("clean_text")) > 0)
+        .select(col("doc_id"), col("clean_text")),
+      Seq("doc_id"))
+      .withColumn("text", col("clean_text"))
+      .drop("clean_text")
+
   /** Row-local quality gate: minimum token count + distinct-token ratio
     * (t02's "too_short"/"repetitive" rules). Pure map — no exchange. */
   def qualityFilter(docs: DataFrame, minTokens: Int = 10,

@@ -139,4 +139,58 @@ class GraftPropertiesSpec extends AnyFunSuite {
     }
     assert(qualifying > 50, s"property under-exercised: $qualifying pairs")
   }
+
+  /** Scala model of [[graft.operators.DedupOps.containmentPairs]]'s
+    * candidate filters — A-side prefix, size, positional — including
+    * the 1e-9 ceiling guard (0.9*10 = 9.000000000000002 must not
+    * tighten a bound). */
+  private def containmentModel(corpus: Vector[Set[Int]], t: Double)
+      : Set[(Int, Int)] = {
+    val df = corpus.flatMap(_.toSeq).groupBy(identity).map {
+      case (sh, occ) => sh -> occ.size
+    }
+    def ceilT(sa: Int): Double = math.ceil(t * sa - 1e-9)
+    val sorted = corpus.map(s => s.toVector.sortBy(sh => (df(sh), sh)))
+    val prefixes = sorted.map { l =>
+      val keep = l.size - math.ceil(t * l.size - 1e-9).toInt + 1
+      l.take(keep).zipWithIndex.filter { case (sh, _) => df(sh) >= 2 }
+    }
+    val fulls = sorted.map(
+      _.zipWithIndex.filter { case (sh, _) => df(sh) >= 2 })
+    val out = scala.collection.mutable.Set.empty[(Int, Int)]
+    for {
+      a <- corpus.indices; b <- corpus.indices if a != b
+      (sh, pa) <- prefixes(a)
+      pb <- fulls(b).collectFirst { case (`sh`, p) => p }
+    } {
+      val (sa, sb) = (corpus(a).size, corpus(b).size)
+      val bound = 1 + math.min(sa - (pa + 1), sb - (pb + 1))
+      if (sb >= ceilT(sa) && bound >= ceilT(sa)) out += ((a, b))
+    }
+    out.toSet
+  }
+
+  test("containment A-prefix + size + positional filters never drop a " +
+      "directional pair with C(A→B) >= t (zero recall loss)") {
+    val setGen = Gen.chooseNum(3, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 40)).map(_.toSet))
+    val corpusGen = Gen.chooseNum(4, 15).flatMap(n =>
+      Gen.listOfN(n, setGen).map(_.toVector))
+    val tGen = Gen.oneOf(0.7, 0.8, 0.9)
+    var qualifying = 0
+    forAllSeeded(Gen.zip(corpusGen, tGen), n = 300) { case (corpus, t) =>
+      val cands = containmentModel(corpus, t)
+      for (a <- corpus.indices; b <- corpus.indices if a != b) {
+        val sa = corpus(a).size
+        val inter = (corpus(a) & corpus(b)).size
+        if (sa > 0 && inter.toDouble / sa >= t) {
+          qualifying += 1
+          assert(cands.contains((a, b)),
+            s"pair ($a,$b) C=${inter.toDouble / sa} >= $t dropped; " +
+              s"corpus=$corpus")
+        }
+      }
+    }
+    assert(qualifying > 50, s"property under-exercised: $qualifying pairs")
+  }
 }

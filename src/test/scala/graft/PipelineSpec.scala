@@ -109,6 +109,25 @@ class PipelineSpec extends SparkSpec {
       s"stripped docs 1/2 must pass quality with chrome removed: $got")
   }
 
+  test("passageDeduped keeps the FIRST occurrence of a repeated chunk " +
+      "(boilerplateStripped would remove all), drops fully-excised " +
+      "docs, and metadata columns ride through") {
+    import spark.implicits._
+    val cw = 4
+    val passage = "shared syndicated article text" // one cw-word chunk
+    val docs = Seq(
+      (1L, s"$passage alpha body words here", "src0"),
+      (2L, s"$passage beta content body here", "src1"), // loses chunk 0
+      (3L, passage, "src0") // every chunk a later dup -> dropped
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.Pipeline.passageDeduped(docs, cw)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, s"$passage alpha body words here", "src0"),
+      (2L, "beta content body here", "src1")), got.toString)
+  }
+
   test("leakageSafeSplit: docs sharing a representative always land in " +
       "the same split; cuts validate; near-dup reps plug in directly") {
     import spark.implicits._
