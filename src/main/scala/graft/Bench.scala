@@ -57,7 +57,8 @@ object Bench {
     "e15_kmeans_refine", "q76_key_skew_profile", "q77_zorder_layout",
     "q78_snapshot_diff", "q79_scd2_history", "q80_column_profile",
     "e16_embedding_drift", "q81_funnel_timing", "q82_top_paths",
-    "t21_bigram_quality", "d14_containment_pairs")
+    "t21_bigram_quality", "d14_containment_pairs",
+    "q83_point_in_time_state")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

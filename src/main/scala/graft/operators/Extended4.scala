@@ -351,6 +351,28 @@ object Extended4 {
         .orderBy(col("rank"))
     }),
 
+    // POINT-IN-TIME state reconstruction — the feature-store lookup
+    // over q79's SCD2 intervals: each user's state exactly at every
+    // observed month boundary, leakage-free by construction (an
+    // interval is used only while valid_from <= T < valid_to, so no
+    // future information reaches a training row stamped T). The probe
+    // grid is the distinct month starts — O(calendar) rows riding a
+    // broadcast — and since a user's intervals partition time, each
+    // (user, snapshot) matches AT MOST one interval: no dedup pass.
+    // Scale: the interval frame is the collapsed run frame, the
+    // non-equi probe is against a broadcast grid (PlanLint-allowlisted
+    // band-table shape, q25's precedent).
+    "q83_point_in_time_state" -> ((s, d) => {
+      val iv = queries("q79_scd2_history")(s, d)
+      val snaps = Tables.events(s, d)
+        .select(date_trunc("month", col("ts")).as("snap")).distinct()
+      iv.join(broadcast(snaps),
+          col("valid_from") <= col("snap") &&
+            (col("valid_to").isNull || col("valid_to") > col("snap")))
+        .select(col("snap"), col("user_id"), col("event_type"))
+        .orderBy(col("snap"), col("user_id"))
+    }),
+
     // CDC compaction (keep-latest-per-key): collapse an event/changelog
     // stream to each key's most recent row — the merge/upsert
     // materialization step of a warehouse ingest. Deterministic
@@ -1085,6 +1107,34 @@ object Extended4 {
              AS rank,
            path, n
          FROM c QUALIFY rank <= 10 ORDER BY rank""",
+
+    // q79's interval CTEs + a month-start probe grid; strict upper
+    // bound keeps adjacent intervals non-overlapping at the boundary
+    "q83_point_in_time_state" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         r AS (SELECT user_id, ts, event_id, event_type,
+                 CAST(SUM(chg) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS BIGINT) AS run
+               FROM c),
+         g AS (SELECT user_id, run, MIN(event_type) AS event_type,
+                 MIN(ts) AS valid_from
+               FROM r GROUP BY user_id, run),
+         iv AS (SELECT user_id, event_type, valid_from,
+                  LEAD(valid_from) OVER (PARTITION BY user_id
+                    ORDER BY valid_from) AS valid_to
+                FROM g),
+         snaps AS (SELECT DISTINCT date_trunc('month', ts) AS snap
+                   FROM events)
+         SELECT snap, user_id, event_type
+         FROM iv JOIN snaps
+           ON valid_from <= snap
+          AND (valid_to IS NULL OR valid_to > snap)
+         ORDER BY snap, user_id""",
 
     "q62_cdc_compact" ->
       """SELECT user_id, event_id AS last_event_id, ts AS last_ts,

@@ -35,7 +35,8 @@ class PlanLintSpec extends SparkSpec {
     "e14_pq_recall", // exhaustive ground truth (!=) + PQ index side
     "q76_key_skew_profile", // 1-row broadcast corpus scalars (total, n_keys)
     "e15_kmeans_refine", // broadcast centroid assignment cross, x3 iterations
-    "e16_embedding_drift") // same broadcast centroid assignment cross
+    "e16_embedding_drift", // same broadcast centroid assignment cross
+    "q83_point_in_time_state") // O(calendar) broadcast snapshot grid, non-equi
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
