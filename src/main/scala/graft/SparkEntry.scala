@@ -26,7 +26,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Extended.queries ++
       operators.Extended3.queries ++
-      operators.Extended4.queries
+      operators.Extended4.queries ++
+      operators.Extended5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -40,5 +41,6 @@ object SparkEntry {
       operators.Multimodal.oracleSql ++
       operators.Extended.oracleSql ++
       operators.Extended3.oracleSql ++
-      operators.Extended4.oracleSql
+      operators.Extended4.oracleSql ++
+      operators.Extended5.oracleSql
 }

@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Fifth analytics batch: market-basket association rules, robust
+  * (median/MAD) anomaly detection, equi-depth decile gain analysis, and
+  * last-touch channel attribution.
+  *
+  * Like the rest of the analytical surface these go beyond the
+  * reference's ingest scope (reactive-kinesis delegates all analysis to
+  * user code downstream of `source(...)` — `main/stream`); they are
+  * the downstream queries such a user runs, re-expressed Spark-first.
+  * Every query here is a declarative plan (Catalyst handles pushdown /
+  * partial aggregation); the scale notes on each entry say why the
+  * shape survives a 1000-executor, 100 TB corpus.
+  */
+object Extended5 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MARKET-BASKET association rules (support / confidence / lift)
+    // over order baskets, with a-priori pruning: items below the
+    // support floor are removed BEFORE pairing, so the quadratic
+    // blow-up is bounded by (max basket size)^2 x surviving items —
+    // the standard frequent-itemset shape. Scale: the basket frame
+    // shuffles once on l_orderkey (the self-join key); per-order pair
+    // fan-out is C(basket,2) with TPC-H baskets of ~4-7 lines, so the
+    // exchange grows linearly with orders. The per-item count frame is
+    // |parts|-sized — broadcast to both the pruning semi-join and the
+    // rule stats join, so the big side never reshuffles on partkey.
+    "q84_market_basket" -> ((s, d) => {
+      val minItem = 20L // item support floor (a-priori prune)
+      val minPair = 3L  // rule support floor
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val cnt = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val freq = cnt.filter(col("c") >= minItem)
+      val fb = b.join(broadcast(freq.select("l_partkey")), "l_partkey")
+      // basket total as a 1-row broadcast (scalar rides the plan — no
+      // separate driver-side count job)
+      val nb = b.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+      val left = fb.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val right = fb.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      val pairs = left.join(right, "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .filter(col("pair_cnt") >= minPair)
+      val ca = broadcast(freq.select(col("l_partkey").as("part_a"),
+        col("c").as("cnt_a")))
+      val cb = broadcast(freq.select(col("l_partkey").as("part_b"),
+        col("c").as("cnt_b")))
+      pairs.join(ca, "part_a").join(cb, "part_b")
+        .crossJoin(broadcast(nb))
+        .select(col("part_a"), col("part_b"), col("pair_cnt"),
+          col("cnt_a"), col("cnt_b"),
+          (col("pair_cnt").cast("double") / col("n_baskets").cast("double"))
+            .as("support"),
+          (col("pair_cnt").cast("double") / col("cnt_a").cast("double"))
+            .as("conf_a_b"),
+          (col("pair_cnt").cast("double") / col("cnt_b").cast("double"))
+            .as("conf_b_a"),
+          (col("pair_cnt").cast("double") * col("n_baskets").cast("double")
+            / (col("cnt_a").cast("double") * col("cnt_b").cast("double")))
+            .as("lift"))
+        .orderBy(col("part_a"), col("part_b"))
+    }),
+
+    // ROBUST anomaly detection: per event type, exact median and MAD
+    // (median absolute deviation), then count values outside the
+    // standard 3-sigma-equivalent fence 3 x 1.4826 x MAD. Median/MAD
+    // resist the very outliers they hunt (mean/stddev do not), which
+    // is why monitoring pipelines prefer them. Shape: two grouped
+    // exact-percentile aggregates over a 5-group key plus one
+    // broadcast join of the 5-row median frame back onto events — the
+    // only full-data exchange is the groupBy(event_type) itself, and
+    // partial aggregation collapses it map-side. percentile() here is
+    // exact (the group count is bounded per type at any scale by
+    // the type cardinality, not corpus size... the per-group sort is
+    // the cost; for unbounded groups swap in the q52 KMV quantile
+    // sketch — same query shape, mergeable state).
+    "q85_robust_anomaly" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          first(col("med")).as("med"),
+          first(col("mad")).as("mad"),
+          sum(when(col("ad") > lit(3d) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_anom"))
+        .orderBy(col("event_type"))
+    }),
+
+    // EQUI-DEPTH decile gain table: customers ranked by lifetime
+    // spend, cut into 10 equal-count buckets (ntile over a
+    // deterministic total order — spend desc, custkey asc so ties
+    // never make the bucketing engine-dependent), then per-decile
+    // revenue share and cumulative share (the "top 10% of customers
+    // drive X% of revenue" curve). Shape: one customer-keyed
+    // aggregate, then a single-partition window over |customers|
+    // rows of (custkey, spend) pairs — 16 bytes each, so even 10^9
+    // customers is ~16 GB through one task; past that, swap ntile
+    // for a rank against broadcast quantile cut-points (q52 sketch)
+    // and keep the rest of the plan identical. The final agg is 10
+    // rows.
+    "q86_decile_gain" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // spend carried as integer cents end-to-end (q68 rule: double
+      // sums are order-dependent across engines; integer sums are
+      // exact and make the ntile order unambiguous)
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * lit(100)).cast("long"))
+          .as("s_cents"))
+      val w = Window.orderBy(col("s_cents").desc, col("o_custkey"))
+      val dec = spend.withColumn("decile", ntile(10).over(w))
+      val byDec = dec.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("s_cents")).as("rev_cents"))
+      val wc = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy()
+      byDec
+        .withColumn("rev", col("rev_cents").cast("double") / lit(100.0))
+        .withColumn("pct", col("rev_cents").cast("double")
+          / sum(col("rev_cents")).over(wt).cast("double"))
+        .withColumn("cum_pct",
+          sum(col("rev_cents")).over(wc).cast("double")
+            / sum(col("rev_cents")).over(wt).cast("double"))
+        .select(col("decile"), col("n_cust"), col("rev"), col("pct"),
+          col("cum_pct"))
+        .orderBy(col("decile"))
+    }),
+
+    // LAST-TOUCH attribution: every purchase is credited to the most
+    // recent preceding click's channel for that user (clicks carry a
+    // synthetic channel derived from props.k; purchases with no prior
+    // click are 'organic'). Shape: ONE user-keyed window does the
+    // whole job — the q60 LOCF idiom (last_value ignoreNulls over an
+    // unbounded-preceding frame) carries the channel forward through
+    // each user's interleaved click/purchase timeline, so there is no
+    // range join of purchases against click history (the naive shape,
+    // quadratic in events per user). The frame is pre-filtered to the
+    // two relevant event types at the scan (pushed filter), and the
+    // window partitions on user_id — high cardinality, no skew. Final
+    // agg is |channels| rows.
+    "q87_last_touch_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"),
+          when(col("event_type") === "click",
+            concat(lit("ch_"),
+              (get_json_object(col("props"), "$.k").cast("long") % 5)
+                .cast("string"))).as("ch"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("attr", last(col("ch"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("attr"), lit("organic")).as("channel"))
+        // revenue summed as integer cents (q68 rule: double sums are
+        // order-dependent across engines; integer sums are exact)
+        .agg(count(lit(1)).as("n_purchases"),
+          (sum(round(col("value") * lit(100)).cast("long")).cast("double")
+            / lit(100.0)).as("revenue"))
+        .orderBy(col("channel"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q84_market_basket" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         cnt AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY 1),
+         freq AS (SELECT * FROM cnt WHERE c >= 20),
+         fb AS (SELECT b.* FROM b JOIN freq USING (l_partkey)),
+         nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM b),
+         pairs AS (
+           SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+                  COUNT(*) AS pair_cnt
+           FROM fb a JOIN fb b2
+             ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         SELECT p.part_a, p.part_b, p.pair_cnt,
+                ca.c AS cnt_a, cb.c AS cnt_b,
+                CAST(p.pair_cnt AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+                CAST(p.pair_cnt AS DOUBLE) / CAST(ca.c AS DOUBLE) AS conf_a_b,
+                CAST(p.pair_cnt AS DOUBLE) / CAST(cb.c AS DOUBLE) AS conf_b_a,
+                CAST(p.pair_cnt AS DOUBLE) * CAST(nb.n AS DOUBLE)
+                  / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+         FROM pairs p
+         JOIN freq ca ON ca.l_partkey = p.part_a
+         JOIN freq cb ON cb.l_partkey = p.part_b
+         CROSS JOIN nb
+         ORDER BY p.part_a, p.part_b""",
+
+    "q85_robust_anomaly" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                      FROM events GROUP BY 1),
+         dev AS (SELECT e.event_type, e.value, med.med,
+                        abs(e.value - med.med) AS ad
+                 FROM events e JOIN med USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+                 FROM dev GROUP BY 1)
+         SELECT d.event_type, COUNT(*) AS n,
+                any_value(d.med) AS med, any_value(mad.mad) AS mad,
+                SUM(CASE WHEN d.ad > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS n_anom
+         FROM dev d JOIN mad USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q86_decile_gain" ->
+      """WITH spend AS (SELECT o_custkey,
+                               SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                                 AS s_cents
+                        FROM orders GROUP BY 1),
+         dec AS (SELECT *, ntile(10) OVER (ORDER BY s_cents DESC, o_custkey)
+                   AS decile FROM spend)
+         SELECT decile, COUNT(*) AS n_cust,
+                CAST(SUM(s_cents) AS DOUBLE) / 100.0 AS rev,
+                CAST(SUM(s_cents) AS DOUBLE)
+                  / CAST(SUM(SUM(s_cents)) OVER () AS DOUBLE) AS pct,
+                CAST(SUM(SUM(s_cents)) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / CAST(SUM(SUM(s_cents)) OVER () AS DOUBLE) AS cum_pct
+         FROM dec GROUP BY 1 ORDER BY 1""",
+
+    "q87_last_touch_attribution" ->
+      """WITH tagged AS (
+           SELECT user_id, ts, event_id, event_type, value,
+                  CASE WHEN event_type = 'click'
+                       THEN 'ch_' ||
+                            CAST(CAST(props->>'k' AS BIGINT) % 5 AS VARCHAR)
+                  END AS ch
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         carried AS (
+           SELECT *, last_value(ch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr
+           FROM tagged)
+         SELECT COALESCE(attr, 'organic') AS channel,
+                COUNT(*) AS n_purchases,
+                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS revenue
+         FROM carried WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -36,7 +36,8 @@ class PlanLintSpec extends SparkSpec {
     "q76_key_skew_profile", // 1-row broadcast corpus scalars (total, n_keys)
     "e15_kmeans_refine", // broadcast centroid assignment cross, x3 iterations
     "e16_embedding_drift", // same broadcast centroid assignment cross
-    "q83_point_in_time_state") // O(calendar) broadcast snapshot grid, non-equi
+    "q83_point_in_time_state", // O(calendar) broadcast snapshot grid, non-equi
+    "q84_market_basket") // 1-row broadcast basket-count scalar
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
