@@ -58,7 +58,11 @@ object Bench {
     "q78_snapshot_diff", "q79_scd2_history", "q80_column_profile",
     "e16_embedding_drift", "q81_funnel_timing", "q82_top_paths",
     "t21_bigram_quality", "d14_containment_pairs",
-    "q83_point_in_time_state")
+    "q83_point_in_time_state",
+    "q84_market_basket", "q85_robust_anomaly", "q86_decile_gain",
+    "q87_last_touch_attribution", "d15_repeated_spans",
+    "t22_zipf_slope", "e17_cell_silhouette",
+    "m11_phash_recall", "q88_wow_trend", "t23_term_entropy")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

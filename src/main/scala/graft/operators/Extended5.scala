@@ -173,6 +173,144 @@ object Extended5 {
           (sum(round(col("value") * lit(100)).cast("long")).cast("double")
             / lit(100.0)).as("revenue"))
         .orderBy(col("channel"))
+    }),
+
+    // REPEATED-PASSAGE span mining (the report behind d12's excision):
+    // every maximal run of word 8-grams that also occur in at least
+    // one OTHER document, per document, with 1-based token bounds —
+    // the "which passages are boilerplate/copied, and how widely"
+    // audit (Lee et al.'s dedup analysis shape) that decides excision
+    // thresholds before d12 commits to them. Shape: the gram frame is
+    // (doc_id, pos, hash) — the codegen'd per-position gram hashes,
+    // never gram text; cross-doc frequency is a g-keyed count-distinct
+    // over 8-byte keys (map-side partial agg collapses in-doc
+    // repeats); flagged positions rejoin on g and the island merge
+    // (pos - row_number) is a doc-local window. No text ever shuffles.
+    "d15_repeated_spans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 8
+      val pos = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(
+          graft.functions.TextFunctions.wordGramHashes(col("text"), n)))
+        .toDF("doc_id", "pos", "g")
+      val dup = pos.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      pos.join(dup, "g")
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg((min(col("pos")) + 1).cast("long").as("span_start"),
+          (max(col("pos")) + n).cast("long").as("span_end"),
+          count(lit(1)).as("n_grams"),
+          max(col("n_docs")).as("max_doc_freq"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_grams"), col("max_doc_freq"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // ZIPF slope per source: log-log OLS of term frequency against
+    // frequency rank over each source's top terms. Natural text obeys
+    // Zipf (slope near -1); a source whose slope collapses toward 0 is
+    // template/machine output — this is a corpus-level quality screen
+    // that catches what t02/t16's per-document scores cannot (a
+    // thousand distinct documents stamped from one template each look
+    // fine alone). Shape: term-frequency aggregate (the only full
+    // exchange, partial-agg collapsed), a per-source top-100 window
+    // over the |vocab per source| frame, then q58's closed-form OLS on
+    // moments — each moment a Parity.dsum (decimal, order-independent)
+    // so the slope is cross-engine exact; the result is |sources| rows.
+    "t22_zipf_slope" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(trim(col("text")), " ")).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("freq").desc, col("term"))
+      val rk = tf.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 100)
+        .withColumn("x", log(col("rank").cast("double")))
+        .withColumn("y", log(col("freq").cast("double")))
+      rk.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          graft.Parity.dsum(col("x")).as("sx"),
+          graft.Parity.dsum(col("y")).as("sy"),
+          graft.Parity.dsum(col("x") * col("x")).as("sxx"),
+          graft.Parity.dsum(col("x") * col("y")).as("sxy"))
+        .withColumn("nd", col("n_terms").cast("double"))
+        .withColumn("slope",
+          (col("nd") * col("sxy") - col("sx") * col("sy"))
+            / (col("nd") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("intercept",
+          (col("sy") - col("slope") * col("sx")) / col("nd"))
+        .select(col("source"), col("n_terms"), col("slope"),
+          col("intercept"))
+        .orderBy(col("source"))
+    }),
+
+    // WEEK-over-week revenue trend per order priority: ISO-week
+    // rollup (integer cents), then lag-1 deltas within each priority
+    // series. The standard KPI trend table. Shape: one grouped
+    // aggregate (the only full-data exchange, partial-agg collapsed
+    // to |priorities| x |weeks| rows map-side), then a window over
+    // the tiny rollup. Week emitted as timestamp_ntz (q66 rule:
+    // date32 breaks the driver hash on the pandas side).
+    "q88_wow_trend" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          date_trunc("week", col("o_orderdate")).cast("timestamp_ntz")
+            .as("week"))
+        .agg(sum(round(col("o_totalprice") * lit(100)).cast("long"))
+          .as("rev_cents"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("week"))
+      wk.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+        .select(col("o_orderpriority"), col("week"),
+          (col("rev_cents").cast("double") / lit(100.0)).as("rev"),
+          (col("prev_cents").cast("double") / lit(100.0)).as("prev_rev"),
+          ((col("rev_cents") - col("prev_cents")).cast("double")
+            / col("prev_cents").cast("double")).as("wow_pct"))
+        .orderBy(col("o_orderpriority"), col("week"))
+    }),
+
+    // Per-document TERM ENTROPY: Shannon entropy of each document's
+    // term distribution plus the normalized form (entropy / ln of
+    // distinct terms — 1.0 = uniform, low = a few terms dominate).
+    // The within-document diversity screen that complements t11's
+    // repetition ratios (a doc repeating one sentence has low entropy
+    // long before its top-gram ratio trips). Shape: entirely doc-local
+    // — term counts group on (doc, term) where the doc_id prefix keeps
+    // the exchange aligned with the document partitioning, and the
+    // entropy rollup groups on doc_id; each moment is a Parity.dsum
+    // so the doubles are summation-order exact. The one raw (non-dsum)
+    // log is ln(n_distinct): bit-identical across engines on integer
+    // inputs (verified empirically, JVM intrinsic vs DuckDB libm,
+    // 2..2000); any ulp noise in ln(p) is absorbed by dsum's decimal
+    // rounding.
+    "t23_term_entropy" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("freq"))
+      val tot = tf.groupBy(col("doc_id"))
+        .agg(sum(col("freq")).as("total"), count(lit(1)).as("n_distinct"))
+      tf.join(tot, "doc_id")
+        .withColumn("p", col("freq").cast("double")
+          / col("total").cast("double"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("n_distinct")).as("n_distinct"),
+          first(col("total")).as("n_terms"),
+          (-graft.Parity.dsum(col("p") * log(col("p")))).as("entropy"))
+        .withColumn("norm_entropy",
+          when(col("n_distinct") > 1,
+            col("entropy") / log(col("n_distinct").cast("double")))
+            .otherwise(lit(0d)))
+        .select(col("doc_id"), col("n_terms"), col("n_distinct"),
+          col("entropy"), col("norm_entropy"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -251,6 +389,90 @@ object Extended5 {
                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
                   / 100.0 AS revenue
          FROM carried WHERE event_type = 'purchase'
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    // string-gram equality stands in for the Spark side's gram-hash
+    // equality (d03/d08 precedent: collision-free at oracle scale)
+    "d15_repeated_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+                    FROM documents),
+         g AS (SELECT doc_id, i AS pos,
+                      array_to_string(words[i:i+7], ' ') AS gram
+               FROM w, UNNEST(generate_series(1, LEN(words) - 7)) AS t(i)),
+         dup AS (SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
+                 FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+         f AS (SELECT g.doc_id, g.pos, dup.n_docs
+               FROM g JOIN dup USING (gram)),
+         isl AS (SELECT doc_id, pos, n_docs,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY pos) AS grp
+                 FROM f)
+         SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+                COUNT(*) AS n_grams, MAX(n_docs) AS max_doc_freq
+         FROM isl GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start""",
+
+    "t22_zipf_slope" ->
+      s"""WITH terms AS (SELECT source, UNNEST(string_split(TRIM(text), ' '))
+                           AS term FROM documents),
+         tf AS (SELECT source, term, COUNT(*) AS freq
+                FROM terms GROUP BY 1, 2),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY freq DESC, term) AS rank FROM tf),
+         xy AS (SELECT source, ln(CAST(rank AS DOUBLE)) AS x,
+                       ln(CAST(freq AS DOUBLE)) AS y
+                FROM rk WHERE rank <= 100),
+         m AS (SELECT source, COUNT(*) AS n_terms,
+                      ${graft.Parity.dsumSql("x")} AS sx,
+                      ${graft.Parity.dsumSql("y")} AS sy,
+                      ${graft.Parity.dsumSql("x * x")} AS sxx,
+                      ${graft.Parity.dsumSql("x * y")} AS sxy
+               FROM xy GROUP BY 1)
+         SELECT source, n_terms,
+                (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS slope,
+                (sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+                  / CAST(n_terms AS DOUBLE) AS intercept
+         FROM m ORDER BY source""",
+
+    "q88_wow_trend" ->
+      """WITH wk AS (SELECT o_orderpriority,
+                            CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)
+                              AS week,
+                            SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS rev_cents
+                     FROM orders GROUP BY 1, 2),
+         lagged AS (SELECT *, lag(rev_cents, 1) OVER (
+                      PARTITION BY o_orderpriority ORDER BY week)
+                      AS prev_cents FROM wk)
+         SELECT o_orderpriority, week,
+                CAST(rev_cents AS DOUBLE) / 100.0 AS rev,
+                CAST(prev_cents AS DOUBLE) / 100.0 AS prev_rev,
+                CAST(rev_cents - prev_cents AS DOUBLE)
+                  / CAST(prev_cents AS DOUBLE) AS wow_pct
+         FROM lagged ORDER BY o_orderpriority, week""",
+
+    "t23_term_entropy" ->
+      s"""WITH terms AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' '))
+                           AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS freq
+                FROM terms GROUP BY 1, 2),
+         tot AS (SELECT doc_id, SUM(freq) AS total, COUNT(*) AS n_distinct
+                 FROM tf GROUP BY 1),
+         p AS (SELECT tf.doc_id, tot.total, tot.n_distinct,
+                      CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS p
+               FROM tf JOIN tot USING (doc_id)),
+         e AS (SELECT doc_id, any_value(total) AS n_terms,
+                      any_value(n_distinct) AS n_distinct,
+                      -(${graft.Parity.dsumSql("p * ln(p)")}) AS entropy
+               FROM p GROUP BY 1)
+         SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, n_distinct,
+                entropy,
+                CASE WHEN n_distinct > 1
+                     THEN entropy / ln(CAST(n_distinct AS DOUBLE))
+                     ELSE 0.0 END AS norm_entropy
+         FROM e ORDER BY doc_id"""
   )
 }

@@ -148,14 +148,21 @@ object Multimodal {
     * pair distinct: hamming is a function of the pair, so the result
     * is identical, but the dedup exchange then carries only true
     * near-dups, not every band collision. */
-  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+  /** Per-media aHash fingerprints (doc_id, ahash) — shared by the LSH
+    * pair search (m07/m10) and its recall evaluation (m11), so the
+    * eval measures exactly the fingerprints the index banded. */
+  private def ahashFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val fp = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .where(length(col("payload")) > 0)
       .as[MediaIn]
       .mapPartitions(_.map(MultimodalStub.ahash))
       .toDF()
+  }
+
+  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+    val fp = ahashFrame(s, d)
     val banded = fp
       .select(col("doc_id"), col("ahash"),
         explode(expr("sequence(0, 3)")).as("band"))
@@ -250,6 +257,37 @@ object Multimodal {
     // Perceptual-hash media NEAR-dup pairs (see [[phashPairs]]).
     "m07_multimodal_phash_neardup" -> ((s, d) =>
       phashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+
+    // pHash index RECALL (e07's discipline applied to the media
+    // index): m07's banded-LSH pairs measured against the exhaustive
+    // hamming<=12 ground truth over the SAME aHash fingerprints,
+    // bucketed by distance. 4 bands x 15 bits guarantee recall 1.0
+    // only up to hamming 3 (pigeonhole: <=3 flipped bits cannot touch
+    // all 4 bands); beyond that an all-bands-hit pair is possible and
+    // this report is what says whether the banding is actually losing
+    // pairs where it matters (near-threshold distances). Ground-truth
+    // side is the O(n²) scan — per-bucket / sampled only, like every
+    // eval twin (e02/e07/e14); the index side is the m07 scale path.
+    "m11_phash_recall" -> ((s, d) => {
+      val fp = ahashFrame(s, d)
+      val a = fp.select(col("doc_id").as("doc_a"), col("ahash").as("ha"))
+      val b = fp.select(col("doc_id").as("doc_b"), col("ahash").as("hb"))
+      val truth = a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+        .filter(col("hamming") <= 12)
+      val found = phashPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+      truth.join(found, Seq("doc_a", "doc_b"), "left")
+        .groupBy(when(col("hamming") <= 4, "d00_04")
+          .when(col("hamming") <= 8, "d05_08")
+          .otherwise("d09_12").as("bucket"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_true"))
+        .orderBy(col("bucket"))
+    }),
 
     // Media near-dup CLUSTERS: m07's verified pair graph collapsed by
     // the same path-halving connected components the text corpus uses
@@ -432,6 +470,51 @@ object Multimodal {
                 COALESCE(LEAST(s.doc_id, r.m), s.doc_id) AS cluster_rep
          FROM s LEFT JOIN rep r ON r.doc_id = s.doc_id
          ORDER BY s.doc_id""",
+
+    // same fp/banded/cand chain as m07 plus the exhaustive-truth side;
+    // n_found cast to BIGINT (DuckDB SUM(int) is HUGEINT — q21 rule)
+    "m11_phash_recall" ->
+      """WITH s AS (SELECT doc_id, text,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS n
+           FROM documents WHERE OCTET_LENGTH(CAST(text AS BLOB)) > 0),
+         ch AS (SELECT doc_id, n, i, ORD(SUBSTR(text, i, 1)) AS v,
+                  ((i-1)*60)//n AS b
+                FROM s, UNNEST(GENERATE_SERIES(1, n)) AS t(i)),
+         tot AS (SELECT doc_id, n, SUM(v) AS total FROM ch
+                 GROUP BY doc_id, n),
+         blk AS (SELECT doc_id, b, SUM(v) AS bsum, COUNT(1) AS blen
+                 FROM ch GROUP BY doc_id, b),
+         fp AS (SELECT blk.doc_id,
+                  CAST(SUM(CASE WHEN bsum*tot.n > tot.total*blen
+                           THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                    AS ahash
+                FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+                GROUP BY blk.doc_id),
+         banded AS (SELECT doc_id, ahash,
+                      (ahash >> (j*15)) & 32767 AS bh, j AS band
+                    FROM fp, UNNEST(GENERATE_SERIES(0, 3)) AS t2(j)),
+         found AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM banded a JOIN banded b
+                     ON a.band = b.band AND a.bh = b.bh
+                    AND a.doc_id < b.doc_id
+                    AND bit_count(xor(a.ahash, b.ahash)) <= 12),
+         truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(bit_count(xor(a.ahash, b.ahash)) AS INT)
+                       AS hamming
+                   FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.ahash, b.ahash)) <= 12)
+         SELECT CASE WHEN t.hamming <= 4 THEN 'd00_04'
+                     WHEN t.hamming <= 8 THEN 'd05_08'
+                     ELSE 'd09_12' END AS bucket,
+                COUNT(*) AS n_true,
+                CAST(SUM(CASE WHEN f.doc_a IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+                CAST(CAST(SUM(CASE WHEN f.doc_a IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                  / COUNT(*) AS recall
+         FROM truth t LEFT JOIN found f
+           ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+         GROUP BY 1 ORDER BY 1""",
 
     "m07_multimodal_phash_neardup" ->
       """WITH s AS (SELECT doc_id, text,

@@ -62,7 +62,7 @@ object Similarity {
       .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .withColumn("crk", row_number().over(wAssign))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
-        col("crk"))
+        col("crk"), col("ccos"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -95,6 +95,39 @@ object Similarity {
         .filter(col("rank") <= 3)
         .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos"))
         .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    // Cluster-quality SILHOUETTE (simplified/centroid form): for every
+    // vector, a = cosine distance to its own cell centroid, b = cosine
+    // distance to the nearest OTHER centroid; s = (b - a) / max(a, b)
+    // in [-1, 1], reported as the per-cell mean plus mean intra-cell
+    // distance. This is the standard O(n·k) approximation of the
+    // O(n²) exact silhouette (which needs all pairwise distances), and
+    // it is the health metric that decides whether the IVF partition
+    // (e03's index, e15's refinement) actually separates the corpus —
+    // a cell with mean_sil near 0 is bleeding neighbors across its
+    // boundary (exactly what e07's per-cell recall then pays for).
+    // Shape: the SAME shared broadcast centroid-ranking every IVF
+    // query uses (crk 1 = own, crk 2 = nearest other) — no new
+    // exchange beyond a vec_id-keyed self-join of two tiny
+    // projections of that frame; the rollup is |cells| rows. Means go
+    // through Parity.davg (decimal sums) so they are summation-order
+    // independent.
+    "e17_cell_silhouette" -> ((s, d) => {
+      val ranked = centroidRanked(s, d)
+      val own = ranked.filter(col("crk") === 1)
+        .select(col("vec_id"), col("cent_id").as("cell"),
+          (lit(1d) - col("ccos")).as("a"))
+      val nxt = ranked.filter(col("crk") === 2)
+        .select(col("vec_id"), (lit(1d) - col("ccos")).as("b"))
+      own.join(nxt, Seq("vec_id"))
+        .withColumn("sil",
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          Parity.davg(col("a")).as("mean_intra"),
+          Parity.davg(col("sil")).as("mean_sil"))
+        .orderBy(col("cell"))
     }),
 
     // IVF with multi-probe (nprobe = 2): each query vector searches its
@@ -683,6 +716,25 @@ object Similarity {
               WHERE rk = 1)"""
 
   def oracleSql: Map[String, String] = Map(
+    // identical centroid ranking to e03's CTE; crk 1 = own cell,
+    // crk 2 = nearest other; means via decimal sums (davgSql)
+    "e17_cell_silhouette" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         rk AS (
+           SELECT a.vec_id, b.cent_id, 1 - ($cosExpr) AS dist,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY ($cosExpr) DESC, b.cent_id) AS crk
+           FROM embeddings a CROSS JOIN cents b),
+         own AS (SELECT vec_id, cent_id AS cell, dist AS a
+                 FROM rk WHERE crk = 1),
+         nxt AS (SELECT vec_id, dist AS b FROM rk WHERE crk = 2)
+         SELECT cell, COUNT(*) AS n,
+                ${Parity.davgSql("a")} AS mean_intra,
+                ${Parity.davgSql("(b - a) / GREATEST(a, b)")} AS mean_sil
+         FROM own JOIN nxt USING (vec_id)
+         GROUP BY 1 ORDER BY 1""",
+
     "e01_cosine_pairs" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosExpr AS cos
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

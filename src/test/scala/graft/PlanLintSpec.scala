@@ -37,7 +37,9 @@ class PlanLintSpec extends SparkSpec {
     "e15_kmeans_refine", // broadcast centroid assignment cross, x3 iterations
     "e16_embedding_drift", // same broadcast centroid assignment cross
     "q83_point_in_time_state", // O(calendar) broadcast snapshot grid, non-equi
-    "q84_market_basket") // 1-row broadcast basket-count scalar
+    "q84_market_basket", // 1-row broadcast basket-count scalar
+    "e17_cell_silhouette", // same broadcast centroid assignment cross
+    "m11_phash_recall") // exhaustive hamming ground truth (a < b)
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
