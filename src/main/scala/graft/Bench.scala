@@ -62,7 +62,11 @@ object Bench {
     "q84_market_basket", "q85_robust_anomaly", "q86_decile_gain",
     "q87_last_touch_attribution", "d15_repeated_spans",
     "t22_zipf_slope", "e17_cell_silhouette",
-    "m11_phash_recall", "q88_wow_trend", "t23_term_entropy")
+    "m11_phash_recall", "q88_wow_trend", "t23_term_entropy",
+    "q89_abc_pareto", "q90_order_aging", "q91_interpurchase",
+    "t24_corpus_shards", "t25_lexical_diversity", "e18_cell_balance",
+    "d16_cluster_size_histogram", "e19_pq_distortion",
+    "q92_dow_seasonality")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -27,7 +27,8 @@ object SparkEntry {
       operators.Extended.queries ++
       operators.Extended3.queries ++
       operators.Extended4.queries ++
-      operators.Extended5.queries
+      operators.Extended5.queries ++
+      operators.Extended6.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -42,5 +43,6 @@ object SparkEntry {
       operators.Extended.oracleSql ++
       operators.Extended3.oracleSql ++
       operators.Extended4.oracleSql ++
-      operators.Extended5.oracleSql
+      operators.Extended5.oracleSql ++
+      operators.Extended6.oracleSql
 }

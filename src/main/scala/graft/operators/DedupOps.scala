@@ -836,6 +836,27 @@ object DedupOps {
         .orderBy(col("cluster_rep"))
     }),
 
+    // Cluster-SIZE histogram over d07's components — the one-page audit
+    // of how duplication is distributed: many size-2 clusters is
+    // boilerplate-ish light duplication (near-dup excision wins
+    // little), a few huge clusters is mirror/scrape mass duplication
+    // (keep-canonical wins a lot); n_removable is exactly the docs a
+    // keep-one-per-cluster policy deletes at each size. Scale: both
+    // aggregates run over frames already far smaller than the corpus
+    // (|docs| cluster labels, then |distinct sizes| rows); everything
+    // is integer-exact.
+    "d16_cluster_size_histogram" -> ((s, d) => {
+      val comp = nearDupComponents(Tables.documents(s, d))
+      comp.groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // SimHash fingerprints + banded hamming-near candidate pairs. The
     // per-word hash is the first 60 bits of md5 (15 hex chars) — portable
     // integer arithmetic in any engine, so unlike a seeded xxhash64 the
@@ -1066,6 +1087,32 @@ object DedupOps {
              n_tokens AS canonical_tokens,
              CAST(n_members AS BIGINT) AS n_members
            FROM j WHERE rn = 1 ORDER BY cluster_rep""",
+      // d07's component closure grouped twice: label -> size -> histogram
+      "d16_cluster_size_histogram" ->
+        s"""WITH RECURSIVE $pairCtes,
+           qual AS (SELECT doc_a, doc_b FROM pairs
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+                    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+                          >= 0.8),
+           bidir AS (SELECT doc_a AS a, doc_b AS b FROM qual
+                     UNION SELECT doc_b, doc_a FROM qual),
+           reach(a, b) AS (SELECT a, b FROM bidir
+                           UNION
+                           SELECT r.a, e.b FROM reach r
+                           JOIN bidir e ON r.b = e.a),
+           rep AS (SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a),
+           comp AS (SELECT d.doc_id,
+                      COALESCE(LEAST(d.doc_id, r.m), d.doc_id)
+                        AS cluster_rep
+                    FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id),
+           cs AS (SELECT cluster_rep, COUNT(*) AS cluster_size
+                  FROM comp GROUP BY 1)
+           SELECT cluster_size, COUNT(*) AS n_clusters,
+                  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+                  CAST((cluster_size - 1) * COUNT(*) AS BIGINT)
+                    AS n_removable
+           FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
       // identical 60-bit md5 word hash + bit-vote + banding arithmetic
       "d05_simhash_pairs" ->
         """WITH w AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' ')) AS w

@@ -130,6 +130,54 @@ object Similarity {
         .orderBy(col("cell"))
     }),
 
+    // IVF cell-BALANCE report: the one-row capacity audit of the
+    // partition every e-query searches. IVF cost is driven by the
+    // LARGEST cell (a probe scans its whole cell), and a skewed
+    // quantizer silently turns the index back into a linear scan for
+    // the queries that land in the hot cell — this is the number a
+    // capacity planner reads next to e17's quality means and e07's
+    // recall before sizing nprobe / re-running e15. Shape: the shared
+    // broadcast centroid ranking collapsed to |cells| counts, then a
+    // single-row rollup; everything after the assignment is integer
+    // arithmetic plus two final divisions, so it is oracle-exact.
+    "e18_cell_balance" -> ((s, d) => {
+      val sizes = centroidRanked(s, d).filter(col("crk") === 1)
+        .groupBy(col("cent_id")).agg(count(lit(1)).as("sz"))
+      sizes.agg(count(lit(1)).as("n_cells"),
+          sum(col("sz")).as("n_vecs"),
+          min(col("sz")).as("min_sz"),
+          max(col("sz")).as("max_sz"))
+        .select(col("n_cells"), col("n_vecs"), col("min_sz"),
+          col("max_sz"),
+          (col("max_sz").cast("double") * col("n_cells").cast("double")
+            / col("n_vecs").cast("double")).as("imbalance"),
+          (col("max_sz").cast("double") / col("n_vecs").cast("double"))
+            .as("top_share"))
+    }),
+
+    // PQ quantization DISTORTION per cell: squared L2 error between
+    // each vector and its PQ reconstruction (the same codebooks,
+    // encodings, and reconstructions e13 searches with — via the
+    // shared [[pqAssignedRecon]], so this measures exactly the stored
+    // index). Distortion is the lever behind e14's recall: a cell
+    // whose mean error spikes is where ADC ranking goes wrong first,
+    // and it is the number that decides m (subspaces) and codebook
+    // size before recall is even measured. Shape: one vec_id equi-join
+    // of two frames the PQ pipeline already builds, then a |cells|
+    // rollup; the error doubles are bit-identical across engines (same
+    // parenthesization as e13's adist), and the mean goes through
+    // decimal sums.
+    "e19_pq_distortion" -> ((s, d) => {
+      val (assigned, recon) = pqAssignedRecon(s, d)
+      assigned.join(recon.select(col("vec_id"), col("rv")), Seq("vec_id"))
+        .withColumn("qerr", l2sq(col("v"), col("rv")))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          Parity.davg(col("qerr")).as("mean_qerr"),
+          max(col("qerr")).as("max_qerr"))
+        .orderBy(col("cell"))
+    }),
+
     // IVF with multi-probe (nprobe = 2): each query vector searches its
     // TWO nearest cells instead of one — the standard IVF recall knob
     // (a near-boundary query recovers neighbors assigned to the cell
@@ -549,7 +597,8 @@ object Similarity {
     * (vec_id, cell, neighbor_id, adist); shared by e13 and the e14
     * recall gate so both provably measure the same index (and the
     * centroid assignment runs ONCE, not once per caller). */
-  private def pqTop1(s: SparkSession, d: String): DataFrame = {
+  private def pqAssignedRecon(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val m = 8
     val sub = 8
@@ -577,6 +626,12 @@ object Similarity {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("j"), col("cs")))),
         x => x.getField("cs"))).as("rv"))
+    (assigned, recon)
+  }
+
+  private def pqTop1(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assigned, recon) = pqAssignedRecon(s, d)
     val wAdc = Window.partitionBy(col("vec_id"))
       .orderBy(col("adist"), col("neighbor_id"))
     assigned.select(col("vec_id"), col("v").as("qv"), col("cell"))
@@ -733,6 +788,46 @@ object Similarity {
                 ${Parity.davgSql("a")} AS mean_intra,
                 ${Parity.davgSql("(b - a) / GREATEST(a, b)")} AS mean_sil
          FROM own JOIN nxt USING (vec_id)
+         GROUP BY 1 ORDER BY 1""",
+
+    // same assignment CTE as e03; sizes are exact integers, the two
+    // ratios are single divisions with matched parenthesization
+    "e18_cell_balance" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         assigned AS (
+           SELECT vec_id, cell FROM (
+             SELECT a.vec_id, b.cent_id AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1),
+         sizes AS (SELECT cell, COUNT(*) AS sz FROM assigned GROUP BY 1)
+         SELECT COUNT(*) AS n_cells,
+                CAST(SUM(sz) AS BIGINT) AS n_vecs,
+                MIN(sz) AS min_sz, MAX(sz) AS max_sz,
+                CAST(MAX(sz) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                  / CAST(CAST(SUM(sz) AS BIGINT) AS DOUBLE) AS imbalance,
+                CAST(MAX(sz) AS DOUBLE)
+                  / CAST(CAST(SUM(sz) AS BIGINT) AS DOUBLE) AS top_share
+         FROM sizes""",
+
+    // same codebook/encode/recon CTEs as e13; the error doubles use
+    // e13's adist parenthesization, the mean rides decimal sums
+    "e19_pq_distortion" ->
+      s"""WITH $pqCtes
+         SELECT a.cell, COUNT(*) AS n,
+                ${Parity.davgSql(
+        """(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                             CAST(a.embedding AS DOUBLE[]))
+            - 2 * list_dot_product(CAST(a.embedding AS DOUBLE[]), r.rv))
+           + list_dot_product(r.rv, r.rv)""")} AS mean_qerr,
+                MAX((list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[]))
+                     - 2 * list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                            r.rv))
+                    + list_dot_product(r.rv, r.rv)) AS max_qerr
+         FROM assigned a JOIN recon r USING (vec_id)
          GROUP BY 1 ORDER BY 1""",
 
     "e01_cosine_pairs" ->

@@ -39,7 +39,12 @@ class PlanLintSpec extends SparkSpec {
     "q83_point_in_time_state", // O(calendar) broadcast snapshot grid, non-equi
     "q84_market_basket", // 1-row broadcast basket-count scalar
     "e17_cell_silhouette", // same broadcast centroid assignment cross
-    "m11_phash_recall") // exhaustive hamming ground truth (a < b)
+    "m11_phash_recall", // exhaustive hamming ground truth (a < b)
+    "e18_cell_balance", // same broadcast centroid assignment cross
+    "q89_abc_pareto", // 1-row broadcast total-revenue scalar
+    "q90_order_aging", // 1-row broadcast reference-date scalar
+    "e19_pq_distortion", // same broadcast centroid assignment cross
+    "q92_dow_seasonality") // 1-row broadcast totals scalar
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
