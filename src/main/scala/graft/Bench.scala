@@ -66,7 +66,8 @@ object Bench {
     "q89_abc_pareto", "q90_order_aging", "q91_interpurchase",
     "t24_corpus_shards", "t25_lexical_diversity", "e18_cell_balance",
     "d16_cluster_size_histogram", "e19_pq_distortion",
-    "q92_dow_seasonality")
+    "q92_dow_seasonality", "q93_trade_matrix", "t26_length_histogram",
+    "d17_dup_source_matrix")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

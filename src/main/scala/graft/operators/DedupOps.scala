@@ -857,6 +857,35 @@ object DedupOps {
         .orderBy(col("cluster_size"))
     }),
 
+    // Duplication SOURCE matrix: intra-cluster doc pairs attributed to
+    // their (source, source) combination — t20's provenance question
+    // asked of the VERIFIED near-dup graph instead of raw chunk
+    // overlap: a heavy off-diagonal cell is one source mirroring
+    // another (drop the copy wholesale), a heavy diagonal cell is a
+    // source duplicating itself (dedup within it). Pairs are the full
+    // transitive closure within each d07 component (a cluster of k
+    // docs contributes C(k,2)), which is exactly the mass a
+    // keep-one-per-cluster policy removes. Scale: the self-join keys
+    // on cluster_rep and near-dup clusters are small by construction
+    // (d13's argument), so the fan-out is bounded; the rollup is
+    // |sources|² rows.
+    "d17_dup_source_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = nearDupComponents(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val a = m.select(col("cluster_rep"), col("doc_id").as("doc_a"),
+        col("source").as("sa"))
+      val b = m.select(col("cluster_rep"), col("doc_id").as("doc_b"),
+        col("source").as("sb"))
+      a.join(b, Seq("cluster_rep"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // SimHash fingerprints + banded hamming-near candidate pairs. The
     // per-word hash is the first 60 bits of md5 (15 hex chars) — portable
     // integer arithmetic in any engine, so unlike a seeded xxhash64 the
@@ -1113,6 +1142,33 @@ object DedupOps {
                   CAST((cluster_size - 1) * COUNT(*) AS BIGINT)
                     AS n_removable
            FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
+      // d07's component closure + source attribution of every
+      // intra-cluster pair (transitive closure, a < b)
+      "d17_dup_source_matrix" ->
+        s"""WITH RECURSIVE $pairCtes,
+           qual AS (SELECT doc_a, doc_b FROM pairs
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+                    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+                          >= 0.8),
+           bidir AS (SELECT doc_a AS a, doc_b AS b FROM qual
+                     UNION SELECT doc_b, doc_a FROM qual),
+           reach(a, b) AS (SELECT a, b FROM bidir
+                           UNION
+                           SELECT r.a, e.b FROM reach r
+                           JOIN bidir e ON r.b = e.a),
+           rep AS (SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a),
+           comp AS (SELECT d.doc_id, d.source,
+                      COALESCE(LEAST(d.doc_id, r.m), d.doc_id)
+                        AS cluster_rep
+                    FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id),
+           pr AS (SELECT LEAST(x.source, y.source) AS src_a,
+                         GREATEST(x.source, y.source) AS src_b
+                  FROM comp x JOIN comp y
+                    ON x.cluster_rep = y.cluster_rep
+                   AND x.doc_id < y.doc_id)
+           SELECT src_a, src_b, COUNT(*) AS n_dup_pairs
+           FROM pr GROUP BY 1, 2 ORDER BY 1, 2""",
       // identical 60-bit md5 word hash + bit-vote + banding arithmetic
       "d05_simhash_pairs" ->
         """WITH w AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' ')) AS w

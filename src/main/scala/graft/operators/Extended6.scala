@@ -132,6 +132,70 @@ object Extended6 {
         .orderBy(col("dow"))
     }),
 
+    // Cross-border TRADE matrix (the TPC-H Q7 shape): revenue between
+    // every (supplier nation, customer nation) pair where the two
+    // differ — the classic two-dimension star rollup through BOTH
+    // dimension chains (lineitem→supplier→nation and lineitem→orders→
+    // customer→nation). Scale: the one fact-fact join (lineitem ⋈
+    // orders on orderkey) shuffles on the natural co-partition key —
+    // bucketing both on orderkey (q55) removes even that; every
+    // dimension hop is a broadcast (customer broadcasts at these SFs;
+    // at 100 TB it becomes a shuffle equi-join on o_custkey, same plan
+    // otherwise). Revenue is integer cents; the rollup is
+    // |nations|² rows.
+    "q93_trade_matrix" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+          * lit(100d)).cast("long").as("cents"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey").as("cust_nk"))
+      val supp = Tables.supplier(s, d).select(col("s_suppkey"),
+        col("s_nationkey").as("supp_nk"))
+      val nat = Tables.nation(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("supp_nk") === col("snk"))
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("cust_nk") === col("cnk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(col("cents")).cast("double") / lit(100.0)).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"))
+    }),
+
+    // Corpus LENGTH-profile histogram: per (source, token-length
+    // bucket) doc and token counts plus each bucket's share of its
+    // source's token mass — the corpus-composition table read before
+    // setting t10's quality thresholds or t12's chunk width (a source
+    // whose mass sits in the shortest bucket needs different handling
+    // than one dominated by long docs). Scale: token counts are in-row
+    // map work; the aggregate is |sources| × 4 rows and the share
+    // window runs over that tiny frame, never the corpus.
+    "t26_length_histogram" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(trim(col("text")), " ")).cast("long").as("toks"))
+        .withColumn("len_bucket",
+          when(col("toks") <= 25, "b1_le25")
+            .when(col("toks") <= 50, "b2_le50")
+            .when(col("toks") <= 75, "b3_le75")
+            .otherwise("b4_gt75"))
+      val agg = t.groupBy(col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      agg.withColumn("token_share",
+          col("n_tokens").cast("double")
+            / sum(col("n_tokens")).over(Window.partitionBy(col("source")))
+              .cast("double"))
+        .orderBy(col("source"), col("len_bucket"))
+    }),
+
     // Deterministic corpus SHARDING: every document assigned to one of
     // 16 training shards by portable 60-bit md5 bucket (t08's hash
     // idiom) — the "global shuffle" that precedes shard writing in a
@@ -277,6 +341,40 @@ object Extended6 {
                   / (CAST(tot_cents AS DOUBLE) / CAST(tot_days AS DOUBLE))
                   AS seasonal_index
          FROM byd, tot ORDER BY dow""",
+
+    "q93_trade_matrix" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                COUNT(*) AS n_lines,
+                CAST(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                  * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0
+                  AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         WHERE sn.n_name <> cn.n_name
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "t26_length_histogram" ->
+      """WITH t AS (SELECT source,
+             CAST(LEN(string_split(TRIM(text), ' ')) AS BIGINT) AS toks
+           FROM documents),
+         b AS (SELECT source,
+                 CASE WHEN toks <= 25 THEN 'b1_le25'
+                      WHEN toks <= 50 THEN 'b2_le50'
+                      WHEN toks <= 75 THEN 'b3_le75'
+                      ELSE 'b4_gt75' END AS len_bucket, toks
+               FROM t),
+         agg AS (SELECT source, len_bucket, COUNT(*) AS n_docs,
+                   CAST(SUM(toks) AS BIGINT) AS n_tokens
+                 FROM b GROUP BY 1, 2)
+         SELECT source, len_bucket, n_docs, n_tokens,
+                CAST(n_tokens AS DOUBLE)
+                  / CAST(CAST(SUM(n_tokens) OVER (PARTITION BY source)
+                    AS BIGINT) AS DOUBLE) AS token_share
+         FROM agg ORDER BY source, len_bucket""",
 
     "t24_corpus_shards" ->
       s"""WITH sh AS (SELECT doc_id, n_chars,
