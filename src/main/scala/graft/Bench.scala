@@ -67,7 +67,9 @@ object Bench {
     "t24_corpus_shards", "t25_lexical_diversity", "e18_cell_balance",
     "d16_cluster_size_histogram", "e19_pq_distortion",
     "q92_dow_seasonality", "q93_trade_matrix", "t26_length_histogram",
-    "d17_dup_source_matrix")
+    "d17_dup_source_matrix", "q94_order_size_histogram",
+    "m12_codec_size_profile", "e20_nn_distance_profile",
+    "e21_lsh_recall", "q95_activity_heatmap")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -107,6 +107,41 @@ object Extended4 {
         s"(($yc $divOp ${1L << i}) % 2) * ${1L << (2 * i)}")
       .mkString(" + ")
 
+  /** e05's full plan — banded sign-LSH candidates verified with the
+    * exact cosine at 0.4. Shared by e05 and the e21 recall gate so the
+    * gate measures exactly the pairs the scale path emits. */
+  private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotProduct _
+    val v = Similarity.vecs(s, d)
+    val withBits = (0 until NPlanes).foldLeft(v)((df, j) =>
+      df.withColumn(s"bit$j",
+        when(dot(col("v"), typedLit(hyperplaneSigns(j))) >= 0d, 1)
+          .otherwise(0)))
+    val bands: Column = array((0 until NPlanes / BandRows).map { b =>
+      struct(lit(b).as("band"),
+        (0 until BandRows)
+          .map(r => col(s"bit${b * BandRows + r}") * lit(1 << r))
+          .reduce(_ + _).as("bv"))
+    }: _*)
+    val buckets = withBits
+      .select(col("vec_id"), explode(bands).as("e"))
+      .select(col("vec_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+    val cand = buckets
+      .select(col("vec_id").as("vec_a"), col("band"), col("bv"))
+      .join(buckets.select(col("vec_id").as("vec_b"), col("band"),
+        col("bv")), Seq("band", "bv"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val va = v.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val vb = v.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Z-ORDER data layout: interleave the bits of the two classic
     // filter dimensions (customer, order day) into one Morton key, so
@@ -136,37 +171,41 @@ object Extended4 {
     // LSH-bucketed cosine pairs: candidates share >= 1 of 4 sign-bands;
     // survivors verified with the exact cosine at 0.4 (e01's threshold,
     // so e01 is the recall ground truth for this scale path).
-    "e05_lsh_cosine_pairs" -> ((s, d) => {
+    "e05_lsh_cosine_pairs" -> ((s, d) =>
+      lshVerifiedPairs(s, d).orderBy(col("vec_a"), col("vec_b"))),
+
+    // RH-LSH RECALL gate (m11's discipline applied to e05): the banded
+    // sign-LSH pairs measured against the exhaustive cosine >= 0.4
+    // ground truth (e01's frame), bucketed by similarity. Sign-band
+    // collision probability is (1 - θ/π)^r per band — it RISES with
+    // cosine, so any recall loss concentrates in the lowest bucket;
+    // this report is what says whether 4×4-bit bands are enough or the
+    // band count needs raising before e05 is trusted as the scale
+    // path. Truth side is the O(n²) scan — eval-twin contract
+    // (e02/e07/m11), per-bucket/sampled at corpus scale; the found
+    // side is e05's real plan.
+    "e21_lsh_recall" -> ((s, d) => {
       val dot = graft.functions.VectorFunctions.dotProduct _
       val v = Similarity.vecs(s, d)
-      val withBits = (0 until NPlanes).foldLeft(v)((df, j) =>
-        df.withColumn(s"bit$j",
-          when(dot(col("v"), typedLit(hyperplaneSigns(j))) >= 0d, 1)
-            .otherwise(0)))
-      val bands: Column = array((0 until NPlanes / BandRows).map { b =>
-        struct(lit(b).as("band"),
-          (0 until BandRows)
-            .map(r => col(s"bit${b * BandRows + r}") * lit(1 << r))
-            .reduce(_ + _).as("bv"))
-      }: _*)
-      val buckets = withBits
-        .select(col("vec_id"), explode(bands).as("e"))
-        .select(col("vec_id"), col("e.band").as("band"), col("e.bv").as("bv"))
-      val cand = buckets
-        .select(col("vec_id").as("vec_a"), col("band"), col("bv"))
-        .join(buckets.select(col("vec_id").as("vec_b"), col("band"),
-          col("bv")), Seq("band", "bv"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b")).distinct()
       val va = v.select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("nrm").as("na"))
       val vb = v.select(col("vec_id").as("vec_b"), col("v").as("vb"),
         col("nrm").as("nb"))
-      cand.join(va, "vec_a").join(vb, "vec_b")
+      val truth = va.join(vb, col("vec_a") < col("vec_b"))
         .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("cos"))
-        .orderBy(col("vec_a"), col("vec_b"))
+      val found = lshVerifiedPairs(s, d)
+        .select(col("vec_a"), col("vec_b"), lit(1L).as("hit"))
+      truth.join(found, Seq("vec_a", "vec_b"), "left")
+        .groupBy(when(col("cos") < 0.6, "c04_06")
+          .when(col("cos") < 0.8, "c06_08")
+          .otherwise("c08_10").as("bucket"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_true"))
+        .orderBy(col("bucket"))
     }),
 
     // DPP: orders partitioned by o_orderpriority; the dim is a SEPARATE
@@ -999,6 +1038,57 @@ object Extended4 {
          JOIN embeddings b ON b.vec_id = c.vec_b
          WHERE $cosExpr >= 0.4
          ORDER BY vec_a, vec_b"""
+    },
+
+    // e05's sign/band/candidate chain as the found side, the exhaustive
+    // cosine scan as truth; n_found cast to BIGINT (SUM-int rule)
+    "e21_lsh_recall" -> {
+      val cosExpr =
+        """list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[])) /
+           (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[]))) *
+            SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))))"""
+      s"""WITH sgn AS (
+           SELECT j, list_transform(generate_series(0, ${Dims - 1}), i ->
+             CASE WHEN substring(md5('hp-' || j || '-' || i), 1, 1) < '8'
+                  THEN 1.0 ELSE -1.0 END) AS sv
+           FROM UNNEST(generate_series(0, ${NPlanes - 1})) AS tj(j)),
+         bits AS (
+           SELECT e.vec_id, s.j,
+             CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), s.sv)
+                       >= 0 THEN 1 ELSE 0 END AS b
+           FROM embeddings e CROSS JOIN sgn s),
+         bands AS (
+           SELECT vec_id, j // $BandRows AS band,
+                  SUM(b * (1 << (j % $BandRows))) AS bv
+           FROM bits GROUP BY vec_id, j // $BandRows),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+         found AS (
+           SELECT c.vec_a, c.vec_b
+           FROM cand c
+           JOIN embeddings a ON a.vec_id = c.vec_a
+           JOIN embeddings b ON b.vec_id = c.vec_b
+           WHERE $cosExpr >= 0.4),
+         truth AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosExpr AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE $cosExpr >= 0.4)
+         SELECT CASE WHEN t.cos < 0.6 THEN 'c04_06'
+                     WHEN t.cos < 0.8 THEN 'c06_08'
+                     ELSE 'c08_10' END AS bucket,
+                COUNT(*) AS n_true,
+                CAST(SUM(CASE WHEN f.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_found,
+                CAST(CAST(SUM(CASE WHEN f.vec_a IS NOT NULL THEN 1 ELSE 0
+                  END) AS BIGINT) AS DOUBLE) / COUNT(*) AS recall
+         FROM truth t LEFT JOIN found f
+           ON t.vec_a = f.vec_a AND t.vec_b = f.vec_b
+         GROUP BY 1 ORDER BY 1"""
     },
 
     "q57_dpp_partitioned_join" ->

@@ -169,6 +169,36 @@ object Extended6 {
         .orderBy(col("supp_nation"), col("cust_nation"))
     }),
 
+    // ORDER-SIZE histogram: the distribution of lines per order plus
+    // each size's share of orders and of revenue — the basket-shape
+    // profile read next to q84's association rules (pair fan-out
+    // there is C(basket, 2); this is the table that bounds it) and
+    // the input to batch-size tuning anywhere per-order work fans
+    // out. Scale: one orderkey-keyed aggregate collapses lineitem
+    // map-side; the histogram frame is ≤ max-basket-size rows and the
+    // share window runs over it, never the facts. Integer cents.
+    "q94_order_size_histogram" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+            * lit(100d)).cast("long")).as("cents"))
+      val hist = per.groupBy(col("n_lines"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      val w = Window.partitionBy()
+      hist.withColumn("order_share",
+          col("n_orders").cast("double")
+            / sum(col("n_orders")).over(w).cast("double"))
+        .withColumn("revenue_share",
+          col("cents").cast("double")
+            / sum(col("cents")).over(w).cast("double"))
+        .select(col("n_lines"), col("n_orders"),
+          (col("cents").cast("double") / lit(100.0)).as("revenue"),
+          col("order_share"), col("revenue_share"))
+        .orderBy(col("n_lines"))
+    }),
+
     // Corpus LENGTH-profile histogram: per (source, token-length
     // bucket) doc and token counts plus each bucket's share of its
     // source's token mass — the corpus-composition table read before
@@ -194,6 +224,28 @@ object Extended6 {
             / sum(col("n_tokens")).over(Window.partitionBy(col("source")))
               .cast("double"))
         .orderBy(col("source"), col("len_bucket"))
+    }),
+
+    // Weekday × hour activity HEATMAP: event and distinct-user counts
+    // per (dow, hour) cell plus each cell's share of total traffic —
+    // the load-shape table behind capacity planning and anomaly
+    // baselines (q85's fences are per-series; this is where the
+    // series' weekly pulse lives). Scale: the cell key is derived
+    // in-row, one grouped aggregate collapses events map-side to
+    // ≤ 168 cells, and the share window runs over that tiny frame.
+    "q95_activity_heatmap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      Tables.events(s, d)
+        .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"), col("user_id"))
+        .groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("traffic_share",
+          col("n_events").cast("double")
+            / sum(col("n_events")).over(w).cast("double"))
+        .orderBy(col("dow"), col("hr"))
     }),
 
     // Deterministic corpus SHARDING: every document assigned to one of
@@ -357,6 +409,24 @@ object Extended6 {
          WHERE sn.n_name <> cn.n_name
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "q94_order_size_histogram" ->
+      """WITH per AS (SELECT l_orderkey, COUNT(*) AS n_lines,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS cents
+           FROM lineitem GROUP BY 1),
+         hist AS (SELECT n_lines, COUNT(*) AS n_orders,
+                    CAST(SUM(cents) AS BIGINT) AS cents
+                  FROM per GROUP BY 1)
+         SELECT n_lines, n_orders,
+                CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                CAST(n_orders AS DOUBLE)
+                  / CAST(CAST(SUM(n_orders) OVER () AS BIGINT) AS DOUBLE)
+                  AS order_share,
+                CAST(cents AS DOUBLE)
+                  / CAST(CAST(SUM(cents) OVER () AS BIGINT) AS DOUBLE)
+                  AS revenue_share
+         FROM hist ORDER BY n_lines""",
+
     "t26_length_histogram" ->
       """WITH t AS (SELECT source,
              CAST(LEN(string_split(TRIM(text), ' ')) AS BIGINT) AS toks
@@ -375,6 +445,19 @@ object Extended6 {
                   / CAST(CAST(SUM(n_tokens) OVER (PARTITION BY source)
                     AS BIGINT) AS DOUBLE) AS token_share
          FROM agg ORDER BY source, len_bucket""",
+
+    "q95_activity_heatmap" ->
+      """WITH c AS (SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
+             CAST(date_part('hour', ts) AS BIGINT) AS hr, user_id
+           FROM events),
+         agg AS (SELECT dow, hr, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+                 FROM c GROUP BY 1, 2)
+         SELECT dow, hr, n_events, n_users,
+                CAST(n_events AS DOUBLE)
+                  / CAST(CAST(SUM(n_events) OVER () AS BIGINT) AS DOUBLE)
+                  AS traffic_share
+         FROM agg ORDER BY dow, hr""",
 
     "t24_corpus_shards" ->
       s"""WITH sh AS (SELECT doc_id, n_chars,

@@ -233,6 +233,39 @@ object Multimodal {
         .orderBy(col("codec"))
     }),
 
+    // Per-codec payload SIZE profile: exact byte-size quartiles, total
+    // and max bytes per codec stream — the capacity table behind m08's
+    // shard packing (shard budgets are set per codec, and the p75/max
+    // spread says whether a stream needs size-partitioned shards or
+    // one budget fits all). Scale: the typed header probe and the
+    // byte length are both in-row map work over the payload; the only
+    // exchange is the doc_id equi-join between the two map outputs
+    // (at 100 TB, fold the byte length into the header stub to make
+    // it exchange-free — kept separate here so the typed-stage
+    // composition is what's tested); quartile interpolation at binary
+    // fractions over small-integer byte counts is bit-exact (q50's
+    // argument).
+    "m12_codec_size_profile" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .where(length(col("payload")) >= 7)
+      val meta = base.as[MediaIn]
+        .mapPartitions(_.map(MultimodalStub.header)).toDF()
+        .select(col("doc_id"), col("codec"))
+      val sz = base.select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      meta.join(sz, Seq("doc_id"))
+        .groupBy(col("codec"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          expr("percentile(n_bytes, 0.25)").as("p25"),
+          median(col("n_bytes")).as("med"),
+          expr("percentile(n_bytes, 0.75)").as("p75"),
+          max(col("n_bytes")).as("max_bytes"))
+        .orderBy(col("codec"))
+    }),
+
     // Media dedup by content fingerprint: the binary-payload twin of
     // d01 — identical payload bytes collapse to one representative
     // (min doc_id) with a copy count. This is the "dedup images/audio
@@ -422,6 +455,22 @@ object Multimodal {
                 CAST(SUM(width) AS DOUBLE) / COUNT(1) AS avg_width,
                 CAST(SUM(height) AS DOUBLE) / COUNT(1) AS avg_height,
                 CAST(MAX(duration_ms) AS INT) AS max_duration_ms
+         FROM h GROUP BY codec ORDER BY codec""",
+
+    // same codec derivation as m05 + blob byte length; quantile_cont
+    // over small integers mirrors Spark's percentile interpolation
+    "m12_codec_size_profile" ->
+      """WITH h AS (SELECT doc_id,
+           ['h264', 'vp9', 'av1', 'hevc'][ORD(SUBSTR(text, 5, 1)) % 4 + 1]
+             AS codec,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+           FROM documents WHERE LENGTH(text) >= 7)
+         SELECT codec, COUNT(1) AS n,
+                CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                quantile_cont(n_bytes, 0.25) AS p25,
+                quantile_cont(n_bytes, 0.5) AS med,
+                quantile_cont(n_bytes, 0.75) AS p75,
+                MAX(n_bytes) AS max_bytes
          FROM h GROUP BY codec ORDER BY codec""",
 
     "m06_multimodal_dedup" ->

@@ -212,6 +212,25 @@ object Similarity {
       ivfTop1(s, d).orderBy(col("vec_id"))
     }),
 
+    // Nearest-neighbor DISTANCE profile per cell: mean/min/max top-1
+    // cosine from the IVF search itself (the shared [[ivfTop1]] frame
+    // e03 returns) — the "temperature map" of the embedding space. A
+    // cell whose mean nearest-neighbor cosine runs hot (~1) is dense
+    // with near-duplicates (e10's semantic dedup will bite there); a
+    // cold cell is sparse and its ANN answers are far — exactly where
+    // e07's recall matters most. Shape: one |vectors|-row frame the
+    // index already computes, rolled up to |cells| rows; means ride
+    // decimal sums, min/max pick among bit-identical doubles.
+    "e20_nn_distance_profile" -> ((s, d) => {
+      ivfTop1(s, d)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          Parity.davg(col("cos")).as("mean_nn_cos"),
+          min(col("cos")).as("min_nn_cos"),
+          max(col("cos")).as("max_nn_cos"))
+        .orderBy(col("cell"))
+    }),
+
     // Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     // embedding-level near-duplicate pruning that catches paraphrases
     // lexical dedup (d03-d05) cannot see. Scale shape: pairwise cosine
@@ -880,6 +899,29 @@ object Similarity {
            FROM assigned a JOIN assigned b
              ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
          WHERE rk = 1 ORDER BY vec_id""",
+
+    // e03's top-1 frame rolled up per cell; mean via decimal sums
+    "e20_nn_distance_profile" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         assigned AS (
+           SELECT vec_id, embedding, cell FROM (
+             SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1),
+         nn AS (SELECT vec_id, cell, cos FROM (
+           SELECT a.vec_id, a.cell, $cosExpr AS cos,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY $cosExpr DESC, b.vec_id) AS rk
+           FROM assigned a JOIN assigned b
+             ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+           WHERE rk = 1)
+         SELECT cell, COUNT(*) AS n,
+                ${Parity.davgSql("cos")} AS mean_nn_cos,
+                MIN(cos) AS min_nn_cos, MAX(cos) AS max_nn_cos
+         FROM nn GROUP BY 1 ORDER BY 1""",
 
     "e13_ann_ivf_pq" ->
       s"""WITH $pqCtes

@@ -44,7 +44,9 @@ class PlanLintSpec extends SparkSpec {
     "q89_abc_pareto", // 1-row broadcast total-revenue scalar
     "q90_order_aging", // 1-row broadcast reference-date scalar
     "e19_pq_distortion", // same broadcast centroid assignment cross
-    "q92_dow_seasonality") // 1-row broadcast totals scalar
+    "q92_dow_seasonality", // 1-row broadcast totals scalar
+    "e20_nn_distance_profile", // same broadcast centroid assignment cross
+    "e21_lsh_recall") // exhaustive cosine ground truth (a < b)
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
