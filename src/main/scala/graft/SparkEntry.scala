@@ -28,7 +28,8 @@ object SparkEntry {
       operators.Extended3.queries ++
       operators.Extended4.queries ++
       operators.Extended5.queries ++
-      operators.Extended6.queries
+      operators.Extended6.queries ++
+      operators.Extended7.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -44,5 +45,6 @@ object SparkEntry {
       operators.Extended3.oracleSql ++
       operators.Extended4.oracleSql ++
       operators.Extended5.oracleSql ++
-      operators.Extended6.oracleSql
+      operators.Extended6.oracleSql ++
+      operators.Extended7.oracleSql
 }

@@ -266,6 +266,43 @@ object Multimodal {
         .orderBy(col("codec"))
     }),
 
+    // RESOLUTION profile: orientation × pixel-count bucket histogram
+    // from the typed header probe — the media-curation table behind
+    // "what resize targets does this corpus need" (a training mix
+    // resamples per resolution tier, and a tier with three rows isn't
+    // worth a decode branch). Orientation is an integer compare,
+    // px_bucket an integer division — both row-local over the m05
+    // header frame, so the only exchange is the final tiny rollup
+    // (|orientations| × |buckets| groups). Width·height is widened to
+    // BIGINT before multiplying: 65535² overflows INT, and under ANSI
+    // mode (the engine default) that would fail the query rather than
+    // wrap.
+    "m13_resolution_profile" -> ((s, d) => {
+      import s.implicits._
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .where(length(col("payload")) >= 7)
+        .as[MediaIn]
+        .mapPartitions(_.map(MultimodalStub.header))
+        .toDF()
+      meta
+        .withColumn("orientation",
+          when(col("width") > col("height"), "landscape")
+            .when(col("width") < col("height"), "portrait")
+            .otherwise("square"))
+        .withColumn("px_bucket",
+          expr("(CAST(width AS BIGINT) * height) div 200000000"))
+        .groupBy(col("orientation"), col("px_bucket"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("width")).cast("double") / count(lit(1)))
+            .as("avg_width"),
+          (sum(col("height")).cast("double") / count(lit(1)))
+            .as("avg_height"),
+          (sum(col("duration_ms")).cast("double") / count(lit(1)))
+            .as("avg_duration_ms"))
+        .orderBy(col("orientation"), col("px_bucket"))
+    }),
+
     // Media dedup by content fingerprint: the binary-payload twin of
     // d01 — identical payload bytes collapse to one representative
     // (min doc_id) with a copy count. This is the "dedup images/audio
@@ -472,6 +509,27 @@ object Multimodal {
                 quantile_cont(n_bytes, 0.75) AS p75,
                 MAX(n_bytes) AS max_bytes
          FROM h GROUP BY codec ORDER BY codec""",
+
+    // same header byte arithmetic as m05; px widened before multiply
+    "m13_resolution_profile" ->
+      """WITH h AS (SELECT
+           ORD(SUBSTR(text, 1, 1)) * 256 + ORD(SUBSTR(text, 2, 1)) AS width,
+           ORD(SUBSTR(text, 3, 1)) * 256 + ORD(SUBSTR(text, 4, 1)) AS height,
+           ORD(SUBSTR(text, 6, 1)) * 256 + ORD(SUBSTR(text, 7, 1))
+             AS duration_ms
+           FROM documents WHERE LENGTH(text) >= 7),
+         b AS (SELECT *,
+           CASE WHEN width > height THEN 'landscape'
+                WHEN width < height THEN 'portrait'
+                ELSE 'square' END AS orientation,
+           CAST(width AS BIGINT) * height // 200000000 AS px_bucket
+           FROM h)
+         SELECT orientation, px_bucket, COUNT(1) AS n,
+                CAST(SUM(width) AS DOUBLE) / COUNT(1) AS avg_width,
+                CAST(SUM(height) AS DOUBLE) / COUNT(1) AS avg_height,
+                CAST(SUM(duration_ms) AS DOUBLE) / COUNT(1)
+                  AS avg_duration_ms
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "m06_multimodal_dedup" ->
       """SELECT MIN(doc_id) AS doc_id, MD5(text) AS fp,

@@ -205,6 +205,34 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // RANGE (radius) search: every neighbor with cosine >= 0.35 of each
+    // query vector (deterministic query subset vec_id % 97 == 0),
+    // IVF-accelerated with nprobe = 2 — the "find everything this
+    // similar" retrieval mode behind near-dup candidate generation and
+    // recall-bounded filtering, where top-k's fixed k either truncates
+    // dense neighborhoods or wastes work in sparse ones. Shape is
+    // e06's without the window: broadcast centroid ranking restricted
+    // to the query subset, equi-join on probed cell, and a row-local
+    // radius filter — no per-query state at all, so it scales strictly
+    // better than top-k (no window exchange; candidates stream through
+    // the filter). Probe cells are distinct and ownership single-cell,
+    // so no pair can emit twice.
+    "e22_range_search" -> ((s, d) => {
+      val ranked = centroidRanked(s, d)
+      val assigned = ranked.filter(col("crk") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+          col("nrm").as("nb"), col("cent_id").as("cell"))
+      val probes = ranked.filter(col("crk") <= 2 && col("vec_id") % 97 === 0)
+        .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"),
+          col("cent_id").as("cell"))
+      probes.join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.35)
+        .select(col("vec_id"), col("neighbor_id"), col("cos"))
+        .orderBy(col("vec_id"), col("neighbor_id"))
+    }),
+
     // IVF-style ANN: nearest of the deterministic coarse centroids
     // (vec_id % 50 == 0) -> cell assignment (broadcast join), then top-1
     // neighbor within the cell only.
@@ -881,6 +909,23 @@ object Similarity {
                  WHERE crk = 1) b
              ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
          WHERE rk = 1 ORDER BY vec_id""",
+
+    "e22_range_search" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         ranked AS (
+           SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY $cosExpr DESC, b.cent_id) AS crk
+           FROM embeddings a CROSS JOIN cents b)
+         SELECT a.vec_id, b.vec_id AS neighbor_id, $cosExpr AS cos
+         FROM (SELECT vec_id, embedding, cell FROM ranked
+               WHERE crk <= 2 AND vec_id % 97 = 0) a
+         JOIN (SELECT vec_id, embedding, cell FROM ranked
+               WHERE crk = 1) b
+           ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         WHERE $cosExpr >= 0.35
+         ORDER BY a.vec_id, b.vec_id""",
 
     "e03_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding

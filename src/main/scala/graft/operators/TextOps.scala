@@ -574,6 +574,91 @@ object TextOps {
                       CAST(pow(31, x.i % 8) AS BIGINT), 2147483647L))""")
             .as("fingerprint"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Bigram ASSOCIATION mining (collocation lift): the top word pairs
+    // by lift = P(w1,w2) / (P(w1)·P(w2)) — the corpus-linguistics
+    // signal behind multiword-expression vocab entries ("new york"
+    // should be one token) and tokenizer merge rules. Lift is the
+    // monotone exp(PMI), so ranking by the RATIONAL
+    // pair·total / (cnt_a·cnt_b) gives the PMI order without an ln()
+    // in the output (libm rounding differs across engines — the
+    // t16/t21 log-free contract). Scale shape: the bigram explode
+    // collapses map-side to the distinct-bigram vocabulary before its
+    // one exchange; unigram counts are vocab-sized and BROADCAST back
+    // to the pair frame twice; the corpus total rides a 1-row
+    // broadcast. The global top-30 window runs over the distinct-pair
+    // frame (vocab², not corpus, and in practice far smaller) — the
+    // q04 dim-sized-global-window contract.
+    "t27_bigram_lift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(split(trim(col("text")), " ").as("l"))
+      val bg = docs.filter(size(col("l")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(l) - 2), " +
+            "i -> named_struct('w1', l[i], 'w2', l[i+1]))")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("pair_cnt"))
+      val uni = docs.select(explode(col("l")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val tot = uni.agg(sum(col("cnt")).as("total"))
+      val lifted = bg
+        .join(broadcast(uni.select(col("word").as("w1"),
+          col("cnt").as("cnt_a"))), Seq("w1"))
+        .join(broadcast(uni.select(col("word").as("w2"),
+          col("cnt").as("cnt_b"))), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lift",
+          (col("pair_cnt").cast("double") * col("total").cast("double"))
+            / (col("cnt_a").cast("double") * col("cnt_b").cast("double")))
+      val w = Window.orderBy(col("lift").desc, col("w1"), col("w2"))
+      lifted.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 30)
+        .select(col("w1"), col("w2"), col("pair_cnt"), col("cnt_a"),
+          col("cnt_b"), col("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+    }),
+
+    // Term BURSTINESS profile: for the 40 highest-document-frequency
+    // terms, the variance-to-mean ratio of the per-document count
+    // ACROSS ALL docs (zeros included) — the dispersion statistic
+    // separating topical terms (bursty: a doc that mentions them
+    // mentions them often, VMR >> 1) from function words (VMR ≈ 1,
+    // Poisson-like). Drives stopword-list induction and t06-style
+    // term weighting. All moments are exact integer sums over the
+    // per-(term, doc) count frame — zeros enter via N = |docs| in
+    // closed form, not materialized rows — and the two divisions
+    // happen once at the final projection with oracle-identical
+    // parenthesization. Scale: per-doc term counts partial-aggregate
+    // map-side (doc-local), the term rollup is one vocab-keyed
+    // exchange of integer triples, and the doc total is a 1-row
+    // broadcast; the top-40 window runs over the vocab-sized frame.
+    "t28_term_burstiness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), " ").as("l"))
+      val perDoc = docs.select(col("doc_id"), explode(col("l")).as("word"))
+        .groupBy(col("word"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val terms = perDoc.groupBy(col("word"))
+        .agg(count(lit(1)).as("df"),
+          sum(col("c")).as("total_cnt"),
+          sum(col("c") * col("c")).as("sum_sq"))
+      val w = Window.orderBy(col("df").desc, col("word"))
+      terms.crossJoin(broadcast(nDocs))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 40)
+        .withColumn("mean",
+          col("total_cnt").cast("double") / col("n_docs").cast("double"))
+        .withColumn("vmr",
+          (col("sum_sq").cast("double") / col("n_docs").cast("double")
+            - col("mean") * col("mean")) / col("mean"))
+        .select(col("word"), col("df"), col("total_cnt"), col("mean"),
+          col("vmr"))
+        .orderBy(col("word"))
     })
   )
 
@@ -938,6 +1023,49 @@ object TextOps {
            CAST(SUM(copies) AS BIGINT) AS n_docs,
            CAST(CAST(SUM(nt * copies) AS BIGINT) AS DOUBLE)
              / CAST(SUM(nt) AS BIGINT) AS duplication_factor
-         FROM pc"""
+         FROM pc""",
+
+    "t27_bigram_lift" ->
+      """WITH docs AS (SELECT string_split(TRIM(text), ' ') AS l
+                       FROM documents),
+         bg AS (SELECT f.l[i] AS w1, f.l[i+1] AS w2
+                FROM (SELECT l FROM docs WHERE LEN(l) >= 2) f,
+                     UNNEST(range(1, LEN(f.l))) AS t(i)),
+         pc AS (SELECT w1, w2, COUNT(1) AS pair_cnt FROM bg GROUP BY 1, 2),
+         uni AS (SELECT word, COUNT(1) AS cnt
+                 FROM (SELECT UNNEST(l) AS word FROM docs) GROUP BY 1),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM uni)
+         SELECT w1, w2, pair_cnt, cnt_a, cnt_b, lift FROM (
+           SELECT w1, w2, pair_cnt, a.cnt AS cnt_a, b.cnt AS cnt_b,
+             CAST(pair_cnt AS DOUBLE) * CAST(total AS DOUBLE)
+               / (CAST(a.cnt AS DOUBLE) * CAST(b.cnt AS DOUBLE)) AS lift
+           FROM pc JOIN uni a ON pc.w1 = a.word
+                   JOIN uni b ON pc.w2 = b.word
+                   CROSS JOIN tot) s
+         QUALIFY ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) <= 30
+         ORDER BY lift DESC, w1, w2""",
+
+    "t28_term_burstiness" ->
+      """WITH docs AS (SELECT doc_id, string_split(TRIM(text), ' ') AS l
+                       FROM documents),
+         pd AS (SELECT word, doc_id, COUNT(1) AS c
+                FROM (SELECT doc_id, UNNEST(l) AS word FROM docs)
+                GROUP BY 1, 2),
+         nd AS (SELECT COUNT(1) AS n_docs FROM docs),
+         terms AS (SELECT word, COUNT(1) AS df,
+                     CAST(SUM(c) AS BIGINT) AS total_cnt,
+                     CAST(SUM(c * c) AS BIGINT) AS sum_sq
+                   FROM pd GROUP BY 1)
+         SELECT word, df, total_cnt, mean, vmr FROM (
+           SELECT word, df, total_cnt,
+             CAST(total_cnt AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean,
+             (CAST(sum_sq AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               - (CAST(total_cnt AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                 * (CAST(total_cnt AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+               / (CAST(total_cnt AS DOUBLE) / CAST(n_docs AS DOUBLE))
+               AS vmr,
+             ROW_NUMBER() OVER (ORDER BY df DESC, word) AS rk
+           FROM terms CROSS JOIN nd) t
+         WHERE rk <= 40 ORDER BY word"""
   )
 }

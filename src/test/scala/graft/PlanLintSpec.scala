@@ -46,7 +46,10 @@ class PlanLintSpec extends SparkSpec {
     "e19_pq_distortion", // same broadcast centroid assignment cross
     "q92_dow_seasonality", // 1-row broadcast totals scalar
     "e20_nn_distance_profile", // same broadcast centroid assignment cross
-    "e21_lsh_recall") // exhaustive cosine ground truth (a < b)
+    "e21_lsh_recall", // exhaustive cosine ground truth (a < b)
+    "e22_range_search", // same broadcast centroid assignment cross
+    "t27_bigram_lift", // 1-row broadcast corpus-token-total scalar
+    "t28_term_burstiness") // 1-row broadcast doc-count scalar
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
