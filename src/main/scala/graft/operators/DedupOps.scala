@@ -923,10 +923,187 @@ object DedupOps {
         .distinct()
         .filter(col("hamming") <= 8)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MinHash BAND-TUNING sweep (the d-family twin of e08/e21/m11's
+    // measured-tuning surfaces): for band configs 8×8 / 16×4 / 32×2
+    // over a 64-slot signature, the candidate-pair count, the true
+    // pairs found (exact 3-gram Jaccard >= 0.8), recall against the
+    // exhaustive truth, and precision — the table that decides d04's
+    // (bands, rows) BEFORE trusting LSH as the scale path (more bands
+    // = higher recall but more candidates to verify; this measures
+    // both sides of that trade on the actual corpus). Hashing is the
+    // PORTABLE affine family over the 60-bit md5 3-gram fingerprint
+    // (h_i(x) = (a_i·x + b_i) mod 2^31-1; band hash = base-131071
+    // Horner fold mod 2^31-1) — pure BIGINT arithmetic both engines
+    // compute identically, unlike d04's seeded xxhash64 production
+    // signature (whose per-band collision behavior this sweep
+    // predicts: recall depends only on (bands, rows), not the hash
+    // family, for any well-mixing family). Scale shape: ONE signature
+    // frame shared by all three configs (the sweep adds band rows,
+    // not corpus passes); candidate joins exchange (band, hash, id)
+    // integers only; the truth side is the exhaustive posting join —
+    // the e02/e07 eval-twin contract, run per-bucket/sampled at
+    // 100 TB while the candidate side is the real plan. The 64
+    // interpreted array_min(transform(...)) lambdas are the portable
+    // trade-off; d04's codegen'd MinHashSignature is the hot path.
+    "d18_minhash_band_tuning" -> ((s, d) => {
+      import s.implicits._
+      val nH = 64
+      val cfgs = Seq(8, 16, 32)
+      val gramExpr =
+        "transform(sequence(1, size(ws) - 2), i -> " +
+          "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 3), " +
+          "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
+      val g = Materialize.LocalCheckpoint(Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), expr(s"array_distinct($gramExpr)").as("gs")))
+      val xs = g.select(col("doc_id"),
+        expr(s"transform(gs, x -> x % $P31)").as("xs"))
+      val sigTerms = (0 until nH).map(i =>
+        s"array_min(transform(xs, x -> (${affineA(i)}L * x + ${affineB(i)}L) % $P31))")
+      val sig = xs.select(col("doc_id"),
+        expr(s"array(${sigTerms.mkString(", ")})").as("sig"))
+      val bandStructs = cfgs.flatMap { b =>
+        val r = nH / b
+        (0 until b).map { j =>
+          val terms = (0 until r).map { k =>
+            s"(element_at(sig, ${j * r + k + 1}) * ${powMod(131071L, r - 1 - k)}L) % $P31"
+          }.mkString(" + ")
+          s"named_struct('bands', $b, 'band', $j, 'bh', ($terms) % $P31)"
+        }
+      }
+      val bands = sig
+        .select(col("doc_id"),
+          explode(expr(s"array(${bandStructs.mkString(", ")})")).as("e"))
+        .select(col("doc_id"), col("e.bands").as("bands"),
+          col("e.band").as("band"), col("e.bh").as("bh"))
+      val cand = bands
+        .select(col("bands"), col("band"), col("bh"), col("doc_id").as("doc_a"))
+        .join(bands.select(col("bands"), col("band"), col("bh"),
+          col("doc_id").as("doc_b")), Seq("bands", "band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("bands"), col("doc_a"), col("doc_b")).distinct()
+      val posting = g.select(col("doc_id"), explode(col("gs")).as("fp"))
+      val sizes = g.select(col("doc_id"), size(col("gs")).as("sz"))
+      val truth = posting.select(col("doc_id").as("doc_a"), col("fp"))
+        .join(posting.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
+          "doc_b")
+        .filter(col("inter").cast("double")
+          / (col("sa") + col("sb") - col("inter")) >= 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val stats = cand
+        .join(truth.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("bands"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      cfgs.toDF("bands")
+        .join(stats, Seq("bands"), "left")
+        .na.fill(0L, Seq("n_candidates", "n_found"))
+        .crossJoin(broadcast(nTruth))
+        .withColumn("rows_per_band", expr(s"CAST($nH div bands AS INT)"))
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_truth").cast("double"))
+        .withColumn("prec",
+          when(col("n_candidates") > 0L,
+            col("n_found").cast("double") / col("n_candidates").cast("double"))
+            .otherwise(lit(0.0)))
+        .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+          col("n_found"), col("n_truth"), col("prec"), col("recall"))
+        .orderBy(col("bands"))
     })
   )
 
+  /** Portable-hash constants for d18: affine family over Z_{2^31-1}
+    * (products of two sub-2^31 values stay in signed-64 range — exact
+    * BIGINT arithmetic in any engine). */
+  private val P31 = 2147483647L
+  private def affineA(i: Int): Long = ((2L * i + 1) * 2654435761L) % P31
+  private def affineB(i: Int): Long = (i.toLong * 40503L + 12345L) % P31
+  private def powMod(base: Long, e: Int): Long = {
+    var r = 1L; var b = base % P31; var k = e
+    while (k > 0) {
+      if ((k & 1) == 1) r = r * b % P31
+      b = b * b % P31; k >>= 1
+    }
+    r
+  }
+
   def oracleSql: Map[String, String] = {
+    // d18's DuckDB twin of the portable affine MinHash: same constants,
+    // same mod-2^31-1 arithmetic, same Horner band fold
+    val d18SigTerms = (0 until 64).map(i =>
+      s"list_min(list_transform(xs, x -> (${affineA(i)} * x + ${affineB(i)}) % $P31))")
+      .mkString(", ")
+    val d18BandStructs = Seq(8, 16, 32).flatMap { b =>
+      val r = 64 / b
+      (0 until b).map { j =>
+        val terms = (0 until r).map { k =>
+          s"(sig[${j * r + k + 1}] * ${powMod(131071L, r - 1 - k)}) % $P31"
+        }.mkString(" + ")
+        s"{'bands': $b, 'band': $j, 'bh': ($terms) % $P31}"
+      }
+    }.mkString(", ")
+    val d18Sql =
+      s"""WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+                     FROM documents),
+         wf AS (SELECT doc_id, ws FROM w WHERE LEN(ws) >= 3),
+         gr AS (SELECT DISTINCT doc_id,
+                  CAST(list_reduce(list_transform(generate_series(1, 15),
+                    p -> strpos('0123456789abcdef', substring(
+                      md5(array_to_string(ws[i:i+2], ' ')), p, 1)) - 1),
+                    (a, x) -> a * 16 + x) AS BIGINT) AS fp
+                FROM wf, UNNEST(GENERATE_SERIES(1, LEN(ws) - 2)) AS t(i)),
+         xl AS (SELECT doc_id, list(fp % $P31) AS xs FROM gr
+                GROUP BY doc_id),
+         sigs AS (SELECT doc_id, [$d18SigTerms] AS sig FROM xl),
+         bnd AS (SELECT doc_id, u.bands AS bands, u.band AS band,
+                   u.bh AS bh
+                 FROM (SELECT doc_id, UNNEST([$d18BandStructs]) AS u
+                       FROM sigs)),
+         cand AS (SELECT DISTINCT a.bands, a.doc_id AS doc_a,
+                    b.doc_id AS doc_b
+                  FROM bnd a JOIN bnd b ON a.bands = b.bands
+                    AND a.band = b.band AND a.bh = b.bh
+                    AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, COUNT(1) AS sz FROM gr GROUP BY doc_id),
+         ints AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    COUNT(1) AS i
+                  FROM gr a JOIN gr b ON a.fp = b.fp
+                    AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         truth AS (SELECT doc_a, doc_b FROM ints
+                   JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+                   WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+         nt AS (SELECT COUNT(1) AS n_truth FROM truth),
+         stats AS (SELECT c.bands, COUNT(1) AS n_candidates,
+                     CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_found
+                   FROM cand c LEFT JOIN truth t
+                     ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+                   GROUP BY 1),
+         spine AS (SELECT UNNEST([8, 16, 32]) AS bands)
+         SELECT s.bands, CAST(64 // s.bands AS INT) AS rows_per_band,
+           COALESCE(st.n_candidates, 0) AS n_candidates,
+           COALESCE(st.n_found, 0) AS n_found,
+           nt.n_truth,
+           CASE WHEN COALESCE(st.n_candidates, 0) > 0
+             THEN CAST(COALESCE(st.n_found, 0) AS DOUBLE)
+               / CAST(st.n_candidates AS DOUBLE)
+             ELSE 0.0 END AS prec,
+           CAST(COALESCE(st.n_found, 0) AS DOUBLE)
+             / CAST(nt.n_truth AS DOUBLE) AS recall
+         FROM spine s LEFT JOIN stats st ON s.bands = st.bands
+         CROSS JOIN nt
+         ORDER BY s.bands"""
     val pairCtes =
       """w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
               FROM documents),
@@ -1170,6 +1347,8 @@ object DedupOps {
            SELECT src_a, src_b, COUNT(*) AS n_dup_pairs
            FROM pr GROUP BY 1, 2 ORDER BY 1, 2""",
       // identical 60-bit md5 word hash + bit-vote + banding arithmetic
+      "d18_minhash_band_tuning" -> d18Sql,
+
       "d05_simhash_pairs" ->
         """WITH w AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' ')) AS w
                       FROM documents),

@@ -366,4 +366,21 @@ class DedupResilienceSpec extends SparkSpec {
       assert(got == expected, s"iter=$iter n=$n vocab=$vocab")
     }
   }
+
+  test("d18 band sweep: finer bands strictly widen the candidate set " +
+      "(8x8 subset of 16x4 subset of 32x2), so found/recall are monotone") {
+    // A 4-row band match means both its 2-row halves match, so every
+    // 16x4 candidate is a 32x2 candidate (same for 8x8 vs 16x4) —
+    // counts must be non-decreasing in the band count, and recall with
+    // them. A violation means the band fold mixes configs' slot ranges.
+    val rows = SparkEntry.queries("d18_minhash_band_tuning")(
+      spark, "/root/testdata/sf0.001")
+      .orderBy("bands").collect()
+    assert(rows.map(_.getAs[Int]("bands")).toSeq == Seq(8, 16, 32))
+    val cands = rows.map(_.getAs[Long]("n_candidates")).toSeq
+    val found = rows.map(_.getAs[Long]("n_found")).toSeq
+    assert(cands == cands.sorted, s"candidates not monotone: $cands")
+    assert(found == found.sorted, s"found not monotone: $found")
+    assert(rows.map(_.getAs[Long]("n_truth")).distinct.length == 1)
+  }
 }

@@ -49,7 +49,8 @@ class PlanLintSpec extends SparkSpec {
     "e21_lsh_recall", // exhaustive cosine ground truth (a < b)
     "e22_range_search", // same broadcast centroid assignment cross
     "t27_bigram_lift", // 1-row broadcast corpus-token-total scalar
-    "t28_term_burstiness") // 1-row broadcast doc-count scalar
+    "t28_term_burstiness", // 1-row broadcast doc-count scalar
+    "d18_minhash_band_tuning") // 1-row broadcast truth-count scalar
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
