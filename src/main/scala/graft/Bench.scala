@@ -69,7 +69,10 @@ object Bench {
     "q92_dow_seasonality", "q93_trade_matrix", "t26_length_histogram",
     "d17_dup_source_matrix", "q94_order_size_histogram",
     "m12_codec_size_profile", "e20_nn_distance_profile",
-    "e21_lsh_recall", "q95_activity_heatmap")
+    "e21_lsh_recall", "q95_activity_heatmap",
+    "t27_bigram_lift", "t28_term_burstiness", "e22_range_search",
+    "m13_resolution_profile", "q96_fk_integrity_audit",
+    "q97_fulfillment_lag", "d18_minhash_band_tuning")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

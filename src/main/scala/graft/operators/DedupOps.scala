@@ -1018,6 +1018,45 @@ object DedupOps {
         .select(col("bands"), col("rows_per_band"), col("n_candidates"),
           col("n_found"), col("n_truth"), col("prec"), col("recall"))
         .orderBy(col("bands"))
+    }),
+
+    // Shingle DOCUMENT-FREQUENCY profile: how many distinct 3-gram
+    // shingles occur in exactly k documents (k capped at 17+), with
+    // their posting share — the sizing table behind the dedup engine's
+    // two df-driven decisions: df=1 shingles are PRUNABLE (they can
+    // never witness a pair — the prefix filter's first rule), and the
+    // df tail says how hot the hottest shingle partitions run (the
+    // spill-threshold scenario DedupResilienceSpec forces; a corpus
+    // whose tail bucket carries a large posting share needs stop-
+    // shingle handling before the 100 TB run, not after it OOMs).
+    // Scale shape: in-row distinct grams explode to (fp, doc) pairs
+    // that partial-aggregate map-side into per-fp df counts (one
+    // 8-byte-keyed exchange); the df histogram is a second tiny
+    // rollup (≤ 17 groups); the posting total rides a 1-row
+    // broadcast.
+    "d19_shingle_df_profile" -> ((s, d) => {
+      val gramExpr =
+        "transform(sequence(1, size(ws) - 2), i -> " +
+          "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 3), " +
+          "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
+      val df = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(s"array_distinct($gramExpr)"))
+          .as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      val tot = df.agg(sum(col("df")).as("total_postings"))
+      df.withColumn("df_bucket", least(col("df"), lit(17L)))
+        .groupBy(col("df_bucket"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("df")).as("n_postings"))
+        .crossJoin(broadcast(tot))
+        .withColumn("posting_share",
+          col("n_postings").cast("double")
+            / col("total_postings").cast("double"))
+        .select(col("df_bucket"), col("n_shingles"), col("n_postings"),
+          col("posting_share"))
+        .orderBy(col("df_bucket"))
     })
   )
 
@@ -1348,6 +1387,27 @@ object DedupOps {
            FROM pr GROUP BY 1, 2 ORDER BY 1, 2""",
       // identical 60-bit md5 word hash + bit-vote + banding arithmetic
       "d18_minhash_band_tuning" -> d18Sql,
+
+      "d19_shingle_df_profile" ->
+        s"""WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+                       FROM documents),
+           wf AS (SELECT doc_id, ws FROM w WHERE LEN(ws) >= 3),
+           gr AS (SELECT DISTINCT doc_id,
+                    CAST(list_reduce(list_transform(generate_series(1, 15),
+                      p -> strpos('0123456789abcdef', substring(
+                        md5(array_to_string(ws[i:i+2], ' ')), p, 1)) - 1),
+                      (a, x) -> a * 16 + x) AS BIGINT) AS fp
+                  FROM wf, UNNEST(GENERATE_SERIES(1, LEN(ws) - 2)) AS t(i)),
+           df AS (SELECT fp, COUNT(1) AS df FROM gr GROUP BY fp),
+           tot AS (SELECT CAST(SUM(df) AS BIGINT) AS total_postings
+                   FROM df)
+           SELECT LEAST(df, 17) AS df_bucket,
+             COUNT(1) AS n_shingles,
+             CAST(SUM(df) AS BIGINT) AS n_postings,
+             CAST(CAST(SUM(df) AS BIGINT) AS DOUBLE)
+               / CAST(total_postings AS DOUBLE) AS posting_share
+           FROM df CROSS JOIN tot
+           GROUP BY 1, total_postings ORDER BY 1""",
 
       "d05_simhash_pairs" ->
         """WITH w AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' ')) AS w

@@ -659,6 +659,51 @@ object TextOps {
         .select(col("word"), col("df"), col("total_cnt"), col("mean"),
           col("vmr"))
         .orderBy(col("word"))
+    }),
+
+    // Corpus COVERAGE curve: cumulative distinct word 8-grams after
+    // each of t24's 16 deterministic shards, plus each shard's
+    // marginal novelty — the diminishing-returns curve behind "is
+    // acquiring more of this corpus still buying new content?" (the
+    // per-shard view of what t19 measures per source; here the shard
+    // order is the deterministic stand-in for acquisition batches).
+    // Scale shape: grams reduce in-row to the 60-bit md5-prefix
+    // integer and the shard id is row-local hash arithmetic; the
+    // (shard, fp) distinct and the first-seen window are both keyed on
+    // fp (8-byte keys on the wire, text never shuffles); the rollup is
+    // 16 rows and the cumulative window runs over those 16 — nothing
+    // corpus-sized past the fp exchanges.
+    "t29_coverage_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val shard = pmod(conv(substring(
+        md5(encode(concat(lit("shard|"), col("doc_id").cast("string")),
+          "UTF-8")), 1, 15), 16, 10).cast("long"), lit(16L)).cast("int")
+      val gram8 =
+        "transform(sequence(1, size(ws) - 7), i -> " +
+          "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 8), " +
+          "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
+      val sg = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(shard.as("shard"),
+          explode(expr(s"array_distinct($gram8)")).as("fp"))
+        .distinct()
+      val per = sg
+        .withColumn("first_shard",
+          min(col("shard")).over(Window.partitionBy(col("fp"))))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_shard") === col("shard"), 1L).otherwise(0L))
+            .as("n_new"))
+      per
+        .withColumn("cum_distinct", sum(col("n_new")).over(
+          Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("novelty_rate",
+          col("n_new").cast("double") / col("n_grams").cast("double"))
+        .select(col("shard"), col("n_grams"), col("n_new"),
+          col("cum_distinct"), col("novelty_rate"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -1066,6 +1111,36 @@ object TextOps {
                AS vmr,
              ROW_NUMBER() OVER (ORDER BY df DESC, word) AS rk
            FROM terms CROSS JOIN nd) t
-         WHERE rk <= 40 ORDER BY word"""
+         WHERE rk <= 40 ORDER BY word""",
+
+    "t29_coverage_curve" ->
+      """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+                    FROM documents),
+         wf AS (SELECT doc_id, ws FROM w WHERE LEN(ws) >= 8),
+         sg AS (SELECT DISTINCT
+                  CAST(CAST(list_reduce(list_transform(
+                    generate_series(1, 15),
+                    p -> strpos('0123456789abcdef', substring(
+                      md5('shard|' || CAST(doc_id AS VARCHAR)), p, 1)) - 1),
+                    (a, x) -> a * 16 + x) AS BIGINT) % 16 AS INT) AS shard,
+                  CAST(list_reduce(list_transform(generate_series(1, 15),
+                    p -> strpos('0123456789abcdef', substring(
+                      md5(array_to_string(ws[i:i+7], ' ')), p, 1)) - 1),
+                    (a, x) -> a * 16 + x) AS BIGINT) AS fp
+                FROM wf, UNNEST(GENERATE_SERIES(1, LEN(ws) - 7)) AS t(i)),
+         f AS (SELECT shard, fp,
+                 MIN(shard) OVER (PARTITION BY fp) AS first_shard
+               FROM sg),
+         per AS (SELECT shard, COUNT(1) AS n_grams,
+                   CAST(SUM(CASE WHEN first_shard = shard THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_new
+                 FROM f GROUP BY shard)
+         SELECT shard, n_grams, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY shard
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_distinct,
+           CAST(n_new AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             AS novelty_rate
+         FROM per ORDER BY shard"""
   )
 }
