@@ -29,7 +29,9 @@ object SparkEntry {
       operators.Extended4.queries ++
       operators.Extended5.queries ++
       operators.Extended6.queries ++
-      operators.Extended7.queries
+      operators.Extended7.queries ++
+      operators.Extended8.queries ++
+      operators.PiiOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -46,5 +48,7 @@ object SparkEntry {
       operators.Extended4.oracleSql ++
       operators.Extended5.oracleSql ++
       operators.Extended6.oracleSql ++
-      operators.Extended7.oracleSql
+      operators.Extended7.oracleSql ++
+      operators.Extended8.oracleSql ++
+      operators.PiiOps.oracleSql
 }

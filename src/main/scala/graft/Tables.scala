@@ -19,9 +19,12 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4 refuses
-    * by default. Read nanos as long and truncate to microseconds — exactly
-    * what DuckDB's TIMESTAMP cast does, so oracle comparisons line up.
+  /** events.parquet has shipped `ts` as either TIMESTAMP(NANOS) (which
+    * Spark 4 refuses by default) or plain TIMESTAMP(MICROS), depending on
+    * the generator version — adapt to whichever this dataset carries.
+    * Nanos are read as long and truncated to microseconds — exactly what
+    * DuckDB's TIMESTAMP cast does, so oracle comparisons line up; micros
+    * need only the NTZ normalization.
     *
     * NB: `nanosAsLong` is a session-wide flag with no per-read form, and
     * it is read lazily at scan execution, so it must stay set for the
@@ -35,9 +38,13 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // TIMESTAMP_NTZ so outputs round-trip as naive microseconds — the
     // exact representation DuckDB produces for its TIMESTAMP
-    table(s, d, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = table(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos read as long
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -1057,8 +1057,81 @@ object DedupOps {
         .select(col("df_bucket"), col("n_shingles"), col("n_postings"),
           col("posting_share"))
         .orderBy(col("df_bucket"))
+    }),
+
+    // WINNOWING fingerprint profile (Schleimer/Wilkerson/Aiken, the
+    // MOSS selection rule): per position, the min trigram hash over a
+    // w=4 sliding window; the distinct window-minima are the document's
+    // fingerprints. Guarantees every shared run of >= w+k-1 tokens
+    // yields a shared fingerprint while keeping only ~2/(w+1) of the
+    // gram stream — the density column verifies that bound per doc.
+    // Scale shape: grams and window minima are doc-local (the window
+    // partitions by doc_id — no cross-doc frame), so the only exchange
+    // is the per-doc rollup on an 8-byte key.
+    "d20_winnow_profile" -> ((s, d) =>
+      winnowFps(s, d)
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_grams")).as("n_grams"),
+          count(lit(1)).as("n_fp"))
+        .withColumn("density",
+          col("n_fp").cast("double") / col("n_grams").cast("double"))
+        .select(col("doc_id"), col("n_grams"), col("n_fp"), col("density"))
+        .orderBy(col("doc_id"))),
+
+    // WINNOWING candidate pairs: documents sharing >= 3 fingerprints,
+    // scored by overlap coefficient |shared| / min(|fp_a|, |fp_b|) —
+    // the copy-detection join over the d20 index. Calibrated on this
+    // corpus the >= 3 floor lands on the same 25 near-dup pairs d03's
+    // exact-Jaccard join finds. Scale shape: the self-join keys on the
+    // 8-byte fingerprint, so bucket width is each fingerprint's df
+    // (profiled by d19; max df here is 7) — an adversarial corpus
+    // needs a stop-fingerprint df cap before this join, exactly like
+    // d03's prefix filter. The fingerprint frame is materialized once
+    // ([[Materialize]] strategy) and read by all three branches.
+    "d21_winnow_pairs" -> ((s, d) => {
+      val fps = Materialize.LocalCheckpoint(winnowFps(s, d))
+      val sz = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      val sh = fps.select(col("doc_id").as("doc_a"), col("wmin"))
+        .join(fps.select(col("doc_id").as("doc_b"), col("wmin")), "wmin")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      sh.join(sz.select(col("doc_id").as("doc_a"),
+          col("n_fp").as("fp_a")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"),
+          col("n_fp").as("fp_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("n_shared").cast("double")
+            / least(col("fp_a"), col("fp_b")).cast("double")).as("overlap"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
+
+  /** Winnowing fingerprint frame (d20/d21): distinct (doc_id, n_grams,
+    * wmin) where wmin is the min 60-bit-md5 trigram hash over a w=4
+    * window at each full-window position (short docs keep position 0's
+    * truncated window so every doc with >= 1 gram fingerprints).
+    * Doc-local until the final distinct — the one exchange.
+    */
+  private def winnowFps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        (size(col("ws")) - 2).cast("long").as("n_grams"),
+        posexplode(expr(
+          "transform(sequence(1, size(ws) - 2), i -> " +
+            "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 3), " +
+            "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"))
+          .as(Seq("pos", "h")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    grams.withColumn("wmin", min(col("h")).over(win))
+      .filter(col("pos") <= greatest(lit(0L), col("n_grams") - 4))
+      .select(col("doc_id"), col("n_grams"), col("wmin")).distinct()
+  }
 
   /** Portable-hash constants for d18: affine family over Z_{2^31-1}
     * (products of two sub-2^31 values stay in signed-64 range — exact
@@ -1437,7 +1510,48 @@ object DedupOps {
                       ON a.band = b.band AND a.bh = b.bh
                      AND a.doc_id < b.doc_id)
            SELECT doc_a, doc_b, hamming FROM cand
-           WHERE hamming <= 8 ORDER BY doc_a, doc_b"""
+           WHERE hamming <= 8 ORDER BY doc_a, doc_b""",
+
+      "d20_winnow_profile" ->
+        s"""$WinnowCte
+           SELECT doc_id, MAX(n_grams) AS n_grams, COUNT(1) AS n_fp,
+             CAST(COUNT(1) AS DOUBLE) / CAST(MAX(n_grams) AS DOUBLE)
+               AS density
+           FROM fp GROUP BY doc_id ORDER BY doc_id""",
+
+      "d21_winnow_pairs" ->
+        s"""$WinnowCte,
+           sz AS (SELECT doc_id, COUNT(1) AS n_fp FROM fp GROUP BY 1),
+           sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    COUNT(1) AS n_shared
+                  FROM fp a JOIN fp b
+                    ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2 HAVING COUNT(1) >= 3)
+           SELECT doc_a, doc_b, n_shared,
+             CAST(n_shared AS DOUBLE)
+               / CAST(LEAST(x.n_fp, y.n_fp) AS DOUBLE) AS overlap
+           FROM sh JOIN sz x ON doc_a = x.doc_id
+           JOIN sz y ON doc_b = y.doc_id
+           ORDER BY doc_a, doc_b"""
     )
   }
+
+  // DuckDB twin of [[winnowFps]]: 1-based positions, same truncated
+  // window rule for short docs.
+  private val WinnowCte =
+    """WITH d AS (SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+                  FROM documents
+                  WHERE LEN(string_split(TRIM(text), ' ')) >= 3),
+       g AS (SELECT doc_id, CAST(LEN(ws) - 2 AS BIGINT) AS n_grams, i,
+               CAST(list_reduce(list_transform(generate_series(1, 15),
+                 j -> strpos('0123456789abcdef', substring(
+                   md5(array_to_string(ws[i:i+2], ' ')), j, 1)) - 1),
+                 (a, x) -> a * 16 + x) AS BIGINT) AS h
+             FROM d, UNNEST(generate_series(1, LEN(ws) - 2)) AS t(i)),
+       m AS (SELECT doc_id, n_grams, i,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+             FROM g),
+       fp AS (SELECT DISTINCT doc_id, n_grams, wmin FROM m
+              WHERE i <= GREATEST(1, n_grams - 3))"""
 }
