@@ -72,7 +72,12 @@ object Bench {
     "e21_lsh_recall", "q95_activity_heatmap",
     "t27_bigram_lift", "t28_term_burstiness", "e22_range_search",
     "m13_resolution_profile", "q96_fk_integrity_audit",
-    "q97_fulfillment_lag", "d18_minhash_band_tuning")
+    "q97_fulfillment_lag", "d18_minhash_band_tuning",
+    "d19_shingle_df_profile", "t29_coverage_curve",
+    "t30_pii_profile", "t31_pii_redaction", "d20_winnow_profile",
+    "d21_winnow_pairs", "q98_cohort_ltv", "q99_benford_profile",
+    "q100_hhi_concentration", "m14_scene_cuts", "e23_mmr_rerank",
+    "q101_debounce_compress")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

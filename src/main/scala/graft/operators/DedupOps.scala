@@ -1065,42 +1065,45 @@ object DedupOps {
     // fingerprints. Guarantees every shared run of >= w+k-1 tokens
     // yields a shared fingerprint while keeping only ~2/(w+1) of the
     // gram stream — the density column verifies that bound per doc.
-    // Scale shape: grams and window minima are doc-local (the window
-    // partitions by doc_id — no cross-doc frame), so the only exchange
-    // is the per-doc rollup on an 8-byte key.
+    // Scale shape: the whole selection runs as array expressions inside
+    // one row-local projection ([[winnowFps]]) — the profile plans NO
+    // exchange at all beyond the presentation sort.
     "d20_winnow_profile" -> ((s, d) =>
       winnowFps(s, d)
-        .groupBy(col("doc_id"))
-        .agg(max(col("n_grams")).as("n_grams"),
-          count(lit(1)).as("n_fp"))
+        .select(col("doc_id"), col("n_grams"),
+          size(col("fps")).cast("long").as("n_fp"))
         .withColumn("density",
           col("n_fp").cast("double") / col("n_grams").cast("double"))
-        .select(col("doc_id"), col("n_grams"), col("n_fp"), col("density"))
         .orderBy(col("doc_id"))),
 
     // WINNOWING candidate pairs: documents sharing >= 3 fingerprints,
     // scored by overlap coefficient |shared| / min(|fp_a|, |fp_b|) —
     // the copy-detection join over the d20 index. Calibrated on this
     // corpus the >= 3 floor lands on the same 25 near-dup pairs d03's
-    // exact-Jaccard join finds. Scale shape: the self-join keys on the
-    // 8-byte fingerprint, so bucket width is each fingerprint's df
-    // (profiled by d19; max df here is 7) — an adversarial corpus
-    // needs a stop-fingerprint df cap before this join, exactly like
-    // d03's prefix filter. The fingerprint frame is materialized once
-    // ([[Materialize]] strategy) and read by all three branches.
+    // exact-Jaccard join finds. Scale shape: fingerprints are built
+    // row-local ([[winnowFps]]) and each doc's set size rides the
+    // exploded rows, so the ONLY exchanges are the fingerprint-keyed
+    // self-join (8-byte keys, ~2/(w+1) of the gram stream) and the
+    // pair rollup. Bucket width is each fingerprint's df (profiled by
+    // d19; max df here is 7) — an adversarial corpus needs a
+    // stop-fingerprint df cap before this join, exactly like d03's
+    // prefix filter.
     "d21_winnow_pairs" -> ((s, d) => {
+      // Materialized ONCE: without the cut, CollapseProject inlines the
+      // md5 hash-stream array expression into both join sides AND into
+      // every size()/explode() consumer, re-evaluating the whole
+      // pipeline per exploded row (measured 60x slower at sf0.1).
       val fps = Materialize.LocalCheckpoint(winnowFps(s, d))
-      val sz = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-      val sh = fps.select(col("doc_id").as("doc_a"), col("wmin"))
-        .join(fps.select(col("doc_id").as("doc_b"), col("wmin")), "wmin")
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          explode(col("fps")).as("wmin"))
+      fps.select(col("doc_id").as("doc_a"), col("n_fp").as("fp_a"),
+          col("wmin"))
+        .join(fps.select(col("doc_id").as("doc_b"),
+          col("n_fp").as("fp_b"), col("wmin")), "wmin")
         .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
-      sh.join(sz.select(col("doc_id").as("doc_a"),
-          col("n_fp").as("fp_a")), "doc_a")
-        .join(sz.select(col("doc_id").as("doc_b"),
-          col("n_fp").as("fp_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"), col("n_shared"),
           (col("n_shared").cast("double")
             / least(col("fp_a"), col("fp_b")).cast("double")).as("overlap"))
@@ -1108,30 +1111,29 @@ object DedupOps {
     })
   )
 
-  /** Winnowing fingerprint frame (d20/d21): distinct (doc_id, n_grams,
-    * wmin) where wmin is the min 60-bit-md5 trigram hash over a w=4
-    * window at each full-window position (short docs keep position 0's
-    * truncated window so every doc with >= 1 gram fingerprints).
-    * Doc-local until the final distinct — the one exchange.
+  /** Winnowing fingerprint frame (d20/d21): per document, the distinct
+    * window-minima of the 60-bit-md5 trigram hash stream over a w=4
+    * sliding window (short docs keep position 1's truncated window so
+    * every doc with >= 1 gram fingerprints). ENTIRELY row-local — the
+    * hash stream, the sliding min, and the distinct all run as array
+    * expressions inside one projection, so the operator adds ZERO
+    * exchanges of its own (the first formulation's per-position window
+    * + distinct shuffled every gram position twice; this shuffles
+    * nothing). Returns (doc_id, n_grams, fps array).
     */
-  private def winnowFps(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = Tables.documents(s, d)
+  private def winnowFps(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
+      .withColumn("hs", expr(
+        "transform(sequence(1, size(ws) - 2), i -> " +
+          "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 3), " +
+          "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"))
       .select(col("doc_id"),
         (size(col("ws")) - 2).cast("long").as("n_grams"),
-        posexplode(expr(
-          "transform(sequence(1, size(ws) - 2), i -> " +
-            "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 3), " +
-            "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"))
-          .as(Seq("pos", "h")))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, 3)
-    grams.withColumn("wmin", min(col("h")).over(win))
-      .filter(col("pos") <= greatest(lit(0L), col("n_grams") - 4))
-      .select(col("doc_id"), col("n_grams"), col("wmin")).distinct()
-  }
+        expr("array_distinct(transform(" +
+          "sequence(1, greatest(1, size(hs) - 3)), " +
+          "i -> array_min(slice(hs, i, 4))))").as("fps"))
 
   /** Portable-hash constants for d18: affine family over Z_{2^31-1}
     * (products of two sub-2^31 values stay in signed-64 range — exact
@@ -1514,10 +1516,10 @@ object DedupOps {
 
       "d20_winnow_profile" ->
         s"""$WinnowCte
-           SELECT doc_id, MAX(n_grams) AS n_grams, COUNT(1) AS n_fp,
-             CAST(COUNT(1) AS DOUBLE) / CAST(MAX(n_grams) AS DOUBLE)
+           SELECT doc_id, n_grams, CAST(LEN(fps) AS BIGINT) AS n_fp,
+             CAST(LEN(fps) AS DOUBLE) / CAST(n_grams AS DOUBLE)
                AS density
-           FROM fp GROUP BY doc_id ORDER BY doc_id""",
+           FROM fl ORDER BY doc_id""",
 
       "d21_winnow_pairs" ->
         s"""$WinnowCte,
@@ -1536,22 +1538,23 @@ object DedupOps {
     )
   }
 
-  // DuckDB twin of [[winnowFps]]: 1-based positions, same truncated
-  // window rule for short docs.
+  // DuckDB twin of [[winnowFps]]: the same row-local list pipeline —
+  // hash stream, sliding list_min, list_distinct — then one UNNEST.
   private val WinnowCte =
     """WITH d AS (SELECT doc_id, string_split(TRIM(text), ' ') AS ws
                   FROM documents
                   WHERE LEN(string_split(TRIM(text), ' ')) >= 3),
-       g AS (SELECT doc_id, CAST(LEN(ws) - 2 AS BIGINT) AS n_grams, i,
-               CAST(list_reduce(list_transform(generate_series(1, 15),
-                 j -> strpos('0123456789abcdef', substring(
-                   md5(array_to_string(ws[i:i+2], ' ')), j, 1)) - 1),
-                 (a, x) -> a * 16 + x) AS BIGINT) AS h
-             FROM d, UNNEST(generate_series(1, LEN(ws) - 2)) AS t(i)),
-       m AS (SELECT doc_id, n_grams, i,
-               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-             FROM g),
-       fp AS (SELECT DISTINCT doc_id, n_grams, wmin FROM m
-              WHERE i <= GREATEST(1, n_grams - 3))"""
+       h AS (SELECT doc_id, CAST(LEN(ws) - 2 AS BIGINT) AS n_grams,
+               list_transform(generate_series(1, LEN(ws) - 2), i ->
+                 CAST(list_reduce(list_transform(generate_series(1, 15),
+                   j -> strpos('0123456789abcdef', substring(
+                     md5(array_to_string(ws[i:i+2], ' ')), j, 1)) - 1),
+                   (a, x) -> a * 16 + x) AS BIGINT)) AS hs
+             FROM d),
+       fl AS (SELECT doc_id, n_grams,
+                list_distinct(list_transform(
+                  generate_series(1, GREATEST(1, CAST(n_grams AS INT) - 3)),
+                  i -> list_min(hs[i:i+3]))) AS fps
+              FROM h),
+       fp AS (SELECT doc_id, n_grams, UNNEST(fps) AS wmin FROM fl)"""
 }

@@ -136,6 +136,39 @@ object Extended8 {
           (col("max_cents").cast("double")
             / col("tot_cents").cast("double")).as("top_share"))
         .orderBy(col("r_name"))
+    }),
+
+    // DEBOUNCE / run-length compression of event streams: a row is
+    // redundant when it repeats the previous event's type within 60 s
+    // on the same user's timeline — the sensor/telemetry compaction
+    // every high-frequency ingest runs before storage (q62 compacts by
+    // key to latest; this compacts along time). Reports per-user raw
+    // vs kept counts and the compression rate. Scale shape: one lag
+    // window partitioned by user_id (high cardinality, timeline-local
+    // — the q87 contract), timestamps carried as integer epoch-µs
+    // (unix_micros == DuckDB epoch_us, the q68 rule); the rollup
+    // partial-aggregates to one row per user.
+    "q101_debounce_compress" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("kept", when(col("prev_type").isNull
+          || col("prev_type") =!= col("event_type")
+          || col("us") - col("prev_us") > 60000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("kept")).as("n_kept"))
+        .withColumn("compression_rate",
+          lit(1.0) - col("n_kept").cast("double")
+            / col("n_events").cast("double"))
+        .select(col("user_id"), col("n_events"), col("n_kept"),
+          col("compression_rate"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -205,6 +238,22 @@ object Extended8 {
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
-         GROUP BY r_name ORDER BY r_name"""
+         GROUP BY r_name ORDER BY r_name""",
+
+    "q101_debounce_compress" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+             lag(event_type) OVER w AS prev_type,
+             lag(epoch_us(ts)) OVER w AS prev_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         k AS (SELECT user_id,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                    OR us - prev_us > 60000000 THEN 1 ELSE 0 END AS kept
+           FROM e)
+         SELECT user_id, COUNT(1) AS n_events,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           1.0 - CAST(CAST(SUM(kept) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(1) AS DOUBLE) AS compression_rate
+         FROM k GROUP BY user_id ORDER BY user_id"""
   )
 }

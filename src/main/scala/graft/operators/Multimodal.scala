@@ -27,6 +27,7 @@ object Multimodal {
   case class MediaHeader(doc_id: Long, width: Int, height: Int,
       codec: String, duration_ms: Int)
   case class MediaAHash(doc_id: Long, ahash: Long)
+  case class FrameHash(doc_id: Long, frame_idx: Int, ahash: Long)
 
   /** STUB decoder: stands in for image/audio decode + feature extraction.
     * Deterministic byte-level "features": length, first byte, md5 hex,
@@ -119,6 +120,20 @@ object Multimodal {
         b += 1
       }
       MediaAHash(m.doc_id, h)
+    }
+
+    /** Per-frame perceptual hash: m04's frame slicing (32 bytes every
+      * 64) with [[ahash]] computed over each slice — the per-frame
+      * fingerprint a scene-cut detector compares along the timeline. */
+    def frameHashes(m: MediaIn): Iterator[FrameHash] = {
+      val stride = 64
+      val flen = 32
+      Iterator.range(0, math.max(m.payload.length, 1), stride).zipWithIndex
+        .map { case (off, idx) =>
+          val end = math.min(off + flen, m.payload.length)
+          val slice = java.util.Arrays.copyOfRange(m.payload, off, end)
+          FrameHash(m.doc_id, idx, ahash(MediaIn(m.doc_id, slice)).ahash)
+        }
     }
 
     /** "Feature extraction" stub: byte-level statistics (mean/max/
@@ -438,6 +453,40 @@ object Multimodal {
         .select(col("doc_id"), col("codec"), col("n_bytes"),
           col("cum_bytes"), col("shard_idx"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SCENE-CUT detection: per-frame perceptual hashes (m04's slicing +
+    // m07's exact-integer aHash) compared along each medium's timeline;
+    // a hamming jump > 8 between successive frames marks a cut, and the
+    // report is the per-medium segmentation profile (frame count, cuts,
+    // scenes, mean scene length) — the keyframe-selection front end of
+    // video corpus prep (sample one frame per scene instead of one per
+    // stride). Scale shape: frame hashing is a pure map over payload
+    // partitions; the lag window partitions by doc_id (timeline-local,
+    // high cardinality); the rollup partial-aggregates to one row per
+    // medium. Nothing wider than (doc_id, idx, 8-byte hash) ever
+    // shuffles — frames stay where they were decoded.
+    "m14_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .where(length(col("payload")) > 0)
+        .as[MediaIn]
+        .mapPartitions(_.flatMap(MultimodalStub.frameHashes))
+        .toDF()
+        .withColumn("prev", lag(col("ahash"), 1).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("prev").isNotNull &&
+              expr("bit_count(prev ^ ahash)") > 8, 1L)
+            .otherwise(0L)).as("n_cuts"))
+        .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+          (col("n_cuts") + 1L).as("n_scenes"),
+          (col("n_frames").cast("double")
+            / (col("n_cuts") + 1L).cast("double")).as("mean_scene_frames"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -687,6 +736,46 @@ object Multimodal {
          FROM m
          WINDOW w AS (PARTITION BY codec ORDER BY doc_id
                       ROWS UNBOUNDED PRECEDING)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // m04's frame slicing + m07's integer aHash, per frame, then a lag
+    // compare along the timeline (1-based chars; ASCII corpus so byte
+    // and char offsets coincide, the m04 contract).
+    "m14_scene_cuts" ->
+      """WITH s AS (SELECT doc_id, text,
+             CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS n
+           FROM documents WHERE OCTET_LENGTH(CAST(text AS BLOB)) > 0),
+         fr AS (SELECT doc_id, f, (f-1)*64 + 1 AS off,
+                  LEAST(32, n - ((f-1)*64 + 1) + 1) AS flen
+                FROM s, UNNEST(GENERATE_SERIES(1, ((n-1)//64) + 1))
+                  AS t(f)),
+         ch AS (SELECT fr.doc_id, fr.f, fr.flen,
+                  ORD(SUBSTR(s.text, fr.off + i - 1, 1)) AS v,
+                  ((i-1)*60)//fr.flen AS b
+                FROM fr JOIN s USING (doc_id),
+                  UNNEST(GENERATE_SERIES(1, fr.flen)) AS t(i)),
+         tot AS (SELECT doc_id, f, flen, SUM(v) AS total FROM ch
+                 GROUP BY 1, 2, 3),
+         blk AS (SELECT doc_id, f, b, SUM(v) AS bsum, COUNT(1) AS blen
+                 FROM ch GROUP BY 1, 2, 3),
+         fp AS (SELECT blk.doc_id, blk.f,
+                  CAST(SUM(CASE WHEN bsum*tot.flen > tot.total*blen
+                           THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                    AS ahash
+                FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+                  AND blk.f = tot.f
+                GROUP BY 1, 2),
+         lg AS (SELECT doc_id, ahash,
+                  lag(ahash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+                FROM fp),
+         agg AS (SELECT doc_id, COUNT(1) AS n_frames,
+                   CAST(SUM(CASE WHEN prev IS NOT NULL
+                            AND bit_count(xor(ahash, prev)) > 8
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+                 FROM lg GROUP BY 1)
+         SELECT doc_id, n_frames, n_cuts, n_cuts + 1 AS n_scenes,
+           CAST(n_frames AS DOUBLE) / CAST(n_cuts + 1 AS DOUBLE)
+             AS mean_scene_frames
+         FROM agg ORDER BY doc_id"""
   )
 }

@@ -590,8 +590,91 @@ object Similarity {
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("neighbor_id"), col("cos"))
         .orderBy(col("vec_id"))
+    }),
+
+    // MMR DIVERSIFIED top-k (Carbonell/Goldstein maximal marginal
+    // relevance): for each query, greedily pick 5 of its top-20
+    // candidates maximizing 0.7·rel(q,c) − 0.3·max_{s∈picked} cos(c,s)
+    // — the re-rank that keeps a retrieval answer from being five
+    // copies of the same near-duplicate (the retrieval-side twin of
+    // e10's semantic dedup). Candidate generation here is the exact
+    // scan (oracle-checkable ground truth); at scale swap in the IVF
+    // probe (e03/e06) and keep the re-rank unchanged. Scale shape: the
+    // greedy loop is per-query over ≤ 20 rows inside flatMapGroups —
+    // k·|cand| work in one task per query, embarrassingly parallel
+    // across queries; every double op (forward dot product, fixed
+    // score parenthesization, running max) mirrors the oracle's
+    // arithmetic bit-for-bit, ties broken by candidate id.
+    "e23_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val v = vecs(s, d)
+      val q = v.filter(col("vec_id") % 50 === 1)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val c = v.select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+      val wc = Window.partitionBy(col("q_id"))
+        .orderBy(col("rel").desc, col("c_id"))
+      q.join(c, col("c_id") =!= col("q_id"))
+        .withColumn("rel", dot(col("qv"), col("cv"))
+          / (col("qn") * col("cn")))
+        .withColumn("rk", row_number().over(wc))
+        .filter(col("rk") <= 20)
+        .select(col("q_id"), col("c_id"), col("rel"), col("cv"),
+          col("cn"))
+        .as[MmrCand]
+        .groupByKey(_.q_id)
+        .flatMapGroups { (qid, it) =>
+          val cs = it.toArray.sortBy(c => (c.c_id))
+          val picked = Array.fill(cs.length)(false)
+          // running max similarity of each candidate to the picked set
+          // (-inf start: the oracle's GREATEST sees every real sim,
+          // including negative ones)
+          val maxSim = Array.fill(cs.length)(Double.NegativeInfinity)
+          (1 to math.min(5, cs.length)).iterator.map { k =>
+            var best = -1
+            var bestScore = Double.NegativeInfinity
+            var i = 0
+            while (i < cs.length) {
+              if (!picked(i)) {
+                val score =
+                  if (k == 1) 0.7 * cs(i).rel
+                  else 0.7 * cs(i).rel - 0.3 * maxSim(i)
+                // strict > with ascending-c_id scan order = ties go to
+                // the smallest candidate id, the oracle's tie rule
+                if (score > bestScore) { bestScore = score; best = i }
+              }
+              i += 1
+            }
+            picked(best) = true
+            val p = cs(best)
+            var i2 = 0
+            while (i2 < cs.length) {
+              if (!picked(i2)) {
+                // forward dot product — DoubleDotProduct's order
+                var dp = 0.0
+                var j = 0
+                while (j < p.cv.length) {
+                  dp += cs(i2).cv(j) * p.cv(j); j += 1
+                }
+                val sim = dp / (cs(i2).cn * p.cn)
+                if (sim > maxSim(i2)) maxSim(i2) = sim
+              }
+              i2 += 1
+            }
+            MmrPick(qid, k, p.c_id, p.rel, bestScore)
+          }
+        }
+        .toDF()
+        .orderBy(col("q_id"), col("pick_rank"))
     })
   )
+
+  case class MmrCand(q_id: Long, c_id: Long, rel: Double,
+      cv: Seq[Double], cn: Double)
+  case class MmrPick(q_id: Long, pick_rank: Int, c_id: Long,
+      relevance: Double, mmr_score: Double)
 
   /** e03's IVF top-1 pipeline: broadcast centroid assignment (the
     * deterministic vec_id % 50 == 0 coarse quantizer), equi-join on
@@ -1223,6 +1306,60 @@ object Similarity {
                   ROW_NUMBER() OVER (PARTITION BY vec_id
                     ORDER BY cos DESC, neighbor_id) AS rk
            FROM topq) t
-         WHERE rk = 1 ORDER BY vec_id"""
+         WHERE rk = 1 ORDER BY vec_id""",
+
+    "e23_mmr_rerank" -> MmrOracleSql
   )
+
+  /** e23's DuckDB twin: the greedy MMR loop unrolled into five pick
+    * stages (k is fixed at 5). Each stage scores the unpicked
+    * candidates with the identical parenthesization the Scala loop
+    * uses — 0.7·rel − 0.3·GREATEST(sims to picked) — and GREATEST is
+    * exact, so pick sequences match bit-for-bit, ties by c_id. */
+  private lazy val MmrOracleSql: String = {
+    def sim(p: String) =
+      s"(list_dot_product(c.cv, $p.cv) / (c.cn * $p.cn))"
+    def stage(k: Int): String = {
+      val prev = (1 until k).map(j => s"p$j")
+      val sims = prev.map(sim).mkString(", ")
+      val maxsim = if (prev.length == 1) sims else s"GREATEST($sims)"
+      val joins = prev.map(p => s"JOIN $p ON c.q_id = $p.q_id").mkString(" ")
+      val excl = prev.map(p => s"c.c_id <> $p.c_id").mkString(" AND ")
+      s"""r$k AS (SELECT c.q_id, c.c_id, c.rel, c.cv, c.cn,
+             0.7 * c.rel - 0.3 * $maxsim AS score
+           FROM cand c $joins WHERE $excl),
+         p$k AS (SELECT q_id, c_id, rel, cv, cn, score FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY score DESC, c_id) AS prk FROM r$k) t
+           WHERE prk = 1)"""
+    }
+    val picks = (1 to 5).map(k =>
+      s"SELECT q_id, CAST($k AS INT) AS pick_rank, c_id, rel AS relevance, " +
+        s"score AS mmr_score FROM p$k").mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS q_id,
+             CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 50 = 1),
+         e AS (SELECT vec_id AS c_id,
+             CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+         cand AS (SELECT q_id, c_id, rel, cv, cn, rk FROM (
+             SELECT q.q_id, e.c_id,
+               list_dot_product(q.qv, e.cv)
+                 / (SQRT(list_dot_product(q.qv, q.qv))
+                   * SQRT(list_dot_product(e.cv, e.cv))) AS rel,
+               e.cv,
+               SQRT(list_dot_product(e.cv, e.cv)) AS cn,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(q.qv, e.cv)
+                   / (SQRT(list_dot_product(q.qv, q.qv))
+                     * SQRT(list_dot_product(e.cv, e.cv))) DESC,
+                 e.c_id) AS rk
+             FROM q JOIN e ON e.c_id <> q.q_id) t
+           WHERE rk <= 20),
+         p1 AS (SELECT q_id, c_id, rel, cv, cn, 0.7 * rel AS score
+                FROM cand WHERE rk = 1),
+         ${(2 to 5).map(stage).mkString(",\n")}
+         $picks
+         ORDER BY q_id, pick_rank"""
+  }
 }

@@ -93,6 +93,57 @@ class Round7OpsSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-9, s"obs shares sum to $total")
   }
 
+  test("e23: MMR picks are distinct, rank-1 is the top candidate, and " +
+      "scores never beat pure relevance") {
+    val rows = q("e23_mmr_rerank").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (qid, picks) =>
+      val ids = picks.map(_.getAs[Long]("c_id"))
+      assert(ids.distinct.length == ids.length,
+        s"query $qid picked a candidate twice")
+      val byRank = picks.sortBy(_.getAs[Int]("pick_rank"))
+      // pick 1 is relevance-only, so it must carry the max relevance
+      val rel1 = byRank.head.getAs[Double]("relevance")
+      assert(picks.forall(_.getAs[Double]("relevance") <= rel1 + 1e-12),
+        s"query $qid pick 1 is not the most relevant")
+      // pick 1 scores exactly 0.7 * relevance; later picks shift it by
+      // at most 0.3 * |max cosine to the picked set| <= 0.3 (the
+      // penalty term can be negative when the nearest pick is
+      // anti-correlated, so it can raise the score too)
+      assert(math.abs(byRank.head.getAs[Double]("mmr_score")
+        - 0.7 * rel1) < 1e-12, s"query $qid pick 1 score is not 0.7*rel")
+      byRank.foreach { p =>
+        assert(math.abs(p.getAs[Double]("mmr_score")
+          - 0.7 * p.getAs[Double]("relevance")) <= 0.3 + 1e-12,
+          s"query $qid has a score outside the MMR bound")
+      }
+    }
+  }
+
+  test("m14: scene accounting is consistent per medium") {
+    val rows = q("m14_scene_cuts").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val frames = r.getAs[Long]("n_frames")
+      val cuts = r.getAs[Long]("n_cuts")
+      assert(r.getAs[Long]("n_scenes") == cuts + 1)
+      assert(cuts >= 0 && cuts < frames, s"cut count impossible: $r")
+    }
+  }
+
+  test("q101: debounce keeps at least one event per user and never " +
+      "more than it saw") {
+    val rows = q("q101_debounce_compress").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept >= 1 && kept <= n, s"kept count out of range: $r")
+      val rate = r.getAs[Double]("compression_rate")
+      assert(rate >= 0.0 && rate < 1.0, s"rate out of range: $r")
+    }
+  }
+
   test("q100: HHI lies in [1/n, 1] per region") {
     val rows = q("q100_hhi_concentration").collect()
     assert(rows.nonEmpty)
