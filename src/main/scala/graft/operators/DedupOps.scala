@@ -1108,6 +1108,39 @@ object DedupOps {
           (col("n_shared").cast("double")
             / least(col("fp_a"), col("fp_b")).cast("double")).as("overlap"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // CROSS-METHOD dedup agreement matrix: every candidate-pair method
+    // (MinHash LSH, SimHash banding, winnowing) scored against the
+    // exact 3-gram Jaccard >= 0.8 truth — precision and recall per
+    // method, the one table a user reads to pick a near-dup method
+    // for their corpus (d18 tunes minhash's bands; this compares
+    // across families). Scale shape: each method's pair frame is the
+    // already-bucketed candidate join it ships with; the truth frame
+    // and count are tiny and broadcast; each method reduces to a
+    // 1-row aggregate before the 3-row union.
+    "d22_method_agreement" -> ((s, d) => {
+      val truth = queries("d03_ngram_jaccard_pairs")(s, d)
+        .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1))
+      val tc = truth.agg(count(lit(1)).as("n_truth"))
+      val methods = Seq(
+        "minhash_lsh" -> queries("d04_minhash_lsh_dedup"),
+        "simhash_band" -> queries("d05_simhash_pairs"),
+        "winnowing" -> queries("d21_winnow_pairs"))
+      methods.map { case (name, fn) =>
+        fn(s, d).select(col("doc_a"), col("doc_b"))
+          .join(broadcast(truth), Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_true"))
+          .withColumn("method", lit(name))
+      }.reduce(_.unionByName(_))
+        .crossJoin(broadcast(tc))
+        .select(col("method"), col("n_pairs"), col("n_true"),
+          (col("n_true").cast("double") / col("n_pairs").cast("double"))
+            .as("precision"),
+          (col("n_true").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+        .orderBy(col("method"))
     })
   )
 
@@ -1484,35 +1517,7 @@ object DedupOps {
            FROM df CROSS JOIN tot
            GROUP BY 1, total_postings ORDER BY 1""",
 
-      "d05_simhash_pairs" ->
-        """WITH w AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' ')) AS w
-                      FROM documents),
-           h AS (SELECT doc_id,
-                   CAST(list_reduce(
-                     list_transform(generate_series(1, 15),
-                       i -> strpos('0123456789abcdef',
-                              substring(md5(w), i, 1)) - 1),
-                     (a, x) -> a * 16 + x) AS BIGINT) AS h
-                 FROM w),
-           bits AS (SELECT doc_id, i,
-                      SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
-                    FROM h, UNNEST(generate_series(0, 59)) AS t(i)
-                    GROUP BY doc_id, i),
-           fp AS (SELECT doc_id,
-                    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i)
-                             ELSE 0 END) AS BIGINT) AS simhash
-                  FROM bits GROUP BY doc_id),
-           banded AS (SELECT doc_id, simhash,
-                        (simhash >> (j * 15)) & 32767 AS bh, j AS band
-                      FROM fp, UNNEST(generate_series(0, 3)) AS t2(j)),
-           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
-                        AS hamming
-                    FROM banded a JOIN banded b
-                      ON a.band = b.band AND a.bh = b.bh
-                     AND a.doc_id < b.doc_id)
-           SELECT doc_a, doc_b, hamming FROM cand
-           WHERE hamming <= 8 ORDER BY doc_a, doc_b""",
+      "d05_simhash_pairs" -> simhashSql,
 
       "d20_winnow_profile" ->
         s"""$WinnowCte
@@ -1521,22 +1526,76 @@ object DedupOps {
                AS density
            FROM fl ORDER BY doc_id""",
 
-      "d21_winnow_pairs" ->
-        s"""$WinnowCte,
-           sz AS (SELECT doc_id, COUNT(1) AS n_fp FROM fp GROUP BY 1),
-           sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    COUNT(1) AS n_shared
-                  FROM fp a JOIN fp b
-                    ON a.wmin = b.wmin AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2 HAVING COUNT(1) >= 3)
-           SELECT doc_a, doc_b, n_shared,
-             CAST(n_shared AS DOUBLE)
-               / CAST(LEAST(x.n_fp, y.n_fp) AS DOUBLE) AS overlap
-           FROM sh JOIN sz x ON doc_a = x.doc_id
-           JOIN sz y ON doc_b = y.doc_id
-           ORDER BY doc_a, doc_b"""
+      "d21_winnow_pairs" -> winnowPairsSql,
+
+      "d22_method_agreement" -> {
+        def pairs(sql: String) = s"(SELECT doc_a, doc_b FROM ($sql))"
+        def row(name: String, sql: String) =
+          s"""SELECT '$name' AS method, COUNT(1) AS n_pairs,
+             CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_true
+           FROM ${pairs(sql)} p
+           LEFT JOIN truth t ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b"""
+        s"""WITH truth AS ${pairs(jaccardSql)},
+           tc AS (SELECT COUNT(1) AS n_truth FROM truth),
+           m AS (${row("minhash_lsh", jaccardSql)}
+                 UNION ALL ${row("simhash_band", simhashSql)}
+                 UNION ALL ${row("winnowing", winnowPairsSql)})
+           SELECT method, n_pairs, n_true,
+             CAST(n_true AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+               AS precision,
+             CAST(n_true AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+           FROM m CROSS JOIN tc ORDER BY method"""
+      }
     )
   }
+
+  // d05's oracle, shared with the d22 agreement matrix.
+  private val simhashSql =
+    """WITH w AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' ')) AS w
+                  FROM documents),
+       h AS (SELECT doc_id,
+               CAST(list_reduce(
+                 list_transform(generate_series(1, 15),
+                   i -> strpos('0123456789abcdef',
+                          substring(md5(w), i, 1)) - 1),
+                 (a, x) -> a * 16 + x) AS BIGINT) AS h
+             FROM w),
+       bits AS (SELECT doc_id, i,
+                  SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM h, UNNEST(generate_series(0, 59)) AS t(i)
+                GROUP BY doc_id, i),
+       fp AS (SELECT doc_id,
+                CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i)
+                         ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id),
+       banded AS (SELECT doc_id, simhash,
+                    (simhash >> (j * 15)) & 32767 AS bh, j AS band
+                  FROM fp, UNNEST(generate_series(0, 3)) AS t2(j)),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                    AS hamming
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bh = b.bh
+                 AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, hamming FROM cand
+       WHERE hamming <= 8 ORDER BY doc_a, doc_b"""
+
+  // d21's oracle, shared with the d22 agreement matrix.
+  private lazy val winnowPairsSql =
+    s"""$WinnowCte,
+       sz AS (SELECT doc_id, COUNT(1) AS n_fp FROM fp GROUP BY 1),
+       sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                COUNT(1) AS n_shared
+              FROM fp a JOIN fp b
+                ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING COUNT(1) >= 3)
+       SELECT doc_a, doc_b, n_shared,
+         CAST(n_shared AS DOUBLE)
+           / CAST(LEAST(x.n_fp, y.n_fp) AS DOUBLE) AS overlap
+       FROM sh JOIN sz x ON doc_a = x.doc_id
+       JOIN sz y ON doc_b = y.doc_id
+       ORDER BY doc_a, doc_b"""
 
   // DuckDB twin of [[winnowFps]]: the same row-local list pipeline —
   // hash stream, sliding list_min, list_distinct — then one UNNEST.

@@ -57,6 +57,31 @@ object StreamingOps {
     UserSessions(uid, acc.nSessions, acc.nEvents, acc.maxLen)
   }
 
+  /** Debounce fold — the incremental twin of q101's run-length
+    * compression: an event repeating the previous event's type within
+    * [[DebounceMs]] on the same key's timeline is dropped. State
+    * carries the LAST SEEN event (kept or dropped — q101's lag
+    * semantics), so a duplicate arriving in the next micro-batch is
+    * still suppressed.
+    */
+  val DebounceMs = 60000L
+  case class DebState(lastType: String, lastTs: Long)
+  case class DebEv(user_id: Long, ts_ms: Long, event_id: Long,
+      event_type: String)
+  def debounceFold(uid: Long, it: Iterator[DebEv],
+      state: GroupState[DebState]): Iterator[DebEv] = {
+    val sorted = it.toArray.sortBy(e => (e.ts_ms, e.event_id))
+    var last = state.getOption
+    val kept = sorted.filter { e =>
+      val keep = last.forall(s =>
+        s.lastType != e.event_type || e.ts_ms - s.lastTs > DebounceMs)
+      last = Some(DebState(e.event_type, e.ts_ms))
+      keep
+    }
+    last.foreach(state.update)
+    kept.iterator
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling event-time window aggregate. Streaming twin: identical plan
     // + withWatermark("ts", ...); partial agg keeps the shuffle tiny.

@@ -52,7 +52,8 @@ class PlanLintSpec extends SparkSpec {
     "t28_term_burstiness", // 1-row broadcast doc-count scalar
     "d18_minhash_band_tuning", // 1-row broadcast truth-count scalar
     "d19_shingle_df_profile", // 1-row broadcast posting-total scalar
-    "e23_mmr_rerank") // exact candidate ground truth (c_id != q_id)
+    "e23_mmr_rerank", // exact candidate ground truth (c_id != q_id)
+    "d22_method_agreement") // 1-row broadcast truth-count scalar
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {

@@ -72,6 +72,38 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("debounce state spans micro-batches: a same-type event within " +
+      "60s of the previous batch's tail is still dropped") {
+    import spark.implicits._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.DebEv
+    val tmp = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val input = MemoryStream[DebEv](spark)
+    val q = input.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(StreamingOps.debounceFold _)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("debounce_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      val s = 1000L
+      // batch 1: click at t=0 kept; click at t=30s dropped (same type,
+      // inside the window)
+      input.addData(DebEv(1, 0 * s, 1, "click"), DebEv(1, 30 * s, 2, "click"))
+      q.processAllAvailable()
+      // batch 2: click at t=50s — 20s after the previous batch's TAIL
+      // (the dropped t=30s event), so still dropped; view at t=55s kept
+      // (type change); view at t=200s kept (gap > 60s)
+      input.addData(DebEv(1, 50 * s, 3, "click"),
+        DebEv(1, 55 * s, 4, "view"), DebEv(1, 200 * s, 5, "view"))
+      q.processAllAvailable()
+      val kept = spark.table("debounce_xbatch").as[DebEv]
+        .collect().map(_.event_id).sorted.toSeq
+      assert(kept == Seq(1L, 4L, 5L),
+        s"expected events 1,4,5 to survive the debounce, got $kept")
+    } finally q.stop()
+  }
+
   test("stateful query runs on the RocksDB state store (the bounded-memory " +
       "store for 100 TB-scale state)") {
     import spark.implicits._
