@@ -77,7 +77,8 @@ object Bench {
     "t30_pii_profile", "t31_pii_redaction", "d20_winnow_profile",
     "d21_winnow_pairs", "q98_cohort_ltv", "q99_benford_profile",
     "q100_hhi_concentration", "m14_scene_cuts", "e23_mmr_rerank",
-    "q101_debounce_compress", "d22_method_agreement")
+    "q101_debounce_compress", "d22_method_agreement",
+    "t32_langid_confusion")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

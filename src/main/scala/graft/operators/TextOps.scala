@@ -22,6 +22,25 @@ object TextOps {
   private def inList(vs: Seq[String]): String =
     vs.map(v => s"'$v'").mkString("(", ", ", ")")
 
+  /** t03's marker-word scoring frame, shared with the t32 confusion
+    * matrix: per document the four marker counts, the argmax
+    * prediction (ties resolved in fixed en > es > de > fr order) and
+    * the labeled lang. Entirely row-local. */
+  private def langScored(s: SparkSession, d: String): DataFrame = {
+    val df = Tables.documents(s, d)
+      .withColumn("words", split(trim(col("text")), " "))
+    val scored = markers.keys.toSeq.sorted.foldLeft(df) { (acc, lang) =>
+      acc.withColumn(s"s_$lang", size(expr(
+        s"filter(words, w -> w IN ${inList(markers(lang))})")))
+    }
+    scored.withColumn("pred_lang",
+      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
+        && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+        .when(col("s_de") >= col("s_fr"), "de")
+        .otherwise("fr"))
+  }
+
   /** t11's computation as a reusable surface: per-document duplicate
     * 3-gram statistics over any (doc_id, text) frame. Doc-local — the
     * grams are hashed by the codegen'd word_ngram_hashes expression,
@@ -106,24 +125,32 @@ object TextOps {
 
     // Language ID by marker-word scoring (n-gram heuristic): argmax over
     // per-language hit counts with a fixed tie-break order.
-    "t03_langid" -> ((s, d) => {
-      val df = Tables.documents(s, d)
-        .withColumn("words", split(trim(col("text")), " "))
-      val scored = markers.keys.toSeq.sorted.foldLeft(df) { (acc, lang) =>
-        acc.withColumn(s"s_$lang", size(expr(
-          s"filter(words, w -> w IN ${inList(markers(lang))})")))
-      }
-      scored
-        .withColumn("pred_lang",
-          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
-            && col("s_en") >= col("s_fr"), "en")
-            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
-            .when(col("s_de") >= col("s_fr"), "de")
-            .otherwise("fr"))
+    "t03_langid" -> ((s, d) =>
+      langScored(s, d)
         .select(col("doc_id"), col("s_en"), col("s_es"), col("s_de"),
           col("s_fr"), col("pred_lang"),
           (col("pred_lang") === col("lang")).as("matches_label"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // Lang-ID CONFUSION matrix: t03's marker-word classifier scored
+    // against the labeled lang column, per (actual, predicted) cell
+    // with each cell's share of its actual-language row — the
+    // evaluation table that says WHERE the classifier fails, which
+    // t03's per-doc boolean cannot (a 95% headline accuracy can hide
+    // one language misrouted entirely). Scale shape: the scoring is
+    // row-local; the rollup partial-aggregates map-side to at most
+    // |langs|² cells, and the row-share window runs over that tiny
+    // frame.
+    "t32_langid_confusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      langScored(s, d)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("row_share", col("n_docs").cast("double")
+          / sum(col("n_docs")).over(Window.partitionBy(col("lang")))
+            .cast("double"))
+        .withColumn("correct", col("lang") === col("pred_lang"))
+        .orderBy(col("lang"), col("pred_lang"))
     }),
 
     // TF-IDF top terms per document (linear-idf variant: score =
@@ -785,6 +812,29 @@ object TextOps {
                 WHEN s_de >= s_fr THEN 'de'
                 ELSE 'fr' END) = lang AS matches_label
          FROM sc ORDER BY doc_id""",
+
+    "t32_langid_confusion" ->
+      """WITH w AS (SELECT doc_id, lang,
+           string_split(TRIM(text), ' ') AS words FROM documents),
+         sc AS (SELECT doc_id, lang,
+           CAST(LEN(list_filter(words, w -> w IN ('the','and','of','to'))) AS INT) AS s_en,
+           CAST(LEN(list_filter(words, w -> w IN ('el','la','los','de'))) AS INT) AS s_es,
+           CAST(LEN(list_filter(words, w -> w IN ('der','die','das','und'))) AS INT) AS s_de,
+           CAST(LEN(list_filter(words, w -> w IN ('le','les','des','et'))) AS INT) AS s_fr
+           FROM w),
+         p AS (SELECT lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang
+           FROM sc)
+         SELECT lang, pred_lang, COUNT(1) AS n_docs,
+           CAST(COUNT(1) AS DOUBLE)
+             / CAST(CAST(SUM(COUNT(1)) OVER (PARTITION BY lang)
+                 AS BIGINT) AS DOUBLE) AS row_share,
+           lang = pred_lang AS correct
+         FROM p GROUP BY lang, pred_lang
+         ORDER BY lang, pred_lang""",
 
     "t06_tfidf_top_terms" ->
       """WITH w AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' ')) AS w
