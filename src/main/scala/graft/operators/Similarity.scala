@@ -592,6 +592,78 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // IVF CELL-COUNT sweep: the other axis of the index-tuning plane
+    // e08's nprobe sweep leaves fixed — coarse quantizers of ~5/10/20
+    // cells (centroid sets vec_id % m == 0 for m in 100/50/25)
+    // measured in ONE plan for recall@1 (nprobe=1, vs the exhaustive
+    // truth computed once) and cell balance (imbalance factor +
+    // largest-cell share, the probe-cost number e18 audits for the
+    // production k). More cells = cheaper probes but lower recall at
+    // fixed nprobe; this table is where a user picks k before e08
+    // picks nprobe. Scale shape: per config one broadcast-centroid
+    // cross (O(k) per row), one cell equi-join, and 1-row aggregates
+    // unioned to 3 rows; the exhaustive truth side is the declared
+    // oracle-ground-truth exception (e07's contract).
+    "e24_ivf_k_sweep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = vecs(s, d)
+      val a = v.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      val wT = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val truth = a.join(b, col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("rk", row_number().over(wT)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("neighbor_id"))
+      val tot = truth.agg(count(lit(1)).as("n_truth"))
+      def config(m: Int): DataFrame = {
+        val cents = v.filter(col("vec_id") % m === 0)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+            col("nrm").as("cn"))
+        val wA = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cent_id"))
+        val assigned = v.join(broadcast(cents), lit(true))
+          .withColumn("ccos",
+            dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+          .withColumn("crk", row_number().over(wA))
+          .filter(col("crk") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("cent_id").as("cell"))
+        val stats = assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_cells"), sum(col("sz")).as("n_vecs"),
+            max(col("sz")).as("max_sz"))
+        val fa = assigned.select(col("vec_id"), col("v").as("va"),
+          col("nrm").as("na"), col("cell"))
+        val fb = assigned.select(col("vec_id").as("neighbor_id"),
+          col("v").as("vb"), col("nrm").as("nb"), col("cell"))
+        val wF = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        val found = fa.join(fb, Seq("cell"))
+          .filter(col("vec_id") =!= col("neighbor_id"))
+          .withColumn("cos",
+            dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .withColumn("rk", row_number().over(wF)).filter(col("rk") === 1)
+          .select(col("vec_id"), col("neighbor_id"))
+        found.join(truth, Seq("vec_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_recalled"))
+          .crossJoin(broadcast(stats))
+          .withColumn("sample_mod", lit(m))
+      }
+      Seq(25, 50, 100).map(config).reduce(_.unionByName(_))
+        .crossJoin(broadcast(tot))
+        .select(col("sample_mod"), col("n_cells"),
+          (col("max_sz").cast("double") * col("n_cells").cast("double")
+            / col("n_vecs").cast("double")).as("imbalance"),
+          (col("max_sz").cast("double") / col("n_vecs").cast("double"))
+            .as("max_cell_share"),
+          col("n_truth"), col("n_recalled"),
+          (col("n_recalled").cast("double") / col("n_truth").cast("double"))
+            .as("recall_at_1"))
+        .orderBy(col("sample_mod"))
+    }),
+
     // MMR DIVERSIFIED top-k (Carbonell/Goldstein maximal marginal
     // relevance): for each query, greedily pick 5 of its top-20
     // candidates maximizing 0.7·rel(q,c) − 0.3·max_{s∈picked} cos(c,s)
@@ -1308,7 +1380,50 @@ object Similarity {
            FROM topq) t
          WHERE rk = 1 ORDER BY vec_id""",
 
-    "e23_mmr_rerank" -> MmrOracleSql
+    "e23_mmr_rerank" -> MmrOracleSql,
+
+    "e24_ivf_k_sweep" -> {
+      def cfg(m: Int): String =
+        s"""cents$m AS (SELECT vec_id AS cent_id, embedding
+             FROM embeddings WHERE vec_id % $m = 0),
+           asg$m AS (SELECT vec_id, embedding, cell FROM (
+               SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY $cosExpr DESC, b.cent_id) AS crk
+               FROM embeddings a CROSS JOIN cents$m b) t WHERE crk = 1),
+           st$m AS (SELECT COUNT(1) AS n_cells,
+               CAST(SUM(sz) AS BIGINT) AS n_vecs, MAX(sz) AS max_sz
+             FROM (SELECT cell, COUNT(1) AS sz FROM asg$m GROUP BY 1) z),
+           fnd$m AS (SELECT vec_id, neighbor_id FROM (
+               SELECT a.vec_id, b.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY $cosExpr DESC, b.vec_id) AS rk
+               FROM asg$m a JOIN asg$m b
+                 ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+             WHERE rk = 1),
+           rec$m AS (SELECT COUNT(1) AS n_recalled FROM fnd$m
+                     JOIN truth USING (vec_id, neighbor_id))"""
+      def row(m: Int): String =
+        s"""SELECT $m AS sample_mod, st.n_cells,
+           CAST(st.max_sz AS DOUBLE) * CAST(st.n_cells AS DOUBLE)
+             / CAST(st.n_vecs AS DOUBLE) AS imbalance,
+           CAST(st.max_sz AS DOUBLE) / CAST(st.n_vecs AS DOUBLE)
+             AS max_cell_share,
+           tot.n_truth, rec.n_recalled,
+           CAST(rec.n_recalled AS DOUBLE) / CAST(tot.n_truth AS DOUBLE)
+             AS recall_at_1
+           FROM st$m st, rec$m rec, tot"""
+      s"""WITH truth AS (SELECT vec_id, neighbor_id FROM (
+             SELECT a.vec_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY $cosExpr DESC, b.vec_id) AS rk
+             FROM embeddings a JOIN embeddings b
+               ON a.vec_id <> b.vec_id) t WHERE rk = 1),
+         tot AS (SELECT COUNT(1) AS n_truth FROM truth),
+         ${Seq(25, 50, 100).map(cfg).mkString(",\n")}
+         ${Seq(25, 50, 100).map(row).mkString("\nUNION ALL\n")}
+         ORDER BY sample_mod"""
+    }
   )
 
   /** e23's DuckDB twin: the greedy MMR loop unrolled into five pick

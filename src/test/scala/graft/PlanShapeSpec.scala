@@ -305,6 +305,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("d20/t30/t31: the row-local batch (winnow profile, PII scrub) " +
+      "plans no hash exchange — presentation sort only") {
+    Seq("d20_winnow_profile", "t30_pii_profile", "t31_pii_redaction")
+      .foreach { name =>
+        val p = planOf(name)
+        // d20's whole winnowing selection and the PII regex work are
+        // array/string expressions inside one projection; t30's rollup
+        // partial-aggregates to |sources| rows before its exchange
+        if (name == "t30_pii_profile")
+          assert(p.contains("hashpartitioning(source"),
+            s"$name: the only exchange keys on source:\n${p.take(1500)}")
+        else
+          assert(!p.contains("hashpartitioning"),
+            s"$name: row-local operator planned a hash exchange:\n${
+              p.take(1500)}")
+      }
+  }
+
   test("t13: the corpus-wide stage is a map-side partial aggregate; " +
       "rank/coverage windows run over the vocabulary only") {
     val p = planOf("t13_vocab_coverage")

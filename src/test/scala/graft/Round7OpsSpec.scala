@@ -144,6 +144,22 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("e24: the k sweep is well-formed — cells grow as the sampling " +
+      "mod shrinks, imbalance >= 1, recall in [0, 1]") {
+    val rows = q("e24_ivf_k_sweep").collect()
+      .sortBy(_.getAs[Int]("sample_mod"))
+    assert(rows.length == 3)
+    val cells = rows.map(_.getAs[Long]("n_cells"))
+    assert(cells.zip(cells.tail).forall { case (a, b) => a >= b },
+      s"smaller mod must give at least as many cells: ${cells.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("imbalance") >= 1.0 - 1e-12, s"$r")
+      val rec = r.getAs[Double]("recall_at_1")
+      assert(rec >= 0.0 && rec <= 1.0, s"$r")
+      assert(r.getAs[Double]("max_cell_share") <= 1.0, s"$r")
+    }
+  }
+
   test("q100: HHI lies in [1/n, 1] per region") {
     val rows = q("q100_hhi_concentration").collect()
     assert(rows.nonEmpty)
