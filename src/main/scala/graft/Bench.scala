@@ -78,7 +78,8 @@ object Bench {
     "d21_winnow_pairs", "q98_cohort_ltv", "q99_benford_profile",
     "q100_hhi_concentration", "m14_scene_cuts", "e23_mmr_rerank",
     "q101_debounce_compress", "d22_method_agreement",
-    "t32_langid_confusion", "e24_ivf_k_sweep")
+    "t32_langid_confusion", "e24_ivf_k_sweep",
+    "d23_minhash_error_profile")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Parity, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1110,6 +1110,89 @@ object DedupOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // MINHASH ESTIMATOR error profile: for the production 16-band
+    // candidates, |signature-estimate − exact Jaccard| bucketed by the
+    // exact value — the calibration table that says whether the
+    // 64-permutation estimate can REPLACE exact verification above
+    // some similarity floor (d18 asks "which banding"; this asks "how
+    // wrong is the estimate itself"). Hash-collision candidates with
+    // zero shared grams keep exact Jaccard 0 (left join, coalesce) so
+    // false-positive error is measured, not dropped. All means ride
+    // Parity.davg decimal sums (order-insensitive); the estimate,
+    // exact value and bucket floor are identical IEEE expressions in
+    // both engines. Scale shape: d18's machinery — one materialized
+    // gram-set frame, band-keyed candidate join, fp-keyed intersection
+    // join, signatures joined per candidate pair; the rollup is <= 10
+    // buckets.
+    "d23_minhash_error_profile" -> ((s, d) => {
+      val nH = 64
+      val gramExpr =
+        "transform(sequence(1, size(ws) - 2), i -> " +
+          "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 3), " +
+          "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
+      val g = Materialize.LocalCheckpoint(Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), expr(s"array_distinct($gramExpr)").as("gs")))
+      val xs = g.select(col("doc_id"),
+        expr(s"transform(gs, x -> x % $P31)").as("xs"))
+      val sigTerms = (0 until nH).map(i =>
+        s"array_min(transform(xs, x -> (${affineA(i)}L * x + ${affineB(i)}L) % $P31))")
+      val sig = xs.select(col("doc_id"),
+        expr(s"array(${sigTerms.mkString(", ")})").as("sig"))
+      val r = nH / 16
+      val bandStructs = (0 until 16).map { j =>
+        val terms = (0 until r).map { k =>
+          s"(element_at(sig, ${j * r + k + 1}) * ${powMod(131071L, r - 1 - k)}L) % $P31"
+        }.mkString(" + ")
+        s"named_struct('band', $j, 'bh', ($terms) % $P31)"
+      }
+      val bands = sig
+        .select(col("doc_id"),
+          explode(expr(s"array(${bandStructs.mkString(", ")})")).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      val cand = bands
+        .select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+        .join(bands.select(col("band"), col("bh"),
+          col("doc_id").as("doc_b")), Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val posting = g.select(col("doc_id"), explode(col("gs")).as("fp"))
+      val sizes = g.select(col("doc_id"), size(col("gs")).as("sz"))
+      val inter = posting.select(col("doc_id").as("doc_a"), col("fp"))
+        .join(posting.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      val pairs = cand
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
+          "doc_b")
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("siga")),
+          "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sigb")),
+          "doc_b")
+        .withColumn("matches", expr(
+          "CAST(size(filter(sequence(1, 64), " +
+            "i -> element_at(siga, i) = element_at(sigb, i))) AS BIGINT)"))
+        .withColumn("truej", col("inter").cast("double")
+          / (col("sa") + col("sb") - col("inter")).cast("double"))
+        .withColumn("est",
+          col("matches").cast("double") / lit(64).cast("double"))
+        .withColumn("err", abs(col("est") - col("truej")))
+        .withColumn("j_bucket",
+          least(floor(col("truej") * lit(10)).cast("int"), lit(9)))
+      pairs.groupBy(col("j_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          Parity.davg(col("truej")).as("mean_true"),
+          Parity.davg(col("est")).as("mean_est"),
+          Parity.davg(col("err")).as("mean_abs_err"),
+          max(col("err")).as("max_abs_err"))
+        .orderBy(col("j_bucket"))
+    }),
+
     // CROSS-METHOD dedup agreement matrix: every candidate-pair method
     // (MinHash LSH, SimHash banding, winnowing) scored against the
     // exact 3-gram Jaccard >= 0.8 truth — precision and recall per
@@ -1495,6 +1578,65 @@ object DedupOps {
            FROM pr GROUP BY 1, 2 ORDER BY 1, 2""",
       // identical 60-bit md5 word hash + bit-vote + banding arithmetic
       "d18_minhash_band_tuning" -> d18Sql,
+
+      "d23_minhash_error_profile" -> {
+        val d23Bands = (0 until 16).map { j =>
+          val terms = (0 until 4).map { k =>
+            s"(sig[${j * 4 + k + 1}] * ${powMod(131071L, 4 - 1 - k)}) % $P31"
+          }.mkString(" + ")
+          s"{'band': $j, 'bh': ($terms) % $P31}"
+        }.mkString(", ")
+        s"""WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+                       FROM documents),
+           wf AS (SELECT doc_id, ws FROM w WHERE LEN(ws) >= 3),
+           gr AS (SELECT DISTINCT doc_id,
+                    CAST(list_reduce(list_transform(generate_series(1, 15),
+                      p -> strpos('0123456789abcdef', substring(
+                        md5(array_to_string(ws[i:i+2], ' ')), p, 1)) - 1),
+                      (a, x) -> a * 16 + x) AS BIGINT) AS fp
+                  FROM wf, UNNEST(GENERATE_SERIES(1, LEN(ws) - 2)) AS t(i)),
+           xl AS (SELECT doc_id, list(fp % $P31) AS xs FROM gr
+                  GROUP BY doc_id),
+           sigs AS (SELECT doc_id, [$d18SigTerms] AS sig FROM xl),
+           bnd AS (SELECT doc_id, u.band AS band, u.bh AS bh
+                   FROM (SELECT doc_id, UNNEST([$d23Bands]) AS u
+                         FROM sigs)),
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM bnd a JOIN bnd b ON a.band = b.band
+                      AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           sizes AS (SELECT doc_id, COUNT(1) AS sz FROM gr
+                     GROUP BY doc_id),
+           ints AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      COUNT(1) AS i
+                    FROM gr a JOIN gr b ON a.fp = b.fp
+                      AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+           pr AS (SELECT c.doc_a, c.doc_b, COALESCE(ints.i, 0) AS inter,
+                    x.sz AS sa, y.sz AS sb, p.sig AS siga, q.sig AS sigb
+                  FROM cand c
+                  LEFT JOIN ints ON c.doc_a = ints.doc_a
+                    AND c.doc_b = ints.doc_b
+                  JOIN sizes x ON c.doc_a = x.doc_id
+                  JOIN sizes y ON c.doc_b = y.doc_id
+                  JOIN sigs p ON c.doc_a = p.doc_id
+                  JOIN sigs q ON c.doc_b = q.doc_id),
+           e AS (SELECT
+                   CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE)
+                     AS truej,
+                   CAST(CAST(LEN(list_filter(generate_series(1, 64),
+                     i -> siga[i] = sigb[i])) AS BIGINT) AS DOUBLE)
+                     / CAST(64 AS DOUBLE) AS est
+                 FROM pr),
+           e3 AS (SELECT LEAST(CAST(FLOOR(truej * 10) AS INT), 9)
+                      AS j_bucket,
+                    truej, est, ABS(est - truej) AS err FROM e)
+           SELECT j_bucket, COUNT(1) AS n_pairs,
+             ${Parity.davgSql("truej")} AS mean_true,
+             ${Parity.davgSql("est")} AS mean_est,
+             ${Parity.davgSql("err")} AS mean_abs_err,
+             MAX(err) AS max_abs_err
+           FROM e3 GROUP BY 1 ORDER BY 1"""
+      },
 
       "d19_shingle_df_profile" ->
         s"""WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS ws

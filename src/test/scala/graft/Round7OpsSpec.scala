@@ -160,6 +160,22 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("d23: estimates and errors stay in range; every bucket holds " +
+      "at least one pair") {
+    val rows = q("d23_minhash_error_profile").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") >= 1L)
+      val est = r.getAs[Double]("mean_est")
+      assert(est >= 0.0 && est <= 1.0, s"$r")
+      val err = r.getAs[Double]("max_abs_err")
+      assert(err >= 0.0 && err <= 1.0, s"$r")
+      // davg quantizes to 6 decimals, so the mean can sit up to 5e-7
+      // above the exact max
+      assert(r.getAs[Double]("mean_abs_err") <= err + 1e-6, s"$r")
+    }
+  }
+
   test("q100: HHI lies in [1/n, 1] per region") {
     val rows = q("q100_hhi_concentration").collect()
     assert(rows.nonEmpty)
