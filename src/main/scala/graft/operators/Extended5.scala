@@ -350,8 +350,8 @@ object Extended5 {
                  FROM dev GROUP BY 1)
          SELECT d.event_type, COUNT(*) AS n,
                 any_value(d.med) AS med, any_value(mad.mad) AS mad,
-                SUM(CASE WHEN d.ad > 3 * 1.4826 * mad.mad
-                         THEN 1 ELSE 0 END) AS n_anom
+                CAST(SUM(CASE WHEN d.ad > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
          FROM dev d JOIN mad USING (event_type)
          GROUP BY 1 ORDER BY 1""",
 
