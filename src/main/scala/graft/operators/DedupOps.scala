@@ -1224,6 +1224,45 @@ object DedupOps {
           (col("n_true").cast("double") / col("n_truth").cast("double"))
             .as("recall"))
         .orderBy(col("method"))
+    }),
+
+    // PIPELINE FUNNEL: the composed corpus-prep stages ([[Pipeline]]
+    // quality gate → exact dedup → decontamination, d08's %7 eval
+    // split) measured as the doc/token survivor funnel — the one-page
+    // report a data lead reads after every prep run ("which stage ate
+    // the corpus"). Runs the REAL library stages, not a re-derivation,
+    // so the numbers are the numbers prepare() ships. Scale shape:
+    // inherited from the stages (map filter, fingerprint exchange,
+    // broadcast eval grams); each stage materializes once and reduces
+    // to a 1-row aggregate; the drop-rate window runs over 4 rows.
+    "d24_pipeline_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docsAll = Tables.documents(s, d)
+      val s0 = Materialize.LocalCheckpoint(
+        docsAll.filter(col("doc_id") % 7 =!= 0))
+      val ev = docsAll.filter(col("doc_id") % 7 === 0)
+      val s1 = Materialize.LocalCheckpoint(Pipeline.qualityFilter(s0))
+      val s2 = Materialize.LocalCheckpoint(Pipeline.dedupExact(s1))
+      val s3 = Pipeline.decontaminated(s2, ev)
+      def stat(df: DataFrame, idx: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), " ")).cast("long"))
+            .as("n_tokens"))
+          .withColumn("stage_idx", lit(idx))
+          .withColumn("stage", lit(name))
+      val w = Window.orderBy(col("stage_idx"))
+      Seq(stat(s0, 0, "raw"), stat(s1, 1, "quality"),
+        stat(s2, 2, "dedup_exact"), stat(s3, 3, "decontaminated"))
+        .reduce(_.unionByName(_))
+        .withColumn("prev", lag(col("n_docs"), 1).over(w))
+        .withColumn("docs_dropped",
+          coalesce(col("prev") - col("n_docs"), lit(0L)))
+        .withColumn("drop_rate", when(col("prev").isNull, lit(0.0))
+          .otherwise(col("docs_dropped").cast("double")
+            / col("prev").cast("double")))
+        .select(col("stage_idx"), col("stage"), col("n_docs"),
+          col("n_tokens"), col("docs_dropped"), col("drop_rate"))
+        .orderBy(col("stage_idx"))
     })
   )
 
@@ -1669,6 +1708,51 @@ object DedupOps {
            FROM fl ORDER BY doc_id""",
 
       "d21_winnow_pairs" -> winnowPairsSql,
+
+      // Mirrors the Pipeline stages: t02's quality rules, d01's
+      // keep-min-id dedup, d08's 8-gram decontamination (%7 split).
+      "d24_pipeline_funnel" ->
+        """WITH s0 AS (SELECT doc_id, text,
+               string_split(TRIM(text), ' ') AS words
+             FROM documents WHERE doc_id % 7 <> 0),
+           s1 AS (SELECT * FROM s0 WHERE LEN(words) >= 10
+                  AND CAST(LEN(list_distinct(words)) AS DOUBLE)
+                    / CAST(LEN(words) AS DOUBLE) >= 0.5),
+           reps AS (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id
+                    FROM s1 GROUP BY 1),
+           s2 AS (SELECT s1.* FROM s1
+                  JOIN reps ON s1.doc_id = reps.doc_id),
+           ev AS (SELECT DISTINCT array_to_string(words[i:i+7], ' ') AS g
+                  FROM (SELECT string_split(TRIM(text), ' ') AS words
+                        FROM documents WHERE doc_id % 7 = 0) e,
+                    UNNEST(generate_series(1,
+                      GREATEST(LEN(words) - 7, 0))) AS t(i)),
+           g AS (SELECT doc_id, array_to_string(words[i:i+7], ' ') AS g
+                 FROM s2, UNNEST(generate_series(1,
+                   GREATEST(LEN(words) - 7, 0))) AS t(i)),
+           bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (g)),
+           s3 AS (SELECT * FROM s2
+                  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+           f AS (
+             SELECT 0 AS stage_idx, 'raw' AS stage, COUNT(1) AS n_docs,
+               CAST(SUM(LEN(words)) AS BIGINT) AS n_tokens FROM s0
+             UNION ALL
+             SELECT 1, 'quality', COUNT(1),
+               CAST(SUM(LEN(words)) AS BIGINT) FROM s1
+             UNION ALL
+             SELECT 2, 'dedup_exact', COUNT(1),
+               CAST(SUM(LEN(words)) AS BIGINT) FROM s2
+             UNION ALL
+             SELECT 3, 'decontaminated', COUNT(1),
+               CAST(SUM(LEN(words)) AS BIGINT) FROM s3),
+           l AS (SELECT *, lag(n_docs) OVER (ORDER BY stage_idx) AS prev
+                 FROM f)
+           SELECT stage_idx, stage, n_docs, n_tokens,
+             COALESCE(prev - n_docs, 0) AS docs_dropped,
+             CASE WHEN prev IS NULL THEN 0.0
+                  ELSE CAST(COALESCE(prev - n_docs, 0) AS DOUBLE)
+                    / CAST(prev AS DOUBLE) END AS drop_rate
+           FROM l ORDER BY stage_idx""",
 
       "d22_method_agreement" -> {
         def pairs(sql: String) = s"(SELECT doc_a, doc_b FROM ($sql))"

@@ -176,6 +176,22 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("d24: the funnel only shrinks, and the arithmetic is internally " +
+      "consistent") {
+    val rows = q("d24_pipeline_funnel").collect()
+      .sortBy(_.getAs[Int]("stage_idx"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("raw", "quality", "dedup_exact", "decontaminated"))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_docs") <= a.getAs[Long]("n_docs"))
+        assert(b.getAs[Long]("n_tokens") <= a.getAs[Long]("n_tokens"))
+        assert(b.getAs[Long]("docs_dropped") ==
+          a.getAs[Long]("n_docs") - b.getAs[Long]("n_docs"))
+      case _ => ()
+    }
+  }
+
   test("q100: HHI lies in [1/n, 1] per region") {
     val rows = q("q100_hhi_concentration").collect()
     assert(rows.nonEmpty)
