@@ -79,7 +79,8 @@ object Bench {
     "q100_hhi_concentration", "m14_scene_cuts", "e23_mmr_rerank",
     "q101_debounce_compress", "d22_method_agreement",
     "t32_langid_confusion", "e24_ivf_k_sweep",
-    "d23_minhash_error_profile", "d24_pipeline_funnel")
+    "d23_minhash_error_profile", "d24_pipeline_funnel",
+    "t33_mixture_resample")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -369,6 +369,60 @@ object TextOps {
         .orderBy(col("lang"))
     }),
 
+    // MIXTURE RESAMPLE — t14's sampling weights APPLIED: each document
+    // keeps or drops by a deterministic million-bucket md5 hash of its
+    // doc_id against its language's sample-rate threshold
+    // (round(rate·10^6), the cents2 rounding rule), and the report
+    // compares achieved token share against target per language — the
+    // stage that turns t14's plan into a corpus, with the audit of how
+    // close the down-sample landed. Thresholding by integer bucket
+    // keeps the decision portable (no engine RNG); docs are whole-kept
+    // or whole-dropped, so achieved share only approximates target at
+    // doc granularity — the deviation column is the point. Scale
+    // shape: rates reduce to a |langs|-row broadcast; the keep
+    // decision is a row-local hash compare; both rollups
+    // partial-aggregate to |langs| rows.
+    "t33_mixture_resample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), " ")).cast("long").as("nt"))
+      val rates = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_before"), sum(col("nt")).as("tok_before"))
+        .withColumn("actual_share", col("tok_before").cast("double")
+          / sum(col("tok_before")).over(wAll).cast("double"))
+        .withColumn("target_share",
+          when(col("lang") === "en", 0.45)
+            .when(col("lang") === "es", 0.20)
+            .when(col("lang") === "de", 0.20)
+            .when(col("lang") === "fr", 0.10)
+            .otherwise(0.05))
+        .withColumn("ratio", col("target_share") / col("actual_share"))
+        .withColumn("thr",
+          round((col("ratio") / max(col("ratio")).over(wAll))
+            * lit(1000000)).cast("long"))
+      val h = conv(substring(
+        md5(encode(col("doc_id").cast("string"), "UTF-8")), 1, 15),
+        16, 10).cast("long")
+      val kept = docs
+        .join(broadcast(rates.select(col("lang"), col("thr"))), "lang")
+        .filter(pmod(h, lit(1000000L)) < col("thr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_after"), sum(col("nt")).as("tok_after"))
+      rates.join(kept, Seq("lang"), "left")
+        .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+        .withColumn("tok_after", coalesce(col("tok_after"), lit(0L)))
+        .withColumn("achieved_share", col("tok_after").cast("double")
+          / sum(col("tok_after")).over(wAll).cast("double"))
+        .select(col("lang"), col("n_before"), col("n_after"),
+          col("tok_before"), col("tok_after"), col("target_share"),
+          col("achieved_share"),
+          (col("achieved_share") - col("target_share")).as("deviation"))
+        .orderBy(col("lang"))
+    }),
+
     // Leakage-safe train/val/test split: the split is a deterministic
     // hash of the document's CONTENT-GROUP REPRESENTATIVE (the exact-dup
     // group's min doc_id), not of the document itself — byte-identical
@@ -835,6 +889,43 @@ object TextOps {
            lang = pred_lang AS correct
          FROM p GROUP BY lang, pred_lang
          ORDER BY lang, pred_lang""",
+
+    "t33_mixture_resample" ->
+      """WITH docs AS (SELECT doc_id, lang,
+             CAST(LEN(string_split(TRIM(text), ' ')) AS BIGINT) AS nt
+           FROM documents),
+         r0 AS (SELECT lang, COUNT(1) AS n_before,
+                  CAST(SUM(nt) AS BIGINT) AS tok_before
+                FROM docs GROUP BY 1),
+         r1 AS (SELECT *, CAST(tok_before AS DOUBLE)
+                  / CAST(CAST(SUM(tok_before) OVER () AS BIGINT)
+                      AS DOUBLE) AS actual_share,
+                  CASE lang WHEN 'en' THEN 0.45 WHEN 'es' THEN 0.20
+                            WHEN 'de' THEN 0.20 WHEN 'fr' THEN 0.10
+                            ELSE 0.05 END AS target_share
+                FROM r0),
+         r2 AS (SELECT *, target_share / actual_share AS ratio FROM r1),
+         r3 AS (SELECT *, CAST(round((ratio / MAX(ratio) OVER ())
+                  * 1000000) AS BIGINT) AS thr FROM r2),
+         h AS (SELECT doc_id, lang, nt,
+                 CAST(list_reduce(list_transform(generate_series(1, 15),
+                   i -> strpos('0123456789abcdef', substring(
+                     md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+                   (a, x) -> a * 16 + x) AS BIGINT) % 1000000 AS b
+               FROM docs),
+         kept AS (SELECT h.lang, COUNT(1) AS n_after,
+                    CAST(SUM(h.nt) AS BIGINT) AS tok_after
+                  FROM h JOIN r3 ON h.lang = r3.lang
+                  WHERE h.b < r3.thr GROUP BY 1)
+         SELECT r3.lang, n_before,
+           COALESCE(n_after, 0) AS n_after, tok_before,
+           COALESCE(tok_after, 0) AS tok_after, target_share,
+           CAST(COALESCE(tok_after, 0) AS DOUBLE)
+             / CAST(CAST(SUM(COALESCE(tok_after, 0)) OVER ()
+                 AS BIGINT) AS DOUBLE) AS achieved_share,
+           achieved_share - target_share AS deviation
+         FROM r3 LEFT JOIN kept ON r3.lang = kept.lang
+         ORDER BY r3.lang""",
 
     "t06_tfidf_top_terms" ->
       """WITH w AS (SELECT doc_id, UNNEST(string_split(TRIM(text), ' ')) AS w

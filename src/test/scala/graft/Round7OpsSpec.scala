@@ -192,6 +192,18 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("t33: the resample only shrinks and achieved shares sum to 1") {
+    val rows = q("t33_mixture_resample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"), s"$r")
+      assert(r.getAs[Long]("tok_after") <= r.getAs[Long]("tok_before"),
+        s"$r")
+    }
+    val total = rows.map(_.getAs[Double]("achieved_share")).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"achieved shares sum to $total")
+  }
+
   test("q100: HHI lies in [1/n, 1] per region") {
     val rows = q("q100_hhi_concentration").collect()
     assert(rows.nonEmpty)
