@@ -367,6 +367,55 @@ class DedupResilienceSpec extends SparkSpec {
     }
   }
 
+  test("d21 under forced sort-merge-join buffer spill: the winnow pair " +
+      "join degrades to disk, results unchanged") {
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("d21_winnow_pairs")
+    val baseline = q(spark, d).collect().toSeq
+    assert(baseline.nonEmpty, "fixture must produce winnow pairs")
+
+    val spilled = new AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) { spilled.addAndGet(m.diskBytesSpilled); () }
+      }
+    }
+    // force the fingerprint self-join onto SMJ (no broadcast), then
+    // shrink its match buffer to one row — every df>1 fingerprint then
+    // takes the ExternalAppendOnlyUnsafeRowArray spill path a 100 TB
+    // hot-fingerprint bucket would take
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "true",
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "2",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "4")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = q(spark, d)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("SortMergeJoin"),
+        s"broadcast disabled, so the pair join must plan as SMJ:\n${
+          plan.take(1000)}")
+      val under = df.collect().toSeq
+      Thread.sleep(500) // drain task-end events off the async listener bus
+      assert(under == baseline, "spilling changed the result")
+      assert(spilled.get() > 0,
+        "a 4-row join buffer must force actual disk spill " +
+          "(max fingerprint df is 9 on this fixture)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("d18 band sweep: finer bands strictly widen the candidate set " +
       "(8x8 subset of 16x4 subset of 32x2), so found/recall are monotone") {
     // A 4-row band match means both its 2-row halves match, so every
