@@ -138,6 +138,37 @@ object Extended8 {
         .orderBy(col("r_name"))
     }),
 
+    // DISCOUNT-BAND effectiveness: lineitems bucketed by discount
+    // percent, with volume, gross revenue, the discount's cost and its
+    // share of gross per band — the promotion-pricing table behind
+    // "does a deeper discount actually move volume" (discount appears
+    // everywhere else only as a revenue multiplier; here it is the
+    // DIMENSION). Carriers are integer cents (the q68 rule); the
+    // per-row discount cost rounds the same IEEE product in both
+    // engines (round(px·disc·100), the Extended6 precedent). Scale
+    // shape: one map-side-combined exchange to ~11 bands; every
+    // division happens on the tiny final frame.
+    "q102_discount_effectiveness" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(
+          round(col("l_discount") * lit(100)).cast("int").as("disc_pct"),
+          graft.Parity.cents2(col("l_quantity")).as("qc"),
+          graft.Parity.cents2(col("l_extendedprice")).as("gc"),
+          round(col("l_extendedprice") * col("l_discount") * lit(100))
+            .cast("long").as("dc"))
+        .groupBy(col("disc_pct"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("qc")).as("sq"),
+          sum(col("gc")).as("sg"), sum(col("dc")).as("sd"))
+        .select(col("disc_pct"), col("n_lines"),
+          (col("sq").cast("double") / lit(100.0)
+            / col("n_lines").cast("double")).as("avg_qty"),
+          (col("sg").cast("double") / lit(100.0)).as("gross_revenue"),
+          (col("sd").cast("double") / lit(100.0)).as("discount_cost"),
+          (col("sd").cast("double") / col("sg").cast("double"))
+            .as("cost_share"))
+        .orderBy(col("disc_pct"))
+    }),
+
     // DEBOUNCE / run-length compression of event streams: a row is
     // redundant when it repeats the previous event's type within 60 s
     // on the same user's timeline — the sensor/telemetry compaction
@@ -239,6 +270,25 @@ object Extended8 {
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+
+    "q102_discount_effectiveness" ->
+      """WITH b AS (SELECT
+             CAST(round(l_discount * 100) AS INT) AS disc_pct,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS gc,
+             CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+               AS dc
+           FROM lineitem)
+         SELECT disc_pct, COUNT(1) AS n_lines,
+           CAST(CAST(SUM(qc) AS BIGINT) AS DOUBLE) / 100.0
+             / CAST(COUNT(1) AS DOUBLE) AS avg_qty,
+           CAST(CAST(SUM(gc) AS BIGINT) AS DOUBLE) / 100.0
+             AS gross_revenue,
+           CAST(CAST(SUM(dc) AS BIGINT) AS DOUBLE) / 100.0
+             AS discount_cost,
+           CAST(CAST(SUM(dc) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(gc) AS BIGINT) AS DOUBLE) AS cost_share
+         FROM b GROUP BY disc_pct ORDER BY disc_pct""",
 
     "q101_debounce_compress" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
