@@ -80,7 +80,9 @@ object Bench {
     "q101_debounce_compress", "d22_method_agreement",
     "t32_langid_confusion", "e24_ivf_k_sweep",
     "d23_minhash_error_profile", "d24_pipeline_funnel",
-    "t33_mixture_resample", "q102_discount_effectiveness")
+    "t33_mixture_resample", "q102_discount_effectiveness",
+    "q103_chisq_association", "q104_ewma_revenue",
+    "q105_copurchase_pagerank")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Extended6.queries ++
       operators.Extended7.queries ++
       operators.Extended8.queries ++
+      operators.Extended9.queries ++
       operators.PiiOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +51,6 @@ object SparkEntry {
       operators.Extended6.oracleSql ++
       operators.Extended7.oracleSql ++
       operators.Extended8.oracleSql ++
+      operators.Extended9.oracleSql ++
       operators.PiiOps.oracleSql
 }

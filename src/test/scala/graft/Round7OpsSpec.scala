@@ -214,4 +214,47 @@ class Round7OpsSpec extends SparkSpec {
         s"HHI out of range: $r")
     }
   }
+
+  test("q103: expected counts rebuild the observed marginals") {
+    // Under the independence model the expected counts sum to the same
+    // grand total as the observed ones, and every chi-square term is
+    // non-negative — the algebra that makes the per-cell table a valid
+    // decomposition of the chi-square statistic.
+    val rows = q("q103_chisq_association").collect()
+    assert(rows.nonEmpty)
+    val obs = rows.map(_.getAs[Long]("n_obs")).sum.toDouble
+    val exp = rows.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(obs - exp) < 1e-6 * obs, s"sum(expected)=$exp != $obs")
+    rows.foreach(r =>
+      assert(r.getAs[Double]("chi2_term") >= 0.0, s"negative term: $r"))
+  }
+
+  test("q104: each region's first week smooths to itself") {
+    // With no history the dyadic weights collapse to the single current
+    // term (num = 128 c, den = 128), so ewma == revenue exactly — the
+    // partial-window normalization working as specified.
+    val rows = q("q104_ewma_revenue").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("r_name")).foreach { case (_, rs) =>
+      val first = rs.minBy(_.getAs[Long]("wk"))
+      assert(first.getAs[Double]("ewma_revenue") ==
+        first.getAs[Double]("revenue"), s"first-week ewma off: $first")
+    }
+  }
+
+  test("q105: damped rank mass is conserved within truncation slack") {
+    // Every node has out-edges (the graph is symmetric), so iteration
+    // redistributes all rank mass: sum(r') = 0.15e6 n + 0.85 sum(r)
+    // minus only integer-truncation losses (< deg units per node).
+    val rows = q("q105_copurchase_pagerank").collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val total = rows.map(_.getAs[Long]("rank_micro")).sum
+    assert(math.abs(total - n * 1000000L) < 0.01 * n * 1000000L,
+      s"rank mass drifted: $total vs ${n * 1000000L}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rank_micro") >= 150000L, s"below floor: $r")
+      assert(r.getAs[Long]("degree") >= 1L)
+    }
+  }
 }
