@@ -82,7 +82,8 @@ object Bench {
     "d23_minhash_error_profile", "d24_pipeline_funnel",
     "t33_mixture_resample", "q102_discount_effectiveness",
     "q103_chisq_association", "q104_ewma_revenue",
-    "q105_copurchase_pagerank")
+    "q105_copurchase_pagerank", "d25_contamination_score",
+    "d26_dup_inflation", "e25_cell_medoid")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -331,6 +331,39 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Graded contamination score — one row per `train` document with its
+    * distinct n-gram count, the number of those grams present anywhere
+    * in `eval`, and the overlap fraction (0 for gram-less short docs).
+    * The threshold-policy companion to [[decontaminate]] (which returns
+    * only contaminated docs): a decontamination report needs the clean
+    * docs too, because the corpus-level contamination rate divides by
+    * them. Scale shape: identical to [[decontaminate]] — broadcast
+    * hashed eval grams, one corpus map pass, per-doc tallies
+    * partial-aggregated before the single doc-id exchange; the closing
+    * join that re-attaches zero-gram docs is co-partitioned on the same
+    * key. */
+  def contaminationScore(train: DataFrame, eval: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n-gram width must be >= 2; got $n")
+    require(idCol != "g" && idCol != "hit",
+      s"contaminationScore: idCol '$idCol' collides with an internal " +
+        "alias (g / hit)")
+    val evalGrams = gramRows(eval, idCol, textCol, n, idCol)
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    val tallies = gramRows(train, idCol, textCol, n, idCol)
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+    train.select(col(idCol)).join(tallies, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contamination",
+        when(col("n_grams") > 0, col("n_shared").cast("double")
+          / col("n_grams").cast("double")).otherwise(lit(0.0)))
+  }
+
   /** Incremental exact dedup — the daily-ingest shape: which documents
     * of a (small) new `batch` already exist, by content, in the
     * (enormous) `corpus`. Returns one row per duplicate batch document:
@@ -1263,6 +1296,59 @@ object DedupOps {
         .select(col("stage_idx"), col("stage"), col("n_docs"),
           col("n_tokens"), col("docs_dropped"), col("drop_rate"))
         .orderBy(col("stage_idx"))
+    }),
+
+    // GRADED contamination score — the report behind a threshold-based
+    // decontamination policy ("drop docs with > X% benchmark overlap",
+    // the Llama/GPT-report convention), where d08 answers only the
+    // binary any-overlap question: for EVERY training doc, its distinct
+    // 8-gram count, how many of those grams appear in the eval set, and
+    // the overlap fraction — zero-hit docs included (they are the
+    // denominator of any corpus-level contamination rate). Same
+    // deterministic % 7 split as d08. Scale shape: eval grams distinct
+    // + broadcast (8-byte hashed keys, the d08 contract); the corpus
+    // side is one map pass whose per-doc tallies partial-aggregate
+    // before the single exchange on doc_id; the final left join against
+    // the doc list is co-partitioned on that same key. Counts are exact
+    // modulo 64-bit gram-hash collisions (P < pairs/2^65 — the d08
+    // bound, which scales with the eval set, small by definition).
+    "d25_contamination_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      contaminationScore(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Duplicate STORAGE INFLATION per source — the dedup-ROI report:
+    // how many bytes each source wastes on non-canonical exact copies
+    // (canonical = min doc_id per content fingerprint, the d01 rule).
+    // This is the number that decides whether running d01 on a source
+    // pays for itself at 100 TB. Scale shape: rows reduce to 16-byte
+    // md5 fingerprints + (id, source, n_chars) at the scan — text never
+    // shuffles; the canonical-id frame groups on fp and joins back on
+    // the SAME key, so the second hop reuses the first exchange's
+    // partitioning; the per-source rollup partial-aggregates to
+    // |sources| rows. Fingerprint identity stands in for text equality
+    // under d01's collision argument (the oracle partitions by text
+    // itself, so a collision would surface as a hash mismatch).
+    "d26_dup_inflation" -> ((s, d) => {
+      val hashed = Tables.documents(s, d).select(
+        col("doc_id"), col("source"), col("n_chars"),
+        md5(encode(col("text"), "UTF-8")).as("fp"))
+      val canon = hashed.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canon_id"))
+      hashed.join(canon, "fp")
+        .withColumn("dup", (col("doc_id") =!= col("canon_id")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dup")).as("n_dups"),
+          sum(col("n_chars")).as("bytes_total"),
+          sum(col("dup") * col("n_chars")).as("bytes_wasted"))
+        .withColumn("inflation", col("bytes_wasted").cast("double")
+          / col("bytes_total").cast("double"))
+        .select(col("source"), col("n_docs"), col("n_dups"),
+          col("bytes_total"), col("bytes_wasted"), col("inflation"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1753,6 +1839,45 @@ object DedupOps {
                   ELSE CAST(COALESCE(prev - n_docs, 0) AS DOUBLE)
                     / CAST(prev AS DOUBLE) END AS drop_rate
            FROM l ORDER BY stage_idx""",
+
+      // d10's distinct per-doc grams, left-joined so zero-hit docs stay
+      "d25_contamination_score" ->
+        """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS words
+                      FROM documents),
+           g AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ')
+                   AS g
+                 FROM w, UNNEST(generate_series(1,
+                   GREATEST(LEN(words) - 7, 0))) AS t(i)),
+           ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+           tr AS (SELECT doc_id, g FROM g WHERE doc_id % 7 <> 0),
+           sc AS (SELECT tr.doc_id, COUNT(1) AS n_grams,
+                    CAST(SUM(CASE WHEN ev.g IS NULL THEN 0 ELSE 1 END)
+                      AS BIGINT) AS n_shared
+                  FROM tr LEFT JOIN ev ON tr.g = ev.g GROUP BY 1)
+           SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+             COALESCE(n_shared, 0) AS n_shared,
+             CASE WHEN COALESCE(n_grams, 0) > 0
+                  THEN CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                  ELSE 0.0 END AS contamination
+           FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+           WHERE d.doc_id % 7 <> 0 ORDER BY d.doc_id""",
+
+      // partitions by text itself — a Spark-side md5 collision would
+      // surface here as a mismatch (the d01 guard argument)
+      "d26_dup_inflation" ->
+        """WITH c AS (SELECT source, doc_id, n_chars,
+               MIN(doc_id) OVER (PARTITION BY text) AS canon_id
+             FROM documents)
+           SELECT source, COUNT(1) AS n_docs,
+             CAST(SUM(CASE WHEN doc_id <> canon_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dups,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+             CAST(SUM(CASE WHEN doc_id <> canon_id THEN n_chars ELSE 0 END)
+               AS BIGINT) AS bytes_wasted,
+             CAST(SUM(CASE WHEN doc_id <> canon_id THEN n_chars ELSE 0 END)
+                 AS DOUBLE)
+               / CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) AS inflation
+           FROM c GROUP BY source ORDER BY source""",
 
       "d22_method_agreement" -> {
         def pairs(sql: String) = s"(SELECT doc_a, doc_b FROM ($sql))"

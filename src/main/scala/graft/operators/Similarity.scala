@@ -740,6 +740,45 @@ object Similarity {
         }
         .toDF()
         .orderBy(col("q_id"), col("pick_rank"))
+    }),
+
+    // Per-cell MEDOID: the member vector maximizing summed cosine to
+    // its cell-mates — the representative-selection stage of a
+    // SemDeDup-style pipeline (keep the medoid, drop the near-dups) and
+    // the robust alternative to e15's mean centroid (a mean drifts
+    // toward outliers and is not a real corpus item; a medoid IS one).
+    // Scale shape: the pair space is bounded within IVF cells exactly
+    // like e10's semantic dedup (broadcast centroids, equi-join on
+    // cell); per-member sums partial-aggregate before the one
+    // (cell, vec) exchange and ride exact decimals (the e20 rule), so
+    // the argmax is deterministic under any partitioning; the
+    // row_number pick runs per cell on a |members|-sized frame.
+    // Single-member cells have no medoid under the sum-of-others
+    // definition and drop with the empty pair frame (documented
+    // contract; the oracle agrees).
+    "e25_cell_medoid" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val asg = centroidRanked(s, d).filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cent_id").as("cell"))
+      val a = asg.toDF("vec_id", "va", "na", "cell")
+      val b = asg.toDF("nb_id", "vb", "nb", "cell")
+      val scored = a.join(b, Seq("cell"))
+        .filter(col("vec_id") =!= col("nb_id"))
+        .withColumn("cos",
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .groupBy(col("cell"), col("vec_id"))
+        .agg(count(lit(1)).as("n_others"),
+          Parity.dsum(col("cos")).as("sum_cos"))
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("sum_cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cell"), (col("n_others") + 1).as("n_members"),
+          col("vec_id").as("medoid_id"),
+          (col("sum_cos") / col("n_others").cast("double"))
+            .as("mean_cos"))
+        .orderBy(col("cell"))
     })
   )
 
@@ -1423,7 +1462,29 @@ object Similarity {
          ${Seq(25, 50, 100).map(cfg).mkString(",\n")}
          ${Seq(25, 50, 100).map(row).mkString("\nUNION ALL\n")}
          ORDER BY sample_mod"""
-    }
+    },
+
+    "e25_cell_medoid" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         assigned AS (
+           SELECT vec_id, embedding, cell FROM (
+             SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1),
+         sc AS (SELECT a.cell, a.vec_id, COUNT(1) AS n_others,
+                  CAST(SUM(CAST(($cosExpr) AS DECIMAL(18,6))) AS DOUBLE)
+                    AS sum_cos
+                FROM assigned a JOIN assigned b
+                  ON a.cell = b.cell AND a.vec_id <> b.vec_id
+                GROUP BY 1, 2),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                 ORDER BY sum_cos DESC, vec_id) AS rk FROM sc)
+         SELECT cell, n_others + 1 AS n_members, vec_id AS medoid_id,
+           sum_cos / CAST(n_others AS DOUBLE) AS mean_cos
+         FROM r WHERE rk = 1 ORDER BY cell"""
   )
 
   /** e23's DuckDB twin: the greedy MMR loop unrolled into five pick

@@ -54,7 +54,8 @@ class PlanLintSpec extends SparkSpec {
     "d19_shingle_df_profile", // 1-row broadcast posting-total scalar
     "e23_mmr_rerank", // exact candidate ground truth (c_id != q_id)
     "d22_method_agreement", // 1-row broadcast truth-count scalar
-    "e24_ivf_k_sweep") // 3 broadcast centroid crosses + exhaustive truth
+    "e24_ivf_k_sweep", // 3 broadcast centroid crosses + exhaustive truth
+    "e25_cell_medoid") // broadcast coarse-centroid assignment (cross, O(cents))
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {

@@ -257,4 +257,53 @@ class Round7OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("degree") >= 1L)
     }
   }
+
+  test("d25: graded scores agree with d08's binary verdicts") {
+    // Every doc d08 flags must score > 0 with the SAME shared-gram
+    // count; every doc d08 is silent on must score exactly 0 — the
+    // graded report is a strict superset of the binary one.
+    val binary = q("d08_decontamination").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared"))
+      .toMap
+    val graded = q("d25_contamination_score").collect()
+    assert(graded.length > binary.size, "graded report lost clean docs")
+    graded.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val shared = r.getAs[Long]("n_shared")
+      val c = r.getAs[Double]("contamination")
+      binary.get(id) match {
+        case Some(n) =>
+          assert(shared == n, s"doc $id: graded $shared vs binary $n")
+          assert(c > 0.0 && c <= 1.0, s"doc $id: score $c out of range")
+        case None =>
+          assert(shared == 0L && c == 0.0, s"clean doc $id scored: $r")
+      }
+    }
+  }
+
+  test("d26: inflation books reconcile with d01's canonical count") {
+    val rows = q("d26_dup_inflation").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dups") < r.getAs[Long]("n_docs"), s"$r")
+      assert(r.getAs[Long]("bytes_wasted") <= r.getAs[Long]("bytes_total"),
+        s"$r")
+    }
+    // Global: docs minus non-canonical copies == d01's distinct texts.
+    val kept = rows.map(r =>
+      r.getAs[Long]("n_docs") - r.getAs[Long]("n_dups")).sum
+    assert(kept == q("d01_dedup_exact").count(),
+      "kept-doc count disagrees with d01")
+  }
+
+  test("e25: one medoid per multi-member cell, cosines in range") {
+    val rows = q("e25_cell_medoid").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("cell")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2L, s"$r")
+      val mc = r.getAs[Double]("mean_cos")
+      assert(mc >= -1.0 - 1e-9 && mc <= 1.0 + 1e-9, s"$r")
+    }
+  }
 }
