@@ -83,7 +83,8 @@ object Bench {
     "t33_mixture_resample", "q102_discount_effectiveness",
     "q103_chisq_association", "q104_ewma_revenue",
     "q105_copurchase_pagerank", "d25_contamination_score",
-    "d26_dup_inflation", "e25_cell_medoid")
+    "d26_dup_inflation", "e25_cell_medoid", "q106_error_bursts",
+    "d27_source_minhash_jaccard")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -1349,6 +1349,72 @@ object DedupOps {
         .select(col("source"), col("n_docs"), col("n_dups"),
           col("bytes_total"), col("bytes_wasted"), col("inflation"))
         .orderBy(col("source"))
+    }),
+
+    // SOURCE-level MinHash Jaccard matrix, audited against the exact
+    // overlap: each source is summarized by a 16-hash MinHash signature
+    // over its distinct trigram-shingle set (d18's portable affine
+    // family over the 60-bit md5 gram ints), the pairwise signature
+    // agreement estimates Jaccard, and the exact Jaccard (t20's shared
+    // shingle machinery, plus set sizes) sits beside it with the
+    // absolute error. This is the MERGEABILITY story of MinHash made
+    // first-class: a per-SOURCE signature is just min() per hash — an
+    // associative partial aggregate — so at 100 TB each source's
+    // signature folds map-side inside one exchange of 16 longs per
+    // source, and comparing two corpora costs 16 comparisons, not a
+    // shingle join. The exact side (for the audit) is the expensive
+    // path and says so: a distinct over (source, gram) keyed on the
+    // 8-byte gram plus a gram-keyed equi-join, text never shuffling.
+    // Pair frames are |sources|^2 summary rows — tiny by construction
+    // (the sketch's entire point), so the pair product is allowlisted
+    // like e01's ground truth.
+    "d27_source_minhash_jaccard" -> ((s, d) => {
+      val nH = 16
+      val gramExpr =
+        "transform(sequence(1, size(ws) - 2), i -> " +
+          "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 3), " +
+          "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
+      val g = Tables.documents(s, d)
+        .select(col("source"), split(trim(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("source"),
+          expr(s"transform(array_distinct($gramExpr), x -> x % $P31)")
+            .as("xs"))
+      val docMins = g.select(
+        col("source") +: (0 until nH).map(i => expr(
+          s"array_min(transform(xs, x -> (${affineA(i)}L * x + " +
+            s"${affineB(i)}L) % $P31))").as(s"h$i")): _*)
+      val sig = docMins.groupBy(col("source"))
+        .agg(min(col("h0")).as("h0"),
+          (1 until nH).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+      val sets = g.select(col("source"), explode(col("xs")).as("x"))
+        .distinct()
+      val sz = sets.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val inter = sets.toDF("source_a", "x")
+        .join(sets.toDF("source_b", "x"), "x")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val a = sig.toDF("source_a" +: (0 until nH).map(i => s"a$i"): _*)
+      val b = sig.toDF("source_b" +: (0 until nH).map(i => s"b$i"): _*)
+      val matches = (0 until nH).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      a.join(b, col("source_a") < col("source_b"))
+        .withColumn("n_matches", matches.cast("long"))
+        .select(col("source_a"), col("source_b"), col("n_matches"))
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .join(sz.toDF("source_a", "sz_a"), "source_a")
+        .join(sz.toDF("source_b", "sz_b"), "source_b")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("est_jaccard",
+          col("n_matches").cast("double") / lit(16.0))
+        .withColumn("exact_jaccard", col("n_inter").cast("double")
+          / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+        .select(col("source_a"), col("source_b"), col("n_matches"),
+          col("n_inter"), col("est_jaccard"), col("exact_jaccard"),
+          abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -1878,6 +1944,49 @@ object DedupOps {
                  AS DOUBLE)
                / CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) AS inflation
            FROM c GROUP BY source ORDER BY source""",
+
+      "d27_source_minhash_jaccard" -> {
+        val sigTerms = (0 until 16).map(i =>
+          s"CAST(MIN((${affineA(i)} * x + ${affineB(i)}) % $P31) AS BIGINT) AS h$i")
+          .mkString(", ")
+        val matchTerms = (0 until 16).map(i =>
+          s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH w AS (SELECT source, string_split(TRIM(text), ' ') AS ws
+                       FROM documents),
+           wf AS (SELECT source, ws FROM w WHERE LEN(ws) >= 3),
+           gr AS (SELECT DISTINCT source,
+                    CAST(list_reduce(list_transform(generate_series(1, 15),
+                      p -> strpos('0123456789abcdef', substring(
+                        md5(array_to_string(ws[i:i+2], ' ')), p, 1)) - 1),
+                      (a, x) -> a * 16 + x) % $P31 AS BIGINT) AS x
+                  FROM wf, UNNEST(GENERATE_SERIES(1, LEN(ws) - 2)) AS t(i)),
+           sig AS (SELECT source, $sigTerms FROM gr GROUP BY source),
+           sz AS (SELECT source, COUNT(1) AS sz FROM gr GROUP BY source),
+           ints AS (SELECT a.source AS source_a, b.source AS source_b,
+                      COUNT(1) AS n_inter
+                    FROM gr a JOIN gr b ON a.x = b.x
+                      AND a.source < b.source
+                    GROUP BY 1, 2),
+           p AS (SELECT a.source AS source_a, b.source AS source_b,
+                   CAST($matchTerms AS BIGINT) AS n_matches
+                 FROM sig a JOIN sig b ON a.source < b.source),
+           j AS (SELECT p.source_a, p.source_b, p.n_matches,
+                   COALESCE(ints.n_inter, 0) AS n_inter,
+                   sa.sz AS sz_a, sb.sz AS sz_b
+                 FROM p
+                 LEFT JOIN ints ON p.source_a = ints.source_a
+                   AND p.source_b = ints.source_b
+                 JOIN sz sa ON p.source_a = sa.source
+                 JOIN sz sb ON p.source_b = sb.source)
+           SELECT source_a, source_b, n_matches, n_inter,
+             CAST(n_matches AS DOUBLE) / 16.0 AS est_jaccard,
+             CAST(n_inter AS DOUBLE)
+               / CAST(sz_a + sz_b - n_inter AS DOUBLE) AS exact_jaccard,
+             ABS(CAST(n_matches AS DOUBLE) / 16.0
+               - CAST(n_inter AS DOUBLE)
+                 / CAST(sz_a + sz_b - n_inter AS DOUBLE)) AS abs_err
+           FROM j ORDER BY source_a, source_b"""
+      },
 
       "d22_method_agreement" -> {
         def pairs(sql: String) = s"(SELECT doc_a, doc_b FROM ($sql))"

@@ -152,6 +152,32 @@ object Extended9 {
           col("r").as("rank_micro"),
           (col("r").cast("double") / lit(1000000.0)).as("rank"))
         .orderBy(col("partkey"))
+    }),
+
+    // ERROR-BURST detection — the N-in-T alerting primitive (3 errors
+    // within 5 minutes) over each user's error timeline: a burst point
+    // is an error whose 2nd-back predecessor landed <= 300 s earlier.
+    // q101 compresses repeats; this DETECTS them — the rule an on-call
+    // pager fires on, run in batch for threshold backtesting.
+    // Timestamps ride integer epoch-us (the q68/q101 rule), so the
+    // window arithmetic is exact in both engines. Scale shape: the
+    // error filter pushes to the scan; one lag window partitioned by
+    // user_id (high cardinality, timeline-local — the q87 contract);
+    // the rollup partial-aggregates to one row per erroring user.
+    "q106_error_bursts" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("burst",
+          when(col("us") - lag(col("us"), 2).over(w) <= 300000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_errors"),
+          sum(col("burst")).as("n_burst_points"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -231,6 +257,18 @@ object Extended9 {
          SELECT pk AS partkey, deg AS degree, r AS rank_micro,
            CAST(r AS DOUBLE) / 1000000.0 AS rank
          FROM r2 JOIN deg ON pk = deg.src
-         ORDER BY partkey"""
+         ORDER BY partkey""",
+
+    "q106_error_bursts" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'error'),
+         b AS (SELECT user_id,
+             CASE WHEN us - lag(us, 2) OVER w <= 300000000
+                  THEN 1 ELSE 0 END AS burst
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY us, event_id))
+         SELECT user_id, COUNT(1) AS n_errors,
+           CAST(SUM(burst) AS BIGINT) AS n_burst_points
+         FROM b GROUP BY user_id ORDER BY user_id"""
   )
 }

@@ -55,7 +55,8 @@ class PlanLintSpec extends SparkSpec {
     "e23_mmr_rerank", // exact candidate ground truth (c_id != q_id)
     "d22_method_agreement", // 1-row broadcast truth-count scalar
     "e24_ivf_k_sweep", // 3 broadcast centroid crosses + exhaustive truth
-    "e25_cell_medoid") // broadcast coarse-centroid assignment (cross, O(cents))
+    "e25_cell_medoid", // broadcast coarse-centroid assignment (cross, O(cents))
+    "d27_source_minhash_jaccard") // |sources|^2 pairing of 17-column signature rows
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {

@@ -296,6 +296,33 @@ class Round7OpsSpec extends SparkSpec {
       "kept-doc count disagrees with d01")
   }
 
+  test("q106: burst points need at least three errors") {
+    val rows = q("q106_error_bursts").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_errors")
+      val b = r.getAs[Long]("n_burst_points")
+      assert(b >= 0L && b <= math.max(0L, n - 2), s"burst bound: $r")
+    }
+  }
+
+  test("d27: the signature matrix covers every source pair with " +
+      "estimates and truth in [0, 1]") {
+    val rows = q("d27_source_minhash_jaccard").collect()
+    val nSources = SparkEntry.queries("d26_dup_inflation")(spark, dir)
+      .count()
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      s"${rows.length} pairs for $nSources sources")
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val ex = r.getAs[Double]("exact_jaccard")
+      assert(est >= 0.0 && est <= 1.0, s"$r")
+      assert(ex >= 0.0 && ex <= 1.0, s"$r")
+      assert(math.abs(r.getAs[Double]("abs_err") - math.abs(est - ex))
+        < 1e-12, s"$r")
+    }
+  }
+
   test("e25: one medoid per multi-member cell, cosines in range") {
     val rows = q("e25_cell_medoid").collect()
     assert(rows.nonEmpty)
