@@ -82,6 +82,35 @@ object StreamingOps {
     kept.iterator
   }
 
+  /** Incremental N-in-T burst detector — q106's streaming twin (the
+    * debounceFold pattern applied to alerting): per-key state is the
+    * last TWO error timestamps, and an incoming error raises an alert
+    * when its 2nd-back predecessor landed within the window — the same
+    * 3-in-300s rule q106 backtests in batch, firing live at the pager
+    * latency a micro-batch allows. State is two longs per key
+    * regardless of traffic (RocksDB-friendly at any key cardinality);
+    * alerts are emitted in Append mode, once each.
+    */
+  val BurstWindowMs = 300000L
+  val BurstNone: Long = Long.MinValue / 4 // sentinel: spans stay overflow-free
+  case class BurstState(t1: Long, t2: Long) // 2nd-back, 1st-back error times
+  case class ErrEv(user_id: Long, ts_ms: Long, event_id: Long)
+  case class BurstAlert(user_id: Long, event_id: Long, ts_ms: Long,
+      span_ms: Long)
+  def burstFold(uid: Long, it: Iterator[ErrEv],
+      state: GroupState[BurstState]): Iterator[BurstAlert] = {
+    val sorted = it.toArray.sortBy(e => (e.ts_ms, e.event_id))
+    var s = state.getOption.getOrElse(BurstState(BurstNone, BurstNone))
+    val out = Array.newBuilder[BurstAlert]
+    sorted.foreach { e =>
+      if (e.ts_ms - s.t1 <= BurstWindowMs)
+        out += BurstAlert(uid, e.event_id, e.ts_ms, e.ts_ms - s.t1)
+      s = BurstState(s.t2, e.ts_ms)
+    }
+    state.update(s)
+    out.result().iterator
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling event-time window aggregate. Streaming twin: identical plan
     // + withWatermark("ts", ...); partial agg keeps the shuffle tiny.

@@ -104,6 +104,38 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("burst state spans micro-batches: an error 3-in-300s window " +
+      "straddling the batch boundary still alerts") {
+    import spark.implicits._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{BurstAlert, ErrEv}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-burst").toString
+    val input = MemoryStream[ErrEv](spark)
+    val q = input.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(StreamingOps.burstFold _)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("burst_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      val s = 1000L
+      // batch 1: two errors — not yet a burst (needs a third in window)
+      input.addData(ErrEv(1, 0 * s, 1), ErrEv(1, 100 * s, 2))
+      q.processAllAvailable()
+      // batch 2: t=250s closes a 3-in-300s window with the PREVIOUS
+      // batch's t=0 (span 250s); t=600s and t=650s are each > 300s from
+      // their 2nd-back; t=700s closes a window with t=600 (span 100s)
+      input.addData(ErrEv(1, 250 * s, 3), ErrEv(1, 600 * s, 4),
+        ErrEv(1, 650 * s, 5), ErrEv(1, 700 * s, 6))
+      q.processAllAvailable()
+      val alerts = spark.table("burst_xbatch").as[BurstAlert]
+        .collect().sortBy(_.event_id).toSeq
+      assert(alerts.map(a => (a.event_id, a.span_ms)) ==
+        Seq((3L, 250 * s), (6L, 100 * s)),
+        s"expected alerts on events 3 and 6, got $alerts")
+    } finally q.stop()
+  }
+
   test("stateful query runs on the RocksDB state store (the bounded-memory " +
       "store for 100 TB-scale state)") {
     import spark.implicits._
