@@ -84,7 +84,8 @@ object Bench {
     "q103_chisq_association", "q104_ewma_revenue",
     "q105_copurchase_pagerank", "d25_contamination_score",
     "d26_dup_inflation", "e25_cell_medoid", "q106_error_bursts",
-    "d27_source_minhash_jaccard")
+    "d27_source_minhash_jaccard", "q107_triangle_count",
+    "q108_seasonal_anomaly", "q109_revenue_share", "t34_readability")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Extended7.queries ++
       operators.Extended8.queries ++
       operators.Extended9.queries ++
+      operators.Extended10.queries ++
       operators.PiiOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +53,6 @@ object SparkEntry {
       operators.Extended7.oracleSql ++
       operators.Extended8.oracleSql ++
       operators.Extended9.oracleSql ++
+      operators.Extended10.oracleSql ++
       operators.PiiOps.oracleSql
 }

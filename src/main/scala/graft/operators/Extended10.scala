@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Tenth analytics batch: graph structure beyond centrality (triangle
+  * counting / clustering coefficients via the degree-orientation trick),
+  * seasonal-residual anomaly detection over the dense hour grid (the
+  * alerting layer q95's heatmap and q92's seasonality profile feed), the
+  * classic ratio-to-report revenue share, and a Flesch readability
+  * profile of the documents corpus. Same contract as Extended5–9:
+  * declarative plans, integer/decimal carriers until the final double
+  * projections, a scale note per entry. Reference delegates all of this
+  * to user code behind its event processor
+  * (`/root/reference/README.md:246-293`).
+  */
+object Extended10 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TRIANGLE COUNT + local clustering coefficient over the part
+    // co-purchase graph (the cohesion companion to q105's PageRank:
+    // rank says "important", clustering says "embedded in a community").
+    // Spark side uses the DEGREE-ORIENTATION trick: orient every
+    // undirected edge from its (degree, id)-smaller endpoint to the
+    // larger, enumerate wedges only at each vertex's out-neighbours,
+    // and close them against the oriented edge set — O(m^1.5) wedge
+    // work instead of Σ deg² (the hub vertex never fans out), the
+    // standard scale formulation. The oracle uses the simpler
+    // id-ordered closure; both enumerate the identical triangle set,
+    // and per-vertex counts are orientation-invariant. Scale shape:
+    // per-order pairs are basket-local (bounded k² per order), the
+    // edge set exchanges on its endpoints for the two joins, and the
+    // only wide rows are 3-long triangle triples that explode
+    // map-locally into per-vertex counts. Clustering coefficient is a
+    // pure function of two exact longs -> bit-identical doubles.
+    "q107_triangle_count" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val deg = e.select(col("u").as("pk"))
+        .unionAll(e.select(col("v").as("pk")))
+        .groupBy(col("pk")).agg(count(lit(1)).as("degree"))
+      // Total order consistent across both joins: ord = degree·1e10 + id
+      // (partkeys are far below 1e10 at any TPC-H scale factor).
+      val ordOf = (dg: org.apache.spark.sql.Column,
+                   id: org.apache.spark.sql.Column) =>
+        dg * lit(10000000000L) + id
+      val du = deg.select(col("pk").as("u"),
+        ordOf(col("degree"), col("pk")).as("ord_u"))
+      val dv = deg.select(col("pk").as("v"),
+        ordOf(col("degree"), col("pk")).as("ord_v"))
+      val oriented = e.join(du, "u").join(dv, "v")
+        .select(
+          when(col("ord_u") < col("ord_v"), col("u")).otherwise(col("v"))
+            .as("src"),
+          when(col("ord_u") < col("ord_v"), col("v")).otherwise(col("u"))
+            .as("dst"),
+          least(col("ord_u"), col("ord_v")).as("ord_src"),
+          greatest(col("ord_u"), col("ord_v")).as("ord_dst"))
+      val tri = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") &&
+            col("e1.ord_dst") < col("e2.ord_dst"))
+        .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+          col("e2.dst").as("z"))
+        .join(oriented.as("e3"),
+          col("y") === col("e3.src") && col("z") === col("e3.dst"))
+        .select(col("x"), col("y"), col("z"))
+      val tcnt = tri
+        .select(explode(array(col("x"), col("y"), col("z"))).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n_tri"))
+      deg.join(tcnt, Seq("pk"), "left")
+        .select(col("pk").as("partkey"), col("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+          when(col("degree") > 1,
+            (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+              (col("degree") * (col("degree") - 1)).cast("double"))
+            .otherwise(lit(0.0)).as("clustering"))
+        .orderBy(col("partkey"))
+    }),
+
+    // SEASONAL-RESIDUAL anomaly: each (date, hour) cell of the DENSE
+    // hour grid (zero-activity hours included — a dead hour is exactly
+    // the anomaly an on-call wants) scored against its own
+    // day-of-week × hour baseline; cells beyond 2 population sigmas
+    // surface. The |z| > 2 cut is decided in EXACT integer arithmetic:
+    // z² > 4 ⟺ (n·cnt − s)² > 4·(n·ss − s²) with n/s/ss exact, so no
+    // float boundary can flip membership; the reported z is then one
+    // shared-structure double expression (n cancels:
+    // z = (n·cnt − s)/√(n·ss − s²), and IEEE sqrt is correctly rounded
+    // in both engines). Day-of-week is days-since-epoch mod 7
+    // (0 = Thursday) — portable integer math, no locale (q104 rule).
+    // Scale shape: events partial-aggregate to date×hour cells before
+    // any exchange; the grid explodes from a 1-row bounds aggregate;
+    // baselines are windows over the tiny cell frame. ss rides
+    // DECIMAL(38,0) so counts past 3e9/cell cannot wrap (q103 rule).
+    "q108_seasonal_anomaly" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("dt"), hour(col("ts")).as("hr"))
+      val cnts = ev.groupBy(col("dt"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val grid = ev.agg(min(col("dt")).as("lo"), max(col("dt")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("dt"))
+        .select(col("dt"), explode(sequence(lit(0), lit(23))).as("hr"))
+      val w = Window.partitionBy(col("dow"), col("hr"))
+      val scored = grid.join(cnts, Seq("dt", "hr"), "left")
+        .select(col("dt"), col("hr"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .withColumn("dow",
+          datediff(col("dt"), to_date(lit("1970-01-01"))) % 7)
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("cnt")).over(w))
+        .withColumn("ss",
+          sum((col("cnt").cast(dec) * col("cnt")).cast(dec)).over(w))
+        .withColumn("dev", col("n").cast(dec) * col("cnt") - col("s"))
+        .withColumn("varn",
+          col("n").cast(dec) * col("ss") -
+            (col("s").cast(dec) * col("s")).cast(dec))
+      scored
+        .filter(col("varn") > 0 &&
+          (col("dev").cast(dec) * col("dev")).cast(dec) >
+            col("varn") * 4)
+        .select(col("dt").cast("string").as("dt"), col("hr"), col("dow"),
+          col("cnt"),
+          (col("s").cast("double") / col("n").cast("double")).as("mean"),
+          (col("dev").cast("double") /
+            sqrt(col("varn").cast("double"))).as("z"))
+        .orderBy(col("dt"), col("hr"))
+    }),
+
+    // RATIO-TO-REPORT: each nation's revenue share of its region plus
+    // its within-region rank — the classic share-of-total window pair
+    // (q02 aggregates regions; this decomposes them). Revenue rides
+    // exact cents (q104 rule); the share division is the only double
+    // op and both engines divide the same two exact integers. Rank
+    // orders by the exact cents value (ties impossible to mis-order:
+    // deterministic tie-break on n_name is part of the sort). Scale
+    // shape: one exchange on o_custkey for the customer join,
+    // nation/region broadcast; partial-agg to |nations| rows; windows
+    // run over that tiny frame.
+    "q109_revenue_share" -> ((s, d) => {
+      val geo = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name")))
+      val byNation = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(geo, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("cents")).as("cents"))
+      val wr = Window.partitionBy(col("r_name"))
+      byNation
+        .withColumn("region_cents", sum(col("cents")).over(wr))
+        .withColumn("rnk", rank().over(
+          wr.orderBy(col("cents").desc, col("n_name"))))
+        .select(col("r_name"), col("n_name"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          (col("cents").cast("double") /
+            col("region_cents").cast("double")).as("share"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // FLESCH READABILITY profile per source: per-doc reading-ease from
+    // three regex counts (alphabetic-run words, [.!?]+ sentence ends
+    // with a floor of 1, vowel-group syllables — the standard cheap
+    // approximation), banded easy/standard/hard, plus a corpus-level
+    // score from the SUMMED integer counts (never an average of
+    // per-doc doubles — that would be order-dependent). Per-doc flesch
+    // is one shared-structure double expression over three exact ints,
+    // so both engines band identically. Scale shape: the three counts
+    // are codegen'd row-local regex scans (one pass each over the
+    // text), partial-agg to |sources| rows; nothing but 6 longs per
+    // source crosses the exchange.
+    "t34_readability" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"),
+          regexp_count(col("text"), lit("[A-Za-z]+")).as("w"),
+          greatest(lit(1),
+            regexp_count(col("text"), lit("[.!?]+"))).as("sen"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+")).as("syl"))
+      val flesch = lit(206.835) -
+        lit(1.015) * (col("w").cast("double") / col("sen").cast("double")) -
+        lit(84.6) * (col("syl").cast("double") / col("w").cast("double"))
+      docs
+        .withColumn("f", when(col("w") > 0, flesch))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("w") === 0, 1L).otherwise(0L)).as("n_empty"),
+          sum(when(col("f") >= 60.0, 1L).otherwise(0L)).as("n_easy"),
+          sum(when(col("f") >= 30.0 && col("f") < 60.0, 1L).otherwise(0L))
+            .as("n_standard"),
+          sum(when(col("f") < 30.0, 1L).otherwise(0L)).as("n_hard"),
+          sum(col("w").cast("long")).as("words"),
+          sum(col("sen").cast("long")).as("sentences"),
+          sum(col("syl").cast("long")).as("syllables"))
+        .withColumn("corpus_flesch",
+          lit(206.835) -
+            lit(1.015) * (col("words").cast("double") /
+              col("sentences").cast("double")) -
+            lit(84.6) * (col("syllables").cast("double") /
+              col("words").cast("double")))
+        .orderBy(col("source"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q107_triangle_count" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+         deg AS (SELECT pk, COUNT(1) AS degree FROM
+                  (SELECT u AS pk FROM e UNION ALL SELECT v FROM e)
+                 GROUP BY 1),
+         tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                 FROM e e1
+                 JOIN e e2 ON e1.v = e2.u
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         tc AS (SELECT pk, COUNT(1) AS n_tri FROM
+                 (SELECT x AS pk FROM tri UNION ALL
+                  SELECT y FROM tri UNION ALL
+                  SELECT z FROM tri) GROUP BY 1)
+         SELECT deg.pk AS partkey, degree,
+           CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN degree > 1
+             THEN CAST(COALESCE(n_tri, 0) * 2 AS DOUBLE)
+               / CAST(degree * (degree - 1) AS DOUBLE)
+             ELSE 0.0 END AS clustering
+         FROM deg LEFT JOIN tc ON deg.pk = tc.pk
+         ORDER BY partkey""",
+
+    "q108_seasonal_anomaly" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS dt,
+             CAST(hour(ts) AS INT) AS hr FROM events),
+         cnts AS (SELECT dt, hr, COUNT(1) AS cnt FROM ev GROUP BY 1, 2),
+         grid AS (SELECT CAST(gs.g AS DATE) AS dt, h.hr
+           FROM (SELECT unnest(generate_series(
+                   (SELECT MIN(dt) FROM ev),
+                   (SELECT MAX(dt) FROM ev),
+                   INTERVAL 1 DAY)) AS g) gs
+           CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hr) h),
+         full_cells AS (SELECT grid.dt, CAST(grid.hr AS INT) AS hr,
+             CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+             CAST(datediff('day', DATE '1970-01-01', grid.dt) % 7
+               AS INT) AS dow
+           FROM grid LEFT JOIN cnts
+             ON grid.dt = cnts.dt AND grid.hr = cnts.hr),
+         scored AS (SELECT dt, hr, dow, cnt,
+             CAST(COUNT(1) OVER w AS BIGINT) AS n,
+             CAST(SUM(cnt) OVER w AS BIGINT) AS s,
+             CAST(SUM(CAST(cnt AS HUGEINT) * cnt) OVER w AS HUGEINT)
+               AS ss
+           FROM full_cells
+           WINDOW w AS (PARTITION BY dow, hr))
+         SELECT CAST(dt AS VARCHAR) AS dt, hr, dow, cnt,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CAST(CAST(n AS HUGEINT) * cnt - s AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * ss
+                 - CAST(s AS HUGEINT) * s AS DOUBLE)) AS z
+         FROM scored
+         WHERE CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s > 0
+           AND (CAST(n AS HUGEINT) * cnt - s)
+             * (CAST(n AS HUGEINT) * cnt - s)
+             > 4 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+         ORDER BY dt, hr""",
+
+    "q109_revenue_share" ->
+      """WITH by_nation AS (SELECT r_name, n_name,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2)
+         SELECT r_name, n_name,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(cents AS DOUBLE)
+             / CAST(CAST(SUM(cents) OVER (PARTITION BY r_name)
+                 AS BIGINT) AS DOUBLE) AS share,
+           CAST(rank() OVER (PARTITION BY r_name
+             ORDER BY cents DESC, n_name) AS INT) AS rnk
+         FROM by_nation
+         ORDER BY r_name, n_name""",
+
+    "t34_readability" ->
+      """WITH docs AS (SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS sen,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+           FROM documents),
+         scored AS (SELECT source, w, sen, syl,
+             CASE WHEN w > 0 THEN 206.835
+               - 1.015 * (CAST(w AS DOUBLE) / CAST(sen AS DOUBLE))
+               - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
+             END AS f
+           FROM docs)
+         SELECT source, COUNT(1) AS n_docs,
+           CAST(SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty,
+           CAST(SUM(CASE WHEN f >= 60.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_easy,
+           CAST(SUM(CASE WHEN f >= 30.0 AND f < 60.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_standard,
+           CAST(SUM(CASE WHEN f < 30.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hard,
+           CAST(SUM(w) AS BIGINT) AS words,
+           CAST(SUM(sen) AS BIGINT) AS sentences,
+           CAST(SUM(syl) AS BIGINT) AS syllables,
+           206.835
+             - 1.015 * (CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(sen) AS BIGINT) AS DOUBLE))
+             - 84.6 * (CAST(CAST(SUM(syl) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE))
+             AS corpus_flesch
+         FROM scored GROUP BY source ORDER BY source"""
+  )
+}

@@ -333,4 +333,54 @@ class Round7OpsSpec extends SparkSpec {
       assert(mc >= -1.0 - 1e-9 && mc <= 1.0 + 1e-9, s"$r")
     }
   }
+
+  test("q107: triangle counts respect the wedge bound and sum to a " +
+    "multiple of 3") {
+    val rows = q("q107_triangle_count").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val deg = r.getAs[Long]("degree")
+      val tri = r.getAs[Long]("n_triangles")
+      assert(tri <= deg * (deg - 1) / 2, s"triangles exceed wedges: $r")
+      val c = r.getAs[Double]("clustering")
+      assert(c >= 0.0 && c <= 1.0, s"clustering out of [0,1]: $r")
+    }
+    // Each triangle contributes one count to each of its 3 vertices.
+    assert(rows.map(_.getAs[Long]("n_triangles")).sum % 3 == 0)
+  }
+
+  test("q108: every surfaced cell is beyond 2 sigma and carries a " +
+    "consistent dow") {
+    val rows = q("q108_seasonal_anomaly").collect()
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      assert(z * z > 4.0 - 1e-9, s"not an anomaly: $r")
+      val dow = r.getAs[Int]("dow")
+      assert(dow >= 0 && dow <= 6, s"dow out of range: $r")
+      assert(r.getAs[Long]("cnt") >= 0L)
+    }
+  }
+
+  test("q109: shares sum to 1 per region and ranks are a permutation") {
+    val rows = q("q109_revenue_share").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("r_name")).foreach { case (_, rs) =>
+      val shareSum = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("t34: readability bands partition the non-empty docs") {
+    val rows = q("t34_readability").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val parts = Seq("n_empty", "n_easy", "n_standard", "n_hard")
+        .map(r.getAs[Long](_))
+      assert(parts.forall(_ >= 0L) && parts.sum == n, s"bands leak: $r")
+      assert(r.getAs[Long]("syllables") > 0L == (r.getAs[Long]("words") > 0L)
+        || r.getAs[Long]("words") == 0L)
+    }
+  }
 }
