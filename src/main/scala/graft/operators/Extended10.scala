@@ -89,9 +89,13 @@ object Extended10 {
     // SEASONAL-RESIDUAL anomaly: each (date, hour) cell of the DENSE
     // hour grid (zero-activity hours included — a dead hour is exactly
     // the anomaly an on-call wants) scored against its own
-    // day-of-week × hour baseline; cells beyond 2 population sigmas
-    // surface. The |z| > 2 cut is decided in EXACT integer arithmetic:
-    // z² > 4 ⟺ (n·cnt − s)² > 4·(n·ss − s²) with n/s/ss exact, so no
+    // day-of-week × hour baseline; cells beyond √2 population sigmas
+    // surface. The threshold respects the small-sample bound — with n
+    // same-dow-hour cells the maximum attainable population z is
+    // √(n−1), so a 2σ cut can never fire on a month of data (n=4..5);
+    // √2 is attainable yet still the distribution tail. The cut is
+    // decided in EXACT integer arithmetic:
+    // z² > 2 ⟺ (n·cnt − s)² > 2·(n·ss − s²) with n/s/ss exact, so no
     // float boundary can flip membership; the reported z is then one
     // shared-structure double expression (n cancels:
     // z = (n·cnt − s)/√(n·ss − s²), and IEEE sqrt is correctly rounded
@@ -127,7 +131,7 @@ object Extended10 {
       scored
         .filter(col("varn") > 0 &&
           (col("dev").cast(dec) * col("dev")).cast(dec) >
-            col("varn") * 4)
+            col("varn") * 2)
         .select(col("dt").cast("string").as("dt"), col("hr"), col("dow"),
           col("cnt"),
           (col("s").cast("double") / col("n").cast("double")).as("mean"),
@@ -273,7 +277,7 @@ object Extended10 {
          WHERE CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s > 0
            AND (CAST(n AS HUGEINT) * cnt - s)
              * (CAST(n AS HUGEINT) * cnt - s)
-             > 4 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+             > 2 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
          ORDER BY dt, hr""",
 
     "q109_revenue_share" ->

@@ -349,12 +349,14 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_triangles")).sum % 3 == 0)
   }
 
-  test("q108: every surfaced cell is beyond 2 sigma and carries a " +
+  test("q108: every surfaced cell is beyond sqrt(2) sigma and carries a " +
     "consistent dow") {
     val rows = q("q108_seasonal_anomaly").collect()
+    assert(rows.nonEmpty, "anomaly cut fired on nothing — threshold " +
+      "exceeds the small-sample bound sqrt(n-1)?")
     rows.foreach { r =>
       val z = r.getAs[Double]("z")
-      assert(z * z > 4.0 - 1e-9, s"not an anomaly: $r")
+      assert(z * z > 2.0 - 1e-9, s"not an anomaly: $r")
       val dow = r.getAs[Int]("dow")
       assert(dow >= 0 && dow <= 6, s"dow out of range: $r")
       assert(r.getAs[Long]("cnt") >= 0L)
