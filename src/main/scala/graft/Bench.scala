@@ -85,7 +85,9 @@ object Bench {
     "q105_copurchase_pagerank", "d25_contamination_score",
     "d26_dup_inflation", "e25_cell_medoid", "q106_error_bursts",
     "d27_source_minhash_jaccard", "q107_triangle_count",
-    "q108_seasonal_anomaly", "q109_revenue_share", "t34_readability")
+    "q108_seasonal_anomaly", "q109_revenue_share", "t34_readability",
+    "e26_filtered_ann", "q110_distribution_windows",
+    "q111_order_shape_corr")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

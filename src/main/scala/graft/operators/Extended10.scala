@@ -215,6 +215,96 @@ object Extended10 {
             lit(84.6) * (col("syllables").cast("double") /
               col("words").cast("double")))
         .orderBy(col("source"))
+    }),
+
+    // DISTRIBUTION windows — ntile / percent_rank / cume_dist, the
+    // last window family the inventory lacked (q16 covers the rank
+    // family; q86 builds deciles by hand). Each customer's order spend
+    // placed within their nation: spending quartile, percentile rank,
+    // cumulative share of customers at-or-below. The window ORDER BY
+    // carries the (cents, custkey) tie-break, so every row has a
+    // distinct sort key — ntile's tie-splitting, percent_rank's rank
+    // numerator and cume_dist's peer groups are all then deterministic
+    // and engine-independent (both implement the SQL-spec definitions
+    // over exact integers; the divisions are the only doubles).
+    // Scale shape: one exchange on o_custkey (partial-agg first), one
+    // on c_nationkey for the windows — both key on high-cardinality /
+    // bounded-group columns; nothing wide rides either.
+    "q110_distribution_windows" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("cents"), col("o_custkey"))
+      spend
+        .select(col("n_name"), col("o_custkey").as("custkey"),
+          (col("cents").cast("double") / 100.0).as("spend"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("n_name"), col("custkey"))
+    }),
+
+    // CORRELATION screen over order-shape variables: Pearson r between
+    // line count, total quantity, and ship-date span per order — the
+    // data-profiling pass that finds which dimensions move together
+    // (here: baskets with more lines carry more quantity, r ≈ 0.86).
+    // All three variables are small exact integers, and r is computed
+    // from the six raw moments (n, Σa, Σb, Σab, Σa², Σb²) gathered in
+    // ONE aggregation pass — never avg/corr of per-row doubles, which
+    // would be merge-order-dependent. Moment products ride
+    // DECIMAL(38,0); through sf0.1 every product also stays below 2⁵³,
+    // so the oracle's HUGEINT→DOUBLE conversion is exact and the final
+    // divisions match bit-for-bit (at warehouse scale the Spark side
+    // stays exact decimal; only the DuckDB twin would round). Scale
+    // shape: one exchange on l_orderkey (partial-agg first) to build
+    // the per-order frame, then a 1-row total aggregate; the stack to
+    // pair rows is driver-free and row-local.
+    "q111_order_shape_corr" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val per = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          round(col("l_quantity")).cast("long").as("q"),
+          col("l_shipdate").cast("date").as("sd"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("a"), sum(col("q")).as("b"),
+          datediff(max(col("sd")), min(col("sd"))).cast("long").as("c"))
+      def m2(x: String, y: String) =
+        sum((col(x).cast(dec) * col(y)).cast(dec)).as(s"s_$x$y")
+      val m = per.agg(
+        count(lit(1)).as("n"),
+        sum(col("a")).as("s_a"), sum(col("b")).as("s_b"),
+        sum(col("c")).as("s_c"),
+        m2("a", "a"), m2("b", "b"), m2("c", "c"),
+        m2("a", "b"), m2("a", "c"), m2("b", "c"))
+      def corr2(sa: String, sb: String, sab: String,
+                saa: String, sbb: String) =
+        ((col("n").cast(dec) * col(sab) -
+            (col(sa).cast(dec) * col(sb)).cast(dec)).cast("double") /
+          (sqrt((col("n").cast(dec) * col(saa) -
+              (col(sa).cast(dec) * col(sa)).cast(dec)).cast("double")) *
+            sqrt((col("n").cast(dec) * col(sbb) -
+              (col(sb).cast(dec) * col(sb)).cast(dec)).cast("double"))))
+      m.select(col("n"), array(
+          struct(lit("lines").as("var_a"), lit("quantity").as("var_b"),
+            corr2("s_a", "s_b", "s_ab", "s_aa", "s_bb").as("r")),
+          struct(lit("lines").as("var_a"), lit("ship_span").as("var_b"),
+            corr2("s_a", "s_c", "s_ac", "s_aa", "s_cc").as("r")),
+          struct(lit("quantity").as("var_a"),
+            lit("ship_span").as("var_b"),
+            corr2("s_b", "s_c", "s_bc", "s_bb", "s_cc").as("r")))
+          .as("pairs"))
+        .select(col("n"), explode(col("pairs")).as("p"))
+        .select(col("p.var_a").as("var_a"), col("p.var_b").as("var_b"),
+          col("n"), col("p.r").as("r"))
+        .orderBy(col("var_a"), col("var_b"))
     })
   )
 
@@ -330,6 +420,58 @@ object Extended10 {
              - 84.6 * (CAST(CAST(SUM(syl) AS BIGINT) AS DOUBLE)
                / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE))
              AS corpus_flesch
-         FROM scored GROUP BY source ORDER BY source"""
+         FROM scored GROUP BY source ORDER BY source""",
+
+    "q110_distribution_windows" ->
+      """WITH spend AS (SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         j AS (SELECT n_name, o_custkey AS custkey, cents
+           FROM spend
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+         SELECT n_name, custkey,
+           CAST(cents AS DOUBLE) / 100.0 AS spend,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+         FROM j WINDOW w AS (PARTITION BY n_name ORDER BY cents, custkey)
+         ORDER BY n_name, custkey""",
+
+    "q111_order_shape_corr" -> {
+      def corr2(sa: String, sb: String, sab: String,
+                saa: String, sbb: String) =
+        s"""CAST(n * $sab - $sa * $sb AS DOUBLE)
+            / (sqrt(CAST(n * $saa - $sa * $sa AS DOUBLE))
+               * sqrt(CAST(n * $sbb - $sb * $sb AS DOUBLE)))"""
+      s"""WITH per AS (SELECT l_orderkey, COUNT(1) AS a,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS b,
+             CAST(datediff('day', MIN(CAST(l_shipdate AS DATE)),
+               MAX(CAST(l_shipdate AS DATE))) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1),
+         m AS (SELECT CAST(COUNT(1) AS HUGEINT) AS n,
+             CAST(SUM(a) AS HUGEINT) AS s_a,
+             CAST(SUM(b) AS HUGEINT) AS s_b,
+             CAST(SUM(c) AS HUGEINT) AS s_c,
+             CAST(SUM(CAST(a AS HUGEINT) * a) AS HUGEINT) AS s_aa,
+             CAST(SUM(CAST(b AS HUGEINT) * b) AS HUGEINT) AS s_bb,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s_cc,
+             CAST(SUM(CAST(a AS HUGEINT) * b) AS HUGEINT) AS s_ab,
+             CAST(SUM(CAST(a AS HUGEINT) * c) AS HUGEINT) AS s_ac,
+             CAST(SUM(CAST(b AS HUGEINT) * c) AS HUGEINT) AS s_bc
+           FROM per)
+         SELECT var_a, var_b, CAST(n AS BIGINT) AS n, r FROM (
+           SELECT 'lines' AS var_a, 'quantity' AS var_b, n,
+             ${corr2("s_a", "s_b", "s_ab", "s_aa", "s_bb")} AS r FROM m
+           UNION ALL
+           SELECT 'lines', 'ship_span', n,
+             ${corr2("s_a", "s_c", "s_ac", "s_aa", "s_cc")} FROM m
+           UNION ALL
+           SELECT 'quantity', 'ship_span', n,
+             ${corr2("s_b", "s_c", "s_bc", "s_bb", "s_cc")} FROM m) t
+         ORDER BY var_a, var_b"""
+    }
   )
 }

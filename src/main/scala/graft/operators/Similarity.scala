@@ -779,6 +779,62 @@ object Similarity {
           (col("sum_cos") / col("n_others").cast("double"))
             .as("mean_cos"))
         .orderBy(col("cell"))
+    }),
+
+    // FILTERED vector search — ANN under a metadata predicate
+    // ("nearest neighbour WITH label = X"), the operation every
+    // vector store special-cases because a post-filter over an
+    // unfiltered top-k silently starves selective predicates. This is
+    // the PRE-FILTER shape: the candidate join keys on (cell, label),
+    // so only same-label cell members are ever scored, versus the
+    // exhaustive within-label ground truth; per label the output is
+    // the recall that survives the shrunken candidate sets. Queries
+    // whose (cell, label) intersection is EMPTY stay in the
+    // denominator via the left join — the pre-filter's failure mode
+    // (label absent from the probed cell) is measured, not dropped.
+    // Scale shape: same as e03/e07 — broadcast centroid assignment,
+    // equi-join on (cell, label), pair space bounded by per-cell
+    // label groups; the within-label truth is O(Σ label²) by declared
+    // contract (sampled query set in production).
+    "e26_filtered_ann" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lbl = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"))
+      val asg = centroidRanked(s, d).filter(col("crk") === 1)
+        .join(lbl, Seq("vec_id"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cent_id").as("cell"), col("label"))
+      val a = asg.toDF("vec_id", "va", "na", "cell", "label")
+      val b = asg.toDF("neighbor_id", "vb", "nb", "cell", "label")
+      val wNb = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val ivf = a.join(b, Seq("cell", "label"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("rk", row_number().over(wNb))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("neighbor_id"))
+      val v = vecs(s, d).join(lbl, Seq("vec_id"))
+      val ta = v.toDF("vec_id", "va", "na", "label")
+      val tb = v.toDF("true_nb", "vb", "nb", "label")
+      val wT = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("true_nb"))
+      val truth = ta.join(tb, Seq("label"))
+        .filter(col("vec_id") =!= col("true_nb"))
+        .withColumn("cos",
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") === 1)
+        .select(col("label"), col("vec_id"), col("true_nb"))
+      truth.join(ivf, Seq("vec_id"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("neighbor_id") === col("true_nb"), 1L)
+            .otherwise(0L)).as("n_recalled"))
+        .withColumn("recall",
+          col("n_recalled").cast("double") / col("n_queries"))
+        .orderBy(col("label"))
     })
   )
 
@@ -1484,7 +1540,43 @@ object Similarity {
                  ORDER BY sum_cos DESC, vec_id) AS rk FROM sc)
          SELECT cell, n_others + 1 AS n_members, vec_id AS medoid_id,
            sum_cos / CAST(n_others AS DOUBLE) AS mean_cos
-         FROM r WHERE rk = 1 ORDER BY cell"""
+         FROM r WHERE rk = 1 ORDER BY cell""",
+
+    "e26_filtered_ann" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         assigned AS (
+           SELECT vec_id, embedding, label, cell FROM (
+             SELECT a.vec_id, a.embedding, a.label, b.cent_id AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1),
+         ivf AS (
+           SELECT vec_id, neighbor_id FROM (
+             SELECT a.vec_id, b.vec_id AS neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.vec_id) AS rk
+             FROM assigned a JOIN assigned b
+               ON a.cell = b.cell AND a.label = b.label
+                AND a.vec_id <> b.vec_id) t
+           WHERE rk = 1),
+         truth AS (
+           SELECT label, vec_id, true_nb FROM (
+             SELECT a.label, a.vec_id, b.vec_id AS true_nb,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.vec_id) AS rank
+             FROM embeddings a JOIN embeddings b
+               ON a.label = b.label AND a.vec_id <> b.vec_id) t
+           WHERE rank = 1)
+         SELECT t.label, COUNT(1) AS n_queries,
+           CAST(SUM(CASE WHEN i.neighbor_id = t.true_nb
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_recalled,
+           CAST(SUM(CASE WHEN i.neighbor_id = t.true_nb
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(1)
+             AS recall
+         FROM truth t LEFT JOIN ivf i USING (vec_id)
+         GROUP BY t.label ORDER BY t.label"""
   )
 
   /** e23's DuckDB twin: the greedy MMR loop unrolled into five pick

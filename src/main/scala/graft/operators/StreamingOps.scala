@@ -111,6 +111,44 @@ object StreamingOps {
     out.result().iterator
   }
 
+  /** q108's streaming twin: incremental seasonal-residual anomaly
+    * scoring. Input is completed (date, hour) activity cells (produced
+    * upstream by a watermarked tumbling count); state per
+    * (day-of-week, hour) key is the running (n, Σcnt, Σcnt²) — three
+    * longs regardless of history length. Each arriving cell is scored
+    * against the baseline accumulated SO FAR (the streaming-honest
+    * stance: a batch recompute sees the whole period, a stream can
+    * only know its past — same divergence contract as the q64
+    * incremental-agg twin), then folded in. The √2-sigma cut uses the
+    * identical exact-integer inequality as q108 — dev² > 2·(n·ss − s²)
+    * via BigInt, so no overflow and no float boundary; scoring needs
+    * n ≥ 2 priors. Σcnt² accumulates with Math.addExact /
+    * multiplyExact — a cell count past ~3e9 fails loudly rather than
+    * wrapping (the d01 collision-guard stance).
+    */
+  case class CellObs(dow: Int, hr: Int, dt: String, cnt: Long)
+  case class SeasonState(n: Long, s: Long, ss: Long)
+  case class SeasonAlert(dow: Int, hr: Int, dt: String, cnt: Long,
+      n_prior: Long, mean_prior: Double, z: Double)
+  def seasonalFold(key: (Int, Int), it: Iterator[CellObs],
+      state: GroupState[SeasonState]): Iterator[SeasonAlert] = {
+    var st = state.getOption.getOrElse(SeasonState(0L, 0L, 0L))
+    val out = Array.newBuilder[SeasonAlert]
+    it.toArray.sortBy(_.dt).foreach { c =>
+      if (st.n >= 2) {
+        val dev = BigInt(st.n) * c.cnt - st.s
+        val varn = BigInt(st.n) * st.ss - BigInt(st.s) * st.s
+        if (varn > 0 && dev * dev > varn * 2)
+          out += SeasonAlert(key._1, key._2, c.dt, c.cnt, st.n,
+            st.s.toDouble / st.n, dev.toDouble / math.sqrt(varn.toDouble))
+      }
+      st = SeasonState(st.n + 1, Math.addExact(st.s, c.cnt),
+        Math.addExact(st.ss, Math.multiplyExact(c.cnt, c.cnt)))
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling event-time window aggregate. Streaming twin: identical plan
     // + withWatermark("ts", ...); partial agg keeps the shuffle tiny.

@@ -56,7 +56,8 @@ class PlanLintSpec extends SparkSpec {
     "d22_method_agreement", // 1-row broadcast truth-count scalar
     "e24_ivf_k_sweep", // 3 broadcast centroid crosses + exhaustive truth
     "e25_cell_medoid", // broadcast coarse-centroid assignment (cross, O(cents))
-    "d27_source_minhash_jaccard") // |sources|^2 pairing of 17-column signature rows
+    "d27_source_minhash_jaccard", // |sources|^2 pairing of 17-column signature rows
+    "e26_filtered_ann") // same broadcast centroid assignment cross
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {

@@ -373,6 +373,56 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("e26: filtered recall is in [0,1] and every label's queries " +
+    "are its members with a same-label neighbour available") {
+    val rows = q("e26_filtered_ann").collect()
+    assert(rows.nonEmpty)
+    val labelSizes = graft.Tables.embeddings(spark, dir)
+      .groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val lbl = r.getAs[Int]("label")
+      val nq = r.getAs[Long]("n_queries")
+      assert(nq == labelSizes(lbl),
+        s"every member of a >=2 label is a query: $r vs ${labelSizes(lbl)}")
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $r")
+      assert(r.getAs[Long]("n_recalled") <= nq)
+    }
+  }
+
+  test("q110: quartiles are 1..4, pct_rank and cume are in [0,1] and " +
+    "cume is the running row share") {
+    val rows = q("q110_distribution_windows").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("n_name")).foreach { case (_, rs) =>
+      val n = rs.length
+      rs.foreach { r =>
+        assert((1 to 4).contains(r.getAs[Int]("quartile")))
+        val pr = r.getAs[Double]("pct_rank")
+        val cd = r.getAs[Double]("cume")
+        assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+      }
+      // distinct sort keys -> cume values are exactly k/n for k=1..n
+      val cds = rs.map(_.getAs[Double]("cume")).sorted
+      assert(cds.zipWithIndex.forall { case (c, i) =>
+        math.abs(c - (i + 1).toDouble / n) < 1e-12 })
+    }
+  }
+
+  test("q111: correlations are in [-1,1] and lines~quantity is " +
+    "strongly positive") {
+    val rows = q("q111_order_shape_corr").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("r")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12, s"corr out of range: $r")
+    }
+    val lq = rows.find(r => r.getAs[String]("var_a") == "lines" &&
+      r.getAs[String]("var_b") == "quantity").get.getAs[Double]("r")
+    assert(lq > 0.5, s"lines~quantity should be strongly positive, got $lq")
+  }
+
   test("t34: readability bands partition the non-empty docs") {
     val rows = q("t34_readability").collect()
     assert(rows.nonEmpty)

@@ -136,6 +136,42 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seasonal baseline spans micro-batches: a cell scored in batch 2 " +
+      "uses moments accumulated in batch 1, and the sqrt(2)-sigma cut " +
+      "matches the exact-integer inequality") {
+    import spark.implicits._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{CellObs, SeasonAlert}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-season").toString
+    val input = MemoryStream[CellObs](spark)
+    val q = input.toDS().groupByKey(c => (c.dow, c.hr))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(StreamingOps.seasonalFold _)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("season_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      // batch 1: three ordinary Monday-9am cells — priors only (the
+      // first two are below the n >= 2 scoring floor; the third has
+      // dev² = (2·11−22)² = 0).
+      input.addData(CellObs(0, 9, "2024-01-01", 10),
+        CellObs(0, 9, "2024-01-08", 12), CellObs(0, 9, "2024-01-15", 11))
+      q.processAllAvailable()
+      // batch 2: cnt=11 sits on the prior mean (no alert: dev = 0);
+      // cnt=60 against priors n=4, s=44, ss=486: dev = 4·60−44 = 196,
+      // varn = 4·486 − 44² = 8 → 196² > 2·8 fires, z = 196/√8.
+      input.addData(CellObs(0, 9, "2024-01-22", 11),
+        CellObs(0, 9, "2024-01-29", 60))
+      q.processAllAvailable()
+      val alerts = spark.table("season_xbatch").as[SeasonAlert]
+        .collect().toSeq
+      assert(alerts.map(a => (a.dt, a.cnt, a.n_prior)) ==
+        Seq(("2024-01-29", 60L, 4L)), s"expected one alert, got $alerts")
+      assert(math.abs(alerts.head.z - 196.0 / math.sqrt(8.0)) < 1e-12)
+      assert(alerts.head.mean_prior == 11.0)
+    } finally q.stop()
+  }
+
   test("stateful query runs on the RocksDB state store (the bounded-memory " +
       "store for 100 TB-scale state)") {
     import spark.implicits._
