@@ -924,20 +924,7 @@ object DedupOps {
     // integer arithmetic in any engine, so unlike a seeded xxhash64 the
     // whole operator is DuckDB-oracle-checkable.
     "d05_simhash_pairs" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
-        .withColumn("h",
-          conv(substring(md5(encode(col("w"), "UTF-8")), 1, 15), 16, 10)
-            .cast("long"))
-      val bitSums: Seq[Column] = (0 until 60).map(i =>
-        sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1)
-          .otherwise(-1)).as(s"b$i"))
-      val fp = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-        .withColumn("simhash",
-          (0 until 60).map(i =>
-            when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-            .reduce((a, b) => a.bitwiseOR(b)))
-        .select(col("doc_id"), col("simhash"))
+      val fp = simhashFrame(s, d)
       // candidates: any of 4 15-bit bands equal; verified hamming <= 8
       val banded = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(j =>
@@ -1415,8 +1402,83 @@ object DedupOps {
           col("n_inter"), col("est_jaccard"), col("exact_jaccard"),
           abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // SimHash RADIUS-TUNING sweep — d05's tuning surface, completing
+    // the measured-tuning family (d18 tunes MinHash bands, e08 tunes
+    // nprobe, this tunes the hamming radius): for every radius
+    // r ∈ 0..8, the true pair count (exhaustive hamming ≤ r), the
+    // pairs the 4×15-bit banding actually catches, and the resulting
+    // recall. The pigeonhole theorem says recall ≡ 1.0 through r = 3
+    // (a pair differing in ≤ 3 bits cannot disagree in all 4 bands) —
+    // this MEASURES where the guarantee ends and how fast recall
+    // decays past it, which is what decides whether d05's r = 8
+    // verification threshold needs more bands. Scale shape: one
+    // shared fingerprint frame; the candidate join exchanges
+    // (band, bh, id) integers; the truth side is the exhaustive
+    // O(n²) hamming scan by the e02/e07 eval-twin contract (sampled
+    // at 100 TB while the banded side is the real plan).
+    "d28_simhash_radius_sweep" -> ((s, d) => {
+      val fp = simhashFrame(s, d)
+      val truth = fp.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sa"))
+        .join(fp.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sb")), col("doc_a") < col("doc_b"))
+        .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("h"))
+      val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            shiftright(col("simhash"), j * 15)
+              .bitwiseAND(lit(0x7FFFL)).as("bh"))): _*)).as("e"))
+        .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bh"))
+      val caught = banded.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sa"), col("band"), col("bh"))
+        .join(banded.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sb"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).as("h"))
+        .distinct()
+      def perRadius(pairs: DataFrame, out: String) = pairs
+        .select(col("h"), explode(sequence(lit(0), lit(8))).as("r"))
+        .filter(col("h") <= col("r"))
+        .groupBy(col("r")).agg(count(lit(1)).as(out))
+      val radii = s.range(0, 9).select(col("id").cast("int").as("r"))
+      radii
+        .join(perRadius(truth, "n_true"), Seq("r"), "left")
+        .join(perRadius(caught, "n_caught"), Seq("r"), "left")
+        .select(col("r"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_caught"), lit(0L)).as("n_caught"))
+        .withColumn("recall",
+          when(col("n_true") > 0,
+            col("n_caught").cast("double") / col("n_true").cast("double")))
+        .orderBy(col("r"))
     })
   )
+
+  /** SimHash fingerprint frame (d05/d28): per document, the 60-bit
+    * simhash of its whitespace words under the portable md5-prefix
+    * word hash — sign-sum per bit position, then bit reassembly. The
+    * groupBy is the only exchange and it carries (doc_id, 60 ints).
+    */
+  private def simhashFrame(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+      .withColumn("h",
+        conv(substring(md5(encode(col("w"), "UTF-8")), 1, 15), 16, 10)
+          .cast("long"))
+    val bitSums: Seq[Column] = (0 until 60).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1)
+        .otherwise(-1)).as(s"b$i"))
+    words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 60).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)))
+      .select(col("doc_id"), col("simhash"))
+  }
 
   /** Winnowing fingerprint frame (d20/d21): per document, the distinct
     * window-minima of the 60-bit-md5 trigram hash stream over a w=4
@@ -1986,6 +2048,39 @@ object DedupOps {
                - CAST(n_inter AS DOUBLE)
                  / CAST(sz_a + sz_b - n_inter AS DOUBLE)) AS abs_err
            FROM j ORDER BY source_a, source_b"""
+      },
+
+      "d28_simhash_radius_sweep" -> {
+        val fpCte = simhashSql.substring(0, simhashSql.indexOf(",\n       banded"))
+        s"""$fpCte,
+           truth AS (SELECT CAST(bit_count(xor(a.simhash, b.simhash))
+                 AS INT) AS h
+               FROM fp a JOIN fp b ON a.doc_id < b.doc_id),
+           banded AS (SELECT doc_id, simhash,
+                 (simhash >> (j * 15)) & 32767 AS bh, j AS band
+               FROM fp, UNNEST(generate_series(0, 3)) AS t2(j)),
+           caught AS (SELECT DISTINCT a.doc_id AS doc_a,
+                 b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS h
+               FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.bh = b.bh
+                AND a.doc_id < b.doc_id),
+           tr AS (SELECT t.r, COUNT(1) AS n_true
+               FROM truth, UNNEST(generate_series(0, 8)) AS t(r)
+               WHERE truth.h <= t.r GROUP BY 1),
+           cr AS (SELECT t.r, COUNT(1) AS n_caught
+               FROM caught, UNNEST(generate_series(0, 8)) AS t(r)
+               WHERE caught.h <= t.r GROUP BY 1)
+           SELECT CAST(rr.r AS INT) AS r,
+             CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+             CAST(COALESCE(n_caught, 0) AS BIGINT) AS n_caught,
+             CASE WHEN COALESCE(n_true, 0) > 0
+               THEN CAST(COALESCE(n_caught, 0) AS DOUBLE)
+                 / CAST(n_true AS DOUBLE) END AS recall
+           FROM (SELECT UNNEST(generate_series(0, 8)) AS r) rr
+           LEFT JOIN tr ON rr.r = tr.r
+           LEFT JOIN cr ON rr.r = cr.r
+           ORDER BY r"""
       },
 
       "d22_method_agreement" -> {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -305,6 +305,109 @@ object Extended10 {
         .select(col("p.var_a").as("var_a"), col("p.var_b").as("var_b"),
           col("n"), col("p.r").as("r"))
         .orderBy(col("var_a"), col("var_b"))
+    }),
+
+    // PRICE-VOLUME-MIX decomposition — the FP&A bridge that explains a
+    // revenue change between two periods as three additive effects per
+    // market segment: volume (total quantity growth at constant mix
+    // and price), mix (segment share shift at old prices), and price
+    // (unit-price change on new volume). The identity
+    // volume + mix + price = Δrevenue holds exactly in the reals and
+    // to double rounding here (pinned in spec). Periods split at the
+    // calendar midpoint of the order-date range — a 1-row broadcast
+    // scalar against the fact stream (the q69/q90 pattern), never a
+    // driver round-trip. All carriers are exact integer cents /
+    // quantities; every effect is one shared-structure double
+    // expression, so both engines agree bit-for-bit. Scale shape: one
+    // exchange on o_custkey for the segment join (customer side
+    // co-partitioned), partial-agg to |segments|×2 cells; the totals
+    // window runs over 5 rows.
+    "q112_price_volume_mix" -> ((s, d) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val bounds = Tables.orders(s, d)
+        .agg(min(datediff(col("o_orderdate").cast("date"), epoch))
+          .as("lo"),
+          max(datediff(col("o_orderdate").cast("date"), epoch)).as("hi"))
+        .select(expr("CAST((lo + hi + 1) div 2 AS INT)").as("mid"))
+      val base = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          round(col("l_quantity")).cast("long").as("q"),
+          round(col("l_extendedprice") * 100).cast("long").as("r"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), epoch).as("day"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment").as("segment")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(bounds), lit(true))
+        .withColumn("period", when(col("day") < col("mid"), 1)
+          .otherwise(2))
+      val seg = base.groupBy(col("segment")).agg(
+        sum(when(col("period") === 1, col("q")).otherwise(0L)).as("q1"),
+        sum(when(col("period") === 2, col("q")).otherwise(0L)).as("q2"),
+        sum(when(col("period") === 1, col("r")).otherwise(0L)).as("r1"),
+        sum(when(col("period") === 2, col("r")).otherwise(0L)).as("r2"))
+      val w = Window.partitionBy()
+      val dd = (c: Column) => c.cast("double")
+      seg
+        .withColumn("tq1", sum(col("q1")).over(w))
+        .withColumn("tq2", sum(col("q2")).over(w))
+        .filter(col("q1") > 0 && col("q2") > 0)
+        .select(col("segment"),
+          (dd(col("r1")) / 100.0).as("rev1"),
+          (dd(col("r2")) / 100.0).as("rev2"),
+          (dd(col("r2") - col("r1")) / 100.0).as("delta"),
+          (dd(col("tq2") - col("tq1")) * (dd(col("q1")) / dd(col("tq1")))
+            * (dd(col("r1")) / dd(col("q1"))) / 100.0)
+            .as("volume_effect"),
+          (dd(col("tq2")) * (dd(col("q2")) / dd(col("tq2"))
+              - dd(col("q1")) / dd(col("tq1")))
+            * (dd(col("r1")) / dd(col("q1"))) / 100.0).as("mix_effect"),
+          (dd(col("q2")) * (dd(col("r2")) / dd(col("q2"))
+              - dd(col("r1")) / dd(col("q1"))) / 100.0).as("price_effect"))
+        .orderBy(col("segment"))
+    }),
+
+    // SKYLINE (Pareto frontier) of suppliers on (mean item price, mean
+    // ship lag) — "no supplier is both cheaper and faster". The means
+    // are QUANTIZED to exact milli-unit integers with integral
+    // division ((Σ·1000) div n — deterministic in both engines, no
+    // float averages), and dominance is then decided by two windows
+    // over the sorted frame instead of the naive O(n²) dominance
+    // self-join: a supplier is dominated iff a STRICTLY-cheaper row
+    // has lag ≤ its own (RANGE frame to cost−1) or an equal-cost row
+    // has strictly smaller lag (per-cost partition min) — the
+    // sort-based 2-D skyline sweep, O(n log n) at any scale. Scale
+    // shape: one exchange keyed on l_orderkey for the order join, one
+    // on l_suppkey for the partial-agg; the windows run over the
+    // |suppliers| dimension frame.
+    "q113_supplier_skyline" -> ((s, d) => {
+      val per = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_shipdate").cast("date").as("sd"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+          sum(datediff(col("sd"), col("od")).cast("long")).as("sl"))
+        .select(col("l_suppkey").as("suppkey"), col("n").as("n_items"),
+          expr("CAST((CAST(sc AS DECIMAL(38,0)) * 1000) div n AS BIGINT)")
+            .as("cost_milli"),
+          expr("CAST((CAST(sl AS DECIMAL(38,0)) * 1000) div n AS BIGINT)")
+            .as("lag_milli"))
+      val wCheaper = Window.orderBy(col("cost_milli"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wSameCost = Window.partitionBy(col("cost_milli"))
+      per
+        .withColumn("m1", min(col("lag_milli")).over(wCheaper))
+        .withColumn("m2", min(col("lag_milli")).over(wSameCost))
+        .select(col("suppkey"), col("n_items"), col("cost_milli"),
+          col("lag_milli"),
+          ((col("m1").isNull || col("m1") > col("lag_milli")) &&
+            col("m2") === col("lag_milli")).as("is_skyline"))
+        .orderBy(col("suppkey"))
     })
   )
 
@@ -472,6 +575,80 @@ object Extended10 {
            SELECT 'quantity', 'ship_span', n,
              ${corr2("s_b", "s_c", "s_bc", "s_bb", "s_cc")} FROM m) t
          ORDER BY var_a, var_b"""
-    }
+    },
+
+    "q112_price_volume_mix" ->
+      """WITH bounds AS (SELECT CAST((MIN(datediff('day',
+               DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+             + MAX(datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE))) + 1) // 2 AS INT) AS mid
+           FROM orders),
+         base AS (SELECT c_mktsegment AS segment,
+             CASE WHEN datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) < mid THEN 1 ELSE 2 END
+               AS period,
+             CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS r
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           CROSS JOIN bounds),
+         seg AS (SELECT segment,
+             CAST(SUM(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT)
+               AS q1,
+             CAST(SUM(CASE WHEN period = 2 THEN q ELSE 0 END) AS BIGINT)
+               AS q2,
+             CAST(SUM(CASE WHEN period = 1 THEN r ELSE 0 END) AS BIGINT)
+               AS r1,
+             CAST(SUM(CASE WHEN period = 2 THEN r ELSE 0 END) AS BIGINT)
+               AS r2
+           FROM base GROUP BY 1),
+         tot AS (SELECT segment, q1, q2, r1, r2,
+             CAST(SUM(q1) OVER () AS BIGINT) AS tq1,
+             CAST(SUM(q2) OVER () AS BIGINT) AS tq2
+           FROM seg)
+         SELECT segment,
+           CAST(r1 AS DOUBLE) / 100.0 AS rev1,
+           CAST(r2 AS DOUBLE) / 100.0 AS rev2,
+           CAST(r2 - r1 AS DOUBLE) / 100.0 AS delta,
+           CAST(tq2 - tq1 AS DOUBLE)
+             * (CAST(q1 AS DOUBLE) / CAST(tq1 AS DOUBLE))
+             * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) / 100.0
+             AS volume_effect,
+           CAST(tq2 AS DOUBLE)
+             * (CAST(q2 AS DOUBLE) / CAST(tq2 AS DOUBLE)
+                - CAST(q1 AS DOUBLE) / CAST(tq1 AS DOUBLE))
+             * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) / 100.0
+             AS mix_effect,
+           CAST(q2 AS DOUBLE)
+             * (CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) / 100.0
+             AS price_effect
+         FROM tot WHERE q1 > 0 AND q2 > 0
+         ORDER BY segment""",
+
+    "q113_supplier_skyline" ->
+      """WITH per AS (SELECT l_suppkey AS suppkey, COUNT(1) AS n,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS sc,
+             CAST(SUM(datediff('day', CAST(o_orderdate AS DATE),
+               CAST(l_shipdate AS DATE))) AS BIGINT) AS sl
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1),
+         qn AS (SELECT suppkey, n AS n_items,
+             CAST((CAST(sc AS HUGEINT) * 1000) // n AS BIGINT)
+               AS cost_milli,
+             CAST((CAST(sl AS HUGEINT) * 1000) // n AS BIGINT)
+               AS lag_milli
+           FROM per),
+         sw AS (SELECT suppkey, n_items, cost_milli, lag_milli,
+             MIN(lag_milli) OVER (ORDER BY cost_milli
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+             MIN(lag_milli) OVER (PARTITION BY cost_milli) AS m2
+           FROM qn)
+         SELECT suppkey, n_items, cost_milli, lag_milli,
+           (m1 IS NULL OR m1 > lag_milli) AND m2 = lag_milli
+             AS is_skyline
+         FROM sw ORDER BY suppkey"""
   )
 }

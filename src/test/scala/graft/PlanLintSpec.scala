@@ -57,7 +57,9 @@ class PlanLintSpec extends SparkSpec {
     "e24_ivf_k_sweep", // 3 broadcast centroid crosses + exhaustive truth
     "e25_cell_medoid", // broadcast coarse-centroid assignment (cross, O(cents))
     "d27_source_minhash_jaccard", // |sources|^2 pairing of 17-column signature rows
-    "e26_filtered_ann") // same broadcast centroid assignment cross
+    "e26_filtered_ann", // same broadcast centroid assignment cross
+    "d28_simhash_radius_sweep", // exhaustive hamming ground truth (a < b)
+    "q112_price_volume_mix") // 1-row broadcast date-split scalar
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {

@@ -423,6 +423,47 @@ class Round7OpsSpec extends SparkSpec {
     assert(lq > 0.5, s"lines~quantity should be strongly positive, got $lq")
   }
 
+  test("q112: the three effects bridge exactly to the revenue delta") {
+    val rows = q("q112_price_volume_mix").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bridge = r.getAs[Double]("volume_effect") +
+        r.getAs[Double]("mix_effect") + r.getAs[Double]("price_effect")
+      assert(math.abs(bridge - r.getAs[Double]("delta")) < 1e-6,
+        s"bridge $bridge != delta: $r")
+    }
+  }
+
+  test("q113: the windowed skyline equals the naive dominance check") {
+    val rows = q("q113_supplier_skyline").collect()
+    assert(rows.nonEmpty)
+    val pts = rows.map(r => (r.getAs[Long]("suppkey"),
+      r.getAs[Long]("cost_milli"), r.getAs[Long]("lag_milli"),
+      r.getAs[Boolean]("is_skyline")))
+    assert(pts.exists(_._4), "skyline cannot be empty")
+    pts.foreach { case (k, c, l, sky) =>
+      val dominated = pts.exists { case (k2, c2, l2, _) =>
+        k2 != k && c2 <= c && l2 <= l && (c2 < c || l2 < l) }
+      assert(sky == !dominated, s"skyline flag wrong for supplier $k")
+    }
+  }
+
+  test("d28: banding never over-counts, and the pigeonhole guarantee " +
+    "holds exactly through radius 3") {
+    val rows = q("d28_simhash_radius_sweep").collect().sortBy(_.getAs[Int]("r"))
+    assert(rows.length == 9)
+    var prevTrue = -1L
+    rows.foreach { r =>
+      val (rad, nt, nc) = (r.getAs[Int]("r"), r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_caught"))
+      assert(nc <= nt, s"caught exceeds truth: $r")
+      if (rad <= 3) assert(nc == nt,
+        s"pigeonhole violated at r=$rad: caught $nc of $nt")
+      assert(nt >= prevTrue, "true counts must be cumulative")
+      prevTrue = nt
+    }
+  }
+
   test("t34: readability bands partition the non-empty docs") {
     val rows = q("t34_readability").collect()
     assert(rows.nonEmpty)
