@@ -408,6 +408,100 @@ object Extended10 {
           ((col("m1").isNull || col("m1") > col("lag_milli")) &&
             col("m2") === col("lag_milli")).as("is_skyline"))
         .orderBy(col("suppkey"))
+    }),
+
+    // HYPERLOGLOG registers, fully oracled — the mergeable distinct
+    // sketch q29 only rows-checks, rebuilt on the portable 60-bit md5
+    // hash so BOTH engines compute the identical register file and the
+    // identical estimate (q51/q63 did this for KMV; this is the HLL
+    // twin). Per group: 64 registers, bucket = h & 63, rho = leading
+    // zeros of the remaining 54 bits + 1 (via length(bin(w)) — exact
+    // integer arithmetic, no log2). The indicator sum Σ2^(55−M_j)
+    // rides a LONG (≤ 2⁶¹, exact — a double Σ2^(−M) would round and
+    // become merge-order-dependent); empty registers contribute 2⁵⁵
+    // algebraically. The raw estimate α·m²/Z is one shared-literal
+    // double expression; no bias correction (that needs ln, which is
+    // not cross-engine bit-stable — the raw estimate is the
+    // deterministic sketch surface, and rel_err vs the exact distinct
+    // is reported beside it). Scale shape: the register build is a
+    // map-side-partial max — the exchange carries ≤ |groups|×64 rows
+    // of three integers regardless of input size; merging register
+    // files across days/shards is the same max, which is the whole
+    // point of HLL.
+    "q114_hll_distinct" -> ((s, d) => {
+      val h = conv(substring(
+        md5(encode(col("o_custkey").cast("string"), "UTF-8")), 1, 15),
+        16, 10).cast("long")
+      val regs = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("priority"), col("o_custkey"),
+          h.as("h"))
+        .withColumn("bucket", col("h").bitwiseAND(lit(63L)))
+        .withColumn("w", shiftright(col("h"), 6))
+        .withColumn("rho", when(col("w") === 0L, lit(55))
+          .otherwise(lit(55) - length(bin(col("w")))))
+        .groupBy(col("priority"), col("bucket"))
+        .agg(max(col("rho")).as("m"))
+      val sketch = regs.groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_buckets_hit"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))"))
+            .as("z_hit"))
+        .withColumn("z", col("z_hit") +
+          (lit(64L) - col("n_buckets_hit")) * lit(1L << 55))
+      val exact = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      sketch.join(exact, Seq("priority"))
+        .withColumn("hll_estimate",
+          lit(0.709365049) * lit(4096.0) * lit(36028797018963968.0) /
+            col("z").cast("double"))
+        .withColumn("rel_err",
+          abs(col("hll_estimate") - col("exact_distinct").cast("double"))
+            / col("exact_distinct").cast("double"))
+        .select(col("priority"), col("n_buckets_hit"),
+          col("exact_distinct"), col("hll_estimate"), col("rel_err"))
+        .orderBy(col("priority"))
+    }),
+
+    // ORDER BACKLOG curve: per calendar day of the DENSE day grid, how
+    // many orders opened, how many fully shipped (every lineitem
+    // shipped — the order's max ship date), and the running open-order
+    // backlog — the operations curve behind q90's point-in-time aging
+    // snapshot (q90 buckets ONE day; this is the whole trajectory).
+    // All integer counts; the cumulative windows run ordered over the
+    // calendar frame (a few thousand rows at any corpus scale — a
+    // single-partition window over the GRID is the correct plan, the
+    // t28 stance, because the grid does not grow with the fact table).
+    // Scale shape: opens and closes each partial-aggregate to
+    // |days|-sized frames before any exchange (closes first reduce
+    // lineitem on l_orderkey); the grid explodes from a 1-row bounds
+    // aggregate of those frames, never from the facts.
+    "q115_order_backlog_curve" -> ((s, d) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val opens = Tables.orders(s, d)
+        .select(datediff(col("o_orderdate").cast("date"), epoch)
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_opened"))
+      val closes = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          datediff(col("l_shipdate").cast("date"), epoch).as("sd"))
+        .groupBy(col("l_orderkey")).agg(max(col("sd")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_closed"))
+      val grid = opens.select(col("day"))
+        .unionAll(closes.select(col("day")))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(opens, Seq("day"), "left")
+        .join(closes, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+          coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+        .withColumn("backlog",
+          sum(col("n_opened") - col("n_closed")).over(w))
+        .select(date_add(epoch, col("day")).cast("string").as("dt"),
+          col("n_opened"), col("n_closed"), col("backlog"))
+        .orderBy(col("dt"))
     })
   )
 
@@ -649,6 +743,69 @@ object Extended10 {
          SELECT suppkey, n_items, cost_milli, lag_milli,
            (m1 IS NULL OR m1 > lag_milli) AND m2 = lag_milli
              AS is_skyline
-         FROM sw ORDER BY suppkey"""
+         FROM sw ORDER BY suppkey""",
+
+    "q114_hll_distinct" ->
+      """WITH hashed AS (SELECT o_orderpriority AS priority, o_custkey,
+             CAST(list_reduce(list_transform(generate_series(1, 15),
+                 i -> strpos('0123456789abcdef', substring(
+                   md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1),
+               (a, x) -> a * 16 + x) AS BIGINT) AS h
+           FROM orders),
+         rho AS (SELECT priority, h & 63 AS bucket,
+             CASE WHEN (h >> 6) = 0 THEN 55
+               ELSE 55 - length(bin(h >> 6)) END AS rho
+           FROM hashed),
+         regs AS (SELECT priority, bucket, MAX(rho) AS m
+           FROM rho GROUP BY 1, 2),
+         sk AS (SELECT priority, COUNT(1) AS n_buckets_hit,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - m AS INT))
+               AS BIGINT) AS z_hit
+           FROM regs GROUP BY 1),
+         zz AS (SELECT priority, n_buckets_hit,
+             z_hit + (64 - n_buckets_hit) * (CAST(1 AS BIGINT) << 55)
+               AS z
+           FROM sk),
+         exact AS (SELECT o_orderpriority AS priority,
+             COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders
+           GROUP BY 1)
+         SELECT zz.priority, n_buckets_hit, exact_distinct,
+           CAST(0.709365049 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+             * CAST(36028797018963968.0 AS DOUBLE)
+             / CAST(z AS DOUBLE) AS hll_estimate,
+           abs(CAST(0.709365049 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+                 * CAST(36028797018963968.0 AS DOUBLE)
+                 / CAST(z AS DOUBLE)
+               - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE) AS rel_err
+         FROM zz JOIN exact ON zz.priority = exact.priority
+         ORDER BY zz.priority""",
+
+    "q115_order_backlog_curve" ->
+      """WITH opens AS (SELECT datediff('day', DATE '1970-01-01',
+             CAST(o_orderdate AS DATE)) AS day, COUNT(1) AS n_opened
+           FROM orders GROUP BY 1),
+         closes AS (SELECT day, COUNT(1) AS n_closed FROM
+             (SELECT l_orderkey, MAX(datediff('day', DATE '1970-01-01',
+                CAST(l_shipdate AS DATE))) AS day
+              FROM lineitem GROUP BY 1) c
+           GROUP BY 1),
+         bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM
+             (SELECT day FROM opens UNION ALL SELECT day FROM closes)),
+         grid AS (SELECT UNNEST(generate_series(lo, hi)) AS day
+           FROM bounds),
+         filled AS (SELECT grid.day,
+             CAST(COALESCE(n_opened, 0) AS BIGINT) AS n_opened,
+             CAST(COALESCE(n_closed, 0) AS BIGINT) AS n_closed
+           FROM grid
+           LEFT JOIN opens ON grid.day = opens.day
+           LEFT JOIN closes ON grid.day = closes.day)
+         SELECT CAST(DATE '1970-01-01' + CAST(day AS INT) AS VARCHAR)
+             AS dt,
+           n_opened, n_closed,
+           CAST(SUM(n_opened - n_closed) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS backlog
+         FROM filled ORDER BY dt"""
   )
 }

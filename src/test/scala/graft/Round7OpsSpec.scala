@@ -464,6 +464,35 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("q114: the register file is a legal HLL and the raw estimate " +
+    "lands near the exact distinct") {
+    val rows = q("q114_hll_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("n_buckets_hit")
+      assert(hit >= 1L && hit <= 64L, s"register count out of range: $r")
+      val est = r.getAs[Double]("hll_estimate")
+      val exact = r.getAs[Long]("exact_distinct")
+      assert(est > 0.0 && exact > 0L)
+      // raw HLL at m=64 has sigma ~ 13%; 60% tolerance is a sanity
+      // floor, not a precision claim (rel_err itself is in the output)
+      assert(r.getAs[Double]("rel_err") < 0.6, s"estimate way off: $r")
+    }
+  }
+
+  test("q115: backlog is non-negative, conserves the books, and ends " +
+    "at opened-minus-closed") {
+    val rows = q("q115_order_backlog_curve").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("backlog") >= 0L, s"$r"))
+    val opened = rows.map(_.getAs[Long]("n_opened")).sum
+    val closed = rows.map(_.getAs[Long]("n_closed")).sum
+    val last = rows.maxBy(_.getAs[String]("dt"))
+    assert(last.getAs[Long]("backlog") == opened - closed)
+    val nOrders = graft.Tables.orders(spark, dir).count()
+    assert(opened == nOrders)
+  }
+
   test("t34: readability bands partition the non-empty docs") {
     val rows = q("t34_readability").collect()
     assert(rows.nonEmpty)
