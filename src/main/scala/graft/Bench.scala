@@ -89,7 +89,8 @@ object Bench {
     "e26_filtered_ann", "q110_distribution_windows",
     "q111_order_shape_corr", "q112_price_volume_mix",
     "q113_supplier_skyline", "d28_simhash_radius_sweep",
-    "q114_hll_distinct", "q115_order_backlog_curve")
+    "q114_hll_distinct", "q115_order_backlog_curve",
+    "q116_linear_attribution", "q117_lag_percentile_trend")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -502,6 +502,89 @@ object Extended10 {
         .select(date_add(epoch, col("day")).cast("string").as("dt"),
           col("n_opened"), col("n_closed"), col("backlog"))
         .orderBy(col("dt"))
+    }),
+
+    // LINEAR multi-touch attribution — q87's other half: q87 gives the
+    // whole purchase to the LAST click; this splits each purchase's
+    // revenue EQUALLY across every click in the 7-day lookback (the
+    // position-agnostic multi-touch model marketers compare last-touch
+    // against), purchases with no touch crediting "organic". Credit
+    // conservation (Σ credited = Σ purchase revenue) is pinned in
+    // spec. Revenue rides exact cents; each (purchase, channel)
+    // credit is ONE shared-structure double (cents·k/n/100), and the
+    // cross-purchase rollup goes through Parity.dsum — the
+    // order-insensitive DECIMAL(18,6) path — so both engines agree.
+    // Scale shape: the touch join is an equi-join on user_id with the
+    // time-range predicate as join condition (the q47 contract — no
+    // product join); everything after is partial-aggregated counts
+    // keyed by purchase then channel.
+    "q116_linear_attribution" -> ((s, d) => {
+      val lookbackUs = 7L * 24 * 3600 * 1000000
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_type"), col("value"), col("props"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          col("us").as("pus"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("cus"),
+          concat(lit("ch_"),
+            (get_json_object(col("props"), "$.k").cast("long") % 5)
+              .cast("string")).as("channel"))
+      val touched = purchases.join(clicks, Seq("user_id"))
+        .filter(col("cus") < col("pus") &&
+          col("pus") - col("cus") <= lookbackUs)
+      val perChan = touched.groupBy(col("pid"), col("cents"),
+          col("channel"))
+        .agg(count(lit(1)).as("k"))
+      val wP = Window.partitionBy(col("pid"))
+      val credits = perChan
+        .withColumn("n", sum(col("k")).over(wP))
+        .select(col("pid"), col("channel"), col("k"),
+          ((col("cents") * col("k")).cast("double") /
+            col("n").cast("double") / 100.0).as("credit"))
+      val organic = purchases.join(
+          touched.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+        .select(col("pid"), lit("organic").as("channel"),
+          lit(1L).as("k"),
+          (col("cents").cast("double") / 100.0).as("credit"))
+      credits.unionAll(organic)
+        .groupBy(col("channel"))
+        .agg(countDistinct(col("pid")).as("n_purchases"),
+          sum(col("k")).as("n_touches"),
+          graft.Parity.dsum(col("credit")).as("revenue_credited"))
+        .orderBy(col("channel"))
+    }),
+
+    // FULFILLMENT-LAG percentile trend: weekly p50 / p90 / max of the
+    // order→ship lag — the SLO trend table (q97 profiles nations with
+    // means; tail percentiles over time are what an ops review
+    // actually watches, because the mean hides the tail). Exact
+    // interpolated percentiles over integer lag days (the q50-proven
+    // cross-engine pair: Spark `percentile` ↔ DuckDB `quantile_cont`);
+    // weeks are days-since-epoch div 7 (q104 rule). Scale shape: one
+    // exchange on l_orderkey for the order join, then a partial-agg
+    // keyed by week; the percentile sort happens within each week's
+    // group only.
+    "q117_lag_percentile_trend" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          col("l_shipdate").cast("date").as("sd"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          expr("CAST(datediff(od, DATE '1970-01-01') div 7 AS BIGINT)")
+            .as("wk"),
+          datediff(col("sd"), col("od")).cast("long").as("lag"))
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(lag, 0.5)").as("p50"),
+          expr("percentile(lag, 0.9)").as("p90"),
+          max(col("lag")).as("max_lag"))
+        .orderBy(col("wk"))
     })
   )
 
@@ -806,6 +889,50 @@ object Extended10 {
            CAST(SUM(n_opened - n_closed) OVER (ORDER BY day
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS backlog
-         FROM filled ORDER BY dt"""
+         FROM filled ORDER BY dt""",
+
+    "q116_linear_attribution" ->
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             event_type, value, props FROM events),
+         purchases AS (SELECT user_id, event_id AS pid, us AS pus,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM ev WHERE event_type = 'purchase'),
+         clicks AS (SELECT user_id, us AS cus,
+             'ch_' || CAST(CAST(json_extract_string(props, '$$.k')
+               AS BIGINT) % 5 AS VARCHAR) AS channel
+           FROM ev WHERE event_type = 'click'),
+         touched AS (SELECT p.pid, p.cents, c.channel
+           FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+           WHERE c.cus < p.pus AND p.pus - c.cus <= 604800000000),
+         per_chan AS (SELECT pid, cents, channel, COUNT(1) AS k
+           FROM touched GROUP BY 1, 2, 3),
+         credits AS (SELECT pid, channel, k,
+             CAST(cents * k AS DOUBLE)
+               / CAST(CAST(SUM(k) OVER (PARTITION BY pid) AS BIGINT)
+                   AS DOUBLE) / 100.0 AS credit
+           FROM per_chan),
+         organic AS (SELECT pid, 'organic' AS channel,
+             CAST(1 AS BIGINT) AS k,
+             CAST(cents AS DOUBLE) / 100.0 AS credit
+           FROM purchases
+           WHERE pid NOT IN (SELECT pid FROM touched)),
+         allc AS (SELECT * FROM credits UNION ALL SELECT * FROM organic)
+         SELECT channel, COUNT(DISTINCT pid) AS n_purchases,
+           CAST(SUM(k) AS BIGINT) AS n_touches,
+           ${graft.Parity.dsumSql("credit")} AS revenue_credited
+         FROM allc GROUP BY channel ORDER BY channel""",
+
+    "q117_lag_percentile_trend" ->
+      """SELECT CAST(datediff('day', DATE '1970-01-01',
+             CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS wk,
+           COUNT(1) AS n,
+           quantile_cont(datediff('day', CAST(o_orderdate AS DATE),
+             CAST(l_shipdate AS DATE)), 0.5) AS p50,
+           quantile_cont(datediff('day', CAST(o_orderdate AS DATE),
+             CAST(l_shipdate AS DATE)), 0.9) AS p90,
+           CAST(MAX(datediff('day', CAST(o_orderdate AS DATE),
+             CAST(l_shipdate AS DATE))) AS BIGINT) AS max_lag
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY wk"""
   )
 }

@@ -493,6 +493,30 @@ class Round7OpsSpec extends SparkSpec {
     assert(opened == nOrders)
   }
 
+  test("q116: linear attribution conserves revenue against the raw " +
+    "purchase total") {
+    val rows = q("q116_linear_attribution").collect()
+    assert(rows.nonEmpty)
+    val credited = rows.map(_.getAs[Double]("revenue_credited")).sum
+    val total = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long")))
+      .collect()(0).getLong(0) / 100.0
+    // dsum rounds each credit at 6 dp — tolerance scales with rows
+    assert(math.abs(credited - total) < 1e-3,
+      s"credited $credited != purchases $total")
+  }
+
+  test("q117: percentile trend is internally ordered (p50 <= p90 <= max)") {
+    val rows = q("q117_lag_percentile_trend").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90) = (r.getAs[Double]("p50"), r.getAs[Double]("p90"))
+      assert(p50 <= p90 && p90 <= r.getAs[Long]("max_lag").toDouble, s"$r")
+      assert(r.getAs[Long]("n") > 0L)
+    }
+  }
+
   test("t34: readability bands partition the non-empty docs") {
     val rows = q("t34_readability").collect()
     assert(rows.nonEmpty)
