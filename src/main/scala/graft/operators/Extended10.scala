@@ -610,6 +610,46 @@ object Extended10 {
           expr("percentile(lag, 0.9)").as("p90"),
           max(col("lag")).as("max_lag"))
         .orderBy(col("wk"))
+    }),
+
+    // RETURN-RATE outlier screen — the per-entity proportion test
+    // (q103 tests a whole contingency table; this scores each
+    // supplier against the corpus): one-sample two-sided z on each
+    // supplier's return share vs the global share,
+    // z = (k·N − K·n)/√(n·K·(N−K)), which is the textbook
+    // (p̂−p₀)/√(p₀(1−p₀)/n) cleared of divisions — four exact
+    // integers under one √. The |z| > 2 flag is decided in EXACT
+    // decimal arithmetic ((kN−Kn)² > 4·n·K·(N−K), the q108 rule), so
+    // no float boundary picks outliers; the reported z is the
+    // shared-structure double. Scale shape: one partial-agg keyed on
+    // l_suppkey (map-side combine collapses the fact table); the
+    // global (N, K) ride a window over the supplier dimension frame.
+    "q118_return_rate_outliers" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("k"))
+      val w = Window.partitionBy()
+      per
+        .withColumn("nn", sum(col("n")).over(w))
+        .withColumn("kk", sum(col("k")).over(w))
+        .withColumn("num",
+          col("k").cast(dec) * col("nn") - col("kk").cast(dec) * col("n"))
+        .withColumn("den2",
+          (col("n").cast(dec) * col("kk")).cast(dec)
+            * (col("nn") - col("kk")))
+        .select(col("suppkey"), col("n"), col("k"),
+          (col("kk").cast("double") / col("nn").cast("double"))
+            .as("global_rate"),
+          (col("k").cast("double") / col("n").cast("double"))
+            .as("rate"),
+          (col("num").cast("double") / sqrt(col("den2").cast("double")))
+            .as("z"),
+          ((col("num").cast(dec) * col("num")).cast(dec) >
+            col("den2") * 4).as("is_outlier"))
+        .orderBy(col("suppkey"))
     })
   )
 
@@ -958,6 +998,26 @@ object Extended10 {
            CAST(MAX(datediff('day', CAST(o_orderdate AS DATE),
              CAST(l_shipdate AS DATE))) AS BIGINT) AS max_lag
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY 1 ORDER BY wk"""
+         GROUP BY 1 ORDER BY wk""",
+
+    "q118_return_rate_outliers" ->
+      """WITH per AS (SELECT l_suppkey AS suppkey, COUNT(1) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT suppkey, n, k,
+             CAST(SUM(n) OVER () AS BIGINT) AS nn,
+             CAST(SUM(k) OVER () AS BIGINT) AS kk
+           FROM per),
+         sc AS (SELECT suppkey, n, k, nn, kk,
+             CAST(k AS HUGEINT) * nn - CAST(kk AS HUGEINT) * n AS num,
+             CAST(n AS HUGEINT) * kk * (nn - kk) AS den2
+           FROM tot)
+         SELECT suppkey, n, k,
+           CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE) AS global_rate,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+           CAST(num AS DOUBLE) / sqrt(CAST(den2 AS DOUBLE)) AS z,
+           num * num > den2 * 4 AS is_outlier
+         FROM sc ORDER BY suppkey"""
   )
 }

@@ -835,6 +835,33 @@ object Similarity {
         .withColumn("recall",
           col("n_recalled").cast("double") / col("n_queries"))
         .orderBy(col("label"))
+    }),
+
+    // Per-DIMENSION embedding health profile — the screen run BEFORE
+    // building any index: a dead dimension (zero variance) wastes
+    // index bits, a wild one dominates L2 distances; e16 watches
+    // cells drift over time, this watches the coordinate axes
+    // themselves. Mean and Σx² go through the Parity DECIMAL path so
+    // the merge order never shows in the doubles; variance is then
+    // one shared-structure expression (E[x²] − mean²); min/max are
+    // exact. Scale shape: posexplode is row-local; the only exchange
+    // carries (dim, x) pairs and partial-aggregates map-side to
+    // |dims| rows — constant output regardless of corpus size.
+    "e27_dim_profile" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(posexplode(dvec(col("embedding"))))
+        .toDF("pos", "x")
+        .groupBy((col("pos") + 1).cast("int").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          Parity.davg(col("x")).as("mean"),
+          Parity.dsum(col("x") * col("x")).as("sx2"),
+          min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+        .withColumn("variance",
+          col("sx2") / col("n").cast("double")
+            - col("mean") * col("mean"))
+        .select(col("dim"), col("n"), col("mean"), col("variance"),
+          col("vmin"), col("vmax"))
+        .orderBy(col("dim"))
     })
   )
 
@@ -1576,7 +1603,22 @@ object Similarity {
                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(1)
              AS recall
          FROM truth t LEFT JOIN ivf i USING (vec_id)
-         GROUP BY t.label ORDER BY t.label"""
+         GROUP BY t.label ORDER BY t.label""",
+
+    "e27_dim_profile" ->
+      s"""WITH xs AS (SELECT CAST(i AS INT) AS dim,
+             CAST(embedding AS DOUBLE[])[i] AS x
+           FROM embeddings,
+             UNNEST(generate_series(1, ${EmbDims})) AS t(i)),
+         agg AS (SELECT dim, COUNT(1) AS n,
+             ${Parity.davgSql("x")} AS mean,
+             ${Parity.dsumSql("x * x")} AS sx2,
+             MIN(x) AS vmin, MAX(x) AS vmax
+           FROM xs GROUP BY dim)
+         SELECT dim, n, mean,
+           sx2 / CAST(n AS DOUBLE) - mean * mean AS variance,
+           vmin, vmax
+         FROM agg ORDER BY dim"""
   )
 
   /** e23's DuckDB twin: the greedy MMR loop unrolled into five pick

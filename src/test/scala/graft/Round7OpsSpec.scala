@@ -517,6 +517,34 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("q118: the outlier flag agrees with the reported z at the " +
+    "2-sigma line, and the books balance") {
+    val rows = q("q118_return_rate_outliers").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      assert(r.getAs[Boolean]("is_outlier") == (z * z > 4.0 - 1e-9) ||
+        math.abs(z * z - 4.0) < 1e-9, s"flag/z disagree: $r")
+      assert(r.getAs[Long]("k") <= r.getAs[Long]("n"))
+    }
+    // weighted mean of rates is the global rate (conservation)
+    val n = rows.map(_.getAs[Long]("n")).sum.toDouble
+    val k = rows.map(_.getAs[Long]("k")).sum.toDouble
+    assert(math.abs(k / n - rows.head.getAs[Double]("global_rate")) < 1e-12)
+  }
+
+  test("e27: dimension profile is complete and each variance is " +
+    "non-negative within the bounds") {
+    val rows = q("e27_dim_profile").collect()
+    assert(rows.map(_.getAs[Int]("dim")).sorted.sameElements(1 to 64))
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("vmin"), r.getAs[Double]("vmax"))
+      val mean = r.getAs[Double]("mean")
+      assert(lo <= mean && mean <= hi, s"mean outside range: $r")
+      assert(r.getAs[Double]("variance") >= -1e-9, s"negative var: $r")
+    }
+  }
+
   test("t34: readability bands partition the non-empty docs") {
     val rows = q("t34_readability").collect()
     assert(rows.nonEmpty)
