@@ -487,6 +487,44 @@ object Multimodal {
           (col("n_frames").cast("double")
             / (col("n_cuts") + 1L).cast("double")).as("mean_scene_frames"))
         .orderBy(col("doc_id"))
+    }),
+
+    // CLIP-REUSE detection: maximal runs of CONSECUTIVE shared frames
+    // between two media — m09 finds frames that recur anywhere, this
+    // finds the aligned sequences (the "same clip spliced into two
+    // videos" audit, d15's repeated-span mining lifted to the frame
+    // timeline). Matching positions (ia, ib) with equal content hash
+    // lie on diagonal ia − ib; the island merge (ia − row_number per
+    // (pair, diagonal)) stitches them into clips, keeping runs of
+    // ≥ 3 frames (singles are m09's business). Scale shape: frames
+    // never carry payload bytes past the stub — the match join keys
+    // on the 16-byte content hash, the islands window partitions by
+    // (pair, diagonal), and every exchange row is five integers.
+    "m15_clip_reuse" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaIn]
+        .mapPartitions(_.map(MultimodalStub.frames).flatten)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("idx"),
+          col("frame_fp").as("fp"))
+      val m = f.toDF("doc_a", "ia", "fp")
+        .join(f.toDF("doc_b", "ib", "fp"), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+      val wRun = Window.partitionBy(col("doc_a"), col("doc_b"),
+        col("ia") - col("ib")).orderBy(col("ia"))
+      m.withColumn("run", col("ia") - row_number().over(wRun))
+        .groupBy(col("doc_a"), col("doc_b"),
+          (col("ia") - col("ib")).as("diag"), col("run"))
+        .agg(min(col("ia")).as("start_a"), min(col("ib")).as("start_b"),
+          count(lit(1)).as("clip_len"))
+        .filter(col("clip_len") >= 3)
+        .select(col("doc_a"), col("doc_b"), col("start_a"),
+          col("start_b"), col("clip_len"))
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"),
+          col("start_b"))
     })
   )
 
@@ -776,6 +814,26 @@ object Multimodal {
          SELECT doc_id, n_frames, n_cuts, n_cuts + 1 AS n_scenes,
            CAST(n_frames AS DOUBLE) / CAST(n_cuts + 1 AS DOUBLE)
              AS mean_scene_frames
-         FROM agg ORDER BY doc_id"""
+         FROM agg ORDER BY doc_id""",
+
+    "m15_clip_reuse" ->
+      """WITH f AS (SELECT doc_id,
+             CAST((off - 1) // 64 AS BIGINT) AS idx,
+             MD5(SUBSTR(text, off, 32)) AS fp
+           FROM documents,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(text), 1), 64))
+               AS t(off)),
+         m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.idx AS ia, b.idx AS ib
+           FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         r AS (SELECT doc_a, doc_b, ia, ib,
+             ia - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, ia - ib
+               ORDER BY ia) AS run
+           FROM m)
+         SELECT doc_a, doc_b, CAST(MIN(ia) AS BIGINT) AS start_a,
+           CAST(MIN(ib) AS BIGINT) AS start_b, COUNT(1) AS clip_len
+         FROM r GROUP BY doc_a, doc_b, ia - ib, run
+         HAVING COUNT(1) >= 3
+         ORDER BY doc_a, doc_b, start_a, start_b"""
   )
 }

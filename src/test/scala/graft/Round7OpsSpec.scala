@@ -545,6 +545,30 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("m15: clips are genuine runs — length >= 3, in-bounds starts, " +
+    "and exact-duplicate media share a full-length clip") {
+    val rows = q("m15_clip_reuse").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("clip_len") >= 3L, s"$r")
+      assert(r.getAs[Long]("start_a") >= 0L && r.getAs[Long]("start_b") >= 0L)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+    // the corpus carries exact duplicate docs (d01's subject matter);
+    // any such pair must surface as one diagonal-0 full clip
+    val dups = graft.Tables.documents(spark, dir)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && length(col("text")) >= 64 * 2 + 32)
+      .collect()
+    dups.headOption.foreach { dr =>
+      val ids = dr.getAs[Seq[Long]]("ids").sorted
+      val (a, b) = (ids(0), ids(1))
+      assert(rows.exists(r => r.getAs[Long]("doc_a") == a &&
+        r.getAs[Long]("doc_b") == b && r.getAs[Long]("start_a") == 0L),
+        s"duplicate pair ($a,$b) missing its full clip")
+    }
+  }
+
   test("t34: readability bands partition the non-empty docs") {
     val rows = q("t34_readability").collect()
     assert(rows.nonEmpty)
