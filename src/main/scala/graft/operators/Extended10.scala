@@ -650,6 +650,41 @@ object Extended10 {
           ((col("num").cast(dec) * col("num")).cast(dec) >
             col("den2") * 4).as("is_outlier"))
         .orderBy(col("suppkey"))
+    }),
+
+    // FUNCTIONAL-DEPENDENCY profiler (Metanome-style data profiling,
+    // the relational companion to q80's column profile): for each
+    // declared candidate A → B, the number of A-groups, how many see
+    // more than one distinct B (violations), and the verdict — how
+    // key constraints and denormalization assumptions are AUDITED
+    // before a pipeline relies on them. The candidate list mixes
+    // true keys (o_orderkey → o_custkey) with plausible-but-false
+    // dependencies (l_partkey → l_suppkey) so both verdicts are
+    // exercised. Scale shape: each candidate is one partial-agg'd
+    // exchange keyed on its lhs column collapsing to a 1-row verdict;
+    // the union is six tiny rows.
+    "q119_fd_profile" -> ((s, d) => {
+      def pair(df: DataFrame, tbl: String, lhs: String, rhs: String) =
+        df.groupBy(col(lhs))
+          .agg(countDistinct(col(rhs)).as("ndv"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("ndv") > 1, 1L).otherwise(0L))
+              .as("n_violating"))
+          .select(lit(tbl).as("table_name"), lit(lhs).as("lhs"),
+            lit(rhs).as("rhs"), col("n_groups"), col("n_violating"),
+            (col("n_violating") === 0L).as("fd_holds"),
+            (col("n_violating").cast("double") /
+              col("n_groups").cast("double")).as("violation_rate"))
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      pair(li, "lineitem", "l_orderkey", "l_suppkey")
+        .unionAll(pair(li, "lineitem", "l_partkey", "l_suppkey"))
+        .unionAll(pair(li, "lineitem", "l_orderkey", "l_returnflag"))
+        .unionAll(pair(o, "orders", "o_orderkey", "o_custkey"))
+        .unionAll(pair(o, "orders", "o_custkey", "o_orderpriority"))
+        .unionAll(pair(c, "customer", "c_custkey", "c_mktsegment"))
+        .orderBy(col("table_name"), col("lhs"), col("rhs"))
     })
   )
 
@@ -1018,6 +1053,30 @@ object Extended10 {
            CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
            CAST(num AS DOUBLE) / sqrt(CAST(den2 AS DOUBLE)) AS z,
            num * num > den2 * 4 AS is_outlier
-         FROM sc ORDER BY suppkey"""
+         FROM sc ORDER BY suppkey""",
+
+    "q119_fd_profile" -> {
+      def pair(tbl: String, lhs: String, rhs: String) =
+        s"""SELECT '$tbl' AS table_name, '$lhs' AS lhs, '$rhs' AS rhs,
+             COUNT(1) AS n_groups,
+             CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               = 0 AS fd_holds,
+             CAST(CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE)
+               AS violation_rate
+           FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS ndv
+                 FROM $tbl GROUP BY 1) g"""
+      Seq(
+        pair("lineitem", "l_orderkey", "l_suppkey"),
+        pair("lineitem", "l_partkey", "l_suppkey"),
+        pair("lineitem", "l_orderkey", "l_returnflag"),
+        pair("orders", "o_orderkey", "o_custkey"),
+        pair("orders", "o_custkey", "o_orderpriority"),
+        pair("customer", "c_custkey", "c_mktsegment"))
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          ") t ORDER BY table_name, lhs, rhs")
+    }
   )
 }

@@ -862,6 +862,31 @@ object Similarity {
         .select(col("dim"), col("n"), col("mean"), col("variance"),
           col("vmin"), col("vmax"))
         .orderBy(col("dim"))
+    }),
+
+    // OOD screen — flag vectors in the far tail of their OWN cell's
+    // centroid-similarity distribution (each vector's ccos against
+    // the cell's exact interpolated 5th percentile): the "does this
+    // embedding belong here at all" gate run before training on a
+    // scraped batch. e17 scores cluster QUALITY and e20 profiles
+    // global distances; this picks the individual outliers, with the
+    // per-cell threshold so a naturally-loose cell doesn't flood the
+    // report. Both engines compute identical ccos doubles (shared
+    // centroid assignment) and identical percentiles (the q50 pair),
+    // so the strict < cut is deterministic. Scale shape: broadcast
+    // centroid assignment (no corpus shuffle), one cell-keyed
+    // percentile aggregate, one cell-keyed join back.
+    "e28_ood_screen" -> ((s, d) => {
+      val asg = centroidRanked(s, d).filter(col("crk") === 1)
+        .select(col("vec_id"), col("cent_id").as("cell"), col("ccos"))
+      val cut = asg.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          expr("percentile(ccos, 0.05)").as("p05"))
+      asg.join(cut, Seq("cell"))
+        .filter(col("ccos") < col("p05"))
+        .select(col("cell"), col("vec_id"), col("ccos"), col("p05"),
+          col("n_members"))
+        .orderBy(col("cell"), col("vec_id"))
     })
   )
 
@@ -1618,7 +1643,25 @@ object Similarity {
          SELECT dim, n, mean,
            sx2 / CAST(n AS DOUBLE) - mean * mean AS variance,
            vmin, vmax
-         FROM agg ORDER BY dim"""
+         FROM agg ORDER BY dim""",
+
+    "e28_ood_screen" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         assigned AS (
+           SELECT vec_id, cell, ccos FROM (
+             SELECT a.vec_id, b.cent_id AS cell, $cosExpr AS ccos,
+                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1),
+         cut AS (SELECT cell, COUNT(1) AS n_members,
+             quantile_cont(ccos, 0.05) AS p05
+           FROM assigned GROUP BY 1)
+         SELECT a.cell, a.vec_id, a.ccos, c.p05, c.n_members
+         FROM assigned a JOIN cut c ON a.cell = c.cell
+         WHERE a.ccos < c.p05
+         ORDER BY a.cell, a.vec_id"""
   )
 
   /** e23's DuckDB twin: the greedy MMR loop unrolled into five pick

@@ -59,7 +59,8 @@ class PlanLintSpec extends SparkSpec {
     "d27_source_minhash_jaccard", // |sources|^2 pairing of 17-column signature rows
     "e26_filtered_ann", // same broadcast centroid assignment cross
     "d28_simhash_radius_sweep", // exhaustive hamming ground truth (a < b)
-    "q112_price_volume_mix") // 1-row broadcast date-split scalar
+    "q112_price_volume_mix", // 1-row broadcast date-split scalar
+    "e28_ood_screen") // same broadcast centroid assignment cross
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {

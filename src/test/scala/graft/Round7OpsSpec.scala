@@ -569,6 +569,37 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("e28: every flagged vector is strictly under its own cell's cut, " +
+    "and flags are a small tail") {
+    val rows = q("e28_ood_screen").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ccos") < r.getAs[Double]("p05"), s"$r")
+      assert(r.getAs[Long]("n_members") >= 1L)
+    }
+    // a p05 cut flags at most ~5% of each cell (interpolation slack)
+    rows.groupBy(_.getAs[Long]("cell")).foreach { case (_, rs) =>
+      val n = rs.head.getAs[Long]("n_members").toDouble
+      assert(rs.length <= math.max(1, math.ceil(n * 0.05 + 1)),
+        s"cell flags ${rs.length} of $n members")
+    }
+  }
+
+  test("q119: key columns hold their FDs, non-keys violate, and the " +
+    "books are consistent") {
+    val rows = q("q119_fd_profile").collect()
+    assert(rows.length == 6)
+    def row(lhs: String) = rows.find(_.getAs[String]("lhs") == lhs).get
+    assert(row("o_orderkey").getAs[Boolean]("fd_holds"))
+    assert(row("c_custkey").getAs[Boolean]("fd_holds"))
+    assert(!row("l_partkey").getAs[Boolean]("fd_holds"),
+      "l_partkey -> l_suppkey should be violated on TPC-H-ish data")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_violating") <= r.getAs[Long]("n_groups"))
+      assert(r.getAs[Boolean]("fd_holds") ==
+        (r.getAs[Long]("n_violating") == 0L))
+    }
+  }
+
   test("t34: readability bands partition the non-empty docs") {
     val rows = q("t34_readability").collect()
     assert(rows.nonEmpty)
