@@ -58,6 +58,9 @@ object GraftFunctions {
     descriptor("graft_topk", classOf[TopKAggregate],
       exprs => TopKAggregate(exprs(0), exprs(1),
         intArg(exprs(2), "graft_topk"))),
+    // simhash_agg(hash): 60-bit SimHash fold over a group's word hashes
+    descriptor("simhash_agg", classOf[SimHashAggregate],
+      exprs => SimHashAggregate(exprs(0))),
     // quantile_sketch(hash, value, k, p...): KMV bottom-k estimates
     descriptor("quantile_sketch", classOf[QuantileSketchAggregate],
       exprs => QuantileSketchAggregate(exprs(0), exprs(1),

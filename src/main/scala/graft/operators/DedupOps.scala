@@ -1463,22 +1463,15 @@ object DedupOps {
     * word hash — sign-sum per bit position, then bit reassembly. The
     * groupBy is the only exchange and it carries (doc_id, 60 ints).
     */
-  private def simhashFrame(s: SparkSession, d: String): DataFrame = {
-    val words = Tables.documents(s, d)
+  private def simhashFrame(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
       .withColumn("h",
         conv(substring(md5(encode(col("w"), "UTF-8")), 1, 15), 16, 10)
           .cast("long"))
-    val bitSums: Seq[Column] = (0 until 60).map(i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1)
-        .otherwise(-1)).as(s"b$i"))
-    words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash",
-        (0 until 60).map(i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)))
-      .select(col("doc_id"), col("simhash"))
-  }
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashFunctions.simhash(col("h"))
+        .as("simhash"))
 
   /** Winnowing fingerprint frame (d20/d21): per document, the distinct
     * window-minima of the 60-bit-md5 trigram hash stream over a w=4

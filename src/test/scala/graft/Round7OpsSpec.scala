@@ -600,6 +600,35 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash_agg equals the 60-column sign-sum formulation, " +
+    "independent of partitioning") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val words = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("w"))
+      .withColumn("h",
+        conv(substring(md5(encode(col("w"), "UTF-8")), 1, 15), 16, 10)
+          .cast("long"))
+    val naive = {
+      val bitSums = (0 until 60).map(i =>
+        fsum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1)
+          .otherwise(-1)).as(s"b$i"))
+      words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash",
+          (0 until 60).map(i =>
+            when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce((a, b) => a.bitwiseOR(b)))
+        .select(col("doc_id"), col("simhash"))
+    }
+    val agg = words.repartition(7, col("w")) // force non-trivial merges
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashFunctions.simhash(col("h"))
+        .as("simhash"))
+    assert(agg.join(naive, Seq("doc_id"))
+      .filter(agg("simhash") =!= naive("simhash")).count() == 0L)
+    assert(agg.count() > 0L)
+  }
+
   test("t34: readability bands partition the non-empty docs") {
     val rows = q("t34_readability").collect()
     assert(rows.nonEmpty)
