@@ -420,4 +420,43 @@ class PlanShapeSpec extends SparkSpec {
       "SELECT graft_topk(id, id, 3) FROM sketch_in").collect())
     assert(msgs(e2).contains("value must be DOUBLE"))
   }
+
+  test("q107: orientation lookups broadcast and the closure is the " +
+      "adjacency intersection — no wedge-sized exchange, no product join") {
+    val df = SparkEntry.queries("q107_triangle_count")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the closure is array_intersect over collected adjacency — the
+    // wedge set never appears as a join. (The broadcast degree lookups
+    // run inside the eager Materialize stage, so they are upstream of
+    // this plan's checkpoint scan by design.)
+    assert(p.contains("array_intersect"), p.take(1200))
+  }
+
+  test("q113: the skyline is decided by windows (one RangeFrame to " +
+      "cost-1), never a dominance self-join") {
+    val df = SparkEntry.queries("q113_supplier_skyline")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("specifiedwindowframe(RangeFrame, unboundedpreceding$(), -1)"),
+      p.take(1500))
+    // exactly the order/supplier joins — no self-join of the
+    // quantized frame
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("q114: HLL registers partial-aggregate map-side — the exchange " +
+      "carries (priority, bucket) register rows, not order rows") {
+    val df = SparkEntry.queries("q114_hll_distinct")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // partial_max(rho) below the exchange = the register build combines
+    // before shuffling
+    assert(p.contains("partial_max") || p.contains("partial max") ||
+      "HashAggregate.*max".r.findFirstIn(p).isDefined, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }
