@@ -685,6 +685,62 @@ object Extended10 {
         .unionAll(pair(o, "orders", "o_custkey", "o_orderpriority"))
         .unionAll(pair(c, "customer", "c_custkey", "c_mktsegment"))
         .orderBy(col("table_name"), col("lhs"), col("rhs"))
+    }),
+
+    // LINEAR time-series interpolation — q60's other half: LOCF
+    // carries the last value forward, this RESAMPLES each user's
+    // irregular value series onto the hourly grid by interpolating
+    // between the surrounding observations (interior points only, no
+    // extrapolation — the resample a TS feature store runs before
+    // joining series on a common clock). Duplicate-timestamp events
+    // collapse with MAX first so the series is a function. The grid
+    // indices are exact integer hour numbers (ceil/floor by integral
+    // division — the Spark `sequence` descending-on-start>stop hazard
+    // is guarded by construction), and the interpolation weight is
+    // one shared-structure double over four exact integers. Scale
+    // shape: all windows partition by user_id (timeline-local, the
+    // q87 contract); the grid explodes from per-user 1-row bounds.
+    "q120_linear_interpolation" -> ((s, d) => {
+      val hUs = 3600000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("c")).as("cents"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        .filter(expr(s"(lo + ${hUs - 1}) div $hUs <= hi div $hUs"))
+        .select(col("user_id"), explode(sequence(
+          expr(s"CAST((lo + ${hUs - 1}) div $hUs AS BIGINT)"),
+          expr(s"CAST(hi div $hUs AS BIGINT)"))).as("hidx"))
+        .select(col("user_id"), (col("hidx") * hUs).as("us"),
+          lit(null).cast("long").as("cents"), col("hidx"),
+          lit(1).as("is_grid"))
+      val actual = ev.select(col("user_id"), col("us"), col("cents"),
+        lit(null).cast("long").as("hidx"), lit(0).as("is_grid"))
+      val wB = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wA = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("is_grid"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      actual.unionAll(grid)
+        .withColumn("pc", last(col("cents"), ignoreNulls = true).over(wB))
+        .withColumn("pu", last(when(col("cents").isNotNull, col("us")),
+          ignoreNulls = true).over(wB))
+        .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wA))
+        .withColumn("nu", first(when(col("cents").isNotNull, col("us")),
+          ignoreNulls = true).over(wA))
+        .filter(col("is_grid") === 1 && col("pc").isNotNull &&
+          col("nc").isNotNull)
+        .select(col("user_id"), col("hidx").as("hour_idx"),
+          ((col("pc").cast("double") +
+            (col("nc") - col("pc")).cast("double") *
+              ((col("us") - col("pu")).cast("double") /
+                (col("nu") - col("pu")).cast("double"))) / 100.0)
+            .as("value_interp"))
+        .orderBy(col("user_id"), col("hour_idx"))
     })
   )
 
@@ -1077,6 +1133,44 @@ object Extended10 {
         pair("customer", "c_custkey", "c_mktsegment"))
         .mkString("SELECT * FROM (", " UNION ALL ",
           ") t ORDER BY table_name, lhs, rhs")
-    }
+    },
+
+    "q120_linear_interpolation" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+             CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT user_id, MIN(us) AS lo, MAX(us) AS hi
+           FROM ev GROUP BY 1),
+         grid AS (SELECT user_id, UNNEST(generate_series(
+             (lo + 3599999999) // 3600000000, hi // 3600000000)) AS hidx
+           FROM b),
+         allr AS (
+           SELECT user_id, us, cents, CAST(NULL AS BIGINT) AS hidx,
+             0 AS is_grid
+           FROM ev
+           UNION ALL
+           SELECT user_id, hidx * 3600000000, CAST(NULL AS BIGINT),
+             hidx, 1
+           FROM grid),
+         w AS (SELECT *,
+             last_value(cents IGNORE NULLS) OVER wb AS pc,
+             last_value(CASE WHEN cents IS NOT NULL THEN us END
+               IGNORE NULLS) OVER wb AS pu,
+             first_value(cents IGNORE NULLS) OVER wa AS nc,
+             first_value(CASE WHEN cents IS NOT NULL THEN us END
+               IGNORE NULLS) OVER wa AS nu
+           FROM allr
+           WINDOW wb AS (PARTITION BY user_id ORDER BY us, is_grid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wa AS (PARTITION BY user_id ORDER BY us, is_grid
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, CAST(hidx AS BIGINT) AS hour_idx,
+           (CAST(pc AS DOUBLE) + CAST(nc - pc AS DOUBLE)
+             * (CAST(us - pu AS DOUBLE) / CAST(nu - pu AS DOUBLE)))
+             / 100.0 AS value_interp
+         FROM w
+         WHERE is_grid = 1 AND pc IS NOT NULL AND nc IS NOT NULL
+         ORDER BY user_id, hour_idx"""
   )
 }

@@ -629,6 +629,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(agg.count() > 0L)
   }
 
+  test("q120: interpolated values are bracketed by their neighbours " +
+    "and grid points never extrapolate") {
+    val rows = q("q120_linear_interpolation").collect()
+    assert(rows.nonEmpty)
+    // every interpolated value lies inside the raw series' value range
+    val mm = graft.Tables.events(spark, dir)
+      .agg(min(col("value")), max(col("value"))).collect()(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    rows.foreach { r =>
+      val v = r.getAs[Double]("value_interp")
+      assert(v >= lo - 1e-9 && v <= hi + 1e-9, s"out of range: $r")
+    }
+    // hour indices are strictly increasing per user (dense interior grid)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val hs = rs.map(_.getAs[Long]("hour_idx")).sorted
+      assert(hs.distinct.length == hs.length)
+    }
+  }
+
   test("t34: readability bands partition the non-empty docs") {
     val rows = q("t34_readability").collect()
     assert(rows.nonEmpty)
