@@ -690,55 +690,46 @@ object Extended10 {
     // LINEAR time-series interpolation — q60's other half: LOCF
     // carries the last value forward, this RESAMPLES each user's
     // irregular value series onto the hourly grid by interpolating
-    // between the surrounding observations (interior points only, no
-    // extrapolation — the resample a TS feature store runs before
-    // joining series on a common clock). Duplicate-timestamp events
-    // collapse with MAX first so the series is a function. The grid
-    // indices are exact integer hour numbers (ceil/floor by integral
-    // division — the Spark `sequence` descending-on-start>stop hazard
-    // is guarded by construction), and the interpolation weight is
-    // one shared-structure double over four exact integers. Scale
-    // shape: all windows partition by user_id (timeline-local, the
-    // q87 contract); the grid explodes from per-user 1-row bounds.
+    // between the surrounding observations (grid hours strictly after
+    // the first observation, through the last — no extrapolation; the
+    // resample a TS feature store runs before joining series on a
+    // common clock). Duplicate-timestamp events collapse with MAX
+    // first so the series is a function. SEGMENT-LOCAL formulation:
+    // one lead() window pairs each event with its successor, then
+    // each segment generates and interpolates ITS OWN grid hours
+    // ((us, next_us] by integral division) row-locally — no
+    // grid∪events union, no unbounded-following window buffering the
+    // merged frame (the first cut ran THREE window passes over the
+    // grid-sized union and was the slowest headline query; this runs
+    // ONE window over just the events). The interpolation weight is
+    // one shared-structure double over four exact integers; Spark's
+    // sequence(a, b) descending-on-a>b hazard is guarded by the
+    // segment filter. Scale shape: the only exchange is the user_id
+    // window over the raw events (timeline-local, the q87 contract);
+    // the grid explode never crosses a shuffle.
     "q120_linear_interpolation" -> ((s, d) => {
       val hUs = 3600000000L
-      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      Tables.events(s, d)
         .select(col("user_id"),
           unix_micros(col("ts").cast("timestamp")).as("us"),
           round(col("value") * 100).cast("long").as("c"))
         .groupBy(col("user_id"), col("us"))
         .agg(max(col("c")).as("cents"))
-      val grid = ev.groupBy(col("user_id"))
-        .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
-        .filter(expr(s"(lo + ${hUs - 1}) div $hUs <= hi div $hUs"))
-        .select(col("user_id"), explode(sequence(
-          expr(s"CAST((lo + ${hUs - 1}) div $hUs AS BIGINT)"),
-          expr(s"CAST(hi div $hUs AS BIGINT)"))).as("hidx"))
-        .select(col("user_id"), (col("hidx") * hUs).as("us"),
-          lit(null).cast("long").as("cents"), col("hidx"),
-          lit(1).as("is_grid"))
-      val actual = ev.select(col("user_id"), col("us"), col("cents"),
-        lit(null).cast("long").as("hidx"), lit(0).as("is_grid"))
-      val wB = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("is_grid"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wA = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("is_grid"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      actual.unionAll(grid)
-        .withColumn("pc", last(col("cents"), ignoreNulls = true).over(wB))
-        .withColumn("pu", last(when(col("cents").isNotNull, col("us")),
-          ignoreNulls = true).over(wB))
-        .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wA))
-        .withColumn("nu", first(when(col("cents").isNotNull, col("us")),
-          ignoreNulls = true).over(wA))
-        .filter(col("is_grid") === 1 && col("pc").isNotNull &&
-          col("nc").isNotNull)
-        .select(col("user_id"), col("hidx").as("hour_idx"),
-          ((col("pc").cast("double") +
-            (col("nc") - col("pc")).cast("double") *
-              ((col("us") - col("pu")).cast("double") /
-                (col("nu") - col("pu")).cast("double"))) / 100.0)
+        .withColumn("nu", lead(col("us"), 1).over(w))
+        .withColumn("nc", lead(col("cents"), 1).over(w))
+        .filter(col("nu").isNotNull &&
+          expr(s"us div $hUs + 1 <= nu div $hUs"))
+        .select(col("user_id"), col("us"), col("cents"), col("nu"),
+          col("nc"),
+          explode(sequence(
+            expr(s"CAST(us div $hUs + 1 AS BIGINT)"),
+            expr(s"CAST(nu div $hUs AS BIGINT)"))).as("hour_idx"))
+        .select(col("user_id"), col("hour_idx"),
+          ((col("cents").cast("double") +
+            (col("nc") - col("cents")).cast("double") *
+              ((col("hour_idx") * hUs - col("us")).cast("double") /
+                (col("nu") - col("us")).cast("double"))) / 100.0)
             .as("value_interp"))
         .orderBy(col("user_id"), col("hour_idx"))
     })
@@ -1140,37 +1131,20 @@ object Extended10 {
              CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                AS cents
            FROM events GROUP BY 1, 2),
-         b AS (SELECT user_id, MIN(us) AS lo, MAX(us) AS hi
-           FROM ev GROUP BY 1),
-         grid AS (SELECT user_id, UNNEST(generate_series(
-             (lo + 3599999999) // 3600000000, hi // 3600000000)) AS hidx
-           FROM b),
-         allr AS (
-           SELECT user_id, us, cents, CAST(NULL AS BIGINT) AS hidx,
-             0 AS is_grid
+         seg AS (SELECT user_id, us, cents,
+             lead(us) OVER w AS nu, lead(cents) OVER w AS nc
            FROM ev
-           UNION ALL
-           SELECT user_id, hidx * 3600000000, CAST(NULL AS BIGINT),
-             hidx, 1
-           FROM grid),
-         w AS (SELECT *,
-             last_value(cents IGNORE NULLS) OVER wb AS pc,
-             last_value(CASE WHEN cents IS NOT NULL THEN us END
-               IGNORE NULLS) OVER wb AS pu,
-             first_value(cents IGNORE NULLS) OVER wa AS nc,
-             first_value(CASE WHEN cents IS NOT NULL THEN us END
-               IGNORE NULLS) OVER wa AS nu
-           FROM allr
-           WINDOW wb AS (PARTITION BY user_id ORDER BY us, is_grid
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-           wa AS (PARTITION BY user_id ORDER BY us, is_grid
-             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+         g AS (SELECT user_id, us, cents, nu, nc,
+             UNNEST(generate_series(us // 3600000000 + 1,
+               nu // 3600000000)) AS hidx
+           FROM seg
+           WHERE nu IS NOT NULL
+             AND us // 3600000000 + 1 <= nu // 3600000000)
          SELECT user_id, CAST(hidx AS BIGINT) AS hour_idx,
-           (CAST(pc AS DOUBLE) + CAST(nc - pc AS DOUBLE)
-             * (CAST(us - pu AS DOUBLE) / CAST(nu - pu AS DOUBLE)))
-             / 100.0 AS value_interp
-         FROM w
-         WHERE is_grid = 1 AND pc IS NOT NULL AND nc IS NOT NULL
-         ORDER BY user_id, hour_idx"""
+           (CAST(cents AS DOUBLE) + CAST(nc - cents AS DOUBLE)
+             * (CAST(hidx * 3600000000 - us AS DOUBLE)
+                / CAST(nu - us AS DOUBLE))) / 100.0 AS value_interp
+         FROM g ORDER BY user_id, hour_idx"""
   )
 }
