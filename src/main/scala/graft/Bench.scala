@@ -92,7 +92,8 @@ object Bench {
     "q114_hll_distinct", "q115_order_backlog_curve",
     "q116_linear_attribution", "q117_lag_percentile_trend",
     "q118_return_rate_outliers", "e27_dim_profile", "m15_clip_reuse",
-    "e28_ood_screen", "q119_fd_profile", "q120_linear_interpolation")
+    "e28_ood_screen", "q119_fd_profile", "q120_linear_interpolation",
+    "t35_dedup_mixture_shift")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

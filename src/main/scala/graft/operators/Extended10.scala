@@ -732,6 +732,50 @@ object Extended10 {
                 (col("nu") - col("us")).cast("double"))) / 100.0)
             .as("value_interp"))
         .orderBy(col("user_id"), col("hour_idx"))
+    }),
+
+    // DEDUP MIXTURE SHIFT — how exact dedup changes the TRAINING
+    // MIXTURE: per source, doc/token mass before vs after d01's
+    // keep-min-id exact dedup, each source's token share of the
+    // corpus on both sides, and the shift. d26 prices what dedup
+    // deletes; t14 weights the mixture — this is the bridge between
+    // them: a source that loses share here was inflating its presence
+    // with duplicates, and the post-dedup shares are what t14's
+    // target weights should be compared against. Integer carriers
+    // (doc/token counts) to the final share divisions; the totals
+    // ride a window over the |sources| frame. Scale shape: one
+    // fingerprint groupBy (16-byte keys — the d01 shape), one
+    // source-keyed rollup each side; text never shuffles.
+    "t35_dedup_mixture_shift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), " ")).cast("long").as("toks"),
+          md5(encode(col("text"), "UTF-8")).as("fp"))
+      val keep = docs.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val raw = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"), sum(col("toks")).as("tok_raw"))
+      val kept = docs.join(keep,
+          docs("fp") === keep("fp") && docs("doc_id") === keep("keep_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tok_kept"))
+      val w = Window.partitionBy()
+      raw.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_raw"), col("tok_raw"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+        .withColumn("trw", sum(col("tok_raw")).over(w))
+        .withColumn("tkp", sum(col("tok_kept")).over(w))
+        .select(col("source"), col("n_raw"), col("n_kept"),
+          col("tok_raw"), col("tok_kept"),
+          (col("tok_raw").cast("double") / col("trw").cast("double"))
+            .as("share_raw"),
+          (col("tok_kept").cast("double") / col("tkp").cast("double"))
+            .as("share_kept"),
+          (col("tok_kept").cast("double") / col("tkp").cast("double") -
+            col("tok_raw").cast("double") / col("trw").cast("double"))
+            .as("share_shift"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1145,6 +1189,37 @@ object Extended10 {
            (CAST(cents AS DOUBLE) + CAST(nc - cents AS DOUBLE)
              * (CAST(hidx * 3600000000 - us AS DOUBLE)
                 / CAST(nu - us AS DOUBLE))) / 100.0 AS value_interp
-         FROM g ORDER BY user_id, hour_idx"""
+         FROM g ORDER BY user_id, hour_idx""",
+
+    "t35_dedup_mixture_shift" ->
+      """WITH docs AS (SELECT doc_id, source,
+             CAST(LEN(string_split(TRIM(text), ' ')) AS BIGINT) AS toks,
+             MD5(text) AS fp
+           FROM documents),
+         keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM docs
+           GROUP BY 1),
+         raw AS (SELECT source, COUNT(1) AS n_raw,
+             CAST(SUM(toks) AS BIGINT) AS tok_raw
+           FROM docs GROUP BY 1),
+         kept AS (SELECT source, COUNT(1) AS n_kept,
+             CAST(SUM(toks) AS BIGINT) AS tok_kept
+           FROM docs JOIN keep
+             ON docs.fp = keep.fp AND docs.doc_id = keep.keep_id
+           GROUP BY 1),
+         j AS (SELECT raw.source, n_raw, tok_raw,
+             CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(COALESCE(tok_kept, 0) AS BIGINT) AS tok_kept
+           FROM raw LEFT JOIN kept ON raw.source = kept.source),
+         t AS (SELECT *, CAST(SUM(tok_raw) OVER () AS BIGINT) AS trw,
+             CAST(SUM(tok_kept) OVER () AS BIGINT) AS tkp
+           FROM j)
+         SELECT source, n_raw, n_kept, tok_raw, tok_kept,
+           CAST(tok_raw AS DOUBLE) / CAST(trw AS DOUBLE) AS share_raw,
+           CAST(tok_kept AS DOUBLE) / CAST(tkp AS DOUBLE)
+             AS share_kept,
+           CAST(tok_kept AS DOUBLE) / CAST(tkp AS DOUBLE)
+             - CAST(tok_raw AS DOUBLE) / CAST(trw AS DOUBLE)
+             AS share_shift
+         FROM t ORDER BY source"""
   )
 }

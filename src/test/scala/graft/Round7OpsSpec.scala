@@ -648,6 +648,21 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("t35: shares sum to 1 on both sides, shifts sum to 0, and " +
+    "kept never exceeds raw") {
+    val rows = q("t35_dedup_mixture_shift").collect()
+    assert(rows.nonEmpty)
+    val (sr, sk, sh) = (rows.map(_.getAs[Double]("share_raw")).sum,
+      rows.map(_.getAs[Double]("share_kept")).sum,
+      rows.map(_.getAs[Double]("share_shift")).sum)
+    assert(math.abs(sr - 1.0) < 1e-9 && math.abs(sk - 1.0) < 1e-9)
+    assert(math.abs(sh) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_raw"), s"$r")
+      assert(r.getAs[Long]("tok_kept") <= r.getAs[Long]("tok_raw"), s"$r")
+    }
+  }
+
   test("t34: readability bands partition the non-empty docs") {
     val rows = q("t34_readability").collect()
     assert(rows.nonEmpty)
