@@ -65,6 +65,49 @@ class DedupResilienceSpec extends SparkSpec {
     }
   }
 
+  test("d05 (simhash_agg) under forced sort-based aggregation fallback: " +
+      "the TypedImperativeAggregate's serialize/merge path yields the " +
+      "same fingerprints") {
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("d05_simhash_pairs")
+    val baseline = q(spark, d).collect().toSeq
+    val k = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val saved = spark.conf.getOption(k)
+    try {
+      spark.conf.set(k, "1")
+      val under = q(spark, d).collect().toSeq
+      assert(under == baseline,
+        "sort-based fallback changed the simhash fingerprints")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("q107 under forced window/agg spill thresholds: triangle counts " +
+      "unchanged") {
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q107_triangle_count")
+    val baseline = q(spark, d).collect().toSeq
+    val keys = Seq("spark.sql.windowExec.buffer.in.memory.threshold",
+      "spark.sql.windowExec.buffer.spill.threshold",
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "4"))
+      val under = q(spark, d).collect().toSeq
+      assert(under == baseline, "spill thresholds changed the result")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("decontaminate() is a reusable surface: custom frames, n-gram " +
       "width, id/text columns; the anti-join yields the clean set") {
     import spark.implicits._
