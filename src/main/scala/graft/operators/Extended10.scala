@@ -776,6 +776,62 @@ object Extended10 {
             col("tok_raw").cast("double") / col("trw").cast("double"))
             .as("share_shift"))
         .orderBy(col("source"))
+    }),
+
+    // ABC-CLASS MIGRATION matrix — q89's Pareto classes made dynamic:
+    // parts classified A/B/C by cumulative revenue share in each half
+    // of the calendar (q112's midpoint split), cross-tabulated into
+    // the class-transition matrix, with parts absent from a period in
+    // class 'N'. The A→C / C→A cells are the portfolio-churn signal a
+    // static Pareto cut (q89) cannot show. Same class rule as q89
+    // (cum_share ≤ 0.80 / 0.95, deterministic (cents desc, partkey)
+    // cumulative order); revenue per-row-rounded integer cents. Scale
+    // shape: one exchange on l_orderkey for the date join, partial-agg
+    // to (period, part) cells, per-period windows over the part
+    // dimension frame, and a part-keyed full-outer self-join of the
+    // two tiny classed frames.
+    "q121_abc_migration" -> ((s, d) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val bounds = Tables.orders(s, d)
+        .agg(min(datediff(col("o_orderdate").cast("date"), epoch))
+          .as("lo"),
+          max(datediff(col("o_orderdate").cast("date"), epoch)).as("hi"))
+        .select(expr("CAST((lo + hi + 1) div 2 AS INT)").as("mid"))
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"),
+          round(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+            * lit(100d)).cast("long").as("cents"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), epoch).as("day")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(bounds), lit(true))
+        .withColumn("period", when(col("day") < col("mid"), 1)
+          .otherwise(2))
+        .groupBy(col("period"), col("l_partkey"))
+        .agg(sum(col("cents")).as("cents"))
+      val wCum = Window.partitionBy(col("period"))
+        .orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("period"))
+      val classed = rev
+        .withColumn("cum", sum(col("cents")).over(wCum))
+        .withColumn("tot", sum(col("cents")).over(wTot))
+        .withColumn("cum_share",
+          col("cum").cast("double") / col("tot").cast("double"))
+        .select(col("period"), col("l_partkey"),
+          when(col("cum_share") <= 0.80, "A")
+            .when(col("cum_share") <= 0.95, "B")
+            .otherwise("C").as("cls"))
+      classed.filter(col("period") === 1)
+        .select(col("l_partkey"), col("cls").as("c1"))
+        .join(classed.filter(col("period") === 2)
+          .select(col("l_partkey"), col("cls").as("c2")),
+          Seq("l_partkey"), "full_outer")
+        .select(coalesce(col("c1"), lit("N")).as("class_p1"),
+          coalesce(col("c2"), lit("N")).as("class_p2"))
+        .groupBy(col("class_p1"), col("class_p2"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("class_p1"), col("class_p2"))
     })
   )
 
@@ -1220,6 +1276,45 @@ object Extended10 {
            CAST(tok_kept AS DOUBLE) / CAST(tkp AS DOUBLE)
              - CAST(tok_raw AS DOUBLE) / CAST(trw AS DOUBLE)
              AS share_shift
-         FROM t ORDER BY source"""
+         FROM t ORDER BY source""",
+
+    "q121_abc_migration" ->
+      """WITH bounds AS (SELECT CAST((MIN(datediff('day',
+               DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+             + MAX(datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE))) + 1) // 2 AS INT) AS mid
+           FROM orders),
+         rev AS (SELECT
+             CASE WHEN datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) < mid THEN 1 ELSE 2 END
+               AS period,
+             l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+               * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           CROSS JOIN bounds
+           GROUP BY 1, 2),
+         classed AS (SELECT period, l_partkey,
+             CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                    <= 0.80 THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                    <= 0.95 THEN 'B'
+                  ELSE 'C' END AS cls
+           FROM (SELECT period, l_partkey, cents,
+               CAST(SUM(cents) OVER (PARTITION BY period
+                 ORDER BY cents DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum,
+               CAST(SUM(cents) OVER (PARTITION BY period) AS BIGINT)
+                 AS tot
+             FROM rev) t)
+         SELECT COALESCE(p1.cls, 'N') AS class_p1,
+           COALESCE(p2.cls, 'N') AS class_p2, COUNT(1) AS n_parts
+         FROM (SELECT l_partkey, cls FROM classed WHERE period = 1) p1
+         FULL OUTER JOIN
+           (SELECT l_partkey, cls FROM classed WHERE period = 2) p2
+           ON p1.l_partkey = p2.l_partkey
+         GROUP BY 1, 2 ORDER BY class_p1, class_p2"""
   )
 }

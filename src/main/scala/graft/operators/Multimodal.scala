@@ -525,6 +525,43 @@ object Multimodal {
           col("start_b"), col("clip_len"))
         .orderBy(col("doc_a"), col("doc_b"), col("start_a"),
           col("start_b"))
+    }),
+
+    // SHARD-BALANCE audit of m08's manifest — the e18 stance applied
+    // to the media layout: per codec stream, how many shards the
+    // byte-budget packing produced and how level they are (max/min/
+    // mean shard bytes, item counts). The last shard of each stream
+    // is partial by construction; the audit reports it rather than
+    // hiding it, because a downstream reader sees exactly these
+    // files. Scale shape: reuses m08's two-phase prefix sum (no
+    // codec stream funnels through one task), then two tiny rollups
+    // keyed by (codec, shard) and codec.
+    "m16_shard_balance" -> ((s, d) => {
+      val shardBytes = 65536L
+      val codecs = array(MultimodalStub.codecNames.map(lit): _*)
+      val frame = Tables.documents(s, d)
+        .filter(length(col("text")) >= 7)
+        .select(col("doc_id"),
+          element_at(codecs,
+            (ascii(substring(col("text"), 5, 1)) % 4) + 1).as("codec"),
+          octet_length(encode(col("text"), "UTF-8")).cast("int")
+            .as("n_bytes"))
+      val manifest = Packing.twoPhasePrefixSum(frame, "codec", "n_bytes")
+        .withColumn("shard_idx",
+          expr(s"(cum - n_bytes) div $shardBytes"))
+      manifest.groupBy(col("codec"), col("shard_idx"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("n_bytes").cast("long")).as("bytes"))
+        .groupBy(col("codec"))
+        .agg(count(lit(1)).as("n_shards"),
+          sum(col("n_items")).as("n_items"),
+          sum(col("bytes")).as("total_bytes"),
+          max(col("bytes")).as("max_shard_bytes"),
+          min(col("bytes")).as("min_shard_bytes"))
+        .withColumn("mean_shard_bytes",
+          col("total_bytes").cast("double") /
+            col("n_shards").cast("double"))
+        .orderBy(col("codec"))
     })
   )
 
@@ -834,6 +871,30 @@ object Multimodal {
            CAST(MIN(ib) AS BIGINT) AS start_b, COUNT(1) AS clip_len
          FROM r GROUP BY doc_a, doc_b, ia - ib, run
          HAVING COUNT(1) >= 3
-         ORDER BY doc_a, doc_b, start_a, start_b"""
+         ORDER BY doc_a, doc_b, start_a, start_b""",
+
+    "m16_shard_balance" ->
+      """WITH m AS (SELECT doc_id,
+           ['h264', 'vp9', 'av1', 'hevc'][ORD(SUBSTR(text, 5, 1)) % 4 + 1]
+             AS codec,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS n_bytes
+           FROM documents WHERE LENGTH(text) >= 7),
+         manifest AS (SELECT doc_id, codec, n_bytes,
+             CAST((SUM(n_bytes) OVER w - n_bytes) // 65536 AS BIGINT)
+               AS shard_idx
+           FROM m
+           WINDOW w AS (PARTITION BY codec ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING)),
+         per_shard AS (SELECT codec, shard_idx, COUNT(1) AS n_items,
+             CAST(SUM(CAST(n_bytes AS BIGINT)) AS BIGINT) AS bytes
+           FROM manifest GROUP BY 1, 2)
+         SELECT codec, COUNT(1) AS n_shards,
+           CAST(SUM(n_items) AS BIGINT) AS n_items,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(bytes) AS BIGINT) AS max_shard_bytes,
+           CAST(MIN(bytes) AS BIGINT) AS min_shard_bytes,
+           CAST(CAST(SUM(bytes) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(1) AS DOUBLE) AS mean_shard_bytes
+         FROM per_shard GROUP BY codec ORDER BY codec"""
   )
 }

@@ -60,7 +60,8 @@ class PlanLintSpec extends SparkSpec {
     "e26_filtered_ann", // same broadcast centroid assignment cross
     "d28_simhash_radius_sweep", // exhaustive hamming ground truth (a < b)
     "q112_price_volume_mix", // 1-row broadcast date-split scalar
-    "e28_ood_screen") // same broadcast centroid assignment cross
+    "e28_ood_screen", // same broadcast centroid assignment cross
+    "q121_abc_migration") // 1-row broadcast date-split scalar (q112's)
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {

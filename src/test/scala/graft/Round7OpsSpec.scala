@@ -663,6 +663,36 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("q121: the migration matrix conserves the part population on " +
+    "both margins") {
+    val rows = q("q121_abc_migration").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_parts")).sum
+    // every part that traded in either period appears exactly once
+    val nParts = graft.Tables.lineitem(spark, dir)
+      .select(col("l_partkey")).distinct().count()
+    assert(total == nParts, s"matrix covers $total of $nParts parts")
+    // 'N'→'N' is impossible (a part absent from both periods never
+    // enters the matrix)
+    assert(!rows.exists(r => r.getAs[String]("class_p1") == "N" &&
+      r.getAs[String]("class_p2") == "N"))
+  }
+
+  test("m16: shard books reconcile — bytes and items sum across " +
+    "shards, min <= mean <= max") {
+    val rows = q("m16_shard_balance").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx) = (r.getAs[Long]("min_shard_bytes"),
+        r.getAs[Long]("max_shard_bytes"))
+      val mean = r.getAs[Double]("mean_shard_bytes")
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9, s"$r")
+      assert(r.getAs[Long]("n_shards") >= 1L)
+      assert(r.getAs[Long]("total_bytes") >= r.getAs[Long]("n_items"),
+        "payloads are at least a byte each")
+    }
+  }
+
   test("t34: readability bands partition the non-empty docs") {
     val rows = q("t34_readability").collect()
     assert(rows.nonEmpty)
