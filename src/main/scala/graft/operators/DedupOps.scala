@@ -1455,6 +1455,53 @@ object DedupOps {
           when(col("n_true") > 0,
             col("n_caught").cast("double") / col("n_true").cast("double")))
         .orderBy(col("r"))
+    }),
+
+    // SHINGLE-WIDTH index-cost profile — the THIRD tuning axis after
+    // d18's (bands, rows) and d28's radius: the gram width w decides
+    // index size and selectivity before any banding happens. Per
+    // w ∈ {2, 3, 5}: distinct grams (index keys), total postings,
+    // grams per doc, and the hot-gram mass (df > 10% of docs — the
+    // stop-shingle load that d03's rarest-first prefix ordering and
+    // the spill-safe df window exist to absorb). Wider grams = more
+    // distinct keys but colder ones; this prices that trade on the
+    // actual corpus. Portable 60-bit md5 gram hashes (the d18/d27
+    // family), so both engines count the identical key sets — no
+    // collision argument needed. Scale shape: one gram-keyed
+    // partial-agg per width; the hot cut compares against a 1-row
+    // broadcast doc count; outputs are 3 rows.
+    "d29_shingle_width_profile" -> ((s, d) => {
+      def profile(w: Int): DataFrame = {
+        val gramExpr =
+          s"transform(sequence(1, size(ws) - ${w - 1}), i -> " +
+            "CAST(conv(substring(md5(encode(array_join(slice(ws, i, " +
+            s"$w), ' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
+        val g = Tables.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+          .filter(size(col("ws")) >= w)
+          .select(col("doc_id"),
+            explode(expr(s"array_distinct($gramExpr)")).as("g"))
+        val docs = g.agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("total_postings"))
+        g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .join(broadcast(docs), lit(true))
+          .groupBy(col("n_docs"), col("total_postings"))
+          .agg(count(lit(1)).as("n_distinct_grams"),
+            sum(when(col("df") * 10 > col("n_docs"), 1L).otherwise(0L))
+              .as("n_hot_grams"),
+            sum(when(col("df") * 10 > col("n_docs"), col("df"))
+              .otherwise(0L)).as("hot_postings"))
+          .select(lit(w).as("w"), col("n_docs"), col("n_distinct_grams"),
+            col("total_postings"),
+            (col("total_postings").cast("double") /
+              col("n_docs").cast("double")).as("mean_grams_per_doc"),
+            col("n_hot_grams"),
+            (col("hot_postings").cast("double") /
+              col("total_postings").cast("double"))
+              .as("hot_posting_share"))
+      }
+      profile(2).unionAll(profile(3)).unionAll(profile(5))
+        .orderBy(col("w"))
     })
   )
 
@@ -2074,6 +2121,39 @@ object DedupOps {
            LEFT JOIN tr ON rr.r = tr.r
            LEFT JOIN cr ON rr.r = cr.r
            ORDER BY r"""
+      },
+
+      "d29_shingle_width_profile" -> {
+        def prof(w: Int) =
+          s"""SELECT $w AS w,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               COUNT(1) AS n_distinct_grams,
+               CAST(total_postings AS BIGINT) AS total_postings,
+               CAST(total_postings AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 AS mean_grams_per_doc,
+               CAST(SUM(CASE WHEN df * 10 > n_docs THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hot_grams,
+               CAST(SUM(CASE WHEN df * 10 > n_docs THEN df ELSE 0 END)
+                   AS DOUBLE)
+                 / CAST(total_postings AS DOUBLE) AS hot_posting_share
+             FROM (SELECT g, COUNT(1) AS df FROM g$w GROUP BY 1) f
+             CROSS JOIN (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+                 COUNT(1) AS total_postings FROM g$w) t
+             GROUP BY n_docs, total_postings"""
+        def grams(w: Int) =
+          s"""g$w AS (SELECT DISTINCT doc_id,
+               CAST(list_reduce(list_transform(generate_series(1, 15),
+                   j -> strpos('0123456789abcdef', substring(
+                     md5(array_to_string(ws[i:i+${w - 1}], ' ')), j, 1))
+                     - 1),
+                 (a, x) -> a * 16 + x) AS BIGINT) AS g
+             FROM (SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+                   FROM documents) dd,
+               UNNEST(generate_series(1, LEN(ws) - ${w - 1})) AS t(i)
+             WHERE LEN(ws) >= $w)"""
+        s"""WITH ${grams(2)}, ${grams(3)}, ${grams(5)}
+           SELECT * FROM (${prof(2)} UNION ALL ${prof(3)}
+             UNION ALL ${prof(5)}) u ORDER BY w"""
       },
 
       "d22_method_agreement" -> {

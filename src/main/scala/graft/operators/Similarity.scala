@@ -887,6 +887,37 @@ object Similarity {
         .select(col("cell"), col("vec_id"), col("ccos"), col("p05"),
           col("n_members"))
         .orderBy(col("cell"), col("vec_id"))
+    }),
+
+    // PROBE-COST table — the cost half of e08's recall sweep: for
+    // nprobe ∈ {1, 2, 4}, how many candidate vectors each query
+    // actually scans (the sum of its probed cells' sizes, own cell
+    // included). Read next to e08, this is the measured cost/recall
+    // frontier an IVF deployment picks its operating point from —
+    // recall without its price is half a tuning curve. Cell sizes
+    // broadcast (dimension-sized); the per-(nprobe, query) rollup is
+    // integer-exact; outputs are 3 rows. Scale shape: same broadcast
+    // centroid assignment as e03/e08; no pair scan anywhere — cost is
+    // computed from the index's own statistics, not by running the
+    // queries.
+    "e29_probe_cost" -> ((s, d) => {
+      val ranked = centroidRanked(s, d)
+      val sizes = ranked.filter(col("crk") === 1)
+        .groupBy(col("cent_id")).agg(count(lit(1)).as("cell_size"))
+      ranked.filter(col("crk") <= 4)
+        .join(broadcast(sizes), Seq("cent_id"))
+        .withColumn("nprobe", explode(array(lit(1), lit(2), lit(4))))
+        .filter(col("crk") <= col("nprobe"))
+        .groupBy(col("nprobe"), col("vec_id"))
+        .agg(sum(col("cell_size")).as("scanned"))
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("scanned")).as("total_scanned"),
+          max(col("scanned")).as("max_scanned"))
+        .withColumn("mean_scanned",
+          col("total_scanned").cast("double") /
+            col("n_queries").cast("double"))
+        .orderBy(col("nprobe"))
     })
   )
 
@@ -1661,7 +1692,32 @@ object Similarity {
          SELECT a.cell, a.vec_id, a.ccos, c.p05, c.n_members
          FROM assigned a JOIN cut c ON a.cell = c.cell
          WHERE a.ccos < c.p05
-         ORDER BY a.cell, a.vec_id"""
+         ORDER BY a.cell, a.vec_id""",
+
+    "e29_probe_cost" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+                         FROM embeddings WHERE vec_id % 50 = 0),
+         ranked AS (
+           SELECT a.vec_id, b.cent_id AS cell,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY $cosExpr DESC, b.cent_id) AS crk
+           FROM embeddings a CROSS JOIN cents b),
+         sizes AS (SELECT cell, COUNT(1) AS cell_size FROM ranked
+           WHERE crk = 1 GROUP BY 1),
+         per_q AS (SELECT p.nprobe, r.vec_id,
+             CAST(SUM(s.cell_size) AS BIGINT) AS scanned
+           FROM ranked r
+           JOIN sizes s ON r.cell = s.cell
+           JOIN (SELECT UNNEST([1, 2, 4]) AS nprobe) p
+             ON r.crk <= p.nprobe
+           WHERE r.crk <= 4
+           GROUP BY 1, 2)
+         SELECT CAST(nprobe AS INT) AS nprobe, COUNT(1) AS n_queries,
+           CAST(SUM(scanned) AS BIGINT) AS total_scanned,
+           CAST(MAX(scanned) AS BIGINT) AS max_scanned,
+           CAST(CAST(SUM(scanned) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(1) AS DOUBLE) AS mean_scanned
+         FROM per_q GROUP BY 1 ORDER BY nprobe"""
   )
 
   /** e23's DuckDB twin: the greedy MMR loop unrolled into five pick

@@ -61,7 +61,9 @@ class PlanLintSpec extends SparkSpec {
     "d28_simhash_radius_sweep", // exhaustive hamming ground truth (a < b)
     "q112_price_volume_mix", // 1-row broadcast date-split scalar
     "e28_ood_screen", // same broadcast centroid assignment cross
-    "q121_abc_migration") // 1-row broadcast date-split scalar (q112's)
+    "q121_abc_migration", // 1-row broadcast date-split scalar (q112's)
+    "e29_probe_cost", // same broadcast centroid assignment cross
+    "d29_shingle_width_profile") // 1-row broadcast doc-count scalar
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {

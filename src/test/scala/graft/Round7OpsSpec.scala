@@ -693,6 +693,39 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("d29: wider grams mean more distinct keys per posting and a " +
+    "colder index") {
+    val rows = q("d29_shingle_width_profile").collect()
+      .sortBy(_.getAs[Int]("w"))
+    assert(rows.map(_.getAs[Int]("w")).sameElements(Seq(2, 3, 5)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_grams") <=
+        r.getAs[Long]("total_postings"))
+      val share = r.getAs[Double]("hot_posting_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    // key selectivity (distinct/postings) is monotone in width
+    val sel = rows.map(r => r.getAs[Long]("n_distinct_grams").toDouble /
+      r.getAs[Long]("total_postings"))
+    assert(sel(0) <= sel(1) + 1e-12 && sel(1) <= sel(2) + 1e-12,
+      s"selectivity not monotone: ${sel.toList}")
+  }
+
+  test("e29: probe cost grows monotonically with nprobe and never " +
+    "exceeds the corpus") {
+    val rows = q("e29_probe_cost").collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).sameElements(Seq(1, 2, 4)))
+    val n = graft.Tables.embeddings(spark, dir).count()
+    var prev = 0.0
+    rows.foreach { r =>
+      val mean = r.getAs[Double]("mean_scanned")
+      assert(mean >= prev, "cost must be monotone in nprobe")
+      prev = mean
+      assert(r.getAs[Long]("max_scanned") <= n)
+      assert(r.getAs[Long]("n_queries") == n)
+    }
+  }
+
   test("t34: readability bands partition the non-empty docs") {
     val rows = q("t34_readability").collect()
     assert(rows.nonEmpty)
