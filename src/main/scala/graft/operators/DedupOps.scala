@@ -1476,11 +1476,14 @@ object DedupOps {
           s"transform(sequence(1, size(ws) - ${w - 1}), i -> " +
             "CAST(conv(substring(md5(encode(array_join(slice(ws, i, " +
             s"$w), ' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
-        val g = Tables.documents(s, d)
+        // the gram frame feeds both the corpus census and the df
+        // aggregate — cut it so the md5 gram hashing runs once per
+        // width (2 longs per posting)
+        val g = Materialize.LocalCheckpoint(Tables.documents(s, d)
           .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
           .filter(size(col("ws")) >= w)
           .select(col("doc_id"),
-            explode(expr(s"array_distinct($gramExpr)")).as("g"))
+            explode(expr(s"array_distinct($gramExpr)")).as("g")))
         val docs = g.agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("total_postings"))
         g.groupBy(col("g")).agg(count(lit(1)).as("df"))

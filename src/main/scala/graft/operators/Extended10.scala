@@ -813,7 +813,9 @@ object Extended10 {
         .orderBy(col("cents").desc, col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wTot = Window.partitionBy(col("period"))
-      val classed = rev
+      // both period branches of the migration join consume this frame —
+      // cut it so the fact join + windows run once (the d21 lesson)
+      val classed = Materialize.LocalCheckpoint(rev
         .withColumn("cum", sum(col("cents")).over(wCum))
         .withColumn("tot", sum(col("cents")).over(wTot))
         .withColumn("cum_share",
@@ -821,7 +823,7 @@ object Extended10 {
         .select(col("period"), col("l_partkey"),
           when(col("cum_share") <= 0.80, "A")
             .when(col("cum_share") <= 0.95, "B")
-            .otherwise("C").as("cls"))
+            .otherwise("C").as("cls")))
       classed.filter(col("period") === 1)
         .select(col("l_partkey"), col("cls").as("c1"))
         .join(classed.filter(col("period") === 2)

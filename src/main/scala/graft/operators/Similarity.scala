@@ -901,7 +901,12 @@ object Similarity {
     // computed from the index's own statistics, not by running the
     // queries.
     "e29_probe_cost" -> ((s, d) => {
-      val ranked = centroidRanked(s, d)
+      // slim (vec_id, cent_id, crk) cut — both the size census and the
+      // probe expansion read it, so the centroid cross runs once and
+      // no vector arrays are materialized
+      val ranked = Materialize.LocalCheckpoint(centroidRanked(s, d)
+        .filter(col("crk") <= 4)
+        .select(col("vec_id"), col("cent_id"), col("crk")))
       val sizes = ranked.filter(col("crk") === 1)
         .groupBy(col("cent_id")).agg(count(lit(1)).as("cell_size"))
       ranked.filter(col("crk") <= 4)
