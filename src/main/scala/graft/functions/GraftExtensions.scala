@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -86,5 +87,7 @@ object GraftFunctions {
     val em = spark.sessionState.experimentalMethods
     if (!em.extraOptimizations.contains(DotProductRewrite))
       em.extraOptimizations = em.extraOptimizations :+ DotProductRewrite
+    if (!em.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      em.extraStrategies = em.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

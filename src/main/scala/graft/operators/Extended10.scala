@@ -834,6 +834,35 @@ object Extended10 {
         .groupBy(col("class_p1"), col("class_p2"))
         .agg(count(lit(1)).as("n_parts"))
         .orderBy(col("class_p1"), col("class_p2"))
+    }),
+
+    // NATIVE as-of join — q26's scenario on the custom whole-operator
+    // extension ([[graft.plans.AsOfJoinNode]] + Strategy + Exec, the
+    // SURVEY §2.2 ladder rung the expression/aggregate/rule extensions
+    // don't reach): each purchase paired with the latest signup at or
+    // before it. Where q26 UNIONS both sides and LOCF-windows the
+    // merged frame, the native exec hash-co-partitions the sides on
+    // user_id, sorts each by (key, time), and streams ONE merge pass
+    // with O(1) state per partition — no union row inflation, no
+    // window buffers. Same oracle as q26 (ties: greatest signup id) —
+    // two independent formulations, one truth. Scale shape: two key
+    // exchanges and per-partition sorts, exactly a sort-merge join's
+    // cost envelope, and AQE splits skewed keys the same way.
+    "q123_native_asof" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+          col("event_id").as("s_id"))
+      graft.plans.AsOfJoin.join(purchases, signups,
+          leftKey = "user_id", rightKey = "s_user", leftTime = "ts",
+          rightOrderCols = Seq("s_ts", "s_id"))
+        .select(col("purchase_id"), col("user_id"),
+          col("s_id").as("signup_id"))
+        .orderBy(col("purchase_id"))
     })
   )
 
@@ -1317,6 +1346,17 @@ object Extended10 {
          FULL OUTER JOIN
            (SELECT l_partkey, cls FROM classed WHERE period = 2) p2
            ON p1.l_partkey = p2.l_partkey
-         GROUP BY 1, 2 ORDER BY class_p1, class_p2"""
+         GROUP BY 1, 2 ORDER BY class_p1, class_p2""",
+
+    // identical truth to q26's oracle — the native exec and the
+    // union+window plan must both reproduce it
+    "q123_native_asof" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+           (SELECT s.event_id FROM events s
+            WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+              AND s.ts <= p.ts
+            ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS signup_id
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY purchase_id"""
   )
 }

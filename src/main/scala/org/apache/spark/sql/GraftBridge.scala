@@ -11,6 +11,13 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a (custom) logical plan as a DataFrame — `Dataset.ofRows` is
+    * `private[sql]` in Spark 4; custom relational operators (e.g. the
+    * native as-of join) need it to surface their logical nodes. */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Free the block-manager storage behind a `localCheckpoint`ed Dataset.
     * `Dataset.unpersist()` only consults the CacheManager, which never
     * sees checkpoint RDDs — without this, every checkpointed retry round
