@@ -73,6 +73,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p).size == 2, p.take(1500))
   }
 
+  test("property sweep: random streams equal the naive model across " +
+      "seeds, sizes, duplicate times and sparse keys") {
+    import spark.implicits._
+    for (seed <- Seq(7L, 42L, 1234L)) {
+      val rnd = new scala.util.Random(seed)
+      val nL = 50 + rnd.nextInt(200)
+      val nR = rnd.nextInt(120)
+      val nKeys = 1 + rnd.nextInt(9)
+      val lefts = (0L until nL).map(i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, i))
+      val rights = (0L until nR).map(j =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, j))
+      val got = asof(
+        lefts.toDF("k", "t", "lid").repartition(1 + rnd.nextInt(4)),
+        rights.toDF("rk", "rt", "rid").repartition(1 + rnd.nextInt(4)))
+        .collect().map(r => r.getAs[Long]("lid") ->
+          (if (r.isNullAt(r.fieldIndex("rid"))) -1L
+           else r.getAs[Long]("rid"))).toMap
+      val model = lefts.map { case (k, t, lid) =>
+        val cand = rights.filter(r => r._1 == k && r._2 <= t)
+        lid -> (if (cand.isEmpty) -1L
+                else cand.maxBy(r => (r._2, r._3))._3)
+      }.toMap
+      assert(got == model, s"seed $seed: diverged on " +
+        s"${(got.toSet -- model.toSet).take(3)}")
+    }
+  }
+
   test("match state survives partition boundaries of the SORT, not the " +
       "data: many keys interleaved across a 3-partition shuffle") {
     import spark.implicits._
