@@ -863,6 +863,52 @@ object Extended10 {
         .select(col("purchase_id"), col("user_id"),
           col("s_id").as("signup_id"))
         .orderBy(col("purchase_id"))
+    }),
+
+    // HLL REGISTER UNION — the mergeability q114's scaladoc claims,
+    // demonstrated as a query (q63 did this for KMV): registers built
+    // independently per (priority, WEEK) — the daily/weekly sketch
+    // files a warehouse actually stores — then merged across weeks by
+    // plain MAX per bucket, with the estimate computed from the merged
+    // file. `matches_direct` pins algebraically that the two-level
+    // max equals the direct single-pass registers (max is associative
+    // and commutative — the whole point of HLL), so sketch files can
+    // roll up across any partitioning of history without revisiting
+    // rows. Scale shape: the weekly build partial-aggregates map-side
+    // to |priorities|×|weeks|×64 register rows; the merge exchanges
+    // only those.
+    "q124_hll_weekly_union" -> ((s, d) => {
+      val h = conv(substring(
+        md5(encode(col("o_custkey").cast("string"), "UTF-8")), 1, 15),
+        16, 10).cast("long")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("priority"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+            "DATE '1970-01-01') div 7 AS BIGINT)").as("wk"),
+          h.as("h"))
+        .withColumn("bucket", col("h").bitwiseAND(lit(63L)))
+        .withColumn("w", shiftright(col("h"), 6))
+        .withColumn("rho", when(col("w") === 0L, lit(55))
+          .otherwise(lit(55) - length(bin(col("w")))))
+      val weekly = base.groupBy(col("priority"), col("wk"), col("bucket"))
+        .agg(max(col("rho")).as("m"))
+      val merged = weekly.groupBy(col("priority"), col("bucket"))
+        .agg(max(col("m")).as("m"), countDistinct(col("wk")).as("wks"))
+      val direct = base.groupBy(col("priority"), col("bucket"))
+        .agg(max(col("rho")).as("m_direct"))
+      merged.join(direct, Seq("priority", "bucket"))
+        .groupBy(col("priority"))
+        .agg(max(col("wks")).as("n_weeks"),
+          count(lit(1)).as("n_buckets_hit"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))"))
+            .as("z_hit"),
+          min((col("m") === col("m_direct")).cast("int")).as("eq"))
+        .select(col("priority"), col("n_weeks"), col("n_buckets_hit"),
+          (lit(0.709365049) * lit(4096.0) * lit(36028797018963968.0) /
+            (col("z_hit") + (lit(64L) - col("n_buckets_hit")) *
+              lit(1L << 55)).cast("double")).as("hll_estimate"),
+          (col("eq") === 1).as("matches_direct"))
+        .orderBy(col("priority"))
     })
   )
 
@@ -1357,6 +1403,43 @@ object Extended10 {
               AND s.ts <= p.ts
             ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS signup_id
          FROM events p WHERE p.event_type = 'purchase'
-         ORDER BY purchase_id"""
+         ORDER BY purchase_id""",
+
+    "q124_hll_weekly_union" ->
+      """WITH hashed AS (SELECT o_orderpriority AS priority,
+             CAST(datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS wk,
+             CAST(list_reduce(list_transform(generate_series(1, 15),
+                 i -> strpos('0123456789abcdef', substring(
+                   md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1),
+               (a, x) -> a * 16 + x) AS BIGINT) AS h
+           FROM orders),
+         rho AS (SELECT priority, wk, h & 63 AS bucket,
+             CASE WHEN (h >> 6) = 0 THEN 55
+               ELSE 55 - length(bin(h >> 6)) END AS rho
+           FROM hashed),
+         weekly AS (SELECT priority, wk, bucket, MAX(rho) AS m
+           FROM rho GROUP BY 1, 2, 3),
+         merged AS (SELECT priority, bucket, MAX(m) AS m,
+             COUNT(DISTINCT wk) AS wks
+           FROM weekly GROUP BY 1, 2),
+         direct AS (SELECT priority, bucket, MAX(rho) AS m_direct
+           FROM rho GROUP BY 1, 2),
+         agg AS (SELECT mg.priority,
+             CAST(MAX(wks) AS BIGINT) AS n_weeks,
+             COUNT(1) AS n_buckets_hit,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - mg.m AS INT))
+               AS BIGINT) AS z_hit,
+             MIN(CASE WHEN mg.m = dr.m_direct THEN 1 ELSE 0 END) AS eq
+           FROM merged mg JOIN direct dr
+             ON mg.priority = dr.priority AND mg.bucket = dr.bucket
+           GROUP BY 1)
+         SELECT priority, n_weeks, n_buckets_hit,
+           CAST(0.709365049 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+             * CAST(36028797018963968.0 AS DOUBLE)
+             / CAST(z_hit + (64 - n_buckets_hit)
+                 * (CAST(1 AS BIGINT) << 55) AS DOUBLE) AS hll_estimate,
+           eq = 1 AS matches_direct
+         FROM agg ORDER BY priority"""
   )
 }

@@ -726,6 +726,25 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("q124: the weekly-merged registers equal the direct build and " +
+    "reproduce q114's estimates exactly") {
+    val rows = q("q124_hll_weekly_union").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("matches_direct"),
+        s"two-level max diverged from direct registers: $r")
+      assert(r.getAs[Long]("n_weeks") >= 1L)
+    }
+    val direct = q("q114_hll_distinct").collect()
+      .map(r => r.getAs[String]("priority") ->
+        r.getAs[Double]("hll_estimate")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("hll_estimate") ==
+        direct(r.getAs[String]("priority")),
+        "merged estimate must be bit-identical to q114's direct one")
+    }
+  }
+
   test("t34: readability bands partition the non-empty docs") {
     val rows = q("t34_readability").collect()
     assert(rows.nonEmpty)
