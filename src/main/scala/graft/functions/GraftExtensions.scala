@@ -55,6 +55,10 @@ object GraftFunctions {
     descriptor("minhash_signature", classOf[MinHashSignature],
       exprs => MinHashSignature(exprs(0),
         intArg(exprs(1), "minhash_signature"))),
+    // affine_minhash_signature(fps, n): portable oracle-checkable twin
+    descriptor("affine_minhash_signature", classOf[AffineMinHashSignature],
+      exprs => AffineMinHashSignature(exprs(0),
+        intArg(exprs(1), "affine_minhash_signature"))),
     // graft_topk(value, id, k): k rows with the largest (value, id)
     descriptor("graft_topk", classOf[TopKAggregate],
       exprs => TopKAggregate(exprs(0), exprs(1),

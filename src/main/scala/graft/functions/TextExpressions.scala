@@ -255,6 +255,112 @@ object MinHashSignature {
   }
 }
 
+/** Native Catalyst expression for the PORTABLE affine MinHash family the
+  * dedup tuning sweeps use (d18/d23/d27 — reference extension point:
+  * `main/stream/Kinesis.scala` delegates record analytics to user code;
+  * the affine family itself is the classic universal-hash construction,
+  * Broder 1997).
+  *
+  * The declarative form those sweeps shipped with —
+  * `array(array_min(transform(xs, x -> (a0*x + b0) % P)), ...)` — is n
+  * interpreted lambda walks per row (n = 64 for the band sweep): each
+  * `transform` allocates a fresh ArrayData and every element passes
+  * through the interpreter. This expression computes all n affine minima
+  * in ONE tight primitive loop, the d-family twin of [[MinHashSignature]]
+  * (which is xxhash64-seeded and therefore not DuckDB-checkable; this
+  * family is pure BIGINT arithmetic both engines evaluate identically).
+  *
+  * Bit-compatibility contract: element i equals
+  * `array_min(transform(xs, x -> (x % P) pre-reduced, then
+  * (a_i·x + b_i) % P))` EXACTLY, with P = 2^31−1,
+  * a_i = ((2i+1)·2654435761) % P, b_i = (i·40503 + 12345) % P — the
+  * constants [[AffineMinHashSignature.affineA]]/[[affineB]] that the
+  * DuckDB oracle SQL spells out. Inputs reduce mod P internally, so
+  * callers may pass raw 60-bit shingle fingerprints; since reduction is
+  * idempotent, pre-reduced inputs give the same signature. The product
+  * (P−1)² + (P−1) < 2^62 never overflows a long, so Scala `%` and SQL
+  * `%` agree (all operands non-negative).
+  *
+  * Loud contracts (a wrong signature silently shifts LSH buckets):
+  * null elements, negative elements, and empty arrays all throw —
+  * the SQL form would yield NULL minima for an empty array, which the
+  * non-null output type cannot represent, and callers always filter
+  * shingle-less docs first.
+  */
+case class AffineMinHashSignature(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "affine_minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != ArrayType(LongType, containsNull = false) &&
+        child.dataType != ArrayType(LongType, containsNull = true))
+      TypeCheckResult.TypeCheckFailure(
+        s"affine_minhash_signature: expected ARRAY<BIGINT>, got " +
+          child.dataType.simpleString)
+    else if (n < 1 || n > 1024) TypeCheckResult.TypeCheckFailure(
+      s"affine_minhash_signature: signature width must be in [1, 1024], " +
+        s"got $n")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any =
+    AffineMinHashSignature.sign(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AffineMinHashSignature.sign($c, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object AffineMinHashSignature {
+  val P31 = 2147483647L // 2^31 − 1, Mersenne prime
+  def affineA(i: Int): Long = ((2L * i + 1) * 2654435761L) % P31
+  def affineB(i: Int): Long = (i.toLong * 40503L + 12345L) % P31
+
+  def sign(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m == 0) throw new IllegalArgumentException(
+      "affine_minhash_signature: empty shingle array — the declarative " +
+        "form yields NULL minima here, which the non-null signature " +
+        "type cannot represent; filter shingle-less docs first")
+    val xs = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      if (arr.isNullAt(k)) throw new IllegalArgumentException(
+        "affine_minhash_signature: null element in the fingerprint " +
+          "array — a null shingle hash is a caller bug (it would " +
+          "silently shift LSH buckets); filter or fix the input")
+      val x = arr.getLong(k)
+      if (x < 0L) throw new IllegalArgumentException(
+        s"affine_minhash_signature: negative fingerprint $x — the " +
+          "affine family is defined over non-negative residues; SQL % " +
+          "and Scala % diverge from the intended bucket on negatives")
+      xs(k) = x % P31
+      k += 1
+    }
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val a = affineA(i)
+      val b = affineB(i)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < m) {
+        val h = (a * xs(j) + b) % P31
+        if (h < best) best = h
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   /** Codegen'd packed character trigrams of a string column. */
   def packedTrigrams(c: Column): Column =
@@ -267,4 +373,9 @@ object TextFunctions {
   /** Codegen'd n-wide MinHash signature of an array<bigint> column. */
   def minhashSignature(c: Column, n: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(c), n))
+
+  /** Codegen'd n-wide PORTABLE affine MinHash signature (oracle-checkable
+    * twin of [[minhashSignature]]; see [[AffineMinHashSignature]]). */
+  def affineMinhashSignature(c: Column, n: Int): Column =
+    GraftBridge.column(AffineMinHashSignature(GraftBridge.expression(c), n))
 }

@@ -964,9 +964,10 @@ object DedupOps {
     // not corpus passes); candidate joins exchange (band, hash, id)
     // integers only; the truth side is the exhaustive posting join —
     // the e02/e07 eval-twin contract, run per-bucket/sampled at
-    // 100 TB while the candidate side is the real plan. The 64
-    // interpreted array_min(transform(...)) lambdas are the portable
-    // trade-off; d04's codegen'd MinHashSignature is the hot path.
+    // 100 TB while the candidate side is the real plan. The signature
+    // is the codegen'd AffineMinHashSignature (one primitive pass for
+    // all 64 minima; bit-identical to the declarative
+    // array_min(transform(...)) family the oracle SQL spells out).
     "d18_minhash_band_tuning" -> ((s, d) => {
       import s.implicits._
       val nH = 64
@@ -979,12 +980,9 @@ object DedupOps {
         .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), expr(s"array_distinct($gramExpr)").as("gs")))
-      val xs = g.select(col("doc_id"),
-        expr(s"transform(gs, x -> x % $P31)").as("xs"))
-      val sigTerms = (0 until nH).map(i =>
-        s"array_min(transform(xs, x -> (${affineA(i)}L * x + ${affineB(i)}L) % $P31))")
-      val sig = xs.select(col("doc_id"),
-        expr(s"array(${sigTerms.mkString(", ")})").as("sig"))
+      val sig = g.select(col("doc_id"),
+        graft.functions.TextFunctions
+          .affineMinhashSignature(col("gs"), nH).as("sig"))
       val bandStructs = cfgs.flatMap { b =>
         val r = nH / b
         (0 until b).map { j =>
@@ -1154,12 +1152,9 @@ object DedupOps {
         .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), expr(s"array_distinct($gramExpr)").as("gs")))
-      val xs = g.select(col("doc_id"),
-        expr(s"transform(gs, x -> x % $P31)").as("xs"))
-      val sigTerms = (0 until nH).map(i =>
-        s"array_min(transform(xs, x -> (${affineA(i)}L * x + ${affineB(i)}L) % $P31))")
-      val sig = xs.select(col("doc_id"),
-        expr(s"array(${sigTerms.mkString(", ")})").as("sig"))
+      val sig = g.select(col("doc_id"),
+        graft.functions.TextFunctions
+          .affineMinhashSignature(col("gs"), nH).as("sig"))
       val r = nH / 16
       val bandStructs = (0 until 16).map { j =>
         val terms = (0 until r).map { k =>
@@ -1367,10 +1362,11 @@ object DedupOps {
         .select(col("source"),
           expr(s"transform(array_distinct($gramExpr), x -> x % $P31)")
             .as("xs"))
-      val docMins = g.select(
-        col("source") +: (0 until nH).map(i => expr(
-          s"array_min(transform(xs, x -> (${affineA(i)}L * x + " +
-            s"${affineB(i)}L) % $P31))").as(s"h$i")): _*)
+      val docMins = g
+        .select(col("source"), graft.functions.TextFunctions
+          .affineMinhashSignature(col("xs"), nH).as("sig"))
+        .select(col("source") +: (0 until nH).map(i =>
+          element_at(col("sig"), i + 1).as(s"h$i")): _*)
       val sig = docMins.groupBy(col("source"))
         .agg(min(col("h0")).as("h0"),
           (1 until nH).map(i => min(col(s"h$i")).as(s"h$i")): _*)
@@ -1549,10 +1545,15 @@ object DedupOps {
 
   /** Portable-hash constants for d18: affine family over Z_{2^31-1}
     * (products of two sub-2^31 values stay in signed-64 range — exact
-    * BIGINT arithmetic in any engine). */
-  private val P31 = 2147483647L
-  private def affineA(i: Int): Long = ((2L * i + 1) * 2654435761L) % P31
-  private def affineB(i: Int): Long = (i.toLong * 40503L + 12345L) % P31
+    * BIGINT arithmetic in any engine). Single source of truth lives in
+    * [[graft.functions.AffineMinHashSignature]] — the codegen'd one-pass
+    * expression the Spark side evaluates; these aliases keep the oracle
+    * SQL generation (which must SPELL OUT the same constants) in sync. */
+  private val P31 = graft.functions.AffineMinHashSignature.P31
+  private def affineA(i: Int): Long =
+    graft.functions.AffineMinHashSignature.affineA(i)
+  private def affineB(i: Int): Long =
+    graft.functions.AffineMinHashSignature.affineB(i)
   private def powMod(base: Long, e: Int): Long = {
     var r = 1L; var b = base % P31; var k = e
     while (k > 0) {

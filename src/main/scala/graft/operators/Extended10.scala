@@ -836,6 +836,112 @@ object Extended10 {
         .orderBy(col("class_p1"), col("class_p2"))
     }),
 
+    // TIME-DECAY multi-touch attribution — the third member of the
+    // attribution family (q87 last-touch, q116 linear): each click
+    // touch inside the 7-day lookback earns weight 1/2^floor(age_days)
+    // — a halving per whole day of age — and a purchase's cents split
+    // across channels proportionally to summed weights. Stepwise
+    // halving (not continuous exp decay) is deliberate: weights are
+    // exact powers of two carried as INTEGER 64 >> age_days, so the
+    // whole computation is integer-exact until one shared double
+    // division — a continuous pow(0.5, age/half_life) would sum
+    // engine-specific transcendental doubles and lose the oracle
+    // (t16/t21's log-free design applied to attribution). Scale shape:
+    // q116's — the touch join keys on user_id, per-(purchase, channel)
+    // weights partial-aggregate map-side, the organic branch is an
+    // anti-join on purchase id, and the final rollup is |channels|+1
+    // rows.
+    "q122_time_decay_attribution" -> ((s, d) => {
+      val lookbackUs = 7L * 24 * 3600 * 1000000
+      val dayUs = 24L * 3600 * 1000000
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_type"), col("value"), col("props"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          col("us").as("pus"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("cus"),
+          concat(lit("ch_"),
+            (get_json_object(col("props"), "$.k").cast("long") % 5)
+              .cast("string")).as("channel"))
+      val touched = purchases.join(clicks, Seq("user_id"))
+        .filter(col("cus") < col("pus") &&
+          col("pus") - col("cus") <= lookbackUs)
+        // age_days in [0, 7] ⇒ weight 64 >> age_days in {64,…,1,0};
+        // the boundary touch at exactly 7 days gets shifted to 0 —
+        // consistent in both engines (64 >> 7 = 0)
+        .withColumn("w64", expr(s"shiftright(CAST(64 AS BIGINT), " +
+          s"CAST((pus - cus) div $dayUs AS INT))"))
+      val perChan = touched.groupBy(col("pid"), col("cents"),
+          col("channel"))
+        .agg(count(lit(1)).as("k"), sum(col("w64")).as("chan64"))
+      val wP = Window.partitionBy(col("pid"))
+      val credits = perChan
+        .withColumn("tot64", sum(col("chan64")).over(wP))
+        .filter(col("tot64") > 0L)
+        .select(col("pid"), col("channel"), col("k"),
+          ((col("cents") * col("chan64")).cast("double") /
+            col("tot64").cast("double") / 100.0).as("credit"))
+      val organic = purchases.join(
+          touched.filter(col("w64") > 0L).select(col("pid")).distinct(),
+          Seq("pid"), "left_anti")
+        .select(col("pid"), lit("organic").as("channel"),
+          lit(1L).as("k"),
+          (col("cents").cast("double") / 100.0).as("credit"))
+      credits.unionAll(organic)
+        .groupBy(col("channel"))
+        .agg(countDistinct(col("pid")).as("n_purchases"),
+          sum(col("k")).as("n_touches"),
+          graft.Parity.dsum(col("credit")).as("revenue_credited"))
+        .orderBy(col("channel"))
+    }),
+
+    // K-HOP BFS REACHABILITY over the part co-purchase graph — the
+    // traversal primitive q105 (fixed-iteration PageRank) and q107
+    // (closed triangles) bracket but neither exposes: from a seed set
+    // (graph nodes with partkey % 200 = 0), the count of nodes whose
+    // SHORTEST-PATH distance is exactly h for h in 0..3. The Spark
+    // side is the Pregel/GraphX frontier loop expressed in DataFrames:
+    // per round, frontier ⋈ edges → candidate set, anti-join the
+    // visited set, LOCAL-CHECKPOINT the new visited frame (iterative
+    // lineage MUST be truncated — without the cut round k replays all
+    // k−1 predecessor joins and the plan grows superlinearly; this is
+    // the same Materialize discipline q105's rank iterations pin).
+    // The oracle is DuckDB's WITH RECURSIVE with the same hop bound —
+    // two independent formulations (frontier loop vs fixpoint CTE),
+    // one truth. Scale shape: each round exchanges only the frontier
+    // (keyed on partkey) against the edge list; the visited set stays
+    // (pk, hop) longs; 3 rounds = 3 bounded joins, the standard
+    // multi-hop shape at any corpus size.
+    "q125_khop_reachability" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = Materialize.LocalCheckpoint(op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct())
+      val seeds = edges.select(col("u").as("pk")).distinct()
+        .filter(col("pk") % 200 === 0)
+      var visited = Materialize.LocalCheckpoint(
+        seeds.withColumn("hop", lit(0)))
+      var frontier = visited.select(col("pk"))
+      for (h <- 1 to 3) {
+        val next = frontier.join(edges, col("pk") === col("u"))
+          .select(col("v").as("pk")).distinct()
+          .join(visited, Seq("pk"), "left_anti")
+          .withColumn("hop", lit(h))
+        visited = Materialize.LocalCheckpoint(visited.unionAll(next))
+        frontier = next.select(col("pk"))
+      }
+      visited.groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("hop"))
+    }),
+
     // NATIVE as-of join — q26's scenario on the custom whole-operator
     // extension ([[graft.plans.AsOfJoinNode]] + Strategy + Exec, the
     // SURVEY §2.2 ladder rung the expression/aggregate/rule extensions
@@ -1393,6 +1499,63 @@ object Extended10 {
            (SELECT l_partkey, cls FROM classed WHERE period = 2) p2
            ON p1.l_partkey = p2.l_partkey
          GROUP BY 1, 2 ORDER BY class_p1, class_p2""",
+
+    // stepwise-halving weights: 64 >> age_days is exact integer
+    // arithmetic in both engines; one shared double division at the end
+    "q122_time_decay_attribution" ->
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             event_type, value, props FROM events),
+         purchases AS (SELECT user_id, event_id AS pid, us AS pus,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM ev WHERE event_type = 'purchase'),
+         clicks AS (SELECT user_id, us AS cus,
+             'ch_' || CAST(CAST(json_extract_string(props, '$$.k')
+               AS BIGINT) % 5 AS VARCHAR) AS channel
+           FROM ev WHERE event_type = 'click'),
+         touched AS (SELECT p.pid, p.cents, c.channel,
+             CAST(64 AS BIGINT) >> CAST((p.pus - c.cus) // 86400000000
+               AS INT) AS w64
+           FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+           WHERE c.cus < p.pus AND p.pus - c.cus <= 604800000000),
+         per_chan AS (SELECT pid, cents, channel, COUNT(1) AS k,
+             CAST(SUM(w64) AS BIGINT) AS chan64
+           FROM touched GROUP BY 1, 2, 3),
+         credits AS (SELECT pid, channel, k,
+             CAST(cents * chan64 AS DOUBLE)
+               / CAST(tot64 AS DOUBLE) / 100.0 AS credit
+           FROM (SELECT pid, cents, channel, k, chan64,
+               CAST(SUM(chan64) OVER (PARTITION BY pid) AS BIGINT)
+                 AS tot64
+             FROM per_chan) t
+           WHERE tot64 > 0),
+         organic AS (SELECT pid, 'organic' AS channel,
+             CAST(1 AS BIGINT) AS k,
+             CAST(cents AS DOUBLE) / 100.0 AS credit
+           FROM purchases
+           WHERE pid NOT IN (SELECT pid FROM touched WHERE w64 > 0)),
+         allc AS (SELECT * FROM credits UNION ALL SELECT * FROM organic)
+         SELECT channel, COUNT(DISTINCT pid) AS n_purchases,
+           CAST(SUM(k) AS BIGINT) AS n_touches,
+           ${graft.Parity.dsumSql("credit")} AS revenue_credited
+         FROM allc GROUP BY channel ORDER BY channel""",
+
+    // fixpoint recursive CTE vs the Spark frontier loop — two
+    // independent formulations of min-hop, one truth
+    "q125_khop_reachability" ->
+      """WITH RECURSIVE
+         op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         edges AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey),
+         seeds AS (SELECT DISTINCT u AS pk FROM edges WHERE u % 200 = 0),
+         reach(pk, hop) AS (
+           SELECT pk, 0 FROM seeds
+           UNION
+           SELECT e.v, r.hop + 1 FROM reach r
+           JOIN edges e ON e.u = r.pk WHERE r.hop < 3),
+         minhop AS (SELECT pk, MIN(hop) AS hop FROM reach GROUP BY pk)
+         SELECT CAST(hop AS INT) AS hop, COUNT(1) AS n_nodes
+         FROM minhop GROUP BY hop ORDER BY hop""",
 
     // identical truth to q26's oracle — the native exec and the
     // union+window plan must both reproduce it

@@ -757,4 +757,44 @@ class Round7OpsSpec extends SparkSpec {
         || r.getAs[Long]("words") == 0L)
     }
   }
+
+  test("q122: time-decay attribution conserves total purchase revenue " +
+      "(same conservation law as q116's linear split — only the split " +
+      "ratios differ)") {
+    def credited(name: String): Double =
+      q(name).agg(sum(col("revenue_credited"))).collect()(0).getDouble(0)
+    val decayTotal = credited("q122_time_decay_attribution")
+    val linearTotal = credited("q116_linear_attribution")
+    // both schemes split the identical purchase set, so totals agree
+    // to double round-off across the per-channel sums
+    assert(math.abs(decayTotal - linearTotal) <
+      1e-6 * math.max(1.0, math.abs(linearTotal)),
+      s"decay=$decayTotal linear=$linearTotal")
+  }
+
+  test("q125: BFS hop counts match a driver-side shortest-path model " +
+      "on the sf0.001 co-purchase graph") {
+    val rows = q("q125_khop_reachability").collect()
+      .map(r => r.getAs[Int]("hop") -> r.getAs[Long]("n_nodes")).toMap
+    // independent model: rebuild the edge list and run plain BFS
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for ((_, parts) <- byOrder; a <- parts; b <- parts if a != b)
+      adj(a) = adj(a) + b
+    val seeds = adj.keySet.filter(_ % 200 == 0)
+    var visited = seeds.map(_ -> 0).toMap
+    var frontier = seeds.toSet
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(adj(_)) -- visited.keySet
+      visited = visited ++ next.map(_ -> h)
+      frontier = next
+    }
+    val model = visited.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    assert(rows == model, s"spark=$rows model=$model")
+  }
 }

@@ -192,4 +192,73 @@ class WordGramHashesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("minhash_signature"), e.getMessage)
   }
+
+  test("AffineMinHashSignature minima are bit-identical to the " +
+      "declarative array_min(transform((a_i*x + b_i) % P)) family the " +
+      "DuckDB oracle spells out (the parity that keeps d18/d23/d27's " +
+      "sweep buckets oracle-checkable)") {
+    import graft.functions.AffineMinHashSignature.{P31, affineA, affineB}
+    val n = 16
+    // raw 60-bit md5-prefix fingerprints, as d18 builds them
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(split(trim(text), " +
+          "' ')) - 2), i -> CAST(conv(substring(md5(encode(array_join(" +
+          "slice(split(trim(text), ' '), i, 3), ' '), 'UTF-8')), 1, 15), " +
+          "16, 10) AS BIGINT)))").as("gs"))
+      .filter(size(col("gs")) > 0)
+    // the declarative form pre-reduces mod P; the expression reduces
+    // internally — both paths must agree element-for-element
+    val declarative = (0 until n).map(i => expr(
+      s"array_min(transform(gs, x -> (${affineA(i)}L * (x % $P31) + " +
+        s"${affineB(i)}L) % $P31))").as(s"h$i"))
+    val both = docs.select(
+      (col("doc_id") +:
+        graft.functions.TextFunctions.affineMinhashSignature(col("gs"), n)
+          .as("sig") +: declarative): _*)
+    val mismatches = both.filter(
+      (0 until n).map(i => element_at(col("sig"), i + 1) =!= col(s"h$i"))
+        .reduce(_ || _)).count()
+    assert(mismatches == 0)
+    // pre-reduced inputs give the same signature (reduction idempotent)
+    val viaReduced = docs
+      .select(col("doc_id"), expr(s"transform(gs, x -> x % $P31)").as("xs"))
+      .select(col("doc_id"), graft.functions.TextFunctions
+        .affineMinhashSignature(col("xs"), n).as("sig"))
+    val viaRaw = docs.select(col("doc_id"), graft.functions.TextFunctions
+      .affineMinhashSignature(col("gs"), n).as("sig"))
+    assert(viaRaw.exceptAll(viaReduced).count() == 0)
+    assert(viaReduced.exceptAll(viaRaw).count() == 0)
+    // SQL registration agrees with the Column path
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = docs.limit(5)
+      .selectExpr("affine_minhash_signature(gs, 16) AS sig")
+      .as[Seq[Long]].collect().toSeq
+    val viaColumn = viaRaw.limit(5).select(col("sig"))
+      .as[Seq[Long]].collect().toSeq
+    assert(viaSql == viaColumn)
+    // loud contracts: empty array, null element, negative fingerprint
+    val eEmpty = intercept[Exception] {
+      Seq(Seq.empty[Long]).toDF("gs")
+        .select(graft.functions.TextFunctions
+          .affineMinhashSignature(col("gs"), 4)).collect()
+    }
+    assert(eEmpty.getMessage.contains("affine_minhash_signature"),
+      eEmpty.getMessage)
+    val eNeg = intercept[Exception] {
+      Seq(Seq(-1L)).toDF("gs")
+        .select(graft.functions.TextFunctions
+          .affineMinhashSignature(col("gs"), 4)).collect()
+    }
+    assert(eNeg.getMessage.contains("negative"), eNeg.getMessage)
+    // analysis-time validation: wrong element type
+    val eType = intercept[Exception] {
+      Seq("x").toDF("s")
+        .select(graft.functions.TextFunctions
+          .affineMinhashSignature(col("s"), 4)).collect()
+    }
+    assert(eType.getMessage.contains("affine_minhash_signature"),
+      eType.getMessage)
+  }
 }
