@@ -95,7 +95,8 @@ object Bench {
     "e28_ood_screen", "q119_fd_profile", "q120_linear_interpolation",
     "t35_dedup_mixture_shift", "q121_abc_migration", "m16_shard_balance",
     "d29_shingle_width_profile", "e29_probe_cost", "q123_native_asof",
-    "q124_hll_weekly_union")
+    "q124_hll_weekly_union", "q122_time_decay_attribution",
+    "q125_khop_reachability", "q126_hll_agg")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

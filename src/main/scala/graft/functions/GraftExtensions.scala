@@ -66,6 +66,9 @@ object GraftFunctions {
     // simhash_agg(hash): 60-bit SimHash fold over a group's word hashes
     descriptor("simhash_agg", classOf[SimHashAggregate],
       exprs => SimHashAggregate(exprs(0))),
+    // hll_register_agg(hash): 64-register HLL file over 60-bit hashes
+    descriptor("hll_register_agg", classOf[HllRegisterAggregate],
+      exprs => HllRegisterAggregate(exprs(0))),
     // quantile_sketch(hash, value, k, p...): KMV bottom-k estimates
     descriptor("quantile_sketch", classOf[QuantileSketchAggregate],
       exprs => QuantileSketchAggregate(exprs(0), exprs(1),

@@ -942,6 +942,45 @@ object Extended10 {
         .orderBy(col("hop"))
     }),
 
+    // HLL AS AN ENGINE SURFACE — q114 builds the register file
+    // declaratively (explode rho, group-by-bucket max); this is the
+    // same sketch as ONE SQL-registered aggregate
+    // ([[graft.functions.HllRegisterAggregate]], the sketch-aggregate
+    // family's fourth member beside graft_topk / quantile_sketch /
+    // simhash_agg): `hll_register_agg(h)` per group, then the
+    // indicator sum and α·m²/Z estimate projected from the 64-int
+    // register array with row-local HOFs. Register semantics are
+    // bit-identical to q114 (spec-pinned, including under forced
+    // repartitioning — merge is element-wise max, so the file is
+    // partitioning-independent), and the oracle is q114's SQL minus
+    // the exact-distinct join. Scale shape: the aggregate's partial
+    // state is 64 BYTES per group map-side — the exchange carries
+    // |groups| register files instead of |groups|×64 bucket rows,
+    // the tightest possible distinct-sketch shuffle.
+    "q126_hll_agg" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val h = conv(substring(
+        md5(encode(col("o_custkey").cast("string"), "UTF-8")), 1, 15),
+        16, 10).cast("long")
+      Tables.orders(s, d)
+        .select(col("o_orderpriority").as("priority"), h.as("h"))
+        .groupBy(col("priority"))
+        .agg(graft.functions.HllFunctions.hllRegisters(col("h"))
+          .as("regs"))
+        .select(col("priority"),
+          expr("CAST(size(filter(regs, m -> m > 0)) AS BIGINT)")
+            .as("n_buckets_hit"),
+          expr("aggregate(regs, CAST(0 AS BIGINT), " +
+            "(z, m) -> z + shiftleft(CAST(1 AS BIGINT), 55 - m))")
+            .as("z"))
+        .withColumn("hll_estimate",
+          lit(0.709365049) * lit(4096.0) * lit(36028797018963968.0) /
+            col("z").cast("double"))
+        .select(col("priority"), col("n_buckets_hit"),
+          col("hll_estimate"))
+        .orderBy(col("priority"))
+    }),
+
     // NATIVE as-of join — q26's scenario on the custom whole-operator
     // extension ([[graft.plans.AsOfJoinNode]] + Strategy + Exec, the
     // SURVEY §2.2 ladder rung the expression/aggregate/rule extensions
@@ -1538,6 +1577,32 @@ object Extended10 {
            CAST(SUM(k) AS BIGINT) AS n_touches,
            ${graft.Parity.dsumSql("credit")} AS revenue_credited
          FROM allc GROUP BY channel ORDER BY channel""",
+
+    // q114's register oracle minus the exact-distinct join — the
+    // aggregate must reproduce the declarative build's sketch exactly
+    "q126_hll_agg" ->
+      """WITH hashed AS (SELECT o_orderpriority AS priority,
+             CAST(list_reduce(list_transform(generate_series(1, 15),
+                 i -> strpos('0123456789abcdef', substring(
+                   md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1),
+               (a, x) -> a * 16 + x) AS BIGINT) AS h
+           FROM orders),
+         rho AS (SELECT priority, h & 63 AS bucket,
+             CASE WHEN (h >> 6) = 0 THEN 55
+               ELSE 55 - length(bin(h >> 6)) END AS rho
+           FROM hashed),
+         regs AS (SELECT priority, bucket, MAX(rho) AS m
+           FROM rho GROUP BY 1, 2),
+         sk AS (SELECT priority, COUNT(1) AS n_buckets_hit,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - m AS INT))
+               AS BIGINT) AS z_hit
+           FROM regs GROUP BY 1)
+         SELECT priority, n_buckets_hit,
+           CAST(0.709365049 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+             * CAST(36028797018963968.0 AS DOUBLE)
+             / CAST(z_hit + (64 - n_buckets_hit)
+                 * (CAST(1 AS BIGINT) << 55) AS DOUBLE) AS hll_estimate
+         FROM sk ORDER BY priority""",
 
     // fixpoint recursive CTE vs the Spark frontier loop — two
     // independent formulations of min-hop, one truth

@@ -772,6 +772,49 @@ class Round7OpsSpec extends SparkSpec {
       s"decay=$decayTotal linear=$linearTotal")
   }
 
+  test("q126 / hll_register_agg: the aggregate's register file is " +
+      "bit-identical to q114's declarative group-by-bucket-max build, " +
+      "independent of partitioning, and q126's estimate equals q114's") {
+    graft.functions.GraftFunctions.register(spark)
+    val h = conv(substring(
+      md5(encode(col("o_custkey").cast("string"), "UTF-8")), 1, 15),
+      16, 10).cast("long")
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"), h.as("h"))
+    // declarative registers, densified to the full 64-bucket file
+    val declarative = base
+      .withColumn("bucket", col("h").bitwiseAND(lit(63L)))
+      .withColumn("w", shiftright(col("h"), 6))
+      .withColumn("rho", when(col("w") === 0L, lit(55))
+        .otherwise(lit(55) - length(bin(col("w")))))
+      .groupBy(col("priority"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+      .collect().map(r => (r.getAs[String]("priority"),
+        r.getAs[Long]("bucket").toInt) -> r.getAs[Int]("m")).toMap
+    for (nPart <- Seq(1, 7, 32)) {
+      val viaAgg = base.repartition(nPart)
+        .groupBy(col("priority"))
+        .agg(expr("hll_register_agg(h)").as("regs"))
+        .collect().map(r => r.getAs[String]("priority") ->
+          r.getSeq[Int](1)).toMap
+      viaAgg.foreach { case (p, regs) =>
+        assert(regs.length == 64)
+        regs.zipWithIndex.foreach { case (m, b) =>
+          assert(m == declarative.getOrElse((p, b), 0),
+            s"priority=$p bucket=$b parts=$nPart")
+        }
+      }
+    }
+    // and the projected estimate agrees with q114's bit-for-bit
+    val est114 = q("q114_hll_distinct").collect()
+      .map(r => r.getAs[String]("priority") ->
+        r.getAs[Double]("hll_estimate")).toMap
+    q("q126_hll_agg").collect().foreach { r =>
+      assert(r.getAs[Double]("hll_estimate") ==
+        est114(r.getAs[String]("priority")))
+    }
+  }
+
   test("q125: BFS hop counts match a driver-side shortest-path model " +
       "on the sf0.001 co-purchase graph") {
     val rows = q("q125_khop_reachability").collect()
