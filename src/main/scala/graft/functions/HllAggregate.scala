@@ -63,18 +63,7 @@ case class HllRegisterAggregate(
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val h = hashExpr.eval(input)
-    if (h != null) {
-      val hv = h.asInstanceOf[Long]
-      if (hv < 0L) throw new IllegalArgumentException(
-        s"hll_register_agg: negative hash $hv — the register algebra is " +
-          "defined over the non-negative 60-bit portable hash family; " +
-          "a sign bit would smear into every rho")
-      val bucket = (hv & 63L).toInt
-      val w = hv >>> 6
-      // 55 − bitlen(w); bitlen(0) treated as 0 gives rho = 55
-      val rho = 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
-      if (rho > buf(bucket)) buf(bucket) = rho.toByte
-    }
+    if (h != null) HllRegisterAggregate.observe(buf, h.asInstanceOf[Long])
     buf
   }
 
@@ -107,6 +96,33 @@ case class HllRegisterAggregate(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): HllRegisterAggregate =
     copy(hashExpr = newChildren(0))
+}
+
+object HllRegisterAggregate {
+  /** Fold one hash into a 64-byte register file in place — the single
+    * source of the bucket/rho algebra, shared by the batch aggregate
+    * and the streaming fold (StreamingOps.hllFold) so the two surfaces
+    * cannot drift. */
+  def observe(regs: Array[Byte], hv: Long): Unit = {
+    if (hv < 0L) throw new IllegalArgumentException(
+      s"hll_register_agg: negative hash $hv — the register algebra is " +
+        "defined over the non-negative 60-bit portable hash family; " +
+        "a sign bit would smear into every rho")
+    val bucket = (hv & 63L).toInt
+    val w = hv >>> 6
+    // 55 − bitlen(w); bitlen(0) treated as 0 gives rho = 55
+    val rho = 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    if (rho > regs(bucket)) regs(bucket) = rho.toByte
+  }
+
+  /** Raw α·m²/Z estimate from a register file — the identical IEEE
+    * expression q114/q126 project declaratively. */
+  def estimate(regs: Array[Byte]): Double = {
+    var z = 0L
+    var i = 0
+    while (i < regs.length) { z += 1L << (55 - regs(i)); i += 1 }
+    0.709365049 * 4096.0 * 36028797018963968.0 / z.toDouble
+  }
 }
 
 object HllFunctions {

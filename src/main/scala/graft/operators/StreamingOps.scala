@@ -111,6 +111,30 @@ object StreamingOps {
     out.result().iterator
   }
 
+  /** q126's streaming twin: an incremental HLL distinct-count per key.
+    * State per key is the 64-byte register file itself (fixed size
+    * regardless of cardinality or history — the sketch's point, and
+    * RocksDB-friendly); each micro-batch folds its hashes in via
+    * [[graft.functions.HllRegisterAggregate.observe]] — the SAME
+    * bucket/rho code the batch aggregate runs, so the stream and the
+    * batch recompute produce the identical register file on the same
+    * prefix of data (pinned in StatefulStreamSpec). Emits one snapshot
+    * per key per batch (Update mode) with the running estimate; unlike
+    * the q64/q108 twins there is NO batch-vs-stream divergence window —
+    * register max is insensitive to arrival order, so a restart or
+    * replay folds to the same sketch.
+    */
+  case class HashObs(key: String, h: Long)
+  case class HllSnapshot(key: String, n_buckets_hit: Int, estimate: Double)
+  def hllFold(key: String, it: Iterator[HashObs],
+      state: GroupState[Array[Byte]]): HllSnapshot = {
+    val regs = state.getOption.getOrElse(new Array[Byte](64))
+    it.foreach(o => graft.functions.HllRegisterAggregate.observe(regs, o.h))
+    state.update(regs)
+    HllSnapshot(key, regs.count(_ > 0),
+      graft.functions.HllRegisterAggregate.estimate(regs))
+  }
+
   /** q108's streaming twin: incremental seasonal-residual anomaly
     * scoring. Input is completed (date, hour) activity cells (produced
     * upstream by a watermarked tumbling count); state per

@@ -172,6 +172,52 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hll register fold spans micro-batches: the streamed sketch " +
+      "equals q126's batch aggregate bit-for-bit on the same rows — " +
+      "register max is arrival-order-insensitive, so there is no " +
+      "batch-vs-stream divergence window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{HashObs, HllSnapshot}
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("key"),
+        conv(substring(md5(encode(col("o_custkey").cast("string"),
+          "UTF-8")), 1, 15), 16, 10).cast("long").as("h"))
+      .as[HashObs].collect()
+    // deliberately uneven split so batch 2 revisits every key
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val input = MemoryStream[HashObs](spark)
+    val q = input.toDS().groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(StreamingOps.hllFold _)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("hll_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // Update-mode memory sink appends one snapshot per key per batch;
+      // the estimate only grows (registers are monotone), so the max
+      // per key is the final state
+      val streamed = spark.table("hll_xbatch").as[HllSnapshot]
+        .collect().groupBy(_.key).view
+        .mapValues(_.maxBy(_.estimate)).toMap
+      val batch = graft.SparkEntry.queries("q126_hll_agg")(spark, dir)
+        .collect().map(r => r.getAs[String]("priority") ->
+          (r.getAs[Long]("n_buckets_hit"), r.getAs[Double]("hll_estimate")))
+        .toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, snap) =>
+        assert((snap.n_buckets_hit.toLong, snap.estimate) == batch(k),
+          s"key=$k streamed=$snap batch=${batch(k)}")
+      }
+    } finally q.stop()
+  }
+
   test("stateful query runs on the RocksDB state store (the bounded-memory " +
       "store for 100 TB-scale state)") {
     import spark.implicits._
