@@ -96,7 +96,7 @@ object Bench {
     "t35_dedup_mixture_shift", "q121_abc_migration", "m16_shard_balance",
     "d29_shingle_width_profile", "e29_probe_cost", "q123_native_asof",
     "q124_hll_weekly_union", "q122_time_decay_attribution",
-    "q125_khop_reachability", "q126_hll_agg")
+    "q125_khop_reachability", "q126_hll_agg", "q127_cusum_drift")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */
@@ -142,14 +142,33 @@ object Bench {
     val spillMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
+    // Materialize cuts leave localCheckpoint blocks in the BlockManager
+    // until their RDD object is GC'd — with a 128 GiB heap GC is rare,
+    // so across 180 queries × 3 runs the blocks accumulate into
+    // storage-memory pressure that inflates LATE queries several-fold
+    // (measured: e10 2.5 s fresh vs 17.4 s at position ~170 of a run
+    // without this release). Deterministic release between runs keeps
+    // every query's storage state identical to a fresh session.
+    // The explicit GC matters as much as the unpersist: ContextCleaner
+    // frees BROADCAST blocks and shuffle metadata via GC'd weak refs
+    // (periodicGC defaults to 30 min), and a 128 GiB heap may never GC
+    // across a 180-query bench — hundreds of broadcast-join blocks
+    // accumulate in storage memory and late queries degrade 2-4x.
+    def release(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     headline.filter(SparkEntry.queries.contains).foreach { name =>
       val fn = SparkEntry.queries(name)
       def run(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       run() // warm run (IO cache, codegen)
+      release()
       // min of two measured runs: JIT/GC noise on wide generated code
       // (64-agg minhash) can inflate a single sample several-fold
       val t1 = time(run())
+      release()
       Thread.sleep(100) // drain run-1 task-end events off the async bus
       listener.reset()
       val t2 = time(run())
@@ -159,6 +178,7 @@ object Bench {
       shuffleMb(name) =
         (listener.shuffleRead.get + listener.shuffleWrite.get) / 1048576.0
       spillMb(name) = listener.spilled.get / 1048576.0
+      release()
     }
 
     results ++= ingestReplay(spark)

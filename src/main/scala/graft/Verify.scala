@@ -26,6 +26,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release Materialize cuts and let ContextCleaner drop broadcast
+      // blocks (see Bench: localCheckpoint + broadcast blocks accumulate
+      // across a 230-query session until a GC that a 128 GiB heap may
+      // never run, degrading the tail of the run)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -981,6 +981,51 @@ object Extended10 {
         .orderBy(col("priority"))
     }),
 
+    // CUSUM DRIFT DETECTION over daily revenue — the sequential
+    // change-point family beside q85 (robust fences), q104 (EWMA) and
+    // q108 (seasonal residuals): the one-sided CUSUM chart
+    // S_t = max(0, S_{t-1} + (x_t − μ − k)) accumulates small
+    // persistent upward shifts that per-day outlier tests never see.
+    // The recursion LOOKS window-inexpressible, but the classical
+    // identity S_t = P_t − min(0, min_{j≤t} P_j) (P = prefix sum of
+    // the deviations) turns the fold into TWO stacked windows — the
+    // q113-skyline trick of re-expressing a sequential scan
+    // declaratively, so both engines compute it exactly. Everything
+    // is integer: deviations are scaled by 10n (k = 10% of the mean
+    // daily revenue ⇒ 10n·x − 11T; μ's division never happens), the
+    // drift flag compares S'' > 20T (h = 2× mean) in BIGINT, and the
+    // only double is the final display division. Scale shape: the
+    // daily rollup partial-aggregates map-side; both windows run over
+    // the |days|-sized frame (single-partition by design — the grid
+    // does not grow with the fact table, the t28 stance); totals ride
+    // a 1-row broadcast. Headroom: |P| ≤ n·max|10n·x − 11T| — safe
+    // through sf10; a 100 TB deployment shifts the carrier to
+    // DECIMAL(38,0) (the Parity path) before the long saturates.
+    "q127_cusum_drift" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .select(datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))).as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+      val wP = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .withColumn("y", lit(10L) * col("n") * col("x") -
+          lit(11L) * col("t"))
+        .withColumn("p", sum(col("y")).over(wP))
+        .withColumn("pmin", least(lit(0L), min(col("p")).over(wP)))
+        .withColumn("s", col("p") - col("pmin"))
+        .select(
+          date_add(to_date(lit("1970-01-01")), col("day"))
+            .cast("string").as("dt"),
+          col("x").as("revenue_cents"),
+          (col("s").cast("double") /
+            (lit(10.0) * col("n").cast("double"))).as("cusum_cents"),
+          (col("s") > lit(20L) * col("t")).as("is_drift"))
+        .orderBy(col("dt"))
+    }),
+
     // NATIVE as-of join — q26's scenario on the custom whole-operator
     // extension ([[graft.plans.AsOfJoinNode]] + Strategy + Exec, the
     // SURVEY §2.2 ladder rung the expression/aggregate/rule extensions
@@ -1603,6 +1648,34 @@ object Extended10 {
              / CAST(z_hit + (64 - n_buckets_hit)
                  * (CAST(1 AS BIGINT) << 55) AS DOUBLE) AS hll_estimate
          FROM sk ORDER BY priority""",
+
+    // the same prefix-sum-minus-running-min identity, exact BIGINT
+    // arithmetic scaled by 10n so the mean's division never happens
+    "q127_cusum_drift" ->
+      """WITH daily AS (SELECT datediff('day', DATE '1970-01-01',
+             CAST(o_orderdate AS DATE)) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         tot AS (SELECT COUNT(1) AS n, CAST(SUM(x) AS BIGINT) AS t
+           FROM daily),
+         dev AS (SELECT day, x, n, t, 10 * n * x - 11 * t AS y
+           FROM daily CROSS JOIN tot),
+         pre AS (SELECT day, x, n, t,
+             CAST(SUM(y) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+           FROM dev),
+         cus AS (SELECT day, x, n, t,
+             p - LEAST(CAST(0 AS BIGINT), CAST(MIN(p) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS s
+           FROM pre)
+         SELECT CAST(DATE '1970-01-01' + CAST(day AS INT) AS VARCHAR)
+             AS dt,
+           x AS revenue_cents,
+           CAST(s AS DOUBLE) / (10.0 * CAST(n AS DOUBLE))
+             AS cusum_cents,
+           s > 20 * t AS is_drift
+         FROM cus ORDER BY dt""",
 
     // fixpoint recursive CTE vs the Spark frontier loop — two
     // independent formulations of min-hop, one truth

@@ -815,6 +815,23 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("q127: the two-window CUSUM identity equals the recursive fold " +
+      "max(0, S + y) it re-expresses declaratively") {
+    val rows = q("q127_cusum_drift").collect().sortBy(_.getAs[String]("dt"))
+    assert(rows.nonEmpty)
+    val xs = rows.map(_.getAs[Long]("revenue_cents"))
+    val n = xs.length.toLong
+    val t = xs.sum
+    var s = 0L
+    rows.zip(xs).foreach { case (r, x) =>
+      val y = 10L * n * x - 11L * t
+      s = math.max(0L, s + y)
+      assert(r.getAs[Double]("cusum_cents") == s.toDouble / (10.0 * n),
+        s"dt=${r.getAs[String]("dt")}")
+      assert(r.getAs[Boolean]("is_drift") == (s > 20L * t))
+    }
+  }
+
   test("q125: BFS hop counts match a driver-side shortest-path model " +
       "on the sf0.001 co-purchase graph") {
     val rows = q("q125_khop_reachability").collect()
