@@ -906,10 +906,12 @@ object Extended10 {
     // SHORTEST-PATH distance is exactly h for h in 0..3. The Spark
     // side is the Pregel/GraphX frontier loop expressed in DataFrames:
     // per round, frontier ⋈ edges → candidate set, anti-join the
-    // visited set, LOCAL-CHECKPOINT the new visited frame (iterative
+    // visited set, LOCAL-CHECKPOINT the new frontier (iterative
     // lineage MUST be truncated — without the cut round k replays all
     // k−1 predecessor joins and the plan grows superlinearly; this is
-    // the same Materialize discipline q105's rank iterations pin).
+    // the same Materialize discipline q105's rank iterations pin —
+    // and only the frontier is cut: visited is the lazy union of the
+    // disjoint checkpointed frontiers, so no row materializes twice).
     // The oracle is DuckDB's WITH RECURSIVE with the same hop bound —
     // two independent formulations (frontier loop vs fixpoint CTE),
     // one truth. Scale shape: each round exchanges only the frontier
@@ -924,20 +926,28 @@ object Extended10 {
             col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .distinct())
-      val seeds = edges.select(col("u").as("pk")).distinct()
-        .filter(col("pk") % 200 === 0)
-      var visited = Materialize.LocalCheckpoint(
-        seeds.withColumn("hop", lit(0)))
-      var frontier = visited.select(col("pk"))
+      // checkpoint each FRONTIER, not the growing visited union: the
+      // frontiers are disjoint by construction, so `visited` is their
+      // lazy union and round k never re-materializes rounds 0..k−1's
+      // rows (the cut cost per round stays proportional to the NEW
+      // nodes — the Pregel superstep contract)
+      var frontiers = Vector(Materialize.LocalCheckpoint(
+        edges.select(col("u").as("pk")).distinct()
+          .filter(col("pk") % 200 === 0)
+          .withColumn("hop", lit(0))))
       for (h <- 1 to 3) {
-        val next = frontier.join(edges, col("pk") === col("u"))
-          .select(col("v").as("pk")).distinct()
-          .join(visited, Seq("pk"), "left_anti")
-          .withColumn("hop", lit(h))
-        visited = Materialize.LocalCheckpoint(visited.unionAll(next))
-        frontier = next.select(col("pk"))
+        val visited = frontiers.map(_.select(col("pk")))
+          .reduce(_.unionAll(_))
+        val next = Materialize.LocalCheckpoint(
+          frontiers.last.select(col("pk"))
+            .join(edges, col("pk") === col("u"))
+            .select(col("v").as("pk")).distinct()
+            .join(visited, Seq("pk"), "left_anti")
+            .withColumn("hop", lit(h)))
+        frontiers = frontiers :+ next
       }
-      visited.groupBy(col("hop"))
+      frontiers.reduce(_.unionAll(_))
+        .groupBy(col("hop"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("hop"))
     }),

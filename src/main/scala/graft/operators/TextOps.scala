@@ -785,6 +785,62 @@ object TextOps {
         .select(col("shard"), col("n_grams"), col("n_new"),
           col("cum_distinct"), col("novelty_rate"))
         .orderBy(col("shard"))
+    }),
+
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV drift per source — the
+    // distribution-shape test the moment-based screens (t26 length
+    // histogram, q111 correlations) can't do: for each source, the KS
+    // statistic D = max_x |F_source(x) − F_rest(x)| over the doc-length
+    // distribution, source vs the pooled rest of the corpus. A source
+    // whose docs are systematically longer/shorter/bimodal vs the
+    // corpus flags here even when its mean matches. EXACT by
+    // construction: both CDFs are evaluated at every pooled jump point
+    // on a zero-filled (source × distinct-length) grid (the KS max can
+    // sit at a REST-only jump — evaluating only at the source's own
+    // values undercounts), and the max runs over the integer
+    // cross-multiplied numerator |cum_s·(N−n_s) − cum_rest·n_s| so no
+    // float comparison decides the argmax; the single division is the
+    // final display. Scale shape: the grid is |sources| × |distinct
+    // lengths| — two DIMENSIONS, so the broadcast cross is q83's
+    // calendar-grid class, constant in the corpus; doc rows reduce to
+    // per-(source, length) counts map-side before anything wide.
+    // Headroom: cum·N products cap at N² — shift to DECIMAL(38,0)
+    // past ~3e9 docs (the q127 note).
+    "t36_ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"))
+      val counts = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      val values = docs.select(col("n_chars")).distinct()
+      val sources = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"))
+      val tot = docs.agg(count(lit(1)).as("n_all"))
+      val perValue = counts.groupBy(col("n_chars"))
+        .agg(sum(col("c")).as("ct"))
+      val wT = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumT = perValue.withColumn("cum_t", sum(col("ct")).over(wT))
+        .select(col("n_chars"), col("cum_t"))
+      val wS = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      values.crossJoin(broadcast(sources.select(col("source"))))
+        .join(counts, Seq("source", "n_chars"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("cum_s", sum(col("c")).over(wS))
+        .join(cumT, Seq("n_chars"))
+        .join(broadcast(sources), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("num", abs(col("cum_s") * (col("n_all") - col("n_s"))
+          - (col("cum_t") - col("cum_s")) * col("n_s")))
+        .groupBy(col("source"))
+        .agg(max(col("num")).as("max_num"),
+          max(col("n_s")).as("n_docs"),
+          max(col("n_all")).as("n_all"))
+        .withColumn("ks_stat", col("max_num").cast("double") /
+          (col("n_docs") * (col("n_all") - col("n_docs"))).cast("double"))
+        .select(col("source"), col("n_docs"), col("ks_stat"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1282,6 +1338,45 @@ object TextOps {
              AS BIGINT) AS cum_distinct,
            CAST(n_new AS DOUBLE) / CAST(n_grams AS DOUBLE)
              AS novelty_rate
-         FROM per ORDER BY shard"""
+         FROM per ORDER BY shard""",
+
+    // same zero-filled pooled-jump-point grid; integer cross-multiplied
+    // numerator decides the max, one final division
+    "t36_ks_drift" ->
+      """WITH counts AS (SELECT source, n_chars, COUNT(1) AS c
+           FROM documents GROUP BY 1, 2),
+         vals AS (SELECT DISTINCT n_chars FROM documents),
+         srcs AS (SELECT source, COUNT(1) AS n_s FROM documents
+           GROUP BY 1),
+         tot AS (SELECT COUNT(1) AS n_all FROM documents),
+         pv AS (SELECT n_chars, CAST(SUM(c) AS BIGINT) AS ct
+           FROM counts GROUP BY 1),
+         cumt AS (SELECT n_chars, CAST(SUM(ct) OVER (ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_t
+           FROM pv),
+         grid AS (SELECT s.source, v.n_chars,
+             COALESCE(c.c, 0) AS c
+           FROM vals v CROSS JOIN (SELECT source FROM srcs) s
+           LEFT JOIN counts c
+             ON c.source = s.source AND c.n_chars = v.n_chars),
+         cums AS (SELECT source, n_chars,
+             CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_s
+           FROM grid),
+         nums AS (SELECT g.source,
+             abs(g.cum_s * (t.n_all - s.n_s)
+               - (ct.cum_t - g.cum_s) * s.n_s) AS num,
+             s.n_s, t.n_all
+           FROM cums g
+           JOIN cumt ct ON ct.n_chars = g.n_chars
+           JOIN srcs s ON s.source = g.source
+           CROSS JOIN tot t)
+         SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+           CAST(CAST(MAX(num) AS BIGINT) AS DOUBLE)
+             / CAST(MAX(n_s) * (MAX(n_all) - MAX(n_s)) AS DOUBLE)
+             AS ks_stat
+         FROM nums GROUP BY source ORDER BY source"""
   )
 }

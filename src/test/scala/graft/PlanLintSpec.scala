@@ -62,7 +62,8 @@ class PlanLintSpec extends SparkSpec {
     "q112_price_volume_mix", // 1-row broadcast date-split scalar
     "e28_ood_screen", // same broadcast centroid assignment cross
     "d29_shingle_width_profile", // 1-row broadcast doc-count scalar
-    "q127_cusum_drift") // 1-row broadcast (n, total) scalars
+    "q127_cusum_drift", // 1-row broadcast (n, total) scalars
+    "t36_ks_drift") // dim x dim pooled-jump-point grid (q83's class) + 1-row total
     // q121/e29's centroid-cross and date-split scalars run inside their
     // eager Materialize stages, so their FINAL plans are product-free
 

@@ -832,6 +832,29 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("t36: the KS statistic equals a driver-side two-sample model " +
+      "per source (exact integer numerator, shared final division)") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.length.toLong
+    val values = docs.map(_._2).distinct.sorted
+    val bySource = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val model = bySource.map { case (src, xs) =>
+      val ns = xs.length.toLong
+      val maxNum = values.map { v =>
+        val cumS = xs.count(_ <= v).toLong
+        val cumR = docs.count(_._2 <= v).toLong - cumS
+        math.abs(cumS * (n - ns) - cumR * ns)
+      }.max
+      src -> (ns, maxNum.toDouble / (ns * (n - ns)).toDouble)
+    }
+    val rows = q("t36_ks_drift").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("ks_stat"))).toMap
+    assert(rows == model, s"spark=$rows model=$model")
+  }
+
   test("q125: BFS hop counts match a driver-side shortest-path model " +
       "on the sf0.001 co-purchase graph") {
     val rows = q("q125_khop_reachability").collect()

@@ -64,6 +64,67 @@ class StreamingDedupPipelineSpec extends SparkSpec {
     assert(byText("delta doc") == (("shard-0", 4L)))
   }
 
+  test("distinct-count at ingest time: hllFold over the DSv2 source " +
+      "matches the driver-side register model on the same payloads — " +
+      "the sketch survives sharding AND micro-batching") {
+    import spark.implicits._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{HashObs, HllSnapshot}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // payloads "key,custId" with duplicate custIds straddling shards
+    val events = Seq(
+      "A,101", "B,202", "A,103", "B,202", "A,101", "B,204",
+      "A,105", "B,202", "A,103", "B,206", "A,107", "B,204")
+    val svc = new InMemoryShardService("hll-stream",
+      Seq("shard-0", "shard-1"))
+    val perShardSeq = scala.collection.mutable.Map(
+      "shard-0" -> 0L, "shard-1" -> 0L)
+    events.zipWithIndex.foreach { case (t, i) =>
+      val shard = s"shard-${i % 2}"
+      val seq = perShardSeq(shard) + 1
+      perShardSeq(shard) = seq
+      svc.append(shard, RawShardRecord.single(shard, BigInt(seq),
+        1700000000000000L + i, t.getBytes(UTF_8)))
+    }
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hlls").toString
+    val name = s"hll_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("graft-kinesis")
+      .option("service.id", id)
+      .option("max-records-per-shard", "2") // force several micro-batches
+      .load()
+      .selectExpr("split(CAST(data AS STRING), ',')[0] AS key",
+        "CAST(conv(substring(md5(split(CAST(data AS STRING), ',')[1]), " +
+          "1, 15), 16, 10) AS LONG) AS h")
+      .as[HashObs]
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(StreamingOps.hllFold _)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).as[HllSnapshot].collect()
+      .groupBy(_.key).view.mapValues(_.maxBy(_.estimate)).toMap
+    // driver model: the same observe()/estimate() over the raw payloads
+    val model = events.map(_.split(",")).groupBy(_(0)).map { case (k, rows) =>
+      val regs = new Array[Byte](64)
+      rows.foreach { r =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(r(1).getBytes(UTF_8)).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        graft.functions.HllRegisterAggregate.observe(regs, h)
+      }
+      k -> (regs.count(_ > 0),
+        graft.functions.HllRegisterAggregate.estimate(regs))
+    }
+    assert(streamed.keySet == model.keySet)
+    streamed.foreach { case (k, snap) =>
+      assert((snap.n_buckets_hit, snap.estimate) == model(k),
+        s"key=$k streamed=$snap model=${model(k)}")
+    }
+  }
+
   test("decontamination at ingest time: streamed documents anti-join the " +
       "static broadcast eval-gram set (stream-static join), only clean " +
       "docs reach the sink") {
