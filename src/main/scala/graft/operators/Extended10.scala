@@ -534,11 +534,13 @@ object Extended10 {
     // revenue EQUALLY across every click in the 7-day lookback (the
     // position-agnostic multi-touch model marketers compare last-touch
     // against), purchases with no touch crediting "organic". Credit
-    // conservation (Σ credited = Σ purchase revenue) is pinned in
-    // spec. Revenue rides exact cents; each (purchase, channel)
-    // credit is ONE shared-structure double (cents·k/n/100), and the
-    // cross-purchase rollup goes through Parity.dsum — the
-    // order-insensitive DECIMAL(18,6) path — so both engines agree.
+    // conservation (Σ credited = Σ purchase revenue, to the floor
+    // remainders) is pinned in spec. Revenue rides exact cents; each
+    // (purchase, channel) credit is FLOOR-ALLOCATED in micro-cents
+    // ((cents·k·10⁶) div n — exact BIGINT in both engines), the books
+    // sum as longs, and dollars appear in one final division (see the
+    // q122 scaladoc for why the earlier per-purchase double + dsum
+    // formulation was a latent cross-engine rounding-tie hazard).
     // Scale shape: the touch join is an equi-join on user_id with the
     // time-range predicate as join condition (the q47 contract — no
     // product join); everything after is partial-aggregated counts
@@ -565,21 +567,26 @@ object Extended10 {
           col("channel"))
         .agg(count(lit(1)).as("k"))
       val wP = Window.partitionBy(col("pid"))
+      // micro-cent floor allocation — exact BIGINT div in both engines;
+      // the per-purchase double division + dsum this replaced can land
+      // on 6-dp rounding ties where the engines disagree (found by
+      // q122's sf0.1 compare; dsum is engine-exact only for true 6-dp
+      // inputs, and cents·k/n is an arbitrary rational)
       val credits = perChan
         .withColumn("n", sum(col("k")).over(wP))
         .select(col("pid"), col("channel"), col("k"),
-          ((col("cents") * col("k")).cast("double") /
-            col("n").cast("double") / 100.0).as("credit"))
+          expr("(cents * k * CAST(1000000 AS BIGINT)) div n").as("micro"))
       val organic = purchases.join(
           touched.select(col("pid")).distinct(), Seq("pid"), "left_anti")
         .select(col("pid"), lit("organic").as("channel"),
           lit(1L).as("k"),
-          (col("cents").cast("double") / 100.0).as("credit"))
+          (col("cents") * lit(1000000L)).as("micro"))
       credits.unionAll(organic)
         .groupBy(col("channel"))
         .agg(countDistinct(col("pid")).as("n_purchases"),
           sum(col("k")).as("n_touches"),
-          graft.Parity.dsum(col("credit")).as("revenue_credited"))
+          (sum(col("micro")).cast("double") / 1.0e8)
+            .as("revenue_credited"))
         .orderBy(col("channel"))
     }),
 
@@ -843,10 +850,18 @@ object Extended10 {
     // across channels proportionally to summed weights. Stepwise
     // halving (not continuous exp decay) is deliberate: weights are
     // exact powers of two carried as INTEGER 64 >> age_days, so the
-    // whole computation is integer-exact until one shared double
-    // division — a continuous pow(0.5, age/half_life) would sum
-    // engine-specific transcendental doubles and lose the oracle
-    // (t16/t21's log-free design applied to attribution). Scale shape:
+    // whole computation is integer-exact END-TO-END — a continuous
+    // pow(0.5, age/half_life) would sum engine-specific transcendental
+    // doubles and lose the oracle (t16/t21's log-free design applied
+    // to attribution). Credits are FLOOR-ALLOCATED in micro-cents
+    // ((cents·w·10⁶) div wtot — exact BIGINT `div` in both engines),
+    // summed as longs, and divided to dollars ONCE at the end: the
+    // first shipped form divided per purchase and dsum'd the resulting
+    // arbitrary doubles, and at sf0.1 one credit landed on a 6-dp
+    // rounding tie where Spark (HALF_UP on shortest repr) and DuckDB
+    // (binary value) disagree — dsum is only engine-exact for true
+    // 6-dp inputs. Floor loses < 1 micro-cent per credit row
+    // (conservation still pinned at 1e-6 relative). Scale shape:
     // q116's — the touch join keys on user_id, per-(purchase, channel)
     // weights partial-aggregate map-side, the organic branch is an
     // anti-join on purchase id, and the final rollup is |channels|+1
@@ -883,19 +898,20 @@ object Extended10 {
         .withColumn("tot64", sum(col("chan64")).over(wP))
         .filter(col("tot64") > 0L)
         .select(col("pid"), col("channel"), col("k"),
-          ((col("cents") * col("chan64")).cast("double") /
-            col("tot64").cast("double") / 100.0).as("credit"))
+          expr("(cents * chan64 * CAST(1000000 AS BIGINT)) div tot64")
+            .as("micro"))
       val organic = purchases.join(
           touched.filter(col("w64") > 0L).select(col("pid")).distinct(),
           Seq("pid"), "left_anti")
         .select(col("pid"), lit("organic").as("channel"),
           lit(1L).as("k"),
-          (col("cents").cast("double") / 100.0).as("credit"))
+          (col("cents") * lit(1000000L)).as("micro"))
       credits.unionAll(organic)
         .groupBy(col("channel"))
         .agg(countDistinct(col("pid")).as("n_purchases"),
           sum(col("k")).as("n_touches"),
-          graft.Parity.dsum(col("credit")).as("revenue_credited"))
+          (sum(col("micro")).cast("double") / 1.0e8)
+            .as("revenue_credited"))
         .orderBy(col("channel"))
     }),
 
@@ -1034,6 +1050,47 @@ object Extended10 {
             (lit(10.0) * col("n").cast("double"))).as("cusum_cents"),
           (col("s") > lit(20L) * col("t")).as("is_drift"))
         .orderBy(col("dt"))
+    }),
+
+    // SEQUENTIAL PATTERN MATCHING over event timelines — the
+    // MATCH_RECOGNIZE capability class (row-pattern recognition) Spark
+    // has no native operator for, expressed with the classic
+    // sequence-as-string trick: each user's timeline becomes one
+    // character string (event types here have unique first letters:
+    // s/v/c/p/e), ordered by the deterministic (ts, event_id) total
+    // order, and row patterns become REGEXES evaluated row-locally —
+    // `s.*v.*c.*p` (full funnel, any gaps), `e+p` (purchase
+    // immediately after an error run — the retry-success signal),
+    // `p[^e]*p` (repeat purchase with no intervening error). Counts
+    // are non-overlapping leftmost-greedy in BOTH engines (java.regex
+    // and RE2 share the preference order for these constructs). Where
+    // q61/q81 pin one fixed funnel shape in joins, this is the
+    // GENERIC matcher: a new pattern is a new literal, not a new
+    // plan. Scale shape: the only exchange is the user-keyed
+    // collect_list (timeline strings bounded by per-user activity —
+    // the q82 contract); the three patterns scan each string in one
+    // projection; the rollup is 1 row → 3 via stack.
+    "q128_sequence_pattern" -> ((s, d) => {
+      val pats = Seq(
+        ("error_then_purchase", "e+p"),
+        ("funnel_svcp", "s.*v.*c.*p"),
+        ("repeat_purchase_no_error", "p[^e]*p"))
+      val seqs = Tables.events(s, d)
+        .select(col("user_id"), struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch")).as("ev"))
+        .groupBy(col("user_id"))
+        .agg(expr("array_join(transform(array_sort(collect_list(ev)), " +
+          "x -> x.ch), '')").as("str"))
+      val aggCols = pats.indices.flatMap(i => Seq(
+        sum(when(col(s"c$i") > 0, 1L).otherwise(0L)).as(s"u$i"),
+        sum(col(s"c$i")).cast("long").as(s"m$i")))
+      val counted = seqs.select(pats.zipWithIndex.map { case ((_, p), i) =>
+        expr(s"regexp_count(str, '$p')").as(s"c$i") }: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      counted.select(expr("stack(3, " + pats.zipWithIndex.map {
+          case ((label, _), i) => s"'$label', u$i, m$i" }.mkString(", ") +
+          ") AS (pattern, n_users, n_matches)"))
+        .orderBy(col("pattern"))
     }),
 
     // NATIVE as-of join — q26's scenario on the custom whole-operator
@@ -1431,19 +1488,20 @@ object Extended10 {
          per_chan AS (SELECT pid, cents, channel, COUNT(1) AS k
            FROM touched GROUP BY 1, 2, 3),
          credits AS (SELECT pid, channel, k,
-             CAST(cents * k AS DOUBLE)
-               / CAST(CAST(SUM(k) OVER (PARTITION BY pid) AS BIGINT)
-                   AS DOUBLE) / 100.0 AS credit
+             (cents * k * CAST(1000000 AS BIGINT))
+               // CAST(SUM(k) OVER (PARTITION BY pid) AS BIGINT)
+               AS micro
            FROM per_chan),
          organic AS (SELECT pid, 'organic' AS channel,
              CAST(1 AS BIGINT) AS k,
-             CAST(cents AS DOUBLE) / 100.0 AS credit
+             cents * CAST(1000000 AS BIGINT) AS micro
            FROM purchases
            WHERE pid NOT IN (SELECT pid FROM touched)),
          allc AS (SELECT * FROM credits UNION ALL SELECT * FROM organic)
          SELECT channel, COUNT(DISTINCT pid) AS n_purchases,
            CAST(SUM(k) AS BIGINT) AS n_touches,
-           ${graft.Parity.dsumSql("credit")} AS revenue_credited
+           CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1e8
+             AS revenue_credited
          FROM allc GROUP BY channel ORDER BY channel""",
 
     "q117_lag_percentile_trend" ->
@@ -1595,15 +1653,16 @@ object Extended10 {
          GROUP BY 1, 2 ORDER BY class_p1, class_p2""",
 
     // stepwise-halving weights: 64 >> age_days is exact integer
-    // arithmetic in both engines; one shared double division at the end
+    // arithmetic in both engines; micro-cent floor allocation keeps the
+    // books in BIGINT until one final division
     "q122_time_decay_attribution" ->
-      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
              event_type, value, props FROM events),
          purchases AS (SELECT user_id, event_id AS pid, us AS pus,
              CAST(round(value * 100) AS BIGINT) AS cents
            FROM ev WHERE event_type = 'purchase'),
          clicks AS (SELECT user_id, us AS cus,
-             'ch_' || CAST(CAST(json_extract_string(props, '$$.k')
+             'ch_' || CAST(CAST(json_extract_string(props, '$.k')
                AS BIGINT) % 5 AS VARCHAR) AS channel
            FROM ev WHERE event_type = 'click'),
          touched AS (SELECT p.pid, p.cents, c.channel,
@@ -1615,8 +1674,8 @@ object Extended10 {
              CAST(SUM(w64) AS BIGINT) AS chan64
            FROM touched GROUP BY 1, 2, 3),
          credits AS (SELECT pid, channel, k,
-             CAST(cents * chan64 AS DOUBLE)
-               / CAST(tot64 AS DOUBLE) / 100.0 AS credit
+             (cents * chan64 * CAST(1000000 AS BIGINT)) // tot64
+               AS micro
            FROM (SELECT pid, cents, channel, k, chan64,
                CAST(SUM(chan64) OVER (PARTITION BY pid) AS BIGINT)
                  AS tot64
@@ -1624,14 +1683,43 @@ object Extended10 {
            WHERE tot64 > 0),
          organic AS (SELECT pid, 'organic' AS channel,
              CAST(1 AS BIGINT) AS k,
-             CAST(cents AS DOUBLE) / 100.0 AS credit
+             cents * CAST(1000000 AS BIGINT) AS micro
            FROM purchases
            WHERE pid NOT IN (SELECT pid FROM touched WHERE w64 > 0)),
          allc AS (SELECT * FROM credits UNION ALL SELECT * FROM organic)
          SELECT channel, COUNT(DISTINCT pid) AS n_purchases,
            CAST(SUM(k) AS BIGINT) AS n_touches,
-           ${graft.Parity.dsumSql("credit")} AS revenue_credited
+           CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1e8
+             AS revenue_credited
          FROM allc GROUP BY channel ORDER BY channel""",
+
+    // same timeline strings (string_agg with the same (ts, event_id)
+    // total order), same regexes — RE2 and java.regex agree on
+    // leftmost-greedy non-overlapping counts for these constructs
+    "q128_sequence_pattern" ->
+      """WITH s AS (SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+               ORDER BY ts, event_id) AS str
+           FROM events GROUP BY 1),
+         m AS (SELECT user_id,
+             len(regexp_extract_all(str, 'e+p')) AS c0,
+             len(regexp_extract_all(str, 's.*v.*c.*p')) AS c1,
+             len(regexp_extract_all(str, 'p[^e]*p')) AS c2
+           FROM s),
+         u AS (
+           SELECT 'error_then_purchase' AS pattern,
+             CAST(SUM(CASE WHEN c0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_users,
+             CAST(SUM(c0) AS BIGINT) AS n_matches FROM m
+           UNION ALL
+           SELECT 'funnel_svcp',
+             CAST(SUM(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(c1) AS BIGINT) FROM m
+           UNION ALL
+           SELECT 'repeat_purchase_no_error',
+             CAST(SUM(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(c2) AS BIGINT) FROM m)
+         SELECT pattern, n_users, n_matches FROM u ORDER BY pattern""",
 
     // q114's register oracle minus the exact-distinct join — the
     // aggregate must reproduce the declarative build's sketch exactly

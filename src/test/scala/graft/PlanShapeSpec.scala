@@ -459,4 +459,25 @@ class PlanShapeSpec extends SparkSpec {
       "HashAggregate.*max".r.findFirstIn(p).isDefined, p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("q126: the register aggregate partial-aggregates map-side — the " +
+      "exchange carries one 64-byte register file per (partition, " +
+      "priority), the tightest distinct-sketch shuffle") {
+    val p = planOf("q126_hll_agg")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
+    // stage must sit BELOW the first exchange
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0, p.take(800))
+    assert(p.contains("partial_hll_register_agg"), p.take(1500))
+    // plan prints leaves deepest-last in formatted mode, so partial-agg
+    // below the exchange means its node number is LOWER
+    val nums = "\\((\\d+)\\) (ObjectHashAggregate|Exchange)".r
+      .findAllMatchIn(p).map(m => (m.group(1).toInt, m.group(2))).toList
+    val firstAggNum = nums.collect {
+      case (n, "ObjectHashAggregate") => n }.min
+    val firstExNum = nums.collect { case (n, "Exchange") => n }.min
+    assert(firstAggNum < firstExNum,
+      s"partial aggregate must precede the exchange: $nums")
+  }
 }
