@@ -42,6 +42,42 @@ class GraftPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  // --- HLL register file -----------------------------------------------
+
+  test("HLL registers equal the per-bucket max-rho model under random " +
+      "streams, any split, and any merge order") {
+    import graft.functions.HllRegisterAggregate.{estimate, observe}
+    val hashGen = Gen.listOf(Gen.chooseNum(0L, (1L << 60) - 1))
+    forAllSeeded(Gen.zip(hashGen, hashGen)) { case (s1, s2) =>
+      def model(hs: List[Long]): Seq[Int] =
+        (0 until 64).map { b =>
+          val rhos = hs.filter(h => (h & 63L) == b.toLong).map { h =>
+            val w = h >>> 6
+            55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+          }
+          if (rhos.isEmpty) 0 else rhos.max
+        }
+      val direct = new Array[Byte](64)
+      (s1 ++ s2).foreach(observe(direct, _))
+      val a = new Array[Byte](64)
+      s1.reverse.foreach(observe(a, _)) // reversed order must not matter
+      val b = new Array[Byte](64)
+      s2.foreach(observe(b, _))
+      // merge b into a element-wise (the aggregate's merge)
+      (0 until 64).foreach(i => if (b(i) > a(i)) a(i) = b(i))
+      val m = model(s1 ++ s2)
+      assert(direct.map(_.toInt).toSeq == m)
+      assert(a.map(_.toInt).toSeq == m, "split+merge must equal direct")
+      // estimate is a pure function of the registers
+      assert(estimate(direct) == estimate(a))
+    }
+    // negative hash throws loudly
+    val e = intercept[IllegalArgumentException] {
+      observe(new Array[Byte](64), -1L)
+    }
+    assert(e.getMessage.contains("negative"))
+  }
+
   // --- QuantileSketchBuffer --------------------------------------------
 
   test("QuantileSketchBuffer is the bottom-k DISTINCT (hash, value) set, " +
