@@ -33,6 +33,7 @@ object SparkEntry {
       operators.Extended8.queries ++
       operators.Extended9.queries ++
       operators.Extended10.queries ++
+      operators.Extended11.queries ++
       operators.PiiOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +55,6 @@ object SparkEntry {
       operators.Extended8.oracleSql ++
       operators.Extended9.oracleSql ++
       operators.Extended10.oracleSql ++
+      operators.Extended11.oracleSql ++
       operators.PiiOps.oracleSql
 }

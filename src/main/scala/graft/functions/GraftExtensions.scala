@@ -69,6 +69,11 @@ object GraftFunctions {
     // hll_register_agg(hash): 64-register HLL file over 60-bit hashes
     descriptor("hll_register_agg", classOf[HllRegisterAggregate],
       exprs => HllRegisterAggregate(exprs(0))),
+    // cms_sketch_agg(hash, depth, width): Count-Min counter matrix
+    descriptor("cms_sketch_agg", classOf[CmsSketchAggregate],
+      exprs => CmsSketchAggregate(exprs(0),
+        intArg(exprs(1), "cms_sketch_agg"),
+        intArg(exprs(2), "cms_sketch_agg"))),
     // quantile_sketch(hash, value, k, p...): KMV bottom-k estimates
     descriptor("quantile_sketch", classOf[QuantileSketchAggregate],
       exprs => QuantileSketchAggregate(exprs(0), exprs(1),

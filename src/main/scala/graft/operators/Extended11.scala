@@ -1,0 +1,392 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Parity, Tables}
+
+/** Eleventh analytics batch: the Count-Min frequency sketch surface
+  * (the mergeable-summary family's missing member — HLL says "how many
+  * distinct", CMS says "how often does THIS key occur"), weighted
+  * shortest paths over the co-purchase graph (the cost generalization
+  * of q125's BFS hops), Theil–Sen robust trend estimation beside q58's
+  * OLS (median-of-pairwise-slopes — the estimator that shrugs off the
+  * outlier months that drag a least-squares line), and KMV sketch
+  * set-intersection (the inclusion–exclusion/ratio algebra on top of
+  * q51/q63's bottom-k sketches). Same contract as Extended5–10:
+  * declarative plans, integer/decimal carriers until the final double
+  * projections, a scale note per entry. The reference delegates all of
+  * this to user code behind its event processor
+  * (`/root/reference/README.md:246-293`).
+  */
+object Extended11 {
+
+  /** Portable 60-bit hash both engines can compute bit-identically:
+    * the first 15 hex chars of md5 over the value's UTF-8 string form
+    * (the q114/q51 discipline). */
+  private def phash(c: Column): Column =
+    conv(substring(md5(encode(c.cast("string"), "UTF-8")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** DuckDB twin of [[phash]]. */
+  private def phashSql(expr: String): String =
+    s"""CAST(list_reduce(list_transform(generate_series(1, 15),
+       |  i -> strpos('0123456789abcdef', substring(
+       |    md5(CAST(($expr) AS VARCHAR)), i, 1)) - 1),
+       |(a, x) -> a * 16 + x) AS BIGINT)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // COUNT-MIN FREQUENCY SKETCH, fully oracled — one
+    // `cms_sketch_agg(h, 4, 64)` fold over the event stream
+    // ([[graft.functions.CmsSketchAggregate]]) produces the 4×64
+    // counter matrix (2 KB of state regardless of stream length), and
+    // every user's occurrence count is then estimated by probing
+    // min over rows of C[i][(h >> 6i) & 63] — a row-local HOF over the
+    // emitted array, the q126 stance of keeping the estimate algebra
+    // outside the aggregate. The demo width (64) is deliberately small
+    // relative to the key space so the sketch's one-sided error is
+    // VISIBLE: the oracle rebuilds the identical matrix declaratively
+    // and the overcount column shows estimate ≥ exact on every row
+    // (the CMS guarantee, spec-pinned), with min-of-4-rows pulling most
+    // estimates back to truth. Scale shape: the aggregate's partial
+    // state is the 2 KB matrix map-side — the exchange carries one
+    // matrix per group, never the keys; merge is element-wise add, so
+    // daily/shard partial sketches sum to the exact union sketch
+    // (which is why this is the streaming frequency summary — see
+    // StreamingOps.cmsFold, the cross-batch twin).
+    "q129_cms_frequency" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), phash(col("user_id")).as("h"))
+      val sketch = ev.agg(
+        graft.functions.CmsFunctions.cmsSketch(col("h"), 4, 64).as("cms"))
+      val exact = ev.groupBy(col("user_id"), col("h"))
+        .agg(count(lit(1)).as("n_exact"))
+      exact.join(broadcast(sketch), lit(true))
+        .withColumn("cms_est", expr(
+          "aggregate(sequence(0, 3), CAST(9223372036854775807 AS BIGINT), " +
+            "(m, i) -> least(m, element_at(cms, " +
+            "CAST(i * 64 + (shiftright(h, 6 * i) & 63) + 1 AS INT))))"))
+        .select(col("user_id"), col("n_exact"), col("cms_est"),
+          (col("cms_est") - col("n_exact")).as("overcount"))
+        .orderBy(col("user_id"))
+    }),
+
+    // WEIGHTED SHORTEST PATHS (bounded Bellman–Ford) over the part
+    // co-purchase graph — the cost generalization of q125's k-hop BFS:
+    // edge weight is an integer co-purchase DISTANCE (10⁶ div
+    // co-occurrence count — strongly associated parts are near), and
+    // the answer is each node's cheapest ≤3-hop cost from the seed
+    // set, where a 2-hop chain of strong edges can (and does) beat a
+    // weak direct edge — the property hop-counting BFS cannot see.
+    // Spark side is the Bellman–Ford relaxation loop in DataFrames:
+    // per round, dist ⋈ edges proposes v ← cost+w, then min-merge with
+    // the standing dist; each round's dist is LOCAL-CHECKPOINTED (the
+    // q105/q125 iterative-lineage discipline — unlike BFS, a weighted
+    // frontier cannot be visited-pruned because later rounds may
+    // IMPROVE a cost, so the full dist frame rolls forward). The
+    // oracle unrolls the same three relaxations as nested CTEs — no
+    // recursive CTE, because per-hop min-aggregation inside RECURSIVE
+    // would otherwise enumerate every path. Output: the 50 nearest
+    // nodes by (cost, pk) — the "recommendation neighborhood" query.
+    // Scale shape: each round exchanges dist (≤ |nodes| rows of two
+    // longs) keyed on pk against the edge list; weights build on the
+    // already-exchanged (u, v) aggregate; 3 rounds = 3 bounded joins.
+    "q130_copurchase_distance" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = Materialize.LocalCheckpoint(op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
+        .select(col("u"), col("v"),
+          expr("CAST(1000000 AS BIGINT) div n_co").as("w")))
+      var dist = Materialize.LocalCheckpoint(
+        edges.select(col("u").as("pk")).distinct()
+          .filter(col("pk") % 200 === 0)
+          .withColumn("cost", lit(0L)))
+      for (_ <- 1 to 3) {
+        val relaxed = dist.join(edges, col("pk") === col("u"))
+          .select(col("v").as("pk"), (col("cost") + col("w")).as("cost"))
+        dist = Materialize.LocalCheckpoint(
+          dist.unionAll(relaxed)
+            .groupBy(col("pk")).agg(min(col("cost")).as("cost")))
+      }
+      dist.select(col("pk"), col("cost").as("cost_micro"))
+        .orderBy(col("cost_micro"), col("pk")).limit(50)
+    }),
+
+    // THEIL–SEN ROBUST TREND per nation beside the q58-style OLS line:
+    // monthly revenue series → all-pairs slopes (cents_b − cents_a) /
+    // (mon_b − mon_a) → exact MEDIAN slope. Cross-engine exactness
+    // needs no decimal machinery here: monthly cents are exact longs,
+    // each pairwise slope is ONE correctly-rounded IEEE division of
+    // exactly-representable integers, and the median picks (or
+    // averages two of) those identical doubles — +,−,×,/ only, no
+    // libm. The OLS slope rides the same exact integer moments as q58
+    // (n·Sxy − Sx·Sy over n·Sxx − Sx², all longs, one final double
+    // division), so the two estimators are compared on equal footing.
+    // Scale shape: the only fact-table exchange is the monthly rollup
+    // (partial-aggregated to |nation|×|month| rows); the O(m²) pair
+    // join runs on that tiny series frame per nation — m months means
+    // m²/2 pairs of three longs, bounded by the CALENDAR, not the
+    // data (the q115 grid stance).
+    "q131_theil_sen_trend" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          ((year(col("o_orderdate")) - 1995) * 12 +
+            month(col("o_orderdate")) - 1).as("mon"))
+        .agg(sum(Parity.cents2(col("o_totalprice"))).as("cents"))
+      val pairs = monthly.as("a").join(monthly.as("b"),
+          col("a.nation") === col("b.nation") &&
+            col("a.mon") < col("b.mon"))
+        .select(col("a.nation").as("nation"),
+          ((col("b.cents") - col("a.cents")).cast("double") /
+            (col("b.mon") - col("a.mon")).cast("double")).as("slope"))
+      val ranked = pairs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("nation")).orderBy(col("slope"))))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy(col("nation"))))
+      val ts = ranked
+        .filter(col("rn") === expr("(np + 1) div 2") ||
+          col("rn") === expr("(np + 2) div 2"))
+        .groupBy(col("nation"))
+        .agg(max(col("np")).as("n_pairs"),
+          (sum(col("slope")) / count(lit(1))).as("ts_slope_cents"))
+      val ols = monthly.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_months"),
+          sum(col("mon")).as("sx"), sum(col("cents")).as("sy"),
+          sum(col("mon") * col("cents")).as("sxy"),
+          sum(col("mon") * col("mon")).as("sxx"))
+        .select(col("nation"), col("n_months"),
+          ((col("n_months") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n_months") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("ols_slope_cents"))
+      ols.join(ts, Seq("nation"))
+        .select(col("nation"), col("n_months"), col("n_pairs"),
+          col("ts_slope_cents"), col("ols_slope_cents"))
+        .orderBy(col("nation"))
+    }),
+
+    // KMV SKETCH INTERSECTION — the set-algebra layer on q51/q63's
+    // bottom-k sketches: from the two quarters' part sets (1996-Q1 vs
+    // Q2 shipments, ~50% true Jaccard on this corpus), build k=64 KMV
+    // sketches, merge to the union sketch (bottom-k of the sketch
+    // union — exactly the distinct-union rule q63 pins), and estimate
+    // the overlap two ways at once: the union NDV from the kth minimum
+    // and the Jaccard RATIO estimator ρ = |union-sketch elements
+    // present in BOTH input sketches| / k, giving intersection ≈
+    // ρ·NDV(A∪B). Everything after the two distinct-scans runs on
+    // ≤3k hash rows; membership marks are broadcast semi-join lookups
+    // on 8-byte hashes. Small-set edge (|union| < k) degrades to the
+    // exact count, the q63 rule. Scale shape: per-set sketches are
+    // bottom-k window prunes over the distinct frame — at warehouse
+    // scale these become per-partition bottom-k partials merged on the
+    // driver-sized k rows; the estimate algebra never touches the
+    // fact table again.
+    "q132_kmv_intersection" -> ((s, d) => {
+      val k = 64
+      def quarterParts(lo: String, hi: String): DataFrame =
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit(lo).cast("date") &&
+            col("l_shipdate") < lit(hi).cast("date"))
+          .select(col("l_partkey")).distinct()
+          .select(phash(col("l_partkey")).as("h"))
+      val a = quarterParts("1996-01-01", "1996-04-01")
+      val b = quarterParts("1996-04-01", "1996-07-01")
+      def bottomK(df: DataFrame): DataFrame = df
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+        .filter(col("rn") <= k).select(col("h"))
+      val skA = bottomK(a).withColumnRenamed("h", "ha")
+      val skB = bottomK(b).withColumnRenamed("h", "hb")
+      val uni = skA.select(col("ha").as("h"))
+        .unionAll(skB.select(col("hb").as("h"))).distinct()
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+        .filter(col("rn") <= k)
+      val marked = uni
+        .join(broadcast(skA), col("h") === col("ha"), "left")
+        .join(broadcast(skB), col("h") === col("hb"), "left")
+      val sk = marked.agg(
+        count(lit(1)).as("union_sketch_size"),
+        max(col("h")).as("hk"),
+        sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      val exact = Tables.lineitem(s, d).select(
+          col("l_partkey"),
+          (col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+            col("l_shipdate") < lit("1996-04-01").cast("date")).as("ia"),
+          (col("l_shipdate") >= lit("1996-04-01").cast("date") &&
+            col("l_shipdate") < lit("1996-07-01").cast("date")).as("ib"))
+        .filter(col("ia") || col("ib"))
+        .groupBy(col("l_partkey"))
+        .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+        .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("n_a_exact"),
+          sum(when(col("ib"), 1L).otherwise(0L)).as("n_b_exact"),
+          sum(when(col("ia") && col("ib"), 1L).otherwise(0L))
+            .as("inter_exact"))
+      exact.join(sk, lit(true))
+        .withColumn("ndv_union_est",
+          when(col("union_sketch_size") < k,
+            col("union_sketch_size").cast("double"))
+            .otherwise(lit((k - 1).toDouble) *
+              lit(1.152921504606846976e18) / col("hk")))
+        .withColumn("jaccard_est",
+          col("n_both").cast("double") /
+            col("union_sketch_size").cast("double"))
+        .select(col("n_a_exact"), col("n_b_exact"), col("inter_exact"),
+          col("union_sketch_size"), col("ndv_union_est"),
+          col("jaccard_est"),
+          (col("jaccard_est") * col("ndv_union_est")).as("inter_est"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q129_cms_frequency" ->
+      s"""WITH ev AS (SELECT user_id, ${phashSql("user_id")} AS h
+         |    FROM events),
+         |  uc AS (SELECT user_id, h, COUNT(1) AS n_exact FROM ev
+         |    GROUP BY 1, 2),
+         |  pos AS (SELECT i, (h >> (6 * i)) & 63 AS idx, n_exact
+         |    FROM uc CROSS JOIN
+         |      (SELECT UNNEST(generate_series(0, 3)) AS i)),
+         |  counters AS (SELECT i, idx, CAST(SUM(n_exact) AS BIGINT) AS c
+         |    FROM pos GROUP BY 1, 2),
+         |  probe AS (SELECT u.user_id, u.n_exact, MIN(c.c) AS cms_est
+         |    FROM uc u JOIN counters c
+         |      ON c.idx = ((u.h >> (6 * c.i)) & 63)
+         |    GROUP BY 1, 2)
+         |SELECT user_id, n_exact, cms_est,
+         |  cms_est - n_exact AS overcount
+         |FROM probe ORDER BY user_id""".stripMargin,
+
+    "q130_copurchase_distance" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |  pc AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+        |      COUNT(1) AS n_co
+        |    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |      AND a.l_partkey <> b.l_partkey
+        |    GROUP BY 1, 2),
+        |  edges AS (SELECT u, v, CAST(1000000 AS BIGINT) // n_co AS w
+        |    FROM pc),
+        |  d0 AS (SELECT DISTINCT u AS pk, CAST(0 AS BIGINT) AS cost
+        |    FROM edges WHERE u % 200 = 0),
+        |  d1 AS (SELECT pk, MIN(cost) AS cost FROM (
+        |      SELECT pk, cost FROM d0
+        |      UNION ALL SELECT e.v, d.cost + e.w FROM d0 d
+        |        JOIN edges e ON e.u = d.pk) GROUP BY 1),
+        |  d2 AS (SELECT pk, MIN(cost) AS cost FROM (
+        |      SELECT pk, cost FROM d1
+        |      UNION ALL SELECT e.v, d.cost + e.w FROM d1 d
+        |        JOIN edges e ON e.u = d.pk) GROUP BY 1),
+        |  d3 AS (SELECT pk, MIN(cost) AS cost FROM (
+        |      SELECT pk, cost FROM d2
+        |      UNION ALL SELECT e.v, d.cost + e.w FROM d2 d
+        |        JOIN edges e ON e.u = d.pk) GROUP BY 1)
+        |SELECT pk, cost AS cost_micro FROM d3
+        |ORDER BY cost_micro, pk LIMIT 50""".stripMargin,
+
+    "q131_theil_sen_trend" ->
+      """WITH monthly AS (SELECT n_name AS nation,
+        |      (year(CAST(o_orderdate AS DATE)) - 1995) * 12 +
+        |        month(CAST(o_orderdate AS DATE)) - 1 AS mon,
+        |      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |        AS BIGINT) AS cents
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |    GROUP BY 1, 2),
+        |  pairs AS (SELECT a.nation,
+        |      CAST(b.cents - a.cents AS DOUBLE) /
+        |        CAST(b.mon - a.mon AS DOUBLE) AS slope
+        |    FROM monthly a JOIN monthly b
+        |      ON a.nation = b.nation AND a.mon < b.mon),
+        |  ranked AS (SELECT nation, slope,
+        |      ROW_NUMBER() OVER (PARTITION BY nation ORDER BY slope)
+        |        AS rn,
+        |      COUNT(1) OVER (PARTITION BY nation) AS np
+        |    FROM pairs),
+        |  ts AS (SELECT nation, MAX(np) AS n_pairs,
+        |      SUM(slope) / COUNT(1) AS ts_slope_cents
+        |    FROM ranked
+        |    WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        |    GROUP BY 1),
+        |  mom AS (SELECT nation, COUNT(1) AS n_months,
+        |      CAST(SUM(mon) AS BIGINT) AS sx,
+        |      CAST(SUM(cents) AS BIGINT) AS sy,
+        |      CAST(SUM(mon * cents) AS BIGINT) AS sxy,
+        |      CAST(SUM(mon * mon) AS BIGINT) AS sxx
+        |    FROM monthly GROUP BY 1),
+        |  ols AS (SELECT nation, n_months,
+        |      CAST(n_months * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n_months * sxx - sx * sx AS DOUBLE)
+        |        AS ols_slope_cents
+        |    FROM mom)
+        |SELECT o.nation, o.n_months, t.n_pairs, t.ts_slope_cents,
+        |  o.ols_slope_cents
+        |FROM ols o JOIN ts t ON o.nation = t.nation
+        |ORDER BY o.nation""".stripMargin,
+
+    "q132_kmv_intersection" ->
+      s"""WITH qa AS (SELECT DISTINCT l_partkey FROM lineitem
+         |    WHERE l_shipdate >= DATE '1996-01-01'
+         |      AND l_shipdate < DATE '1996-04-01'),
+         |  qb AS (SELECT DISTINCT l_partkey FROM lineitem
+         |    WHERE l_shipdate >= DATE '1996-04-01'
+         |      AND l_shipdate < DATE '1996-07-01'),
+         |  ha AS (SELECT ${phashSql("l_partkey")} AS h FROM qa),
+         |  hb AS (SELECT ${phashSql("l_partkey")} AS h FROM qb),
+         |  ska AS (SELECT h FROM
+         |    (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha)
+         |    WHERE rn <= 64),
+         |  skb AS (SELECT h FROM
+         |    (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb)
+         |    WHERE rn <= 64),
+         |  uni AS (SELECT h FROM
+         |    (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM
+         |      (SELECT DISTINCT h FROM
+         |        (SELECT h FROM ska UNION ALL SELECT h FROM skb)))
+         |    WHERE rn <= 64),
+         |  sk AS (SELECT COUNT(1) AS union_sketch_size, MAX(u.h) AS hk,
+         |      CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |    FROM uni u LEFT JOIN ska a ON u.h = a.h
+         |      LEFT JOIN skb b ON u.h = b.h),
+         |  ex AS (SELECT
+         |      CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
+         |        AS n_a_exact,
+         |      CAST(SUM(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT)
+         |        AS n_b_exact,
+         |      CAST(SUM(CASE WHEN ia AND ib THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS inter_exact
+         |    FROM (SELECT l_partkey,
+         |        MAX(l_shipdate >= DATE '1996-01-01'
+         |          AND l_shipdate < DATE '1996-04-01') AS ia,
+         |        MAX(l_shipdate >= DATE '1996-04-01'
+         |          AND l_shipdate < DATE '1996-07-01') AS ib
+         |      FROM lineitem
+         |      WHERE l_shipdate >= DATE '1996-01-01'
+         |        AND l_shipdate < DATE '1996-07-01'
+         |      GROUP BY 1)),
+         |  est AS (SELECT ex.*, sk.union_sketch_size,
+         |      CASE WHEN sk.union_sketch_size < 64
+         |        THEN CAST(sk.union_sketch_size AS DOUBLE)
+         |        ELSE CAST(63 AS DOUBLE) *
+         |          CAST(1152921504606846976 AS DOUBLE) / CAST(sk.hk AS DOUBLE)
+         |      END AS ndv_union_est,
+         |      CAST(sk.n_both AS DOUBLE) /
+         |        CAST(sk.union_sketch_size AS DOUBLE) AS jaccard_est
+         |    FROM ex CROSS JOIN sk)
+         |SELECT n_a_exact, n_b_exact, inter_exact, union_sketch_size,
+         |  ndv_union_est, jaccard_est,
+         |  jaccard_est * ndv_union_est AS inter_est
+         |FROM est""".stripMargin
+  )
+}

@@ -135,6 +135,40 @@ object StreamingOps {
       graft.functions.HllRegisterAggregate.estimate(regs))
   }
 
+  /** q129's streaming twin: an incremental Count-Min frequency sketch
+    * per key. State per key is the 4×64 counter matrix itself (2 KB,
+    * fixed regardless of stream length or key cardinality —
+    * RocksDB-friendly, like the HLL fold's 64 bytes); each micro-batch
+    * folds its hashes in via
+    * [[graft.functions.CmsSketchAggregate.observe]] — the SAME
+    * row-slice code the batch aggregate runs, so stream and batch
+    * recompute produce the identical matrix on the same prefix of data
+    * (pinned in StatefulStreamSpec). Emits one snapshot per key per
+    * batch (Update mode) with the probed estimate for the batch's last
+    * hash; counter ADD is insensitive to arrival order, so — as with
+    * the HLL fold — restart/replay folds to the same sketch with no
+    * batch-vs-stream divergence window.
+    */
+  case class CmsObs(key: String, h: Long)
+  case class CmsSnapshot(key: String, n_obs: Long, n_nonzero: Int,
+      matrix_sig: Long)
+  def cmsFold(key: String, it: Iterator[CmsObs],
+      state: GroupState[Array[Long]]): CmsSnapshot = {
+    val m = state.getOption.getOrElse(new Array[Long](256))
+    it.foreach(o => graft.functions.CmsSketchAggregate.observe(m, o.h, 4, 6))
+    state.update(m)
+    // n_obs: every observation increments exactly one row-0 counter
+    CmsSnapshot(key, m.view.slice(0, 64).sum, m.count(_ > 0L),
+      CmsSnapshot.signature(m))
+  }
+  object CmsSnapshot {
+    /** Order-sensitive FNV-style fold of the counter matrix — two
+      * matrices collide only if equal, for all practical purposes, so
+      * the spec can pin stream == batch without shipping 256 longs. */
+    def signature(m: Array[Long]): Long =
+      m.foldLeft(1469598103934665603L)((a, c) => (a ^ c) * 1099511628211L)
+  }
+
   /** q108's streaming twin: incremental seasonal-residual anomaly
     * scoring. Input is completed (date, hour) activity cells (produced
     * upstream by a watermarked tumbling count); state per

@@ -480,4 +480,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(firstAggNum < firstExNum,
       s"partial aggregate must precede the exchange: $nums")
   }
+
+  test("q129: the CMS aggregate partial-aggregates map-side — the " +
+      "exchange carries one 2 KB counter matrix per partition, never " +
+      "the keys (the q126 shuffle shape for the frequency sketch)") {
+    val p = planOf("q129_cms_frequency")
+    assert(p.contains("partial_cms_sketch_agg"), p.take(1500))
+    // the plan interleaves the exact-count branch, so scope the
+    // partial-before-exchange check to the sketch branch's own pair:
+    // partial OHA → exchange → final OHA must appear as consecutive
+    // node numbers among the OHA/Exchange nodes
+    val nums = "\\((\\d+)\\) (ObjectHashAggregate|Exchange)".r
+      .findAllMatchIn(p).map(m => (m.group(1).toInt, m.group(2))).toList
+    val ohas = nums.collect { case (n, "ObjectHashAggregate") => n }
+    assert(ohas.size == 2, s"expected partial+final OHA: $nums")
+    assert(nums.exists { case (n, kind) =>
+      kind == "Exchange" && n > ohas.min && n < ohas.max },
+      s"the sketch exchange must sit between the partial and final " +
+        s"aggregates: $nums")
+  }
 }

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the Extended11 batch: the Count-Min matrix algebra
+  * (partition independence, one-sided error), Bellman–Ford vs a
+  * driver-side relaxation model, Theil–Sen vs a driver-side median of
+  * pairwise slopes, and the KMV intersection estimator's internal
+  * consistency (value-level equality vs the DuckDB oracle runs via
+  * graft.Verify + tools/compare.py).
+  */
+class Round7dOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q129 / cms_sketch_agg: the counter matrix is bit-identical to a " +
+      "driver-side fold, independent of partitioning; merge is " +
+      "element-wise add; estimate >= exact on every row (the one-sided " +
+      "CMS guarantee)") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.events(spark, dir)
+      .select(conv(substring(md5(encode(col("user_id").cast("string"),
+        "UTF-8")), 1, 15), 16, 10).cast("long").as("h"))
+    val hs = base.collect().map(_.getLong(0))
+    val model = new Array[Long](256)
+    hs.foreach(h => graft.functions.CmsSketchAggregate.observe(model, h, 4, 6))
+    for (nPart <- Seq(1, 7, 32)) {
+      val got = base.repartition(nPart)
+        .agg(expr("cms_sketch_agg(h, 4, 64)").as("m"))
+        .collect()(0).getSeq[Long](0)
+      assert(got == model.toSeq, s"parts=$nPart")
+    }
+    // matrix row sums: every observation lands once per row
+    (0 until 4).foreach { i =>
+      assert(model.slice(i * 64, i * 64 + 64).sum == hs.length.toLong)
+    }
+    // the declared guarantee, on the query surface
+    val rows = q("q129_cms_frequency").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L, r.toString)
+      val est = graft.functions.CmsSketchAggregate.estimate(
+        model, hashOf(r.getAs[Long]("user_id")), 4, 6)
+      assert(est == r.getAs[Long]("cms_est"), r.toString)
+    }
+    assert(rows.map(_.getAs[Long]("n_exact")).sum == hs.length.toLong)
+  }
+
+  /** Driver-side twin of the portable 60-bit hash. */
+  private def hashOf(v: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(v.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("q130: the DataFrame Bellman-Ford equals a driver-side 3-round " +
+      "relaxation model, seeds sit at cost 0, and costs are positive " +
+      "off the seed set") {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = op.groupBy(_._1).values.map(_.map(_._2).distinct)
+    val coCount = collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.foreach { parts =>
+      for (u <- parts; v <- parts if u != v)
+        coCount((u, v)) = coCount.getOrElse((u, v), 0L) + 1L
+    }
+    val edges = coCount.map { case ((u, v), n) => (u, v, 1000000L / n) }
+    var dist = edges.map(_._1).filter(_ % 200 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val next = collection.mutable.Map.empty[Long, Long] ++= dist
+      edges.foreach { case (u, v, w) =>
+        dist.get(u).foreach { c =>
+          if (!next.get(v).exists(_ <= c + w)) next(v) = c + w
+        }
+      }
+      dist = next.toMap
+    }
+    val expected = dist.toSeq.map { case (pk, c) => (c, pk) }
+      .sorted.take(50).map { case (c, pk) => (pk, c) }
+    val got = q("q130_copurchase_distance").collect()
+      .map(r => (r.getAs[Long]("pk"), r.getAs[Long]("cost_micro"))).toSeq
+    assert(got == expected)
+    got.foreach { case (pk, c) =>
+      assert(if (pk % 200 == 0) c == 0L else c > 0L, s"pk=$pk cost=$c")
+    }
+  }
+
+  test("q131: the Theil-Sen slope equals the driver-side median of " +
+      "pairwise slopes, lies inside [min, max] slope, and n_pairs is " +
+      "m-choose-2 of n_months") {
+    val monthly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        ((year(col("o_orderdate")) - 1995) * 12 +
+          month(col("o_orderdate")) - 1).as("mon"))
+      .agg(sum(Parity.cents2(col("o_totalprice"))).as("cents"))
+      .collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Int]("mon"),
+        r.getAs[Long]("cents")))
+      .groupBy(_._1)
+    val rows = q("q131_theil_sen_trend").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nation = r.getAs[String]("nation")
+      val series = monthly(nation).map(t => (t._2, t._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- series.indices; j <- (i + 1) until series.length
+      } yield (series(j)._2 - series(i)._2).toDouble /
+        (series(j)._1 - series(i)._1).toDouble).sorted
+      val n = slopes.length
+      val med = if (n % 2 == 1) slopes(n / 2)
+        else (slopes(n / 2 - 1) + slopes(n / 2)) / 2
+      assert(r.getAs[Long]("n_pairs") == n.toLong)
+      val m = r.getAs[Long]("n_months")
+      assert(n.toLong == m * (m - 1) / 2)
+      assert(r.getAs[Double]("ts_slope_cents") == med, nation)
+      assert(med >= slopes.head && med <= slopes.last)
+    }
+  }
+
+  test("q132: KMV intersection matches a driver-side sketch model and " +
+      "its estimates are internally consistent") {
+    val r = q("q132_kmv_intersection").collect()(0)
+    def parts(lo: String, hi: String): Set[Long] =
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit(lo).cast("date") &&
+          col("l_shipdate") < lit(hi).cast("date"))
+        .select(col("l_partkey")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    val a = parts("1996-01-01", "1996-04-01")
+    val b = parts("1996-04-01", "1996-07-01")
+    assert(r.getAs[Long]("n_a_exact") == a.size.toLong)
+    assert(r.getAs[Long]("n_b_exact") == b.size.toLong)
+    assert(r.getAs[Long]("inter_exact") == (a & b).size.toLong)
+    val skA = a.map(hashOf).toSeq.sorted.take(64).toSet
+    val skB = b.map(hashOf).toSeq.sorted.take(64).toSet
+    val uni = (skA ++ skB).toSeq.sorted.take(64)
+    assert(r.getAs[Long]("union_sketch_size") == uni.length.toLong)
+    val nBoth = uni.count(h => skA(h) && skB(h))
+    assert(r.getAs[Double]("jaccard_est") ==
+      nBoth.toDouble / uni.length.toDouble)
+    val estU = r.getAs[Double]("ndv_union_est")
+    if (uni.length < 64) assert(estU == uni.length.toDouble)
+    else assert(estU == 63.0 * 1.152921504606846976e18 / uni.max)
+    assert(r.getAs[Double]("inter_est") ==
+      r.getAs[Double]("jaccard_est") * estU)
+    val j = r.getAs[Double]("jaccard_est")
+    assert(j >= 0.0 && j <= 1.0)
+  }
+}

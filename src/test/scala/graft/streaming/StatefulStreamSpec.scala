@@ -218,6 +218,58 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cms fold spans micro-batches: the streamed counter matrix " +
+      "equals the batch cms_sketch_agg bit-for-bit on the same rows — " +
+      "counter add is arrival-order-insensitive, so there is no " +
+      "batch-vs-stream divergence window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{CmsObs, CmsSnapshot}
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_type").as("key"),
+        conv(substring(md5(encode(col("user_id").cast("string"),
+          "UTF-8")), 1, 15), 16, 10).cast("long").as("h"))
+      .as[CmsObs].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val input = MemoryStream[CmsObs](spark)
+    val q = input.toDS().groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(StreamingOps.cmsFold _)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("cms_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // the final snapshot per key is the one with the most observations
+      val streamed = spark.table("cms_xbatch").as[CmsSnapshot]
+        .collect().groupBy(_.key).view
+        .mapValues(_.maxBy(_.n_obs)).toMap
+      val batch = graft.Tables.events(spark, dir)
+        .select(col("event_type").as("key"),
+          conv(substring(md5(encode(col("user_id").cast("string"),
+            "UTF-8")), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy(col("key"))
+        .agg(expr("cms_sketch_agg(h, 4, 64)").as("m"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getAs[String]("key") ->
+          (r.getSeq[Long](1).toArray, r.getAs[Long]("n"))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, snap) =>
+        val (m, n) = batch(k)
+        assert(snap.n_obs == n, s"key=$k")
+        assert(snap.matrix_sig == CmsSnapshot.signature(m),
+          s"key=$k streamed=$snap")
+        assert(snap.n_nonzero == m.count(_ > 0L))
+      }
+    } finally q.stop()
+  }
+
   test("stateful query runs on the RocksDB state store (the bounded-memory " +
       "store for 100 TB-scale state)") {
     import spark.implicits._
