@@ -11,9 +11,12 @@ import graft.{Parity, Tables}
   * shortest paths over the co-purchase graph (the cost generalization
   * of q125's BFS hops), Theil–Sen robust trend estimation beside q58's
   * OLS (median-of-pairwise-slopes — the estimator that shrugs off the
-  * outlier months that drag a least-squares line), and KMV sketch
+  * outlier months that drag a least-squares line), KMV sketch
   * set-intersection (the inclusion–exclusion/ratio algebra on top of
-  * q51/q63's bottom-k sketches). Same contract as Extended5–10:
+  * q51/q63's bottom-k sketches), and the Kaplan–Meier estimator
+  * (censored time-to-event — the survival curve behind churn/conversion
+  * questions, with the product fold made cross-engine-exact as an
+  * explicit left fold). Same contract as Extended5–10:
   * declarative plans, integer/decimal carriers until the final double
   * projections, a scale note per entry. The reference delegates all of
   * this to user code behind its event processor
@@ -192,6 +195,65 @@ object Extended11 {
     // scale these become per-partition bottom-k partials merged on the
     // driver-sized k rows; the estimate algebra never touches the
     // fact table again.
+    // KAPLAN-MEIER SURVIVAL CURVE — censored time-to-event analysis,
+    // the family q81/q97 (completed-funnel timings) cannot express:
+    // "how long until a user's first high-value purchase", where users
+    // who never get there are CENSORED at their last observed event
+    // (83 of 150 users on this corpus — dropping them would bias the
+    // curve optimistic-early, K-M's whole reason to exist). Per event
+    // time t (minutes since the user's first event): d_t events among
+    // n_t at-risk (duration ≥ t, events and censored alike), and
+    // S(t) = Π_{u ≤ t} (n_u − d_u)/n_u. The product is the classic
+    // cross-engine hazard — no cumulative-product window exists and
+    // float multiplication is non-associative, so BOTH engines compute
+    // the identical LEFT FOLD: the per-curve factor list is collected
+    // once (sorted, |event times| entries — bounded by the time grid,
+    // not the user count), broadcast back, and each row folds its
+    // rank-prefix slice(1, rn) with init 1.0 — plain IEEE multiplies
+    // in an identical sequence, no libm (the q127 re-express-the-scan
+    // stance applied to products). Scale shape: the only fact exchange
+    // is the per-user groupBy; everything after runs on per-duration
+    // counts; the at-risk tail sum is a window over distinct durations
+    // (calendar-bounded, the t28/q115 stance).
+    "q133_survival_km" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("ft"),
+          min(when(col("event_type") === "purchase" &&
+            col("value") > 150, col("ts"))).as("ev"),
+          max(col("ts")).as("lt"))
+        .select(col("ev").isNotNull.as("is_event"),
+          when(col("ev").isNotNull,
+            expr("(unix_micros(CAST(ev AS TIMESTAMP)) - " +
+              "unix_micros(CAST(ft AS TIMESTAMP))) div 60000000"))
+            .otherwise(
+              expr("(unix_micros(CAST(lt AS TIMESTAMP)) - " +
+                "unix_micros(CAST(ft AS TIMESTAMP))) div 60000000"))
+            .as("dur"))
+      val evts = per.filter(col("is_event"))
+        .groupBy(col("dur").as("t")).agg(count(lit(1)).as("d"))
+      val wDesc = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val atRisk = per.groupBy(col("dur")).agg(count(lit(1)).as("c_all"))
+        .withColumn("n_risk", sum(col("c_all")).over(wDesc))
+        .select(col("dur"), col("n_risk"))
+      val km = evts.join(atRisk, col("t") === col("dur"))
+        .select(col("t"), col("d"), col("n_risk"))
+        .withColumn("factor",
+          (col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("t"))))
+      val lst = km.agg(sort_array(collect_list(
+        struct(col("t"), col("factor")))).as("lst"))
+      km.join(broadcast(lst), lit(true))
+        .withColumn("survival", expr(
+          "aggregate(transform(slice(lst, 1, rn), s -> s.factor), " +
+            "CAST(1.0 AS DOUBLE), (a, x) -> a * x)"))
+        .select(col("t").as("t_min"), col("n_risk"),
+          col("d").as("n_events"), col("survival"))
+        .orderBy(col("t_min"))
+    }),
+
     "q132_kmv_intersection" -> ((s, d) => {
       val k = 64
       def quarterParts(lo: String, hi: String): DataFrame =
@@ -333,6 +395,39 @@ object Extended11 {
         |  o.ols_slope_cents
         |FROM ols o JOIN ts t ON o.nation = t.nation
         |ORDER BY o.nation""".stripMargin,
+
+    "q133_survival_km" ->
+      """WITH per AS (SELECT user_id, MIN(ts) AS ft,
+        |    MIN(CASE WHEN event_type = 'purchase' AND value > 150
+        |      THEN ts END) AS ev,
+        |    MAX(ts) AS lt
+        |  FROM events GROUP BY 1),
+        |  durs AS (SELECT ev IS NOT NULL AS is_event,
+        |    CASE WHEN ev IS NOT NULL
+        |      THEN (epoch_us(ev) - epoch_us(ft)) // 60000000
+        |      ELSE (epoch_us(lt) - epoch_us(ft)) // 60000000
+        |    END AS dur
+        |  FROM per),
+        |  evts AS (SELECT dur AS t, COUNT(1) AS d FROM durs
+        |    WHERE is_event GROUP BY 1),
+        |  dc AS (SELECT dur, COUNT(1) AS c_all FROM durs GROUP BY 1),
+        |  ar AS (SELECT dur, CAST(SUM(c_all) OVER (ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |    FROM dc),
+        |  km AS (SELECT t, d, n_risk,
+        |      CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |        AS factor,
+        |      ROW_NUMBER() OVER (ORDER BY t) AS rn
+        |    FROM evts JOIN ar ON t = ar.dur),
+        |  lst AS (SELECT list(struct_pack(t := t, factor := factor)
+        |      ORDER BY t) AS l FROM km)
+        |SELECT km.t AS t_min, km.n_risk, km.d AS n_events,
+        |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |    list_transform(list_slice(l.l, 1, rn), s -> s.factor)),
+        |    (a, x) -> a * x) AS survival
+        |FROM km CROSS JOIN lst l
+        |ORDER BY t_min""".stripMargin,
 
     "q132_kmv_intersection" ->
       s"""WITH qa AS (SELECT DISTINCT l_partkey FROM lineitem

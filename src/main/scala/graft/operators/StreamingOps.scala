@@ -169,6 +169,27 @@ object StreamingOps {
       m.foldLeft(1469598103934665603L)((a, c) => (a ^ c) * 1099511628211L)
   }
 
+  /** q34's streaming twin: an incremental exact top-k per key. State
+    * per key is the current k best `(value, id)` pairs — bounded at k
+    * entries regardless of stream length; each micro-batch replays the
+    * state into a [[graft.functions.TopKBuffer]] (the SAME insertion
+    * code the batch `graft_topk` aggregate runs, so the two surfaces
+    * cannot drift) and folds the batch's rows in. Top-k of a union is
+    * the top-k of top-ks — arrival-order-insensitive like the HLL/CMS
+    * folds, so restart/replay converges to the identical sketch
+    * (pinned in StatefulStreamSpec against the batch aggregate).
+    */
+  case class TopKObs(key: String, v: Double, id: Long)
+  case class TopKSnapshot(key: String, top: Seq[(Double, Long)])
+  def topkFold(key: String, it: Iterator[TopKObs],
+      state: GroupState[Seq[(Double, Long)]]): TopKSnapshot = {
+    val buf = new graft.functions.TopKBuffer(5)
+    state.getOption.getOrElse(Nil).foreach { case (v, id) => buf.add(v, id) }
+    it.foreach(o => buf.add(o.v, o.id))
+    state.update(buf.entries)
+    TopKSnapshot(key, buf.sorted)
+  }
+
   /** q108's streaming twin: incremental seasonal-residual anomaly
     * scoring. Input is completed (date, hour) activity cells (produced
     * upstream by a watermarked tumbling count); state per

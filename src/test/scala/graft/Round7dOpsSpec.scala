@@ -121,6 +121,44 @@ class Round7dOpsSpec extends SparkSpec {
     }
   }
 
+  test("q133: the K-M curve equals a driver-side survival model " +
+      "(identical left-fold product), survival is non-increasing in " +
+      "(0, 1], and at-risk counts shrink with t") {
+    val per = Tables.events(spark, dir).groupBy(col("user_id"))
+      .agg(min(col("ts")).as("ft"),
+        min(when(col("event_type") === "purchase" && col("value") > 150,
+          col("ts"))).as("ev"),
+        max(col("ts")).as("lt"))
+      .select(col("ev").isNotNull.as("is_event"),
+        when(col("ev").isNotNull,
+          expr("(unix_micros(CAST(ev AS TIMESTAMP)) - " +
+            "unix_micros(CAST(ft AS TIMESTAMP))) div 60000000"))
+          .otherwise(expr("(unix_micros(CAST(lt AS TIMESTAMP)) - " +
+            "unix_micros(CAST(ft AS TIMESTAMP))) div 60000000"))
+          .as("dur"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    assert(per.exists(!_._1), "corpus must have censored users")
+    assert(per.exists(_._1), "corpus must have events")
+    val eventTimes = per.filter(_._1).map(_._2).distinct.sorted
+    var surv = 1.0
+    val model = eventTimes.map { t =>
+      val nRisk = per.count(_._2 >= t).toLong
+      val d = per.count(p => p._1 && p._2 == t).toLong
+      surv = surv * ((nRisk - d).toDouble / nRisk.toDouble)
+      (t, nRisk, d, surv)
+    }
+    val got = q("q133_survival_km").collect()
+      .map(r => (r.getAs[Long]("t_min"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("survival"))).toSeq
+    assert(got == model.toSeq)
+    got.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b._4 <= a._4 && b._2 <= a._2, s"$a -> $b")
+      case _ =>
+    }
+    got.foreach(r => assert(r._4 > 0.0 && r._4 <= 1.0, r.toString))
+  }
+
   test("q132: KMV intersection matches a driver-side sketch model and " +
       "its estimates are internally consistent") {
     val r = q("q132_kmv_intersection").collect()(0)

@@ -270,6 +270,54 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("top-k fold spans micro-batches: the streamed bounded state " +
+      "equals the batch graft_topk aggregate on the same rows — top-k " +
+      "of a union is the top-k of top-ks, so arrival order is " +
+      "irrelevant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{TopKObs, TopKSnapshot}
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_type").as("key"), col("value").as("v"),
+        col("event_id").as("id"))
+      .as[TopKObs].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-topk").toString
+    val input = MemoryStream[TopKObs](spark)
+    val q = input.toDS().groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(StreamingOps.topkFold _)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("topk_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // Update mode appends one snapshot per key per batch; batch 2's
+      // snapshot folds the full history (values only improve), so take
+      // the LAST per key (max top head value, then lexicographic)
+      val streamed = spark.table("topk_xbatch").as[TopKSnapshot]
+        .collect().groupBy(_.key).view
+        .mapValues(_.maxBy(s => s.top.map(p => (p._1, -p._2)).toIndexedSeq)(
+          Ordering.Implicits.seqOrdering[IndexedSeq, (Double, Long)]))
+        .toMap
+      val batch = graft.Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("graft_topk(value, event_id, 5)").as("top"))
+        .collect().map(r => r.getAs[String]("event_type") ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(p => (p.getDouble(0), p.getLong(1)))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, snap) =>
+        assert(snap.top == batch(k), s"key=$k streamed=${snap.top}")
+      }
+    } finally q.stop()
+  }
+
   test("stateful query runs on the RocksDB state store (the bounded-memory " +
       "store for 100 TB-scale state)") {
     import spark.implicits._
