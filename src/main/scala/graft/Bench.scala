@@ -97,7 +97,10 @@ object Bench {
     "d29_shingle_width_profile", "e29_probe_cost", "q123_native_asof",
     "q124_hll_weekly_union", "q122_time_decay_attribution",
     "q125_khop_reachability", "q126_hll_agg", "q127_cusum_drift",
-    "t36_ks_drift", "q128_sequence_pattern")
+    "t36_ks_drift", "q128_sequence_pattern", "q129_cms_frequency",
+    "q130_copurchase_distance", "q131_theil_sen_trend",
+    "q132_kmv_intersection", "q133_survival_km", "q134_mannwhitney_u",
+    "q135_spearman_corr")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

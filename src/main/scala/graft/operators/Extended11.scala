@@ -106,16 +106,36 @@ object Extended11 {
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
         .select(col("u"), col("v"),
           expr("CAST(1000000 AS BIGINT) div n_co").as("w")))
+      // DELTA relaxation (the queue-based Bellman-Ford shape): only
+      // nodes IMPROVED last round propose this round — round 1 joins
+      // |seeds| rows against the edges instead of the whole dist
+      // frame, and later rounds shrink as costs converge. Same
+      // fixpoint as full relaxation: a ≤k-edge optimal path improves
+      // its prefix nodes no later than round of their position, so
+      // every prefix proposes on time (and every proposal IS a real
+      // ≤k-edge path cost, so nothing cheaper than the hop bound
+      // leaks in).
       var dist = Materialize.LocalCheckpoint(
         edges.select(col("u").as("pk")).distinct()
           .filter(col("pk") % 200 === 0)
           .withColumn("cost", lit(0L)))
+      var frontier = dist
       for (_ <- 1 to 3) {
-        val relaxed = dist.join(edges, col("pk") === col("u"))
-          .select(col("v").as("pk"), (col("cost") + col("w")).as("cost"))
-        dist = Materialize.LocalCheckpoint(
-          dist.unionAll(relaxed)
-            .groupBy(col("pk")).agg(min(col("cost")).as("cost")))
+        val cand = frontier.join(edges, col("pk") === col("u"))
+          .select(col("v").as("pk"), (col("cost") + col("w")).as("c"))
+          .groupBy(col("pk")).agg(min(col("c")).as("cand"))
+        val merged = Materialize.LocalCheckpoint(
+          dist.withColumnRenamed("cost", "old")
+            .join(cand, Seq("pk"), "full_outer")
+            .select(col("pk"),
+              least(coalesce(col("old"), col("cand")),
+                coalesce(col("cand"), col("old"))).as("cost"),
+              (col("old").isNull ||
+                (col("cand").isNotNull && col("cand") < col("old")))
+                .as("improved")))
+        dist = merged.select(col("pk"), col("cost"))
+        frontier = merged.filter(col("improved"))
+          .select(col("pk"), col("cost"))
       }
       dist.select(col("pk"), col("cost").as("cost_micro"))
         .orderBy(col("cost_micro"), col("pk")).limit(50)
@@ -252,6 +272,117 @@ object Extended11 {
         .select(col("t").as("t_min"), col("n_risk"),
           col("d").as("n_events"), col("survival"))
         .orderBy(col("t_min"))
+    }),
+
+    // MANN-WHITNEY U (Wilcoxon rank-sum) — the nonparametric two-sample
+    // location test beside t36's KS (distribution shape), q103's
+    // chi-square (categorical association) and q118's proportion test:
+    // does per-order revenue run higher for wide orders (≥6 items)
+    // than narrow ones (≤2)? (A pair chosen because it genuinely
+    // separates on this corpus — the q108 attainability rule; event
+    // values are identical across types here by construction and
+    // would never reject.) Ranks are computed WITHOUT a per-row
+    // global sort: group by distinct whole-dollar revenue → (ca, cb)
+    // counts, then one cumulative window over the pooled
+    // DISTINCT-value grid (t36's pooled-jump-point stance — the
+    // window frame is the value grid, bounded by the price range,
+    // not the order stream). Tie-aware midranks stay exact integers
+    // by carrying 2·midrank = 2·count_below + ties + 1; the rank sum,
+    // U, and the tie-corrected variance all assemble from exact
+    // longs, with doubles only in the final identical-sequence
+    // divisions and ONE sqrt (IEEE-exact, not libm). Scale shape: the
+    // only fact exchange is the per-order rollup; everything after
+    // runs on the value grid.
+    "q134_mannwhitney_u" -> ((s, d) => {
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+        .filter(col("n_items") <= 2 || col("n_items") >= 6)
+        .select(expr("cents div 100").as("value"),
+          (col("n_items") >= 6).as("wide"))
+      val ev = per.groupBy(col("value"))
+        .agg(sum(when(col("wide"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("wide"), 1L).otherwise(0L)).as("cb"))
+        .withColumn("t", col("ca") + col("cb"))
+      val wBelow = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val grid = ev
+        .withColumn("below", coalesce(sum(col("t")).over(wBelow), lit(0L)))
+        .withColumn("r2", lit(2L) * col("below") + col("t") + 1L)
+      grid.agg(
+          sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+          sum(col("ca") * col("r2")).as("ra2"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("u_stat",
+          (col("ra2") - col("n1") * (col("n1") + 1L)).cast("double") /
+            lit(2.0))
+        .withColumn("mu",
+          col("n1").cast("double") * col("n2").cast("double") / lit(2.0))
+        .withColumn("sigma", sqrt(
+          col("n1").cast("double") * col("n2").cast("double") / lit(12.0) *
+            ((col("n") + 1L).cast("double") -
+              col("tie3").cast("double") /
+                (col("n").cast("double") * (col("n") - 1L).cast("double")))))
+        .withColumn("z", (col("u_stat") - col("mu")) / col("sigma"))
+        .select(col("n1"), col("n2"), col("u_stat"), col("mu"),
+          col("sigma"), col("z"),
+          (abs(col("z")) > 1.96).as("reject_95"))
+    }),
+
+    // SPEARMAN RANK CORRELATION per nation — the robust companion to
+    // q111's Pearson moment correlations: monotone association between
+    // an order's lineitem revenue and its item count (strongly
+    // positive on this corpus, so the statistic demonstrably fires;
+    // the tie-heavy item-count side exercises the midrank machinery),
+    // immune to the heavy price tail that inflates a raw-moment r. Midranks
+    // are exact integers scaled by 2 (2·rank_min + ties − 1, the q134
+    // carrier), computed with PARTITIONED windows per nation (rank +
+    // tie count — no global stage); the correlation assembles from
+    // exact long moments of the 2-ranks, combined in doubles with an
+    // identical operation sequence and one IEEE sqrt. Scale shape: the
+    // lineitem rollup and the per-nation windows are the only
+    // exchanges, all keyed; moments partial-aggregate map-side to one
+    // row per nation. Long-range note: 2-rank moments hold exactly in
+    // longs to ~5e5 orders per nation; the final n·Sxy products run in
+    // doubles (correctly rounded, cross-engine identical) at any n.
+    "q135_spearman_corr" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+      val orders = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .select(col("n_name").as("nation"),
+          col("rev").as("x"), col("n_items").as("y"))
+      def rank2(c: String): Column = {
+        val wLess = Window.partitionBy(col("nation")).orderBy(col(c))
+        val wTie = Window.partitionBy(col("nation"), col(c))
+        lit(2L) * (rank().over(wLess).cast("long") - 1L) +
+          count(lit(1)).over(wTie) - 1L + 2L
+      }
+      orders
+        .withColumn("rx", rank2("x"))
+        .withColumn("ry", rank2("y"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("ry")).as("sxy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"))
+        .select(col("nation"), col("n"),
+          ((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))))
+            .as("spearman_rho"))
+        .orderBy(col("nation"))
     }),
 
     "q132_kmv_intersection" -> ((s, d) => {
@@ -428,6 +559,76 @@ object Extended11 {
         |    (a, x) -> a * x) AS survival
         |FROM km CROSS JOIN lst l
         |ORDER BY t_min""".stripMargin,
+
+    "q134_mannwhitney_u" ->
+      """WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |  s AS (SELECT cents // 100 AS value, n_items >= 6 AS wide
+        |    FROM per WHERE n_items <= 2 OR n_items >= 6),
+        |  ev AS (SELECT value,
+        |    CAST(SUM(CASE WHEN wide THEN 1 ELSE 0
+        |      END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN NOT wide THEN 1 ELSE 0
+        |      END) AS BIGINT) AS cb
+        |  FROM s
+        |  GROUP BY 1),
+        |  g AS (SELECT value, ca, cb, ca + cb AS t FROM ev),
+        |  grid AS (SELECT ca, cb, t,
+        |    COALESCE(CAST(SUM(t) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS below
+        |  FROM g),
+        |  r AS (SELECT ca, cb, t, 2 * below + t + 1 AS r2 FROM grid),
+        |  agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(cb) AS BIGINT) AS n2,
+        |    CAST(SUM(ca * r2) AS BIGINT) AS ra2,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie3 FROM r),
+        |  st AS (SELECT n1, n2, n1 + n2 AS n,
+        |    CAST(ra2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+        |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0 AS mu,
+        |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) /
+        |        (CAST(n1 + n2 AS DOUBLE)
+        |          * CAST(n1 + n2 - 1 AS DOUBLE)))) AS sigma
+        |  FROM agg)
+        |SELECT n1, n2, u_stat, mu, sigma,
+        |  (u_stat - mu) / sigma AS z,
+        |  abs((u_stat - mu) / sigma) > 1.96 AS reject_95
+        |FROM st""".stripMargin,
+
+    "q135_spearman_corr" ->
+      """WITH items AS (SELECT l_orderkey, COUNT(1) AS n_items,
+        |      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |        AS BIGINT) AS rev
+        |    FROM lineitem GROUP BY 1),
+        |  o AS (SELECT n_name AS nation, rev AS x, n_items AS y
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      JOIN items ON o_orderkey = l_orderkey),
+        |  r AS (SELECT nation,
+        |      2 * (RANK() OVER (PARTITION BY nation ORDER BY x) - 1)
+        |        + COUNT(1) OVER (PARTITION BY nation, x) - 1 + 2 AS rx,
+        |      2 * (RANK() OVER (PARTITION BY nation ORDER BY y) - 1)
+        |        + COUNT(1) OVER (PARTITION BY nation, y) - 1 + 2 AS ry
+        |    FROM o),
+        |  m AS (SELECT nation, COUNT(1) AS n,
+        |      CAST(SUM(rx) AS BIGINT) AS sx,
+        |      CAST(SUM(ry) AS BIGINT) AS sy,
+        |      CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+        |      CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+        |      CAST(SUM(ry * ry) AS BIGINT) AS syy
+        |    FROM r GROUP BY 1)
+        |SELECT nation, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS spearman_rho
+        |FROM m ORDER BY nation""".stripMargin,
 
     "q132_kmv_intersection" ->
       s"""WITH qa AS (SELECT DISTINCT l_partkey FROM lineitem

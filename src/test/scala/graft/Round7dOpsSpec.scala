@@ -159,6 +159,80 @@ class Round7dOpsSpec extends SparkSpec {
     got.foreach(r => assert(r._4 > 0.0 && r._4 <= 1.0, r.toString))
   }
 
+  test("q134: Mann-Whitney U equals a driver-side midrank model " +
+      "bit-for-bit, and wide orders reject the null upward") {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), sum(Parity.cents2(col("l_extendedprice")))
+        .as("cents"))
+      .collect().map(r => (r.getLong(1), r.getLong(2) / 100))
+      .filter(p => p._1 <= 2 || p._1 >= 6)
+      .map(p => (p._1 >= 6, p._2))
+    val grid = per.groupBy(_._2).view.mapValues { g =>
+      (g.count(_._1).toLong, g.count(!_._1).toLong)
+    }.toSeq.sortBy(_._1)
+    var below = 0L; var ra2 = 0L; var tie3 = 0L
+    grid.foreach { case (_, (ca, cb)) =>
+      val t = ca + cb
+      ra2 += ca * (2 * below + t + 1)
+      tie3 += t * t * t - t
+      below += t
+    }
+    val n1 = per.count(_._1).toLong; val n2 = per.count(!_._1).toLong
+    val n = n1 + n2
+    val u = (ra2 - n1 * (n1 + 1)).toDouble / 2.0
+    val mu = n1.toDouble * n2.toDouble / 2.0
+    val sigma = math.sqrt(n1.toDouble * n2.toDouble / 12.0 *
+      ((n + 1).toDouble - tie3.toDouble / (n.toDouble * (n - 1).toDouble)))
+    val r = q("q134_mannwhitney_u").collect()(0)
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Double]("u_stat") == u)
+    assert(r.getAs[Double]("mu") == mu)
+    assert(r.getAs[Double]("sigma") == sigma)
+    assert(r.getAs[Double]("z") == (u - mu) / sigma)
+    assert(r.getAs[Double]("z") > 0 && r.getAs[Boolean]("reject_95"),
+      s"wide orders must out-earn narrow ones: z=${(u - mu) / sigma}")
+  }
+
+  test("q135: Spearman rho equals a driver-side midrank model " +
+      "bit-for-bit and is strongly positive for revenue vs item count") {
+    val rows = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("rev"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    def ranks2(vs: Seq[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val belowC = sorted.count(_ < v).toLong
+        val t = sorted.count(_ == v).toLong
+        v -> (2 * belowC + t + 1)
+      }.toMap
+    }
+    q("q135_spearman_corr").collect().foreach { r =>
+      val nation = r.getAs[String]("nation")
+      val g = rows(nation)
+      val rx = ranks2(g.map(_._2)); val ry = ranks2(g.map(_._3))
+      val pairs = g.map(p => (rx(p._2), ry(p._3)))
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val rho = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+      assert(r.getAs[Long]("n") == n, nation)
+      assert(r.getAs[Double]("spearman_rho") == rho, nation)
+      assert(rho > 0.5, s"$nation rho=$rho")
+    }
+  }
+
   test("q132: KMV intersection matches a driver-side sketch model and " +
       "its estimates are internally consistent") {
     val r = q("q132_kmv_intersection").collect()(0)
