@@ -94,15 +94,9 @@ case class QuantileSketchAggregate(
     * r = p*(n-1); est = v[floor(r)] + (r - floor(r)) * (v[ceil(r)] - v[floor(r)]). */
   override def eval(buf: QuantileSketchBuffer): Any = {
     val vs = buf.entries.map(_._2).toArray.sorted
-    val n = vs.length
     val out: Array[Any] =
-      if (n == 0) ps.map(_ => 0.0).toArray[Any]
-      else ps.map { p =>
-        val r = p * (n - 1)
-        val lo = math.floor(r).toInt
-        val hi = math.ceil(r).toInt
-        vs(lo) + (r - math.floor(r)) * (vs(hi) - vs(lo)).toDouble
-      }.toArray[Any]
+      if (vs.isEmpty) ps.map(_ => 0.0).toArray[Any]
+      else ps.map(QuantileSketchAggregate.interpolate(vs, _)).toArray[Any]
     new GenericArrayData(out)
   }
 
@@ -132,6 +126,19 @@ case class QuantileSketchAggregate(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(hashExpr = newChildren(0), valueExpr = newChildren(1))
+}
+
+object QuantileSketchAggregate {
+  /** Type-7 interpolation over ASCENDING sample values — the single
+    * source of the estimate algebra (expression order pinned to the
+    * oracle SQL), shared by the batch aggregate's eval and the
+    * streaming fold (StreamingOps.quantileFold). */
+  def interpolate(vs: Array[Long], p: Double): Double = {
+    val r = p * (vs.length - 1)
+    val lo = math.floor(r).toInt
+    val hi = math.ceil(r).toInt
+    vs(lo) + (r - math.floor(r)) * (vs(hi) - vs(lo)).toDouble
+  }
 }
 
 /** Bottom-k set of (hash, value) pairs, distinct, ordered ascending.

@@ -49,14 +49,7 @@ case class SimHashAggregate(
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val h = hashExpr.eval(input)
-    if (h != null) {
-      val hv = h.asInstanceOf[Long]
-      var i = 0
-      while (i < Bits) {
-        buf(i) += (((hv >>> i) & 1L) * 2L) - 1L
-        i += 1
-      }
-    }
+    if (h != null) SimHashAggregate.observe(buf, h.asInstanceOf[Long])
     buf
   }
 
@@ -66,15 +59,7 @@ case class SimHashAggregate(
     a
   }
 
-  override def eval(buf: Array[Long]): Any = {
-    var fp = 0L
-    var i = 0
-    while (i < Bits) {
-      if (buf(i) > 0L) fp |= (1L << i)
-      i += 1
-    }
-    fp
-  }
+  override def eval(buf: Array[Long]): Any = SimHashAggregate.fingerprint(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -102,6 +87,31 @@ case class SimHashAggregate(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): SimHashAggregate =
     copy(hashExpr = newChildren(0))
+}
+
+object SimHashAggregate {
+  /** Fold one word-hash into the 60 bit-counters in place — the single
+    * source of the vote algebra, shared by the batch aggregate and the
+    * streaming fold (StreamingOps.simhashFold) so the two surfaces
+    * cannot drift. */
+  def observe(buf: Array[Long], hv: Long): Unit = {
+    var i = 0
+    while (i < 60) {
+      buf(i) += (((hv >>> i) & 1L) * 2L) - 1L
+      i += 1
+    }
+  }
+
+  /** Majority-vote fingerprint of a counter state. */
+  def fingerprint(buf: Array[Long]): Long = {
+    var fp = 0L
+    var i = 0
+    while (i < 60) {
+      if (buf(i) > 0L) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
 }
 
 object SimHashFunctions {

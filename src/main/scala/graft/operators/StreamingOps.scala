@@ -190,6 +190,61 @@ object StreamingOps {
     TopKSnapshot(key, buf.sorted)
   }
 
+  /** d05/d28's streaming twin: an incremental SimHash fingerprint per
+    * key. State per key is the 60 bit-vote counters (480 bytes, fixed);
+    * each micro-batch folds its word hashes in via
+    * [[graft.functions.SimHashAggregate.observe]] — the SAME vote code
+    * the batch `simhash_agg` runs — and the snapshot projects the
+    * majority fingerprint with
+    * [[graft.functions.SimHashAggregate.fingerprint]]. Vote addition is
+    * arrival-order-insensitive, so stream and batch agree bit-for-bit
+    * on any prefix (pinned in StatefulStreamSpec). The use case is the
+    * d09 incremental-ingest shape: a document's (or source's) evolving
+    * fingerprint maintained as chunks stream in, ready for banded
+    * hamming LSH against the standing corpus.
+    */
+  case class SimObs(key: String, h: Long)
+  case class SimSnapshot(key: String, n_obs: Long, fingerprint: Long)
+  def simhashFold(key: String, it: Iterator[SimObs],
+      state: GroupState[(Long, Array[Long])]): SimSnapshot = {
+    var (n, votes) = state.getOption.getOrElse((0L, new Array[Long](60)))
+    it.foreach { o =>
+      graft.functions.SimHashAggregate.observe(votes, o.h)
+      n += 1
+    }
+    state.update((n, votes))
+    SimSnapshot(key, n, graft.functions.SimHashAggregate.fingerprint(votes))
+  }
+
+  /** q52's streaming twin: incremental KMV quantile estimates per key.
+    * State per key is the bottom-k (hash, value) sample — bounded at k
+    * pairs regardless of stream length; each micro-batch replays the
+    * state into a [[graft.functions.QuantileSketchBuffer]] (the SAME
+    * insertion code the batch `quantile_sketch` aggregate runs) and
+    * folds the batch's rows in. Bottom-k of a union is the bottom-k of
+    * bottom-ks — arrival-order-insensitive like every fold in this
+    * family — and the snapshot projects p50/p90 through the shared
+    * [[graft.functions.QuantileSketchAggregate.interpolate]], so the
+    * streamed estimates equal the batch aggregate's bit-for-bit
+    * (pinned in StatefulStreamSpec).
+    */
+  case class QuantObs(key: String, h: Long, v: Long)
+  case class QuantSnapshot(key: String, n_sample: Int, p50: Double,
+      p90: Double)
+  def quantileFold(key: String, it: Iterator[QuantObs],
+      state: GroupState[Seq[(Long, Long)]]): QuantSnapshot = {
+    val buf = new graft.functions.QuantileSketchBuffer(128)
+    state.getOption.getOrElse(Nil).foreach { case (h, v) => buf.add(h, v) }
+    it.foreach(o => buf.add(o.h, o.v))
+    val entries = buf.entries.toSeq
+    state.update(entries)
+    val vs = entries.map(_._2).toArray.sorted
+    if (vs.isEmpty) QuantSnapshot(key, 0, 0.0, 0.0)
+    else QuantSnapshot(key, vs.length,
+      graft.functions.QuantileSketchAggregate.interpolate(vs, 0.5),
+      graft.functions.QuantileSketchAggregate.interpolate(vs, 0.9))
+  }
+
   /** q108's streaming twin: incremental seasonal-residual anomaly
     * scoring. Input is completed (date, hour) activity cells (produced
     * upstream by a watermarked tumbling count); state per

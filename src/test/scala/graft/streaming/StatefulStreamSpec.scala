@@ -318,6 +318,98 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhash fold spans micro-batches: the streamed fingerprint " +
+      "equals the batch simhash_agg on the same rows — bit votes add, " +
+      "so arrival order is irrelevant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{SimObs, SimSnapshot}
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_type").as("key"),
+        conv(substring(md5(encode(col("user_id").cast("string"),
+          "UTF-8")), 1, 15), 16, 10).cast("long").as("h"))
+      .as[SimObs].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sim").toString
+    val input = MemoryStream[SimObs](spark)
+    val q = input.toDS().groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        StreamingOps.simhashFold _)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("sim_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sim_xbatch").as[SimSnapshot]
+        .collect().groupBy(_.key).view.mapValues(_.maxBy(_.n_obs)).toMap
+      val batch = graft.Tables.events(spark, dir)
+        .select(col("event_type").as("key"),
+          conv(substring(md5(encode(col("user_id").cast("string"),
+            "UTF-8")), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy(col("key"))
+        .agg(expr("simhash_agg(h)").as("fp"), count(lit(1)).as("n"))
+        .collect().map(r => r.getAs[String]("key") ->
+          (r.getAs[Long]("fp"), r.getAs[Long]("n"))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, snap) =>
+        assert((snap.fingerprint, snap.n_obs) == batch(k), s"key=$k")
+      }
+    } finally q.stop()
+  }
+
+  test("quantile fold spans micro-batches: the streamed KMV estimates " +
+      "equal the batch quantile_sketch on the same rows — bottom-k of " +
+      "a union is the bottom-k of bottom-ks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{QuantObs, QuantSnapshot}
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_type").as("key"),
+        conv(substring(md5(encode(col("event_id").cast("string"),
+          "UTF-8")), 1, 15), 16, 10).cast("long").as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .as[QuantObs].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    val input = MemoryStream[QuantObs](spark)
+    val q = input.toDS().groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        StreamingOps.quantileFold _)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("quant_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("quant_xbatch").as[QuantSnapshot]
+        .collect().groupBy(_.key).view.mapValues(_.maxBy(_.n_sample)).toMap
+      val batch = graft.Tables.events(spark, dir)
+        .select(col("event_type").as("key"),
+          conv(substring(md5(encode(col("event_id").cast("string"),
+            "UTF-8")), 1, 15), 16, 10).cast("long").as("h"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        .groupBy(col("key"))
+        .agg(expr("quantile_sketch(h, v, 128, 0.5, 0.9)").as("qs"))
+        .collect().map(r => r.getAs[String]("key") ->
+          r.getSeq[Double](1)).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, snap) =>
+        assert(Seq(snap.p50, snap.p90) == batch(k), s"key=$k $snap")
+      }
+    } finally q.stop()
+  }
+
   test("stateful query runs on the RocksDB state store (the bounded-memory " +
       "store for 100 TB-scale state)") {
     import spark.implicits._
