@@ -86,7 +86,16 @@ object GraftFunctions {
         intArg(exprs(2), "graft_bloom_agg"))),
     // graft_bloom_contains(bloom, key): probe — false = definitely absent
     descriptor("graft_bloom_contains", classOf[BloomMightContain],
-      exprs => BloomMightContain(exprs(0), exprs(1))))
+      exprs => BloomMightContain(exprs(0), exprs(1))),
+    // bitmap_agg(key): exact-distinct bitmap over bounded dense ids
+    descriptor("bitmap_agg", classOf[BitmapAggregate],
+      exprs => BitmapAggregate(exprs(0))),
+    // bitmap_count(b): exact cardinality of a serialized bitmap
+    descriptor("bitmap_count", classOf[BitmapCount],
+      exprs => BitmapCount(exprs(0))),
+    // bitmap_and_count(a, b): exact intersection cardinality
+    descriptor("bitmap_and_count", classOf[BitmapAndCount],
+      exprs => BitmapAndCount(exprs(0), exprs(1))))
 
   /** Register on an already-built session: SQL functions plus the
     * dot-product rewrite (via the experimental-methods hook, the only

@@ -385,6 +385,35 @@ object Extended11 {
         .orderBy(col("nation"))
     }),
 
+    // EXACT-DISTINCT BITMAPS with set algebra — the exact counterpart
+    // to the q126 HLL surface for bounded surrogate keys
+    // ([[graft.functions.BitmapAggregate]], the ClickHouse/Druid
+    // groupBitmap pattern): one `bitmap_agg(custkey)` per order
+    // priority, then every AUDIENCE OVERLAP between priorities comes
+    // from `bitmap_and_count` on the 5 serialized bitmaps — the fact
+    // table is scanned ONCE for all 10 pairwise intersections, where
+    // the q132 exact side had to re-scan per pair. The oracle rebuilds
+    // the same counts relationally (distinct + self-join). Scale
+    // shape: the aggregate's partial state is ⌈maxKey/64⌉ words per
+    // group map-side (125 KB per million-id dictionary); the pairing
+    // join runs on |priorities| rows of bitmaps.
+    "q136_bitmap_distinct" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val bm = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("p"))
+        .agg(graft.functions.BitmapFunctions
+          .bitmapAgg(col("o_custkey")).as("bm"))
+      bm.as("a").join(bm.as("b"), col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"),
+          graft.functions.BitmapFunctions.bitmapCount(col("a.bm"))
+            .as("nd1"),
+          graft.functions.BitmapFunctions.bitmapCount(col("b.bm"))
+            .as("nd2"),
+          graft.functions.BitmapFunctions
+            .bitmapAndCount(col("a.bm"), col("b.bm")).as("inter"))
+        .orderBy(col("p1"), col("p2"))
+    }),
+
     "q132_kmv_intersection" -> ((s, d) => {
       val k = 64
       def quarterParts(lo: String, hi: String): DataFrame =
@@ -629,6 +658,19 @@ object Extended11 {
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    AS spearman_rho
         |FROM m ORDER BY nation""".stripMargin,
+
+    "q136_bitmap_distinct" ->
+      """WITH pc AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c
+        |    FROM orders),
+        |  nd AS (SELECT p, COUNT(1) AS nd FROM pc GROUP BY 1),
+        |  iv AS (SELECT a.p AS p1, b.p AS p2, COUNT(1) AS inter
+        |    FROM pc a JOIN pc b ON a.c = b.c AND a.p < b.p
+        |    GROUP BY 1, 2)
+        |SELECT n1.p AS p1, n2.p AS p2, n1.nd AS nd1, n2.nd AS nd2,
+        |  COALESCE(iv.inter, 0) AS inter
+        |FROM nd n1 JOIN nd n2 ON n1.p < n2.p
+        |  LEFT JOIN iv ON iv.p1 = n1.p AND iv.p2 = n2.p
+        |ORDER BY p1, p2""".stripMargin,
 
     "q132_kmv_intersection" ->
       s"""WITH qa AS (SELECT DISTINCT l_partkey FROM lineitem

