@@ -78,6 +78,79 @@ class GraftPropertiesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("negative"))
   }
 
+  // --- Count-Min counter matrix ----------------------------------------
+
+  test("CMS counters equal the per-slice count model under random " +
+      "streams, any split, and any merge order; the estimate never " +
+      "undercounts") {
+    import graft.functions.CmsSketchAggregate.{estimate, observe}
+    val hashGen = Gen.listOf(Gen.chooseNum(0L, (1L << 60) - 1))
+    forAllSeeded(Gen.zip(hashGen, hashGen)) { case (s1, s2) =>
+      val all = s1 ++ s2
+      def model: Seq[Long] =
+        (0 until 4).flatMap { i =>
+          (0 until 64).map { idx =>
+            all.count(h => ((h >>> (6 * i)) & 63L) == idx.toLong).toLong
+          }
+        }
+      val direct = new Array[Long](256)
+      all.foreach(observe(direct, _, 4, 6))
+      val a = new Array[Long](256)
+      s1.reverse.foreach(observe(a, _, 4, 6))
+      val b = new Array[Long](256)
+      s2.foreach(observe(b, _, 4, 6))
+      (0 until 256).foreach(i => a(i) += b(i)) // the aggregate's merge
+      assert(direct.toSeq == model)
+      assert(a.toSeq == model, "split+merge must equal direct")
+      // one-sided error: the probe never undercounts any key's count
+      all.distinct.foreach { h =>
+        val truth = all.count(_ == h).toLong
+        assert(estimate(direct, h, 4, 6) >= truth, s"h=$h")
+      }
+    }
+    val e = intercept[IllegalArgumentException] {
+      observe(new Array[Long](256), -1L, 4, 6)
+    }
+    assert(e.getMessage.contains("negative"))
+  }
+
+  // --- Exact-distinct bitmap -------------------------------------------
+
+  test("BitmapBuffer equals the Set model under random adds, any " +
+      "split + OR merge, and serializes equal SETS identically " +
+      "regardless of insertion order and growth history") {
+    import graft.functions.BitmapBuffer
+    val keyGen = Gen.listOf(Gen.oneOf(Gen.chooseNum(0L, 63L),
+      Gen.chooseNum(0L, 5000L), Gen.chooseNum(90000L, 100000L)))
+    forAllSeeded(Gen.zip(keyGen, keyGen)) { case (s1, s2) =>
+      val all = (s1 ++ s2).toSet
+      val direct = new BitmapBuffer()
+      (s1 ++ s2).foreach(direct.add)
+      val a = new BitmapBuffer()
+      s1.reverse.foreach(a.add)
+      val b = new BitmapBuffer()
+      s2.foreach(b.add)
+      a.orWith(b)
+      assert(java.util.Arrays.equals(direct.bytes, a.bytes),
+        "equal sets must serialize identically")
+      assert(BitmapBuffer.count(direct.bytes) == all.size.toLong)
+      val s1Set = s1.toSet
+      val aOnly = new BitmapBuffer()
+      s1.foreach(aOnly.add)
+      assert(BitmapBuffer.andCount(aOnly.bytes, b.bytes) ==
+        (s1Set & s2.toSet).size.toLong)
+      // round trip through the serialized form
+      val rt = BitmapBuffer.fromBytes(direct.bytes)
+      rt.add(100000L)
+      assert(BitmapBuffer.count(rt.bytes) ==
+        (all + 100000L).size.toLong)
+    }
+    val e = intercept[IllegalArgumentException] {
+      new BitmapBuffer().add(BitmapBuffer.MaxKey + 1)
+    }
+    assert(e.getMessage.contains("hll_register_agg"))
+  }
+
   // --- QuantileSketchBuffer --------------------------------------------
 
   test("QuantileSketchBuffer is the bottom-k DISTINCT (hash, value) set, " +
