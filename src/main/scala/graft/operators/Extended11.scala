@@ -414,6 +414,57 @@ object Extended11 {
         .orderBy(col("p1"), col("p2"))
     }),
 
+    // TRIMMED + WINSORIZED MEAN per order priority — the robust
+    // location aggregates beside q85's median/MAD fences and q73's
+    // weighted median: drop (trim) or clamp (winsorize) the 5% tails
+    // before averaging, so a fat right tail stops dragging the mean.
+    // Both are computed EXACTLY with no row-level sort window: the
+    // per-(priority, cents) count grid carries cumulative counts (the
+    // q73/q134 value-grid stance), and each value's kept multiplicity
+    // is an integer interval intersection
+    // max(0, min(cum, n−g) − max(cum−cnt, g)) with g = ⌈n/20⌉ — ties
+    // at the boundary drop exactly as many copies as trimming
+    // requires, with the same sum no matter which copies a sort would
+    // have picked. Winsorized sum adds g copies of each kept extreme
+    // back. All integer cents until three final identical-sequence
+    // divisions. Scale shape: the only fact exchange is the
+    // (priority, cents) rollup; cumulative windows run per priority
+    // over the bounded price grid, never the order stream.
+    "q137_trimmed_mean" -> ((s, d) => {
+      val grid = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("p"),
+          Parity.cents2(col("o_totalprice")).as("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("p")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("p"))
+      val marked = grid
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("g", expr("(n + 19) div 20"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum"), col("n") - col("g")) -
+            greatest(col("cum") - col("cnt"), col("g"))))
+      marked.groupBy(col("p"))
+        .agg(max(col("n")).as("n_orders"), max(col("g")).as("g"),
+          sum(col("cents") * col("cnt")).as("sum_all"),
+          sum(col("cents") * col("kept")).as("sum_kept"),
+          min(when(col("kept") > 0, col("cents"))).as("lo"),
+          max(when(col("kept") > 0, col("cents"))).as("hi"))
+        .select(col("p"), col("n_orders"),
+          (col("sum_all").cast("double") /
+            col("n_orders").cast("double") / lit(100.0))
+            .as("mean_dollars"),
+          (col("sum_kept").cast("double") /
+            (col("n_orders") - lit(2L) * col("g")).cast("double") /
+            lit(100.0)).as("trimmed_mean_dollars"),
+          ((col("sum_kept") + col("g") * col("lo") +
+            col("g") * col("hi")).cast("double") /
+            col("n_orders").cast("double") / lit(100.0))
+            .as("winsor_mean_dollars"))
+        .orderBy(col("p"))
+    }),
+
     "q132_kmv_intersection" -> ((s, d) => {
       val k = 64
       def quarterParts(lo: String, hi: String): DataFrame =
@@ -658,6 +709,37 @@ object Extended11 {
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    AS spearman_rho
         |FROM m ORDER BY nation""".stripMargin,
+
+    "q137_trimmed_mean" ->
+      """WITH grid AS (SELECT o_orderpriority AS p,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    COUNT(1) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |  marked AS (SELECT p, cents, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY p ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY p) AS BIGINT) AS n
+        |  FROM grid),
+        |  kept AS (SELECT p, cents, cnt, cum, n, (n + 19) // 20 AS g,
+        |    GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(cum, n - (n + 19) // 20) -
+        |        GREATEST(cum - cnt, (n + 19) // 20)) AS kept
+        |  FROM marked),
+        |  agg AS (SELECT p, MAX(n) AS n_orders, MAX(g) AS g,
+        |    CAST(SUM(cents * cnt) AS BIGINT) AS sum_all,
+        |    CAST(SUM(cents * kept) AS BIGINT) AS sum_kept,
+        |    MIN(CASE WHEN kept > 0 THEN cents END) AS lo,
+        |    MAX(CASE WHEN kept > 0 THEN cents END) AS hi
+        |  FROM kept GROUP BY 1)
+        |SELECT p, n_orders,
+        |  CAST(sum_all AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0
+        |    AS mean_dollars,
+        |  CAST(sum_kept AS DOUBLE) / CAST(n_orders - 2 * g AS DOUBLE)
+        |    / 100.0 AS trimmed_mean_dollars,
+        |  CAST(sum_kept + g * lo + g * hi AS DOUBLE)
+        |    / CAST(n_orders AS DOUBLE) / 100.0 AS winsor_mean_dollars
+        |FROM agg ORDER BY p""".stripMargin,
 
     "q136_bitmap_distinct" ->
       """WITH pc AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c

@@ -245,6 +245,29 @@ object StreamingOps {
       graft.functions.QuantileSketchAggregate.interpolate(vs, 0.9))
   }
 
+  /** q136's streaming twin: incremental EXACT distinct-count per key
+    * over bounded dense ids. State per key is the serialized bitmap
+    * itself (⌈dictionary/64⌉ words — bounded by the KEY SPACE, not the
+    * stream, which is the bitmap's contract; the HLL fold is the
+    * sketch alternative when ids are unbounded); each micro-batch
+    * replays the bytes into a [[graft.functions.BitmapBuffer]] (the
+    * SAME insertion code the batch `bitmap_agg` runs) and folds the
+    * batch's ids in. Bit-OR is arrival-order-insensitive, so stream ==
+    * batch on any prefix (pinned in StatefulStreamSpec).
+    */
+  case class BitmapObs(key: String, id: Long)
+  case class BitmapSnapshot(key: String, n_distinct: Long)
+  def bitmapFold(key: String, it: Iterator[BitmapObs],
+      state: GroupState[Array[Byte]]): BitmapSnapshot = {
+    val buf = state.getOption
+      .map(graft.functions.BitmapBuffer.fromBytes)
+      .getOrElse(new graft.functions.BitmapBuffer())
+    it.foreach(o => buf.add(o.id))
+    val bytes = buf.bytes
+    state.update(bytes)
+    BitmapSnapshot(key, graft.functions.BitmapBuffer.count(bytes))
+  }
+
   /** q108's streaming twin: incremental seasonal-residual anomaly
     * scoring. Input is completed (date, hour) activity cells (produced
     * upstream by a watermarked tumbling count); state per

@@ -266,6 +266,29 @@ class Round7dOpsSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("q137: the value-grid interval trimming equals the sort-and-drop " +
+      "model bit-for-bit (trim and winsorize)") {
+    val byP = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), Parity.cents2(col("o_totalprice")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    q("q137_trimmed_mean").collect().foreach { r =>
+      val p = r.getAs[String]("p")
+      val sorted = byP(p).map(_._2).sorted
+      val n = sorted.length
+      val g = (n + 19) / 20
+      val kept = sorted.slice(g, n - g)
+      val mean = sorted.sum.toDouble / n.toDouble / 100.0
+      val trimmed = kept.sum.toDouble / (n - 2 * g).toDouble / 100.0
+      val winsor = (kept.sum + g.toLong * kept.head +
+        g.toLong * kept.last).toDouble / n.toDouble / 100.0
+      assert(r.getAs[Long]("n_orders") == n.toLong, p)
+      assert(r.getAs[Double]("mean_dollars") == mean, p)
+      assert(r.getAs[Double]("trimmed_mean_dollars") == trimmed, p)
+      assert(r.getAs[Double]("winsor_mean_dollars") == winsor, p)
+    }
+  }
+
   test("q132: KMV intersection matches a driver-side sketch model and " +
       "its estimates are internally consistent") {
     val r = q("q132_kmv_intersection").collect()(0)

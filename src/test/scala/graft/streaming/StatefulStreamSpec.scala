@@ -410,6 +410,44 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bitmap fold spans micro-batches: the streamed exact distinct " +
+      "equals the batch bitmap_agg on the same rows — bit-OR is " +
+      "arrival-order-insensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{BitmapObs, BitmapSnapshot}
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_type").as("key"), col("user_id").as("id"))
+      .as[BitmapObs].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm").toString
+    val input = MemoryStream[BitmapObs](spark)
+    val q = input.toDS().groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        StreamingOps.bitmapFold _)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("bm_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // distinct count only grows, so the max per key is the final state
+      val streamed = spark.table("bm_xbatch").as[BitmapSnapshot]
+        .collect().groupBy(_.key).view
+        .mapValues(_.map(_.n_distinct).max).toMap
+      val batch = graft.Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("bitmap_count(bitmap_agg(user_id))").as("nd"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful query runs on the RocksDB state store (the bounded-memory " +
       "store for 100 TB-scale state)") {
     import spark.implicits._
