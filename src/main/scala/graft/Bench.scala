@@ -100,7 +100,8 @@ object Bench {
     "t36_ks_drift", "q128_sequence_pattern", "q129_cms_frequency",
     "q130_copurchase_distance", "q131_theil_sen_trend",
     "q132_kmv_intersection", "q133_survival_km", "q134_mannwhitney_u",
-    "q135_spearman_corr", "q136_bitmap_distinct", "q137_trimmed_mean")
+    "q135_spearman_corr", "q136_bitmap_distinct", "q137_trimmed_mean",
+    "q138_gini_lorenz")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

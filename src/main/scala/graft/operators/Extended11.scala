@@ -465,6 +465,65 @@ object Extended11 {
         .orderBy(col("p"))
     }),
 
+    // GINI COEFFICIENT + LORENZ TOP-DECILE SHARE per nation — the
+    // inequality companion to q100's HHI (HHI says "how concentrated
+    // among the top few", Gini measures the WHOLE distribution's
+    // skew): how unequally is customer revenue distributed inside each
+    // nation? Exact with no row-level sort window: per-(nation, cents)
+    // counts carry cumulative counts (the q137 value-grid stance), and
+    // the sorted rank-sum Σ i·x_(i) collapses per value to
+    // cents·(cnt·below + cnt·(cnt+1)/2) — ties contribute their exact
+    // rank run. Gini = 2·Σi·x/(n·Σx) − (n+1)/n, assembled from exact
+    // longs with identical-sequence divisions; the top-10% share
+    // reuses q137's interval intersection against the top-g band.
+    // Scale shape: the only exchanges are the per-customer rollup and
+    // the (nation, cents) grid; cumulative windows run per nation over
+    // the grid.
+    "q138_gini_lorenz" -> ((s, d) => {
+      val custRev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(Parity.cents2(col("o_totalprice"))).as("cents"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("cents"))
+      val grid = custRev.groupBy(col("nation"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("nation")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("nation"))
+      val marked = grid
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("g", expr("(n + 9) div 10"))
+        .withColumn("ranksum",
+          col("cents") * (col("cnt") * (col("cum") - col("cnt")) +
+            expr("cnt * (cnt + 1) div 2")))
+        .withColumn("topcnt", greatest(lit(0L),
+          col("cum") - greatest(col("cum") - col("cnt"),
+            col("n") - col("g"))))
+      // the rank-sum rides a DECIMAL(38,0) integer carrier: per-nation
+      // Σi·x_i ≤ n·Σx overflows a long near sf~10, and the grid is
+      // value-sized, so the decimal add is off the fact path; integer
+      // decimals cast to double bit-identically on both engines (the
+      // q68 note)
+      marked.groupBy(col("nation"))
+        .agg(max(col("n")).as("n_customers"), max(col("g")).as("g"),
+          sum(col("cents") * col("cnt")).as("total"),
+          sum(col("ranksum").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0))).as("rs"),
+          sum(col("cents") * col("topcnt")).as("top_rev"))
+        .select(col("nation"), col("n_customers"),
+          (lit(2.0) * col("rs").cast("double") /
+            (col("n_customers").cast("double") *
+              col("total").cast("double")) -
+            (col("n_customers") + 1L).cast("double") /
+              col("n_customers").cast("double")).as("gini"),
+          (col("top_rev").cast("double") / col("total").cast("double"))
+            .as("top_decile_share"))
+        .orderBy(col("nation"))
+    }),
+
     "q132_kmv_intersection" -> ((s, d) => {
       val k = 64
       def quarterParts(lo: String, hi: String): DataFrame =
@@ -709,6 +768,41 @@ object Extended11 {
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    AS spearman_rho
         |FROM m ORDER BY nation""".stripMargin,
+
+    "q138_gini_lorenz" ->
+      """WITH cr AS (SELECT o_custkey, CAST(SUM(CAST(round(
+        |      o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |    FROM orders GROUP BY 1),
+        |  cv AS (SELECT n_name AS nation, cents FROM cr
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey),
+        |  grid AS (SELECT nation, cents, COUNT(1) AS cnt FROM cv
+        |    GROUP BY 1, 2),
+        |  marked AS (SELECT nation, cents, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY nation ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY nation) AS BIGINT) AS n
+        |  FROM grid),
+        |  kp AS (SELECT nation, cents, cnt, cum, n, (n + 9) // 10 AS g,
+        |    cents * (cnt * (cum - cnt) + cnt * (cnt + 1) // 2)
+        |      AS ranksum,
+        |    GREATEST(CAST(0 AS BIGINT), cum -
+        |      GREATEST(cum - cnt, n - (n + 9) // 10)) AS topcnt
+        |  FROM marked),
+        |  agg AS (SELECT nation, MAX(n) AS n_customers,
+        |    CAST(SUM(cents * cnt) AS BIGINT) AS total,
+        |    CAST(SUM(ranksum) AS DOUBLE) AS rsd,
+        |    CAST(SUM(cents * topcnt) AS BIGINT) AS top_rev
+        |  FROM kp GROUP BY 1)
+        |SELECT nation, n_customers,
+        |  2.0 * rsd / (CAST(n_customers AS DOUBLE)
+        |      * CAST(total AS DOUBLE))
+        |    - CAST(n_customers + 1 AS DOUBLE)
+        |      / CAST(n_customers AS DOUBLE) AS gini,
+        |  CAST(top_rev AS DOUBLE) / CAST(total AS DOUBLE)
+        |    AS top_decile_share
+        |FROM agg ORDER BY nation""".stripMargin,
 
     "q137_trimmed_mean" ->
       """WITH grid AS (SELECT o_orderpriority AS p,

@@ -289,6 +289,35 @@ class Round7dOpsSpec extends SparkSpec {
     }
   }
 
+  test("q138: the value-grid rank-sum Gini equals the sorted-rank " +
+      "model bit-for-bit; top-decile share matches; Gini lies in " +
+      "[0, 1)") {
+    val byN = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Parity.cents2(col("o_totalprice"))).as("cents"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    q("q138_gini_lorenz").collect().foreach { r =>
+      val nation = r.getAs[String]("nation")
+      val sorted = byN(nation).map(_._2).sorted
+      val n = sorted.length
+      val total = sorted.sum
+      val rs = sorted.zipWithIndex.map { case (x, i) =>
+        BigInt(i + 1) * x }.sum
+      val gini = 2.0 * rs.toDouble / (n.toDouble * total.toDouble) -
+        (n + 1).toDouble / n.toDouble
+      val g = (n + 9) / 10
+      val topShare = sorted.takeRight(g).sum.toDouble / total.toDouble
+      assert(r.getAs[Long]("n_customers") == n.toLong, nation)
+      assert(r.getAs[Double]("gini") == gini, nation)
+      assert(r.getAs[Double]("top_decile_share") == topShare, nation)
+      assert(gini >= 0.0 && gini < 1.0, s"$nation gini=$gini")
+    }
+  }
+
   test("q132: KMV intersection matches a driver-side sketch model and " +
       "its estimates are internally consistent") {
     val r = q("q132_kmv_intersection").collect()(0)
