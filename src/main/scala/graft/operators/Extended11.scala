@@ -524,6 +524,57 @@ object Extended11 {
         .orderBy(col("nation"))
     }),
 
+    // BPE MERGE INDUCTION — the first 5 byte-pair-encoding merges over
+    // the corpus, the iconic tokenizer-training step t13's frequency
+    // vocabulary brackets but never runs: repeatedly merge the most
+    // frequent ADJACENT symbol pair, re-tokenize, repeat. Runs on the
+    // word-frequency table (the standard implementation: pair counts
+    // weighted by word count, merges act within words), so every round
+    // is vocabulary-sized no matter the corpus. Symbol sequences are
+    // '[t][h][e]'-wrapped strings: the merge is ONE literal
+    // replace-all, whose greedy non-overlapping left-to-right scan is
+    // exactly BPE's application rule and is implemented identically by
+    // Java and DuckDB (checked: '[a][a][a]' + merge (a,a) → '[aa][a]').
+    // Tie-break (count desc, pair asc) makes every round
+    // deterministic; per-round frames are localCheckpointed (the
+    // q105/q125 iterative-lineage discipline). Scale shape: the ONLY
+    // corpus exchange is the word-count rollup; 5 rounds of pair
+    // explode + 1-row top-pick + broadcast apply all run on the
+    // vocabulary frame.
+    "t37_bpe_merges" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(expr(
+          "filter(split(trim(text), ' '), x -> x <> '')")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+        .select(concat(lit("["), array_join(split(col("w"), ""), "]["),
+          lit("]")).as("sym"), col("wcnt"))
+      var syms = Materialize.LocalCheckpoint(words)
+      val merges = (1 to 5).map { r =>
+        val pairs = syms
+          .withColumn("t", split(
+            expr("substring(sym, 2, length(sym) - 2)"), "\\]\\["))
+          .select(col("wcnt"), explode(expr(
+            "CASE WHEN size(t) >= 2 THEN transform(sequence(1, " +
+              "size(t) - 1), i -> concat('[', element_at(t, i), '][', " +
+              "element_at(t, i + 1), ']')) " +
+              "ELSE CAST(array() AS ARRAY<STRING>) END")).as("pair"))
+        val top = Materialize.LocalCheckpoint(
+          pairs.groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+            .orderBy(col("cnt").desc, col("pair")).limit(1)
+            .withColumn("merged", expr("replace(pair, '][', '')"))
+            .withColumn("round", lit(r)))
+        syms = Materialize.LocalCheckpoint(
+          syms.join(broadcast(top), lit(true))
+            .select(expr("replace(sym, pair, merged)").as("sym"),
+              col("wcnt")))
+        top
+      }
+      merges.reduce(_.unionAll(_))
+        .select(col("round"), col("pair").as("merge_pair"),
+          col("cnt").as("n_weighted"))
+        .orderBy(col("round"))
+    }),
+
     "q132_kmv_intersection" -> ((s, d) => {
       val k = 64
       def quarterParts(lo: String, hi: String): DataFrame =
@@ -768,6 +819,33 @@ object Extended11 {
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    AS spearman_rho
         |FROM m ORDER BY nation""".stripMargin,
+
+    "t37_bpe_merges" -> {
+      def round(i: Int): String =
+        s"""r${i}p AS (SELECT UNNEST(CASE WHEN len(t) >= 2
+           |    THEN list_transform(generate_series(1, len(t) - 1),
+           |      i -> '[' || t[i] || '][' || t[i + 1] || ']')
+           |    ELSE CAST([] AS VARCHAR[]) END) AS pair, wcnt
+           |  FROM (SELECT string_split(substring(sym, 2,
+           |      length(sym) - 2), '][') AS t, wcnt FROM s${i - 1})),
+           |r${i}t AS (SELECT $i AS round, pair,
+           |    CAST(SUM(wcnt) AS BIGINT) AS cnt,
+           |    replace(pair, '][', '') AS merged
+           |  FROM r${i}p GROUP BY 2 ORDER BY cnt DESC, pair LIMIT 1),
+           |s$i AS (SELECT replace(sym, t.pair, t.merged) AS sym, wcnt
+           |  FROM s${i - 1} CROSS JOIN r${i}t t)""".stripMargin
+      s"""WITH w AS (SELECT UNNEST(list_filter(string_split(trim(text),
+         |    ' '), x -> x <> '')) AS w FROM documents),
+         |  wc AS (SELECT w, COUNT(1) AS wcnt FROM w GROUP BY 1),
+         |  s0 AS (SELECT '[' || array_to_string(string_split(w, ''),
+         |      '][') || ']' AS sym, wcnt FROM wc),
+         |  ${(1 to 5).map(round).mkString(",\n")}
+         |SELECT round, pair AS merge_pair, cnt AS n_weighted
+         |FROM (SELECT * FROM r1t UNION ALL SELECT * FROM r2t
+         |  UNION ALL SELECT * FROM r3t UNION ALL SELECT * FROM r4t
+         |  UNION ALL SELECT * FROM r5t)
+         |ORDER BY round""".stripMargin
+    },
 
     "q138_gini_lorenz" ->
       """WITH cr AS (SELECT o_custkey, CAST(SUM(CAST(round(

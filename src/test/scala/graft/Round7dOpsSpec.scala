@@ -318,6 +318,43 @@ class Round7dOpsSpec extends SparkSpec {
     }
   }
 
+  test("t37: the 5 BPE merges equal a driver-side tokenizer-training " +
+      "model (greedy-left application, (count desc, pair) tie-break), " +
+      "and merge counts are non-increasing") {
+    var syms: Map[List[String], Long] = Tables.documents(spark, dir)
+      .select(explode(expr(
+        "filter(split(trim(text), ' '), x -> x <> '')")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0).map(_.toString).toList ->
+        r.getLong(1)).toMap
+    def applyMerge(ts: List[String], a: String, b: String): List[String] =
+      ts match {
+        case x :: y :: rest if x == a && y == b =>
+          (a + b) :: applyMerge(rest, a, b)
+        case x :: rest => x :: applyMerge(rest, a, b)
+        case Nil => Nil
+      }
+    val model = (1 to 5).map { _ =>
+      val pc = syms.toSeq.flatMap { case (ts, c) =>
+        ts.zip(ts.drop(1)).map(p => (s"[${p._1}][${p._2}]", p) -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val ((pairStr, (a, b)), cnt) =
+        pc.minBy { case ((ps, _), c) => (-c, ps) }
+      syms = syms.toSeq.map { case (ts, c) =>
+        (applyMerge(ts, a, b), c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (pairStr, cnt)
+    }
+    val got = q("t37_bpe_merges").collect()
+      .sortBy(_.getAs[Int]("round"))
+      .map(r => (r.getAs[String]("merge_pair"), r.getAs[Long]("n_weighted")))
+    assert(got.toSeq == model)
+    got.map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, s"counts must not increase: $a -> $b")
+      case _ =>
+    }
+  }
+
   test("q132: KMV intersection matches a driver-side sketch model and " +
       "its estimates are internally consistent") {
     val r = q("q132_kmv_intersection").collect()(0)
