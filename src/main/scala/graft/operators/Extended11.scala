@@ -16,7 +16,11 @@ import graft.{Parity, Tables}
   * q51/q63's bottom-k sketches), and the Kaplan–Meier estimator
   * (censored time-to-event — the survival curve behind churn/conversion
   * questions, with the product fold made cross-engine-exact as an
-  * explicit left fold). Same contract as Extended5–10:
+  * explicit left fold), plus the later session additions: Mann–Whitney
+  * U and Spearman rho (exact 2× midranks), exact-distinct bitmaps with
+  * set algebra, trimmed/winsorized means and Gini/Lorenz inequality on
+  * the value grid, and BPE merge induction (tokenizer training's inner
+  * loop on the word-frequency table). Same contract as Extended5–10:
   * declarative plans, integer/decimal carriers until the final double
   * projections, a scale note per entry. The reference delegates all of
   * this to user code behind its event processor
