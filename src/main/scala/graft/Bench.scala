@@ -101,7 +101,8 @@ object Bench {
     "q130_copurchase_distance", "q131_theil_sen_trend",
     "q132_kmv_intersection", "q133_survival_km", "q134_mannwhitney_u",
     "q135_spearman_corr", "q136_bitmap_distinct", "q137_trimmed_mean",
-    "q138_gini_lorenz", "t37_bpe_merges")
+    "q138_gini_lorenz", "t37_bpe_merges",
+    "q139_kruskal_wallis", "q140_anova_oneway")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -34,6 +34,7 @@ object SparkEntry {
       operators.Extended9.queries ++
       operators.Extended10.queries ++
       operators.Extended11.queries ++
+      operators.Extended12.queries ++
       operators.PiiOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,5 +57,6 @@ object SparkEntry {
       operators.Extended9.oracleSql ++
       operators.Extended10.oracleSql ++
       operators.Extended11.oracleSql ++
+      operators.Extended12.oracleSql ++
       operators.PiiOps.oracleSql
 }

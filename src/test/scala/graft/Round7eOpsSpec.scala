@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the Extended12 batch: Kruskal–Wallis H and one-way
+  * ANOVA F vs driver-side models computed bit-for-bit with the same
+  * exact-integer carriers, plus the cross-test agreement a
+  * practitioner would check (both tests reject on the order-size
+  * contrast, and H stays within its algebraic bounds). Value-level
+  * equality vs the DuckDB oracle runs via graft.Verify +
+  * tools/compare.py.
+  */
+class Round7eOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  /** (group, whole-dollar value) pairs of the shared q139/q140 input. */
+  private lazy val tagged: Array[(String, Long)] =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        val grp = if (n <= 2) "narrow" else if (n <= 5) "mid" else "wide"
+        (grp, r.getLong(2) / 100)
+      }
+
+  test("q139: Kruskal-Wallis H equals a driver-side 2x-midrank model " +
+      "bit-for-bit, respects its algebraic bounds, and rejects on the " +
+      "order-size contrast") {
+    val grid = tagged.groupBy(_._2).view.mapValues { g =>
+      (g.count(_._1 == "narrow").toLong, g.count(_._1 == "mid").toLong,
+        g.count(_._1 == "wide").toLong)
+    }.toSeq.sortBy(_._1)
+    var below = 0L; var ra2 = 0L; var rb2 = 0L; var rc2 = 0L; var tie3 = 0L
+    grid.foreach { case (_, (ca, cb, cc)) =>
+      val t = ca + cb + cc
+      val r2 = 2 * below + t + 1
+      ra2 += ca * r2; rb2 += cb * r2; rc2 += cc * r2
+      tie3 += t * t * t - t
+      below += t
+    }
+    val na = tagged.count(_._1 == "narrow").toLong
+    val nb = tagged.count(_._1 == "mid").toLong
+    val nc = tagged.count(_._1 == "wide").toLong
+    val n = na + nb + nc; val nd = n.toDouble
+    val hsum = ra2.toDouble * ra2.toDouble / na.toDouble +
+      rb2.toDouble * rb2.toDouble / nb.toDouble +
+      rc2.toDouble * rc2.toDouble / nc.toDouble
+    val hRaw = 3.0 * hsum / nd / (nd + 1.0) - 3.0 * (nd + 1.0)
+    val tieCorr = 1.0 - tie3.toDouble / (nd * nd * nd - nd)
+    val h = hRaw / tieCorr
+    val r = q("q139_kruskal_wallis").collect()(0)
+    assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == nb &&
+      r.getAs[Long]("nc") == nc && r.getAs[Long]("n") == n)
+    assert(r.getAs[Double]("h_raw") == hRaw)
+    assert(r.getAs[Double]("tie_corr") == tieCorr)
+    assert(r.getAs[Double]("h_stat") == h)
+    // algebraic bounds: 0 <= H <= N - 1 (rank variance is bounded);
+    // the tie correction is a fraction of mass, in (0, 1]
+    assert(h >= 0.0 && h <= nd - 1.0, s"h=$h n=$n")
+    assert(tieCorr > 0.0 && tieCorr <= 1.0)
+    // attainability: order size separates revenue on this corpus
+    assert(r.getAs[Boolean]("reject_95"), s"h=$h must exceed chi2(.95,2)")
+  }
+
+  test("q140: one-way ANOVA F equals a driver-side exact-moment model " +
+      "bit-for-bit, SSB/SSW partition the total sum of squares, and F " +
+      "agrees with q139's rejection") {
+    val na = tagged.count(_._1 == "narrow").toLong
+    val nb = tagged.count(_._1 == "mid").toLong
+    val nc = tagged.count(_._1 == "wide").toLong
+    val n = na + nb + nc; val nd = n.toDouble
+    def sx(g: String) = tagged.filter(_._1 == g).map(_._2).sum
+    val (sa, sb, sc) = (sx("narrow"), sx("mid"), sx("wide"))
+    val sxAll = sa + sb + sc
+    val sxxAll = tagged.map(p => p._2 * p._2).sum
+    val gsum = sa.toDouble * sa.toDouble / na.toDouble +
+      sb.toDouble * sb.toDouble / nb.toDouble +
+      sc.toDouble * sc.toDouble / nc.toDouble
+    val ssb = gsum - sxAll.toDouble * sxAll.toDouble / nd
+    val ssw = sxxAll.toDouble - gsum
+    val f = ssb / 2.0 / (ssw / (nd - 3.0))
+    val r = q("q140_anova_oneway").collect()(0)
+    assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == nb &&
+      r.getAs[Long]("nc") == nc && r.getAs[Long]("n") == n)
+    assert(r.getAs[Double]("ssb") == ssb)
+    assert(r.getAs[Double]("ssw") == ssw)
+    assert(r.getAs[Double]("f_stat") == f)
+    // the decomposition: SSB + SSW == SST computed independently
+    val mean = sxAll.toDouble / nd
+    val sst = sxxAll.toDouble - nd * mean * mean
+    assert(math.abs(ssb + ssw - sst) <= 1e-6 * sst, s"$ssb + $ssw != $sst")
+    assert(ssb >= 0.0 && ssw > 0.0)
+    // the two tests agree on this contrast (rank view == moment view)
+    assert(r.getAs[Boolean]("reject_95"))
+  }
+}
