@@ -102,7 +102,8 @@ object Bench {
     "q132_kmv_intersection", "q133_survival_km", "q134_mannwhitney_u",
     "q135_spearman_corr", "q136_bitmap_distinct", "q137_trimmed_mean",
     "q138_gini_lorenz", "t37_bpe_merges",
-    "q139_kruskal_wallis", "q140_anova_oneway")
+    "q139_kruskal_wallis", "q140_anova_oneway",
+    "q141_kendall_tau", "t38_good_turing")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

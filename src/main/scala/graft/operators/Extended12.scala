@@ -14,7 +14,11 @@ import graft.{Parity, Tables}
   * narrow ≤2 / mid 3–5 / wide ≥6 items — a split that demonstrably
   * separates on this corpus, per the q108 attainability rule), so the
   * pair doubles as a rank-vs-moment agreement check a practitioner
-  * would actually run. Same contract as Extended5–11: declarative
+  * would actually run. Completed by Kendall tau-b (exact concordance
+  * over a dominance grid — the O(n²) pair count re-expressed as class-
+  * conditional running counters) and Good–Turing frequency smoothing
+  * (the count-of-counts unseen-mass estimator closing the t13/t22/t29
+  * vocabulary-statistics family). Same contract as Extended5–11: declarative
   * plans, exact integer carriers until the final double projections
   * (identical operation sequence on both engines, ties kept exact via
   * the 2·below + t + 1 midrank carrier, grouped/windowed BIGINT sums
@@ -144,6 +148,137 @@ object Extended12 {
         .select(col("na"), col("nb"), col("nc"), col("n"),
           col("ssb"), col("ssw"), col("f_stat"),
           (col("f_stat") > 2.9957).as("reject_95"))
+    }),
+
+    // KENDALL TAU-B per nation — the concordance companion to q135's
+    // Spearman rho, computed EXACTLY without the O(n²) pair join the
+    // textbook definition implies. The trick: with the y side on a
+    // small class grid (item count, classes 1..6 and "7+"), concordant
+    // and discordant pair counts are dominance sums over the joint
+    // (x, y-class) frequency grid — group to cells, then ONE
+    // per-nation cumulative window over x carrying 7 running
+    // class counters (b_j = points with x' < x in class j); each
+    // cell's concordant mass is c_j · Σ_{j'<j} b_j', discordant
+    // c_j · Σ_{j'>j} b_j'. C, D, and the tie terms n1 = Σ t_x(t_x−1)/2
+    // (x ties) and n2 = Σ t_y(t_y−1)/2 (y ties) all assemble from
+    // exact longs; tau_b = (C − D)/√((n0−n1)(n0−n2)) is the only
+    // double arithmetic (one IEEE sqrt; the products are cast to
+    // double BEFORE multiplying, identically in both engines, so no
+    // long overflow at any n). Folding every item count ≥7 into one
+    // class is exact on this corpus (TPC-H orders carry ≤7 lineitems)
+    // and degrades gracefully to "ties within the top class"
+    // elsewhere. Scale shape: the lineitem rollup and the keyed
+    // per-nation window are the only exchanges; the window frame is
+    // the per-nation value grid, and the final agg is one row per
+    // nation with map-side partials.
+    "q141_kendall_tau" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+      val pts = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .select(col("n_name").as("nation"),
+          expr("rev div 100").as("x"),
+          least(col("n_items"), lit(7L)).as("y"))
+      val cells = pts.groupBy(col("nation"), col("x"))
+        .agg((1 to 7).map(j =>
+            sum(when(col("y") === j, 1L).otherwise(0L)).as(s"c$j")).head,
+          (1 to 7).map(j =>
+            sum(when(col("y") === j, 1L).otherwise(0L)).as(s"c$j")).tail :+
+            count(lit(1)).as("tx"): _*)
+      val w = Window.partitionBy(col("nation")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withB = (1 to 7).foldLeft(cells) { (df, j) =>
+        df.withColumn(s"b$j",
+          coalesce(sum(col(s"c$j")).over(w), lit(0L)))
+      }
+      val conc = (2 to 7).map { j =>
+        col(s"c$j") * (1 until j).map(k => col(s"b$k")).reduce(_ + _)
+      }.reduce(_ + _)
+      val disc = (1 to 6).map { j =>
+        col(s"c$j") * ((j + 1) to 7).map(k => col(s"b$k")).reduce(_ + _)
+      }.reduce(_ + _)
+      val perNation = withB
+        .withColumn("conc", conc)
+        .withColumn("disc", disc)
+        .groupBy(col("nation"))
+        .agg(sum(col("tx")).as("n"),
+          Seq(sum(col("conc")).as("c_pairs"),
+            sum(col("disc")).as("d_pairs"),
+            sum(col("tx") * (col("tx") - 1L)).as("tiex2")) ++
+            (1 to 7).map(j => sum(col(s"c$j")).as(s"ny$j")): _*)
+      val tiey2 = (1 to 7).map(j =>
+        col(s"ny$j") * (col(s"ny$j") - 1L)).reduce(_ + _)
+      perNation
+        .withColumn("n0x2", col("n") * (col("n") - 1L))
+        .withColumn("tiey2", tiey2)
+        .select(col("nation"), col("n"), col("c_pairs"), col("d_pairs"),
+          expr("tiex2 div 2").as("ties_x"),
+          expr("tiey2 div 2").as("ties_y"),
+          ((col("c_pairs") - col("d_pairs")).cast("double") /
+            sqrt(((col("n0x2") - col("tiex2")).cast("double") / lit(2.0)) *
+              ((col("n0x2") - col("tiey2")).cast("double") / lit(2.0))))
+            .as("tau_b"))
+        .orderBy(col("nation"))
+    }),
+
+    // GOOD-TURING frequency smoothing over word BIGRAMS — the
+    // count-of-counts estimator that closes the vocabulary-statistics
+    // family (t13 coverage, t22 Zipf, t29 coverage curve): for each
+    // observed frequency r, the smoothed count r* = (r+1)·N_{r+1}/N_r,
+    // and the Good–Turing missing mass N_1/N — the probability the
+    // NEXT event drawn from this corpus is one never seen, which is
+    // exactly the number a data curator reads before deciding whether
+    // a vocabulary (t13) or a coverage target (t29) has converged.
+    // Bigrams, not unigrams, because the estimator must be able to
+    // FIRE (the q108 attainability rule): this corpus has a closed
+    // 31-word vocabulary where every word repeats hundreds of times,
+    // but the 961-point bigram space genuinely has hapaxes and gaps in
+    // its frequency grid. Log-free, so every value is division-exact
+    // cross-engine. N_{r+1} is resolved by an adjacency-checked lead
+    // over the frequency grid (NOT assumed contiguous — a gap yields
+    // N_{r+1} = 0, the estimator's honest answer; this corpus has such
+    // gaps and the oracle covers them), and the corpus totals ride an
+    // unpartitioned window over the same grid, whose size is bounded
+    // by the maximum bigram frequency, not the corpus. Scale shape:
+    // one bigram-frequency exchange (map-local explode, partial-agg
+    // collapsed), one count-of-counts exchange on the |bigram vocab|
+    // frame; everything after runs on the bounded grid.
+    "t38_good_turing" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(split(trim(col("text")), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(l) - 2), " +
+            "i -> concat(l[i], ' ', l[i+1]))")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      val cc = tf.groupBy(col("freq").as("r"))
+        .agg(count(lit(1)).as("n_r"))
+      val wAll = Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wNext = Window.orderBy(col("r"))
+      cc.withColumn("n_tokens", sum(col("r") * col("n_r")).over(wAll))
+        .withColumn("n1",
+          sum(when(col("r") === 1L, col("n_r")).otherwise(0L)).over(wAll))
+        .withColumn("r_next", lead(col("r"), 1).over(wNext))
+        .withColumn("n_next", lead(col("n_r"), 1).over(wNext))
+        .withColumn("n_r1",
+          when(col("r_next") === col("r") + 1L, col("n_next"))
+            .otherwise(0L))
+        .filter(col("r") <= 20L)
+        .select(col("r"), col("n_r"), col("n_r1"),
+          (((col("r") + 1L) * col("n_r1")).cast("double") /
+            col("n_r").cast("double")).as("r_star"),
+          (((col("r") + 1L) * col("n_r1")).cast("double") /
+            col("n_r").cast("double") / col("n_tokens").cast("double"))
+            .as("p_gt"),
+          (col("n1").cast("double") / col("n_tokens").cast("double"))
+            .as("missing_mass"))
+        .orderBy(col("r"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -236,5 +371,98 @@ object Extended12 {
         |SELECT na, nb, nc, n, ssb, ssw,
         |  ssb / 2.0 / (ssw / (nd - 3.0)) AS f_stat,
         |  ssb / 2.0 / (ssw / (nd - 3.0)) > 2.9957 AS reject_95
-        |FROM ss""".stripMargin)
+        |FROM ss""".stripMargin,
+
+    "q141_kendall_tau" ->
+      """WITH items AS (SELECT l_orderkey, COUNT(1) AS n_items,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |  pts AS (SELECT n.n_name AS nation, i.rev // 100 AS x,
+        |    LEAST(i.n_items, 7) AS y
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN items i ON o.o_orderkey = i.l_orderkey),
+        |  cells AS (SELECT nation, x,
+        |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN y = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN y = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(SUM(CASE WHEN y = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |    CAST(SUM(CASE WHEN y = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+        |    CAST(SUM(CASE WHEN y = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+        |    CAST(SUM(CASE WHEN y = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7,
+        |    CAST(COUNT(1) AS BIGINT) AS tx
+        |  FROM pts GROUP BY 1, 2),
+        |  wb AS (SELECT nation, c1, c2, c3, c4, c5, c6, c7, tx,
+        |    COALESCE(CAST(SUM(c1) OVER wdom AS BIGINT), 0) AS b1,
+        |    COALESCE(CAST(SUM(c2) OVER wdom AS BIGINT), 0) AS b2,
+        |    COALESCE(CAST(SUM(c3) OVER wdom AS BIGINT), 0) AS b3,
+        |    COALESCE(CAST(SUM(c4) OVER wdom AS BIGINT), 0) AS b4,
+        |    COALESCE(CAST(SUM(c5) OVER wdom AS BIGINT), 0) AS b5,
+        |    COALESCE(CAST(SUM(c6) OVER wdom AS BIGINT), 0) AS b6,
+        |    COALESCE(CAST(SUM(c7) OVER wdom AS BIGINT), 0) AS b7
+        |  FROM cells
+        |  WINDOW wdom AS (PARTITION BY nation ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |  contrib AS (SELECT nation, tx,
+        |    c2 * b1 + c3 * (b1 + b2) + c4 * (b1 + b2 + b3) +
+        |    c5 * (b1 + b2 + b3 + b4) + c6 * (b1 + b2 + b3 + b4 + b5) +
+        |    c7 * (b1 + b2 + b3 + b4 + b5 + b6) AS conc,
+        |    c1 * (b2 + b3 + b4 + b5 + b6 + b7) +
+        |    c2 * (b3 + b4 + b5 + b6 + b7) + c3 * (b4 + b5 + b6 + b7) +
+        |    c4 * (b5 + b6 + b7) + c5 * (b6 + b7) + c6 * b7 AS disc,
+        |    c1, c2, c3, c4, c5, c6, c7
+        |  FROM wb),
+        |  agg AS (SELECT nation,
+        |    CAST(SUM(tx) AS BIGINT) AS n,
+        |    CAST(SUM(conc) AS BIGINT) AS c_pairs,
+        |    CAST(SUM(disc) AS BIGINT) AS d_pairs,
+        |    CAST(SUM(tx * (tx - 1)) AS BIGINT) AS tiex2,
+        |    CAST(SUM(c1) AS BIGINT) AS ny1, CAST(SUM(c2) AS BIGINT) AS ny2,
+        |    CAST(SUM(c3) AS BIGINT) AS ny3, CAST(SUM(c4) AS BIGINT) AS ny4,
+        |    CAST(SUM(c5) AS BIGINT) AS ny5, CAST(SUM(c6) AS BIGINT) AS ny6,
+        |    CAST(SUM(c7) AS BIGINT) AS ny7
+        |  FROM contrib GROUP BY 1),
+        |  st AS (SELECT nation, n, c_pairs, d_pairs,
+        |    n * (n - 1) AS n0x2, tiex2,
+        |    ny1 * (ny1 - 1) + ny2 * (ny2 - 1) + ny3 * (ny3 - 1) +
+        |    ny4 * (ny4 - 1) + ny5 * (ny5 - 1) + ny6 * (ny6 - 1) +
+        |    ny7 * (ny7 - 1) AS tiey2
+        |  FROM agg)
+        |SELECT nation, n, c_pairs, d_pairs,
+        |  tiex2 // 2 AS ties_x, tiey2 // 2 AS ties_y,
+        |  CAST(c_pairs - d_pairs AS DOUBLE) /
+        |    sqrt((CAST(n0x2 - tiex2 AS DOUBLE) / 2.0) *
+        |      (CAST(n0x2 - tiey2 AS DOUBLE) / 2.0)) AS tau_b
+        |FROM st
+        |ORDER BY nation""".stripMargin,
+
+    "t38_good_turing" ->
+      """WITH docs AS (SELECT string_split(TRIM(text), ' ') AS l
+        |    FROM documents),
+        |  terms AS (SELECT f.l[i] || ' ' || f.l[i+1] AS term
+        |    FROM (SELECT l FROM docs WHERE LEN(l) >= 2) f,
+        |    UNNEST(range(1, LEN(f.l))) AS t(i)),
+        |  tf AS (SELECT term, COUNT(*) AS freq FROM terms GROUP BY 1),
+        |  cc AS (SELECT freq AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+        |    FROM tf GROUP BY 1),
+        |  g AS (SELECT r, n_r,
+        |    CAST(SUM(r * n_r) OVER () AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) OVER ()
+        |      AS BIGINT) AS n1,
+        |    LEAD(r, 1) OVER (ORDER BY r) AS r_next,
+        |    LEAD(n_r, 1) OVER (ORDER BY r) AS n_next
+        |  FROM cc),
+        |  h AS (SELECT r, n_r,
+        |    CASE WHEN r_next = r + 1 THEN n_next ELSE 0 END AS n_r1,
+        |    n_tokens, n1
+        |  FROM g)
+        |SELECT r, n_r, n_r1,
+        |  CAST((r + 1) * n_r1 AS DOUBLE) / CAST(n_r AS DOUBLE) AS r_star,
+        |  CAST((r + 1) * n_r1 AS DOUBLE) / CAST(n_r AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE) AS p_gt,
+        |  CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS missing_mass
+        |FROM h WHERE r <= 20
+        |ORDER BY r""".stripMargin)
 }

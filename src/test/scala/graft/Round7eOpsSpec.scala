@@ -97,4 +97,89 @@ class Round7eOpsSpec extends SparkSpec {
     // the two tests agree on this contrast (rank view == moment view)
     assert(r.getAs[Boolean]("reject_95"))
   }
+
+  test("q141: Kendall tau-b from the dominance-grid plan equals a " +
+      "brute-force O(n^2) pair count per nation, and agrees in sign " +
+      "with q135's Spearman rho") {
+    val pts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), expr("rev div 100"), least(col("n"), lit(7L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val rho = SparkEntry.queries("q135_spearman_corr")(spark, dir)
+      .collect().map(r => r.getAs[String]("nation") ->
+        r.getAs[Double]("spearman_rho")).toMap
+    val rows = q("q141_kendall_tau").collect()
+    assert(rows.map(_.getAs[String]("nation")).toSet == pts.keySet)
+    rows.foreach { r =>
+      val g = pts(r.getAs[String]("nation")).map(p => (p._2, p._3))
+      var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+      for (i <- g.indices; j <- (i + 1) until g.length) {
+        val ((x1, y1), (x2, y2)) = (g(i), g(j))
+        val sgn = java.lang.Long.signum(x1 - x2) *
+          java.lang.Long.signum(y1 - y2)
+        if (sgn > 0) conc += 1 else if (sgn < 0) disc += 1
+        if (x1 == x2) tx += 1
+        if (y1 == y2) ty += 1
+      }
+      val n = g.length.toLong
+      val n0x2 = n * (n - 1)
+      val tau = (conc - disc).toDouble / math.sqrt(
+        ((n0x2 - 2 * tx).toDouble / 2.0) * ((n0x2 - 2 * ty).toDouble / 2.0))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("c_pairs") == conc, r.toString)
+      assert(r.getAs[Long]("d_pairs") == disc, r.toString)
+      assert(r.getAs[Long]("ties_x") == tx && r.getAs[Long]("ties_y") == ty)
+      assert(r.getAs[Double]("tau_b") == tau, r.toString)
+      // tau and rho measure the same monotone association: same sign,
+      // and |tau| <= |rho| does NOT hold in general, but both must be
+      // strongly positive on this corpus (revenue grows with items)
+      assert(tau > 0.3 && rho(r.getAs[String]("nation")) > tau,
+        s"tau=$tau rho=${rho(r.getAs[String]("nation"))}")
+    }
+  }
+
+  test("t38: Good-Turing smoothing equals a driver-side count-of-counts " +
+      "model bit-for-bit; the smoothed masses and the missing mass " +
+      "behave like probabilities") {
+    val freqs = Tables.documents(spark, dir)
+      .select(split(trim(col("text")), " ").as("l"))
+      .collect().map(_.getSeq[String](0))
+      .filter(_.length >= 2)
+      .flatMap(ws => ws.sliding(2).map(p => p.head + " " + p(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cc = freqs.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val nTokens = freqs.values.sum
+    val n1 = cc.getOrElse(1L, 0L)
+    val rows = q("t38_good_turing").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { row =>
+      val r = row.getAs[Long]("r")
+      assert(r <= 20L)
+      val nr = cc(r)
+      val nr1 = cc.getOrElse(r + 1, 0L)
+      val rStar = ((r + 1) * nr1).toDouble / nr.toDouble
+      assert(row.getAs[Long]("n_r") == nr)
+      assert(row.getAs[Long]("n_r1") == nr1)
+      assert(row.getAs[Double]("r_star") == rStar, row.toString)
+      assert(row.getAs[Double]("p_gt") ==
+        rStar / nTokens.toDouble, row.toString)
+      assert(row.getAs[Double]("missing_mass") ==
+        n1.toDouble / nTokens.toDouble)
+    }
+    // the estimator must actually fire on this corpus: hapaxes exist,
+    // so unseen mass is a real probability, and the smoothed hapax
+    // count is discounted below its raw count (the G-T signature)
+    val mm = rows.head.getAs[Double]("missing_mass")
+    assert(mm > 0.0 && mm < 1.0)
+    val hapax = rows.find(_.getAs[Long]("r") == 1L)
+    hapax.foreach(h => assert(h.getAs[Double]("r_star") <
+      2.0 * h.getAs[Long]("n_r"), "smoothing must not inflate hapaxes"))
+  }
 }
