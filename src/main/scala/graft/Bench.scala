@@ -103,7 +103,8 @@ object Bench {
     "q135_spearman_corr", "q136_bitmap_distinct", "q137_trimmed_mean",
     "q138_gini_lorenz", "t37_bpe_merges",
     "q139_kruskal_wallis", "q140_anova_oneway",
-    "q141_kendall_tau", "t38_good_turing")
+    "q141_kendall_tau", "t38_good_turing",
+    "q142_wilson_ranking", "q143_simpson_reversal")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Parity, Tables}
@@ -279,6 +279,100 @@ object Extended12 {
           (col("n1").cast("double") / col("n_tokens").cast("double"))
             .as("missing_mass"))
         .orderBy(col("r"))
+    }),
+
+    // WILSON SCORE INTERVAL ranking — the "never sort by raw rate"
+    // primitive beside q118's proportion-test outliers: per part
+    // brand, the return-rate estimate gets a 95% Wilson interval, and
+    // the ranking by the interval's LOWER bound is compared against
+    // the naive raw-rate ranking. Where the two disagree (`moved`),
+    // the naive ranking was trusting a rate its sample size cannot
+    // support — on this corpus 7 of 25 brands move, so the operator
+    // demonstrably fires. All inputs are exact longs (trials,
+    // successes per brand); the interval assembles in doubles with an
+    // identical operation sequence on both engines and one IEEE sqrt,
+    // so ranks — ordered on those bit-identical doubles with a brand
+    // tie-break — agree cross-engine. Scale shape: one fact exchange
+    // keyed by partkey into the dim join (broadcast at these SFs,
+    // shuffled-hash beyond the threshold), partial-agg collapsed to
+    // |brands| rows; both rank windows run on that tiny frame.
+    "q142_wilson_ranking" -> ((s, d) => {
+      val z2 = lit(3.8416)
+      val byBrand = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("k"))
+      val st = byBrand
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("rate", col("k").cast("double") / col("nd"))
+        .withColumn("den", lit(1.0) + z2 / col("nd"))
+        .withColumn("center",
+          (col("rate") + z2 / (lit(2.0) * col("nd"))) / col("den"))
+        .withColumn("half",
+          lit(1.96) * sqrt(col("rate") * (lit(1.0) - col("rate")) /
+            col("nd") + z2 / (lit(4.0) * col("nd") * col("nd"))) /
+            col("den"))
+      val wRaw = Window.orderBy(col("rate").desc, col("p_brand"))
+      val wLb = Window.orderBy((col("center") - col("half")).desc,
+        col("p_brand"))
+      st.withColumn("rank_raw", row_number().over(wRaw).cast("long"))
+        .withColumn("rank_lb", row_number().over(wLb).cast("long"))
+        .select(col("p_brand"), col("n"), col("k"), col("rate"),
+          (col("center") - col("half")).as("wilson_lb"),
+          (col("center") + col("half")).as("wilson_ub"),
+          col("rank_raw"), col("rank_lb"),
+          (col("rank_raw") =!= col("rank_lb")).as("moved"))
+        .orderBy(col("rank_lb"))
+    }),
+
+    // SIMPSON'S PARADOX detector — the aggregation trap q102
+    // (discount-band effectiveness) walks straight past: does the
+    // discount→return-rate direction HOLD inside every ship-month
+    // segment, or does the pooled direction reverse when
+    // disaggregated? Entirely DIVISION-FREE: each direction is the
+    // sign of the exact integer cross-multiplication k1·n0 − k0·n1
+    // (rate comparison without rates), so segment and aggregate
+    // directions are integer-exact cross-engine; the displayed rates
+    // are the only doubles and decide nothing. On this corpus 4–6 of
+    // 12 months run against the pooled direction at every SF — the
+    // detector demonstrably fires. Aggregate totals ride an
+    // unpartitioned window over the 12-row segment grid (no second
+    // fact scan, no cross join). Scale shape: one partial-aggregating
+    // fact scan to 12 rows; everything after is grid-local. Long
+    // range: k·n products hold exactly to ~3e9 rows per side.
+    "q143_simpson_reversal" -> ((s, d) => {
+      val seg = Tables.lineitem(s, d)
+        .select(month(col("l_shipdate")).cast("long").as("ship_month"),
+          (col("l_discount") >= 0.05).as("hi"),
+          (col("l_returnflag") === "R").as("ret"))
+        .groupBy(col("ship_month"))
+        .agg(sum(when(col("hi") && col("ret"), 1L).otherwise(0L)).as("k1"),
+          sum(when(col("hi"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("hi") && col("ret"), 1L).otherwise(0L)).as("k0"),
+          sum(when(!col("hi"), 1L).otherwise(0L)).as("n0"))
+      val wAll = Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      def sign(c: Column): Column =
+        when(c > 0L, 1).when(c < 0L, -1).otherwise(0)
+      seg
+        .withColumn("dseg", col("k1") * col("n0") - col("k0") * col("n1"))
+        .withColumn("dagg",
+          sum(col("k1")).over(wAll) * sum(col("n0")).over(wAll) -
+            sum(col("k0")).over(wAll) * sum(col("n1")).over(wAll))
+        .select(col("ship_month"), col("k1"), col("n1"), col("k0"),
+          col("n0"),
+          (col("k1").cast("double") / col("n1").cast("double"))
+            .as("rate_hi"),
+          (col("k0").cast("double") / col("n0").cast("double"))
+            .as("rate_lo"),
+          sign(col("dseg")).as("dir_seg"),
+          sign(col("dagg")).as("dir_agg"),
+          (sign(col("dseg")) =!= lit(0) &&
+            sign(col("dseg")) =!= sign(col("dagg"))).as("reversed"))
+        .orderBy(col("ship_month"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -464,5 +558,65 @@ object Extended12 {
         |    / CAST(n_tokens AS DOUBLE) AS p_gt,
         |  CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS missing_mass
         |FROM h WHERE r <= 20
-        |ORDER BY r""".stripMargin)
+        |ORDER BY r""".stripMargin,
+
+    "q142_wilson_ranking" ->
+      """WITH bb AS (SELECT p_brand, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1),
+        |  st AS (SELECT p_brand, n, k,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+        |  FROM bb),
+        |  w AS (SELECT p_brand, n, k, rate,
+        |    (rate + 3.8416 / (2.0 * nd)) / (1.0 + 3.8416 / nd) AS center,
+        |    1.96 * sqrt(rate * (1.0 - rate) / nd +
+        |      3.8416 / (4.0 * nd * nd)) / (1.0 + 3.8416 / nd) AS half
+        |  FROM st),
+        |  rk AS (SELECT p_brand, n, k, rate,
+        |    center - half AS wilson_lb, center + half AS wilson_ub,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rate DESC, p_brand)
+        |      AS BIGINT) AS rank_raw,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY center - half DESC, p_brand)
+        |      AS BIGINT) AS rank_lb
+        |  FROM w)
+        |SELECT p_brand, n, k, rate, wilson_lb, wilson_ub,
+        |  rank_raw, rank_lb, rank_raw <> rank_lb AS moved
+        |FROM rk
+        |ORDER BY rank_lb""".stripMargin,
+
+    "q143_simpson_reversal" ->
+      """WITH t AS (SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+        |    l_discount >= 0.05 AS hi, l_returnflag = 'R' AS ret
+        |  FROM lineitem),
+        |  seg AS (SELECT ship_month,
+        |    CAST(SUM(CASE WHEN hi AND ret THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k1,
+        |    CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT hi AND ret THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k0,
+        |    CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        |  FROM t GROUP BY 1),
+        |  dd AS (SELECT ship_month, k1, n1, k0, n0,
+        |    k1 * n0 - k0 * n1 AS dseg,
+        |    CAST(SUM(k1) OVER () AS BIGINT) * CAST(SUM(n0) OVER ()
+        |      AS BIGINT) -
+        |    CAST(SUM(k0) OVER () AS BIGINT) * CAST(SUM(n1) OVER ()
+        |      AS BIGINT) AS dagg
+        |  FROM seg),
+        |  sg AS (SELECT ship_month, k1, n1, k0, n0,
+        |    CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate_hi,
+        |    CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate_lo,
+        |    CASE WHEN dseg > 0 THEN 1 WHEN dseg < 0 THEN -1
+        |      ELSE 0 END AS dir_seg,
+        |    CASE WHEN dagg > 0 THEN 1 WHEN dagg < 0 THEN -1
+        |      ELSE 0 END AS dir_agg
+        |  FROM dd)
+        |SELECT ship_month, k1, n1, k0, n0, rate_hi, rate_lo,
+        |  dir_seg, dir_agg,
+        |  dir_seg <> 0 AND dir_seg <> dir_agg AS reversed
+        |FROM sg
+        |ORDER BY ship_month""".stripMargin)
 }

@@ -182,4 +182,78 @@ class Round7eOpsSpec extends SparkSpec {
     hapax.foreach(h => assert(h.getAs[Double]("r_star") <
       2.0 * h.getAs[Long]("n_r"), "smoothing must not inflate hapaxes"))
   }
+
+  test("q142: Wilson intervals equal a driver-side model bit-for-bit, " +
+      "bracket the raw rate, and the lower-bound ranking genuinely " +
+      "re-orders the naive rate ranking") {
+    val counts = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val rows = q("q142_wilson_ranking").collect()
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val (n, k) = counts(r.getAs[String]("p_brand"))
+      val nd = n.toDouble
+      val rate = k.toDouble / nd
+      val den = 1.0 + 3.8416 / nd
+      val center = (rate + 3.8416 / (2.0 * nd)) / den
+      val half = 1.96 * math.sqrt(rate * (1.0 - rate) / nd +
+        3.8416 / (4.0 * nd * nd)) / den
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("k") == k)
+      assert(r.getAs[Double]("rate") == rate)
+      assert(r.getAs[Double]("wilson_lb") == center - half, r.toString)
+      assert(r.getAs[Double]("wilson_ub") == center + half, r.toString)
+      // the interval brackets the point estimate
+      assert(center - half < rate && rate < center + half)
+      assert(center - half > 0.0 && center + half < 1.0)
+    }
+    // both rankings are permutations of 1..n, and they disagree
+    // somewhere (small-sample shrinkage must actually bite)
+    val raws = rows.map(_.getAs[Long]("rank_raw")).sorted
+    val lbs = rows.map(_.getAs[Long]("rank_lb")).sorted
+    assert(raws.toSeq == (1L to counts.size).toSeq)
+    assert(lbs.toSeq == (1L to counts.size).toSeq)
+    assert(rows.count(_.getAs[Boolean]("moved")) > 0,
+      "the Wilson ranking must re-order at least one brand")
+  }
+
+  test("q143: the Simpson detector's directions equal a driver-side " +
+      "integer cross-multiplication model, segment counts partition the " +
+      "fact table, and at least one month reverses the pooled direction") {
+    val raw = Tables.lineitem(spark, dir)
+      .select(month(col("l_shipdate")).cast("long"),
+        (col("l_discount") >= 0.05), (col("l_returnflag") === "R"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    val bySeg = raw.groupBy(_._1).view.mapValues { g =>
+      (g.count(p => p._2 && p._3).toLong, g.count(_._2).toLong,
+        g.count(p => !p._2 && p._3).toLong, g.count(!_._2).toLong)
+    }.toMap
+    val (ak1, an1, ak0, an0) = bySeg.values
+      .foldLeft((0L, 0L, 0L, 0L)) { case ((a, b, c, e), (k1, n1, k0, n0)) =>
+        (a + k1, b + n1, c + k0, e + n0)
+      }
+    val dagg = ak1 * an0 - ak0 * an1
+    def sgn(v: Long): Int = java.lang.Long.signum(v)
+    val rows = q("q143_simpson_reversal").collect()
+    assert(rows.length == bySeg.size)
+    rows.foreach { r =>
+      val (k1, n1, k0, n0) = bySeg(r.getAs[Long]("ship_month"))
+      assert(r.getAs[Long]("k1") == k1 && r.getAs[Long]("n1") == n1 &&
+        r.getAs[Long]("k0") == k0 && r.getAs[Long]("n0") == n0)
+      assert(r.getAs[Int]("dir_seg") == sgn(k1 * n0 - k0 * n1))
+      assert(r.getAs[Int]("dir_agg") == sgn(dagg))
+      assert(r.getAs[Boolean]("reversed") ==
+        (sgn(k1 * n0 - k0 * n1) != 0 && sgn(k1 * n0 - k0 * n1) != sgn(dagg)))
+      assert(r.getAs[Double]("rate_hi") == k1.toDouble / n1.toDouble)
+    }
+    // counts partition the fact table exactly
+    assert((an1 + an0) == raw.length.toLong)
+    // the trap must be observable on this corpus
+    assert(rows.count(_.getAs[Boolean]("reversed")) > 0,
+      "at least one month must run against the pooled direction")
+  }
 }
