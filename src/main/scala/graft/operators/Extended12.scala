@@ -373,6 +373,51 @@ object Extended12 {
           (sign(col("dseg")) =!= lit(0) &&
             sign(col("dseg")) =!= sign(col("dagg"))).as("reversed"))
         .orderBy(col("ship_month"))
+    }),
+
+    // COHEN'S KAPPA between two quality screens — chance-corrected
+    // agreement between t02's composite document score (rater A:
+    // quality == 'ok') and the trigram-repetition screen (rater B: no
+    // repeated word-3-gram, i.e. t11's n_dup_pos == 0), composed from
+    // those operators' own library surfaces rather than re-derived.
+    // The instructive outcome on this corpus is the UNMASKING: raw
+    // agreement p_o ≈ 0.48 looks like the screens back each other up,
+    // but kappa ≈ 0.07 says the overlap is almost entirely chance —
+    // the two filters measure different things (type diversity vs
+    // local repetition) and neither subsumes the other, which is
+    // exactly what a curator needs to know before dropping one. All
+    // four confusion cells are populated at every SF (q108 rule
+    // pre-verified). Kappa is computed as ONE division of exact longs
+    // — numerator n·(n11+n00) − Σ marginal products, denominator n² −
+    // Σ marginal products — so cross-engine equality needs no
+    // operation-sequence care beyond the two display ratios. Scale
+    // shape: both raters are doc-local map work; the join is keyed by
+    // doc_id; the confusion matrix partial-aggregates to one row.
+    "q144_cohens_kappa" -> ((s, d) => {
+      val a = TextOps.queries("t02_quality_score")(s, d)
+        .select(col("doc_id"), (col("quality") === "ok").as("a"))
+      val b = TextOps.repetitionStats(Tables.documents(s, d))
+        .select(col("doc_id"), (col("n_dup_pos") === 0).as("b"))
+      a.join(b, "doc_id")
+        .agg(
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+        .withColumn("n",
+          col("n11") + col("n10") + col("n01") + col("n00"))
+        .withColumn("expsum",
+          (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+            (col("n01") + col("n00")) * (col("n10") + col("n00")))
+        .select(col("n11"), col("n10"), col("n01"), col("n00"), col("n"),
+          ((col("n11") + col("n00")).cast("double") /
+            col("n").cast("double")).as("p_observed"),
+          (col("expsum").cast("double") / col("n").cast("double") /
+            col("n").cast("double")).as("p_expected"),
+          ((col("n") * (col("n11") + col("n00")) - col("expsum"))
+            .cast("double") /
+            (col("n") * col("n") - col("expsum")).cast("double"))
+            .as("kappa"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -618,5 +663,53 @@ object Extended12 {
         |  dir_seg, dir_agg,
         |  dir_seg <> 0 AND dir_seg <> dir_agg AS reversed
         |FROM sg
-        |ORDER BY ship_month""".stripMargin)
+        |ORDER BY ship_month""".stripMargin,
+
+    "q144_cohens_kappa" ->
+      """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ')
+        |    AS words FROM documents),
+        |  ra AS (SELECT doc_id,
+        |    (LEN(words) >= 10 AND
+        |     CAST(LEN(list_distinct(words)) AS DOUBLE) / LEN(words)
+        |       >= 0.5 AND
+        |     CAST(LEN(list_filter(words, x -> x IN
+        |       ('the', 'and', 'of', 'to', 'a', 'in', 'is'))) AS DOUBLE)
+        |       / LEN(words) <= 0.4) AS a
+        |  FROM w),
+        |  g AS (SELECT doc_id,
+        |    UNNEST(list_transform(
+        |      generate_series(1, GREATEST(LEN(words) - 2, 0)),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |      AS gram
+        |  FROM w),
+        |  c AS (SELECT doc_id, gram, COUNT(1) AS cnt FROM g
+        |    GROUP BY doc_id, gram),
+        |  dup AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n_dup
+        |  FROM c GROUP BY doc_id),
+        |  rb AS (SELECT w.doc_id, COALESCE(dup.n_dup, 0) = 0 AS b
+        |  FROM w LEFT JOIN dup USING (doc_id)),
+        |  cells AS (SELECT
+        |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM ra JOIN rb USING (doc_id)),
+        |  st AS (SELECT n11, n10, n01, n00,
+        |    n11 + n10 + n01 + n00 AS n,
+        |    (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        |      AS expsum
+        |  FROM cells)
+        |SELECT n11, n10, n01, n00, n,
+        |  CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS p_observed,
+        |  CAST(expsum AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS p_expected,
+        |  CAST(n * (n11 + n00) - expsum AS DOUBLE) /
+        |    CAST(n * n - expsum AS DOUBLE) AS kappa
+        |FROM st""".stripMargin)
 }

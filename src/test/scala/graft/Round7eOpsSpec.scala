@@ -256,4 +256,47 @@ class Round7eOpsSpec extends SparkSpec {
     assert(rows.count(_.getAs[Boolean]("reversed")) > 0,
       "at least one month must run against the pooled direction")
   }
+
+  test("q144: Cohen's kappa equals a driver-side confusion model " +
+      "bit-for-bit, every cell is populated, and kappa unmasks the " +
+      "chance-level agreement behind the raw overlap") {
+    val aSet = SparkEntry.queries("t02_quality_score")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("quality") == "ok")).toMap
+    val bSet = operators.TextOps
+      .repetitionStats(Tables.documents(spark, dir))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_dup_pos") == 0)).toMap
+    assert(aSet.keySet == bSet.keySet)
+    var n11 = 0L; var n10 = 0L; var n01 = 0L; var n00 = 0L
+    aSet.foreach { case (id, a) =>
+      (a, bSet(id)) match {
+        case (true, true)   => n11 += 1
+        case (true, false)  => n10 += 1
+        case (false, true)  => n01 += 1
+        case (false, false) => n00 += 1
+      }
+    }
+    val n = n11 + n10 + n01 + n00
+    val expsum = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    val kappa = (n * (n11 + n00) - expsum).toDouble /
+      (n * n - expsum).toDouble
+    val r = q("q144_cohens_kappa").collect()(0)
+    assert(r.getAs[Long]("n11") == n11 && r.getAs[Long]("n10") == n10 &&
+      r.getAs[Long]("n01") == n01 && r.getAs[Long]("n00") == n00)
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Double]("p_observed") ==
+      (n11 + n00).toDouble / n.toDouble)
+    assert(r.getAs[Double]("p_expected") ==
+      expsum.toDouble / n.toDouble / n.toDouble)
+    assert(r.getAs[Double]("kappa") == kappa, r.toString)
+    // the comparison is non-degenerate: both raters vary, all cells hit
+    assert(n11 > 0 && n10 > 0 && n01 > 0 && n00 > 0,
+      s"cells ($n11, $n10, $n01, $n00)")
+    // the unmasking: raw agreement looks material, kappa says chance
+    assert(r.getAs[Double]("p_observed") > 0.3)
+    assert(kappa != 0.0 && math.abs(kappa) < 0.2,
+      s"kappa=$kappa should expose near-chance agreement here")
+    assert(kappa > -1.0 && kappa < 1.0)
+  }
 }
