@@ -418,6 +418,63 @@ object Extended12 {
             .cast("double") /
             (col("n") * col("n") - col("expsum")).cast("double"))
             .as("kappa"))
+    }),
+
+    // ROLLING QUANTILE-COVERAGE BACKTEST — the temporal
+    // cross-validation primitive none of the point statistics give
+    // you: for every order week, compute exact p10/p90 revenue bounds
+    // from the TRAILING 8 prior weeks only (leakage-safe by
+    // construction — the interval never sees the week it is judged
+    // on), then measure out-of-sample coverage: the fraction of the
+    // current week's orders falling inside. A well-calibrated 10–90
+    // interval should cover ≈ 80%; weeks drifting off that line are
+    // exactly where a revenue model trained on history goes stale.
+    // Exactness: percentiles use the discrete integer rule (smallest
+    // value whose 10·cumulative-count reaches k·total — q73's
+    // weighted-median stance, no interpolation), so bounds, counts,
+    // and the final single-division coverage are cross-engine exact.
+    // Scale shape: one rollup to the weekly value grid; each grid
+    // cell fans out to at most 8 target weeks (q66's trailing-window
+    // trick — the fact table is scanned once, never per-week);
+    // everything downstream is keyed by target week. Warm-up weeks
+    // with no prior history drop (inner join on bounds).
+    "q145_quantile_coverage" -> ((s, d) => {
+      val wk = Tables.orders(s, d)
+        .select(
+          expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
+            " div 7").as("wk"),
+          Parity.cents2(col("o_totalprice")).as("cents"))
+      val grid = wk.groupBy(col("wk"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val prior = grid
+        .withColumn("off", explode(expr("sequence(1, 8)")))
+        .select((col("wk") + col("off")).as("twk"), col("cents"),
+          col("cnt"))
+        .groupBy(col("twk"), col("cents"))
+        .agg(sum(col("cnt")).as("pcnt"))
+      val wCum = Window.partitionBy(col("twk")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("twk"))
+      val bounds = prior
+        .withColumn("cum", sum(col("pcnt")).over(wCum))
+        .withColumn("tot", sum(col("pcnt")).over(wTot))
+        .groupBy(col("twk"))
+        .agg(max(col("tot")).as("n_prior"),
+          min(when(lit(10L) * col("cum") >= col("tot"), col("cents")))
+            .as("p10"),
+          min(when(lit(10L) * col("cum") >= lit(9L) * col("tot"),
+            col("cents"))).as("p90"))
+      grid.join(bounds, col("wk") === col("twk"))
+        .groupBy(col("wk"), col("n_prior"), col("p10"), col("p90"))
+        .agg(sum(col("cnt")).as("n_cur"),
+          sum(when(col("cents") >= col("p10") &&
+            col("cents") <= col("p90"), col("cnt")).otherwise(0L))
+            .as("n_inside"))
+        .select(col("wk"), col("n_prior"), col("p10"), col("p90"),
+          col("n_cur"), col("n_inside"),
+          (col("n_inside").cast("double") / col("n_cur").cast("double"))
+            .as("coverage"))
+        .orderBy(col("wk"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -711,5 +768,38 @@ object Extended12 {
         |    AS p_expected,
         |  CAST(n * (n11 + n00) - expsum AS DOUBLE) /
         |    CAST(n * n - expsum AS DOUBLE) AS kappa
-        |FROM st""".stripMargin)
+        |FROM st""".stripMargin,
+
+    "q145_quantile_coverage" ->
+      """WITH wk AS (SELECT
+        |    CAST(datediff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) // 7 AS wk,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |  grid AS (SELECT wk, cents, CAST(COUNT(1) AS BIGINT) AS cnt
+        |    FROM wk GROUP BY 1, 2),
+        |  pri AS (SELECT wk + off AS twk, cents, cnt
+        |    FROM grid, UNNEST(generate_series(1, 8)) AS t(off)),
+        |  pg AS (SELECT twk, cents, CAST(SUM(cnt) AS BIGINT) AS pcnt
+        |    FROM pri GROUP BY 1, 2),
+        |  cm AS (SELECT twk, cents, pcnt,
+        |    CAST(SUM(pcnt) OVER (PARTITION BY twk ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(pcnt) OVER (PARTITION BY twk) AS BIGINT) AS tot
+        |  FROM pg),
+        |  bounds AS (SELECT twk, MAX(tot) AS n_prior,
+        |    MIN(CASE WHEN 10 * cum >= tot THEN cents END) AS p10,
+        |    MIN(CASE WHEN 10 * cum >= 9 * tot THEN cents END) AS p90
+        |  FROM cm GROUP BY 1),
+        |  cov AS (SELECT g.wk, b.n_prior, b.p10, b.p90,
+        |    CAST(SUM(g.cnt) AS BIGINT) AS n_cur,
+        |    CAST(SUM(CASE WHEN g.cents >= b.p10 AND g.cents <= b.p90
+        |      THEN g.cnt ELSE 0 END) AS BIGINT) AS n_inside
+        |  FROM grid g JOIN bounds b ON g.wk = b.twk
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT wk, n_prior, p10, p90, n_cur, n_inside,
+        |  CAST(n_inside AS DOUBLE) / CAST(n_cur AS DOUBLE) AS coverage
+        |FROM cov
+        |ORDER BY wk""".stripMargin)
 }

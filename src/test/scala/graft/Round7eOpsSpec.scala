@@ -299,4 +299,49 @@ class Round7eOpsSpec extends SparkSpec {
       s"kappa=$kappa should expose near-chance agreement here")
     assert(kappa > -1.0 && kappa < 1.0)
   }
+
+  test("q145: the rolling quantile-coverage backtest equals a " +
+      "driver-side trailing-window model bit-for-bit, never sees the " +
+      "judged week, and covers near the nominal 80%") {
+    val pts = Tables.orders(spark, dir)
+      .select(expr("CAST(datediff(o_orderdate, DATE '1992-01-01') " +
+        "AS BIGINT) div 7"), Parity.cents2(col("o_totalprice")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byWeek = pts.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def discretePct(vs: Seq[Long], k: Long): Long = {
+      val sorted = vs.sorted
+      val tot = sorted.length.toLong
+      sorted.zipWithIndex
+        .find { case (_, i) => 10L * (i + 1) >= k * tot }.get._1
+    }
+    val rows = q("q145_quantile_coverage").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("wk")
+      val prior = ((w - 8) until w).flatMap(pw =>
+        byWeek.getOrElse(pw, Array.empty[Long]))
+      assert(prior.nonEmpty, s"week $w emitted without prior history")
+      val p10 = discretePct(prior, 1L)
+      val p90 = discretePct(prior, 9L)
+      val cur = byWeek(w)
+      assert(r.getAs[Long]("n_prior") == prior.length.toLong)
+      assert(r.getAs[Long]("p10") == p10, s"week $w")
+      assert(r.getAs[Long]("p90") == p90, s"week $w")
+      assert(r.getAs[Long]("n_cur") == cur.length.toLong)
+      val inside = cur.count(v => v >= p10 && v <= p90).toLong
+      assert(r.getAs[Long]("n_inside") == inside)
+      assert(r.getAs[Double]("coverage") ==
+        inside.toDouble / cur.length.toDouble)
+      assert(p10 <= p90)
+    }
+    // weeks with zero prior history must be absent (warm-up drop)
+    val emitted = rows.map(_.getAs[Long]("wk")).toSet
+    byWeek.keys.filter(w => ((w - 8) until w)
+      .forall(pw => !byWeek.contains(pw)))
+      .foreach(w => assert(!emitted.contains(w), s"warm-up week $w"))
+    // calibration: the mean out-of-sample coverage of a 10-90 interval
+    // sits near 0.8 on a stationary series
+    val mean = rows.map(_.getAs[Double]("coverage")).sum / rows.length
+    assert(mean > 0.6 && mean < 0.95, s"mean coverage $mean")
+  }
 }
