@@ -306,6 +306,59 @@ object StreamingOps {
     out.result().iterator
   }
 
+  /** q145's streaming twin: the rolling quantile-coverage backtest run
+    * continuously. Input is completed weekly value-grid cells
+    * (key, wk, cents, cnt) — upstream a watermarked weekly rollup, the
+    * seasonalFold "completed cells" contract; key names the monitored
+    * series (a deployment watches k metrics, keyed). State per key is
+    * the last 8 weeks' grids — bounded by the value grid × 8, never
+    * the stream. Each completing week is scored FIRST against the
+    * trailing-8-week state (discrete p10/p90 via the identical
+    * smallest-value-reaching-k-tenths integer rule, coverage as the
+    * same single division), THEN folded in and the horizon evicted —
+    * so an in-order weekly replay reproduces q145's batch rows
+    * bit-for-bit (pinned in StatefulStreamSpec), and the week being
+    * judged never influences its own bounds on the stream either.
+    * Weeks arriving in one micro-batch are processed in ascending
+    * order; a week with no in-horizon history emits nothing (q145's
+    * warm-up drop).
+    */
+  case class WeekCell(key: String, wk: Long, cents: Long, cnt: Long)
+  case class CoverageSnapshot(key: String, wk: Long, n_prior: Long,
+      p10: Long, p90: Long, n_cur: Long, n_inside: Long,
+      coverage: Double)
+  def coverageFold(key: String, it: Iterator[WeekCell],
+      state: GroupState[Seq[(Long, Seq[(Long, Long)])]])
+      : Iterator[CoverageSnapshot] = {
+    var hist = state.getOption.getOrElse(Nil)
+    val out = Array.newBuilder[CoverageSnapshot]
+    it.toArray.groupBy(_.wk).toSeq.sortBy(_._1).foreach { case (w, cs) =>
+      val grid = cs.groupBy(_.cents).view
+        .mapValues(_.map(_.cnt).sum).toSeq.sortBy(_._1)
+      val prior = hist.filter(h => h._1 >= w - 8 && h._1 < w)
+      if (prior.nonEmpty) {
+        val merged = prior.flatMap(_._2).groupBy(_._1).view
+          .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+        val tot = merged.map(_._2).sum
+        var cum = 0L; var p10 = -1L; var p90 = -1L
+        merged.foreach { case (c, n) =>
+          cum += n
+          if (p10 < 0 && 10L * cum >= tot) p10 = c
+          if (p90 < 0 && 10L * cum >= 9L * tot) p90 = c
+        }
+        val nCur = grid.map(_._2).sum
+        val inside = grid.collect {
+          case (c, n) if c >= p10 && c <= p90 => n
+        }.sum
+        out += CoverageSnapshot(key, w, tot, p10, p90, nCur, inside,
+          inside.toDouble / nCur.toDouble)
+      }
+      hist = (hist :+ (w -> grid)).filter(_._1 > w - 8)
+    }
+    state.update(hist)
+    out.result().iterator
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling event-time window aggregate. Streaming twin: identical plan
     // + withWatermark("ts", ...); partial agg keeps the shuffle tiny.

@@ -448,6 +448,59 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("coverage fold spans micro-batches: the streamed rolling backtest " +
+      "equals q145's batch rows bit-for-bit on an in-order weekly " +
+      "replay, and the judged week never sees its own data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{WeekCell, CoverageSnapshot}
+    val dir = "/root/testdata/sf0.001"
+    val cells = graft.Tables.orders(spark, dir)
+      .select(expr("CAST(datediff(o_orderdate, DATE '1992-01-01') " +
+          "AS BIGINT) div 7").as("wk"),
+        graft.Parity.cents2(col("o_totalprice")).as("cents"))
+      .groupBy(col("wk"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("revenue").as("key"), col("wk"), col("cents"),
+        col("cnt"))
+      .as[WeekCell].collect().sortBy(c => (c.wk, c.cents))
+    // split on a week boundary so batch 2 scores against state built
+    // entirely in batch 1
+    val weeks = cells.map(_.wk).distinct.sorted
+    val cut = weeks(weeks.length / 2)
+    val (b1, b2) = cells.partition(_.wk < cut)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cov").toString
+    val input = MemoryStream[WeekCell](spark)
+    val q = input.toDS().groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(StreamingOps.coverageFold _)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cov_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cov_xbatch").as[CoverageSnapshot]
+        .collect().map(s => s.wk ->
+          (s.n_prior, s.p10, s.p90, s.n_cur, s.n_inside, s.coverage))
+        .toMap
+      val batch = graft.SparkEntry
+        .queries("q145_quantile_coverage")(spark, dir)
+        .collect().map(r => r.getAs[Long]("wk") ->
+          (r.getAs[Long]("n_prior"), r.getAs[Long]("p10"),
+            r.getAs[Long]("p90"), r.getAs[Long]("n_cur"),
+            r.getAs[Long]("n_inside"), r.getAs[Double]("coverage")))
+        .toMap
+      assert(streamed == batch,
+        s"stream-batch divergence: ${streamed.size} vs ${batch.size}")
+      // each scoreable week emitted exactly once across both batches
+      assert(spark.table("cov_xbatch").count() == batch.size.toLong)
+    } finally q.stop()
+  }
+
   test("stateful query runs on the RocksDB state store (the bounded-memory " +
       "store for 100 TB-scale state)") {
     import spark.implicits._
