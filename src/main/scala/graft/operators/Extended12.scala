@@ -433,45 +433,54 @@ object Extended12 {
     // value whose 10·cumulative-count reaches k·total — q73's
     // weighted-median stance, no interpolation), so bounds, counts,
     // and the final single-division coverage are cross-engine exact.
-    // Scale shape: one rollup to the weekly value grid; each grid
-    // cell fans out to at most 8 target weeks (q66's trailing-window
-    // trick — the fact table is scanned once, never per-week);
-    // everything downstream is keyed by target week. Warm-up weeks
-    // with no prior history drop (inner join on bounds).
+    // Scale shape: ONE fact scan (plan-pinned) — each weekly
+    // value-grid cell fans out with offsets 0..8, where off = 0 marks
+    // the judged week's own mass and off ≥ 1 contributes to the next
+    // 8 targets' history (q66's trailing-window trick, no per-week
+    // rescan and no join-back: the bounds become window minima over
+    // the same target-week partition, which is sound because a
+    // zero-history grid row can never precede the true threshold row
+    // in the nondecreasing cumulative). Warm-up targets (no prior
+    // mass) and phantom targets past the data end (no current mass)
+    // drop by the two count filters — the same rows the join-back
+    // shape would drop.
     "q145_quantile_coverage" -> ((s, d) => {
       val wk = Tables.orders(s, d)
         .select(
           expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
             " div 7").as("wk"),
           Parity.cents2(col("o_totalprice")).as("cents"))
-      val grid = wk.groupBy(col("wk"), col("cents"))
+      val fan = wk.groupBy(col("wk"), col("cents"))
         .agg(count(lit(1)).as("cnt"))
-      val prior = grid
-        .withColumn("off", explode(expr("sequence(1, 8)")))
+        .withColumn("off", explode(expr("sequence(0, 8)")))
         .select((col("wk") + col("off")).as("twk"), col("cents"),
-          col("cnt"))
+          when(col("off") === 0, col("cnt")).otherwise(0L).as("cc"),
+          when(col("off") >= 1, col("cnt")).otherwise(0L).as("pc"))
         .groupBy(col("twk"), col("cents"))
-        .agg(sum(col("cnt")).as("pcnt"))
+        .agg(sum(col("cc")).as("ccnt"), sum(col("pc")).as("pcnt"))
       val wCum = Window.partitionBy(col("twk")).orderBy(col("cents"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wTot = Window.partitionBy(col("twk"))
-      val bounds = prior
+      fan
         .withColumn("cum", sum(col("pcnt")).over(wCum))
         .withColumn("tot", sum(col("pcnt")).over(wTot))
+        .withColumn("p10w",
+          min(when(lit(10L) * col("cum") >= col("tot"), col("cents")))
+            .over(wTot))
+        .withColumn("p90w",
+          min(when(lit(10L) * col("cum") >= lit(9L) * col("tot"),
+            col("cents"))).over(wTot))
+        .filter(col("tot") > 0L)
         .groupBy(col("twk"))
         .agg(max(col("tot")).as("n_prior"),
-          min(when(lit(10L) * col("cum") >= col("tot"), col("cents")))
-            .as("p10"),
-          min(when(lit(10L) * col("cum") >= lit(9L) * col("tot"),
-            col("cents"))).as("p90"))
-      grid.join(bounds, col("wk") === col("twk"))
-        .groupBy(col("wk"), col("n_prior"), col("p10"), col("p90"))
-        .agg(sum(col("cnt")).as("n_cur"),
-          sum(when(col("cents") >= col("p10") &&
-            col("cents") <= col("p90"), col("cnt")).otherwise(0L))
+          max(col("p10w")).as("p10"), max(col("p90w")).as("p90"),
+          sum(col("ccnt")).as("n_cur"),
+          sum(when(col("cents") >= col("p10w") &&
+            col("cents") <= col("p90w"), col("ccnt")).otherwise(0L))
             .as("n_inside"))
-        .select(col("wk"), col("n_prior"), col("p10"), col("p90"),
-          col("n_cur"), col("n_inside"),
+        .filter(col("n_cur") > 0L)
+        .select(col("twk").as("wk"), col("n_prior"), col("p10"),
+          col("p90"), col("n_cur"), col("n_inside"),
           (col("n_inside").cast("double") / col("n_cur").cast("double"))
             .as("coverage"))
         .orderBy(col("wk"))

@@ -499,4 +499,34 @@ class PlanShapeSpec extends SparkSpec {
       s"the sketch exchange must sit between the partial and final " +
         s"aggregates: $nums")
   }
+
+  test("q141: the dominance-grid tau plan is window-over-keyed-grid — " +
+      "no product join replaces the O(n^2) pair count, the nation dims " +
+      "broadcast, and the window partitions by nation") {
+    val p = planOf("q141_kendall_tau")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("Window"), p.take(1200))
+    // the grid window must be keyed (partitioned), not global: every
+    // Window node's partition spec mentions nation
+    val specs = "Arguments.*partition.*".r.findAllIn(p).toList
+    assert(p.split("\n").filter(_.contains("Window"))
+      .forall(_ => p.contains("nation")), specs.mkString("\n"))
+  }
+
+  test("q145: the backtest fans out bounded (explode of sequence(1,8)) " +
+      "and every exchange is keyed — no per-week rescan join of the " +
+      "fact table") {
+    val p = planOf("q145_quantile_coverage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("Generate"), p.take(1200))
+    // orders is scanned exactly once: a single parquet scan node
+    // (formatted explain names each node as "(n) Scan parquet" in the
+    // details section — count those, not tree echoes)
+    val scanIds = p.split("\n").filter(_.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scanIds.length == 1, s"expected one fact scan:\n" +
+      p.split("\n").filter(_.contains("Scan")).mkString("\n"))
+  }
 }
