@@ -161,7 +161,10 @@ object Extended11 {
     // m²/2 pairs of three longs, bounded by the CALENDAR, not the
     // data (the q115 grid stance).
     "q131_theil_sen_trend" -> ((s, d) => {
-      val monthly = Tables.orders(s, d)
+      // the monthly rollup (|nations| × |months| rows) feeds the pair
+      // self-join twice AND the OLS comparison — cut it once so the
+      // fact join runs a single time (ScanAudit: 9 scans → 3)
+      val monthly = Materialize.LocalCheckpoint(Tables.orders(s, d)
         .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)),
@@ -169,7 +172,7 @@ object Extended11 {
         .groupBy(col("n_name").as("nation"),
           ((year(col("o_orderdate")) - 1995) * 12 +
             month(col("o_orderdate")) - 1).as("mon"))
-        .agg(sum(Parity.cents2(col("o_totalprice"))).as("cents"))
+        .agg(sum(Parity.cents2(col("o_totalprice"))).as("cents")))
       val pairs = monthly.as("a").join(monthly.as("b"),
           col("a.nation") === col("b.nation") &&
             col("a.mon") < col("b.mon"))
@@ -240,7 +243,10 @@ object Extended11 {
     // counts; the at-risk tail sum is a window over distinct durations
     // (calendar-bounded, the t28/q115 stance).
     "q133_survival_km" -> ((s, d) => {
-      val per = Tables.events(s, d)
+      // the per-user duration frame feeds the event-time grid, the
+      // at-risk tail, and the factor-list collect — cut it once so the
+      // events table is scanned a single time (ScanAudit: 4 → 1)
+      val per = Materialize.LocalCheckpoint(Tables.events(s, d)
         .groupBy(col("user_id"))
         .agg(min(col("ts")).as("ft"),
           min(when(col("event_type") === "purchase" &&
@@ -253,7 +259,7 @@ object Extended11 {
             .otherwise(
               expr("(unix_micros(CAST(lt AS TIMESTAMP)) - " +
                 "unix_micros(CAST(ft AS TIMESTAMP))) div 60000000"))
-            .as("dur"))
+            .as("dur")))
       val evts = per.filter(col("is_event"))
         .groupBy(col("dur").as("t")).agg(count(lit(1)).as("d"))
       val wDesc = Window.orderBy(col("dur").desc)
@@ -589,9 +595,12 @@ object Extended11 {
           .select(phash(col("l_partkey")).as("h"))
       val a = quarterParts("1996-01-01", "1996-04-01")
       val b = quarterParts("1996-04-01", "1996-07-01")
-      def bottomK(df: DataFrame): DataFrame = df
-        .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
-        .filter(col("rn") <= k).select(col("h"))
+      // each ≤k-row sketch is referenced by the union AND the marking
+      // joins — cut them so each quarter's fact scan runs once
+      def bottomK(df: DataFrame): DataFrame =
+        Materialize.LocalCheckpoint(df
+          .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+          .filter(col("rn") <= k).select(col("h")))
       val skA = bottomK(a).withColumnRenamed("h", "ha")
       val skB = bottomK(b).withColumnRenamed("h", "hb")
       val uni = skA.select(col("ha").as("h"))

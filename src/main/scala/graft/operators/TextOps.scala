@@ -808,14 +808,17 @@ object TextOps {
     // past ~3e9 docs (the q127 note).
     "t36_ks_drift" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-        .select(col("source"), col("n_chars"))
-      val counts = docs.groupBy(col("source"), col("n_chars"))
-        .agg(count(lit(1)).as("c"))
-      val values = docs.select(col("n_chars")).distinct()
-      val sources = docs.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_s"))
-      val tot = docs.agg(count(lit(1)).as("n_all"))
+      // every downstream frame (distinct values, per-source totals,
+      // grand total, per-value totals) is derivable from the
+      // (source, n_chars) count grid — cut that grid once so the
+      // documents table is scanned a single time (ScanAudit: 6 → 1)
+      val counts = Materialize.LocalCheckpoint(Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c")))
+      val values = counts.select(col("n_chars")).distinct()
+      val sources = counts.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_s"))
+      val tot = counts.agg(sum(col("c")).as("n_all"))
       val perValue = counts.groupBy(col("n_chars"))
         .agg(sum(col("c")).as("ct"))
       val wT = Window.orderBy(col("n_chars"))
