@@ -105,7 +105,8 @@ object Bench {
     "q139_kruskal_wallis", "q140_anova_oneway",
     "q141_kendall_tau", "t38_good_turing",
     "q142_wilson_ranking", "q143_simpson_reversal",
-    "q144_cohens_kappa", "q145_quantile_coverage")
+    "q144_cohens_kappa", "q145_quantile_coverage",
+    "q146_cmh_test")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -484,6 +484,87 @@ object Extended12 {
           (col("n_inside").cast("double") / col("n_cur").cast("double"))
             .as("coverage"))
         .orderBy(col("wk"))
+    }),
+
+    // COCHRAN-MANTEL-HAENSZEL stratified association — the adjudicator
+    // q143's Simpson detector hands off to: when per-stratum directions
+    // conflict with the pooled one, CMH asks whether a COMMON
+    // association survives after controlling the stratifier, and the
+    // Mantel–Haenszel common odds ratio says how strong it is. Run on
+    // a contrast that demonstrably fires (above-median order revenue ×
+    // wide order ≥4 items, stratified by nation — associated within
+    // every stratum, so OR_MH >> 1 and the statistic rejects hugely;
+    // the q143 discount contrast would show the complementary null
+    // outcome). Exactness: the 2×2 cells per stratum are exact longs;
+    // E_i, V_i, and the MH numerator/denominator terms are identical
+    // per-stratum double sequences, summed order-independently via
+    // Parity.dsum (decimal), so the statistic is cross-engine equal.
+    // The global median is the discrete value-grid rule (q73 stance)
+    // attached as a 1-row broadcast (q69's pattern, PlanLint
+    // allowlisted). Scale shape: the per-order frame is cut once
+    // (single fact join), the grid median runs on the bounded price
+    // grid, and the stratum table is |nations| rows.
+    "q146_cmh_test" -> ((s, d) => {
+      val items = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+      val per = Materialize.LocalCheckpoint(Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .select(col("n_name").as("nation"), col("cents"),
+          col("n_items")))
+      val wCum = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val med = per.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .agg(min(when(lit(2L) * col("cum") >= col("n"), col("cents")))
+          .as("med"))
+      val strata = per.crossJoin(broadcast(med))
+        .select(col("nation"), (col("cents") > col("med")).as("hi"),
+          (col("n_items") >= 4).as("wide"))
+        .groupBy(col("nation"))
+        .agg(sum(when(col("hi") && col("wide"), 1L).otherwise(0L))
+            .as("a"),
+          sum(when(col("hi") && !col("wide"), 1L).otherwise(0L))
+            .as("b"),
+          sum(when(!col("hi") && col("wide"), 1L).otherwise(0L))
+            .as("cc"),
+          sum(when(!col("hi") && !col("wide"), 1L).otherwise(0L))
+            .as("dd"))
+        .withColumn("nd",
+          (col("a") + col("b") + col("cc") + col("dd")).cast("double"))
+        .withColumn("e",
+          ((col("a") + col("b")) * (col("a") + col("cc"))).cast("double")
+            / col("nd"))
+        .withColumn("v",
+          (col("a") + col("b")).cast("double") *
+            (col("cc") + col("dd")).cast("double") *
+            (col("a") + col("cc")).cast("double") *
+            (col("b") + col("dd")).cast("double") /
+            (col("nd") * col("nd") * (col("nd") - lit(1.0))))
+        .withColumn("mh_num",
+          (col("a") * col("dd")).cast("double") / col("nd"))
+        .withColumn("mh_den",
+          (col("b") * col("cc")).cast("double") / col("nd"))
+      strata.agg(count(lit(1)).as("n_strata"),
+          sum(col("a")).as("sum_a"),
+          Parity.dsum(col("e")).as("sum_e"),
+          Parity.dsum(col("v")).as("sum_v"),
+          Parity.dsum(col("mh_num")).as("mh_num"),
+          Parity.dsum(col("mh_den")).as("mh_den"))
+        .withColumn("t",
+          greatest(abs(col("sum_a").cast("double") - col("sum_e")) -
+            lit(0.5), lit(0.0)))
+        .select(col("n_strata"), col("sum_a"), col("sum_e"),
+          col("sum_v"),
+          (col("t") * col("t") / col("sum_v")).as("cmh_stat"),
+          (col("mh_num") / col("mh_den")).as("or_mh"),
+          (col("t") * col("t") / col("sum_v") > 3.841).as("reject_95"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -810,5 +891,62 @@ object Extended12 {
         |SELECT wk, n_prior, p10, p90, n_cur, n_inside,
         |  CAST(n_inside AS DOUBLE) / CAST(n_cur AS DOUBLE) AS coverage
         |FROM cov
-        |ORDER BY wk""".stripMargin)
+        |ORDER BY wk""".stripMargin,
+
+    "q146_cmh_test" ->
+      s"""WITH items AS (SELECT l_orderkey, COUNT(1) AS n_items,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |  per AS (SELECT n.n_name AS nation, i.cents, i.n_items
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN items i ON o.o_orderkey = i.l_orderkey),
+        |  grid AS (SELECT cents, CAST(COUNT(1) AS BIGINT) AS c
+        |    FROM per GROUP BY 1),
+        |  cm AS (SELECT cents,
+        |    CAST(SUM(c) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n
+        |  FROM grid),
+        |  med AS (SELECT MIN(CASE WHEN 2 * cum >= n THEN cents END)
+        |    AS med FROM cm),
+        |  cells AS (SELECT nation,
+        |    CAST(SUM(CASE WHEN cents > med AND n_items >= 4
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN cents > med AND n_items < 4
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN cents <= med AND n_items >= 4
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+        |    CAST(SUM(CASE WHEN cents <= med AND n_items < 4
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS dd
+        |  FROM per, med GROUP BY 1),
+        |  st AS (SELECT nation, a, b, cc, dd,
+        |    CAST(a + b + cc + dd AS DOUBLE) AS nd
+        |  FROM cells),
+        |  terms AS (SELECT a,
+        |    CAST((a + b) * (a + cc) AS DOUBLE) / nd AS e,
+        |    CAST(a + b AS DOUBLE) * CAST(cc + dd AS DOUBLE) *
+        |      CAST(a + cc AS DOUBLE) * CAST(b + dd AS DOUBLE) /
+        |      (nd * nd * (nd - 1.0)) AS v,
+        |    CAST(a * dd AS DOUBLE) / nd AS mh_num,
+        |    CAST(b * cc AS DOUBLE) / nd AS mh_den
+        |  FROM st),
+        |  agg AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_strata,
+        |    CAST(SUM(a) AS BIGINT) AS sum_a,
+        |    ${graft.Parity.dsumSql("e")} AS sum_e,
+        |    ${graft.Parity.dsumSql("v")} AS sum_v,
+        |    ${graft.Parity.dsumSql("mh_num")} AS mh_num,
+        |    ${graft.Parity.dsumSql("mh_den")} AS mh_den
+        |  FROM terms),
+        |  tt AS (SELECT n_strata, sum_a, sum_e, sum_v, mh_num, mh_den,
+        |    GREATEST(abs(CAST(sum_a AS DOUBLE) - sum_e) - 0.5, 0.0) AS t
+        |  FROM agg)
+        |SELECT n_strata, sum_a, sum_e, sum_v,
+        |  t * t / sum_v AS cmh_stat,
+        |  mh_num / mh_den AS or_mh,
+        |  t * t / sum_v > 3.841 AS reject_95
+        |FROM tt""".stripMargin)
 }

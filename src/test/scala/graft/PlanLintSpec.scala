@@ -49,6 +49,7 @@ class PlanLintSpec extends SparkSpec {
     "e21_lsh_recall", // exhaustive cosine ground truth (a < b)
     "e22_range_search", // same broadcast centroid assignment cross
     "t27_bigram_lift", // 1-row broadcast corpus-token-total scalar
+    "q146_cmh_test", // 1-row broadcast global-median scalar (q69 pattern)
     "t28_term_burstiness", // 1-row broadcast doc-count scalar
     "d18_minhash_band_tuning", // 1-row broadcast truth-count scalar
     "d19_shingle_df_profile", // 1-row broadcast posting-total scalar

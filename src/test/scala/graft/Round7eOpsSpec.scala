@@ -344,4 +344,55 @@ class Round7eOpsSpec extends SparkSpec {
     val mean = rows.map(_.getAs[Double]("coverage")).sum / rows.length
     assert(mean > 0.6 && mean < 0.95, s"mean coverage $mean")
   }
+
+  test("q146: the CMH statistic equals a driver-side stratified model " +
+      "(decimal term sums mirroring dsum), and the common odds ratio " +
+      "confirms the within-stratum association q143's pooled view " +
+      "cannot adjudicate") {
+    val pts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"),
+        sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("cents"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sortedCents = pts.map(_._2).sorted
+    val nAll = sortedCents.length
+    val med = sortedCents.zipWithIndex
+      .find { case (_, i) => 2L * (i + 1) >= nAll.toLong }.get._1
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    var sumA = 0L
+    var se = BigDecimal(0); var sv = BigDecimal(0)
+    var rn = BigDecimal(0); var rd = BigDecimal(0)
+    val strata = pts.groupBy(_._1)
+    strata.foreach { case (_, g) =>
+      val a = g.count(p => p._2 > med && p._3 >= 4).toLong
+      val b = g.count(p => p._2 > med && p._3 < 4).toLong
+      val c = g.count(p => p._2 <= med && p._3 >= 4).toLong
+      val dd = g.count(p => p._2 <= med && p._3 < 4).toLong
+      val nd = (a + b + c + dd).toDouble
+      sumA += a
+      se += dec6(((a + b) * (a + c)).toDouble / nd)
+      sv += dec6((a + b).toDouble * (c + dd).toDouble * (a + c).toDouble *
+        (b + dd).toDouble / (nd * nd * (nd - 1.0)))
+      rn += dec6((a * dd).toDouble / nd)
+      rd += dec6((b * c).toDouble / nd)
+    }
+    val t = math.max(math.abs(sumA.toDouble - se.toDouble) - 0.5, 0.0)
+    val cmh = t * t / sv.toDouble
+    val orMh = rn.toDouble / rd.toDouble
+    val r = q("q146_cmh_test").collect()(0)
+    assert(r.getAs[Long]("n_strata") == strata.size.toLong)
+    assert(r.getAs[Long]("sum_a") == sumA)
+    assert(r.getAs[Double]("sum_e") == se.toDouble, r.toString)
+    assert(r.getAs[Double]("sum_v") == sv.toDouble, r.toString)
+    assert(r.getAs[Double]("cmh_stat") == cmh)
+    assert(r.getAs[Double]("or_mh") == orMh)
+    // the contrast genuinely fires: big orders are wide orders in
+    // every stratum, so the adjusted common association is strong
+    assert(orMh > 2.0, s"or_mh=$orMh")
+    assert(r.getAs[Boolean]("reject_95"), s"cmh=$cmh")
+  }
 }
