@@ -565,6 +565,78 @@ object Extended12 {
           (col("t") * col("t") / col("sum_v")).as("cmh_stat"),
           (col("mh_num") / col("mh_den")).as("or_mh"),
           (col("t") * col("t") / col("sum_v") > 3.841).as("reject_95"))
+    }),
+
+    // JONCKHEERE-TERPSTRA ordered trend test — the directional
+    // completion of the k-sample family: q139's Kruskal–Wallis asks
+    // "do the groups differ AT ALL?"; JT asks "do they INCREASE in
+    // the stated order?" (narrow < mid < wide), which is the actual
+    // hypothesis behind the order-size contrast and buys power by
+    // spending it. JT is the sum of the three pairwise Mann–Whitney
+    // counts in group order, computed on the same value grid with
+    // per-group cumulative belows — carried as 2×U (2·#less + ties)
+    // so everything is exact longs; the tie-corrected null mean and
+    // variance assemble from exact group-size and tie-group sums
+    // (the three standard variance terms), with doubles only in the
+    // fixed-sequence final divisions and ONE sqrt. Scale shape:
+    // identical to q139 — one fact rollup, then the bounded value
+    // grid.
+    "q147_jonckheere_trend" -> ((s, d) => {
+      val ev = orderSizeBuckets(s, d).groupBy(col("value"))
+        .agg(sum(when(col("grp") === "narrow", 1L).otherwise(0L))
+            .as("ca"),
+          sum(when(col("grp") === "mid", 1L).otherwise(0L)).as("cb"),
+          sum(when(col("grp") === "wide", 1L).otherwise(0L)).as("cc"))
+        .withColumn("t", col("ca") + col("cb") + col("cc"))
+      val wB = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val grid = ev
+        .withColumn("ba", coalesce(sum(col("ca")).over(wB), lit(0L)))
+        .withColumn("bb", coalesce(sum(col("cb")).over(wB), lit(0L)))
+        .withColumn("bc", coalesce(sum(col("cc")).over(wB), lit(0L)))
+      grid.agg(
+          sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+          sum(col("cc")).as("nc"),
+          // 2×U for ordered pairs (a,b), (a,c), (b,c):
+          // each target row contributes c_h · (2·below_g + c_g)
+          sum(col("cb") * (lit(2L) * col("ba") + col("ca")) +
+            col("cc") * (lit(2L) * col("ba") + col("ca")) +
+            col("cc") * (lit(2L) * col("bb") + col("cb"))).as("jt2"),
+          sum(col("t") * (col("t") - 1L)).as("t2"),
+          sum(col("t") * (col("t") - 1L) * (col("t") - 2L)).as("t3"),
+          sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+            .as("t25"))
+        .withColumn("n", col("na") + col("nb") + col("nc"))
+        .withColumn("g2",
+          col("na") * (col("na") - 1L) + col("nb") * (col("nb") - 1L) +
+            col("nc") * (col("nc") - 1L))
+        .withColumn("g3",
+          col("na") * (col("na") - 1L) * (col("na") - 2L) +
+            col("nb") * (col("nb") - 1L) * (col("nb") - 2L) +
+            col("nc") * (col("nc") - 1L) * (col("nc") - 2L))
+        .withColumn("g25",
+          col("na") * (col("na") - 1L) * (lit(2L) * col("na") + 5L) +
+            col("nb") * (col("nb") - 1L) * (lit(2L) * col("nb") + 5L) +
+            col("nc") * (col("nc") - 1L) * (lit(2L) * col("nc") + 5L))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("jt", col("jt2").cast("double") / lit(2.0))
+        .withColumn("mu",
+          (col("n") * col("n") - col("na") * col("na") -
+            col("nb") * col("nb") - col("nc") * col("nc"))
+            .cast("double") / lit(4.0))
+        .withColumn("sig2",
+          (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+            col("g25") - col("t25")).cast("double") / lit(72.0) +
+            col("g3").cast("double") * col("t3").cast("double") /
+              (lit(36.0) * col("nd") * (col("nd") - lit(1.0)) *
+                (col("nd") - lit(2.0))) +
+            col("g2").cast("double") * col("t2").cast("double") /
+              (lit(8.0) * col("nd") * (col("nd") - lit(1.0))))
+        .withColumn("z",
+          (col("jt") - col("mu")) / sqrt(col("sig2")))
+        .select(col("na"), col("nb"), col("nc"), col("n"),
+          col("jt"), col("mu"), col("z"),
+          (col("z") > 1.645).as("reject_95_ordered"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -948,5 +1020,63 @@ object Extended12 {
         |  t * t / sum_v AS cmh_stat,
         |  mh_num / mh_den AS or_mh,
         |  t * t / sum_v > 3.841 AS reject_95
-        |FROM tt""".stripMargin)
+        |FROM tt""".stripMargin,
+
+    "q147_jonckheere_trend" ->
+      """WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |  s AS (SELECT cents // 100 AS value,
+        |    CASE WHEN n_items <= 2 THEN 'narrow'
+        |         WHEN n_items <= 5 THEN 'mid'
+        |         ELSE 'wide' END AS grp
+        |    FROM per),
+        |  ev AS (SELECT value,
+        |    CAST(SUM(CASE WHEN grp = 'narrow' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN grp = 'mid' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS cb,
+        |    CAST(SUM(CASE WHEN grp = 'wide' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS cc
+        |  FROM s GROUP BY 1),
+        |  g AS (SELECT value, ca, cb, cc, ca + cb + cc AS t FROM ev),
+        |  grid AS (SELECT ca, cb, cc, t,
+        |    COALESCE(CAST(SUM(ca) OVER wb AS BIGINT), 0) AS ba,
+        |    COALESCE(CAST(SUM(cb) OVER wb AS BIGINT), 0) AS bb,
+        |    COALESCE(CAST(SUM(cc) OVER wb AS BIGINT), 0) AS bc
+        |  FROM g
+        |  WINDOW wb AS (ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |  agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(SUM(cc) AS BIGINT) AS nc,
+        |    CAST(SUM(cb * (2 * ba + ca) + cc * (2 * ba + ca) +
+        |      cc * (2 * bb + cb)) AS BIGINT) AS jt2,
+        |    CAST(SUM(t * (t - 1)) AS BIGINT) AS t2,
+        |    CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS t3,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS t25
+        |  FROM grid),
+        |  st AS (SELECT na, nb, nc, na + nb + nc AS n, jt2, t2, t3, t25,
+        |    na * (na - 1) + nb * (nb - 1) + nc * (nc - 1) AS g2,
+        |    na * (na - 1) * (na - 2) + nb * (nb - 1) * (nb - 2) +
+        |      nc * (nc - 1) * (nc - 2) AS g3,
+        |    na * (na - 1) * (2 * na + 5) + nb * (nb - 1) * (2 * nb + 5) +
+        |      nc * (nc - 1) * (2 * nc + 5) AS g25,
+        |    CAST(na + nb + nc AS DOUBLE) AS nd
+        |  FROM agg),
+        |  fin AS (SELECT na, nb, nc, n,
+        |    CAST(jt2 AS DOUBLE) / 2.0 AS jt,
+        |    CAST(n * n - na * na - nb * nb - nc * nc AS DOUBLE) / 4.0
+        |      AS mu,
+        |    CAST(n * (n - 1) * (2 * n + 5) - g25 - t25 AS DOUBLE) / 72.0
+        |      + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE) /
+        |        (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+        |      + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE) /
+        |        (8.0 * nd * (nd - 1.0)) AS sig2
+        |  FROM st)
+        |SELECT na, nb, nc, n, jt, mu,
+        |  (jt - mu) / sqrt(sig2) AS z,
+        |  (jt - mu) / sqrt(sig2) > 1.645 AS reject_95_ordered
+        |FROM fin""".stripMargin)
 }

@@ -395,4 +395,43 @@ class Round7eOpsSpec extends SparkSpec {
     assert(orMh > 2.0, s"or_mh=$orMh")
     assert(r.getAs[Boolean]("reject_95"), s"cmh=$cmh")
   }
+
+  test("q147: Jonckheere-Terpstra equals a brute-force ordered pairwise " +
+      "U model bit-for-bit and detects the monotone size-revenue trend " +
+      "one-sided") {
+    val groups = Seq("narrow", "mid", "wide")
+      .map(g => tagged.filter(_._1 == g).map(_._2))
+    // brute-force 2xJT: for each ordered group pair, 2*(#less) + ties
+    var jt2 = 0L
+    for (i <- groups.indices; j <- (i + 1) until groups.length;
+         x <- groups(i); y <- groups(j)) {
+      if (x < y) jt2 += 2 else if (x == y) jt2 += 1
+    }
+    val ns = groups.map(_.length.toLong)
+    val n = ns.sum
+    val pooled = tagged.map(_._2)
+    val tieGroups = pooled.groupBy(identity).values.map(_.length.toLong)
+    val t2 = tieGroups.map(t => t * (t - 1)).sum
+    val t3 = tieGroups.map(t => t * (t - 1) * (t - 2)).sum
+    val t25 = tieGroups.map(t => t * (t - 1) * (2 * t + 5)).sum
+    val g2 = ns.map(v => v * (v - 1)).sum
+    val g3 = ns.map(v => v * (v - 1) * (v - 2)).sum
+    val g25 = ns.map(v => v * (v - 1) * (2 * v + 5)).sum
+    val nd = n.toDouble
+    val jt = jt2.toDouble / 2.0
+    val mu = (n * n - ns.map(v => v * v).sum).toDouble / 4.0
+    val sig2 = (n * (n - 1) * (2 * n + 5) - g25 - t25).toDouble / 72.0 +
+      g3.toDouble * t3.toDouble / (36.0 * nd * (nd - 1.0) * (nd - 2.0)) +
+      g2.toDouble * t2.toDouble / (8.0 * nd * (nd - 1.0))
+    val z = (jt - mu) / math.sqrt(sig2)
+    val r = q("q147_jonckheere_trend").collect()(0)
+    assert(r.getAs[Long]("na") == ns(0) && r.getAs[Long]("nb") == ns(1) &&
+      r.getAs[Long]("nc") == ns(2) && r.getAs[Long]("n") == n)
+    assert(r.getAs[Double]("jt") == jt, r.toString)
+    assert(r.getAs[Double]("mu") == mu)
+    assert(r.getAs[Double]("z") == z, r.toString)
+    // the ordered alternative holds: revenue increases with size order
+    assert(z > 1.645 && r.getAs[Boolean]("reject_95_ordered"), s"z=$z")
+    assert(jt > mu)
+  }
 }
