@@ -42,6 +42,46 @@ object Extended11 {
        |    md5(CAST(($expr) AS VARCHAR)), i, 1)) - 1),
        |(a, x) -> a * 16 + x) AS BIGINT)""".stripMargin
 
+  /** Shared BPE trainer for t37 (merge table) and Extended12's t39
+    * (encode audit): 5 rounds of deterministic argmax over weighted
+    * pair counts on the bracketed-symbol word-frequency table, each
+    * round's 1-row winner broadcast back for the re-tokenization
+    * replace. Returns (unioned merge table, final symbol table). Both
+    * frames are localCheckpointed per round, so the whole training
+    * loop reads the documents table once.
+    */
+  private[operators] def bpeTrain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val words = Tables.documents(s, d)
+      .select(explode(expr(
+        "filter(split(trim(text), ' '), x -> x <> '')")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+      .select(concat(lit("["), array_join(split(col("w"), ""), "]["),
+        lit("]")).as("sym"), col("wcnt"))
+    var syms = Materialize.LocalCheckpoint(words)
+    val merges = (1 to 5).map { r =>
+      val pairs = syms
+        .withColumn("t", split(
+          expr("substring(sym, 2, length(sym) - 2)"), "\\]\\["))
+        .select(col("wcnt"), explode(expr(
+          "CASE WHEN size(t) >= 2 THEN transform(sequence(1, " +
+            "size(t) - 1), i -> concat('[', element_at(t, i), '][', " +
+            "element_at(t, i + 1), ']')) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END")).as("pair"))
+      val top = Materialize.LocalCheckpoint(
+        pairs.groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .withColumn("merged", expr("replace(pair, '][', '')"))
+          .withColumn("round", lit(r)))
+      syms = Materialize.LocalCheckpoint(
+        syms.join(broadcast(top), lit(true))
+          .select(expr("replace(sym, pair, merged)").as("sym"),
+            col("wcnt")))
+      top
+    }
+    (merges.reduce(_.unionAll(_)), syms)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // COUNT-MIN FREQUENCY SKETCH, fully oracled — one
@@ -552,34 +592,7 @@ object Extended11 {
     // explode + 1-row top-pick + broadcast apply all run on the
     // vocabulary frame.
     "t37_bpe_merges" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(explode(expr(
-          "filter(split(trim(text), ' '), x -> x <> '')")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
-        .select(concat(lit("["), array_join(split(col("w"), ""), "]["),
-          lit("]")).as("sym"), col("wcnt"))
-      var syms = Materialize.LocalCheckpoint(words)
-      val merges = (1 to 5).map { r =>
-        val pairs = syms
-          .withColumn("t", split(
-            expr("substring(sym, 2, length(sym) - 2)"), "\\]\\["))
-          .select(col("wcnt"), explode(expr(
-            "CASE WHEN size(t) >= 2 THEN transform(sequence(1, " +
-              "size(t) - 1), i -> concat('[', element_at(t, i), '][', " +
-              "element_at(t, i + 1), ']')) " +
-              "ELSE CAST(array() AS ARRAY<STRING>) END")).as("pair"))
-        val top = Materialize.LocalCheckpoint(
-          pairs.groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
-            .orderBy(col("cnt").desc, col("pair")).limit(1)
-            .withColumn("merged", expr("replace(pair, '][', '')"))
-            .withColumn("round", lit(r)))
-        syms = Materialize.LocalCheckpoint(
-          syms.join(broadcast(top), lit(true))
-            .select(expr("replace(sym, pair, merged)").as("sym"),
-              col("wcnt")))
-        top
-      }
-      merges.reduce(_.unionAll(_))
+      bpeTrain(s, d)._1
         .select(col("round"), col("pair").as("merge_pair"),
           col("cnt").as("n_weighted"))
         .orderBy(col("round"))

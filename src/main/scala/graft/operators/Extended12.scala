@@ -637,6 +637,34 @@ object Extended12 {
         .select(col("na"), col("nb"), col("nc"), col("n"),
           col("jt"), col("mu"), col("z"),
           (col("z") > 1.645).as("reject_95_ordered"))
+    }),
+
+    // BPE ENCODE audit — closing t37's train→apply tokenizer loop:
+    // the final symbol table t37's 5 merge rounds produce IS the
+    // encoded corpus (merges preserve characters, so token counts per
+    // word fall straight out of the bracketed form), and the numbers
+    // a tokenizer owner actually reads are emitted: character-level
+    // token count, post-merge BPE token count, chars-per-token, and
+    // the reduction the learned merges bought. Integer-exact until
+    // the two final divisions. Scale shape: inherits t37's training
+    // loop (one documents scan, per-round 1-row broadcast winners);
+    // the audit itself is one aggregate over the |vocab| symbol
+    // table.
+    "t39_bpe_encode" -> ((s, d) => {
+      val fin = Extended11.bpeTrain(s, d)._2
+      fin.agg(count(lit(1)).as("n_words"),
+          sum(col("wcnt")).as("n_occurrences"),
+          sum(col("wcnt") * expr(
+            "length(replace(replace(sym, '[', ''), ']', ''))"))
+            .as("n_char_tokens"),
+          sum(col("wcnt") * expr("size(split(substring(sym, 2, " +
+            "length(sym) - 2), '\\\\]\\\\['))")).as("n_bpe_tokens"))
+        .select(col("n_words"), col("n_occurrences"),
+          col("n_char_tokens"), col("n_bpe_tokens"),
+          (col("n_char_tokens").cast("double") /
+            col("n_bpe_tokens").cast("double")).as("chars_per_token"),
+          (lit(1.0) - col("n_bpe_tokens").cast("double") /
+            col("n_char_tokens").cast("double")).as("token_reduction"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1078,5 +1106,39 @@ object Extended12 {
         |SELECT na, nb, nc, n, jt, mu,
         |  (jt - mu) / sqrt(sig2) AS z,
         |  (jt - mu) / sqrt(sig2) > 1.645 AS reject_95_ordered
-        |FROM fin""".stripMargin)
+        |FROM fin""".stripMargin,
+
+    "t39_bpe_encode" -> {
+      def round(i: Int): String =
+        s"""r${i}p AS (SELECT UNNEST(CASE WHEN len(t) >= 2
+           |    THEN list_transform(generate_series(1, len(t) - 1),
+           |      i -> '[' || t[i] || '][' || t[i + 1] || ']')
+           |    ELSE CAST([] AS VARCHAR[]) END) AS pair, wcnt
+           |  FROM (SELECT string_split(substring(sym, 2,
+           |      length(sym) - 2), '][') AS t, wcnt FROM s${i - 1})),
+           |r${i}t AS (SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt,
+           |    replace(pair, '][', '') AS merged
+           |  FROM r${i}p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
+           |s$i AS (SELECT replace(sym, t.pair, t.merged) AS sym, wcnt
+           |  FROM s${i - 1} CROSS JOIN r${i}t t)""".stripMargin
+      s"""WITH w AS (SELECT UNNEST(list_filter(string_split(trim(text),
+         |    ' '), x -> x <> '')) AS w FROM documents),
+         |  wc AS (SELECT w, COUNT(1) AS wcnt FROM w GROUP BY 1),
+         |  s0 AS (SELECT '[' || array_to_string(string_split(w, ''),
+         |      '][') || ']' AS sym, wcnt FROM wc),
+         |  ${(1 to 5).map(round).mkString(",\n")},
+         |  agg AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_words,
+         |    CAST(SUM(wcnt) AS BIGINT) AS n_occurrences,
+         |    CAST(SUM(wcnt * length(replace(replace(sym, '[', ''),
+         |      ']', ''))) AS BIGINT) AS n_char_tokens,
+         |    CAST(SUM(wcnt * len(string_split(substring(sym, 2,
+         |      length(sym) - 2), ']['))) AS BIGINT) AS n_bpe_tokens
+         |  FROM s5)
+         |SELECT n_words, n_occurrences, n_char_tokens, n_bpe_tokens,
+         |  CAST(n_char_tokens AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
+         |    AS chars_per_token,
+         |  1.0 - CAST(n_bpe_tokens AS DOUBLE) /
+         |    CAST(n_char_tokens AS DOUBLE) AS token_reduction
+         |FROM agg""".stripMargin
+    })
 }

@@ -434,4 +434,53 @@ class Round7eOpsSpec extends SparkSpec {
     assert(z > 1.645 && r.getAs[Boolean]("reject_95_ordered"), s"z=$z")
     assert(jt > mu)
   }
+
+  test("t39: the BPE encode audit equals a driver-side replay of the " +
+      "5-merge trainer, characters are conserved through merges, and " +
+      "the learned merges genuinely compress") {
+    val wordCounts = Tables.documents(spark, dir)
+      .select(explode(expr(
+        "filter(split(trim(text), ' '), x -> x <> '')")).as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // driver replay: bracketed symbols, 5 deterministic argmax merges
+    var syms: Map[String, Long] = wordCounts.map { case (w, c) =>
+      w.toCharArray.map(ch => s"[$ch]").mkString -> c
+    }
+    (1 to 5).foreach { _ =>
+      val pairCounts = scala.collection.mutable.Map[String, Long]()
+      syms.foreach { case (sym, c) =>
+        val toks = sym.substring(1, sym.length - 1).split("\\]\\[")
+        toks.sliding(2).filter(_.length == 2).foreach { p =>
+          val pair = s"[${p(0)}][${p(1)}]"
+          pairCounts(pair) = pairCounts.getOrElse(pair, 0L) + c
+        }
+      }
+      val top = pairCounts.toSeq.minBy { case (p, c) => (-c, p) }._1
+      val merged = top.replace("][", "")
+      syms = syms.groupBy { case (sym, _) => sym.replace(top, merged) }
+        .map { case (k, vs) => k -> vs.values.sum }
+    }
+    val nWords = syms.size.toLong
+    val nOcc = syms.values.sum
+    val nChar = syms.map { case (sym, c) =>
+      c * sym.replace("[", "").replace("]", "").length }.sum
+    val nBpe = syms.map { case (sym, c) =>
+      c * sym.substring(1, sym.length - 1).split("\\]\\[").length }.sum
+    val r = q("t39_bpe_encode").collect()(0)
+    assert(r.getAs[Long]("n_words") == nWords, r.toString)
+    assert(r.getAs[Long]("n_occurrences") == nOcc)
+    assert(r.getAs[Long]("n_char_tokens") == nChar, r.toString)
+    assert(r.getAs[Long]("n_bpe_tokens") == nBpe, r.toString)
+    assert(r.getAs[Double]("chars_per_token") ==
+      nChar.toDouble / nBpe.toDouble)
+    assert(r.getAs[Double]("token_reduction") ==
+      1.0 - nBpe.toDouble / nChar.toDouble)
+    // conservation: merges never create or destroy characters
+    val rawChars = wordCounts.map { case (w, c) => c * w.length }.sum
+    assert(nChar == rawChars)
+    // the merges must actually compress (5 merges on this corpus)
+    assert(nBpe < nChar && r.getAs[Double]("token_reduction") > 0.0)
+    assert(r.getAs[Double]("chars_per_token") > 1.0)
+  }
 }
