@@ -106,7 +106,8 @@ object Bench {
     "q141_kendall_tau", "t38_good_turing",
     "q142_wilson_ranking", "q143_simpson_reversal",
     "q144_cohens_kappa", "q145_quantile_coverage",
-    "q146_cmh_test", "q147_jonckheere_trend", "t39_bpe_encode")
+    "q146_cmh_test", "q147_jonckheere_trend", "t39_bpe_encode",
+    "q148_friedman_concordance")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -665,6 +665,60 @@ object Extended12 {
             col("n_bpe_tokens").cast("double")).as("chars_per_token"),
           (lit(1.0) - col("n_bpe_tokens").cast("double") /
             col("n_char_tokens").cast("double")).as("token_reduction"))
+    }),
+
+    // FRIEDMAN TEST + KENDALL'S W — the blocked-design member of the
+    // k-sample family: does the order-size → revenue ordering hold
+    // consistently WITHIN every nation (blocks), and how concordant
+    // are the blocks? Treatments are the three size buckets ranked by
+    // mean order revenue inside each nation; rank sums are exact
+    // longs; χ²_F = 12·ΣR_j²/(n·k·(k+1)) − 3·n·(k+1) and
+    // W = χ²_F/(n·(k−1)) are fixed-sequence double arithmetic — no
+    // sqrt. On this corpus every nation ranks narrow < mid < wide, so
+    // W = 1.0 exactly at every SF (perfect concordance is the
+    // corpus's truth, and the spec pins it). Ties in the block ranks
+    // would need midranks; with three rational means per block a tie
+    // is measure-zero, and the (mean, grp) tie-break is deterministic
+    // and identical cross-engine since both engines compare the same
+    // doubles. Scale shape: one fact rollup to |nations|×3 rows;
+    // everything after is grid-local.
+    "q148_friedman_concordance" -> ((s, d) => {
+      val obs = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          when(col("n_items") <= 2, lit("narrow"))
+            .when(col("n_items") <= 5, lit("mid"))
+            .otherwise(lit("wide")).as("grp"),
+          col("cents"))
+        .groupBy(col("nation"), col("grp"))
+        .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("tot"))
+        .withColumn("mean",
+          col("tot").cast("double") / col("n_g").cast("double"))
+      val w = Window.partitionBy(col("nation"))
+        .orderBy(col("mean"), col("grp"))
+      obs.withColumn("rk", row_number().over(w).cast("long"))
+        .agg(countDistinct(col("nation")).as("n_blocks"),
+          sum(when(col("grp") === "narrow", col("rk"))).as("r_narrow"),
+          sum(when(col("grp") === "mid", col("rk"))).as("r_mid"),
+          sum(when(col("grp") === "wide", col("rk"))).as("r_wide"))
+        .withColumn("sr2",
+          col("r_narrow") * col("r_narrow") + col("r_mid") * col("r_mid")
+            + col("r_wide") * col("r_wide"))
+        .withColumn("nd", col("n_blocks").cast("double"))
+        .withColumn("chi2_f",
+          lit(12.0) * col("sr2").cast("double") /
+            (col("nd") * lit(3.0) * lit(4.0)) -
+            lit(3.0) * col("nd") * lit(4.0))
+        .select(col("n_blocks"), col("r_narrow"), col("r_mid"),
+          col("r_wide"), col("chi2_f"),
+          (col("chi2_f") / (col("nd") * lit(2.0))).as("kendall_w"),
+          (col("chi2_f") > 5.991).as("reject_95"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1140,5 +1194,50 @@ object Extended12 {
          |  1.0 - CAST(n_bpe_tokens AS DOUBLE) /
          |    CAST(n_char_tokens AS DOUBLE) AS token_reduction
          |FROM agg""".stripMargin
-    })
+    },
+
+    "q148_friedman_concordance" ->
+      """WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |  j AS (SELECT n.n_name AS nation,
+        |    CASE WHEN p.n_items <= 2 THEN 'narrow'
+        |         WHEN p.n_items <= 5 THEN 'mid'
+        |         ELSE 'wide' END AS grp,
+        |    p.cents
+        |  FROM per p
+        |  JOIN orders o ON p.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |  m AS (SELECT nation, grp, CAST(COUNT(1) AS BIGINT) AS n_g,
+        |    CAST(SUM(cents) AS BIGINT) AS tot
+        |  FROM j GROUP BY 1, 2),
+        |  r AS (SELECT nation, grp,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY nation
+        |      ORDER BY CAST(tot AS DOUBLE) / CAST(n_g AS DOUBLE), grp)
+        |      AS BIGINT) AS rk
+        |  FROM m),
+        |  agg AS (SELECT
+        |    CAST(COUNT(DISTINCT nation) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(CASE WHEN grp = 'narrow' THEN rk END) AS BIGINT)
+        |      AS r_narrow,
+        |    CAST(SUM(CASE WHEN grp = 'mid' THEN rk END) AS BIGINT)
+        |      AS r_mid,
+        |    CAST(SUM(CASE WHEN grp = 'wide' THEN rk END) AS BIGINT)
+        |      AS r_wide
+        |  FROM r),
+        |  st AS (SELECT n_blocks, r_narrow, r_mid, r_wide,
+        |    r_narrow * r_narrow + r_mid * r_mid + r_wide * r_wide
+        |      AS sr2,
+        |    CAST(n_blocks AS DOUBLE) AS nd
+        |  FROM agg),
+        |  fin AS (SELECT n_blocks, r_narrow, r_mid, r_wide, nd,
+        |    12.0 * CAST(sr2 AS DOUBLE) / (nd * 3.0 * 4.0) -
+        |      3.0 * nd * 4.0 AS chi2_f
+        |  FROM st)
+        |SELECT n_blocks, r_narrow, r_mid, r_wide, chi2_f,
+        |  chi2_f / (nd * 2.0) AS kendall_w,
+        |  chi2_f > 5.991 AS reject_95
+        |FROM fin""".stripMargin)
 }

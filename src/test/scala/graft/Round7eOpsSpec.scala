@@ -483,4 +483,45 @@ class Round7eOpsSpec extends SparkSpec {
     assert(nBpe < nChar && r.getAs[Double]("token_reduction") > 0.0)
     assert(r.getAs[Double]("chars_per_token") > 1.0)
   }
+
+  test("q148: Friedman/Kendall-W equals a driver-side blocked-rank " +
+      "model, and the size-revenue ordering is perfectly concordant " +
+      "across every nation on this corpus") {
+    val obs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n"), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ranks = obs.groupBy(_._1).map { case (nation, g) =>
+      val byGrp = g.groupBy(p =>
+        if (p._2 <= 2) "narrow" else if (p._2 <= 5) "mid" else "wide")
+      val means = byGrp.map { case (grp, rs) =>
+        grp -> rs.map(_._3).sum.toDouble / rs.size.toDouble }
+      nation -> means.toSeq.sortBy { case (grp, m) => (m, grp) }
+        .zipWithIndex.map { case ((grp, _), i) => grp -> (i + 1).toLong }
+        .toMap
+    }
+    val nBlocks = ranks.size.toLong
+    def rSum(grp: String): Long = ranks.values.map(_(grp)).sum
+    val (rn, rm, rw) = (rSum("narrow"), rSum("mid"), rSum("wide"))
+    val nd = nBlocks.toDouble
+    val sr2 = rn * rn + rm * rm + rw * rw
+    val chi2 = 12.0 * sr2.toDouble / (nd * 3.0 * 4.0) - 3.0 * nd * 4.0
+    val r = q("q148_friedman_concordance").collect()(0)
+    assert(r.getAs[Long]("n_blocks") == nBlocks)
+    assert(r.getAs[Long]("r_narrow") == rn && r.getAs[Long]("r_mid") == rm
+      && r.getAs[Long]("r_wide") == rw, r.toString)
+    assert(r.getAs[Double]("chi2_f") == chi2)
+    assert(r.getAs[Double]("kendall_w") == chi2 / (nd * 2.0))
+    // perfect concordance IS the corpus truth: every block ranks
+    // narrow < mid < wide, so W = 1 exactly and the rank sums are the
+    // closed forms n, 2n, 3n
+    assert(rn == nBlocks && rm == 2 * nBlocks && rw == 3 * nBlocks)
+    assert(r.getAs[Double]("kendall_w") == 1.0)
+    assert(r.getAs[Boolean]("reject_95"))
+  }
 }
