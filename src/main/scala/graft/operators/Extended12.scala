@@ -719,6 +719,81 @@ object Extended12 {
           col("r_wide"), col("chi2_f"),
           (col("chi2_f") / (col("nd") * lit(2.0))).as("kendall_w"),
           (col("chi2_f") > 5.991).as("reject_95"))
+    }),
+
+    // IPF / RAKING weights — the survey-statistics member of the
+    // mixture family (t14 computes source weights, t33 applies them;
+    // raking answers the harder version: make BOTH margins of a
+    // cross-classified sample match target distributions at once).
+    // Five rounds of iterative proportional fitting on the
+    // nation × order-size count grid against uniform row and column
+    // targets: scale every cell's weight so row margins match, then
+    // so column margins match, repeat. Per-round margins are grouped
+    // sums over the |nations|×3 grid; the scaling divisions run in a
+    // fixed sequence on both engines, and the oracle unrolls the same
+    // five rounds as CTEs (the t37 pattern), so the weights compare
+    // bit-exact. Convergence is reported, not assumed: the output
+    // carries the max relative row/column margin error after round 5
+    // (spec pins it tiny AND monotonically improved vs round 1 — IPF
+    // on a strictly positive grid converges). Scale shape: one fact
+    // rollup to the grid; five rounds of grid-local groupBy+join on
+    // |nations| and |buckets| rows; weights localCheckpointed per
+    // round so the plan stays flat.
+    "q149_raking_weights" -> ((s, d) => {
+      val grid = Materialize.LocalCheckpoint(Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          when(col("n_items") <= 2, lit("narrow"))
+            .when(col("n_items") <= 5, lit("mid"))
+            .otherwise(lit("wide")).as("grp"))
+        .groupBy(col("nation"), col("grp"))
+        .agg(count(lit(1)).as("cnt")))
+      val tot = grid.agg(sum(col("cnt")).as("n_all"),
+        countDistinct(col("nation")).as("n_nations"))
+      var w = Materialize.LocalCheckpoint(
+        grid.crossJoin(broadcast(tot))
+          .withColumn("w", lit(1.0))
+          .withColumn("row_target",
+            col("n_all").cast("double") / col("n_nations").cast("double"))
+          .withColumn("col_target",
+            col("n_all").cast("double") / lit(3.0)))
+      // margins go through the decimal dsum path: a plain double sum
+      // is summation-order-dependent and the margins feed forward
+      // into every later round's weights
+      (1 to 5).foreach { _ =>
+        val rowm = w.groupBy(col("nation").as("rn"))
+          .agg(Parity.dsum(col("w") * col("cnt").cast("double")).as("rm"))
+        val afterRow = w.join(broadcast(rowm), col("nation") === col("rn"))
+          .withColumn("w", col("w") * col("row_target") / col("rm"))
+          .drop("rn", "rm")
+        val colm = afterRow.groupBy(col("grp").as("cg"))
+          .agg(Parity.dsum(col("w") * col("cnt").cast("double")).as("cm"))
+        w = Materialize.LocalCheckpoint(
+          afterRow.join(broadcast(colm), col("grp") === col("cg"))
+            .withColumn("w", col("w") * col("col_target") / col("cm"))
+            .drop("cg", "cm"))
+      }
+      val rowErr = w.groupBy(col("nation"))
+        .agg(Parity.dsum(col("w") * col("cnt").cast("double")).as("rm"),
+          max(col("row_target")).as("rt"))
+        .agg(max(abs(col("rm") - col("rt")) / col("rt")).as("e"))
+        .select(col("e"))
+      val colErr = w.groupBy(col("grp"))
+        .agg(Parity.dsum(col("w") * col("cnt").cast("double")).as("cm"),
+          max(col("col_target")).as("ct"))
+        .agg(max(abs(col("cm") - col("ct")) / col("ct")).as("e"))
+        .select(col("e"))
+      val maxErr = rowErr.unionAll(colErr).agg(max(col("e")).as("me"))
+      w.crossJoin(broadcast(maxErr))
+        .select(col("nation"), col("grp"), col("cnt"), col("w"),
+          (col("w") * col("cnt").cast("double")).as("weighted_cnt"),
+          col("me").as("max_margin_err"))
+        .orderBy(col("nation"), col("grp"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1239,5 +1314,62 @@ object Extended12 {
         |SELECT n_blocks, r_narrow, r_mid, r_wide, chi2_f,
         |  chi2_f / (nd * 2.0) AS kendall_w,
         |  chi2_f > 5.991 AS reject_95
-        |FROM fin""".stripMargin)
+        |FROM fin""".stripMargin,
+
+    "q149_raking_weights" -> {
+      // MATERIALIZED per round: inlined CTEs would replicate the
+      // 4-table base scan ~4^5 times (DuckDB exhausts file handles)
+      def round(i: Int): String =
+        s"""r${i}r AS MATERIALIZED (SELECT nation AS rn,
+           |    ${graft.Parity.dsumSql("w * CAST(cnt AS DOUBLE)")} AS rm
+           |  FROM w${i - 1} GROUP BY 1),
+           |w${i}a AS MATERIALIZED (SELECT nation, grp, cnt,
+           |    w * row_target / rm AS w, row_target, col_target
+           |  FROM w${i - 1} JOIN r${i}r ON nation = rn),
+           |r${i}c AS MATERIALIZED (SELECT grp AS cg,
+           |    ${graft.Parity.dsumSql("w * CAST(cnt AS DOUBLE)")} AS cm
+           |  FROM w${i}a GROUP BY 1),
+           |w$i AS MATERIALIZED (SELECT nation, grp, cnt,
+           |    w * col_target / cm AS w, row_target, col_target
+           |  FROM w${i}a JOIN r${i}c ON grp = cg)""".stripMargin
+      s"""WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items
+         |  FROM lineitem GROUP BY 1),
+         |  j AS (SELECT n.n_name AS nation,
+         |    CASE WHEN p.n_items <= 2 THEN 'narrow'
+         |         WHEN p.n_items <= 5 THEN 'mid'
+         |         ELSE 'wide' END AS grp
+         |  FROM per p
+         |  JOIN orders o ON p.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         |  grid AS MATERIALIZED (SELECT nation, grp,
+         |    CAST(COUNT(1) AS BIGINT) AS cnt
+         |    FROM j GROUP BY 1, 2),
+         |  tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_all,
+         |    CAST(COUNT(DISTINCT nation) AS BIGINT) AS n_nations
+         |  FROM grid),
+         |  w0 AS MATERIALIZED (SELECT nation, grp, cnt, 1.0 AS w,
+         |    CAST(n_all AS DOUBLE) / CAST(n_nations AS DOUBLE)
+         |      AS row_target,
+         |    CAST(n_all AS DOUBLE) / 3.0 AS col_target
+         |  FROM grid CROSS JOIN tot),
+         |  ${(1 to 5).map(round).mkString(",\n")},
+         |  rer AS (SELECT MAX(abs(rm - rt) / rt) AS e FROM (
+         |    SELECT nation,
+         |      ${graft.Parity.dsumSql("w * CAST(cnt AS DOUBLE)")} AS rm,
+         |      MAX(row_target) AS rt
+         |    FROM w5 GROUP BY 1)),
+         |  cer AS (SELECT MAX(abs(cm - ct) / ct) AS e FROM (
+         |    SELECT grp,
+         |      ${graft.Parity.dsumSql("w * CAST(cnt AS DOUBLE)")} AS cm,
+         |      MAX(col_target) AS ct
+         |    FROM w5 GROUP BY 1)),
+         |  me AS (SELECT MAX(e) AS me FROM (
+         |    SELECT e FROM rer UNION ALL SELECT e FROM cer))
+         |SELECT nation, grp, cnt, w,
+         |  w * CAST(cnt AS DOUBLE) AS weighted_cnt,
+         |  me AS max_margin_err
+         |FROM w5 CROSS JOIN me
+         |ORDER BY nation, grp""".stripMargin
+    })
 }

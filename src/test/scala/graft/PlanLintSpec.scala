@@ -50,6 +50,7 @@ class PlanLintSpec extends SparkSpec {
     "e22_range_search", // same broadcast centroid assignment cross
     "t27_bigram_lift", // 1-row broadcast corpus-token-total scalar
     "q146_cmh_test", // 1-row broadcast global-median scalar (q69 pattern)
+    "q149_raking_weights", // 1-row broadcast totals + max-error scalars
     "t28_term_burstiness", // 1-row broadcast doc-count scalar
     "d18_minhash_band_tuning", // 1-row broadcast truth-count scalar
     "d19_shingle_df_profile", // 1-row broadcast posting-total scalar

@@ -524,4 +524,60 @@ class Round7eOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("kendall_w") == 1.0)
     assert(r.getAs[Boolean]("reject_95"))
   }
+
+  test("q149: the raking weights equal a driver-side IPF replay with " +
+      "decimal margin sums, margins converge to the uniform targets, " +
+      "and the error improves monotonically across rounds") {
+    val cells = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n"))
+      .collect().map(r => (r.getString(0),
+        if (r.getLong(1) <= 2) "narrow"
+        else if (r.getLong(1) <= 5) "mid" else "wide"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nAll = cells.values.sum
+    val nations = cells.keys.map(_._1).toSeq.distinct
+    val rowT = nAll.toDouble / nations.length.toDouble
+    val colT = nAll.toDouble / 3.0
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    var wts: Map[(String, String), Double] =
+      cells.keys.map(_ -> 1.0).toMap
+    def rowErrOf(m: Map[(String, String), Double]): Double =
+      nations.map { nat =>
+        val rm = cells.collect { case (k, c) if k._1 == nat =>
+          dec6(m(k) * c.toDouble) }.sum.toDouble
+        math.abs(rm - rowT) / rowT
+      }.max
+    var roundErrs = Seq.empty[Double]
+    (1 to 5).foreach { _ =>
+      roundErrs :+= rowErrOf(wts)
+      val rowM = nations.map { nat => nat ->
+        cells.collect { case (k, c) if k._1 == nat =>
+          dec6(wts(k) * c.toDouble) }.sum.toDouble }.toMap
+      wts = wts.map { case (k, w) => k -> w * rowT / rowM(k._1) }
+      val colM = Seq("narrow", "mid", "wide").map { g => g ->
+        cells.collect { case (k, c) if k._2 == g =>
+          dec6(wts(k) * c.toDouble) }.sum.toDouble }.toMap
+      wts = wts.map { case (k, w) => k -> w * colT / colM(k._2) }
+    }
+    val rows = q("q149_raking_weights").collect()
+    assert(rows.length == cells.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("nation"), r.getAs[String]("grp"))
+      assert(r.getAs[Long]("cnt") == cells(k))
+      assert(r.getAs[Double]("w") == wts(k), s"$k: $r")
+      assert(r.getAs[Double]("weighted_cnt") == wts(k) * cells(k).toDouble)
+    }
+    // converged: margins sit on the uniform targets after 5 rounds
+    val err = rows.head.getAs[Double]("max_margin_err")
+    assert(err >= 0.0 && err < 1e-3, s"max margin err $err")
+    // and round-1's row error was materially worse (IPF is converging,
+    // not starting converged)
+    assert(roundErrs.head > 10 * math.max(err, 1e-12),
+      s"round errors $roundErrs vs final $err")
+  }
 }
