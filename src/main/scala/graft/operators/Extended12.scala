@@ -28,6 +28,114 @@ import graft.{Parity, Tables}
   */
 object Extended12 {
 
+  /** Kruskal–Wallis H as a library surface over (value: Long,
+    * grp: String) rows for an ordered group list (2 ≤ k ≤ 26; groups
+    * are suffixed a, b, c, … in the output columns `n_a`…, matching
+    * q139's na/nb/nc for k = 3). Same exact-carrier plan q139
+    * documents: 2× midranks on the distinct-value grid, one
+    * cumulative window, H and the tie correction division-exact.
+    * Property-checked against a brute-force midrank model on random
+    * data in Round7fPropertySpec.
+    */
+  private[graft] def kruskalWallisH(rows: DataFrame,
+      groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 26, "2..26 groups")
+    val sfx = groups.indices.map(i => ('a' + i).toChar.toString)
+    val ev = rows.groupBy(col("value"))
+      .agg(sfx.zip(groups).map { case (x, g) =>
+          sum(when(col("grp") === g, 1L).otherwise(0L)).as(s"c$x")
+        }.head,
+        sfx.zip(groups).map { case (x, g) =>
+          sum(when(col("grp") === g, 1L).otherwise(0L)).as(s"c$x")
+        }.tail: _*)
+      .withColumn("t", sfx.map(x => col(s"c$x")).reduce(_ + _))
+    val wBelow = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = ev
+      .withColumn("below", coalesce(sum(col("t")).over(wBelow), lit(0L)))
+      .withColumn("r2", lit(2L) * col("below") + col("t") + 1L)
+    val agg = grid.agg(
+      (sfx.map(x => sum(col(s"c$x")).as(s"n_$x")) ++
+        sfx.map(x => sum(col(s"c$x") * col("r2")).as(s"r2_$x")) :+
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3")).head,
+      (sfx.map(x => sum(col(s"c$x")).as(s"n_$x")) ++
+        sfx.map(x => sum(col(s"c$x") * col("r2")).as(s"r2_$x")) :+
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+        .tail: _*)
+    agg
+      .withColumn("n", sfx.map(x => col(s"n_$x")).reduce(_ + _))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("hsum", sfx.map(x =>
+        col(s"r2_$x").cast("double") * col(s"r2_$x").cast("double") /
+          col(s"n_$x").cast("double")).reduce(_ + _))
+      .withColumn("h_raw",
+        lit(3.0) * col("hsum") / col("nd") / (col("nd") + lit(1.0)) -
+          lit(3.0) * (col("nd") + lit(1.0)))
+      .withColumn("tie_corr",
+        lit(1.0) - col("tie3").cast("double") /
+          (col("nd") * col("nd") * col("nd") - col("nd")))
+      // every pooled value identical => the correction is 0 and H is
+      // undefined — NULL, not an ANSI divide error
+      .withColumn("h_stat",
+        when(col("tie_corr") > 0.0, col("h_raw") / col("tie_corr")))
+  }
+
+  /** Kendall tau-b as a library surface over (nation: partition key,
+    * x: Long, y: Long in 1..yClasses) rows — the q141 dominance-grid
+    * plan: exact concordant/discordant counts from one keyed
+    * cumulative window carrying `yClasses` class counters, tie terms
+    * exact, one IEEE sqrt. Property-checked against a brute-force
+    * O(n²) pair count on random data in Round7fPropertySpec.
+    */
+  private[graft] def kendallTauB(pts: DataFrame,
+      yClasses: Int): DataFrame = {
+    require(yClasses >= 2 && yClasses <= 20, "2..20 y classes")
+    val js = 1 to yClasses
+    val cells = pts.groupBy(col("nation"), col("x"))
+      .agg(js.map(j =>
+          sum(when(col("y") === j, 1L).otherwise(0L)).as(s"c$j")).head,
+        js.map(j =>
+          sum(when(col("y") === j, 1L).otherwise(0L)).as(s"c$j")).tail :+
+          count(lit(1)).as("tx"): _*)
+    val w = Window.partitionBy(col("nation")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withB = js.foldLeft(cells) { (df, j) =>
+      df.withColumn(s"b$j",
+        coalesce(sum(col(s"c$j")).over(w), lit(0L)))
+    }
+    val conc = (2 to yClasses).map { j =>
+      col(s"c$j") * (1 until j).map(k => col(s"b$k")).reduce(_ + _)
+    }.reduce(_ + _)
+    val disc = (1 until yClasses).map { j =>
+      col(s"c$j") * ((j + 1) to yClasses).map(k => col(s"b$k"))
+        .reduce(_ + _)
+    }.reduce(_ + _)
+    val perNation = withB
+      .withColumn("conc", conc)
+      .withColumn("disc", disc)
+      .groupBy(col("nation"))
+      .agg(sum(col("tx")).as("n"),
+        Seq(sum(col("conc")).as("c_pairs"),
+          sum(col("disc")).as("d_pairs"),
+          sum(col("tx") * (col("tx") - 1L)).as("tiex2")) ++
+          js.map(j => sum(col(s"c$j")).as(s"ny$j")): _*)
+    val tiey2 = js.map(j =>
+      col(s"ny$j") * (col(s"ny$j") - 1L)).reduce(_ + _)
+    perNation
+      .withColumn("n0x2", col("n") * (col("n") - 1L))
+      .withColumn("tiey2", tiey2)
+      .select(col("nation"), col("n"), col("c_pairs"), col("d_pairs"),
+        expr("tiex2 div 2").as("ties_x"),
+        expr("tiey2 div 2").as("ties_y"),
+        // tau is undefined when either variable is constant within a
+        // key (zero denominator) — NULL, not an ANSI divide error
+        when(col("n0x2") > col("tiex2") && col("n0x2") > col("tiey2"),
+          (col("c_pairs") - col("d_pairs")).cast("double") /
+            sqrt(((col("n0x2") - col("tiex2")).cast("double") / lit(2.0)) *
+              ((col("n0x2") - col("tiey2")).cast("double") / lit(2.0))))
+          .as("tau_b"))
+  }
+
   /** Per-order whole-dollar revenue tagged with its order-size bucket —
     * the shared input of q139/q140. The only fact-table exchange either
     * test needs: one keyed rollup of lineitem; everything downstream
@@ -63,40 +171,10 @@ object Extended12 {
     // grid is bounded by the price range, not the order count. Exact-
     // carrier range: Σ c·r2 ≤ 2N² holds in longs to N ≈ 2e9 orders.
     "q139_kruskal_wallis" -> ((s, d) => {
-      val ev = orderSizeBuckets(s, d).groupBy(col("value"))
-        .agg(sum(when(col("grp") === "narrow", 1L).otherwise(0L)).as("ca"),
-          sum(when(col("grp") === "mid", 1L).otherwise(0L)).as("cb"),
-          sum(when(col("grp") === "wide", 1L).otherwise(0L)).as("cc"))
-        .withColumn("t", col("ca") + col("cb") + col("cc"))
-      val wBelow = Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val grid = ev
-        .withColumn("below", coalesce(sum(col("t")).over(wBelow), lit(0L)))
-        .withColumn("r2", lit(2L) * col("below") + col("t") + 1L)
-      grid.agg(
-          sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
-          sum(col("cc")).as("nc"),
-          sum(col("ca") * col("r2")).as("ra2"),
-          sum(col("cb") * col("r2")).as("rb2"),
-          sum(col("cc") * col("r2")).as("rc2"),
-          sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
-        .withColumn("n", col("na") + col("nb") + col("nc"))
-        .withColumn("nd", col("n").cast("double"))
-        .withColumn("hsum",
-          col("ra2").cast("double") * col("ra2").cast("double") /
-            col("na").cast("double") +
-          col("rb2").cast("double") * col("rb2").cast("double") /
-            col("nb").cast("double") +
-          col("rc2").cast("double") * col("rc2").cast("double") /
-            col("nc").cast("double"))
-        .withColumn("h_raw",
-          lit(3.0) * col("hsum") / col("nd") / (col("nd") + lit(1.0)) -
-            lit(3.0) * (col("nd") + lit(1.0)))
-        .withColumn("tie_corr",
-          lit(1.0) - col("tie3").cast("double") /
-            (col("nd") * col("nd") * col("nd") - col("nd")))
-        .withColumn("h_stat", col("h_raw") / col("tie_corr"))
-        .select(col("na"), col("nb"), col("nc"), col("n"),
+      kruskalWallisH(orderSizeBuckets(s, d),
+        Seq("narrow", "mid", "wide"))
+        .select(col("n_a").as("na"), col("n_b").as("nb"),
+          col("n_c").as("nc"), col("n"),
           col("h_raw"), col("tie_corr"), col("h_stat"),
           (col("h_stat") > 5.991464547107979).as("reject_95"))
     }),
@@ -184,46 +262,7 @@ object Extended12 {
         .select(col("n_name").as("nation"),
           expr("rev div 100").as("x"),
           least(col("n_items"), lit(7L)).as("y"))
-      val cells = pts.groupBy(col("nation"), col("x"))
-        .agg((1 to 7).map(j =>
-            sum(when(col("y") === j, 1L).otherwise(0L)).as(s"c$j")).head,
-          (1 to 7).map(j =>
-            sum(when(col("y") === j, 1L).otherwise(0L)).as(s"c$j")).tail :+
-            count(lit(1)).as("tx"): _*)
-      val w = Window.partitionBy(col("nation")).orderBy(col("x"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val withB = (1 to 7).foldLeft(cells) { (df, j) =>
-        df.withColumn(s"b$j",
-          coalesce(sum(col(s"c$j")).over(w), lit(0L)))
-      }
-      val conc = (2 to 7).map { j =>
-        col(s"c$j") * (1 until j).map(k => col(s"b$k")).reduce(_ + _)
-      }.reduce(_ + _)
-      val disc = (1 to 6).map { j =>
-        col(s"c$j") * ((j + 1) to 7).map(k => col(s"b$k")).reduce(_ + _)
-      }.reduce(_ + _)
-      val perNation = withB
-        .withColumn("conc", conc)
-        .withColumn("disc", disc)
-        .groupBy(col("nation"))
-        .agg(sum(col("tx")).as("n"),
-          Seq(sum(col("conc")).as("c_pairs"),
-            sum(col("disc")).as("d_pairs"),
-            sum(col("tx") * (col("tx") - 1L)).as("tiex2")) ++
-            (1 to 7).map(j => sum(col(s"c$j")).as(s"ny$j")): _*)
-      val tiey2 = (1 to 7).map(j =>
-        col(s"ny$j") * (col(s"ny$j") - 1L)).reduce(_ + _)
-      perNation
-        .withColumn("n0x2", col("n") * (col("n") - 1L))
-        .withColumn("tiey2", tiey2)
-        .select(col("nation"), col("n"), col("c_pairs"), col("d_pairs"),
-          expr("tiex2 div 2").as("ties_x"),
-          expr("tiey2 div 2").as("ties_y"),
-          ((col("c_pairs") - col("d_pairs")).cast("double") /
-            sqrt(((col("n0x2") - col("tiex2")).cast("double") / lit(2.0)) *
-              ((col("n0x2") - col("tiey2")).cast("double") / lit(2.0))))
-            .as("tau_b"))
-        .orderBy(col("nation"))
+      kendallTauB(pts, 7).orderBy(col("nation"))
     }),
 
     // GOOD-TURING frequency smoothing over word BIGRAMS — the
