@@ -833,6 +833,58 @@ object Extended12 {
           (col("w") * col("cnt").cast("double")).as("weighted_cnt"),
           col("me").as("max_margin_err"))
         .orderBy(col("nation"), col("grp"))
+    }),
+
+    // HIGHER-MOMENT PROFILE — per-nation skewness and excess kurtosis
+    // of order revenue from EXACT raw-moment sums. Spark ships
+    // skewness()/kurtosis() built-ins, but their running-float central
+    // moments are summation-order-dependent — a different partitioning
+    // gives a different last bit, so they can never hash-match an
+    // oracle (the same reason Parity.dsum exists). This plan sums
+    // x, x², x³, x⁴ as exact 128-bit integers (DECIMAL(38,0) here,
+    // HUGEINT in the oracle — x⁴·n ≈ 1e27 fits both to ~1e11 rows per
+    // group at this value range), then assembles the central moments
+    // in doubles with an identical operation sequence: one sqrt, no
+    // pow. The numbers a distribution-shape screen actually wants
+    // next to q85's robust fences: right-tail skew and tail weight
+    // per segment. Scale shape: one rollup, map-side partial sums,
+    // |nations| rows out.
+    "q150_moment_profile" -> ((s, d) => {
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          expr("CAST((rev div 100) AS DECIMAL(38,0))").as("x"))
+      per.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("mean", col("s1").cast("double") / col("nd"))
+        .withColumn("r2", col("s2").cast("double") / col("nd"))
+        .withColumn("r3", col("s3").cast("double") / col("nd"))
+        .withColumn("r4", col("s4").cast("double") / col("nd"))
+        .withColumn("m2c", col("r2") - col("mean") * col("mean"))
+        .withColumn("m3c",
+          col("r3") - lit(3.0) * col("mean") * col("r2") +
+            lit(2.0) * col("mean") * col("mean") * col("mean"))
+        .withColumn("m4c",
+          col("r4") - lit(4.0) * col("mean") * col("r3") +
+            lit(6.0) * col("mean") * col("mean") * col("r2") -
+            lit(3.0) * col("mean") * col("mean") * col("mean") *
+              col("mean"))
+        .select(col("nation"), col("n"), col("mean"),
+          col("m2c").as("variance"),
+          (col("m3c") / (sqrt(col("m2c")) * col("m2c"))).as("skewness"),
+          (col("m4c") / (col("m2c") * col("m2c")) - lit(3.0))
+            .as("kurtosis_excess"))
+        .orderBy(col("nation"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1410,5 +1462,46 @@ object Extended12 {
          |  me AS max_margin_err
          |FROM w5 CROSS JOIN me
          |ORDER BY nation, grp""".stripMargin
-    })
+    },
+
+    "q150_moment_profile" ->
+      """WITH per AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |  pts AS (SELECT n.n_name AS nation,
+        |    CAST(p.rev // 100 AS HUGEINT) AS x
+        |  FROM per p
+        |  JOIN orders o ON p.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |  agg AS (SELECT nation, CAST(COUNT(1) AS BIGINT) AS n,
+        |    SUM(x) AS s1, SUM(x * x) AS s2,
+        |    SUM(x * x * x) AS s3, SUM(x * x * x * x) AS s4
+        |  FROM pts GROUP BY 1),
+        |  st AS (SELECT nation, n, CAST(n AS DOUBLE) AS nd,
+        |    -- HUGEINT -> DOUBLE goes through VARCHAR: DuckDB's direct
+        |    -- int128 cast double-rounds through the 64-bit halves (1
+        |    -- ulp off on hard cases); the string parse is correctly
+        |    -- rounded, matching Spark's Decimal.toDouble
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS mean,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS r2,
+        |    CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS r3,
+        |    CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS r4
+        |  FROM agg),
+        |  cm AS (SELECT nation, n, mean,
+        |    r2 - mean * mean AS m2c,
+        |    r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3c,
+        |    r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2 -
+        |      3.0 * mean * mean * mean * mean AS m4c
+        |  FROM st)
+        |SELECT nation, n, mean, m2c AS variance,
+        |  m3c / (sqrt(m2c) * m2c) AS skewness,
+        |  m4c / (m2c * m2c) - 3.0 AS kurtosis_excess
+        |FROM cm
+        |ORDER BY nation""".stripMargin)
 }

@@ -580,4 +580,60 @@ class Round7eOpsSpec extends SparkSpec {
     assert(roundErrs.head > 10 * math.max(err, 1e-12),
       s"round errors $roundErrs vs final $err")
   }
+
+  test("q150: exact-moment skewness/kurtosis equal a driver-side BigInt " +
+      "raw-moment model bit-for-bit and agree with Spark's built-in " +
+      "running-float aggregates to float tolerance") {
+    val pts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), expr("rev div 100"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val builtins = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        expr("CAST((rev div 100) AS DOUBLE)").as("xd"))
+      .groupBy(col("nation"))
+      .agg(skewness(col("xd")).as("sk"), kurtosis(col("xd")).as("ku"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = q("q150_moment_profile").collect()
+    assert(rows.length == pts.size)
+    rows.foreach { r =>
+      val nation = r.getAs[String]("nation")
+      val vs = pts(nation)
+      val n = vs.length.toLong; val nd = n.toDouble
+      val mean = vs.sum.toDouble / nd
+      val r2 = vs.map(v => v * v).sum.toDouble / nd
+      val r3 = vs.map(v => v * v * v).sum.toDouble / nd
+      val r4 = vs.map(v => v * v * v * v).sum.toDouble / nd
+      val m2c = r2 - mean * mean
+      val m3c = r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean
+      val m4c = r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2 -
+        3.0 * mean * mean * mean * mean
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("mean") == mean, nation)
+      assert(r.getAs[Double]("variance") == m2c, nation)
+      assert(r.getAs[Double]("skewness") ==
+        m3c / (math.sqrt(m2c) * m2c), nation)
+      assert(r.getAs[Double]("kurtosis_excess") ==
+        m4c / (m2c * m2c) - 3.0, nation)
+      assert(m2c > 0.0)
+      // the built-in running-float aggregates land within float noise
+      // of the exact-moment values (they could never hash-match, which
+      // is exactly why this operator exists)
+      val (sk, ku) = builtins(nation)
+      assert(math.abs(sk - r.getAs[Double]("skewness")) < 1e-6, nation)
+      assert(math.abs(ku - r.getAs[Double]("kurtosis_excess")) < 1e-6,
+        nation)
+    }
+  }
 }
