@@ -10,8 +10,11 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // local[4, 2]: allow ONE task retry so RetryDeterminismSpec can
+    // inject first-attempt failures; suites that assert job failure
+    // still fail (the injected error just costs one extra attempt)
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
