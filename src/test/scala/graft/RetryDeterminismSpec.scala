@@ -77,6 +77,37 @@ class RetryDeterminismSpec extends SparkSpec {
     assert(dedupCount(flaky(texts)) == dedupCount(texts))
   }
 
+  test("an injected task failure + retry cannot change the custom " +
+      "AsOfJoin SparkPlan's output (the whole-operator extension rung " +
+      "recomputes identically)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // time carried as exact micros longs: a typed Timestamp round-trip
+    // through mapPartitions would re-interpret the NTZ column
+    val events = Tables.events(spark, dir)
+      .select(col("user_id").as("uid"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ets"),
+        col("event_id").as("eid"))
+      .as[(Long, Long, Long)]
+    val quotes = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("quid"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("qts"),
+        col("value").as("qv"))
+      .as[(Long, Long, Double)]
+    def run(l: Dataset[(Long, Long, Long)],
+        r: Dataset[(Long, Long, Double)]): Seq[String] =
+      graft.plans.AsOfJoin.join(
+        l.toDF("uid", "ets", "eid"), r.toDF("quid", "qts", "qv"),
+        "uid", "quid", "ets", Seq("qts"))
+        .orderBy(col("uid"), col("ets"), col("eid"))
+        .collect().map(_.toString).toSeq
+    val clean = run(events, quotes)
+    assert(clean.exists(!_.contains("null")), "join must match rows")
+    assert(run(flaky(events), quotes) == clean)
+    assert(run(events, flaky(quotes)) == clean)
+  }
+
   test("the injection actually fires: with retries exhausted the query " +
       "fails loudly (the guard is real, not a no-op)") {
     import spark.implicits._
