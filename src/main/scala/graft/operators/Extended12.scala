@@ -885,6 +885,53 @@ object Extended12 {
           (col("m4c") / (col("m2c") * col("m2c")) - lit(3.0))
             .as("kurtosis_excess"))
         .orderBy(col("nation"))
+    }),
+
+    // MEDIAN CONFIDENCE INTERVAL — the distribution-free order-
+    // statistic interval that gives q50/q73's point percentiles an
+    // uncertainty: per nation, the 95% CI for the median of order
+    // revenue is [x_(k_lo), x_(k_hi)] with k_lo = ⌊(n − 1.96√n)/2⌋
+    // and k_hi = ⌈1 + (n + 1.96√n)/2⌉ (the binomial order-statistic
+    // bounds under the normal approximation — no distributional
+    // assumption on revenue itself). The ranks come from ONE double
+    // expression each (floor/ceil of identical sequences, so
+    // cross-engine equal), and the value lookups are the q73 stance:
+    // smallest grid value whose cumulative count reaches the rank.
+    // Scale shape: one rollup to the per-nation value grid, one keyed
+    // cumulative window, conditional-min lookups in the same grouped
+    // aggregate — |nations| rows out.
+    "q151_median_ci" -> ((s, d) => {
+      val pts = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), expr("rev div 100").as("v"))
+      val grid = pts.groupBy(col("nation"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("nation")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("nation"))
+      grid
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wTot))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("k_lo",
+          floor((col("nd") - lit(1.96) * sqrt(col("nd"))) / lit(2.0))
+            .cast("long"))
+        .withColumn("k_hi",
+          ceil(lit(1.0) + (col("nd") + lit(1.96) * sqrt(col("nd"))) /
+            lit(2.0)).cast("long"))
+        .groupBy(col("nation"))
+        .agg(max(col("n")).as("n"),
+          max(col("k_lo")).as("k_lo"), max(col("k_hi")).as("k_hi"),
+          min(when(lit(2L) * col("cum") >= col("n"), col("v")))
+            .as("median"),
+          min(when(col("cum") >= col("k_lo"), col("v"))).as("ci_lo"),
+          min(when(col("cum") >= col("k_hi"), col("v"))).as("ci_hi"))
+        .orderBy(col("nation"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1503,5 +1550,37 @@ object Extended12 {
         |  m3c / (sqrt(m2c) * m2c) AS skewness,
         |  m4c / (m2c * m2c) - 3.0 AS kurtosis_excess
         |FROM cm
+        |ORDER BY nation""".stripMargin,
+
+    "q151_median_ci" ->
+      """WITH per AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |  pts AS (SELECT n.n_name AS nation, p.rev // 100 AS v
+        |  FROM per p
+        |  JOIN orders o ON p.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |  grid AS (SELECT nation, v, CAST(COUNT(1) AS BIGINT) AS c
+        |    FROM pts GROUP BY 1, 2),
+        |  cm AS (SELECT nation, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY nation ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY nation) AS BIGINT) AS n
+        |  FROM grid),
+        |  rk AS (SELECT nation, v, cum, n,
+        |    CAST(floor((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS
+        |      DOUBLE))) / 2.0) AS BIGINT) AS k_lo,
+        |    CAST(ceil(1.0 + (CAST(n AS DOUBLE) + 1.96 * sqrt(CAST(n AS
+        |      DOUBLE))) / 2.0) AS BIGINT) AS k_hi
+        |  FROM cm)
+        |SELECT nation, MAX(n) AS n,
+        |  MAX(k_lo) AS k_lo, MAX(k_hi) AS k_hi,
+        |  MIN(CASE WHEN 2 * cum >= n THEN v END) AS median,
+        |  MIN(CASE WHEN cum >= k_lo THEN v END) AS ci_lo,
+        |  MIN(CASE WHEN cum >= k_hi THEN v END) AS ci_hi
+        |FROM rk GROUP BY 1
         |ORDER BY nation""".stripMargin)
 }

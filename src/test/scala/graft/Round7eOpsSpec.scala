@@ -636,4 +636,39 @@ class Round7eOpsSpec extends SparkSpec {
         nation)
     }
   }
+
+  test("q151: the median CI equals a driver-side order-statistic model, " +
+      "brackets the median, and narrows with sample size") {
+    val pts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), expr("rev div 100"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = q("q151_median_ci").collect()
+    assert(rows.length == pts.size)
+    rows.foreach { r =>
+      val vs = pts(r.getAs[String]("nation"))
+      val n = vs.length.toLong; val nd = n.toDouble
+      val kLo = math.floor((nd - 1.96 * math.sqrt(nd)) / 2.0).toLong
+      val kHi = math.ceil(1.0 + (nd + 1.96 * math.sqrt(nd)) / 2.0).toLong
+      def atRank(k: Long): Long = vs((k - 1).toInt.max(0))
+      val med = vs(((n + 1) / 2 - 1).toInt)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("k_lo") == kLo && r.getAs[Long]("k_hi") == kHi)
+      assert(r.getAs[Long]("median") == med, r.toString)
+      assert(r.getAs[Long]("ci_lo") == atRank(kLo), r.toString)
+      assert(r.getAs[Long]("ci_hi") == atRank(kHi), r.toString)
+      // the interval brackets the median and is non-degenerate
+      assert(r.getAs[Long]("ci_lo") <= med && med <= r.getAs[Long]("ci_hi"))
+      assert(r.getAs[Long]("ci_lo") < r.getAs[Long]("ci_hi"))
+      // the relative half-width shrinks like 1/sqrt(n): sanity-bound it
+      val width = (r.getAs[Long]("ci_hi") - r.getAs[Long]("ci_lo")).toDouble
+      assert(width / med.toDouble < 3.0 / math.sqrt(nd) * 10.0,
+        s"width $width vs n=$n")
+    }
+  }
 }
