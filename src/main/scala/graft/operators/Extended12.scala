@@ -932,6 +932,96 @@ object Extended12 {
           min(when(col("cum") >= col("k_lo"), col("v"))).as("ci_lo"),
           min(when(col("cum") >= col("k_hi"), col("v"))).as("ci_hi"))
         .orderBy(col("nation"))
+    }),
+
+    // SIGN TEST vs the mean — the nonparametric confirmation of
+    // q150's moment skewness: under symmetry the count of orders
+    // below the nation's mean is Binomial(n, ½); right skew pushes it
+    // above n/2, and this corpus rejects in every nation. The mean
+    // comparison is DIVISION-FREE: v < S1/n ⟺ v·n < S1 in exact
+    // longs (the q143 cross-multiplication stance), ties at the mean
+    // counted separately and excluded from the trial count (the
+    // standard sign-test treatment). The only doubles are the final
+    // z = (2k − m − 1)/√m with continuity correction (m = non-tied
+    // trials) — one sqrt, identical sequence. Scale shape: one rollup
+    // to the per-nation value grid, window totals, one grouped agg.
+    // Exact-carrier range: v·n holds in longs to ~1.5e13 value·rows.
+    "q152_sign_test" -> ((s, d) => {
+      val grid = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), expr("rev div 100").as("v"))
+        .groupBy(col("nation"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val wTot = Window.partitionBy(col("nation"))
+      grid
+        .withColumn("n", sum(col("c")).over(wTot))
+        .withColumn("s1", sum(col("v") * col("c")).over(wTot))
+        .groupBy(col("nation"))
+        .agg(max(col("n")).as("n"),
+          sum(when(col("v") * col("n") < col("s1"), col("c"))
+            .otherwise(0L)).as("k_below"),
+          sum(when(col("v") * col("n") > col("s1"), col("c"))
+            .otherwise(0L)).as("k_above"),
+          sum(when(col("v") * col("n") === col("s1"), col("c"))
+            .otherwise(0L)).as("k_eq"))
+        .withColumn("m", col("k_below") + col("k_above"))
+        .withColumn("z",
+          (lit(2.0) * col("k_below").cast("double") -
+            col("m").cast("double") - lit(1.0)) /
+            sqrt(col("m").cast("double")))
+        .select(col("nation"), col("n"), col("k_below"), col("k_above"),
+          col("k_eq"), col("z"), (col("z") > 1.96).as("reject_95"))
+        .orderBy(col("nation"))
+    }),
+
+    // BOWLEY QUARTILE SKEWNESS — the robust member of the shape
+    // family: (Q3 + Q1 − 2·median)/(Q3 − Q1) in [−1, 1], immune to
+    // the tail values that drive q150's moment skewness. Quartiles
+    // are the discrete grid rule (smallest value whose 4·cumulative
+    // reaches k·n — q73's stance, no interpolation), so the quartiles
+    // are exact longs and the coefficient is ONE division of exact
+    // integer combinations. Reading q150 and q153 together is the
+    // practitioner's check: when the moment skew is positive but
+    // Bowley is near 0, the skew lives in the tails; here both are
+    // positive in every nation (body and tail lean the same way).
+    // Scale shape: identical to q151 — grid, keyed windows, one
+    // grouped agg.
+    "q153_bowley_skew" -> ((s, d) => {
+      val grid = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), expr("rev div 100").as("v"))
+        .groupBy(col("nation"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("nation")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("nation"))
+      grid
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wTot))
+        .groupBy(col("nation"))
+        .agg(max(col("n")).as("n"),
+          min(when(lit(4L) * col("cum") >= col("n"), col("v")))
+            .as("q1"),
+          min(when(lit(4L) * col("cum") >= lit(2L) * col("n"),
+            col("v"))).as("median"),
+          min(when(lit(4L) * col("cum") >= lit(3L) * col("n"),
+            col("v"))).as("q3"))
+        .select(col("nation"), col("n"), col("q1"), col("median"),
+          col("q3"),
+          ((col("q3") + col("q1") - lit(2L) * col("median"))
+            .cast("double") /
+            (col("q3") - col("q1")).cast("double")).as("bowley_skew"))
+        .orderBy(col("nation"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1582,5 +1672,72 @@ object Extended12 {
         |  MIN(CASE WHEN cum >= k_lo THEN v END) AS ci_lo,
         |  MIN(CASE WHEN cum >= k_hi THEN v END) AS ci_hi
         |FROM rk GROUP BY 1
+        |ORDER BY nation""".stripMargin,
+
+    "q152_sign_test" ->
+      """WITH per AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |  pts AS (SELECT n.n_name AS nation, p.rev // 100 AS v
+        |  FROM per p
+        |  JOIN orders o ON p.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |  grid AS (SELECT nation, v, CAST(COUNT(1) AS BIGINT) AS c
+        |    FROM pts GROUP BY 1, 2),
+        |  wm AS (SELECT nation, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY nation) AS BIGINT) AS n,
+        |    CAST(SUM(v * c) OVER (PARTITION BY nation) AS BIGINT) AS s1
+        |  FROM grid),
+        |  agg AS (SELECT nation, MAX(n) AS n,
+        |    CAST(SUM(CASE WHEN v * n < s1 THEN c ELSE 0 END)
+        |      AS BIGINT) AS k_below,
+        |    CAST(SUM(CASE WHEN v * n > s1 THEN c ELSE 0 END)
+        |      AS BIGINT) AS k_above,
+        |    CAST(SUM(CASE WHEN v * n = s1 THEN c ELSE 0 END)
+        |      AS BIGINT) AS k_eq
+        |  FROM wm GROUP BY 1),
+        |  st AS (SELECT nation, n, k_below, k_above, k_eq,
+        |    k_below + k_above AS m
+        |  FROM agg)
+        |SELECT nation, n, k_below, k_above, k_eq,
+        |  (2.0 * CAST(k_below AS DOUBLE) - CAST(m AS DOUBLE) - 1.0) /
+        |    sqrt(CAST(m AS DOUBLE)) AS z,
+        |  (2.0 * CAST(k_below AS DOUBLE) - CAST(m AS DOUBLE) - 1.0) /
+        |    sqrt(CAST(m AS DOUBLE)) > 1.96 AS reject_95
+        |FROM st
+        |ORDER BY nation""".stripMargin,
+
+    "q153_bowley_skew" ->
+      """WITH per AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |  pts AS (SELECT n.n_name AS nation, p.rev // 100 AS v
+        |  FROM per p
+        |  JOIN orders o ON p.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |  grid AS (SELECT nation, v, CAST(COUNT(1) AS BIGINT) AS c
+        |    FROM pts GROUP BY 1, 2),
+        |  cm AS (SELECT nation, v,
+        |    CAST(SUM(c) OVER (PARTITION BY nation ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY nation) AS BIGINT) AS n
+        |  FROM grid)
+        |SELECT nation, MAX(n) AS n,
+        |  MIN(CASE WHEN 4 * cum >= n THEN v END) AS q1,
+        |  MIN(CASE WHEN 4 * cum >= 2 * n THEN v END) AS median,
+        |  MIN(CASE WHEN 4 * cum >= 3 * n THEN v END) AS q3,
+        |  CAST(MIN(CASE WHEN 4 * cum >= 3 * n THEN v END) +
+        |    MIN(CASE WHEN 4 * cum >= n THEN v END) -
+        |    2 * MIN(CASE WHEN 4 * cum >= 2 * n THEN v END)
+        |    AS DOUBLE) /
+        |  CAST(MIN(CASE WHEN 4 * cum >= 3 * n THEN v END) -
+        |    MIN(CASE WHEN 4 * cum >= n THEN v END) AS DOUBLE)
+        |    AS bowley_skew
+        |FROM cm GROUP BY 1
         |ORDER BY nation""".stripMargin)
 }
