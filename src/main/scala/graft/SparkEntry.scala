@@ -35,6 +35,7 @@ object SparkEntry {
       operators.Extended10.queries ++
       operators.Extended11.queries ++
       operators.Extended12.queries ++
+      operators.Extended13.queries ++
       operators.PiiOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,5 +59,6 @@ object SparkEntry {
       operators.Extended10.oracleSql ++
       operators.Extended11.oracleSql ++
       operators.Extended12.oracleSql ++
+      operators.Extended13.oracleSql ++
       operators.PiiOps.oracleSql
 }

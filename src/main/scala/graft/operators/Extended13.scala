@@ -1,0 +1,511 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Parity, Tables}
+
+/** Thirteenth analytics batch: robust statistics and series
+  * diagnostics — the screens an analyst runs when q150's moment
+  * profile says the data is skewed and they need estimators that
+  * survive it. MAD with robust-z outlier counts (q154), Theil–Sen
+  * median-slope trend (q155), autocorrelation + Ljung–Box whiteness
+  * of the weekly revenue series (q156), a Benford first-digit
+  * conformance screen (q157 — which this synthetic corpus FAILS, by
+  * design the kind of signal the screen exists to catch), and
+  * Jensen–Shannon divergence between regional product-mix
+  * distributions (q158). Same contract as Extended5–12: declarative
+  * plans, exact integer carriers until the final double projections
+  * (identical operation sequence on both engines; probability-
+  * weighted log sums ride order-insensitive DECIMAL(38,15) sums,
+  * the t23 dsum stance at the scale small log terms need), a scale
+  * note per entry. The reference delegates all
+  * analytics to user code behind its event processor
+  * (`/root/reference/README.md:246-293`).
+  */
+object Extended13 {
+
+  /** Per-order revenue in whole dollars, tagged with the customer
+    * nation — the shared input frame of q154. One fact rollup, the
+    * dimension joins broadcast. */
+  private def nationOrderDollars(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), expr("rev div 100").as("v"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MAD + ROBUST-Z OUTLIER PROFILE — the robust scale estimate that
+    // replaces q85's IQR fences when the analyst wants breakdown-point
+    // 50%: per nation, median (the q73 discrete-grid rule), MAD =
+    // grid-median of |v − median|, and the count of robust-z outliers
+    // |v − med| > 3·1.4826·MAD. The outlier comparison is DIVISION-
+    // FREE exact: 3·1.4826 = 4.4478 exactly, so the test is
+    // dev·10⁴ > 44478·MAD in longs (the q143 cross-multiplication
+    // stance); the only double is the final outlier rate. Scale
+    // shape: one rollup to the per-nation value grid, keyed windows
+    // for the median, one regroup to the deviation grid, keyed
+    // windows again, |nations| rows out — a single linear pipeline,
+    // no self-join, no re-scan.
+    "q154_mad_profile" -> ((s, d) => {
+      val grid = nationOrderDollars(s, d)
+        .groupBy(col("nation"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("nation")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("nation"))
+      val withMed = grid
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wTot))
+        .withColumn("med",
+          min(when(lit(2L) * col("cum") >= col("n"), col("v"))).over(wTot))
+      val devGrid = withMed
+        .select(col("nation"), abs(col("v") - col("med")).as("dev"),
+          col("c"), col("n"), col("med"))
+        .groupBy(col("nation"), col("dev"))
+        .agg(sum(col("c")).as("c"), max(col("n")).as("n"),
+          max(col("med")).as("med"))
+      val wCumD = Window.partitionBy(col("nation")).orderBy(col("dev"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      devGrid
+        .withColumn("cumd", sum(col("c")).over(wCumD))
+        .withColumn("mad",
+          min(when(lit(2L) * col("cumd") >= col("n"), col("dev")))
+            .over(wTot))
+        .groupBy(col("nation"))
+        .agg(max(col("n")).as("n"), max(col("med")).as("median"),
+          max(col("mad")).as("mad"),
+          sum(when(col("dev") * lit(10000L) > lit(44478L) * col("mad"),
+            col("c")).otherwise(0L)).as("n_out"))
+        .withColumn("out_rate",
+          col("n_out").cast("double") / col("n").cast("double"))
+        .orderBy(col("nation"))
+    }),
+
+    // THEIL–SEN TREND — the median of pairwise weekly-revenue slopes
+    // per nation: breakdown point 29%, immune to the outlier weeks
+    // that drag an OLS line (q58's moment fit is the fragile twin).
+    // Gap-tolerant by construction: slopes use the true week distance,
+    // so nations with empty weeks (all of them at small SF) need no
+    // gap filling. Each slope is ONE division of exact longs — both
+    // engines produce the identical double — and the median is the
+    // q73 grid rule over the slope values. Scale shape: the fact
+    // table collapses to a (nation, week) frame FIRST (calendar-
+    // bounded: |weeks| ≈ 350 per nation regardless of SF), one
+    // materialization cut, then the pair join is grid² on the tiny
+    // aggregate — O(weeks²)·|nations| ≈ 1.5M rows at ANY data scale,
+    // never O(rows²).
+    "q155_theil_sen" -> ((s, d) => {
+      val wk = Materialize.LocalCheckpoint(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
+              " div 7").as("w"))
+          .agg(expr(
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
+            .as("y")))
+      val slopes = wk.as("a").join(wk.as("b"),
+          col("a.nation") === col("b.nation") && col("a.w") < col("b.w"))
+        .select(col("a.nation").as("nation"),
+          ((col("b.y") - col("a.y")).cast("double") /
+            (col("b.w") - col("a.w")).cast("double")).as("slope"))
+        .groupBy(col("nation"), col("slope"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("nation")).orderBy(col("slope"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("nation"))
+      val ts = slopes
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("np", sum(col("c")).over(wTot))
+        .groupBy(col("nation"))
+        .agg(max(col("np")).as("n_pairs"),
+          min(when(lit(2L) * col("cum") >= col("np"), col("slope")))
+            .as("ts_slope"))
+      val weeks = wk.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_weeks"))
+      ts.join(weeks, "nation")
+        .select(col("nation"), col("n_weeks"), col("n_pairs"),
+          col("ts_slope"))
+        .orderBy(col("nation"))
+    }),
+
+    // AUTOCORRELATION + LJUNG–BOX — is the weekly revenue series
+    // white noise? ACF at lags 1–6 with the standard full-series-mean
+    // estimator, assembled from EXACT integer moments: multiplying
+    // the lag-k autocovariance through by n² gives
+    // n²·Σx_t·x_{t+k} − n·S1·Σ(x_t + x_{t+k}) + (n−k)·S1², all
+    // 128-bit-exact (DECIMAL(38,0) here, HUGEINT in the oracle — the
+    // q150 carrier), so r_k is ONE division of two exact integers and
+    // cross-engine bit-identical. Ljung–Box Q accumulates r_k²/(n−k)
+    // in lag order (an ordered cumulative window — identical
+    // sequence both engines) against hardcoded χ² critical literals.
+    // Scale shape: the fact table collapses to ONE calendar-bounded
+    // row per week before any window; the single-partition lead()
+    // window runs over ~350 rows at any SF — the aggregate-first
+    // pattern that makes a "global" window scale-safe. Requires a
+    // contiguous week index (true of this corpus at the gate SFs:
+    // span == count) — lead() over a gapped series would silently
+    // pair non-adjacent observations, so the plan GUARDS the
+    // assumption and raises on any gap (the d01 collision-guard
+    // stance: loud failure over silent corruption).
+    "q156_acf_ljung_box" -> ((s, d) => {
+      val lags = 1 to 6
+      val crit = Map(1 -> 3.8415, 2 -> 5.9915, 3 -> 7.8147,
+        4 -> 9.4877, 5 -> 11.0705, 6 -> 12.5916)
+      val wk = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(expr(
+          "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7")
+          .as("w"))
+        .agg(expr(
+          "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
+          .as("y"))
+        .select(col("w"), col("y").cast(DecimalType(38, 0)).as("x"))
+      val wOrd = Window.orderBy(col("w"))
+      val led = wk.select(
+        Seq(col("w"), col("x")) ++ lags.map(k =>
+          lead(col("x"), k).over(wOrd).as(s"x$k")): _*)
+      val aggCols = Seq(
+        count(lit(1)).as("rows"),
+        min(col("w")).as("wmin"), max(col("w")).as("wmax"),
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2")) ++
+        lags.flatMap(k => Seq(
+          sum(col("x") * col(s"x$k")).as(s"p$k"),
+          sum(when(col(s"x$k").isNotNull, col("x") + col(s"x$k")))
+            .as(s"h$k")))
+      val ag = led.agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("n",
+          when(col("wmax") - col("wmin") + lit(1L) === col("rows"),
+            col("rows"))
+            .otherwise(raise_error(concat(
+              lit("q156: week index not contiguous (rows="),
+              col("rows").cast("string"), lit(", span="),
+              (col("wmax") - col("wmin") + lit(1L)).cast("string"),
+              lit(") — ACF over lead() would pair non-adjacent weeks")))
+              .cast("long")))
+      val perLag = ag.select(col("n"), col("s1"), col("s2"),
+          explode(array(lags.map(k => struct(lit(k).as("lag"),
+            col(s"p$k").as("p"), col(s"h$k").as("h"))): _*)).as("kr"))
+        .select(col("n"), col("s1"), col("s2"),
+          col("kr.lag").as("lag"), col("kr.p").as("p"), col("kr.h").as("h"))
+        .withColumn("nd", col("n").cast(DecimalType(38, 0)))
+        .withColumn("num",
+          col("nd") * col("nd") * col("p") -
+            col("nd") * col("s1") * col("h") +
+            (col("nd") - col("lag").cast(DecimalType(38, 0))) *
+              col("s1") * col("s1"))
+        .withColumn("den",
+          col("nd") * col("nd") * col("s2") -
+            col("nd") * col("s1") * col("s1"))
+        .withColumn("acf", col("num").cast("double") / col("den").cast("double"))
+      val wLag = Window.orderBy(col("lag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perLag
+        .withColumn("lb_q",
+          col("n").cast("double") * (col("n").cast("double") + lit(2.0)) *
+            sum(col("acf") * col("acf") /
+              (col("n").cast("double") - col("lag").cast("double")))
+              .over(wLag))
+        .withColumn("reject_95", col("lb_q") >
+          element_at(array(lags.map(k => lit(crit(k))): _*), col("lag")))
+        .select(col("lag"), col("n"), col("acf"), col("lb_q"),
+          col("reject_95"))
+        .orderBy(col("lag"))
+    }),
+
+    // BENFORD FIRST-DIGIT SCREEN — the synthetic-data / fraud screen:
+    // compare the first significant digit of every line price against
+    // Benford's log₁₀(1 + 1/d) law with a χ² goodness-of-fit (df = 8,
+    // critical 15.5073). TPC-H's uniform price generator FAILS it
+    // loudly — exactly the signal the screen exists to catch (a
+    // pipeline ingesting generated or tampered financial data sees
+    // this row set first). The 9 Benford probabilities are hardcoded
+    // 17-digit literals (no cross-engine libm log), the digit comes
+    // from the exact cents long (×100 shifts the decimal point,
+    // never the leading digit), and the χ² total rides a decimal
+    // window sum so it is summation-order exact. Scale shape: one
+    // projected scan to a 9-row grid; everything downstream is
+    // constant-size.
+    "q157_benford_screen" -> ((s, d) => {
+      val benford = Seq(0.3010299956639812, 0.17609125905568124,
+        0.12493873660829992, 0.09691001300805642, 0.07918124604762482,
+        0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+        0.04575749056067514)
+      val wAll = Window.partitionBy(lit(1))
+      Tables.lineitem(s, d)
+        .select(substring(Parity.cents2(col("l_extendedprice"))
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("obs"))
+        .withColumn("n", sum(col("obs")).over(wAll))
+        .withColumn("benford_p",
+          element_at(array(benford.map(lit): _*), col("digit")))
+        .withColumn("expected", col("n").cast("double") * col("benford_p"))
+        .withColumn("chi_part",
+          (col("obs").cast("double") - col("expected")) *
+            (col("obs").cast("double") - col("expected")) / col("expected"))
+        .withColumn("chi2",
+          sum(col("chi_part").cast(DecimalType(38, 15))).over(wAll)
+            .cast("double"))
+        .select(col("digit"), col("obs"), col("benford_p"),
+          col("expected"), col("chi_part"), col("chi2"),
+          (col("chi2") > lit(15.5073)).as("reject_95"))
+        .orderBy(col("digit"))
+    }),
+
+    // JENSEN–SHANNON DIVERGENCE of regional product-mix — how far
+    // apart are two regions' brand distributions, in bits? The
+    // symmetric, bounded ([0,1] bit) alternative to KL for comparing
+    // categorical mixes; the multi-source twin of t33's mixture
+    // weights. Brand-share grids per region (all 125 region×brand
+    // cells populated on this corpus; zero cells guarded to their
+    // exact 0·log0 = 0 limit anyway), pair join on brand across the
+    // 10 region pairs, and each pair's Σ p·ln(2p/(p+q)) terms ride a
+    // DECIMAL(38,15) order-insensitive sum (the t23 dsum stance at
+    // the scale these ~1e-4 terms need; decimal rounding absorbs
+    // libm ulp noise in ln). Scale shape: the fact table collapses to a
+    // 125-row grid FIRST (one materialization cut feeding both sides
+    // of the brand join); everything pairwise is constant-size
+    // regardless of SF.
+    "q158_jsd_brand_mix" -> ((s, d) => {
+      val wTot = Window.partitionBy(col("region"))
+      val bx = Materialize.LocalCheckpoint(
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("p",
+            col("c").cast("double") /
+              sum(col("c")).over(wTot).cast("double"))
+          .select(col("region"), col("brand"), col("p")))
+      bx.as("a").join(bx.as("b"),
+          col("a.brand") === col("b.brand") &&
+            col("a.region") < col("b.region"))
+        .select(col("a.region").as("region_a"), col("b.region").as("region_b"),
+          col("a.p").as("p"), col("b.p").as("q"))
+        .withColumn("m", (col("p") + col("q")) / lit(2.0))
+        .withColumn("term",
+          when(col("p") > 0, col("p") * log(col("p") / col("m")) / lit(2.0))
+            .otherwise(lit(0.0)) +
+          when(col("q") > 0, col("q") * log(col("q") / col("m")) / lit(2.0))
+            .otherwise(lit(0.0)))
+        .groupBy(col("region_a"), col("region_b"))
+        .agg(count(lit(1)).as("n_brands"),
+          sum(col("term").cast(DecimalType(38, 15))).cast("double")
+            .as("jsd_nats"))
+        .withColumn("jsd_bits", col("jsd_nats") / lit(0.6931471805599453))
+        .orderBy(col("region_a"), col("region_b"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q154_mad_profile" ->
+      """WITH per AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |  pts AS (SELECT n.n_name AS nation, p.rev // 100 AS v
+        |  FROM per p
+        |  JOIN orders o ON p.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |  grid AS (SELECT nation, v, CAST(COUNT(1) AS BIGINT) AS c
+        |    FROM pts GROUP BY 1, 2),
+        |  wm AS (SELECT nation, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY nation ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY nation) AS BIGINT) AS n
+        |  FROM grid),
+        |  md AS (SELECT nation, v, c, n,
+        |    MIN(CASE WHEN 2 * cum >= n THEN v END)
+        |      OVER (PARTITION BY nation) AS med
+        |  FROM wm),
+        |  dgrid AS (SELECT nation, abs(v - med) AS dev,
+        |    CAST(SUM(c) AS BIGINT) AS c, MAX(n) AS n, MAX(med) AS med
+        |  FROM md GROUP BY 1, 2),
+        |  dm AS (SELECT nation, dev, c, n, med,
+        |    CAST(SUM(c) OVER (PARTITION BY nation ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumd
+        |  FROM dgrid),
+        |  mq AS (SELECT nation, dev, c, n, med,
+        |    MIN(CASE WHEN 2 * cumd >= n THEN dev END)
+        |      OVER (PARTITION BY nation) AS mad
+        |  FROM dm),
+        |  fin AS (SELECT nation, MAX(n) AS n, MAX(med) AS median,
+        |    MAX(mad) AS mad,
+        |    CAST(SUM(CASE WHEN dev * 10000 > 44478 * mad THEN c
+        |      ELSE 0 END) AS BIGINT) AS n_out
+        |  FROM mq GROUP BY 1)
+        |SELECT nation, n, median, mad, n_out,
+        |  CAST(n_out AS DOUBLE) / CAST(n AS DOUBLE) AS out_rate
+        |FROM fin ORDER BY nation""".stripMargin,
+
+    "q155_theil_sen" ->
+      """WITH wk AS (SELECT n.n_name AS nation,
+        |    datediff('day', DATE '1992-01-01', o.o_orderdate) // 7 AS w,
+        |    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS y
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |  sl AS (SELECT a.nation,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.w - a.w AS DOUBLE) AS slope
+        |  FROM wk a JOIN wk b ON a.nation = b.nation AND a.w < b.w),
+        |  sg AS (SELECT nation, slope, CAST(COUNT(1) AS BIGINT) AS c
+        |    FROM sl GROUP BY 1, 2),
+        |  sm AS (SELECT nation, slope, c,
+        |    CAST(SUM(c) OVER (PARTITION BY nation ORDER BY slope
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY nation) AS BIGINT) AS np
+        |  FROM sg),
+        |  ts AS (SELECT nation, MAX(np) AS n_pairs,
+        |    MIN(CASE WHEN 2 * cum >= np THEN slope END) AS ts_slope
+        |  FROM sm GROUP BY 1),
+        |  wc AS (SELECT nation, CAST(COUNT(1) AS BIGINT) AS n_weeks
+        |    FROM wk GROUP BY 1)
+        |SELECT t.nation, w.n_weeks, t.n_pairs, t.ts_slope
+        |FROM ts t JOIN wc w ON t.nation = w.nation
+        |ORDER BY t.nation""".stripMargin,
+
+    "q156_acf_ljung_box" ->
+      """WITH wk AS (SELECT
+        |    datediff('day', DATE '1992-01-01', o.o_orderdate) // 7 AS w,
+        |    CAST(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS HUGEINT) AS x
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |  led AS (SELECT x,
+        |    lead(x, 1) OVER (ORDER BY w) AS x1,
+        |    lead(x, 2) OVER (ORDER BY w) AS x2,
+        |    lead(x, 3) OVER (ORDER BY w) AS x3,
+        |    lead(x, 4) OVER (ORDER BY w) AS x4,
+        |    lead(x, 5) OVER (ORDER BY w) AS x5,
+        |    lead(x, 6) OVER (ORDER BY w) AS x6
+        |  FROM wk),
+        |  ag AS (SELECT CAST(COUNT(1) AS HUGEINT) AS n,
+        |    SUM(x) AS s1, SUM(x * x) AS s2,
+        |    SUM(x * x1) AS p1,
+        |    SUM(CASE WHEN x1 IS NOT NULL THEN x + x1 END) AS h1,
+        |    SUM(x * x2) AS p2,
+        |    SUM(CASE WHEN x2 IS NOT NULL THEN x + x2 END) AS h2,
+        |    SUM(x * x3) AS p3,
+        |    SUM(CASE WHEN x3 IS NOT NULL THEN x + x3 END) AS h3,
+        |    SUM(x * x4) AS p4,
+        |    SUM(CASE WHEN x4 IS NOT NULL THEN x + x4 END) AS h4,
+        |    SUM(x * x5) AS p5,
+        |    SUM(CASE WHEN x5 IS NOT NULL THEN x + x5 END) AS h5,
+        |    SUM(x * x6) AS p6,
+        |    SUM(CASE WHEN x6 IS NOT NULL THEN x + x6 END) AS h6
+        |  FROM led),
+        |  lg AS (
+        |    SELECT n, s1, s2, 1 AS lag, p1 AS p, h1 AS h FROM ag
+        |    UNION ALL SELECT n, s1, s2, 2, p2, h2 FROM ag
+        |    UNION ALL SELECT n, s1, s2, 3, p3, h3 FROM ag
+        |    UNION ALL SELECT n, s1, s2, 4, p4, h4 FROM ag
+        |    UNION ALL SELECT n, s1, s2, 5, p5, h5 FROM ag
+        |    UNION ALL SELECT n, s1, s2, 6, p6, h6 FROM ag),
+        |  st AS (SELECT CAST(n AS BIGINT) AS n, lag,
+        |    n * n * p - n * s1 * h + (n - lag) * s1 * s1 AS num,
+        |    n * n * s2 - n * s1 * s1 AS den
+        |  FROM lg),
+        |  rr AS (SELECT n, lag,
+        |    CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+        |      CAST(CAST(den AS VARCHAR) AS DOUBLE) AS acf
+        |  FROM st),
+        |  lb AS (SELECT n, lag, acf,
+        |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) *
+        |      SUM(acf * acf / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)))
+        |        OVER (ORDER BY lag
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS lb_q
+        |  FROM rr)
+        |SELECT lag, n, acf, lb_q,
+        |  lb_q > CASE lag WHEN 1 THEN 3.8415 WHEN 2 THEN 5.9915
+        |    WHEN 3 THEN 7.8147 WHEN 4 THEN 9.4877 WHEN 5 THEN 11.0705
+        |    ELSE 12.5916 END AS reject_95
+        |FROM lb ORDER BY lag""".stripMargin,
+
+    "q157_benford_screen" ->
+      """WITH dg AS (SELECT CAST(substr(CAST(CAST(round(
+        |      l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+        |      AS INTEGER) AS digit,
+        |    CAST(COUNT(1) AS BIGINT) AS obs
+        |  FROM lineitem GROUP BY 1),
+        |  wm AS (SELECT digit, obs,
+        |    CAST(SUM(obs) OVER () AS BIGINT) AS n,
+        |    CASE digit
+        |      WHEN 1 THEN 0.3010299956639812
+        |      WHEN 2 THEN 0.17609125905568124
+        |      WHEN 3 THEN 0.12493873660829992
+        |      WHEN 4 THEN 0.09691001300805642
+        |      WHEN 5 THEN 0.07918124604762482
+        |      WHEN 6 THEN 0.06694678963061322
+        |      WHEN 7 THEN 0.05799194697768673
+        |      WHEN 8 THEN 0.05115252244738129
+        |      ELSE 0.04575749056067514 END AS benford_p
+        |  FROM dg),
+        |  ex AS (SELECT digit, obs, n, benford_p,
+        |    CAST(n AS DOUBLE) * benford_p AS expected
+        |  FROM wm),
+        |  cp AS (SELECT digit, obs, n, benford_p, expected,
+        |    (CAST(obs AS DOUBLE) - expected) *
+        |      (CAST(obs AS DOUBLE) - expected) / expected AS chi_part
+        |  FROM ex),
+        |  tot AS (SELECT digit, obs, benford_p, expected, chi_part,
+        |    CAST(CAST(SUM(CAST(chi_part AS DECIMAL(38,15))) OVER ()
+        |      AS VARCHAR) AS DOUBLE) AS chi2
+        |  FROM cp)
+        |SELECT digit, obs, benford_p, expected, chi_part, chi2,
+        |  chi2 > 15.5073 AS reject_95
+        |FROM tot ORDER BY digit""".stripMargin,
+
+    "q158_jsd_brand_mix" ->
+      """WITH bx AS (SELECT r.r_name AS region, p.p_brand AS brand,
+        |    CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |  pr AS (SELECT region, brand,
+        |    CAST(c AS DOUBLE) /
+        |      CAST(SUM(c) OVER (PARTITION BY region) AS DOUBLE) AS p
+        |  FROM bx),
+        |  pairs AS (SELECT a.region AS region_a, b.region AS region_b,
+        |    a.p AS p, b.p AS q, (a.p + b.p) / 2.0 AS m
+        |  FROM pr a JOIN pr b
+        |    ON a.brand = b.brand AND a.region < b.region),
+        |  terms AS (SELECT region_a, region_b,
+        |    (CASE WHEN p > 0 THEN p * ln(p / m) / 2.0 ELSE 0.0 END) +
+        |    (CASE WHEN q > 0 THEN q * ln(q / m) / 2.0 ELSE 0.0 END)
+        |      AS term
+        |  FROM pairs),
+        |  agg AS (SELECT region_a, region_b,
+        |    CAST(COUNT(1) AS BIGINT) AS n_brands,
+        |    CAST(SUM(CAST(term AS DECIMAL(38,15))) AS DOUBLE) AS jsd_nats
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT region_a, region_b, n_brands, jsd_nats,
+        |  jsd_nats / 0.6931471805599453 AS jsd_bits
+        |FROM agg ORDER BY region_a, region_b""".stripMargin)
+}

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the Extended13 batch (robust statistics and series
+  * diagnostics): each query is checked against a driver-side model
+  * computed with the same exact carriers, plus the statistical
+  * properties a practitioner relies on (MAD ≤ spread bounds, the
+  * Theil–Sen/OLS agreement in sign, ACF bounds, the Benford rejection
+  * this synthetic corpus must produce, JSD symmetry-by-construction
+  * and its [0, 1] bit range). Value-level equality vs the DuckDB
+  * oracle runs via graft.Verify + tools/compare.py.
+  */
+class Round7gOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  /** (nation, per-order dollars) — the q154 input frame, collected. */
+  private lazy val pts: Map[String, Array[Long]] =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), expr("rev div 100"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  /** Grid-rule median over longs: smallest v with 2·cum ≥ n. */
+  private def gridMedian(vs: Array[Long]): Long = {
+    val sorted = vs.sorted
+    val n = sorted.length.toLong
+    sorted(sorted.indices.find(i => 2L * (i + 1) >= n).get)
+  }
+
+  test("q154: median/MAD/outlier counts equal a driver-side grid-rule " +
+      "model, MAD is positive and bounded by the half-range, and the " +
+      "robust-z cut matches the exact 44478-cross-multiplication") {
+    val rows = q("q154_mad_profile").collect()
+    assert(rows.length == pts.size)
+    rows.foreach { r =>
+      val nation = r.getAs[String]("nation")
+      val vs = pts(nation)
+      val med = gridMedian(vs)
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = gridMedian(devs)
+      val nOut = devs.count(d => d * 10000L > 44478L * mad).toLong
+      assert(r.getAs[Long]("n") == vs.length.toLong)
+      assert(r.getAs[Long]("median") == med, s"$nation median")
+      assert(r.getAs[Long]("mad") == mad, s"$nation mad")
+      assert(r.getAs[Long]("n_out") == nOut, s"$nation n_out")
+      assert(r.getAs[Double]("out_rate") ==
+        nOut.toDouble / vs.length.toDouble)
+      assert(mad > 0L && mad <= (vs.max - vs.min + 1) / 2,
+        s"$nation mad=$mad range=${vs.max - vs.min}")
+    }
+  }
+
+  test("q155: Theil-Sen slope equals a driver-side pairwise-median " +
+      "model and n_pairs is exactly C(n_weeks over populated pairs)") {
+    val weekly = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7"))
+      .agg(expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    val rows = q("q155_theil_sen").collect()
+    assert(rows.length == weekly.size)
+    rows.foreach { r =>
+      val nation = r.getAs[String]("nation")
+      val wks = weekly(nation)
+      val slopes = for {
+        i <- wks.indices; j <- (i + 1) until wks.length
+      } yield (wks(j)._2 - wks(i)._2).toDouble / (wks(j)._1 - wks(i)._1).toDouble
+      val sorted = slopes.sorted
+      val np = sorted.length.toLong
+      val ts = sorted(sorted.indices.find(i => 2L * (i + 1) >= np).get)
+      assert(r.getAs[Long]("n_weeks") == wks.length.toLong)
+      assert(r.getAs[Long]("n_pairs") ==
+        wks.length.toLong * (wks.length - 1) / 2)
+      assert(r.getAs[Double]("ts_slope") == ts, s"$nation slope")
+    }
+  }
+
+  test("q156: the contiguity guard fires on this SF's gapped weekly " +
+      "series (7 missing weeks), and at sf0.01 — contiguous — the ACF " +
+      "equals a driver-side exact-moment model with Ljung-Box rising " +
+      "in lag") {
+    val err = intercept[Exception] { q("q156_acf_ljung_box").collect() }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("week index not contiguous"),
+      s"guard message: ${err.getMessage}")
+
+    val d01 = "/root/testdata/sf0.01"
+    val wk = Tables.lineitem(spark, d01)
+      .join(Tables.orders(spark, d01), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(expr(
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7"))
+      .agg(expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val xs = wk.map(t => BigInt(t._2))
+    val n = xs.length
+    assert(wk.last._1 - wk.head._1 + 1 == n.toLong, "sf0.01 contiguous")
+    val s1 = xs.sum
+    def num(k: Int): BigInt =
+      BigInt(n) * BigInt(n) * (0 until n - k).map(t => xs(t) * xs(t + k)).sum -
+        BigInt(n) * s1 * (0 until n - k).map(t => xs(t) + xs(t + k)).sum +
+        BigInt(n - k) * s1 * s1
+    val den = BigInt(n) * BigInt(n) * xs.map(x => x * x).sum -
+      BigInt(n) * s1 * s1
+    val rows = SparkEntry.queries("q156_acf_ljung_box")(spark, d01)
+      .collect().sortBy(_.getAs[Int]("lag"))
+    assert(rows.length == 6)
+    var lb = 0.0
+    rows.foreach { r =>
+      val k = r.getAs[Int]("lag")
+      val expected = BigDecimal(num(k)).toDouble / BigDecimal(den).toDouble
+      assert(r.getAs[Long]("n") == n.toLong)
+      assert(r.getAs[Double]("acf") == expected, s"lag $k acf")
+      val acf = r.getAs[Double]("acf")
+      assert(acf > -1.0 && acf < 1.0, s"lag $k in range")
+      lb = lb + acf * acf / (n.toDouble - k.toDouble)
+      assert(r.getAs[Double]("lb_q") ==
+        n.toDouble * (n.toDouble + 2.0) * lb, s"lag $k lb_q")
+    }
+    // lb_q is a cumulative sum of non-negative terms: non-decreasing
+    val qs = rows.map(_.getAs[Double]("lb_q"))
+    assert(qs.zip(qs.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("q157: the Benford screen equals a driver-side model and " +
+      "REJECTS this synthetic corpus (uniform price generator), with " +
+      "all nine digits present and probabilities summing to ~1") {
+    val cents = Tables.lineitem(spark, dir)
+      .select(Parity.cents2(col("l_extendedprice")))
+      .collect().map(_.getLong(0))
+    val obs = cents.groupBy(_.toString.head.asDigit).view
+      .mapValues(_.length.toLong).toMap
+    val n = cents.length.toLong
+    val benford = Array(0.3010299956639812, 0.17609125905568124,
+      0.12493873660829992, 0.09691001300805642, 0.07918124604762482,
+      0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+      0.04575749056067514)
+    assert(math.abs(benford.sum - 1.0) < 1e-12)
+    val rows = q("q157_benford_screen").collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      assert(r.getAs[Long]("obs") == obs(d), s"digit $d obs")
+      assert(r.getAs[Double]("benford_p") == benford(d - 1))
+      val exp = n.toDouble * benford(d - 1)
+      assert(r.getAs[Double]("expected") == exp)
+      val od = obs(d).toDouble
+      assert(r.getAs[Double]("chi_part") == (od - exp) * (od - exp) / exp)
+      assert(r.getAs[Boolean]("reject_95"), "synthetic prices must reject")
+    }
+    val chi2 = rows.map(_.getAs[Double]("chi2")).distinct
+    assert(chi2.length == 1 && chi2.head > 15.5073)
+  }
+
+  test("q158: JSD is within [0, 1] bits on all 10 region pairs, " +
+      "matches a driver-side model to decimal-rounding precision, and " +
+      "is symmetric by construction (pair output covers each unordered " +
+      "pair exactly once)") {
+    val bx = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("p_brand"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val regions = bx.keys.map(_._1).toSeq.distinct.sorted
+    val brands = bx.keys.map(_._2).toSeq.distinct.sorted
+    val tot = regions.map(rg =>
+      rg -> brands.map(b => bx.getOrElse((rg, b), 0L)).sum).toMap
+    def p(rg: String, b: String): Double =
+      bx.getOrElse((rg, b), 0L).toDouble / tot(rg).toDouble
+    val rows = q("q158_jsd_brand_mix").collect()
+    assert(rows.length == regions.combinations(2).size) // 10 pairs
+    rows.foreach { r =>
+      val (ra, rb) = (r.getAs[String]("region_a"), r.getAs[String]("region_b"))
+      assert(ra < rb, "each unordered pair exactly once, ordered")
+      val jsd = brands.map { b =>
+        val (pp, qq) = (p(ra, b), p(rb, b))
+        val m = (pp + qq) / 2.0
+        (if (pp > 0) pp * math.log(pp / m) / 2.0 else 0.0) +
+          (if (qq > 0) qq * math.log(qq / m) / 2.0 else 0.0)
+      }.sum
+      val got = r.getAs[Double]("jsd_nats")
+      // engine sums per-term DECIMAL(38,15) roundings; the driver
+      // model sums raw doubles — equal to ~25 half-ulps at 1e-15
+      assert(math.abs(got - jsd) < 1e-12, s"$ra/$rb jsd $got vs $jsd")
+      assert(got >= 0.0 && r.getAs[Double]("jsd_bits") <= 1.0)
+      assert(r.getAs[Double]("jsd_bits") == got / 0.6931471805599453)
+      assert(r.getAs[Long]("n_brands") == brands.length.toLong)
+    }
+  }
+}
