@@ -311,6 +311,129 @@ object Extended13 {
             .as("jsd_nats"))
         .withColumn("jsd_bits", col("jsd_nats") / lit(0.6931471805599453))
         .orderBy(col("region_a"), col("region_b"))
+    }),
+
+    // PETTITT CHANGEPOINT — WHERE does the weekly revenue series
+    // shift, if anywhere? The rank-based (distribution-free) single-
+    // changepoint test: U_t = 2·Σ_{i≤t} rank(y_i) − t(n+1), K =
+    // max|U_t| over t < n, changepoint at the argmax. The 2×-midrank
+    // carrier keeps every U_t an EXACT integer (2·below + ties + 1
+    // per row — q134/q139's stance), and the significance decision is
+    // made on the exact log-p term −6K²/(n³+n²) (one division of
+    // exact longs) against the hardcoded ln(0.025) literal — libm
+    // exp() never enters the decision; the displayed p is rounded
+    // through DECIMAL(18,12) so a last-ulp exp() divergence cannot
+    // break the hash. This stationary corpus does NOT reject (p caps
+    // at 1) — the honest answer, and the instrument q127's CUSUM
+    // hands off to when the analyst asks "where, and is it
+    // significant?". Scale shape: aggregate-first — the fact table
+    // collapses to ~350 calendar-bounded weekly rows before any
+    // window; the single-partition windows run over that tiny frame
+    // at any SF.
+    "q159_pettitt_changepoint" -> ((s, d) => {
+      val wk = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(expr(
+          "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7")
+          .as("w"))
+        .agg(expr(
+          "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
+          .as("y"))
+      val wVal = Window.orderBy(col("y"))
+      val wValTies = Window.partitionBy(col("y"))
+      val wSeq = Window.orderBy(col("w"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      val ranked = wk
+        .withColumn("rk", rank().over(wVal))          // 1 + strictly-below
+        .withColumn("ties", count(lit(1)).over(wValTies))
+        .withColumn("r2", lit(2L) * (col("rk") - 1L) + col("ties") + 1L)
+      val stats = ranked
+        .withColumn("t", row_number().over(Window.orderBy(col("w"))))
+        .withColumn("s2", sum(col("r2")).over(wSeq))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("u", col("s2") - col("t") * (col("n") + 1L))
+        .withColumn("abs_u",
+          when(col("t") < col("n"), abs(col("u"))).otherwise(lit(0L)))
+        .withColumn("k_stat", max(col("abs_u")).over(wAll))
+      stats
+        .groupBy(col("k_stat"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("abs_u") === col("k_stat"), col("w")))
+            .as("cp_week"))
+        .withColumn("log_p_term",
+          lit(-6.0) * col("k_stat").cast("double") *
+            col("k_stat").cast("double") /
+            (col("n") * col("n") * col("n") + col("n") * col("n"))
+              .cast("double"))
+        .withColumn("p_approx",
+          least(lit(1.0), lit(2.0) * exp(col("log_p_term")))
+            .cast(DecimalType(18, 12)).cast("double"))
+        .select(col("n"), col("k_stat"), col("cp_week"),
+          col("log_p_term"), col("p_approx"),
+          (col("log_p_term") < lit(-3.6888794541139363)).as("reject_95"))
+    }),
+
+    // WALD–WOLFOWITZ RUNS TEST — is the weekly revenue series random
+    // around its median, or does it cluster (trend/cycles give few
+    // long runs; oscillation gives many short ones)? The distribution-
+    // free randomness check that completes q156's serial-correlation
+    // view: weeks above/below the grid-rule median (ties at the
+    // median excluded, the standard treatment), runs counted with one
+    // lag window in week order, and z = (R − E[R])/√Var from the
+    // exact m/k counts — every input to the final two divisions and
+    // one sqrt is an exact long, identical sequence both engines.
+    // Scale shape: identical to q159 — aggregate-first onto the
+    // calendar-bounded weekly frame, tiny single-partition windows.
+    "q160_runs_test" -> ((s, d) => {
+      val wk = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(expr(
+          "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7")
+          .as("w"))
+        .agg(expr(
+          "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
+          .as("y"))
+      val wVal = Window.orderBy(col("y"))
+      val wValTies = Window.partitionBy(col("y"))
+      val wAll = Window.partitionBy(lit(1))
+      val med = wk
+        .withColumn("rk", rank().over(wVal))
+        .withColumn("ties", count(lit(1)).over(wValTies))
+        .withColumn("cum_le", col("rk") + col("ties") - 1L)
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("median",
+          min(when(lit(2L) * col("cum_le") >= col("n"), col("y")))
+            .over(wAll))
+      val signs = med
+        .filter(col("y") =!= col("median"))
+        .select(col("w"), (col("y") > col("median")).as("up"))
+      val wSeq = Window.orderBy(col("w"))
+      val runs = signs
+        .withColumn("prev", lag(col("up"), 1).over(wSeq))
+        .select(
+          when(col("prev").isNull || col("prev") =!= col("up"), 1L)
+            .otherwise(0L).as("boundary"),
+          when(col("up"), 1L).otherwise(0L).as("is_up"))
+        .agg(sum(col("boundary")).as("runs"),
+          sum(col("is_up")).as("n_above"),
+          (count(lit(1)) - sum(col("is_up"))).as("n_below"))
+      runs
+        .withColumn("m", col("n_above").cast("double"))
+        .withColumn("k", col("n_below").cast("double"))
+        .withColumn("expected_runs",
+          lit(1.0) + lit(2.0) * col("m") * col("k") / (col("m") + col("k")))
+        .withColumn("var_runs",
+          lit(2.0) * col("m") * col("k") *
+            (lit(2.0) * col("m") * col("k") - col("m") - col("k")) /
+            ((col("m") + col("k")) * (col("m") + col("k")) *
+              (col("m") + col("k") - lit(1.0))))
+        .withColumn("z",
+          (col("runs").cast("double") - col("expected_runs")) /
+            sqrt(col("var_runs")))
+        .select(col("n_above"), col("n_below"), col("runs"),
+          col("expected_runs"), col("z"),
+          (abs(col("z")) > lit(1.96)).as("reject_95"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -507,5 +630,83 @@ object Extended13 {
         |  FROM terms GROUP BY 1, 2)
         |SELECT region_a, region_b, n_brands, jsd_nats,
         |  jsd_nats / 0.6931471805599453 AS jsd_bits
-        |FROM agg ORDER BY region_a, region_b""".stripMargin)
+        |FROM agg ORDER BY region_a, region_b""".stripMargin,
+
+    "q159_pettitt_changepoint" ->
+      """WITH wk AS (SELECT
+        |    datediff('day', DATE '1992-01-01', o.o_orderdate) // 7 AS w,
+        |    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS y
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |  rk AS (SELECT w,
+        |    CAST(RANK() OVER (ORDER BY y) AS BIGINT) AS rk,
+        |    CAST(COUNT(1) OVER (PARTITION BY y) AS BIGINT) AS ties
+        |  FROM wk),
+        |  r2 AS (SELECT w, 2 * (rk - 1) + ties + 1 AS r2 FROM rk),
+        |  st AS (SELECT w,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY w) AS BIGINT) AS t,
+        |    CAST(SUM(r2) OVER (ORDER BY w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS s2,
+        |    CAST(COUNT(1) OVER () AS BIGINT) AS n
+        |  FROM r2),
+        |  au AS (SELECT w, n,
+        |    CASE WHEN t < n THEN abs(s2 - t * (n + 1)) ELSE 0 END AS abs_u
+        |  FROM st),
+        |  kk AS (SELECT w, n, abs_u,
+        |    CAST(MAX(abs_u) OVER () AS BIGINT) AS k_stat FROM au),
+        |  fin AS (SELECT k_stat, MAX(n) AS n,
+        |    MIN(CASE WHEN abs_u = k_stat THEN w END) AS cp_week
+        |  FROM kk GROUP BY 1),
+        |  lp AS (SELECT n, k_stat, cp_week,
+        |    -6.0 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE) /
+        |      CAST(n * n * n + n * n AS DOUBLE) AS log_p_term
+        |  FROM fin)
+        |SELECT n, k_stat, cp_week, log_p_term,
+        |  CAST(CAST(least(1.0, 2.0 * exp(log_p_term)) AS DECIMAL(18,12))
+        |    AS DOUBLE) AS p_approx,
+        |  log_p_term < -3.6888794541139363 AS reject_95
+        |FROM lp""".stripMargin,
+
+    "q160_runs_test" ->
+      """WITH wk AS (SELECT
+        |    datediff('day', DATE '1992-01-01', o.o_orderdate) // 7 AS w,
+        |    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS y
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |  md AS (SELECT w, y,
+        |    CAST(RANK() OVER (ORDER BY y) AS BIGINT) +
+        |      CAST(COUNT(1) OVER (PARTITION BY y) AS BIGINT) - 1
+        |      AS cum_le,
+        |    CAST(COUNT(1) OVER () AS BIGINT) AS n
+        |  FROM wk),
+        |  m2 AS (SELECT w, y,
+        |    MIN(CASE WHEN 2 * cum_le >= n THEN y END) OVER () AS median
+        |  FROM md),
+        |  sg AS (SELECT w, (y > median) AS up FROM m2 WHERE y <> median),
+        |  bd AS (SELECT
+        |    CASE WHEN lag(up) OVER (ORDER BY w) IS NULL
+        |      OR lag(up) OVER (ORDER BY w) <> up THEN 1 ELSE 0 END
+        |      AS boundary,
+        |    CASE WHEN up THEN 1 ELSE 0 END AS is_up
+        |  FROM sg),
+        |  ag AS (SELECT CAST(SUM(boundary) AS BIGINT) AS runs,
+        |    CAST(SUM(is_up) AS BIGINT) AS n_above,
+        |    CAST(COUNT(1) - SUM(is_up) AS BIGINT) AS n_below
+        |  FROM bd),
+        |  dd AS (SELECT runs, n_above, n_below,
+        |    CAST(n_above AS DOUBLE) AS m, CAST(n_below AS DOUBLE) AS k
+        |  FROM ag),
+        |  ee AS (SELECT runs, n_above, n_below, m, k,
+        |    1.0 + 2.0 * m * k / (m + k) AS expected_runs,
+        |    2.0 * m * k * (2.0 * m * k - m - k) /
+        |      ((m + k) * (m + k) * (m + k - 1.0)) AS var_runs
+        |  FROM dd)
+        |SELECT n_above, n_below, runs, expected_runs,
+        |  (CAST(runs AS DOUBLE) - expected_runs) / sqrt(var_runs) AS z,
+        |  abs((CAST(runs AS DOUBLE) - expected_runs) / sqrt(var_runs))
+        |    > 1.96 AS reject_95
+        |FROM ee""".stripMargin)
 }

@@ -201,4 +201,79 @@ class Round7gOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_brands") == brands.length.toLong)
     }
   }
+
+  /** Global weekly revenue dollars in week order at this SF. */
+  private def weeklySeries(d: String): Array[(Long, Long)] =
+    Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(expr(
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7"))
+      .agg(expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+
+  test("q159: Pettitt K, changepoint week and log-p term equal a " +
+      "driver-side exact 2x-midrank model, and this stationary corpus " +
+      "does not reject") {
+    val wk = weeklySeries(dir)
+    val ys = wk.map(_._2)
+    val n = ys.length
+    val below = ys.map(y => ys.count(_ < y).toLong)
+    val ties = ys.map(y => ys.count(_ == y).toLong)
+    val r2 = ys.indices.map(i => 2L * below(i) + ties(i) + 1L)
+    var s2 = 0L; var k = 0L; var cpIdx = -1
+    for (t <- 1 until n) { // U_t over t < n
+      s2 += r2(t - 1)
+      val u = math.abs(s2 - t.toLong * (n + 1L))
+      if (u > k) { k = u; cpIdx = t - 1 }
+    }
+    val logP = -6.0 * k.toDouble * k.toDouble /
+      (n.toLong * n * n + n.toLong * n).toDouble
+    val r = q("q159_pettitt_changepoint").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n") == n.toLong)
+    assert(r.head.getAs[Long]("k_stat") == k)
+    assert(r.head.getAs[Long]("cp_week") == wk(cpIdx)._1)
+    assert(r.head.getAs[Double]("log_p_term") == logP)
+    assert(!r.head.getAs[Boolean]("reject_95"),
+      "stationary TPC-H weekly revenue must not reject")
+    assert(r.head.getAs[Double]("p_approx") ==
+      math.min(1.0, BigDecimal(2.0 * math.exp(logP))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("q160: runs count, expectation and z equal a driver-side model " +
+      "with median-ties excluded, and at sf0.01 the test REJECTS toward " +
+      "oscillation — agreeing in sign with q156's negative lag-1 ACF") {
+    def model(d: String): (Long, Long, Long, Double) = {
+      val wk = weeklySeries(d)
+      val ys = wk.map(_._2).sorted
+      val n = ys.length.toLong
+      val med = ys(ys.indices.find(i => 2L * (i + 1) >= n).get)
+      val signs = wk.filter(_._2 != med).map(_._2 > med)
+      val runs = 1L + signs.zip(signs.tail).count { case (a, b) => a != b }
+      val m = signs.count(identity).toLong
+      val kk = signs.length - m
+      val (md, kd) = (m.toDouble, kk.toDouble)
+      val e = 1.0 + 2.0 * md * kd / (md + kd)
+      val v = 2.0 * md * kd * (2.0 * md * kd - md - kd) /
+        ((md + kd) * (md + kd) * (md + kd - 1.0))
+      (m, kk, runs, (runs.toDouble - e) / math.sqrt(v))
+    }
+    val r = q("q160_runs_test").collect()
+    assert(r.length == 1)
+    val (m, k, runs, z) = model(dir)
+    assert(r.head.getAs[Long]("n_above") == m)
+    assert(r.head.getAs[Long]("n_below") == k)
+    assert(r.head.getAs[Long]("runs") == runs)
+    assert(r.head.getAs[Double]("z") == z)
+
+    val d01 = "/root/testdata/sf0.01"
+    val r01 = SparkEntry.queries("q160_runs_test")(spark, d01).collect().head
+    assert(r01.getAs[Boolean]("reject_95") && r01.getAs[Double]("z") > 1.96,
+      "sf0.01 weekly revenue oscillates (more runs than chance)")
+    val acf1 = SparkEntry.queries("q156_acf_ljung_box")(spark, d01)
+      .collect().minBy(_.getAs[Int]("lag")).getAs[Double]("acf")
+    assert(acf1 < 0.0, s"lag-1 ACF $acf1 should agree in sign " +
+      "(anti-persistence) with the excess-runs rejection")
+  }
 }
