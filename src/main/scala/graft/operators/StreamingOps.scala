@@ -359,6 +359,41 @@ object StreamingOps {
     out.result().iterator
   }
 
+  /** q127's streaming twin: one-sided CUSUM drift detection run
+    * continuously. Input is completed daily totals (key, day, x) — a
+    * watermarked daily rollup upstream, the seasonalFold "completed
+    * cells" contract; key names the monitored series. State per key
+    * is ONE long — the running cusum S — regardless of history
+    * length. Parameters are the calibration products (mul, ref, h):
+    * S_t = max(0, S_{t-1} + mul·x_t − ref), drift when S_t > h — the
+    * classic fixed-reference CUSUM, with (mul, ref, h) chosen from a
+    * calibration window exactly as an industrial deployment tunes
+    * (k, h). Fed q127's own full-period products (mul = 10n,
+    * ref = 11T, h = 20T), the recursion IS q127's prefix-sum-minus-
+    * running-min identity, so an in-order daily replay reproduces the
+    * batch rows bit-for-bit (pinned in StatefulStreamSpec) — all
+    * arithmetic exact longs with addExact/multiplyExact, overflow
+    * fails loudly (the d01 collision-guard stance). Days arriving in
+    * one micro-batch fold in ascending order.
+    */
+  case class DayTotal(key: String, day: Long, x: Long)
+  case class CusumAlert(key: String, day: Long, x: Long, s: Long,
+      is_drift: Boolean)
+  def cusumFold(mul: Long, ref: Long, h: Long)(key: String,
+      it: Iterator[DayTotal], state: GroupState[Long])
+      : Iterator[CusumAlert] = {
+    var s = state.getOption.getOrElse(0L)
+    val out = Array.newBuilder[CusumAlert]
+    it.toArray.sortBy(_.day).foreach { o =>
+      s = math.max(0L,
+        Math.addExact(s,
+          Math.subtractExact(Math.multiplyExact(mul, o.x), ref)))
+      out += CusumAlert(key, o.day, o.x, s, s > h)
+    }
+    state.update(s)
+    out.result().iterator
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling event-time window aggregate. Streaming twin: identical plan
     // + withWatermark("ts", ...); partial agg keeps the shuffle tiny.

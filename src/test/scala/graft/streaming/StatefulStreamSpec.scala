@@ -501,6 +501,55 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusum fold spans micro-batches: fed q127's calibration products " +
+      "(mul=10n, ref=11T, h=20T), the streamed fixed-reference CUSUM " +
+      "equals the batch prefix-minus-running-min rows bit-for-bit on an " +
+      "in-order daily replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{DayTotal, CusumAlert}
+    val dir = "/root/testdata/sf0.001"
+    val daily = graft.Tables.orders(spark, dir)
+      .select(datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1970-01-01"))).cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+      .select(lit("revenue").as("key"), col("day"), col("x"))
+      .as[DayTotal].collect().sortBy(_.day)
+    val n = daily.length.toLong
+    val t = daily.map(_.x).sum
+    val (mul, ref, h) = (10L * n, 11L * t, 20L * t)
+    val cut = daily(daily.length / 2).day
+    val (b1, b2) = daily.partition(_.day < cut)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+    val input = MemoryStream[DayTotal](spark)
+    val q = input.toDS().groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(StreamingOps.cusumFold(mul, ref, h) _)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cusum_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_xbatch").as[CusumAlert]
+        .collect().map { a =>
+          val dt = java.time.LocalDate.ofEpochDay(a.day).toString
+          dt -> (a.x, a.s.toDouble / (10.0 * n.toDouble), a.is_drift)
+        }.toMap
+      val batch = graft.SparkEntry.queries("q127_cusum_drift")(spark, dir)
+        .collect().map(r => r.getAs[String]("dt") ->
+          (r.getAs[Long]("revenue_cents"), r.getAs[Double]("cusum_cents"),
+            r.getAs[Boolean]("is_drift"))).toMap
+      assert(streamed == batch,
+        s"stream-batch divergence: ${streamed.size} vs ${batch.size}")
+      assert(spark.table("cusum_xbatch").count() == n)
+    } finally q.stop()
+  }
+
   test("stateful query runs on the RocksDB state store (the bounded-memory " +
       "store for 100 TB-scale state)") {
     import spark.implicits._
