@@ -374,6 +374,61 @@ object Extended13 {
           (col("log_p_term") < lit(-3.6888794541139363)).as("reject_95"))
     }),
 
+    // QUANTILE-SKETCH ERROR PROFILE — the e07 stance ("the index is
+    // measured, not just built") applied to q52's KMV quantile
+    // sketch: per return flag, the 128-sample sketch's p50/p90
+    // against the EXACT grid-rule percentiles, with absolute and
+    // relative error surfaced. Closes the sketch family's audit loop
+    // (q114 HLL and q129 CMS carry rel-err vs exact; q132 KMV
+    // distinct joins its exact side) — a user picking a sketch size
+    // reads THIS row set, not the sketch's theory. Both branches are
+    // deterministic (portable md5 bottom-k sample; grid percentiles),
+    // so the errors themselves are oracle-checked. Scale shape: two
+    // passes over a 2-column projection of the fact table (sketch
+    // agg + exact grid — the d22 method-comparison bucket, each pass
+    // map-side combined), joined on the 3-row flag frame.
+    "q161_sketch_error_profile" -> ((s, d) => {
+      val cents = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+      val sk = cents
+        .withColumn("h",
+          conv(substring(md5(encode(col("v").cast("string"), "UTF-8")),
+            1, 15), 16, 10).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.QuantileSketchFunctions
+          .quantileSketch(col("h"), col("v"), 128, Seq(0.5, 0.9))
+          .as("qs"))
+        .select(col("l_returnflag"),
+          (col("qs")(0) / 100.0).as("est_p50"),
+          (col("qs")(1) / 100.0).as("est_p90"))
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("l_returnflag"))
+      val exact = cents
+        .groupBy(col("l_returnflag"), col("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wTot))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          (min(when(lit(2L) * col("cum") >= col("n"), col("v")))
+            .cast("double") / lit(100.0)).as("exact_p50"),
+          (min(when(lit(10L) * col("cum") >= lit(9L) * col("n"),
+            col("v"))).cast("double") / lit(100.0)).as("exact_p90"))
+      sk.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          col("est_p50"), col("exact_p50"),
+          abs(col("est_p50") - col("exact_p50")).as("abs_err_p50"),
+          (abs(col("est_p50") - col("exact_p50")) / col("exact_p50"))
+            .as("rel_err_p50"),
+          col("est_p90"), col("exact_p90"),
+          abs(col("est_p90") - col("exact_p90")).as("abs_err_p90"),
+          (abs(col("est_p90") - col("exact_p90")) / col("exact_p90"))
+            .as("rel_err_p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // WALD–WOLFOWITZ RUNS TEST — is the weekly revenue series random
     // around its median, or does it cluster (trend/cycles give few
     // long runs; oscillation gives many short ones)? The distribution-
@@ -668,6 +723,67 @@ object Extended13 {
         |    AS DOUBLE) AS p_approx,
         |  log_p_term < -3.6888794541139363 AS reject_95
         |FROM lp""".stripMargin,
+
+    "q161_sketch_error_profile" ->
+      """WITH cents AS (SELECT l_returnflag,
+        |    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v
+        |  FROM lineitem),
+        |  hv AS (SELECT DISTINCT l_returnflag,
+        |    CAST(list_reduce(list_transform(generate_series(1, 15),
+        |      i -> strpos('0123456789abcdef',
+        |             substring(md5(CAST(v AS VARCHAR)), i, 1)) - 1),
+        |      (a, x) -> a * 16 + x) AS BIGINT) AS h, v
+        |  FROM cents),
+        |  samp AS (SELECT l_returnflag, v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h, v)
+        |      AS rn
+        |  FROM hv),
+        |  kept AS (SELECT l_returnflag, v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) - 1
+        |      AS idx,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM samp WHERE rn <= 128),
+        |  qp AS (SELECT UNNEST(CAST([0.5, 0.9] AS DOUBLE[])) AS p,
+        |    UNNEST([1, 2]) AS qi),
+        |  pts AS (SELECT k.l_returnflag, q.qi,
+        |    MAX(q.p * (k.n - 1)) AS r,
+        |    MAX(CASE WHEN k.idx = CAST(FLOOR(q.p * (k.n - 1)) AS BIGINT)
+        |      THEN k.v END) AS vlo,
+        |    MAX(CASE WHEN k.idx = CAST(CEIL(q.p * (k.n - 1)) AS BIGINT)
+        |      THEN k.v END) AS vhi
+        |  FROM kept k CROSS JOIN qp q
+        |  GROUP BY k.l_returnflag, q.qi),
+        |  ev AS (SELECT l_returnflag, qi,
+        |    (CAST(vlo AS DOUBLE) +
+        |      (r - FLOOR(r)) * CAST(vhi - vlo AS DOUBLE)) / 100.0 AS e
+        |  FROM pts),
+        |  est AS (SELECT l_returnflag,
+        |    MAX(CASE WHEN qi = 1 THEN e END) AS est_p50,
+        |    MAX(CASE WHEN qi = 2 THEN e END) AS est_p90
+        |  FROM ev GROUP BY 1),
+        |  grid AS (SELECT l_returnflag, v, CAST(COUNT(1) AS BIGINT) AS c
+        |    FROM cents GROUP BY 1, 2),
+        |  cm AS (SELECT l_returnflag, v,
+        |    CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM grid),
+        |  ex AS (SELECT l_returnflag, MAX(n) AS n,
+        |    CAST(MIN(CASE WHEN 2 * cum >= n THEN v END) AS DOUBLE)
+        |      / 100.0 AS exact_p50,
+        |    CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN v END) AS DOUBLE)
+        |      / 100.0 AS exact_p90
+        |  FROM cm GROUP BY 1)
+        |SELECT e.l_returnflag, x.n,
+        |  e.est_p50, x.exact_p50,
+        |  abs(e.est_p50 - x.exact_p50) AS abs_err_p50,
+        |  abs(e.est_p50 - x.exact_p50) / x.exact_p50 AS rel_err_p50,
+        |  e.est_p90, x.exact_p90,
+        |  abs(e.est_p90 - x.exact_p90) AS abs_err_p90,
+        |  abs(e.est_p90 - x.exact_p90) / x.exact_p90 AS rel_err_p90
+        |FROM est e JOIN ex x USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q160_runs_test" ->
       """WITH wk AS (SELECT

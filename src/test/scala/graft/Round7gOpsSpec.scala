@@ -276,4 +276,50 @@ class Round7gOpsSpec extends SparkSpec {
     assert(acf1 < 0.0, s"lag-1 ACF $acf1 should agree in sign " +
       "(anti-persistence) with the excess-runs rejection")
   }
+
+  test("q161: the sketch error profile equals a driver-side replay of " +
+      "the 128-sample KMV quantile sketch against exact grid " +
+      "percentiles, errors are non-negative, and estimates stay inside " +
+      "the per-flag value range") {
+    val cents = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def md5h(v: Long): Long =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+        .foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+    val rows = q("q161_sketch_error_profile").collect()
+    assert(rows.length == cents.size)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val vs = cents(flag)
+      // sketch replay: bottom-128 DISTINCT values by (md5 hash, v)
+      val kept = vs.distinct.map(v => (md5h(v), v)).sorted
+        .take(128).map(_._2).sorted
+      def est(p: Double): Double = {
+        val rr = p * (kept.length - 1)
+        val (lo, hi) = (kept(rr.toInt), kept(math.ceil(rr).toInt))
+        (lo.toDouble + (rr - math.floor(rr)) * (hi - lo).toDouble) / 100.0
+      }
+      // exact grid rule
+      val sorted = vs.sorted
+      val n = sorted.length.toLong
+      val ex50 = sorted(sorted.indices
+        .find(i => 2L * (i + 1) >= n).get).toDouble / 100.0
+      val ex90 = sorted(sorted.indices
+        .find(i => 10L * (i + 1) >= 9L * n).get).toDouble / 100.0
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("est_p50") == est(0.5), s"$flag p50")
+      assert(r.getAs[Double]("est_p90") == est(0.9), s"$flag p90")
+      assert(r.getAs[Double]("exact_p50") == ex50)
+      assert(r.getAs[Double]("exact_p90") == ex90)
+      assert(r.getAs[Double]("abs_err_p50") >= 0.0 &&
+        r.getAs[Double]("rel_err_p90") >= 0.0)
+      assert(r.getAs[Double]("est_p50") >= sorted.head / 100.0 &&
+        r.getAs[Double]("est_p90") <= sorted.last / 100.0)
+    }
+  }
 }
