@@ -141,7 +141,7 @@ object Extended12 {
     * test needs: one keyed rollup of lineitem; everything downstream
     * runs on the value grid (q134's stance).
     */
-  private def orderSizeBuckets(s: SparkSession, d: String): DataFrame =
+  private[operators] def orderSizeBuckets(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_items"),

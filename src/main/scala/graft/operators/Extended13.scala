@@ -374,6 +374,74 @@ object Extended13 {
           (col("log_p_term") < lit(-3.6888794541139363)).as("reject_95"))
     }),
 
+    // DUNN'S POST-HOC PAIRWISE TEST — the practitioner's next
+    // question after q139's Kruskal–Wallis rejects: WHICH order-size
+    // buckets differ? All three pairwise mean-rank contrasts on the
+    // SAME pooled midranks the omnibus used (never re-rank within
+    // pairs — that is Dunn's defining property vs running three
+    // Mann–Whitneys), with the tie-corrected standard error
+    // N(N+1)/12 − Σ(t³−t)/(12(N−1)) and a Bonferroni-adjusted
+    // critical value z_{α/6} = 2.3939797998185073 (hardcoded literal,
+    // α = 0.05 over 3 comparisons). Rank sums stay exact 2×-midrank
+    // longs (the q139 carrier — one cumulative window over the
+    // distinct-value grid, no per-row ranks); each z is assembled
+    // from exact integers in an identical double sequence. Scale
+    // shape: q139's exactly — one rollup, one grid window, one
+    // 1-row aggregate fanned out to the 3 pair rows.
+    "q163_dunn_posthoc" -> ((s, d) => {
+      val wCum = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grid = Extended12.orderSizeBuckets(s, d)
+        .groupBy(col("value"))
+        .agg(sum(when(col("grp") === "narrow", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("grp") === "mid", 1L).otherwise(0L)).as("cb"),
+          sum(when(col("grp") === "wide", 1L).otherwise(0L)).as("cc"))
+        .withColumn("t", col("ca") + col("cb") + col("cc"))
+        .withColumn("below", sum(col("t")).over(wCum) - col("t"))
+        .withColumn("r2", lit(2L) * col("below") + col("t") + 1L)
+      val agg = grid.agg(
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(col("cc")).as("nc"),
+        sum(col("ca") * col("r2")).as("ra2"),
+        sum(col("cb") * col("r2")).as("rb2"),
+        sum(col("cc") * col("r2")).as("rc2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      agg
+        .withColumn("n", col("na") + col("nb") + col("nc"))
+        .select(col("n"), col("tie3"),
+          explode(array(
+            struct(lit("narrow").as("grp_i"), lit("mid").as("grp_j"),
+              col("na").as("ni"), col("nb").as("nj"),
+              col("ra2").as("r2i"), col("rb2").as("r2j")),
+            struct(lit("narrow").as("grp_i"), lit("wide").as("grp_j"),
+              col("na").as("ni"), col("nc").as("nj"),
+              col("ra2").as("r2i"), col("rc2").as("r2j")),
+            struct(lit("mid").as("grp_i"), lit("wide").as("grp_j"),
+              col("nb").as("ni"), col("nc").as("nj"),
+              col("rb2").as("r2i"), col("rc2").as("r2j")))).as("p"))
+        .select(col("n"), col("tie3"), col("p.grp_i").as("grp_i"),
+          col("p.grp_j").as("grp_j"), col("p.ni").as("n_i"),
+          col("p.nj").as("n_j"), col("p.r2i").as("r2i"),
+          col("p.r2j").as("r2j"))
+        .withColumn("mean_rank_i",
+          col("r2i").cast("double") / (lit(2.0) * col("n_i").cast("double")))
+        .withColumn("mean_rank_j",
+          col("r2j").cast("double") / (lit(2.0) * col("n_j").cast("double")))
+        .withColumn("se", sqrt(
+          (col("n").cast("double") * (col("n").cast("double") + lit(1.0)) /
+            lit(12.0) -
+            col("tie3").cast("double") /
+              (lit(12.0) * (col("n").cast("double") - lit(1.0)))) *
+            (lit(1.0) / col("n_i").cast("double") +
+              lit(1.0) / col("n_j").cast("double"))))
+        .withColumn("z",
+          (col("mean_rank_i") - col("mean_rank_j")) / col("se"))
+        .select(col("grp_i"), col("grp_j"), col("n_i"), col("n_j"),
+          col("mean_rank_i"), col("mean_rank_j"), col("z"),
+          (abs(col("z")) > lit(2.3939797998185073)).as("reject_bonf"))
+        .orderBy(col("grp_i"), col("grp_j"))
+    }),
+
     // MANN–KENDALL TREND TEST — q155's significance companion: the
     // Theil–Sen slope says how steep, Mann–Kendall says whether the
     // monotone trend is real. S = Σ sign(y_j − y_i) over week pairs
@@ -808,6 +876,62 @@ object Extended13 {
         |    AS DOUBLE) AS p_approx,
         |  log_p_term < -3.6888794541139363 AS reject_95
         |FROM lp""".stripMargin,
+
+    "q163_dunn_posthoc" ->
+      """WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |  s AS (SELECT cents // 100 AS value,
+        |    CASE WHEN n_items <= 2 THEN 'narrow'
+        |         WHEN n_items <= 5 THEN 'mid'
+        |         ELSE 'wide' END AS grp
+        |    FROM per),
+        |  ev AS (SELECT value,
+        |    CAST(SUM(CASE WHEN grp = 'narrow' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN grp = 'mid' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS cb,
+        |    CAST(SUM(CASE WHEN grp = 'wide' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS cc
+        |  FROM s GROUP BY 1),
+        |  g AS (SELECT value, ca, cb, cc, ca + cb + cc AS t FROM ev),
+        |  grid AS (SELECT ca, cb, cc, t,
+        |    COALESCE(CAST(SUM(t) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS below
+        |  FROM g),
+        |  r AS (SELECT ca, cb, cc, t, 2 * below + t + 1 AS r2 FROM grid),
+        |  agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(SUM(cc) AS BIGINT) AS nc,
+        |    CAST(SUM(ca * r2) AS BIGINT) AS ra2,
+        |    CAST(SUM(cb * r2) AS BIGINT) AS rb2,
+        |    CAST(SUM(cc * r2) AS BIGINT) AS rc2,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie3 FROM r),
+        |  nn AS (SELECT *, na + nb + nc AS n FROM agg),
+        |  pairs AS (
+        |    SELECT n, tie3, 'narrow' AS grp_i, 'mid' AS grp_j,
+        |      na AS n_i, nb AS n_j, ra2 AS r2i, rb2 AS r2j FROM nn
+        |    UNION ALL SELECT n, tie3, 'narrow', 'wide',
+        |      na, nc, ra2, rc2 FROM nn
+        |    UNION ALL SELECT n, tie3, 'mid', 'wide',
+        |      nb, nc, rb2, rc2 FROM nn),
+        |  mz AS (SELECT grp_i, grp_j, n_i, n_j,
+        |    CAST(r2i AS DOUBLE) / (2.0 * CAST(n_i AS DOUBLE))
+        |      AS mean_rank_i,
+        |    CAST(r2j AS DOUBLE) / (2.0 * CAST(n_j AS DOUBLE))
+        |      AS mean_rank_j,
+        |    sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0 -
+        |      CAST(tie3 AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+        |      * (1.0 / CAST(n_i AS DOUBLE) + 1.0 / CAST(n_j AS DOUBLE)))
+        |      AS se
+        |  FROM pairs)
+        |SELECT grp_i, grp_j, n_i, n_j, mean_rank_i, mean_rank_j,
+        |  (mean_rank_i - mean_rank_j) / se AS z,
+        |  abs((mean_rank_i - mean_rank_j) / se) > 2.3939797998185073
+        |    AS reject_bonf
+        |FROM mz ORDER BY grp_i, grp_j""".stripMargin,
 
     "t40_pps_sample" ->
       """WITH dw AS (SELECT lang, doc_id,

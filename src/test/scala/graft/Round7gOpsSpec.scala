@@ -395,4 +395,50 @@ class Round7gOpsSpec extends SparkSpec {
         s"$lang hit total must be exactly k")
     }
   }
+
+  test("q163: Dunn's pairwise z equals a driver-side pooled-midrank " +
+      "model, every pair separates on the order-size contrast at " +
+      "Bonferroni level, and mean ranks are monotone narrow < mid < " +
+      "wide") {
+    val pts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ni"),
+        sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+      .collect().map { r =>
+        val g = if (r.getLong(1) <= 2) "narrow"
+          else if (r.getLong(1) <= 5) "mid" else "wide"
+        (g, r.getLong(2) / 100)
+      }
+    val all = pts.map(_._2)
+    val n = all.length.toLong
+    // pooled 2x midranks per value
+    def r2(v: Long): Long =
+      2L * all.count(_ < v) + all.count(_ == v) + 1L
+    val groups = pts.groupBy(_._1).view
+      .mapValues(vs => (vs.length.toLong, vs.map(p => r2(p._2)).sum)).toMap
+    val tie3 = all.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * t * t - t }).sum
+    val rows = q("q163_dunn_posthoc").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (gi, gj) = (r.getAs[String]("grp_i"), r.getAs[String]("grp_j"))
+      val (niG, r2i) = groups(gi)
+      val (njG, r2j) = groups(gj)
+      val mi = r2i.toDouble / (2.0 * niG.toDouble)
+      val mj = r2j.toDouble / (2.0 * njG.toDouble)
+      val se = math.sqrt(
+        (n.toDouble * (n.toDouble + 1.0) / 12.0 -
+          tie3.toDouble / (12.0 * (n.toDouble - 1.0))) *
+          (1.0 / niG.toDouble + 1.0 / njG.toDouble))
+      assert(r.getAs[Long]("n_i") == niG && r.getAs[Long]("n_j") == njG)
+      assert(r.getAs[Double]("mean_rank_i") == mi, s"$gi mean rank")
+      assert(r.getAs[Double]("mean_rank_j") == mj)
+      assert(r.getAs[Double]("z") == (mi - mj) / se, s"$gi/$gj z")
+      assert(r.getAs[Boolean]("reject_bonf"),
+        s"$gi vs $gj must separate on the order-size contrast")
+    }
+    val means = groups.view.mapValues { case (ng, rr) =>
+      rr.toDouble / (2.0 * ng.toDouble) }.toMap
+    assert(means("narrow") < means("mid") && means("mid") < means("wide"))
+  }
 }
