@@ -374,6 +374,78 @@ object Extended13 {
           (col("log_p_term") < lit(-3.6888794541139363)).as("reject_95"))
     }),
 
+    // POISSON BOOTSTRAP — the bootstrap that actually runs at 100 TB:
+    // instead of materializing B resampled copies of the corpus, each
+    // row contributes an independent Poisson(1) weight to each of
+    // B=32 replicates in ONE pass (the classic big-data bootstrap
+    // approximation: Binomial(n, 1/n) → Poisson(1) as n grows). The
+    // weights are DETERMINISTIC — the portable 60-bit md5 hash of
+    // (orderkey, replicate) inverted through hardcoded Poisson(1) CDF
+    // literals (tail truncated at 9, mass < 1.2e-6) — so the entire
+    // procedure, CI included, is oracle-checked; an RNG bootstrap
+    // could never be. Replicate means are exact-long weighted sums
+    // with one division; the 90% CI is the q73 grid rule over the 32
+    // replicate means; boot_rmse is the decimal-summed RMS deviation
+    // around the exact full-sample mean (documented choice: the
+    // spread that matters for "how far could my point estimate be
+    // off"). Scale shape: the ×32 fan-out happens on the per-order
+    // ROLLUP (never the fact table) and collapses immediately via
+    // map-side partial aggregation — the shuffle carries 32 partial
+    // rows per task; the exact-mean branch is a second 2-column
+    // pruned pass (the d22 method-comparison bucket).
+    "q164_poisson_bootstrap" -> ((s, d) => {
+      val b = 32
+      val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+        0.9994058151824183, 0.999916758850712, 0.9999897508033253,
+        0.999998874797402)
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+        .select(col("l_orderkey"), expr("rev div 100").as("v"))
+      val u = conv(substring(md5(encode(concat(
+        col("l_orderkey").cast("string"), lit(":"),
+        col("b").cast("string")), "UTF-8")), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
+      val w = cdf.zipWithIndex.reverse.foldLeft(lit(9L)) {
+        case (acc, (c, k)) =>
+          when(col("u") < lit(c), lit(k.toLong)).otherwise(acc)
+      }
+      val reps = per
+        .select(col("l_orderkey"), col("v"),
+          explode(sequence(lit(1), lit(b))).as("b"))
+        .withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("swv"))
+        .withColumn("mean_b",
+          col("swv").cast("double") / col("n_eff").cast("double"))
+      val exact = per.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .withColumn("mean_exact",
+          col("sv").cast("double") / col("n").cast("double"))
+      val wOrd = Window.partitionBy(lit(1)).orderBy(col("mean_b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      reps.crossJoin(broadcast(exact))
+        .withColumn("cum", count(lit(1)).over(wOrd))
+        .withColumn("ci_lo",
+          min(when(lit(20L) * col("cum") >= lit(b.toLong), col("mean_b")))
+            .over(wAll))
+        .withColumn("ci_hi",
+          min(when(lit(20L) * col("cum") >= lit(19L * b), col("mean_b")))
+            .over(wAll))
+        .withColumn("sq_dev",
+          (col("mean_b") - col("mean_exact")) *
+            (col("mean_b") - col("mean_exact")))
+        .groupBy(col("n"), col("mean_exact"), col("ci_lo"), col("ci_hi"))
+        .agg(count(lit(1)).as("b_reps"),
+          sqrt(sum(col("sq_dev").cast(DecimalType(38, 15))).cast("double")
+            / lit(b.toDouble)).as("boot_rmse"))
+        .select(col("n"), col("mean_exact"), col("b_reps"),
+          col("ci_lo").as("ci_lo_90"), col("ci_hi").as("ci_hi_90"),
+          col("boot_rmse"))
+    }),
+
     // DUNN'S POST-HOC PAIRWISE TEST — the practitioner's next
     // question after q139's Kruskal–Wallis rejects: WHICH order-size
     // buckets differ? All three pairwise mean-rank contrasts on the
@@ -876,6 +948,60 @@ object Extended13 {
         |    AS DOUBLE) AS p_approx,
         |  log_p_term < -3.6888794541139363 AS reject_95
         |FROM lp""".stripMargin,
+
+    "q164_poisson_bootstrap" ->
+      """WITH per AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS v
+        |  FROM lineitem GROUP BY 1),
+        |  reps AS (SELECT p.l_orderkey, p.v, bb.b
+        |  FROM per p CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 32)) AS b) bb),
+        |  hu AS (SELECT v, b,
+        |    CAST(list_reduce(list_transform(generate_series(1, 15),
+        |      i -> strpos('0123456789abcdef',
+        |        substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |          CAST(b AS VARCHAR)), i, 1)) - 1),
+        |      (a, x) -> a * 16 + x) AS BIGINT)
+        |      / 1152921504606846976.0 AS u
+        |  FROM reps),
+        |  ww AS (SELECT b, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |      WHEN u < 0.7357588823428847 THEN 1
+        |      WHEN u < 0.9196986029286058 THEN 2
+        |      WHEN u < 0.9810118431238463 THEN 3
+        |      WHEN u < 0.9963401531726563 THEN 4
+        |      WHEN u < 0.9994058151824183 THEN 5
+        |      WHEN u < 0.999916758850712 THEN 6
+        |      WHEN u < 0.9999897508033253 THEN 7
+        |      WHEN u < 0.999998874797402 THEN 8
+        |      ELSE 9 END AS w
+        |  FROM hu),
+        |  rm AS (SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |    CAST(SUM(w * v) AS BIGINT) AS swv
+        |  FROM ww GROUP BY 1),
+        |  mb AS (SELECT b,
+        |    CAST(swv AS DOUBLE) / CAST(n_eff AS DOUBLE) AS mean_b
+        |  FROM rm),
+        |  ex AS (SELECT CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sv FROM per),
+        |  ex2 AS (SELECT n,
+        |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_exact FROM ex),
+        |  cm AS (SELECT mean_b,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY mean_b) AS BIGINT) AS cum
+        |  FROM mb),
+        |  ci AS (SELECT
+        |    MIN(CASE WHEN 20 * cum >= 32 THEN mean_b END) AS ci_lo_90,
+        |    MIN(CASE WHEN 20 * cum >= 608 THEN mean_b END) AS ci_hi_90
+        |  FROM cm),
+        |  sq AS (SELECT CAST(SUM(CAST(
+        |      (m.mean_b - e.mean_exact) * (m.mean_b - e.mean_exact)
+        |      AS DECIMAL(38,15))) AS DOUBLE) AS ssq,
+        |    CAST(COUNT(1) AS BIGINT) AS b_reps
+        |  FROM mb m CROSS JOIN ex2 e)
+        |SELECT e.n, e.mean_exact, s.b_reps, c.ci_lo_90, c.ci_hi_90,
+        |  sqrt(s.ssq / 32.0) AS boot_rmse
+        |FROM ex2 e CROSS JOIN ci c CROSS JOIN sq s""".stripMargin,
 
     "q163_dunn_posthoc" ->
       """WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items,

@@ -441,4 +441,59 @@ class Round7gOpsSpec extends SparkSpec {
       rr.toDouble / (2.0 * ng.toDouble) }.toMap
     assert(means("narrow") < means("mid") && means("mid") < means("wide"))
   }
+
+  test("q164: the Poisson bootstrap equals a driver-side replay of the " +
+      "hash-derived weights, the exact mean falls inside the 90% CI, " +
+      "and boot_rmse agrees with the analytic standard error sd/sqrt(n) " +
+      "to within replicate noise") {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+      .select(col("l_orderkey"), expr("rev div 100"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cdf = Array(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+      0.9994058151824183, 0.999916758850712, 0.9999897508033253,
+      0.999998874797402)
+    def md5h(s: String): Long =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+        .foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+    val meansB = (1 to 32).map { b =>
+      var (nEff, swv) = (0L, 0L)
+      per.foreach { case (id, v) =>
+        val u = md5h(s"$id:$b").toDouble / 1152921504606846976.0
+        val w = cdf.indexWhere(u < _) match {
+          case -1 => 9L; case k => k.toLong
+        }
+        nEff += w; swv += w * v
+      }
+      swv.toDouble / nEff.toDouble
+    }.sorted
+    val n = per.length.toLong
+    val meanExact = per.map(_._2).sum.toDouble / n.toDouble
+    def gq(mult: Long, target: Long): Double =
+      meansB(meansB.indices.find(i => 20L * (i + 1) >= target).get)
+    val r = q("q164_poisson_bootstrap").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n") == n)
+    assert(r.head.getAs[Double]("mean_exact") == meanExact)
+    assert(r.head.getAs[Long]("b_reps") == 32L)
+    assert(r.head.getAs[Double]("ci_lo_90") == gq(20, 32))
+    assert(r.head.getAs[Double]("ci_hi_90") == gq(20, 608))
+    val rmse = math.sqrt(
+      meansB.map(m => (m - meanExact) * (m - meanExact)).sum / 32.0)
+    assert(math.abs(r.head.getAs[Double]("boot_rmse") - rmse) < 1e-6)
+    // statistical sanity: point estimate inside its own CI, and the
+    // bootstrap spread agrees with the analytic SE sd/sqrt(n)
+    assert(r.head.getAs[Double]("ci_lo_90") <= meanExact &&
+      meanExact <= r.head.getAs[Double]("ci_hi_90"))
+    val varExact = per.map(_._2.toDouble).map(v =>
+      (v - meanExact) * (v - meanExact)).sum / (n.toDouble - 1.0)
+    val seAnalytic = math.sqrt(varExact / n.toDouble)
+    val ratio = r.head.getAs[Double]("boot_rmse") / seAnalytic
+    assert(ratio > 0.6 && ratio < 1.6,
+      s"boot_rmse/analytic_se = $ratio — bootstrap calibration broken")
+  }
 }
