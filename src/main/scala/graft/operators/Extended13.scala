@@ -374,6 +374,72 @@ object Extended13 {
           (col("log_p_term") < lit(-3.6888794541139363)).as("reject_95"))
     }),
 
+    // BROWN–FORSYTHE VARIANCE-EQUALITY TEST — the assumption check a
+    // practitioner runs BEFORE trusting q140's ANOVA: are the
+    // order-size buckets' variances even comparable? Levene's test in
+    // its robust Brown–Forsythe form — q140's exact one-way F
+    // assembly applied to z = |value − median_g| (group medians by
+    // the q73 grid rule, so each z is an exact long), same 2.9957
+    // critical (F(2, ∞) at 95%; df2 ≈ 14k). Rejection here is WHY the
+    // k-sample family leans on the rank tests (q139/q163): revenue
+    // spread grows with basket size, so the classic ANOVA's equal-
+    // variance premise fails — measured, not assumed. Scale shape:
+    // q139's exactly — one rollup to the per-group value grid, keyed
+    // windows for the medians, one grouped pass of exact moments,
+    // 1 row out.
+    "q165_brown_forsythe" -> ((s, d) => {
+      val wCum = Window.partitionBy(col("grp")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("grp"))
+      val dev = Extended12.orderSizeBuckets(s, d)
+        .groupBy(col("grp"), col("value"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("ng", sum(col("c")).over(wTot))
+        .withColumn("med",
+          min(when(lit(2L) * col("cum") >= col("ng"), col("value")))
+            .over(wTot))
+        .select(col("grp"), abs(col("value") - col("med")).as("z"),
+          col("c"), col("med"))
+      val g = dev.groupBy(col("grp"))
+        .agg(sum(col("c")).as("n_g"),
+          sum(col("z") * col("c")).as("sx"),
+          sum(col("z") * col("z") * col("c")).as("sxx"),
+          max(col("med")).as("med_g"))
+      g.agg(
+          sum(col("n_g")).as("n"),
+          sum(col("sx")).as("sx_all"),
+          sum(col("sxx")).as("sxx_all"),
+          sum(when(col("grp") === "narrow", col("n_g"))).as("na"),
+          sum(when(col("grp") === "mid", col("n_g"))).as("nb"),
+          sum(when(col("grp") === "wide", col("n_g"))).as("nc"),
+          sum(when(col("grp") === "narrow", col("sx"))).as("sa"),
+          sum(when(col("grp") === "mid", col("sx"))).as("sb"),
+          sum(when(col("grp") === "wide", col("sx"))).as("sc"),
+          sum(when(col("grp") === "narrow", col("med_g"))).as("med_a"),
+          sum(when(col("grp") === "mid", col("med_g"))).as("med_b"),
+          sum(when(col("grp") === "wide", col("med_g"))).as("med_c"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("gsum",
+          col("sa").cast("double") * col("sa").cast("double") /
+            col("na").cast("double") +
+          col("sb").cast("double") * col("sb").cast("double") /
+            col("nb").cast("double") +
+          col("sc").cast("double") * col("sc").cast("double") /
+            col("nc").cast("double"))
+        .withColumn("ssb",
+          col("gsum") - col("sx_all").cast("double") *
+            col("sx_all").cast("double") / col("nd"))
+        .withColumn("ssw", col("sxx_all").cast("double") - col("gsum"))
+        .withColumn("f_stat",
+          col("ssb") / lit(2.0) /
+            (col("ssw") / (col("nd") - lit(3.0))))
+        .select(col("na"), col("nb"), col("nc"), col("n"),
+          col("med_a"), col("med_b"), col("med_c"),
+          col("ssb"), col("ssw"), col("f_stat"),
+          (col("f_stat") > 2.9957).as("reject_95"))
+    }),
+
     // POISSON BOOTSTRAP — the bootstrap that actually runs at 100 TB:
     // instead of materializing B resampled copies of the corpus, each
     // row contributes an independent Poisson(1) weight to each of
@@ -948,6 +1014,68 @@ object Extended13 {
         |    AS DOUBLE) AS p_approx,
         |  log_p_term < -3.6888794541139363 AS reject_95
         |FROM lp""".stripMargin,
+
+    "q165_brown_forsythe" ->
+      """WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |  s AS (SELECT cents // 100 AS value,
+        |    CASE WHEN n_items <= 2 THEN 'narrow'
+        |         WHEN n_items <= 5 THEN 'mid'
+        |         ELSE 'wide' END AS grp
+        |    FROM per),
+        |  grid AS (SELECT grp, value, CAST(COUNT(1) AS BIGINT) AS c
+        |    FROM s GROUP BY 1, 2),
+        |  wm AS (SELECT grp, value, c,
+        |    CAST(SUM(c) OVER (PARTITION BY grp ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS ng
+        |  FROM grid),
+        |  md AS (SELECT grp, value, c,
+        |    MIN(CASE WHEN 2 * cum >= ng THEN value END)
+        |      OVER (PARTITION BY grp) AS med
+        |  FROM wm),
+        |  dv AS (SELECT grp, abs(value - med) AS z, c, med FROM md),
+        |  g AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g,
+        |    CAST(SUM(z * c) AS BIGINT) AS sx,
+        |    CAST(SUM(z * z * c) AS BIGINT) AS sxx,
+        |    MAX(med) AS med_g
+        |  FROM dv GROUP BY 1),
+        |  agg AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(sx) AS BIGINT) AS sx_all,
+        |    CAST(SUM(sxx) AS BIGINT) AS sxx_all,
+        |    CAST(SUM(CASE WHEN grp = 'narrow' THEN n_g END) AS BIGINT)
+        |      AS na,
+        |    CAST(SUM(CASE WHEN grp = 'mid' THEN n_g END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN grp = 'wide' THEN n_g END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN grp = 'narrow' THEN sx END) AS BIGINT)
+        |      AS sa,
+        |    CAST(SUM(CASE WHEN grp = 'mid' THEN sx END) AS BIGINT) AS sb,
+        |    CAST(SUM(CASE WHEN grp = 'wide' THEN sx END) AS BIGINT) AS sc,
+        |    CAST(SUM(CASE WHEN grp = 'narrow' THEN med_g END) AS BIGINT)
+        |      AS med_a,
+        |    CAST(SUM(CASE WHEN grp = 'mid' THEN med_g END) AS BIGINT)
+        |      AS med_b,
+        |    CAST(SUM(CASE WHEN grp = 'wide' THEN med_g END) AS BIGINT)
+        |      AS med_c
+        |  FROM g),
+        |  st AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) +
+        |    CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) +
+        |    CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)
+        |      AS gsum
+        |  FROM agg),
+        |  fin AS (SELECT na, nb, nc, n, med_a, med_b, med_c,
+        |    gsum - CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE) / nd
+        |      AS ssb,
+        |    CAST(sxx_all AS DOUBLE) - gsum AS ssw, nd
+        |  FROM st)
+        |SELECT na, nb, nc, n, med_a, med_b, med_c, ssb, ssw,
+        |  ssb / 2.0 / (ssw / (nd - 3.0)) AS f_stat,
+        |  ssb / 2.0 / (ssw / (nd - 3.0)) > 2.9957 AS reject_95
+        |FROM fin""".stripMargin,
 
     "q164_poisson_bootstrap" ->
       """WITH per AS (SELECT l_orderkey,

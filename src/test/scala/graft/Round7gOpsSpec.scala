@@ -496,4 +496,47 @@ class Round7gOpsSpec extends SparkSpec {
     assert(ratio > 0.6 && ratio < 1.6,
       s"boot_rmse/analytic_se = $ratio — bootstrap calibration broken")
   }
+
+  test("q165: Brown-Forsythe F equals a driver-side model on exact " +
+      "|value - group median| deviations, and REJECTS variance " +
+      "equality across order-size buckets — the measured reason the " +
+      "k-sample family leans on rank tests") {
+    val pts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ni"),
+        sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+      .collect().map { r =>
+        val g = if (r.getLong(1) <= 2) "narrow"
+          else if (r.getLong(1) <= 5) "mid" else "wide"
+        (g, r.getLong(2) / 100)
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val meds = pts.view.mapValues(gridMedian).toMap
+    val devs = pts.map { case (g, vs) =>
+      g -> vs.map(v => math.abs(v - meds(g)))
+    }
+    val moments = devs.map { case (g, zs) =>
+      g -> (zs.length.toLong, zs.sum, zs.map(z => z * z).sum)
+    }
+    val n = moments.values.map(_._1).sum
+    val gsum = Seq("narrow", "mid", "wide").map { g =>
+      val (ng, sx, _) = moments(g)
+      sx.toDouble * sx.toDouble / ng.toDouble
+    }.sum
+    val sxAll = moments.values.map(_._2).sum
+    val sxxAll = moments.values.map(_._3).sum
+    val ssb = gsum - sxAll.toDouble * sxAll.toDouble / n.toDouble
+    val ssw = sxxAll.toDouble - gsum
+    val f = ssb / 2.0 / (ssw / (n.toDouble - 3.0))
+    val r = q("q165_brown_forsythe").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n") == n)
+    assert(r.head.getAs[Long]("med_a") == meds("narrow"))
+    assert(r.head.getAs[Long]("med_b") == meds("mid"))
+    assert(r.head.getAs[Long]("med_c") == meds("wide"))
+    assert(r.head.getAs[Double]("ssb") == ssb)
+    assert(r.head.getAs[Double]("ssw") == ssw)
+    assert(r.head.getAs[Double]("f_stat") == f)
+    assert(r.head.getAs[Boolean]("reject_95"),
+      "revenue spread grows with basket size — BF must reject here")
+  }
 }
