@@ -440,6 +440,72 @@ object Extended13 {
           (col("f_stat") > 2.9957).as("reject_95"))
     }),
 
+    // WELCH'S ANOVA — the omnibus you run BECAUSE q165 rejected:
+    // heteroscedasticity-robust k-sample location test, weighting
+    // each group by n_g/s²_g instead of assuming one pooled variance.
+    // F* = Σw_g(x̄_g − x̄_w)²/(k−1) over 1 + 2(k−2)/(k²−1)·Λ, with the
+    // Welch–Satterthwaite df2 = (k²−1)/(3Λ) reported alongside. Every
+    // group moment (n, Σx, Σx²) is an exact long; the weights, means
+    // and Λ assemble in an identical double sequence; the critical is
+    // the df2→∞ value 2.9957 (declared semantics: slightly
+    // over-rejects for small df2 — F(2,100) is 3.09 — immaterial
+    // whenever df2 ≫ 100 and F is far from the band, both true at
+    // every SF here: df2 ≈ 700–7000, F in the thousands). Completes the q140/q165 story: classic
+    // ANOVA assumes equal variances, Brown–Forsythe measures that
+    // they are not, Welch answers the location question anyway — and
+    // agrees with q139's rank test. Scale shape: q140's exactly — one
+    // rollup, one grouped pass of exact moments, 1 row out.
+    "q166_welch_anova" -> ((s, d) => {
+      val g = Extended12.orderSizeBuckets(s, d).groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_g"), sum(col("value")).as("sx"),
+          sum(col("value") * col("value")).as("sxx"))
+        .withColumn("nd", col("n_g").cast("double"))
+        .withColumn("mean_g", col("sx").cast("double") / col("nd"))
+        // sample variance from exact moments: (Σx² − (Σx)²/n)/(n−1)
+        .withColumn("var_g",
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") /
+              col("nd")) / (col("nd") - lit(1.0)))
+        .withColumn("w_g", col("nd") / col("var_g"))
+      val agg = g.agg(
+        sum(col("n_g")).as("n"),
+        sum(when(col("grp") === "narrow", col("n_g"))).as("na"),
+        sum(when(col("grp") === "mid", col("n_g"))).as("nb"),
+        sum(when(col("grp") === "wide", col("n_g"))).as("nc"),
+        sum(when(col("grp") === "narrow", col("w_g"))).as("wa"),
+        sum(when(col("grp") === "mid", col("w_g"))).as("wb"),
+        sum(when(col("grp") === "wide", col("w_g"))).as("wc"),
+        sum(when(col("grp") === "narrow", col("mean_g"))).as("ma"),
+        sum(when(col("grp") === "mid", col("mean_g"))).as("mb"),
+        sum(when(col("grp") === "wide", col("mean_g"))).as("mc"),
+        sum(when(col("grp") === "narrow", col("nd"))).as("nda"),
+        sum(when(col("grp") === "mid", col("nd"))).as("ndb"),
+        sum(when(col("grp") === "wide", col("nd"))).as("ndc"))
+      agg
+        .withColumn("wsum", col("wa") + col("wb") + col("wc"))
+        .withColumn("xw",
+          (col("wa") * col("ma") + col("wb") * col("mb") +
+            col("wc") * col("mc")) / col("wsum"))
+        .withColumn("num",
+          (col("wa") * (col("ma") - col("xw")) * (col("ma") - col("xw")) +
+            col("wb") * (col("mb") - col("xw")) * (col("mb") - col("xw")) +
+            col("wc") * (col("mc") - col("xw")) * (col("mc") - col("xw")))
+            / lit(2.0))
+      .withColumn("lam",
+          ((lit(1.0) - col("wa") / col("wsum")) *
+            (lit(1.0) - col("wa") / col("wsum")) / (col("nda") - lit(1.0)) +
+           (lit(1.0) - col("wb") / col("wsum")) *
+            (lit(1.0) - col("wb") / col("wsum")) / (col("ndb") - lit(1.0)) +
+           (lit(1.0) - col("wc") / col("wsum")) *
+            (lit(1.0) - col("wc") / col("wsum")) / (col("ndc") - lit(1.0))))
+        .withColumn("f_welch",
+          col("num") / (lit(1.0) + lit(0.25) * col("lam")))
+        .withColumn("df2", lit(8.0) / (lit(3.0) * col("lam")))
+        .select(col("na"), col("nb"), col("nc"), col("n"),
+          col("f_welch"), col("df2"),
+          (col("f_welch") > lit(2.9957)).as("reject_95"))
+    }),
+
     // POISSON BOOTSTRAP — the bootstrap that actually runs at 100 TB:
     // instead of materializing B resampled copies of the corpus, each
     // row contributes an independent Poisson(1) weight to each of
@@ -1014,6 +1080,60 @@ object Extended13 {
         |    AS DOUBLE) AS p_approx,
         |  log_p_term < -3.6888794541139363 AS reject_95
         |FROM lp""".stripMargin,
+
+    "q166_welch_anova" ->
+      """WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |  s AS (SELECT cents // 100 AS value,
+        |    CASE WHEN n_items <= 2 THEN 'narrow'
+        |         WHEN n_items <= 5 THEN 'mid'
+        |         ELSE 'wide' END AS grp
+        |    FROM per),
+        |  g0 AS (SELECT grp, CAST(COUNT(1) AS BIGINT) AS n_g,
+        |    CAST(SUM(value) AS BIGINT) AS sx,
+        |    CAST(SUM(value * value) AS BIGINT) AS sxx
+        |  FROM s GROUP BY 1),
+        |  g AS (SELECT grp, n_g, CAST(n_g AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / CAST(n_g AS DOUBLE) AS mean_g,
+        |    (CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+        |        CAST(n_g AS DOUBLE)) / (CAST(n_g AS DOUBLE) - 1.0)
+        |      AS var_g
+        |  FROM g0),
+        |  g2 AS (SELECT grp, n_g, nd, mean_g, nd / var_g AS w_g FROM g),
+        |  agg AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN grp = 'narrow' THEN n_g END) AS BIGINT)
+        |      AS na,
+        |    CAST(SUM(CASE WHEN grp = 'mid' THEN n_g END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN grp = 'wide' THEN n_g END) AS BIGINT)
+        |      AS nc,
+        |    SUM(CASE WHEN grp = 'narrow' THEN w_g END) AS wa,
+        |    SUM(CASE WHEN grp = 'mid' THEN w_g END) AS wb,
+        |    SUM(CASE WHEN grp = 'wide' THEN w_g END) AS wc,
+        |    SUM(CASE WHEN grp = 'narrow' THEN mean_g END) AS ma,
+        |    SUM(CASE WHEN grp = 'mid' THEN mean_g END) AS mb,
+        |    SUM(CASE WHEN grp = 'wide' THEN mean_g END) AS mc,
+        |    SUM(CASE WHEN grp = 'narrow' THEN nd END) AS nda,
+        |    SUM(CASE WHEN grp = 'mid' THEN nd END) AS ndb,
+        |    SUM(CASE WHEN grp = 'wide' THEN nd END) AS ndc
+        |  FROM g2),
+        |  w1 AS (SELECT *, wa + wb + wc AS wsum FROM agg),
+        |  w2 AS (SELECT *,
+        |    (wa * ma + wb * mb + wc * mc) / wsum AS xw FROM w1),
+        |  w3 AS (SELECT *,
+        |    (wa * (ma - xw) * (ma - xw) + wb * (mb - xw) * (mb - xw) +
+        |     wc * (mc - xw) * (mc - xw)) / 2.0 AS num,
+        |    ((1.0 - wa / wsum) * (1.0 - wa / wsum) / (nda - 1.0) +
+        |     (1.0 - wb / wsum) * (1.0 - wb / wsum) / (ndb - 1.0) +
+        |     (1.0 - wc / wsum) * (1.0 - wc / wsum) / (ndc - 1.0)) AS lam
+        |  FROM w2)
+        |SELECT na, nb, nc, n,
+        |  num / (1.0 + 0.25 * lam) AS f_welch,
+        |  8.0 / (3.0 * lam) AS df2,
+        |  num / (1.0 + 0.25 * lam) > 2.9957 AS reject_95
+        |FROM w3""".stripMargin,
 
     "q165_brown_forsythe" ->
       """WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items,

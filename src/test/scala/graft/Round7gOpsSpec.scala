@@ -539,4 +539,48 @@ class Round7gOpsSpec extends SparkSpec {
     assert(r.head.getAs[Boolean]("reject_95"),
       "revenue spread grows with basket size — BF must reject here")
   }
+
+  test("q166: Welch's F and Satterthwaite df2 equal a driver-side " +
+      "model from exact moments, df2 is large enough for the df2->inf " +
+      "critical, and the robust omnibus agrees with the rank test's " +
+      "rejection") {
+    val pts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ni"),
+        sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+      .collect().map { r =>
+        val g = if (r.getLong(1) <= 2) "narrow"
+          else if (r.getLong(1) <= 5) "mid" else "wide"
+        (g, r.getLong(2) / 100)
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val gs = Seq("narrow", "mid", "wide").map { g =>
+      val vs = pts(g)
+      val (n, sx, sxx) =
+        (vs.length.toLong, vs.sum, vs.map(v => v * v).sum)
+      val nd = n.toDouble
+      val mean = sx.toDouble / nd
+      val vr = (sxx.toDouble - sx.toDouble * sx.toDouble / nd) / (nd - 1.0)
+      (nd, mean, nd / vr)
+    }
+    val wsum = gs.map(_._3).sum
+    val xw = gs.map(g => g._3 * g._2).sum / wsum
+    val num = gs.map(g => g._3 * (g._2 - xw) * (g._2 - xw)).sum / 2.0
+    val lam = gs.map(g =>
+      (1.0 - g._3 / wsum) * (1.0 - g._3 / wsum) / (g._1 - 1.0)).sum
+    val f = num / (1.0 + 0.25 * lam)
+    val df2 = 8.0 / (3.0 * lam)
+    val r = q("q166_welch_anova").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n") == pts.values.map(_.length).sum.toLong)
+    assert(r.head.getAs[Double]("f_welch") == f)
+    assert(r.head.getAs[Double]("df2") == df2)
+    // F(2, 100) crit = 3.09 vs the hardcoded 2.9957 — the df2->inf
+    // approximation is sound whenever df2 >> 100 AND F is far from
+    // the critical band, both true at every SF (df2 697 at sf0.001,
+    // ~7000 at sf0.01; F in the thousands)
+    assert(df2 > 100.0 && f > 3.1,
+      s"df2 $df2, F $f — the 2.9957 critical approximation band")
+    assert(r.head.getAs[Boolean]("reject_95"),
+      "the location shift is real under heteroscedasticity too")
+  }
 }
