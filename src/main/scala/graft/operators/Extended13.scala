@@ -114,22 +114,23 @@ object Extended13 {
           .agg(expr(
             "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
             .as("y")))
-      val slopes = wk.as("a").join(wk.as("b"),
+      // positional selection instead of a value-grid: slopes are
+      // mostly unique doubles, so a (nation, slope) grid would not
+      // compress — one nation-keyed sort + row_number picks the same
+      // grid-rule median (smallest slope at position ⌈np/2⌉) with one
+      // exchange instead of groupBy-then-window's two
+      val wPos = Window.partitionBy(col("nation")).orderBy(col("slope"))
+      val wTot = Window.partitionBy(col("nation"))
+      val ts = wk.as("a").join(wk.as("b"),
           col("a.nation") === col("b.nation") && col("a.w") < col("b.w"))
         .select(col("a.nation").as("nation"),
           ((col("b.y") - col("a.y")).cast("double") /
             (col("b.w") - col("a.w")).cast("double")).as("slope"))
-        .groupBy(col("nation"), col("slope"))
-        .agg(count(lit(1)).as("c"))
-      val wCum = Window.partitionBy(col("nation")).orderBy(col("slope"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wTot = Window.partitionBy(col("nation"))
-      val ts = slopes
-        .withColumn("cum", sum(col("c")).over(wCum))
-        .withColumn("np", sum(col("c")).over(wTot))
+        .withColumn("rn", row_number().over(wPos))
+        .withColumn("np", count(lit(1)).over(wTot))
         .groupBy(col("nation"))
         .agg(max(col("np")).as("n_pairs"),
-          min(when(lit(2L) * col("cum") >= col("np"), col("slope")))
+          min(when(lit(2L) * col("rn") >= col("np"), col("slope")))
             .as("ts_slope"))
       val weeks = wk.groupBy(col("nation"))
         .agg(count(lit(1)).as("n_weeks"))
@@ -905,16 +906,13 @@ object Extended13 {
         |  sl AS (SELECT a.nation,
         |    CAST(b.y - a.y AS DOUBLE) / CAST(b.w - a.w AS DOUBLE) AS slope
         |  FROM wk a JOIN wk b ON a.nation = b.nation AND a.w < b.w),
-        |  sg AS (SELECT nation, slope, CAST(COUNT(1) AS BIGINT) AS c
-        |    FROM sl GROUP BY 1, 2),
-        |  sm AS (SELECT nation, slope, c,
-        |    CAST(SUM(c) OVER (PARTITION BY nation ORDER BY slope
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS cum,
-        |    CAST(SUM(c) OVER (PARTITION BY nation) AS BIGINT) AS np
-        |  FROM sg),
+        |  sm AS (SELECT nation, slope,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY slope)
+        |      AS BIGINT) AS rn,
+        |    CAST(COUNT(1) OVER (PARTITION BY nation) AS BIGINT) AS np
+        |  FROM sl),
         |  ts AS (SELECT nation, MAX(np) AS n_pairs,
-        |    MIN(CASE WHEN 2 * cum >= np THEN slope END) AS ts_slope
+        |    MIN(CASE WHEN 2 * rn >= np THEN slope END) AS ts_slope
         |  FROM sm GROUP BY 1),
         |  wc AS (SELECT nation, CAST(COUNT(1) AS BIGINT) AS n_weeks
         |    FROM wk GROUP BY 1)
