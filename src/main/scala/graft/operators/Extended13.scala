@@ -702,6 +702,91 @@ object Extended13 {
         .orderBy(col("nation"))
     }),
 
+    // BENJAMINI–HOCHBERG FDR — the multiple-comparisons control the
+    // 25-nation test batteries need: q162 runs 25 Mann–Kendall tests
+    // at 5%, so ~1.25 nations "reject" by pure chance (exactly 1 does,
+    // at both gate SFs). BH at FDR 10% ranks the two-sided p-values
+    // and keeps only ranks ≤ max{k : p_(k) ≤ k·q/m} — on this
+    // stationary corpus that correctly suppresses the chance
+    // rejection to ZERO discoveries (spec-pinned), which is the whole
+    // point of the instrument. p-values come from |z| via the
+    // Zelen–Severo normal-CDF polynomial (hardcoded literals, an
+    // identical double sequence both engines — no erf dependency;
+    // |err| < 7.5e-8, far below any BH threshold gap), then round
+    // through DECIMAL(18,12) — the q159 stance — so a last-ulp libm
+    // exp() divergence can neither break the hash nor flip a
+    // decision (decisions compare the ROUNDED p). Scale shape: the
+    // q162 pipeline verbatim, then three windows over the 25-row
+    // test battery.
+    "q167_bh_fdr" -> ((s, d) => {
+      val wk = Materialize.LocalCheckpoint(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
+              " div 7").as("w"))
+          .agg(expr(
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
+            .as("y")))
+      val sAgg = wk.as("a").join(wk.as("b"),
+          col("a.nation") === col("b.nation") && col("a.w") < col("b.w"))
+        .select(col("a.nation").as("nation"),
+          signum(col("b.y") - col("a.y")).cast("long").as("sgn"))
+        .groupBy(col("nation"))
+        .agg(sum(col("sgn")).as("s_stat"))
+      val ties = wk.groupBy(col("nation"), col("y"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("nation"))
+        .agg(sum(col("c")).as("n_weeks"),
+          sum(col("c") * (col("c") - 1L) * (lit(2L) * col("c") + 5L))
+            .as("tie_term"))
+      val z = sAgg.join(ties, "nation")
+        .withColumn("var_s",
+          (col("n_weeks") * (col("n_weeks") - 1L) *
+            (lit(2L) * col("n_weeks") + 5L) - col("tie_term"))
+            .cast("double") / lit(18.0))
+        .withColumn("z",
+          when(col("s_stat") > 0L,
+            (col("s_stat") - 1L).cast("double") / sqrt(col("var_s")))
+            .when(col("s_stat") < 0L,
+              (col("s_stat") + 1L).cast("double") / sqrt(col("var_s")))
+            .otherwise(lit(0.0)))
+      // Zelen–Severo 26.2.17: 1 − Φ(x) ≈ φ(x)·(b1 t + … + b5 t⁵),
+      // t = 1/(1 + 0.2316419 x), x = |z| — identical sequence both
+      // engines; p two-sided = 2·(1 − Φ(|z|)), rounded to 12 dp
+      val withP = z
+        .withColumn("x", abs(col("z")))
+        .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("x")))
+        .withColumn("phi",
+          lit(0.3989422804014327) * exp(lit(-0.5) * col("x") * col("x")))
+        .withColumn("poly",
+          ((((lit(1.330274429) * col("t") - lit(1.821255978)) * col("t") +
+            lit(1.781477937)) * col("t") - lit(0.356563782)) * col("t") +
+            lit(0.319381530)) * col("t"))
+        .withColumn("p",
+          least(lit(1.0), lit(2.0) * col("phi") * col("poly"))
+            .cast(DecimalType(18, 12)).cast("double"))
+      val wRank = Window.orderBy(col("p"), col("nation"))
+      val wAll = Window.partitionBy(lit(1))
+      withP
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("bh_threshold",
+          col("rank").cast("double") * lit(0.10) / col("m").cast("double"))
+        .withColumn("max_k",
+          max(when(col("p") <= col("bh_threshold"), col("rank")))
+            .over(wAll))
+        .select(col("nation"), col("z"), col("p"), col("rank"),
+          col("bh_threshold"),
+          coalesce(col("rank") <= col("max_k"), lit(false))
+            .as("reject_fdr10"),
+          (col("p") <= lit(0.05)).as("naive_reject_95"))
+        .orderBy(col("rank"))
+    }),
+
     // QUANTILE-SKETCH ERROR PROFILE — the e07 stance ("the index is
     // measured, not just built") applied to q52's KMV quantile
     // sketch: per return flag, the 128-sample sketch's p50/p90
@@ -1358,6 +1443,65 @@ object Extended13 {
         |      THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
         |    ELSE 0.0 END) > 1.96 AS reject_95
         |FROM vv ORDER BY nation""".stripMargin,
+
+    "q167_bh_fdr" ->
+      """WITH wk AS (SELECT n.n_name AS nation,
+        |    datediff('day', DATE '1992-01-01', o.o_orderdate) // 7 AS w,
+        |    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS y
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |  sa AS (SELECT a.nation,
+        |    CAST(SUM(CASE WHEN b.y > a.y THEN 1
+        |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM wk a JOIN wk b ON a.nation = b.nation AND a.w < b.w
+        |  GROUP BY 1),
+        |  tg AS (SELECT nation, y, CAST(COUNT(1) AS BIGINT) AS c
+        |    FROM wk GROUP BY 1, 2),
+        |  ti AS (SELECT nation, CAST(SUM(c) AS BIGINT) AS n_weeks,
+        |    CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+        |  FROM tg GROUP BY 1),
+        |  vv AS (SELECT s.nation, s.s_stat,
+        |    CAST(t.n_weeks * (t.n_weeks - 1) * (2 * t.n_weeks + 5)
+        |      - t.tie_term AS DOUBLE) / 18.0 AS var_s
+        |  FROM sa s JOIN ti t ON s.nation = t.nation),
+        |  zz AS (SELECT nation,
+        |    CASE WHEN s_stat > 0
+        |        THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |      WHEN s_stat < 0
+        |        THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+        |      ELSE 0.0 END AS z
+        |  FROM vv),
+        |  px AS (SELECT nation, z, abs(z) AS x,
+        |    1.0 / (1.0 + 0.2316419 * abs(z)) AS t,
+        |    0.3989422804014327 * exp(-0.5 * abs(z) * abs(z)) AS phi
+        |  FROM zz),
+        |  pp AS (SELECT nation, z,
+        |    CAST(CAST(least(1.0, 2.0 * phi *
+        |      (((((1.330274429 * t - 1.821255978) * t +
+        |        1.781477937) * t - 0.356563782) * t +
+        |        0.319381530) * t)) AS DECIMAL(18,12)) AS DOUBLE) AS p
+        |  FROM px),
+        |  rk AS (SELECT nation, z, p,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY p, nation) AS BIGINT)
+        |      AS rank,
+        |    CAST(COUNT(1) OVER () AS BIGINT) AS m
+        |  FROM pp),
+        |  th AS (SELECT nation, z, p, rank,
+        |    CAST(rank AS DOUBLE) * 0.10 / CAST(m AS DOUBLE)
+        |      AS bh_threshold
+        |  FROM rk),
+        |  mk AS (SELECT *,
+        |    MAX(CASE WHEN p <= bh_threshold THEN rank END) OVER ()
+        |      AS max_k
+        |  FROM th)
+        |SELECT nation, z, p, rank, bh_threshold,
+        |  COALESCE(rank <= max_k, false) AS reject_fdr10,
+        |  p <= 0.05 AS naive_reject_95
+        |FROM mk ORDER BY rank""".stripMargin,
 
     "q161_sketch_error_profile" ->
       """WITH cents AS (SELECT l_returnflag,

@@ -583,4 +583,63 @@ class Round7gOpsSpec extends SparkSpec {
     assert(r.head.getAs[Boolean]("reject_95"),
       "the location shift is real under heteroscedasticity too")
   }
+
+  test("q167: BH-FDR p-values, ranks and thresholds equal a driver-" +
+      "side model (Zelen-Severo polynomial + 12dp rounding), and FDR " +
+      "control suppresses the battery's chance-level naive rejections " +
+      "to zero discoveries") {
+    // driver MK z per nation (same model as the q162 test)
+    val weekly = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7"))
+      .agg(expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    def mkZ(wks: Array[(Long, Long)]): Double = {
+      val n = wks.length.toLong
+      var s = 0L
+      for (i <- wks.indices; j <- (i + 1) until wks.length)
+        s += java.lang.Long.signum(wks(j)._2 - wks(i)._2).toLong
+      val tie = wks.groupBy(_._2).values.map(_.length.toLong)
+        .map(c => c * (c - 1) * (2 * c + 5)).sum
+      val varS = (n * (n - 1) * (2 * n + 5) - tie).toDouble / 18.0
+      if (s > 0) (s - 1).toDouble / math.sqrt(varS)
+      else if (s < 0) (s + 1).toDouble / math.sqrt(varS) else 0.0
+    }
+    def pOf(z: Double): Double = {
+      val x = math.abs(z)
+      val t = 1.0 / (1.0 + 0.2316419 * x)
+      val phi = 0.3989422804014327 * math.exp(-0.5 * x * x)
+      val poly = ((((1.330274429 * t - 1.821255978) * t +
+        1.781477937) * t - 0.356563782) * t + 0.319381530) * t
+      BigDecimal(math.min(1.0, 2.0 * phi * poly))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val model = weekly.view.mapValues(mkZ).toMap
+    val ps = model.toSeq.map { case (nat, z) => (nat, z, pOf(z)) }
+      .sortBy(t => (t._3, t._1))
+    val m = ps.length
+    val rows = q("q167_bh_fdr").collect()
+    assert(rows.length == m)
+    rows.foreach { r =>
+      val rank = r.getAs[Long]("rank").toInt
+      val (nat, z, p) = ps(rank - 1)
+      assert(r.getAs[String]("nation") == nat, s"rank $rank order")
+      assert(r.getAs[Double]("z") == z)
+      assert(r.getAs[Double]("p") == p, s"$nat p")
+      assert(r.getAs[Double]("bh_threshold") ==
+        rank.toDouble * 0.10 / m.toDouble)
+    }
+    // sanity vs the polynomial's accuracy: p(1.96) ~ 0.05
+    assert(math.abs(pOf(1.959964) - 0.05) < 1e-5)
+    // the battery has chance-level naive rejections but FDR control
+    // yields zero discoveries on the stationary corpus
+    assert(rows.count(_.getAs[Boolean]("naive_reject_95")) >= 1,
+      "pre-verified: at least one nation rejects naively at 5%")
+    assert(!rows.exists(_.getAs[Boolean]("reject_fdr10")),
+      "BH must suppress chance rejections to zero discoveries")
+  }
 }
