@@ -702,6 +702,56 @@ object Extended13 {
         .orderBy(col("nation"))
     }),
 
+    // PAGE'S TREND TEST — the ordered-alternative member of the
+    // blocked-design family: where q148's Friedman asks "do the
+    // size buckets differ within nation blocks at all?", Page asks
+    // the directional question "do they INCREASE narrow → mid →
+    // wide?" — buying power by spending it on the stated ordering,
+    // exactly as q147's Jonckheere does for the unblocked q139.
+    // L = Σ_j j·R_j over q148's own within-block ranks (exact
+    // integers), E[L] = bk(k+1)²/4 and Var[L] = b(k³−k)²/(144(k−1))
+    // from closed forms, one-sided z against 1.645. Perfect
+    // concordance (q148's W = 1.0) makes L maximal: z = √(2b).
+    // Scale shape: q148's exactly — one rollup to the nation×bucket
+    // grid, one block-keyed rank window, 1 row out.
+    "q168_page_trend" -> ((s, d) => {
+      val obs = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          when(col("n_items") <= 2, lit("narrow"))
+            .when(col("n_items") <= 5, lit("mid"))
+            .otherwise(lit("wide")).as("grp"),
+          col("cents"))
+        .groupBy(col("nation"), col("grp"))
+        .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("tot"))
+        .withColumn("mean",
+          col("tot").cast("double") / col("n_g").cast("double"))
+      val w = Window.partitionBy(col("nation"))
+        .orderBy(col("mean"), col("grp"))
+      obs.withColumn("rk", row_number().over(w).cast("long"))
+        .agg(countDistinct(col("nation")).as("n_blocks"),
+          sum(when(col("grp") === "narrow", col("rk"))).as("r_narrow"),
+          sum(when(col("grp") === "mid", col("rk"))).as("r_mid"),
+          sum(when(col("grp") === "wide", col("rk"))).as("r_wide"))
+        .withColumn("page_l",
+          col("r_narrow") + lit(2L) * col("r_mid") +
+            lit(3L) * col("r_wide"))
+        .withColumn("bd", col("n_blocks").cast("double"))
+        // k=3: E[L] = 12b, Var[L] = b(k³−k)²/(144(k−1)) = 2b
+        .withColumn("z",
+          (col("page_l").cast("double") - lit(12.0) * col("bd")) /
+            sqrt(lit(2.0) * col("bd")))
+        .select(col("n_blocks"), col("r_narrow"), col("r_mid"),
+          col("r_wide"), col("page_l"), col("z"),
+          (col("z") > lit(1.645)).as("reject_95"))
+    }),
+
     // BENJAMINI–HOCHBERG FDR — the multiple-comparisons control the
     // 25-nation test batteries need: q162 runs 25 Mann–Kendall tests
     // at 5%, so ~1.25 nations "reject" by pure chance (exactly 1 does,
@@ -1443,6 +1493,47 @@ object Extended13 {
         |      THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
         |    ELSE 0.0 END) > 1.96 AS reject_95
         |FROM vv ORDER BY nation""".stripMargin,
+
+    "q168_page_trend" ->
+      """WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |  j AS (SELECT n.n_name AS nation,
+        |    CASE WHEN p.n_items <= 2 THEN 'narrow'
+        |         WHEN p.n_items <= 5 THEN 'mid'
+        |         ELSE 'wide' END AS grp,
+        |    p.cents
+        |  FROM per p
+        |  JOIN orders o ON p.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |  m AS (SELECT nation, grp, CAST(COUNT(1) AS BIGINT) AS n_g,
+        |    CAST(SUM(cents) AS BIGINT) AS tot
+        |  FROM j GROUP BY 1, 2),
+        |  r AS (SELECT nation, grp,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY nation
+        |      ORDER BY CAST(tot AS DOUBLE) / CAST(n_g AS DOUBLE), grp)
+        |      AS BIGINT) AS rk
+        |  FROM m),
+        |  agg AS (SELECT
+        |    CAST(COUNT(DISTINCT nation) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(CASE WHEN grp = 'narrow' THEN rk END) AS BIGINT)
+        |      AS r_narrow,
+        |    CAST(SUM(CASE WHEN grp = 'mid' THEN rk END) AS BIGINT)
+        |      AS r_mid,
+        |    CAST(SUM(CASE WHEN grp = 'wide' THEN rk END) AS BIGINT)
+        |      AS r_wide
+        |  FROM r),
+        |  st AS (SELECT n_blocks, r_narrow, r_mid, r_wide,
+        |    r_narrow + 2 * r_mid + 3 * r_wide AS page_l,
+        |    CAST(n_blocks AS DOUBLE) AS bd
+        |  FROM agg)
+        |SELECT n_blocks, r_narrow, r_mid, r_wide, page_l,
+        |  (CAST(page_l AS DOUBLE) - 12.0 * bd) / sqrt(2.0 * bd) AS z,
+        |  (CAST(page_l AS DOUBLE) - 12.0 * bd) / sqrt(2.0 * bd) > 1.645
+        |    AS reject_95
+        |FROM st""".stripMargin,
 
     "q167_bh_fdr" ->
       """WITH wk AS (SELECT n.n_name AS nation,

@@ -642,4 +642,51 @@ class Round7gOpsSpec extends SparkSpec {
     assert(!rows.exists(_.getAs[Boolean]("reject_fdr10")),
       "BH must suppress chance rejections to zero discoveries")
   }
+
+  test("q168: Page's L equals a driver-side blocked-rank model, and " +
+      "under this corpus's perfect concordance takes its closed-form " +
+      "maximum 14b with z = sqrt(2b)") {
+    val grid = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ni"),
+        sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("ni"), col("cents"))
+      .collect().map { r =>
+        val g = if (r.getLong(1) <= 2) "narrow"
+          else if (r.getLong(1) <= 5) "mid" else "wide"
+        ((r.getString(0), g), r.getLong(2))
+      }.groupBy(_._1).view
+      .mapValues(vs => vs.map(_._2).sum.toDouble / vs.length).toMap
+    val nations = grid.keys.map(_._1).toSeq.distinct
+    val rankSums = scala.collection.mutable.Map(
+      "narrow" -> 0L, "mid" -> 0L, "wide" -> 0L)
+    nations.foreach { nat =>
+      val ranked = Seq("narrow", "mid", "wide")
+        .map(g => g -> grid((nat, g))).sortBy(t => (t._2, t._1))
+      ranked.zipWithIndex.foreach { case ((g, _), i) =>
+        rankSums(g) += (i + 1).toLong
+      }
+    }
+    val b = nations.length.toLong
+    val l = rankSums("narrow") + 2 * rankSums("mid") + 3 * rankSums("wide")
+    val z = (l.toDouble - 12.0 * b.toDouble) /
+      math.sqrt(2.0 * b.toDouble)
+    val r = q("q168_page_trend").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_blocks") == b)
+    assert(r.head.getAs[Long]("r_narrow") == rankSums("narrow"))
+    assert(r.head.getAs[Long]("r_mid") == rankSums("mid"))
+    assert(r.head.getAs[Long]("r_wide") == rankSums("wide"))
+    assert(r.head.getAs[Long]("page_l") == l)
+    assert(r.head.getAs[Double]("z") == z)
+    // perfect concordance (q148's W = 1.0 at every SF): ranks are
+    // exactly (b, 2b, 3b), L = 14b, z = sqrt(2b)
+    assert(l == 14 * b, "perfect concordance maximum")
+    // 2b/sqrt(2b) vs sqrt(2b): same value, 1-ulp different path
+    assert(math.abs(z - math.sqrt(2.0 * b.toDouble)) < 1e-12)
+    assert(r.head.getAs[Boolean]("reject_95"))
+  }
 }
