@@ -113,7 +113,8 @@ object Bench {
     "q159_pettitt_changepoint", "q160_runs_test", "q161_sketch_error_profile",
     "q162_mann_kendall", "t40_pps_sample", "q163_dunn_posthoc",
     "q164_poisson_bootstrap", "q165_brown_forsythe", "q166_welch_anova",
-    "q167_bh_fdr", "q168_page_trend", "q169_capture_recapture")
+    "q167_bh_fdr", "q168_page_trend", "q169_capture_recapture",
+    "q170_bootstrap_median_ci")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

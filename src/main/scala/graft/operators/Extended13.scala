@@ -702,6 +702,86 @@ object Extended13 {
         .orderBy(col("nation"))
     }),
 
+    // BOOTSTRAP MEDIAN CI — q164's one-pass Poisson machinery
+    // applied to the statistic where the bootstrap actually earns its
+    // keep: the MEDIAN has no clean analytic SE, and the two
+    // textbook answers — the distribution-free order-statistic
+    // interval (q151's formula) and the bootstrap percentile
+    // interval — should agree. This query computes BOTH on the same
+    // per-order revenue and surfaces them side by side (overlap
+    // spec-pinned). Everything stays in exact longs: each replicate's
+    // weighted grid-rule median IS a grid value, and the CI over the
+    // 32 replicate medians is again the grid rule — doubles never
+    // appear. Scale shape: the ×32 fan-out collapses to per-replicate
+    // (b, v, w) grids via map-side partial agg; each replicate's
+    // median window runs over its own value grid; the exact branch
+    // is the q151 shape on the full grid.
+    "q170_bootstrap_median_ci" -> ((s, d) => {
+      val b = 32
+      val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+        0.9994058151824183, 0.999916758850712, 0.9999897508033253,
+        0.999998874797402)
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+        .select(col("l_orderkey"), expr("rev div 100").as("v"))
+      val u = conv(substring(md5(encode(concat(
+        col("l_orderkey").cast("string"), lit(":"),
+        col("b").cast("string")), "UTF-8")), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1152921504606846976.0)
+      val w = cdf.zipWithIndex.reverse.foldLeft(lit(9L)) {
+        case (acc, (c, k)) =>
+          when(col("u") < lit(c), lit(k.toLong)).otherwise(acc)
+      }
+      val wCumB = Window.partitionBy(col("b")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTotB = Window.partitionBy(col("b"))
+      val medB = per
+        .select(col("l_orderkey"), col("v"),
+          explode(sequence(lit(1), lit(b))).as("b"))
+        .withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy(col("b"), col("v"))
+        .agg(sum(col("w")).as("wc"))
+        .withColumn("cum", sum(col("wc")).over(wCumB))
+        .withColumn("nb", sum(col("wc")).over(wTotB))
+        .groupBy(col("b"))
+        .agg(min(when(lit(2L) * col("cum") >= col("nb"), col("v")))
+          .as("med_b"))
+      val wOrd = Window.partitionBy(lit(1)).orderBy(col("med_b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      val boot = medB
+        .withColumn("cum", count(lit(1)).over(wOrd))
+        .agg(
+          min(when(lit(20L) * col("cum") >= lit(b.toLong), col("med_b")))
+            .as("ci_lo_boot"),
+          min(when(lit(20L) * col("cum") >= lit(19L * b), col("med_b")))
+            .as("ci_hi_boot"))
+      val wCum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exact = per.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("k_lo",
+          floor((col("nd") - lit(1.96) * sqrt(col("nd"))) / lit(2.0))
+            .cast("long"))
+        .withColumn("k_hi",
+          ceil(lit(1.0) + (col("nd") + lit(1.96) * sqrt(col("nd"))) /
+            lit(2.0)).cast("long"))
+        .agg(max(col("n")).as("n"),
+          min(when(lit(2L) * col("cum") >= col("n"), col("v")))
+            .as("median"),
+          min(when(col("cum") >= col("k_lo"), col("v"))).as("ci_lo_os"),
+          min(when(col("cum") >= col("k_hi"), col("v"))).as("ci_hi_os"))
+      exact.crossJoin(broadcast(boot))
+        .select(col("n"), col("median"),
+          col("ci_lo_os"), col("ci_hi_os"),
+          col("ci_lo_boot"), col("ci_hi_boot"))
+    }),
+
     // CAPTURE–RECAPTURE POPULATION ESTIMATE — ecology's census
     // method applied where warehouses actually use it: estimate a
     // distinct-population size from two bounded observation windows
@@ -1538,6 +1618,75 @@ object Extended13 {
         |      THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
         |    ELSE 0.0 END) > 1.96 AS reject_95
         |FROM vv ORDER BY nation""".stripMargin,
+
+    "q170_bootstrap_median_ci" ->
+      """WITH per AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS v
+        |  FROM lineitem GROUP BY 1),
+        |  reps AS (SELECT p.l_orderkey, p.v, bb.b
+        |  FROM per p CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 32)) AS b) bb),
+        |  hu AS (SELECT v, b,
+        |    CAST(list_reduce(list_transform(generate_series(1, 15),
+        |      i -> strpos('0123456789abcdef',
+        |        substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |          CAST(b AS VARCHAR)), i, 1)) - 1),
+        |      (a, x) -> a * 16 + x) AS BIGINT)
+        |      / 1152921504606846976.0 AS u
+        |  FROM reps),
+        |  ww AS (SELECT b, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |      WHEN u < 0.7357588823428847 THEN 1
+        |      WHEN u < 0.9196986029286058 THEN 2
+        |      WHEN u < 0.9810118431238463 THEN 3
+        |      WHEN u < 0.9963401531726563 THEN 4
+        |      WHEN u < 0.9994058151824183 THEN 5
+        |      WHEN u < 0.999916758850712 THEN 6
+        |      WHEN u < 0.9999897508033253 THEN 7
+        |      WHEN u < 0.999998874797402 THEN 8
+        |      ELSE 9 END AS w
+        |  FROM hu),
+        |  bg AS (SELECT b, v, CAST(SUM(w) AS BIGINT) AS wc
+        |    FROM ww GROUP BY 1, 2),
+        |  bc AS (SELECT b, v,
+        |    CAST(SUM(wc) OVER (PARTITION BY b ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(wc) OVER (PARTITION BY b) AS BIGINT) AS nb
+        |  FROM bg),
+        |  mb AS (SELECT b,
+        |    MIN(CASE WHEN 2 * cum >= nb THEN v END) AS med_b
+        |  FROM bc GROUP BY 1),
+        |  mc AS (SELECT med_b,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY med_b) AS BIGINT) AS cum
+        |  FROM mb),
+        |  boot AS (SELECT
+        |    MIN(CASE WHEN 20 * cum >= 32 THEN med_b END) AS ci_lo_boot,
+        |    MIN(CASE WHEN 20 * cum >= 608 THEN med_b END) AS ci_hi_boot
+        |  FROM mc),
+        |  grid AS (SELECT v, CAST(COUNT(1) AS BIGINT) AS c
+        |    FROM per GROUP BY 1),
+        |  cm AS (SELECT v,
+        |    CAST(SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n
+        |  FROM grid),
+        |  ks AS (SELECT v, cum, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(FLOOR((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS
+        |      DOUBLE))) / 2.0) AS BIGINT) AS k_lo,
+        |    CAST(CEIL(1.0 + (CAST(n AS DOUBLE) + 1.96 * sqrt(CAST(n AS
+        |      DOUBLE))) / 2.0) AS BIGINT) AS k_hi
+        |  FROM cm),
+        |  ex AS (SELECT MAX(n) AS n,
+        |    MIN(CASE WHEN 2 * cum >= n THEN v END) AS median,
+        |    MIN(CASE WHEN cum >= k_lo THEN v END) AS ci_lo_os,
+        |    MIN(CASE WHEN cum >= k_hi THEN v END) AS ci_hi_os
+        |  FROM ks)
+        |SELECT e.n, e.median, e.ci_lo_os, e.ci_hi_os,
+        |  bt.ci_lo_boot, bt.ci_hi_boot
+        |FROM ex e CROSS JOIN boot bt""".stripMargin,
 
     "q169_capture_recapture" ->
       """WITH caps AS (SELECT o_custkey,

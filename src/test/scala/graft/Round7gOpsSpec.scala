@@ -721,4 +721,60 @@ class Round7gOpsSpec extends SparkSpec {
       (census.toDouble >= nHat - 1.96 * se &&
         census.toDouble <= nHat + 1.96 * se))
   }
+
+  test("q170: bootstrap and order-statistic median CIs equal driver-" +
+      "side models on the same hash-derived weights, both contain the " +
+      "exact median, and the two independent methods agree (CIs " +
+      "overlap substantially)") {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
+      .select(col("l_orderkey"), expr("rev div 100"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cdf = Array(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+      0.9994058151824183, 0.999916758850712, 0.9999897508033253,
+      0.999998874797402)
+    def md5h(s: String): Long =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+        .foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+    def wMedian(wv: Seq[(Long, Long)]): Long = { // (v, w) pairs
+      val grid = wv.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1)
+      val tot = grid.map(_._2).sum
+      var cum = 0L
+      grid.find { case (_, c) => cum += c; 2L * cum >= tot }.get._1
+    }
+    val medsB = (1 to 32).map { b =>
+      wMedian(per.map { case (id, v) =>
+        val u = md5h(s"$id:$b").toDouble / 1152921504606846976.0
+        (v, cdf.indexWhere(u < _) match { case -1 => 9L; case k => k.toLong })
+      })
+    }.sorted
+    def bq(target: Long): Long =
+      medsB(medsB.indices.find(i => 20L * (i + 1) >= target).get)
+    val sorted = per.map(_._2).sorted
+    val n = sorted.length.toLong
+    val med = sorted(sorted.indices.find(i => 2L * (i + 1) >= n).get)
+    val nd = n.toDouble
+    val kLo = math.floor((nd - 1.96 * math.sqrt(nd)) / 2.0).toLong
+    val kHi = math.ceil(1.0 + (nd + 1.96 * math.sqrt(nd)) / 2.0).toLong
+    val loOs = sorted(sorted.indices.find(i => (i + 1).toLong >= kLo).get)
+    val hiOs = sorted(sorted.indices.find(i => (i + 1).toLong >= kHi).get)
+    val r = q("q170_bootstrap_median_ci").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n") == n)
+    assert(r.head.getAs[Long]("median") == med)
+    assert(r.head.getAs[Long]("ci_lo_os") == loOs)
+    assert(r.head.getAs[Long]("ci_hi_os") == hiOs)
+    assert(r.head.getAs[Long]("ci_lo_boot") == bq(32))
+    assert(r.head.getAs[Long]("ci_hi_boot") == bq(608))
+    // both intervals contain the point estimate, and the two
+    // independent methods overlap
+    assert(loOs <= med && med <= hiOs)
+    assert(bq(32) <= med && med <= bq(608))
+    assert(bq(32) <= hiOs && loOs <= bq(608), "methods must overlap")
+  }
 }
