@@ -36,6 +36,7 @@ object SparkEntry {
       operators.Extended11.queries ++
       operators.Extended12.queries ++
       operators.Extended13.queries ++
+      operators.Extended14.queries ++
       operators.PiiOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +61,6 @@ object SparkEntry {
       operators.Extended11.oracleSql ++
       operators.Extended12.oracleSql ++
       operators.Extended13.oracleSql ++
+      operators.Extended14.oracleSql ++
       operators.PiiOps.oracleSql
 }

@@ -28,6 +28,30 @@ import graft.{Parity, Tables}
   */
 object Extended11 {
 
+  /** The censored time-to-event carrier shared by q133 (Kaplan–Meier)
+    * and Extended14's q174 log-rank / q175 Nelson–Aalen: per user, the
+    * minutes from first event to the first qualifying purchase
+    * (value > 150), censored at the last observed event. user_id rides
+    * along so callers can derive group splits. Materialized once — the
+    * frame feeds the event-time grid, the at-risk tail, and the
+    * factor-list collect (ScanAudit: 4 scans -> 1). */
+  private[graft] def survivalDurations(
+      s: SparkSession, d: String): DataFrame =
+    Materialize.LocalCheckpoint(Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("ft"),
+        min(when(col("event_type") === "purchase" &&
+          col("value") > 150, col("ts"))).as("ev"),
+        max(col("ts")).as("lt"))
+      .select(col("user_id"), col("ev").isNotNull.as("is_event"),
+        when(col("ev").isNotNull,
+          expr("(unix_micros(CAST(ev AS TIMESTAMP)) - " +
+            "unix_micros(CAST(ft AS TIMESTAMP))) div 60000000"))
+          .otherwise(
+            expr("(unix_micros(CAST(lt AS TIMESTAMP)) - " +
+              "unix_micros(CAST(ft AS TIMESTAMP))) div 60000000"))
+          .as("dur")))
+
   /** Portable 60-bit hash both engines can compute bit-identically:
     * the first 15 hex chars of md5 over the value's UTF-8 string form
     * (the q114/q51 discipline). */
@@ -283,23 +307,7 @@ object Extended11 {
     // counts; the at-risk tail sum is a window over distinct durations
     // (calendar-bounded, the t28/q115 stance).
     "q133_survival_km" -> ((s, d) => {
-      // the per-user duration frame feeds the event-time grid, the
-      // at-risk tail, and the factor-list collect — cut it once so the
-      // events table is scanned a single time (ScanAudit: 4 → 1)
-      val per = Materialize.LocalCheckpoint(Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(min(col("ts")).as("ft"),
-          min(when(col("event_type") === "purchase" &&
-            col("value") > 150, col("ts"))).as("ev"),
-          max(col("ts")).as("lt"))
-        .select(col("ev").isNotNull.as("is_event"),
-          when(col("ev").isNotNull,
-            expr("(unix_micros(CAST(ev AS TIMESTAMP)) - " +
-              "unix_micros(CAST(ft AS TIMESTAMP))) div 60000000"))
-            .otherwise(
-              expr("(unix_micros(CAST(lt AS TIMESTAMP)) - " +
-                "unix_micros(CAST(ft AS TIMESTAMP))) div 60000000"))
-            .as("dur")))
+      val per = survivalDurations(s, d)
       val evts = per.filter(col("is_event"))
         .groupBy(col("dur").as("t")).agg(count(lit(1)).as("d"))
       val wDesc = Window.orderBy(col("dur").desc)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over `documents`:
@@ -21,6 +21,20 @@ object TextOps {
 
   private def inList(vs: Seq[String]): String =
     vs.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  /** The t02 "ok" screen as a reusable predicate over a word-array
+    * column: >= 10 tokens, distinct ratio >= 0.5, stopword ratio
+    * <= 0.4 — the exact boolean q144's oracle mirrors. Lets composed
+    * screens (q172 McNemar, q173 Cochran's Q) ride ONE documents scan
+    * instead of joining a second read of t02's output. */
+  private[operators] def qualityOkCol(words: Column): Column = {
+    val distinctRatio =
+      size(array_distinct(words)).cast("double") / size(words)
+    val stopRatio =
+      size(filter(words, w => w.isin(stopEn: _*))).cast("double") /
+        size(words)
+    size(words) >= 10 && distinctRatio >= 0.5 && stopRatio <= 0.4
+  }
 
   /** t03's marker-word scoring frame, shared with the t32 confusion
     * matrix: per document the four marker counts, the argmax
@@ -66,6 +80,14 @@ object TextOps {
       .distinct()
 
   def repetitionStats(docs: DataFrame): DataFrame =
+    repetitionStatsKeeping(docs)
+
+  /** [[repetitionStats]] with caller-supplied columns carried through
+    * the per-doc projection: a composed screen (q171/q172/q173/t41)
+    * computes its own score columns on the input frame and keeps them
+    * beside the repetition stats, so the pairing needs ONE documents
+    * scan and no join-back (ScanAudit shape). */
+  def repetitionStatsKeeping(docs: DataFrame, keep: Column*): DataFrame =
     docs
       .withColumn("g", array_sort(
         graft.functions.TextFunctions.wordGramHashes(col("text"), 3)))
@@ -80,8 +102,8 @@ object TextOps {
         when(col("n_grams") === 0, lit(0.0))
           .otherwise(col("n_dup_pos").cast("double") / col("n_grams")))
       .withColumn("flag_repetitive", col("dup_frac") > 0.2)
-      .select(col("doc_id"), col("n_grams"), col("n_dup_pos"),
-        col("dup_frac"), col("flag_repetitive"))
+      .select(Seq(col("doc_id"), col("n_grams"), col("n_dup_pos"),
+        col("dup_frac"), col("flag_repetitive")) ++ keep: _*)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Whitespace + regex ("BPE-ish") token counting, distinct-token ratio.
