@@ -37,6 +37,7 @@ object SparkEntry {
       operators.Extended12.queries ++
       operators.Extended13.queries ++
       operators.Extended14.queries ++
+      operators.Extended15.queries ++
       operators.PiiOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,5 +63,6 @@ object SparkEntry {
       operators.Extended12.oracleSql ++
       operators.Extended13.oracleSql ++
       operators.Extended14.oracleSql ++
+      operators.Extended15.oracleSql ++
       operators.PiiOps.oracleSql
 }

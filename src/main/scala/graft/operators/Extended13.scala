@@ -26,6 +26,26 @@ import graft.{Parity, Tables}
   */
 object Extended13 {
 
+  /** The (nation, week, whole-dollar revenue) aggregate shared by
+    * q155 Theil–Sen and Extended15's q179 Siegel repeated median:
+    * calendar-bounded (~350 weeks per nation at ANY data scale), so
+    * the pairwise-slope joins downstream are grid², never rows².
+    * Materialized once — both consumers self-join it. */
+  private[graft] def nationWeeklyRevenue(
+      s: SparkSession, d: String): DataFrame =
+    Materialize.LocalCheckpoint(
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
+            " div 7").as("w"))
+        .agg(expr(
+          "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
+          .as("y")))
+
   /** Per-order revenue in whole dollars, tagged with the customer
     * nation — the shared input frame of q154. One fact rollup, the
     * dimension joins broadcast. */
@@ -102,18 +122,7 @@ object Extended13 {
     // aggregate — O(weeks²)·|nations| ≈ 1.5M rows at ANY data scale,
     // never O(rows²).
     "q155_theil_sen" -> ((s, d) => {
-      val wk = Materialize.LocalCheckpoint(
-        Tables.lineitem(s, d)
-          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.nation(s, d)),
-            col("c_nationkey") === col("n_nationkey"))
-          .groupBy(col("n_name").as("nation"),
-            expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
-              " div 7").as("w"))
-          .agg(expr(
-            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
-            .as("y")))
+      val wk = nationWeeklyRevenue(s, d)
       // positional selection instead of a value-grid: slopes are
       // mostly unique doubles, so a (nation, slope) grid would not
       // compress — one nation-keyed sort + row_number picks the same

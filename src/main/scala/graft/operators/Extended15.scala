@@ -1,0 +1,347 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Fifteenth analytics batch: forecast evaluation and robust
+  * regression — the operational payoff of q160's oscillation finding.
+  * The weekly revenue series oscillates (runs test z = 2.6, lag-1 ACF
+  * −0.076), so a trailing-mean forecast should beat last-value naive —
+  * and it measurably does: the backtest (q176) scores MASE ≈ 0.78 for
+  * the 4-week mean and ≈ 1.75 for drift at every gate SF, the
+  * Diebold–Mariano test (q177) confirms the mean's loss advantage is
+  * systematic (DM ≈ 6.5), and the Wilcoxon signed-rank test (q178) is
+  * its rank-robust twin on the same loss differentials. q179 closes
+  * the robust-regression family (q58 OLS, q131/q155 Theil–Sen) with
+  * Siegel's repeated median — breakdown point 50%. Same contract as
+  * Extended5–14: declarative plans, exact integer carriers until the
+  * final double projections with identical operation sequences on
+  * both engines, a scale note per entry. The reference delegates all
+  * analytics to user code behind its event processor
+  * (`/root/reference/README.md:246-293`).
+  */
+object Extended15 {
+
+  /** The shared backtest frame of q176/q177/q178: the global weekly
+    * revenue series (whole dollars, exact longs) with three one-step
+    * forecasts per week — naive (last value), the trailing-4-week
+    * integer-mean, and drift (2·y₁ − y₂) — evaluated on the weeks
+    * where all three are defined. Forecast lags run over the OBSERVED
+    * week sequence (documented: a gap week pairs with the previous
+    * observed week; the gate corpus is gap-free at sf0.01/sf0.1 and
+    * has 7 gaps at sf0.001 — the backtest contract is "previous
+    * observation", not calendar-shifted). Scale shape: the fact table
+    * collapses to ONE calendar-bounded row per week before the
+    * single-partition lag window (~350 rows at ANY data scale — the
+    * q156 aggregate-first stance). */
+  private def weeklyBacktest(s: SparkSession, d: String): DataFrame = {
+    val wk = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(expr(
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7")
+        .as("w"))
+      .agg(expr(
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
+        .as("y"))
+    val wLag = Window.orderBy(col("w"))
+    wk
+      .withColumn("y1", lag(col("y"), 1).over(wLag))
+      .withColumn("y2", lag(col("y"), 2).over(wLag))
+      .withColumn("y3", lag(col("y"), 3).over(wLag))
+      .withColumn("y4", lag(col("y"), 4).over(wLag))
+      .filter(col("y4").isNotNull)
+      .select(col("w"), col("y"),
+        col("y1").as("naive"),
+        expr("(y1 + y2 + y3 + y4) div 4").as("mean4"),
+        (lit(2L) * col("y1") - col("y2")).as("drift"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // FORECAST BACKTEST (MASE) — one-step-ahead evaluation of three
+    // forecasters on the weekly revenue series: naive (last value),
+    // trailing-4-week mean, drift. MAE per model is a single division
+    // of an exact long error sum; MASE divides each model's error sum
+    // by the naive's ON THE SAME EVALUATION ROWS (the n cancels — one
+    // division, and naive's MASE is exactly 1.0). The oscillating
+    // series (q160) makes this a REAL ranking: mean4 ≈ 0.78, drift ≈
+    // 1.75 at every gate SF — smoothing wins, extrapolation loses,
+    // measured out-of-sample by construction (each forecast sees only
+    // prior weeks). Scale shape: one fact rollup to the calendar-
+    // bounded week grid, a single-partition lag window over ~350
+    // rows, 3 rows out via a row-local model unpivot.
+    "q176_forecast_backtest" -> ((s, d) => {
+      val e = weeklyBacktest(s, d)
+        .select(
+          abs(col("y") - col("naive")).as("e_naive"),
+          abs(col("y") - col("mean4")).as("e_mean4"),
+          abs(col("y") - col("drift")).as("e_drift"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(col("e_naive")).as("s_naive"),
+          sum(col("e_mean4")).as("s_mean4"),
+          sum(col("e_drift")).as("s_drift"))
+      e.select(explode(array(
+          struct(lit("naive").as("model"), col("n_eval"),
+            col("s_naive").as("abs_err_sum")),
+          struct(lit("mean4").as("model"), col("n_eval"),
+            col("s_mean4").as("abs_err_sum")),
+          struct(lit("drift").as("model"), col("n_eval"),
+            col("s_drift").as("abs_err_sum")))).as("m"),
+          col("s_naive"))
+        .select(col("m.model").as("model"), col("m.n_eval").as("n_eval"),
+          col("m.abs_err_sum").as("abs_err_sum"),
+          (col("m.abs_err_sum").cast("double") /
+            col("m.n_eval").cast("double")).as("mae"),
+          (col("m.abs_err_sum").cast("double") /
+            col("s_naive").cast("double")).as("mase"))
+        .orderBy(col("model"))
+    }),
+
+    // DIEBOLD–MARIANO TEST — is mean4's loss advantage over naive
+    // systematic or luck? d_t = |e_naive| − |e_mean4| is an exact
+    // LONG per week (differences of integer absolute errors), so the
+    // loss-differential moments S1 = Σd, S2 = Σd² are exact, the
+    // sample variance (n·S2 − S1²)/(n(n−1)) and DM = d̄/√(var/n)
+    // assemble in doubles with one identical-sequence division chain
+    // and ONE IEEE sqrt. DM ≈ 6.5 at every gate SF — rejects hard;
+    // the mean forecast's win is structural (the q160 oscillation),
+    // not sampling noise. Long-range note: n·S2 holds exactly in
+    // longs while the weekly |d| stays under ~8.7e6 dollars at
+    // n ≈ 350 (measured 1.8e18 of 9.2e18 at sf0.1); past that, carry
+    // the moments in DECIMAL(38,0)/HUGEINT (the q156 128-bit
+    // carrier). Scale shape: calendar-bounded grid, map-side partial
+    // aggregation to one row.
+    "q177_diebold_mariano" -> ((s, d) => {
+      weeklyBacktest(s, d)
+        .select((abs(col("y") - col("naive")) -
+          abs(col("y") - col("mean4"))).as("dt"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(col("dt")).as("s1"),
+          sum(col("dt") * col("dt")).as("s2"))
+        .withColumn("d_bar",
+          col("s1").cast("double") / col("n_eval").cast("double"))
+        .withColumn("var_d",
+          (col("n_eval") * col("s2") - col("s1") * col("s1"))
+            .cast("double") /
+            (col("n_eval") * (col("n_eval") - 1L)).cast("double"))
+        .withColumn("dm_stat",
+          col("d_bar") /
+            sqrt(col("var_d") / col("n_eval").cast("double")))
+        .withColumn("reject_95", abs(col("dm_stat")) > 1.96)
+        .select(col("n_eval"), col("s1"), col("d_bar"), col("var_d"),
+          col("dm_stat"), col("reject_95"))
+    }),
+
+    // WILCOXON SIGNED-RANK — the rank-robust twin of q177 on the SAME
+    // loss differentials: is the MEDIAN of d_t = |e_naive| − |e_mean4|
+    // nonzero? Immune to the heavy loss weeks that could carry a mean
+    // test alone. Zero differentials drop (the standard convention;
+    // none occur at any gate SF — pre-verified), |d| values grid up
+    // with signed counts, midranks stay exact integers as
+    // 2·midrank = 2·below + ties + 1 (the q134 carrier), and the
+    // statistic T₂ = Σ(c₊ − c₋)·2R with tie-corrected variance
+    // 4·Var[T] = 2n(n+1)(2n+1)/3 − Σ(t³−t)/3 — both terms are exact
+    // integer divisions (n(n+1)(2n+1) is divisible by 6, t³−t by 6),
+    // so z = T₂/√Var₂ is one double division and one IEEE sqrt.
+    // Scale shape: the only exchanges carry the |d| value grid
+    // (calendar-bounded); one row out.
+    "q178_wilcoxon_signed_rank" -> ((s, d) => {
+      val dts = weeklyBacktest(s, d)
+        .select((abs(col("y") - col("naive")) -
+          abs(col("y") - col("mean4"))).as("dt"))
+        .filter(col("dt") =!= 0L)
+      val grid = dts.groupBy(abs(col("dt")).as("ad"))
+        .agg(sum(when(col("dt") > 0L, 1L).otherwise(0L)).as("cpos"),
+          sum(when(col("dt") < 0L, 1L).otherwise(0L)).as("cneg"))
+        .withColumn("t", col("cpos") + col("cneg"))
+      val wBelow = Window.orderBy(col("ad"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grid
+        .withColumn("below",
+          coalesce(sum(col("t")).over(wBelow), lit(0L)))
+        .withColumn("r2", lit(2L) * col("below") + col("t") + 1L)
+        .agg(sum(col("t")).as("n_nonzero"),
+          sum((col("cpos") - col("cneg")) * col("r2")).as("t2_stat"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+        .withColumn("var2", expr(
+          "(2 * n_nonzero * (n_nonzero + 1) * (2 * n_nonzero + 1)) " +
+            "div 3 - tie3 div 3"))
+        .withColumn("z",
+          col("t2_stat").cast("double") /
+            sqrt(col("var2").cast("double")))
+        .withColumn("reject_95", abs(col("z")) > 1.96)
+        .select(col("n_nonzero"), col("t2_stat"), col("tie3"),
+          col("var2"), col("z"), col("reject_95"))
+    }),
+
+    // SIEGEL REPEATED-MEDIAN SLOPE — the 50%-breakdown upgrade of
+    // q155's Theil–Sen (29%): per week i, take the median of slopes
+    // to every other week j, then the median of those per-week
+    // medians. Each slope is ONE division of exact longs (identical
+    // double both engines); both median layers use the q155
+    // positional rule (smallest value at position ⌈n/2⌉ via
+    // row_number, inner ties broken by the partner week index so the
+    // selection is deterministic). Scale shape: the fact table
+    // collapses to the calendar-bounded (nation, week) grid FIRST
+    // (shared materialized carrier with q155), so the pair join is
+    // grid² on ~350 weeks per nation — O(weeks²)·|nations| at ANY
+    // data scale, never O(rows²).
+    "q179_siegel_slope" -> ((s, d) => {
+      val wk = Extended13.nationWeeklyRevenue(s, d)
+      val pairs = wk.as("a").join(wk.as("b"),
+          col("a.nation") === col("b.nation") && col("a.w") =!= col("b.w"))
+        .select(col("a.nation").as("nation"), col("a.w").as("wi"),
+          col("b.w").as("wj"),
+          ((col("b.y") - col("a.y")).cast("double") /
+            (col("b.w") - col("a.w")).cast("double")).as("slope"))
+      val wPos = Window.partitionBy(col("nation"), col("wi"))
+        .orderBy(col("slope"), col("wj"))
+      val wTot = Window.partitionBy(col("nation"), col("wi"))
+      val perWeek = pairs
+        .withColumn("rn", row_number().over(wPos))
+        .withColumn("np", count(lit(1)).over(wTot))
+        .groupBy(col("nation"), col("wi"))
+        .agg(min(when(lit(2L) * col("rn") >= col("np"), col("slope")))
+          .as("med_i"))
+      val wPos2 = Window.partitionBy(col("nation"))
+        .orderBy(col("med_i"), col("wi"))
+      val wTot2 = Window.partitionBy(col("nation"))
+      perWeek
+        .withColumn("rn", row_number().over(wPos2))
+        .withColumn("np", count(lit(1)).over(wTot2))
+        .groupBy(col("nation"))
+        .agg(max(col("np")).as("n_weeks"),
+          min(when(lit(2L) * col("rn") >= col("np"), col("med_i")))
+            .as("siegel_slope"))
+        .orderBy(col("nation"))
+    }))
+
+  /** Shared oracle CTEs: the weekly backtest frame (mirrors
+    * [[weeklyBacktest]]). */
+  private val backtestCte =
+    """WITH wk AS (SELECT
+      |    datediff('day', DATE '1992-01-01', o_orderdate) // 7 AS w,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) // 100 AS y
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
+      |  lg AS (SELECT w, y,
+      |    LAG(y, 1) OVER (ORDER BY w) AS y1,
+      |    LAG(y, 2) OVER (ORDER BY w) AS y2,
+      |    LAG(y, 3) OVER (ORDER BY w) AS y3,
+      |    LAG(y, 4) OVER (ORDER BY w) AS y4
+      |  FROM wk),
+      |  f AS (SELECT w, y, y1 AS naive,
+      |    (y1 + y2 + y3 + y4) // 4 AS mean4,
+      |    2 * y1 - y2 AS drift
+      |  FROM lg WHERE y4 IS NOT NULL)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q176_forecast_backtest" ->
+      (backtestCte +
+        """,
+          |  e AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_eval,
+          |    CAST(SUM(ABS(y - naive)) AS BIGINT) AS s_naive,
+          |    CAST(SUM(ABS(y - mean4)) AS BIGINT) AS s_mean4,
+          |    CAST(SUM(ABS(y - drift)) AS BIGINT) AS s_drift
+          |  FROM f),
+          |  m AS (SELECT UNNEST(['naive', 'mean4', 'drift']) AS model,
+          |    UNNEST([s_naive, s_mean4, s_drift]) AS abs_err_sum,
+          |    n_eval, s_naive
+          |  FROM e)
+          |SELECT model, n_eval, abs_err_sum,
+          |  CAST(abs_err_sum AS DOUBLE) / CAST(n_eval AS DOUBLE)
+          |    AS mae,
+          |  CAST(abs_err_sum AS DOUBLE) / CAST(s_naive AS DOUBLE)
+          |    AS mase
+          |FROM m
+          |ORDER BY model""".stripMargin),
+
+    "q177_diebold_mariano" ->
+      (backtestCte +
+        """,
+          |  dd AS (SELECT ABS(y - naive) - ABS(y - mean4) AS dt
+          |    FROM f),
+          |  ag AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_eval,
+          |    CAST(SUM(dt) AS BIGINT) AS s1,
+          |    CAST(SUM(dt * dt) AS BIGINT) AS s2
+          |  FROM dd),
+          |  st AS (SELECT n_eval, s1,
+          |    CAST(s1 AS DOUBLE) / CAST(n_eval AS DOUBLE) AS d_bar,
+          |    CAST(n_eval * s2 - s1 * s1 AS DOUBLE) /
+          |      CAST(n_eval * (n_eval - 1) AS DOUBLE) AS var_d
+          |  FROM ag),
+          |  fin AS (SELECT n_eval, s1, d_bar, var_d,
+          |    d_bar / sqrt(var_d / CAST(n_eval AS DOUBLE)) AS dm_stat
+          |  FROM st)
+          |SELECT n_eval, s1, d_bar, var_d, dm_stat,
+          |  ABS(dm_stat) > 1.96 AS reject_95
+          |FROM fin""".stripMargin),
+
+    "q178_wilcoxon_signed_rank" ->
+      (backtestCte +
+        """,
+          |  dd AS (SELECT ABS(y - naive) - ABS(y - mean4) AS dt
+          |    FROM f WHERE ABS(y - naive) - ABS(y - mean4) != 0),
+          |  grid AS (SELECT ABS(dt) AS ad,
+          |    CAST(SUM(CASE WHEN dt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS cpos,
+          |    CAST(SUM(CASE WHEN dt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS cneg
+          |  FROM dd GROUP BY 1),
+          |  rk AS (SELECT ad, cpos, cneg, cpos + cneg AS t,
+          |    COALESCE(CAST(SUM(cpos + cneg) OVER (ORDER BY ad
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |      AS BIGINT), 0) AS below
+          |  FROM grid),
+          |  ag AS (SELECT CAST(SUM(t) AS BIGINT) AS n_nonzero,
+          |    CAST(SUM((cpos - cneg) * (2 * below + t + 1)) AS BIGINT)
+          |      AS t2_stat,
+          |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+          |  FROM rk),
+          |  st AS (SELECT n_nonzero, t2_stat, tie3,
+          |    (2 * n_nonzero * (n_nonzero + 1) * (2 * n_nonzero + 1))
+          |      // 3 - tie3 // 3 AS var2
+          |  FROM ag),
+          |  fin AS (SELECT n_nonzero, t2_stat, tie3, var2,
+          |    CAST(t2_stat AS DOUBLE) / sqrt(CAST(var2 AS DOUBLE)) AS z
+          |  FROM st)
+          |SELECT n_nonzero, t2_stat, tie3, var2, z,
+          |  ABS(z) > 1.96 AS reject_95
+          |FROM fin""".stripMargin),
+
+    "q179_siegel_slope" ->
+      """WITH wk AS (SELECT n.n_name AS nation,
+        |    datediff('day', DATE '1992-01-01', o.o_orderdate) // 7 AS w,
+        |    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS y
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |  sl AS (SELECT a.nation, a.w AS wi, b.w AS wj,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.w - a.w AS DOUBLE)
+        |      AS slope
+        |  FROM wk a JOIN wk b ON a.nation = b.nation AND a.w != b.w),
+        |  sm AS (SELECT nation, wi, slope,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY nation, wi
+        |      ORDER BY slope, wj) AS BIGINT) AS rn,
+        |    CAST(COUNT(1) OVER (PARTITION BY nation, wi) AS BIGINT)
+        |      AS np
+        |  FROM sl),
+        |  pw AS (SELECT nation, wi,
+        |    MIN(CASE WHEN 2 * rn >= np THEN slope END) AS med_i
+        |  FROM sm GROUP BY 1, 2),
+        |  om AS (SELECT nation, med_i,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY nation
+        |      ORDER BY med_i, wi) AS BIGINT) AS rn,
+        |    CAST(COUNT(1) OVER (PARTITION BY nation) AS BIGINT) AS np
+        |  FROM pw)
+        |SELECT nation, MAX(np) AS n_weeks,
+        |  MIN(CASE WHEN 2 * rn >= np THEN med_i END) AS siegel_slope
+        |FROM om GROUP BY nation
+        |ORDER BY nation""".stripMargin)
+}

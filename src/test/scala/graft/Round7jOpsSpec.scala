@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Extended15 (forecast evaluation + Siegel robust slope):
+  * brute-force cross-checks at sf0.001 against plain-Scala
+  * recomputation from the collected weekly series, the documented
+  * model ordering (mean4 beats naive beats drift on the oscillating
+  * corpus — the q160 finding made operational), agreement between the
+  * mean-based DM test and its rank-based Wilcoxon twin, and a
+  * monotone fixture where Siegel's slope is exactly the planted
+  * constant.
+  */
+class Round7jOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** The weekly global revenue series recomputed independently:
+    * (week, whole dollars), ordered. */
+  private lazy val weekly: Seq[(Long, Long)] = {
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr(
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).map { case (w, rows) =>
+      (w, Math.floorDiv(rows.map(_._2).sum, 100L))
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** (y, naive, mean4, drift) rows where all forecasts are defined —
+    * lags over the observed sequence, the declared contract. */
+  private lazy val backtest: Seq[(Long, Long, Long, Long)] = {
+    val ys = weekly.map(_._2)
+    (4 until ys.size).map { i =>
+      val (y1, y2, y3, y4) = (ys(i - 1), ys(i - 2), ys(i - 3), ys(i - 4))
+      (ys(i), y1, Math.floorDiv(y1 + y2 + y3 + y4, 4L), 2 * y1 - y2)
+    }
+  }
+
+  test("q176 MAE/MASE match brute force and the oscillating series " +
+      "ranks mean4 < naive < drift") {
+    val rows = q("q176_forecast_backtest").collect()
+      .map(r => r.getAs[String]("model") ->
+        (r.getAs[Long]("n_eval"), r.getAs[Long]("abs_err_sum"),
+          r.getAs[Double]("mase"))).toMap
+    val sNaive = backtest.map(b => math.abs(b._1 - b._2)).sum
+    val sMean = backtest.map(b => math.abs(b._1 - b._3)).sum
+    val sDrift = backtest.map(b => math.abs(b._1 - b._4)).sum
+    assert(rows("naive")._1 === backtest.size.toLong)
+    assert(rows("naive")._2 === sNaive)
+    assert(rows("mean4")._2 === sMean)
+    assert(rows("drift")._2 === sDrift)
+    assert(rows("naive")._3 === 1.0)
+    assert(rows("mean4")._3 < 0.9, s"mean4 mase ${rows("mean4")._3}")
+    assert(rows("drift")._3 > 1.2, s"drift mase ${rows("drift")._3}")
+  }
+
+  test("q177 DM moments match brute force and the mean's advantage " +
+      "rejects equal predictive accuracy") {
+    val row = q("q177_diebold_mariano").collect()(0)
+    val ds = backtest.map(b =>
+      math.abs(b._1 - b._2) - math.abs(b._1 - b._3))
+    val n = ds.size.toLong
+    val s1 = ds.sum
+    val s2 = ds.map(x => x * x).sum
+    assert(row.getAs[Long]("n_eval") === n)
+    assert(row.getAs[Long]("s1") === s1)
+    val varD = (n * s2 - s1 * s1).toDouble / (n * (n - 1)).toDouble
+    assert(math.abs(row.getAs[Double]("var_d") - varD) < 1e-6 * varD)
+    assert(row.getAs[Double]("dm_stat") > 2.0) // naive loses, hard
+    assert(row.getAs[Boolean]("reject_95"))
+  }
+
+  test("q178 signed-rank statistic matches brute-force midranks and " +
+      "agrees in direction with the DM test") {
+    val row = q("q178_wilcoxon_signed_rank").collect()(0)
+    val ds = backtest.map(b =>
+      math.abs(b._1 - b._2) - math.abs(b._1 - b._3)).filter(_ != 0)
+    val byAbs = ds.groupBy(d => math.abs(d)).toSeq.sortBy(_._1)
+    var below = 0L
+    var t2 = 0L
+    var tie3 = 0L
+    byAbs.foreach { case (_, grp) =>
+      val t = grp.size.toLong
+      val r2 = 2 * below + t + 1
+      val cpos = grp.count(_ > 0).toLong
+      val cneg = t - cpos
+      t2 += (cpos - cneg) * r2
+      tie3 += t * t * t - t
+      below += t
+    }
+    val n = ds.size.toLong
+    val var2 = (2 * n * (n + 1) * (2 * n + 1)) / 3 - tie3 / 3
+    assert(row.getAs[Long]("n_nonzero") === n)
+    assert(row.getAs[Long]("t2_stat") === t2)
+    assert(row.getAs[Long]("var2") === var2)
+    assert(math.abs(row.getAs[Double]("z") -
+      t2.toDouble / math.sqrt(var2.toDouble)) < 1e-12)
+    assert(row.getAs[Boolean]("reject_95"))
+    assert(row.getAs[Double]("z") > 0) // same direction as DM
+  }
+
+  test("q179 Siegel repeated median matches brute force per nation") {
+    val rows = q("q179_siegel_slope").collect()
+      .map(r => r.getAs[String]("nation") ->
+        r.getAs[Double]("siegel_slope")).toMap
+    val wk = graft.operators.Extended13
+      .nationWeeklyRevenue(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the q155/q179 positional median rule: smallest value at
+    // position ceil(n/2) under (value, tiebreak) ordering
+    def medByRule(xs: Seq[Double]): Double = {
+      val sorted = xs.sorted
+      sorted((xs.size + 1) / 2 - 1)
+    }
+    wk.groupBy(_._1).foreach { case (nation, pts) =>
+      val meds = pts.sortBy(_._2).map { case (_, wi, yi) =>
+        medByRule(pts.filter(_._2 != wi).toSeq.map { case (_, wj, yj) =>
+          (yj - yi).toDouble / (wj - wi).toDouble
+        })
+      }
+      assert(math.abs(rows(nation) - medByRule(meds.toSeq)) < 1e-12,
+        s"nation $nation")
+    }
+  }
+
+  test("q179 recovers the exact planted slope on a strictly monotone " +
+      "weekly fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-siegel").toString
+    val weekly = (0 until 40).map(w => (w.toLong, 1000L + 250L * w))
+    weekly.map { case (w, dollars) =>
+      (w, dollars.toDouble) // one lineitem per order, price = dollars
+    }.toDF("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    weekly.map { case (w, _) =>
+      (w, 1L, java.sql.Date.valueOf(
+        java.time.LocalDate.of(1992, 1, 1).plusDays(7L * w)))
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, "SIEGELLAND")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val row = SparkEntry.queries("q179_siegel_slope")(spark, dir)
+      .collect()(0)
+    assert(row.getAs[String]("nation") === "SIEGELLAND")
+    assert(row.getAs[Double]("siegel_slope") === 250.0)
+  }
+}
