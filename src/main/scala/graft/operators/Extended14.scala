@@ -270,6 +270,51 @@ object Extended14 {
         .orderBy(col("t_min"))
     }),
 
+    // OUT-OF-SAMPLE CALIBRATION (reliability diagram) — does a rate
+    // predictor TRAINED on one half of the corpus hold on the other?
+    // The predictor is the repetition base rate per 20-token length
+    // bin (repetition rises with length: ~0% under 20 tokens to ~16%
+    // past 80 — real structure, pre-verified); the split is the
+    // deterministic doc_id parity (leakage-safe by construction: a
+    // doc is in exactly one side). Per bin: train rate p̂, eval rate,
+    // and the calibration gap — each a single division of exact
+    // longs; no cross-bin float sum exists to sequence (the diagram
+    // IS the deliverable, per-bin rows). Empty-side bins surface as
+    // NULL rates, not silent drops. Scale shape: one documents scan,
+    // map-side partial aggregation to ≤6 bin rows.
+    "q180_calibration_oos" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("words", split(trim(col("text")), " "))
+        .withColumn("n_tok", size(col("words")))
+        .withColumn("train", col("doc_id") % 2 === 0)
+      TextOps.repetitionStatsKeeping(docs, col("n_tok"), col("train"))
+        .select(col("n_tok"), col("train"),
+          (col("n_dup_pos") > 0).as("rep"))
+        .withColumn("bin",
+          least(expr("CAST(n_tok AS BIGINT) div 20"), lit(5L)))
+        .groupBy(col("bin"))
+        .agg(
+          sum(when(col("train"), 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("train") && col("rep"), 1L).otherwise(0L))
+            .as("c_train"),
+          sum(when(!col("train"), 1L).otherwise(0L)).as("n_eval"),
+          sum(when(!col("train") && col("rep"), 1L).otherwise(0L))
+            .as("c_eval"))
+        .withColumn("p_train",
+          when(col("n_train") === 0L, lit(null))
+            .otherwise(col("c_train").cast("double") /
+              col("n_train").cast("double")))
+        .withColumn("p_eval",
+          when(col("n_eval") === 0L, lit(null))
+            .otherwise(col("c_eval").cast("double") /
+              col("n_eval").cast("double")))
+        .withColumn("gap", col("p_eval") - col("p_train"))
+        .select(col("bin"), col("n_train"), col("c_train"),
+          col("p_train"), col("n_eval"), col("c_eval"), col("p_eval"),
+          col("gap"))
+        .orderBy(col("bin"))
+    }),
+
     // PRECISION/RECALL/F1 THRESHOLD SWEEP — the operating-point view
     // of q171's AUC: at each candidate cutoff θ of the distinct-token
     // ratio, the confusion counts against the repetition label and the
@@ -518,6 +563,50 @@ object Extended14 {
           |    (a, x) -> a + x) AS cum_var
           |FROM na CROSS JOIN lst l
           |ORDER BY t_min""".stripMargin),
+
+    "q180_calibration_oos" ->
+      """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ')
+        |    AS words FROM documents),
+        |  g AS (SELECT doc_id,
+        |    UNNEST(list_transform(
+        |      generate_series(1, GREATEST(LEN(words) - 2, 0)),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |      AS gram
+        |  FROM w),
+        |  c AS (SELECT doc_id, gram, COUNT(1) AS cnt FROM g
+        |    GROUP BY doc_id, gram),
+        |  dup AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n_dup
+        |  FROM c GROUP BY doc_id),
+        |  lab AS (SELECT w.doc_id, LEN(words) AS n_tok,
+        |    w.doc_id % 2 = 0 AS train,
+        |    COALESCE(dup.n_dup, 0) > 0 AS rep
+        |  FROM w LEFT JOIN dup USING (doc_id)),
+        |  b AS (SELECT LEAST(CAST(n_tok AS BIGINT) // 20, 5) AS bin,
+        |    train, rep FROM lab),
+        |  ag AS (SELECT bin,
+        |    CAST(SUM(CASE WHEN train THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_train,
+        |    CAST(SUM(CASE WHEN train AND rep THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_train,
+        |    CAST(SUM(CASE WHEN NOT train THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_eval,
+        |    CAST(SUM(CASE WHEN NOT train AND rep THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_eval
+        |  FROM b GROUP BY bin),
+        |  st AS (SELECT bin, n_train, c_train, n_eval, c_eval,
+        |    CASE WHEN n_train = 0 THEN NULL
+        |      ELSE CAST(c_train AS DOUBLE) / CAST(n_train AS DOUBLE)
+        |    END AS p_train,
+        |    CASE WHEN n_eval = 0 THEN NULL
+        |      ELSE CAST(c_eval AS DOUBLE) / CAST(n_eval AS DOUBLE)
+        |    END AS p_eval
+        |  FROM ag)
+        |SELECT bin, n_train, c_train, p_train, n_eval, c_eval,
+        |  p_eval, p_eval - p_train AS gap
+        |FROM st
+        |ORDER BY bin""".stripMargin,
 
     "t41_pr_threshold_sweep" ->
       (docCte +

@@ -148,6 +148,32 @@ class Round7iOpsSpec extends SparkSpec {
     assert(row.getAs[Double]("z") > 2.0)
   }
 
+  test("q180 calibration bins match brute-force per-bin rates on the " +
+      "parity split, and the split is exhaustive and disjoint") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    val byBin = docs.toIndexedSeq.map { r =>
+      val words = r.getString(1).trim.split(" ", -1).toIndexedSeq
+      val grams = words.sliding(3).filter(_.size == 3).toSeq
+      val rep = grams.groupBy(identity).values.exists(_.size > 1)
+      (math.min(words.size / 20, 5).toLong, r.getLong(0) % 2 == 0, rep)
+    }.groupBy(_._1)
+    val rows = q("q180_calibration_oos").collect()
+    assert(rows.map(_.getAs[Long]("bin")).toSet === byBin.keySet)
+    var total = 0L
+    rows.foreach { r =>
+      val grp = byBin(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n_train") === grp.count(_._2).toLong)
+      assert(r.getAs[Long]("c_train") ===
+        grp.count(g => g._2 && g._3).toLong)
+      assert(r.getAs[Long]("n_eval") === grp.count(!_._2).toLong)
+      assert(r.getAs[Long]("c_eval") ===
+        grp.count(g => !g._2 && g._3).toLong)
+      total += r.getAs[Long]("n_train") + r.getAs[Long]("n_eval")
+    }
+    assert(total === docs.length.toLong) // exhaustive + disjoint
+  }
+
   test("q175 Nelson-Aalen cumulative hazard and variance match the " +
       "brute-force fold over collected durations") {
     val rows = q("q175_nelson_aalen").collect()
