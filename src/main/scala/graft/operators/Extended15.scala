@@ -176,6 +176,40 @@ object Extended15 {
           col("var2"), col("z"), col("reject_95"))
     }),
 
+    // YULE'S K + SIMPSON'S D — corpus-level lexical concentration per
+    // language, from the term-frequency spectrum: K = 10⁴·(Σf² − N)/N²
+    // and D = Σf(f−1)/(N(N−1)) (the probability two random tokens are
+    // the same type). Complements t25's per-doc TTR with the
+    // corpus-level repeat-rate view — on this closed ~31-word
+    // vocabulary both run high, and the per-language comparison is
+    // the deliverable. Σf², N, V, V1 are exact longs; K and D are
+    // single divisions. Long-range note: Σf² holds in longs to
+    // N ≈ 3e9 tokens per language (uniform spectrum) — past that,
+    // DECIMAL(38,0)/HUGEINT (the q156 carrier). Scale shape: one
+    // documents scan, one (lang, term) exchange whose partial
+    // aggregation collapses map-side, then ≤|langs| rows.
+    "t42_yule_k" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"),
+          explode(split(trim(col("text")), " ")).as("term"))
+        .groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("f"))
+        .groupBy(col("lang"))
+        .agg(sum(col("f")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("f") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+          sum(col("f") * col("f")).as("s2"))
+        .withColumn("yule_k",
+          (lit(10000L) * (col("s2") - col("n_tokens"))).cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double"))
+        .withColumn("simpson_d",
+          (col("s2") - col("n_tokens")).cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1L)).cast("double"))
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          col("n_hapax"), col("s2"), col("yule_k"), col("simpson_d"))
+        .orderBy(col("lang"))
+    }),
+
     // SIEGEL REPEATED-MEDIAN SLOPE — the 50%-breakdown upgrade of
     // q155's Theil–Sen (29%): per week i, take the median of slopes
     // to every other week j, then the median of those per-week
@@ -311,6 +345,26 @@ object Extended15 {
           |SELECT n_nonzero, t2_stat, tie3, var2, z,
           |  ABS(z) > 1.96 AS reject_95
           |FROM fin""".stripMargin),
+
+    "t42_yule_k" ->
+      """WITH tf AS (SELECT lang, UNNEST(string_split(TRIM(text), ' '))
+        |    AS term FROM documents),
+        |  f AS (SELECT lang, term, CAST(COUNT(1) AS BIGINT) AS f
+        |    FROM tf GROUP BY 1, 2),
+        |  ag AS (SELECT lang,
+        |    CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(1) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax,
+        |    CAST(SUM(f * f) AS BIGINT) AS s2
+        |  FROM f GROUP BY 1)
+        |SELECT lang, n_tokens, n_types, n_hapax, s2,
+        |  CAST(10000 * (s2 - n_tokens) AS DOUBLE) /
+        |    CAST(n_tokens * n_tokens AS DOUBLE) AS yule_k,
+        |  CAST(s2 - n_tokens AS DOUBLE) /
+        |    CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson_d
+        |FROM ag
+        |ORDER BY lang""".stripMargin,
 
     "q179_siegel_slope" ->
       """WITH wk AS (SELECT n.n_name AS nation,

@@ -105,6 +105,28 @@ class Round7jOpsSpec extends SparkSpec {
     assert(row.getAs[Double]("z") > 0) // same direction as DM
   }
 
+  test("t42 Yule's K and Simpson's D match brute force per language") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = q("t42_yule_k").collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val freq = ds.toSeq.flatMap(_._2.trim.split(" ", -1))
+        .groupBy(identity).map(_._2.size.toLong)
+      val n = freq.sum
+      val s2 = freq.map(f => f * f).sum
+      val r = rows(lang)
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("n_types") === freq.size.toLong)
+      assert(r.getAs[Long]("s2") === s2)
+      assert(math.abs(r.getAs[Double]("yule_k") -
+        10000.0 * (s2 - n) / (n.toDouble * n)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("simpson_d") -
+        (s2 - n).toDouble / (n.toDouble * (n - 1))) < 1e-12)
+    }
+  }
+
   test("q179 Siegel repeated median matches brute force per nation") {
     val rows = q("q179_siegel_slope").collect()
       .map(r => r.getAs[String]("nation") ->
