@@ -394,6 +394,45 @@ object StreamingOps {
     out.result().iterator
   }
 
+  /** q104's streaming twin: the truncated 8-term power-of-2 EWMA run
+    * continuously. Input is completed weekly cells (key, wk, cents) —
+    * a watermarked weekly rollup upstream, the seasonalFold
+    * "completed cells" contract; key names the monitored series
+    * (q104's region). State per key is the trailing ≤ 7 observed
+    * cents values — BOUNDED regardless of history length. Weights
+    * mirror q104 exactly: current week 128, j-th previous OBSERVED
+    * week 2^(7−j), absent terms contribute nothing to numerator or
+    * denominator — so an in-order weekly replay reproduces the batch
+    * rows bit-for-bit (pinned in StatefulStreamSpec), including the
+    * warm-up weeks where the denominator is still filling. All
+    * integer arithmetic is addExact/multiplyExact — overflow fails
+    * loudly (the d01 collision-guard stance); the two final double
+    * projections copy the batch's operation sequence. Weeks arriving
+    * in one micro-batch fold in ascending order.
+    */
+  case class WeekTotal(key: String, wk: Long, cents: Long)
+  case class EwmaPoint(key: String, wk: Long, revenue: Double,
+      ewma_revenue: Double)
+  def ewmaFold(key: String, it: Iterator[WeekTotal],
+      state: GroupState[Seq[Long]]): Iterator[EwmaPoint] = {
+    var hist = state.getOption.getOrElse(Seq.empty[Long])
+    val out = Array.newBuilder[EwmaPoint]
+    it.toArray.sortBy(_.wk).foreach { o =>
+      var num = Math.multiplyExact(o.cents, 128L)
+      var den = 128L
+      hist.reverse.zipWithIndex.foreach { case (c, i) =>
+        val w = 1L << (6 - i) // lag j = i + 1 weighs 2^(7-j)
+        num = Math.addExact(num, Math.multiplyExact(c, w))
+        den += w
+      }
+      out += EwmaPoint(key, o.wk, o.cents.toDouble / 100.0,
+        num.toDouble / (den.toDouble * 100.0))
+      hist = (hist :+ o.cents).takeRight(7)
+    }
+    state.update(hist)
+    out.result().iterator
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling event-time window aggregate. Streaming twin: identical plan
     // + withWatermark("ts", ...); partial agg keeps the shuffle tiny.

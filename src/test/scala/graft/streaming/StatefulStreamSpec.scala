@@ -550,6 +550,59 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaFold replays q104's weekly cells across two micro-batches " +
+      "and reproduces the batch EWMA rows bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.StreamingOps.{WeekTotal, EwmaPoint}
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // q104's weekly carrier, recomputed independently: per (region,
+    // week) order-total cents
+    val geo = graft.Tables.nation(spark, dir)
+      .join(graft.Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val weekly = graft.Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (datediff(col("o_orderdate"), lit("1970-01-01")) / 7)
+          .cast("long").as("wk"),
+        graft.Parity.cents2(col("o_totalprice")).as("c"))
+      .join(graft.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(geo, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name"), col("wk"))
+      .agg(sum(col("c")).as("cents"))
+      .collect().map(r =>
+        WeekTotal(r.getString(0), r.getLong(1), r.getLong(2)))
+    val cut = weekly.map(_.wk).sorted.apply(weekly.length / 2)
+    val (b1, b2) = weekly.partition(_.wk < cut)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    val input = MemoryStream[WeekTotal](spark)
+    val q = input.toDS().groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        graft.operators.StreamingOps.ewmaFold _)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ewma_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_xbatch").as[EwmaPoint].collect()
+        .map(p => (p.key, p.wk) -> (p.revenue, p.ewma_revenue)).toMap
+      val batch = graft.SparkEntry.queries("q104_ewma_revenue")(spark, dir)
+        .collect().map(r => (r.getAs[String]("r_name"),
+          r.getAs[Long]("wk")) ->
+          (r.getAs[Double]("revenue"), r.getAs[Double]("ewma_revenue")))
+        .toMap
+      assert(streamed == batch,
+        s"stream-batch divergence: ${streamed.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("stateful query runs on the RocksDB state store (the bounded-memory " +
       "store for 100 TB-scale state)") {
     import spark.implicits._
