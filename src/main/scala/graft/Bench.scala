@@ -114,7 +114,12 @@ object Bench {
     "q162_mann_kendall", "t40_pps_sample", "q163_dunn_posthoc",
     "q164_poisson_bootstrap", "q165_brown_forsythe", "q166_welch_anova",
     "q167_bh_fdr", "q168_page_trend", "q169_capture_recapture",
-    "q170_bootstrap_median_ci")
+    "q170_bootstrap_median_ci",
+    "q171_roc_auc", "q172_mcnemar_screens", "q173_cochran_q",
+    "q174_logrank", "q175_nelson_aalen", "t41_pr_threshold_sweep",
+    "q176_forecast_backtest", "q177_diebold_mariano",
+    "q178_wilcoxon_signed_rank", "q179_siegel_slope",
+    "q180_calibration_oos", "t42_yule_k", "q181_isotonic_calibration")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -315,6 +315,53 @@ object Extended14 {
         .orderBy(col("bin"))
     }),
 
+    // ISOTONIC (PAV) CALIBRATION — the monotone repair of q180's raw
+    // rate predictor: repetition probability should not DECREASE with
+    // length, but the raw train rates do dip (bin 0 > bin 1 at
+    // sf0.01 — pre-verified, so the pooling genuinely fires). The fit
+    // is the exact pool-adjacent-violators solution via its minimax
+    // characterization f(i) = max_{j≤i} min_{k≥i} rate(j..k), with
+    // every interval rate a single division of exact count sums —
+    // identical doubles on both engines, and the max/min lattice
+    // needs no iteration. Scale shape: one documents scan collapses
+    // to ≤6 weighted bins; the interval enumeration and the (i, j, k)
+    // lattice are 6×21-bounded broadcast non-equi joins over those
+    // bins (PlanLint-allowlisted, the q136 class) — constant-size at
+    // ANY data scale.
+    "q181_isotonic_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("words", split(trim(col("text")), " "))
+        .withColumn("n_tok", size(col("words")))
+        .filter(col("doc_id") % 2 === 0) // the q180 train split
+      // the 6-row bin frame feeds the interval enumeration 3x — cut
+      // it so the documents scan runs once (ScanAudit)
+      val bins = Materialize.LocalCheckpoint(
+        TextOps.repetitionStatsKeeping(docs, col("n_tok"))
+          .select(col("n_tok"), (col("n_dup_pos") > 0).as("rep"))
+          .withColumn("bin",
+            least(expr("CAST(n_tok AS BIGINT) div 20"), lit(5L)))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("rep"), 1L).otherwise(0L)).as("c")))
+      val iv = bins.select(col("bin").as("j")).join(
+          bins.select(col("bin").as("k")), col("j") <= col("k"))
+        .join(bins.select(col("bin").as("m"), col("n"), col("c")),
+          col("m") >= col("j") && col("m") <= col("k"))
+        .groupBy(col("j"), col("k"))
+        .agg((sum(col("c")).cast("double") /
+          sum(col("n")).cast("double")).as("rate"))
+      bins.join(iv, col("j") <= col("bin") && col("k") >= col("bin"))
+        .groupBy(col("bin"), col("n"), col("c"), col("j"))
+        .agg(min(col("rate")).as("min_rate"))
+        .groupBy(col("bin"), col("n"), col("c"))
+        .agg(max(col("min_rate")).as("p_isotonic"))
+        .withColumn("p_raw",
+          col("c").cast("double") / col("n").cast("double"))
+        .select(col("bin"), col("n"), col("c"), col("p_raw"),
+          col("p_isotonic"))
+        .orderBy(col("bin"))
+    }),
+
     // PRECISION/RECALL/F1 THRESHOLD SWEEP — the operating-point view
     // of q171's AUC: at each candidate cutoff θ of the distinct-token
     // ratio, the confusion counts against the repetition label and the
@@ -606,6 +653,44 @@ object Extended14 {
         |SELECT bin, n_train, c_train, p_train, n_eval, c_eval,
         |  p_eval, p_eval - p_train AS gap
         |FROM st
+        |ORDER BY bin""".stripMargin,
+
+    "q181_isotonic_calibration" ->
+      """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ')
+        |    AS words FROM documents WHERE doc_id % 2 = 0),
+        |  g AS (SELECT doc_id,
+        |    UNNEST(list_transform(
+        |      generate_series(1, GREATEST(LEN(words) - 2, 0)),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |      AS gram
+        |  FROM w),
+        |  c AS (SELECT doc_id, gram, COUNT(1) AS cnt FROM g
+        |    GROUP BY doc_id, gram),
+        |  dup AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n_dup
+        |  FROM c GROUP BY doc_id),
+        |  lab AS (SELECT LEAST(CAST(LEN(words) AS BIGINT) // 20, 5)
+        |      AS bin,
+        |    COALESCE(dup.n_dup, 0) > 0 AS rep
+        |  FROM w LEFT JOIN dup USING (doc_id)),
+        |  bins AS (SELECT bin, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM lab GROUP BY bin),
+        |  iv AS (SELECT j.bin AS j, k.bin AS k,
+        |    CAST(SUM(m.c) AS DOUBLE) / CAST(SUM(m.n) AS DOUBLE)
+        |      AS rate
+        |  FROM bins j JOIN bins k ON j.bin <= k.bin
+        |  JOIN bins m ON m.bin >= j.bin AND m.bin <= k.bin
+        |  GROUP BY 1, 2),
+        |  mn AS (SELECT b.bin, b.n, b.c, iv.j,
+        |    MIN(iv.rate) AS min_rate
+        |  FROM bins b JOIN iv ON iv.j <= b.bin AND iv.k >= b.bin
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT bin, n, c,
+        |  CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p_raw,
+        |  MAX(min_rate) AS p_isotonic
+        |FROM mn GROUP BY bin, n, c
         |ORDER BY bin""".stripMargin,
 
     "t41_pr_threshold_sweep" ->

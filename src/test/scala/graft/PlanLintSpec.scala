@@ -72,7 +72,8 @@ class PlanLintSpec extends SparkSpec {
     "q132_kmv_intersection", // 1-row sketch x 1-row exact scalar join, O(1)
     "q133_survival_km", // 1-row broadcast K-M factor list (|event times|)
     "q136_bitmap_distinct", // |priorities|^2 bitmap pairing (5x5, non-equi)
-    "q175_nelson_aalen") // 1-row broadcast hazard-term list (q133 pattern)
+    "q175_nelson_aalen", // 1-row broadcast hazard-term list (q133 pattern)
+    "q181_isotonic_calibration") // 6x21-bounded bin-interval lattice (q136 class)
     // q121/e29's centroid-cross and date-split scalars run inside their
     // eager Materialize stages, so their FINAL plans are product-free
 

@@ -174,6 +174,49 @@ class Round7iOpsSpec extends SparkSpec {
     assert(total === docs.length.toLong) // exhaustive + disjoint
   }
 
+  test("q181 isotonic fit matches a reference PAV implementation, is " +
+      "monotone, and preserves the weighted mean") {
+    val rows = q("q181_isotonic_calibration").collect()
+      .sortBy(_.getAs[Long]("bin"))
+    val ns = rows.map(_.getAs[Long]("n"))
+    val cs = rows.map(_.getAs[Long]("c"))
+    // classic stack-based pool-adjacent-violators
+    case class Block(n: Long, c: Long) {
+      def rate: Double = c.toDouble / n.toDouble
+    }
+    val pav = ns.indices.foldLeft(List.empty[Block]) { (st, i) =>
+      var stack = Block(ns(i), cs(i)) :: st
+      while (stack.size > 1 && stack(1).rate >= stack.head.rate) {
+        val (a :: b :: rest) = stack: @unchecked
+        stack = Block(a.n + b.n, a.c + b.c) :: rest
+      }
+      stack
+    }.reverse
+    // expand block rates back to per-bin fitted values
+    val expanded = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      pav.foreach { b =>
+        var left = b.n
+        while (left > 0 && i < ns.length) {
+          out += b.c.toDouble / b.n.toDouble
+          left -= ns(i); i += 1
+        }
+      }
+      out.toSeq
+    }
+    val got = rows.map(_.getAs[Double]("p_isotonic")).toSeq
+    assert(got.size === expanded.size)
+    got.zip(expanded).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) < 1e-12, s"bin $i: $g vs $e")
+    }
+    // monotone nondecreasing
+    assert(got.zip(got.tail).forall { case (a, b) => b >= a })
+    // pooling preserves the weighted mean exactly (in rationals)
+    val lhs = got.zip(ns).map { case (p, n) => p * n }.sum
+    assert(math.abs(lhs - cs.sum.toDouble) < 1e-9)
+  }
+
   test("q175 Nelson-Aalen cumulative hazard and variance match the " +
       "brute-force fold over collected durations") {
     val rows = q("q175_nelson_aalen").collect()
