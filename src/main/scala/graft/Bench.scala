@@ -119,7 +119,8 @@ object Bench {
     "q174_logrank", "q175_nelson_aalen", "t41_pr_threshold_sweep",
     "q176_forecast_backtest", "q177_diebold_mariano",
     "q178_wilcoxon_signed_rank", "q179_siegel_slope",
-    "q180_calibration_oos", "t42_yule_k", "q181_isotonic_calibration")
+    "q180_calibration_oos", "t42_yule_k", "q181_isotonic_calibration",
+    "q182_hosmer_lemeshow")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

@@ -362,6 +362,84 @@ object Extended14 {
         .orderBy(col("bin"))
     }),
 
+    // HOSMER–LEMESHOW TEST — the formal closure of the calibration
+    // arc: does q181's isotonic fit (trained on even doc_ids) survive
+    // the held-out odd half? HL = Σ_bins (c_ev − n_ev·p̂)² /
+    // (n_ev·p̂·(1−p̂)) with p̂ the isotonic rate (never 0 or 1 on this
+    // corpus — raw rates have a zero bin, which is exactly why the
+    // pooled fit is the testable one). Each bin term is a short
+    // identical-sequence double expression over exact longs; the
+    // cross-bin sum is an explicit LEFT FOLD over the bin-ordered
+    // term list (the q133/q174 idiom — ≤6 rationals-of-integers, not
+    // decimal-summable). df = bins − 2 by convention; the χ² critical
+    // value rides a hardcoded literal per df (the q156 stance).
+    // Scale shape: everything downstream of the ≤6-bin lattice is
+    // constant-size; ONE documents scan feeds both splits.
+    "q182_hosmer_lemeshow" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("words", split(trim(col("text")), " "))
+        .withColumn("n_tok", size(col("words")))
+        .withColumn("train", col("doc_id") % 2 === 0)
+      val bins = Materialize.LocalCheckpoint(
+        TextOps.repetitionStatsKeeping(docs, col("n_tok"), col("train"))
+          .select(col("n_tok"), col("train"),
+            (col("n_dup_pos") > 0).as("rep"))
+          .withColumn("bin",
+            least(expr("CAST(n_tok AS BIGINT) div 20"), lit(5L)))
+          .groupBy(col("bin"))
+          .agg(
+            sum(when(col("train"), 1L).otherwise(0L)).as("n"),
+            sum(when(col("train") && col("rep"), 1L).otherwise(0L))
+              .as("c"),
+            sum(when(!col("train"), 1L).otherwise(0L)).as("n_ev"),
+            sum(when(!col("train") && col("rep"), 1L).otherwise(0L))
+              .as("c_ev")))
+      val iv = bins.select(col("bin").as("j")).join(
+          bins.select(col("bin").as("k")), col("j") <= col("k"))
+        .join(bins.select(col("bin").as("m"), col("n"), col("c")),
+          col("m") >= col("j") && col("m") <= col("k"))
+        .groupBy(col("j"), col("k"))
+        .agg((sum(col("c")).cast("double") /
+          sum(col("n")).cast("double")).as("rate"))
+      val fit = bins
+        .join(iv, col("j") <= col("bin") && col("k") >= col("bin"))
+        .groupBy(col("bin"), col("n_ev"), col("c_ev"), col("j"))
+        .agg(min(col("rate")).as("min_rate"))
+        .groupBy(col("bin"), col("n_ev"), col("c_ev"))
+        .agg(max(col("min_rate")).as("p_iso"))
+        // HL is defined over informative bins: a fitted rate of
+        // exactly 0/1 (possible when a prefix block is all-clean, as
+        // at sf0.001) or an empty eval side contributes no
+        // information — those bins drop from the sum and the df,
+        // surfaced via n_bins (the merged-bin convention,
+        // deterministically)
+        .filter(col("p_iso") > 0.0 && col("p_iso") < 1.0 &&
+          col("n_ev") > 0L)
+        .withColumn("term",
+          (col("c_ev").cast("double") -
+            col("n_ev").cast("double") * col("p_iso")) *
+            (col("c_ev").cast("double") -
+              col("n_ev").cast("double") * col("p_iso")) /
+            (col("n_ev").cast("double") * col("p_iso") *
+              (lit(1.0) - col("p_iso"))))
+      val lst = fit.agg(sort_array(collect_list(
+        struct(col("bin"), col("term")))).as("lst"),
+        count(lit(1)).as("n_bins"))
+      lst.select(col("n_bins"),
+          expr("aggregate(transform(lst, s -> s.term), " +
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("hl_stat"))
+        .withColumn("df", col("n_bins") - 2L)
+        .withColumn("reject_95", // chi2 .95 quantiles, df 1..8
+          col("hl_stat") > element_at(array(
+            lit(3.841458820694124), lit(5.991464547107979),
+            lit(7.814727903251179), lit(9.487729036781154),
+            lit(11.070497693516351), lit(12.591587243743977),
+            lit(14.067140449340169), lit(15.50731305586545)),
+            col("df").cast("int")))
+        .select(col("n_bins"), col("df"), col("hl_stat"),
+          col("reject_95"))
+    }),
+
     // PRECISION/RECALL/F1 THRESHOLD SWEEP — the operating-point view
     // of q171's AUC: at each candidate cutoff θ of the distinct-token
     // ratio, the confusion counts against the repetition label and the
@@ -692,6 +770,69 @@ object Extended14 {
         |  MAX(min_rate) AS p_isotonic
         |FROM mn GROUP BY bin, n, c
         |ORDER BY bin""".stripMargin,
+
+    "q182_hosmer_lemeshow" ->
+      """WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ')
+        |    AS words FROM documents),
+        |  g AS (SELECT doc_id,
+        |    UNNEST(list_transform(
+        |      generate_series(1, GREATEST(LEN(words) - 2, 0)),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |      AS gram
+        |  FROM w),
+        |  c AS (SELECT doc_id, gram, COUNT(1) AS cnt FROM g
+        |    GROUP BY doc_id, gram),
+        |  dup AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n_dup
+        |  FROM c GROUP BY doc_id),
+        |  lab AS (SELECT LEAST(CAST(LEN(words) AS BIGINT) // 20, 5)
+        |      AS bin,
+        |    w.doc_id % 2 = 0 AS train,
+        |    COALESCE(dup.n_dup, 0) > 0 AS rep
+        |  FROM w LEFT JOIN dup USING (doc_id)),
+        |  bins AS (SELECT bin,
+        |    CAST(SUM(CASE WHEN train THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n,
+        |    CAST(SUM(CASE WHEN train AND rep THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN NOT train THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ev,
+        |    CAST(SUM(CASE WHEN NOT train AND rep THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_ev
+        |  FROM lab GROUP BY bin),
+        |  iv AS (SELECT j.bin AS j, k.bin AS k,
+        |    CAST(SUM(m.c) AS DOUBLE) / CAST(SUM(m.n) AS DOUBLE)
+        |      AS rate
+        |  FROM bins j JOIN bins k ON j.bin <= k.bin
+        |  JOIN bins m ON m.bin >= j.bin AND m.bin <= k.bin
+        |  GROUP BY 1, 2),
+        |  mn AS (SELECT b.bin, b.n_ev, b.c_ev, iv.j,
+        |    MIN(iv.rate) AS min_rate
+        |  FROM bins b JOIN iv ON iv.j <= b.bin AND iv.k >= b.bin
+        |  GROUP BY 1, 2, 3, 4),
+        |  fit AS (SELECT bin, n_ev, c_ev, MAX(min_rate) AS p_iso
+        |  FROM mn GROUP BY bin, n_ev, c_ev),
+        |  terms AS (SELECT bin,
+        |    (CAST(c_ev AS DOUBLE) - CAST(n_ev AS DOUBLE) * p_iso) *
+        |      (CAST(c_ev AS DOUBLE) - CAST(n_ev AS DOUBLE) * p_iso) /
+        |      (CAST(n_ev AS DOUBLE) * p_iso * (1.0 - p_iso)) AS term
+        |  FROM fit
+        |  WHERE p_iso > 0.0 AND p_iso < 1.0 AND n_ev > 0),
+        |  lst AS (SELECT list(struct_pack(bin := bin, term := term)
+        |      ORDER BY bin) AS l, CAST(COUNT(1) AS BIGINT) AS n_bins
+        |    FROM terms),
+        |  ag AS (SELECT n_bins, n_bins - 2 AS df,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(l, s -> s.term)), (a, x) -> a + x)
+        |      AS hl_stat
+        |  FROM lst)
+        |SELECT n_bins, df, hl_stat,
+        |  hl_stat > ([3.841458820694124, 5.991464547107979,
+        |    7.814727903251179, 9.487729036781154, 11.070497693516351,
+        |    12.591587243743977, 14.067140449340169,
+        |    15.50731305586545])[CAST(df AS INT)] AS reject_95
+        |FROM ag""".stripMargin,
 
     "t41_pr_threshold_sweep" ->
       (docCte +

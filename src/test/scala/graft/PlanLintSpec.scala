@@ -73,7 +73,8 @@ class PlanLintSpec extends SparkSpec {
     "q133_survival_km", // 1-row broadcast K-M factor list (|event times|)
     "q136_bitmap_distinct", // |priorities|^2 bitmap pairing (5x5, non-equi)
     "q175_nelson_aalen", // 1-row broadcast hazard-term list (q133 pattern)
-    "q181_isotonic_calibration") // 6x21-bounded bin-interval lattice (q136 class)
+    "q181_isotonic_calibration", // 6x21-bounded bin-interval lattice (q136 class)
+    "q182_hosmer_lemeshow") // same bounded lattice + 1-row term-list broadcast
     // q121/e29's centroid-cross and date-split scalars run inside their
     // eager Materialize stages, so their FINAL plans are product-free
 

@@ -217,6 +217,43 @@ class Round7iOpsSpec extends SparkSpec {
     assert(math.abs(lhs - cs.sum.toDouble) < 1e-9)
   }
 
+  test("q182 Hosmer-Lemeshow matches brute force from the reference " +
+      "PAV fit and drops the sf0.001 degenerate (rate-0) bin") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    val binned = docs.toIndexedSeq.map { r =>
+      val words = r.getString(1).trim.split(" ", -1).toIndexedSeq
+      val grams = words.sliding(3).filter(_.size == 3).toSeq
+      val rep = grams.groupBy(identity).values.exists(_.size > 1)
+      (math.min(words.size / 20, 5), r.getLong(0) % 2 == 0, rep)
+    }
+    val bins = binned.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (b, g) =>
+        (b, g.count(_._2).toLong, g.count(x => x._2 && x._3).toLong,
+          g.count(!_._2).toLong, g.count(x => !x._2 && x._3).toLong)
+    }
+    // minimax PAV over the train side
+    def rate(j: Int, k: Int): Double = {
+      val seg = bins.slice(j, k + 1)
+      seg.map(_._3).sum.toDouble / seg.map(_._2).sum.toDouble
+    }
+    val terms = bins.indices.flatMap { i =>
+      val p = (0 to i).map(j =>
+        (i until bins.size).map(k => rate(j, k)).min).max
+      val (_, _, _, nEv, cEv) = bins(i)
+      if (p > 0.0 && p < 1.0 && nEv > 0)
+        Some((cEv - nEv * p) * (cEv - nEv * p) / (nEv * p * (1 - p)))
+      else None
+    }
+    val expected = terms.foldLeft(0.0)(_ + _)
+    val row = q("q182_hosmer_lemeshow").collect()(0)
+    assert(row.getAs[Long]("n_bins") === terms.size.toLong)
+    assert(terms.size < bins.size, // the degenerate bin really drops
+      s"expected a dropped bin at sf0.001, got ${terms.size}")
+    assert(row.getAs[Long]("df") === terms.size.toLong - 2)
+    assert(math.abs(row.getAs[Double]("hl_stat") - expected) < 1e-9)
+  }
+
   test("q175 Nelson-Aalen cumulative hazard and variance match the " +
       "brute-force fold over collected durations") {
     val rows = q("q175_nelson_aalen").collect()
