@@ -224,30 +224,35 @@ object Extended15 {
     // data scale, never O(rows²).
     "q179_siegel_slope" -> ((s, d) => {
       val wk = Extended13.nationWeeklyRevenue(s, d)
+      // the selection thresholds are knowable without counting inside
+      // the pair frame: every week has exactly n_weeks − 1 partners
+      // and every nation has n_weeks per-week medians — a broadcast
+      // 25-row join replaces two count-window passes over the
+      // grid² pair frame
+      val weeks = wk.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_weeks"))
       val pairs = wk.as("a").join(wk.as("b"),
           col("a.nation") === col("b.nation") && col("a.w") =!= col("b.w"))
         .select(col("a.nation").as("nation"), col("a.w").as("wi"),
           col("b.w").as("wj"),
           ((col("b.y") - col("a.y")).cast("double") /
             (col("b.w") - col("a.w")).cast("double")).as("slope"))
+        .join(broadcast(weeks), "nation")
       val wPos = Window.partitionBy(col("nation"), col("wi"))
         .orderBy(col("slope"), col("wj"))
-      val wTot = Window.partitionBy(col("nation"), col("wi"))
       val perWeek = pairs
         .withColumn("rn", row_number().over(wPos))
-        .withColumn("np", count(lit(1)).over(wTot))
         .groupBy(col("nation"), col("wi"))
-        .agg(min(when(lit(2L) * col("rn") >= col("np"), col("slope")))
-          .as("med_i"))
+        .agg(max(col("n_weeks")).as("n_weeks"),
+          min(when(lit(2L) * col("rn") >= col("n_weeks") - 1L,
+            col("slope"))).as("med_i"))
       val wPos2 = Window.partitionBy(col("nation"))
         .orderBy(col("med_i"), col("wi"))
-      val wTot2 = Window.partitionBy(col("nation"))
       perWeek
         .withColumn("rn", row_number().over(wPos2))
-        .withColumn("np", count(lit(1)).over(wTot2))
         .groupBy(col("nation"))
-        .agg(max(col("np")).as("n_weeks"),
-          min(when(lit(2L) * col("rn") >= col("np"), col("med_i")))
+        .agg(max(col("n_weeks")).as("n_weeks"),
+          min(when(lit(2L) * col("rn") >= col("n_weeks"), col("med_i")))
             .as("siegel_slope"))
         .orderBy(col("nation"))
     }))
