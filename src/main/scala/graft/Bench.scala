@@ -120,7 +120,9 @@ object Bench {
     "q176_forecast_backtest", "q177_diebold_mariano",
     "q178_wilcoxon_signed_rank", "q179_siegel_slope",
     "q180_calibration_oos", "t42_yule_k", "q181_isotonic_calibration",
-    "q182_hosmer_lemeshow", "q183_multiple_regression")
+    "q182_hosmer_lemeshow", "q183_multiple_regression",
+    "q184_brunner_munzel", "q185_cramer_von_mises",
+    "q186_effect_sizes")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

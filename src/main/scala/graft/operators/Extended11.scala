@@ -52,6 +52,22 @@ object Extended11 {
               "unix_micros(CAST(ft AS TIMESTAMP))) div 60000000"))
           .as("dur")))
 
+  /** The two-sample contrast carrier shared by q134 Mann–Whitney and
+    * Extended15's q184/q185/q186: per-order whole-dollar revenue
+    * tagged wide (≥ 6 items) vs narrow (≤ 2) — the pair that
+    * genuinely separates on this corpus (the q108 attainability
+    * rule). One fact rollup; everything downstream runs on value
+    * grids. */
+  private[graft] def orderWidthValues(
+      s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+      .filter(col("n_items") <= 2 || col("n_items") >= 6)
+      .select(expr("cents div 100").as("value"),
+        (col("n_items") >= 6).as("wide"))
+
   /** Portable 60-bit hash both engines can compute bit-identically:
     * the first 15 hex chars of md5 over the value's UTF-8 string form
     * (the q114/q51 discipline). */
@@ -352,13 +368,7 @@ object Extended11 {
     // only fact exchange is the per-order rollup; everything after
     // runs on the value grid.
     "q134_mannwhitney_u" -> ((s, d) => {
-      val per = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_items"),
-          sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
-        .filter(col("n_items") <= 2 || col("n_items") >= 6)
-        .select(expr("cents div 100").as("value"),
-          (col("n_items") >= 6).as("wide"))
+      val per = orderWidthValues(s, d)
       val ev = per.groupBy(col("value"))
         .agg(sum(when(col("wide"), 1L).otherwise(0L)).as("ca"),
           sum(when(!col("wide"), 1L).otherwise(0L)).as("cb"))

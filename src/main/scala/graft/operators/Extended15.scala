@@ -176,6 +176,170 @@ object Extended15 {
           col("var2"), col("z"), col("reject_95"))
     }),
 
+    // BRUNNER–MUNZEL TEST — the Welch of rank tests: q134's
+    // Mann–Whitney assumes equal variances of the rank distributions;
+    // q165 measured that homoscedasticity FAILS across order-size
+    // buckets (F ≈ 568), so this is the two-sample rank test actually
+    // licensed on this corpus. Per group: pooled and within-group
+    // 2×midranks off the shared value grid; the rank-difference
+    // moments A = Σc·(2d)², B = Σc·(2d) stay exact longs, the
+    // variance combos n·A − B² ride DECIMAL(38,0)/HUGEINT (measured
+    // ≤ 6e19 at sf0.1 — the q183 carrier), and
+    // S²_g = (n·A − B²)/(4n(n−1)) is one division. W follows the
+    // standard n₁n₂(R̄₁−R̄₂)/((N)·√(n₁S₁²+n₂S₂²)) assembly with one
+    // IEEE sqrt; p̂ = (R̄_wide − (n_w+1)/2)/n_n is the common-language
+    // effect size on the same rationals. Large-sample normal
+    // rejection (documented; n ≥ 5k at the gate SFs). Scale shape:
+    // one fact rollup, grid-keyed windows, one row out.
+    "q184_brunner_munzel" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val grid = Extended11.orderWidthValues(s, d)
+        .groupBy(col("value"))
+        .agg(sum(when(col("wide"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("wide"), 1L).otherwise(0L)).as("cb"))
+        .withColumn("t", col("ca") + col("cb"))
+      val wB = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rk = grid
+        .withColumn("below", coalesce(sum(col("t")).over(wB), lit(0L)))
+        .withColumn("below_a",
+          coalesce(sum(col("ca")).over(wB), lit(0L)))
+        .withColumn("below_b",
+          coalesce(sum(col("cb")).over(wB), lit(0L)))
+        .withColumn("r2", lit(2L) * col("below") + col("t") + 1L)
+        .withColumn("da",
+          col("r2") - (lit(2L) * col("below_a") + col("ca") + 1L))
+        .withColumn("db",
+          col("r2") - (lit(2L) * col("below_b") + col("cb") + 1L))
+      val m = rk.agg(
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(col("ca") * col("r2")).as("pa2"),
+        sum(col("cb") * col("r2")).as("pb2"),
+        sum(col("ca") * col("da")).as("ba"),
+        sum(col("ca") * col("da") * col("da")).as("aa"),
+        sum(col("cb") * col("db")).as("bb"),
+        sum(col("cb") * col("db") * col("db")).as("ab"))
+      m.withColumn("s2a",
+          (col("na").cast(dec) * col("aa").cast(dec) -
+            col("ba").cast(dec) * col("ba").cast(dec)).cast("double") /
+            (lit(4L) * col("na") * (col("na") - 1L)).cast("double"))
+        .withColumn("s2b",
+          (col("nb").cast(dec) * col("ab").cast(dec) -
+            col("bb").cast(dec) * col("bb").cast(dec)).cast("double") /
+            (lit(4L) * col("nb") * (col("nb") - 1L)).cast("double"))
+        .withColumn("rbar_a",
+          col("pa2").cast("double") /
+            (lit(2.0) * col("na").cast("double")))
+        .withColumn("rbar_b",
+          col("pb2").cast("double") /
+            (lit(2.0) * col("nb").cast("double")))
+        .withColumn("p_hat",
+          (col("rbar_a") -
+            (col("na") + 1L).cast("double") / lit(2.0)) /
+            col("nb").cast("double"))
+        .withColumn("w_stat",
+          col("na").cast("double") * col("nb").cast("double") *
+            (col("rbar_a") - col("rbar_b")) /
+            ((col("na") + col("nb")).cast("double") *
+              sqrt(col("na").cast("double") * col("s2a") +
+                col("nb").cast("double") * col("s2b"))))
+        .withColumn("reject_95", abs(col("w_stat")) > 1.96)
+        .select(col("na").as("n_wide"), col("nb").as("n_narrow"),
+          col("p_hat"), col("s2a").as("s2_wide"),
+          col("s2b").as("s2_narrow"), col("w_stat"), col("reject_95"))
+    }),
+
+    // CRAMÉR–VON MISES TWO-SAMPLE — the integral companion to t36's
+    // KS supremum: T = Σ_pooled t·(C₁n₂ − C₂n₁)² / (N²n₁n₂) over the
+    // pooled value grid, sensitive to distribution differences
+    // EVERYWHERE, not just at the widest gap. The cumulative
+    // difference D = C₁n₂ − C₂n₁ is an exact long; t·D² exceeds 2⁶³
+    // at sf0.1 so the sum rides DECIMAL(38,0)/HUGEINT (measured
+    // ≤ 1e25 of 1e38), and T is ONE division with the denominator
+    // assembled in doubles. Rejection against the asymptotic 5%
+    // point of ω² (0.4614, a literal — documented asymptotic). Scale
+    // shape: identical to q134 — one rollup, one grid window, one
+    // row.
+    "q185_cramer_von_mises" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val grid = Extended11.orderWidthValues(s, d)
+        .groupBy(col("value"))
+        .agg(sum(when(col("wide"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("wide"), 1L).otherwise(0L)).as("cb"))
+        .withColumn("t", col("ca") + col("cb"))
+      val wCum = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("value")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val rk = grid
+        .withColumn("c1", sum(col("ca")).over(wCum))
+        .withColumn("c2", sum(col("cb")).over(wCum))
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .withColumn("dd", col("c1") * col("nb") - col("c2") * col("na"))
+      rk.agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          sum(col("t").cast(dec) * col("dd").cast(dec) *
+            col("dd").cast(dec)).as("u"))
+        .withColumn("n", col("na") + col("nb"))
+        .withColumn("t_stat",
+          col("u").cast("double") /
+            (col("n").cast("double") * col("n").cast("double") *
+              col("na").cast("double") * col("nb").cast("double")))
+        .withColumn("reject_95", col("t_stat") > 0.4614)
+        .select(col("na").as("n_wide"), col("nb").as("n_narrow"),
+          col("t_stat"), col("reject_95"))
+    }),
+
+    // STANDARDIZED EFFECT SIZES — the magnitude the q134/q140 tests
+    // leave unreported: Cohen's d on the pooled SD, the Hedges small-
+    // sample correction g = d·(1 − 3/(4N − 9)), and Glass's Δ on the
+    // control (narrow) SD alone — the right denominator when q165
+    // says the variances differ. Group moments are exact longs; the
+    // n·S2 − S1² combos ride DECIMAL(38,0)/HUGEINT (the q183
+    // carrier); means, variances, and the three ratios assemble in
+    // identical-sequence doubles with one IEEE sqrt each. Scale
+    // shape: one fact rollup, map-side partials to one row.
+    "q186_effect_sizes" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val m = Extended11.orderWidthValues(s, d).agg(
+        sum(when(col("wide"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("wide"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("wide"), col("value")).otherwise(0L)).as("sa"),
+        sum(when(!col("wide"), col("value")).otherwise(0L)).as("sb"),
+        sum(when(col("wide"), col("value") * col("value"))
+          .otherwise(0L)).as("qa"),
+        sum(when(!col("wide"), col("value") * col("value"))
+          .otherwise(0L)).as("qb"))
+      m.withColumn("mean_wide",
+          col("sa").cast("double") / col("na").cast("double"))
+        .withColumn("mean_narrow",
+          col("sb").cast("double") / col("nb").cast("double"))
+        .withColumn("var_wide",
+          (col("na").cast(dec) * col("qa").cast(dec) -
+            col("sa").cast(dec) * col("sa").cast(dec)).cast("double") /
+            (col("na") * (col("na") - 1L)).cast("double"))
+        .withColumn("var_narrow",
+          (col("nb").cast(dec) * col("qb").cast(dec) -
+            col("sb").cast(dec) * col("sb").cast(dec)).cast("double") /
+            (col("nb") * (col("nb") - 1L)).cast("double"))
+        .withColumn("sd_pooled", sqrt(
+          ((col("na") - 1L).cast("double") * col("var_wide") +
+            (col("nb") - 1L).cast("double") * col("var_narrow")) /
+            (col("na") + col("nb") - 2L).cast("double")))
+        .withColumn("cohens_d",
+          (col("mean_wide") - col("mean_narrow")) / col("sd_pooled"))
+        .withColumn("hedges_g",
+          col("cohens_d") * (lit(1.0) - lit(3.0) /
+            (lit(4.0) * (col("na") + col("nb")).cast("double") -
+              lit(9.0))))
+        .withColumn("glass_delta",
+          (col("mean_wide") - col("mean_narrow")) /
+            sqrt(col("var_narrow")))
+        .select(col("na").as("n_wide"), col("nb").as("n_narrow"),
+          col("mean_wide"), col("mean_narrow"), col("cohens_d"),
+          col("hedges_g"), col("glass_delta"))
+    }),
+
     // YULE'S K + SIMPSON'S D — corpus-level lexical concentration per
     // language, from the term-frequency spectrum: K = 10⁴·(Σf² − N)/N²
     // and D = Σf(f−1)/(N(N−1)) (the probability two random tokens are
@@ -454,6 +618,152 @@ object Extended15 {
         |      CAST(CAST(syy_c AS VARCHAR) AS DOUBLE) AS r2
         |  FROM bt)
         |SELECT n_orders, beta0, beta1, beta2, r2 FROM fin""".stripMargin,
+
+    "q184_brunner_munzel" ->
+      """WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS value
+        |  FROM lineitem GROUP BY 1
+        |  HAVING COUNT(1) <= 2 OR COUNT(1) >= 6),
+        |  tagged AS (SELECT value, n_items >= 6 AS wide FROM per),
+        |  grid AS (SELECT value,
+        |    CAST(SUM(CASE WHEN wide THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(SUM(CASE WHEN NOT wide THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM tagged GROUP BY 1),
+        |  rk AS (SELECT ca, cb, ca + cb AS t,
+        |    COALESCE(CAST(SUM(ca + cb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS below,
+        |    COALESCE(CAST(SUM(ca) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS below_a,
+        |    COALESCE(CAST(SUM(cb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS below_b
+        |  FROM grid),
+        |  dd AS (SELECT ca, cb,
+        |    2 * below + t + 1 AS r2,
+        |    (2 * below + t + 1) - (2 * below_a + ca + 1) AS da,
+        |    (2 * below + t + 1) - (2 * below_b + cb + 1) AS db
+        |  FROM rk),
+        |  m AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(SUM(ca * r2) AS BIGINT) AS pa2,
+        |    CAST(SUM(cb * r2) AS BIGINT) AS pb2,
+        |    CAST(SUM(ca * da) AS HUGEINT) AS ba,
+        |    CAST(SUM(ca * da * da) AS HUGEINT) AS aa,
+        |    CAST(SUM(cb * db) AS HUGEINT) AS bb,
+        |    CAST(SUM(cb * db * db) AS HUGEINT) AS ab
+        |  FROM dd),
+        |  st AS (SELECT na, nb,
+        |    CAST(CAST(CAST(na AS HUGEINT) * aa - ba * ba AS VARCHAR)
+        |      AS DOUBLE) / CAST(4 * na * (na - 1) AS DOUBLE) AS s2a,
+        |    CAST(CAST(CAST(nb AS HUGEINT) * ab - bb * bb AS VARCHAR)
+        |      AS DOUBLE) / CAST(4 * nb * (nb - 1) AS DOUBLE) AS s2b,
+        |    CAST(pa2 AS DOUBLE) / (2.0 * CAST(na AS DOUBLE))
+        |      AS rbar_a,
+        |    CAST(pb2 AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE))
+        |      AS rbar_b
+        |  FROM m),
+        |  fin AS (SELECT na, nb, s2a, s2b,
+        |    (rbar_a - CAST(na + 1 AS DOUBLE) / 2.0)
+        |      / CAST(nb AS DOUBLE) AS p_hat,
+        |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) *
+        |      (rbar_a - rbar_b) /
+        |      (CAST(na + nb AS DOUBLE) *
+        |        sqrt(CAST(na AS DOUBLE) * s2a +
+        |          CAST(nb AS DOUBLE) * s2b)) AS w_stat
+        |  FROM st)
+        |SELECT na AS n_wide, nb AS n_narrow, p_hat,
+        |  s2a AS s2_wide, s2b AS s2_narrow, w_stat,
+        |  ABS(w_stat) > 1.96 AS reject_95
+        |FROM fin""".stripMargin,
+
+    "q185_cramer_von_mises" ->
+      """WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS value
+        |  FROM lineitem GROUP BY 1
+        |  HAVING COUNT(1) <= 2 OR COUNT(1) >= 6),
+        |  tagged AS (SELECT value, n_items >= 6 AS wide FROM per),
+        |  grid AS (SELECT value,
+        |    CAST(SUM(CASE WHEN wide THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(SUM(CASE WHEN NOT wide THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM tagged GROUP BY 1),
+        |  rk AS (SELECT ca, cb, ca + cb AS t,
+        |    CAST(SUM(ca) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS c1,
+        |    CAST(SUM(cb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS c2,
+        |    CAST(SUM(ca) OVER () AS BIGINT) AS na,
+        |    CAST(SUM(cb) OVER () AS BIGINT) AS nb
+        |  FROM grid),
+        |  ag AS (SELECT MAX(na) AS na, MAX(nb) AS nb,
+        |    SUM(CAST(t AS HUGEINT) *
+        |      CAST(c1 * nb - c2 * na AS HUGEINT) *
+        |      CAST(c1 * nb - c2 * na AS HUGEINT)) AS u
+        |  FROM rk),
+        |  fin AS (SELECT na, nb,
+        |    CAST(CAST(u AS VARCHAR) AS DOUBLE) /
+        |      (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE) *
+        |        CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS t_stat
+        |  FROM ag)
+        |SELECT na AS n_wide, nb AS n_narrow, t_stat,
+        |  t_stat > 0.4614 AS reject_95
+        |FROM fin""".stripMargin,
+
+    "q186_effect_sizes" ->
+      """WITH per AS (SELECT l_orderkey, COUNT(1) AS n_items,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS value
+        |  FROM lineitem GROUP BY 1
+        |  HAVING COUNT(1) <= 2 OR COUNT(1) >= 6),
+        |  tagged AS (SELECT value, n_items >= 6 AS wide FROM per),
+        |  m AS (SELECT
+        |    CAST(SUM(CASE WHEN wide THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(SUM(CASE WHEN NOT wide THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(SUM(CASE WHEN wide THEN value ELSE 0 END) AS BIGINT)
+        |      AS sa,
+        |    CAST(SUM(CASE WHEN NOT wide THEN value ELSE 0 END)
+        |      AS BIGINT) AS sb,
+        |    CAST(SUM(CASE WHEN wide THEN value * value ELSE 0 END)
+        |      AS HUGEINT) AS qa,
+        |    CAST(SUM(CASE WHEN NOT wide THEN value * value ELSE 0 END)
+        |      AS HUGEINT) AS qb
+        |  FROM tagged),
+        |  st AS (SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_wide,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_narrow,
+        |    CAST(CAST(CAST(na AS HUGEINT) * qa -
+        |      CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT) AS VARCHAR)
+        |      AS DOUBLE) / CAST(na * (na - 1) AS DOUBLE) AS var_wide,
+        |    CAST(CAST(CAST(nb AS HUGEINT) * qb -
+        |      CAST(sb AS HUGEINT) * CAST(sb AS HUGEINT) AS VARCHAR)
+        |      AS DOUBLE) / CAST(nb * (nb - 1) AS DOUBLE)
+        |      AS var_narrow
+        |  FROM m),
+        |  sp AS (SELECT *,
+        |    sqrt((CAST(na - 1 AS DOUBLE) * var_wide +
+        |      CAST(nb - 1 AS DOUBLE) * var_narrow) /
+        |      CAST(na + nb - 2 AS DOUBLE)) AS sd_pooled
+        |  FROM st),
+        |  cd AS (SELECT *,
+        |    (mean_wide - mean_narrow) / sd_pooled AS cohens_d
+        |  FROM sp)
+        |SELECT na AS n_wide, nb AS n_narrow, mean_wide, mean_narrow,
+        |  cohens_d,
+        |  cohens_d * (1.0 - 3.0 /
+        |    (4.0 * CAST(na + nb AS DOUBLE) - 9.0)) AS hedges_g,
+        |  (mean_wide - mean_narrow) / sqrt(var_narrow) AS glass_delta
+        |FROM cd""".stripMargin,
 
     "t42_yule_k" ->
       """WITH tf AS (SELECT lang, UNNEST(string_split(TRIM(text), ' '))

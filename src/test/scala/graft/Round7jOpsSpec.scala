@@ -138,6 +138,92 @@ class Round7jOpsSpec extends SparkSpec {
       100 * math.abs(row.getAs[Double]("beta2")))
   }
 
+  /** The q134/q184/q185/q186 carrier recomputed independently:
+    * (whole-dollar order revenue, wide?) for orders with ≤2 or ≥6
+    * items. */
+  private lazy val widthValues: Seq[(Long, Boolean)] =
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("k"),
+        expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT))")
+          .as("cents"))
+      .filter(col("k") <= 2 || col("k") >= 6)
+      .collect().toIndexedSeq
+      .map(r => (Math.floorDiv(r.getLong(2), 100L), r.getLong(1) >= 6))
+
+  test("q184 Brunner-Munzel matches the brute-force pair probability " +
+      "and rank-variance assembly") {
+    val xs = widthValues.filter(_._2).map(_._1) // wide
+    val ys = widthValues.filterNot(_._2).map(_._1) // narrow
+    val pooled = (xs ++ ys).sorted
+    def midrank(vs: Seq[Long]): Map[Long, Double] =
+      vs.sorted.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+        v -> (g.map(_._2 + 1).sum.toDouble / g.size)
+      }
+    val mrPooled = midrank(pooled)
+    val mrX = midrank(xs)
+    val mrY = midrank(ys)
+    val (nx, ny) = (xs.size, ys.size)
+    def s2(vs: Seq[Long], mrOwn: Map[Long, Double]): Double = {
+      val ds = vs.map(v => mrPooled(v) - mrOwn(v))
+      val mean = ds.sum / ds.size
+      ds.map(x => (x - mean) * (x - mean)).sum / (ds.size - 1)
+    }
+    val (s2x, s2y) = (s2(xs, mrX), s2(ys, mrY))
+    val rbarX = xs.map(mrPooled).sum / nx
+    val rbarY = ys.map(mrPooled).sum / ny
+    val w = nx.toDouble * ny * (rbarX - rbarY) /
+      ((nx + ny) * math.sqrt(nx * s2x + ny * s2y))
+    val pBrute = (for (x <- xs; y <- ys) yield
+      if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum / (nx.toDouble * ny)
+    val row = q("q184_brunner_munzel").collect()(0)
+    assert(row.getAs[Long]("n_wide") === nx.toLong)
+    assert(math.abs(row.getAs[Double]("p_hat") - pBrute) < 1e-10)
+    assert(math.abs(row.getAs[Double]("s2_wide") - s2x) < 1e-6 * s2x)
+    assert(math.abs(row.getAs[Double]("s2_narrow") - s2y) < 1e-6 * s2y)
+    assert(math.abs(row.getAs[Double]("w_stat") - w) < 1e-6 * w)
+    assert(row.getAs[Boolean]("reject_95"))
+  }
+
+  test("q185 Cramer-von Mises matches the brute-force pooled-ECDF " +
+      "integral") {
+    val xs = widthValues.filter(_._2).map(_._1)
+    val ys = widthValues.filterNot(_._2).map(_._1)
+    val (nx, ny) = (xs.size, ys.size)
+    val n = nx + ny
+    val t = (xs ++ ys).map { v =>
+      val f1 = xs.count(_ <= v).toDouble / nx
+      val f2 = ys.count(_ <= v).toDouble / ny
+      (f1 - f2) * (f1 - f2)
+    }.sum * nx * ny / (n.toDouble * n)
+    val row = q("q185_cramer_von_mises").collect()(0)
+    assert(math.abs(row.getAs[Double]("t_stat") - t) < 1e-9 * t)
+    assert(row.getAs[Boolean]("reject_95"))
+  }
+
+  test("q186 effect sizes match brute-force moments and order " +
+      "sensibly (|g| < |d| < glass when the control is tighter)") {
+    val xs = widthValues.filter(_._2).map(_._1.toDouble)
+    val ys = widthValues.filterNot(_._2).map(_._1.toDouble)
+    def meanVar(vs: Seq[Double]): (Double, Double) = {
+      val m = vs.sum / vs.size
+      (m, vs.map(v => (v - m) * (v - m)).sum / (vs.size - 1))
+    }
+    val ((mx, vx), (my, vy)) = (meanVar(xs), meanVar(ys))
+    val sp = math.sqrt(((xs.size - 1) * vx + (ys.size - 1) * vy) /
+      (xs.size + ys.size - 2))
+    val d = (mx - my) / sp
+    val row = q("q186_effect_sizes").collect()(0)
+    assert(math.abs(row.getAs[Double]("mean_wide") - mx) < 1e-6)
+    assert(math.abs(row.getAs[Double]("cohens_d") - d) < 1e-9 * d)
+    assert(math.abs(row.getAs[Double]("glass_delta") -
+      (mx - my) / math.sqrt(vy)) < 1e-9 * row.getAs[Double]("glass_delta"))
+    assert(math.abs(row.getAs[Double]("hedges_g")) <
+      math.abs(row.getAs[Double]("cohens_d")))
+    assert(math.abs(row.getAs[Double]("glass_delta")) >
+      math.abs(row.getAs[Double]("cohens_d")))
+  }
+
   test("t42 Yule's K and Simpson's D match brute force per language") {
     val docs = Tables.documents(spark, sf)
       .select(col("lang"), col("text")).collect()
