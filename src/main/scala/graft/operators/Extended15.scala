@@ -340,6 +340,48 @@ object Extended15 {
           col("hedges_g"), col("glass_delta"))
     }),
 
+    // OVERDISPERSION (INDEX OF DISPERSION) TEST — are weekly order
+    // counts Poisson? D = (n−1)·s²/x̄ collapses to the exact integer
+    // form (n·S2 − S1²)/S1 — ONE division of exact longs — tested
+    // against χ²_{n−1} via the Wilson–Hilferty cube approximation in
+    // identical double ops (z₀.₉₅ literal, cube by multiplication, no
+    // libm). The finding is genuinely scale-dependent: the ratio
+    // var/mean grows 0.92 → 1.19 → 2.36 across the gate SFs — at
+    // sf0.001 Poisson thinning hides the week-level rate variation,
+    // at sf0.01+ the test correctly rejects it (the q160 oscillation
+    // seen through count eyes). Scale shape: one orders scan
+    // collapses to the calendar-bounded week grid; moments partial-
+    // aggregate to one row.
+    "q187_overdispersion" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(expr(
+          "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
+            " div 7").as("w"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .withColumn("mean_c",
+          col("s1").cast("double") / col("n").cast("double"))
+        .withColumn("var_c",
+          (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * (col("n") - 1L)).cast("double"))
+        .withColumn("dispersion_ratio", col("var_c") / col("mean_c"))
+        .withColumn("d_stat",
+          (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            col("s1").cast("double"))
+        .withColumn("df", (col("n") - 1L).cast("double"))
+        .withColumn("wh",
+          lit(1.0) - lit(2.0) / (lit(9.0) * col("df")) +
+            lit(1.6448536269514722) *
+            sqrt(lit(2.0) / (lit(9.0) * col("df"))))
+        .withColumn("crit_95",
+          col("df") * col("wh") * col("wh") * col("wh"))
+        .withColumn("reject_95", col("d_stat") > col("crit_95"))
+        .select(col("n").as("n_weeks"), col("mean_c"), col("var_c"),
+          col("dispersion_ratio"), col("d_stat"), col("crit_95"),
+          col("reject_95"))
+    }),
+
     // YULE'S K + SIMPSON'S D — corpus-level lexical concentration per
     // language, from the term-frequency spectrum: K = 10⁴·(Σf² − N)/N²
     // and D = Σf(f−1)/(N(N−1)) (the probability two random tokens are
@@ -764,6 +806,35 @@ object Extended15 {
         |    (4.0 * CAST(na + nb AS DOUBLE) - 9.0)) AS hedges_g,
         |  (mean_wide - mean_narrow) / sqrt(var_narrow) AS glass_delta
         |FROM cd""".stripMargin,
+
+    "q187_overdispersion" ->
+      """WITH wk AS (SELECT
+        |    datediff('day', DATE '1992-01-01', o_orderdate) // 7 AS w,
+        |    CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |  m AS (SELECT CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s1,
+        |    CAST(SUM(c * c) AS BIGINT) AS s2
+        |  FROM wk),
+        |  st AS (SELECT n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        |    CAST(n * s2 - s1 * s1 AS DOUBLE) /
+        |      CAST(n * (n - 1) AS DOUBLE) AS var_c,
+        |    CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(s1 AS DOUBLE)
+        |      AS d_stat,
+        |    CAST(n - 1 AS DOUBLE) AS df
+        |  FROM m),
+        |  wh AS (SELECT *,
+        |    1.0 - 2.0 / (9.0 * df) + 1.6448536269514722 *
+        |      sqrt(2.0 / (9.0 * df)) AS whf
+        |  FROM st),
+        |  fin AS (SELECT n, mean_c, var_c, var_c / mean_c
+        |      AS dispersion_ratio,
+        |    d_stat, df * whf * whf * whf AS crit_95
+        |  FROM wh)
+        |SELECT n AS n_weeks, mean_c, var_c, dispersion_ratio, d_stat,
+        |  crit_95, d_stat > crit_95 AS reject_95
+        |FROM fin""".stripMargin,
 
     "t42_yule_k" ->
       """WITH tf AS (SELECT lang, UNNEST(string_split(TRIM(text), ' '))

@@ -224,6 +224,27 @@ class Round7jOpsSpec extends SparkSpec {
       math.abs(row.getAs[Double]("cohens_d")))
   }
 
+  test("q187 dispersion statistic matches brute force and sf0.001 " +
+      "sits below the chi-square line (thinned counts look Poisson)") {
+    val counts = Tables.orders(spark, sf)
+      .groupBy(expr(
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
+          " div 7"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1))
+    val n = counts.length.toLong
+    val s1 = counts.sum
+    val s2 = counts.map(c => c * c).sum
+    val row = q("q187_overdispersion").collect()(0)
+    assert(row.getAs[Long]("n_weeks") === n)
+    val d = (n * s2 - s1 * s1).toDouble / s1
+    assert(math.abs(row.getAs[Double]("d_stat") - d) < 1e-9)
+    // Poisson thinning at sf0.001 hides the week-level rate
+    // variation the larger SFs expose (ratio 0.92 -> 2.36)
+    assert(!row.getAs[Boolean]("reject_95"))
+    assert(row.getAs[Double]("dispersion_ratio") < 1.0)
+  }
+
   test("t42 Yule's K and Simpson's D match brute force per language") {
     val docs = Tables.documents(spark, sf)
       .select(col("lang"), col("text")).collect()
