@@ -129,21 +129,25 @@ object Extended13 {
       // grid-rule median (smallest slope at position ⌈np/2⌉) with one
       // exchange instead of groupBy-then-window's two
       val wPos = Window.partitionBy(col("nation")).orderBy(col("slope"))
-      val wTot = Window.partitionBy(col("nation"))
-      val ts = wk.as("a").join(wk.as("b"),
+      // the selection threshold is knowable without counting inside
+      // the pair frame: np = C(n_weeks, 2) — a 25-row broadcast join
+      // replaces a count-window pass over the grid² pairs (the q179
+      // rewrite applied back to its parent)
+      val weeks = wk.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_weeks"))
+        .withColumn("np", expr("n_weeks * (n_weeks - 1) div 2"))
+      wk.as("a").join(wk.as("b"),
           col("a.nation") === col("b.nation") && col("a.w") < col("b.w"))
         .select(col("a.nation").as("nation"),
           ((col("b.y") - col("a.y")).cast("double") /
             (col("b.w") - col("a.w")).cast("double")).as("slope"))
+        .join(broadcast(weeks), "nation")
         .withColumn("rn", row_number().over(wPos))
-        .withColumn("np", count(lit(1)).over(wTot))
         .groupBy(col("nation"))
-        .agg(max(col("np")).as("n_pairs"),
+        .agg(max(col("n_weeks")).as("n_weeks"),
+          max(col("np")).as("n_pairs"),
           min(when(lit(2L) * col("rn") >= col("np"), col("slope")))
             .as("ts_slope"))
-      val weeks = wk.groupBy(col("nation"))
-        .agg(count(lit(1)).as("n_weeks"))
-      ts.join(weeks, "nation")
         .select(col("nation"), col("n_weeks"), col("n_pairs"),
           col("ts_slope"))
         .orderBy(col("nation"))
