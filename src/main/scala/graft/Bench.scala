@@ -122,7 +122,8 @@ object Bench {
     "q180_calibration_oos", "t42_yule_k", "q181_isotonic_calibration",
     "q182_hosmer_lemeshow", "q183_multiple_regression",
     "q184_brunner_munzel", "q185_cramer_von_mises",
-    "q186_effect_sizes", "q187_overdispersion")
+    "q186_effect_sizes", "q187_overdispersion",
+    "q188_walkforward_ols")
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */

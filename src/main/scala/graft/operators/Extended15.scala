@@ -340,6 +340,59 @@ object Extended15 {
           col("hedges_g"), col("glass_delta"))
     }),
 
+    // WALK-FORWARD OLS BACKTEST — the regression member of the
+    // temporal-cross-validation family (q145 backtests quantile
+    // bounds, q176 point forecasts): for every week past a burn-in of
+    // 8, fit y = α + β·w on the PRIOR weeks only and predict the
+    // current one — leakage-safe by construction. The expanding
+    // moments are exact longs off ONE cumulative window frame
+    // (rowsBetween(-∞, -1) — the fit never sees its target), β and α
+    // are single divisions, and the naive |y − y_prev| error rides
+    // along as the per-week scale reference (q176's denominator).
+    // The per-week prediction frame IS the deliverable — no
+    // cross-row float sum exists to sequence. Scale shape: the fact
+    // table collapses to the calendar-bounded week grid before the
+    // single-partition windows (the q156 aggregate-first stance).
+    "q188_walkforward_ols" -> ((s, d) => {
+      val wk = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(expr(
+          "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
+            " div 7").as("w"))
+        .agg(expr(
+          "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
+          .as("y"))
+      val wPrior = Window.orderBy(col("w"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wLag = Window.orderBy(col("w"))
+      wk
+        .withColumn("cn", coalesce(count(col("y")).over(wPrior), lit(0L)))
+        .withColumn("sx", coalesce(sum(col("w")).over(wPrior), lit(0L)))
+        .withColumn("sy", coalesce(sum(col("y")).over(wPrior), lit(0L)))
+        .withColumn("sxx",
+          coalesce(sum(col("w") * col("w")).over(wPrior), lit(0L)))
+        .withColumn("sxy",
+          coalesce(sum(col("w") * col("y")).over(wPrior), lit(0L)))
+        .withColumn("y_prev", lag(col("y"), 1).over(wLag))
+        .filter(col("cn") >= 8L)
+        .withColumn("beta",
+          (col("cn") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("cn") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+        .withColumn("alpha",
+          (col("sy").cast("double") -
+            col("beta") * col("sx").cast("double")) /
+            col("cn").cast("double"))
+        .withColumn("yhat",
+          col("alpha") + col("beta") * col("w").cast("double"))
+        .withColumn("abs_err", abs(col("y").cast("double") - col("yhat")))
+        .withColumn("abs_err_naive", abs(col("y") - col("y_prev")))
+        .select(col("w"), col("y"), col("yhat"), col("abs_err"),
+          col("abs_err_naive"))
+        .orderBy(col("w"))
+    }),
+
     // OVERDISPERSION (INDEX OF DISPERSION) TEST — are weekly order
     // counts Poisson? D = (n−1)·s²/x̄ collapses to the exact integer
     // form (n·S2 − S1²)/S1 — ONE division of exact longs — tested
@@ -806,6 +859,41 @@ object Extended15 {
         |    (4.0 * CAST(na + nb AS DOUBLE) - 9.0)) AS hedges_g,
         |  (mean_wide - mean_narrow) / sqrt(var_narrow) AS glass_delta
         |FROM cd""".stripMargin,
+
+    "q188_walkforward_ols" ->
+      """WITH wk AS (SELECT
+        |    datediff('day', DATE '1992-01-01', o_orderdate) // 7 AS w,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS y
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |  cw AS (SELECT w, y,
+        |    COALESCE(CAST(COUNT(y) OVER pri AS BIGINT), 0) AS cn,
+        |    COALESCE(CAST(SUM(w) OVER pri AS BIGINT), 0) AS sx,
+        |    COALESCE(CAST(SUM(y) OVER pri AS BIGINT), 0) AS sy,
+        |    COALESCE(CAST(SUM(w * w) OVER pri AS BIGINT), 0) AS sxx,
+        |    COALESCE(CAST(SUM(w * y) OVER pri AS BIGINT), 0) AS sxy,
+        |    LAG(y, 1) OVER (ORDER BY w) AS y_prev
+        |  FROM wk
+        |  WINDOW pri AS (ORDER BY w
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |  fit AS (SELECT w, y, y_prev,
+        |    CAST(cn * sxy - sx * sy AS DOUBLE) /
+        |      CAST(cn * sxx - sx * sx AS DOUBLE) AS beta,
+        |    cn, sx, sy
+        |  FROM cw WHERE cn >= 8),
+        |  pred AS (SELECT w, y, y_prev, beta,
+        |    (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) /
+        |      CAST(cn AS DOUBLE) AS alpha
+        |  FROM fit),
+        |  fin AS (SELECT w, y,
+        |    alpha + beta * CAST(w AS DOUBLE) AS yhat,
+        |    ABS(y - y_prev) AS abs_err_naive
+        |  FROM pred)
+        |SELECT w, y, yhat, ABS(CAST(y AS DOUBLE) - yhat) AS abs_err,
+        |  abs_err_naive
+        |FROM fin
+        |ORDER BY w""".stripMargin,
 
     "q187_overdispersion" ->
       """WITH wk AS (SELECT

@@ -245,6 +245,32 @@ class Round7jOpsSpec extends SparkSpec {
     assert(row.getAs[Double]("dispersion_ratio") < 1.0)
   }
 
+  test("q188 walk-forward OLS predictions match the brute-force " +
+      "expanding fit and never see their own week") {
+    val rows = q("q188_walkforward_ols").collect()
+      .sortBy(_.getAs[Long]("w"))
+    val series = weekly // (w, y) ordered
+    val byW = rows.map(r => r.getAs[Long]("w") -> r).toMap
+    series.indices.filter(i => i >= 8).foreach { i =>
+      val (w, y) = series(i)
+      val prior = series.take(i) // strictly before: leakage-safe
+      val n = prior.size.toLong
+      val sx = prior.map(_._1).sum
+      val sy = prior.map(_._2).sum
+      val sxx = prior.map(p => p._1 * p._1).sum
+      val sxy = prior.map(p => p._1 * p._2).sum
+      val beta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+      val alpha = (sy.toDouble - beta * sx.toDouble) / n
+      val yhat = alpha + beta * w
+      val r = byW(w)
+      assert(math.abs(r.getAs[Double]("yhat") - yhat) < 1e-6,
+        s"week $w")
+      assert(math.abs(r.getAs[Double]("abs_err") -
+        math.abs(y.toDouble - yhat)) < 1e-6)
+    }
+    assert(rows.length === series.size - 8)
+  }
+
   test("t42 Yule's K and Simpson's D match brute force per language") {
     val docs = Tables.documents(spark, sf)
       .select(col("lang"), col("text")).collect()
