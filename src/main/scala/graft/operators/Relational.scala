@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Parity, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -446,16 +446,41 @@ object Relational {
       """)
     }),
 
-    // Approximate aggregates (HLL++ / approximate quantiles). No DuckDB
-    // oracle — sketch outputs are engine-specific; driver does a
-    // rows-only check.
+    // Approximate aggregates — built on the engine's PORTABLE sketch
+    // surface instead of `approx_count_distinct`/`percentile_approx`
+    // (whose HLL++/GK internals are engine-specific and could only
+    // ever get a rows-only check): distinct users per event type via
+    // [[graft.functions.HllRegisterAggregate]] (q126's machinery —
+    // 64-register HLL over the 60-bit md5 hash, estimate = α·m²/Z),
+    // and the approximate median via the KMV bottom-128
+    // [[graft.functions.QuantileSketchAggregate]] (q52's machinery —
+    // the sample is a pure function of the value set, so the estimate
+    // is exactly reproducible by the oracle). Scale shape: one
+    // 64-byte register file + ≤128 (hash, cents) pairs per group on
+    // the exchange, both map-side combinable.
     "q29_approx_aggregates" -> ((s, d) => {
+      val hash60 = (c: Column) => conv(substring(
+        md5(encode(c.cast("string"), "UTF-8")), 1, 15), 16, 10)
+        .cast("long")
       Tables.events(s, d)
+        .select(col("event_type"),
+          hash60(col("user_id")).as("hu"),
+          round(col("value") * 100, 0).cast("long").as("v"))
+        .withColumn("hv", hash60(col("v")))
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(10000))
-            .as("approx_median_value"),
+        .agg(graft.functions.HllFunctions.hllRegisters(col("hu"))
+          .as("regs"),
+          graft.functions.QuantileSketchFunctions
+            .quantileSketch(col("hv"), col("v"), 128, Seq(0.5))
+            .as("qs"),
           count(lit(1)).as("n"))
+        .select(col("event_type"),
+          (lit(0.709365049) * lit(4096.0) * lit(36028797018963968.0) /
+            expr("CAST(aggregate(regs, CAST(0 AS BIGINT), " +
+              "(z, m) -> z + shiftleft(CAST(1 AS BIGINT), 55 - m)) " +
+              "AS DOUBLE)")).as("approx_users"),
+          (col("qs")(0) / 100.0).as("approx_median_value"),
+          col("n"))
         .orderBy(col("event_type"))
     })
   )
@@ -722,6 +747,72 @@ object Relational {
            SELECT UNNEST(string_split(TRIM(text), ' ')) AS word
            FROM documents) t
          WHERE word <> ''
-         GROUP BY word ORDER BY n DESC, word LIMIT 20"""
+         GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+
+    // Replays BOTH sketches exactly: q126's 64-register HLL over the
+    // 60-bit md5 hash of user_id (z includes 2^55 per unhit register,
+    // identical α·m²/Z expression order) and q52's KMV bottom-128
+    // distinct (h, v) sample with type-7 interpolation at p = 0.5.
+    "q29_approx_aggregates" ->
+      """WITH hashed AS (SELECT event_type,
+             CAST(list_reduce(list_transform(generate_series(1, 15),
+                 i -> strpos('0123456789abcdef', substring(
+                   md5(CAST(user_id AS VARCHAR)), i, 1)) - 1),
+               (a, x) -> a * 16 + x) AS BIGINT) AS h
+           FROM events),
+         rho AS (SELECT event_type, h & 63 AS bucket,
+             CASE WHEN (h >> 6) = 0 THEN 55
+               ELSE 55 - length(bin(h >> 6)) END AS rho
+           FROM hashed),
+         regs AS (SELECT event_type, bucket, MAX(rho) AS m
+           FROM rho GROUP BY 1, 2),
+         sk AS (SELECT event_type, COUNT(1) AS n_hit,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - m AS INT))
+               AS BIGINT) AS z_hit
+           FROM regs GROUP BY 1),
+         hll AS (SELECT event_type,
+             CAST(0.709365049 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+               * CAST(36028797018963968.0 AS DOUBLE)
+               / CAST(z_hit + (64 - n_hit)
+                   * (CAST(1 AS BIGINT) << 55) AS DOUBLE) AS approx_users
+           FROM sk),
+         cents AS (SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+           FROM events),
+         hv AS (SELECT DISTINCT event_type,
+             CAST(list_reduce(list_transform(generate_series(1, 15),
+                 i -> strpos('0123456789abcdef', substring(
+                   md5(CAST(v AS VARCHAR)), i, 1)) - 1),
+               (a, x) -> a * 16 + x) AS BIGINT) AS h, v
+           FROM cents),
+         samp AS (SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY h, v) AS rn
+           FROM hv),
+         kept AS (SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY v) - 1 AS idx,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM samp WHERE rn <= 128),
+         pts AS (SELECT event_type,
+             MAX(CAST(0.5 AS DOUBLE) * (n - 1)) AS r,
+             MAX(CASE WHEN idx = CAST(FLOOR(CAST(0.5 AS DOUBLE)
+                 * (n - 1)) AS BIGINT) THEN v END) AS vlo,
+             MAX(CASE WHEN idx = CAST(CEIL(CAST(0.5 AS DOUBLE)
+                 * (n - 1)) AS BIGINT) THEN v END) AS vhi
+           FROM kept GROUP BY event_type),
+         med AS (SELECT event_type,
+             (CAST(vlo AS DOUBLE) +
+              (r - FLOOR(r)) * CAST(vhi - vlo AS DOUBLE)) / 100.0
+               AS approx_median_value
+           FROM pts),
+         cnt AS (SELECT event_type, COUNT(1) AS n FROM events
+           GROUP BY 1)
+         SELECT h.event_type, h.approx_users, m.approx_median_value,
+                c.n
+         FROM hll h
+         JOIN med m ON m.event_type = h.event_type
+         JOIN cnt c ON c.event_type = h.event_type
+         ORDER BY h.event_type"""
   )
 }
