@@ -394,14 +394,20 @@ object Extended14 {
             sum(when(!col("train"), 1L).otherwise(0L)).as("n_ev"),
             sum(when(!col("train") && col("rep"), 1L).otherwise(0L))
               .as("c_ev")))
-      val iv = bins.select(col("bin").as("j")).join(
-          bins.select(col("bin").as("k")), col("j") <= col("k"))
-        .join(bins.select(col("bin").as("m"), col("n"), col("c")),
+      // match q181 by construction: its bin frame is built from the
+      // train split only, so a bin holding ONLY eval docs (n = 0)
+      // does not exist there — drop such bins before the interval
+      // enumeration (they would otherwise inject 0/0 NaN rates into
+      // the min/max lattice) and from the fit itself
+      val tbins = bins.filter(col("n") > 0L)
+      val iv = tbins.select(col("bin").as("j")).join(
+          tbins.select(col("bin").as("k")), col("j") <= col("k"))
+        .join(tbins.select(col("bin").as("m"), col("n"), col("c")),
           col("m") >= col("j") && col("m") <= col("k"))
         .groupBy(col("j"), col("k"))
         .agg((sum(col("c")).cast("double") /
           sum(col("n")).cast("double")).as("rate"))
-      val fit = bins
+      val fit = tbins
         .join(iv, col("j") <= col("bin") && col("k") >= col("bin"))
         .groupBy(col("bin"), col("n_ev"), col("c_ev"), col("j"))
         .agg(min(col("rate")).as("min_rate"))
@@ -429,13 +435,19 @@ object Extended14 {
           expr("aggregate(transform(lst, s -> s.term), " +
             "CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("hl_stat"))
         .withColumn("df", col("n_bins") - 2L)
-        .withColumn("reject_95", // chi2 .95 quantiles, df 1..8
-          col("hl_stat") > element_at(array(
-            lit(3.841458820694124), lit(5.991464547107979),
-            lit(7.814727903251179), lit(9.487729036781154),
-            lit(11.070497693516351), lit(12.591587243743977),
-            lit(14.067140449340169), lit(15.50731305586545)),
-            col("df").cast("int")))
+        // chi2 .95 quantiles, df 1..8; NULL outside that range — a
+        // degenerate corpus can leave ≤2 informative bins (df ≤ 0),
+        // where element_at would throw (index 0) or index from the
+        // array end (negative), and >8 has no tabulated quantile
+        .withColumn("reject_95",
+          when(col("df") >= 1L && col("df") <= 8L,
+            col("hl_stat") > element_at(array(
+              lit(3.841458820694124), lit(5.991464547107979),
+              lit(7.814727903251179), lit(9.487729036781154),
+              lit(11.070497693516351), lit(12.591587243743977),
+              lit(14.067140449340169), lit(15.50731305586545)),
+              col("df").cast("int")))
+            .otherwise(lit(null).cast("boolean")))
         .select(col("n_bins"), col("df"), col("hl_stat"),
           col("reject_95"))
     }),
@@ -801,15 +813,16 @@ object Extended14 {
         |    CAST(SUM(CASE WHEN NOT train AND rep THEN 1 ELSE 0 END)
         |      AS BIGINT) AS c_ev
         |  FROM lab GROUP BY bin),
+        |  tbins AS (SELECT * FROM bins WHERE n > 0),
         |  iv AS (SELECT j.bin AS j, k.bin AS k,
         |    CAST(SUM(m.c) AS DOUBLE) / CAST(SUM(m.n) AS DOUBLE)
         |      AS rate
-        |  FROM bins j JOIN bins k ON j.bin <= k.bin
-        |  JOIN bins m ON m.bin >= j.bin AND m.bin <= k.bin
+        |  FROM tbins j JOIN tbins k ON j.bin <= k.bin
+        |  JOIN tbins m ON m.bin >= j.bin AND m.bin <= k.bin
         |  GROUP BY 1, 2),
         |  mn AS (SELECT b.bin, b.n_ev, b.c_ev, iv.j,
         |    MIN(iv.rate) AS min_rate
-        |  FROM bins b JOIN iv ON iv.j <= b.bin AND iv.k >= b.bin
+        |  FROM tbins b JOIN iv ON iv.j <= b.bin AND iv.k >= b.bin
         |  GROUP BY 1, 2, 3, 4),
         |  fit AS (SELECT bin, n_ev, c_ev, MAX(min_rate) AS p_iso
         |  FROM mn GROUP BY bin, n_ev, c_ev),
@@ -828,10 +841,12 @@ object Extended14 {
         |      AS hl_stat
         |  FROM lst)
         |SELECT n_bins, df, hl_stat,
-        |  hl_stat > ([3.841458820694124, 5.991464547107979,
-        |    7.814727903251179, 9.487729036781154, 11.070497693516351,
-        |    12.591587243743977, 14.067140449340169,
-        |    15.50731305586545])[CAST(df AS INT)] AS reject_95
+        |  CASE WHEN df >= 1 AND df <= 8 THEN
+        |    hl_stat > ([3.841458820694124, 5.991464547107979,
+        |      7.814727903251179, 9.487729036781154, 11.070497693516351,
+        |      12.591587243743977, 14.067140449340169,
+        |      15.50731305586545])[CAST(df AS INT)]
+        |  ELSE NULL END AS reject_95
         |FROM ag""".stripMargin,
 
     "t41_pr_threshold_sweep" ->

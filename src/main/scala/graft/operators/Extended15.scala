@@ -94,8 +94,12 @@ object Extended15 {
           col("m.abs_err_sum").as("abs_err_sum"),
           (col("m.abs_err_sum").cast("double") /
             col("m.n_eval").cast("double")).as("mae"),
-          (col("m.abs_err_sum").cast("double") /
-            col("s_naive").cast("double")).as("mase"))
+          // a constant series makes the naive error sum 0 — NULL, not
+          // a 0/0 NaN or x/0 Infinity (the q172/q173 zero-denominator
+          // convention)
+          when(col("s_naive") === 0L, lit(null).cast("double"))
+            .otherwise(col("m.abs_err_sum").cast("double") /
+              col("s_naive").cast("double")).as("mase"))
         .orderBy(col("model"))
     }),
 
@@ -406,6 +410,12 @@ object Extended15 {
     // collapses to the calendar-bounded week grid; moments partial-
     // aggregate to one row.
     "q187_overdispersion" -> ((s, d) => {
+      // the n·S2 − S1² combos ride DECIMAL(38,0)/HUGEINT (the q183
+      // carrier): S1² alone wraps a long near 3e9 total orders, and
+      // Spark's non-ANSI multiply would wrap SILENTLY while DuckDB's
+      // BIGINT overflow errors loudly — divergent engines, wrong
+      // answers on one of them
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       Tables.orders(s, d)
         .groupBy(expr(
           "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
@@ -416,11 +426,13 @@ object Extended15 {
         .withColumn("mean_c",
           col("s1").cast("double") / col("n").cast("double"))
         .withColumn("var_c",
-          (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n").cast(dec) * col("s2").cast(dec) -
+            col("s1").cast(dec) * col("s1").cast(dec)).cast("double") /
             (col("n") * (col("n") - 1L)).cast("double"))
         .withColumn("dispersion_ratio", col("var_c") / col("mean_c"))
         .withColumn("d_stat",
-          (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n").cast(dec) * col("s2").cast(dec) -
+            col("s1").cast(dec) * col("s1").cast(dec)).cast("double") /
             col("s1").cast("double"))
         .withColumn("df", (col("n") - 1L).cast("double"))
         .withColumn("wh",
@@ -615,8 +627,9 @@ object Extended15 {
           |SELECT model, n_eval, abs_err_sum,
           |  CAST(abs_err_sum AS DOUBLE) / CAST(n_eval AS DOUBLE)
           |    AS mae,
-          |  CAST(abs_err_sum AS DOUBLE) / CAST(s_naive AS DOUBLE)
-          |    AS mase
+          |  CASE WHEN s_naive = 0 THEN NULL
+          |    ELSE CAST(abs_err_sum AS DOUBLE) / CAST(s_naive AS DOUBLE)
+          |  END AS mase
           |FROM m
           |ORDER BY model""".stripMargin),
 
@@ -906,10 +919,12 @@ object Extended15 {
         |  FROM wk),
         |  st AS (SELECT n,
         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
-        |    CAST(n * s2 - s1 * s1 AS DOUBLE) /
+        |    CAST(CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT) -
+        |        CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE) /
         |      CAST(n * (n - 1) AS DOUBLE) AS var_c,
-        |    CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(s1 AS DOUBLE)
-        |      AS d_stat,
+        |    CAST(CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT) -
+        |        CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE) /
+        |      CAST(s1 AS DOUBLE) AS d_stat,
         |    CAST(n - 1 AS DOUBLE) AS df
         |  FROM m),
         |  wh AS (SELECT *,
