@@ -31,10 +31,16 @@ object RunQuery {
         require(n >= 1, s"--times must be >= 1; got $n")
         n
     }
+    // --noop: force end-to-end through the noop sink exactly like Bench
+    // (count() lets Catalyst prune unneeded aggregate/window columns, so
+    // count timings can be a fraction of the real query cost)
+    val noop = args.contains("--noop")
     var n = 0L
     val secs = (1 to times).map { _ =>
       val t0 = System.nanoTime()
-      n = SparkEntry.queries(name)(spark, sfDir).count()
+      val df2 = SparkEntry.queries(name)(spark, sfDir)
+      if (noop) df2.write.format("noop").mode("overwrite").save()
+      else n = df2.count()
       (System.nanoTime() - t0) / 1e9
     }
     if (args.contains("--show")) df.show(20, truncate = false)

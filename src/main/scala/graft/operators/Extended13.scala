@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -25,6 +25,29 @@ import graft.{Parity, Tables}
   * (`/root/reference/README.md:246-293`).
   */
 object Extended13 {
+
+  /** Deterministic Poisson(1) weight machinery shared by q164 (mean
+    * bootstrap) and q170 (median bootstrap): the portable 60-bit md5
+    * hash of (orderkey, replicate) mapped to [0,1), inverted through
+    * hardcoded Poisson(1) CDF literals (tail truncated at 9, mass
+    * < 1.2e-6). Both queries AND their DuckDB oracles replay the same
+    * construction, so the entire bootstrap — CI included — is
+    * hash-checked; an RNG bootstrap never could be. Deterministic by
+    * key, so weights are stable under task retry (spec-pinned). */
+  private[graft] val poissonCdf = Seq(0.36787944117144233,
+    0.7357588823428847, 0.9196986029286058, 0.9810118431238463,
+    0.9963401531726563, 0.9994058151824183, 0.999916758850712,
+    0.9999897508033253, 0.999998874797402)
+
+  private[graft] def poissonU(okey: Column, b: Column): Column =
+    graft.functions.HashFunctions.md5Hash60(concat(
+      okey.cast("string"), lit(":"), b.cast("string")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+
+  private[graft] def poissonW(u: Column): Column =
+    poissonCdf.zipWithIndex.reverse.foldLeft(lit(9L)) {
+      case (acc, (c, k)) => when(u < lit(c), lit(k.toLong)).otherwise(acc)
+    }
 
   /** The (nation, week, whole-dollar revenue) aggregate shared by
     * q155 Theil–Sen and Extended15's q179 Siegel repeated median:
@@ -541,27 +564,15 @@ object Extended13 {
     // pruned pass (the d22 method-comparison bucket).
     "q164_poisson_bootstrap" -> ((s, d) => {
       val b = 32
-      val cdf = Seq(0.36787944117144233, 0.7357588823428847,
-        0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
-        0.9994058151824183, 0.999916758850712, 0.9999897508033253,
-        0.999998874797402)
       val per = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
         .select(col("l_orderkey"), expr("rev div 100").as("v"))
-      val u = conv(substring(md5(encode(concat(
-        col("l_orderkey").cast("string"), lit(":"),
-        col("b").cast("string")), "UTF-8")), 1, 15), 16, 10)
-        .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
-      val w = cdf.zipWithIndex.reverse.foldLeft(lit(9L)) {
-        case (acc, (c, k)) =>
-          when(col("u") < lit(c), lit(k.toLong)).otherwise(acc)
-      }
       val reps = per
         .select(col("l_orderkey"), col("v"),
           explode(sequence(lit(1), lit(b))).as("b"))
-        .withColumn("u", u)
-        .withColumn("w", w)
+        .withColumn("u", poissonU(col("l_orderkey"), col("b")))
+        .withColumn("w", poissonW(col("u")))
         .groupBy(col("b"))
         .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("swv"))
         .withColumn("mean_b",
@@ -725,58 +736,55 @@ object Extended13 {
     // spec-pinned). Everything stays in exact longs: each replicate's
     // weighted grid-rule median IS a grid value, and the CI over the
     // 32 replicate medians is again the grid rule — doubles never
-    // appear. Scale shape: the ×32 fan-out collapses to per-replicate
-    // (b, v, w) grids via map-side partial agg; each replicate's
-    // median window runs over its own value grid; the exact branch
-    // is the q151 shape on the full grid.
+    // appear. Shape (the r7→r8 rewrite, 10.1 s → measured below at
+    // sf0.1): the ×32 fan-out collapses to ONE value-grid frame with
+    // 32 weight COLUMNS — |grid| rows instead of 32·|grid| — so the
+    // shuffle carries the grid once, and all 32 replicate cumsums,
+    // the 32 totals, and the exact branch's cumsum share a SINGLE
+    // sort in one Window operator (same orderBy, two frames). The
+    // replicate medians land in one row; the percentile pick over 32
+    // medians is a row-local sort_array (rank ceil(B/20) and
+    // ceil(19B/20) — exactly the old min-over-cum-count rule). Grid
+    // bound: |distinct whole-dollar order revenues|, value-range
+    // bounded, NOT row-count bounded (the t28/q127 single-partition
+    // window contract).
     "q170_bootstrap_median_ci" -> ((s, d) => {
       val b = 32
-      val cdf = Seq(0.36787944117144233, 0.7357588823428847,
-        0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
-        0.9994058151824183, 0.999916758850712, 0.9999897508033253,
-        0.999998874797402)
       val per = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
         .select(col("l_orderkey"), expr("rev div 100").as("v"))
-      val u = conv(substring(md5(encode(concat(
-        col("l_orderkey").cast("string"), lit(":"),
-        col("b").cast("string")), "UTF-8")), 1, 15), 16, 10)
-        .cast("long").cast("double") / lit(1152921504606846976.0)
-      val w = cdf.zipWithIndex.reverse.foldLeft(lit(9L)) {
-        case (acc, (c, k)) =>
-          when(col("u") < lit(c), lit(k.toLong)).otherwise(acc)
-      }
-      val wCumB = Window.partitionBy(col("b")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wTotB = Window.partitionBy(col("b"))
-      val medB = per
+      val rep = per
         .select(col("l_orderkey"), col("v"),
           explode(sequence(lit(1), lit(b))).as("b"))
-        .withColumn("u", u)
-        .withColumn("w", w)
-        .groupBy(col("b"), col("v"))
-        .agg(sum(col("w")).as("wc"))
-        .withColumn("cum", sum(col("wc")).over(wCumB))
-        .withColumn("nb", sum(col("wc")).over(wTotB))
-        .groupBy(col("b"))
-        .agg(min(when(lit(2L) * col("cum") >= col("nb"), col("v")))
-          .as("med_b"))
-      val wOrd = Window.partitionBy(lit(1)).orderBy(col("med_b"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(lit(1))
-      val boot = medB
-        .withColumn("cum", count(lit(1)).over(wOrd))
-        .agg(
-          min(when(lit(20L) * col("cum") >= lit(b.toLong), col("med_b")))
-            .as("ci_lo_boot"),
-          min(when(lit(20L) * col("cum") >= lit(19L * b), col("med_b")))
-            .as("ci_hi_boot"))
+        .withColumn("u", poissonU(col("l_orderkey"), col("b")))
+        .withColumn("w", poissonW(col("u")))
+      val wsums = (1 to b).map(g =>
+        sum(when(col("b") === g, col("w")).otherwise(0L)).as(s"w$g"))
+      val grid = rep.groupBy(col("v"))
+        .agg(sum(when(col("b") === 1, 1L).otherwise(0L)).as("c"),
+          wsums: _*)
       val wCum = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val exact = per.groupBy(col("v")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(wCum))
-        .withColumn("n", sum(col("c")).over(wAll))
+      val wAll = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val winCols = Seq(col("v"),
+        sum(col("c")).over(wCum).as("cum_c"),
+        sum(col("c")).over(wAll).as("n")) ++
+        (1 to b).flatMap(g => Seq(
+          sum(col(s"w$g")).over(wCum).as(s"cum_w$g"),
+          sum(col(s"w$g")).over(wAll).as(s"tot_w$g")))
+      val win = grid.select(winCols: _*)
+      val aggCols = Seq(
+        max(col("n")).as("n"),
+        min(when(lit(2L) * col("cum_c") >= col("n"), col("v")))
+          .as("median"),
+        min(when(col("cum_c") >= col("k_lo"), col("v"))).as("ci_lo_os"),
+        min(when(col("cum_c") >= col("k_hi"), col("v"))).as("ci_hi_os")) ++
+        (1 to b).map(g =>
+          min(when(lit(2L) * col(s"cum_w$g") >= col(s"tot_w$g"),
+            col("v"))).as(s"med$g"))
+      win
         .withColumn("nd", col("n").cast("double"))
         .withColumn("k_lo",
           floor((col("nd") - lit(1.96) * sqrt(col("nd"))) / lit(2.0))
@@ -784,15 +792,15 @@ object Extended13 {
         .withColumn("k_hi",
           ceil(lit(1.0) + (col("nd") + lit(1.96) * sqrt(col("nd"))) /
             lit(2.0)).cast("long"))
-        .agg(max(col("n")).as("n"),
-          min(when(lit(2L) * col("cum") >= col("n"), col("v")))
-            .as("median"),
-          min(when(col("cum") >= col("k_lo"), col("v"))).as("ci_lo_os"),
-          min(when(col("cum") >= col("k_hi"), col("v"))).as("ci_hi_os"))
-      exact.crossJoin(broadcast(boot))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("meds",
+          sort_array(array((1 to b).map(g => col(s"med$g")): _*)))
         .select(col("n"), col("median"),
           col("ci_lo_os"), col("ci_hi_os"),
-          col("ci_lo_boot"), col("ci_hi_boot"))
+          element_at(col("meds"), math.ceil(b / 20.0).toInt)
+            .as("ci_lo_boot"),
+          element_at(col("meds"), math.ceil(19.0 * b / 20.0).toInt)
+            .as("ci_hi_boot"))
     }),
 
     // CAPTURE–RECAPTURE POPULATION ESTIMATE — ecology's census

@@ -66,7 +66,6 @@ class PlanLintSpec extends SparkSpec {
     "d29_shingle_width_profile", // 1-row broadcast doc-count scalar
     "q127_cusum_drift", // 1-row broadcast (n, total) scalars
     "q164_poisson_bootstrap", // 1-row broadcast (n, mean_exact) scalars
-    "q170_bootstrap_median_ci", // 1-row broadcast bootstrap-CI scalars
     "t36_ks_drift", // dim x dim pooled-jump-point grid (q83's class) + 1-row total
     "q129_cms_frequency", // 1-row broadcast CMS counter matrix
     "q132_kmv_intersection", // 1-row sketch x 1-row exact scalar join, O(1)
