@@ -125,6 +125,37 @@ object Bench {
     "q186_effect_sizes", "q187_overdispersion",
     "q188_walkforward_ols")
 
+  /** Samples host/process CPU once a second so a run can prove it was
+    * (or wasn't) contended — three NOTES.md incidents of a concurrent
+    * sbt silently inflating the committed bench artifact motivated this.
+    * `other_cpu` is the fraction of the whole machine burned by
+    * processes OTHER than this JVM; a clean solo run stays near zero.
+    */
+  private final class LoadSampler extends Thread {
+    setDaemon(true)
+    private val os = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    @volatile private var stopped = false
+    private var samples = 0L
+    private var otherSum = 0.0
+    @volatile var otherMax = 0.0
+    override def run(): Unit = while (!stopped) {
+      val sys = os.getCpuLoad       // whole-machine busy fraction [0,1]
+      val proc = os.getProcessCpuLoad // this JVM's fraction [0,1]
+      if (sys >= 0 && proc >= 0) {
+        val other = math.max(0.0, sys - proc)
+        synchronized { otherSum += other; samples += 1 }
+        if (other > otherMax) otherMax = other
+      }
+      Thread.sleep(1000)
+    }
+    def finish(): (Double, Double) = {
+      stopped = true
+      synchronized { (if (samples > 0) otherSum / samples else 0.0, otherMax) }
+    }
+  }
+
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
     * (a plan that shuffles the fact table or spills would show here). */
   private final class MetricsListener extends SparkListener {
@@ -146,6 +177,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sampler = new LoadSampler; sampler.start()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -186,7 +218,15 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       System.gc()
     }
-    headline.filter(SparkEntry.queries.contains).foreach { name =>
+    // SPARK_GRAFT_BENCH_ONLY=q01,q02 restricts to a prefix-matched subset
+    // (iteration aid); the driver's full run leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(pre) => headline.filter(h => pre.exists(h.startsWith))
+      case None => headline
+    }
+    selected.filter(SparkEntry.queries.contains).foreach { name =>
       val fn = SparkEntry.queries(name)
       def run(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -224,24 +264,79 @@ object Bench {
     val total = results.collect {
       case (k, v) if !k.startsWith("rate_") && !k.startsWith("ingest_integrity") => v
     }.sum
-    // Full per-query detail: separate stdout line + file (the driver only
-    // keeps a ~2000-char tail of stdout, so the FINAL line must stay small;
-    // shuffle/spill reflect the second measured run).
+    // Load-contamination verdict: >10% of the machine spent on other
+    // processes means the wall-clock numbers are not trustworthy.
+    val (otherMean, otherMax) = sampler.finish()
+    val contended = otherMean > 0.10
+    if (contended) System.err.println(
+      f"[bench] CONTENDED RUN: other-process CPU mean=${otherMean}%.3f " +
+        f"max=${otherMax}%.3f — do NOT promote this artifact")
+
+    // Shuffle-budget gate (100×-scale guard): per-query run-2 shuffle
+    // compared against the committed clean budget; >budget means a plan
+    // regression the sf0.1 wall clock may not show.
+    val budgetPath = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUDGET",
+      "SHUFFLE_BUDGET.json")
+    val budget: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get(budgetPath)
+        if (java.nio.file.Files.exists(p)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          // flat {"name": mb, ...} — parse without a JSON library
+          """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } else Map.empty
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] budget read: $e"); Map.empty }
+    val shuffleViolations = shuffleMb.collect {
+      case (q, mb) if budget.get(q).exists(mb > _) => q -> mb
+    }
+    if (shuffleViolations.nonEmpty) System.err.println(
+      s"[bench] SHUFFLE BUDGET EXCEEDED: " + shuffleViolations.map { case (q, mb) =>
+        f"$q=${mb}%.1fMB(budget ${budget(q)}%.1f)" }.mkString(", "))
+
+    // Full per-query detail: separate stdout line + per-run timestamped
+    // file (the driver only keeps a ~2000-char tail of stdout, so the
+    // FINAL line must stay small; shuffle/spill reflect the second
+    // measured run). BENCH_DETAIL.json is only written when explicitly
+    // promoting (SPARK_GRAFT_BENCH_PROMOTE=1) so a contended concurrent
+    // run can never clobber the committed clean artifact.
     val detail = s"""{"metric":"total","value":${j1(total)},"unit":"sec",""" +
       s""""queries":${jmap(results, 6)},""" +
       s""""shuffle_mb":${jmap(shuffleMb, 6)},"spill_mb":${jmap(spillMb, 6)},""" +
+      s""""other_cpu_mean":${j1(otherMean)},"other_cpu_max":${j1(otherMax)},""" +
+      s""""contended":${if (contended) 1 else 0},""" +
+      s""""shuffle_budget_violations":${jmap(shuffleViolations, 3)},""" +
       s""""note":"shuffle/spill are from the 2nd measured run",""" +
       s""""sf":"$sfDir"}"""
     println(detail)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception => System.err.println(s"[bench] detail write: $e") }
+    val runId = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNID",
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now()) + "-" + ProcessHandle.current().pid())
+    try {
+      val dir = java.nio.file.Paths.get("bench_runs")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(s"BENCH_DETAIL.$runId.json"),
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (sys.env.get("SPARK_GRAFT_BENCH_PROMOTE").contains("1")) {
+        if (contended) System.err.println(
+          "[bench] REFUSING to promote a contended run to BENCH_DETAIL.json")
+        else java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_DETAIL.json"),
+          (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] detail write: $e") }
     // Compact machine-readable summary — keep this the LAST line printed
     // and well under the driver's tail window.
     val line = s"""{"metric":"total","value":${j1(total)},"unit":"sec",""" +
       s""""queries":${jmap(results, 3)},""" +
       s""""shuffle_mb_total":${j1(shuffleMb.values.sum)},""" +
       s""""spill_mb_total":${j1(spillMb.values.sum)},""" +
+      s""""contended":${if (contended) 1 else 0},""" +
+      s""""shuffle_budget_ok":${if (shuffleViolations.isEmpty) 1 else 0},""" +
       s""""sf":"$sfDir"}"""
     if (line.length > 1800) System.err.println(
       s"[bench] WARNING: summary line ${line.length} chars may exceed tail window")
