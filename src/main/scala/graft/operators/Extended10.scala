@@ -638,10 +638,12 @@ object Extended10 {
         .agg(count(lit(1)).as("n"),
           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
             .as("k"))
-      val w = Window.partitionBy()
+      // corpus totals as a 1-row broadcast (q76 pattern) — an empty-
+      // partition window here would serialize the |suppliers| frame
+      // through one task
+      val tot = per.agg(sum(col("n")).as("nn"), sum(col("k")).as("kk"))
       per
-        .withColumn("nn", sum(col("n")).over(w))
-        .withColumn("kk", sum(col("k")).over(w))
+        .join(broadcast(tot), lit(true))
         .withColumn("num",
           col("k").cast(dec) * col("nn") - col("kk").cast(dec) * col("n"))
         .withColumn("den2",

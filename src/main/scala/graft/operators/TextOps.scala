@@ -691,10 +691,9 @@ object TextOps {
     // one exchange; unigram counts are vocab-sized and BROADCAST back
     // to the pair frame twice; the corpus total rides a 1-row
     // broadcast. The global top-30 window runs over the distinct-pair
-    // frame (vocab², not corpus, and in practice far smaller) — the
-    // q04 dim-sized-global-window contract.
+    // frame via orderBy+limit (TakeOrdered — per-partition partial
+    // top-k, never a single-task pass).
     "t27_bigram_lift" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .select(split(trim(col("text")), " ").as("l"))
       val bg = docs.filter(size(col("l")) >= 2)
@@ -716,9 +715,9 @@ object TextOps {
         .withColumn("lift",
           (col("pair_cnt").cast("double") * col("total").cast("double"))
             / (col("cnt_a").cast("double") * col("cnt_b").cast("double")))
-      val w = Window.orderBy(col("lift").desc, col("w1"), col("w2"))
-      lifted.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 30)
+      // top-30 via orderBy+limit (TakeOrdered: per-partition partial
+      // top-k, no single-task rank over the bigram-vocab frame)
+      lifted.orderBy(col("lift").desc, col("w1"), col("w2")).limit(30)
         .select(col("w1"), col("w2"), col("pair_cnt"), col("cnt_a"),
           col("cnt_b"), col("lift"))
         .orderBy(col("lift").desc, col("w1"), col("w2"))
@@ -737,9 +736,8 @@ object TextOps {
     // parenthesization. Scale: per-doc term counts partial-aggregate
     // map-side (doc-local), the term rollup is one vocab-keyed
     // exchange of integer triples, and the doc total is a 1-row
-    // broadcast; the top-40 window runs over the vocab-sized frame.
+    // broadcast; the top-40 pick is a TakeOrdered over the vocab frame.
     "t28_term_burstiness" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(trim(col("text")), " ").as("l"))
       val perDoc = docs.select(col("doc_id"), explode(col("l")).as("word"))
@@ -750,10 +748,10 @@ object TextOps {
         .agg(count(lit(1)).as("df"),
           sum(col("c")).as("total_cnt"),
           sum(col("c") * col("c")).as("sum_sq"))
-      val w = Window.orderBy(col("df").desc, col("word"))
-      terms.crossJoin(broadcast(nDocs))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 40)
+      // top-40 via orderBy+limit BEFORE the 1-row broadcast (TakeOrdered
+      // over the vocab frame; no single-task rank window)
+      terms.orderBy(col("df").desc, col("word")).limit(40)
+        .crossJoin(broadcast(nDocs))
         .withColumn("mean",
           col("total_cnt").cast("double") / col("n_docs").cast("double"))
         .withColumn("vmr",

@@ -62,6 +62,7 @@ class PlanLintSpec extends SparkSpec {
     "e26_filtered_ann", // same broadcast centroid assignment cross
     "d28_simhash_radius_sweep", // exhaustive hamming ground truth (a < b)
     "q112_price_volume_mix", // 1-row broadcast date-split scalar
+    "q118_return_rate_outliers", // 1-row broadcast (nn, kk) totals scalar
     "e28_ood_screen", // same broadcast centroid assignment cross
     "d29_shingle_width_profile", // 1-row broadcast doc-count scalar
     "q127_cusum_drift", // 1-row broadcast (n, total) scalars
@@ -76,6 +77,105 @@ class PlanLintSpec extends SparkSpec {
     "q182_hosmer_lemeshow") // same bounded lattice + 1-row term-list broadcast
     // q121/e29's centroid-cross and date-split scalars run inside their
     // eager Materialize stages, so their FINAL plans are product-free
+
+  /** Queries whose plans legitimately contain an UNPARTITIONED Window
+    * (single-partition sort + window over the whole frame) — each entry
+    * documents why the frame is bounded: a value GRID (cardinality =
+    * distinct values, not rows) or a ≤N-row aggregate. An unpartitioned
+    * window over a per-row frame would serialize the whole dataset
+    * through one task at 100 TB; this lint stops that from slipping in.
+    */
+  private val windowAllowed: Map[String, String] = Map(
+    // --- value GRIDS: frame cardinality = distinct quantized values
+    // (cents / |diff| / score / duration / length), not row count ---
+    "q134_mannwhitney_u" -> "cents-quantized value grid",
+    "q139_kruskal_wallis" -> "cents-quantized value grid",
+    "q146_cmh_test" -> "cents value grid + strata cells",
+    "q147_jonckheere_trend" -> "cents value grid",
+    "q163_dunn_posthoc" -> "cents value grid",
+    "q164_poisson_bootstrap" ->
+      "replicate windows partition on b; exact-branch cum over value grid",
+    "q170_bootstrap_median_ci" ->
+      "replicate windows partition on b; exact-branch cum over value grid",
+    "q171_roc_auc" -> "distinct score grid",
+    "q178_wilcoxon_signed_rank" -> "|diff| value grid",
+    "q184_brunner_munzel" -> "pooled midrank value grid",
+    "q185_cramer_von_mises" -> "pooled value grid",
+    "q133_survival_km" -> "distinct event-time grid",
+    "q174_logrank" -> "distinct event-time grid",
+    "q175_nelson_aalen" -> "distinct event-time grid",
+    "t36_ks_drift" -> "n_chars value grid",
+    "t38_good_turing" -> "frequency-of-frequencies grid",
+    // --- calendar-bounded series: frame = days/weeks observed ---
+    "q115_order_backlog_curve" -> "calendar day grid",
+    "q127_cusum_drift" -> "calendar day grid",
+    "q156_acf_ljung_box" -> "weekly series + lag grid",
+    "q157_benford_screen" -> "weekly series + distinct-y grid",
+    "q159_pettitt_changepoint" -> "weekly series + distinct-y grid",
+    "q160_runs_test" -> "weekly series",
+    "q176_forecast_backtest" -> "weekly series + |diff| grid",
+    "q177_diebold_mariano" -> "weekly series + |diff| grid",
+    "q188_walkforward_ols" -> "weekly series",
+    "q75_growth_accounting" -> "per-day daily-accounting frame",
+    // --- sketches / fixed cells / post-limit frames ---
+    "q63_kmv_sketch_union" -> "<=|event_types|*k sketch rows (k=64)",
+    "q132_kmv_intersection" -> "KMV sketch rows (k=128)",
+    "q103_chisq_association" -> "priority x status contingency cells",
+    "q143_simpson_reversal" -> "strata x group cells",
+    "q112_price_volume_mix" -> "5 market-segment rows",
+    "q94_order_size_histogram" -> "order-size bin grid",
+    "q95_activity_heatmap" -> "24x7 heatmap cells",
+    "q99_benford_profile" -> "9 digit rows",
+    "q167_bh_fdr" -> "m = |nations| hypotheses",
+    "q142_wilson_ranking" -> "|brands| (25) rows",
+    "q76_key_skew_profile" -> "10 rows post-TakeOrdered-limit",
+    "q82_top_paths" -> "10 rows post-TakeOrdered-limit",
+    "t14_mixture_weights" -> "per-source rows",
+    "t29_coverage_curve" -> "16 shard rows",
+    "t33_mixture_resample" -> "per-source rows",
+    "t35_dedup_mixture_shift" -> "per-source rows",
+    "d24_pipeline_funnel" -> "5 funnel-stage rows",
+    // --- dimension/corpus-derived frames where the exact global rank
+    // IS the declared contract; each names its 100 TB escape hatch ---
+    "q16_window_rank_family" ->
+      "supplier dim frame; rank-family demo — scale path: range-partitioned two-phase rank (m08 prefix-sum pattern)",
+    "q72_rfm_segmentation" ->
+      "per-user aggregate; exact quintiles declared — scale path: approx_percentile cutpoints",
+    "q86_decile_gain" ->
+      "per-customer spend; exact deciles declared — scale path: approx_percentile cutpoints",
+    "q89_abc_pareto" ->
+      "per-part revenue cum-share curve — scale path: m08 two-phase prefix sum",
+    "q113_supplier_skyline" ->
+      "sorted 2-D skyline sweep over the supplier dim frame (declared O(n log n) contract)",
+    "t13_vocab_coverage" ->
+      "vocabulary frame (Heaps-law sublinear) — scale path: df-floor prefilter + m08 prefix sum")
+
+  test("unpartitioned Window operators only over documented bounded " +
+      "frames (grid or <=N-row aggregate)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.sparkPlan
+        val unpart = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (unpart.nonEmpty && !windowAllowed.contains(name)) Some(name)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows outside the allowlist: $offenders")
+  }
+
+  test("unpartitioned-window allowlist is not stale") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val stale = windowAllowed.keySet.filter { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+      plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.isEmpty
+    }
+    assert(stale.isEmpty, s"allowlist entries without unpartitioned windows: $stale")
+  }
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin anywhere " +
       "in the operator inventory") {
