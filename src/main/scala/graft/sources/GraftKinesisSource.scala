@@ -45,6 +45,7 @@ import scala.jdk.CollectionConverters._
   *   .option("service.id", ShardServiceRegistry.register(svc))
   *   .option("initial-position", "TRIM_HORIZON")
   *   .option("max-records-per-shard", "10000")
+  *   .option("shard-filter", "shard-0,shard-1") // optional static assign
   *   .load()
   * }}}
   * emits the canonical envelope schema (SURVEY.md §1.3).
@@ -191,8 +192,12 @@ final class GraftKinesisScan(options: Map[String, String],
           val routed = service.openShards().toIndexedSeq
           keys.map(k => KeyRouting.shardFor(k, routed))
         }
+      // `shard-filter` option (static assignment) composes with pushdown
+      val optFilter: Option[Set[String]] = options.get("shard-filter")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       service.listShards().sorted
         .filter(s => allowedShards.forall(_.contains(s)) &&
+          optFilter.forall(_.contains(s)) &&
           keyShards.forall(_.contains(s)))
         .flatMap { s =>
           val to = service.latestPosition(s)
@@ -262,11 +267,11 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
   @volatile private var availableNowEnd: Option[Map[String, ShardPos]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(service.listShards()
+    availableNowEnd = Some(listAssigned()
       .map(s => s -> service.latestPosition(s)).toMap)
 
   override def reportLatestOffset(): Offset =
-    GraftShardOffsets(service.listShards()
+    GraftShardOffsets(listAssigned()
       .map(s => s -> service.latestPosition(s)).toMap)
 
   private val serviceId = options.getOrElse("service.id",
@@ -277,8 +282,26 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
   private val initialPosition = InitialPosition.parse(
     options.getOrElse("initial-position", "TRIM_HORIZON"))
 
+  /** Static shard assignment (`shard-filter=shard-0,shard-1`): the query
+    * consumes exactly the listed shards — the Kafka `assign` pattern,
+    * and the connector-level answer to V2 filter pushdown not reaching
+    * micro-batch scans. Two queries on disjoint assignments split one
+    * stream with no record read twice (the reference's multi-worker
+    * lease partitioning, made static). Like Kafka assign, the list does
+    * NOT follow resharding: a child of an assigned shard must itself be
+    * assigned; parent-before-child gating applies only WITHIN the
+    * assignment (a parent owned by another query is that query's
+    * ordering responsibility). */
+  private val assignedShards: Option[Set[String]] =
+    options.get("shard-filter").map(
+      _.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+  private def admitted(s: String): Boolean =
+    assignedShards.forall(_.contains(s))
+  private def listAssigned(): Seq[String] =
+    service.listShards().filter(admitted)
+
   override def initialOffset(): Offset = {
-    val shards = service.listShards()
+    val shards = listAssigned()
     GraftShardOffsets(shards.map { s =>
       val pos = initialPosition match {
         case InitialPosition.TrimHorizon => ShardPos.Beginning
@@ -292,7 +315,7 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
 
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxRows(
-      maxRecordsPerShard.toLong * math.max(service.listShards().size, 1))
+      maxRecordsPerShard.toLong * math.max(listAssigned().size, 1))
 
   /** Per-shard wire-record cap for an engine-requested limit: None means
     * unbounded (Trigger.Once / ReadAllAvailable must drain everything).
@@ -303,7 +326,7 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
   private def perShardCap(limit: ReadLimit): Option[Int] = limit match {
     case _: ReadAllAvailable => None
     case r: ReadMaxRows =>
-      val n = math.max(service.listShards().size, 1)
+      val n = math.max(listAssigned().size, 1)
       Some(math.max(1, math.ceil(r.maxRows().toDouble / n).toInt))
     case c: CompositeReadLimit =>
       val caps = c.getReadLimits.flatMap(l => perShardCap(l))
@@ -339,8 +362,10 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
     val from = start.asInstanceOf[GraftShardOffsets].positions
     // shard discovery on every trigger: new shards (resharding) start at
     // the beginning, mirroring KCL lease creation for child shards
-    val shards = service.listShards()
-    val listed = shards.toSet
+    val shards = listAssigned()
+    // the data-loss and parent-drained checks consult the FULL listing:
+    // a shard outside this query's assignment is not lost, just foreign
+    val listed = service.listShards().toSet
     // retention expiry: a shard the WAL tracks but the listing no longer
     // contains. Only a SHARD_END entry (drained before it aged out) may
     // drop silently; anything else is unread data that no longer exists —
@@ -365,7 +390,7 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
       // run in parallel with no cross-partition ordering, so the child
       // may begin at the earliest one batch after its parents finish.
       val gated = service.shardInfo(s).parentIds
-        .exists(p => !parentDrained(from, listed, p))
+        .exists(p => admitted(p) && !parentDrained(from, listed, p))
       if (gated || f == ShardPos.ShardEnd) s -> f else {
         // under AvailableNow, never read past the frozen end positions; a
         // shard discovered after the freeze has no frozen end and is

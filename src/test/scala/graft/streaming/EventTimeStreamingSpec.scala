@@ -214,4 +214,91 @@ class EventTimeStreamingSpec extends SparkSpec {
       assert(stream == batch)
     } finally q.stop()
   }
+
+  test("stream-stream AS-OF enrichment (q26 semantics): watermarked " +
+      "interval join + latest-signup pick over the real events table " +
+      "equals the batch as-of rows bit-for-bit") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: q26's (purchase_id, user_id, signup_id); null -> -1
+    val expected = graft.SparkEntry.queries("q26_asof_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+
+    // the same rows as two event-time-ordered streams (arrival follows
+    // event time per chunk, so a short watermark delay is sound)
+    // events.ts is TIMESTAMP_NTZ (nanos-truncated) -> LocalDateTime;
+    // only ORDERING matters here (output columns are ids), so the
+    // NTZ->Timestamp reinterpretation is harmless
+    def toTs(v: Any): Timestamp = v match {
+      case t: Timestamp => t
+      case l: java.time.LocalDateTime => Timestamp.valueOf(l)
+    }
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .sortBy(r => (toTs(r.get(1)).getTime, r.getLong(0)))
+
+    val signups = MemoryStream[(Long, Timestamp, Long)](spark)
+    val purchases = MemoryStream[(Long, Timestamp, Long)](spark)
+    // NOTE: no in-query sentinel filter — a predicate on these columns
+    // pushes below the EventTimeWatermark node (even from after the
+    // agg, via grouping-key pushdown) and the flush sentinels would
+    // never reach the watermark tracker; sentinels are dropped
+    // driver-side after collect instead
+    val s = signups.toDS().toDF("signup_id", "s_ts", "s_user")
+      .withWatermark("s_ts", "10 minutes")
+    val p = purchases.toDS().toDF("purchase_id", "p_ts", "p_user")
+      .withWatermark("p_ts", "10 minutes")
+    // STREAMING as-of = interval join with a declared lookback TTL
+    // (state boundedness requires it — same contract as Flink's
+    // interval join; 60 days covers this table's 30-day span) + a
+    // latest-(ts,id) pick per purchase. leftOuter keeps the
+    // no-preceding-signup purchases exactly like the batch oracle.
+    val joined = p.join(s,
+      col("s_user") === col("p_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 60 DAYS"),
+      "leftOuter")
+    val asof = joined
+      .groupBy(window(col("p_ts"), "1 minute"),
+        col("purchase_id"), col("p_user"))
+      .agg(max_by(col("signup_id"),
+        struct(col("s_ts"), col("signup_id"))).as("signup_id"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("signup_id"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val q = asof.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("et_asof")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      ev.grouped(100).foreach { chunk =>
+        val sg = chunk.filter(_.getString(3) == "signup")
+          .map(r => (r.getLong(0), toTs(r.get(1)), r.getLong(2)))
+        val pu = chunk.filter(_.getString(3) == "purchase")
+          .map(r => (r.getLong(0), toTs(r.get(1)), r.getLong(2)))
+        if (sg.nonEmpty) signups.addData(sg.toIndexedSeq: _*)
+        if (pu.nonEmpty) purchases.addData(pu.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // push BOTH watermarks (global watermark = min across inputs)
+      // past every join window and agg window; a second flush closes
+      // the windows the first one's rows finalized (a batch runs with
+      // the watermark computed from the PREVIOUS batch's stats)
+      for (y <- Seq("2030", "2031")) {
+        val flush = Timestamp.valueOf(s"$y-01-01 00:00:00")
+        signups.addData((-1L, flush, -1L))
+        purchases.addData((-1L, flush, -1L))
+        q.processAllAvailable()
+      }
+      val got = spark.table("et_asof")
+        .collect().filter(_.getLong(0) >= 0) // drop flush sentinels
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+      assert(got.size == expected.size,
+        s"stream emitted ${got.size} rows, batch ${expected.size}")
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
