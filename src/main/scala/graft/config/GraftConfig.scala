@@ -84,7 +84,22 @@ final case class ProducerConf(
       * reference's KPL `RateLimit` (reference.conf:283-301, a % of the
       * shard backend limit) re-expressed as an absolute per-task cap.
       * None = uncapped (the in-flight window is then the only brake). */
-    rateLimitPerShard: Option[Double] = None)
+    rateLimitPerShard: Option[Double] = None,
+    /** KPL `RecordTtl` (reference main/producer/KinesisProducerConfig
+      * .scala:56, default 30 s): a record still waiting at the admission
+      * gates (rate cap + in-flight window) past this deadline EXPIRES
+      * and fails the task instead of going stale onto the wire. Buffered
+      * aggregation wait is separately bounded by the per-micro-batch
+      * writer lifecycle (see PARITY.md RecordMaxBufferedTime row). */
+    recordTtl: FiniteDuration = 30.seconds,
+    /** KPL `FailIfThrottled` (KinesisProducerConfig.scala:43, default
+      * false): when true, a record the per-shard rate cap cannot admit
+      * immediately fails at once instead of waiting for a token. */
+    failIfThrottled: Boolean = false,
+    /** KPL `AggregationMaxSize` (reference.conf:77-91, default 51200 B):
+      * byte bound on one aggregated wire record — the shard buffer
+      * flushes before a record that would push it past this size. */
+    aggregationMaxSize: Int = 51200)
 
 object ConsumerConf {
   /** Build from an options map with default/named fallback merge. */
@@ -132,6 +147,12 @@ object ProducerConf {
       drainTimeout = o.get("drain-timeout-seconds")
         .map(_.toInt.seconds).getOrElse(base.drainTimeout),
       idempotencyColumn = o.get("idempotency-column"),
-      rateLimitPerShard = o.get("rate-limit-per-shard").map(_.toDouble))
+      rateLimitPerShard = o.get("rate-limit-per-shard").map(_.toDouble),
+      recordTtl = o.get("record-ttl-millis")
+        .map(_.toLong.millis).getOrElse(base.recordTtl),
+      failIfThrottled = o.get("fail-if-throttled")
+        .map(_.toBoolean).getOrElse(base.failIfThrottled),
+      aggregationMaxSize = o.get("aggregation-max-size")
+        .map(_.toInt).getOrElse(base.aggregationMaxSize))
   }
 }

@@ -95,9 +95,10 @@ final class GraftSinkWriter(
     }
     val ev = ProducerEvent(row.getAs[String](keyColumn),
       row.getAs[Array[Byte]](dataColumn), dedup)
-    if (rateLimiter != null) // opt-in records/s cap per target shard
-      rateLimiter.acquire(client.targetShard(ev.partitionKey))
-    window.acquire() // backpressure: blocks at maxOutstandingRequests
+    // KPL-style admission: rate cap (or fail-if-throttled), in-flight
+    // window, record-TTL on the accumulated wait
+    ProducerAdmission.admit(conf, rateLimiter, window,
+      client.targetShard(ev.partitionKey))
     client.put(ev) { result =>
       result.foreach(t => firstError.compareAndSet(null, t))
       window.release()

@@ -140,9 +140,10 @@ object GraftKinesisWriteSupport {
               "idempotent produce requires a non-null string id per record")
           row.getUTF8String(i).toString
         })
-      if (rateLimiter != null) // opt-in records/s cap per target shard
-        rateLimiter.acquire(client.targetShard(ev.partitionKey))
-      window.acquire() // backpressure at maxOutstandingRequests
+      // KPL-style admission: rate cap (or fail-if-throttled), in-flight
+      // window, record-TTL on the accumulated wait
+      ProducerAdmission.admit(conf, rateLimiter, window,
+        client.targetShard(ev.partitionKey))
       client.put(ev) { result =>
         result.foreach(t => firstError.compareAndSet(null, t))
         window.release()

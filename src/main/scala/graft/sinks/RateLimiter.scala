@@ -25,6 +25,17 @@ final class RateLimiter(ratePerSec: Double) {
   private var allowance = 1.0
   private var last = System.nanoTime()
 
+  /** Non-blocking probe: take a permit iff one is available right now —
+    * the KPL `FailIfThrottled` admission (a record the cap cannot admit
+    * immediately fails instead of waiting). */
+  def tryAcquire(): Boolean = synchronized {
+    val now = System.nanoTime()
+    allowance = math.min(capacity,
+      allowance + (now - last) * 1e-9 * ratePerSec)
+    last = now
+    if (allowance >= 1.0) { allowance -= 1.0; true } else false
+  }
+
   /** Block until one send permit is available. */
   def acquire(): Unit = synchronized {
     while (true) {
@@ -70,4 +81,53 @@ final class ShardRateLimiters(ratePerSec: Double) {
   def acquire(targetShard: Option[String]): Unit =
     buckets.getOrElseUpdate(targetShard.getOrElse(""),
       new RateLimiter(ratePerSec)).acquire()
+
+  /** Non-blocking probe on the target shard's bucket (`FailIfThrottled`). */
+  def tryAcquire(targetShard: Option[String]): Boolean =
+    buckets.getOrElseUpdate(targetShard.getOrElse(""),
+      new RateLimiter(ratePerSec)).tryAcquire()
+}
+
+/** A record the per-shard rate cap could not admit immediately, under
+  * producer `fail-if-throttled=true` — KPL `FailIfThrottled`
+  * (reference main/producer/KinesisProducerConfig.scala:43). */
+final class ProducerThrottledException(msg: String)
+    extends RuntimeException(msg)
+
+/** A record that waited at the admission gates (rate cap + in-flight
+  * window) past producer `record-ttl-millis` — KPL `RecordTtl`
+  * (reference main/producer/KinesisProducerConfig.scala:56): stale
+  * records fail rather than going onto the wire. */
+final class RecordExpiredException(msg: String)
+    extends RuntimeException(msg)
+
+/** KPL-style pre-send admission shared by both sink paths
+  * ([[GraftSinkWriter]] and the DSv2 [[GraftKinesisWriteSupport]]):
+  * per-shard rate cap (blocking, or fail-fast when `fail-if-throttled`),
+  * then the bounded in-flight window, then the record-TTL check on the
+  * total time spent waiting. */
+object ProducerAdmission {
+  def admit(conf: graft.config.ProducerConf,
+      rateLimiter: ShardRateLimiters,
+      window: java.util.concurrent.Semaphore,
+      targetShard: => Option[String]): Unit = {
+    val t0 = System.nanoTime()
+    if (rateLimiter != null) {
+      if (conf.failIfThrottled) {
+        if (!rateLimiter.tryAcquire(targetShard))
+          throw new ProducerThrottledException(
+            "record throttled by rate-limit-per-shard " +
+              s"(${conf.rateLimitPerShard.getOrElse(0.0)} rec/s) with " +
+              "fail-if-throttled=true")
+      } else rateLimiter.acquire(targetShard)
+    }
+    window.acquire() // backpressure at maxOutstandingRequests
+    val waitedNanos = System.nanoTime() - t0
+    if (waitedNanos > conf.recordTtl.toNanos) {
+      window.release()
+      throw new RecordExpiredException(
+        f"record expired after ${waitedNanos / 1e9}%.1f s at the " +
+          s"admission gates (record-ttl ${conf.recordTtl})")
+    }
+  }
 }

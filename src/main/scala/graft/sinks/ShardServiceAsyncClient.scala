@@ -24,15 +24,21 @@ import scala.collection.mutable
   */
 final class ShardServiceAsyncClient(
     service: InMemoryShardService,
-    aggregationMaxCount: Int = 1) extends AsyncRecordClient {
+    aggregationMaxCount: Int = 1,
+    /** KPL `AggregationMaxSize` (reference.conf:77-91, default 51200 B):
+      * byte bound on one aggregated wire record — the buffer flushes
+      * BEFORE a record that would push it past this bound, so a single
+      * oversized record still ships alone (KPL's behavior). */
+    aggregationMaxSize: Int = 51200) extends AsyncRecordClient {
 
   // route over OPEN shards only: after a reshard, writes go to children
   // (the closed parent rejects appends). One epoch snapshot per client —
   // a writer constructed mid-reshard routes consistently for its task.
   private val shards = service.openShards().toIndexedSeq
-  // per-shard aggregation buffers of pending events
+  // per-shard aggregation buffers of pending events + their byte size
   private val buffers =
     mutable.Map.empty[String, mutable.ArrayBuffer[ProducerEvent]]
+  private val bufferBytes = mutable.Map.empty[String, Long]
 
   // one-entry route memo: the writer resolves each record's shard twice
   // when the rate cap is on (targetShard for the limiter, then put) —
@@ -56,9 +62,16 @@ final class ShardServiceAsyncClient(
   override def put(event: ProducerEvent)(
       onComplete: Option[Throwable] => Unit): Unit = {
     val shard = shardOf(event.partitionKey)
+    // wire-size contribution: payload + partition-key bytes (the two
+    // components a sub-record carries)
+    val evBytes = event.data.length.toLong + event.partitionKey.length
     this.synchronized {
       val buf = buffers.getOrElseUpdate(shard, mutable.ArrayBuffer.empty)
+      if (buf.nonEmpty &&
+          bufferBytes.getOrElse(shard, 0L) + evBytes > aggregationMaxSize)
+        flushShard(shard) // size bound: flush BEFORE overflowing
       buf += event
+      bufferBytes(shard) = bufferBytes.getOrElse(shard, 0L) + evBytes
       if (buf.size >= aggregationMaxCount) flushShard(shard)
     }
     onComplete(None)
@@ -81,6 +94,7 @@ final class ShardServiceAsyncClient(
       service.appendAssigned(shard,
         buf.map(e => SubRecord(e.partitionKey, e.data)).toSeq, key)
       buf.clear()
+      bufferBytes(shard) = 0L
     }
   }
 
@@ -94,19 +108,21 @@ final class ShardServiceAsyncClient(
 object ShardServiceAsyncClient {
   /** Serializable factory resolving the target stream from the registry
     * (one client per partition writer). */
-  final case class Factory(serviceId: String, aggregationMaxCount: Int = 1)
+  final case class Factory(serviceId: String, aggregationMaxCount: Int = 1,
+      aggregationMaxSize: Int = 51200)
       extends AsyncRecordClientFactory {
     override def create(): AsyncRecordClient =
       new ShardServiceAsyncClient(
         graft.sources.ShardServiceRegistry.get(serviceId)
           .asInstanceOf[InMemoryShardService],
-        aggregationMaxCount)
+        aggregationMaxCount, aggregationMaxSize)
   }
 
   /** Factory honoring the producer config's KPL-style aggregation block
-    * (`aggregation-enabled` / `aggregation-max-count`, reference
-    * main/resources/reference.conf:57-92). */
+    * (`aggregation-enabled` / `aggregation-max-count` /
+    * `aggregation-max-size`, reference main/resources/reference.conf:57-92). */
   def factoryFor(conf: graft.config.ProducerConf, serviceId: String): Factory =
     Factory(serviceId,
-      if (conf.aggregationEnabled) conf.aggregationMaxCount else 1)
+      if (conf.aggregationEnabled) conf.aggregationMaxCount else 1,
+      conf.aggregationMaxSize)
 }

@@ -83,4 +83,31 @@ class RoundTripSpec extends SparkSpec {
     assert(keyShards.values.forall(_.size == 1),
       s"keys must be shard-sticky: $keyShards")
   }
+
+  test("aggregation-max-size bounds each aggregated wire record's bytes " +
+      "(KPL AggregationMaxSize, reference.conf:77-91); nothing lost") {
+    import spark.implicits._
+    val svc = new InMemoryShardService("rt-size", Seq("shard-0"))
+    val svcId = ShardServiceRegistry.register(svc)
+    // one key -> one shard; 1-byte key + 30-byte payload = 31 B/record;
+    // size bound 100 B admits exactly 3 sub-records per wire record
+    val df = (1 to 60).map(i => ("k", f"p$i%028d"))
+      .toDF("partitionKey", "payload")
+      .select(col("partitionKey"), encode(col("payload"), "UTF-8").as("data"))
+    GraftKinesisSink.writeBatch(df.coalesce(1),
+      ShardServiceAsyncClient.Factory(svcId,
+        aggregationMaxCount = 1000, aggregationMaxSize = 100),
+      ProducerConf("rt-size", maxOutstandingRequests = 16))
+    val out = spark.read.format("graft-kinesis").option("service.id", svcId)
+      .load().selectExpr("seqNo", "subSeqNo", "CAST(data AS STRING) AS p")
+      .collect()
+    assert(out.length == 60)
+    assert(out.map(_.getString(2)).toSet ==
+      (1 to 60).map(i => f"p$i%028d").toSet)
+    // every wire record carries exactly 3 sub-records (31*3=93 <= 100,
+    // a 4th would overflow to 124)
+    val perWire = out.groupBy(_.getDecimal(0)).view.mapValues(_.length)
+    assert(perWire.values.forall(_ == 3),
+      s"wire-record sizes: ${perWire.values.toSeq.sorted}")
+  }
 }

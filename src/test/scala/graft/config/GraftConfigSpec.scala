@@ -56,6 +56,22 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(p2.drainTimeout == 5.seconds)
   }
 
+  test("KPL transport-independent fields: RecordTtl / FailIfThrottled / " +
+      "AggregationMaxSize defaults match the reference and parse from " +
+      "options (KinesisProducerConfig.scala:27-171)") {
+    val p = ProducerConf.fromOptions(options, "p1")
+    assert(p.recordTtl == 30.seconds)      // KPL RecordTtl default 30000 ms
+    assert(!p.failIfThrottled)             // KPL default false
+    assert(p.aggregationMaxSize == 51200)  // KPL default 51200 B
+    val p2 = ProducerConf.fromOptions(options ++ Map(
+      "producer.p1.record-ttl-millis" -> "2500",
+      "producer.p1.fail-if-throttled" -> "true",
+      "producer.p1.aggregation-max-size" -> "1024"), "p1")
+    assert(p2.recordTtl == 2500.millis)
+    assert(p2.failIfThrottled)
+    assert(p2.aggregationMaxSize == 1024)
+  }
+
   test("initial position parsing") {
     assert(InitialPosition.parse("latest") == InitialPosition.Latest)
     assert(InitialPosition.parse("TRIM_HORIZON") == InitialPosition.TrimHorizon)

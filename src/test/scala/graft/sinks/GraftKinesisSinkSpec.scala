@@ -144,6 +144,51 @@ class GraftKinesisSinkSpec extends SparkSpec {
       f"600 records at cap 1200/s must take >= ~0.5s; took $elapsed%.2fs")
   }
 
+  test("fail-if-throttled: a record the rate cap cannot admit immediately " +
+      "fails instead of waiting (KPL FailIfThrottled, " +
+      "KinesisProducerConfig.scala:43)") {
+    val key = "sink-failthrottle"
+    InMemoryAsyncClient.reset(key)
+    val e = intercept[Exception] {
+      // cap 5/s: the burst's second record finds no token and must fail
+      GraftKinesisSink.writeBatch(mkDF(100).repartition(1),
+        InMemoryAsyncClient.Factory(key),
+        ProducerConf("out", maxOutstandingRequests = 10,
+          rateLimitPerShard = Some(5.0), failIfThrottled = true))
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[ProducerThrottledException]),
+      s"expected ProducerThrottledException in ${chain(e).map(_.getClass)}")
+    assert(InMemoryAsyncClient.sent(key).size < 100)
+  }
+
+  test("record TTL: a record stuck at the admission gates past " +
+      "record-ttl-millis expires and fails the task (KPL RecordTtl, " +
+      "KinesisProducerConfig.scala:56)") {
+    import scala.concurrent.duration._
+    val key = "sink-ttl"
+    InMemoryAsyncClient.reset(key)
+    val e = intercept[Exception] {
+      // cap 2/s (blocking): the second record waits ~500 ms > 50 ms TTL
+      GraftKinesisSink.writeBatch(mkDF(10).repartition(1),
+        InMemoryAsyncClient.Factory(key),
+        ProducerConf("out", maxOutstandingRequests = 10,
+          rateLimitPerShard = Some(2.0), recordTtl = 50.millis))
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[RecordExpiredException]),
+      s"expected RecordExpiredException in ${chain(e).map(_.getClass)}")
+    // the default 30 s TTL never fires on the same shape
+    InMemoryAsyncClient.reset(key)
+    GraftKinesisSink.writeBatch(mkDF(6).repartition(1),
+      InMemoryAsyncClient.Factory(key),
+      ProducerConf("out", maxOutstandingRequests = 10,
+        rateLimitPerShard = Some(20.0)))
+    assert(InMemoryAsyncClient.sent(key).size == 6)
+  }
+
   test("rate-limit-per-shard resolves from producer options") {
     val conf = ProducerConf.fromOptions(Map(
       "producer.default.stream-name" -> "out",
