@@ -791,12 +791,12 @@ object Extended4 {
     // carries user_id as the tie-break (equal metrics would otherwise
     // tile by partition order), and monetary is integer cents, so both
     // engines tile identically. Scale shape: one user-keyed partial
-    // aggregate; the corpus max day is a 1-row broadcast; the NTILE
-    // windows run over the per-user frame (|users| rows, not events)
-    // — at cluster scale swap NTILE for percentile cuts if even the
-    // user frame outgrows a window partition.
+    // aggregate; the corpus max day and row count are 1-row
+    // broadcasts; each exact quintile is a range-partitioned global
+    // rank (Packing.orderedRank) + the closed-form ntile bucket rule
+    // — three parallel range exchanges over the per-user frame, no
+    // single-task window at any size.
     "q72_rfm_segmentation" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val perUser = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"),
           Parity.cents2(col("value")).as("cents"))
@@ -805,19 +805,32 @@ object Extended4 {
           count(lit(1)).as("n_events"),
           sum(col("cents")).as("monetary_cents"))
       val maxDay = perUser.agg(max(col("last_day")).as("corpus_max_day"))
-      def quintile(c: Column) =
-        ntile(5).over(Window.orderBy(c, col("user_id")))
-      perUser.join(broadcast(maxDay), lit(true))
+      val nTot = perUser.agg(count(lit(1)).as("n_total"))
+      // exact quintiles over |users| WITHOUT a single-task ntile window:
+      // three range-partitioned global ranks (Packing.orderedRank) + the
+      // closed-form ntile bucket rule. 5 = best on every axis: recency
+      // DESC (most recent last), frequency/monetary ASC (highest last).
+      def addQuintile(df: org.apache.spark.sql.DataFrame,
+          sort: Seq[Column], name: String) =
+        Packing.orderedRank(df, sort)
+          .withColumn(name,
+            Packing.ntileFromRank(col("rnk"), col("n_total"), 5)
+              .cast("int"))
+          .drop("rnk")
+      val base = perUser.join(broadcast(maxDay), lit(true))
         .withColumn("recency_days",
           datediff(col("corpus_max_day"), col("last_day")))
-        .select(col("user_id"),
+        .crossJoin(broadcast(nTot))
+      val ranked = addQuintile(
+        addQuintile(
+          addQuintile(base,
+            Seq(col("recency_days").desc, col("user_id")), "r"),
+          Seq(col("n_events"), col("user_id")), "f"),
+        Seq(col("monetary_cents"), col("user_id")), "m")
+      ranked.select(col("user_id"),
           col("recency_days").cast("int").as("recency_days"),
           col("n_events"), col("monetary_cents"),
-          // 5 = best on every axis: recency DESC (most recent last),
-          // frequency/monetary ASC (highest last)
-          quintile(col("recency_days").desc).as("r"),
-          quintile(col("n_events")).as("f"),
-          quintile(col("monetary_cents")).as("m"))
+          col("r"), col("f"), col("m"))
         .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
         .orderBy(col("user_id"))
     }),

@@ -105,12 +105,13 @@ object Extended5 {
     // never make the bucketing engine-dependent), then per-decile
     // revenue share and cumulative share (the "top 10% of customers
     // drive X% of revenue" curve). Shape: one customer-keyed
-    // aggregate, then a single-partition window over |customers|
-    // rows of (custkey, spend) pairs — 16 bytes each, so even 10^9
-    // customers is ~16 GB through one task; past that, swap ntile
-    // for a rank against broadcast quantile cut-points (q52 sketch)
-    // and keep the rest of the plan identical. The final agg is 10
-    // rows.
+    // aggregate, then the EXACT global ntile computed from a
+    // range-partitioned two-phase rank (Packing.orderedPrefixSum +
+    // ntileFromRank) — no single-task window anywhere: the range
+    // exchange is the same one a global orderBy pays, every local
+    // window is per-range-partition, and the only unpartitioned
+    // window runs over the numShufflePartitions-row offset table.
+    // The final agg is 10 rows.
     "q86_decile_gain" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       // spend carried as integer cents end-to-end (q68 rule: double
@@ -120,8 +121,16 @@ object Extended5 {
         .groupBy(col("o_custkey"))
         .agg(sum(round(col("o_totalprice") * lit(100)).cast("long"))
           .as("s_cents"))
-      val w = Window.orderBy(col("s_cents").desc, col("o_custkey"))
-      val dec = spend.withColumn("decile", ntile(10).over(w))
+      // exact NTILE over |customers| WITHOUT a single-task window:
+      // range-partitioned global rank + the closed-form bucket rule
+      // (Packing.orderedPrefixSum/ntileFromRank)
+      val nTot = spend.agg(count(lit(1)).as("n_total"))
+      val dec = Packing.orderedPrefixSum(spend,
+          Seq(col("s_cents").desc, col("o_custkey")), "s_cents")
+        .crossJoin(broadcast(nTot))
+        .withColumn("decile",
+          Packing.ntileFromRank(col("rnk"), col("n_total"), 10)
+            .cast("int"))
       val byDec = dec.groupBy(col("decile"))
         .agg(count(lit(1)).as("n_cust"), sum(col("s_cents")).as("rev_cents"))
       val wc = Window.orderBy(col("decile"))

@@ -22,22 +22,24 @@ object Extended6 {
     // classic inventory-stratification table behind "which 20% of SKUs
     // make 80% of revenue". Scale: the only full-data exchange is the
     // per-part aggregate (partial agg collapses lineitem map-side to
-    // |parts| rows); the cumulative window then runs over the |parts|
-    // frame, orders of magnitude smaller than the fact table — same
-    // dim-sized global-window contract as q86's deciles (at extreme
-    // |parts| swap in the t07 two-phase block prefix sum, same plan
-    // otherwise). Revenue is integer cents end-to-end; the two
-    // divisions happen at the final projection.
+    // |parts| rows); the exact cumulative-revenue curve then comes
+    // from the range-partitioned two-phase prefix sum
+    // (Packing.orderedPrefixSum) — per-range local windows plus a
+    // numShufflePartitions-row offset table, never a single task
+    // holding the |parts| frame. Revenue is integer cents end-to-end;
+    // the two divisions happen at the final projection.
     "q89_abc_pareto" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_partkey"))
         .agg(sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount"))
           * lit(100d)).cast("long")).as("cents"))
-      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = rev.agg(sum(col("cents")).as("tot_cents"))
-      rev.withColumn("cum_cents", sum(col("cents")).over(w))
+      // exact cum-share curve WITHOUT a single-task global window: the
+      // two-phase range-partitioned prefix sum (Packing.orderedPrefixSum,
+      // m08's pattern over an arbitrary total order)
+      Packing.orderedPrefixSum(rev,
+          Seq(col("cents").desc, col("l_partkey")), "cents")
+        .withColumnRenamed("cum", "cum_cents")
         .crossJoin(broadcast(tot))
         .withColumn("cum_share",
           col("cum_cents").cast("double") / col("tot_cents").cast("double"))

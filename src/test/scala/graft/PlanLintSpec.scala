@@ -29,7 +29,6 @@ class PlanLintSpec extends SparkSpec {
     "e10_semantic_dedup", // same broadcast centroid assignment cross
     "q69_histogram", // 1-row broadcast min/max bounds for bin edges
     "e11_knn_label_accuracy", // exhaustive top-3 ground truth (!=)
-    "q72_rfm_segmentation", // 1-row broadcast corpus-max-day reference
     "e12_semantic_dedup_against", // same broadcast centroid assignment cross
     "e13_ann_ivf_pq", // same broadcast centroid assignment cross
     "e14_pq_recall", // exhaustive ground truth (!=) + PQ index side
@@ -38,6 +37,7 @@ class PlanLintSpec extends SparkSpec {
     "e16_embedding_drift", // same broadcast centroid assignment cross
     "q83_point_in_time_state", // O(calendar) broadcast snapshot grid, non-equi
     "q84_market_basket", // 1-row broadcast basket-count scalar
+    "q86_decile_gain", // 1-row broadcast customer-count scalar (ntile n)
     "e17_cell_silhouette", // same broadcast centroid assignment cross
     "m11_phash_recall", // exhaustive hamming ground truth (a < b)
     "e18_cell_balance", // same broadcast centroid assignment cross
@@ -75,8 +75,9 @@ class PlanLintSpec extends SparkSpec {
     "q175_nelson_aalen", // 1-row broadcast hazard-term list (q133 pattern)
     "q181_isotonic_calibration", // 6x21-bounded bin-interval lattice (q136 class)
     "q182_hosmer_lemeshow") // same bounded lattice + 1-row term-list broadcast
-    // q121/e29's centroid-cross and date-split scalars run inside their
-    // eager Materialize stages, so their FINAL plans are product-free
+    // q121/e29's centroid-cross and date-split scalars — and q72's
+    // corpus-max-day/count broadcasts — run inside their eager
+    // Materialize stages, so their FINAL plans are product-free
 
   /** Queries whose plans legitimately contain an UNPARTITIONED Window
     * (single-partition sort + window over the whole frame) — each entry
@@ -138,13 +139,13 @@ class PlanLintSpec extends SparkSpec {
     // --- dimension/corpus-derived frames where the exact global rank
     // IS the declared contract; each names its 100 TB escape hatch ---
     "q16_window_rank_family" ->
-      "supplier dim frame; rank-family demo — scale path: range-partitioned two-phase rank (m08 prefix-sum pattern)",
+      "supplier dim frame; rank-family demo — scale path: range-partitioned two-phase rank (Packing.orderedRank)",
     "q72_rfm_segmentation" ->
-      "per-user aggregate; exact quintiles declared — scale path: approx_percentile cutpoints",
+      "range-partition offset tables only (<=numShufflePartitions rows; Packing.orderedRank x3)",
     "q86_decile_gain" ->
-      "per-customer spend; exact deciles declared — scale path: approx_percentile cutpoints",
+      "range-partition offset table only (<=numShufflePartitions rows; Packing.orderedPrefixSum)",
     "q89_abc_pareto" ->
-      "per-part revenue cum-share curve — scale path: m08 two-phase prefix sum",
+      "range-partition offset table only (<=numShufflePartitions rows; Packing.orderedPrefixSum)",
     "q113_supplier_skyline" ->
       "sorted 2-D skyline sweep over the supplier dim frame (declared O(n log n) contract)",
     "t13_vocab_coverage" ->
