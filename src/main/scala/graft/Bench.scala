@@ -123,7 +123,8 @@ object Bench {
     "q182_hosmer_lemeshow", "q183_multiple_regression",
     "q184_brunner_munzel", "q185_cramer_von_mises",
     "q186_effect_sizes", "q187_overdispersion",
-    "q188_walkforward_ols")
+    "q188_walkforward_ols",
+    "t43_stratified_split", "m17_dedup_savings")
 
   /** Samples host/process CPU once a second so a run can prove it was
     * (or wasn't) contended — three NOTES.md incidents of a concurrent

@@ -562,6 +562,50 @@ object Multimodal {
           col("total_bytes").cast("double") /
             col("n_shards").cast("double"))
         .orderBy(col("codec"))
+    }),
+
+    // DEDUP-SAVINGS manifest: for every m10 near-dup cluster keep the
+    // smallest-payload member (ties by doc_id) and price what a
+    // keep-one-per-cluster policy buys, per the kept record's codec —
+    // the storage/decode-compute audit a multimodal pipeline reads
+    // BEFORE committing to dedup (m07 finds pairs, m10 clusters them,
+    // this prices the decision; the byte deltas are exactly what the
+    // shard writer m08 would no longer pack). Scale: rides m10's
+    // banded-LSH candidate generation (never O(n²)); codec parse and
+    // byte counts are in-row; the per-cluster rollup keys on
+    // cluster_rep; the report is |codecs|+1 rows.
+    "m17_dedup_savings" -> ((s, d) => {
+      val payload = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long")
+            .as("n_bytes"))
+        .where(col("n_bytes") > 0)
+      val codecs = array(MultimodalStub.codecNames.map(lit): _*)
+      val meta = payload.select(col("doc_id"), col("n_bytes"),
+        when(length(col("text")) >= 7,
+          element_at(codecs,
+            (ascii(substring(col("text"), 5, 1)) % 4) + 1))
+          .otherwise(lit("unknown")).as("codec"))
+      val pairs = phashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val comp = DedupOps.connectedComponents(
+          payload.select(col("doc_id")), pairs)._1
+        .select(col("doc_id"), col("lbl").as("cluster_rep"))
+      val clusters = comp.join(meta, Seq("doc_id"))
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("bytes_total"),
+          min(struct(col("n_bytes"), col("doc_id"))).as("keep"),
+          min_by(col("codec"),
+            struct(col("n_bytes"), col("doc_id"))).as("codec"))
+      clusters.groupBy(col("codec"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_docs")).as("n_docs"),
+          (sum(col("n_docs")) - count(lit(1))).as("n_dropped"),
+          sum(col("bytes_total")).as("bytes_total"),
+          sum(col("keep.n_bytes")).as("bytes_kept"),
+          (sum(col("bytes_total")) - sum(col("keep.n_bytes")))
+            .as("bytes_saved"))
+        .orderBy(col("codec"))
     })
   )
 
@@ -895,6 +939,71 @@ object Multimodal {
            CAST(MIN(bytes) AS BIGINT) AS min_shard_bytes,
            CAST(CAST(SUM(bytes) AS BIGINT) AS DOUBLE)
              / CAST(COUNT(1) AS DOUBLE) AS mean_shard_bytes
-         FROM per_shard GROUP BY codec ORDER BY codec"""
+         FROM per_shard GROUP BY codec ORDER BY codec""",
+
+    // m10's component CTE chain + smallest-(bytes, doc_id) keeper per
+    // cluster; sums cast to BIGINT (DuckDB HUGEINT — q21 rule)
+    "m17_dedup_savings" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, text,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS n
+           FROM documents WHERE OCTET_LENGTH(CAST(text AS BLOB)) > 0),
+         ch AS (SELECT doc_id, n, i, ORD(SUBSTR(text, i, 1)) AS v,
+                  ((i-1)*60)//n AS b
+                FROM s, UNNEST(GENERATE_SERIES(1, n)) AS t(i)),
+         tot AS (SELECT doc_id, n, SUM(v) AS total FROM ch
+                 GROUP BY doc_id, n),
+         blk AS (SELECT doc_id, b, SUM(v) AS bsum, COUNT(1) AS blen
+                 FROM ch GROUP BY doc_id, b),
+         fp AS (SELECT blk.doc_id,
+                  CAST(SUM(CASE WHEN bsum*tot.n > tot.total*blen
+                           THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                    AS ahash
+                FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+                GROUP BY blk.doc_id),
+         banded AS (SELECT doc_id, ahash,
+                      (ahash >> (j*15)) & 32767 AS bh, j AS band
+                    FROM fp, UNNEST(GENERATE_SERIES(0, 3)) AS t2(j)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.bh = b.bh
+                   AND a.doc_id < b.doc_id
+                   AND bit_count(xor(a.ahash, b.ahash)) <= 12),
+         bidir AS (SELECT doc_a AS a, doc_b AS b FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach(a, b) AS (SELECT a, b FROM bidir
+                         UNION
+                         SELECT r.a, e.b FROM reach r
+                         JOIN bidir e ON r.b = e.a),
+         rep AS (SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a),
+         comp AS (SELECT s.doc_id,
+                    COALESCE(LEAST(s.doc_id, r.m), s.doc_id)
+                      AS cluster_rep
+                  FROM s LEFT JOIN rep r ON r.doc_id = s.doc_id),
+         meta AS (SELECT doc_id,
+                    CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT)
+                      AS n_bytes,
+                    CASE WHEN LENGTH(text) >= 7
+                      THEN ['h264', 'vp9', 'av1', 'hevc']
+                             [ORD(SUBSTR(text, 5, 1)) % 4 + 1]
+                      ELSE 'unknown' END AS codec
+                  FROM documents
+                  WHERE OCTET_LENGTH(CAST(text AS BLOB)) > 0),
+         jm AS (SELECT c.cluster_rep, m2.doc_id, m2.n_bytes, m2.codec,
+                  ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+                    ORDER BY m2.n_bytes, m2.doc_id) AS rk
+                FROM comp c JOIN meta m2 ON c.doc_id = m2.doc_id),
+         cl AS (SELECT cluster_rep, COUNT(1) AS n_docs,
+                  SUM(n_bytes) AS bytes_total FROM jm GROUP BY 1),
+         keep AS (SELECT cluster_rep, n_bytes AS kept_bytes, codec
+                  FROM jm WHERE rk = 1)
+         SELECT k.codec, COUNT(1) AS n_clusters,
+           CAST(SUM(cl.n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(cl.n_docs) - COUNT(1) AS BIGINT) AS n_dropped,
+           CAST(SUM(cl.bytes_total) AS BIGINT) AS bytes_total,
+           CAST(SUM(k.kept_bytes) AS BIGINT) AS bytes_kept,
+           CAST(SUM(cl.bytes_total) - SUM(k.kept_bytes) AS BIGINT)
+             AS bytes_saved
+         FROM cl JOIN keep k USING (cluster_rep)
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -864,6 +864,49 @@ object TextOps {
           (col("n_docs") * (col("n_all") - col("n_docs"))).cast("double"))
         .select(col("source"), col("n_docs"), col("ks_stat"))
         .orderBy(col("source"))
+    }),
+
+    // STRATIFIED train/val/test split with EXACT per-source 80/10/10
+    // proportions: every document ranked within its source by the
+    // portable 60-bit hash (a deterministic shuffle both engines
+    // reproduce), then cut at the integer thresholds (n*8) div 10 and
+    // (n*9) div 10 — the split manifest a pipeline materializes before
+    // training so val/test composition is stratified BY CONSTRUCTION,
+    // not in expectation (t24's hash-bucket sharding gives ~proportions;
+    // this gives exact ones; in production rank t15's content groups
+    // instead of raw docs to keep the split leakage-safe too). Scale:
+    // the within-source rank comes from ONE range-partitioned global
+    // rank over (source, hash) (Packing.orderedRank — no per-source
+    // window, which would funnel corpus/|sources| rows through a task)
+    // minus broadcast per-source offsets; thresholds are integer
+    // arithmetic; the report is |sources| x 3 rows.
+    "t43_stratified_split" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), " ")).cast("long").as("toks"))
+        .withColumn("h", graft.functions.HashFunctions.md5Hash60(
+          concat(lit("split|"), col("doc_id").cast("string"))))
+      val ranked = Packing.orderedRank(docs,
+        Seq(col("source"), col("h"), col("doc_id")))
+      // per-source counts + rank offsets: |sources| rows
+      val wSrc = Window.orderBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+        .withColumn("off", coalesce(sum(col("n_src")).over(wSrc), lit(0L)))
+      ranked.join(broadcast(counts), Seq("source"))
+        .withColumn("r_in_src", col("rnk") - col("off"))
+        .withColumn("split",
+          when(col("r_in_src") <= expr("(n_src * 8) div 10"), "train")
+            .when(col("r_in_src") <= expr("(n_src * 9) div 10"), "val")
+            .otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          min(col("r_in_src")).as("r_lo"),
+          max(col("r_in_src")).as("r_hi"))
+        .orderBy(col("source"), col("split"))
     })
   )
 
@@ -1400,6 +1443,32 @@ object TextOps {
            CAST(CAST(MAX(num) AS BIGINT) AS DOUBLE)
              / CAST(MAX(n_s) * (MAX(n_all) - MAX(n_s)) AS DOUBLE)
              AS ks_stat
-         FROM nums GROUP BY source ORDER BY source"""
+         FROM nums GROUP BY source ORDER BY source""",
+
+    // within-source rank by the portable 60-bit hash (Horner md5 parse,
+    // t24's idiom with a 'split|' prefix); integer // thresholds
+    "t43_stratified_split" ->
+      """WITH h AS (SELECT doc_id, source,
+           CAST(LEN(string_split(TRIM(text), ' ')) AS BIGINT) AS toks,
+           CAST(list_reduce(
+             list_transform(generate_series(1, 15),
+               i -> strpos('0123456789abcdef',
+                      substring(md5('split|' || CAST(doc_id AS VARCHAR)),
+                        i, 1)) - 1),
+             (a, x) -> a * 16 + x) AS BIGINT) AS h
+           FROM documents),
+         r AS (SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+             AS r_in_src,
+           COUNT(1) OVER (PARTITION BY source) AS n_src FROM h),
+         a AS (SELECT source, toks, r_in_src,
+           CASE WHEN r_in_src <= (n_src * 8) // 10 THEN 'train'
+                WHEN r_in_src <= (n_src * 9) // 10 THEN 'val'
+                ELSE 'test' END AS split FROM r)
+         SELECT source, split, COUNT(1) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           CAST(MIN(r_in_src) AS BIGINT) AS r_lo,
+           CAST(MAX(r_in_src) AS BIGINT) AS r_hi
+         FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

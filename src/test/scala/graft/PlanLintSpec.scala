@@ -136,6 +136,8 @@ class PlanLintSpec extends SparkSpec {
     "t33_mixture_resample" -> "per-source rows",
     "t35_dedup_mixture_shift" -> "per-source rows",
     "d24_pipeline_funnel" -> "5 funnel-stage rows",
+    "t43_stratified_split" ->
+      "per-source offset table (|sources| rows) + range-partition offset table (Packing.orderedRank)",
     // --- dimension/corpus-derived frames where the exact global rank
     // IS the declared contract; each names its 100 TB escape hatch ---
     "q16_window_rank_family" ->
