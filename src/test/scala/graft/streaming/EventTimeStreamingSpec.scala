@@ -251,21 +251,18 @@ class EventTimeStreamingSpec extends SparkSpec {
       .withWatermark("s_ts", "10 minutes")
     val p = purchases.toDS().toDF("purchase_id", "p_ts", "p_user")
       .withWatermark("p_ts", "10 minutes")
-    // STREAMING as-of = interval join with a declared lookback TTL
-    // (state boundedness requires it — same contract as Flink's
-    // interval join; 60 days covers this table's 30-day span) + a
-    // latest-(ts,id) pick per purchase. leftOuter keeps the
-    // no-preceding-signup purchases exactly like the batch oracle.
-    val joined = p.join(s,
-      col("s_user") === col("p_user") &&
-        col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr("INTERVAL 60 DAYS"),
-      "leftOuter")
-    val asof = joined
-      .groupBy(window(col("p_ts"), "1 minute"),
-        col("purchase_id"), col("p_user"))
-      .agg(max_by(col("signup_id"),
-        struct(col("s_ts"), col("signup_id"))).as("signup_id"))
+    // STREAMING as-of through the library surface (StreamOps.asOfEnrich:
+    // interval join with a declared lookback TTL — state boundedness
+    // requires one, same contract as Flink's interval join; 60 days
+    // covers this table's 30-day span — + latest-(ts,id) pick per
+    // purchase, leftOuter keeping no-preceding-signup purchases).
+    val asof = StreamOps.asOfEnrich(
+        left = p, right = s,
+        keyEq = col("s_user") === col("p_user"),
+        leftTs = col("p_ts"), rightTs = col("s_ts"),
+        lookback = "60 days",
+        leftCols = Seq(col("purchase_id"), col("p_user")),
+        pick = Seq(col("signup_id")))
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("signup_id"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-asof").toString
