@@ -589,6 +589,78 @@ object Extended15 {
           min(when(lit(2L) * col("rn") >= col("n_weeks"), col("med_i")))
             .as("siegel_slope"))
         .orderBy(col("nation"))
+    }),
+
+    // HOLT-WINTERS additive seasonal forecast (period 7 = day-of-week,
+    // the structure q92 measured) over the dense daily revenue series —
+    // the seasonal upgrade of q176's naive/mean/drift backtest family:
+    // level+trend+seasonal state folded through the whole series, then
+    // a 7-day-ahead forecast with in-sample one-step RMSE. WHY IT
+    // HASH-MATCHES: the fold is a SEQUENTIAL left fold with a fixed
+    // operation order (Spark `aggregate` HOF == DuckDB recursive CTE,
+    // operation-for-operation), IEEE doubles are correctly rounded, and
+    // the smoothing constants are dyadic (alpha=1/4, beta=gamma=1/8) —
+    // q133's identical-left-fold rule, q104's dyadic-EWMA rule. Init:
+    // level = week-1 mean, trend = (week-2 mean − week-1 mean)/7,
+    // seasonals = two-week average deviations; fold starts at day 15.
+    // Scale: the series is CALENDAR-bounded (~2.4k days regardless of
+    // data volume) — the only data-sized work is the per-day partial
+    // aggregate; the fold is one row.
+    "q189_holt_winters" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * lit(100)).cast("long"))
+          .as("cents"))
+      val series = daily
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+      // NL (new level) and ERR are textually duplicated because SQL
+      // lambdas have no lets — identical expressions give identical
+      // doubles, so the duplication is semantically free
+      val nl = "(0.25D * (y - element_at(st.s, (st.i % 7) + 1)) " +
+        "+ 0.75D * (st.lvl + st.trd))"
+      val err = "(y - ((st.lvl + st.trd) + element_at(st.s, (st.i % 7) + 1)))"
+      series
+        .agg(expr("transform(sort_array(collect_list(struct(day, cents)))" +
+          ", x -> CAST(x.cents AS DOUBLE))").as("a"))
+        .withColumn("n", expr("size(a)"))
+        .withColumn("m1", expr(
+          "((((((element_at(a,1)+element_at(a,2))+element_at(a,3))" +
+            "+element_at(a,4))+element_at(a,5))+element_at(a,6))" +
+            "+element_at(a,7)) / 7.0D"))
+        .withColumn("m2", expr(
+          "((((((element_at(a,8)+element_at(a,9))+element_at(a,10))" +
+            "+element_at(a,11))+element_at(a,12))+element_at(a,13))" +
+            "+element_at(a,14)) / 7.0D"))
+        .withColumn("trd0", expr("(m2 - m1) / 7.0D"))
+        .withColumn("s0", expr("transform(sequence(1, 7), " +
+          "j -> ((element_at(a, j) - m1) " +
+          "+ (element_at(a, j + 7) - m2)) / 2.0D)"))
+        .withColumn("st", expr(s"""
+          aggregate(
+            slice(a, 15, n - 14),
+            named_struct('lvl', m1, 'trd', trd0, 's', s0,
+              'i', 14, 'sse', 0.0D),
+            (st, y) -> named_struct(
+              'lvl', $nl,
+              'trd', 0.125D * ($nl - st.lvl) + 0.875D * st.trd,
+              's', transform(st.s, (v, j) -> IF(j = st.i % 7,
+                     0.125D * (y - $nl) + 0.875D * v, v)),
+              'i', st.i + 1,
+              'sse', st.sse + $err * $err))"""))
+        .withColumn("fc", expr("transform(sequence(1, 7), " +
+          "h -> st.lvl + CAST(h AS DOUBLE) * st.trd " +
+          "+ element_at(st.s, ((st.i + h - 1) % 7) + 1))"))
+        .select(col("n"), col("st"), posexplode(col("fc")))
+        .select((col("pos") + 1).cast("long").as("h"),
+          (col("col") / 100.0).as("forecast"),
+          (col("st.lvl") / 100.0).as("level"),
+          (col("st.trd") / 100.0).as("trend"),
+          expr("sqrt(st.sse / CAST(n - 14 AS DOUBLE)) / 100.0D")
+            .as("rmse"))
+        .orderBy(col("h"))
     }))
 
   /** Shared oracle CTEs: the weekly backtest frame (mirrors
@@ -990,5 +1062,57 @@ object Extended15 {
         |SELECT nation, MAX(np) AS n_weeks,
         |  MIN(CASE WHEN 2 * rn >= np THEN med_i END) AS siegel_slope
         |FROM om GROUP BY nation
-        |ORDER BY nation""".stripMargin)
+        |ORDER BY nation""".stripMargin,
+
+    // the SAME left fold as the Spark aggregate() HOF, operation for
+    // operation, as a recursive CTE; list_transform's lambda index is
+    // 1-based (Spark's transform index is 0-based, hence j - 1)
+    "q189_holt_winters" ->
+      """WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |  b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |  grid AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+        |      INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |  ser AS (SELECT g.day, COALESCE(d.cents, 0) AS cents
+        |    FROM grid g LEFT JOIN daily d USING (day)),
+        |  arr AS (SELECT LIST(CAST(cents AS DOUBLE) ORDER BY day) AS a,
+        |    CAST(COUNT(1) AS INT) AS n FROM ser),
+        |  ini AS (SELECT a, n,
+        |    ((((((a[1]+a[2])+a[3])+a[4])+a[5])+a[6])+a[7]) / 7.0 AS m1,
+        |    ((((((a[8]+a[9])+a[10])+a[11])+a[12])+a[13])+a[14]) / 7.0
+        |      AS m2 FROM arr),
+        |  ini2 AS (SELECT a, n, m1, (m2 - m1) / 7.0 AS trd0,
+        |    list_transform(generate_series(1, 7),
+        |      j -> ((a[j] - m1) + (a[j + 7] - m2)) / 2.0) AS s0
+        |  FROM ini),
+        |  rec AS (
+        |    SELECT 14 AS t, m1 AS lvl, trd0 AS trd, s0 AS s,
+        |      CAST(0.0 AS DOUBLE) AS sse
+        |    FROM ini2
+        |    UNION ALL
+        |    SELECT r.t + 1,
+        |      (0.25 * (i.a[r.t + 1] - r.s[(r.t % 7) + 1])
+        |        + 0.75 * (r.lvl + r.trd)),
+        |      0.125 * ((0.25 * (i.a[r.t + 1] - r.s[(r.t % 7) + 1])
+        |        + 0.75 * (r.lvl + r.trd)) - r.lvl) + 0.875 * r.trd,
+        |      list_transform(r.s, (v, j) -> CASE WHEN j - 1 = r.t % 7
+        |        THEN 0.125 * (i.a[r.t + 1]
+        |          - (0.25 * (i.a[r.t + 1] - r.s[(r.t % 7) + 1])
+        |            + 0.75 * (r.lvl + r.trd))) + 0.875 * v
+        |        ELSE v END),
+        |      r.sse + (i.a[r.t + 1]
+        |          - ((r.lvl + r.trd) + r.s[(r.t % 7) + 1]))
+        |        * (i.a[r.t + 1]
+        |          - ((r.lvl + r.trd) + r.s[(r.t % 7) + 1]))
+        |    FROM rec r, ini2 i WHERE r.t < i.n),
+        |  fin AS (SELECT r.*, i.n FROM rec r, ini2 i WHERE r.t = i.n)
+        |SELECT CAST(h AS BIGINT) AS h,
+        |  (lvl + CAST(h AS DOUBLE) * trd
+        |    + s[((t + h - 1) % 7) + 1]) / 100.0 AS forecast,
+        |  lvl / 100.0 AS level, trd / 100.0 AS trend,
+        |  sqrt(sse / CAST(n - 14 AS DOUBLE)) / 100.0 AS rmse
+        |FROM fin, UNNEST(generate_series(1, 7)) AS u(h)
+        |ORDER BY h""".stripMargin)
 }
