@@ -293,4 +293,81 @@ class StreamingDedupPipelineSpec extends SparkSpec {
     assert(survivors.sortBy(_._1).toSeq == Seq(incoming(3)),
       s"only the clean novel doc survives; got $survivors")
   }
+
+  test("streamed keep-first NEAR-dup with a GROWING kept corpus over the " +
+      "real documents table equals the sequential greedy truth (arrival " +
+      "order keep-first, exact jaccard >= 0.8)") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    // TRUTH: greedy keep-first over the exact >= 0.8 jaccard pair graph
+    // (the same shingle/jaccard definition the library's incremental
+    // path uses) — iterate ids ascending, keep iff no edge to an
+    // already-kept doc
+    val edges = DedupOps.nearDupPairs(
+        all.toSeq.toDF("doc_id", "text"), 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect()
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val keptTruth = scala.collection.mutable.LinkedHashSet.empty[Long]
+    all.foreach { case (id, _) =>
+      if (!adj.getOrElse(id, Set.empty).exists(keptTruth.contains))
+        keptTruth += id
+    }
+    assert(keptTruth.size < all.length,
+      "corpus must contain near-dups for this test to mean anything")
+
+    // STREAM: docs arrive in id order across micro-batches; each batch
+    // is deduped against the kept corpus SO FAR (nearDupeAgainst,
+    // broadcast-the-delta) plus greedily within itself, then the
+    // winners JOIN the corpus — the growing-state ingest shape the
+    // static-corpus test above cannot exercise
+    val input = MemoryStream[(Long, String)](spark)
+    var kept: DataFrame = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .localCheckpoint(eager = true)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dupVsCorpus: Set[Long] =
+          if (kept.isEmpty) Set.empty
+          else DedupOps.nearDupeAgainst(kept, batch)
+            .select(col("batch_id")).distinct()
+            .as[Long].collect().toSet
+        val withinEdges = DedupOps.nearDupPairs(batch, 0.8)
+          .select(col("doc_a"), col("doc_b"))
+          .as[(Long, Long)].collect()
+        val wAdj = (withinEdges ++ withinEdges.map(_.swap)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        val ids = batch.select(col("doc_id")).as[Long].collect().sorted
+        val keepNow = scala.collection.mutable.LinkedHashSet.empty[Long]
+        ids.foreach { id =>
+          if (!dupVsCorpus.contains(id) &&
+              !wAdj.getOrElse(id, Set.empty).exists(keepNow.contains))
+            keepNow += id
+        }
+        val winners = batch.filter(col("doc_id").isin(keepNow.toSeq: _*))
+        // lineage hygiene: cut per batch so the corpus never re-derives
+        kept = kept.union(winners).localCheckpoint(eager = true)
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try {
+      all.grouped(100).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = kept.select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(streamed == keptTruth.toSeq.sorted,
+      s"stream kept ${streamed.size} vs truth ${keptTruth.size}")
+  }
 }
