@@ -124,7 +124,8 @@ object Bench {
     "q184_brunner_munzel", "q185_cramer_von_mises",
     "q186_effect_sizes", "q187_overdispersion",
     "q188_walkforward_ols",
-    "t43_stratified_split", "m17_dedup_savings", "q189_holt_winters")
+    "t43_stratified_split", "m17_dedup_savings", "q189_holt_winters",
+    "q190_croston")
 
   /** Samples host/process CPU once a second so a run can prove it was
     * (or wasn't) contended — three NOTES.md incidents of a concurrent

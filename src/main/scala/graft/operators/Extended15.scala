@@ -661,6 +661,57 @@ object Extended15 {
           expr("sqrt(st.sse / CAST(n - 14 AS DOUBLE)) / 100.0D")
             .as("rmse"))
         .orderBy(col("h"))
+    }),
+
+    // CROSTON'S METHOD — the intermittent-demand member of the forecast
+    // family (q176 assumes a dense series; q189 assumes seasonality;
+    // neither is right for a slow-moving SKU whose daily demand is
+    // mostly zeros): separate exponential smoothing of demand SIZE and
+    // demand INTERVAL, updated only on demand days, forecast = size /
+    // interval per day. Series: part 1's zero-filled daily shipped
+    // quantity over the full lineitem calendar. Same cross-engine
+    // identity argument as q189 (fixed-order fold, dyadic alpha = 1/4,
+    // integer inputs); NULL rate when the part never ships (q176's
+    // zero-denominator convention). Scale: one partkey-filtered partial
+    // aggregate (filter pushed to the scan), calendar-bounded fold.
+    "q190_croston" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val daily = li.filter(col("l_partkey") === 1)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+      val series = li
+        .agg(min(col("l_shipdate").cast("date")).as("lo"),
+          max(col("l_shipdate").cast("date")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("qty"), lit(0L)).as("qty"))
+      series
+        .agg(expr("transform(sort_array(collect_list(struct(day, qty)))" +
+          ", x -> CAST(x.qty AS DOUBLE))").as("a"))
+        .withColumn("n", expr("size(a)"))
+        .withColumn("tot", expr("aggregate(a, 0.0D, (acc, y) -> acc + y)"))
+        .withColumn("st", expr("""
+          aggregate(a,
+            named_struct('z', 0.0D, 'p', 0.0D, 'q', 1,
+              'seen', false, 'nd', 0),
+            (st, y) -> named_struct(
+              'z', CASE WHEN y > 0.0D THEN (CASE WHEN st.seen
+                     THEN st.z + 0.25D * (y - st.z) ELSE y END)
+                   ELSE st.z END,
+              'p', CASE WHEN y > 0.0D THEN (CASE WHEN st.seen
+                     THEN st.p + 0.25D * (CAST(st.q AS DOUBLE) - st.p)
+                     ELSE CAST(st.q AS DOUBLE) END)
+                   ELSE st.p END,
+              'q', CASE WHEN y > 0.0D THEN 1 ELSE st.q + 1 END,
+              'seen', st.seen OR y > 0.0D,
+              'nd', st.nd + CASE WHEN y > 0.0D THEN 1 ELSE 0 END))"""))
+        .select(col("n").cast("long").as("n_days"),
+          col("st.nd").cast("long").as("n_demands"),
+          expr("CASE WHEN st.seen THEN st.z END").as("demand_size"),
+          expr("CASE WHEN st.seen THEN st.p END").as("mean_interval"),
+          expr("CASE WHEN st.seen THEN st.z / st.p END")
+            .as("croston_rate"),
+          expr("tot / CAST(n AS DOUBLE)").as("exact_rate"))
     }))
 
   /** Shared oracle CTEs: the weekly backtest frame (mirrors
@@ -1114,5 +1165,45 @@ object Extended15 {
         |  lvl / 100.0 AS level, trd / 100.0 AS trend,
         |  sqrt(sse / CAST(n - 14 AS DOUBLE)) / 100.0 AS rmse
         |FROM fin, UNNEST(generate_series(1, 7)) AS u(h)
-        |ORDER BY h""".stripMargin)
+        |ORDER BY h""".stripMargin,
+
+    // same fixed-order fold as the Spark aggregate() HOF; scalar state
+    // so the recursion carries plain columns (anchor casts pin types)
+    "q190_croston" ->
+      """WITH RECURSIVE daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_partkey = 1 GROUP BY 1),
+        |  b AS (SELECT MIN(CAST(l_shipdate AS DATE)) AS lo,
+        |    MAX(CAST(l_shipdate AS DATE)) AS hi FROM lineitem),
+        |  grid AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+        |      INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |  ser AS (SELECT g.day, COALESCE(d.qty, 0) AS qty
+        |    FROM grid g LEFT JOIN daily d USING (day)),
+        |  arr AS (SELECT LIST(CAST(qty AS DOUBLE) ORDER BY day) AS a,
+        |    CAST(COUNT(1) AS INT) AS n FROM ser),
+        |  tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), a),
+        |      (acc, y) -> acc + y) AS tot FROM arr),
+        |  rec AS (
+        |    SELECT 0 AS t, CAST(0.0 AS DOUBLE) AS z,
+        |      CAST(0.0 AS DOUBLE) AS p, 1 AS q, FALSE AS seen, 0 AS nd
+        |    UNION ALL
+        |    SELECT r.t + 1,
+        |      CASE WHEN i.a[r.t + 1] > 0.0 THEN (CASE WHEN r.seen
+        |        THEN r.z + 0.25 * (i.a[r.t + 1] - r.z)
+        |        ELSE i.a[r.t + 1] END) ELSE r.z END,
+        |      CASE WHEN i.a[r.t + 1] > 0.0 THEN (CASE WHEN r.seen
+        |        THEN r.p + 0.25 * (CAST(r.q AS DOUBLE) - r.p)
+        |        ELSE CAST(r.q AS DOUBLE) END) ELSE r.p END,
+        |      CASE WHEN i.a[r.t + 1] > 0.0 THEN 1 ELSE r.q + 1 END,
+        |      r.seen OR i.a[r.t + 1] > 0.0,
+        |      r.nd + CASE WHEN i.a[r.t + 1] > 0.0 THEN 1 ELSE 0 END
+        |    FROM rec r, arr i WHERE r.t < i.n),
+        |  fin AS (SELECT r.* FROM rec r, arr i WHERE r.t = i.n)
+        |SELECT CAST(i.n AS BIGINT) AS n_days,
+        |  CAST(f.nd AS BIGINT) AS n_demands,
+        |  CASE WHEN f.seen THEN f.z END AS demand_size,
+        |  CASE WHEN f.seen THEN f.p END AS mean_interval,
+        |  CASE WHEN f.seen THEN f.z / f.p END AS croston_rate,
+        |  t.tot / CAST(i.n AS DOUBLE) AS exact_rate
+        |FROM fin f, arr i, tot t""".stripMargin)
 }
