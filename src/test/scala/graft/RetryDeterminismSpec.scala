@@ -124,4 +124,28 @@ class RetryDeterminismSpec extends SparkSpec {
       e.toString.contains("injected") ||
       Option(e.getCause).exists(_.toString.contains("injected")))
   }
+
+  test("an injected task failure + retry cannot move a row across range " +
+      "partitions of Packing.orderedPrefixSum (the pinned-pid contract " +
+      "behind the q72/q86/q89 exact ranks)") {
+    import spark.implicits._
+    val base = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+      .as[(Long, Long)]
+    def ranked(df: DataFrame) = operators.Packing
+      .orderedPrefixSum(df, Seq(col("cents").desc, col("l_partkey")),
+        "cents")
+      .select(col("l_partkey"), col("cents"), col("cum"), col("rnk"))
+      .collect().sortBy(_.getLong(0))
+    val clean = ranked(base.toDF("l_partkey", "cents"))
+    val retried = ranked(flaky(base).toDF("l_partkey", "cents"))
+    assert(clean.sameElements(retried))
+    // sanity: the global rank really is a permutation 1..n with an
+    // everywhere-increasing prefix sum
+    val byRank = clean.sortBy(_.getLong(3))
+    assert(byRank.map(_.getLong(3)).toSeq == (1L to clean.length).toSeq)
+    assert(byRank.map(_.getLong(2)).toSeq ==
+      byRank.map(_.getLong(1)).scanLeft(0L)(_ + _).drop(1).toSeq)
+  }
 }
