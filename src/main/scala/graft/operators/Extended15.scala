@@ -712,6 +712,81 @@ object Extended15 {
           expr("CASE WHEN st.seen THEN st.z / st.p END")
             .as("croston_rate"),
           expr("tot / CAST(n AS DOUBLE)").as("exact_rate"))
+    }),
+
+    // SEASONAL / TREND STRENGTH (the Hyndman STL-strength numbers) of
+    // the daily revenue series — the diagnostic that says whether
+    // q189's seasonal state or its trend state is doing the work:
+    // trend via a centered 7-day moving average, seasonality via
+    // per-day-of-week means of the detrended series, strengths =
+    // 1 − Var(remainder)/Var(previous stage). EXACTNESS DESIGN: every
+    // per-row quantity is an exact integer (detrended·7 = 7y − window
+    // sum; the MA division never happens row-wise), all sums ride the
+    // DECIMAL(38,0)/HUGEINT carrier (order-free), the seasonal means
+    // enter only as Σ_j S_j²/n_j — computed per DOW as ONE double
+    // multiply+divide of exact inputs and combined in a FIXED 7-term
+    // parenthesization via a conditional pivot (never a parallel
+    // double sum); Σ remainder is exactly zero by construction so
+    // Var(r) = (Σd² − Σ_j S_j²/n_j)/N. Scale: one per-day partial
+    // aggregate; the MA window runs over the calendar grid (q115's
+    // bounded class); everything after is a 7-row frame.
+    "q191_seasonal_strength" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * lit(100)).cast("long"))
+          .as("cents"))
+      val grid = daily
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+      val wDay = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val interior = grid
+        .withColumn("wsum", sum(col("cents")).over(wDay))
+        .withColumn("wcnt", count(lit(1)).over(wDay))
+        .filter(col("wcnt") === 7)
+        .select((dayofweek(col("day")) - 1).cast("long").as("dow"),
+          (col("cents") * 7).as("y7"),
+          (col("cents") * 7 - col("wsum")).as("d7"))
+      val perDow = interior.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_j"),
+          sum(col("d7").cast(dec)).as("s_j"),
+          sum((col("d7").cast(dec) * col("d7").cast(dec)).cast(dec))
+            .as("sdd_j"),
+          sum(col("y7").cast(dec)).as("sy_j"),
+          sum((col("y7").cast(dec) * col("y7").cast(dec)).cast(dec))
+            .as("syy_j"))
+        // B_j = S_j²/n_j: S_j < 2^53 so the double is exact; one
+        // multiply + one divide, both correctly rounded
+        .withColumn("b_j",
+          col("s_j").cast("double") * col("s_j").cast("double")
+            / col("n_j").cast("double"))
+      val bCols = (0 to 6).map(j =>
+        max(when(col("dow") === j, col("b_j"))).as(s"b$j"))
+      val aggs = Seq(
+        sum(col("n_j")).as("n"),
+        sum(col("s_j")).as("sd"), sum(col("sdd_j")).as("sdd"),
+        sum(col("sy_j")).as("sy"), sum(col("syy_j")).as("syy")) ++ bCols
+      perDow.agg(aggs.head, aggs.tail: _*)
+        .withColumn("sum_b",
+          expr("(((((b0 + b1) + b2) + b3) + b4) + b5) + b6"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("var_y",
+          (col("syy").cast("double") - col("sy").cast("double")
+            * col("sy").cast("double") / col("nd")) / col("nd"))
+        .withColumn("var_d",
+          (col("sdd").cast("double") - col("sd").cast("double")
+            * col("sd").cast("double") / col("nd")) / col("nd"))
+        .withColumn("var_r",
+          (col("sdd").cast("double") - col("sum_b")) / col("nd"))
+        .select(col("n").cast("long").as("n_days"),
+          greatest(lit(0.0), lit(1.0) - col("var_d") / col("var_y"))
+            .as("trend_strength"),
+          greatest(lit(0.0), lit(1.0) - col("var_r") / col("var_d"))
+            .as("seasonal_strength"),
+          col("var_y"), col("var_d"), col("var_r"))
     }))
 
   /** Shared oracle CTEs: the weekly backtest frame (mirrors
@@ -1205,5 +1280,70 @@ object Extended15 {
         |  CASE WHEN f.seen THEN f.p END AS mean_interval,
         |  CASE WHEN f.seen THEN f.z / f.p END AS croston_rate,
         |  t.tot / CAST(i.n AS DOUBLE) AS exact_rate
-        |FROM fin f, arr i, tot t""".stripMargin)
+        |FROM fin f, arr i, tot t""".stripMargin,
+
+    // HUGEINT carriers everywhere; big sums go HUGEINT->VARCHAR->DOUBLE
+    // (q150's DuckDB int128 double-rounding workaround); the 7-term
+    // sum_b parenthesization matches Spark exactly
+    "q191_seasonal_strength" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |  b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |  grid AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+        |      INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |  ser AS (SELECT g.day, COALESCE(d.cents, 0) AS cents
+        |    FROM grid g LEFT JOIN daily d USING (day)),
+        |  w AS (SELECT day, cents,
+        |    SUM(cents) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum,
+        |    COUNT(1) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wcnt
+        |  FROM ser),
+        |  i AS (SELECT date_part('dow', day) AS dow,
+        |    7 * cents AS y7, 7 * cents - wsum AS d7
+        |  FROM w WHERE wcnt = 7),
+        |  pd AS (SELECT dow, COUNT(1) AS n_j,
+        |    SUM(CAST(d7 AS HUGEINT)) AS s_j,
+        |    SUM(CAST(d7 AS HUGEINT) * CAST(d7 AS HUGEINT)) AS sdd_j,
+        |    SUM(CAST(y7 AS HUGEINT)) AS sy_j,
+        |    SUM(CAST(y7 AS HUGEINT) * CAST(y7 AS HUGEINT)) AS syy_j
+        |  FROM i GROUP BY 1),
+        |  pd2 AS (SELECT *,
+        |    CAST(CAST(s_j AS VARCHAR) AS DOUBLE)
+        |      * CAST(CAST(s_j AS VARCHAR) AS DOUBLE)
+        |      / CAST(n_j AS DOUBLE) AS b_j
+        |  FROM pd),
+        |  comb AS (SELECT SUM(n_j) AS n,
+        |    SUM(s_j) AS sd, SUM(sdd_j) AS sdd,
+        |    SUM(sy_j) AS sy, SUM(syy_j) AS syy,
+        |    MAX(CASE WHEN dow = 0 THEN b_j END) AS b0,
+        |    MAX(CASE WHEN dow = 1 THEN b_j END) AS b1,
+        |    MAX(CASE WHEN dow = 2 THEN b_j END) AS b2,
+        |    MAX(CASE WHEN dow = 3 THEN b_j END) AS b3,
+        |    MAX(CASE WHEN dow = 4 THEN b_j END) AS b4,
+        |    MAX(CASE WHEN dow = 5 THEN b_j END) AS b5,
+        |    MAX(CASE WHEN dow = 6 THEN b_j END) AS b6
+        |  FROM pd2),
+        |  fin AS (SELECT n,
+        |    (((((b0 + b1) + b2) + b3) + b4) + b5) + b6 AS sum_b,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(sd AS VARCHAR) AS DOUBLE) AS sdD,
+        |    CAST(CAST(sdd AS VARCHAR) AS DOUBLE) AS sddD,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syD,
+        |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyD
+        |  FROM comb),
+        |  v AS (SELECT n, nd, sum_b,
+        |    (syyD - syD * syD / nd) / nd AS var_y,
+        |    (sddD - sdD * sdD / nd) / nd AS var_d,
+        |    (sddD - sum_b) / nd AS var_r
+        |  FROM fin)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  GREATEST(CAST(0.0 AS DOUBLE), 1.0 - var_d / var_y)
+        |    AS trend_strength,
+        |  GREATEST(CAST(0.0 AS DOUBLE), 1.0 - var_r / var_d)
+        |    AS seasonal_strength,
+        |  var_y, var_d, var_r
+        |FROM v""".stripMargin)
 }

@@ -110,6 +110,7 @@ class PlanLintSpec extends SparkSpec {
     // --- calendar-bounded series: frame = days/weeks observed ---
     "q115_order_backlog_curve" -> "calendar day grid",
     "q127_cusum_drift" -> "calendar day grid",
+    "q191_seasonal_strength" -> "calendar day grid (centered 7-day MA)",
     "q156_acf_ljung_box" -> "weekly series + lag grid",
     "q157_benford_screen" -> "weekly series + distinct-y grid",
     "q159_pettitt_changepoint" -> "weekly series + distinct-y grid",
