@@ -125,7 +125,7 @@ object Bench {
     "q186_effect_sizes", "q187_overdispersion",
     "q188_walkforward_ols",
     "t43_stratified_split", "m17_dedup_savings", "q189_holt_winters",
-    "q190_croston", "q191_seasonal_strength")
+    "q190_croston", "q191_seasonal_strength", "d30_threshold_sensitivity")
 
   /** Samples host/process CPU once a second so a run can prove it was
     * (or wasn't) contended — three NOTES.md incidents of a concurrent

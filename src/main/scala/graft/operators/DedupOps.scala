@@ -1501,6 +1501,30 @@ object DedupOps {
       }
       profile(2).unionAll(profile(3)).unionAll(profile(5))
         .orderBy(col("w"))
+    }),
+
+    // THRESHOLD-SENSITIVITY table — the fourth dedup tuning axis after
+    // d18 (bands), d23 (estimator error) and d29 (shingle width): how
+    // many pairs and how many distinct documents a jaccard cut at each
+    // candidate threshold {0.6..0.9} would implicate, from ONE exact
+    // pair frame mined at the 0.6 floor. The "how aggressive can we
+    // afford to be" curve a pipeline reads before fixing d04's 0.8.
+    // Scale: one PPJoin pass at the floor (prefix pruning still
+    // applies, just with the longer 0.6 prefix); the threshold fan-out
+    // is x4 on the PAIR frame (already tiny), never the corpus.
+    "d30_threshold_sensitivity" -> ((s, d) => {
+      val pairs = nearDupPairs(Tables.documents(s, d), 0.6)
+        .select(col("jaccard"),
+          array(col("doc_a"), col("doc_b")).as("ids"))
+      val fan = pairs
+        .select(explode(array(Seq(0.6, 0.7, 0.8, 0.9).map(lit): _*))
+          .as("t"), col("jaccard"), col("ids"))
+        .filter(col("jaccard") >= col("t"))
+      val np = fan.groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+      val nd = fan.select(col("t"), explode(col("ids")).as("doc_id"))
+        .groupBy(col("t"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      np.join(nd, Seq("t")).orderBy(col("t"))
     })
   )
 
@@ -2159,6 +2183,27 @@ object DedupOps {
            SELECT * FROM (${prof(2)} UNION ALL ${prof(3)}
              UNION ALL ${prof(5)}) u ORDER BY w"""
       },
+
+      "d30_threshold_sensitivity" ->
+        s"""WITH $pairCtes,
+           j AS (SELECT doc_a, doc_b,
+                   CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+                     AS jaccard
+                 FROM pairs
+                 JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+                 WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+                   >= 0.6),
+           th AS (SELECT CAST(UNNEST([0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+                    AS t),
+           f AS (SELECT t, doc_a, doc_b FROM j, th WHERE jaccard >= t),
+           np AS (SELECT t, COUNT(1) AS n_pairs FROM f GROUP BY 1),
+           nd AS (SELECT t, COUNT(DISTINCT doc_id) AS n_docs
+                  FROM (SELECT t, doc_a AS doc_id FROM f
+                        UNION ALL SELECT t, doc_b FROM f)
+                  GROUP BY 1)
+           SELECT np.t, np.n_pairs, nd.n_docs
+           FROM np JOIN nd ON np.t = nd.t ORDER BY np.t""",
 
       "d22_method_agreement" -> {
         def pairs(sql: String) = s"(SELECT doc_a, doc_b FROM ($sql))"
