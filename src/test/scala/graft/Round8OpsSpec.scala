@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Extended16 (regression diagnostics): brute-force cross-checks at
+  * sf0.001 against plain-Scala recomputation from the collected weekly
+  * series / per-order triples, plus the structural identities each
+  * statistic must satisfy (leverages sum to the model dimension, the
+  * naive-sequence partial-correlation formula, DW ≈ 2(1−ρ)).
+  */
+class Round8OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** The weekly global revenue series recomputed independently:
+    * (week, whole dollars), ordered by week. */
+  private lazy val weekly: Seq[(Long, Long)] = {
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr(
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).map { case (w, rows) =>
+      (w, Math.floorDiv(rows.map(_._2).sum, 100L))
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Exact centered moments over (x, y) pairs: (n, a, b, c) with
+    * a = nΣy²−(Σy)², b = nΣxy−ΣxΣy, c = nΣx²−(Σx)² — all in BigInt. */
+  private def moments(pts: Seq[(Long, Long)]): (Long, BigInt, BigInt, BigInt) = {
+    val n = BigInt(pts.size)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val syy = pts.map(p => BigInt(p._2) * p._2).sum
+    (pts.size.toLong, n * syy - sy * sy, n * sxy - sx * sy,
+      n * sxx - sx * sx)
+  }
+
+  private def rss(n: Long, a: BigInt, b: BigInt, c: BigInt): Double =
+    (a.toDouble - b.toDouble * b.toDouble / c.toDouble) / n.toDouble
+
+  test("q192 Chow F matches the brute-force two-segment fit and does " +
+      "not reject on the thinned sf0.001 series") {
+    val row = q("q192_chow_test").collect().head
+    val mid = Math.floorDiv(weekly.map(_._1).min + weekly.map(_._1).max + 1, 2L)
+    assert(row.getAs[Long]("split_week") === mid)
+    assert(row.getAs[Long]("n_weeks") === weekly.size.toLong)
+    val (np, ap, bp, cp) = moments(weekly)
+    val (n1, a1, b1, c1) = moments(weekly.filter(_._1 < mid))
+    val (n2, a2, b2, c2) = moments(weekly.filter(_._1 >= mid))
+    val (rp, r1, r2) = (rss(np, ap, bp, cp), rss(n1, a1, b1, c1),
+      rss(n2, a2, b2, c2))
+    val f = ((rp - r1 - r2) / 2.0) / ((r1 + r2) / (np - 4.0))
+    assert(math.abs(row.getAs[Double]("f_stat") - f) / f.abs < 1e-12,
+      s"f ${row.getAs[Double]("f_stat")} vs brute $f")
+    assert(math.abs(row.getAs[Double]("rss_pooled") - rp) / rp < 1e-12)
+    assert(!row.getAs[Boolean]("reject_95"),
+      "sf0.001 series should not reject (measured F = 0.37)")
+  }
+
+  test("q193 Durbin-Watson matches brute-force residual recomputation " +
+      "and the rho identity") {
+    val row = q("q193_durbin_watson").collect().head
+    assert(row.getAs[Long]("n_weeks") === weekly.size.toLong)
+    val (n, a, b, c) = moments(weekly)
+    val slope = b.toDouble / c.toDouble
+    // brute force: actual residuals from the fitted line, summed in
+    // series order (a DIFFERENT summation order than the exact-moment
+    // identity the operator uses — agreement to 1e-9 is the check)
+    val sx = weekly.map(_._1).sum
+    val sy = weekly.map(_._2).sum
+    val e = weekly.map { case (w, y) =>
+      ((n * y - sy).toDouble - slope * (n * w - sx).toDouble) / n.toDouble
+    }
+    val dwBrute = e.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum /
+      e.map(x => x * x).sum
+    val dw = row.getAs[Double]("dw")
+    assert(math.abs(dw - dwBrute) / dwBrute < 1e-9, s"dw $dw vs $dwBrute")
+    assert(row.getAs[Double]("rho_approx") === 1.0 - dw / 2.0)
+    assert(math.abs(row.getAs[Double]("slope") - slope) < 1e-9 * slope.abs)
+  }
+
+  test("q194 partial correlations match brute force and quantity's " +
+      "revenue correlation collapses given line count") {
+    val per = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("a"),
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("b"),
+        expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
+          .as("r"))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("r")))
+    def corr(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val n = BigInt(xs.size)
+      val (sx, sy) = (xs.map(BigInt(_)).sum, ys.map(BigInt(_)).sum)
+      val sxy = xs.zip(ys).map(p => BigInt(p._1) * p._2).sum
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val syy = ys.map(y => BigInt(y) * y).sum
+      (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+    }
+    val (as, bs, rs) = (per.map(_._1), per.map(_._2), per.map(_._3))
+    val (rab, rar, rbr) = (corr(as, bs), corr(as, rs), corr(bs, rs))
+    def partial(rxy: Double, rxz: Double, ryz: Double) =
+      (rxy - rxz * ryz) /
+        math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    val rows = q("q194_partial_corr").collect()
+      .map(r => (r.getAs[String]("var_a"), r.getAs[String]("var_b")) ->
+        (r.getAs[Double]("r_raw"), r.getAs[Double]("r_partial"))).toMap
+    val lq = rows(("lines", "quantity"))
+    val lr = rows(("lines", "revenue"))
+    val qr = rows(("quantity", "revenue"))
+    assert(math.abs(lq._1 - rab) < 1e-12 && math.abs(lr._1 - rar) < 1e-12
+      && math.abs(qr._1 - rbr) < 1e-12)
+    assert(math.abs(lq._2 - partial(rab, rar, rbr)) < 1e-12)
+    assert(math.abs(lr._2 - partial(rar, rab, rbr)) < 1e-12)
+    assert(math.abs(qr._2 - partial(rbr, rab, rar)) < 1e-12)
+    // the measured finding: raw 0.74 collapses to |r| < 0.1 given lines
+    assert(qr._1 > 0.6 && math.abs(qr._2) < 0.1,
+      s"quantity~revenue raw ${qr._1} partial ${qr._2}")
+    assert(lr._2 > 0.5, s"lines~revenue partial ${lr._2} should survive")
+  }
+
+  test("q195 top-10 influence rows match the brute-force ranking and " +
+      "leverages satisfy the hat-matrix identities") {
+    val (n, a, b, c) = moments(weekly)
+    val slope = b.toDouble / c.toDouble
+    val sx = weekly.map(_._1).sum
+    val sy = weekly.map(_._2).sum
+    val rssV = rss(n, a, b, c)
+    val s2 = rssV / (n - 2).toDouble
+    val all = weekly.map { case (w, y) =>
+      val v = n * w - sx
+      val e = ((n * y - sy).toDouble - slope * v.toDouble) / n.toDouble
+      val h = 1.0 / n.toDouble +
+        (v * v).toDouble / (n * c).toDouble
+      val cook = (e * e * h) / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+      (w, y, e, h, cook)
+    }
+    // hat-matrix identities: 1/n <= h < 1, sum(h) = p = 2
+    assert(all.forall(r => r._4 >= 1.0 / n && r._4 < 1.0))
+    assert(math.abs(all.map(_._4).sum - 2.0) < 1e-9)
+    val expected = all.sortBy(r => (-r._5, r._1)).take(10)
+    val got = q("q195_influence").collect()
+      .map(r => (r.getAs[Long]("w"), r.getAs[Long]("y"),
+        r.getAs[Double]("resid"), r.getAs[Double]("leverage"),
+        r.getAs[Double]("cook_d")))
+    assert(got.map(_._1).toSeq === expected.map(_._1),
+      s"week ranking ${got.map(_._1).toSeq} vs ${expected.map(_._1)}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._2 === e._2)
+      assert(math.abs(g._3 - e._3) < 1e-6 * (1.0 + e._3.abs))
+      assert(math.abs(g._4 - e._4) < 1e-12)
+      assert(math.abs(g._5 - e._5) < 1e-9 * (1.0 + e._5.abs))
+    }
+  }
+}
