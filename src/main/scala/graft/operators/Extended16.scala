@@ -270,6 +270,121 @@ object Extended16 {
           col("cook_d"))
         .orderBy(col("cook_d").desc, col("w"))
         .limit(10)
+    }),
+
+    // ITEM-BASED COLLABORATIVE FILTERING — recommend unpurchased
+    // brands: item-item affinity over the binary customer×brand
+    // purchase matrix, scored per (customer, candidate) as the SUM of
+    // FIXED-POINT SQUARED-COSINE affinities sim_fp(i,j) =
+    // (co²·10⁹) div (nᵢ·nⱼ) — a pure-integer contract, so the
+    // per-customer score is an exact long sum (order-insensitive,
+    // map-side combinable) instead of a float sum whose value depends
+    // on merge order. Long-range note: co²·10⁹ ≤ 2.3e17 at sf0.1;
+    // past ~10× that, move the product onto the DECIMAL(38,0)/HUGEINT
+    // carrier (integer div semantics preserved — NOT decimal `/` +
+    // floor, whose HALF_UP rounding can cross an integer).
+    // Emits top-3 candidates for every 10th customer
+    // (ties broken by brand). Scale shape: the item vocabulary is
+    // BOUNDED (25 brands) — the affinity matrix is ≤ |brands|² rows
+    // built from one self-join on customer and BROADCAST back; the
+    // per-customer pair fan-out is C(k≤25, 2); candidate exclusion is
+    // an anti-join on the same purchase matrix. Everything keys on
+    // customer or brand — no global structure.
+    "q196_item_cf_recommend" -> ((s, d) => {
+      val rMat = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("c"), col("p_brand").as("brand"))
+        .distinct()
+      val nPer = rMat.groupBy(col("brand")).agg(count(lit(1)).as("n"))
+      val co = rMat.as("x").join(rMat.as("y"),
+          col("x.c") === col("y.c") && col("x.brand") < col("y.brand"))
+        .groupBy(col("x.brand").as("bi"), col("y.brand").as("bj"))
+        .agg(count(lit(1)).as("co"))
+      val sim = co
+        .join(nPer.withColumnRenamed("brand", "bi")
+          .withColumnRenamed("n", "ni"), "bi")
+        .join(nPer.withColumnRenamed("brand", "bj")
+          .withColumnRenamed("n", "nj"), "bj")
+        .withColumn("sim_fp",
+          expr("(co * co * CAST(1000000000 AS BIGINT)) div (ni * nj)"))
+        .select(col("bi"), col("bj"), col("sim_fp"))
+      val simBoth = sim.unionByName(
+        sim.select(col("bj").as("bi"), col("bi").as("bj"), col("sim_fp")))
+      val sampled = rMat.filter(col("c") % 10 === 0)
+      val scored = sampled
+        .join(broadcast(simBoth), col("brand") === col("bi"))
+        .select(col("c"), col("bj").as("cand"), col("sim_fp"))
+        .join(rMat.withColumnRenamed("brand", "cand"),
+          Seq("c", "cand"), "left_anti")
+        .groupBy(col("c"), col("cand"))
+        .agg(sum(col("sim_fp")).as("score_fp"),
+          count(lit(1)).as("n_terms"))
+      val wTop = Window.partitionBy(col("c"))
+        .orderBy(col("score_fp").desc, col("cand"))
+      scored.withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .select(col("c").as("custkey"), col("rank"),
+          col("cand").as("brand"), col("score_fp"), col("n_terms"),
+          (col("score_fp").cast("double") / lit(1.0e9)).as("score"))
+        .orderBy(col("custkey"), col("rank"))
+    }),
+
+    // LINK PREDICTION — which part pairs SHOULD co-sell but don't
+    // yet? On the support-≥2 co-purchase graph (edge = two parts
+    // bought together in ≥ 2 distinct orders — the support floor
+    // makes the graph scale-free-ish: ~2.5k/3.6k/3.9k edges at the
+    // three gate SFs), score every non-adjacent pair sharing a
+    // neighbor by common-neighbor count, Jaccard of neighborhoods,
+    // and the Resource-Allocation index Σ_z 1/deg(z) — carried as the
+    // exact fixed-point Σ (10¹² div deg_z) so the sum is an
+    // order-insensitive long (same contract as q196). Top-20 by RA.
+    // Scale shape: candidates come from the wedge equi-join
+    // E(a,z) ⋈ E(b,z) — bounded by Σ_z C(deg_z, 2), never all-pairs;
+    // at 100 TB the support floor rises (or a degree cap clips hubs)
+    // to bound the wedge fan-out, and existence filtering is an
+    // anti-join on the edge key.
+    "q197_link_prediction" -> ((s, d) => {
+      // the expensive fact self-join collapses to the support-filtered
+      // edge list ONCE; adjacency, wedges, and the existence anti-join
+      // all reuse the cut
+      val e = Materialize.LocalCheckpoint(Tables.lineitem(s, d).as("x")
+        .join(Tables.lineitem(s, d).as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+        .agg(countDistinct(col("x.l_orderkey")).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("pa"), col("pb")))
+      val esym = e.unionByName(
+        e.select(col("pb").as("pa"), col("pa").as("pb")))
+      val deg = esym.groupBy(col("pa")).agg(count(lit(1)).as("deg"))
+      val degz = deg.withColumnRenamed("pa", "z")
+        .withColumnRenamed("deg", "deg_z")
+      val wedges = esym.as("l").join(esym.as("r"),
+          col("l.pb") === col("r.pb") && col("l.pa") < col("r.pa"))
+        .select(col("l.pa").as("a"), col("r.pa").as("b"),
+          col("l.pb").as("z"))
+        .join(e.select(col("pa").as("a"), col("pb").as("b")),
+          Seq("a", "b"), "left_anti")
+      val scoredPairs = wedges
+        .join(degz, "z")
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cn"),
+          sum(expr("CAST(1000000000000 AS BIGINT) div deg_z"))
+            .as("ra_fp"))
+        .join(deg.select(col("pa").as("a"), col("deg").as("deg_a")), "a")
+        .join(deg.select(col("pa").as("b"), col("deg").as("deg_b")), "b")
+        .withColumn("jaccard",
+          col("cn").cast("double") /
+            (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
+        .withColumn("ra", col("ra_fp").cast("double") / lit(1.0e12))
+      scoredPairs
+        .select(col("a").as("part_a"), col("b").as("part_b"), col("cn"),
+          col("deg_a"), col("deg_b"), col("jaccard"), col("ra_fp"),
+          col("ra"))
+        .orderBy(col("ra_fp").desc, col("part_a"), col("part_b"))
+        .limit(20)
     }))
 
   def oracleSql: Map[String, String] = {
@@ -398,6 +513,69 @@ object Extended16 {
            SELECT n_orders, var_a, var_b, control, r_raw, r_partial
            FROM rows3 ORDER BY var_a, var_b"""
       },
+
+      "q196_item_cf_recommend" ->
+        """WITH rmat AS (SELECT DISTINCT o.o_custkey AS c,
+          |    p.p_brand AS brand
+          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          |  JOIN part p ON l.l_partkey = p.p_partkey),
+          |  np AS (SELECT brand, CAST(COUNT(1) AS BIGINT) AS n
+          |    FROM rmat GROUP BY 1),
+          |  co AS (SELECT x.brand AS bi, y.brand AS bj,
+          |      CAST(COUNT(1) AS BIGINT) AS co
+          |    FROM rmat x JOIN rmat y
+          |      ON x.c = y.c AND x.brand < y.brand GROUP BY 1, 2),
+          |  sim AS (SELECT bi, bj,
+          |      (co * co * CAST(1000000000 AS BIGINT)) //
+          |        (ni.n * nj.n) AS sim_fp
+          |    FROM co JOIN np ni ON co.bi = ni.brand
+          |    JOIN np nj ON co.bj = nj.brand),
+          |  simboth AS (SELECT bi, bj, sim_fp FROM sim
+          |    UNION ALL SELECT bj, bi, sim_fp FROM sim),
+          |  scored AS (SELECT r.c, s.bj AS cand,
+          |      CAST(SUM(s.sim_fp) AS BIGINT) AS score_fp,
+          |      CAST(COUNT(1) AS BIGINT) AS n_terms
+          |    FROM rmat r JOIN simboth s ON r.brand = s.bi
+          |    WHERE r.c % 10 = 0 AND NOT EXISTS (SELECT 1 FROM rmat r2
+          |      WHERE r2.c = r.c AND r2.brand = s.bj)
+          |    GROUP BY 1, 2),
+          |  rk AS (SELECT c, cand, score_fp, n_terms,
+          |      ROW_NUMBER() OVER (PARTITION BY c
+          |        ORDER BY score_fp DESC, cand) AS rank
+          |    FROM scored)
+          |SELECT c AS custkey, rank, cand AS brand, score_fp, n_terms,
+          |  CAST(score_fp AS DOUBLE) / 1e9 AS score
+          |FROM rk WHERE rank <= 3 ORDER BY custkey, rank""".stripMargin,
+
+      "q197_link_prediction" ->
+        """WITH e AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb
+          |  FROM lineitem x JOIN lineitem y
+          |    ON x.l_orderkey = y.l_orderkey
+          |   AND x.l_partkey < y.l_partkey
+          |  GROUP BY 1, 2 HAVING COUNT(DISTINCT x.l_orderkey) >= 2),
+          |  esym AS (SELECT pa, pb FROM e
+          |    UNION ALL SELECT pb, pa FROM e),
+          |  deg AS (SELECT pa, CAST(COUNT(1) AS BIGINT) AS deg
+          |    FROM esym GROUP BY 1),
+          |  wedges AS (SELECT l.pa AS a, r.pa AS b, l.pb AS z
+          |    FROM esym l JOIN esym r
+          |      ON l.pb = r.pb AND l.pa < r.pa
+          |    WHERE NOT EXISTS (SELECT 1 FROM e
+          |      WHERE e.pa = l.pa AND e.pb = r.pa)),
+          |  sc AS (SELECT a, b, CAST(COUNT(1) AS BIGINT) AS cn,
+          |      CAST(SUM(CAST(1000000000000 AS BIGINT) // dz.deg)
+          |        AS BIGINT) AS ra_fp
+          |    FROM wedges w JOIN deg dz ON w.z = dz.pa GROUP BY 1, 2),
+          |  fin AS (SELECT a AS part_a, b AS part_b, cn,
+          |      da.deg AS deg_a, db.deg AS deg_b,
+          |      CAST(cn AS DOUBLE) /
+          |        CAST(da.deg + db.deg - cn AS DOUBLE) AS jaccard,
+          |      ra_fp, CAST(ra_fp AS DOUBLE) / 1e12 AS ra
+          |    FROM sc JOIN deg da ON sc.a = da.pa
+          |    JOIN deg db ON sc.b = db.pa)
+          |SELECT part_a, part_b, cn, deg_a, deg_b, jaccard, ra_fp, ra
+          |FROM fin ORDER BY ra_fp DESC, part_a, part_b LIMIT 20"""
+          .stripMargin,
 
       "q195_influence" ->
         s"""WITH $wkCte,

@@ -128,6 +128,81 @@ class Round8OpsSpec extends SparkSpec {
     assert(lr._2 > 0.5, s"lines~revenue partial ${lr._2} should survive")
   }
 
+  test("q196 recommendations match the brute-force CF model and never " +
+      "recommend a purchased brand") {
+    val rmat = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val byCust = rmat.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nPer = rmat.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val co = rmat.toSeq.groupBy(_._1).values.flatMap { rows =>
+      val bs = rows.map(_._2).toSeq.sorted
+      for (i <- bs.indices; j <- i + 1 until bs.size) yield (bs(i), bs(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def simFp(i: String, j: String): Option[Long] = {
+      val (lo, hi) = if (i < j) (i, j) else (j, i)
+      co.get((lo, hi)).map(c =>
+        Math.floorDiv(c * c * 1000000000L, nPer(i) * nPer(j)))
+    }
+    val expected = byCust.filter(_._1 % 10 == 0).flatMap { case (c, owned) =>
+      val cands = nPer.keySet -- owned
+      val scores = cands.toSeq.flatMap { cand =>
+        val terms = owned.toSeq.flatMap(i => simFp(i, cand))
+        if (terms.isEmpty) None
+        else Some((cand, terms.sum, terms.size.toLong))
+      }
+      scores.sortBy(t => (-t._2, t._1)).take(3).zipWithIndex
+        .map { case ((cand, score, nt), idx) =>
+          (c, idx + 1, cand) -> (score, nt)
+        }
+    }
+    val got = q("q196_item_cf_recommend").collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Int]("rank"),
+        r.getAs[String]("brand")) ->
+        (r.getAs[Long]("score_fp"), r.getAs[Long]("n_terms"))).toMap
+    assert(got === expected.toMap)
+    got.keys.foreach { case (c, _, brand) =>
+      assert(!byCust(c).contains(brand),
+        s"customer $c already bought recommended $brand")
+    }
+  }
+
+  test("q197 top-20 predicted links match the brute-force CN/Jaccard/RA " +
+      "model and exclude existing edges") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2)
+      .keySet.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val cand = adj.keys.toSeq.sorted.flatMap { z =>
+      val ns = adj(z).toSeq.sorted
+      for (i <- ns.indices; j <- i + 1 until ns.size
+           if !edges.contains((ns(i), ns(j)))) yield (ns(i), ns(j), z)
+    }
+    val expected = cand.groupBy(t => (t._1, t._2)).map { case ((a, b), ws) =>
+      val cn = ws.size.toLong
+      val raFp = ws.map(w => Math.floorDiv(1000000000000L, deg(w._3))).sum
+      (a, b, cn, deg(a), deg(b), raFp)
+    }.toSeq.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    val got = q("q197_link_prediction").collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("cn"), r.getAs[Long]("deg_a"),
+        r.getAs[Long]("deg_b"), r.getAs[Long]("ra_fp")))
+    assert(got.toSeq === expected)
+    got.foreach { case (a, b, cn, da, db, _) =>
+      assert(!edges.contains((a, b)), s"($a,$b) already an edge")
+      assert(cn >= 1 && cn <= math.min(da, db))
+    }
+  }
+
   test("q195 top-10 influence rows match the brute-force ranking and " +
       "leverages satisfy the hat-matrix identities") {
     val (n, a, b, c) = moments(weekly)
