@@ -606,6 +606,55 @@ object Multimodal {
           (sum(col("bytes_total")) - sum(col("keep.n_bytes")))
             .as("bytes_saved"))
         .orderBy(col("codec"))
+    }),
+
+    // ASPECT-RATIO BUCKET PACKING — multimodal training batches must
+    // group images of like aspect ratio (resize-to-bucket wastes
+    // pixels or distorts otherwise): assign every decoded header to
+    // the NEAREST of 5 canonical ratios and emit the per-bucket batch
+    // manifest (batch size 16). The argmin is EXACT RATIONAL
+    // arithmetic, no division: |w/h − bw/bh| ordered via the integer
+    // key |w·bh − h·bw| · (144/bh) — the h in every denominator
+    // cancels in pairwise comparisons and 144 = lcm of the bh set, so
+    // the scaled costs compare exactly across buckets (ties broken by
+    // bucket name via a struct min). Scale shape: header probe and
+    // bucket argmin are in-row map work (5-way explode over a
+    // broadcast-literal bucket table); the only exchange is the
+    // |buckets|-row manifest rollup. Batch counts are pure arithmetic
+    // on n — per-batch doc assignment at scale rides
+    // Packing.orderedRank per bucket.
+    "m18_aspect_bucket_pack" -> ((s, d) => {
+      import s.implicits._
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .where(length(col("payload")) >= 7)
+        .as[MediaIn]
+        .mapPartitions(_.map(MultimodalStub.header))
+        .toDF()
+      val bArr = array(
+        Seq(("square", 1, 1), ("landscape_4_3", 4, 3),
+          ("portrait_3_4", 3, 4), ("wide_16_9", 16, 9),
+          ("tall_9_16", 9, 16)).map { case (nm, bw, bh) =>
+          struct(lit(nm).as("bucket"), lit(bw).as("bw"),
+            lit(bh).as("bh"), lit(144 / bh).as("mult"))
+        }: _*)
+      meta.select(col("doc_id"), col("width"), col("height"),
+          explode(bArr).as("b"))
+        .withColumn("cost",
+          abs(col("width") * col("b.bh") - col("height") * col("b.bw"))
+            .cast("long") * col("b.mult"))
+        .groupBy(col("doc_id"), col("width"), col("height"))
+        .agg(min(struct(col("cost"), col("b.bucket"))).as("pick"))
+        .groupBy(col("pick.bucket").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("(count(1) + 15) div 16").as("n_batches"),
+          expr("count(1) - ((count(1) + 15) div 16 - 1) * 16")
+            .as("tail_fill"),
+          (sum(col("width")).cast("double") / count(lit(1)))
+            .as("avg_width"),
+          (sum(col("height")).cast("double") / count(lit(1)))
+            .as("avg_height"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -1004,6 +1053,33 @@ object Multimodal {
            CAST(SUM(cl.bytes_total) - SUM(k.kept_bytes) AS BIGINT)
              AS bytes_saved
          FROM cl JOIN keep k USING (cluster_rep)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    // m05's header derivation + exact-rational nearest-bucket argmin
+    // (cost key |w·bh − h·bw| · 144/bh; ties by bucket name)
+    "m18_aspect_bucket_pack" ->
+      """WITH h AS (SELECT doc_id,
+           ORD(SUBSTR(text, 1, 1)) * 256 + ORD(SUBSTR(text, 2, 1))
+             AS width,
+           ORD(SUBSTR(text, 3, 1)) * 256 + ORD(SUBSTR(text, 4, 1))
+             AS height
+           FROM documents WHERE LENGTH(text) >= 7),
+         bk(bucket, bw, bh, mult) AS (VALUES
+           ('square', 1, 1, 144), ('landscape_4_3', 4, 3, 48),
+           ('portrait_3_4', 3, 4, 36), ('wide_16_9', 16, 9, 16),
+           ('tall_9_16', 9, 16, 9)),
+         costs AS (SELECT doc_id, width, height, bucket,
+             CAST(ABS(width * bh - height * bw) AS BIGINT) * mult
+               AS cost,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY CAST(ABS(width * bh - height * bw) AS BIGINT)
+                 * mult, bucket) AS rk
+           FROM h CROSS JOIN bk)
+         SELECT bucket, CAST(COUNT(1) AS BIGINT) AS n_docs,
+           (COUNT(1) + 15) // 16 AS n_batches,
+           COUNT(1) - ((COUNT(1) + 15) // 16 - 1) * 16 AS tail_fill,
+           CAST(SUM(width) AS DOUBLE) / COUNT(1) AS avg_width,
+           CAST(SUM(height) AS DOUBLE) / COUNT(1) AS avg_height
+         FROM costs WHERE rk = 1 GROUP BY bucket ORDER BY bucket"""
   )
 }

@@ -36,6 +36,18 @@ object Similarity {
   private def l2sq(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
+  /** e30's projection width and ±1 sign matrix — the e05 md5-derived
+    * family under the 'jl' seed, reproducible in SQL. */
+  private val JlK = 16
+  private lazy val jlSigns: IndexedSeq[Seq[Double]] = {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until JlK).map(j =>
+      (0 until EmbDims).map(i =>
+        if (md5hex(s"jl-$j-$i").charAt(0) < '8') 1.0 else -1.0))
+  }
+
   /** vec_id, v (double), norm — shared scan for the similarity queries
     * (and [[Extended]]'s embedding near-dup). */
   private[operators] def vecs(s: SparkSession, d: String): DataFrame =
@@ -923,6 +935,73 @@ object Similarity {
           col("total_scanned").cast("double") /
             col("n_queries").cast("double"))
         .orderBy(col("nprobe"))
+    }),
+
+    // JOHNSON–LINDENSTRAUSS PROJECTION AUDIT — how much of the
+    // neighbor structure survives a 64→16 random-sign projection
+    // (±1 entries, the md5-derived e05 matrix family under the 'jl'
+    // seed)? Measures top-1 recall (projected-space nearest == exact
+    // nearest) and the distance distortion d²proj/(k·d²orig) of the
+    // true-neighbor pair, whose concentration around 1 is the JL
+    // promise (E[‖Rx‖²] = k‖x‖² for ±1 R). This is the audit a user
+    // runs BEFORE swapping the 4× cheaper projected index (e05/e09's
+    // class) into an ANN pipeline — and on THIS corpus it says no:
+    // mean ratio ≈ 1.016 (the average promise holds) but recall@1 ≈
+    // 0.04 and per-pair ratios span 0.15–2.5 (k = 16 is far too few
+    // dims to separate near-orthogonal neighbors — the e05/e21
+    // orthogonality finding, measured from the distortion side). Distances use the dot-identity
+    // form (‖a‖² + ‖b‖² − 2a·b — one codegen dot per pair, no array
+    // allocation); no libm beyond the dots, so ratio terms are
+    // bit-identical cross-engine and sum through DECIMAL(38,15) +
+    // the VARCHAR route. Truth sides are the declared O(n²) eval-twin
+    // contract (e02/e07/e21's class — per-cell/sampled at corpus
+    // scale); the projection itself is 16 in-row dots per vector.
+    "e30_jl_projection_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = vecs(s, d)
+        .withColumn("n2", dot(col("v"), col("v")))
+        .withColumn("p", array((0 until JlK).map(j =>
+          dot(col("v"), typedLit(jlSigns(j)))): _*))
+        .withColumn("p2", dot(col("p"), col("p")))
+        .select(col("vec_id"), col("v"), col("n2"), col("p"), col("p2"))
+      val a = v.select(col("vec_id"), col("v").as("va"),
+        col("n2").as("na2"), col("p").as("pa"), col("p2").as("pa2"))
+      val b = v.select(col("vec_id").as("nb_id"), col("v").as("vb"),
+        col("n2").as("nb2"), col("p").as("pb"), col("p2").as("pb2"))
+      val per = a.join(b, col("vec_id") =!= col("nb_id"))
+        .withColumn("d2o", col("na2") + col("nb2") -
+          lit(2.0) * dot(col("va"), col("vb")))
+        .withColumn("d2p", col("pa2") + col("pb2") -
+          lit(2.0) * dot(col("pa"), col("pb")))
+        .withColumn("rno", row_number().over(Window
+          .partitionBy(col("vec_id")).orderBy(col("d2o"), col("nb_id"))))
+        .withColumn("rnp", row_number().over(Window
+          .partitionBy(col("vec_id")).orderBy(col("d2p"), col("nb_id"))))
+        .filter(col("rno") === 1 || col("rnp") === 1)
+        .groupBy(col("vec_id"))
+        .agg(max(when(col("rno") === 1, col("nb_id"))).as("nb_o"),
+          max(when(col("rnp") === 1, col("nb_id"))).as("nb_p"),
+          max(when(col("rno") === 1, col("d2o"))).as("d2o_t"),
+          max(when(col("rno") === 1, col("d2p"))).as("d2p_t"))
+      val ratio = col("d2p_t") / (lit(16.0) * col("d2o_t"))
+      per.agg(count(lit(1)).as("n_queries"),
+          sum(when(col("nb_o") === col("nb_p"), 1L).otherwise(0L))
+            .as("n_match"),
+          sum(when(col("d2o_t") <= 0.0, 1L).otherwise(0L))
+            .as("n_zero_dist"),
+          sum(when(col("d2o_t") > 0.0, ratio)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+            .cast("double").as("ratio_sum"),
+          min(when(col("d2o_t") > 0.0, ratio)).as("min_ratio"),
+          max(when(col("d2o_t") > 0.0, ratio)).as("max_ratio"))
+        .select(col("n_queries"), col("n_match"),
+          (col("n_match").cast("double") / col("n_queries").cast("double"))
+            .as("recall_at1"),
+          col("n_zero_dist"),
+          (col("ratio_sum") /
+            (col("n_queries") - col("n_zero_dist")).cast("double"))
+            .as("mean_ratio"),
+          col("min_ratio"), col("max_ratio"))
     })
   )
 
@@ -1722,7 +1801,61 @@ object Similarity {
            CAST(MAX(scanned) AS BIGINT) AS max_scanned,
            CAST(CAST(SUM(scanned) AS BIGINT) AS DOUBLE)
              / CAST(COUNT(1) AS DOUBLE) AS mean_scanned
-         FROM per_q GROUP BY 1 ORDER BY nprobe"""
+         FROM per_q GROUP BY 1 ORDER BY nprobe""",
+
+    // e30: md5 'jl' sign matrix, projected coords as ordered list agg,
+    // dot-identity distances, DECIMAL(38,15)+VARCHAR ratio sum
+    "e30_jl_projection_audit" ->
+      """WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         sgn AS (SELECT j, list_transform(generate_series(0, 63), i ->
+             CASE WHEN substring(md5('jl-' || j || '-' || i), 1, 1) < '8'
+                  THEN 1.0 ELSE -1.0 END) AS sv
+           FROM UNNEST(generate_series(0, 15)) AS tj(j)),
+         pr AS (SELECT ve.vec_id,
+             list(list_dot_product(ve.v, s.sv) ORDER BY s.j) AS p
+           FROM ve CROSS JOIN sgn s GROUP BY ve.vec_id),
+         base AS (SELECT ve.vec_id, ve.v,
+             list_dot_product(ve.v, ve.v) AS n2,
+             pr.p, list_dot_product(pr.p, pr.p) AS p2
+           FROM ve JOIN pr ON pr.vec_id = ve.vec_id),
+         dd AS (SELECT a.vec_id, b.vec_id AS nb_id,
+             a.n2 + b.n2 - 2.0 * list_dot_product(a.v, b.v) AS d2o,
+             a.p2 + b.p2 - 2.0 * list_dot_product(a.p, b.p) AS d2p
+           FROM base a JOIN base b ON a.vec_id <> b.vec_id),
+         rk AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2o, nb_id) AS rno,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2p, nb_id) AS rnp
+           FROM dd),
+         per AS (SELECT vec_id,
+             MAX(CASE WHEN rno = 1 THEN nb_id END) AS nb_o,
+             MAX(CASE WHEN rnp = 1 THEN nb_id END) AS nb_p,
+             MAX(CASE WHEN rno = 1 THEN d2o END) AS d2o_t,
+             MAX(CASE WHEN rno = 1 THEN d2p END) AS d2p_t
+           FROM rk WHERE rno = 1 OR rnp = 1 GROUP BY 1),
+         fin AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_queries,
+             CAST(SUM(CASE WHEN nb_o = nb_p THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_match,
+             CAST(SUM(CASE WHEN d2o_t <= 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_zero_dist,
+             CAST(CAST(SUM(CASE WHEN d2o_t > 0 THEN
+                 CAST(d2p_t / (16.0 * d2o_t) AS DECIMAL(38, 15))
+               END) AS VARCHAR) AS DOUBLE) AS ratio_sum,
+             MIN(CASE WHEN d2o_t > 0
+               THEN d2p_t / (16.0 * d2o_t) END) AS min_ratio,
+             MAX(CASE WHEN d2o_t > 0
+               THEN d2p_t / (16.0 * d2o_t) END) AS max_ratio
+           FROM per)
+         SELECT n_queries, n_match,
+           CAST(n_match AS DOUBLE) / CAST(n_queries AS DOUBLE)
+             AS recall_at1,
+           n_zero_dist,
+           ratio_sum / CAST(n_queries - n_zero_dist AS DOUBLE)
+             AS mean_ratio,
+           min_ratio, max_ratio
+         FROM fin"""
   )
 
   /** e23's DuckDB twin: the greedy MMR loop unrolled into five pick

@@ -907,6 +907,63 @@ object TextOps {
           min(col("r_in_src")).as("r_lo"),
           max(col("r_in_src")).as("r_hi"))
         .orderBy(col("source"), col("split"))
+    }),
+
+    // HELD-OUT BIGRAM-LM CROSS-ENTROPY — the perplexity-style quality
+    // number per language: train an add-one-smoothed bigram model on
+    // 90% of docs (doc_id % 10 ≠ 7), score the held-out 10% as
+    // H = −Σ ln((c₂+1)/(c₁+V))/N nats per bigram (V = the language's
+    // train continuation vocabulary). Complements t16/t21's
+    // integer-exact frequency screens with the actual NLL, and the
+    // split makes it honest (t21 scores in-sample). CONTRACT: each
+    // NLL term is quantized to 1e-9 nats (DECIMAL(18,9)) BEFORE the
+    // order-insensitive sum — ln is the one libm call neither engine
+    // rounds correctly (measured: a handful of 1-ulp JVM-vs-libm
+    // term diffs at sf0.001 shifted a DECIMAL(38,15) sum's 15th
+    // digit), and the 1e-9 grid absorbs 1-ulp input drift with
+    // ~4e-7/term boundary risk (the q159 decimal-round-trip idiom,
+    // coarsened for a 10⁴-term sum). Scale shape: gram explode is
+    // in-row; the model tables key
+    // on (lang, gram) with map-side combine; the |langs|-row vocab
+    // table broadcasts; eval grams join on the same gram keys.
+    "t44_bigram_cross_entropy" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("filter(split(trim(text), ' '), x -> x <> '')").as("ws"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
+            "i -> struct(ws[i] AS w1, ws[i+1] AS w2)) ELSE " +
+            "array() END")).as("g"))
+        .select(col("doc_id"), col("lang"),
+          col("g.w1").as("w1"), col("g.w2").as("w2"))
+      val train = bg.filter(col("doc_id") % 10 =!= 7)
+      val ev = bg.filter(col("doc_id") % 10 === 7)
+      val c2 = train.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = train.groupBy(col("lang"), col("w1"))
+        .agg(count(lit(1)).as("c1"))
+      val vs = train.groupBy(col("lang"))
+        .agg(countDistinct(col("w2")).as("v"))
+      ev.join(c2, Seq("lang", "w1", "w2"), "left")
+        .join(c1, Seq("lang", "w1"), "left")
+        .join(broadcast(vs), Seq("lang"))
+        .withColumn("c2n", coalesce(col("c2"), lit(0L)))
+        .withColumn("c1n", coalesce(col("c1"), lit(0L)))
+        .withColumn("lp", log((col("c2n") + lit(1L)).cast("double") /
+          (col("c1n") + col("v")).cast("double")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_eval_bigrams"),
+          sum(when(col("c2n") === 0L, 1L).otherwise(0L)).as("n_unseen"),
+          sum((-col("lp")).cast(org.apache.spark.sql.types
+            .DecimalType(18, 9))).cast("double").as("nll_sum"))
+        .withColumn("cross_entropy_nats",
+          col("nll_sum") / col("n_eval_bigrams").cast("double"))
+        .withColumn("unseen_rate",
+          col("n_unseen").cast("double") /
+            col("n_eval_bigrams").cast("double"))
+        .select(col("lang"), col("n_eval_bigrams"), col("n_unseen"),
+          col("nll_sum"), col("cross_entropy_nats"), col("unseen_rate"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1469,6 +1526,45 @@ object TextOps {
            CAST(SUM(toks) AS BIGINT) AS n_tokens,
            CAST(MIN(r_in_src) AS BIGINT) AS r_lo,
            CAST(MAX(r_in_src) AS BIGINT) AS r_hi
-         FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // add-one bigram LM; NLL terms quantized to DECIMAL(18,9) before
+    // the sum (ln is libm on both engines — see the Spark twin)
+    "t44_bigram_cross_entropy" ->
+      """WITH w AS (SELECT doc_id, lang,
+           list_filter(string_split(TRIM(text), ' '), x -> x <> '') AS ws
+           FROM documents),
+         bg AS (SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+           FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+           WHERE len(ws) >= 2),
+         tr AS (SELECT * FROM bg WHERE doc_id % 10 != 7),
+         ev AS (SELECT * FROM bg WHERE doc_id % 10 = 7),
+         c2 AS (SELECT lang, w1, w2, CAST(COUNT(1) AS BIGINT) AS c2
+           FROM tr GROUP BY 1, 2, 3),
+         c1 AS (SELECT lang, w1, CAST(COUNT(1) AS BIGINT) AS c1
+           FROM tr GROUP BY 1, 2),
+         vs AS (SELECT lang, CAST(COUNT(DISTINCT w2) AS BIGINT) AS v
+           FROM tr GROUP BY 1),
+         j AS (SELECT ev.lang, COALESCE(c2.c2, 0) AS c2n,
+             COALESCE(c1.c1, 0) AS c1n, vs.v
+           FROM ev LEFT JOIN c2 ON ev.lang = c2.lang
+             AND ev.w1 = c2.w1 AND ev.w2 = c2.w2
+           LEFT JOIN c1 ON ev.lang = c1.lang AND ev.w1 = c1.w1
+           JOIN vs ON ev.lang = vs.lang),
+         t AS (SELECT lang, c2n,
+             ln(CAST(c2n + 1 AS DOUBLE) / CAST(c1n + v AS DOUBLE)) AS lp
+           FROM j),
+         agg AS (SELECT lang,
+             CAST(COUNT(1) AS BIGINT) AS n_eval_bigrams,
+             CAST(SUM(CASE WHEN c2n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unseen,
+             CAST(CAST(SUM(CAST(-lp AS DECIMAL(18, 9))) AS VARCHAR)
+               AS DOUBLE) AS nll_sum
+           FROM t GROUP BY 1)
+         SELECT lang, n_eval_bigrams, n_unseen, nll_sum,
+           nll_sum / CAST(n_eval_bigrams AS DOUBLE) AS cross_entropy_nats,
+           CAST(n_unseen AS DOUBLE) / CAST(n_eval_bigrams AS DOUBLE)
+             AS unseen_rate
+         FROM agg ORDER BY lang"""
   )
 }

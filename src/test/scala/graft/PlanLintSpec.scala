@@ -61,6 +61,7 @@ class PlanLintSpec extends SparkSpec {
     "d27_source_minhash_jaccard", // |sources|^2 pairing of 17-column signature rows
     "e26_filtered_ann", // same broadcast centroid assignment cross
     "d28_simhash_radius_sweep", // exhaustive hamming ground truth (a < b)
+    "e30_jl_projection_audit", // exhaustive truth in BOTH spaces (!=) — eval-twin contract
     "q112_price_volume_mix", // 1-row broadcast date-split scalar
     "q118_return_rate_outliers", // 1-row broadcast (nn, kk) totals scalar
     "e28_ood_screen", // same broadcast centroid assignment cross

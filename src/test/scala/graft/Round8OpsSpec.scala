@@ -203,6 +203,129 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("m18 bucket assignment matches the exact-rational argmin and " +
+      "the batch arithmetic is consistent") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.getBytes("UTF-8").length >= 7)
+    val buckets = Seq(("square", 1, 1), ("landscape_4_3", 4, 3),
+      ("portrait_3_4", 3, 4), ("wide_16_9", 16, 9), ("tall_9_16", 9, 16))
+    val assigned = docs.map { case (_, text) =>
+      val p = text.getBytes("UTF-8")
+      val w = ((p(0) & 0xff) << 8) | (p(1) & 0xff)
+      val h = ((p(2) & 0xff) << 8) | (p(3) & 0xff)
+      val pick = buckets.map { case (nm, bw, bh) =>
+        (math.abs(w.toLong * bh - h.toLong * bw) * (144 / bh), nm)
+      }.min
+      (pick._2, w.toLong, h.toLong)
+    }
+    val expected = assigned.groupBy(_._1).map { case (bkt, rows) =>
+      val n = rows.length.toLong
+      val nb = (n + 15) / 16
+      bkt -> (n, nb, n - (nb - 1) * 16,
+        rows.map(_._2).sum.toDouble / n, rows.map(_._3).sum.toDouble / n)
+    }
+    val got = q("m18_aspect_bucket_pack").collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_batches"),
+          r.getAs[Long]("tail_fill"), r.getAs[Double]("avg_width"),
+          r.getAs[Double]("avg_height"))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (bkt, (n, nb, tail, aw, ah)) =>
+      val g = got(bkt)
+      assert(g._1 === n && g._2 === nb && g._3 === tail,
+        s"$bkt counts $g vs ($n, $nb, $tail)")
+      assert(math.abs(g._4 - aw) < 1e-9 && math.abs(g._5 - ah) < 1e-9)
+      assert(g._3 >= 1 && g._3 <= 16)
+    }
+  }
+
+  test("t44 cross-entropy matches the brute-force bigram LM and the " +
+      "model never sees eval documents") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(text: String): Seq[(String, String)] = {
+      val ws = text.trim.split(" ").filter(_.nonEmpty)
+      if (ws.length < 2) Nil else ws.zip(ws.tail).toSeq
+    }
+    val train = docs.filter(_._1 % 10 != 7)
+    val ev = docs.filter(_._1 % 10 == 7)
+    val c2 = train.flatMap(d => bigrams(d._3).map((d._2, _)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = train.flatMap(d => bigrams(d._3).map(b => (d._2, b._1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vsz = train.flatMap(d => bigrams(d._3).map(b => (d._2, b._2)))
+      .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = ev.flatMap(d => bigrams(d._3).map((d._2, _)))
+      .groupBy(_._1).map { case (lang, grams) =>
+        val terms = grams.map { case (_, g) =>
+          val c2n = c2.getOrElse((lang, g), 0L)
+          val c1n = c1.getOrElse((lang, g._1), 0L)
+          val lp = math.log((c2n + 1).toDouble / (c1n + vsz(lang)).toDouble)
+          (BigDecimal(-lp).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+            c2n == 0L)
+        }
+        lang -> (grams.size.toLong, terms.count(_._2).toLong,
+          terms.map(_._1).sum.toDouble)
+      }
+    val got = q("t44_bigram_cross_entropy").collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_eval_bigrams"), r.getAs[Long]("n_unseen"),
+          r.getAs[Double]("nll_sum"), r.getAs[Double]("cross_entropy_nats")))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (lang, (n, unseen, nll)) =>
+      val g = got(lang)
+      assert(g._1 === n && g._2 === unseen, s"$lang counts $g")
+      assert(math.abs(g._3 - nll) < 1e-6, s"$lang nll ${g._3} vs $nll")
+      assert(g._4 === g._3 / n.toDouble)
+      assert(g._4 > 3.0 && g._4 < 4.0, s"$lang ce ${g._4} out of band")
+    }
+  }
+
+  test("e30 JL audit matches brute force: mean distortion near 1, " +
+      "recall collapses at k=16 on this corpus") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val signs = (0 until 16).map(j => (0 until 64).map(i =>
+      if (md5hex(s"jl-$j-$i").charAt(0) < '8') 1.0 else -1.0).toArray)
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val base = vs.map { case (id, v) =>
+      val p = signs.map(sv => dotp(v, sv)).toArray
+      (id, v, dotp(v, v), p, dotp(p, p))
+    }
+    val per = base.map { case (id, v, n2, p, p2) =>
+      val others = base.filter(_._1 != id).map { case (oid, ov, on2, op, op2) =>
+        (oid, n2 + on2 - 2.0 * dotp(v, ov), p2 + op2 - 2.0 * dotp(p, op))
+      }
+      val nbO = others.minBy(t => (t._2, t._1))
+      val nbP = others.minBy(t => (t._3, t._1))
+      (id, nbO._1, nbP._1, nbO._2, nbO._3)
+    }
+    val nMatch = per.count(t => t._2 == t._3).toLong
+    val ratios = per.filter(_._4 > 0).map(t => t._5 / (16.0 * t._4))
+    val row = q("e30_jl_projection_audit").collect().head
+    assert(row.getAs[Long]("n_queries") === per.length.toLong)
+    assert(row.getAs[Long]("n_match") === nMatch)
+    assert(math.abs(row.getAs[Double]("mean_ratio") -
+      ratios.sum / ratios.length) < 1e-9)
+    assert(row.getAs[Double]("min_ratio") === ratios.min)
+    assert(row.getAs[Double]("max_ratio") === ratios.max)
+    // the measured finding: average JL promise holds, top-1 does not
+    assert(math.abs(row.getAs[Double]("mean_ratio") - 1.0) < 0.1)
+    assert(row.getAs[Double]("recall_at1") < 0.2)
+  }
+
   test("q195 top-10 influence rows match the brute-force ranking and " +
       "leverages satisfy the hat-matrix identities") {
     val (n, a, b, c) = moments(weekly)
