@@ -433,6 +433,92 @@ object StreamingOps {
     out.result().iterator
   }
 
+  /** q189's streaming twin: additive Holt–Winters (period 7) run
+    * continuously over the DENSE zero-filled daily series (the q189
+    * carrier — the caller's upstream rollup supplies every calendar
+    * day exactly once, in order across micro-batches). State per key
+    * is (level, trend, 7 seasonals, position, SSE) plus the ≤14-day
+    * warm-up buffer — BOUNDED regardless of history. Every double
+    * operation copies q189's SQL fold verbatim (dyadic α=1/4,
+    * β=γ=1/8; NL/err duplication preserved), so an in-order daily
+    * replay reproduces the batch state bit-for-bit — the final
+    * point's 7-day forecast equals q189's rows exactly (pinned in
+    * StatefulStreamSpec). Days arriving in one micro-batch fold in
+    * ascending order; emission starts once the 14-day warm-up
+    * completes (day 15 emits the first point, exactly where the
+    * batch fold starts).
+    */
+  case class HwState(lvl: Double, trd: Double, s: Seq[Double], i: Int,
+      sse: Double, buf: Seq[Double])
+  case class HwPoint(key: String, day: Long, level: Double,
+      trend: Double, seasonal: Seq[Double], i: Int, sse: Double)
+  def holtWintersFold(key: String, it: Iterator[DayTotal],
+      state: GroupState[HwState]): Iterator[HwPoint] = {
+    var st = state.getOption.getOrElse(
+      HwState(0.0, 0.0, Seq.fill(7)(0.0), 14, 0.0, Seq.empty))
+    val out = Array.newBuilder[HwPoint]
+    it.toArray.sortBy(_.day).foreach { o =>
+      val y = o.x.toDouble
+      if (st.buf.length < 14) {
+        val buf = st.buf :+ y
+        st = if (buf.length == 14) {
+          val a = buf
+          // q189's init, operation-for-operation
+          val m1 = ((((((a(0) + a(1)) + a(2)) + a(3)) + a(4)) + a(5))
+            + a(6)) / 7.0
+          val m2 = ((((((a(7) + a(8)) + a(9)) + a(10)) + a(11)) + a(12))
+            + a(13)) / 7.0
+          val trd0 = (m2 - m1) / 7.0
+          val s0 = (0 until 7).map(j =>
+            ((a(j) - m1) + (a(j + 7) - m2)) / 2.0)
+          HwState(m1, trd0, s0, 14, 0.0, buf)
+        } else st.copy(buf = buf)
+      } else {
+        val sIdx = st.i % 7
+        val nl = 0.25 * (y - st.s(sIdx)) + 0.75 * (st.lvl + st.trd)
+        val err = y - ((st.lvl + st.trd) + st.s(sIdx))
+        val trd = 0.125 * (nl - st.lvl) + 0.875 * st.trd
+        val s = st.s.updated(sIdx, 0.125 * (y - nl) + 0.875 * st.s(sIdx))
+        st = HwState(nl, trd, s, st.i + 1, st.sse + err * err, st.buf)
+        out += HwPoint(key, o.day, st.lvl, st.trd, st.s, st.i, st.sse)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** q190's streaming twin: Croston's intermittent-demand smoother run
+    * continuously over the dense zero-filled daily quantity series.
+    * State per key is (size z, interval p, gap counter, seen, demand
+    * count) — five scalars. Updates fire only on demand days, exactly
+    * q190's fold (dyadic α=1/4); a replay reproduces the batch state
+    * bit-for-bit (pinned in StatefulStreamSpec). Zero-demand days
+    * still advance the gap counter, so the dense-series contract
+    * matters here too.
+    */
+  case class CrostonState(z: Double, p: Double, q: Long, seen: Boolean,
+      nd: Long)
+  case class CrostonPoint(key: String, day: Long, demand_size: Double,
+      mean_interval: Double, n_demands: Long)
+  def crostonFold(key: String, it: Iterator[DayTotal],
+      state: GroupState[CrostonState]): Iterator[CrostonPoint] = {
+    var st = state.getOption.getOrElse(CrostonState(0.0, 0.0, 1L, false, 0L))
+    val out = Array.newBuilder[CrostonPoint]
+    it.toArray.sortBy(_.day).foreach { o =>
+      val y = o.x.toDouble
+      st =
+        if (y > 0.0) CrostonState(
+          if (st.seen) st.z + 0.25 * (y - st.z) else y,
+          if (st.seen) st.p + 0.25 * (st.q.toDouble - st.p)
+          else st.q.toDouble,
+          1L, seen = true, st.nd + 1)
+        else st.copy(q = st.q + 1)
+      if (st.seen) out += CrostonPoint(key, o.day, st.z, st.p, st.nd)
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling event-time window aggregate. Streaming twin: identical plan
     // + withWatermark("ts", ...); partial agg keeps the shuffle tiny.

@@ -673,6 +673,115 @@ class StatefulStreamSpec extends SparkSpec {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("holtWintersFold replays q189's dense daily series across two " +
+      "micro-batches and the final state reproduces the batch forecast " +
+      "bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.StreamingOps.{DayTotal, HwPoint}
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // q189's carrier recomputed independently: dense zero-filled daily
+    // order-total cents over the observed calendar
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * lit(100)).cast("long"))
+        .as("cents"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(1))).toMap
+    val days = daily.keys.min to daily.keys.max
+    val series = days.map(d =>
+      DayTotal("revenue", d, daily.getOrElse(d, 0L))).toIndexedSeq
+    val cut = series(series.length / 2).day
+    val (b1, b2) = series.partition(_.day < cut)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hw").toString
+    val input = MemoryStream[DayTotal](spark)
+    val q = input.toDS().groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        graft.operators.StreamingOps.holtWintersFold _)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("hw_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val pts = spark.table("hw_xbatch").as[HwPoint].collect()
+      assert(pts.length === series.length - 14,
+        "one point per post-warm-up day")
+      val last = pts.maxBy(_.day)
+      // the batch final state's 7-day forecast, recomputed with the
+      // identical expression from the streamed final state
+      val batch = graft.SparkEntry.queries("q189_holt_winters")(spark, dir)
+        .collect().map(r => r.getAs[Long]("h") ->
+          (r.getAs[Double]("forecast"), r.getAs[Double]("level"),
+            r.getAs[Double]("trend"), r.getAs[Double]("rmse"))).toMap
+      (1 to 7).foreach { h =>
+        val fc = last.level + h.toDouble * last.trend +
+          last.seasonal((last.i + h - 1) % 7)
+        assert(batch(h.toLong)._1 === fc / 100.0, s"forecast h=$h")
+      }
+      assert(batch(1L)._2 === last.level / 100.0)
+      assert(batch(1L)._3 === last.trend / 100.0)
+      assert(batch(1L)._4 ===
+        math.sqrt(last.sse / (last.i - 14).toDouble) / 100.0)
+    } finally q.stop()
+  }
+
+  test("crostonFold replays q190's intermittent series across two " +
+      "micro-batches and the final state matches the batch smoother " +
+      "bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.StreamingOps.{DayTotal, CrostonPoint}
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, dir)
+    val daily = li.filter(col("l_partkey") === 1)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(1))).toMap
+    val bounds = li.agg(min(col("l_shipdate").cast("date")),
+      max(col("l_shipdate").cast("date"))).collect().head
+    val days = bounds.getDate(0).toLocalDate.toEpochDay to
+      bounds.getDate(1).toLocalDate.toEpochDay
+    val series = days.map(d =>
+      DayTotal("part1", d, daily.getOrElse(d, 0L))).toIndexedSeq
+    val cut = series(series.length / 2).day
+    val (b1, b2) = series.partition(_.day < cut)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cro").toString
+    val input = MemoryStream[DayTotal](spark)
+    val q = input.toDS().groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        graft.operators.StreamingOps.crostonFold _)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("croston_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val pts = spark.table("croston_xbatch").as[CrostonPoint].collect()
+      val batch = graft.SparkEntry.queries("q190_croston")(spark, dir)
+        .collect().head
+      if (batch.isNullAt(batch.fieldIndex("demand_size"))) {
+        assert(pts.isEmpty, "no demand days -> no emissions")
+      } else {
+        val last = pts.maxBy(_.day)
+        assert(last.demand_size === batch.getAs[Double]("demand_size"))
+        assert(last.mean_interval === batch.getAs[Double]("mean_interval"))
+        assert(last.demand_size / last.mean_interval ===
+          batch.getAs[Double]("croston_rate"))
+        assert(last.n_demands === batch.getAs[Long]("n_demands"))
+        assert(pts.length.toLong >= last.n_demands,
+          "every demand day after the first emits")
+      }
+    } finally q.stop()
+  }
 }
 
 object StatefulStreamSpec {
