@@ -125,7 +125,11 @@ object Bench {
     "q186_effect_sizes", "q187_overdispersion",
     "q188_walkforward_ols",
     "t43_stratified_split", "m17_dedup_savings", "q189_holt_winters",
-    "q190_croston", "q191_seasonal_strength", "d30_threshold_sensitivity")
+    "q190_croston", "q191_seasonal_strength", "d30_threshold_sensitivity",
+    "q192_chow_test", "q193_durbin_watson", "q194_partial_corr",
+    "q195_influence", "q196_item_cf_recommend", "q197_link_prediction",
+    "m18_aspect_bucket_pack", "t44_bigram_cross_entropy",
+    "e30_jl_projection_audit", "q198_supf_break")
 
   /** Samples host/process CPU once a second so a run can prove it was
     * (or wasn't) contended — three NOTES.md incidents of a concurrent

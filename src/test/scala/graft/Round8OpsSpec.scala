@@ -128,6 +128,32 @@ class Round8OpsSpec extends SparkSpec {
     assert(lr._2 > 0.5, s"lines~revenue partial ${lr._2} should survive")
   }
 
+  test("q198 sup-F matches the brute-force per-split Chow scan, bounds " +
+      "the midpoint F, and respects the trimming window") {
+    val (n, ap, bp, cp) = moments(weekly)
+    val rp = rss(n, ap, bp, cp)
+    val fs = (1 to weekly.size).flatMap { t =>
+      if (100L * t >= 15L * n && 100L * t <= 85L * n) {
+        val (n1, a1, b1, c1) = moments(weekly.take(t))
+        val (n2, a2, b2, c2) = moments(weekly.drop(t))
+        val (r1, r2) = (rss(n1, a1, b1, c1), rss(n2, a2, b2, c2))
+        Some((weekly(t - 1)._1, ((rp - r1 - r2) / 2.0) /
+          ((r1 + r2) / (n - 4.0))))
+      } else None
+    }
+    val supF = fs.map(_._2).max
+    val breakWeek = fs.filter(_._2 == supF).map(_._1).min
+    val row = q("q198_supf_break").collect().head
+    assert(row.getAs[Long]("n_weeks") === n)
+    assert(row.getAs[Long]("n_candidates") === fs.size.toLong)
+    assert(math.abs(row.getAs[Double]("sup_f") - supF) / supF < 1e-12,
+      s"sup_f ${row.getAs[Double]("sup_f")} vs brute $supF")
+    assert(row.getAs[Long]("break_week") === breakWeek)
+    // sup over all trimmed splits dominates q192's single midpoint split
+    val fMid = q("q192_chow_test").collect().head.getAs[Double]("f_stat")
+    assert(row.getAs[Double]("sup_f") >= fMid)
+  }
+
   test("q196 recommendations match the brute-force CF model and never " +
       "recommend a purchased brand") {
     val rmat = Tables.orders(spark, sf)
