@@ -41,6 +41,81 @@ object Extended16 {
         "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
         .as("y"))
 
+  /** q197's scoring engine over ANY undirected edge list `(pa, pb)`
+    * (deduplicated, pa < pb): every NON-adjacent pair sharing ≥ 1
+    * neighbor, scored by common-neighbor count, neighborhood Jaccard,
+    * and the fixed-point Resource-Allocation index Σ (10¹² div deg_z)
+    * — exact longs, so the per-pair sums are order-insensitive and
+    * map-side combinable. The edge frame is materialized once;
+    * adjacency, the wedge equi-join, and the existence anti-join all
+    * reuse the cut. Property-checked against brute force on random
+    * graphs (Round8OpsSpec). At 100 TB, bound wedge fan-out upstream
+    * (support floor or degree cap on `edgesIn`).
+    */
+  def linkPredictionScores(edgesIn: DataFrame,
+      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
+    val e = materialize(edgesIn.select(col("pa"), col("pb")))
+    val esym = e.unionByName(
+      e.select(col("pb").as("pa"), col("pa").as("pb")))
+    val deg = esym.groupBy(col("pa")).agg(count(lit(1)).as("deg"))
+    val degz = deg.withColumnRenamed("pa", "z")
+      .withColumnRenamed("deg", "deg_z")
+    val wedges = esym.as("l").join(esym.as("r"),
+        col("l.pb") === col("r.pb") && col("l.pa") < col("r.pa"))
+      .select(col("l.pa").as("a"), col("r.pa").as("b"),
+        col("l.pb").as("z"))
+      .join(e.select(col("pa").as("a"), col("pb").as("b")),
+        Seq("a", "b"), "left_anti")
+    wedges
+      .join(degz, "z")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("CAST(1000000000000 AS BIGINT) div deg_z")).as("ra_fp"))
+      .join(deg.select(col("pa").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("pa").as("b"), col("deg").as("deg_b")), "b")
+      .withColumn("jaccard",
+        col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
+      .withColumn("ra", col("ra_fp").cast("double") / lit(1.0e12))
+  }
+
+  /** q196's scoring engine over ANY binary user×item matrix
+    * `(c, brand)` (distinct): item-item fixed-point squared-cosine
+    * affinities sim_fp(i,j) = (co²·10⁹) div (nᵢ·nⱼ), then per-user
+    * candidate scores = exact long sums of sim_fp over owned items,
+    * for users matching `targetFilter` and candidates the user does
+    * NOT own. Returns (c, cand, score_fp, n_terms). The item
+    * vocabulary must be BOUNDED (the affinity matrix broadcasts).
+    * Property-checked against brute force on random matrices
+    * (Round8OpsSpec). Long-range note: co²·10⁹ needs the
+    * DECIMAL(38,0) carrier past ~2e17 (see q196).
+    */
+  def itemCfScores(rMat: DataFrame, targetFilter: Column): DataFrame = {
+    val nPer = rMat.groupBy(col("brand")).agg(count(lit(1)).as("n"))
+    val co = rMat.as("x").join(rMat.as("y"),
+        col("x.c") === col("y.c") && col("x.brand") < col("y.brand"))
+      .groupBy(col("x.brand").as("bi"), col("y.brand").as("bj"))
+      .agg(count(lit(1)).as("co"))
+    val sim = co
+      .join(nPer.withColumnRenamed("brand", "bi")
+        .withColumnRenamed("n", "ni"), "bi")
+      .join(nPer.withColumnRenamed("brand", "bj")
+        .withColumnRenamed("n", "nj"), "bj")
+      .withColumn("sim_fp",
+        expr("(co * co * CAST(1000000000 AS BIGINT)) div (ni * nj)"))
+      .select(col("bi"), col("bj"), col("sim_fp"))
+    val simBoth = sim.unionByName(
+      sim.select(col("bj").as("bi"), col("bi").as("bj"), col("sim_fp")))
+    rMat.filter(targetFilter)
+      .join(broadcast(simBoth), col("brand") === col("bi"))
+      .select(col("c"), col("bj").as("cand"), col("sim_fp"))
+      .join(rMat.withColumnRenamed("brand", "cand"),
+        Seq("c", "cand"), "left_anti")
+      .groupBy(col("c"), col("cand"))
+      .agg(sum(col("sim_fp")).as("score_fp"),
+        count(lit(1)).as("n_terms"))
+  }
+
   /** RSS of the least-squares line from n-scaled centered moments:
     * a = n·Syy − Sy², b = n·Sxy − Sx·Sy, c = n·Sxx − Sx² (exact
     * decimals) → Σe² = (a − b²/c)/n, assembled in doubles with one
@@ -296,30 +371,7 @@ object Extended16 {
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .select(col("o_custkey").as("c"), col("p_brand").as("brand"))
         .distinct()
-      val nPer = rMat.groupBy(col("brand")).agg(count(lit(1)).as("n"))
-      val co = rMat.as("x").join(rMat.as("y"),
-          col("x.c") === col("y.c") && col("x.brand") < col("y.brand"))
-        .groupBy(col("x.brand").as("bi"), col("y.brand").as("bj"))
-        .agg(count(lit(1)).as("co"))
-      val sim = co
-        .join(nPer.withColumnRenamed("brand", "bi")
-          .withColumnRenamed("n", "ni"), "bi")
-        .join(nPer.withColumnRenamed("brand", "bj")
-          .withColumnRenamed("n", "nj"), "bj")
-        .withColumn("sim_fp",
-          expr("(co * co * CAST(1000000000 AS BIGINT)) div (ni * nj)"))
-        .select(col("bi"), col("bj"), col("sim_fp"))
-      val simBoth = sim.unionByName(
-        sim.select(col("bj").as("bi"), col("bi").as("bj"), col("sim_fp")))
-      val sampled = rMat.filter(col("c") % 10 === 0)
-      val scored = sampled
-        .join(broadcast(simBoth), col("brand") === col("bi"))
-        .select(col("c"), col("bj").as("cand"), col("sim_fp"))
-        .join(rMat.withColumnRenamed("brand", "cand"),
-          Seq("c", "cand"), "left_anti")
-        .groupBy(col("c"), col("cand"))
-        .agg(sum(col("sim_fp")).as("score_fp"),
-          count(lit(1)).as("n_terms"))
+      val scored = itemCfScores(rMat, col("c") % 10 === 0)
       val wTop = Window.partitionBy(col("c"))
         .orderBy(col("score_fp").desc, col("cand"))
       scored.withColumn("rank", row_number().over(wTop))
@@ -418,40 +470,17 @@ object Extended16 {
     // anti-join on the edge key.
     "q197_link_prediction" -> ((s, d) => {
       // the expensive fact self-join collapses to the support-filtered
-      // edge list ONCE; adjacency, wedges, and the existence anti-join
-      // all reuse the cut
-      val e = Materialize.LocalCheckpoint(Tables.lineitem(s, d).as("x")
+      // edge list ONCE inside linkPredictionScores; adjacency, wedges,
+      // and the existence anti-join all reuse the cut
+      val support = Tables.lineitem(s, d).as("x")
         .join(Tables.lineitem(s, d).as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
         .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
         .agg(countDistinct(col("x.l_orderkey")).as("support"))
         .filter(col("support") >= 2)
-        .select(col("pa"), col("pb")))
-      val esym = e.unionByName(
-        e.select(col("pb").as("pa"), col("pa").as("pb")))
-      val deg = esym.groupBy(col("pa")).agg(count(lit(1)).as("deg"))
-      val degz = deg.withColumnRenamed("pa", "z")
-        .withColumnRenamed("deg", "deg_z")
-      val wedges = esym.as("l").join(esym.as("r"),
-          col("l.pb") === col("r.pb") && col("l.pa") < col("r.pa"))
-        .select(col("l.pa").as("a"), col("r.pa").as("b"),
-          col("l.pb").as("z"))
-        .join(e.select(col("pa").as("a"), col("pb").as("b")),
-          Seq("a", "b"), "left_anti")
-      val scoredPairs = wedges
-        .join(degz, "z")
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("cn"),
-          sum(expr("CAST(1000000000000 AS BIGINT) div deg_z"))
-            .as("ra_fp"))
-        .join(deg.select(col("pa").as("a"), col("deg").as("deg_a")), "a")
-        .join(deg.select(col("pa").as("b"), col("deg").as("deg_b")), "b")
-        .withColumn("jaccard",
-          col("cn").cast("double") /
-            (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
-        .withColumn("ra", col("ra_fp").cast("double") / lit(1.0e12))
-      scoredPairs
+        .select(col("pa"), col("pb"))
+      linkPredictionScores(support)
         .select(col("a").as("part_a"), col("b").as("part_b"), col("cn"),
           col("deg_a"), col("deg_b"), col("jaccard"), col("ra_fp"),
           col("ra"))

