@@ -88,9 +88,15 @@ object Extended16 {
     * vocabulary must be BOUNDED (the affinity matrix broadcasts).
     * Property-checked against brute force on random matrices
     * (Round8OpsSpec). Long-range note: co²·10⁹ needs the
-    * DECIMAL(38,0) carrier past ~2e17 (see q196).
+    * DECIMAL(38,0) carrier past ~2e17 (see q196). The matrix is
+    * materialized once — it feeds the item counts, both sides of the
+    * co-occurrence self-join, the target scan, and the ownership
+    * anti-join (5 consumers).
     */
-  def itemCfScores(rMat: DataFrame, targetFilter: Column): DataFrame = {
+  def itemCfScores(rMatIn: DataFrame, targetFilter: Column,
+      materialize: Materialize = Materialize.LocalCheckpoint)
+      : DataFrame = {
+    val rMat = materialize(rMatIn.select(col("c"), col("brand")))
     val nPer = rMat.groupBy(col("brand")).agg(count(lit(1)).as("n"))
     val co = rMat.as("x").join(rMat.as("y"),
         col("x.c") === col("y.c") && col("x.brand") < col("y.brand"))
