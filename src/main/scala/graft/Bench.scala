@@ -129,7 +129,8 @@ object Bench {
     "q192_chow_test", "q193_durbin_watson", "q194_partial_corr",
     "q195_influence", "q196_item_cf_recommend", "q197_link_prediction",
     "m18_aspect_bucket_pack", "t44_bigram_cross_entropy",
-    "e30_jl_projection_audit", "q198_supf_break", "t45_chao1_vocab")
+    "e30_jl_projection_audit", "q198_supf_break", "t45_chao1_vocab",
+    "t46_temperature_mixture")
 
   /** Samples host/process CPU once a second so a run can prove it was
     * (or wasn't) contended — three NOTES.md incidents of a concurrent

@@ -1004,6 +1004,52 @@ object TextOps {
         .select(col("lang"), col("s_obs"), col("n1"), col("n2"),
           col("chao1"), col("chao1_bc"))
         .orderBy(col("lang"))
+    }),
+
+    // TEMPERATURE-SCALED MIXTURE WEIGHTS — the standard LLM data-mixing
+    // knob (share_l ∝ n_l^α): α = 1 is natural sampling, lower α
+    // flattens the mix toward uniform, and the repetition factor
+    // share·N/n_l says how many effective epochs upsampling costs each
+    // language. Complements t14 (fixed editorial targets) with the
+    // data-derived family every pretraining mix sweep actually uses.
+    // CROSS-ENGINE DESIGN: α ∈ {1, 1/2, 1/4} so n^α is a sqrt chain
+    // (IEEE sqrt is correctly rounded — no libm pow), and each α's
+    // normalizing total folds over the LANG-SORTED weight array in one
+    // fixed sequence (the q133 left-fold rule) — never a parallel
+    // double sum. Scale shape: one (lang)-keyed token rollup with
+    // map-side combine; everything after runs on a |langs|-row array
+    // in a single row.
+    "t46_temperature_mixture" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("lang"), size(split(trim(col("text")), " ")).as("nt"))
+        .groupBy(col("lang")).agg(sum(col("nt")).as("n"))
+      def wExpr(x: String, alpha: String) = alpha match {
+        case "1.0"  => s"CAST($x AS DOUBLE)"
+        case "0.5"  => s"sqrt(CAST($x AS DOUBLE))"
+        case "0.25" => s"sqrt(sqrt(CAST($x AS DOUBLE)))"
+      }
+      val alphas = Seq("1.0" -> "a100", "0.5" -> "a050", "0.25" -> "a025")
+      val one = per
+        .agg(expr("sort_array(collect_list(struct(lang, n)))").as("arr"),
+          sum(col("n")).as("ntot"))
+      val tots = alphas.map { case (a, nm) =>
+        expr(s"aggregate(arr, CAST(0 AS DOUBLE), " +
+          s"(acc, x) -> acc + ${wExpr("x.n", a)})").as(s"tot_$nm")
+      }
+      one.select(Seq(col("arr"), col("ntot")) ++ tots: _*)
+        .select(Seq(col("ntot"), explode(col("arr")).as("e")) ++
+          alphas.map(p => col(s"tot_${p._2}")): _*)
+        .select(col("ntot"), col("e.lang").as("lang"),
+          col("e.n").as("n_tokens"), explode(array(
+            alphas.map { case (a, nm) =>
+              struct(lit(a).as("alpha"),
+                (expr(wExpr("e.n", a)) / col(s"tot_$nm")).as("share"))
+            }: _*)).as("m"))
+        .select(col("m.alpha").as("alpha"), col("lang"), col("n_tokens"),
+          col("m.share").as("share"),
+          (col("m.share") * col("ntot").cast("double") /
+            col("n_tokens").cast("double")).as("repetition_factor"))
+        .orderBy(col("alpha"), col("lang"))
     })
   )
 
@@ -1629,6 +1675,46 @@ object TextOps {
            CAST(s_obs AS DOUBLE) +
              CAST(n1 * (n1 - 1) AS DOUBLE) /
                CAST(2 * (n2 + 1) AS DOUBLE) AS chao1_bc
-         FROM cc ORDER BY lang"""
+         FROM cc ORDER BY lang""",
+
+    // sqrt-chain powers (no libm pow); per-alpha totals fold over the
+    // lang-sorted list in one fixed sequence (q133 idiom)
+    "t46_temperature_mixture" -> {
+      def w(x: String, a: String) = a match {
+        case "1.0"  => s"CAST($x AS DOUBLE)"
+        case "0.5"  => s"sqrt(CAST($x AS DOUBLE))"
+        case "0.25" => s"sqrt(sqrt(CAST($x AS DOUBLE)))"
+      }
+      def tot(a: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(arr, x -> ${w("x.n", a)})),
+           (acc, b) -> acc + b)"""
+      s"""WITH lt AS (SELECT lang,
+           CAST(SUM(LEN(string_split(TRIM(text), ' '))) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+         one AS (SELECT
+             list({'lang': lang, 'n': n} ORDER BY lang) AS arr,
+             CAST(SUM(n) AS BIGINT) AS ntot FROM lt),
+         tots AS (SELECT arr, ntot,
+             ${tot("1.0")} AS tot_a100,
+             ${tot("0.5")} AS tot_a050,
+             ${tot("0.25")} AS tot_a025 FROM one),
+         el AS (SELECT ntot, tot_a100, tot_a050, tot_a025,
+             arr[i].lang AS lang, arr[i].n AS n
+           FROM tots, UNNEST(generate_series(1, len(arr))) AS t(i)),
+         ex AS (
+           SELECT '1.0' AS alpha, lang, n,
+             ${w("n", "1.0")} / tot_a100 AS share, ntot FROM el
+           UNION ALL
+           SELECT '0.5', lang, n, ${w("n", "0.5")} / tot_a050, ntot
+           FROM el
+           UNION ALL
+           SELECT '0.25', lang, n, ${w("n", "0.25")} / tot_a025, ntot
+           FROM el)
+         SELECT alpha, lang, n AS n_tokens, share,
+           share * CAST(ntot AS DOUBLE) / CAST(n AS DOUBLE)
+             AS repetition_factor
+         FROM ex ORDER BY alpha, lang"""
+    }
   )
 }

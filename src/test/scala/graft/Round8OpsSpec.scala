@@ -418,6 +418,43 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("t46 temperature mixture matches brute force, shares sum to 1, " +
+      "and lower alpha flattens the dominant language") {
+    val counts = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(trim(col("text")), " ")).as("nt"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val langs = counts.keys.toSeq.sorted
+    val ntot = counts.values.sum
+    def wOf(n: Long, a: String): Double = a match {
+      case "1.0"  => n.toDouble
+      case "0.5"  => math.sqrt(n.toDouble)
+      case "0.25" => math.sqrt(math.sqrt(n.toDouble))
+    }
+    val got = q("t46_temperature_mixture").collect()
+      .map(r => (r.getAs[String]("alpha"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("share"),
+          r.getAs[Double]("repetition_factor"))).toMap
+    Seq("1.0", "0.5", "0.25").foreach { a =>
+      val tot = langs.foldLeft(0.0)((acc, l) => acc + wOf(counts(l), a))
+      langs.foreach { l =>
+        val g = got((a, l))
+        assert(g._1 === counts(l))
+        assert(g._2 === wOf(counts(l), a) / tot, s"share $a/$l")
+        assert(g._3 === g._2 * ntot.toDouble / counts(l).toDouble)
+      }
+      val shareSum = langs.map(l => got((a, l))._2).sum
+      assert(math.abs(shareSum - 1.0) < 1e-12)
+    }
+    // alpha=1 is natural sampling (repetition factor 1); lower alpha
+    // flattens: the dominant language's share strictly decreases
+    langs.foreach(l =>
+      assert(math.abs(got(("1.0", l))._3 - 1.0) < 1e-12))
+    val dom = langs.maxBy(counts)
+    assert(got(("1.0", dom))._2 > got(("0.5", dom))._2)
+    assert(got(("0.5", dom))._2 > got(("0.25", dom))._2)
+  }
+
   test("q195 top-10 influence rows match the brute-force ranking and " +
       "leverages satisfy the hat-matrix identities") {
     val (n, a, b, c) = moments(weekly)
