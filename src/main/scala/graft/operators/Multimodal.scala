@@ -631,12 +631,21 @@ object Multimodal {
         .as[MediaIn]
         .mapPartitions(_.map(MultimodalStub.header))
         .toDF()
+      val bucketDefs = Seq(("square", 1, 1), ("landscape_4_3", 4, 3),
+        ("portrait_3_4", 3, 4), ("wide_16_9", 16, 9),
+        ("tall_9_16", 9, 16))
+      // the exact-rational argmin needs mult = LCM/bh to be an exact
+      // integer — a bucket whose bh does not divide the scale constant
+      // would silently truncate and break the ordering
+      val bhLcm = 144
+      bucketDefs.foreach { case (nm, _, bh) =>
+        require(bhLcm % bh == 0,
+          s"bucket $nm: bh=$bh does not divide $bhLcm — recompute the lcm")
+      }
       val bArr = array(
-        Seq(("square", 1, 1), ("landscape_4_3", 4, 3),
-          ("portrait_3_4", 3, 4), ("wide_16_9", 16, 9),
-          ("tall_9_16", 9, 16)).map { case (nm, bw, bh) =>
+        bucketDefs.map { case (nm, bw, bh) =>
           struct(lit(nm).as("bucket"), lit(bw).as("bw"),
-            lit(bh).as("bh"), lit(144 / bh).as("mult"))
+            lit(bh).as("bh"), lit(bhLcm / bh).as("mult"))
         }: _*)
       meta.select(col("doc_id"), col("width"), col("height"),
           explode(bArr).as("b"))

@@ -983,7 +983,7 @@ object Similarity {
           max(when(col("rnp") === 1, col("nb_id"))).as("nb_p"),
           max(when(col("rno") === 1, col("d2o"))).as("d2o_t"),
           max(when(col("rno") === 1, col("d2p"))).as("d2p_t"))
-      val ratio = col("d2p_t") / (lit(16.0) * col("d2o_t"))
+      val ratio = col("d2p_t") / (lit(JlK.toDouble) * col("d2o_t"))
       per.agg(count(lit(1)).as("n_queries"),
           sum(when(col("nb_o") === col("nb_p"), 1L).otherwise(0L))
             .as("n_match"),

@@ -449,21 +449,23 @@ object StreamingOps {
     * batch fold starts).
     */
   case class HwState(lvl: Double, trd: Double, s: Seq[Double], i: Int,
-      sse: Double, buf: Seq[Double])
+      sse: Double, warm: Boolean, buf: Seq[Double])
   case class HwPoint(key: String, day: Long, level: Double,
       trend: Double, seasonal: Seq[Double], i: Int, sse: Double)
   def holtWintersFold(key: String, it: Iterator[DayTotal],
       state: GroupState[HwState]): Iterator[HwPoint] = {
     var st = state.getOption.getOrElse(
-      HwState(0.0, 0.0, Seq.fill(7)(0.0), 14, 0.0, Seq.empty))
+      HwState(0.0, 0.0, Seq.fill(7)(0.0), 14, 0.0, warm = false, Seq.empty))
     val out = Array.newBuilder[HwPoint]
     it.toArray.sortBy(_.day).foreach { o =>
       val y = o.x.toDouble
-      if (st.buf.length < 14) {
+      if (!st.warm) {
         val buf = st.buf :+ y
         st = if (buf.length == 14) {
           val a = buf
-          // q189's init, operation-for-operation
+          // q189's init, operation-for-operation; the warm-up buffer
+          // is dropped once consumed so steady-state checkpoint rows
+          // carry only the documented 10 scalars
           val m1 = ((((((a(0) + a(1)) + a(2)) + a(3)) + a(4)) + a(5))
             + a(6)) / 7.0
           val m2 = ((((((a(7) + a(8)) + a(9)) + a(10)) + a(11)) + a(12))
@@ -471,7 +473,7 @@ object StreamingOps {
           val trd0 = (m2 - m1) / 7.0
           val s0 = (0 until 7).map(j =>
             ((a(j) - m1) + (a(j + 7) - m2)) / 2.0)
-          HwState(m1, trd0, s0, 14, 0.0, buf)
+          HwState(m1, trd0, s0, 14, 0.0, warm = true, Seq.empty)
         } else st.copy(buf = buf)
       } else {
         val sIdx = st.i % 7
@@ -479,7 +481,8 @@ object StreamingOps {
         val err = y - ((st.lvl + st.trd) + st.s(sIdx))
         val trd = 0.125 * (nl - st.lvl) + 0.875 * st.trd
         val s = st.s.updated(sIdx, 0.125 * (y - nl) + 0.875 * st.s(sIdx))
-        st = HwState(nl, trd, s, st.i + 1, st.sse + err * err, st.buf)
+        st = HwState(nl, trd, s, st.i + 1, st.sse + err * err,
+          warm = true, Seq.empty)
         out += HwPoint(key, o.day, st.lvl, st.trd, st.s, st.i, st.sse)
       }
     }
@@ -513,7 +516,10 @@ object StreamingOps {
           else st.q.toDouble,
           1L, seen = true, st.nd + 1)
         else st.copy(q = st.q + 1)
-      if (st.seen) out += CrostonPoint(key, o.day, st.z, st.p, st.nd)
+      // emit ONLY on demand days — zero-demand days advance the gap
+      // counter but change no smoothed value (one point per demand,
+      // matching the "updates fire only on demand days" contract)
+      if (y > 0.0) out += CrostonPoint(key, o.day, st.z, st.p, st.nd)
     }
     state.update(st)
     out.result().iterator

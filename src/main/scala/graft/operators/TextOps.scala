@@ -944,9 +944,13 @@ object TextOps {
         .agg(count(lit(1)).as("c1"))
       val vs = train.groupBy(col("lang"))
         .agg(countDistinct(col("w2")).as("v"))
+      // vs joins LEFT: a language whose docs ALL landed in the eval
+      // split has no trained model — it still reports (n_eval rows,
+      // unseen_rate 1.0) with NULL cross-entropy instead of silently
+      // vanishing from the output
       ev.join(c2, Seq("lang", "w1", "w2"), "left")
         .join(c1, Seq("lang", "w1"), "left")
-        .join(broadcast(vs), Seq("lang"))
+        .join(broadcast(vs), Seq("lang"), "left")
         .withColumn("c2n", coalesce(col("c2"), lit(0L)))
         .withColumn("c1n", coalesce(col("c1"), lit(0L)))
         .withColumn("lp", log((col("c2n") + lit(1L)).cast("double") /
@@ -1636,7 +1640,7 @@ object TextOps {
            FROM ev LEFT JOIN c2 ON ev.lang = c2.lang
              AND ev.w1 = c2.w1 AND ev.w2 = c2.w2
            LEFT JOIN c1 ON ev.lang = c1.lang AND ev.w1 = c1.w1
-           JOIN vs ON ev.lang = vs.lang),
+           LEFT JOIN vs ON ev.lang = vs.lang),
          t AS (SELECT lang, c2n,
              ln(CAST(c2n + 1 AS DOUBLE) / CAST(c1n + v AS DOUBLE)) AS lp
            FROM j),

@@ -777,8 +777,8 @@ class StatefulStreamSpec extends SparkSpec {
         assert(last.demand_size / last.mean_interval ===
           batch.getAs[Double]("croston_rate"))
         assert(last.n_demands === batch.getAs[Long]("n_demands"))
-        assert(pts.length.toLong >= last.n_demands,
-          "every demand day after the first emits")
+        assert(pts.length.toLong === last.n_demands,
+          "exactly one point per demand day (zero days emit nothing)")
       }
     } finally q.stop()
   }
