@@ -130,7 +130,7 @@ object Bench {
     "q195_influence", "q196_item_cf_recommend", "q197_link_prediction",
     "m18_aspect_bucket_pack", "t44_bigram_cross_entropy",
     "e30_jl_projection_audit", "q198_supf_break", "t45_chao1_vocab",
-    "t46_temperature_mixture")
+    "t46_temperature_mixture", "q199_hac_se")
 
   /** Samples host/process CPU once a second so a run can prove it was
     * (or wasn't) contended — three NOTES.md incidents of a concurrent

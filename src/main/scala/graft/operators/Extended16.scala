@@ -388,6 +388,84 @@ object Extended16 {
         .orderBy(col("custkey"), col("rank"))
     }),
 
+    // NEWEY–WEST (HAC) STANDARD ERRORS — q193 measured positive
+    // residual autocorrelation at sf0.1 (ρ ≈ +0.22); this prices it:
+    // the trend slope's OLS, HC0 (White), and HAC (Bartlett kernel,
+    // L = 4) standard errors side by side. With v = n(x−x̄) and
+    // n·ê = u − βv from exact longs, Var_HC0(β) = Σv²ê²/C² and
+    // Var_HAC adds 2(1−l/5)·Σ q_t q_{t−l} lag terms over the
+    // score series q = v·ê (lags over the OBSERVED sequence, the
+    // q193 gap contract). Score products are intrinsically-float
+    // (no libm) and sum through DECIMAL(38,6) — order-free, and
+    // scale 6 keeps Σ|q²| ≈ 2e25 far inside precision 38 where a
+    // (38,15) cast would overflow. Measured: the robust/OLS SE ratio
+    // grows with scale exactly as q192/q193's structure does —
+    // 1.00/1.04/1.39 at the three gate SFs — and at sf0.1 the
+    // inflation is almost all HC0 (5433 vs 5469 HAC of a 3925 OLS
+    // SE): the break-induced residual-variance structure, not the
+    // ρ ≈ 0.22 lag correlation, is what the naive SE misprices.
+    // Scale shape: the q195 window-moment frame over the ~350-row
+    // grid, 4 lag columns, one aggregate row.
+    "q199_hac_se" -> ((s, d) => {
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val wAll = Window.partitionBy(lit(1))
+      val wOrd = Window.orderBy(col("w"))
+      val st = weekly(s, d)
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sx", sum(col("w")).over(wAll))
+        .withColumn("sy", sum(col("y")).over(wAll))
+        .withColumn("sxx", sum(col("w") * col("w")).over(wAll))
+        .withColumn("sxy", sum(col("w") * col("y")).over(wAll))
+        .withColumn("syy", sum(col("y") * col("y")).over(wAll).cast(dec))
+        .withColumn("cc", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("bb", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("aa", col("n").cast(dec) * col("syy") -
+          col("sy").cast(dec) * col("sy").cast(dec))
+        .withColumn("beta",
+          col("bb").cast("double") / col("cc").cast("double"))
+        .withColumn("v", col("n") * col("w") - col("sx"))
+        .withColumn("u", col("n") * col("y") - col("sy"))
+        .withColumn("eh",
+          (col("u").cast("double") - col("beta") * col("v").cast("double")) /
+            col("n").cast("double"))
+        .withColumn("q", col("v").cast("double") * col("eh"))
+      val lagged = (1 to 4).foldLeft(st)((df, l) =>
+        df.withColumn(s"q$l", lag(col("q"), l).over(wOrd)))
+      val m = lagged.agg(
+        max(col("n")).as("n"),
+        max(col("cc")).as("cc"),
+        max(col("bb")).as("bb"),
+        max(col("aa")).as("aa"),
+        sum((col("q") * col("q")).cast(dec6)).cast("double").as("s0"),
+        sum((col("q") * col("q1")).cast(dec6)).cast("double").as("s1"),
+        sum((col("q") * col("q2")).cast(dec6)).cast("double").as("s2"),
+        sum((col("q") * col("q3")).cast(dec6)).cast("double").as("s3"),
+        sum((col("q") * col("q4")).cast(dec6)).cast("double").as("s4"))
+      m.withColumn("beta",
+          col("bb").cast("double") / col("cc").cast("double"))
+        .withColumn("rss",
+          (col("aa").cast("double") -
+            col("bb").cast("double") * col("bb").cast("double") /
+              col("cc").cast("double")) / col("n").cast("double"))
+        .withColumn("se_ols",
+          sqrt((col("rss") / (col("n") - lit(2L)).cast("double")) *
+            col("n").cast("double") / col("cc").cast("double")))
+        .withColumn("se_hc0",
+          sqrt(col("s0") /
+            (col("cc").cast("double") * col("cc").cast("double"))))
+        .withColumn("se_hac",
+          sqrt((col("s0") +
+            lit(2.0) * lit(0.8) * col("s1") +
+            lit(2.0) * lit(0.6) * col("s2") +
+            lit(2.0) * lit(0.4) * col("s3") +
+            lit(2.0) * lit(0.2) * col("s4")) /
+            (col("cc").cast("double") * col("cc").cast("double"))))
+        .select(col("n").cast("long").as("n_weeks"), col("beta"),
+          col("se_ols"), col("se_hc0"), col("se_hac"),
+          (col("beta") / col("se_ols")).as("t_ols"),
+          (col("beta") / col("se_hac")).as("t_hac"))
+    }),
+
     // SUP-F (QUANDT) BREAK LOCALIZATION — q192 assumes the break sits
     // at the series midpoint; this finds it: the Chow F computed at
     // EVERY candidate split week (15%–85% trimming) from ONE
@@ -620,6 +698,58 @@ object Extended16 {
            SELECT n_orders, var_a, var_b, control, r_raw, r_partial
            FROM rows3 ORDER BY var_a, var_b"""
       },
+
+      "q199_hac_se" ->
+        s"""WITH $wkCte,
+           st AS (SELECT w, y,
+             CAST(COUNT(1) OVER () AS BIGINT) AS n,
+             CAST(SUM(w) OVER () AS HUGEINT) AS sx,
+             CAST(SUM(y) OVER () AS HUGEINT) AS sy,
+             CAST(SUM(w * w) OVER () AS HUGEINT) AS sxx,
+             CAST(SUM(w * y) OVER () AS HUGEINT) AS sxy,
+             CAST(SUM(y * y) OVER () AS HUGEINT) AS syy FROM wk),
+           cm AS (SELECT w, y, n,
+             n * sxx - sx * sx AS cc,
+             n * sxy - sx * sy AS bb,
+             n * syy - sy * sy AS aa,
+             n * w - sx AS v, n * y - sy AS u FROM st),
+           bt AS (SELECT w, n, cc, bb, aa, v, u,
+             ${vd("bb")} / ${vd("cc")} AS beta FROM cm),
+           qs AS (SELECT w, n, cc, bb, aa,
+             ${vd("v")} * ((${vd("u")} - beta * ${vd("v")}) / ${vd("n")})
+               AS q FROM bt),
+           lg AS (SELECT n, cc, bb, aa, q,
+             LAG(q, 1) OVER (ORDER BY w) AS q1,
+             LAG(q, 2) OVER (ORDER BY w) AS q2,
+             LAG(q, 3) OVER (ORDER BY w) AS q3,
+             LAG(q, 4) OVER (ORDER BY w) AS q4 FROM qs),
+           m AS (SELECT MAX(n) AS n, MAX(cc) AS cc, MAX(bb) AS bb,
+             MAX(aa) AS aa,
+             ${vd("SUM(CAST(q * q AS DECIMAL(38, 6)))")} AS s0,
+             ${vd("SUM(CAST(q * q1 AS DECIMAL(38, 6)))")} AS s1,
+             ${vd("SUM(CAST(q * q2 AS DECIMAL(38, 6)))")} AS s2,
+             ${vd("SUM(CAST(q * q3 AS DECIMAL(38, 6)))")} AS s3,
+             ${vd("SUM(CAST(q * q4 AS DECIMAL(38, 6)))")} AS s4
+           FROM lg),
+           fin AS (SELECT CAST(n AS BIGINT) AS n_weeks,
+             ${vd("bb")} / ${vd("cc")} AS beta,
+             (${vd("aa")} - ${vd("bb")} * ${vd("bb")} / ${vd("cc")}) /
+               ${vd("n")} AS rss,
+             s0, s1, s2, s3, s4, cc, n FROM m),
+           se AS (SELECT n_weeks, beta,
+             sqrt((rss / CAST(CAST(n - 2 AS BIGINT) AS DOUBLE)) *
+               ${vd("n")} / ${vd("cc")}) AS se_ols,
+             sqrt(s0 / (${vd("cc")} * ${vd("cc")})) AS se_hc0,
+             sqrt((s0 +
+               CAST(2 AS DOUBLE) * CAST(0.8 AS DOUBLE) * s1 +
+               CAST(2 AS DOUBLE) * CAST(0.6 AS DOUBLE) * s2 +
+               CAST(2 AS DOUBLE) * CAST(0.4 AS DOUBLE) * s3 +
+               CAST(2 AS DOUBLE) * CAST(0.2 AS DOUBLE) * s4) /
+               (${vd("cc")} * ${vd("cc")})) AS se_hac
+           FROM fin)
+           SELECT n_weeks, beta, se_ols, se_hc0, se_hac,
+             beta / se_ols AS t_ols, beta / se_hac AS t_hac
+           FROM se""",
 
       "q198_supf_break" -> {
         def combos(nc: String, sx: String, sy: String, sxx: String,

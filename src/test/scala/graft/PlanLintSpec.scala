@@ -123,6 +123,7 @@ class PlanLintSpec extends SparkSpec {
     "q193_durbin_watson" -> "weekly series (lag window)",
     "q195_influence" -> "weekly series (moment window sums)",
     "q198_supf_break" -> "weekly series (cumulative + total moment windows)",
+    "q199_hac_se" -> "weekly series (moment windows + score lags)",
     "q75_growth_accounting" -> "per-day daily-accounting frame",
     // --- sketches / fixed cells / post-limit frames ---
     "q63_kmv_sketch_union" -> "<=|event_types|*k sketch rows (k=64)",

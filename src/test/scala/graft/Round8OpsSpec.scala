@@ -162,6 +162,42 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("q199 OLS/HC0/HAC standard errors match brute force and obey " +
+      "the sandwich-estimator identities") {
+    val (n, a, b, c) = moments(weekly)
+    val beta = b.toDouble / c.toDouble
+    val sx = weekly.map(_._1).sum
+    val sy = weekly.map(_._2).sum
+    val scores = weekly.map { case (w, y) =>
+      val v = n * w - sx
+      v.toDouble * (((n * y - sy).toDouble - beta * v.toDouble) /
+        n.toDouble)
+    }
+    val s0 = scores.map(x => x * x).sum
+    def sl(l: Int) =
+      scores.drop(l).zip(scores).map(p => p._1 * p._2).sum
+    val cd = c.toDouble
+    val seOls = math.sqrt((rss(n, a, b, c) / (n - 2).toDouble) *
+      n.toDouble / cd)
+    val seHc0 = math.sqrt(s0 / (cd * cd))
+    val seHac = math.sqrt((s0 + 2.0 * 0.8 * sl(1) + 2.0 * 0.6 * sl(2) +
+      2.0 * 0.4 * sl(3) + 2.0 * 0.2 * sl(4)) / (cd * cd))
+    val row = q("q199_hac_se").collect().head
+    assert(row.getAs[Long]("n_weeks") === n)
+    assert(math.abs(row.getAs[Double]("beta") - beta) < 1e-9 * beta.abs)
+    // decimal-quantized sums vs naive double sums: agree to ~1e-9 rel
+    assert(math.abs(row.getAs[Double]("se_ols") - seOls) < 1e-6 * seOls)
+    assert(math.abs(row.getAs[Double]("se_hc0") - seHc0) < 1e-6 * seHc0)
+    assert(math.abs(row.getAs[Double]("se_hac") - seHac) < 1e-6 * seHac)
+    // sandwich identities: all SEs positive; t-ratios consistent
+    assert(row.getAs[Double]("se_ols") > 0 &&
+      row.getAs[Double]("se_hc0") > 0 && row.getAs[Double]("se_hac") > 0)
+    assert(row.getAs[Double]("t_ols") ===
+      row.getAs[Double]("beta") / row.getAs[Double]("se_ols"))
+    assert(row.getAs[Double]("t_hac") ===
+      row.getAs[Double]("beta") / row.getAs[Double]("se_hac"))
+  }
+
   test("t45 Chao1 matches the brute-force count-of-counts model and " +
       "the bias-corrected form agrees in the n2 > 0 regime") {
     val counts = Tables.documents(spark, sf)
