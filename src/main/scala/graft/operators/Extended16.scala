@@ -148,6 +148,10 @@ object Extended16 {
     // All six moment sets come from ONE pass with conditional sums;
     // every centered combo is exact DECIMAL(38,0)/HUGEINT (n·Syy ≈
     // 6e18 at sf0.1 — past long range, the q187 lesson pre-applied).
+    // Base moments accumulate in DECIMAL, with the y² product itself
+    // computed decimal-first (y.cast(dec) * y): the long Σy² would
+    // overflow near sf1 and per-row y² near sf50; neither bound
+    // exists now (DuckDB's SUM(BIGINT)→HUGEINT twin was always exact).
     // Scale shape: fact rows collapse to the calendar-bounded week
     // grid first; the midpoint min/max window and the 19-sum
     // aggregate both run over ~350 rows at ANY scale.
@@ -161,11 +165,11 @@ object Extended16 {
         sum(when(p, 1L).otherwise(0L)).cast(dec).as("n" + sfx),
         sum(when(p, col("w")).otherwise(0L)).cast(dec).as("sx" + sfx),
         sum(when(p, col("y")).otherwise(0L)).cast(dec).as("sy" + sfx),
-        sum(when(p, col("w") * col("w")).otherwise(0L)).cast(dec)
+        sum(when(p, col("w") * col("w")).otherwise(0L).cast(dec))
           .as("sxx" + sfx),
-        sum(when(p, col("w") * col("y")).otherwise(0L)).cast(dec)
+        sum(when(p, col("w") * col("y")).otherwise(0L).cast(dec))
           .as("sxy" + sfx),
-        sum(when(p, col("y") * col("y")).otherwise(0L)).cast(dec)
+        sum(when(p, col("y").cast(dec) * col("y")).otherwise(0L).cast(dec))
           .as("syy" + sfx))
       val sums = mm(lit(true), "p") ++ mm(col("w") < col("mid"), "1") ++
         mm(col("w") >= col("mid"), "2") :+ max(col("mid")).as("mid")
@@ -217,12 +221,12 @@ object Extended16 {
           count(lit(1)).cast(dec).as("n"),
           sum(col("w")).cast(dec).as("sx"),
           sum(col("y")).cast(dec).as("sy"),
-          sum(col("w") * col("w")).cast(dec).as("sxx"),
-          sum(col("w") * col("y")).cast(dec).as("sxy"),
-          sum(col("y") * col("y")).cast(dec).as("syy"),
-          sum(col("dy") * col("dy")).cast(dec).as("sdd"),
-          sum(col("dy") * col("dx")).cast(dec).as("sdx"),
-          sum(col("dx") * col("dx")).cast(dec).as("sxx2"))
+          sum((col("w") * col("w")).cast(dec)).as("sxx"),
+          sum((col("w") * col("y")).cast(dec)).as("sxy"),
+          sum(col("y").cast(dec) * col("y")).as("syy"),
+          sum(col("dy").cast(dec) * col("dy")).as("sdd"),
+          sum((col("dy") * col("dx")).cast(dec)).as("sdx"),
+          sum((col("dx") * col("dx")).cast(dec)).as("sxx2"))
         .withColumn("slope",
           (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
             (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
@@ -320,8 +324,8 @@ object Extended16 {
         .withColumn("sx", sum(col("w")).over(wAll))
         .withColumn("sy", sum(col("y")).over(wAll))
         .withColumn("sxx", sum(col("w") * col("w")).over(wAll))
-        .withColumn("sxy", sum(col("w") * col("y")).over(wAll))
-        .withColumn("syy", sum(col("y") * col("y")).over(wAll).cast(dec))
+        .withColumn("sxy", sum((col("w") * col("y")).cast(dec)).over(wAll))
+        .withColumn("syy", sum(col("y").cast(dec) * col("y")).over(wAll))
         .withColumn("cc", col("n") * col("sxx") - col("sx") * col("sx"))
         .withColumn("bb", col("n") * col("sxy") - col("sx") * col("sy"))
         .withColumn("aa", col("n").cast(dec) * col("syy") -
@@ -415,8 +419,8 @@ object Extended16 {
         .withColumn("sx", sum(col("w")).over(wAll))
         .withColumn("sy", sum(col("y")).over(wAll))
         .withColumn("sxx", sum(col("w") * col("w")).over(wAll))
-        .withColumn("sxy", sum(col("w") * col("y")).over(wAll))
-        .withColumn("syy", sum(col("y") * col("y")).over(wAll).cast(dec))
+        .withColumn("sxy", sum((col("w") * col("y")).cast(dec)).over(wAll))
+        .withColumn("syy", sum(col("y").cast(dec) * col("y")).over(wAll))
         .withColumn("cc", col("n") * col("sxx") - col("sx") * col("sx"))
         .withColumn("bb", col("n") * col("sxy") - col("sx") * col("sy"))
         .withColumn("aa", col("n").cast(dec) * col("syy") -
@@ -494,14 +498,14 @@ object Extended16 {
         .withColumn("csx", sum(col("w")).over(wSeq))
         .withColumn("csy", sum(col("y")).over(wSeq))
         .withColumn("csxx", sum(col("w") * col("w")).over(wSeq))
-        .withColumn("csxy", sum(col("w") * col("y")).over(wSeq))
-        .withColumn("csyy", sum(col("y") * col("y")).over(wSeq).cast(dec))
+        .withColumn("csxy", sum((col("w") * col("y")).cast(dec)).over(wSeq))
+        .withColumn("csyy", sum(col("y").cast(dec) * col("y")).over(wSeq))
         .withColumn("n", count(lit(1)).over(wAll))
         .withColumn("tsx", sum(col("w")).over(wAll))
         .withColumn("tsy", sum(col("y")).over(wAll))
         .withColumn("tsxx", sum(col("w") * col("w")).over(wAll))
-        .withColumn("tsxy", sum(col("w") * col("y")).over(wAll))
-        .withColumn("tsyy", sum(col("y") * col("y")).over(wAll).cast(dec))
+        .withColumn("tsxy", sum((col("w") * col("y")).cast(dec)).over(wAll))
+        .withColumn("tsyy", sum(col("y").cast(dec) * col("y")).over(wAll))
       def seg(nc: Column, sx: Column, sy: Column, sxx: Column,
           sxy: Column, syy: Column) = (
         (nc.cast(dec) * syy - sy.cast(dec) * sy.cast(dec)),

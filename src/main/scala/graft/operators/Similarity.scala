@@ -55,6 +55,41 @@ object Similarity {
       .select(col("vec_id"), dvec(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
+  /** e30's per-query truth frame: exact nearest neighbor in original
+    * and JL-projected space for the deterministic 1/16 md5 hash-sample
+    * of query vectors (sample × corpus, never the full n² cartesian).
+    */
+  private[graft] def e30TruthFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(s, d)
+      .withColumn("n2", dot(col("v"), col("v")))
+      .withColumn("p", array((0 until JlK).map(j =>
+        dot(col("v"), typedLit(jlSigns(j)))): _*))
+      .withColumn("p2", dot(col("p"), col("p")))
+      .select(col("vec_id"), col("v"), col("n2"), col("p"), col("p2"))
+    val a = v.filter(substring(md5(encode(concat(lit("e30|"),
+        col("vec_id").cast("string")), "utf-8")), 1, 1) === "0")
+      .select(col("vec_id"), col("v").as("va"),
+        col("n2").as("na2"), col("p").as("pa"), col("p2").as("pa2"))
+    val b = v.select(col("vec_id").as("nb_id"), col("v").as("vb"),
+      col("n2").as("nb2"), col("p").as("pb"), col("p2").as("pb2"))
+    a.join(b, col("vec_id") =!= col("nb_id"))
+      .withColumn("d2o", col("na2") + col("nb2") -
+        lit(2.0) * dot(col("va"), col("vb")))
+      .withColumn("d2p", col("pa2") + col("pb2") -
+        lit(2.0) * dot(col("pa"), col("pb")))
+      .withColumn("rno", row_number().over(Window
+        .partitionBy(col("vec_id")).orderBy(col("d2o"), col("nb_id"))))
+      .withColumn("rnp", row_number().over(Window
+        .partitionBy(col("vec_id")).orderBy(col("d2p"), col("nb_id"))))
+      .filter(col("rno") === 1 || col("rnp") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rno") === 1, col("nb_id"))).as("nb_o"),
+        max(when(col("rnp") === 1, col("nb_id"))).as("nb_p"),
+        max(when(col("rno") === 1, col("d2o"))).as("d2o_t"),
+        max(when(col("rno") === 1, col("d2p"))).as("d2p_t"))
+  }
+
   /** Shared IVF coarse quantizer: every vector ranked against the
     * broadcast deterministic centroid set (vec_id % 50 == 0) by cosine,
     * ties by cent_id. crk = 1 is the owning cell; crk <= nprobe is a
@@ -952,37 +987,18 @@ object Similarity {
     // orthogonality finding, measured from the distortion side). Distances use the dot-identity
     // form (‖a‖² + ‖b‖² − 2a·b — one codegen dot per pair, no array
     // allocation); no libm beyond the dots, so ratio terms are
-    // bit-identical cross-engine and sum through DECIMAL(38,15) +
-    // the VARCHAR route. Truth sides are the declared O(n²) eval-twin
-    // contract (e02/e07/e21's class — per-cell/sampled at corpus
-    // scale); the projection itself is 16 in-row dots per vector.
+    // bit-identical cross-engine; each ratio term is quantized to the
+    // t44 1e-9 grid (DECIMAL(18,9)) before the order-insensitive sum —
+    // at scale 15 the two engines' double→decimal roundings (shortest
+    // repr vs exact binary) disagree in the 16th digit. The QUERY side is a deterministic 1/16
+    // md5 hash-sample (t08/t24's portable idiom) — the audit metric
+    // is unchanged in expectation, but the truth scan is
+    // O(n²/16) = (sample × corpus), never the full n² cartesian:
+    // 129 queries × 2000 vectors at sf0.1 vs the 4M-pair full join
+    // this replaced (round-8 verdict's one scale-killer). The
+    // projection itself is 16 in-row dots per vector.
     "e30_jl_projection_audit" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val v = vecs(s, d)
-        .withColumn("n2", dot(col("v"), col("v")))
-        .withColumn("p", array((0 until JlK).map(j =>
-          dot(col("v"), typedLit(jlSigns(j)))): _*))
-        .withColumn("p2", dot(col("p"), col("p")))
-        .select(col("vec_id"), col("v"), col("n2"), col("p"), col("p2"))
-      val a = v.select(col("vec_id"), col("v").as("va"),
-        col("n2").as("na2"), col("p").as("pa"), col("p2").as("pa2"))
-      val b = v.select(col("vec_id").as("nb_id"), col("v").as("vb"),
-        col("n2").as("nb2"), col("p").as("pb"), col("p2").as("pb2"))
-      val per = a.join(b, col("vec_id") =!= col("nb_id"))
-        .withColumn("d2o", col("na2") + col("nb2") -
-          lit(2.0) * dot(col("va"), col("vb")))
-        .withColumn("d2p", col("pa2") + col("pb2") -
-          lit(2.0) * dot(col("pa"), col("pb")))
-        .withColumn("rno", row_number().over(Window
-          .partitionBy(col("vec_id")).orderBy(col("d2o"), col("nb_id"))))
-        .withColumn("rnp", row_number().over(Window
-          .partitionBy(col("vec_id")).orderBy(col("d2p"), col("nb_id"))))
-        .filter(col("rno") === 1 || col("rnp") === 1)
-        .groupBy(col("vec_id"))
-        .agg(max(when(col("rno") === 1, col("nb_id"))).as("nb_o"),
-          max(when(col("rnp") === 1, col("nb_id"))).as("nb_p"),
-          max(when(col("rno") === 1, col("d2o"))).as("d2o_t"),
-          max(when(col("rno") === 1, col("d2p"))).as("d2p_t"))
+      val per = e30TruthFrame(s, d)
       val ratio = col("d2p_t") / (lit(JlK.toDouble) * col("d2o_t"))
       per.agg(count(lit(1)).as("n_queries"),
           sum(when(col("nb_o") === col("nb_p"), 1L).otherwise(0L))
@@ -990,7 +1006,7 @@ object Similarity {
           sum(when(col("d2o_t") <= 0.0, 1L).otherwise(0L))
             .as("n_zero_dist"),
           sum(when(col("d2o_t") > 0.0, ratio)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
             .cast("double").as("ratio_sum"),
           min(when(col("d2o_t") > 0.0, ratio)).as("min_ratio"),
           max(when(col("d2o_t") > 0.0, ratio)).as("max_ratio"))
@@ -1804,7 +1820,8 @@ object Similarity {
          FROM per_q GROUP BY 1 ORDER BY nprobe""",
 
     // e30: md5 'jl' sign matrix, projected coords as ordered list agg,
-    // dot-identity distances, DECIMAL(38,15)+VARCHAR ratio sum
+    // dot-identity distances, DECIMAL(18,9)+VARCHAR ratio sum;
+    // query side = the same deterministic 1/16 md5 hash-sample
     "e30_jl_projection_audit" ->
       """WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
@@ -1822,7 +1839,9 @@ object Similarity {
          dd AS (SELECT a.vec_id, b.vec_id AS nb_id,
              a.n2 + b.n2 - 2.0 * list_dot_product(a.v, b.v) AS d2o,
              a.p2 + b.p2 - 2.0 * list_dot_product(a.p, b.p) AS d2p
-           FROM base a JOIN base b ON a.vec_id <> b.vec_id),
+           FROM base a JOIN base b ON a.vec_id <> b.vec_id
+           WHERE substring(md5('e30|' || CAST(a.vec_id AS VARCHAR)),
+             1, 1) = '0'),
          rk AS (SELECT *,
              ROW_NUMBER() OVER (PARTITION BY vec_id
                ORDER BY d2o, nb_id) AS rno,
@@ -1841,7 +1860,7 @@ object Similarity {
              CAST(SUM(CASE WHEN d2o_t <= 0 THEN 1 ELSE 0 END)
                AS BIGINT) AS n_zero_dist,
              CAST(CAST(SUM(CASE WHEN d2o_t > 0 THEN
-                 CAST(d2p_t / (16.0 * d2o_t) AS DECIMAL(38, 15))
+                 CAST(d2p_t / (16.0 * d2o_t) AS DECIMAL(18, 9))
                END) AS VARCHAR) AS DOUBLE) AS ratio_sum,
              MIN(CASE WHEN d2o_t > 0
                THEN d2p_t / (16.0 * d2o_t) END) AS min_ratio,

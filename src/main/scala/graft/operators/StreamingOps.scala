@@ -449,7 +449,8 @@ object StreamingOps {
     * batch fold starts).
     */
   case class HwState(lvl: Double, trd: Double, s: Seq[Double], i: Int,
-      sse: Double, warm: Boolean, buf: Seq[Double])
+      sse: Double, warm: Boolean, buf: Seq[Double],
+      lastDay: Long = Long.MinValue)
   case class HwPoint(key: String, day: Long, level: Double,
       trend: Double, seasonal: Seq[Double], i: Int, sse: Double)
   def holtWintersFold(key: String, it: Iterator[DayTotal],
@@ -457,7 +458,11 @@ object StreamingOps {
     var st = state.getOption.getOrElse(
       HwState(0.0, 0.0, Seq.fill(7)(0.0), 14, 0.0, warm = false, Seq.empty))
     val out = Array.newBuilder[HwPoint]
-    it.toArray.sortBy(_.day).foreach { o =>
+    // lastDay makes the dense-series contract self-enforcing: a day
+    // <= lastDay is an at-least-once replay (or out-of-order arrival)
+    // of a row already folded into level/trend/SSE — dropping it is
+    // the only idempotent choice; re-folding would corrupt silently.
+    it.toArray.sortBy(_.day).filter(_.day > st.lastDay).foreach { o =>
       val y = o.x.toDouble
       if (!st.warm) {
         val buf = st.buf :+ y
@@ -473,8 +478,8 @@ object StreamingOps {
           val trd0 = (m2 - m1) / 7.0
           val s0 = (0 until 7).map(j =>
             ((a(j) - m1) + (a(j + 7) - m2)) / 2.0)
-          HwState(m1, trd0, s0, 14, 0.0, warm = true, Seq.empty)
-        } else st.copy(buf = buf)
+          HwState(m1, trd0, s0, 14, 0.0, warm = true, Seq.empty, o.day)
+        } else st.copy(buf = buf, lastDay = o.day)
       } else {
         val sIdx = st.i % 7
         val nl = 0.25 * (y - st.s(sIdx)) + 0.75 * (st.lvl + st.trd)
@@ -482,7 +487,7 @@ object StreamingOps {
         val trd = 0.125 * (nl - st.lvl) + 0.875 * st.trd
         val s = st.s.updated(sIdx, 0.125 * (y - nl) + 0.875 * st.s(sIdx))
         st = HwState(nl, trd, s, st.i + 1, st.sse + err * err,
-          warm = true, Seq.empty)
+          warm = true, Seq.empty, o.day)
         out += HwPoint(key, o.day, st.lvl, st.trd, st.s, st.i, st.sse)
       }
     }
@@ -500,22 +505,24 @@ object StreamingOps {
     * matters here too.
     */
   case class CrostonState(z: Double, p: Double, q: Long, seen: Boolean,
-      nd: Long)
+      nd: Long, lastDay: Long = Long.MinValue)
   case class CrostonPoint(key: String, day: Long, demand_size: Double,
       mean_interval: Double, n_demands: Long)
   def crostonFold(key: String, it: Iterator[DayTotal],
       state: GroupState[CrostonState]): Iterator[CrostonPoint] = {
     var st = state.getOption.getOrElse(CrostonState(0.0, 0.0, 1L, false, 0L))
     val out = Array.newBuilder[CrostonPoint]
-    it.toArray.sortBy(_.day).foreach { o =>
+    // same lastDay replay guard as holtWintersFold: a replayed or
+    // out-of-order day must not advance the gap counter twice
+    it.toArray.sortBy(_.day).filter(_.day > st.lastDay).foreach { o =>
       val y = o.x.toDouble
       st =
         if (y > 0.0) CrostonState(
           if (st.seen) st.z + 0.25 * (y - st.z) else y,
           if (st.seen) st.p + 0.25 * (st.q.toDouble - st.p)
           else st.q.toDouble,
-          1L, seen = true, st.nd + 1)
-        else st.copy(q = st.q + 1)
+          1L, seen = true, st.nd + 1, o.day)
+        else st.copy(q = st.q + 1, lastDay = o.day)
       // emit ONLY on demand days — zero-demand days advance the gap
       // counter but change no smoothed value (one point per demand,
       // matching the "updates fire only on demand days" contract)

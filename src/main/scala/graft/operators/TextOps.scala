@@ -1025,7 +1025,8 @@ object TextOps {
     // in a single row.
     "t46_temperature_mixture" -> ((s, d) => {
       val per = Tables.documents(s, d)
-        .select(col("lang"), size(split(trim(col("text")), " ")).as("nt"))
+        .select(col("lang"), size(expr(
+          "filter(split(trim(text), ' '), x -> x <> '')")).as("nt"))
         .groupBy(col("lang")).agg(sum(col("nt")).as("n"))
       def wExpr(x: String, alpha: String) = alpha match {
         case "1.0"  => s"CAST($x AS DOUBLE)"
@@ -1694,7 +1695,8 @@ object TextOps {
            list_transform(arr, x -> ${w("x.n", a)})),
            (acc, b) -> acc + b)"""
       s"""WITH lt AS (SELECT lang,
-           CAST(SUM(LEN(string_split(TRIM(text), ' '))) AS BIGINT) AS n
+           CAST(SUM(LEN(list_filter(string_split(TRIM(text), ' '),
+             x -> x <> ''))) AS BIGINT) AS n
            FROM documents GROUP BY 1),
          one AS (SELECT
              list({'lang': lang, 'n': n} ORDER BY lang) AS arr,

@@ -11,74 +11,92 @@ class PlanLintSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   /** Queries whose plans legitimately contain a nested-loop/cartesian
-    * stage — each line documents why.
+    * stage. Every entry MUST cite its bound through one of four
+    * structured classes (vocabulary enforced by a test below — the
+    * round-8 lesson: e30 hid an unbounded full-corpus cartesian behind
+    * a free-text "eval-twin" comment for a whole round):
+    *
+    *  - "O(1) broadcast: ..."  — one side is a ≤k-row scalar/sketch/
+    *    factor-list aggregate (k fixed, independent of data volume)
+    *  - "bounded cross: ..."   — both loop dimensions are bounded by
+    *    dimension/grid cardinality (centroids, bands, calendar,
+    *    priority², bin lattice), never by fact rows
+    *  - "sampled: ..."         — one side is a deterministic
+    *    hash-sample of the corpus (cite the rate), the other a linear
+    *    scan: O(n·rate·n) with rate chosen so the pair count stays
+    *    ~linear at the gate SFs
+    *  - "eval-twin: ..."       — a declared O(n²) ground-truth scan
+    *    whose OUTPUT is the recall/distortion measurement itself; the
+    *    entry must name the production-scale path it audits
     */
-  private val allowed: Set[String] = Set(
-    "q25_range_band_join", // O(1) broadcast band table, non-equi bounds
-    "e01_cosine_pairs", // brute-force ground truth (vec_a < vec_b)
-    "e02_ann_topk_bruteforce", // brute-force ground truth (!=)
-    "e03_ann_ivf", // broadcast coarse-centroid assignment (cross, O(cents))
-    "e06_ann_ivf_nprobe", // same centroid assignment, nprobe = 2
-    "d06_embedding_neardup", // brute-force ground truth (dup_of < vec_id)
-    "e04_ann_topk_partial", // brute-force pair scan (!=), reduced map-side
-    "e07_ann_recall", // recall eval: exhaustive truth side (!=) + IVF assignment
-    "e08_ann_recall_sweep", // nprobe sweep: same centroid cross + exhaustive truth + O(1) totals join
-    "e09_ann_ivf_sq8", // IVF-SQ8: same broadcast centroid assignment cross
-    "q63_kmv_sketch_union", // 1-row sketch x 1-row exact scalar join, O(1)
-    "d11_boilerplate_strip", // 1-row broadcast boiler-fingerprint set
-    "e10_semantic_dedup", // same broadcast centroid assignment cross
-    "q69_histogram", // 1-row broadcast min/max bounds for bin edges
-    "e11_knn_label_accuracy", // exhaustive top-3 ground truth (!=)
-    "e12_semantic_dedup_against", // same broadcast centroid assignment cross
-    "e13_ann_ivf_pq", // same broadcast centroid assignment cross
-    "e14_pq_recall", // exhaustive ground truth (!=) + PQ index side
-    "q76_key_skew_profile", // 1-row broadcast corpus scalars (total, n_keys)
-    "e15_kmeans_refine", // broadcast centroid assignment cross, x3 iterations
-    "e16_embedding_drift", // same broadcast centroid assignment cross
-    "q83_point_in_time_state", // O(calendar) broadcast snapshot grid, non-equi
-    "q84_market_basket", // 1-row broadcast basket-count scalar
-    "q86_decile_gain", // 1-row broadcast customer-count scalar (ntile n)
-    "e17_cell_silhouette", // same broadcast centroid assignment cross
-    "m11_phash_recall", // exhaustive hamming ground truth (a < b)
-    "e18_cell_balance", // same broadcast centroid assignment cross
-    "q89_abc_pareto", // 1-row broadcast total-revenue scalar
-    "q90_order_aging", // 1-row broadcast reference-date scalar
-    "e19_pq_distortion", // same broadcast centroid assignment cross
-    "q92_dow_seasonality", // 1-row broadcast totals scalar
-    "e20_nn_distance_profile", // same broadcast centroid assignment cross
-    "e21_lsh_recall", // exhaustive cosine ground truth (a < b)
-    "e22_range_search", // same broadcast centroid assignment cross
-    "t27_bigram_lift", // 1-row broadcast corpus-token-total scalar
-    "q146_cmh_test", // 1-row broadcast global-median scalar (q69 pattern)
-    "q149_raking_weights", // 1-row broadcast totals + max-error scalars
-    "t28_term_burstiness", // 1-row broadcast doc-count scalar
-    "d18_minhash_band_tuning", // 1-row broadcast truth-count scalar
-    "d19_shingle_df_profile", // 1-row broadcast posting-total scalar
-    "e23_mmr_rerank", // exact candidate ground truth (c_id != q_id)
-    "d22_method_agreement", // 1-row broadcast truth-count scalar
-    "e24_ivf_k_sweep", // 3 broadcast centroid crosses + exhaustive truth
-    "e25_cell_medoid", // broadcast coarse-centroid assignment (cross, O(cents))
-    "d27_source_minhash_jaccard", // |sources|^2 pairing of 17-column signature rows
-    "e26_filtered_ann", // same broadcast centroid assignment cross
-    "d28_simhash_radius_sweep", // exhaustive hamming ground truth (a < b)
-    "e30_jl_projection_audit", // exhaustive truth in BOTH spaces (!=) — eval-twin contract
-    "q112_price_volume_mix", // 1-row broadcast date-split scalar
-    "q118_return_rate_outliers", // 1-row broadcast (nn, kk) totals scalar
-    "e28_ood_screen", // same broadcast centroid assignment cross
-    "d29_shingle_width_profile", // 1-row broadcast doc-count scalar
-    "q127_cusum_drift", // 1-row broadcast (n, total) scalars
-    "q164_poisson_bootstrap", // 1-row broadcast (n, mean_exact) scalars
-    "t36_ks_drift", // dim x dim pooled-jump-point grid (q83's class) + 1-row total
-    "q129_cms_frequency", // 1-row broadcast CMS counter matrix
-    "q132_kmv_intersection", // 1-row sketch x 1-row exact scalar join, O(1)
-    "q133_survival_km", // 1-row broadcast K-M factor list (|event times|)
-    "q136_bitmap_distinct", // |priorities|^2 bitmap pairing (5x5, non-equi)
-    "q175_nelson_aalen", // 1-row broadcast hazard-term list (q133 pattern)
-    "q181_isotonic_calibration", // 6x21-bounded bin-interval lattice (q136 class)
-    "q182_hosmer_lemeshow") // same bounded lattice + 1-row term-list broadcast
+  private val productAllowed: Map[String, String] = Map(
+    "q25_range_band_join" -> "O(1) broadcast: band table, non-equi bounds",
+    "e01_cosine_pairs" -> "eval-twin: brute-force cosine truth (a < b); audits e05's LSH recall",
+    "e02_ann_topk_bruteforce" -> "eval-twin: exact top-k truth (!=); the baseline e03/e06 are measured against",
+    "e03_ann_ivf" -> "bounded cross: broadcast coarse-centroid assignment (O(cents))",
+    "e06_ann_ivf_nprobe" -> "bounded cross: centroid assignment, nprobe = 2",
+    "d06_embedding_neardup" -> "eval-twin: brute-force near-dup truth (dup_of < vec_id); audits d04/e10",
+    "e04_ann_topk_partial" -> "eval-twin: pair scan (!=) with map-side reduction; e02's cheaper twin",
+    "e07_ann_recall" -> "eval-twin: exhaustive truth side (!=) scoring e03's IVF recall",
+    "e08_ann_recall_sweep" -> "eval-twin: exhaustive truth + bounded centroid cross + O(1) totals join",
+    "e09_ann_ivf_sq8" -> "bounded cross: broadcast centroid assignment",
+    "q63_kmv_sketch_union" -> "O(1) broadcast: 1-row sketch x 1-row exact scalar",
+    "d11_boilerplate_strip" -> "O(1) broadcast: boiler-fingerprint set",
+    "e10_semantic_dedup" -> "bounded cross: broadcast centroid assignment",
+    "q69_histogram" -> "O(1) broadcast: min/max bounds for bin edges",
+    "e11_knn_label_accuracy" -> "eval-twin: exhaustive top-3 truth (!=) scoring label agreement",
+    "e12_semantic_dedup_against" -> "bounded cross: broadcast centroid assignment",
+    "e13_ann_ivf_pq" -> "bounded cross: broadcast centroid assignment",
+    "e14_pq_recall" -> "eval-twin: exhaustive truth (!=) scoring e13's PQ recall",
+    "q76_key_skew_profile" -> "O(1) broadcast: corpus scalars (total, n_keys)",
+    "e15_kmeans_refine" -> "bounded cross: centroid assignment x3 iterations",
+    "e16_embedding_drift" -> "bounded cross: broadcast centroid assignment",
+    "q83_point_in_time_state" -> "bounded cross: O(calendar) broadcast snapshot grid",
+    "q84_market_basket" -> "O(1) broadcast: basket-count scalar",
+    "q86_decile_gain" -> "O(1) broadcast: customer-count scalar (ntile n)",
+    "e17_cell_silhouette" -> "bounded cross: broadcast centroid assignment",
+    "m11_phash_recall" -> "eval-twin: exhaustive hamming truth (a < b) scoring m07's LSH recall",
+    "e18_cell_balance" -> "bounded cross: broadcast centroid assignment",
+    "q89_abc_pareto" -> "O(1) broadcast: total-revenue scalar",
+    "q90_order_aging" -> "O(1) broadcast: reference-date scalar",
+    "e19_pq_distortion" -> "bounded cross: broadcast centroid assignment",
+    "q92_dow_seasonality" -> "O(1) broadcast: totals scalar",
+    "e20_nn_distance_profile" -> "bounded cross: broadcast centroid assignment",
+    "e21_lsh_recall" -> "eval-twin: exhaustive cosine truth (a < b) scoring e05's recall",
+    "e22_range_search" -> "bounded cross: broadcast centroid assignment",
+    "t27_bigram_lift" -> "O(1) broadcast: corpus-token-total scalar",
+    "q146_cmh_test" -> "O(1) broadcast: global-median scalar (q69 pattern)",
+    "q149_raking_weights" -> "O(1) broadcast: totals + max-error scalars",
+    "t28_term_burstiness" -> "O(1) broadcast: doc-count scalar",
+    "d18_minhash_band_tuning" -> "O(1) broadcast: truth-count scalar",
+    "d19_shingle_df_profile" -> "O(1) broadcast: posting-total scalar",
+    "e23_mmr_rerank" -> "eval-twin: exact candidate truth (c_id != q_id) the MMR picks re-rank",
+    "d22_method_agreement" -> "O(1) broadcast: truth-count scalar",
+    "e24_ivf_k_sweep" -> "eval-twin: 3 bounded centroid crosses + exhaustive truth for the sweep",
+    "e25_cell_medoid" -> "bounded cross: broadcast coarse-centroid assignment (O(cents))",
+    "d27_source_minhash_jaccard" -> "bounded cross: |sources|^2 pairing of 17-column signature rows",
+    "e26_filtered_ann" -> "bounded cross: broadcast centroid assignment",
+    "d28_simhash_radius_sweep" -> "eval-twin: exhaustive hamming truth (a < b) for the radius sweep",
+    "e30_jl_projection_audit" -> "sampled: 1/16 md5 hash-sample query side x corpus (129x2000 at sf0.1; was the round-8 full n² scale-killer)",
+    "q112_price_volume_mix" -> "O(1) broadcast: date-split scalar",
+    "q118_return_rate_outliers" -> "O(1) broadcast: (nn, kk) totals scalar",
+    "e28_ood_screen" -> "bounded cross: broadcast centroid assignment",
+    "d29_shingle_width_profile" -> "O(1) broadcast: doc-count scalar",
+    "q127_cusum_drift" -> "O(1) broadcast: (n, total) scalars",
+    "q164_poisson_bootstrap" -> "O(1) broadcast: (n, mean_exact) scalars",
+    "t36_ks_drift" -> "bounded cross: dim x dim pooled-jump-point grid (q83's class) + 1-row total",
+    "q129_cms_frequency" -> "O(1) broadcast: CMS counter matrix",
+    "q132_kmv_intersection" -> "O(1) broadcast: 1-row sketch x 1-row exact scalar",
+    "q133_survival_km" -> "O(1) broadcast: K-M factor list (|event times|)",
+    "q136_bitmap_distinct" -> "bounded cross: |priorities|^2 bitmap pairing (5x5, non-equi)",
+    "q175_nelson_aalen" -> "O(1) broadcast: hazard-term list (q133 pattern)",
+    "q181_isotonic_calibration" -> "bounded cross: 6x21 bin-interval lattice (q136 class)",
+    "q182_hosmer_lemeshow" -> "bounded cross: bounded lattice + 1-row term-list broadcast")
     // q121/e29's centroid-cross and date-split scalars — and q72's
     // corpus-max-day/count broadcasts — run inside their eager
     // Materialize stages, so their FINAL plans are product-free
+
+  private val allowed: Set[String] = productAllowed.keySet
 
   /** Queries whose plans legitimately contain an UNPARTITIONED Window
     * (single-partition sort + window over the whole frame) — each entry
@@ -199,6 +217,29 @@ class PlanLintSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"product joins outside the allowlist: $offenders")
+  }
+
+  test("every product-join allowlist entry cites a structured bound " +
+      "class (no free-text waves-through)") {
+    val classes = Seq("O(1) broadcast: ", "bounded cross: ", "sampled: ",
+      "eval-twin: ")
+    val unbounded = productAllowed.filterNot { case (_, reason) =>
+      classes.exists(reason.startsWith)
+    }
+    assert(unbounded.isEmpty,
+      s"product-join entries without a bound class: ${unbounded.keys}")
+    // a sampled entry must name its rate; an eval-twin must name what
+    // it audits (the production-scale path it is the truth side for)
+    productAllowed.foreach {
+      case (name, r) if r.startsWith("sampled: ") =>
+        assert(r.contains("/"), s"$name: sampled entry must cite its rate")
+      case (name, r) if r.startsWith("eval-twin: ") =>
+        assert(r.contains("audit") || r.contains("scoring") ||
+          r.contains("measured against") || r.contains("re-rank") ||
+          r.contains("sweep") || r.contains("twin"),
+          s"$name: eval-twin entry must name what it audits")
+      case _ =>
+    }
   }
 
   test("every allowlisted brute-force query really needs its product " +

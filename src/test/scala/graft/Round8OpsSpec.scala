@@ -412,7 +412,10 @@ class Round8OpsSpec extends SparkSpec {
       val p = signs.map(sv => dotp(v, sv)).toArray
       (id, v, dotp(v, v), p, dotp(p, p))
     }
-    val per = base.map { case (id, v, n2, p, p2) =>
+    // query side = the operator's deterministic 1/16 md5 hash-sample;
+    // the truth (neighbor) side stays the full corpus
+    val per = base.filter(t => md5hex(s"e30|${t._1}").charAt(0) == '0')
+      .map { case (id, v, n2, p, p2) =>
       val others = base.filter(_._1 != id).map { case (oid, ov, on2, op, op2) =>
         (oid, n2 + on2 - 2.0 * dotp(v, ov), p2 + op2 - 2.0 * dotp(p, op))
       }
@@ -503,8 +506,9 @@ class Round8OpsSpec extends SparkSpec {
   test("t46 temperature mixture matches brute force, shares sum to 1, " +
       "and lower alpha flattens the dominant language") {
     val counts = Tables.documents(spark, sf)
-      .select(col("lang"), size(split(trim(col("text")), " ")).as("nt"))
-      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.split(" ").count(_.nonEmpty).toLong))
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     val langs = counts.keys.toSeq.sorted
     val ntot = counts.values.sum

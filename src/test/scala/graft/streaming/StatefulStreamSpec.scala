@@ -782,6 +782,52 @@ class StatefulStreamSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("holtWintersFold and crostonFold drop replayed/out-of-order days " +
+      "(lastDay guard): an at-least-once redelivery leaves state " +
+      "identical to the clean in-order fold") {
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{DayTotal, HwState, CrostonState}
+    import org.apache.spark.sql.streaming.{TestGroupState, GroupStateTimeout}
+    import org.apache.spark.api.java.Optional
+    def state[S](prev: Option[S]): TestGroupState[S] =
+      TestGroupState.create[S](
+        prev.map(Optional.of[S]).getOrElse(Optional.empty[S]()),
+        GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val series = (0L until 45L).map(d =>
+      DayTotal("k", d, 100L + (d * 37L) % 50L))
+    // clean reference: everything in one in-order batch
+    val hwClean = state[HwState](None)
+    val cleanPts = StreamingOps.holtWintersFold("k", series.iterator,
+      hwClean).toVector
+    // faulty run: batch 1 = days 0..39; batch 2 REPLAYS days 30..39
+    // (at-least-once redelivery after a failure) before days 40..44
+    val hwDirty = state[HwState](None)
+    StreamingOps.holtWintersFold("k", series.take(40).iterator, hwDirty)
+    val dirty2 = state[HwState](Some(hwDirty.get))
+    val pts2 = StreamingOps.holtWintersFold("k",
+      (series.slice(30, 40) ++ series.drop(40)).iterator, dirty2).toVector
+    assert(pts2.map(_.day) === (40L until 45L).toVector,
+      "replayed days must emit nothing")
+    assert(dirty2.get === hwClean.get,
+      "state after replay must equal the clean in-order fold")
+    assert(cleanPts.filter(_.day >= 40L) === pts2)
+    // croston: intermittent series (demand every 3rd day)
+    val cro = (0L until 45L).map(d =>
+      DayTotal("k", d, if (d % 3L == 0L) 4L + (d % 7L) else 0L))
+    val cClean = state[CrostonState](None)
+    val cCleanPts = StreamingOps.crostonFold("k", cro.iterator,
+      cClean).toVector
+    val cDirty = state[CrostonState](None)
+    StreamingOps.crostonFold("k", cro.take(40).iterator, cDirty)
+    val cDirty2 = state[CrostonState](Some(cDirty.get))
+    val cPts2 = StreamingOps.crostonFold("k",
+      (cro.slice(30, 40) ++ cro.drop(40)).iterator, cDirty2).toVector
+    assert(cDirty2.get === cClean.get,
+      "croston state after replay must equal the clean fold " +
+        "(gap counter not double-advanced)")
+    assert(cCleanPts.filter(_.day >= 40L) === cPts2)
+  }
 }
 
 object StatefulStreamSpec {
