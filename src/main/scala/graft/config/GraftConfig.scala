@@ -34,7 +34,13 @@ final case class ConsumerConf(
     checkpointInterval: FiniteDuration = 2.seconds,
     checkpointBackoff: FiniteDuration = 3.seconds,
     initialPosition: InitialPosition = InitialPosition.TrimHorizon,
-    shutdownTimeout: FiniteDuration = 25.seconds) {
+    shutdownTimeout: FiniteDuration = 25.seconds,
+    /** KCL `retryGetRecordsInSeconds` (reference
+      * main/resources/reference.conf:666-675, unset by default): time
+      * between GetRecords retries on transport failure — the wire
+      * client's backoff base ([[graft.transport.HttpShardService
+      * .forConsumer]]). None = the transport default (100 ms). */
+    retryGetRecords: Option[FiniteDuration] = None) {
 
   /** DynamoDB-table-name rule kept as the checkpoint namespace
     * (reference main/consumer/KinesisConsumer.scala:71-74). */
@@ -99,7 +105,15 @@ final case class ProducerConf(
     /** KPL `AggregationMaxSize` (reference.conf:77-91, default 51200 B):
       * byte bound on one aggregated wire record — the shard buffer
       * flushes before a record that would push it past this size. */
-    aggregationMaxSize: Int = 51200)
+    aggregationMaxSize: Int = 51200,
+    /** KPL `CollectionMaxCount` (reference.conf:101, default 500): max
+      * wire records batched into one PutRecords request at the
+      * transport flush layer ([[graft.transport.HttpRecordClient]]). */
+    collectionMaxCount: Int = 500,
+    /** KPL `CollectionMaxSize` (reference.conf:114, default 5242880 B):
+      * byte bound on one PutRecords request — the collection buffer
+      * flushes before an entry that would push it past this size. */
+    collectionMaxSize: Int = 5242880)
 
 object ConsumerConf {
   /** Build from an options map with default/named fallback merge. */
@@ -124,7 +138,9 @@ object ConsumerConf {
       initialPosition = o.get("initial-position")
         .map(InitialPosition.parse).getOrElse(base.initialPosition),
       shutdownTimeout = o.get("shutdown-timeout-seconds")
-        .map(_.toInt.seconds).getOrElse(base.shutdownTimeout))
+        .map(_.toInt.seconds).getOrElse(base.shutdownTimeout),
+      retryGetRecords = o.get("retry-get-records-seconds")
+        .map(_.toInt.seconds).orElse(base.retryGetRecords))
   }
 }
 
@@ -153,6 +169,10 @@ object ProducerConf {
       failIfThrottled = o.get("fail-if-throttled")
         .map(_.toBoolean).getOrElse(base.failIfThrottled),
       aggregationMaxSize = o.get("aggregation-max-size")
-        .map(_.toInt).getOrElse(base.aggregationMaxSize))
+        .map(_.toInt).getOrElse(base.aggregationMaxSize),
+      collectionMaxCount = o.get("collection-max-count")
+        .map(_.toInt).getOrElse(base.collectionMaxCount),
+      collectionMaxSize = o.get("collection-max-size")
+        .map(_.toInt).getOrElse(base.collectionMaxSize))
   }
 }

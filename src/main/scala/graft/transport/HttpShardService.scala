@@ -1,0 +1,241 @@
+package graft.transport
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.sources.{RawShardRecord, ShardInfo, ShardPos, ShardService}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import scala.jdk.CollectionConverters._
+
+/** Retry/backoff policy for wire calls — the SDK taxonomy: retry 5xx,
+  * throttling errors and I/O or parse failures with exponential
+  * backoff; fail fast on other 4xx (validation, missing resource).
+  * `backoffBaseMs` maps KCL's `retryGetRecordsInSeconds` (reference
+  * main/resources/reference.conf:666-675) onto the read path when set
+  * via [[graft.config.ConsumerConf]].
+  *
+  * `sleeper` is injectable so specs assert the schedule instead of
+  * sleeping through it.
+  */
+final case class RetryPolicy(
+    maxRetries: Int = 3,
+    backoffBaseMs: Long = 100L,
+    sleeper: Long => Unit = Thread.sleep) {
+  /** Backoff before retry attempt `n` (1-based): base * 2^(n-1). */
+  def backoffMs(attempt: Int): Long = backoffBaseMs << (attempt - 1)
+}
+
+/** [[ShardService]] over the Kinesis-shaped HTTP wire protocol — the
+  * transport implementation of the plug-in seam, speaking real JSON +
+  * base64 over a real socket to any endpoint honoring the protocol
+  * ([[KinesisWireStub]] in tests; a Kinesis-compatible service in a
+  * deployment, modulo SigV4 signing which stays out of scope in the
+  * zero-egress sandbox — PARITY.md).
+  *
+  * Serializable by construction: only the endpoint/stream strings and
+  * the policy ship to executors; the HttpClient is rebuilt lazily per
+  * JVM — the "construct the client inside each reader from connection
+  * options" deployment the registry scaladoc describes.
+  */
+final class HttpShardService(
+    val endpoint: String,
+    override val streamName: String,
+    retry: RetryPolicy = RetryPolicy()) extends ShardService {
+  import KinesisWire._
+
+  @transient private lazy val http: HttpClient = HttpClient.newHttpClient()
+
+  /** Total wire requests issued (retries included) — spec observability. */
+  val requestCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[transport] def call(action: String, body: ObjectNode): JsonNode = {
+    var attempt = 0
+    while (true) {
+      val failure: Either[Throwable, JsonNode] =
+        try {
+          requestCount.incrementAndGet()
+          val req = HttpRequest.newBuilder(URI.create(endpoint + "/"))
+            .header("Content-Type", ContentType)
+            .header(TargetHeader, TargetPrefix + action)
+            .POST(HttpRequest.BodyPublishers.ofByteArray(bytes(body)))
+            .build()
+          val resp = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+          if (resp.statusCode() == 200) Right(parse(resp.body()))
+          else {
+            val err = try parse(resp.body()) catch { case _: Exception => null }
+            val tpe = Option(err).flatMap(e => Option(e.get("__type")))
+              .map(_.asText()).getOrElse("UnknownError")
+            val msg = Option(err).flatMap(e => Option(e.get("message")))
+              .map(_.asText()).getOrElse("")
+            Left(new KinesisApiException(tpe, msg, resp.statusCode()))
+          }
+        } catch {
+          // I/O and malformed-response failures are retryable; the
+          // request may or may not have executed (GetRecords/ListShards
+          // are idempotent; PutRecords callers own dedup — as with the
+          // real service)
+          case e: java.io.IOException => Left(e)
+          case e: com.fasterxml.jackson.core.JacksonException => Left(e)
+        }
+      failure match {
+        case Right(node) => return node
+        case Left(e) =>
+          val retryable = e match {
+            case k: KinesisApiException => k.retryable
+            case _ => true
+          }
+          attempt += 1
+          if (!retryable || attempt > retry.maxRetries) throw e
+          retry.sleeper(retry.backoffMs(attempt))
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  // -------------------------------------------------- ShardService --
+
+  override def listShards(): Seq[String] = listShardObjects().map(_._1)
+
+  /** (shardId, parents, closed) pages folded across NextToken. */
+  private def listShardObjects(): Seq[(String, Seq[String], Boolean)] = {
+    val out = Vector.newBuilder[(String, Seq[String], Boolean)]
+    var next: Option[String] = None
+    var done = false
+    while (!done) {
+      val req = obj()
+      req.put("StreamName", streamName)
+      next.foreach(req.put("NextToken", _))
+      val resp = call("ListShards", req)
+      resp.get("Shards").elements().asScala.foreach { s =>
+        val parents = Seq(Option(s.get("ParentShardId")),
+          Option(s.get("AdjacentParentShardId"))).flatten.map(_.asText())
+        val closed = Option(s.get("SequenceNumberRange"))
+          .exists(r => r.has("EndingSequenceNumber"))
+        out += ((s.get("ShardId").asText(), parents, closed))
+      }
+      next = Option(resp.get("NextToken")).map(_.asText())
+      done = next.isEmpty
+    }
+    out.result()
+  }
+
+  override def shardInfo(shardId: String): ShardInfo =
+    listShardObjects().collectFirst {
+      case (id, parents, closed) if id == shardId =>
+        ShardInfo(id, parents, closed)
+    }.getOrElse(ShardInfo(shardId, Nil, closed = false))
+
+  private def iteratorAt(shardId: String, tpe: String,
+      f: ObjectNode => Unit = _ => ()): (String, ShardPos) = {
+    val req = obj()
+    req.put("StreamName", streamName)
+    req.put("ShardId", shardId)
+    req.put("ShardIteratorType", tpe)
+    f(req)
+    val resp = call("GetShardIterator", req)
+    val p = resp.get("StartingPosition")
+    (resp.get("ShardIterator").asText(),
+      ShardPos(BigInt(p.get("SequenceNumber").asText()),
+        p.get("SubSequenceNumber").asLong()))
+  }
+
+  override def latestPosition(shardId: String): ShardPos =
+    iteratorAt(shardId, "LATEST")._2
+
+  override def positionAtTimestamp(shardId: String,
+      tsMicros: Long): ShardPos =
+    iteratorAt(shardId, "AT_TIMESTAMP", _.put("Timestamp", tsMicros))._2
+
+  private def iteratorAfter(shardId: String, from: ShardPos): String =
+    if (from == ShardPos.Beginning) iteratorAt(shardId, "TRIM_HORIZON")._1
+    else iteratorAt(shardId, "AFTER_SEQUENCE_NUMBER", { r =>
+      r.put("StartingSequenceNumber", from.seqNo.toString)
+      r.put("SubSequenceNumber", from.subSeqNo)
+    })._1
+
+  /** One GetRecords page: (wire records, nextIterator or None at
+    * SHARD_END). */
+  private def getRecordsPage(iterator: String,
+      limit: Int): (Vector[RawShardRecord], Option[String]) = {
+    val req = obj()
+    req.put("ShardIterator", iterator)
+    req.put("Limit", limit)
+    val resp = call("GetRecords", req)
+    val recs = resp.get("Records").elements().asScala.map { r =>
+      val key = r.get("PartitionKey").asText()
+      val data = b64d.decode(r.get("Data").asText())
+      RawShardRecord(key, BigInt(r.get("SequenceNumber").asText()),
+        r.get("ApproximateArrivalTimestamp").asLong(),
+        decodeData(key, data))
+    }.toVector
+    (recs, Option(resp.get("NextShardIterator")).map(_.asText()))
+  }
+
+  override def positionAfter(shardId: String, from: ShardPos,
+      maxRecords: Int): ShardPos = {
+    var pos = from
+    var it = Option(iteratorAfter(shardId, from))
+    var remaining = maxRecords
+    while (remaining > 0 && it.isDefined) {
+      val (recs, next) = getRecordsPage(it.get, math.min(remaining, 10000))
+      if (recs.isEmpty) return pos
+      pos = ShardPos(recs.last.seqNo, (recs.last.subRecords.size - 1).toLong)
+      remaining -= recs.size
+      it = next
+    }
+    pos
+  }
+
+  override def read(shardId: String, from: ShardPos,
+      to: ShardPos): Iterator[RawShardRecord] = {
+    val out = Vector.newBuilder[RawShardRecord]
+    var it = Option(iteratorAfter(shardId, from))
+    var done = false
+    while (!done && it.isDefined) {
+      val (recs, next) = getRecordsPage(it.get, 10000)
+      val inRange = recs.takeWhile(r => ShardPos.ordering.lteq(
+        ShardPos(r.seqNo, (r.subRecords.size - 1).toLong), to))
+      out ++= inRange
+      done = recs.isEmpty || inRange.size < recs.size
+      it = next
+    }
+    out.result().iterator
+  }
+
+  // --------------------------------------------- producer wire call --
+
+  /** One PutRecords request; returns per-entry results in order:
+    * Right(shardId) on success, Left(errorCode) on a failed entry —
+    * the partial-failure shape the KPL retry loop consumes. */
+  def putRecords(entries: Seq[(String, Array[Byte])])
+      : Seq[Either[String, String]] = {
+    val req = obj()
+    req.put("StreamName", streamName)
+    val arr = req.putArray("Records")
+    entries.foreach { case (key, data) =>
+      val o = arr.addObject()
+      o.put("PartitionKey", key)
+      o.put("Data", b64e.encodeToString(data))
+    }
+    val resp = call("PutRecords", req)
+    resp.get("Records").elements().asScala.map { r =>
+      Option(r.get("ErrorCode")) match {
+        case Some(code) => Left(code.asText())
+        case None => Right(r.get("ShardId").asText())
+      }
+    }.toVector
+  }
+}
+
+object HttpShardService {
+  /** Consumer-configured client: KCL `retryGetRecordsInSeconds`
+    * (reference main/resources/reference.conf:666-675) becomes the
+    * retry backoff base on every read-path call. */
+  def forConsumer(endpoint: String, conf: graft.config.ConsumerConf,
+      sleeper: Long => Unit = Thread.sleep): HttpShardService =
+    new HttpShardService(endpoint, conf.streamName,
+      RetryPolicy(
+        backoffBaseMs = conf.retryGetRecords
+          .map(_.toMillis).getOrElse(100L),
+        sleeper = sleeper))
+}
