@@ -130,7 +130,8 @@ object Bench {
     "q195_influence", "q196_item_cf_recommend", "q197_link_prediction",
     "m18_aspect_bucket_pack", "t44_bigram_cross_entropy",
     "e30_jl_projection_audit", "q198_supf_break", "t45_chao1_vocab",
-    "t46_temperature_mixture", "q199_hac_se")
+    "t46_temperature_mixture", "q199_hac_se",
+    "t47_packing_sweep", "m19_band_tuning")
 
   /** Samples host/process CPU once a second so a run can prove it was
     * (or wasn't) contended — three NOTES.md incidents of a concurrent
@@ -164,8 +165,9 @@ object Bench {
   }
 
   /** Accumulates task-level shuffle/spill bytes — the scale evidence
-    * (a plan that shuffles the fact table or spills would show here). */
-  private final class MetricsListener extends SparkListener {
+    * (a plan that shuffles the fact table or spills would show here).
+    * Shared with [[ScaleCurve]]'s two-scale measurement. */
+  private[graft] final class MetricsListener extends SparkListener {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
     val spilled = new AtomicLong
@@ -303,6 +305,35 @@ object Bench {
       s"[bench] SHUFFLE BUDGET EXCEEDED: " + shuffleViolations.map { case (q, mb) =>
         f"$q=${mb}%.1fMB(budget ${budget(q)}%.1f)" }.mkString(", "))
 
+    // Per-query wall-time regression gate (round-8 verdict item 6):
+    // TIME_BUDGET.json carries 1.5x the clean promoted run's per-query
+    // seconds (entries < 0.5 s skipped — noise-dominated). A violation
+    // on an UNCONTENDED run is a plan/code regression the shuffle gate
+    // may not see (e.g. a broadcast that stopped broadcasting but
+    // shuffles little at sf0.1). Contended runs skip the gate: their
+    // wall times blame the machine, not the code.
+    val timeBudgetPath = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET",
+      "TIME_BUDGET.json")
+    val timeBudget: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get(timeBudgetPath)
+        if (java.nio.file.Files.exists(p)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } else Map.empty
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] time budget read: $e"); Map.empty }
+    val timeViolations =
+      if (contended) scala.collection.Map.empty[String, Double]
+      else results.collect {
+        case (q, sec) if timeBudget.get(q).exists(sec > _) => q -> sec
+      }
+    if (timeViolations.nonEmpty) System.err.println(
+      s"[bench] TIME BUDGET EXCEEDED: " + timeViolations.map { case (q, s) =>
+        f"$q=${s}%.2fs(budget ${timeBudget(q)}%.2f)" }.mkString(", "))
+
     // Full per-query detail: separate stdout line + per-run timestamped
     // file (the driver only keeps a ~2000-char tail of stdout, so the
     // FINAL line must stay small; shuffle/spill reflect the second
@@ -315,6 +346,7 @@ object Bench {
       s""""other_cpu_mean":${j1(otherMean)},"other_cpu_max":${j1(otherMax)},""" +
       s""""contended":${if (contended) 1 else 0},""" +
       s""""shuffle_budget_violations":${jmap(shuffleViolations, 3)},""" +
+      s""""time_budget_violations":${jmap(timeViolations, 3)},""" +
       s""""note":"shuffle/spill are from the 2nd measured run",""" +
       s""""sf":"$sfDir"}"""
     println(detail)
@@ -344,6 +376,7 @@ object Bench {
       s""""spill_mb_total":${j1(spillMb.values.sum)},""" +
       s""""contended":${if (contended) 1 else 0},""" +
       s""""shuffle_budget_ok":${if (shuffleViolations.isEmpty) 1 else 0},""" +
+      s""""time_budget_ok":${if (timeViolations.isEmpty) 1 else 0},""" +
       s""""sf":"$sfDir"}"""
     if (line.length > 1800) System.err.println(
       s"[bench] WARNING: summary line ${line.length} chars may exceed tail window")

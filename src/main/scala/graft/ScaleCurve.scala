@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up gate (round-8 verdict item 3): sf0.1 is 17 MB, so
+  * nothing in the per-SF bench measures scaling EXPONENTS. This main
+  * builds a one-off ×K replica of the tables (union-multiplication with
+  * consistent key offsets), times the most expensive queries at both
+  * scales, and fails on super-linear time or shuffle growth — the
+  * 100×-design check neither the oracle nor the sf0.1 wall clock gives.
+  *
+  * Replica construction keeps the DATA's scaling realistic:
+  *  - fact/dim keys offset per replica (orderkey/custkey/partkey/
+  *    suppkey/doc_id/vec_id), so joins scale like K disjoint copies;
+  *    region/nation stay fixed (real dims grow slower than facts)
+  *  - dates/amounts unchanged: the weekly/daily calendar grid stays
+  *    FIXED while fact rows grow ×K — exactly the aggregate-first
+  *    contract the grid-bounded operators (q155/q170/q179...) declare,
+  *    so their post-rollup stages must NOT grow
+  *  - document text passes through a per-replica letter bijection
+  *    (Caesar shift): within-replica dup/near-dup structure is
+  *    preserved exactly (shingles map bijectively), cross-replica
+  *    shingles are disjoint — a 10× corpus does NOT carry 10 copies of
+  *    every doc, so dedup candidate generation must scale ~linearly
+  *  - embeddings get a per-replica deterministic sign-flip pattern
+  *    (orthogonal transform): norms and within-replica geometry exact,
+  *    cross-replica cosines pseudo-random — no cross-replica near-dup
+  *    explosion; the vec_id % 50 centroid rule yields ×K centroids at
+  *    ~constant cell size, the IVF scaling story
+  *  - events is omitted: no gate query reads it
+  *
+  * Gate: time_K <= time_1 × K × slack and shuffle_K <= shuffle_1 × K ×
+  * slack + floor, per query; declared-quadratic eval-twins (exhaustive
+  * truth scans) are allowlisted by name with their contract. Writes
+  * SCALE_CURVE.json; exit code 1 on violation.
+  */
+object ScaleCurve {
+
+  /** Top-of-the-bench queries (clean r8 run) spanning every family:
+    * weekly-grid stats, graph loops, dedup, ANN, multimodal, text. */
+  private val gateQueries = Seq(
+    "q179_siegel_slope", "q155_theil_sen", "q170_bootstrap_median_ci",
+    "e24_ivf_k_sweep", "e14_pq_recall", "e30_jl_projection_audit",
+    "d22_method_agreement", "e11_knn_label_accuracy",
+    "d27_source_minhash_jaccard", "m17_dedup_savings",
+    "d18_minhash_band_tuning", "q107_triangle_count",
+    "q125_khop_reachability", "q130_copurchase_distance",
+    "m10_media_neardup_components", "d13_canonical_keep_longest",
+    "q197_link_prediction", "t19_source_novelty",
+    "d11_boilerplate_strip", "q80_column_profile")
+
+  /** Declared super-linear contracts: exhaustive-truth eval-twins whose
+    * OUTPUT is the recall/agreement measurement over all pairs — O(n²)
+    * by contract at the gate SFs (their PlanLint entries say the same;
+    * production runs use the per-cell/sampled variants they audit). */
+  private val quadraticAllowed: Map[String, String] = Map(
+    "e14_pq_recall" -> "eval-twin: exhaustive truth side (!=)",
+    "e24_ivf_k_sweep" -> "eval-twin: exhaustive truth per sweep member",
+    "e11_knn_label_accuracy" -> "eval-twin: exhaustive top-3 truth (!=)",
+    "d22_method_agreement" -> "eval-twin: exhaustive truth-pair set")
+
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "documents", "embeddings")
+
+  def buildReplica(spark: SparkSession, baseDir: String, outDir: String,
+      k: Int): Unit = {
+    def read(t: String): DataFrame =
+      spark.read.parquet(s"$baseDir/$t.parquet")
+    // key offsets: one range per replica, disjoint by construction
+    def off(c: String, m: Long, i: Int) =
+      (col(c) + lit(m * i)).as(c)
+    val mOrd = 10000000L; val mCust = 1000000L; val mPart = 1000000L
+    val mSupp = 100000L; val mDoc = 1000000L; val mVec = 1000000L
+    def replicate(t: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = read(t)
+      val all = (0 until k).map(i => f(base, i)).reduce(_ unionByName _)
+      all.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    replicate("region", (df, _) => df)
+    replicate("nation", (df, _) => df)
+    replicate("customer", (df, i) => df.select(off("c_custkey", mCust, i),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"),
+      col("c_mktsegment")))
+    replicate("supplier", (df, i) => df.select(off("s_suppkey", mSupp, i),
+      col("s_name"), col("s_nationkey"), col("s_acctbal")))
+    replicate("part", (df, i) => df.select(off("p_partkey", mPart, i),
+      col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      col("p_retailprice")))
+    replicate("orders", (df, i) => df.select(off("o_orderkey", mOrd, i),
+      off("o_custkey", mCust, i), col("o_orderstatus"), col("o_totalprice"),
+      col("o_orderdate"), col("o_orderpriority")))
+    replicate("lineitem", (df, i) => df.select(off("l_orderkey", mOrd, i),
+      off("l_partkey", mPart, i), off("l_suppkey", mSupp, i),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")))
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val upper = alpha.toUpperCase
+    replicate("documents", (df, i) => {
+      val shift = i % 26
+      val to = alpha.drop(shift) + alpha.take(shift) +
+        upper.drop(shift) + upper.take(shift)
+      df.select(off("doc_id", mDoc, i),
+        translate(col("text"), alpha + upper, to).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    })
+    replicate("embeddings", (df, i) => df.select(off("vec_id", mVec, i),
+      expr(s"transform(embedding, (x, j) -> " +
+        s"x * CASE WHEN pmod(hash(j, $i), 2) = 0 " +
+        s"THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END)")
+        .as("embedding"),
+      col("label")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val replicaDir = args.lift(2).getOrElse("/tmp/graft_scale")
+    val outPath = args.lift(3).getOrElse("SCALE_CURVE.json")
+    val slack = 2.0
+    val shuffleFloorMb = 50.0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-curve")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$replicaDir/lineitem.parquet"))) {
+      System.err.println(s"[scale] building x$k replica at $replicaDir")
+      buildReplica(spark, baseDir, replicaDir, k)
+    }
+
+    val listener = new Bench.MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def release(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    def measure(name: String, dir: String): (Double, Double) = {
+      val fn = SparkEntry.queries(name)
+      def run(): Unit =
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+      run(); release() // warm
+      def timed(): Double = {
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = timed(); release()
+      Thread.sleep(100); listener.reset()
+      val t2 = timed()
+      Thread.sleep(100)
+      val sh = (listener.shuffleRead.get + listener.shuffleWrite.get) /
+        1048576.0
+      release()
+      (math.min(t1, t2), sh)
+    }
+
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(pre) => gateQueries.filter(q => pre.exists(q.startsWith))
+      case None => gateQueries
+    }
+    val sb = new StringBuilder
+    var violations = List.empty[String]
+    sb.append(s"""{"k":$k,"slack":$slack,"entries":{""")
+    selected.zipWithIndex.foreach { case (name, idx) =>
+      val (t1, s1) = measure(name, baseDir)
+      val (tk, sk) = measure(name, replicaDir)
+      val tr = tk / math.max(t1, 0.05)
+      val sr = sk / math.max(s1, 0.1)
+      val declared = quadraticAllowed.contains(name)
+      val timeOk = declared || tr <= k * slack
+      val shuffleOk = declared || sk <= s1 * k * slack + shuffleFloorMb
+      if (!timeOk) violations ::= f"$name time x$tr%.1f (limit x${k * slack})"
+      if (!shuffleOk) violations ::=
+        f"$name shuffle ${sk}%.0fMB vs base ${s1}%.1fMB (limit x${k * slack})"
+      System.err.println(f"[scale] $name%-32s t1=$t1%6.2fs tk=$tk%7.2fs " +
+        f"(x$tr%5.1f)  s1=$s1%8.2fMB sk=$sk%9.2fMB" +
+        (if (declared) "  [declared-quadratic]" else "") +
+        (if (timeOk && shuffleOk) "" else "  VIOLATION"))
+      if (idx > 0) sb.append(",")
+      sb.append(f""""$name":{"t1":$t1%.3f,"tk":$tk%.3f,""" +
+        f""""time_ratio":$tr%.2f,"s1_mb":$s1%.3f,"sk_mb":$sk%.3f,""" +
+        s""""declared_quadratic":${if (declared) 1 else 0},""" +
+        s""""ok":${if (timeOk && shuffleOk) 1 else 0}}""")
+    }
+    sb.append(s"""},"violations":${violations.size},""" +
+      s""""ok":${if (violations.isEmpty) 1 else 0}}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (sb.toString + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(sb.toString)
+    if (violations.nonEmpty) {
+      System.err.println("[scale] VIOLATIONS:\n  " +
+        violations.reverse.mkString("\n  "))
+      spark.stop(); sys.exit(1)
+    }
+    spark.stop()
+  }
+}

@@ -58,15 +58,26 @@ object Extended16 {
     val esym = e.unionByName(
       e.select(col("pb").as("pa"), col("pa").as("pb")))
     val deg = esym.groupBy(col("pa")).agg(count(lit(1)).as("deg"))
-    val degz = deg.withColumnRenamed("pa", "z")
-      .withColumnRenamed("deg", "deg_z")
     val wedges = esym.as("l").join(esym.as("r"),
         col("l.pb") === col("r.pb") && col("l.pa") < col("r.pa"))
       .select(col("l.pa").as("a"), col("r.pa").as("b"),
         col("l.pb").as("z"))
+    linkPredictionFromWedges(wedges, e, deg)
+  }
+
+  /** Scoring half of [[linkPredictionScores]], shared with the
+    * streaming twin ([[StreamingOps.wedgeFold]] maintains the wedge
+    * set incrementally; this scores it). `wedges` = (a, b, z) rows
+    * with a < b, adjacent pairs allowed (anti-joined out here);
+    * `e` = the undirected edge list (pa < pb); `deg` = (pa, deg).
+    */
+  def linkPredictionFromWedges(wedges: DataFrame, e: DataFrame,
+      deg: DataFrame): DataFrame = {
+    val degz = deg.withColumnRenamed("pa", "z")
+      .withColumnRenamed("deg", "deg_z")
+    wedges
       .join(e.select(col("pa").as("a"), col("pb").as("b")),
         Seq("a", "b"), "left_anti")
-    wedges
       .join(degz, "z")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cn"),
@@ -102,6 +113,16 @@ object Extended16 {
         col("x.c") === col("y.c") && col("x.brand") < col("y.brand"))
       .groupBy(col("x.brand").as("bi"), col("y.brand").as("bj"))
       .agg(count(lit(1)).as("co"))
+    itemCfScoresFromCounts(rMat, nPer, co, targetFilter)
+  }
+
+  /** Scoring half of [[itemCfScores]], shared with the streaming twin
+    * ([[StreamingOps.cfFold]] maintains `nPer`/`co` incrementally; this
+    * scores them). `rMat` = the distinct (c, brand) matrix; `nPer` =
+    * (brand, n) item counts; `co` = (bi, bj, co) with bi < bj.
+    */
+  def itemCfScoresFromCounts(rMat: DataFrame, nPer: DataFrame,
+      co: DataFrame, targetFilter: Column): DataFrame = {
     val sim = co
       .join(nPer.withColumnRenamed("brand", "bi")
         .withColumnRenamed("n", "ni"), "bi")

@@ -178,10 +178,24 @@ object Multimodal {
 
   private def phashPairs(s: SparkSession, d: String): DataFrame = {
     val fp = ahashFrame(s, d)
-    val banded = fp
-      .select(col("doc_id"), col("ahash"),
-        explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("bh", expr("shiftright(ahash, band * 15) & 32767"))
+    // Banding is COUNT-ADAPTIVE (the ScaleCurve lesson): 4 bands x 15
+    // bits carries a random-collision candidate term ~ 4n²/2^15 that
+    // turns super-linear past n ≈ 32768 media items (measured: m17/m10
+    // shuffle x37 at a x10 corpus). Above that the banding widens to
+    // 3 bands x 20 bits — one fewer collision chance (recall, which
+    // m11 measures) for a collision term that stays ~linear. The
+    // width scalar rides in-plan as a 1-row broadcast (the e30
+    // threshold idiom): no driver-side action, bit-identical plans
+    // and results at the gate SFs (n <= 32768 there).
+    val bw = fp.agg(count(lit(1)).as("n_media"))
+      .select(when(col("n_media") <= 32768, 4).otherwise(3).as("nb"),
+        when(col("n_media") <= 32768, 15L).otherwise(20L).as("w"))
+    val banded = fp.crossJoin(broadcast(bw))
+      .select(col("doc_id"), col("ahash"), col("w"),
+        explode(expr("sequence(0, nb - 1)")).as("band"))
+      .withColumn("bh", expr(
+        "shiftright(ahash, CAST(band * w AS INT)) & (shiftleft(1L, CAST(w AS INT)) - 1L)"))
+      .select(col("doc_id"), col("ahash"), col("band"), col("bh"))
     val a = banded.select(col("doc_id").as("doc_a"),
       col("ahash").as("ha"), col("band"), col("bh"))
     val b = banded.select(col("doc_id").as("doc_b"),
@@ -664,6 +678,60 @@ object Multimodal {
           (sum(col("height")).cast("double") / count(lit(1)))
             .as("avg_height"))
         .orderBy(col("bucket"))
+    }),
+
+    // pHASH BAND-TUNING AUDIT — the d18 idiom for the media index:
+    // price the exact trade the count-adaptive banding in
+    // [[phashPairs]] makes. For configs {4x15, 3x20, 2x30} over the
+    // 60-bit ahash: CANDIDATE COST from bucket sizes alone
+    // (Σ s·(s−1)/2 per (band, bucket) — a rollup, never a pair scan,
+    // the count that stays computable at any corpus size) and RECALL
+    // against the exhaustive hamming ≤ 12 truth (declared eval-twin,
+    // the m11 contract). Reading this table IS the adaptive-banding
+    // decision: wider bands cut the random-collision candidate term
+    // ~n²/2^w at the price of fewer collision chances. The fingerprint
+    // frame is materialized once and shared by all three configs and
+    // the truth scan.
+    "m19_band_tuning" -> ((s, d) => {
+      val fp = Materialize.LocalCheckpoint(ahashFrame(s, d))
+      val truthCnt = fp.as("a").join(fp.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(expr("bit_count(a.ahash ^ b.ahash) <= 12"))
+        .agg(count(lit(1)).as("n_truth"))
+      val configs = Seq((4, 15L), (3, 20L), (2, 30L))
+      val rows = configs.map { case (nb, w) =>
+        val banded = fp.select(col("doc_id"), col("ahash"),
+          explode(expr(s"sequence(0, ${nb - 1})")).as("band"))
+          .withColumn("bh",
+            expr(s"shiftright(ahash, CAST(band * $w AS INT)) & ${(1L << w) - 1}L"))
+        val cost = banded.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("sz"))
+          .agg(sum(expr("sz * (sz - 1) div 2")).as("n_candidate_pairs"),
+            sum(when(col("sz") > 1L, 1L).otherwise(0L))
+              .as("n_hot_buckets"))
+        val found = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+              && col("x.doc_id") < col("y.doc_id"))
+          .filter(expr("bit_count(x.ahash ^ y.ahash) <= 12"))
+          .select(col("x.doc_id"), col("y.doc_id")).distinct()
+          .agg(count(lit(1)).as("n_found"))
+        cost.crossJoin(found)
+          .select(lit(s"${nb}x$w").as("config"),
+            col("n_candidate_pairs"), col("n_hot_buckets"),
+            col("n_found"))
+      }
+      rows.reduce(_ unionByName _)
+        .crossJoin(broadcast(truthCnt))
+        .select(col("config"), col("n_candidate_pairs"),
+          col("n_hot_buckets"), col("n_found"), col("n_truth"),
+          when(col("n_truth") > 0L,
+            col("n_found").cast("double") / col("n_truth").cast("double"))
+            .as("recall"),
+          when(col("n_candidate_pairs") > 0L,
+            col("n_found").cast("double") /
+              col("n_candidate_pairs").cast("double"))
+            .as("candidate_yield"))
+        .orderBy(col("config"))
     })
   )
 
@@ -784,9 +852,15 @@ object Multimodal {
                     AS ahash
                 FROM blk JOIN tot ON blk.doc_id = tot.doc_id
                 GROUP BY blk.doc_id),
+         bw AS (SELECT CASE WHEN COUNT(*) <= 32768 THEN 4 ELSE 3 END
+                    AS nb,
+                  CASE WHEN COUNT(*) <= 32768 THEN 15 ELSE 20 END AS w
+                FROM fp),
          banded AS (SELECT doc_id, ahash,
-                      (ahash >> (j*15)) & 32767 AS bh, j AS band
-                    FROM fp, UNNEST(GENERATE_SERIES(0, 3)) AS t2(j)),
+                      (ahash >> (j*w)) & ((1::BIGINT << w) - 1) AS bh,
+                      j AS band
+                    FROM fp, bw, UNNEST(GENERATE_SERIES(0, nb - 1))
+                      AS t2(j)),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM banded a JOIN banded b
                     ON a.band = b.band AND a.bh = b.bh
@@ -823,9 +897,15 @@ object Multimodal {
                     AS ahash
                 FROM blk JOIN tot ON blk.doc_id = tot.doc_id
                 GROUP BY blk.doc_id),
+         bw AS (SELECT CASE WHEN COUNT(*) <= 32768 THEN 4 ELSE 3 END
+                    AS nb,
+                  CASE WHEN COUNT(*) <= 32768 THEN 15 ELSE 20 END AS w
+                FROM fp),
          banded AS (SELECT doc_id, ahash,
-                      (ahash >> (j*15)) & 32767 AS bh, j AS band
-                    FROM fp, UNNEST(GENERATE_SERIES(0, 3)) AS t2(j)),
+                      (ahash >> (j*w)) & ((1::BIGINT << w) - 1) AS bh,
+                      j AS band
+                    FROM fp, bw, UNNEST(GENERATE_SERIES(0, nb - 1))
+                      AS t2(j)),
          found AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM banded a JOIN banded b
                      ON a.band = b.band AND a.bh = b.bh
@@ -866,9 +946,15 @@ object Multimodal {
                     AS ahash
                 FROM blk JOIN tot ON blk.doc_id = tot.doc_id
                 GROUP BY blk.doc_id),
+         bw AS (SELECT CASE WHEN COUNT(*) <= 32768 THEN 4 ELSE 3 END
+                    AS nb,
+                  CASE WHEN COUNT(*) <= 32768 THEN 15 ELSE 20 END AS w
+                FROM fp),
          banded AS (SELECT doc_id, ahash,
-                      (ahash >> (j*15)) & 32767 AS bh, j AS band
-                    FROM fp, UNNEST(GENERATE_SERIES(0, 3)) AS t2(j)),
+                      (ahash >> (j*w)) & ((1::BIGINT << w) - 1) AS bh,
+                      j AS band
+                    FROM fp, bw, UNNEST(GENERATE_SERIES(0, nb - 1))
+                      AS t2(j)),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     CAST(bit_count(xor(a.ahash, b.ahash)) AS INT)
                       AS hamming
@@ -1018,9 +1104,15 @@ object Multimodal {
                     AS ahash
                 FROM blk JOIN tot ON blk.doc_id = tot.doc_id
                 GROUP BY blk.doc_id),
+         bw AS (SELECT CASE WHEN COUNT(*) <= 32768 THEN 4 ELSE 3 END
+                    AS nb,
+                  CASE WHEN COUNT(*) <= 32768 THEN 15 ELSE 20 END AS w
+                FROM fp),
          banded AS (SELECT doc_id, ahash,
-                      (ahash >> (j*15)) & 32767 AS bh, j AS band
-                    FROM fp, UNNEST(GENERATE_SERIES(0, 3)) AS t2(j)),
+                      (ahash >> (j*w)) & ((1::BIGINT << w) - 1) AS bh,
+                      j AS band
+                    FROM fp, bw, UNNEST(GENERATE_SERIES(0, nb - 1))
+                      AS t2(j)),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM banded a JOIN banded b
                     ON a.band = b.band AND a.bh = b.bh
@@ -1089,6 +1181,72 @@ object Multimodal {
            COUNT(1) - ((COUNT(1) + 15) // 16 - 1) * 16 AS tail_fill,
            CAST(SUM(width) AS DOUBLE) / COUNT(1) AS avg_width,
            CAST(SUM(height) AS DOUBLE) / COUNT(1) AS avg_height
-         FROM costs WHERE rk = 1 GROUP BY bucket ORDER BY bucket"""
+         FROM costs WHERE rk = 1 GROUP BY bucket ORDER BY bucket""",
+
+    // m19: the m07 ahash CTE, then per config (4x15/3x20/2x30):
+    // candidate cost from bucket sizes (never a pair scan), distinct
+    // found pairs at hamming <= 12, exhaustive truth shared
+    "m19_band_tuning" -> {
+      def cfgBlock(nb: Int, w: Int): String = {
+        val mask = (1L << w) - 1
+        val nm = s"c${nb}x$w"
+        s"""${nm}_banded AS (SELECT doc_id, ahash,
+             (ahash >> (j*$w)) & $mask AS bh, j AS band
+           FROM fp, UNNEST(GENERATE_SERIES(0, ${nb - 1})) AS t_$nm(j)),
+         ${nm}_sz AS (SELECT band, bh, COUNT(1) AS sz
+           FROM ${nm}_banded GROUP BY band, bh),
+         ${nm}_cost AS (SELECT
+             CAST(SUM(sz * (sz - 1) // 2) AS BIGINT)
+               AS n_candidate_pairs,
+             CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hot_buckets
+           FROM ${nm}_sz),
+         ${nm}_found AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_found
+           FROM (SELECT DISTINCT a.doc_id, b.doc_id AS d2
+                 FROM ${nm}_banded a JOIN ${nm}_banded b
+                   ON a.band = b.band AND a.bh = b.bh
+                  AND a.doc_id < b.doc_id
+                  AND bit_count(xor(a.ahash, b.ahash)) <= 12))"""
+      }
+      def cfgRow(nb: Int, w: Int): String = {
+        val nm = s"c${nb}x$w"
+        s"""SELECT '${nb}x$w' AS config, n_candidate_pairs,
+             n_hot_buckets, n_found
+           FROM ${nm}_cost CROSS JOIN ${nm}_found"""
+      }
+      val cfgs = Seq((4, 15), (3, 20), (2, 30))
+      s"""WITH s AS (SELECT doc_id, text,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS n
+           FROM documents WHERE OCTET_LENGTH(CAST(text AS BLOB)) > 0),
+         ch AS (SELECT doc_id, n, i, ORD(SUBSTR(text, i, 1)) AS v,
+                  ((i-1)*60)//n AS b
+                FROM s, UNNEST(GENERATE_SERIES(1, n)) AS t(i)),
+         tot AS (SELECT doc_id, n, SUM(v) AS total FROM ch
+                 GROUP BY doc_id, n),
+         blk AS (SELECT doc_id, b, SUM(v) AS bsum, COUNT(1) AS blen
+                 FROM ch GROUP BY doc_id, b),
+         fp AS (SELECT blk.doc_id,
+                  CAST(SUM(CASE WHEN bsum*tot.n > tot.total*blen
+                           THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                    AS ahash
+                FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+                GROUP BY blk.doc_id),
+         truth AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_truth
+           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.ahash, b.ahash)) <= 12),
+         ${cfgs.map { case (nb, w) => cfgBlock(nb, w) }.mkString(",\n         ")},
+         rows_u AS (
+           ${cfgs.map { case (nb, w) => cfgRow(nb, w) }
+             .mkString("\n           UNION ALL\n           ")})
+         SELECT config, n_candidate_pairs, n_hot_buckets, n_found,
+           n_truth,
+           CASE WHEN n_truth > 0 THEN
+             CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE) END
+             AS recall,
+           CASE WHEN n_candidate_pairs > 0 THEN
+             CAST(n_found AS DOUBLE) / CAST(n_candidate_pairs AS DOUBLE)
+             END AS candidate_yield
+         FROM rows_u CROSS JOIN truth ORDER BY config"""
+    }
   )
 }

@@ -1055,6 +1055,49 @@ object TextOps {
           (col("m.share") * col("ntot").cast("double") /
             col("n_tokens").cast("double")).as("repetition_factor"))
         .orderBy(col("alpha"), col("lang"))
+    }),
+
+    // PACKING BIN-SIZE SWEEP — the sequence-length knob every
+    // pretraining pipeline tunes before t07 packs: for bin sizes
+    // {256, 512, 1024, 2048} tokens, per language, what the two
+    // packing policies cost. TRUNCATE policy (no doc splitting):
+    // n_docs_truncated and tokens_lost = Σ max(0, n − B) — the data
+    // you throw away. STREAM policy (t07's split-across-bins):
+    // n_bins = ceil(total/B) and fill_ratio = total/(bins·B) — the
+    // padding you pay only at each language's tail. Loss is integer-
+    // exact; the two ratios are single divisions of exact longs.
+    // Tokenization = the t44/t45/t46 empty-filtered split. Scale
+    // shape: ONE (lang)-keyed rollup with 9 conditional sums
+    // (map-side combinable); the 4-config explode runs on |langs|
+    // rows.
+    "t47_packing_sweep" -> ((s, d) => {
+      val bins = Seq(256L, 512L, 1024L, 2048L)
+      val t = Tables.documents(s, d)
+        .select(col("lang"), size(expr(
+          "filter(split(trim(text), ' '), x -> x <> '')"))
+          .cast("long").as("nt"))
+      val aggs = Seq(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens")) ++ bins.flatMap(b => Seq(
+        sum(when(col("nt") > b, 1L).otherwise(0L)).as(s"over_$b"),
+        sum(when(col("nt") > b, col("nt") - b).otherwise(0L))
+          .as(s"lost_$b")))
+      t.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+        .select(col("lang"), col("n_docs"), col("total_tokens"),
+          explode(array(bins.map(b => struct(lit(b).as("bin_tokens"),
+            col(s"over_$b").as("n_docs_truncated"),
+            col(s"lost_$b").as("tokens_lost"))): _*)).as("e"))
+        .select(col("lang"), col("e.bin_tokens").as("bin_tokens"),
+          col("n_docs"), col("total_tokens"),
+          col("e.n_docs_truncated").as("n_docs_truncated"),
+          col("e.tokens_lost").as("tokens_lost"),
+          (col("e.tokens_lost").cast("double") /
+            col("total_tokens").cast("double")).as("loss_rate"),
+          expr("(total_tokens + e.bin_tokens - 1) div e.bin_tokens")
+            .as("n_bins"))
+        .withColumn("fill_ratio",
+          col("total_tokens").cast("double") /
+            (col("n_bins") * col("bin_tokens")).cast("double"))
+        .orderBy(col("lang"), col("bin_tokens"))
     })
   )
 
@@ -1721,6 +1764,36 @@ object TextOps {
            share * CAST(ntot AS DOUBLE) / CAST(n AS DOUBLE)
              AS repetition_factor
          FROM ex ORDER BY alpha, lang"""
+    },
+
+    // t47: one conditional-sum rollup, bin configs via UNION ALL
+    "t47_packing_sweep" -> {
+      def cfg(b: Long) =
+        s"""SELECT lang, CAST($b AS BIGINT) AS bin_tokens, n_docs,
+             total_tokens, over_$b AS n_docs_truncated,
+             lost_$b AS tokens_lost,
+             CAST(lost_$b AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+               AS loss_rate,
+             (total_tokens + $b - 1) // $b AS n_bins,
+             CAST(total_tokens AS DOUBLE) /
+               CAST(((total_tokens + $b - 1) // $b) * $b AS DOUBLE)
+               AS fill_ratio
+           FROM per"""
+      val sums = Seq(256L, 512L, 1024L, 2048L).map(b =>
+        s"""CAST(SUM(CASE WHEN nt > $b THEN 1 ELSE 0 END) AS BIGINT)
+             AS over_$b,
+           CAST(SUM(CASE WHEN nt > $b THEN nt - $b ELSE 0 END) AS BIGINT)
+             AS lost_$b""").mkString(",\n           ")
+      s"""WITH t AS (SELECT lang,
+           CAST(LEN(list_filter(string_split(TRIM(text), ' '),
+             x -> x <> '')) AS BIGINT) AS nt FROM documents),
+         per AS (SELECT lang, CAST(COUNT(1) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             $sums
+           FROM t GROUP BY lang)
+         ${Seq(256L, 512L, 1024L, 2048L).map(cfg)
+            .mkString("\n         UNION ALL\n         ")}
+         ORDER BY lang, bin_tokens"""
     }
   )
 }

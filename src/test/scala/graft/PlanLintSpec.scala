@@ -56,6 +56,8 @@ class PlanLintSpec extends SparkSpec {
     "q86_decile_gain" -> "O(1) broadcast: customer-count scalar (ntile n)",
     "e17_cell_silhouette" -> "bounded cross: broadcast centroid assignment",
     "m11_phash_recall" -> "eval-twin: exhaustive hamming truth (a < b) scoring m07's LSH recall",
+    "m07_multimodal_phash_neardup" -> "O(1) broadcast: count-adaptive banding-width scalar (1 row; the ScaleCurve fix)",
+    "m19_band_tuning" -> "eval-twin: exhaustive hamming truth (a < b) + 1-row cost/found scalars for the banding sweep m07's adaptive widths are chosen from",
     "e18_cell_balance" -> "bounded cross: broadcast centroid assignment",
     "q89_abc_pareto" -> "O(1) broadcast: total-revenue scalar",
     "q90_order_aging" -> "O(1) broadcast: reference-date scalar",
@@ -77,7 +79,7 @@ class PlanLintSpec extends SparkSpec {
     "d27_source_minhash_jaccard" -> "bounded cross: |sources|^2 pairing of 17-column signature rows",
     "e26_filtered_ann" -> "bounded cross: broadcast centroid assignment",
     "d28_simhash_radius_sweep" -> "eval-twin: exhaustive hamming truth (a < b) for the radius sweep",
-    "e30_jl_projection_audit" -> "sampled: 1/16 md5 hash-sample query side x corpus (129x2000 at sf0.1; was the round-8 full n² scale-killer)",
+    "e30_jl_projection_audit" -> "sampled: min(1/16, 256/n) md5 hash-sample query side x corpus — capped sample keeps the truth scan linear in n (129x2000 at sf0.1; was the round-8 full n² scale-killer)",
     "q112_price_volume_mix" -> "O(1) broadcast: date-split scalar",
     "q118_return_rate_outliers" -> "O(1) broadcast: (nn, kk) totals scalar",
     "e28_ood_screen" -> "bounded cross: broadcast centroid assignment",

@@ -828,6 +828,105 @@ class StatefulStreamSpec extends SparkSpec {
         "(gap counter not double-advanced)")
     assert(cCleanPts.filter(_.day >= 40L) === cPts2)
   }
+
+  test("cfFold maintains item-CF counts across micro-batches with " +
+      "replayed purchases; scoring the accumulated deltas equals the " +
+      "batch itemCfScores bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.StreamingOps.{CfEvent, CfDelta}
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41)
+    val purchases = (for {
+      c <- 0L until 25L
+      b <- 0 until 12 if rnd.nextDouble() < 0.3
+    } yield CfEvent(c, s"B$b")).toVector
+    val (b1, rest) = purchases.splitAt(purchases.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cf").toString
+    val input = MemoryStream[CfEvent](spark)
+    val q = input.toDS().groupByKey(_.c)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(graft.operators.StreamingOps.cfFold _)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cf_deltas")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      // at-least-once chaos: batch 2 REPLAYS all of batch 1 first
+      input.addData(b1 ++ b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val deltas = spark.table("cf_deltas").as[CfDelta]
+      val nPer = deltas.filter(col("kind") === "own")
+        .groupBy(col("bi").as("brand")).agg(count(lit(1)).as("n"))
+      val co = deltas.filter(col("kind") === "co")
+        .groupBy(col("bi"), col("bj")).agg(count(lit(1)).as("co"))
+      val rMat = purchases.distinct.toDF("c", "brand")
+      val target = col("c") % 2 === 0
+      val streamed = graft.operators.Extended16
+        .itemCfScoresFromCounts(rMat, nPer, co, target).collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val batch = graft.operators.Extended16
+        .itemCfScores(rMat, target).collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(streamed === batch,
+        "incremental co-occurrence == batch self-join, scored identically")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("wedgeFold maintains the wedge set across micro-batches with " +
+      "replayed edges; scoring the accumulated frames equals the batch " +
+      "linkPredictionScores bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.StreamingOps.{AdjEvent, WedgeDelta}
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(43)
+    val n = 22
+    val edges = (for (i <- 0L until n; j <- (i + 1) until n
+      if rnd.nextDouble() < 0.2) yield (i, j)).toVector
+    // route each undirected edge to BOTH endpoints
+    def adj(es: Seq[(Long, Long)]): Seq[AdjEvent] =
+      es.flatMap { case (a, b) => Seq(AdjEvent(a, b), AdjEvent(b, a)) }
+    val (e1, rest) = edges.splitAt(edges.size / 3)
+    val (e2, e3) = rest.splitAt(rest.size / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wedge").toString
+    val input = MemoryStream[AdjEvent](spark)
+    val q = input.toDS().groupByKey(_.v)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(graft.operators.StreamingOps.wedgeFold _)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wedge_deltas")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(adj(e1): _*); q.processAllAvailable()
+      input.addData(adj(e1 ++ e2): _*); q.processAllAvailable() // replay
+      input.addData(adj(e3): _*); q.processAllAvailable()
+      val deltas = spark.table("wedge_deltas").as[WedgeDelta]
+      val wedges = deltas.filter(col("kind") === "wedge")
+        .select(col("a"), col("b"), col("z"))
+      // adjacency rows carry (v, nb) in (a, b); undirected e = a < b
+      val e = deltas.filter(col("kind") === "adj" && col("a") < col("b"))
+        .select(col("a").as("pa"), col("b").as("pb"))
+      val deg = deltas.filter(col("kind") === "adj")
+        .groupBy(col("a").as("pa")).agg(count(lit(1)).as("deg"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+          (r.getAs[Long]("cn"), r.getAs[Long]("ra_fp"),
+            r.getAs[Long]("deg_a"), r.getAs[Long]("deg_b"),
+            r.getAs[Double]("jaccard"), r.getAs[Double]("ra"))
+      val streamed = graft.operators.Extended16
+        .linkPredictionFromWedges(wedges, e, deg).collect().map(key).toMap
+      val batch = graft.operators.Extended16
+        .linkPredictionScores(edges.toDF("pa", "pb")).collect()
+        .map(key).toMap
+      assert(streamed === batch,
+        "incremental wedge maintenance == batch wedge join, " +
+          "scored identically (RA on final degrees)")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
 
 object StatefulStreamSpec {
