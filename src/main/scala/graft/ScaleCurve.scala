@@ -65,6 +65,11 @@ object ScaleCurve {
 
   def buildReplica(spark: SparkSession, baseDir: String, outDir: String,
       k: Int): Unit = {
+    // the Caesar shift is mod-26: replica 26 would byte-copy replica 0
+    // and break the cross-replica shingle-disjointness the scaling
+    // contract depends on (dedup candidates would go quadratic and the
+    // gate would blame the operators, not the harness)
+    require(k >= 2 && k <= 26, s"replica factor k=$k must be in [2, 26]")
     def read(t: String): DataFrame =
       spark.read.parquet(s"$baseDir/$t.parquet")
     // key offsets: one range per replica, disjoint by construction
@@ -72,6 +77,16 @@ object ScaleCurve {
       (col(c) + lit(m * i)).as(c)
     val mOrd = 10000000L; val mCust = 1000000L; val mPart = 1000000L
     val mSupp = 100000L; val mDoc = 1000000L; val mVec = 1000000L
+    // offsets must clear the base key ranges or replicas' join keys
+    // merge (silently wrong graphs/joins at larger base SFs)
+    Seq(("orders", "o_orderkey", mOrd), ("customer", "c_custkey", mCust),
+      ("part", "p_partkey", mPart), ("supplier", "s_suppkey", mSupp),
+      ("documents", "doc_id", mDoc), ("embeddings", "vec_id", mVec))
+      .foreach { case (t, c, m) =>
+        val mx = read(t).agg(max(col(c))).collect()(0).getLong(0)
+        require(mx < m, s"$t.$c max $mx >= replica offset $m — " +
+          s"base data too large for the fixed offsets")
+      }
     def replicate(t: String, f: (DataFrame, Int) => DataFrame): Unit = {
       val base = read(t)
       val all = (0 until k).map(i => f(base, i)).reduce(_ unionByName _)
@@ -131,10 +146,25 @@ object ScaleCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$replicaDir/lineitem.parquet"))) {
+    // replica is reusable only if COMPLETE and built with the same
+    // (baseDir, k) — a marker written LAST records both; a partial
+    // build (crash) or a different k rebuilds from scratch
+    val marker = java.nio.file.Paths.get(s"$replicaDir/_SCALE_MARKER")
+    val markerWant = s"$baseDir|$k"
+    val replicaOk =
+      java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim == markerWant &&
+        tables.forall(t => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$replicaDir/$t.parquet")))
+    if (!replicaOk) {
       System.err.println(s"[scale] building x$k replica at $replicaDir")
+      java.nio.file.Files.deleteIfExists(marker)
       buildReplica(spark, baseDir, replicaDir, k)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(replicaDir))
+      java.nio.file.Files.write(marker, (markerWant + "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
     }
 
     val listener = new Bench.MetricsListener
@@ -183,12 +213,13 @@ object ScaleCurve {
       if (!shuffleOk) violations ::=
         f"$name shuffle ${sk}%.0fMB vs base ${s1}%.1fMB (limit x${k * slack})"
       System.err.println(f"[scale] $name%-32s t1=$t1%6.2fs tk=$tk%7.2fs " +
-        f"(x$tr%5.1f)  s1=$s1%8.2fMB sk=$sk%9.2fMB" +
+        f"(x$tr%5.1f)  s1=$s1%8.2fMB sk=$sk%9.2fMB (x$sr%5.1f)" +
         (if (declared) "  [declared-quadratic]" else "") +
         (if (timeOk && shuffleOk) "" else "  VIOLATION"))
       if (idx > 0) sb.append(",")
       sb.append(f""""$name":{"t1":$t1%.3f,"tk":$tk%.3f,""" +
         f""""time_ratio":$tr%.2f,"s1_mb":$s1%.3f,"sk_mb":$sk%.3f,""" +
+        f""""shuffle_ratio":$sr%.2f,""" +
         s""""declared_quadratic":${if (declared) 1 else 0},""" +
         s""""ok":${if (timeOk && shuffleOk) 1 else 0}}""")
     }

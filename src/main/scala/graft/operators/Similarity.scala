@@ -1851,8 +1851,9 @@ object Similarity {
              list_dot_product(ve.v, ve.v) AS n2,
              pr.p, list_dot_product(pr.p, pr.p) AS p2
            FROM ve JOIN pr ON pr.vec_id = ve.vec_id),
-         thr AS (SELECT lpad(to_hex(GREATEST(1, CAST(CEIL(LEAST(256.0,
-             4096.0 * 256.0 / COUNT(*))) AS INTEGER))), 3, '0') AS h
+         thr AS (SELECT lower(lpad(to_hex(GREATEST(1, CAST(CEIL(LEAST(
+             256.0, 4096.0 * 256.0 / COUNT(*))) AS INTEGER))), 3, '0'))
+             AS h
            FROM ve),
          dd AS (SELECT a.vec_id, b.vec_id AS nb_id,
              a.n2 + b.n2 - 2.0 * list_dot_product(a.v, b.v) AS d2o,

@@ -462,7 +462,12 @@ object StreamingOps {
     // <= lastDay is an at-least-once replay (or out-of-order arrival)
     // of a row already folded into level/trend/SSE — dropping it is
     // the only idempotent choice; re-folding would corrupt silently.
-    it.toArray.sortBy(_.day).filter(_.day > st.lastDay).foreach { o =>
+    // The guard reads st.lastDay PER ROW (st advances inside the
+    // loop), so a duplicate delivered within the same micro-batch is
+    // dropped too — an eager pre-filter against the batch-entry state
+    // would let it double-fold.
+    it.toArray.sortBy(_.day).foreach { o =>
+      if (o.day > st.lastDay) {
       val y = o.x.toDouble
       if (!st.warm) {
         val buf = st.buf :+ y
@@ -490,6 +495,7 @@ object StreamingOps {
           warm = true, Seq.empty, o.day)
         out += HwPoint(key, o.day, st.lvl, st.trd, st.s, st.i, st.sse)
       }
+      }
     }
     state.update(st)
     out.result().iterator
@@ -512,21 +518,23 @@ object StreamingOps {
       state: GroupState[CrostonState]): Iterator[CrostonPoint] = {
     var st = state.getOption.getOrElse(CrostonState(0.0, 0.0, 1L, false, 0L))
     val out = Array.newBuilder[CrostonPoint]
-    // same lastDay replay guard as holtWintersFold: a replayed or
-    // out-of-order day must not advance the gap counter twice
-    it.toArray.sortBy(_.day).filter(_.day > st.lastDay).foreach { o =>
-      val y = o.x.toDouble
-      st =
-        if (y > 0.0) CrostonState(
-          if (st.seen) st.z + 0.25 * (y - st.z) else y,
-          if (st.seen) st.p + 0.25 * (st.q.toDouble - st.p)
-          else st.q.toDouble,
-          1L, seen = true, st.nd + 1, o.day)
-        else st.copy(q = st.q + 1, lastDay = o.day)
-      // emit ONLY on demand days — zero-demand days advance the gap
-      // counter but change no smoothed value (one point per demand,
-      // matching the "updates fire only on demand days" contract)
-      if (y > 0.0) out += CrostonPoint(key, o.day, st.z, st.p, st.nd)
+    // same lastDay replay guard as holtWintersFold, read per row so a
+    // same-batch duplicate cannot double-advance the gap counter
+    it.toArray.sortBy(_.day).foreach { o =>
+      if (o.day > st.lastDay) {
+        val y = o.x.toDouble
+        st =
+          if (y > 0.0) CrostonState(
+            if (st.seen) st.z + 0.25 * (y - st.z) else y,
+            if (st.seen) st.p + 0.25 * (st.q.toDouble - st.p)
+            else st.q.toDouble,
+            1L, seen = true, st.nd + 1, o.day)
+          else st.copy(q = st.q + 1, lastDay = o.day)
+        // emit ONLY on demand days — zero-demand days advance the gap
+        // counter but change no smoothed value (one point per demand,
+        // matching the "updates fire only on demand days" contract)
+        if (y > 0.0) out += CrostonPoint(key, o.day, st.z, st.p, st.nd)
+      }
     }
     state.update(st)
     out.result().iterator

@@ -63,8 +63,10 @@ final class ShardServiceAsyncClient(
       onComplete: Option[Throwable] => Unit): Unit = {
     val shard = shardOf(event.partitionKey)
     // wire-size contribution: payload + partition-key bytes (the two
-    // components a sub-record carries)
-    val evBytes = event.data.length.toLong + event.partitionKey.length
+    // components a sub-record carries); UTF-8 bytes, not UTF-16 chars,
+    // so multibyte keys count their encoded size
+    val evBytes = event.data.length.toLong +
+      event.partitionKey.getBytes("UTF-8").length
     this.synchronized {
       val buf = buffers.getOrElseUpdate(shard, mutable.ArrayBuffer.empty)
       if (buf.nonEmpty &&

@@ -44,8 +44,10 @@ final class HttpRecordClient(
 
   private final case class Pending(event: ProducerEvent,
       onComplete: Option[Throwable] => Unit, enqueuedAt: Long) {
-    def wireBytes: Long =
-      event.data.length.toLong + event.partitionKey.length
+    // WIRE bytes (UTF-8), not UTF-16 chars — a multibyte partition key
+    // must count its encoded size toward the request bound
+    def wireBytes: Long = event.data.length.toLong +
+      event.partitionKey.getBytes("UTF-8").length
   }
 
   private val buffer = mutable.ArrayBuffer.empty[Pending]
@@ -54,12 +56,22 @@ final class HttpRecordClient(
   override def put(event: ProducerEvent)(
       onComplete: Option[Throwable] => Unit): Unit = this.synchronized {
     val p = Pending(event, onComplete, clock())
-    if (buffer.nonEmpty && bufferBytes + p.wireBytes > collectionMaxSize)
-      flush() // size bound: ship BEFORE overflowing (KPL behavior)
+    if (buffer.nonEmpty && bufferBytes + p.wireBytes > collectionMaxSize) {
+      // size bound: ship BEFORE overflowing (KPL behavior). If the
+      // flush fails, THIS record was never attempted — it must still
+      // complete (with the failure) or an ack-counting drain (S11)
+      // would wait for a callback that never comes.
+      try flush()
+      catch { case e: Throwable => onComplete(Some(e)); throw e }
+    }
     buffer += p
     bufferBytes += p.wireBytes
     if (buffer.size >= collectionMaxCount) flush()
   }
+
+  private def isThrottle(code: String): Boolean =
+    code.endsWith("ProvisionedThroughputExceededException") ||
+      code.endsWith("ThrottlingException")
 
   /** Ship the buffered collection; retry failed entries only. */
   private def flush(): Unit = {
@@ -75,10 +87,15 @@ final class HttpRecordClient(
         case (p, Left(code)) => Some((p, code))
       }
       if (failed.isEmpty) return
-      if (failIfThrottled) {
+      // KPL taxonomy: FailIfThrottled fast-fails THROTTLED entries
+      // only; a transient non-throttle error (InternalFailure) is
+      // retried regardless — misclassifying a 500 as throttling would
+      // drop data one retry would have delivered.
+      if (failIfThrottled && failed.exists(f => isThrottle(f._2))) {
+        val throttled = failed.filter(f => isThrottle(f._2))
         val e = new ProducerThrottledException(
-          s"${failed.size} record(s) throttled " +
-            s"(fail-if-throttled; first: ${failed.head._2})")
+          s"${throttled.size} record(s) throttled " +
+            s"(fail-if-throttled; first: ${throttled.head._2})")
         failed.foreach(_._1.onComplete(Some(e)))
         throw e
       }
@@ -93,9 +110,13 @@ final class HttpRecordClient(
       }
       attempt += 1
       if (attempt > maxFlushRetries) {
-        val e = new ProducerThrottledException(
-          s"PutRecords still failing ${alive.size} record(s) after " +
-            s"$maxFlushRetries retries")
+        val codes = alive.map(_._2).distinct.mkString(", ")
+        val msg = s"PutRecords still failing ${alive.size} record(s) " +
+          s"after $maxFlushRetries retries (codes: $codes)"
+        val e: RuntimeException =
+          if (alive.exists(f => isThrottle(f._2)))
+            new ProducerThrottledException(msg)
+          else new RuntimeException(msg)
         alive.foreach(_._1.onComplete(Some(e)))
         throw e
       }

@@ -81,17 +81,37 @@ object KinesisWire {
     buf.array()
   }
 
-  def deaggregate(data: Array[Byte]): Seq[SubRecord] =
-    if (!isAggregated(data)) sys.error("not an aggregated record")
-    else {
-      val buf = java.nio.ByteBuffer.wrap(data, 4, data.length - 4)
-      val n = buf.getInt
-      (0 until n).map { _ =>
-        val key = new Array[Byte](buf.getInt); buf.get(key)
-        val d = new Array[Byte](buf.getInt); buf.get(d)
-        SubRecord(new String(key, "UTF-8"), d)
-      }
+  /** Structure-validated deaggregation: the magic is in-band ASCII
+    * (real KPL uses non-ASCII 0xF3899AC2 + an md5 trailer), so a raw
+    * user payload could START with the magic bytes. Every length is
+    * bounds-checked and the parse must consume the blob EXACTLY —
+    * a payload that merely opens with "GAG1" fails the structural
+    * check and is treated as a plain record instead of crashing the
+    * server or fabricating garbage sub-records. */
+  def tryDeaggregate(data: Array[Byte]): Option[Seq[SubRecord]] = {
+    if (!isAggregated(data) || data.length < 8) return None
+    val buf = java.nio.ByteBuffer.wrap(data, 4, data.length - 4)
+    val n = buf.getInt
+    if (n < 1 || n > 1000000) return None
+    val out = Vector.newBuilder[SubRecord]
+    var i = 0
+    while (i < n) {
+      if (buf.remaining() < 4) return None
+      val kl = buf.getInt
+      if (kl < 0 || kl > buf.remaining() - 4) return None
+      val key = new Array[Byte](kl); buf.get(key)
+      val dl = buf.getInt
+      if (dl < 0 || dl > buf.remaining()) return None
+      val d = new Array[Byte](dl); buf.get(d)
+      out += SubRecord(new String(key, "UTF-8"), d)
+      i += 1
     }
+    if (buf.remaining() != 0) None else Some(out.result())
+  }
+
+  def deaggregate(data: Array[Byte]): Seq[SubRecord] =
+    tryDeaggregate(data).getOrElse(
+      sys.error("not a structurally valid aggregated record"))
 
   /** Wire encoding of one stored record: single sub-record ships its
     * payload raw; a producer-aggregated record ships the blob (as KPL
@@ -100,8 +120,7 @@ object KinesisWire {
     if (subRecords.size == 1) subRecords.head.data else aggregate(subRecords)
 
   def decodeData(partitionKey: String, data: Array[Byte]): Seq[SubRecord] =
-    if (isAggregated(data)) deaggregate(data)
-    else Seq(SubRecord(partitionKey, data))
+    tryDeaggregate(data).getOrElse(Seq(SubRecord(partitionKey, data)))
 
   val b64e: java.util.Base64.Encoder = java.util.Base64.getEncoder
   val b64d: java.util.Base64.Decoder = java.util.Base64.getDecoder

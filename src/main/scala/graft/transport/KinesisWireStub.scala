@@ -20,10 +20,14 @@ final class FaultPolicy {
   @volatile var failStatus: Int = 500
   @volatile var failErrorType: String = "InternalFailure"
 
-  /** Per-PutRecords-request queue of entry indices to throttle: the
+  /** Per-PutRecords-request queue of entry indices to fail: the
     * head set applies to the next PutRecords request, then pops —
-    * deterministic partial-failure scripting. */
+    * deterministic partial-failure scripting. Failed entries carry
+    * `entryErrorCode` (default throttling; set to e.g.
+    * "InternalFailure" to script transient non-throttle errors). */
   val throttlePlan = new java.util.concurrent.ConcurrentLinkedQueue[Set[Int]]()
+  @volatile var entryErrorCode: String =
+    "ProvisionedThroughputExceededException"
 
   /** When >0, the next N responses to `action` are truncated garbage
     * (malformed JSON) — exercises the client's parse-failure path. */
@@ -230,8 +234,8 @@ final class KinesisWireStub(
       val o = arr.addObject()
       if (throttled.contains(i)) {
         failed += 1
-        o.put("ErrorCode", "ProvisionedThroughputExceededException")
-        o.put("ErrorMessage", "Rate exceeded for shard")
+        o.put("ErrorCode", faults.entryErrorCode)
+        o.put("ErrorMessage", "injected entry failure")
       } else {
         val key = e.get("PartitionKey").asText()
         val data = b64d.decode(e.get("Data").asText())

@@ -36,7 +36,7 @@ class PlanLintSpec extends SparkSpec {
     "e03_ann_ivf" -> "bounded cross: broadcast coarse-centroid assignment (O(cents))",
     "e06_ann_ivf_nprobe" -> "bounded cross: centroid assignment, nprobe = 2",
     "d06_embedding_neardup" -> "eval-twin: brute-force near-dup truth (dup_of < vec_id); audits d04/e10",
-    "e04_ann_topk_partial" -> "eval-twin: pair scan (!=) with map-side reduction; e02's cheaper twin",
+    "e04_ann_topk_partial" -> "eval-twin: pair-scan truth (!=) with map-side reduction; e02's cheaper variant",
     "e07_ann_recall" -> "eval-twin: exhaustive truth side (!=) scoring e03's IVF recall",
     "e08_ann_recall_sweep" -> "eval-twin: exhaustive truth + bounded centroid cross + O(1) totals join",
     "e09_ann_ivf_sq8" -> "bounded cross: broadcast centroid assignment",
@@ -231,14 +231,19 @@ class PlanLintSpec extends SparkSpec {
     assert(unbounded.isEmpty,
       s"product-join entries without a bound class: ${unbounded.keys}")
     // a sampled entry must name its rate; an eval-twin must name what
-    // it audits (the production-scale path it is the truth side for)
+    // it audits (the production-scale path it is the truth side for).
+    // The keyword check runs on the text AFTER the class prefix —
+    // checking the full string would be vacuous ("eval-twin: "
+    // contains "twin" by construction).
     productAllowed.foreach {
       case (name, r) if r.startsWith("sampled: ") =>
-        assert(r.contains("/"), s"$name: sampled entry must cite its rate")
+        assert(r.stripPrefix("sampled: ").contains("/"),
+          s"$name: sampled entry must cite its rate")
       case (name, r) if r.startsWith("eval-twin: ") =>
-        assert(r.contains("audit") || r.contains("scoring") ||
-          r.contains("measured against") || r.contains("re-rank") ||
-          r.contains("sweep") || r.contains("twin"),
+        val body = r.stripPrefix("eval-twin: ")
+        assert(body.contains("audit") || body.contains("scoring") ||
+          body.contains("measured against") || body.contains("re-rank") ||
+          body.contains("sweep") || body.contains("truth"),
           s"$name: eval-twin entry must name what it audits")
       case _ =>
     }

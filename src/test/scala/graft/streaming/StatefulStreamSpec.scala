@@ -827,6 +827,20 @@ class StatefulStreamSpec extends SparkSpec {
       "croston state after replay must equal the clean fold " +
         "(gap counter not double-advanced)")
     assert(cCleanPts.filter(_.day >= 40L) === cPts2)
+    // SAME-BATCH duplicates: a producer-retry duplicate landing in the
+    // same micro-batch as the original must fold once, not twice (the
+    // guard reads st.lastDay per row, not once at batch entry)
+    val hwDup = state[HwState](None)
+    val dupPts = StreamingOps.holtWintersFold("k",
+      (series ++ series.slice(20, 25)).iterator, hwDup).toVector
+    assert(hwDup.get === hwClean.get,
+      "in-batch duplicate days must not double-fold HW state")
+    assert(dupPts === cleanPts)
+    val cDup = state[CrostonState](None)
+    StreamingOps.crostonFold("k",
+      (cro ++ cro.slice(20, 25)).iterator, cDup)
+    assert(cDup.get === cClean.get,
+      "in-batch duplicate days must not double-advance the gap counter")
   }
 
   test("cfFold maintains item-CF counts across micro-batches with " +

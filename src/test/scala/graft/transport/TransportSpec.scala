@@ -195,6 +195,50 @@ class TransportSpec extends SparkSpec {
     }
   }
 
+  test("failIfThrottled does NOT fast-fail a transient non-throttle " +
+      "entry error: InternalFailure is retried and delivered (KPL " +
+      "taxonomy keys on the error CODE, not on mere failure)") {
+    withStub() { (stub, svc) =>
+      stub.faults.entryErrorCode = "InternalFailure"
+      stub.faults.throttlePlan.add(Set(0))
+      val client = new HttpRecordClient(svc, collectionMaxCount = 2,
+        failIfThrottled = true, sleeper = _ => ())
+      val acked = new java.util.concurrent.atomic.AtomicInteger(0)
+      client.put(ProducerEvent("a", "1"))(
+        r => { assert(r.isEmpty); acked.incrementAndGet() })
+      client.put(ProducerEvent("b", "2"))(
+        r => { assert(r.isEmpty); acked.incrementAndGet() })
+      client.close()
+      assert(acked.get() === 2,
+        "a 500-class entry error must be retried, never fast-failed")
+      assert(stub.requests("PutRecords").size === 2,
+        "one retry request carrying the failed entry")
+    }
+  }
+
+  test("a raw payload that merely starts with the aggregation magic " +
+      "is NOT misparsed: structural validation falls back to a plain " +
+      "record") {
+    withStub() { (stub, svc) =>
+      val tricky = "GAG1hello-not-a-blob".getBytes(UTF_8)
+      val res = svc.putRecords(Seq(("k", tricky)))
+      assert(res.forall(_.isRight), s"append must not crash: $res")
+      val recs = svc.read(res.head.toOption.get, ShardPos.Beginning,
+        ShardPos(BigInt(2).pow(159), Long.MaxValue)).toVector
+      assert(recs.size === 1)
+      assert(recs.head.subRecords.size === 1,
+        "must round-trip as ONE plain record, not fabricated sub-records")
+      assert(new String(recs.head.subRecords.head.data, UTF_8) ===
+        "GAG1hello-not-a-blob")
+      // and a VALID blob still deaggregates
+      val blob = KinesisWire.aggregate(Seq(
+        graft.sources.SubRecord("x", "one".getBytes(UTF_8)),
+        graft.sources.SubRecord("y", "two".getBytes(UTF_8))))
+      assert(KinesisWire.tryDeaggregate(blob).exists(_.size == 2))
+      assert(KinesisWire.tryDeaggregate(tricky).isEmpty)
+    }
+  }
+
   test("producer aggregation round-trips the wire: one PutRecords " +
       "entry, deaggregated by the consumer with consecutive subSeqNo") {
     withStub() { (stub, svc) =>
