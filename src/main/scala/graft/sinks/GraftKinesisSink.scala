@@ -14,6 +14,12 @@ import scala.collection.concurrent.TrieMap
 trait AsyncRecordClient extends Serializable {
   def put(event: ProducerEvent)(onComplete: Option[Throwable] => Unit): Unit
   def close(): Unit
+  /** Ship anything buffered and fire its completions. A COLLECTION-
+    * buffering transport (PutRecords batching) defers callbacks until
+    * a request ships; the writer's commit() calls this before draining
+    * its ack window, or the drain would wait on acks only close()
+    * could produce. Transports that ack at put() keep the no-op. */
+  def flushPending(): Unit = ()
   /** Target shard this key routes to, when the transport knows its
     * routing (the in-process [[ShardServiceAsyncClient]] does; a raw
     * PutRecords transport may not). Drives the per-shard rate cap —

@@ -69,9 +69,21 @@ object GraftKinesisWriteSupport {
   // / producer-conf defaults) as the ForeachWriter facade
   private def factoryFromOptions(options: Map[String, String])
       : AsyncRecordClientFactory = {
-    val serviceId = options.getOrElse("service.id",
-      throw new IllegalArgumentException("option service.id required"))
-    ShardServiceAsyncClient.factoryFor(confFromOptions(options), serviceId)
+    // `endpoint` (without service.id) selects the wire transport: each
+    // partition writer builds an HttpRecordClient honoring the KPL
+    // collection config — the cluster deployment shape, no JVM-local
+    // registry involved
+    options.get("service.id") match {
+      case Some(serviceId) =>
+        ShardServiceAsyncClient.factoryFor(confFromOptions(options),
+          serviceId)
+      case None =>
+        val endpoint = options.getOrElse("endpoint",
+          throw new IllegalArgumentException(
+            "option service.id (or endpoint + stream-name) required"))
+        graft.transport.HttpRecordClient.factoryFor(
+          confFromOptions(options), endpoint)
+    }
   }
 
   private def confFromOptions(options: Map[String, String]): ProducerConf =
@@ -151,6 +163,9 @@ object GraftKinesisWriteSupport {
     }
 
     override def commit(): WriterCommitMessage = {
+      // a collection-buffering transport must ship its buffer (and
+      // fire the acks) before the window drain below can complete
+      client.flushPending()
       // drain: the task succeeds only once every send is acked
       if (!window.tryAcquire(conf.maxOutstandingRequests,
           conf.drainTimeout.toMillis, TimeUnit.MILLISECONDS))

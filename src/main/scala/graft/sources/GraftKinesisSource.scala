@@ -171,8 +171,7 @@ final class GraftKinesisScan(options: Map[String, String],
     * table): every admitted shard from TRIM_HORIZON to the current
     * latest. */
   override def toBatch: Batch = new Batch {
-    private val serviceId = options.getOrElse("service.id",
-      throw new IllegalArgumentException("option service.id required"))
+    private val serviceId = ShardServiceRegistry.resolveId(options)
     override def planInputPartitions(): Array[InputPartition] = {
       val service = ShardServiceRegistry.get(serviceId)
       // key-routing pruning is only sound while ONE routing epoch covers
@@ -274,8 +273,7 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
     GraftShardOffsets(listAssigned()
       .map(s => s -> service.latestPosition(s)).toMap)
 
-  private val serviceId = options.getOrElse("service.id",
-    throw new IllegalArgumentException("option service.id required"))
+  private val serviceId = ShardServiceRegistry.resolveId(options)
   @transient private lazy val service = ShardServiceRegistry.get(serviceId)
   private val maxRecordsPerShard =
     options.getOrElse("max-records-per-shard", "10000").toInt

@@ -250,9 +250,15 @@ final class InMemoryShardService(
 }
 
 /** JVM-local service registry so a Serializable handle (the id string in
-  * the options map) can reach partition readers in local/test mode. A
-  * cluster deployment instead constructs the client inside each reader
-  * from connection options — the [[ShardService]] seam is identical.
+  * the options map) can reach partition readers in local/test mode.
+  *
+  * The cluster deployment shape is the `http|endpoint|stream` id
+  * family: resolved ids of that form construct (and cache, per JVM) an
+  * [[graft.transport.HttpShardService]] from the embedded connection
+  * options — every executor builds its own wire client on first use,
+  * no JVM-local registration required. Sources/sinks accept it via
+  * `.option("endpoint", url).option("stream-name", name)` (see
+  * [[resolveId]]).
   */
 object ShardServiceRegistry {
   private val services = TrieMap.empty[String, ShardService]
@@ -261,7 +267,33 @@ object ShardServiceRegistry {
     services.put(id, service)
     id
   }
+
+  private val HttpPrefix = "http|"
+
+  /** Self-describing id for a wire-transport service: carries the
+    * connection options, so any JVM can construct the client. */
+  def httpId(endpoint: String, streamName: String): String = {
+    require(!endpoint.contains("|") && !streamName.contains("|"),
+      "endpoint/stream-name must not contain '|'")
+    s"$HttpPrefix$endpoint|$streamName"
+  }
+
+  /** The id a source/sink should carry: an explicit `service.id`
+    * wins; otherwise `endpoint` + `stream-name` yield a wire id. */
+  def resolveId(options: Map[String, String]): String =
+    options.get("service.id").orElse(
+      options.get("endpoint").map(e => httpId(e,
+        options.getOrElse("stream-name", "graft"))))
+      .getOrElse(throw new IllegalArgumentException(
+        "option service.id (or endpoint + stream-name) required"))
+
   def get(id: String): ShardService =
-    services.getOrElse(id,
+    if (id.startsWith(HttpPrefix))
+      services.getOrElseUpdate(id, {
+        val parts = id.stripPrefix(HttpPrefix).split('|')
+        require(parts.length == 2, s"malformed http service id: $id")
+        new graft.transport.HttpShardService(parts(0), parts(1))
+      })
+    else services.getOrElse(id,
       throw new IllegalStateException(s"no shard service registered: $id"))
 }

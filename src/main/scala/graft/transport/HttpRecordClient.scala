@@ -125,6 +125,9 @@ final class HttpRecordClient(
     }
   }
 
+  /** Ship the buffered collection now (the writer's pre-drain hook). */
+  override def flushPending(): Unit = this.synchronized { flush() }
+
   /** Drain (KinesisProducer.stop flushSync analogue, reference
     * main/producer/KinesisProducer.scala:159-163). */
   override def close(): Unit = this.synchronized { flush() }

@@ -85,6 +85,34 @@ class TransportSpec extends SparkSpec {
     }
   }
 
+  test("the endpoint option is the full deployment shape: DSv2 source " +
+      "and sink run against the wire with NO registry registration") {
+    withStub() { (stub, _) =>
+      import spark.implicits._
+      // batch write through the wire sink (HttpRecordClient under the
+      // DSv2 writer), then batch read through the wire source — both
+      // constructed purely from (endpoint, stream-name) options
+      val df = (1 to 30).map(n => (s"k${n % 5}", s"w$n"))
+        .toDF("partitionKey", "payload")
+        .select(col("partitionKey"),
+          encode(col("payload"), "UTF-8").as("data"))
+      df.write.format("graft-kinesis")
+        .option("endpoint", stub.endpoint)
+        .option("stream-name", "wire")
+        .mode("append").save()
+      assert(stub.requests("PutRecords").nonEmpty,
+        "the sink must write through the wire")
+      val got = spark.read.format("graft-kinesis")
+        .option("endpoint", stub.endpoint)
+        .option("stream-name", "wire")
+        .load().selectExpr("CAST(data AS STRING)").collect()
+        .map(_.getString(0)).toSet
+      assert(got === (1 to 30).map(n => s"w$n").toSet)
+      assert(stub.requests("GetRecords").nonEmpty,
+        "the source must read through the wire")
+    }
+  }
+
   test("5xx retries with exponential backoff, then succeeds; retries " +
       "exhausted surfaces the API error") {
     val store = new InMemoryShardService("wire", Seq("shard-0"))
