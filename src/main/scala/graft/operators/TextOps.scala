@@ -1098,6 +1098,47 @@ object TextOps {
           col("total_tokens").cast("double") /
             (col("n_bins") * col("bin_tokens")).cast("double"))
         .orderBy(col("lang"), col("bin_tokens"))
+    }),
+
+    // VOCABULARY-SIZE SWEEP — the word-level tokenizer knob between
+    // t13 (coverage of one fixed vocab) and t37 (BPE merges): for
+    // vocab sizes {1024, 4096, 16384}, if the vocabulary is the top-V
+    // corpus words (count desc, ties by word — deterministic in both
+    // engines), what fraction of running tokens is covered and what
+    // OOV rate a model at that vocab pays. token_coverage uses exact
+    // long sums; the rank is ONE window over the VOCABULARY frame
+    // (Heaps-law sublinear in corpus size — t13's declared class; the
+    // 100 TB escape hatch is a df-floor prefilter, which changes
+    // nothing here because every V of interest sits far above the
+    // floor). Scale shape: word rollup with map-side combine, window
+    // over types, 3 conditional sums.
+    "t48_vocab_sweep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sizes = Seq(1024L, 4096L, 16384L)
+      val wRank = Window.orderBy(col("cnt").desc, col("w"))
+      val types = Tables.documents(s, d)
+        .select(explode(expr(
+          "filter(split(trim(text), ' '), x -> x <> '')")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wRank))
+      val aggs = Seq(count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("total_tokens")) ++ sizes.map(v =>
+        sum(when(col("rk") <= v, col("cnt")).otherwise(0L))
+          .as(s"cov_$v"))
+      types.agg(aggs.head, aggs.tail: _*)
+        .select(col("n_types"), col("total_tokens"),
+          explode(array(sizes.map(v => struct(lit(v).as("vocab_size"),
+            col(s"cov_$v").as("tokens_covered"))): _*)).as("e"))
+        .select(col("e.vocab_size").as("vocab_size"), col("n_types"),
+          col("total_tokens"),
+          col("e.tokens_covered").as("tokens_covered"),
+          (col("e.tokens_covered").cast("double") /
+            col("total_tokens").cast("double")).as("token_coverage"),
+          (lit(1.0) - col("e.tokens_covered").cast("double") /
+            col("total_tokens").cast("double")).as("oov_rate"),
+          (least(col("e.vocab_size"), col("n_types")).cast("double") /
+            col("n_types").cast("double")).as("type_coverage"))
+        .orderBy(col("vocab_size"))
     })
   )
 
@@ -1794,6 +1835,37 @@ object TextOps {
          ${Seq(256L, 512L, 1024L, 2048L).map(cfg)
             .mkString("\n         UNION ALL\n         ")}
          ORDER BY lang, bin_tokens"""
+    },
+
+    // t48: top-V word vocab (count desc, word asc), 3 conditional sums
+    "t48_vocab_sweep" -> {
+      def row(v: Long) =
+        s"""SELECT CAST($v AS BIGINT) AS vocab_size, n_types,
+             total_tokens, cov_$v AS tokens_covered,
+             CAST(cov_$v AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+               AS token_coverage,
+             1.0 - CAST(cov_$v AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+               AS oov_rate,
+             CAST(LEAST($v, n_types) AS DOUBLE) / CAST(n_types AS DOUBLE)
+               AS type_coverage
+           FROM per"""
+      val sums = Seq(1024L, 4096L, 16384L).map(v =>
+        s"""CAST(SUM(CASE WHEN rk <= $v THEN cnt ELSE 0 END) AS BIGINT)
+             AS cov_$v""").mkString(",\n           ")
+      s"""WITH t AS (SELECT u.w, CAST(COUNT(1) AS BIGINT) AS cnt
+           FROM documents,
+             UNNEST(list_filter(string_split(TRIM(text), ' '),
+               x -> x <> '')) AS u(w)
+           GROUP BY u.w),
+         rk AS (SELECT w, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rk FROM t),
+         per AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_types,
+             CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+             $sums
+           FROM rk)
+         ${Seq(1024L, 4096L, 16384L).map(row)
+            .mkString("\n         UNION ALL\n         ")}
+         ORDER BY vocab_size"""
     }
   )
 }

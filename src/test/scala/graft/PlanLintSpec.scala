@@ -178,7 +178,9 @@ class PlanLintSpec extends SparkSpec {
     "q113_supplier_skyline" ->
       "sorted 2-D skyline sweep over the supplier dim frame (declared O(n log n) contract)",
     "t13_vocab_coverage" ->
-      "vocabulary frame (Heaps-law sublinear) — scale path: df-floor prefilter + m08 prefix sum")
+      "vocabulary frame (Heaps-law sublinear) — scale path: df-floor prefilter + m08 prefix sum",
+    "t48_vocab_sweep" ->
+      "vocabulary frame (Heaps-law sublinear) — t13's class; df-floor prefilter at scale (every V of interest sits far above the floor)")
 
   test("unpartitioned Window operators only over documented bounded " +
       "frames (grid or <=N-row aggregate)") {

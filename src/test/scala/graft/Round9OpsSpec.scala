@@ -49,6 +49,38 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("t48 vocab sweep matches brute force and coverage is monotone " +
+      "in vocab size") {
+    val words = Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).trim.split(" ").filter(_.nonEmpty))
+    val counts = words.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val ranked = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+    val total = counts.values.sum
+    val got = q("t48_vocab_sweep").collect()
+      .map(r => r.getAs[Long]("vocab_size") ->
+        (r.getAs[Long]("n_types"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("tokens_covered"),
+          r.getAs[Double]("token_coverage"),
+          r.getAs[Double]("oov_rate"),
+          r.getAs[Double]("type_coverage"))).toMap
+    Seq(1024L, 4096L, 16384L).foreach { v =>
+      val covered = ranked.take(v.toInt).map(_._2).sum
+      val g = got(v)
+      assert(g._1 === counts.size.toLong)
+      assert(g._2 === total)
+      assert(g._3 === covered, s"V=$v")
+      assert(g._4 === covered.toDouble / total.toDouble)
+      assert(g._5 === 1.0 - covered.toDouble / total.toDouble)
+      assert(g._6 ===
+        math.min(v, counts.size.toLong).toDouble / counts.size.toDouble)
+    }
+    val covs = Seq(1024L, 4096L, 16384L).map(v => got(v)._4)
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b },
+      "coverage must be monotone in vocab size")
+  }
+
   test("m19 band tuning matches brute force: candidate cost from " +
       "bucket sizes, found/truth at hamming <= 12") {
     import operators.Multimodal.{MediaIn, MultimodalStub}
