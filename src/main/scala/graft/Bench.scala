@@ -183,6 +183,21 @@ object Bench {
     def reset(): Unit = { shuffleRead.set(0); shuffleWrite.set(0); spilled.set(0) }
   }
 
+  /** Gate predicate, factored out so TimeBudgetGateSpec can prove the
+    * calibration catches real slowdowns (>= 2x on a >= 2 s query) while
+    * tolerating the sub-second JIT/GC jitter that tripped round 9's
+    * q111. Returns the entries whose measured seconds exceed budget. */
+  private[graft] def overBudget(results: scala.collection.Map[String, Double],
+      budget: Map[String, Double]): scala.collection.Map[String, Double] =
+    results.collect {
+      case (q, sec) if budget.get(q).exists(sec > _) => q -> sec
+    }
+
+  /** The budget formula (shared with tools/budgets.py): additive floor
+    * for noise-dominated small entries, ratio bound for real ones. */
+  private[graft] def budgetFor(promotedSec: Double): Double =
+    math.max(1.5 * promotedSec, promotedSec + 0.5)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -305,13 +320,18 @@ object Bench {
       s"[bench] SHUFFLE BUDGET EXCEEDED: " + shuffleViolations.map { case (q, mb) =>
         f"$q=${mb}%.1fMB(budget ${budget(q)}%.1f)" }.mkString(", "))
 
-    // Per-query wall-time regression gate (round-8 verdict item 6):
-    // TIME_BUDGET.json carries 1.5x the clean promoted run's per-query
-    // seconds (entries < 0.5 s skipped — noise-dominated). A violation
-    // on an UNCONTENDED run is a plan/code regression the shuffle gate
-    // may not see (e.g. a broadcast that stopped broadcasting but
-    // shuffles little at sf0.1). Contended runs skip the gate: their
-    // wall times blame the machine, not the code.
+    // Per-query wall-time regression gate (round-8 verdict item 6;
+    // recalibrated per the round-9 verdict after q111 tripped it on a
+    // 12% JIT/GC overshoot of a 0.6 s query): TIME_BUDGET.json carries
+    // max(1.5x promoted, promoted + 0.5 s) per query (entries < 0.5 s
+    // skipped — noise-dominated), so sub-second entries get an additive
+    // noise floor while multi-second entries keep the 1.5x ratio bound.
+    // tools/budgets.py regenerates both budget files from a clean
+    // promoted BENCH_DETAIL.json. A violation on an UNCONTENDED run is
+    // a plan/code regression the shuffle gate may not see (e.g. a
+    // broadcast that stopped broadcasting but shuffles little at
+    // sf0.1). Contended runs skip the gate: their wall times blame the
+    // machine, not the code.
     val timeBudgetPath = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET",
       "TIME_BUDGET.json")
     val timeBudget: Map[String, Double] =
@@ -327,9 +347,7 @@ object Bench {
         System.err.println(s"[bench] time budget read: $e"); Map.empty }
     val timeViolations =
       if (contended) scala.collection.Map.empty[String, Double]
-      else results.collect {
-        case (q, sec) if timeBudget.get(q).exists(sec > _) => q -> sec
-      }
+      else overBudget(results, timeBudget)
     if (timeViolations.nonEmpty) System.err.println(
       s"[bench] TIME BUDGET EXCEEDED: " + timeViolations.map { case (q, s) =>
         f"$q=${s}%.2fs(budget ${timeBudget(q)}%.2f)" }.mkString(", "))

@@ -38,8 +38,9 @@ final case class ConsumerConf(
     /** KCL `retryGetRecordsInSeconds` (reference
       * main/resources/reference.conf:666-675, unset by default): time
       * between GetRecords retries on transport failure — the wire
-      * client's backoff base ([[graft.transport.HttpShardService
-      * .forConsumer]]). None = the transport default (100 ms). */
+      * client's backoff base, carried to partition readers inside the
+      * self-describing service id ([[graft.sources.ShardServiceRegistry
+      * .httpId]]). None = the transport default (100 ms). */
     retryGetRecords: Option[FiniteDuration] = None) {
 
   /** DynamoDB-table-name rule kept as the checkpoint namespace

@@ -81,6 +81,14 @@ object GraftKinesisWriteSupport {
         val endpoint = options.getOrElse("endpoint",
           throw new IllegalArgumentException(
             "option service.id (or endpoint + stream-name) required"))
+        // an endpoint-selected sink must name its stream explicitly:
+        // confFromOptions' "graft" default exists for registry services
+        // (whose own streamName wins); on the wire it would silently
+        // write to the wrong stream (round-9 advice, mirrored on the
+        // read path in ShardServiceRegistry.resolveId)
+        require(options.contains("stream-name"),
+          "option stream-name is required alongside endpoint " +
+            "(refusing to default the target stream)")
         graft.transport.HttpRecordClient.factoryFor(
           confFromOptions(options), endpoint)
     }

@@ -271,19 +271,33 @@ object ShardServiceRegistry {
   private val HttpPrefix = "http|"
 
   /** Self-describing id for a wire-transport service: carries the
-    * connection options, so any JVM can construct the client. */
-  def httpId(endpoint: String, streamName: String): String = {
+    * connection options, so any JVM can construct the client.
+    * `retryBackoffMs` is KCL `retryGetRecordsInSeconds` (reference
+    * main/resources/reference.conf:666-675) encoded into the id so the
+    * option survives the driver->executor hop — every partition reader
+    * reconstructs the client with the configured backoff base. */
+  def httpId(endpoint: String, streamName: String,
+      retryBackoffMs: Option[Long] = None): String = {
     require(!endpoint.contains("|") && !streamName.contains("|"),
       "endpoint/stream-name must not contain '|'")
-    s"$HttpPrefix$endpoint|$streamName"
+    s"$HttpPrefix$endpoint|$streamName" +
+      retryBackoffMs.fold("")(ms => s"|$ms")
   }
 
   /** The id a source/sink should carry: an explicit `service.id`
-    * wins; otherwise `endpoint` + `stream-name` yield a wire id. */
+    * wins; otherwise `endpoint` + `stream-name` yield a wire id. An
+    * endpoint WITHOUT a stream name fails loudly (matching the conf
+    * parsers) — a silent default would quietly read the wrong stream. */
   def resolveId(options: Map[String, String]): String =
     options.get("service.id").orElse(
-      options.get("endpoint").map(e => httpId(e,
-        options.getOrElse("stream-name", "graft"))))
+      options.get("endpoint").map { e =>
+        val stream = options.getOrElse("stream-name",
+          throw new IllegalArgumentException(
+            "option stream-name is required alongside endpoint " +
+              "(refusing to default the target stream)"))
+        httpId(e, stream, options.get("retry-get-records-seconds")
+          .map(_.toLong * 1000L))
+      })
       .getOrElse(throw new IllegalArgumentException(
         "option service.id (or endpoint + stream-name) required"))
 
@@ -291,8 +305,13 @@ object ShardServiceRegistry {
     if (id.startsWith(HttpPrefix))
       services.getOrElseUpdate(id, {
         val parts = id.stripPrefix(HttpPrefix).split('|')
-        require(parts.length == 2, s"malformed http service id: $id")
-        new graft.transport.HttpShardService(parts(0), parts(1))
+        require(parts.length == 2 || parts.length == 3,
+          s"malformed http service id: $id")
+        val retry =
+          if (parts.length == 3)
+            graft.transport.RetryPolicy(backoffBaseMs = parts(2).toLong)
+          else graft.transport.RetryPolicy()
+        new graft.transport.HttpShardService(parts(0), parts(1), retry)
       })
     else services.getOrElse(id,
       throw new IllegalStateException(s"no shard service registered: $id"))

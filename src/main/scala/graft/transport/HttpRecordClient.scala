@@ -80,8 +80,18 @@ final class HttpRecordClient(
     bufferBytes = 0L
     var attempt = 0
     while (pending.nonEmpty) {
-      val results = service.putRecords(
-        pending.map(p => (p.event.partitionKey, p.event.data)))
+      // a whole-request transport failure (retries exhausted in the
+      // wire client, or a non-retryable 4xx) aborts the flush: every
+      // still-pending record must complete with the error before the
+      // rethrow, or an ack-counting drain (S11) would leak its window
+      // permits and wait forever on callbacks that never fire
+      val results =
+        try service.putRecords(
+          pending.map(p => (p.event.partitionKey, p.event.data)))
+        catch { case e: Throwable =>
+          pending.foreach(_.onComplete(Some(e)))
+          throw e
+        }
       val failed = pending.zip(results).flatMap {
         case (p, Right(_)) => p.onComplete(None); None
         case (p, Left(code)) => Some((p, code))

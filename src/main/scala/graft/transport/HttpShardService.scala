@@ -40,7 +40,7 @@ final case class RetryPolicy(
 final class HttpShardService(
     val endpoint: String,
     override val streamName: String,
-    retry: RetryPolicy = RetryPolicy()) extends ShardService {
+    val retry: RetryPolicy = RetryPolicy()) extends ShardService {
   import KinesisWire._
 
   @transient private lazy val http: HttpClient = HttpClient.newHttpClient()
@@ -227,15 +227,9 @@ final class HttpShardService(
   }
 }
 
-object HttpShardService {
-  /** Consumer-configured client: KCL `retryGetRecordsInSeconds`
-    * (reference main/resources/reference.conf:666-675) becomes the
-    * retry backoff base on every read-path call. */
-  def forConsumer(endpoint: String, conf: graft.config.ConsumerConf,
-      sleeper: Long => Unit = Thread.sleep): HttpShardService =
-    new HttpShardService(endpoint, conf.streamName,
-      RetryPolicy(
-        backoffBaseMs = conf.retryGetRecords
-          .map(_.toMillis).getOrElse(100L),
-        sleeper = sleeper))
-}
+// NB: KCL `retryGetRecordsInSeconds` reaches this client through the
+// self-describing service id ([[graft.sources.ShardServiceRegistry
+// .httpId]] encodes the backoff base; `get` reconstructs the policy) —
+// the only path a DSv2 partition reader can carry config across the
+// driver->executor hop. A `forConsumer` convenience constructor here
+// was dead code (round-9 advice) and was removed.

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Calibration proof for the per-query wall-time gate (round-9 verdict
+  * item 1): the driver's round-9 bench went red on q111 overshooting a
+  * 1.5x budget by 12% on a 0.6 s query — JIT/GC jitter, not a
+  * regression. The recalibrated budget `max(1.5x promoted,
+  * promoted + 0.5 s)` must (a) still catch a deliberate >= 2x slowdown
+  * on any >= 2 s query, and (b) tolerate sub-second absolute jitter on
+  * small entries. TIME_BUDGET.json is regenerated from the clean
+  * promoted BENCH_DETAIL.json by tools/budgets.py with the same
+  * formula ([[Bench.budgetFor]]).
+  */
+class TimeBudgetGateSpec extends AnyFunSuite {
+
+  test("a deliberate 2x slowdown on a >= 2 s query trips the gate") {
+    // every promoted time >= 2 s: doubling always exceeds the budget
+    // (budget is the max of 1.5t and t+0.5, both < 2t when t >= 1)
+    Seq(2.0, 2.58, 4.4, 7.5).foreach { t =>
+      val budget = Map("q" -> Bench.budgetFor(t))
+      val v = Bench.overBudget(Map("q" -> 2.0 * t), budget)
+      assert(v.keySet === Set("q"), s"2x slowdown of a $t s query must trip")
+    }
+  }
+
+  test("the q111 incident no longer trips: 12% overshoot of a 0.62 s " +
+      "query sits under the additive noise floor") {
+    // round-9 driver run: promoted 0.623 s, measured 1.048 s — the
+    // exact values that produced time_budget_ok:0
+    val budget = Map("q111" -> Bench.budgetFor(0.623))
+    assert(budget("q111") > 1.048, "the recalibrated budget covers it")
+    assert(Bench.overBudget(Map("q111" -> 1.048), budget).isEmpty)
+    // but a genuine 2x slowdown of the same small query still trips
+    // once it exceeds the floor: 0.623 -> 1.25 s
+    assert(Bench.overBudget(Map("q111" -> 1.25), budget).nonEmpty)
+  }
+
+  test("gate mechanics: only budgeted entries are checked, equality " +
+      "passes, strict excess trips") {
+    val budget = Map("a" -> 1.0, "b" -> 3.0)
+    val results = scala.collection.mutable.LinkedHashMap(
+      "a" -> 1.0,      // exactly at budget: pass
+      "b" -> 3.001,    // over: trip
+      "c" -> 99.0)     // unbudgeted (new query): never trips
+    assert(Bench.overBudget(results, budget).keySet === Set("b"))
+  }
+
+  test("the committed TIME_BUDGET.json obeys the formula against the " +
+      "committed promoted run (anti-staleness both directions)") {
+    def flat(path: String): Map[String, Double] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val budget = flat("TIME_BUDGET.json")
+    // promoted queries live in BENCH_DETAIL.json under "queries": the
+    // flat regex also captures shuffle_mb/spill_mb entries, but those
+    // repeat the same keys with different values; parse just the
+    // queries object instead.
+    val detailTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_DETAIL.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val queriesObj = detailTxt.split("\"queries\":\\{")(1).split("\\}")(0)
+    val promoted = """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(queriesObj)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(promoted.nonEmpty && budget.nonEmpty)
+    // every budgeted entry matches the formula within print rounding
+    budget.foreach { case (q, b) =>
+      val p = promoted.getOrElse(q, fail(s"budgeted $q not in promoted run"))
+      assert(math.abs(b - Bench.budgetFor(p)) < 0.002,
+        s"$q: budget $b != formula ${Bench.budgetFor(p)}")
+    }
+    // and every eligible promoted entry is budgeted (gate can't silently
+    // lose coverage): >= 0.5 s, not a rate/flag pseudo-entry
+    promoted.foreach { case (q, p) =>
+      val eligible = p >= 0.5 && !q.startsWith("rate_") &&
+        !q.startsWith("ingest_integrity")
+      if (eligible) assert(budget.contains(q), s"eligible $q unbudgeted")
+    }
+  }
+}

@@ -332,6 +332,70 @@ class TransportSpec extends SparkSpec {
     }
   }
 
+  test("retry-get-records-seconds reaches the endpoint-built client: " +
+      "the self-describing id carries the backoff base (round-9 advice)") {
+    val id = ShardServiceRegistry.resolveId(Map(
+      "endpoint" -> "http://127.0.0.1:1", "stream-name" -> "s",
+      "retry-get-records-seconds" -> "2"))
+    ShardServiceRegistry.get(id) match {
+      case h: HttpShardService =>
+        assert(h.retry.backoffBaseMs === 2000L,
+          "KCL retryGetRecordsInSeconds must become the backoff base")
+      case other => fail(s"expected HttpShardService, got $other")
+    }
+    // without the option, the default policy applies
+    val plain = ShardServiceRegistry.resolveId(Map(
+      "endpoint" -> "http://127.0.0.1:1", "stream-name" -> "s"))
+    ShardServiceRegistry.get(plain) match {
+      case h: HttpShardService => assert(h.retry.backoffBaseMs === 100L)
+      case other => fail(s"expected HttpShardService, got $other")
+    }
+  }
+
+  test("an endpoint without stream-name fails loudly on BOTH paths " +
+      "instead of defaulting the target stream (round-9 advice)") {
+    val e1 = intercept[IllegalArgumentException] {
+      ShardServiceRegistry.resolveId(Map("endpoint" -> "http://x:1"))
+    }
+    assert(e1.getMessage.contains("stream-name"))
+    withStub() { (stub, _) =>
+      import spark.implicits._
+      val df = Seq(("k", "v")).toDF("partitionKey", "payload")
+        .select(col("partitionKey"),
+          encode(col("payload"), "UTF-8").as("data"))
+      val e2 = intercept[Exception] {
+        df.write.format("graft-kinesis")
+          .option("endpoint", stub.endpoint)
+          .mode("append").save()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(e2).exists(t =>
+        Option(t.getMessage).exists(_.contains("stream-name"))))
+    }
+  }
+
+  test("a whole-request PutRecords transport failure completes every " +
+      "pending record's callback before rethrowing (no ack-window leak)") {
+    withStub() { (stub, svc) =>
+      val outcomes = scala.collection.mutable.ArrayBuffer.empty[
+        Option[Throwable]]
+      val client = new HttpRecordClient(svc, collectionMaxCount = 100,
+        sleeper = _ => ())
+      (1 to 3).foreach(i =>
+        client.put(ProducerEvent(s"k$i", s"v$i"))(o => outcomes += o))
+      assert(outcomes.isEmpty, "nothing flushed yet below the count bound")
+      // non-retryable 4xx: the wire client fails fast, flush must abort
+      stub.faults.failNext("PutRecords", 1, status = 400,
+        errorType = "ValidationException")
+      val e = intercept[KinesisApiException] { client.flushPending() }
+      assert(e.statusCode === 400)
+      assert(outcomes.size === 3, "every buffered record completed")
+      assert(outcomes.forall(_.exists(_.isInstanceOf[KinesisApiException])),
+        "each completion carries the transport failure")
+    }
+  }
+
   test("positionAtTimestamp over the wire: AT_TIMESTAMP iterator " +
       "position excludes earlier arrivals only") {
     withStub(shards = 1) { (stub, svc) =>
