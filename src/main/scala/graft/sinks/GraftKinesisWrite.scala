@@ -4,6 +4,7 @@ import java.util.concurrent.{Semaphore, TimeUnit}
 import java.util.concurrent.atomic.AtomicReference
 import graft.config.ProducerConf
 import graft.models.ProducerEvent
+import graft.sources.ShardServiceRegistry
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -78,19 +79,14 @@ object GraftKinesisWriteSupport {
         ShardServiceAsyncClient.factoryFor(confFromOptions(options),
           serviceId)
       case None =>
-        val endpoint = options.getOrElse("endpoint",
-          throw new IllegalArgumentException(
-            "option service.id (or endpoint + stream-name) required"))
-        // an endpoint-selected sink must name its stream explicitly:
-        // confFromOptions' "graft" default exists for registry services
-        // (whose own streamName wins); on the wire it would silently
-        // write to the wrong stream (round-9 advice, mirrored on the
-        // read path in ShardServiceRegistry.resolveId)
-        require(options.contains("stream-name"),
-          "option stream-name is required alongside endpoint " +
-            "(refusing to default the target stream)")
+        require(options.contains("endpoint"),
+          "option service.id (or endpoint + stream-name) required")
+        // resolveId requires stream-name alongside endpoint (round-9
+        // advice: no silent "graft" default on the wire) and encodes
+        // retry backoff + the SigV4 signing block into the id, so the
+        // write path signs exactly like the read path
         graft.transport.HttpRecordClient.factoryFor(
-          confFromOptions(options), endpoint)
+          confFromOptions(options), ShardServiceRegistry.resolveId(options))
     }
   }
 

@@ -270,18 +270,28 @@ object ShardServiceRegistry {
 
   private val HttpPrefix = "http|"
 
-  /** Self-describing id for a wire-transport service: carries the
-    * connection options, so any JVM can construct the client.
-    * `retryBackoffMs` is KCL `retryGetRecordsInSeconds` (reference
-    * main/resources/reference.conf:666-675) encoded into the id so the
-    * option survives the driver->executor hop — every partition reader
-    * reconstructs the client with the configured backoff base. */
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Wire-client options that must survive the driver->executor hop
+    * inside the id: KCL `retryGetRecordsInSeconds` as the backoff base
+    * (reference main/resources/reference.conf:666-675) and the SigV4
+    * signing block (`region` + static credentials — the explicit-
+    * credentials member of the reference's credentialsProvider chain,
+    * main/producer/ProducerConf.scala:105-116). Recognized keys:
+    * retry-ms, region, access-key-id, secret-access-key,
+    * session-token. */
   def httpId(endpoint: String, streamName: String,
-      retryBackoffMs: Option[Long] = None): String = {
+      params: Map[String, String] = Map.empty): String = {
     require(!endpoint.contains("|") && !streamName.contains("|"),
       "endpoint/stream-name must not contain '|'")
-    s"$HttpPrefix$endpoint|$streamName" +
-      retryBackoffMs.fold("")(ms => s"|$ms")
+    val suffix =
+      if (params.isEmpty) ""
+      else "|" + params.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    s"$HttpPrefix$endpoint|$streamName$suffix"
   }
 
   /** The id a source/sink should carry: an explicit `service.id`
@@ -295,24 +305,70 @@ object ShardServiceRegistry {
           throw new IllegalArgumentException(
             "option stream-name is required alongside endpoint " +
               "(refusing to default the target stream)"))
-        httpId(e, stream, options.get("retry-get-records-seconds")
-          .map(_.toLong * 1000L))
+        val params = Map.newBuilder[String, String]
+        options.get("retry-get-records-seconds")
+          .foreach(s => params += "retry-ms" -> (s.toLong * 1000L).toString)
+        Seq("region", "access-key-id", "secret-access-key", "session-token",
+          "connect-timeout-millis", "request-timeout-millis",
+          "max-connections")
+          .foreach(k => options.get(k).foreach(v => params += k -> v))
+        val p = params.result()
+        if (p.contains("access-key-id") || p.contains("secret-access-key"))
+          require(p.contains("access-key-id") &&
+            p.contains("secret-access-key") && p.contains("region"),
+            "SigV4 signing needs region + access-key-id + secret-access-key")
+        httpId(e, stream, p)
       })
       .getOrElse(throw new IllegalArgumentException(
         "option service.id (or endpoint + stream-name) required"))
 
+  private[graft] def parseHttpId(id: String)
+      : (String, String, Map[String, String]) = {
+    val parts = id.stripPrefix(HttpPrefix).split('|')
+    require(parts.length == 2 || parts.length == 3,
+      s"malformed http service id: $id")
+    val params =
+      if (parts.length == 3)
+        parts(2).split('&').filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"malformed http id param '$kv' in $id")
+          dec(kv.take(i)) -> dec(kv.drop(i + 1))
+        }.toMap
+      else Map.empty[String, String]
+    (parts(0), parts(1), params)
+  }
+
+  /** Construct (and cache per JVM) the wire client a self-describing
+    * id encodes. */
+  private def buildHttp(id: String): ShardService = {
+    val (endpoint, stream, params) = parseHttpId(id)
+    val retry = params.get("retry-ms")
+      .map(ms => graft.transport.RetryPolicy(backoffBaseMs = ms.toLong))
+      .getOrElse(graft.transport.RetryPolicy())
+    val sigv4 = params.get("access-key-id").map { ak =>
+      graft.transport.SigV4Config(
+        region = params.getOrElse("region", sys.error(
+          s"http id with credentials lacks region: $id")),
+        credentials = graft.transport.AwsCredentials(ak,
+          params.getOrElse("secret-access-key", sys.error(
+            s"http id with access-key-id lacks secret-access-key: $id")),
+          params.get("session-token")))
+    }
+    val defaults = graft.transport.HttpTuning()
+    val tuning = graft.transport.HttpTuning(
+      connectTimeoutMs = params.get("connect-timeout-millis")
+        .map(_.toLong).getOrElse(defaults.connectTimeoutMs),
+      requestTimeoutMs = params.get("request-timeout-millis")
+        .map(_.toLong).getOrElse(defaults.requestTimeoutMs),
+      maxConnections = params.get("max-connections")
+        .map(_.toInt).getOrElse(defaults.maxConnections))
+    new graft.transport.HttpShardService(endpoint, stream, retry, sigv4,
+      tuning)
+  }
+
   def get(id: String): ShardService =
     if (id.startsWith(HttpPrefix))
-      services.getOrElseUpdate(id, {
-        val parts = id.stripPrefix(HttpPrefix).split('|')
-        require(parts.length == 2 || parts.length == 3,
-          s"malformed http service id: $id")
-        val retry =
-          if (parts.length == 3)
-            graft.transport.RetryPolicy(backoffBaseMs = parts(2).toLong)
-          else graft.transport.RetryPolicy()
-        new graft.transport.HttpShardService(parts(0), parts(1), retry)
-      })
+      services.getOrElseUpdate(id, buildHttp(id))
     else services.getOrElse(id,
       throw new IllegalStateException(s"no shard service registered: $id"))
 }

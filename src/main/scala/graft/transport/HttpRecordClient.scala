@@ -144,24 +144,32 @@ final class HttpRecordClient(
 }
 
 object HttpRecordClient {
-  /** Serializable factory: each partition writer builds its own HTTP
-    * client from the endpoint (no JVM-local registry needed — the
-    * deployment shape for a real cluster). */
+  /** Serializable factory: each partition writer reconstructs its own
+    * HTTP client from the self-describing `http|endpoint|stream[|params]`
+    * id (no JVM-local registry registration needed — the deployment
+    * shape for a real cluster; params carry retry backoff and the
+    * SigV4 signing block, see
+    * [[graft.sources.ShardServiceRegistry.httpId]]). */
   final case class Factory(
-      endpoint: String,
-      streamName: String,
+      serviceId: String,
       collectionMaxCount: Int = 500,
       collectionMaxSize: Int = 5242880,
       recordTtlMs: Long = 30000L,
       failIfThrottled: Boolean = false) extends AsyncRecordClientFactory {
-    override def create(): AsyncRecordClient =
-      new HttpRecordClient(new HttpShardService(endpoint, streamName),
+    override def create(): AsyncRecordClient = {
+      val svc = graft.sources.ShardServiceRegistry.get(serviceId) match {
+        case h: HttpShardService => h
+        case other => throw new IllegalStateException(
+          s"id $serviceId resolved to a non-wire service: $other")
+      }
+      new HttpRecordClient(svc,
         collectionMaxCount, collectionMaxSize, recordTtlMs, failIfThrottled)
+    }
   }
 
   /** Factory honoring the producer config's KPL collection block. */
   def factoryFor(conf: graft.config.ProducerConf,
-      endpoint: String): Factory =
-    Factory(endpoint, conf.streamName, conf.collectionMaxCount,
+      serviceId: String): Factory =
+    Factory(serviceId, conf.collectionMaxCount,
       conf.collectionMaxSize, conf.recordTtl.toMillis, conf.failIfThrottled)
 }

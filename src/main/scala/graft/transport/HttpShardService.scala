@@ -25,12 +25,27 @@ final case class RetryPolicy(
   def backoffMs(attempt: Int): Long = backoffBaseMs << (attempt - 1)
 }
 
+/** HTTP connection tuning — KPL `ConnectTimeout` / `RequestTimeout` /
+  * `MaxConnections` (reference main/producer/KinesisProducerConfig
+  * .scala:27-62; KPL defaults 6000 ms / 6000 ms / 24). A timed-out
+  * request surfaces as `HttpTimeoutException` (an `IOException`), so
+  * it rides the SDK retry taxonomy unchanged: backoff and retry.
+  * `maxConnections` bounds CONCURRENT in-flight requests per client —
+  * the semantics of a connection cap for a synchronous caller pool
+  * (`java.net.http.HttpClient` sizes its own socket pool; the bound
+  * here is what actually limits endpoint pressure). */
+final case class HttpTuning(
+    connectTimeoutMs: Long = 6000L,
+    requestTimeoutMs: Long = 6000L,
+    maxConnections: Int = 24)
+
 /** [[ShardService]] over the Kinesis-shaped HTTP wire protocol — the
   * transport implementation of the plug-in seam, speaking real JSON +
   * base64 over a real socket to any endpoint honoring the protocol
   * ([[KinesisWireStub]] in tests; a Kinesis-compatible service in a
-  * deployment, modulo SigV4 signing which stays out of scope in the
-  * zero-egress sandbox — PARITY.md).
+  * deployment). With a [[SigV4Config]] every request carries an
+  * `Authorization: AWS4-HMAC-SHA256` signature ([[SigV4]]; the stub
+  * verifies and rejects tampered/expired ones).
   *
   * Serializable by construction: only the endpoint/stream strings and
   * the policy ship to executors; the HttpClient is rebuilt lazily per
@@ -40,10 +55,20 @@ final case class RetryPolicy(
 final class HttpShardService(
     val endpoint: String,
     override val streamName: String,
-    val retry: RetryPolicy = RetryPolicy()) extends ShardService {
+    val retry: RetryPolicy = RetryPolicy(),
+    val sigv4: Option[SigV4Config] = None,
+    val tuning: HttpTuning = HttpTuning()) extends ShardService {
   import KinesisWire._
 
-  @transient private lazy val http: HttpClient = HttpClient.newHttpClient()
+  @transient private lazy val http: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(tuning.connectTimeoutMs))
+    .build()
+
+  // maxConnections: a permit per concurrent in-flight request; held
+  // across the whole send (connect + response), released before backoff
+  // sleep so a retrying caller doesn't starve its siblings
+  @transient private lazy val connectionWindow =
+    new java.util.concurrent.Semaphore(tuning.maxConnections)
 
   /** Total wire requests issued (retries included) — spec observability. */
   val requestCount = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -54,12 +79,43 @@ final class HttpShardService(
       val failure: Either[Throwable, JsonNode] =
         try {
           requestCount.incrementAndGet()
-          val req = HttpRequest.newBuilder(URI.create(endpoint + "/"))
+          val uri = URI.create(endpoint + "/")
+          val payload = bytes(body)
+          val builder = HttpRequest.newBuilder(uri)
             .header("Content-Type", ContentType)
             .header(TargetHeader, TargetPrefix + action)
-            .POST(HttpRequest.BodyPublishers.ofByteArray(bytes(body)))
+          // SigV4 (round-9 verdict item 2): sign over the headers the
+          // SDK signs on JSON-protocol calls — content-type, host (the
+          // HTTP client emits it from the URI authority; it cannot be
+          // set explicitly), x-amz-date, x-amz-target, and the session
+          // token when using temporary credentials. Signing happens
+          // per attempt so a retry after backoff carries a fresh date
+          // (the SDK re-signs retries for the same reason: a long
+          // backoff chain must not walk out of the skew window).
+          sigv4.foreach { cfg =>
+            val date = SigV4.amzDate(cfg.clock())
+            builder.header("X-Amz-Date", date)
+            cfg.credentials.sessionToken.foreach(
+              builder.header("X-Amz-Security-Token", _))
+            val signedHeaders = Seq(
+              "content-type" -> ContentType,
+              "host" -> uri.getAuthority,
+              "x-amz-date" -> date,
+              TargetHeader.toLowerCase -> (TargetPrefix + action)) ++
+              cfg.credentials.sessionToken.map(
+                "x-amz-security-token" -> _)
+            builder.header("Authorization", SigV4.authorization(
+              "POST", uri, signedHeaders, payload, date, cfg.region,
+              "kinesis", cfg.credentials))
+          }
+          val req = builder
+            .timeout(java.time.Duration.ofMillis(tuning.requestTimeoutMs))
+            .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
             .build()
-          val resp = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+          connectionWindow.acquire()
+          val resp =
+            try http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+            finally connectionWindow.release()
           if (resp.statusCode() == 200) Right(parse(resp.body()))
           else {
             val err = try parse(resp.body()) catch { case _: Exception => null }
@@ -73,9 +129,9 @@ final class HttpShardService(
           // I/O and malformed-response failures are retryable; the
           // request may or may not have executed (GetRecords/ListShards
           // are idempotent; PutRecords callers own dedup — as with the
-          // real service)
+          // real service). JacksonException extends IOException, so the
+          // garbled-200-body parse failure lands here too.
           case e: java.io.IOException => Left(e)
-          case e: com.fasterxml.jackson.core.JacksonException => Left(e)
         }
       failure match {
         case Right(node) => return node

@@ -33,6 +33,12 @@ final class FaultPolicy {
     * (malformed JSON) — exercises the client's parse-failure path. */
   private val garbleRemaining = TrieMap.empty[String, AtomicInteger]
 
+  /** When >0, the next N requests to `action` stall `stallMillis`
+    * before any response bytes — exercises the client's request
+    * timeout (round-9 verdict item 5). */
+  private val stallRemaining = TrieMap.empty[String, AtomicInteger]
+  @volatile var stallMillis: Long = 1000L
+
   def failNext(action: String, n: Int, status: Int = 500,
       errorType: String = "InternalFailure"): Unit = {
     failStatus = status; failErrorType = errorType
@@ -40,14 +46,29 @@ final class FaultPolicy {
   }
   def garbleNext(action: String, n: Int): Unit =
     garbleRemaining.put(action, new AtomicInteger(n))
+  def stallNext(action: String, n: Int, millis: Long = 1000L): Unit = {
+    stallMillis = millis
+    stallRemaining.put(action, new AtomicInteger(n))
+  }
 
   private[transport] def shouldFail(action: String): Boolean =
     failRemaining.get(action).exists(_.getAndDecrement() > 0)
   private[transport] def shouldGarble(action: String): Boolean =
     garbleRemaining.get(action).exists(_.getAndDecrement() > 0)
+  private[transport] def shouldStall(action: String): Boolean =
+    stallRemaining.get(action).exists(_.getAndDecrement() > 0)
   private[transport] def nextThrottleSet(): Set[Int] =
     Option(throttlePlan.poll()).getOrElse(Set.empty)
 }
+
+/** Server-side SigV4 enforcement config for the stub: the credentials a
+  * request must be signed with, the expected region, an injectable
+  * clock, and the skew window (AWS allows 5 minutes). */
+final case class StubSigV4(
+    credentials: AwsCredentials,
+    region: String,
+    clock: () => Long = () => System.currentTimeMillis(),
+    skewToleranceMs: Long = 300000L)
 
 /** In-process HTTP server speaking the Kinesis-shaped wire protocol of
   * [[KinesisWire]] over an [[InMemoryShardService]] — the zero-egress
@@ -68,6 +89,12 @@ final class KinesisWireStub(
     listShardsPageSize: Int = 2) {
   import KinesisWire._
 
+  /** When set, every request must carry a valid SigV4 signature over
+    * these credentials — recomputed server-side from the received
+    * bytes, so a tampered body, stale date, or wrong secret all fail
+    * with the AWS 4xx auth taxonomy (fail-fast, never retried). */
+  @volatile var requireSigV4: Option[StubSigV4] = None
+
   /** (action, requestBody) log for assertions — e.g. "the retry carried
     * ONLY the failed entries". */
   val requestLog =
@@ -76,9 +103,14 @@ final class KinesisWireStub(
     requestLog.asScala.toSeq.collect { case (a, b) if a == action => b }
 
   private val server = HttpServer.create(new InetSocketAddress(0), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
   server.createContext("/", new Handler)
   server.start()
+
+  /** High-water mark of concurrently in-flight requests — observability
+    * for the client's max-connections bound. */
+  private val inflight = new AtomicInteger(0)
+  @volatile var maxInflight: Int = 0
 
   def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
   def stop(): Unit = server.stop(0)
@@ -99,10 +131,15 @@ final class KinesisWireStub(
   private final class Handler extends HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
+        val now = inflight.incrementAndGet()
+        synchronized { if (now > maxInflight) maxInflight = now }
         val target = Option(ex.getRequestHeaders.getFirst(TargetHeader))
           .getOrElse("")
         val action = target.stripPrefix(TargetPrefix)
-        val body = parse(ex.getRequestBody.readAllBytes())
+        if (faults.shouldStall(action)) Thread.sleep(faults.stallMillis)
+        val raw = ex.getRequestBody.readAllBytes()
+        requireSigV4.foreach(verifySignature(ex, raw, _))
+        val body = parse(raw)
         requestLog.add((action, body))
         if (faults.shouldFail(action)) {
           respond(ex, faults.failStatus,
@@ -125,7 +162,7 @@ final class KinesisWireStub(
           respond(ex, e.status, errorBody(e.errorType, e.getMessage))
         case e: Exception =>
           respond(ex, 500, errorBody("InternalFailure", e.toString))
-      } finally ex.close()
+      } finally { inflight.decrementAndGet(); ex.close() }
 
     private def respond(ex: HttpExchange, status: Int,
         body: Array[Byte]): Unit = {
@@ -137,6 +174,77 @@ final class KinesisWireStub(
 
   private final class StubError(val status: Int, val errorType: String,
       message: String) extends RuntimeException(message)
+
+  /** Full server-side SigV4 verification, recomputed from the received
+    * request exactly as a real endpoint does (AWS 4xx auth taxonomy:
+    * missing/unparseable auth 400, unknown key / bad signature /
+    * expired date 403 — all non-retryable, so the client fails fast).
+    */
+  private def verifySignature(ex: HttpExchange, payload: Array[Byte],
+      cfg: StubSigV4): Unit = {
+    def reject(status: Int, tpe: String, msg: String): Nothing =
+      throw new StubError(status, tpe, msg)
+    val authHeader = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .getOrElse(reject(400, "MissingAuthenticationTokenException",
+        "request is missing Authorization"))
+    val auth = SigV4.parseAuthorization(authHeader)
+      .getOrElse(reject(400, "IncompleteSignatureException",
+        s"unparseable Authorization: $authHeader"))
+    if (auth.accessKeyId != cfg.credentials.accessKeyId)
+      reject(403, "UnrecognizedClientException",
+        s"unknown access key ${auth.accessKeyId}")
+    if (auth.region != cfg.region || auth.service != "kinesis")
+      reject(403, "InvalidSignatureException",
+        s"credential scoped to ${auth.region}/${auth.service}; " +
+          s"expected ${cfg.region}/kinesis")
+    // the signed-header set must cover the request identity: host and
+    // date always; the security token whenever temporary credentials
+    // are in play (an unsigned token could be swapped in transit)
+    val mustSign = Seq("host", "x-amz-date") ++
+      cfg.credentials.sessionToken.map(_ => "x-amz-security-token")
+    val missing = mustSign.filterNot(auth.signedHeaders.contains)
+    if (missing.nonEmpty)
+      reject(400, "IncompleteSignatureException",
+        s"headers ${missing.mkString(",")} must be signed")
+    val date = Option(ex.getRequestHeaders.getFirst("X-Amz-Date"))
+      .getOrElse(reject(400, "IncompleteSignatureException",
+        "request is missing X-Amz-Date"))
+    if (!date.startsWith(auth.dateStamp))
+      reject(403, "InvalidSignatureException",
+        s"date $date outside credential scope ${auth.dateStamp}")
+    val reqMillis =
+      try java.time.Instant.from(SigV4.DateFormat.parse(date)).toEpochMilli
+      catch { case _: Exception =>
+        reject(403, "InvalidSignatureException", s"malformed date $date") }
+    if (math.abs(cfg.clock() - reqMillis) > cfg.skewToleranceMs)
+      reject(403, "InvalidSignatureException",
+        s"Signature expired: $date is outside the +/-" +
+          s"${cfg.skewToleranceMs / 60000} minute skew window")
+    cfg.credentials.sessionToken.foreach { tok =>
+      if (!Option(ex.getRequestHeaders.getFirst("X-Amz-Security-Token"))
+          .contains(tok))
+        reject(403, "UnrecognizedClientException",
+          "security token missing or invalid")
+    }
+    // recompute the signature over the RECEIVED bytes and the received
+    // values of the signed headers — any tampering breaks the match
+    val headerVals = auth.signedHeaders.map { h =>
+      h -> Option(ex.getRequestHeaders.getFirst(h))
+        .getOrElse(reject(400, "IncompleteSignatureException",
+          s"signed header $h absent from request"))
+    }
+    val cr = SigV4.canonicalRequest(ex.getRequestMethod,
+      ex.getRequestURI.getRawPath, ex.getRequestURI.getRawQuery,
+      headerVals, payload)
+    val sts = SigV4.stringToSign(date,
+      SigV4.credentialScope(auth.dateStamp, auth.region, auth.service), cr)
+    val expected = SigV4.hex(SigV4.hmacSha256(
+      SigV4.signingKey(cfg.credentials.secretAccessKey, auth.dateStamp,
+        auth.region, auth.service), sts))
+    if (expected != auth.signature)
+      reject(403, "InvalidSignatureException",
+        "the request signature does not match the calculated signature")
+  }
 
   private def listShards(req: JsonNode): ObjectNode = {
     val all = store.listShards()

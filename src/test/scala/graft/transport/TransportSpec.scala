@@ -396,6 +396,190 @@ class TransportSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------- SigV4 -----
+
+  private val testCreds = AwsCredentials("AKIDGRAFTTEST",
+    "graft-test-secret-key")
+
+  test("SigV4 end-to-end: the DSv2 source and sink sign every request " +
+      "from (endpoint, region, credentials) options and the stub " +
+      "verifies each signature server-side") {
+    withStub() { (stub, _) =>
+      stub.requireSigV4 = Some(StubSigV4(testCreds, "us-east-1"))
+      import spark.implicits._
+      val df = (1 to 25).map(n => (s"k${n % 5}", s"s$n"))
+        .toDF("partitionKey", "payload")
+        .select(col("partitionKey"),
+          encode(col("payload"), "UTF-8").as("data"))
+      def signedOpts(w: org.apache.spark.sql.DataFrameWriter[
+          org.apache.spark.sql.Row]) = w
+        .option("endpoint", stub.endpoint)
+        .option("stream-name", "wire")
+        .option("region", "us-east-1")
+        .option("access-key-id", testCreds.accessKeyId)
+        .option("secret-access-key", testCreds.secretAccessKey)
+      signedOpts(df.write.format("graft-kinesis")).mode("append").save()
+      val got = spark.read.format("graft-kinesis")
+        .option("endpoint", stub.endpoint)
+        .option("stream-name", "wire")
+        .option("region", "us-east-1")
+        .option("access-key-id", testCreds.accessKeyId)
+        .option("secret-access-key", testCreds.secretAccessKey)
+        .load().selectExpr("CAST(data AS STRING)").collect()
+        .map(_.getString(0)).toSet
+      assert(got === (1 to 25).map(n => s"s$n").toSet)
+      assert(stub.requests("PutRecords").nonEmpty &&
+        stub.requests("GetRecords").nonEmpty)
+    }
+  }
+
+  test("SigV4 rejection taxonomy: wrong secret, unknown key, missing " +
+      "signature, and stale date all fail FAST with a 4xx (never " +
+      "retried)") {
+    withStub() { (stub, _) =>
+      stub.requireSigV4 = Some(StubSigV4(testCreds, "us-east-1"))
+      def svcWith(sigv4: Option[SigV4Config]): HttpShardService =
+        new HttpShardService(stub.endpoint, "wire",
+          RetryPolicy(sleeper = _ => ()), sigv4)
+      // wrong secret -> signature mismatch
+      val bad = svcWith(Some(SigV4Config("us-east-1",
+        AwsCredentials(testCreds.accessKeyId, "wrong-secret"))))
+      val e1 = intercept[KinesisApiException] { bad.listShards() }
+      assert(e1.statusCode === 403 &&
+        e1.errorType === "InvalidSignatureException" && !e1.retryable)
+      assert(bad.requestCount.get() === 1, "fail fast: exactly one attempt")
+      // unknown access key
+      val unknown = svcWith(Some(SigV4Config("us-east-1",
+        AwsCredentials("AKIDSOMEONEELSE", testCreds.secretAccessKey))))
+      val e2 = intercept[KinesisApiException] { unknown.listShards() }
+      assert(e2.errorType === "UnrecognizedClientException")
+      // unsigned request against a signing endpoint
+      val unsigned = svcWith(None)
+      val e3 = intercept[KinesisApiException] { unsigned.listShards() }
+      assert(e3.statusCode === 400 &&
+        e3.errorType === "MissingAuthenticationTokenException")
+      // stale date: client clock 10 minutes behind the server window
+      val stale = svcWith(Some(SigV4Config("us-east-1", testCreds,
+        clock = () => System.currentTimeMillis() - 600000L)))
+      val e4 = intercept[KinesisApiException] { stale.listShards() }
+      assert(e4.errorType === "InvalidSignatureException" &&
+        e4.getMessage.contains("expired"))
+      // wrong region in the credential scope
+      val wrongRegion = svcWith(Some(SigV4Config("eu-west-1", testCreds)))
+      val e5 = intercept[KinesisApiException] { wrongRegion.listShards() }
+      assert(e5.errorType === "InvalidSignatureException")
+    }
+  }
+
+  test("SigV4 with temporary credentials: the session token is signed " +
+      "and verified; a swapped token is rejected") {
+    val tempCreds = AwsCredentials("ASIDGRAFTTEMP", "temp-secret",
+      Some("graft-session-token"))
+    val store = new InMemoryShardService("wire", Seq("shard-0"))
+    store.appendAssigned("shard-0", Seq(SubRecord("k", "v".getBytes(UTF_8))))
+    val stub = new KinesisWireStub(store)
+    try {
+      stub.requireSigV4 = Some(StubSigV4(tempCreds, "us-east-1"))
+      val svc = new HttpShardService(stub.endpoint, "wire",
+        RetryPolicy(sleeper = _ => ()),
+        Some(SigV4Config("us-east-1", tempCreds)))
+      assert(svc.listShards() === Seq("shard-0"))
+      // same key/secret but a different session token: rejected
+      val swapped = new HttpShardService(stub.endpoint, "wire",
+        RetryPolicy(sleeper = _ => ()),
+        Some(SigV4Config("us-east-1",
+          tempCreds.copy(sessionToken = Some("stolen-token")))))
+      val e = intercept[KinesisApiException] { swapped.listShards() }
+      assert(e.statusCode === 403)
+    } finally stub.stop()
+  }
+
+  test("SigV4 credentials ride the self-describing id: an executor-" +
+      "reconstructed client signs identically (and the id never " +
+      "carries the secret un-url-encoded pipes)") {
+    val id = ShardServiceRegistry.resolveId(Map(
+      "endpoint" -> "http://127.0.0.1:1", "stream-name" -> "s",
+      "region" -> "r-1", "access-key-id" -> "AK",
+      "secret-access-key" -> "se/cr+et=", "session-token" -> "to|k"))
+    ShardServiceRegistry.get(id) match {
+      case h: HttpShardService =>
+        assert(h.sigv4 === Some(SigV4Config("r-1",
+          AwsCredentials("AK", "se/cr+et=", Some("to|k")),
+          h.sigv4.get.clock)))
+      case other => fail(s"expected HttpShardService: $other")
+    }
+    // incomplete signing config fails at option-resolution time
+    val e = intercept[IllegalArgumentException] {
+      ShardServiceRegistry.resolveId(Map(
+        "endpoint" -> "http://x:1", "stream-name" -> "s",
+        "access-key-id" -> "AK"))
+    }
+    assert(e.getMessage.contains("SigV4"))
+  }
+
+  // -------------------------------------------- HTTP client tuning --
+
+  test("request-timeout fires on a stalling endpoint and is retried " +
+      "per the SDK taxonomy (timeout = transient I/O)") {
+    val store = new InMemoryShardService("wire", Seq("shard-0"))
+    store.appendAssigned("shard-0", Seq(SubRecord("k", "v".getBytes(UTF_8))))
+    val stub = new KinesisWireStub(store)
+    try {
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val svc = new HttpShardService(stub.endpoint, "wire",
+        RetryPolicy(maxRetries = 3, sleeper = (ms: Long) => sleeps += ms),
+        None, HttpTuning(requestTimeoutMs = 150L))
+      // first GetRecords stalls past the timeout; the retry sails
+      stub.faults.stallNext("GetRecords", 1, millis = 2000L)
+      val recs = svc.read("shard-0", ShardPos.Beginning,
+        ShardPos(BigInt(10), 0L)).toVector
+      assert(recs.size === 1)
+      assert(sleeps.size === 1, "exactly one backoff after the timeout")
+      // every attempt stalling: retries exhaust into HttpTimeoutException
+      stub.faults.stallNext("GetRecords", 10, millis = 2000L)
+      intercept[java.net.http.HttpTimeoutException] {
+        svc.read("shard-0", ShardPos.Beginning, ShardPos(BigInt(10), 0L))
+      }
+      assert(sleeps.size === 1 + 3, "three more backoffs before giving up")
+    } finally stub.stop()
+  }
+
+  test("max-connections bounds concurrent in-flight requests per " +
+      "client (observed at the endpoint's high-water mark)") {
+    withStub(shards = 1) { (stub, _) =>
+      val svc = new HttpShardService(stub.endpoint, "wire",
+        RetryPolicy(sleeper = _ => ()), None,
+        HttpTuning(maxConnections = 2, requestTimeoutMs = 10000L))
+      // 8 threads x stalled ListShards: without the bound the stub's
+      // 8-thread executor would see up to 8 in flight
+      stub.faults.stallNext("ListShards", 8, millis = 150L)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futures = (1 to 8).map(_ => pool.submit(
+          new java.util.concurrent.Callable[Int] {
+            override def call(): Int = svc.listShards().size
+          }))
+        assert(futures.map(_.get()).forall(_ == 1))
+      } finally pool.shutdown()
+      assert(stub.maxInflight <= 2,
+        s"connection window must cap concurrency, saw ${stub.maxInflight}")
+    }
+  }
+
+  test("tuning options ride the self-describing id to the " +
+      "reconstructed client") {
+    val id = ShardServiceRegistry.resolveId(Map(
+      "endpoint" -> "http://127.0.0.1:1", "stream-name" -> "s",
+      "connect-timeout-millis" -> "1234",
+      "request-timeout-millis" -> "5678",
+      "max-connections" -> "3"))
+    ShardServiceRegistry.get(id) match {
+      case h: HttpShardService =>
+        assert(h.tuning === HttpTuning(1234L, 5678L, 3))
+      case other => fail(s"expected HttpShardService: $other")
+    }
+  }
+
   test("positionAtTimestamp over the wire: AT_TIMESTAMP iterator " +
       "position excludes earlier arrivals only") {
     withStub(shards = 1) { (stub, svc) =>
