@@ -273,6 +273,7 @@ object Bench {
     }
 
     results ++= ingestReplay(spark)
+    results ++= wireIngestReplay(spark)
     results ++= eventsReplay(spark, sfDir)
     results ++= harnessReplay(spark)
 
@@ -460,6 +461,71 @@ object Bench {
       "rate_ingest_per_shard_eps" ->
         (if (sec > 0) expected / sec / nShards else 0.0),
       "ingest_integrity_ok" -> (if (ok) 1.0 else 0.0))
+  }
+
+  /** The same zero-loss/zero-dup replay through the DEPLOYMENT-shaped
+    * path (round-9 verdict item 7): `.option("endpoint", ...)` against
+    * the in-process Kinesis-shaped HTTP stub, so every record pays the
+    * real JSON + base64 + socket serialization tax plus SigV4-less
+    * header handling — the wire overhead the in-memory `service.id`
+    * replay skips. 1M records (vs the in-memory 5M): the number of
+    * interest is the per-record wire tax, not a longer soak of it.
+    */
+  private def wireIngestReplay(spark: SparkSession): Seq[(String, Double)] = {
+    import graft.sources.GeneratorShardService
+    import graft.transport.KinesisWireStub
+    val nShards = 8
+    val perShard = 125000L // 1M total
+    val svc = new GeneratorShardService("wirebench", nShards, perShard)
+    // request logging off: the log would pin every 10k-record page's
+    // parsed JSON in heap for the whole replay
+    val stub = new KinesisWireStub(svc, logRequests = false)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wire").toString
+
+    val lastSeq = scala.collection.mutable.Map.empty[String, Long]
+    var total = 0L
+    var violations = 0L
+    val t0 = System.nanoTime()
+    val q = spark.readStream.format("graft-kinesis")
+      .option("endpoint", stub.endpoint)
+      .option("stream-name", "wirebench")
+      .option("max-records-per-shard", "100000")
+      .load()
+      .selectExpr("shardId", "CAST(seqNo AS LONG) AS seq")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/chk")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.groupBy("shardId")
+          .agg(count(lit(1)).as("n"), min("seq").as("lo"), max("seq").as("hi"))
+          .collect()
+        rows.foreach { r =>
+          val (shard, n, lo, hi) =
+            (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          val prev = lastSeq.getOrElse(shard, 0L)
+          if (lo != prev + 1 || hi - lo + 1 != n) violations += 1
+          lastSeq(shard) = hi
+          total += n
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    stub.stop()
+
+    val expected = nShards * perShard
+    val ok = total == expected && violations == 0 &&
+      lastSeq.values.forall(_ == perShard)
+    if (!ok) System.err.println(
+      s"[bench] WIRE INGEST INTEGRITY FAILURE: total=$total " +
+        s"expected=$expected violations=$violations lastSeq=$lastSeq")
+    Seq(
+      "ingest_wire_replay_1m" -> sec,
+      "rate_wire_ingest_eps" -> (if (sec > 0) expected / sec else 0.0),
+      "rate_wire_ingest_per_shard_eps" ->
+        (if (sec > 0) expected / sec / nShards else 0.0),
+      "ingest_integrity_wire_ok" -> (if (ok) 1.0 else 0.0))
   }
 
   /** BASELINE.md reliability replay on real data: the `events` table

@@ -1,0 +1,138 @@
+package graft.metrics
+
+import scala.collection.concurrent.TrieMap
+
+/** Metrics levels — the reference's three-level CloudWatch config (KCL
+  * `metricsLevel` NONE/SUMMARY/DETAILED + `metricsEnabledDimensions`,
+  * reference main/resources/reference.conf:204-260; KPL
+  * `metricsGranularity`/`metricsLevel`,
+  * main/producer/KinesisProducerConfig.scala). Re-expressed for the
+  * Spark seam:
+  *
+  *  - `none`     — no recording at all; the recorder is the shared
+  *                 [[MetricsRecorder.Noop]] singleton whose `record`
+  *                 is an empty final method (provably zero-cost: no
+  *                 allocation, no map op, no dimension string)
+  *  - `summary`  — per-STREAM dimension only (KPL granularity
+  *                 "stream"; KCL summary dimensions)
+  *  - `detailed` — per-stream AND per-shard dimensions (KPL
+  *                 granularity "shard"; KCL detailed dimensions)
+  *
+  * Counters are JVM-local ([[GraftMetrics]]): each executor aggregates
+  * its own workers' counts, exactly as each KPL/KCL worker publishes
+  * its own CloudWatch rows; in `local[n]` the driver's snapshot sees
+  * everything, on a cluster a deployment would ship per-executor
+  * snapshots through its metrics pipeline. The driver-side bridge is
+  * [[GraftMetricsListener]] (per-micro-batch deltas — the analogue of
+  * the KCL `metricsBufferTimeMillis` upload cadence, rendered as
+  * Structured Streaming progress events).
+  */
+sealed abstract class MetricsLevel(val name: String)
+object MetricsLevel {
+  case object None extends MetricsLevel("none")
+  case object Summary extends MetricsLevel("summary")
+  case object Detailed extends MetricsLevel("detailed")
+
+  def parse(s: String): MetricsLevel = s.trim.toLowerCase match {
+    case "none" => None
+    case "summary" => Summary
+    case "detailed" => Detailed
+    case other => throw new IllegalArgumentException(
+      s"unknown metrics-level: $other (none|summary|detailed)")
+  }
+}
+
+/** Recording seam carried by the wire clients. `shardId` may be null
+  * when the caller has no shard context (request-level counters). */
+trait MetricsRecorder extends Serializable {
+  def record(metric: String, shardId: String, n: Long): Unit
+}
+
+object MetricsRecorder {
+  /** The `metricsLevel=none` path: a shared singleton with an empty
+    * body — nothing is counted, nothing is allocated. */
+  object Noop extends MetricsRecorder {
+    override final def record(metric: String, shardId: String,
+        n: Long): Unit = ()
+  }
+
+  def forLevel(level: MetricsLevel, streamName: String): MetricsRecorder =
+    level match {
+      case MetricsLevel.None => Noop
+      case MetricsLevel.Summary =>
+        new DimensionRecorder(streamName, detailed = false)
+      case MetricsLevel.Detailed =>
+        new DimensionRecorder(streamName, detailed = true)
+    }
+}
+
+/** Counts into the JVM-local registry under `stream=` (summary) and
+  * additionally `stream=,shard=` (detailed) dimension rows. */
+final class DimensionRecorder(streamName: String,
+    detailed: Boolean) extends MetricsRecorder {
+  override def record(metric: String, shardId: String, n: Long): Unit = {
+    GraftMetrics.add(metric, s"stream=$streamName", n)
+    if (detailed && shardId != null)
+      GraftMetrics.add(metric, s"stream=$streamName,shard=$shardId", n)
+  }
+}
+
+/** JVM-local counter registry. Metric names follow the public KPL/KCL
+  * CloudWatch vocabulary where a direct analogue exists:
+  * UserRecordsPut / UserRecordsDataPut / RetriesPerRecord /
+  * ErrorsByCode.<code> (KPL); RecordsFetched / BytesFetched re-express
+  * KCL's per-shard ProcessTask counters for the pull-based scan;
+  * PutRecordsRequests / GetRecordsRequests count wire calls (the
+  * collection-efficiency signal KPL surfaces as "User Records per
+  * Kinesis Record").
+  */
+object GraftMetrics {
+  private val counters =
+    TrieMap.empty[(String, String), java.util.concurrent.atomic.LongAdder]
+
+  def add(metric: String, dims: String, n: Long): Unit =
+    counters.getOrElseUpdate((metric, dims),
+      new java.util.concurrent.atomic.LongAdder).add(n)
+
+  /** Stable snapshot as `metric[dims] -> count`. */
+  def snapshot(): Map[String, Long] =
+    counters.readOnlySnapshot().map { case ((m, d), v) =>
+      s"$m[$d]" -> v.sum()
+    }.toMap
+
+  /** Test isolation + bounded memory for long-lived sessions. */
+  def reset(): Unit = counters.clear()
+}
+
+/** Driver-side bridge: a `StreamingQueryListener` that captures the
+  * per-micro-batch DELTA of the metrics registry alongside each
+  * progress event — the upload-cadence analogue of KCL's
+  * `metricsBufferTimeMillis`/KPL's `metricsUploadDelay`, rendered as
+  * Structured Streaming progress. Attach with
+  * `spark.streams.addListener(new GraftMetricsListener)`.
+  */
+final class GraftMetricsListener
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  /** (batchId, delta-since-previous-progress) per progress event. */
+  val reports = new java.util.concurrent.ConcurrentLinkedQueue[
+    (Long, Map[String, Long])]()
+  @volatile private var last: Map[String, Long] = Map.empty
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val now = GraftMetrics.snapshot()
+    val delta = now.collect {
+      case (k, v) if v != last.getOrElse(k, 0L) => k -> (v - last.getOrElse(k, 0L))
+    }
+    last = now
+    if (delta.nonEmpty) reports.add((event.progress.batchId, delta))
+  }
+
+  def deltas: Seq[(Long, Map[String, Long])] = {
+    import scala.jdk.CollectionConverters._
+    reports.asScala.toSeq
+  }
+}

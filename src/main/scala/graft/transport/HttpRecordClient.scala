@@ -92,9 +92,20 @@ final class HttpRecordClient(
           pending.foreach(_.onComplete(Some(e)))
           throw e
         }
+      // producer-side counters (KPL CloudWatch vocabulary): acked
+      // records + payload bytes per landed shard, per-entry retries and
+      // error codes, and the request count (collection efficiency)
+      service.metrics.record("PutRecordsRequests", null, 1L)
       val failed = pending.zip(results).flatMap {
-        case (p, Right(_)) => p.onComplete(None); None
-        case (p, Left(code)) => Some((p, code))
+        case (p, Right(shardId)) =>
+          service.metrics.record("UserRecordsPut", shardId, 1L)
+          service.metrics.record("UserRecordsDataPut", shardId,
+            p.event.data.length.toLong)
+          p.onComplete(None); None
+        case (p, Left(code)) =>
+          service.metrics.record("RetriesPerRecord", null, 1L)
+          service.metrics.record(s"ErrorsByCode.$code", null, 1L)
+          Some((p, code))
       }
       if (failed.isEmpty) return
       // KPL taxonomy: FailIfThrottled fast-fails THROTTLED entries

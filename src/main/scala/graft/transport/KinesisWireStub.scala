@@ -71,7 +71,8 @@ final case class StubSigV4(
     skewToleranceMs: Long = 300000L)
 
 /** In-process HTTP server speaking the Kinesis-shaped wire protocol of
-  * [[KinesisWire]] over an [[InMemoryShardService]] — the zero-egress
+  * [[KinesisWire]] over a [[graft.sources.ShardService]] (usually the
+  * mutable [[InMemoryShardService]]) — the zero-egress
   * localstack analogue (reference it/common/KinesisSuite.scala:147-303
   * runs the same suite shape against localstack). Every request and
   * response crosses a real TCP socket through real JSON + base64, so
@@ -84,10 +85,21 @@ final case class StubSigV4(
   * (server-side key routing + per-entry error codes).
   */
 final class KinesisWireStub(
-    val store: InMemoryShardService,
+    val backing: graft.sources.ShardService,
     val faults: FaultPolicy = new FaultPolicy,
-    listShardsPageSize: Int = 2) {
+    listShardsPageSize: Int = 2,
+    logRequests: Boolean = true) {
   import KinesisWire._
+
+  /** The mutable in-memory store, when the stub wraps one — the shape
+    * every fault/reshard test drives. A read-only backing (e.g. the
+    * lazy [[graft.sources.GeneratorShardService]] behind the wire
+    * ingest bench) supports everything except PutRecords. */
+  def store: InMemoryShardService = backing match {
+    case m: InMemoryShardService => m
+    case other => throw new IllegalStateException(
+      s"stub backing is read-only: ${other.getClass.getSimpleName}")
+  }
 
   /** When set, every request must carry a valid SigV4 signature over
     * these credentials — recomputed server-side from the received
@@ -111,6 +123,10 @@ final class KinesisWireStub(
     * for the client's max-connections bound. */
   private val inflight = new AtomicInteger(0)
   @volatile var maxInflight: Int = 0
+
+  /** Last User-Agent header seen — observability for the `user-agent`
+    * option (KCL `userAgent` parity). */
+  @volatile var lastUserAgent: String = _
 
   def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
   def stop(): Unit = server.stop(0)
@@ -136,11 +152,12 @@ final class KinesisWireStub(
         val target = Option(ex.getRequestHeaders.getFirst(TargetHeader))
           .getOrElse("")
         val action = target.stripPrefix(TargetPrefix)
+        lastUserAgent = ex.getRequestHeaders.getFirst("User-Agent")
         if (faults.shouldStall(action)) Thread.sleep(faults.stallMillis)
         val raw = ex.getRequestBody.readAllBytes()
         requireSigV4.foreach(verifySignature(ex, raw, _))
         val body = parse(raw)
-        requestLog.add((action, body))
+        if (logRequests) requestLog.add((action, body))
         if (faults.shouldFail(action)) {
           respond(ex, faults.failStatus,
             errorBody(faults.failErrorType, "injected fault"))
@@ -247,13 +264,13 @@ final class KinesisWireStub(
   }
 
   private def listShards(req: JsonNode): ObjectNode = {
-    val all = store.listShards()
+    val all = backing.listShards()
     val from = Option(req.get("NextToken")).map(_.asText().toInt).getOrElse(0)
     val page = all.slice(from, from + listShardsPageSize)
     val resp = obj()
     val arr = resp.putArray("Shards")
     page.foreach { id =>
-      val info = store.shardInfo(id)
+      val info = backing.shardInfo(id)
       val s = arr.addObject()
       s.put("ShardId", id)
       info.parentIds.headOption.foreach(s.put("ParentShardId", _))
@@ -264,7 +281,7 @@ final class KinesisWireStub(
       // EndingSequenceNumber present <=> shard closed (the real API's
       // closed-shard marker)
       if (info.closed) rng.put("EndingSequenceNumber",
-        store.latestPosition(id).seqNo.toString)
+        backing.latestPosition(id).seqNo.toString)
     }
     if (from + listShardsPageSize < all.size)
       resp.put("NextToken", (from + listShardsPageSize).toString)
@@ -273,15 +290,15 @@ final class KinesisWireStub(
 
   private def getShardIterator(req: JsonNode): ObjectNode = {
     val shardId = req.get("ShardId").asText()
-    if (!store.listShards().contains(shardId))
+    if (!backing.listShards().contains(shardId))
       throw new StubError(400, "ResourceNotFoundException",
         s"shard $shardId not found")
     val bound: ShardPos = req.get("ShardIteratorType").asText() match {
       case "TRIM_HORIZON" => ShardPos.Beginning
-      case "LATEST" => store.latestPosition(shardId)
+      case "LATEST" => backing.latestPosition(shardId)
       case "AT_TIMESTAMP" =>
         // stub extension: integer epoch micros (see KinesisWire docs)
-        store.positionAtTimestamp(shardId,
+        backing.positionAtTimestamp(shardId,
           req.get("Timestamp").asLong())
       case "AFTER_SEQUENCE_NUMBER" =>
         val seq = BigInt(req.get("StartingSequenceNumber").asText())
@@ -306,7 +323,7 @@ final class KinesisWireStub(
   private def getRecords(req: JsonNode): ObjectNode = {
     val (shardId, from) = parseToken(req.get("ShardIterator").asText())
     val limit = Option(req.get("Limit")).map(_.asInt()).getOrElse(10000)
-    val recs = store.read(shardId, from,
+    val recs = backing.read(shardId, from,
       ShardPos(BigInt(2).pow(159), Long.MaxValue))
       .take(limit).toVector
     val resp = obj()
@@ -319,9 +336,9 @@ final class KinesisWireStub(
       o.put("Data", b64e.encodeToString(encodeData(r.subRecords)))
     }
     val last = recs.lastOption.map(posOf).getOrElse(from)
-    val info = store.shardInfo(shardId)
+    val info = backing.shardInfo(shardId)
     val drained = info.closed &&
-      ShardPos.ordering.gteq(last, store.latestPosition(shardId))
+      ShardPos.ordering.gteq(last, backing.latestPosition(shardId))
     // null NextShardIterator == SHARD_END (the real API's closed-shard
     // drain signal)
     if (!drained) resp.put("NextShardIterator", token(shardId, last))

@@ -580,6 +580,30 @@ class TransportSpec extends SparkSpec {
     }
   }
 
+  test("user-agent: every wire request identifies the engine (KCL " +
+      "userAgent parity); the option overrides, rides the id, and is " +
+      "NOT SigV4-signed (a proxy rewrite must not break auth)") {
+    withStub(shards = 1) { (stub, svc) =>
+      svc.listShards()
+      assert(stub.lastUserAgent === HttpTuning.DefaultUserAgent)
+      assert(stub.lastUserAgent.startsWith("graft-kinesis/"))
+      assert(stub.lastUserAgent.contains("spark/"))
+      val custom = new HttpShardService(stub.endpoint, svc.streamName,
+        RetryPolicy(sleeper = _ => ()),
+        tuning = HttpTuning(userAgent = "acme-pipeline/2.3"))
+      custom.listShards()
+      assert(stub.lastUserAgent === "acme-pipeline/2.3")
+    }
+    // rides the self-describing id to a reconstructed client
+    val id = ShardServiceRegistry.resolveId(Map(
+      "endpoint" -> "http://127.0.0.1:1", "stream-name" -> "s",
+      "user-agent" -> "rider/1"))
+    ShardServiceRegistry.get(id) match {
+      case h: HttpShardService => assert(h.tuning.userAgent === "rider/1")
+      case other => fail(s"expected HttpShardService: $other")
+    }
+  }
+
   test("positionAtTimestamp over the wire: AT_TIMESTAMP iterator " +
       "position excludes earlier arrivals only") {
     withStub(shards = 1) { (stub, svc) =>
