@@ -30,10 +30,22 @@ import org.apache.spark.sql.functions._
   *    ~constant cell size, the IVF scaling story
   *  - events is omitted: no gate query reads it
   *
-  * Gate: time_K <= time_1 × K × slack and shuffle_K <= shuffle_1 × K ×
-  * slack + floor, per query; declared-quadratic eval-twins (exhaustive
-  * truth scans) are allowlisted by name with their contract. Writes
-  * SCALE_CURVE.json; exit code 1 on violation.
+  * Gate (round-9 verdict items 6+8): each query is measured at K ∈
+  * {1, 3, 10} and the log-log slope of time and shuffle vs K is
+  * least-squares fitted — a single ×K ratio can hide an n^1.3 creep
+  * behind slack, and an additive shuffle floor can rescue a
+  * transitional quadratic (round 9 caught e30 doing exactly that).
+  * Linear contracts must show fitted shuffle exponent <= 1.15 (when
+  * the ×10 shuffle is big enough to measure, >= 5 MB) AND per-K
+  * shuffle ratio <= K × 1.5 with NO additive floor (when the base
+  * shuffle is >= 1 MB), plus fitted time exponent <= 1.25 (when the
+  * ×10 time >= 1 s) and per-K time ratio <= K × 2. Declared-quadratic
+  * eval-twins (exhaustive truth scans) are allowlisted by name with
+  * their contract and recorded unguarded. Set
+  * SPARK_GRAFT_SCALE_SEED=1 to inject a deliberately quadratic
+  * self-join entry — the dry-run proof the slope gate catches what it
+  * claims to. Writes SCALE_CURVE.json with per-query fitted
+  * exponents; exit code 1 on violation.
   */
 object ScaleCurve {
 
@@ -128,13 +140,34 @@ object ScaleCurve {
       col("label")))
   }
 
+  /** Least-squares slope of ln(y) on ln(x) — the fitted scaling
+    * exponent over the measured K points. */
+  private def fittedExponent(ks: Seq[Int], ys: Seq[Double],
+      eps: Double): Double = {
+    val xs = ks.map(k => math.log(k.toDouble))
+    val ls = ys.map(y => math.log(math.max(y, eps)))
+    val n = xs.size.toDouble
+    val mx = xs.sum / n; val my = ls.sum / n
+    val cov = xs.zip(ls).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val varx = xs.map(x => (x - mx) * (x - mx)).sum
+    cov / varx
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val k = args.lift(1).map(_.toInt).getOrElse(10)
-    val replicaDir = args.lift(2).getOrElse("/tmp/graft_scale")
+    val kMax = args.lift(1).map(_.toInt).getOrElse(10)
+    val replicaRoot = args.lift(2).getOrElse("/tmp/graft_scale")
     val outPath = args.lift(3).getOrElse("SCALE_CURVE.json")
-    val slack = 2.0
-    val shuffleFloorMb = 50.0
+    // measurement points: base, a mid replica, and the full ×K — three
+    // points pin a slope where two pin only a ratio
+    val kMid = math.max(2, math.round(math.sqrt(kMax.toDouble)).toInt)
+    val ks = Seq(1, kMid, kMax)
+    val timeSlack = 2.0          // per-K ratio bound (absorbs JIT/GC)
+    val shuffleSlack = 1.5       // per-K ratio bound, NO additive floor
+    val timeExpMax = 1.25        // fitted ln-ln slope bounds
+    val shuffleExpMax = 1.15
+    val timeGateFloorSec = 1.0   // below these, noise/granularity
+    val shuffleGateFloorMb = 5.0 // dominates and slopes are meaningless
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -146,26 +179,32 @@ object ScaleCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // replica is reusable only if COMPLETE and built with the same
+    // a replica is reusable only if COMPLETE and built with the same
     // (baseDir, k) — a marker written LAST records both; a partial
     // build (crash) or a different k rebuilds from scratch
-    val marker = java.nio.file.Paths.get(s"$replicaDir/_SCALE_MARKER")
-    val markerWant = s"$baseDir|$k"
-    val replicaOk =
-      java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker),
-          java.nio.charset.StandardCharsets.UTF_8).trim == markerWant &&
-        tables.forall(t => java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$replicaDir/$t.parquet")))
-    if (!replicaOk) {
-      System.err.println(s"[scale] building x$k replica at $replicaDir")
-      java.nio.file.Files.deleteIfExists(marker)
-      buildReplica(spark, baseDir, replicaDir, k)
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(replicaDir))
-      java.nio.file.Files.write(marker, (markerWant + "\n").getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+    def ensureReplica(k: Int): String = {
+      if (k == 1) return baseDir
+      val dir = s"$replicaRoot/x$k"
+      val marker = java.nio.file.Paths.get(s"$dir/_SCALE_MARKER")
+      val markerWant = s"$baseDir|$k"
+      val replicaOk =
+        java.nio.file.Files.exists(marker) &&
+          new String(java.nio.file.Files.readAllBytes(marker),
+            java.nio.charset.StandardCharsets.UTF_8).trim == markerWant &&
+          tables.forall(t => java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dir/$t.parquet")))
+      if (!replicaOk) {
+        System.err.println(s"[scale] building x$k replica at $dir")
+        java.nio.file.Files.deleteIfExists(marker)
+        buildReplica(spark, baseDir, dir, k)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(dir))
+        java.nio.file.Files.write(marker, (markerWant + "\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
+      dir
     }
+    val dirOf: Map[Int, String] = ks.map(k => k -> ensureReplica(k)).toMap
 
     val listener = new Bench.MetricsListener
     spark.sparkContext.addSparkListener(listener)
@@ -174,54 +213,108 @@ object ScaleCurve {
         .foreach(_.unpersist(blocking = false))
       System.gc()
     }
-    def measure(name: String, dir: String): (Double, Double) = {
-      val fn = SparkEntry.queries(name)
+    // the seeded quadratic (dry-run proof, round-9 item 8): an
+    // equi-join whose key collides across replicas (offsets are
+    // multiples of 1e6, so vec_id % 1000 classes merge), making the
+    // pair count grow ×K² while every production query grows ×K — the
+    // slope gate MUST flag it or the gate proves nothing
+    val seeded: Map[String, (SparkSession, String) => DataFrame] =
+      if (!sys.env.get("SPARK_GRAFT_SCALE_SEED").contains("1")) Map.empty
+      else Map("seeded_quadratic_dryrun" -> ((s: SparkSession, d: String) => {
+        val v = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), (col("vec_id") % 1000).as("kk"))
+        v.join(v.select(col("vec_id").as("b_id"), col("kk")), "kk")
+          .filter(col("vec_id") =!= col("b_id"))
+          .groupBy(col("kk")).agg(count(lit(1)).as("pairs"),
+            sum(col("vec_id") + col("b_id")).as("chk"))
+      }))
+    def queryFn(name: String): (SparkSession, String) => DataFrame =
+      seeded.getOrElse(name, SparkEntry.queries(name))
+
+    def measure(name: String, dir: String,
+        timedRuns: Int): (Double, Double) = {
+      val fn = queryFn(name)
       def run(): Unit =
         fn(spark, dir).write.format("noop").mode("overwrite").save()
       run(); release() // warm
-      def timed(): Double = {
-        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      var best = Double.MaxValue
+      var sh = 0.0
+      (1 to timedRuns).foreach { _ =>
+        Thread.sleep(100); listener.reset()
+        val t0 = System.nanoTime(); run()
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(100)
+        if (t < best) {
+          best = t
+          sh = (listener.shuffleRead.get + listener.shuffleWrite.get) /
+            1048576.0
+        }
+        release()
       }
-      val t1 = timed(); release()
-      Thread.sleep(100); listener.reset()
-      val t2 = timed()
-      Thread.sleep(100)
-      val sh = (listener.shuffleRead.get + listener.shuffleWrite.get) /
-        1048576.0
-      release()
-      (math.min(t1, t2), sh)
+      (best, sh)
     }
 
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val selected = only match {
+    val selected = (only match {
       case Some(pre) => gateQueries.filter(q => pre.exists(q.startsWith))
       case None => gateQueries
-    }
+    }) ++ seeded.keys.toSeq.sorted
     val sb = new StringBuilder
     var violations = List.empty[String]
-    sb.append(s"""{"k":$k,"slack":$slack,"entries":{""")
+    sb.append(s"""{"k":$kMax,"ks":[${ks.mkString(",")}],""" +
+      s""""time_slack":$timeSlack,"shuffle_slack":$shuffleSlack,""" +
+      s""""time_exp_max":$timeExpMax,"shuffle_exp_max":$shuffleExpMax,""" +
+      s""""entries":{""")
     selected.zipWithIndex.foreach { case (name, idx) =>
-      val (t1, s1) = measure(name, baseDir)
-      val (tk, sk) = measure(name, replicaDir)
-      val tr = tk / math.max(t1, 0.05)
-      val sr = sk / math.max(s1, 0.1)
+      // the mid point only supports the fit: one timed run suffices;
+      // the endpoints (which also drive the ratio gates) get two
+      val pts = ks.map(k =>
+        measure(name, dirOf(k), if (k == 1 || k == kMax) 2 else 1))
+      val times = pts.map(_._1); val shuffles = pts.map(_._2)
+      val (t1, s1) = (times.head, shuffles.head)
+      val (tk, sk) = (times.last, shuffles.last)
+      val tExp = fittedExponent(ks, times, 0.05)
+      val sExp = fittedExponent(ks, shuffles, 0.1)
       val declared = quadraticAllowed.contains(name)
-      val timeOk = declared || tr <= k * slack
-      val shuffleOk = declared || sk <= s1 * k * slack + shuffleFloorMb
-      if (!timeOk) violations ::= f"$name time x$tr%.1f (limit x${k * slack})"
-      if (!shuffleOk) violations ::=
-        f"$name shuffle ${sk}%.0fMB vs base ${s1}%.1fMB (limit x${k * slack})"
-      System.err.println(f"[scale] $name%-32s t1=$t1%6.2fs tk=$tk%7.2fs " +
-        f"(x$tr%5.1f)  s1=$s1%8.2fMB sk=$sk%9.2fMB (x$sr%5.1f)" +
+      var bad = List.empty[String]
+      if (!declared) {
+        // per-K ratio gates (both intermediate and end points)
+        ks.zip(pts).drop(1).foreach { case (k, (t, s)) =>
+          if (t > t1 * k * timeSlack)
+            bad ::= f"time x${t / math.max(t1, 0.05)}%.1f at k=$k " +
+              f"(limit x${k * timeSlack})"
+          if (s1 >= 1.0 && s > s1 * k * shuffleSlack)
+            bad ::= f"shuffle ${s}%.0fMB at k=$k vs base ${s1}%.1fMB " +
+              f"(limit x${k * shuffleSlack}, no floor)"
+        }
+        // fitted-exponent gates (only where the ×K signal outweighs
+        // noise/granularity; skipped entries are LOGGED, not silent)
+        if (tk >= timeGateFloorSec && tExp > timeExpMax)
+          bad ::= f"time exponent $tExp%.2f > $timeExpMax"
+        if (sk >= shuffleGateFloorMb && sExp > shuffleExpMax)
+          bad ::= f"shuffle exponent $sExp%.2f > $shuffleExpMax"
+        if (tk < timeGateFloorSec || sk < shuffleGateFloorMb)
+          System.err.println(f"[scale] $name: exponent gate partially " +
+            f"skipped (tk=$tk%.2fs < ${timeGateFloorSec}s or " +
+            f"sk=$sk%.1fMB < ${shuffleGateFloorMb}MB — noise floor)")
+      }
+      bad.foreach(b => violations ::= s"$name $b")
+      System.err.println(f"[scale] $name%-32s " +
+        f"t=${times.map(t => f"$t%.2f").mkString("/")}s " +
+        f"(exp $tExp%5.2f)  s=${shuffles.map(s => f"$s%.1f").mkString("/")}MB " +
+        f"(exp $sExp%5.2f)" +
         (if (declared) "  [declared-quadratic]" else "") +
-        (if (timeOk && shuffleOk) "" else "  VIOLATION"))
+        (if (bad.isEmpty) "" else "  VIOLATION"))
       if (idx > 0) sb.append(",")
-      sb.append(f""""$name":{"t1":$t1%.3f,"tk":$tk%.3f,""" +
-        f""""time_ratio":$tr%.2f,"s1_mb":$s1%.3f,"sk_mb":$sk%.3f,""" +
-        f""""shuffle_ratio":$sr%.2f,""" +
+      sb.append(f""""$name":{""" +
+        s""""t_sec":[${times.map(t => f"$t%.3f").mkString(",")}],""" +
+        s""""s_mb":[${shuffles.map(s => f"$s%.3f").mkString(",")}],""" +
+        f""""time_exp":$tExp%.3f,"shuffle_exp":$sExp%.3f,""" +
+        f""""time_ratio":${tk / math.max(t1, 0.05)}%.2f,""" +
+        f""""shuffle_ratio":${sk / math.max(s1, 0.1)}%.2f,""" +
         s""""declared_quadratic":${if (declared) 1 else 0},""" +
-        s""""ok":${if (timeOk && shuffleOk) 1 else 0}}""")
+        s""""ok":${if (bad.isEmpty) 1 else 0}}""")
     }
     sb.append(s"""},"violations":${violations.size},""" +
       s""""ok":${if (violations.isEmpty) 1 else 0}}""")

@@ -79,7 +79,7 @@ class PlanLintSpec extends SparkSpec {
     "d27_source_minhash_jaccard" -> "bounded cross: |sources|^2 pairing of 17-column signature rows",
     "e26_filtered_ann" -> "bounded cross: broadcast centroid assignment",
     "d28_simhash_radius_sweep" -> "eval-twin: exhaustive hamming truth (a < b) for the radius sweep",
-    "e30_jl_projection_audit" -> "sampled: min(1/16, 256/n) md5 hash-sample query side x corpus — capped sample keeps the truth scan linear in n (129x2000 at sf0.1; was the round-8 full n² scale-killer)",
+    "e30_jl_projection_audit" -> "sampled: min(1/16, 64/n) md5 hash-sample (2^24 buckets, rate floor 1/2^24) query side x corpus — the ~64-query cap binds from sf0.1 up, so the truth scan is capped-linear at every gate SF (was the round-8 full n² scale-killer; round-9 item 6 moved the knee below the gate SFs)",
     "q112_price_volume_mix" -> "O(1) broadcast: date-split scalar",
     "q118_return_rate_outliers" -> "O(1) broadcast: (nn, kk) totals scalar",
     "e28_ood_screen" -> "bounded cross: broadcast centroid assignment",

@@ -413,8 +413,8 @@ class Round8OpsSpec extends SparkSpec {
       (id, v, dotp(v, v), p, dotp(p, p))
     }
     // query side = the operator's deterministic md5 hash-sample at
-    // rate min(1/16, 256/n); at the test SF (n <= 4096) the threshold
-    // is exactly 256 of 4096 buckets == first hex char '0'
+    // rate min(1/16, 64/n); at the test SF (n <= 1024) the threshold
+    // is exactly 2^20 of 2^24 buckets == first hex char '0'
     val per = base.filter(t => md5hex(s"e30|${t._1}").charAt(0) == '0')
       .map { case (id, v, n2, p, p2) =>
       val others = base.filter(_._1 != id).map { case (oid, ov, on2, op, op2) =>
