@@ -222,11 +222,14 @@ object ScaleCurve {
       if (!sys.env.get("SPARK_GRAFT_SCALE_SEED").contains("1")) Map.empty
       else Map("seeded_quadratic_dryrun" -> ((s: SparkSession, d: String) => {
         val v = s.read.parquet(s"$d/embeddings.parquet")
-          .select(col("vec_id"), (col("vec_id") % 1000).as("kk"))
+          .select(col("vec_id"), (col("vec_id") % 50).as("kk"))
+        // the distinct() MATERIALIZES the quadratic pair set through a
+        // shuffle (a map-side-combined count would hide it): pairs per
+        // key grow ×K², so shuffle bytes fit exponent ~2
         v.join(v.select(col("vec_id").as("b_id"), col("kk")), "kk")
           .filter(col("vec_id") =!= col("b_id"))
-          .groupBy(col("kk")).agg(count(lit(1)).as("pairs"),
-            sum(col("vec_id") + col("b_id")).as("chk"))
+          .select(col("vec_id"), col("b_id")).distinct()
+          .groupBy(col("vec_id") % 7).agg(count(lit(1)).as("pairs"))
       }))
     def queryFn(name: String): (SparkSession, String) => DataFrame =
       seeded.getOrElse(name, SparkEntry.queries(name))
