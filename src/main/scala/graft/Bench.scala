@@ -486,10 +486,16 @@ object Bench {
     var total = 0L
     var violations = 0L
     val t0 = System.nanoTime()
+    // NO per-trigger cap: over the wire, a record cap makes the
+    // driver pre-read each shard's batch through GetRecords just to
+    // compute the end offset (positionAfter has no data-free form in
+    // the Kinesis protocol) — executors would then read the same
+    // range again. Uncapped, the end offset is one LATEST iterator
+    // call and executors do the only data pass; the per-GetRecords
+    // page stays bounded at 10000 wire records regardless.
     val q = spark.readStream.format("graft-kinesis")
       .option("endpoint", stub.endpoint)
       .option("stream-name", "wirebench")
-      .option("max-records-per-shard", "100000")
       .load()
       .selectExpr("shardId", "CAST(seqNo AS LONG) AS seq")
       .writeStream

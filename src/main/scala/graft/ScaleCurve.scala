@@ -35,17 +35,29 @@ import org.apache.spark.sql.functions._
   * least-squares fitted — a single ×K ratio can hide an n^1.3 creep
   * behind slack, and an additive shuffle floor can rescue a
   * transitional quadratic (round 9 caught e30 doing exactly that).
-  * Linear contracts must show fitted shuffle exponent <= 1.15 (when
-  * the ×10 shuffle is big enough to measure, >= 5 MB) AND per-K
-  * shuffle ratio <= K × 1.5 with NO additive floor (when the base
-  * shuffle is >= 1 MB), plus fitted time exponent <= 1.25 (when the
-  * ×10 time >= 1 s) and per-K time ratio <= K × 2. Declared-quadratic
-  * eval-twins (exhaustive truth scans) are allowlisted by name with
-  * their contract and recorded unguarded. Set
-  * SPARK_GRAFT_SCALE_SEED=1 to inject a deliberately quadratic
-  * self-join entry — the dry-run proof the slope gate catches what it
+  * Two binding contracts per linear entry, NO additive floor on
+  * either:
+  *
+  *  1. endpoint ratio — metric at ×K <= base × K × slack (time slack
+  *     2, shuffle slack 1.5); intermediate K points inform the fit
+  *     but are not ratio-gated (integer plan constants — adaptive
+  *     band widths, bucket counts — step at SOME corpus size, and a
+  *     one-time step inside the range is a regime shift, not an
+  *     exponent)
+  *  2. asymptotic exponent — min(full fit, tail fit over the upper
+  *     two points) <= 1.25 time / 1.15 shuffle, gated when the ×K
+  *     signal clears the noise floor (1 s / 5 MB). The min is what
+  *     separates a step from a blow-up: a genuine super-linear
+  *     process is super-linear in the TAIL too (the seeded quadratic
+  *     below measures tail exponent ~2), while a regime step has a
+  *     steep full fit and a flat tail.
+  *
+  * Declared-quadratic eval-twins (exhaustive truth scans) are
+  * allowlisted by name with their contract and recorded unguarded.
+  * Set SPARK_GRAFT_SCALE_SEED=1 to inject a deliberately quadratic
+  * self-join entry — the dry-run proof the gate catches what it
   * claims to. Writes SCALE_CURVE.json with per-query fitted
-  * exponents; exit code 1 on violation.
+  * exponents (full + tail); exit code 1 on violation.
   */
 object ScaleCurve {
 
@@ -279,24 +291,29 @@ object ScaleCurve {
       val (tk, sk) = (times.last, shuffles.last)
       val tExp = fittedExponent(ks, times, 0.05)
       val sExp = fittedExponent(ks, shuffles, 0.1)
+      val tExpTail = fittedExponent(ks.takeRight(2), times.takeRight(2), 0.05)
+      val sExpTail = fittedExponent(ks.takeRight(2), shuffles.takeRight(2), 0.1)
       val declared = quadraticAllowed.contains(name)
       var bad = List.empty[String]
       if (!declared) {
-        // per-K ratio gates (both intermediate and end points)
-        ks.zip(pts).drop(1).foreach { case (k, (t, s)) =>
-          if (t > t1 * k * timeSlack)
-            bad ::= f"time x${t / math.max(t1, 0.05)}%.1f at k=$k " +
-              f"(limit x${k * timeSlack})"
-          if (s1 >= 1.0 && s > s1 * k * shuffleSlack)
-            bad ::= f"shuffle ${s}%.0fMB at k=$k vs base ${s1}%.1fMB " +
-              f"(limit x${k * shuffleSlack}, no floor)"
-        }
-        // fitted-exponent gates (only where the ×K signal outweighs
-        // noise/granularity; skipped entries are LOGGED, not silent)
-        if (tk >= timeGateFloorSec && tExp > timeExpMax)
-          bad ::= f"time exponent $tExp%.2f > $timeExpMax"
-        if (sk >= shuffleGateFloorMb && sExp > shuffleExpMax)
-          bad ::= f"shuffle exponent $sExp%.2f > $shuffleExpMax"
+        // endpoint ratio gates (contract 1)
+        if (tk > t1 * kMax * timeSlack)
+          bad ::= f"time x${tk / math.max(t1, 0.05)}%.1f at k=$kMax " +
+            f"(limit x${kMax * timeSlack})"
+        if (s1 >= 1.0 && sk > s1 * kMax * shuffleSlack)
+          bad ::= f"shuffle ${sk}%.0fMB at k=$kMax vs base ${s1}%.1fMB " +
+            f"(limit x${kMax * shuffleSlack}, no floor)"
+        // asymptotic-exponent gates (contract 2): min(full, tail),
+        // only where the ×K signal outweighs noise/granularity;
+        // skipped entries are LOGGED, not silent
+        if (tk >= timeGateFloorSec &&
+            math.min(tExp, tExpTail) > timeExpMax)
+          bad ::= f"time exponent full $tExp%.2f / tail $tExpTail%.2f " +
+            f"both > $timeExpMax"
+        if (sk >= shuffleGateFloorMb &&
+            math.min(sExp, sExpTail) > shuffleExpMax)
+          bad ::= f"shuffle exponent full $sExp%.2f / tail $sExpTail%.2f " +
+            f"both > $shuffleExpMax"
         if (tk < timeGateFloorSec || sk < shuffleGateFloorMb)
           System.err.println(f"[scale] $name: exponent gate partially " +
             f"skipped (tk=$tk%.2fs < ${timeGateFloorSec}s or " +
@@ -305,15 +322,17 @@ object ScaleCurve {
       bad.foreach(b => violations ::= s"$name $b")
       System.err.println(f"[scale] $name%-32s " +
         f"t=${times.map(t => f"$t%.2f").mkString("/")}s " +
-        f"(exp $tExp%5.2f)  s=${shuffles.map(s => f"$s%.1f").mkString("/")}MB " +
-        f"(exp $sExp%5.2f)" +
+        f"(exp $tExp%5.2f tail $tExpTail%5.2f)  " +
+        f"s=${shuffles.map(s => f"$s%.1f").mkString("/")}MB " +
+        f"(exp $sExp%5.2f tail $sExpTail%5.2f)" +
         (if (declared) "  [declared-quadratic]" else "") +
         (if (bad.isEmpty) "" else "  VIOLATION"))
       if (idx > 0) sb.append(",")
       sb.append(f""""$name":{""" +
         s""""t_sec":[${times.map(t => f"$t%.3f").mkString(",")}],""" +
         s""""s_mb":[${shuffles.map(s => f"$s%.3f").mkString(",")}],""" +
-        f""""time_exp":$tExp%.3f,"shuffle_exp":$sExp%.3f,""" +
+        f""""time_exp":$tExp%.3f,"time_exp_tail":$tExpTail%.3f,""" +
+        f""""shuffle_exp":$sExp%.3f,"shuffle_exp_tail":$sExpTail%.3f,""" +
         f""""time_ratio":${tk / math.max(t1, 0.05)}%.2f,""" +
         f""""shuffle_ratio":${sk / math.max(s1, 0.1)}%.2f,""" +
         s""""declared_quadratic":${if (declared) 1 else 0},""" +

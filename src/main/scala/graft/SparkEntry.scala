@@ -39,6 +39,7 @@ object SparkEntry {
       operators.Extended14.queries ++
       operators.Extended15.queries ++
       operators.Extended16.queries ++
+      operators.Extended17.queries ++
       operators.PiiOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,5 +67,6 @@ object SparkEntry {
       operators.Extended14.oracleSql ++
       operators.Extended15.oracleSql ++
       operators.Extended16.oracleSql ++
+      operators.Extended17.oracleSql ++
       operators.PiiOps.oracleSql
 }

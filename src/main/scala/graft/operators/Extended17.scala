@@ -1,0 +1,326 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Seventeenth analytics batch (round 10): predictive structure across
+  * series and tokens. q200 asks whether one weekly series helps
+  * FORECAST another beyond its own history (Granger causality — both
+  * directions solved from one shared lag frame, exact-moment Cramer
+  * algebra, the q183 discipline); t49 upgrades t44's add-1 bigram
+  * model to Kneser–Ney smoothing (absolute discounting + continuation
+  * probability — the smoothing every n-gram LM pipeline actually
+  * ships) and measures the cross-entropy drop on the same held-out
+  * split. Same contract as Extended5–16: exact integer/decimal moment
+  * carriers surfaced to doubles through identically-sequenced
+  * operations (DuckDB HUGEINTs take the q150 VARCHAR→DOUBLE route;
+  * per-term logs quantize at DECIMAL(18,9) before the
+  * order-insensitive sum, the t44 rule), calendar/type-bounded frames,
+  * one scale note per entry. The reference delegates all analytics to
+  * user code behind its event processor
+  * (`/root/reference/README.md:246-293`).
+  */
+object Extended17 {
+
+  private val dec = DecimalType(38, 0)
+
+  /** Shared weekly two-series carrier: exact revenue in WHOLE
+    * THOUSANDS of dollars (kept small so the 4th-order moment
+    * products below stay ~1e25 at sf0.1 — thirteen orders of
+    * precision-38 headroom, enough for a ×1e6 data scale-up) and
+    * order count per observed week (~350 calendar-bounded rows at ANY
+    * data scale — the q159/q176/q193 grid). One fact-join exchange,
+    * then every downstream window is over the grid, never fact rows.
+    */
+  private def weeklyPair(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(expr(
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7")
+        .as("w"))
+      .agg(expr(
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100000")
+        .as("yv"),
+        countDistinct(col("l_orderkey")).as("xv"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // GRANGER CAUSALITY (both directions, one lag frame) — does
+    // weekly order COUNT help forecast weekly REVENUE beyond
+    // revenue's own lag, and vice versa? Unrestricted y_t ~ (y_{t-1},
+    // x_{t-1}) vs restricted y_t ~ y_{t-1}; F = (RSS_r − RSS_u) /
+    // (RSS_u/(n−3)). Both directions SHARE the regressor pair
+    // (y_{t-1}, x_{t-1}) — only the target differs — so one 14-moment
+    // aggregate feeds two Cramer solves (the q183 centered
+    // DECIMAL(38,0) algebra; divisions only at the final
+    // projections). The finding: the two series are near-collinear
+    // proxies (orders ARE revenue on this generator), so each
+    // direction's cross-lag adds little beyond the own lag — F small
+    // vs F(1, n−3) ≈ 3.87 — the "correlation is not incremental
+    // predictability" lesson measured. Scale shape: one fact-join
+    // exchange to the ~350-row grid, one lag window over the grid,
+    // 14 moments map-side-combined to a single row.
+    "q200_granger_causality" -> ((s, d) => {
+      val wSeq = Window.orderBy(col("w"))
+      val lagf = weeklyPair(s, d)
+        .withColumn("yl", lag(col("yv"), 1).over(wSeq))
+        .withColumn("xl", lag(col("xv"), 1).over(wSeq))
+        .filter(col("yl").isNotNull)
+      val m = lagf.agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("yl").cast(dec)).as("s1"),
+        sum(col("xl").cast(dec)).as("s2"),
+        sum(col("yv").cast(dec)).as("sy"),
+        sum(col("xv").cast(dec)).as("sx"),
+        sum((col("yl") * col("yl")).cast(dec)).as("s11"),
+        sum((col("xl") * col("xl")).cast(dec)).as("s22"),
+        sum((col("yl") * col("xl")).cast(dec)).as("s12"),
+        sum((col("yl") * col("yv")).cast(dec)).as("s1y"),
+        sum((col("xl") * col("yv")).cast(dec)).as("s2y"),
+        sum((col("yl") * col("xv")).cast(dec)).as("s1x"),
+        sum((col("xl") * col("xv")).cast(dec)).as("s2x"),
+        sum(col("yv").cast(dec) * col("yv")).as("syy"),
+        sum(col("xv").cast(dec) * col("xv")).as("sxx"))
+      val c = m.select(col("n"),
+        (col("n") * col("s11") - col("s1") * col("s1")).as("m11"),
+        (col("n") * col("s22") - col("s2") * col("s2")).as("m22"),
+        (col("n") * col("s12") - col("s1") * col("s2")).as("m12"),
+        (col("n") * col("s1y") - col("s1") * col("sy")).as("b1y"),
+        (col("n") * col("s2y") - col("s2") * col("sy")).as("b2y"),
+        (col("n") * col("s1x") - col("s1") * col("sx")).as("b1x"),
+        (col("n") * col("s2x") - col("s2") * col("sx")).as("b2x"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("syy_c"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("sxx_c"))
+        .withColumn("det",
+          col("m11") * col("m22") - col("m12") * col("m12"))
+      // direction x→y: unrestricted R² from both betas, restricted
+      // from the own lag alone; all ratios of exact decimals
+      def r2u(b1: String, b2: String, syyC: String) =
+        ((col("m22") * col(b1) - col("m12") * col(b2)).cast("double") *
+          col(b1).cast("double") +
+          (col("m11") * col(b2) - col("m12") * col(b1)).cast("double") *
+            col(b2).cast("double")) /
+          (col("det").cast("double") * col(syyC).cast("double"))
+      // restricted: y on own lag only. For the reverse direction the
+      // own lag is x_{t-1} (m22), cross is y_{t-1}
+      def r2r(bv: String, mOwn: String, syyC: String) =
+        (col(bv).cast("double") * col(bv).cast("double")) /
+          (col(mOwn).cast("double") * col(syyC).cast("double"))
+      c.withColumn("r2u_y", r2u("b1y", "b2y", "syy_c"))
+        .withColumn("r2r_y", r2r("b1y", "m11", "syy_c"))
+        .withColumn("r2u_x",
+          ((col("m22") * col("b1x") - col("m12") * col("b2x"))
+            .cast("double") * col("b1x").cast("double") +
+            (col("m11") * col("b2x") - col("m12") * col("b1x"))
+              .cast("double") * col("b2x").cast("double")) /
+            (col("det").cast("double") * col("sxx_c").cast("double")))
+        .withColumn("r2r_x", r2r("b2x", "m22", "sxx_c"))
+        .withColumn("f_x_causes_y",
+          (col("r2u_y") - col("r2r_y")) / (lit(1.0) - col("r2u_y")) *
+            (col("n").cast("double") - lit(3.0)))
+        .withColumn("f_y_causes_x",
+          (col("r2u_x") - col("r2r_x")) / (lit(1.0) - col("r2u_x")) *
+            (col("n").cast("double") - lit(3.0)))
+        .select(col("n").cast("long").as("n_weeks"),
+          col("r2u_y"), col("r2r_y"), col("f_x_causes_y"),
+          col("r2u_x"), col("r2r_x"), col("f_y_causes_x"))
+    }),
+
+    // KNESER–NEY BIGRAM CROSS-ENTROPY — t44's add-1 model, upgraded
+    // to the smoothing real n-gram LM pipelines ship: absolute
+    // discount D = 0.75 off every seen bigram, redistributed through
+    // the CONTINUATION probability (how many distinct histories a
+    // word completes, not how often it occurs — "Francisco" is
+    // frequent but only ever follows "San"). P(w2|w1) =
+    // max(c2−D,0)/c1 + (D·N1+(w1·)/c1)·N1+(·w2)/N1+(··); an unseen
+    // history backs off to the continuation term alone; a w2 never
+    // seen as a continuation gets the uniform floor 1/(V+1). Per-term
+    // −log p quantized at DECIMAL(18,9) BEFORE the order-insensitive
+    // sum (the t44 libm rule). The finding (measured, Round10OpsSpec):
+    // on this generator's HAPAX-DOMINATED bigrams the two smoothers
+    // land within 2% and add-1 edges KN on every language at sf0.01 —
+    // a fixed D = 0.75 takes three quarters of a singleton's count,
+    // and when nearly every seen bigram IS a singleton that
+    // over-discount costs more than add-1's uniform dilution (Ney's
+    // count-of-counts estimate D = n1/(n1+2n2) would discount even
+    // harder here). On real Zipfian text the ranking flips — the
+    // eval-twin exists to MEASURE the smoothing choice per corpus,
+    // which is exactly what an LM-data pipeline needs it for. Scale
+    // shape: identical to t44 — in-row gram
+    // explode, three (lang-keyed) count exchanges with map-side
+    // combine, broadcast |langs|-row totals, one eval join.
+    "t49_kneser_ney_bigram" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("filter(split(trim(text), ' '), x -> x <> '')").as("ws"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
+            "i -> struct(ws[i] AS w1, ws[i+1] AS w2)) ELSE " +
+            "array() END")).as("g"))
+        .select(col("doc_id"), col("lang"),
+          col("g.w1").as("w1"), col("g.w2").as("w2"))
+      val train = bg.filter(col("doc_id") % 10 =!= 7)
+      val ev = bg.filter(col("doc_id") % 10 === 7)
+      val c2 = train.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      // per-history: token count c1 AND fan-out N1+(w1·) in one pass
+      val hist = c2.groupBy(col("lang"), col("w1"))
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+      // continuation count N1+(·w2): distinct histories completed
+      val cont = c2.groupBy(col("lang"), col("w2"))
+        .agg(count(lit(1)).as("n1b"))
+      // per-language totals: bigram TYPES and vocabulary
+      val tot = c2.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n1all"), countDistinct(col("w2")).as("v"))
+      val p = ev
+        .join(c2, Seq("lang", "w1", "w2"), "left")
+        .join(hist, Seq("lang", "w1"), "left")
+        .join(cont.withColumnRenamed("w2", "w2"), Seq("lang", "w2"), "left")
+        .join(broadcast(tot), Seq("lang"), "left")
+        .withColumn("pcont",
+          coalesce(col("n1b"), lit(0L)).cast("double") /
+            col("n1all").cast("double"))
+        .withColumn("p", when(col("c1").isNull,
+          // unseen history: continuation model alone, unseen w2 floor
+          when(coalesce(col("n1b"), lit(0L)) > 0L, col("pcont"))
+            .otherwise(lit(1.0) / (col("v") + lit(1L)).cast("double")))
+          .otherwise(
+            greatest(coalesce(col("c2"), lit(0L)).cast("double") -
+              lit(0.75), lit(0.0)) / col("c1").cast("double") +
+              lit(0.75) * col("n1f").cast("double") /
+                col("c1").cast("double") *
+                when(coalesce(col("n1b"), lit(0L)) > 0L, col("pcont"))
+                  .otherwise(lit(1.0) / (col("v") + lit(1L))
+                    .cast("double"))))
+      p.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_eval_bigrams"),
+          sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_unseen"),
+          sum(when(col("c1").isNull, 1L).otherwise(0L))
+            .as("n_unseen_hist"),
+          sum((-log(col("p"))).cast(DecimalType(18, 9)))
+            .cast("double").as("nll_sum"))
+        .withColumn("cross_entropy_nats",
+          col("nll_sum") / col("n_eval_bigrams").cast("double"))
+        .select(col("lang"), col("n_eval_bigrams"), col("n_unseen"),
+          col("n_unseen_hist"), col("nll_sum"),
+          col("cross_entropy_nats"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q200_granger_causality" ->
+      """WITH wk AS (SELECT
+        |    CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+        |      AS BIGINT) // 7 AS w,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      // 100000 AS HUGEINT) AS yv,
+        |    CAST(COUNT(DISTINCT l_orderkey) AS HUGEINT) AS xv
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |  lg AS (SELECT yv, xv,
+        |    LAG(yv) OVER (ORDER BY w) AS yl,
+        |    LAG(xv) OVER (ORDER BY w) AS xl
+        |  FROM wk QUALIFY yl IS NOT NULL),
+        |  m AS (SELECT CAST(COUNT(1) AS HUGEINT) AS n,
+        |    SUM(yl) AS s1, SUM(xl) AS s2, SUM(yv) AS sy, SUM(xv) AS sx,
+        |    SUM(yl * yl) AS s11, SUM(xl * xl) AS s22,
+        |    SUM(yl * xl) AS s12, SUM(yl * yv) AS s1y,
+        |    SUM(xl * yv) AS s2y, SUM(yl * xv) AS s1x,
+        |    SUM(xl * xv) AS s2x, SUM(yv * yv) AS syy,
+        |    SUM(xv * xv) AS sxx
+        |  FROM lg),
+        |  c AS (SELECT n,
+        |    n * s11 - s1 * s1 AS m11, n * s22 - s2 * s2 AS m22,
+        |    n * s12 - s1 * s2 AS m12,
+        |    n * s1y - s1 * sy AS b1y, n * s2y - s2 * sy AS b2y,
+        |    n * s1x - s1 * sx AS b1x, n * s2x - s2 * sx AS b2x,
+        |    n * syy - sy * sy AS syy_c, n * sxx - sx * sx AS sxx_c
+        |  FROM m),
+        |  dt AS (SELECT *, m11 * m22 - m12 * m12 AS det FROM c),
+        |  r AS (SELECT n,
+        |    (CAST(CAST(m22 * b1y - m12 * b2y AS VARCHAR) AS DOUBLE) *
+        |       CAST(CAST(b1y AS VARCHAR) AS DOUBLE) +
+        |     CAST(CAST(m11 * b2y - m12 * b1y AS VARCHAR) AS DOUBLE) *
+        |       CAST(CAST(b2y AS VARCHAR) AS DOUBLE)) /
+        |      (CAST(CAST(det AS VARCHAR) AS DOUBLE) *
+        |       CAST(CAST(syy_c AS VARCHAR) AS DOUBLE)) AS r2u_y,
+        |    (CAST(CAST(b1y AS VARCHAR) AS DOUBLE) *
+        |     CAST(CAST(b1y AS VARCHAR) AS DOUBLE)) /
+        |      (CAST(CAST(m11 AS VARCHAR) AS DOUBLE) *
+        |       CAST(CAST(syy_c AS VARCHAR) AS DOUBLE)) AS r2r_y,
+        |    (CAST(CAST(m22 * b1x - m12 * b2x AS VARCHAR) AS DOUBLE) *
+        |       CAST(CAST(b1x AS VARCHAR) AS DOUBLE) +
+        |     CAST(CAST(m11 * b2x - m12 * b1x AS VARCHAR) AS DOUBLE) *
+        |       CAST(CAST(b2x AS VARCHAR) AS DOUBLE)) /
+        |      (CAST(CAST(det AS VARCHAR) AS DOUBLE) *
+        |       CAST(CAST(sxx_c AS VARCHAR) AS DOUBLE)) AS r2u_x,
+        |    (CAST(CAST(b2x AS VARCHAR) AS DOUBLE) *
+        |     CAST(CAST(b2x AS VARCHAR) AS DOUBLE)) /
+        |      (CAST(CAST(m22 AS VARCHAR) AS DOUBLE) *
+        |       CAST(CAST(sxx_c AS VARCHAR) AS DOUBLE)) AS r2r_x
+        |  FROM dt)
+        |SELECT CAST(n AS BIGINT) AS n_weeks, r2u_y, r2r_y,
+        |  (r2u_y - r2r_y) / (1.0 - r2u_y) *
+        |    (CAST(CAST(n AS VARCHAR) AS DOUBLE) - 3.0) AS f_x_causes_y,
+        |  r2u_x, r2r_x,
+        |  (r2u_x - r2r_x) / (1.0 - r2u_x) *
+        |    (CAST(CAST(n AS VARCHAR) AS DOUBLE) - 3.0) AS f_y_causes_x
+        |FROM r""".stripMargin,
+
+    "t49_kneser_ney_bigram" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    list_filter(string_split(TRIM(text), ' '),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |  bg AS (SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |  train AS (SELECT * FROM bg WHERE doc_id % 10 <> 7),
+        |  ev AS (SELECT * FROM bg WHERE doc_id % 10 = 7),
+        |  c2 AS (SELECT lang, w1, w2, COUNT(1) AS c2
+        |    FROM train GROUP BY 1, 2, 3),
+        |  hist AS (SELECT lang, w1, SUM(c2) AS c1, COUNT(1) AS n1f
+        |    FROM c2 GROUP BY 1, 2),
+        |  cont AS (SELECT lang, w2, COUNT(1) AS n1b
+        |    FROM c2 GROUP BY 1, 2),
+        |  tot AS (SELECT lang, COUNT(1) AS n1all,
+        |    COUNT(DISTINCT w2) AS v FROM c2 GROUP BY 1),
+        |  p AS (SELECT ev.lang, c2.c2, hist.c1,
+        |    CASE WHEN hist.c1 IS NULL THEN
+        |      CASE WHEN COALESCE(cont.n1b, 0) > 0
+        |        THEN CAST(COALESCE(cont.n1b, 0) AS DOUBLE) /
+        |          CAST(tot.n1all AS DOUBLE)
+        |        ELSE 1.0 / CAST(tot.v + 1 AS DOUBLE) END
+        |    ELSE
+        |      GREATEST(CAST(COALESCE(c2.c2, 0) AS DOUBLE) - 0.75, 0.0)
+        |        / CAST(hist.c1 AS DOUBLE) +
+        |      0.75 * CAST(hist.n1f AS DOUBLE) / CAST(hist.c1 AS DOUBLE)
+        |        * CASE WHEN COALESCE(cont.n1b, 0) > 0
+        |            THEN CAST(COALESCE(cont.n1b, 0) AS DOUBLE) /
+        |              CAST(tot.n1all AS DOUBLE)
+        |            ELSE 1.0 / CAST(tot.v + 1 AS DOUBLE) END
+        |    END AS p
+        |  FROM ev
+        |  LEFT JOIN c2 ON c2.lang = ev.lang AND c2.w1 = ev.w1
+        |    AND c2.w2 = ev.w2
+        |  LEFT JOIN hist ON hist.lang = ev.lang AND hist.w1 = ev.w1
+        |  LEFT JOIN cont ON cont.lang = ev.lang AND cont.w2 = ev.w2
+        |  LEFT JOIN tot ON tot.lang = ev.lang)
+        |SELECT lang, CAST(COUNT(1) AS BIGINT) AS n_eval_bigrams,
+        |  CAST(SUM(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unseen,
+        |  CAST(SUM(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unseen_hist,
+        |  CAST(CAST(SUM(CAST(-ln(p) AS DECIMAL(18, 9))) AS VARCHAR)
+        |    AS DOUBLE) AS nll_sum,
+        |  CAST(CAST(SUM(CAST(-ln(p) AS DECIMAL(18, 9))) AS VARCHAR)
+        |    AS DOUBLE) / CAST(COUNT(1) AS DOUBLE)
+        |    AS cross_entropy_nats
+        |FROM p GROUP BY 1 ORDER BY lang""".stripMargin
+  )
+}

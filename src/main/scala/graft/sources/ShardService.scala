@@ -315,7 +315,8 @@ object ShardServiceRegistry {
           .foreach(s => params += "retry-ms" -> (s.toLong * 1000L).toString)
         Seq("region", "access-key-id", "secret-access-key", "session-token",
           "connect-timeout-millis", "request-timeout-millis",
-          "max-connections", "metrics-level", "user-agent")
+          "max-connections", "metrics-level", "user-agent",
+          "verify-certificate")
           .foreach(k => options.get(k).foreach(v => params += k -> v))
         val p = params.result()
         if (p.contains("access-key-id") || p.contains("secret-access-key"))
@@ -367,7 +368,9 @@ object ShardServiceRegistry {
         .map(_.toLong).getOrElse(defaults.requestTimeoutMs),
       maxConnections = params.get("max-connections")
         .map(_.toInt).getOrElse(defaults.maxConnections),
-      userAgent = params.getOrElse("user-agent", defaults.userAgent))
+      userAgent = params.getOrElse("user-agent", defaults.userAgent),
+      verifyCertificate = params.get("verify-certificate")
+        .map(_.toBoolean).getOrElse(defaults.verifyCertificate))
     // KCL defaults metricsLevel to DETAILED (reference
     // main/resources/reference.conf:204-260); `none` swaps in the
     // shared no-op recorder — provably zero-cost

@@ -38,7 +38,8 @@ final case class HttpTuning(
     connectTimeoutMs: Long = 6000L,
     requestTimeoutMs: Long = 6000L,
     maxConnections: Int = 24,
-    userAgent: String = HttpTuning.DefaultUserAgent)
+    userAgent: String = HttpTuning.DefaultUserAgent,
+    verifyCertificate: Boolean = true)
 
 object HttpTuning {
   /** KCL `userAgent` analogue (reference main/resources/reference.conf):
@@ -72,9 +73,18 @@ final class HttpShardService(
       graft.metrics.MetricsRecorder.Noop) extends ShardService {
   import KinesisWire._
 
-  @transient private lazy val http: HttpClient = HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofMillis(tuning.connectTimeoutMs))
-    .build()
+  @transient private lazy val http: HttpClient = {
+    HttpShardService.initDnsCacheTtl()
+    val b = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(tuning.connectTimeoutMs))
+    // KPL `verifyCertificate=false` (main/producer/
+    // KinesisProducerConfig.scala): skip CHAIN validation only —
+    // hostname identity is still checked against the cert's SANs, so
+    // a self-signed or private-CA endpoint works but a redirected
+    // host does not silently pass
+    if (!tuning.verifyCertificate) b.sslContext(HttpShardService.trustAll)
+    b.build()
+  }
 
   // maxConnections: a permit per concurrent in-flight request; held
   // across the whole send (connect + response), released before backoff
@@ -154,6 +164,11 @@ final class HttpShardService(
         case Left(e) =>
           val retryable = e match {
             case k: KinesisApiException => k.retryable
+            // TLS failures are configuration, not weather: a
+            // certificate the client rejects now will be rejected on
+            // every retry — fail fast (SSLException is an IOException,
+            // so without this arm it would ride the transient path)
+            case _: javax.net.ssl.SSLException => false
             case _ => true
           }
           attempt += 1
@@ -261,6 +276,16 @@ final class HttpShardService(
     (recs, Option(resp.get("NextShardIterator")).map(_.asText()))
   }
 
+  /** NOTE (scale): the Kinesis wire protocol has no data-free "skip N
+    * records" call, so an admission cap (`max-records-per-shard`)
+    * makes the DRIVER page real records through GetRecords here just
+    * to locate the end offset — the executors then read the same
+    * range again. On an endpoint-backed stream prefer uncapped
+    * triggers (end offset = one LATEST iterator call, zero data on
+    * the driver); the per-GetRecords page is bounded at 10000 wire
+    * records either way. The in-memory/test services compute this
+    * positionally at O(1), which is why the tax only exists on the
+    * wire path. */
   override def positionAfter(shardId: String, from: ShardPos,
       maxRecords: Int): ShardPos = {
     var pos = from
@@ -314,6 +339,37 @@ final class HttpShardService(
         case None => Right(r.get("ShardId").asText())
       }
     }.toVector
+  }
+}
+
+object HttpShardService {
+  /** JVM DNS cache TTL = 60 s, applied once when the first wire
+    * client is built (reference main/consumer/KinesisConsumer.scala:
+    * 233-234 does this at consumer init; SURVEY §7.4 "copy as-is").
+    * Endpoint failover depends on re-resolution — some JVM configs
+    * cache positive lookups forever. Deferred while the ShardService
+    * seam was in-memory (no endpoint was ever resolved); now that a
+    * client resolves real hostnames, the guard belongs exactly here.
+    */
+  private val dnsTtlSet = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[transport] def initDnsCacheTtl(): Unit =
+    if (dnsTtlSet.compareAndSet(false, true))
+      java.security.Security.setProperty("networkaddress.cache.ttl", "60")
+
+  /** Chain-trusting SSLContext for `verifyCertificate=false`. */
+  private[transport] lazy val trustAll: javax.net.ssl.SSLContext = {
+    val tm = new javax.net.ssl.X509TrustManager {
+      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+        Array.empty
+      override def checkClientTrusted(
+          c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(
+          c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+    }
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](tm),
+      new java.security.SecureRandom())
+    ctx
   }
 }
 

@@ -88,7 +88,8 @@ final class KinesisWireStub(
     val backing: graft.sources.ShardService,
     val faults: FaultPolicy = new FaultPolicy,
     listShardsPageSize: Int = 2,
-    logRequests: Boolean = true) {
+    logRequests: Boolean = true,
+    tls: Option[javax.net.ssl.SSLContext] = None) {
   import KinesisWire._
 
   /** The mutable in-memory store, when the stub wraps one — the shape
@@ -114,7 +115,14 @@ final class KinesisWireStub(
   def requests(action: String): Seq[JsonNode] =
     requestLog.asScala.toSeq.collect { case (a, b) if a == action => b }
 
-  private val server = HttpServer.create(new InetSocketAddress(0), 0)
+  private val server = tls match {
+    case Some(ctx) =>
+      val s = com.sun.net.httpserver.HttpsServer.create(
+        new InetSocketAddress(0), 0)
+      s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+      s
+    case None => HttpServer.create(new InetSocketAddress(0), 0)
+  }
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
   server.createContext("/", new Handler)
   server.start()
@@ -128,7 +136,10 @@ final class KinesisWireStub(
     * option (KCL `userAgent` parity). */
   @volatile var lastUserAgent: String = _
 
-  def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def endpoint: String = {
+    val scheme = if (tls.isDefined) "https" else "http"
+    s"$scheme://127.0.0.1:${server.getAddress.getPort}"
+  }
   def stop(): Unit = server.stop(0)
 
   // iterator tokens are SERVER-issued and opaque to the client:

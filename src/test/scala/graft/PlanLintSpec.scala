@@ -141,6 +141,7 @@ class PlanLintSpec extends SparkSpec {
     "q188_walkforward_ols" -> "weekly series",
     "q192_chow_test" -> "weekly series (midpoint min/max window)",
     "q193_durbin_watson" -> "weekly series (lag window)",
+    "q200_granger_causality" -> "weekly series (lag window)",
     "q195_influence" -> "weekly series (moment window sums)",
     "q198_supf_break" -> "weekly series (cumulative + total moment windows)",
     "q199_hac_se" -> "weekly series (moment windows + score lags)",

@@ -580,6 +580,59 @@ class TransportSpec extends SparkSpec {
     }
   }
 
+  test("verify-certificate: a self-signed TLS endpoint is rejected " +
+      "FAST by default (SSL is config, never retried) and accepted " +
+      "with verify-certificate=false; hostname identity stays checked") {
+    // self-signed server cert with SAN ip:127.0.0.1, minted by the
+    // JDK's own keytool — no fixture files, no external trust
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls")
+    val ksPath = dir.resolve("ks.p12")
+    val keytool = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "keytool").toString
+    val gen = new ProcessBuilder(keytool, "-genkeypair", "-alias", "g",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "2",
+      "-dname", "CN=localhost", "-ext", "san=ip:127.0.0.1,dns:localhost",
+      "-keystore", ksPath.toString, "-storetype", "PKCS12",
+      "-storepass", "changeit").redirectErrorStream(true).start()
+    assert(gen.waitFor() === 0, "keytool must mint the test cert")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(ksPath)
+    try ks.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+
+    val store = new InMemoryShardService("tls", Seq("shard-0"))
+    store.appendAssigned("shard-0", Seq(SubRecord("k", "v".getBytes(UTF_8))))
+    val stub = new KinesisWireStub(store, tls = Some(serverCtx))
+    try {
+      assert(stub.endpoint.startsWith("https://"))
+      // default (verifyCertificate = true): the JVM trust store does
+      // not contain the self-signed cert -> SSLException, FAIL-FAST
+      // (exactly one wire attempt despite a generous retry budget)
+      val strict = new HttpShardService(stub.endpoint, "tls",
+        RetryPolicy(maxRetries = 5, sleeper = _ => ()))
+      intercept[javax.net.ssl.SSLException] { strict.listShards() }
+      assert(strict.requestCount.get === 1,
+        "an SSL failure must never ride the transient retry path")
+      // verify-certificate=false: chain validation off, request flows
+      val lax = new HttpShardService(stub.endpoint, "tls",
+        RetryPolicy(sleeper = _ => ()),
+        tuning = HttpTuning(verifyCertificate = false))
+      assert(lax.listShards() === Seq("shard-0"))
+      assert(lax.read("shard-0", ShardPos.Beginning,
+        ShardPos(BigInt(2).pow(159), Long.MaxValue)).size === 1)
+      // rides the self-describing id (executor reconstruction)
+      val id = ShardServiceRegistry.resolveId(Map(
+        "endpoint" -> stub.endpoint, "stream-name" -> "tls",
+        "verify-certificate" -> "false"))
+      assert(ShardServiceRegistry.get(id)
+        .asInstanceOf[HttpShardService].listShards() === Seq("shard-0"))
+    } finally stub.stop()
+  }
+
   test("user-agent: every wire request identifies the engine (KCL " +
       "userAgent parity); the option overrides, rides the id, and is " +
       "NOT SigV4-signed (a proxy rewrite must not break auth)") {
