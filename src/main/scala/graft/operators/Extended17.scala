@@ -46,7 +46,7 @@ object Extended17 {
         .as("yv"),
         countDistinct(col("l_orderkey")).as("xv"))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // GRANGER CAUSALITY (both directions, one lag frame) — does
     // weekly order COUNT help forecast weekly REVENUE beyond
@@ -63,9 +63,19 @@ object Extended17 {
     // predictability" lesson measured. Scale shape: one fact-join
     // exchange to the ~350-row grid, one lag window over the grid,
     // 14 moments map-side-combined to a single row.
-    "q200_granger_causality" -> ((s, d) => {
+    "q200_granger_causality" -> ((s: SparkSession, d: String) =>
+      grangerFromWeekly(weeklyPair(s, d)))
+  ) ++ textQueries
+
+  /** Scoring half of q200 over ANY exact-integer weekly carrier
+    * `(w, yv, xv)` — shared with the streaming twin
+    * ([[StreamingOps.weeklyPairFold]] maintains the carrier
+    * incrementally; this scores it), so batch == stream reduces to
+    * the carrier being identical integers. */
+  private[graft] def grangerFromWeekly(weekly: DataFrame): DataFrame = {
+    {
       val wSeq = Window.orderBy(col("w"))
-      val lagf = weeklyPair(s, d)
+      val lagf = weekly
         .withColumn("yl", lag(col("yv"), 1).over(wSeq))
         .withColumn("xl", lag(col("xv"), 1).over(wSeq))
         .filter(col("yl").isNotNull)
@@ -127,8 +137,11 @@ object Extended17 {
         .select(col("n").cast("long").as("n_weeks"),
           col("r2u_y"), col("r2r_y"), col("f_x_causes_y"),
           col("r2u_x"), col("r2r_x"), col("f_y_causes_x"))
-    }),
+    }
+  }
 
+  private val textQueries: Map[String, (SparkSession, String) => DataFrame]
+      = Map(
     // KNESER–NEY BIGRAM CROSS-ENTROPY — t44's add-1 model, upgraded
     // to the smoothing real n-gram LM pipelines ship: absolute
     // discount D = 0.75 off every seen bigram, redistributed through

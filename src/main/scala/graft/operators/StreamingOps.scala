@@ -610,6 +610,39 @@ object StreamingOps {
     out.result().iterator
   }
 
+  /** q200's streaming twin: maintain the weekly (revenue, order-count)
+    * carrier continuously as ORDER-level events arrive. Keyed by
+    * calendar week; state = the week's seen-orderkey set (the cfFold
+    * ownership pattern — a replayed order is dropped, so both the
+    * cents sum and the distinct count are exactly-once under
+    * at-least-once delivery; bound: orders per week — at 100 TB swap
+    * the set for upstream WAL dedup or a Bloom guard) plus the exact
+    * cents accumulator. A batch that changed the week emits its
+    * UPDATED (yv = whole thousands of dollars, xv = order count) row;
+    * per week both values are monotone, so max-per-week of the
+    * emitted rows IS the batch weeklyPair frame in exact integers —
+    * [[Extended17.grangerFromWeekly]] then scores the streamed
+    * carrier bit-for-bit equal to the batch q200
+    * (StatefulStreamSpec).
+    */
+  case class WkOrder(w: Long, okey: Long, cents: Long)
+  case class WkState(okeys: Seq[Long], cents: Long)
+  case class WkRow(w: Long, yv: Long, xv: Long)
+  def weeklyPairFold(w: Long, it: Iterator[WkOrder],
+      state: GroupState[WkState]): Iterator[WkRow] = {
+    var seen = state.getOption.map(_.okeys.toSet).getOrElse(Set.empty[Long])
+    var cents = state.getOption.map(_.cents).getOrElse(0L)
+    var changed = false
+    it.toArray.sortBy(_.okey).foreach { o =>
+      if (!seen.contains(o.okey)) {
+        seen += o.okey; cents += o.cents; changed = true
+      }
+    }
+    state.update(WkState(seen.toSeq.sorted, cents))
+    if (changed) Iterator.single(WkRow(w, cents / 100000L, seen.size.toLong))
+    else Iterator.empty
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling event-time window aggregate. Streaming twin: identical plan
     // + withWatermark("ts", ...); partial agg keeps the shuffle tiny.

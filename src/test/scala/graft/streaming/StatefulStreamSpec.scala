@@ -941,6 +941,53 @@ class StatefulStreamSpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("weeklyPairFold maintains the weekly (revenue, orders) carrier " +
+      "across micro-batches with replayed orders; scoring it equals " +
+      "the batch q200 Granger output bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.StreamingOps.{WkOrder, WkRow}
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // order-level events: one (week, orderkey, exact cents) per order
+    val orders = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(expr(
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7")
+        .as("w"), col("l_orderkey").as("okey"))
+      .agg(expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT))")
+        .as("cents"))
+      .as[WkOrder].collect().toVector
+    val (b1, rest) = orders.splitAt(orders.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wk").toString
+    val input = MemoryStream[WkOrder](spark)
+    val q = input.toDS().groupByKey(_.w)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        graft.operators.StreamingOps.weeklyPairFold _)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wk_rows")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      // at-least-once chaos: batch 2 REPLAYS all of batch 1 first
+      input.addData(b1 ++ b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      // per week both values are monotone: latest == max
+      val weekly = spark.table("wk_rows").as[WkRow]
+        .groupBy(col("w")).agg(max(col("yv")).as("yv"),
+          max(col("xv")).as("xv"))
+      val streamed = graft.operators.Extended17
+        .grangerFromWeekly(weekly).collect()
+      val batch = graft.SparkEntry
+        .queries("q200_granger_causality")(spark, sf).collect()
+      assert(streamed.toSeq === batch.toSeq,
+        "incremental weekly carrier == batch carrier, scored identically")
+      assert(batch.head.getAs[Long]("n_weeks") > 10L)
+    } finally q.stop()
+  }
 }
 
 object StatefulStreamSpec {
