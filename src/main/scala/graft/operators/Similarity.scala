@@ -1039,6 +1039,67 @@ object Similarity {
             (col("n_queries") - col("n_zero_dist")).cast("double"))
             .as("mean_ratio"),
           col("min_ratio"), col("max_ratio"))
+    }),
+
+    // PQ CODEBOOK REFINEMENT (round 10) — e15's Lloyd step applied
+    // where PQ actually trains: per SUBSPACE. The e13 codebooks start
+    // as the deterministic sample's subvectors; one Lloyd iteration
+    // per subspace (assign -> DECIMAL member means -> re-encode)
+    // measures the quantization-MSE drop that decides whether the
+    // codebook is worth retraining, per subspace — the per-subspace
+    // view matters because PQ error is the SUM of subspace errors, so
+    // one badly-fitted subspace taxes every distance the index ever
+    // computes. Scale shape per iteration: encode is a broadcast
+    // codebook hash-join on j (the corpus never shuffles); the
+    // recenter is a (j, codeword, dim)-keyed partial aggregate whose
+    // shuffle carries single doubles; the report is 2 x m rows.
+    // Determinism: e15's contract — DECIMAL means, identically
+    // parenthesized L2, argmin ties by cb_id.
+    "e31_pq_codebook_refine" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = 8
+      val sub = 8
+      val v = vecs(s, d)
+      val vsub = v
+        .select(col("vec_id"),
+          explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("v"))
+        .withColumn("vs", expr(s"slice(v, j*$sub + 1, $sub)"))
+        .select(col("vec_id"), col("j"), col("vs"))
+      val cb0 = v.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cb_id"),
+          explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("v"))
+        .withColumn("cs", expr(s"slice(v, j*$sub + 1, $sub)"))
+        .select(col("cb_id"), col("j"), col("cs"))
+      def encode(cb: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"), col("j"))
+          .orderBy(col("dist"), col("cb_id"))
+        vsub.join(broadcast(cb), Seq("j"))
+          .withColumn("dist", l2sq(col("vs"), col("cs")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("j"), col("cb_id"), col("dist"),
+            col("vs"))
+      }
+      val e0 = encode(cb0)
+      val cb1 = e0.select(col("j"), col("cb_id"), posexplode(col("vs")))
+        .toDF("j", "cb_id", "dim", "x")
+        .groupBy(col("j"), col("cb_id"), col("dim"))
+        .agg(graft.Parity.davg(col("x")).as("mx"))
+        .groupBy(col("j"), col("cb_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mx"))))
+          .as("p"))
+        .select(col("j"), col("cb_id"),
+          expr("transform(p, e -> e.mx)").as("cs"))
+      val e1 = encode(cb1)
+      def stats(e: DataFrame, iter: Int): DataFrame =
+        e.groupBy(col("j"))
+          .agg(count(lit(1)).as("n_vectors"),
+            countDistinct(col("cb_id")).as("n_codes_used"),
+            graft.Parity.davg(col("dist")).as("mse"))
+          .select(lit(iter).as("iter"), col("j").cast("long").as("subspace"),
+            col("n_vectors"), col("n_codes_used"), col("mse"))
+      stats(e0, 0).unionAll(stats(e1, 1))
+        .orderBy(col("iter"), col("subspace"))
     })
   )
 
@@ -1900,8 +1961,54 @@ object Similarity {
            ratio_sum / CAST(n_queries - n_zero_dist AS DOUBLE)
              AS mean_ratio,
            min_ratio, max_ratio
-         FROM fin"""
+         FROM fin""",
+
+    // per-subspace Lloyd step with the e15 discipline: identical L2
+    // parenthesization, DECIMAL member means, argmin ties by cb_id;
+    // UNNEST ordinality is 1-based where Spark's posexplode is
+    // 0-based, but dim is only a grouping/ordering key
+    "e31_pq_codebook_refine" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         vsub AS (SELECT vec_id, j, v[(j*8 + 1):(j*8 + 8)] AS vs
+                  FROM v, UNNEST(generate_series(0, 7)) AS t(j)),
+         cb0 AS (SELECT vec_id AS cb_id, j, v[(j*8 + 1):(j*8 + 8)] AS cs
+                 FROM v, UNNEST(generate_series(0, 7)) AS t(j)
+                 WHERE vec_id % 50 = 0),
+         e0 AS (${pqEncodeSql("cb0")}),
+         cb1 AS (SELECT j, cb_id, list(mx ORDER BY dim) AS cs FROM (
+                   SELECT j, cb_id, dim, ${Parity.davgSql("x")} AS mx
+                   FROM (SELECT j, cb_id, i AS dim, vs[i] AS x
+                         FROM e0, UNNEST(generate_series(1, 8)) AS t(i)) q
+                   GROUP BY j, cb_id, dim) mm GROUP BY j, cb_id),
+         e1 AS (${pqEncodeSql("cb1")})
+         SELECT * FROM (
+           ${pqRefineStatsSql("e0", 0)}
+           UNION ALL ${pqRefineStatsSql("e1", 1)}) s
+         ORDER BY iter, subspace"""
   )
+
+  /** e31's per-subspace argmin-encode over CTE `vsub` against codebook
+    * CTE `cb` (j, cb_id, cs): the [[lloydAssignSql]] form keyed by
+    * (vec_id, j), keeping the subvector for the recenter step. */
+  private def pqEncodeSql(cb: String): String =
+    s"""SELECT vec_id, j, cb_id, dist, vs FROM (
+         SELECT v.vec_id, v.j, c.cb_id, v.vs,
+           (list_dot_product(v.vs, v.vs)
+            - 2 * list_dot_product(v.vs, c.cs))
+           + list_dot_product(c.cs, c.cs) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.j
+             ORDER BY (list_dot_product(v.vs, v.vs)
+                       - 2 * list_dot_product(v.vs, c.cs))
+                      + list_dot_product(c.cs, c.cs), c.cb_id) AS rk
+         FROM vsub v JOIN $cb c USING (j)) t
+       WHERE rk = 1"""
+
+  private def pqRefineStatsSql(e: String, iter: Int): String =
+    s"""SELECT $iter AS iter, j AS subspace,
+         CAST(COUNT(1) AS BIGINT) AS n_vectors,
+         CAST(COUNT(DISTINCT cb_id) AS BIGINT) AS n_codes_used,
+         ${Parity.davgSql("dist")} AS mse FROM $e GROUP BY j"""
 
   /** e23's DuckDB twin: the greedy MMR loop unrolled into five pick
     * stages (k is fixed at 5). Each stage scores the unpicked

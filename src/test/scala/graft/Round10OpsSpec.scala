@@ -65,6 +65,61 @@ class Round10OpsSpec extends SparkSpec {
     assert(fxy >= -1e-9 && fyx >= -1e-9)
   }
 
+  test("e31 PQ codebook refinement matches a brute-force per-subspace " +
+      "Lloyd step and one iteration never increases any subspace MSE") {
+    val vs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val m = 8; val sub = 8
+    def slice(v: Array[Double], j: Int) = v.slice(j * sub, j * sub + sub)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      // the operator's exact form: (dot(a,a) - 2 dot(a,b)) + dot(b,b)
+      def dot(x: Array[Double], y: Array[Double]) = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+      }
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    }
+    // davg twin: per-term DECIMAL(18,6) HALF_UP, exact sum, /count
+    def davg(xs: Seq[Double]): Double =
+      (xs.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble) / xs.size
+    def encode(cb: Map[Long, Array[Double]], j: Int)
+        : Seq[(Long, Long, Double, Array[Double])] =
+      vs.toSeq.map { case (id, v) =>
+        val s = slice(v, j)
+        val best = cb.toSeq.map { case (cid, c) => (l2(s, c), cid) }
+          .minBy(t => (t._1, t._2))
+        (id, best._2, best._1, s)
+      }
+    val got = q("e31_pq_codebook_refine").collect()
+      .map(r => (r.getAs[Int]("iter"), r.getAs[Long]("subspace")) ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("n_codes_used"),
+          r.getAs[Double]("mse"))).toMap
+    assert(got.size === 2 * m)
+    (0 until m).foreach { j =>
+      val cb0 = vs.filter(_._1 % 50 == 0)
+        .map { case (id, v) => id -> slice(v, j) }.toMap
+      val e0 = encode(cb0, j)
+      val cb1 = e0.groupBy(_._2).map { case (cid, rows) =>
+        cid -> (0 until sub).map(d =>
+          davg(rows.map(_._4(d)))).toArray
+      }
+      val e1 = encode(cb1, j)
+      val g0 = got((0, j.toLong)); val g1 = got((1, j.toLong))
+      assert(g0._1 === vs.length.toLong && g1._1 === vs.length.toLong)
+      assert(g0._2 === e0.map(_._2).distinct.size.toLong)
+      assert(g1._2 === e1.map(_._2).distinct.size.toLong)
+      assert(math.abs(g0._3 - davg(e0.map(_._3))) < 1e-9,
+        s"subspace $j mse0")
+      assert(math.abs(g1._3 - davg(e1.map(_._3))) < 1e-9,
+        s"subspace $j mse1")
+      // one Lloyd step (recenter + re-encode) never hurts
+      assert(g1._3 <= g0._3 + 1e-9, s"subspace $j ${g1._3} > ${g0._3}")
+    }
+  }
+
   test("t49 Kneser-Ney cross-entropy matches a brute-force KN model " +
       "and lands within 2% of t44's add-1 on this hapax-dominated " +
       "generator (the smoothing-choice measurement)") {
