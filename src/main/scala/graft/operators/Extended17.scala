@@ -64,7 +64,104 @@ object Extended17 {
     // exchange to the ~350-row grid, one lag window over the grid,
     // 14 moments map-side-combined to a single row.
     "q200_granger_causality" -> ((s: SparkSession, d: String) =>
-      grangerFromWeekly(weeklyPair(s, d)))
+      grangerFromWeekly(weeklyPair(s, d))),
+
+    // ENGLE–GRANGER COINTEGRATION — do weekly revenue and weekly
+    // order count share ONE stochastic trend? Stage 1 fits the levels
+    // (y on x, exact moments); stage 2 runs the Dickey–Fuller
+    // regression Δe_t on e_{t-1} over the stage-1 residuals. The
+    // trick that keeps it cross-engine exact: the residual sums
+    // Σe²_{t-1}, Σe_{t-1}e_t, Σe²_t EXPAND into 15 lagged
+    // integer cross-moments (e = y − a − bx is affine, so every
+    // product is a fixed polynomial in a, b and exact sums) — no
+    // per-row residual ever materializes, so there is nothing to
+    // quantize; a and b are the only doubles and both engines
+    // assemble them through the identical expression sequence
+    // (staged CTEs on the DuckDB side, the q194 repeated-
+    // subexpression rule). The finding: orders and revenue are
+    // cointegrated by construction (every order contributes both),
+    // and the EG t ≈ −13 rejects no-cointegration at any table
+    // value — the measured counterpart of q200's "the cross-lag adds
+    // nothing": the two series are one trend, so differencing either
+    // against the other is stationary. Scale shape: one fact-join
+    // exchange to the ~350-row grid, one lag window over the grid,
+    // 21 moments map-side-combined to a single row, two broadcast
+    // 1-row frames crossed.
+    "q201_engle_granger" -> ((s: SparkSession, d: String) => {
+      val wk = weeklyPair(s, d)
+      val wSeq = Window.orderBy(col("w"))
+      val lagf = wk
+        .withColumn("yl", lag(col("yv"), 1).over(wSeq))
+        .withColumn("xl", lag(col("xv"), 1).over(wSeq))
+        .filter(col("yl").isNotNull)
+      val m1 = wk.agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("xv").cast(dec)).as("sx"),
+        sum(col("yv").cast(dec)).as("sy"),
+        sum((col("xv") * col("xv")).cast(dec)).as("sxx"),
+        sum((col("xv") * col("yv")).cast(dec)).as("sxy"),
+        sum(col("yv").cast(dec) * col("yv")).as("syy"))
+      val m2 = lagf.agg(
+        count(lit(1)).cast(dec).as("np"),
+        sum(col("yl").cast(dec)).as("syl"),
+        sum(col("yv").cast(dec)).as("syc"),
+        sum(col("xl").cast(dec)).as("sxl"),
+        sum(col("xv").cast(dec)).as("sxc"),
+        sum((col("yl") * col("yl")).cast(dec)).as("syll"),
+        sum(col("yv").cast(dec) * col("yv")).as("sycc"),
+        sum((col("xl") * col("xl")).cast(dec)).as("sxll"),
+        sum((col("xv") * col("xv")).cast(dec)).as("sxcc"),
+        sum((col("xl") * col("yl")).cast(dec)).as("sxyl"),
+        sum((col("xv") * col("yv")).cast(dec)).as("sxyc"),
+        sum((col("yl") * col("yv")).cast(dec)).as("sylc"),
+        sum((col("yl") * col("xv")).cast(dec)).as("sylxc"),
+        sum((col("xl") * col("yv")).cast(dec)).as("sxlyc"),
+        sum((col("xl") * col("xv")).cast(dec)).as("sxlc"))
+      def D(c: String): org.apache.spark.sql.Column = col(c).cast("double")
+      m1.crossJoin(broadcast(m2))
+        .withColumn("b",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("a",
+          (D("sy") - col("b") * D("sx")) / D("n"))
+        .withColumn("r2_levels",
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy")))
+            .cast("double") /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))
+              .cast("double"))
+        .withColumn("s_ll",
+          D("syll") - lit(2.0) * col("b") * D("sxyl") +
+            col("b") * col("b") * D("sxll") -
+            lit(2.0) * col("a") * D("syl") +
+            lit(2.0) * col("a") * col("b") * D("sxl") +
+            col("a") * col("a") * D("np"))
+        .withColumn("s_cc",
+          D("sycc") - lit(2.0) * col("b") * D("sxyc") +
+            col("b") * col("b") * D("sxcc") -
+            lit(2.0) * col("a") * D("syc") +
+            lit(2.0) * col("a") * col("b") * D("sxc") +
+            col("a") * col("a") * D("np"))
+        .withColumn("s_lc",
+          D("sylc") - col("b") * (D("sylxc") + D("sxlyc")) +
+            col("b") * col("b") * D("sxlc") -
+            col("a") * (D("syl") + D("syc")) +
+            col("a") * col("b") * (D("sxl") + D("sxc")) +
+            col("a") * col("a") * D("np"))
+        .withColumn("phi", (col("s_lc") - col("s_ll")) / col("s_ll"))
+        .withColumn("d2",
+          (col("s_cc") - lit(2.0) * col("s_lc")) + col("s_ll"))
+        .withColumn("s2",
+          (col("d2") - col("phi") * (col("s_lc") - col("s_ll"))) /
+            (D("np") - lit(1.0)))
+        .withColumn("t_eg",
+          col("phi") / sqrt(col("s2") / col("s_ll")))
+        .select(col("n").cast("long").as("n_weeks"),
+          col("np").cast("long").as("n_lag"),
+          col("a").as("alpha"), col("b").as("beta"),
+          col("r2_levels"), col("phi"), col("t_eg"))
+    })
   ) ++ textQueries
 
   /** Scoring half of q200 over ANY exact-integer weekly carrier
@@ -284,6 +381,80 @@ object Extended17 {
         |  (r2u_x - r2r_x) / (1.0 - r2u_x) *
         |    (CAST(CAST(n AS VARCHAR) AS DOUBLE) - 3.0) AS f_y_causes_x
         |FROM r""".stripMargin,
+
+    "q201_engle_granger" ->
+      """WITH wk AS (SELECT
+        |    CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+        |      AS BIGINT) // 7 AS w,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      // 100000 AS HUGEINT) AS yv,
+        |    CAST(COUNT(DISTINCT l_orderkey) AS HUGEINT) AS xv
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |  lg AS (SELECT yv, xv,
+        |    LAG(yv) OVER (ORDER BY w) AS yl,
+        |    LAG(xv) OVER (ORDER BY w) AS xl
+        |  FROM wk QUALIFY yl IS NOT NULL),
+        |  m1 AS (SELECT CAST(COUNT(1) AS HUGEINT) AS n,
+        |    SUM(xv) AS sx, SUM(yv) AS sy, SUM(xv * xv) AS sxx,
+        |    SUM(xv * yv) AS sxy, SUM(yv * yv) AS syy FROM wk),
+        |  m2 AS (SELECT CAST(COUNT(1) AS HUGEINT) AS np,
+        |    SUM(yl) AS syl, SUM(yv) AS syc, SUM(xl) AS sxl,
+        |    SUM(xv) AS sxc, SUM(yl * yl) AS syll, SUM(yv * yv) AS sycc,
+        |    SUM(xl * xl) AS sxll, SUM(xv * xv) AS sxcc,
+        |    SUM(xl * yl) AS sxyl, SUM(xv * yv) AS sxyc,
+        |    SUM(yl * yv) AS sylc, SUM(yl * xv) AS sylxc,
+        |    SUM(xl * yv) AS sxlyc, SUM(xl * xv) AS sxlc FROM lg),
+        |  ab AS MATERIALIZED (SELECT m1.n, m1.sx, m1.sy, m1.sxx,
+        |    m1.sxy, m1.syy, m2.*,
+        |    CAST(CAST(m1.n * m1.sxy - m1.sx * m1.sy AS VARCHAR)
+        |      AS DOUBLE) /
+        |      CAST(CAST(m1.n * m1.sxx - m1.sx * m1.sx AS VARCHAR)
+        |        AS DOUBLE) AS b,
+        |    CAST(CAST((m1.n * m1.sxy - m1.sx * m1.sy) *
+        |        (m1.n * m1.sxy - m1.sx * m1.sy) AS VARCHAR) AS DOUBLE) /
+        |      CAST(CAST((m1.n * m1.sxx - m1.sx * m1.sx) *
+        |        (m1.n * m1.syy - m1.sy * m1.sy) AS VARCHAR) AS DOUBLE)
+        |      AS r2_levels
+        |  FROM m1 CROSS JOIN m2),
+        |  ab2 AS MATERIALIZED (SELECT *,
+        |    (CAST(CAST(sy AS VARCHAR) AS DOUBLE) -
+        |      b * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) /
+        |      CAST(CAST(n AS VARCHAR) AS DOUBLE) AS a FROM ab),
+        |  ss AS MATERIALIZED (SELECT *,
+        |    CAST(CAST(syll AS VARCHAR) AS DOUBLE)
+        |      - 2.0 * b * CAST(CAST(sxyl AS VARCHAR) AS DOUBLE)
+        |      + b * b * CAST(CAST(sxll AS VARCHAR) AS DOUBLE)
+        |      - 2.0 * a * CAST(CAST(syl AS VARCHAR) AS DOUBLE)
+        |      + 2.0 * a * b * CAST(CAST(sxl AS VARCHAR) AS DOUBLE)
+        |      + a * a * CAST(CAST(np AS VARCHAR) AS DOUBLE) AS s_ll,
+        |    CAST(CAST(sycc AS VARCHAR) AS DOUBLE)
+        |      - 2.0 * b * CAST(CAST(sxyc AS VARCHAR) AS DOUBLE)
+        |      + b * b * CAST(CAST(sxcc AS VARCHAR) AS DOUBLE)
+        |      - 2.0 * a * CAST(CAST(syc AS VARCHAR) AS DOUBLE)
+        |      + 2.0 * a * b * CAST(CAST(sxc AS VARCHAR) AS DOUBLE)
+        |      + a * a * CAST(CAST(np AS VARCHAR) AS DOUBLE) AS s_cc,
+        |    CAST(CAST(sylc AS VARCHAR) AS DOUBLE)
+        |      - b * (CAST(CAST(sylxc AS VARCHAR) AS DOUBLE)
+        |             + CAST(CAST(sxlyc AS VARCHAR) AS DOUBLE))
+        |      + b * b * CAST(CAST(sxlc AS VARCHAR) AS DOUBLE)
+        |      - a * (CAST(CAST(syl AS VARCHAR) AS DOUBLE)
+        |             + CAST(CAST(syc AS VARCHAR) AS DOUBLE))
+        |      + a * b * (CAST(CAST(sxl AS VARCHAR) AS DOUBLE)
+        |                 + CAST(CAST(sxc AS VARCHAR) AS DOUBLE))
+        |      + a * a * CAST(CAST(np AS VARCHAR) AS DOUBLE) AS s_lc
+        |  FROM ab2),
+        |  ph AS MATERIALIZED (SELECT *,
+        |    (s_lc - s_ll) / s_ll AS phi,
+        |    (s_cc - 2.0 * s_lc) + s_ll AS d2 FROM ss),
+        |  s2t AS MATERIALIZED (SELECT *,
+        |    (d2 - phi * (s_lc - s_ll)) /
+        |      (CAST(CAST(np AS VARCHAR) AS DOUBLE) - 1.0) AS s2
+        |  FROM ph)
+        |SELECT CAST(n AS BIGINT) AS n_weeks, CAST(np AS BIGINT) AS n_lag,
+        |  a AS alpha, b AS beta, r2_levels, phi,
+        |  phi / sqrt(s2 / s_ll) AS t_eg
+        |FROM s2t""".stripMargin,
 
     "t49_kneser_ney_bigram" ->
       """WITH w AS (SELECT doc_id, lang,

@@ -89,6 +89,7 @@ class PlanLintSpec extends SparkSpec {
     "t36_ks_drift" -> "bounded cross: dim x dim pooled-jump-point grid (q83's class) + 1-row total",
     "q129_cms_frequency" -> "O(1) broadcast: CMS counter matrix",
     "q132_kmv_intersection" -> "O(1) broadcast: 1-row sketch x 1-row exact scalar",
+    "q201_engle_granger" -> "O(1) broadcast: two 1-row moment frames crossed",
     "q133_survival_km" -> "O(1) broadcast: K-M factor list (|event times|)",
     "q136_bitmap_distinct" -> "bounded cross: |priorities|^2 bitmap pairing (5x5, non-equi)",
     "q175_nelson_aalen" -> "O(1) broadcast: hazard-term list (q133 pattern)",
@@ -142,6 +143,7 @@ class PlanLintSpec extends SparkSpec {
     "q192_chow_test" -> "weekly series (midpoint min/max window)",
     "q193_durbin_watson" -> "weekly series (lag window)",
     "q200_granger_causality" -> "weekly series (lag window)",
+    "q201_engle_granger" -> "weekly series (lag window)",
     "q195_influence" -> "weekly series (moment window sums)",
     "q198_supf_break" -> "weekly series (cumulative + total moment windows)",
     "q199_hac_se" -> "weekly series (moment windows + score lags)",

@@ -65,6 +65,53 @@ class Round10OpsSpec extends SparkSpec {
     assert(fxy >= -1e-9 && fyx >= -1e-9)
   }
 
+  test("q201 Engle-Granger matches the DEFINITIONAL residual path: " +
+      "explicit stage-1 residuals, explicit DF regression — proving " +
+      "the 15-moment expansion is the same algebra") {
+    val rows = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .selectExpr(
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7 AS w",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+        "l_orderkey")
+      .collect()
+    val byW = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+      case (w, rs) =>
+        ((rs.map(r => BigInt(r.getLong(1))).sum / 100000).toDouble,
+          rs.map(_.getLong(2)).distinct.length.toDouble)
+    }
+    val n = byW.size.toDouble
+    val sx = byW.map(_._2).sum; val sy = byW.map(_._1).sum
+    val sxx = byW.map(t => t._2 * t._2).sum
+    val sxy = byW.map(t => t._2 * t._1).sum
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = (sy - b * sx) / n
+    val e = byW.map { case (y, x) => y - a - b * x }
+    val el = e.dropRight(1); val ec = e.drop(1)
+    val sll = el.map(v => v * v).sum
+    val slc = el.zip(ec).map { case (l, c) => l * c }.sum
+    val dd = el.zip(ec).map { case (l, c) => (c - l) * (c - l) }.sum
+    val phi = (slc - sll) / sll
+    val s2 = (dd - phi * (slc - sll)) / (el.size.toDouble - 1.0)
+    val tEg = phi / math.sqrt(s2 / sll)
+
+    val g = q("q201_engle_granger").collect().head
+    assert(g.getAs[Long]("n_weeks") === byW.size.toLong)
+    assert(g.getAs[Long]("n_lag") === el.size.toLong)
+    assert(math.abs(g.getAs[Double]("alpha") - a) < math.abs(a) * 1e-9)
+    assert(math.abs(g.getAs[Double]("beta") - b) < math.abs(b) * 1e-9)
+    assert(math.abs(g.getAs[Double]("phi") - phi) < 1e-6,
+      s"phi ${g.getAs[Double]("phi")} vs $phi")
+    assert(math.abs(g.getAs[Double]("t_eg") - tEg) < 1e-4,
+      s"t_eg ${g.getAs[Double]("t_eg")} vs $tEg")
+    // the statistic itself: strongly stationary residual (the two
+    // series are cointegrated by construction) and a mean-reverting
+    // phi in (-2, 0)
+    assert(phi < 0.0 && phi > -2.0)
+    assert(tEg < -3.0, s"cointegration must be detected: t=$tEg")
+    assert(g.getAs[Double]("r2_levels") > 0.5)
+  }
+
   test("e31 PQ codebook refinement matches a brute-force per-subspace " +
       "Lloyd step and one iteration never increases any subspace MSE") {
     val vs = Tables.embeddings(spark, sf)
