@@ -131,7 +131,9 @@ object Bench {
     "m18_aspect_bucket_pack", "t44_bigram_cross_entropy",
     "e30_jl_projection_audit", "q198_supf_break", "t45_chao1_vocab",
     "t46_temperature_mixture", "q199_hac_se",
-    "t47_packing_sweep", "m19_band_tuning", "t48_vocab_sweep")
+    "t47_packing_sweep", "m19_band_tuning", "t48_vocab_sweep",
+    "q200_granger_causality", "t49_kneser_ney_bigram",
+    "q201_engle_granger", "e31_pq_codebook_refine")
 
   /** Samples host/process CPU once a second so a run can prove it was
     * (or wasn't) contended — three NOTES.md incidents of a concurrent

@@ -123,7 +123,17 @@ final class KinesisWireStub(
       s
     case None => HttpServer.create(new InetSocketAddress(0), 0)
   }
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  // daemon threads AND an explicit shutdown in stop(): HttpServer.stop
+  // does not stop a custom executor, and a non-daemon pool would pin
+  // the JVM in DestroyJavaVM after main returns (bit a Bench run in
+  // round 10 — the process outlived its own exit-code echo)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => {
+      val t = new Thread(r, "wire-stub")
+      t.setDaemon(true)
+      t
+    })
+  server.setExecutor(pool)
   server.createContext("/", new Handler)
   server.start()
 
@@ -140,7 +150,10 @@ final class KinesisWireStub(
     val scheme = if (tls.isDefined) "https" else "http"
     s"$scheme://127.0.0.1:${server.getAddress.getPort}"
   }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+  }
 
   // iterator tokens are SERVER-issued and opaque to the client:
   // "g1|shardId|seqNo|subSeqNo" = exclusive lower-bound position
