@@ -294,8 +294,37 @@ object Bench {
     // Load-contamination verdict: >10% of the machine spent on other
     // processes means the wall-clock numbers are not trustworthy.
     val (otherMean, otherMax) = sampler.finish()
-    val contended = otherMean > 0.10
-    if (contended) System.err.println(
+    // External-contention canary (round 10): the harness replay is
+    // deterministic pure CPU, so its rate is a thermometer for the
+    // HOST — a VM neighbor stealing cycles inflates every wall time
+    // uniformly while this machine's process sampler sees nothing
+    // (measured: one run's canary dropped 43% and five multi-second
+    // queries "regressed" 1.5-2x, all recovered on the next run). A
+    // >25% canary drop vs the committed clean run is treated exactly
+    // like process contention: time gate skipped, promotion refused.
+    val canaryCommitted: Option[Double] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val queriesObj = txt.split("\"queries\":\\{")(1).split("\\}")(0)
+          """"rate_harness_1m_eps"\s*:\s*([0-9.eE+-]+)""".r
+            .findFirstMatchIn(queriesObj).map(_.group(1).toDouble)
+        }
+      } catch { case _: Exception => None }
+    val canaryRatio: Option[Double] = for {
+      c <- canaryCommitted if c > 0.0
+      n <- results.get("rate_harness_1m_eps")
+    } yield n / c
+    val hostContended = canaryRatio.exists(_ < 0.75)
+    if (hostContended) System.err.println(
+      f"[bench] HOST-CONTENDED RUN: harness canary at " +
+        f"${canaryRatio.get}%.2f of the committed clean rate — " +
+        "do NOT promote this artifact")
+    val contended = otherMean > 0.10 || hostContended
+    if (otherMean > 0.10) System.err.println(
       f"[bench] CONTENDED RUN: other-process CPU mean=${otherMean}%.3f " +
         f"max=${otherMax}%.3f — do NOT promote this artifact")
 
@@ -365,6 +394,7 @@ object Bench {
       s""""queries":${jmap(results, 6)},""" +
       s""""shuffle_mb":${jmap(shuffleMb, 6)},"spill_mb":${jmap(spillMb, 6)},""" +
       s""""other_cpu_mean":${j1(otherMean)},"other_cpu_max":${j1(otherMax)},""" +
+      s""""host_canary_ratio":${j1(canaryRatio.getOrElse(-1.0))},""" +
       s""""contended":${if (contended) 1 else 0},""" +
       s""""shuffle_budget_violations":${jmap(shuffleViolations, 3)},""" +
       s""""time_budget_violations":${jmap(timeViolations, 3)},""" +

@@ -46,8 +46,10 @@ class TimeBudgetGateSpec extends AnyFunSuite {
     assert(Bench.overBudget(results, budget).keySet === Set("b"))
   }
 
-  test("the committed TIME_BUDGET.json obeys the formula against the " +
-      "committed promoted run (anti-staleness both directions)") {
+  test("the committed TIME_BUDGET.json stays within the calibration " +
+      "band of the committed promoted run (anti-staleness both " +
+      "directions: never tighter than the formula on the promoted " +
+      "values, never loose enough to miss a genuine slowdown)") {
     def flat(path: String): Map[String, Double] = {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)),
@@ -67,11 +69,20 @@ class TimeBudgetGateSpec extends AnyFunSuite {
     val promoted = """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(queriesObj)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     assert(promoted.nonEmpty && budget.nonEmpty)
-    // every budgeted entry matches the formula within print rounding
+    // every budgeted entry sits inside the calibration band around the
+    // promoted run. Budgets are cut from the element-wise MAX of the
+    // clean runs (tools/budgets.py) — so against the single promoted
+    // run they may sit ABOVE its formula (per-query variance headroom,
+    // e.g. e10's documented storage-position swing) but never below
+    // it (too tight = the q111 false positive), and never above the
+    // loose bound that would let a genuine 2.5x slowdown through.
     budget.foreach { case (q, b) =>
       val p = promoted.getOrElse(q, fail(s"budgeted $q not in promoted run"))
-      assert(math.abs(b - Bench.budgetFor(p)) < 0.002,
-        s"$q: budget $b != formula ${Bench.budgetFor(p)}")
+      assert(b >= Bench.budgetFor(p) - 0.002,
+        s"$q: budget $b tighter than formula ${Bench.budgetFor(p)}")
+      val loose = math.max(2.5 * p, p + 1.25)
+      assert(b <= loose + 0.002,
+        s"$q: budget $b looser than the $loose cap (stale base?)")
     }
     // and every eligible promoted entry is budgeted (gate can't silently
     // lose coverage): >= 0.5 s, not a rate/flag pseudo-entry

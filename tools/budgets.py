@@ -1,20 +1,25 @@
 #!/usr/bin/env python3
-"""Regenerate the bench regression budgets from a clean promoted run.
+"""Regenerate the bench regression budgets from clean promoted runs.
 
-Usage: python3 tools/budgets.py [BENCH_DETAIL.json]
+Usage: python3 tools/budgets.py [BENCH_DETAIL.json ...]
 
-Writes TIME_BUDGET.json and SHUFFLE_BUDGET.json next to the input.
+Writes TIME_BUDGET.json and SHUFFLE_BUDGET.json next to the FIRST
+input. With several inputs the per-query base is the ELEMENT-WISE MAX
+across runs (round-10 lesson: single-run bases under-represent real
+per-query variance — e10's documented storage-position sensitivity
+swings 2.1-3.8 s across clean uncontended runs, and a budget cut from
+one lucky run cries wolf on the next).  Only feed CLEAN runs
+(contended: 0, host_canary_ratio >= 0.75 where present).
+
 Formulas (keep in sync with graft.Bench.budgetFor and NOTES.md):
 
-  time budget    = max(1.5 * promoted_sec, promoted_sec + 0.5)
-                   entries with promoted_sec < 0.5 are skipped
+  time budget    = max(1.5 * base_sec, base_sec + 0.5)
+                   entries with base_sec < 0.5 are skipped
                    (noise-dominated; the additive floor covers the rest)
-  shuffle budget = max(2 * promoted_mb, 1.0)
+  shuffle budget = max(2 * base_mb, 1.0)
 
-The additive 0.5 s floor is the round-9 recalibration: a 0.6 s query
-tripped the plain 1.5x bound on a 12% JIT/GC overshoot.  rate_/flag
-pseudo-entries are excluded (they are rates, not seconds); the replay
-wall times stay gated.
+rate_/flag pseudo-entries are excluded (they are rates, not seconds);
+the replay wall times stay gated.
 """
 import json
 import os
@@ -24,21 +29,28 @@ EXCLUDE_PREFIXES = ("rate_", "ingest_integrity")
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"
-    with open(src) as f:
-        detail = json.load(f)
-    out_dir = os.path.dirname(os.path.abspath(src))
+    srcs = sys.argv[1:] if len(sys.argv) > 1 else ["BENCH_DETAIL.json"]
+    times_base: dict = {}
+    shuffles_base: dict = {}
+    for src in srcs:
+        with open(src) as f:
+            detail = json.load(f)
+        if detail.get("contended"):
+            raise SystemExit(f"{src} is a contended run — not a budget base")
+        for q, sec in detail["queries"].items():
+            if not q.startswith(EXCLUDE_PREFIXES):
+                times_base[q] = max(times_base.get(q, 0.0), sec)
+        for q, mb in detail["shuffle_mb"].items():
+            if not q.startswith(EXCLUDE_PREFIXES):
+                shuffles_base[q] = max(shuffles_base.get(q, 0.0), mb)
+    out_dir = os.path.dirname(os.path.abspath(srcs[0]))
 
     times = {
         q: max(1.5 * sec, sec + 0.5)
-        for q, sec in detail["queries"].items()
-        if sec >= 0.5 and not q.startswith(EXCLUDE_PREFIXES)
+        for q, sec in times_base.items()
+        if sec >= 0.5
     }
-    shuffles = {
-        q: max(2.0 * mb, 1.0)
-        for q, mb in detail["shuffle_mb"].items()
-        if not q.startswith(EXCLUDE_PREFIXES)
-    }
+    shuffles = {q: max(2.0 * mb, 1.0) for q, mb in shuffles_base.items()}
 
     def dump(path: str, entries: dict) -> None:
         with open(path, "w") as f:
