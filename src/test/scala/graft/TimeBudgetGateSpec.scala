@@ -80,7 +80,12 @@ class TimeBudgetGateSpec extends AnyFunSuite {
       val p = promoted.getOrElse(q, fail(s"budgeted $q not in promoted run"))
       assert(b >= Bench.budgetFor(p) - 0.002,
         s"$q: budget $b tighter than formula ${Bench.budgetFor(p)}")
-      val loose = math.max(2.5 * p, p + 1.25)
+      // cap = 3x the current promoted value: wide enough for the
+      // widest measured clean-run swing on the board (e10 ranges
+      // 2.0-3.8 s across uncontended runs, so its max-pool budget is
+      // up to ~2.8x one lucky promoted sample), still tight enough
+      // that a budget surviving a 3x-faster rebase is flagged stale
+      val loose = math.max(3.0 * p, p + 1.5)
       assert(b <= loose + 0.002,
         s"$q: budget $b looser than the $loose cap (stale base?)")
     }
