@@ -503,6 +503,69 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // FRAME-SAMPLER COVERAGE AUDIT (round 10) — the question every
+    // fixed-fps video sampler begs: at keep-every-k, how many SCENES
+    // (m14's cut-delimited runs) contribute zero frames to the
+    // training set? A scene [s, e] (0-based frame indices) is
+    // represented iff some kept index k·i lands inside it — pure
+    // integer algebra, (e div k) >= ((s + k - 1) div k) — so the
+    // audit never enumerates kept frames. Reported per k ∈ {2, 4, 8}:
+    // scenes missed, the frame budget spent (kept ratio), and how
+    // long the missed scenes were (short scenes are exactly what
+    // fixed-rate sampling loses — the motivation for cut-aware
+    // samplers). Scale shape: the m14 per-doc frame/cut pipeline,
+    // one (doc, scene) rollup, a 3-value in-row k-explode, two tiny
+    // per-k aggregates joined broadcast.
+    "m20_sampler_coverage" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      val fr = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .where(length(col("payload")) > 0)
+        .as[MediaIn]
+        .mapPartitions(_.flatMap(MultimodalStub.frameHashes))
+        .toDF()
+        .withColumn("prev", lag(col("ahash"), 1).over(w))
+        .withColumn("cut", when(col("prev").isNotNull &&
+          expr("bit_count(prev ^ ahash)") > 8, 1L).otherwise(0L))
+        .withColumn("scene", sum(col("cut")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val scenes = fr.groupBy(col("doc_id"), col("scene"))
+        .agg(min(col("frame_idx")).cast("long").as("s0"),
+          max(col("frame_idx")).cast("long").as("e0"),
+          count(lit(1)).as("len"))
+      val ks = array(lit(2L), lit(4L), lit(8L))
+      val perScene = scenes.withColumn("k", explode(ks))
+        .withColumn("missed", when(
+          expr("e0 div k") < expr("(s0 + k - 1) div k"), 1L)
+          .otherwise(0L))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_scenes"),
+          sum(col("missed")).as("n_scenes_missed"),
+          sum(when(col("missed") === 1L, col("len")).otherwise(0L))
+            .as("missed_frames"))
+      val perDoc = scenes.groupBy(col("doc_id"))
+        .agg(max(col("e0")).as("last0"), sum(col("len")).as("nf"))
+        .withColumn("k", explode(ks))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("last0 div k") + lit(1L)).as("kept_frames"),
+          sum(col("nf")).as("total_frames"))
+      perScene.join(perDoc, Seq("k"))
+        .select(col("k"), col("n_docs"), col("n_scenes"),
+          col("n_scenes_missed"),
+          (col("n_scenes_missed").cast("double") /
+            col("n_scenes").cast("double")).as("miss_rate"),
+          (col("kept_frames").cast("double") /
+            col("total_frames").cast("double")).as("kept_frame_ratio"),
+          when(col("n_scenes_missed") > 0L,
+            col("missed_frames").cast("double") /
+              col("n_scenes_missed").cast("double"))
+            .as("mean_missed_scene_len"))
+        .orderBy(col("k"))
+    }),
+
     // CLIP-REUSE detection: maximal runs of CONSECUTIVE shared frames
     // between two media — m09 finds frames that recur anywhere, this
     // finds the aligned sequences (the "same clip spliced into two
@@ -1040,6 +1103,78 @@ object Multimodal {
            CAST(n_frames AS DOUBLE) / CAST(n_cuts + 1 AS DOUBLE)
              AS mean_scene_frames
          FROM agg ORDER BY doc_id""",
+
+    // m14's frame/ahash CTE chain, then pure integer scene algebra:
+    // a scene [s0, e0] is represented at rate k iff e0//k >= (s0+k-1)//k
+    "m20_sampler_coverage" ->
+      """WITH s AS (SELECT doc_id, text,
+             CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS n
+           FROM documents WHERE OCTET_LENGTH(CAST(text AS BLOB)) > 0),
+         fr AS (SELECT doc_id, f, (f-1)*64 + 1 AS off,
+                  LEAST(32, n - ((f-1)*64 + 1) + 1) AS flen
+                FROM s, UNNEST(GENERATE_SERIES(1, ((n-1)//64) + 1))
+                  AS t(f)),
+         ch AS (SELECT fr.doc_id, fr.f, fr.flen,
+                  ORD(SUBSTR(s.text, fr.off + i - 1, 1)) AS v,
+                  ((i-1)*60)//fr.flen AS b
+                FROM fr JOIN s USING (doc_id),
+                  UNNEST(GENERATE_SERIES(1, fr.flen)) AS t(i)),
+         tot AS (SELECT doc_id, f, flen, SUM(v) AS total FROM ch
+                 GROUP BY 1, 2, 3),
+         blk AS (SELECT doc_id, f, b, SUM(v) AS bsum, COUNT(1) AS blen
+                 FROM ch GROUP BY 1, 2, 3),
+         fp AS (SELECT blk.doc_id, blk.f,
+                  CAST(SUM(CASE WHEN bsum*tot.flen > tot.total*blen
+                           THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                    AS ahash
+                FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+                  AND blk.f = tot.f
+                GROUP BY 1, 2),
+         lg AS (SELECT doc_id, f, ahash,
+                  lag(ahash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+                FROM fp),
+         ct AS (SELECT doc_id, f - 1 AS idx0,
+                  CASE WHEN prev IS NOT NULL
+                       AND bit_count(xor(ahash, prev)) > 8
+                       THEN 1 ELSE 0 END AS cut
+                FROM lg),
+         sc AS (SELECT doc_id, idx0,
+                  SUM(cut) OVER (PARTITION BY doc_id ORDER BY idx0)
+                    AS scene
+                FROM ct),
+         scenes AS (SELECT doc_id, scene,
+                      CAST(MIN(idx0) AS BIGINT) AS s0,
+                      CAST(MAX(idx0) AS BIGINT) AS e0,
+                      CAST(COUNT(1) AS BIGINT) AS len
+                    FROM sc GROUP BY 1, 2),
+         psc AS (SELECT k, CAST(COUNT(1) AS BIGINT) AS n_scenes,
+                   CAST(SUM(missed) AS BIGINT) AS n_scenes_missed,
+                   CAST(SUM(CASE WHEN missed = 1 THEN len ELSE 0 END)
+                     AS BIGINT) AS missed_frames
+                 FROM (SELECT t.k, sn.len,
+                         CASE WHEN sn.e0 // t.k <
+                                   (sn.s0 + t.k - 1) // t.k
+                              THEN 1 ELSE 0 END AS missed
+                       FROM scenes sn,
+                         UNNEST([CAST(2 AS BIGINT), 4, 8]) AS t(k)) q
+                 GROUP BY 1),
+         pdc AS (SELECT k, CAST(COUNT(1) AS BIGINT) AS n_docs,
+                   CAST(SUM(last0 // k + 1) AS BIGINT) AS kept_frames,
+                   CAST(SUM(nf) AS BIGINT) AS total_frames
+                 FROM (SELECT doc_id, MAX(e0) AS last0, SUM(len) AS nf
+                       FROM scenes GROUP BY 1) dd,
+                   UNNEST([CAST(2 AS BIGINT), 4, 8]) AS t(k)
+                 GROUP BY 1)
+         SELECT psc.k, n_docs, n_scenes, n_scenes_missed,
+           CAST(n_scenes_missed AS DOUBLE) / CAST(n_scenes AS DOUBLE)
+             AS miss_rate,
+           CAST(kept_frames AS DOUBLE) / CAST(total_frames AS DOUBLE)
+             AS kept_frame_ratio,
+           CASE WHEN n_scenes_missed > 0
+                THEN CAST(missed_frames AS DOUBLE) /
+                     CAST(n_scenes_missed AS DOUBLE) END
+             AS mean_missed_scene_len
+         FROM psc JOIN pdc USING (k) ORDER BY psc.k""",
 
     "m15_clip_reuse" ->
       """WITH f AS (SELECT doc_id,

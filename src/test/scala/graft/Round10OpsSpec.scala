@@ -65,6 +65,52 @@ class Round10OpsSpec extends SparkSpec {
     assert(fxy >= -1e-9 && fyx >= -1e-9)
   }
 
+  test("m20 sampler coverage matches brute force over the m14 frame " +
+      "pipeline, and the policy algebra holds: coarser sampling " +
+      "misses more scenes on fewer kept frames") {
+    import graft.operators.Multimodal.{MediaIn, MultimodalStub}
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.getBytes("UTF-8").nonEmpty)
+    val ks = Seq(2L, 4L, 8L)
+    // brute force: frames -> cuts -> scenes per doc
+    case class Scene(s0: Long, e0: Long, len: Long)
+    val scenesByDoc = docs.map { case (id, text) =>
+      val hs = MultimodalStub.frameHashes(
+        MediaIn(id, text.getBytes("UTF-8"))).toVector.sortBy(_.frame_idx)
+      val cuts = hs.indices.map(i => i > 0 &&
+        java.lang.Long.bitCount(hs(i - 1).ahash ^ hs(i).ahash) > 8)
+      val sceneIds = cuts.scanLeft(0L)((a, c) => if (c) a + 1 else a).tail
+      id -> hs.indices.groupBy(sceneIds(_)).values.map(ix =>
+        Scene(ix.min.toLong, ix.max.toLong, ix.size.toLong)).toVector
+    }.toMap
+    val got = q("m20_sampler_coverage").collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_scenes"),
+          r.getAs[Long]("n_scenes_missed"), r.getAs[Double]("miss_rate"),
+          r.getAs[Double]("kept_frame_ratio"))).toMap
+    assert(got.keySet === ks.toSet)
+    ks.foreach { k =>
+      val all = scenesByDoc.values.flatten
+      val missed = all.filter(s => s.e0 / k < (s.s0 + k - 1) / k)
+      val kept = scenesByDoc.values
+        .map(ss => ss.map(_.e0).max / k + 1).sum
+      val total = all.map(_.len).sum
+      val g = got(k)
+      assert(g._1 === scenesByDoc.size.toLong, s"k=$k n_docs")
+      assert(g._2 === all.size.toLong, s"k=$k n_scenes")
+      assert(g._3 === missed.size.toLong, s"k=$k missed")
+      assert(math.abs(g._4 - missed.size.toDouble / all.size) < 1e-12)
+      assert(math.abs(g._5 - kept.toDouble / total) < 1e-12)
+    }
+    // policy algebra: coarser k keeps fewer frames and misses >= scenes
+    assert(got(2L)._5 > got(4L)._5 && got(4L)._5 > got(8L)._5)
+    assert(got(2L)._3 <= got(4L)._3 && got(4L)._3 <= got(8L)._3)
+    assert(got(8L)._3 > 0L, "k=8 must miss some short scenes " +
+      "(otherwise the audit measures nothing on this corpus)")
+  }
+
   test("q201 Engle-Granger matches the DEFINITIONAL residual path: " +
       "explicit stage-1 residuals, explicit DF regression — proving " +
       "the 15-moment expansion is the same algebra") {
