@@ -172,8 +172,13 @@ object ScaleCurve {
     val outPath = args.lift(3).getOrElse("SCALE_CURVE.json")
     // measurement points: base, a mid replica, and the full ×K — three
     // points pin a slope where two pin only a ratio
-    val kMid = math.max(2, math.round(math.sqrt(kMax.toDouble)).toInt)
-    val ks = Seq(1, kMid, kMax)
+    require(kMax >= 2, s"kMax must be >= 2 (got $kMax): a scale curve " +
+      "needs at least one replica point beyond the base")
+    val kMid =
+      math.min(kMax, math.max(2, math.round(math.sqrt(kMax.toDouble)).toInt))
+    // dedupe + sort: kMax=2 would otherwise measure the endpoint twice
+    // and fit a noise-only tail slope over two identical K values
+    val ks = Seq(1, kMid, kMax).distinct.sorted
     val timeSlack = 2.0          // per-K ratio bound (absorbs JIT/GC)
     val shuffleSlack = 1.5       // per-K ratio bound, NO additive floor
     val timeExpMax = 1.25        // fitted ln-ln slope bounds

@@ -98,8 +98,8 @@ object Extended17 {
         count(lit(1)).cast(dec).as("n"),
         sum(col("xv").cast(dec)).as("sx"),
         sum(col("yv").cast(dec)).as("sy"),
-        sum((col("xv") * col("xv")).cast(dec)).as("sxx"),
-        sum((col("xv") * col("yv")).cast(dec)).as("sxy"),
+        sum(col("xv").cast(dec) * col("xv")).as("sxx"),
+        sum(col("xv").cast(dec) * col("yv")).as("sxy"),
         sum(col("yv").cast(dec) * col("yv")).as("syy"))
       val m2 = lagf.agg(
         count(lit(1)).cast(dec).as("np"),
@@ -107,16 +107,16 @@ object Extended17 {
         sum(col("yv").cast(dec)).as("syc"),
         sum(col("xl").cast(dec)).as("sxl"),
         sum(col("xv").cast(dec)).as("sxc"),
-        sum((col("yl") * col("yl")).cast(dec)).as("syll"),
+        sum(col("yl").cast(dec) * col("yl")).as("syll"),
         sum(col("yv").cast(dec) * col("yv")).as("sycc"),
-        sum((col("xl") * col("xl")).cast(dec)).as("sxll"),
-        sum((col("xv") * col("xv")).cast(dec)).as("sxcc"),
-        sum((col("xl") * col("yl")).cast(dec)).as("sxyl"),
-        sum((col("xv") * col("yv")).cast(dec)).as("sxyc"),
-        sum((col("yl") * col("yv")).cast(dec)).as("sylc"),
-        sum((col("yl") * col("xv")).cast(dec)).as("sylxc"),
-        sum((col("xl") * col("yv")).cast(dec)).as("sxlyc"),
-        sum((col("xl") * col("xv")).cast(dec)).as("sxlc"))
+        sum(col("xl").cast(dec) * col("xl")).as("sxll"),
+        sum(col("xv").cast(dec) * col("xv")).as("sxcc"),
+        sum(col("xl").cast(dec) * col("yl")).as("sxyl"),
+        sum(col("xv").cast(dec) * col("yv")).as("sxyc"),
+        sum(col("yl").cast(dec) * col("yv")).as("sylc"),
+        sum(col("yl").cast(dec) * col("xv")).as("sylxc"),
+        sum(col("xl").cast(dec) * col("yv")).as("sxlyc"),
+        sum(col("xl").cast(dec) * col("xv")).as("sxlc"))
       def D(c: String): org.apache.spark.sql.Column = col(c).cast("double")
       m1.crossJoin(broadcast(m2))
         .withColumn("b",
@@ -182,13 +182,13 @@ object Extended17 {
         sum(col("xl").cast(dec)).as("s2"),
         sum(col("yv").cast(dec)).as("sy"),
         sum(col("xv").cast(dec)).as("sx"),
-        sum((col("yl") * col("yl")).cast(dec)).as("s11"),
-        sum((col("xl") * col("xl")).cast(dec)).as("s22"),
-        sum((col("yl") * col("xl")).cast(dec)).as("s12"),
-        sum((col("yl") * col("yv")).cast(dec)).as("s1y"),
-        sum((col("xl") * col("yv")).cast(dec)).as("s2y"),
-        sum((col("yl") * col("xv")).cast(dec)).as("s1x"),
-        sum((col("xl") * col("xv")).cast(dec)).as("s2x"),
+        sum(col("yl").cast(dec) * col("yl")).as("s11"),
+        sum(col("xl").cast(dec) * col("xl")).as("s22"),
+        sum(col("yl").cast(dec) * col("xl")).as("s12"),
+        sum(col("yl").cast(dec) * col("yv")).as("s1y"),
+        sum(col("xl").cast(dec) * col("yv")).as("s2y"),
+        sum(col("yl").cast(dec) * col("xv")).as("s1x"),
+        sum(col("xl").cast(dec) * col("xv")).as("s2x"),
         sum(col("yv").cast(dec) * col("yv")).as("syy"),
         sum(col("xv").cast(dec) * col("xv")).as("sxx"))
       val c = m.select(col("n"),

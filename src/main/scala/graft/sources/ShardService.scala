@@ -280,6 +280,27 @@ object ShardServiceRegistry {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** Safe-to-log rendering of a self-describing id: the params
+    * segment may carry `secret-access-key`/`session-token` in
+    * URL-encoded plaintext, so error paths must never echo the raw
+    * id (that would leak AWS secrets into driver logs / the Spark
+    * UI, defeating [[graft.transport.AwsCredentials]]'s toString
+    * redaction). Keeps endpoint|stream and the param KEY names;
+    * every param value is dropped. */
+  private[graft] def redactId(id: String): String = {
+    if (!id.startsWith(HttpPrefix)) return id
+    val parts = id.stripPrefix(HttpPrefix).split('|')
+    if (parts.length < 3) id
+    else {
+      val keys = parts(2).split('&').filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        (if (i > 0) kv.take(i) else kv) + "=<redacted>"
+      }.mkString("&")
+      s"$HttpPrefix${parts(0)}|${parts(1)}|$keys" +
+        (if (parts.length > 3) "|<redacted>" else "")
+    }
+  }
+
   /** Wire-client options that must survive the driver->executor hop
     * inside the id: KCL `retryGetRecordsInSeconds` as the backoff base
     * (reference main/resources/reference.conf:666-675) and the SigV4
@@ -332,12 +353,12 @@ object ShardServiceRegistry {
       : (String, String, Map[String, String]) = {
     val parts = id.stripPrefix(HttpPrefix).split('|')
     require(parts.length == 2 || parts.length == 3,
-      s"malformed http service id: $id")
+      s"malformed http service id: ${redactId(id)}")
     val params =
       if (parts.length == 3)
         parts(2).split('&').filter(_.nonEmpty).map { kv =>
           val i = kv.indexOf('=')
-          require(i > 0, s"malformed http id param '$kv' in $id")
+          require(i > 0, s"malformed http id param (key ${dec(kv.take(math.max(kv.indexOf('='),0)))}) in ${redactId(id)}")
           dec(kv.take(i)) -> dec(kv.drop(i + 1))
         }.toMap
       else Map.empty[String, String]
@@ -354,10 +375,10 @@ object ShardServiceRegistry {
     val sigv4 = params.get("access-key-id").map { ak =>
       graft.transport.SigV4Config(
         region = params.getOrElse("region", sys.error(
-          s"http id with credentials lacks region: $id")),
+          s"http id with credentials lacks region: ${redactId(id)}")),
         credentials = graft.transport.AwsCredentials(ak,
           params.getOrElse("secret-access-key", sys.error(
-            s"http id with access-key-id lacks secret-access-key: $id")),
+            s"http id with access-key-id lacks secret-access-key: ${redactId(id)}")),
           params.get("session-token")))
     }
     val defaults = graft.transport.HttpTuning()

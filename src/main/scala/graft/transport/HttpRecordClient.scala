@@ -171,7 +171,9 @@ object HttpRecordClient {
       val svc = graft.sources.ShardServiceRegistry.get(serviceId) match {
         case h: HttpShardService => h
         case other => throw new IllegalStateException(
-          s"id $serviceId resolved to a non-wire service: $other")
+          // redacted: the raw id may carry SigV4 secrets in its params
+          s"id ${graft.sources.ShardServiceRegistry.redactId(serviceId)} " +
+            s"resolved to a non-wire service: $other")
       }
       new HttpRecordClient(svc,
         collectionMaxCount, collectionMaxSize, recordTtlMs, failIfThrottled)

@@ -517,6 +517,29 @@ class TransportSpec extends SparkSpec {
     assert(e.getMessage.contains("SigV4"))
   }
 
+  test("error paths never echo credentials from a self-describing id: " +
+      "malformed-id / missing-region messages redact every param value " +
+      "(a raw echo would leak the AWS secret into driver logs)") {
+    val secret = "SuperSecretKey123"
+    val token = "SessionTok456"
+    // malformed: too many pipe segments, carrying real-looking creds
+    val bad = "http|http://127.0.0.1:1|s|access-key-id=AK&" +
+      s"secret-access-key=$secret&session-token=$token|extra"
+    val e1 = intercept[IllegalArgumentException] {
+      ShardServiceRegistry.get(bad)
+    }
+    assert(!e1.getMessage.contains(secret) && !e1.getMessage.contains(token),
+      s"leaked secret in: ${e1.getMessage}")
+    assert(e1.getMessage.contains("secret-access-key=<redacted>"),
+      "param KEY names should survive redaction for diagnosability")
+    // credentials-without-region: parses, then fails in buildHttp
+    val noRegion = "http|http://127.0.0.1:1|s|access-key-id=AK&" +
+      s"secret-access-key=$secret"
+    val e2 = intercept[RuntimeException] { ShardServiceRegistry.get(noRegion) }
+    assert(!e2.getMessage.contains(secret),
+      s"leaked secret in: ${e2.getMessage}")
+  }
+
   // -------------------------------------------- HTTP client tuning --
 
   test("request-timeout fires on a stalling endpoint and is retried " +
