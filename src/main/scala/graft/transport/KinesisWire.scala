@@ -49,65 +49,31 @@ object KinesisWire {
   }
 
   // ---------------------------------------------------------------
-  // Record aggregation blob — the KPL-aggregation stand-in.
-  //
-  // Real KPL packs sub-records into a protobuf `AggregatedRecord`
-  // behind magic 0xF3899AC2 (reference main/resources/reference.conf:
-  // 57-92 enables it; KCL deaggregates client-side). The sandbox has
-  // no protobuf runtime for that schema, so the stand-in is a
-  // deterministic length-prefixed binary with the same contract: one
-  // wire record, N (partitionKey, data) sub-records, deaggregated by
-  // the CONSUMER (never the server). Format:
-  //   magic "GAG1" | int32 count | count x (int32 keyLen | keyBytes |
-  //   int32 dataLen | dataBytes)            (all ints big-endian)
+  // Record aggregation blob — the REAL KPL AggregatedRecord format
+  // (magic 0xF3899AC2 | protobuf | MD5 trailer), implemented in
+  // [[KplAggregation]]. Replaced the round-9 `GAG1` stand-in in
+  // round 11: records this engine writes aggregated are now readable
+  // by any KCL consumer, and real KPL producer streams deaggregate
+  // here — the contract the reference inherits from KCL's UserRecord
+  // (reference main/consumer/ConsumerProcessingManager.scala:82-89;
+  // enabled via main/resources/reference.conf:57-92). Sub-records
+  // are deaggregated by the CONSUMER (never the server), exactly as
+  // in the real pipeline.
   // ---------------------------------------------------------------
-  private val AggMagic: Array[Byte] = "GAG1".getBytes("UTF-8")
 
   def isAggregated(data: Array[Byte]): Boolean =
-    data.length >= 4 && data(0) == AggMagic(0) && data(1) == AggMagic(1) &&
-      data(2) == AggMagic(2) && data(3) == AggMagic(3)
+    KplAggregation.hasMagic(data)
 
-  def aggregate(subRecords: Seq[SubRecord]): Array[Byte] = {
-    val keyBytes = subRecords.map(_.partitionKey.getBytes("UTF-8"))
-    val size = 8 + subRecords.zip(keyBytes)
-      .map { case (s, k) => 8 + k.length + s.data.length }.sum
-    val buf = java.nio.ByteBuffer.allocate(size)
-    buf.put(AggMagic)
-    buf.putInt(subRecords.size)
-    subRecords.zip(keyBytes).foreach { case (s, k) =>
-      buf.putInt(k.length); buf.put(k)
-      buf.putInt(s.data.length); buf.put(s.data)
-    }
-    buf.array()
-  }
+  def aggregate(subRecords: Seq[SubRecord]): Array[Byte] =
+    KplAggregation.aggregate(subRecords)
 
-  /** Structure-validated deaggregation: the magic is in-band ASCII
-    * (real KPL uses non-ASCII 0xF3899AC2 + an md5 trailer), so a raw
-    * user payload could START with the magic bytes. Every length is
-    * bounds-checked and the parse must consume the blob EXACTLY —
-    * a payload that merely opens with "GAG1" fails the structural
-    * check and is treated as a plain record instead of crashing the
-    * server or fabricating garbage sub-records. */
-  def tryDeaggregate(data: Array[Byte]): Option[Seq[SubRecord]] = {
-    if (!isAggregated(data) || data.length < 8) return None
-    val buf = java.nio.ByteBuffer.wrap(data, 4, data.length - 4)
-    val n = buf.getInt
-    if (n < 1 || n > 1000000) return None
-    val out = Vector.newBuilder[SubRecord]
-    var i = 0
-    while (i < n) {
-      if (buf.remaining() < 4) return None
-      val kl = buf.getInt
-      if (kl < 0 || kl > buf.remaining() - 4) return None
-      val key = new Array[Byte](kl); buf.get(key)
-      val dl = buf.getInt
-      if (dl < 0 || dl > buf.remaining()) return None
-      val d = new Array[Byte](dl); buf.get(d)
-      out += SubRecord(new String(key, "UTF-8"), d)
-      i += 1
-    }
-    if (buf.remaining() != 0) None else Some(out.result())
-  }
+  /** Structure-validated deaggregation: a raw user payload could
+    * START with the magic bytes, so a true verdict needs the MD5
+    * trailer AND a fully well-formed protobuf body — anything less
+    * is treated as a plain record instead of crashing the consumer
+    * or fabricating garbage sub-records (KCL's fallback). */
+  def tryDeaggregate(data: Array[Byte]): Option[Seq[SubRecord]] =
+    KplAggregation.tryDeaggregate(data)
 
   def deaggregate(data: Array[Byte]): Seq[SubRecord] =
     tryDeaggregate(data).getOrElse(

@@ -244,11 +244,14 @@ class TransportSpec extends SparkSpec {
     }
   }
 
-  test("a raw payload that merely starts with the aggregation magic " +
-      "is NOT misparsed: structural validation falls back to a plain " +
+  test("a raw payload that merely starts with the KPL magic is NOT " +
+      "misparsed: MD5 + protobuf validation falls back to a plain " +
       "record") {
     withStub() { (stub, svc) =>
-      val tricky = "GAG1hello-not-a-blob".getBytes(UTF_8)
+      // real KPL magic 0xF3899AC2 followed by non-protobuf user bytes:
+      // long enough to pass the length precheck, fails the MD5 trailer
+      val tricky = KplAggregation.Magic ++
+        "hello-not-an-aggregate-just-unlucky-bytes".getBytes(UTF_8)
       val res = svc.putRecords(Seq(("k", tricky)))
       assert(res.forall(_.isRight), s"append must not crash: $res")
       val recs = svc.read(res.head.toOption.get, ShardPos.Beginning,
@@ -256,8 +259,7 @@ class TransportSpec extends SparkSpec {
       assert(recs.size === 1)
       assert(recs.head.subRecords.size === 1,
         "must round-trip as ONE plain record, not fabricated sub-records")
-      assert(new String(recs.head.subRecords.head.data, UTF_8) ===
-        "GAG1hello-not-a-blob")
+      assert(recs.head.subRecords.head.data === tricky)
       // and a VALID blob still deaggregates
       val blob = KinesisWire.aggregate(Seq(
         graft.sources.SubRecord("x", "one".getBytes(UTF_8)),
@@ -265,6 +267,64 @@ class TransportSpec extends SparkSpec {
       assert(KinesisWire.tryDeaggregate(blob).exists(_.size == 2))
       assert(KinesisWire.tryDeaggregate(tricky).isEmpty)
     }
+  }
+
+  test("KPL AggregatedRecord byte-level interop: a fixed hand-encoded " +
+      "vector (magic 0xF3899AC2 | protobuf | MD5) decodes to pinned " +
+      "sub-records; our encoder reproduces it bit-for-bit; an MD5 " +
+      "mismatch is rejected; unknown fields + explicit-hash-key table " +
+      "are skipped") {
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // AggregatedRecord{partition_key_table: ["alpha","beta"],
+    //   records: [{pk_index:0,data:"first"},{pk_index:1,data:"second"},
+    //             {pk_index:0,data:"third"}]}
+    // hand-encoded from the public aggregation-format.md spec
+    val vector = hex(
+      "f3899ac20a05616c7068610a04626574611a0908001a0566697273741a0a0801" +
+        "1a067365636f6e641a0908001a05746869726439aac3a0f3194574107cf90e75" +
+        "eb1118")
+    val subs = KplAggregation.tryDeaggregate(vector)
+    assert(subs.isDefined, "the fixed vector must deaggregate")
+    // order IS the subSequenceNumber assignment: 0,1,2
+    assert(subs.get.map(_.partitionKey) === Seq("alpha", "beta", "alpha"))
+    assert(subs.get.map(s => new String(s.data, UTF_8)) ===
+      Seq("first", "second", "third"))
+    // encoder round-trip: interned first-appearance key table gives
+    // the identical bytes (KCL interop is byte-exact, not just
+    // semantically equivalent)
+    assert(KplAggregation.aggregate(subs.get) === vector)
+    // MD5 trailer mismatch (last byte flipped) -> plain record
+    val badMd5 = vector.clone()
+    badMd5(badMd5.length - 1) = (badMd5.last ^ 0xFF).toByte
+    assert(KplAggregation.tryDeaggregate(badMd5).isEmpty)
+    // truncated body -> plain record, never a crash
+    assert(KplAggregation.tryDeaggregate(vector.take(30)).isEmpty)
+    // a newer producer's record: explicit_hash_key_table entry,
+    // ehk_index and an unknown field 5 inside the Record — all
+    // skipped, payload still decodes
+    val withUnknowns = hex(
+      "f3899ac20a016b12203030303030303030303030303030303030303030303030" +
+        "3030303030303030301a0f080010001a077061796c6f61642863b236f375455c" +
+        "15c57f89edfac7436800")
+    val u = KplAggregation.tryDeaggregate(withUnknowns)
+    assert(u.isDefined && u.get.size === 1)
+    assert(u.get.head.partitionKey === "k")
+    assert(new String(u.get.head.data, UTF_8) === "payload")
+    // dangling partition-key index (valid protobuf + valid MD5 but
+    // index 1 with a 1-entry key table) -> plain record
+    val dangling = {
+      val w = KplAggregation.aggregate(
+        Seq(graft.sources.SubRecord("k", "d".getBytes(UTF_8))))
+      // body: 0a016b 1a04 0800 1a0164 ; patch pk index 0 -> 1, re-MD5
+      val body = java.util.Arrays.copyOfRange(w, 4, w.length - 16)
+      val patched = body.clone()
+      val idxPos = patched.indexOfSlice(Seq[Byte](0x08, 0x00))
+      patched(idxPos + 1) = 0x01
+      val d = java.security.MessageDigest.getInstance("MD5").digest(patched)
+      KplAggregation.Magic ++ patched ++ d
+    }
+    assert(KplAggregation.tryDeaggregate(dangling).isEmpty)
   }
 
   test("producer aggregation round-trips the wire: one PutRecords " +
