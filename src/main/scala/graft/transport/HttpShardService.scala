@@ -119,20 +119,26 @@ final class HttpShardService(
           // (the SDK re-signs retries for the same reason: a long
           // backoff chain must not walk out of the skew window).
           sigv4.foreach { cfg =>
+            // ONE provider resolution per attempt: the token header and
+            // the signature must come from the same credential snapshot
+            // (a rotation between the two would produce a request the
+            // server can never verify); a retry re-resolves, so a
+            // rotation during backoff re-signs with the fresh key
+            val creds = cfg.provider.resolve()
             val date = SigV4.amzDate(cfg.clock())
             builder.header("X-Amz-Date", date)
-            cfg.credentials.sessionToken.foreach(
+            creds.sessionToken.foreach(
               builder.header("X-Amz-Security-Token", _))
             val signedHeaders = Seq(
               "content-type" -> ContentType,
               "host" -> uri.getAuthority,
               "x-amz-date" -> date,
               TargetHeader.toLowerCase -> (TargetPrefix + action)) ++
-              cfg.credentials.sessionToken.map(
+              creds.sessionToken.map(
                 "x-amz-security-token" -> _)
             builder.header("Authorization", SigV4.authorization(
               "POST", uri, signedHeaders, payload, date, cfg.region,
-              "kinesis", cfg.credentials))
+              "kinesis", creds))
           }
           val req = builder
             .timeout(java.time.Duration.ofMillis(tuning.requestTimeoutMs))

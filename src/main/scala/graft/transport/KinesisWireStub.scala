@@ -63,12 +63,17 @@ final class FaultPolicy {
 
 /** Server-side SigV4 enforcement config for the stub: the credentials a
   * request must be signed with, the expected region, an injectable
-  * clock, and the skew window (AWS allows 5 minutes). */
+  * clock, and the skew window (AWS allows 5 minutes). `previous`
+  * models the rotation overlap window real AWS keeps: during a
+  * rotation both the new and the outgoing key verify; once the server
+  * drops `previous`, the stale key is rejected
+  * (UnrecognizedClientException). */
 final case class StubSigV4(
     credentials: AwsCredentials,
     region: String,
     clock: () => Long = () => System.currentTimeMillis(),
-    skewToleranceMs: Long = 300000L)
+    skewToleranceMs: Long = 300000L,
+    previous: Option[AwsCredentials] = None)
 
 /** In-process HTTP server speaking the Kinesis-shaped wire protocol of
   * [[KinesisWire]] over a [[graft.sources.ShardService]] (usually the
@@ -231,9 +236,12 @@ final class KinesisWireStub(
     val auth = SigV4.parseAuthorization(authHeader)
       .getOrElse(reject(400, "IncompleteSignatureException",
         s"unparseable Authorization: $authHeader"))
-    if (auth.accessKeyId != cfg.credentials.accessKeyId)
-      reject(403, "UnrecognizedClientException",
-        s"unknown access key ${auth.accessKeyId}")
+    // key lookup across the rotation overlap window: the current key
+    // always verifies; the outgoing key only while `previous` is kept
+    val creds = (cfg.credentials :: cfg.previous.toList)
+      .find(_.accessKeyId == auth.accessKeyId)
+      .getOrElse(reject(403, "UnrecognizedClientException",
+        s"unknown access key ${auth.accessKeyId}"))
     if (auth.region != cfg.region || auth.service != "kinesis")
       reject(403, "InvalidSignatureException",
         s"credential scoped to ${auth.region}/${auth.service}; " +
@@ -242,7 +250,7 @@ final class KinesisWireStub(
     // date always; the security token whenever temporary credentials
     // are in play (an unsigned token could be swapped in transit)
     val mustSign = Seq("host", "x-amz-date") ++
-      cfg.credentials.sessionToken.map(_ => "x-amz-security-token")
+      creds.sessionToken.map(_ => "x-amz-security-token")
     val missing = mustSign.filterNot(auth.signedHeaders.contains)
     if (missing.nonEmpty)
       reject(400, "IncompleteSignatureException",
@@ -261,7 +269,7 @@ final class KinesisWireStub(
       reject(403, "InvalidSignatureException",
         s"Signature expired: $date is outside the +/-" +
           s"${cfg.skewToleranceMs / 60000} minute skew window")
-    cfg.credentials.sessionToken.foreach { tok =>
+    creds.sessionToken.foreach { tok =>
       if (!Option(ex.getRequestHeaders.getFirst("X-Amz-Security-Token"))
           .contains(tok))
         reject(403, "UnrecognizedClientException",
@@ -280,7 +288,7 @@ final class KinesisWireStub(
     val sts = SigV4.stringToSign(date,
       SigV4.credentialScope(auth.dateStamp, auth.region, auth.service), cr)
     val expected = SigV4.hex(SigV4.hmacSha256(
-      SigV4.signingKey(cfg.credentials.secretAccessKey, auth.dateStamp,
+      SigV4.signingKey(creds.secretAccessKey, auth.dateStamp,
         auth.region, auth.service), sts))
     if (expected != auth.signature)
       reject(403, "InvalidSignatureException",

@@ -26,14 +26,65 @@ final case class AwsCredentials(
     s"AwsCredentials($accessKeyId, ***${sessionToken.fold("")(_ => ", +token")})"
 }
 
-/** Signing configuration carried by the wire clients: region + creds +
-  * an injectable clock (specs pin clock-skew rejection without
-  * sleeping). Service name is always "kinesis" on this seam.
+/** Credential resolution seam (round-10 verdict item 5). The reference
+  * inherits the full AWS provider chain — instance profile, refresh —
+  * from KCL/KPL (reference main/consumer/KinesisConsumer.scala:89-96,
+  * main/producer/ProducerConf.scala:105-116); this is the refreshable
+  * half of that chain. Wire clients call `resolve()` once per request
+  * ATTEMPT (a retry after backoff re-resolves, so a rotation during a
+  * long backoff chain re-signs with the fresh key).
+  */
+trait CredentialsProvider extends Serializable {
+  def resolve(): AwsCredentials
+}
+
+/** Fixed credentials — the options/self-describing-id path. */
+final case class StaticCredentialsProvider(creds: AwsCredentials)
+    extends CredentialsProvider {
+  override def resolve(): AwsCredentials = creds
+}
+
+/** Expiry-driven refresh: `fetch()` returns (credentials,
+  * expiryEpochMillis); the cached pair is reused until
+  * `clock() >= expiry - refreshAheadMs`, then re-fetched (the
+  * refresh-ahead margin mirrors the SDK's: rotate BEFORE the old key
+  * dies so in-flight requests never race the expiry). Thread-safe;
+  * the injectable clock lets specs rotate without sleeping.
+  */
+final class RotatingCredentialsProvider(
+    fetch: () => (AwsCredentials, Long),
+    clock: () => Long = () => System.currentTimeMillis(),
+    refreshAheadMs: Long = 60000L) extends CredentialsProvider {
+  @volatile private var cached: (AwsCredentials, Long) = null
+  override def resolve(): AwsCredentials = {
+    val c = cached
+    if (c != null && clock() < c._2 - refreshAheadMs) c._1
+    else synchronized {
+      val c2 = cached
+      if (c2 != null && clock() < c2._2 - refreshAheadMs) c2._1
+      else { val f = fetch(); cached = f; f._1 }
+    }
+  }
+}
+
+/** Signing configuration carried by the wire clients: region + a
+  * credentials provider + an injectable clock (specs pin clock-skew
+  * rejection without sleeping). Service name is always "kinesis" on
+  * this seam.
   */
 final case class SigV4Config(
     region: String,
-    credentials: AwsCredentials,
+    provider: CredentialsProvider,
     clock: () => Long = () => System.currentTimeMillis()) extends Serializable
+
+object SigV4Config {
+  /** Static-credentials conveniences (what the option/id path builds). */
+  def apply(region: String, credentials: AwsCredentials): SigV4Config =
+    SigV4Config(region, StaticCredentialsProvider(credentials))
+  def apply(region: String, credentials: AwsCredentials,
+      clock: () => Long): SigV4Config =
+    SigV4Config(region, StaticCredentialsProvider(credentials), clock)
+}
 
 /** AWS Signature Version 4 — pure HMAC-SHA256 canonicalization, from
   * the publicly documented algorithm (the "Signature Version 4 signing

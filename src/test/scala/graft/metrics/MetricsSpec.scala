@@ -6,6 +6,7 @@ import graft.sources.{InMemoryShardService, ShardServiceRegistry, SubRecord}
 import graft.transport.{HttpRecordClient, HttpShardService, KinesisWireStub,
   RetryPolicy}
 import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
 
 /** Metrics parity (round-9 verdict item 3): the three-level config of
   * the reference (KCL `metricsLevel` none/summary/detailed + KPL
@@ -142,5 +143,87 @@ class MetricsSpec extends SparkSpec {
       stub.stop()
       GraftMetrics.reset()
     }
+  }
+
+  /** Drive one AvailableNow replay at `level` through the listener +
+    * reporter(s) — the uploader-seam shape (round-10 verdict item 8). */
+  private def replayThroughReporter(level: String, stream: String,
+      reporter: MetricsReporter): Unit = {
+    GraftMetrics.reset()
+    val store = new InMemoryShardService(stream, Seq("shard-0", "shard-1"))
+    (1 to 4).foreach(n => store.appendAssigned(
+      s"shard-${n % 2}", Seq(SubRecord("k", s"v$n".getBytes(UTF_8)))))
+    val stub = new KinesisWireStub(store, listShardsPageSize = 10)
+    val listener = new GraftMetricsListener(reporter)
+    spark.streams.addListener(listener)
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mxr").toString
+      val q = spark.readStream.format("graft-kinesis")
+        .option("endpoint", stub.endpoint)
+        .option("stream-name", stream)
+        .option("metrics-level", level)
+        .load()
+        .selectExpr("CAST(data AS STRING) AS v")
+        .writeStream.format("memory").queryName(s"mxr_$stream")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000L)
+      assert(spark.table(s"mxr_$stream").count() === 4L)
+    } finally {
+      spark.streams.removeListener(listener)
+      stub.stop()
+      GraftMetrics.reset()
+    }
+  }
+
+  test("uploader seam, detailed: the reporter receives parsed datums " +
+      "whose dimension sets are exactly {stream} and {stream, shard} " +
+      "(both shards present), and the JSON-lines file reporter writes " +
+      "the same vocabulary") {
+    val collecting = new MetricsReporter.Collecting
+    val file = java.nio.file.Files.createTempFile("graft-metrics", ".jsonl")
+    val tee = new MetricsReporter {
+      val f = new MetricsReporter.JsonLines(file)
+      override def report(b: Long, d: Seq[MetricDatum]): Unit = {
+        collecting.report(b, d); f.report(b, d)
+      }
+    }
+    replayThroughReporter("detailed", "mrd", tee)
+    val datums = collecting.all.flatMap(_._2)
+    assert(datums.nonEmpty, "the seam must receive datums")
+    val dimSets = datums.map(_.dimensions.keySet).toSet
+    assert(dimSets === Set(Set("stream"), Set("stream", "shard")),
+      s"detailed emits per-stream AND per-shard dimension rows: $dimSets")
+    assert(datums.forall(d => d.dimensions("stream") == "mrd"))
+    val shards = datums.flatMap(_.dimensions.get("shard")).toSet
+    assert(shards === Set("shard-0", "shard-1"),
+      s"every shard gets its own dimension row: $shards")
+    // names are parsed clean (no bracket syntax leaks into the datum)
+    assert(datums.forall(d => !d.metric.contains("[")))
+    assert(datums.exists(_.metric == "RecordsFetched"))
+    assert(datums.forall(_.value > 0L), "deltas only, no zero rows")
+    // the file stand-in carries the same vocabulary, line per datum
+    val lines = java.nio.file.Files.readAllLines(file)
+    assert(lines.size === datums.size)
+    assert(lines.asScala.forall(l =>
+      l.startsWith("""{"batch":""") && l.contains(""""metric":""") &&
+        l.contains(""""stream":"mrd"""") && l.endsWith("}")))
+    assert(lines.asScala.exists(_.contains(""""shard":"shard-1"""")))
+  }
+
+  test("uploader seam, summary: the reporter sees ONLY the {stream} " +
+      "dimension set; none: the reporter is never invoked") {
+    val collecting = new MetricsReporter.Collecting
+    replayThroughReporter("summary", "mrs", collecting)
+    val datums = collecting.all.flatMap(_._2)
+    assert(datums.nonEmpty)
+    assert(datums.map(_.dimensions.keySet).toSet === Set(Set("stream")),
+      "summary level must emit only per-stream dimension rows")
+    assert(datums.forall(d => d.dimensions("stream") == "mrs"))
+    val silent = new MetricsReporter.Collecting
+    replayThroughReporter("none", "mrn", silent)
+    assert(silent.all.isEmpty,
+      "level none records nothing, so the seam must stay silent")
   }
 }

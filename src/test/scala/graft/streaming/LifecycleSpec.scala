@@ -131,4 +131,72 @@ class LifecycleSpec extends SparkSpec {
         s"query B read ${rowsRead(qb)} rows; 100 live on its shards")
     } finally { qa.stop(); qb.stop() }
   }
+
+  test("KCL checkpoint import: a stream started from a converted " +
+      "DynamoDB lease-table export consumes exactly the " +
+      "post-checkpoint suffix; unleased shards follow initial-position") {
+    import graft.sources.{InMemoryShardService, RawShardRecord,
+      ShardServiceRegistry}
+    val svc = new InMemoryShardService("mig", Seq("shard-a", "shard-b",
+      "shard-new"))
+    def put(shard: String, seq: Int): Unit = svc.append(shard,
+      RawShardRecord.single(s"k$seq", BigInt(seq), seq.toLong,
+        s"$shard-$seq".getBytes("UTF-8")))
+    (1 to 10).foreach(put("shard-a", _))   // KCL checkpointed at 6
+    (1 to 5).foreach(put("shard-b", _))    // lease TRIM_HORIZON (no ckpt)
+    (1 to 4).foreach(put("shard-new", _))  // post-migration shard: no lease
+    // the reference's <app>-<stream> lease table, exported as DynamoDB
+    // JSON (one {"Item":...} per line; KinesisConsumer.scala:71-74)
+    val export = Seq(
+      """{"Item":{"leaseKey":{"S":"shard-a"},"checkpoint":{"S":"6"},""" +
+        """"checkpointSubSequenceNumber":{"N":"0"},""" +
+        """"leaseOwner":{"S":"worker-1"},"leaseCounter":{"N":"42"}}}""",
+      """{"Item":{"leaseKey":{"S":"shard-b"},""" +
+        """"checkpoint":{"S":"TRIM_HORIZON"},""" +
+        """"leaseOwner":{"S":"worker-2"},"leaseCounter":{"N":"7"}}}""")
+    val (positions, latestOnly) =
+      graft.ImportKclCheckpoints.convert(export.iterator)
+    assert(latestOnly.isEmpty)
+    val imported = graft.sources.GraftShardOffsets(positions).json()
+    // shard-a resumes after seq 6; shard-b from the very beginning
+    assert(imported.contains(""""shard-a":"6:0""""))
+    assert(positions("shard-b") === graft.sources.ShardPos.Beginning)
+    assert(!positions.contains("shard-new"))
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mig").toString
+    val q = spark.readStream.format("graft-kinesis")
+      .option("service.id", id)
+      .option("initial-positions", imported)
+      .option("initial-position", "TRIM_HORIZON") // the no-lease fallback
+      .load()
+      .selectExpr("shardId", "CAST(data AS STRING) AS v")
+      .writeStream.format("memory").queryName("mig_out")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000L)
+    val got = spark.table("mig_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected =
+      (7 to 10).map(i => ("shard-a", s"shard-a-$i")).toSet ++ // suffix only
+        (1 to 5).map(i => ("shard-b", s"shard-b-$i")).toSet ++ // full replay
+        (1 to 4).map(i => ("shard-new", s"shard-new-$i")).toSet // fallback
+    assert(got === expected,
+      "imported checkpoints must yield exactly the post-checkpoint suffix")
+    // a corrupt import fails the query loudly instead of reprocessing
+    val bad = intercept[Exception] {
+      spark.readStream.format("graft-kinesis")
+        .option("service.id", id)
+        .option("initial-positions", """{"shard-a":"oops"}""")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$tmp/chk2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000L)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(bad).exists(t => Option(t.getMessage)
+      .exists(_.contains("unparseable shard-offset"))))
+  }
 }

@@ -554,6 +554,72 @@ class TransportSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("rotating credentials provider: the token rotates mid-replay, " +
+      "requests re-sign with the new key through the server's overlap " +
+      "window, the stale key is rejected once the overlap closes, and " +
+      "zero records are dropped across the rotation") {
+    var now = 0L // injectable clock shared by provider, signer, server
+    val clock = () => now
+    val creds1 = AwsCredentials("AKIDROT1", "secret-one", Some("tok-one"))
+    val creds2 = AwsCredentials("AKIDROT2", "secret-two", Some("tok-two"))
+    var fetches = 0
+    val provider = new RotatingCredentialsProvider(
+      fetch = () => {
+        fetches += 1
+        if (fetches == 1) (creds1, 100000L) else (creds2, Long.MaxValue)
+      },
+      clock = clock, refreshAheadMs = 10000L)
+    val store = new InMemoryShardService("wire", Seq("shard-0"))
+    val stub = new KinesisWireStub(store)
+    try {
+      stub.requireSigV4 = Some(StubSigV4(creds1, "us-east-1", clock))
+      val svc = new HttpShardService(stub.endpoint, "wire",
+        RetryPolicy(sleeper = _ => ()),
+        Some(SigV4Config("us-east-1", provider, clock)))
+      def append(r: Range): Unit = store.appendAssigned("shard-0",
+        r.map(i => SubRecord(s"k$i", s"v$i".getBytes(UTF_8))))
+      var pos: ShardPos = ShardPos.Beginning
+      val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+      def drain(): Unit = {
+        val to = svc.latestPosition("shard-0")
+        svc.read("shard-0", pos, to).foreach(rec =>
+          rec.subRecords.foreach(s => seen += new String(s.data, UTF_8)))
+        pos = to
+      }
+      // phase 1: fresh key, well before expiry
+      append(1 to 10); drain()
+      assert(fetches === 1)
+      // the SERVER rotates first (real AWS order): creds2 current,
+      // creds1 still valid through the overlap window. The client is
+      // inside the refresh-ahead margin and keeps signing with creds1.
+      stub.requireSigV4 = Some(StubSigV4(creds2, "us-east-1", clock,
+        previous = Some(creds1)))
+      now = 85000L // expiry 100000 - refreshAhead 10000 = 90000 > now
+      append(11 to 20); drain()
+      assert(fetches === 1, "still inside the cached credential window")
+      // past the refresh-ahead threshold: the provider re-fetches and
+      // every subsequent request signs with the NEW key + token
+      now = 95000L
+      append(21 to 30); drain()
+      assert(fetches === 2, "provider must have rotated")
+      assert(provider.resolve() === creds2)
+      // zero loss, zero duplication across the rotation
+      assert(seen.sorted === (1 to 30).map(i => s"v$i").sorted.map(identity))
+      assert(seen.size === 30)
+      // overlap closes: the server drops the outgoing key; a client
+      // still pinned to creds1 is rejected with the auth taxonomy
+      stub.requireSigV4 = Some(StubSigV4(creds2, "us-east-1", clock))
+      val staleClient = new HttpShardService(stub.endpoint, "wire",
+        RetryPolicy(sleeper = _ => ()),
+        Some(SigV4Config("us-east-1", creds1, clock)))
+      val e = intercept[KinesisApiException] { staleClient.listShards() }
+      assert(e.statusCode === 403 &&
+        e.errorType === "UnrecognizedClientException" && !e.retryable)
+      // while the rotated client keeps working
+      assert(svc.listShards() === Seq("shard-0"))
+    } finally stub.stop()
+  }
+
   test("SigV4 credentials ride the self-describing id: an executor-" +
       "reconstructed client signs identically (and the id never " +
       "carries the secret un-url-encoded pipes)") {
