@@ -201,6 +201,78 @@ object Bench {
   private[graft] def budgetFor(promotedSec: Double): Double =
     math.max(1.5 * promotedSec, promotedSec + 0.5)
 
+  /** Single-thread pure-CPU probe (~0.2 s of xorshift): the INTERLEAVED
+    * host-contention canary (round-10 verdict item 7). The harness-rate
+    * canary brackets the whole run, so a mid-run contention burst (the
+    * 322 s anomaly's failure mode, and the most plausible reading of
+    * round 10's q107 3.4 s -> 10.0 s driver-context excursion on a
+    * canary-1.083 run) used to attribute to whatever query it landed
+    * on. Sampling this probe every [[SpanLen]] entries tags each query
+    * with its span's worst bracketing rate instead. */
+  private[graft] object CpuProbe {
+    private val Iterations = 100000000L // ~0.2 s/probe, ~6 s per full run
+    @volatile private var sink = 0L // defeat dead-code elimination
+    def run(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < Iterations) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      sink = x
+      Iterations / ((System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  /** Queries per probe span: ~29 probes over a 285-entry run (~6 s of
+    * probing) at a resolution finer than any multi-minute host burst. */
+  private[graft] val SpanLen = 10
+
+  /** Worst bracketing probe rate of span `i` (probes fire at each
+    * span's start and once after the last query, so `rates` has
+    * nSpans+1 entries; a clamped lookup tolerates a truncated tail). */
+  private[graft] def spanRate(i: Int, rates: IndexedSeq[Double]): Double =
+    math.min(rates(math.min(i, rates.size - 1)),
+      rates(math.min(i + 1, rates.size - 1)))
+
+  /** Spans whose worst bracketing rate fell below `threshold` x the
+    * run's best probe — the machine was measurably slower there, so a
+    * time-budget violation inside one blames the SPAN, not the query. */
+  private[graft] def contendedSpans(rates: IndexedSeq[Double],
+      threshold: Double = 0.75): Set[Int] =
+    if (rates.size < 2) Set.empty
+    else {
+      val best = rates.max
+      (0 until rates.size - 1)
+        .filter(i => spanRate(i, rates) < threshold * best).toSet
+    }
+
+  /** Deliberate mid-run contention for the attribution dry run
+    * (`SPARK_GRAFT_BENCH_HOG=from,to` query indices): burns half the
+    * machine's cores while queries [from,to) measure, so the committed
+    * dry-run artifact proves a doctored slowdown lands on the SPAN. */
+  private final class Hog {
+    private val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile private var sink = 0L // defeat dead-code elimination
+    // 2x the cores: the contention mode that matters is
+    // oversubscription (hypervisor steal / a concurrent build slows
+    // EVERY thread); an undersubscribed hog leaves whole cores free
+    // and neither the probe nor Spark slows (measured on the first
+    // dry-run attempt with cores/2)
+    private val threads = (1 to Runtime.getRuntime.availableProcessors * 2)
+      .map { i =>
+        val t = new Thread(() => {
+          var x = i.toLong | 1L
+          while (!stop.get()) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17 }
+          sink = x
+        }, s"bench-hog-$i")
+        t.setDaemon(true); t
+      }
+    def start(): Unit = threads.foreach(_.start())
+    def halt(): Unit = stop.set(true)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -253,7 +325,29 @@ object Bench {
       case Some(pre) => headline.filter(h => pre.exists(h.startsWith))
       case None => headline
     }
+    // interleaved canary (round-10 verdict item 7): a CPU probe at
+    // every span boundary tags each query with its span
+    CpuProbe.run(); CpuProbe.run() // JIT-warm the probe loop
+    val probeRates = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val spanOf = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // attribution dry run: SPARK_GRAFT_BENCH_HOG=from,to burns half the
+    // cores while query indices [from,to) measure
+    val hogRange = sys.env.get("SPARK_GRAFT_BENCH_HOG").map { s =>
+      val p = s.split(","); (p(0).trim.toInt, p(1).trim.toInt)
+    }
+    var hog: Option[Hog] = None
+    var qIndex = 0
     selected.filter(SparkEntry.queries.contains).foreach { name =>
+      hogRange.foreach { case (from, to) =>
+        if (qIndex == from && hog.isEmpty) {
+          val h = new Hog; h.start(); hog = Some(h)
+          System.err.println(s"[bench] HOG started at query $qIndex ($name)")
+        }
+        if (qIndex == to) hog.foreach { h => h.halt(); hog = None }
+      }
+      if (qIndex % SpanLen == 0) probeRates += CpuProbe.run()
+      spanOf(name) = probeRates.size - 1
+      qIndex += 1
       val fn = SparkEntry.queries(name)
       def run(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -274,6 +368,13 @@ object Bench {
       spillMb(name) = listener.spilled.get / 1048576.0
       release()
     }
+    hog.foreach(_.halt())
+    probeRates += CpuProbe.run() // closing span boundary
+    val badSpans = contendedSpans(probeRates.toIndexedSeq)
+    if (badSpans.nonEmpty) System.err.println(
+      s"[bench] CONTENDED SPANS ${badSpans.toSeq.sorted.mkString(",")} of " +
+        s"${math.max(probeRates.size - 1, 0)}: probe rates " +
+        probeRates.map(r => f"${r / 1e9}%.2f").mkString("[", ",", "]") + "e9/s")
 
     results ++= ingestReplay(spark)
     results ++= wireIngestReplay(spark)
@@ -319,7 +420,12 @@ object Bench {
       c <- canaryCommitted if c > 0.0
       n <- results.get("rate_harness_1m_eps")
     } yield n / c
-    val hostContended = canaryRatio.exists(_ < 0.75)
+    // The cross-run comparison is calibrated for FULL runs only: on a
+    // short SPARK_GRAFT_BENCH_ONLY subset the harness replay runs on a
+    // cold JIT and reads ~40% slow on an idle host (measured:
+    // other_cpu_mean 0.001 yet ratio 0.60 on a 1-query run). Subset
+    // runs keep the process sampler + interleaved probe spans.
+    val hostContended = only.isEmpty && canaryRatio.exists(_ < 0.75)
     if (hostContended) System.err.println(
       f"[bench] HOST-CONTENDED RUN: harness canary at " +
         f"${canaryRatio.get}%.2f of the committed clean rate — " +
@@ -378,9 +484,61 @@ object Bench {
         } else Map.empty
       } catch { case e: Exception =>
         System.err.println(s"[bench] time budget read: $e"); Map.empty }
-    val timeViolations =
+    // Reproduce-or-dismiss (round-10 verdict item 1 — third consecutive
+    // driver-red time gate on oracle-correct code): a raw violation on
+    // an uncontended run is only DECLARED after it survives attribution
+    // and re-measurement, because min-of-two at a fixed position still
+    // carries one-off context costs (measured: q107 4.1-4.8 s solo,
+    // 5.3 s after a heavy prefix, 10.0 s once in the driver's round-10
+    // run — same plan, same answer, three contexts).
+    //  1. span attribution: a violation inside a probe-contended span
+    //     blames the HOST span, not the query (skipped, tagged);
+    //  2. re-measure: the query runs again from a released heap
+    //     (warm + min-of-two, probe-bracketed). Back under budget =>
+    //     dismissed (one-off context cost); still over on a clean
+    //     re-measure => a real, reproducible regression — declared.
+    // A genuine code slowdown reproduces deterministically, so the
+    // seeded-slowdown dry run still goes red through this path.
+    val rawViolations =
       if (contended) scala.collection.Map.empty[String, Double]
       else overBudget(results, timeBudget)
+    val spanSkipped = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val dismissed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val timeViolations = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    rawViolations.toSeq.sortBy(_._1).foreach { case (q, sec) =>
+      if (spanOf.get(q).exists(badSpans.contains)) {
+        spanSkipped(q) = sec
+        System.err.println(f"[bench] time violation $q=${sec}%.2fs " +
+          f"attributed to contended span ${spanOf(q)} — skipped")
+      } else if (SparkEntry.queries.contains(q)) {
+        release(); Thread.sleep(300)
+        val pBefore = CpuProbe.run()
+        def run(): Unit = SparkEntry.queries(q)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        run(); release()
+        val r1 = time(run()); release()
+        val r2 = time(run())
+        val pAfter = CpuProbe.run()
+        val r = math.min(r1, r2)
+        val probeOk = probeRates.nonEmpty &&
+          math.min(pBefore, pAfter) >= 0.75 * probeRates.max
+        if (!probeOk) {
+          spanSkipped(q) = sec
+          System.err.println(f"[bench] time violation $q=${sec}%.2fs: " +
+            "re-measure window was host-contended — skipped")
+        } else if (r <= timeBudget(q)) {
+          dismissed(q) = r
+          System.err.println(f"[bench] time violation $q=${sec}%.2fs " +
+            f"DISMISSED: clean re-measure ${r}%.2fs within budget " +
+            f"${timeBudget(q)}%.2f (one-off context cost)")
+        } else {
+          timeViolations(q) = math.min(sec, r)
+          System.err.println(f"[bench] time violation $q REPRODUCED: " +
+            f"${sec}%.2fs then ${r}%.2fs vs budget ${timeBudget(q)}%.2f")
+        }
+        release()
+      } else timeViolations(q) = sec // replay entries: not re-runnable here
+    }
     if (timeViolations.nonEmpty) System.err.println(
       s"[bench] TIME BUDGET EXCEEDED: " + timeViolations.map { case (q, s) =>
         f"$q=${s}%.2fs(budget ${timeBudget(q)}%.2f)" }.mkString(", "))
@@ -399,6 +557,12 @@ object Bench {
       s""""contended":${if (contended) 1 else 0},""" +
       s""""shuffle_budget_violations":${jmap(shuffleViolations, 3)},""" +
       s""""time_budget_violations":${jmap(timeViolations, 3)},""" +
+      s""""time_budget_dismissed":${jmap(dismissed, 3)},""" +
+      s""""time_budget_span_skipped":${jmap(spanSkipped, 3)},""" +
+      s""""probe_rates_e9":[${probeRates.map(r =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(r / 1e9)))
+        .mkString(",")}],""" +
+      s""""contended_spans":[${badSpans.toSeq.sorted.mkString(",")}],""" +
       s""""note":"shuffle/spill are from the 2nd measured run",""" +
       s""""sf":"$sfDir"}"""
     println(detail)

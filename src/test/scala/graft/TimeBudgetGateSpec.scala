@@ -46,6 +46,33 @@ class TimeBudgetGateSpec extends AnyFunSuite {
     assert(Bench.overBudget(results, budget).keySet === Set("b"))
   }
 
+  test("span attribution math: a dipped probe marks exactly the spans " +
+      "it brackets; steady probes mark none; degenerate inputs are safe") {
+    // 4 spans, probe boundary 2 dipped to half rate: spans 1 and 2
+    // (the two it brackets) are contended, spans 0 and 3 are not
+    val rates = IndexedSeq(4.0e9, 4.0e9, 2.0e9, 4.0e9, 4.0e9)
+    assert(Bench.contendedSpans(rates) === Set(1, 2))
+    assert(Bench.spanRate(1, rates) === 2.0e9)
+    assert(Bench.spanRate(0, rates) === 4.0e9)
+    // jitter under the 25% threshold never marks a span
+    assert(Bench.contendedSpans(
+      IndexedSeq(4.0e9, 3.7e9, 4.1e9, 3.9e9)) === Set.empty)
+    // a sustained-slow tail marks every span it covers
+    assert(Bench.contendedSpans(
+      IndexedSeq(4.0e9, 4.0e9, 1.0e9, 1.0e9)) === Set(1, 2))
+    assert(Bench.contendedSpans(IndexedSeq(4.0e9)) === Set.empty)
+    assert(Bench.contendedSpans(IndexedSeq.empty[Double]) === Set.empty)
+  }
+
+  test("the CPU probe is a usable thermometer: warmed samples on this " +
+      "host agree within the 25% attribution threshold") {
+    Bench.CpuProbe.run(); Bench.CpuProbe.run() // JIT warm
+    val a = Bench.CpuProbe.run(); val b = Bench.CpuProbe.run()
+    assert(a > 0 && b > 0)
+    assert(math.min(a, b) / math.max(a, b) > 0.75,
+      f"probe self-agreement too weak for span attribution: $a%.3g vs $b%.3g")
+  }
+
   test("the committed TIME_BUDGET.json stays within the calibration " +
       "band of the committed promoted run (anti-staleness both " +
       "directions: never tighter than the formula on the promoted " +
