@@ -134,7 +134,8 @@ object Bench {
     "t47_packing_sweep", "m19_band_tuning", "t48_vocab_sweep",
     "q200_granger_causality", "t49_kneser_ney_bigram",
     "q201_engle_granger", "e31_pq_codebook_refine",
-    "m20_sampler_coverage")
+    "m20_sampler_coverage", "q202_page_hinkley", "t50_entropy_rate",
+    "e32_residual_quantization")
 
   /** Samples host/process CPU once a second so a run can prove it was
     * (or wasn't) contended — three NOTES.md incidents of a concurrent

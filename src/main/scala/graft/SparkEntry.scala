@@ -40,6 +40,7 @@ object SparkEntry {
       operators.Extended15.queries ++
       operators.Extended16.queries ++
       operators.Extended17.queries ++
+      operators.Extended18.queries ++
       operators.PiiOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,5 +69,6 @@ object SparkEntry {
       operators.Extended15.oracleSql ++
       operators.Extended16.oracleSql ++
       operators.Extended17.oracleSql ++
+      operators.Extended18.oracleSql ++
       operators.PiiOps.oracleSql
 }

@@ -1100,6 +1100,54 @@ object Similarity {
             col("n_vectors"), col("n_codes_used"), col("mse"))
       stats(e0, 0).unionAll(stats(e1, 1))
         .orderBy(col("iter"), col("subspace"))
+    }),
+
+    // RESIDUAL QUANTIZATION (two-stage additive codebook, round 11):
+    // the coarse quantizer is e15's % 50 == 0 centroid table; every
+    // vector's residual r = v − c(v) is re-quantized against a SHARED
+    // residual codebook (the residuals of the % 37 == 0 sample —
+    // disjoint seeding, so the codebook never contains its queries'
+    // own zero residual... except the sample ids themselves, whose
+    // d2 = 0 honestly). Because the stages are ADDITIVE, the
+    // stage-2 assignment distance ‖r − q(r)‖² IS the full two-stage
+    // reconstruction error ‖v − (c(v) + q(r))‖², so mse_rq/mse_coarse
+    // is exactly the distortion the second code buys — the RQ
+    // counterpart of e13/e31's PQ subspace split (RQ refines depth-
+    // wise where PQ splits width-wise). Residual subtraction is exact
+    // IEEE double arithmetic (bit-identical cross-engine); per-cell
+    // means are DECIMAL ([[cellMeans]]'s discipline via Parity.davg).
+    // Scale shape: two broadcast assignments (coarse + residual
+    // codebook — both sample-sized), one cell-keyed rollup; nothing
+    // fact-sized shuffles.
+    "e32_residual_quantization" -> ((s, d) => {
+      val v = vecs(s, d).select(col("vec_id"), col("v"))
+      val c0 = vecs(s, d).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val withR = assignTo(v, c0)
+        .join(broadcast(c0), Seq("cent_id"))
+        .select(col("vec_id"), col("cent_id").as("cell"),
+          col("dist").as("d1"),
+          expr("zip_with(v, cv, (x, y) -> x - y)").as("r"))
+      // FIXED-size codebook (<= 256 codes): real RQ trains K codes on
+      // a sample, so the broadcast and the assignment cross stay
+      // capped-linear at any corpus size (the cap binds from sf0.1 up)
+      val rc = withR
+        .filter(col("vec_id") % 37 === 0 && col("vec_id") < lit(37L * 256))
+        .select(col("vec_id").as("cent_id"), col("r").as("cv"))
+      val ra = assignTo(
+        withR.select(col("vec_id"), col("r").as("v")), rc)
+        .select(col("vec_id"), col("cent_id").as("rcode"),
+          col("dist").as("d2"))
+      withR.join(ra, Seq("vec_id"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("rcode")).as("n_codes_used"),
+          Parity.davg(col("d1")).as("mse_coarse"),
+          Parity.davg(col("d2")).as("mse_rq"))
+        .withColumn("gain",
+          when(col("mse_coarse") > 0.0,
+            lit(1.0) - col("mse_rq") / col("mse_coarse")))
+        .orderBy(col("cell"))
     })
   )
 
@@ -1985,7 +2033,43 @@ object Similarity {
          SELECT * FROM (
            ${pqRefineStatsSql("e0", 0)}
            UNION ALL ${pqRefineStatsSql("e1", 1)}) s
-         ORDER BY iter, subspace"""
+         ORDER BY iter, subspace""",
+
+    // residual subtraction is exact double arithmetic; the residual
+    // assignment repeats lloydAssignSql's parenthesization and tie
+    // order over the residual vectors
+    "e32_residual_quantization" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         c0 AS (SELECT vec_id AS cent_id, v AS cv FROM v
+                WHERE vec_id % 50 = 0),
+         a0 AS (${lloydAssignSql("c0")}),
+         wr AS (SELECT a0.vec_id, a0.cent_id AS cell, a0.dist AS d1,
+             list_transform(generate_series(1, len(a0.v)),
+               i -> a0.v[i] - c0.cv[i]) AS r
+           FROM a0 JOIN c0 ON a0.cent_id = c0.cent_id),
+         rc AS (SELECT vec_id AS cent_id, r AS cv FROM wr
+                WHERE vec_id % 37 = 0 AND vec_id < 9472),
+         ra AS (SELECT vec_id, cent_id AS rcode, dist AS d2 FROM (
+             SELECT q.vec_id, c.cent_id,
+               (list_dot_product(q.r, q.r)
+                - 2 * list_dot_product(q.r, c.cv))
+               + list_dot_product(c.cv, c.cv) AS dist,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY (list_dot_product(q.r, q.r)
+                           - 2 * list_dot_product(q.r, c.cv))
+                          + list_dot_product(c.cv, c.cv),
+                          c.cent_id) AS rk
+             FROM wr q CROSS JOIN rc c) t WHERE rk = 1),
+         agg AS (SELECT cell, CAST(COUNT(1) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT rcode) AS BIGINT) AS n_codes_used,
+             ${Parity.davgSql("d1")} AS mse_coarse,
+             ${Parity.davgSql("d2")} AS mse_rq
+           FROM wr JOIN ra USING (vec_id) GROUP BY cell)
+         SELECT cell, n, n_codes_used, mse_coarse, mse_rq,
+           CASE WHEN mse_coarse > 0.0
+                THEN 1.0 - mse_rq / mse_coarse END AS gain
+         FROM agg ORDER BY cell"""
   )
 
   /** e31's per-subspace argmin-encode over CTE `vsub` against codebook

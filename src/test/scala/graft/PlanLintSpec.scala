@@ -85,6 +85,8 @@ class PlanLintSpec extends SparkSpec {
     "e28_ood_screen" -> "bounded cross: broadcast centroid assignment",
     "d29_shingle_width_profile" -> "O(1) broadcast: doc-count scalar",
     "q127_cusum_drift" -> "O(1) broadcast: (n, total) scalars",
+    "q202_page_hinkley" -> "O(1) broadcast: (sk, k) calibration scalars",
+    "e32_residual_quantization" -> "bounded cross: broadcast coarse-centroid assignment + capped-256 residual-codebook assignment",
     "q164_poisson_bootstrap" -> "O(1) broadcast: (n, mean_exact) scalars",
     "t36_ks_drift" -> "bounded cross: dim x dim pooled-jump-point grid (q83's class) + 1-row total",
     "q129_cms_frequency" -> "O(1) broadcast: CMS counter matrix",
@@ -132,6 +134,7 @@ class PlanLintSpec extends SparkSpec {
     // --- calendar-bounded series: frame = days/weeks observed ---
     "q115_order_backlog_curve" -> "calendar day grid",
     "q127_cusum_drift" -> "calendar day grid",
+    "q202_page_hinkley" -> "calendar day grid",
     "q191_seasonal_strength" -> "calendar day grid (centered 7-day MA)",
     "q156_acf_ljung_box" -> "weekly series + lag grid",
     "q157_benford_screen" -> "weekly series + distinct-y grid",
