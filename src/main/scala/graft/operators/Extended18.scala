@@ -26,6 +26,11 @@ import graft.Tables
   * DECIMAL(18,9) before the order-insensitive sum (the t44 libm-ln
   * rule). The reference delegates all analytics to user code behind
   * its event processor (`/root/reference/README.md:246-293`).
+  * q202 has a streaming twin — [[StreamingOps.pageHinkleyFold]], the
+  * 16th batch==stream fold: it buffers the 30-day calibration window,
+  * then replays it through the identical BigInt recurrence, so the
+  * streamed points equal the batch rows bit-for-bit
+  * (StatefulStreamSpec).
   */
 object Extended18 {
 

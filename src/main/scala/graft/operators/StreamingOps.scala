@@ -643,6 +643,77 @@ object StreamingOps {
     else Iterator.empty
   }
 
+  /** q202's streaming twin (the 16th batch==stream fold): Page–Hinkley
+    * drift detection over the observed daily revenue series, run
+    * continuously. The batch statistic's one non-incremental piece is
+    * the calibration baseline (S_K over the first K=30 OBSERVED days),
+    * so the fold buffers the first 30 days, then replays them through
+    * the exact-integer recurrence the moment calibration completes —
+    * emission covers the WHOLE series (30 retro rows + incremental
+    * thereafter) and reproduces the batch q202 rows bit-for-bit:
+    * M_t = 200·K·P_t − 201·t·S_K in exact BigInt, running prefix min,
+    * display ph = (M−min).toDouble / (200·K) and alarm e > 2000·S_K —
+    * the identical operation order as the batch DECIMAL(38,0) algebra
+    * (BigInt.doubleValue and Spark's Decimal→double are both
+    * correctly-rounded conversions). State: (t, P, S_K, K, minM) plus
+    * the ≤30-row calibration buffer — bounded regardless of history.
+    * Same per-row lastDay replay guard as [[holtWintersFold]]: days
+    * arrive in order, each exactly once; replays/out-of-order drop.
+    * A series that never reaches 30 observed days emits nothing (the
+    * detector is still calibrating — there is no baseline to drift
+    * from).
+    */
+  case class PhState(t: Long, p: BigInt, sk: BigInt, k: Long,
+      minM: BigInt, buf: Seq[(Long, Long)], lastDay: Long = Long.MinValue)
+  case class PhPoint(key: String, dt: String, revenue_cents: Long,
+      ph_cents: Double, is_alarm: Boolean)
+  def pageHinkleyFold(key: String, it: Iterator[DayTotal],
+      state: GroupState[PhState]): Iterator[PhPoint] = {
+    var st = state.getOption.getOrElse(
+      PhState(0L, BigInt(0), BigInt(0), 0L, BigInt(0), Seq.empty))
+    val out = Array.newBuilder[PhPoint]
+    def emit(day: Long, x: Long, e: BigInt): Unit =
+      out += PhPoint(key,
+        java.time.LocalDate.ofEpochDay(day).toString, x,
+        e.toDouble / (200.0 * st.k.toDouble),
+        e > BigInt(2000) * st.sk)
+    it.toArray.sortBy(_.day).foreach { o =>
+      if (o.day > st.lastDay) {
+        if (st.k < 30L) {
+          val buf = st.buf :+ (o.day -> o.x)
+          if (buf.length == 30) {
+            // calibration complete: fix S_K, replay the buffer through
+            // the recurrence (batch semantics apply the FULL baseline
+            // to the calibration rows too — its base frame crossJoins
+            // every row)
+            val sk = buf.map(r => BigInt(r._2)).sum
+            st = st.copy(sk = sk, k = 30L, lastDay = o.day)
+            var minM: BigInt = null
+            buf.foreach { case (d, x) =>
+              val t = st.t + 1
+              val p = st.p + x
+              val mt = BigInt(200) * BigInt(st.k) * p -
+                BigInt(201) * BigInt(t) * st.sk
+              minM = if (minM == null) mt else minM.min(mt)
+              st = st.copy(t = t, p = p, minM = minM, buf = Seq.empty)
+              emit(d, x, mt - minM)
+            }
+          } else st = st.copy(buf = buf, lastDay = o.day)
+        } else {
+          val t = st.t + 1
+          val p = st.p + o.x
+          val mt = BigInt(200) * BigInt(st.k) * p -
+            BigInt(201) * BigInt(t) * st.sk
+          val minM = st.minM.min(mt)
+          st = st.copy(t = t, p = p, minM = minM, lastDay = o.day)
+          emit(o.day, o.x, mt - minM)
+        }
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling event-time window aggregate. Streaming twin: identical plan
     // + withWatermark("ts", ...); partial agg keeps the shuffle tiny.

@@ -988,6 +988,88 @@ class StatefulStreamSpec extends SparkSpec {
       assert(batch.head.getAs[Long]("n_weeks") > 10L)
     } finally q.stop()
   }
+
+  test("pageHinkleyFold replays q202's observed daily series across " +
+      "micro-batches (calibration buffer straddling the cut) and the " +
+      "emitted points equal the batch rows bit-for-bit; replayed days " +
+      "drop") {
+    import spark.implicits._
+    import graft.operators.StreamingOps.{DayTotal, PhPoint, PhState}
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // q202's carrier recomputed independently: OBSERVED daily order
+    // totals in cents (no zero-fill — PH runs on observed days)
+    val series = graft.Tables.orders(spark, sf)
+      .groupBy(expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+        .as("day"))
+      .agg(sum(round(col("o_totalprice") * lit(100)).cast("long"))
+        .as("cents"))
+      .orderBy(col("day"))
+      .collect().map(r => DayTotal("rev", r.getInt(0).toLong, r.getLong(1)))
+      .toIndexedSeq
+    assert(series.length > 60, "needs calibration + steady-state days")
+    // cut INSIDE the 30-day calibration window: the buffer must
+    // survive the state round-trip and the retro replay must emit
+    // rows from both micro-batches
+    val (b1, b2) = series.splitAt(17)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ph").toString
+    val input = MemoryStream[DayTotal](spark)
+    val q = input.toDS().groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        graft.operators.StreamingOps.pageHinkleyFold _)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ph_points")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      assert(spark.table("ph_points").count() === 0L,
+        "still calibrating after 17 days: nothing emitted")
+      // at-least-once chaos: batch 2 replays all of batch 1 first
+      input.addData(b1 ++ b2: _*); q.processAllAvailable()
+      val pts = spark.table("ph_points").as[PhPoint].collect()
+        .map(p => p.dt -> ((p.revenue_cents, p.ph_cents, p.is_alarm)))
+        .toMap
+      val batch = graft.SparkEntry.queries("q202_page_hinkley")(spark, sf)
+        .collect()
+        .map(r => r.getAs[String]("dt") ->
+          ((r.getAs[Long]("revenue_cents"), r.getAs[Double]("ph_cents"),
+            r.getAs[Boolean]("is_alarm"))))
+        .toMap
+      assert(pts.size === series.length, "one point per observed day")
+      assert(pts === batch,
+        "streamed Page–Hinkley rows == batch rows bit-for-bit")
+      assert(pts.values.exists(_._3) && pts.values.exists(!_._3),
+        "both alarm states exercised")
+    } finally q.stop()
+    // pure-fold replay guard: a stale redelivery across batches drops
+    // (idempotent under at-least-once) and state matches the clean fold
+    locally {
+      import org.apache.spark.sql.streaming.{TestGroupState, GroupStateTimeout}
+      import org.apache.spark.api.java.Optional
+      def state[S](prev: Option[S]): TestGroupState[S] =
+        TestGroupState.create[S](
+          prev.map(Optional.of[S]).getOrElse(Optional.empty[S]()),
+          GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+      val stClean = state[PhState](None)
+      val clean = graft.operators.StreamingOps.pageHinkleyFold(
+        "k", series.take(45).iterator, stClean).toVector
+      assert(clean.size === 45)
+      val st1 = state[PhState](None)
+      graft.operators.StreamingOps.pageHinkleyFold(
+        "k", series.take(40).iterator, st1)
+      val st2 = state[PhState](Some(st1.get))
+      val dup = graft.operators.StreamingOps.pageHinkleyFold(
+        "k", (series.slice(35, 40) ++ series.slice(40, 45)).iterator,
+        st2).toVector
+      assert(dup.map(_.dt) === series.slice(40, 45).map(d =>
+        java.time.LocalDate.ofEpochDay(d.day).toString).toVector,
+        "replayed days 36-40 drop; only the five new days emit")
+      assert(st2.get === stClean.get,
+        "state after replay must equal the clean in-order fold")
+      assert(clean.takeRight(5) === dup)
+    }
+  }
 }
 
 object StatefulStreamSpec {
