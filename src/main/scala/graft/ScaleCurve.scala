@@ -61,8 +61,14 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCurve {
 
-  /** Top-of-the-bench queries (clean r8 run) spanning every family:
-    * weekly-grid stats, graph loops, dedup, ANN, multimodal, text. */
+  /** Gate roster: selected by FAMILY COVERAGE, not just promoted cost
+    * (round-11 verdict item 2 — the cost-only roster missed the IVF
+    * assignment quadratic because every IVF entry was cheap at sf0.1).
+    * Top-of-the-bench entries spanning weekly-grid stats, graph loops,
+    * dedup, ANN, multimodal, text — PLUS at least two non-allowlisted
+    * entries per operator family: the full IVF chain (e03 index+search,
+    * e06 multi-probe, e09 SQ8, e13 PQ, e10 semantic dedup, e32 residual
+    * quantization), LSH dedup (d04), and the newest text entry (t50). */
   private val gateQueries = Seq(
     "q179_siegel_slope", "q155_theil_sen", "q170_bootstrap_median_ci",
     "e24_ivf_k_sweep", "e14_pq_recall", "e30_jl_projection_audit",
@@ -72,7 +78,10 @@ object ScaleCurve {
     "q125_khop_reachability", "q130_copurchase_distance",
     "m10_media_neardup_components", "d13_canonical_keep_longest",
     "q197_link_prediction", "t19_source_novelty",
-    "d11_boilerplate_strip", "q80_column_profile")
+    "d11_boilerplate_strip", "q80_column_profile",
+    "e03_ann_ivf", "e06_ann_ivf_nprobe", "e09_ann_ivf_sq8",
+    "e13_ann_ivf_pq", "e10_semantic_dedup", "e32_residual_quantization",
+    "d04_minhash_lsh_dedup", "t50_entropy_rate")
 
   /** Declared super-linear contracts: exhaustive-truth eval-twins whose
     * OUTPUT is the recall/agreement measurement over all pairs — O(n²)
@@ -99,8 +108,15 @@ object ScaleCurve {
     // key offsets: one range per replica, disjoint by construction
     def off(c: String, m: Long, i: Int) =
       (col(c) + lit(m * i)).as(c)
+    // mVec stays under CellCap/26: the capped centroid rule
+    // (vec_id % 50 == 0 AND vec_id < 50*4096) must keep yielding ×K
+    // centroids across replicas — with a 1e6 offset every replica id
+    // would sit past the cap, freezing the cell count and making the
+    // within-cell searches look quadratic for a harness reason, not an
+    // operator one (the cap binds at ~205k REAL vectors, where cells
+    // stop growing by design — the fixed-nlist IVF contract)
     val mOrd = 10000000L; val mCust = 1000000L; val mPart = 1000000L
-    val mSupp = 100000L; val mDoc = 1000000L; val mVec = 1000000L
+    val mSupp = 100000L; val mDoc = 1000000L; val mVec = 2048L
     // offsets must clear the base key ranges or replicas' join keys
     // merge (silently wrong graphs/joins at larger base SFs)
     Seq(("orders", "o_orderkey", mOrd), ("customer", "c_custkey", mCust),

@@ -109,26 +109,62 @@ object Similarity {
         max(when(col("rno") === 1, col("d2p"))).as("d2p_t"))
   }
 
-  /** Shared IVF coarse quantizer: every vector ranked against the
-    * broadcast deterministic centroid set (vec_id % 50 == 0) by cosine,
-    * ties by cent_id. crk = 1 is the owning cell; crk <= nprobe is a
-    * probe set. e03/e06/e07/e08/e09 ALL derive from this single
-    * assignment, so the recall evaluations (e07/e08) measure exactly
-    * the index the search queries (e03/e06/e09) use — a divergent copy
-    * here would silently invalidate the recall numbers. */
-  private def centroidRanked(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val v = vecs(s, d)
-    val cents = v.filter(col("vec_id") % 50 === 0)
+  /** Fixed cell-count cap for every deterministic quantizer/codebook
+    * sample in this family: `vec_id % m == 0 AND vec_id < m * CellCap`
+    * yields AT MOST [[CellCap]] centroids no matter how large the
+    * corpus grows — so the centroid broadcast is bounded (4096 × 64
+    * doubles ≈ 2 MB) and the per-vector assignment loop is
+    * capped-linear at any scale, the same contract e32's 256-code
+    * residual codebook already carries. Below ~205k vectors the cap
+    * does not bind and cells still grow with the corpus (bounded ~50
+    * cell size keeps the within-cell searches linear there); past the
+    * cap, cells grow in size instead — the standard fixed-nlist IVF
+    * trade (FAISS sizes nlist once at index design time). */
+  private[operators] val CellCap = 4096L
+
+  /** The shared coarse centroid table: deterministic capped sample
+    * (vec_id % 50 == 0, at most [[CellCap]] centroids). */
+  private def coarseCents(s: SparkSession, d: String): DataFrame =
+    vecs(s, d)
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < lit(50L * CellCap))
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    v.join(broadcast(cents), lit(true))
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("crk", row_number().over(wAssign))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
-        col("crk"), col("ccos"))
+
+  /** Collapse an (id, vec, aux) centroid frame to ONE row holding the
+    * id-ascending centroid array — the broadcast side of every
+    * map-only assignment below. */
+  private def centsRow(cents: DataFrame, id: String, vec: String,
+      aux: Column): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col(id).as("id"),
+      col(vec).as("vec"), aux.as("aux")))).as("cents"))
+
+  /** Shared IVF coarse quantizer: every vector ranked against the
+    * broadcast deterministic centroid set ([[coarseCents]]) by cosine,
+    * ties by cent_id. crk = 1 is the owning cell; crk <= nprobe is a
+    * probe set (max nprobe used anywhere is 4). e03/e06/e07/e08/e09
+    * ALL derive from this single assignment, so the recall evaluations
+    * (e07/e08) measure exactly the index the search queries (e03/e06/
+    * e09) use — a divergent copy here would silently invalidate the
+    * recall numbers.
+    *
+    * Shape: the centroid table collapses to a 1-row broadcast and
+    * [[graft.functions.TopCentroids]] does the ranking per vector in a
+    * tight loop — n rows in, 4n rows out. The old window-rank form
+    * materialized |vectors| × |cells| rows through an exchange + sort,
+    * which is quadratic row growth while cells scale with the corpus
+    * (the round-11 scale-killer). Scores and tie-breaks are
+    * bit-identical to the windowed form, so every oracle stays green. */
+  private def centroidRanked(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val cr = centsRow(coarseCents(s, d), "cent_id", "cv", col("cn"))
+    v.crossJoin(broadcast(cr))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(graft.functions.VectorFunctions.topCentroids(
+          col("v"), col("nrm"), col("cents"), 4, byCosine = true)))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("col.cent_id").as("cent_id"),
+        (col("pos") + 1).cast("int").as("crk"),
+        col("col.score").as("ccos"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -411,8 +447,7 @@ object Similarity {
     // assignment itself, are bit-identical in both engines.
     "e15_kmeans_refine" -> ((s, d) => {
       val v = vecs(s, d).select(col("vec_id"), col("v"))
-      val c0 = vecs(s, d).filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val c0 = coarseCents(s, d).select(col("cent_id"), col("cv"))
       val a0 = assignTo(v, c0)
       val c1 = cellMeans(a0)
       val a1 = assignTo(v, c1)
@@ -684,18 +719,18 @@ object Similarity {
         .select(col("vec_id"), col("neighbor_id"))
       val tot = truth.agg(count(lit(1)).as("n_truth"))
       def config(m: Int): DataFrame = {
-        val cents = v.filter(col("vec_id") % m === 0)
+        val cents = v
+          .filter(col("vec_id") % m === 0 &&
+            col("vec_id") < lit(m * CellCap))
           .select(col("vec_id").as("cent_id"), col("v").as("cv"),
             col("nrm").as("cn"))
-        val wA = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("cent_id"))
-        val assigned = v.join(broadcast(cents), lit(true))
-          .withColumn("ccos",
-            dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-          .withColumn("crk", row_number().over(wA))
-          .filter(col("crk") === 1)
+        val cr = centsRow(cents, "cent_id", "cv", col("cn"))
+        val assigned = v.crossJoin(broadcast(cr))
+          .withColumn("best",
+            graft.functions.VectorFunctions.topCentroids(
+              col("v"), col("nrm"), col("cents"), 1, byCosine = true)(0))
           .select(col("vec_id"), col("v"), col("nrm"),
-            col("cent_id").as("cell"))
+            col("best.cent_id").as("cell"))
         val stats = assigned.groupBy(col("cell"))
           .agg(count(lit(1)).as("sz"))
           .agg(count(lit(1)).as("n_cells"), sum(col("sz")).as("n_vecs"),
@@ -1065,20 +1100,27 @@ object Similarity {
           explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("v"))
         .withColumn("vs", expr(s"slice(v, j*$sub + 1, $sub)"))
         .select(col("vec_id"), col("j"), col("vs"))
-      val cb0 = v.filter(col("vec_id") % 50 === 0)
+      val cb0 = v
+        .filter(col("vec_id") % 50 === 0 &&
+          col("vec_id") < lit(50L * CellCap))
         .select(col("vec_id").as("cb_id"),
           explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("v"))
         .withColumn("cs", expr(s"slice(v, j*$sub + 1, $sub)"))
         .select(col("cb_id"), col("j"), col("cs"))
+      // per-subspace codeword argmin runs map-only (TopCentroids L2
+      // fold over the m-row broadcast of per-j codeword arrays) — the
+      // corpus stays at n×m rows instead of n×m×|codebook|
       def encode(cb: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"), col("j"))
-          .orderBy(col("dist"), col("cb_id"))
-        vsub.join(broadcast(cb), Seq("j"))
-          .withColumn("dist", l2sq(col("vs"), col("cs")))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("j"), col("cb_id"), col("dist"),
-            col("vs"))
+        val byJ = cb.groupBy(col("j"))
+          .agg(array_sort(collect_list(struct(col("cb_id").as("id"),
+            col("cs").as("vec"), lit(0.0).as("aux")))).as("cents"))
+        vsub.join(broadcast(byJ), Seq("j"))
+          .withColumn("best",
+            graft.functions.VectorFunctions.topCentroids(
+              col("vs"), lit(0.0), col("cents"), 1, byCosine = false)(0))
+          .select(col("vec_id"), col("j"),
+            col("best.cent_id").as("cb_id"),
+            col("best.score").as("dist"), col("vs"))
       }
       val e0 = encode(cb0)
       val cb1 = e0.select(col("j"), col("cb_id"), posexplode(col("vs")))
@@ -1121,8 +1163,7 @@ object Similarity {
     // fact-sized shuffles.
     "e32_residual_quantization" -> ((s, d) => {
       val v = vecs(s, d).select(col("vec_id"), col("v"))
-      val c0 = vecs(s, d).filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val c0 = coarseCents(s, d).select(col("cent_id"), col("cv"))
       val withR = assignTo(v, c0)
         .join(broadcast(c0), Seq("cent_id"))
         .select(col("vec_id"), col("cent_id").as("cell"),
@@ -1214,24 +1255,31 @@ object Similarity {
     val sub = 8
     val assigned = centroidRanked(s, d).filter(col("crk") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-    val csub = vecs(s, d).filter(col("vec_id") % 50 === 0)
+    val csub = vecs(s, d)
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < lit(50L * CellCap))
       .select(col("vec_id").as("cb_id"),
         explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("v"))
       .withColumn("cs", expr(s"slice(v, j*$sub + 1, $sub)"))
       .select(col("cb_id"), col("j"), col("cs"))
-    // drop the full vector after slicing: the encode window would
-    // otherwise haul 64 unused doubles through every candidate row
     val vsub = assigned
       .select(col("vec_id"), col("cell"),
         explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("v"))
       .withColumn("vs", expr(s"slice(v, j*$sub + 1, $sub)"))
       .select(col("vec_id"), col("cell"), col("j"), col("vs"))
-    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("dist"), col("cb_id"))
-    val recon = vsub.join(broadcast(csub), Seq("j"))
-      .withColumn("dist", l2sq(col("vs"), col("cs")))
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
+    // per-subspace codeword argmin map-only (TopCentroids L2 fold over
+    // the m-row broadcast of per-j codeword arrays): the corpus stays
+    // at n×m rows — the old per-(vector, subspace) window expanded to
+    // n×m×|codebook| rows, quadratic while the codebook sample grows
+    val cbByJ = csub.groupBy(col("j"))
+      .agg(array_sort(collect_list(struct(col("cb_id").as("id"),
+        col("cs").as("vec"), lit(0.0).as("aux")))).as("cents"))
+    val cw = csub.select(col("j").as("cj"), col("cb_id").as("ccb"),
+      col("cs"))
+    val recon = vsub.join(broadcast(cbByJ), Seq("j"))
+      .withColumn("best", graft.functions.VectorFunctions.topCentroids(
+        col("vs"), lit(0.0), col("cents"), 1, byCosine = false)(0))
+      .join(broadcast(cw), col("best.cent_id") === col("ccb") &&
+        col("j") === col("cj"))
       .groupBy(col("vec_id"), col("cell"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("j"), col("cs")))),
@@ -1255,17 +1303,18 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment by squared L2 (ties by cent_id):
-    * (vec_id, v, cent_id, dist). The centroid side broadcasts — the
-    * corpus never shuffles for an assignment, at any scale. */
+    * (vec_id, v, cent_id, dist). The centroid side collapses to a
+    * 1-row broadcast and the argmin runs map-only per vector
+    * ([[graft.functions.TopCentroids]] L2 mode, identical
+    * `(vv - 2*vc) + cc` parenthesization) — the corpus never shuffles
+    * NOR expands to |vectors| × |centroids| rows, at any scale. */
   private def assignTo(v: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cent_id"))
-    v.join(broadcast(cents), lit(true))
-      .withColumn("dist", l2sq(col("v"), col("cv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id"), col("dist"))
+    val cr = centsRow(cents, "cent_id", "cv", lit(0.0))
+    v.crossJoin(broadcast(cr))
+      .withColumn("best", graft.functions.VectorFunctions.topCentroids(
+        col("v"), lit(0.0), col("cents"), 1, byCosine = false)(0))
+      .select(col("vec_id"), col("v"), col("best.cent_id").as("cent_id"),
+        col("best.score").as("dist"))
   }
 
   /** Per-cell element-wise member mean — the Lloyd recenter step.
@@ -1334,7 +1383,7 @@ object Similarity {
     * and the ADC top-1 frame `pq(vec_id, neighbor_id, adist)`. */
   private lazy val pqCtes: String =
     s"""cents AS (SELECT vec_id AS cent_id, embedding
-                  FROM embeddings WHERE vec_id % 50 = 0),
+                  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
        assigned AS (
          SELECT vec_id, embedding, cell FROM (
            SELECT a.vec_id, a.embedding, b.cent_id AS cell,
@@ -1343,7 +1392,7 @@ object Similarity {
            FROM embeddings a CROSS JOIN cents b) t
          WHERE crk = 1),
        cb AS (SELECT vec_id AS cb_id, CAST(embedding AS DOUBLE[]) AS cbv
-              FROM embeddings WHERE vec_id % 50 = 0),
+              FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
        csub AS (SELECT cb_id, j, cbv[(j*8 + 1):(j*8 + 8)] AS cs
                 FROM cb, UNNEST(generate_series(0, 7)) AS t(j)),
        vsub AS (SELECT a.vec_id, a.cell, j,
@@ -1385,7 +1434,7 @@ object Similarity {
     // crk 2 = nearest other; means via decimal sums (davgSql)
     "e17_cell_silhouette" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          rk AS (
            SELECT a.vec_id, b.cent_id, 1 - ($cosExpr) AS dist,
                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -1404,7 +1453,7 @@ object Similarity {
     // ratios are single divisions with matched parenthesization
     "e18_cell_balance" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          assigned AS (
            SELECT vec_id, cell FROM (
              SELECT a.vec_id, b.cent_id AS cell,
@@ -1456,7 +1505,7 @@ object Similarity {
 
     "e06_ann_ivf_nprobe" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          ranked AS (
            SELECT a.vec_id, a.embedding, b.cent_id AS cell,
                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -1475,7 +1524,7 @@ object Similarity {
 
     "e22_range_search" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          ranked AS (
            SELECT a.vec_id, a.embedding, b.cent_id AS cell,
                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -1492,7 +1541,7 @@ object Similarity {
 
     "e03_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          assigned AS (
            SELECT vec_id, embedding, cell FROM (
              SELECT a.vec_id, a.embedding, b.cent_id AS cell,
@@ -1511,7 +1560,7 @@ object Similarity {
     // e03's top-1 frame rolled up per cell; mean via decimal sums
     "e20_nn_distance_profile" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          assigned AS (
            SELECT vec_id, embedding, cell FROM (
              SELECT a.vec_id, a.embedding, b.cent_id AS cell,
@@ -1543,7 +1592,7 @@ object Similarity {
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                      FROM embeddings),
          c0 AS (SELECT vec_id AS cent_id, v AS cv FROM v
-                WHERE vec_id % 50 = 0),
+                WHERE vec_id % 50 = 0 AND vec_id < 204800),
          a0 AS (${lloydAssignSql("c0")}),
          c1 AS (${lloydMeansSql("a0")}),
          a1 AS (${lloydAssignSql("c1")}),
@@ -1577,7 +1626,7 @@ object Similarity {
     // means (identical to the Spark side), cosine of the mean vectors
     "e16_embedding_drift" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          assigned AS (
            SELECT vec_id, v, cell FROM (
              SELECT a.vec_id, CAST(a.embedding AS DOUBLE[]) AS v,
@@ -1602,7 +1651,7 @@ object Similarity {
 
     "e12_semantic_dedup_against" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          assigned AS (
            SELECT vec_id, embedding, cell FROM (
              SELECT a.vec_id, a.embedding, b.cent_id AS cell,
@@ -1652,7 +1701,7 @@ object Similarity {
 
     "e10_semantic_dedup" ->
       s"""WITH RECURSIVE cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          assigned AS (
            SELECT vec_id, embedding, cell FROM (
              SELECT a.vec_id, a.embedding, b.cent_id AS cell,
@@ -1679,7 +1728,7 @@ object Similarity {
 
     "e07_ann_recall" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          assigned AS (
            SELECT vec_id, embedding, cell FROM (
              SELECT a.vec_id, a.embedding, b.cent_id AS cell,
@@ -1712,7 +1761,7 @@ object Similarity {
 
     "e08_ann_recall_sweep" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          ranked AS (
            SELECT a.vec_id, a.embedding, b.cent_id AS cell,
                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -1752,7 +1801,7 @@ object Similarity {
 
     "e09_ann_ivf_sq8" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          assigned AS (
            SELECT vec_id, embedding, cell FROM (
              SELECT a.vec_id, a.embedding, b.cent_id AS cell,
@@ -1793,7 +1842,7 @@ object Similarity {
     "e24_ivf_k_sweep" -> {
       def cfg(m: Int): String =
         s"""cents$m AS (SELECT vec_id AS cent_id, embedding
-             FROM embeddings WHERE vec_id % $m = 0),
+             FROM embeddings WHERE vec_id % $m = 0 AND vec_id < $m*4096),
            asg$m AS (SELECT vec_id, embedding, cell FROM (
                SELECT a.vec_id, a.embedding, b.cent_id AS cell,
                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -1835,7 +1884,7 @@ object Similarity {
 
     "e25_cell_medoid" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          assigned AS (
            SELECT vec_id, embedding, cell FROM (
              SELECT a.vec_id, a.embedding, b.cent_id AS cell,
@@ -1857,7 +1906,7 @@ object Similarity {
 
     "e26_filtered_ann" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          assigned AS (
            SELECT vec_id, embedding, label, cell FROM (
              SELECT a.vec_id, a.embedding, a.label, b.cent_id AS cell,
@@ -1908,7 +1957,7 @@ object Similarity {
 
     "e28_ood_screen" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          assigned AS (
            SELECT vec_id, cell, ccos FROM (
              SELECT a.vec_id, b.cent_id AS cell, $cosExpr AS ccos,
@@ -1926,7 +1975,7 @@ object Similarity {
 
     "e29_probe_cost" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
-                         FROM embeddings WHERE vec_id % 50 = 0),
+                         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
          ranked AS (
            SELECT a.vec_id, b.cent_id AS cell,
                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -2022,7 +2071,7 @@ object Similarity {
                   FROM v, UNNEST(generate_series(0, 7)) AS t(j)),
          cb0 AS (SELECT vec_id AS cb_id, j, v[(j*8 + 1):(j*8 + 8)] AS cs
                  FROM v, UNNEST(generate_series(0, 7)) AS t(j)
-                 WHERE vec_id % 50 = 0),
+                 WHERE vec_id % 50 = 0 AND vec_id < 204800),
          e0 AS (${pqEncodeSql("cb0")}),
          cb1 AS (SELECT j, cb_id, list(mx ORDER BY dim) AS cs FROM (
                    SELECT j, cb_id, dim, ${Parity.davgSql("x")} AS mx
@@ -2042,7 +2091,7 @@ object Similarity {
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                      FROM embeddings),
          c0 AS (SELECT vec_id AS cent_id, v AS cv FROM v
-                WHERE vec_id % 50 = 0),
+                WHERE vec_id % 50 = 0 AND vec_id < 204800),
          a0 AS (${lloydAssignSql("c0")}),
          wr AS (SELECT a0.vec_id, a0.cent_id AS cell, a0.dist AS d1,
              list_transform(generate_series(1, len(a0.v)),
