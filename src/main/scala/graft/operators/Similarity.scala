@@ -1292,9 +1292,14 @@ object Similarity {
     val (assigned, recon) = pqAssignedRecon(s, d)
     val wAdc = Window.partitionBy(col("vec_id"))
       .orderBy(col("adist"), col("neighbor_id"))
+    // hint("merge"): both sides are corpus-sized at any real scale, so
+    // the cell join is a shuffle join by design — without the hint AQE
+    // broadcasts the recon side at small SFs and flips to sort-merge
+    // past ~10 MB, a strategy step that reads as super-linear shuffle
+    // growth in the scale gate (and at 100 TB the broadcast would OOM)
     assigned.select(col("vec_id"), col("v").as("qv"), col("cell"))
       .join(recon.select(col("vec_id").as("neighbor_id"),
-        col("rv"), col("cell")), Seq("cell"))
+        col("rv"), col("cell")).hint("merge"), Seq("cell"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("adist", l2sq(col("qv"), col("rv")))
       .withColumn("rk", row_number().over(wAdc))

@@ -29,9 +29,15 @@ object ShardPos {
 }
 
 /** One user record inside a (possibly aggregated) wire record. Each
-  * sub-record keeps its own partition key, as KPL aggregation does.
+  * sub-record keeps its own partition key, as KPL aggregation does —
+  * plus the optional explicit hash key (shard routing override a
+  * downstream KCL consumer may rely on) and the record tags the KPL
+  * `AggregatedRecord` format carries (tag value is optional in the
+  * protobuf, hence `Option`).
   */
-final case class SubRecord(partitionKey: String, data: Array[Byte])
+final case class SubRecord(partitionKey: String, data: Array[Byte],
+    explicitHashKey: Option[String] = None,
+    tags: Seq[(String, Option[String])] = Nil)
 
 /** One wire-level record as fetched from a shard. `subRecords.size > 1`
   * models a producer-aggregated record (KPL aggregation, reference

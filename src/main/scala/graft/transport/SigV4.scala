@@ -48,8 +48,13 @@ final case class StaticCredentialsProvider(creds: AwsCredentials)
   * expiryEpochMillis); the cached pair is reused until
   * `clock() >= expiry - refreshAheadMs`, then re-fetched (the
   * refresh-ahead margin mirrors the SDK's: rotate BEFORE the old key
-  * dies so in-flight requests never race the expiry). Thread-safe;
-  * the injectable clock lets specs rotate without sleeping.
+  * dies so in-flight requests never race the expiry). A fetch failure
+  * inside the refresh-ahead window serves the STALE cached pair as
+  * long as it has not hard-expired — the SDK providers' behavior: a
+  * transient metadata-service blip must not fail a request the old
+  * key can still sign; the error only propagates once the credential
+  * is truly dead. Thread-safe; the injectable clock lets specs rotate
+  * without sleeping.
   */
 final class RotatingCredentialsProvider(
     fetch: () => (AwsCredentials, Long),
@@ -62,7 +67,12 @@ final class RotatingCredentialsProvider(
     else synchronized {
       val c2 = cached
       if (c2 != null && clock() < c2._2 - refreshAheadMs) c2._1
-      else { val f = fetch(); cached = f; f._1 }
+      else
+        try { val f = fetch(); cached = f; f._1 }
+        catch {
+          case _: Throwable if c2 != null && clock() < c2._2 =>
+            c2._1 // stale-but-alive: serve until hard expiry
+        }
     }
   }
 }
