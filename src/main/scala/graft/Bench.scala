@@ -202,6 +202,28 @@ object Bench {
   private[graft] def budgetFor(promotedSec: Double): Double =
     math.max(1.5 * promotedSec, promotedSec + 0.5)
 
+  /** Aggregate safety net under the per-query eligibility floor
+    * (round-11 verdict item 6): the <0.5 s entries carry no individual
+    * budget, so a lone 0.2 s → 5 s regression was invisible. The
+    * budget file lists them as `__subfloor__<name>` rows plus ONE
+    * `__subfloor_total__` budget over their sum (max-pooled across
+    * clean runs by tools/budgets.py with 10%+1 s slack — tighter than
+    * any single sub-floor excursion the per-query additive floor was
+    * built to ignore). Gated only when every member was measured (a
+    * subset run's partial sum would always pass vacuously or fail
+    * spuriously). Returns Some((sum, budget)) on violation. */
+  private[graft] def subfloorViolation(
+      results: scala.collection.Map[String, Double],
+      budget: Map[String, Double]): Option[(Double, Double)] = {
+    val members = budget.keysIterator
+      .filter(_.startsWith("__subfloor__")).filterNot(_ == "__subfloor_total__")
+      .map(_.stripPrefix("__subfloor__")).toSeq
+    budget.get("__subfloor_total__").filter(_ => members.nonEmpty)
+      .filter(_ => members.forall(results.contains))
+      .map(b => (members.iterator.map(results).sum, b))
+      .filter { case (s, b) => s > b }
+  }
+
   /** Single-thread pure-CPU probe (~0.2 s of xorshift): the INTERLEAVED
     * host-contention canary (round-10 verdict item 7). The harness-rate
     * canary brackets the whole run, so a mid-run contention burst (the
@@ -238,13 +260,21 @@ object Bench {
       rates(math.min(i + 1, rates.size - 1)))
 
   /** Spans whose worst bracketing rate fell below `threshold` x the
-    * run's best probe — the machine was measurably slower there, so a
-    * time-budget violation inside one blames the SPAN, not the query. */
+    * best probe — the machine was measurably slower there, so a
+    * time-budget violation inside one blames the SPAN, not the query.
+    * `committedBest` anchors the comparison to the promoted clean
+    * run's probe rates (round-11 advice): baselining only against the
+    * run's OWN max let a uniformly-contended run mark zero spans —
+    * with the absolute floor, a run whose every probe sits below 75%
+    * of the committed clean rate is contended everywhere, including
+    * on SPARK_GRAFT_BENCH_ONLY subsets where the cross-run harness
+    * canary is disabled (cold-JIT reads ~40% slow there; the xorshift
+    * probe has no JIT-warmup dependence of that size). */
   private[graft] def contendedSpans(rates: IndexedSeq[Double],
-      threshold: Double = 0.75): Set[Int] =
+      threshold: Double = 0.75, committedBest: Double = 0.0): Set[Int] =
     if (rates.size < 2) Set.empty
     else {
-      val best = rates.max
+      val best = math.max(rates.max, committedBest)
       (0 until rates.size - 1)
         .filter(i => spanRate(i, rates) < threshold * best).toSet
     }
@@ -371,7 +401,25 @@ object Bench {
     }
     hog.foreach(_.halt())
     probeRates += CpuProbe.run() // closing span boundary
-    val badSpans = contendedSpans(probeRates.toIndexedSeq)
+    // absolute probe floor: the promoted clean run's best probe rate
+    // (probe_rates_e9 in the committed artifact) anchors the span
+    // detector so a START-to-FINISH contended run cannot pass by
+    // baselining against its own depressed max
+    val committedBestProbe: Double =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+        if (!java.nio.file.Files.exists(p)) 0.0
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          """"probe_rates_e9"\s*:\s*\[([0-9.,eE+-]*)\]""".r
+            .findFirstMatchIn(txt)
+            .map(_.group(1).split(',').filter(_.nonEmpty).map(_.toDouble))
+            .filter(_.nonEmpty).map(_.max * 1e9).getOrElse(0.0)
+        }
+      } catch { case _: Exception => 0.0 }
+    val badSpans = contendedSpans(probeRates.toIndexedSeq,
+      committedBest = committedBestProbe)
     if (badSpans.nonEmpty) System.err.println(
       s"[bench] CONTENDED SPANS ${badSpans.toSeq.sorted.mkString(",")} of " +
         s"${math.max(probeRates.size - 1, 0)}: probe rates " +
@@ -431,7 +479,16 @@ object Bench {
       f"[bench] HOST-CONTENDED RUN: harness canary at " +
         f"${canaryRatio.get}%.2f of the committed clean rate — " +
         "do NOT promote this artifact")
-    val contended = otherMean > 0.10 || hostContended
+    // every span below the absolute probe floor = the whole run was
+    // slow against the committed clean machine — treat exactly like
+    // process/host contention (gate skipped, promotion refused); this
+    // also covers subset runs, where the harness canary is disabled
+    val probeContended = probeRates.size >= 2 &&
+      badSpans.size >= probeRates.size - 1
+    if (probeContended) System.err.println(
+      "[bench] PROBE-CONTENDED RUN: every span below 75% of the " +
+        "committed clean probe rate — do NOT promote this artifact")
+    val contended = otherMean > 0.10 || hostContended || probeContended
     if (otherMean > 0.10) System.err.println(
       f"[bench] CONTENDED RUN: other-process CPU mean=${otherMean}%.3f " +
         f"max=${otherMax}%.3f — do NOT promote this artifact")
@@ -540,9 +597,64 @@ object Bench {
         release()
       } else timeViolations(q) = sec // replay entries: not re-runnable here
     }
+    // Aggregate sub-floor gate (round-11 verdict item 6): the <0.5 s
+    // entries carry no per-query budget, so their SUM is gated against
+    // __subfloor_total__. Skipped when any span was contended — the
+    // sum integrates the whole run, so one bad span pollutes it.
+    if (!contended && badSpans.isEmpty)
+      subfloorViolation(results, timeBudget).foreach { case (s, b) =>
+        timeViolations("__subfloor_total__") = s
+        System.err.println(f"[bench] SUB-FLOOR AGGREGATE EXCEEDED: " +
+          f"sum ${s}%.2fs vs budget ${b}%.2f — a small entry regressed " +
+          "below the per-query eligibility floor")
+      }
+    // Dismissal-streak escalation (round-11 advice): reproduce-or-
+    // dismiss re-measures from a released heap, so a regression that
+    // only manifests under full-run context is perpetually dismissed
+    // as a one-off. A query dismissed in 3 CONSECUTIVE gated runs is
+    // escalated to a declared violation; a clean (undismissed) gated
+    // measurement resets its streak. Contended runs leave streaks
+    // untouched (their gate never ran).
+    val streakPath = java.nio.file.Paths.get("bench_runs/DISMISS_STREAK.json")
+    val dismissStreak = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    if (!contended) {
+      try {
+        if (java.nio.file.Files.exists(streakPath)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(streakPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          """"([^"]+)"\s*:\s*([0-9]+)""".r.findAllMatchIn(txt)
+            .foreach(m => dismissStreak(m.group(1)) = m.group(2).toLong)
+        }
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] dismiss-streak read: $e") }
+      // reset first: any query measured this run that was NOT
+      // dismissed (clean, declared, or span-skipped) starts over
+      dismissStreak.keysIterator.toSeq.foreach { q =>
+        if (results.contains(q) && !dismissed.contains(q))
+          dismissStreak.remove(q)
+      }
+      dismissed.keysIterator.toSeq.foreach { q =>
+        val n = dismissStreak.getOrElse(q, 0L) + 1L
+        dismissStreak(q) = n
+        if (n >= 3L) {
+          timeViolations(q) = dismissed(q)
+          System.err.println(f"[bench] $q dismissed in $n consecutive " +
+            "runs — ESCALATED to a declared violation (a one-off " +
+            "context cost does not recur thrice)")
+        }
+      }
+      try {
+        java.nio.file.Files.createDirectories(streakPath.getParent)
+        java.nio.file.Files.write(streakPath,
+          dismissStreak.map { case (k, v) => s""""$k":$v""" }
+            .mkString("{", ",", "}\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] dismiss-streak write: $e") }
+    }
     if (timeViolations.nonEmpty) System.err.println(
       s"[bench] TIME BUDGET EXCEEDED: " + timeViolations.map { case (q, s) =>
-        f"$q=${s}%.2fs(budget ${timeBudget(q)}%.2f)" }.mkString(", "))
+        f"$q=${s}%.2fs(budget ${timeBudget.getOrElse(q, 0.0)}%.2f)" }.mkString(", "))
 
     // Full per-query detail: separate stdout line + per-run timestamped
     // file (the driver only keeps a ~2000-char tail of stdout, so the
@@ -559,6 +671,8 @@ object Bench {
       s""""shuffle_budget_violations":${jmap(shuffleViolations, 3)},""" +
       s""""time_budget_violations":${jmap(timeViolations, 3)},""" +
       s""""time_budget_dismissed":${jmap(dismissed, 3)},""" +
+      s""""time_budget_dismiss_streak":${dismissStreak
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},""" +
       s""""time_budget_span_skipped":${jmap(spanSkipped, 3)},""" +
       s""""probe_rates_e9":[${probeRates.map(r =>
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(r / 1e9)))

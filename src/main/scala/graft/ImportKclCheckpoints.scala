@@ -28,9 +28,15 @@ import graft.sources.{GraftShardOffsets, ShardPos}
   *    the shard falls back to the source's `initial-position`
   *    option, matching KCL's no-lease behavior; set that option to
   *    `LATEST` for a faithful migration of such rows
-  *  - `AT_TIMESTAMP` → fails loudly (carrying no timestamp in the
-  *    lease row, it cannot be translated; re-run the consumer to a
-  *    numeric checkpoint first)
+  *  - `AT_TIMESTAMP` (never checkpointed, start-at-timestamp config)
+  *    → OMITTED the same way: in KCL the sentinel carries no
+  *    timestamp — the timestamp lives in the WORKER CONFIG
+  *    (`initialPositionInStreamExtended`), so the faithful
+  *    translation is the engine's config equivalent: set
+  *    `initial-position` to `AT_TIMESTAMP:<epochMillis>` with the
+  *    application's configured timestamp and the shard consumes
+  *    exactly the at-or-after-timestamp suffix (the source resolves
+  *    it per shard via `positionAtTimestamp`)
   *
   * Usage: `runMain graft.ImportKclCheckpoints <leaseExport.jsonl>
   * <out.json>` — writes the `initial-positions` value. No Spark
@@ -41,13 +47,16 @@ object ImportKclCheckpoints {
   private val mapper = new ObjectMapper()
 
   /** Pure conversion: lease-export lines → (positions, shards omitted
-    * as LATEST). Fails loudly on malformed rows and untranslatable
-    * sentinels — a silently dropped lease would mass-duplicate or
-    * lose data on the migrated stream. */
+    * as LATEST, shards omitted as AT_TIMESTAMP — both defer to the
+    * source's `initial-position` option, as KCL defers their sentinel
+    * to worker config). Fails loudly on malformed rows — a silently
+    * dropped lease would mass-duplicate or lose data on the migrated
+    * stream. */
   def convert(lines: Iterator[String])
-      : (Map[String, ShardPos], Seq[String]) = {
+      : (Map[String, ShardPos], Seq[String], Seq[String]) = {
     val positions = Map.newBuilder[String, ShardPos]
     val latest = Seq.newBuilder[String]
+    val atTimestamp = Seq.newBuilder[String]
     lines.map(_.trim).filter(_.nonEmpty).foreach { line =>
       val root = mapper.readTree(line)
       val item = Option(root.get("Item")).getOrElse(
@@ -66,10 +75,7 @@ object ImportKclCheckpoints {
         case "LATEST" => latest += shard
         case "TRIM_HORIZON" => positions += shard -> ShardPos.Beginning
         case "SHARD_END" => positions += shard -> ShardPos.ShardEnd
-        case "AT_TIMESTAMP" => sys.error(
-          s"lease row for $shard is AT_TIMESTAMP, which carries no " +
-            "timestamp in the lease table and cannot be translated; " +
-            "let the consumer reach a numeric checkpoint first")
+        case "AT_TIMESTAMP" => atTimestamp += shard
         case seq if seq.forall(_.isDigit) && seq.nonEmpty =>
           positions += shard ->
             ShardPos(BigInt(seq),
@@ -78,7 +84,7 @@ object ImportKclCheckpoints {
           s"lease row for $shard has unrecognized checkpoint '$other'")
       }
     }
-    (positions.result(), latest.result())
+    (positions.result(), latest.result(), atTimestamp.result())
   }
 
   def main(args: Array[String]): Unit = {
@@ -88,7 +94,7 @@ object ImportKclCheckpoints {
     val out = java.nio.file.Paths.get(args(1))
     val lines = java.nio.file.Files.readAllLines(in)
     import scala.jdk.CollectionConverters._
-    val (positions, latest) = convert(lines.iterator().asScala)
+    val (positions, latest, atTs) = convert(lines.iterator().asScala)
     val json = GraftShardOffsets(positions).json()
     java.nio.file.Files.writeString(out, json)
     println(s"[import-kcl] ${positions.size} shard checkpoints -> $out")
@@ -96,6 +102,11 @@ object ImportKclCheckpoints {
       s"[import-kcl] ${latest.size} LATEST (never-checkpointed) leases " +
         s"omitted — they follow the source's initial-position option: " +
         latest.mkString(", "))
+    if (atTs.nonEmpty) println(
+      s"[import-kcl] ${atTs.size} AT_TIMESTAMP (never-checkpointed) " +
+        "leases omitted — set the source's initial-position option to " +
+        "AT_TIMESTAMP:<epochMillis> with the application's configured " +
+        "timestamp: " + atTs.mkString(", "))
     println(s"""[import-kcl] start the stream with .option("initial-positions", <contents of $out>)""")
   }
 }

@@ -661,7 +661,9 @@ object StreamingOps {
     * arrive in order, each exactly once; replays/out-of-order drop.
     * A series that never reaches 30 observed days emits nothing (the
     * detector is still calibrating — there is no baseline to drift
-    * from).
+    * from), but each calibrating micro-batch bumps the
+    * `PageHinkleyCalibrating[series=<key>]` counter so the state is
+    * observable rather than silent (round-11 advice).
     */
   case class PhState(t: Long, p: BigInt, sk: BigInt, k: Long,
       minM: BigInt, buf: Seq[(Long, Long)], lastDay: Long = Long.MinValue)
@@ -698,7 +700,15 @@ object StreamingOps {
               st = st.copy(t = t, p = p, minM = minM, buf = Seq.empty)
               emit(d, x, mt - minM)
             }
-          } else st = st.copy(buf = buf, lastDay = o.day)
+          } else {
+          st = st.copy(buf = buf, lastDay = o.day)
+          // calibrating: nothing emits yet (no baseline to drift
+          // from), but the state is OBSERVABLE — a short-history
+          // deployment sees this counter instead of silent zero
+          // output (round-11 advice)
+          graft.metrics.GraftMetrics.add(
+            "PageHinkleyCalibrating", s"series=$key", 1L)
+        }
         } else {
           val t = st.t + 1
           val p = st.p + o.x
@@ -712,6 +722,59 @@ object StreamingOps {
     }
     state.update(st)
     out.result().iterator
+  }
+
+  /** t50's streaming twin (the 17th batch==stream fold): the per-
+    * language bigram conditional-entropy rate H(W₂|W₁), maintained
+    * incrementally as documents stream in. State per language is the
+    * live bigram statistic itself — the (w₁,w₂)→count and w₁→count
+    * maps (bounded by the corpus's TYPE counts, the exact state any
+    * streaming entropy monitor must hold; the space-joined bigram key
+    * is unambiguous because tokens are split ON spaces). Each
+    * micro-batch folds its
+    * bigram observations in (counter ADD — same exactly-once-under-
+    * checkpointed-micro-batches contract as [[cmsFold]]) and emits one
+    * snapshot per changed language computed by t50's exact algebra:
+    * per-type terms c₂·ln(c₁/c₂) quantized to scale-9 HALF_UP decimals
+    * (bit-identical to Spark's double→DECIMAL(18,9) cast: both go
+    * through the shortest-repr BigDecimal.valueOf) and summed exactly,
+    * so the last snapshot equals the batch t50 row bit-for-bit
+    * (StatefulStreamSpec pins a mid-corpus micro-batch cut). Snapshot
+    * cost is O(types) per changed language per batch — a production
+    * deployment emits on a cadence, the statistic itself is O(1) per
+    * observation.
+    */
+  case class BigramObs(lang: String, w1: String, w2: String)
+  case class EntState(c2: Map[String, Long], c1: Map[String, Long])
+  case class EntropySnapshot(lang: String, n_bigrams: Long,
+      n_contexts: Long, n_types: Long, nats_total: Double,
+      entropy_rate_bits: Double)
+  def entropyRateFold(lang: String, it: Iterator[BigramObs],
+      state: GroupState[EntState]): EntropySnapshot = {
+    val st = state.getOption.getOrElse(EntState(Map.empty, Map.empty))
+    var c2 = st.c2
+    var c1 = st.c1
+    it.foreach { o =>
+      val k2 = o.w1 + " " + o.w2
+      c2 = c2.updated(k2, c2.getOrElse(k2, 0L) + 1L)
+      c1 = c1.updated(o.w1, c1.getOrElse(o.w1, 0L) + 1L)
+    }
+    state.update(EntState(c2, c1))
+    // t50's algebra over the live counts: quantize each type's term
+    // BEFORE the exact decimal sum (the t44 libm-ln rule)
+    var nats = java.math.BigDecimal.ZERO
+    var n = 0L
+    c2.foreach { case (k2, cc2) =>
+      val w1 = k2.substring(0, k2.indexOf(' '))
+      val cc1 = c1(w1)
+      val term = cc2.toDouble * math.log(cc1.toDouble / cc2.toDouble)
+      nats = nats.add(java.math.BigDecimal.valueOf(term)
+        .setScale(9, java.math.RoundingMode.HALF_UP))
+      n += cc2
+    }
+    val natsD = nats.doubleValue
+    EntropySnapshot(lang, n, c1.size.toLong, c2.size.toLong, natsD,
+      (natsD / n.toDouble) / 0.6931471805599453)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

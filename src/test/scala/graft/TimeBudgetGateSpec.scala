@@ -84,7 +84,9 @@ class TimeBudgetGateSpec extends AnyFunSuite {
       """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
-    val budget = flat("TIME_BUDGET.json")
+    // the __subfloor__ rows are the aggregate gate's member list, not
+    // per-query budgets — the aggregate has its own calibration test
+    val budget = flat("TIME_BUDGET.json").filterNot(_._1.startsWith("__"))
     // promoted queries live in BENCH_DETAIL.json under "queries": the
     // flat regex also captures shuffle_mb/spill_mb entries, but those
     // repeat the same keys with different values; parse just the
@@ -123,5 +125,92 @@ class TimeBudgetGateSpec extends AnyFunSuite {
         !q.startsWith("ingest_integrity")
       if (eligible) assert(budget.contains(q), s"eligible $q unbudgeted")
     }
+  }
+
+  test("sub-floor aggregate gate: a seeded 10x slowdown on one " +
+      "sub-floor entry trips the aggregate budget; the clean sums " +
+      "pass; partial (subset-run) coverage never gates") {
+    // 140 synthetic sub-floor entries at 0.2 s each (the promoted
+    // shape: ~146 entries, none individually budgeted)
+    val members = (1 to 140).map(i => f"m$i%03d")
+    val base = members.map(_ -> 0.2).toMap
+    val pooledSum = base.values.sum // 28.0 s
+    val budget = members.map(q => s"__subfloor__$q" -> 0.2).toMap +
+      ("__subfloor_total__" ->
+        math.max(1.1 * pooledSum, pooledSum + 1.0)) // 30.8 s
+    // clean run: at base
+    assert(Bench.subfloorViolation(base, budget).isEmpty)
+    // per-entry jitter (+10% across the board = +2.8 s) stays inside
+    // the 10% slack
+    assert(Bench.subfloorViolation(
+      base.map { case (k, v) => k -> v * 1.099 }, budget).isEmpty)
+    // seeded dry run: ONE 0.45 s-class entry regresses 10x — the
+    // per-query gate is blind to it (no budget), the aggregate trips
+    val seeded = base + ("m007" -> 4.5)
+    val v = Bench.subfloorViolation(seeded, budget)
+    assert(v.exists { case (s, b) => s > b },
+      s"10x on one floor entry must trip: $v")
+    // subset run (one member missing): vacuous pass, never spurious
+    assert(Bench.subfloorViolation(seeded - "m001", budget).isEmpty)
+    // no aggregate budget in the file: gate inert
+    assert(Bench.subfloorViolation(seeded,
+      budget - "__subfloor_total__").isEmpty)
+  }
+
+  test("the committed __subfloor_total__ budget covers the committed " +
+      "promoted run's sub-floor sum with the 10%+1s slack formula") {
+    def flat(path: String): Map[String, Double] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val budget = flat("TIME_BUDGET.json")
+    val total = budget.getOrElse("__subfloor_total__",
+      fail("TIME_BUDGET.json must carry the aggregate sub-floor budget"))
+    val members = budget.keySet.filter(_.startsWith("__subfloor__"))
+      .filterNot(_ == "__subfloor_total__").map(_.stripPrefix("__subfloor__"))
+    assert(members.nonEmpty, "sub-floor member list must be present")
+    val detailTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_DETAIL.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val queriesObj = detailTxt.split("\"queries\":\\{")(1).split("\\}")(0)
+    val promoted = """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(queriesObj)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // every promoted sub-floor-eligible entry is a member and the
+    // promoted sum sits under the budget with bounded slack
+    val promotedFloor = promoted.filter { case (q, p) =>
+      p < 0.5 && !q.startsWith("rate_") && !q.startsWith("ingest_integrity")
+    }
+    // a promoted-sub-floor entry whose POOLED max crossed 0.5 s gets a
+    // regular per-query budget instead (stronger gating) — coverage
+    // means every floor entry is caught by ONE of the two gates
+    promotedFloor.keysIterator.foreach(q =>
+      assert(members.contains(q) || budget.contains(q),
+        s"sub-floor $q covered by neither the aggregate nor a budget"))
+    val promotedSum = members.toSeq.flatMap(promoted.get).sum
+    assert(total >= promotedSum,
+      "aggregate budget tighter than the promoted run it was cut from")
+    assert(total <= math.max(1.5 * promotedSum, promotedSum + 5.0),
+      s"aggregate budget $total too loose vs promoted sum $promotedSum " +
+        "(stale base?)")
+  }
+
+  test("absolute probe floor: a uniformly-contended run (every probe " +
+      "depressed the same amount) marks every span once the committed " +
+      "clean rate anchors the comparison; without the anchor it marks " +
+      "none") {
+    val depressed = IndexedSeq(2.0e9, 2.1e9, 1.9e9, 2.0e9)
+    // self-baselined: uniform depression is invisible (the round-11
+    // advice gap)
+    assert(Bench.contendedSpans(depressed) === Set.empty)
+    // anchored to the committed clean best (4e9): every span marked
+    assert(Bench.contendedSpans(depressed, committedBest = 4.0e9) ===
+      Set(0, 1, 2))
+    // a clean run against the same anchor marks none
+    assert(Bench.contendedSpans(
+      IndexedSeq(4.0e9, 3.9e9, 4.1e9, 4.0e9), committedBest = 4.0e9) ===
+      Set.empty)
   }
 }

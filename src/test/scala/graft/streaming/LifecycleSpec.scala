@@ -154,9 +154,9 @@ class LifecycleSpec extends SparkSpec {
       """{"Item":{"leaseKey":{"S":"shard-b"},""" +
         """"checkpoint":{"S":"TRIM_HORIZON"},""" +
         """"leaseOwner":{"S":"worker-2"},"leaseCounter":{"N":"7"}}}""")
-    val (positions, latestOnly) =
+    val (positions, latestOnly, atTsOnly) =
       graft.ImportKclCheckpoints.convert(export.iterator)
-    assert(latestOnly.isEmpty)
+    assert(latestOnly.isEmpty && atTsOnly.isEmpty)
     val imported = graft.sources.GraftShardOffsets(positions).json()
     // shard-a resumes after seq 6; shard-b from the very beginning
     assert(imported.contains(""""shard-a":"6:0""""))
@@ -198,5 +198,56 @@ class LifecycleSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
     assert(chain(bad).exists(t => Option(t.getMessage)
       .exists(_.contains("unparseable shard-offset"))))
+  }
+
+  test("KCL AT_TIMESTAMP lease import: the sentinel translates to the " +
+      "config-carried timestamp (initial-position AT_TIMESTAMP:<ms>, " +
+      "as KCL reads it from worker config) and the shard consumes " +
+      "exactly the at-or-after-timestamp suffix") {
+    import graft.sources.{InMemoryShardService, RawShardRecord,
+      ShardServiceRegistry}
+    val svc = new InMemoryShardService("migts", Seq("shard-ckpt",
+      "shard-ts"))
+    // arrival timestamps at whole seconds: record i arrives at i s
+    def put(shard: String, seq: Int): Unit = svc.append(shard,
+      RawShardRecord.single(s"k$seq", BigInt(seq), seq * 1000000L,
+        s"$shard-$seq".getBytes("UTF-8")))
+    (1 to 10).foreach(put("shard-ckpt", _)) // numeric checkpoint at 6
+    (1 to 10).foreach(put("shard-ts", _))   // AT_TIMESTAMP lease
+    val export = Seq(
+      """{"Item":{"leaseKey":{"S":"shard-ckpt"},"checkpoint":{"S":"6"},""" +
+        """"checkpointSubSequenceNumber":{"N":"0"}}}""",
+      """{"Item":{"leaseKey":{"S":"shard-ts"},""" +
+        """"checkpoint":{"S":"AT_TIMESTAMP"}}}""")
+    val (positions, latestOnly, atTsOnly) =
+      graft.ImportKclCheckpoints.convert(export.iterator)
+    assert(latestOnly.isEmpty)
+    assert(atTsOnly === Seq("shard-ts"),
+      "the AT_TIMESTAMP lease must be reported for the config fallback")
+    assert(!positions.contains("shard-ts"))
+    val imported = graft.sources.GraftShardOffsets(positions).json()
+    val id = ShardServiceRegistry.register(svc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-migts").toString
+    val q = spark.readStream.format("graft-kinesis")
+      .option("service.id", id)
+      .option("initial-positions", imported)
+      // the application's configured timestamp: 7 s — KCL's
+      // initialPositionInStreamExtended, ms epoch in the engine grammar
+      .option("initial-position", "AT_TIMESTAMP:7000")
+      .load()
+      .selectExpr("shardId", "CAST(data AS STRING) AS v")
+      .writeStream.format("memory").queryName("migts_out")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000L)
+    val got = spark.table("migts_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected =
+      (7 to 10).map(i => ("shard-ckpt", s"shard-ckpt-$i")).toSet ++
+        (7 to 10).map(i => ("shard-ts", s"shard-ts-$i")).toSet
+    assert(got === expected,
+      "AT_TIMESTAMP shard must yield exactly the at-or-after suffix " +
+        "while checkpointed shards keep their post-checkpoint resume")
   }
 }

@@ -1025,6 +1025,10 @@ class StatefulStreamSpec extends SparkSpec {
       input.addData(b1: _*); q.processAllAvailable()
       assert(spark.table("ph_points").count() === 0L,
         "still calibrating after 17 days: nothing emitted")
+      // ...but the calibrating state is observable, not silent
+      assert(graft.metrics.GraftMetrics.snapshot().exists { case (k, v) =>
+        k.startsWith("PageHinkleyCalibrating[series=rev]") && v > 0L },
+        "a calibrating series must bump the PageHinkleyCalibrating counter")
       // at-least-once chaos: batch 2 replays all of batch 1 first
       input.addData(b1 ++ b2: _*); q.processAllAvailable()
       val pts = spark.table("ph_points").as[PhPoint].collect()
@@ -1069,6 +1073,62 @@ class StatefulStreamSpec extends SparkSpec {
         "state after replay must equal the clean in-order fold")
       assert(clean.takeRight(5) === dup)
     }
+  }
+
+  test("entropyRateFold maintains t50's per-language bigram entropy " +
+      "rate across a mid-corpus micro-batch cut and the final streamed " +
+      "snapshot equals the batch t50 row bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{BigramObs, EntropySnapshot}
+    val dir = "/root/testdata/sf0.001"
+    // t50's carrier recomputed independently: in-order bigram
+    // observations per document
+    val obs = graft.Tables.documents(spark, dir)
+      .select(col("lang"),
+        expr("filter(split(trim(text), ' '), x -> x <> '')").as("ws"))
+      .select(col("lang"), explode(expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(ws[i] AS w1, ws[i+1] AS w2)) ELSE array() END"))
+        .as("g"))
+      .select(col("lang"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .as[BigramObs].collect()
+    assert(obs.length > 100, "needs a real bigram stream")
+    // mid-corpus cut: both batches touch most languages
+    val (b1, b2) = obs.splitAt(obs.length / 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ent").toString
+    val input = MemoryStream[BigramObs](spark)
+    val q = input.toDS().groupByKey(_.lang)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        StreamingOps.entropyRateFold _)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("ent_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val mid = spark.table("ent_xbatch").as[EntropySnapshot].collect()
+      assert(mid.nonEmpty && mid.forall(_.n_bigrams > 0L))
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // counts only grow: the max-n_bigrams snapshot per lang is the
+      // final state
+      val streamed = spark.table("ent_xbatch").as[EntropySnapshot]
+        .collect().groupBy(_.lang).view
+        .mapValues(_.maxBy(_.n_bigrams)).toMap
+      val batch = graft.SparkEntry.queries("t50_entropy_rate")(spark, dir)
+        .collect().map(r => r.getAs[String]("lang") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_contexts"),
+            r.getAs[Long]("n_types"), r.getAs[Double]("nats_total"),
+            r.getAs[Double]("entropy_rate_bits")))).toMap
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (lang, s) =>
+        assert((s.n_bigrams, s.n_contexts, s.n_types, s.nats_total,
+          s.entropy_rate_bits) === batch(lang),
+          s"streamed t50 row for $lang must equal batch bit-for-bit")
+      }
+    } finally q.stop()
   }
 }
 

@@ -16,6 +16,14 @@ Formulas (keep in sync with graft.Bench.budgetFor and NOTES.md):
   time budget    = max(1.5 * base_sec, base_sec + 0.5)
                    entries with base_sec < 0.5 are skipped
                    (noise-dominated; the additive floor covers the rest)
+  subfloor gate  = the skipped (<0.5 s) entries are listed as
+                   __subfloor__<name> rows and their SUM carries one
+                   aggregate budget __subfloor_total__ =
+                   max(1.1 * pooled_sum, pooled_sum + 1.0), where
+                   pooled_sum is the max across runs of each run's
+                   sum over the sub-floor set — an individual
+                   0.2 s -> 5 s regression is invisible to the
+                   per-query gate but moves this sum past its slack
   shuffle budget = max(2 * base_mb, 1.0)
 
 rate_/flag pseudo-entries are excluded (they are rates, not seconds);
@@ -32,11 +40,13 @@ def main() -> None:
     srcs = sys.argv[1:] if len(sys.argv) > 1 else ["BENCH_DETAIL.json"]
     times_base: dict = {}
     shuffles_base: dict = {}
+    run_queries = []
     for src in srcs:
         with open(src) as f:
             detail = json.load(f)
         if detail.get("contended"):
             raise SystemExit(f"{src} is a contended run — not a budget base")
+        run_queries.append(detail["queries"])
         for q, sec in detail["queries"].items():
             if not q.startswith(EXCLUDE_PREFIXES):
                 times_base[q] = max(times_base.get(q, 0.0), sec)
@@ -50,6 +60,15 @@ def main() -> None:
         for q, sec in times_base.items()
         if sec >= 0.5
     }
+    # aggregate safety net under the per-query eligibility floor
+    subfloor = sorted(q for q, sec in times_base.items() if sec < 0.5)
+    if subfloor:
+        pooled_sum = max(
+            sum(qs.get(q, 0.0) for q in subfloor) for qs in run_queries
+        )
+        for q in subfloor:
+            times[f"__subfloor__{q}"] = times_base[q]
+        times["__subfloor_total__"] = max(1.1 * pooled_sum, pooled_sum + 1.0)
     shuffles = {q: max(2.0 * mb, 1.0) for q, mb in shuffles_base.items()}
 
     def dump(path: str, entries: dict) -> None:
