@@ -28,6 +28,8 @@ object Multimodal {
       codec: String, duration_ms: Int)
   case class MediaAHash(doc_id: Long, ahash: Long)
   case class FrameHash(doc_id: Long, frame_idx: Int, ahash: Long)
+  case class FrameEnergy(doc_id: Long, frame_idx: Int, flen: Int,
+      energy: Long)
 
   /** STUB decoder: stands in for image/audio decode + feature extraction.
     * Deterministic byte-level "features": length, first byte, md5 hex,
@@ -133,6 +135,23 @@ object Multimodal {
           val end = math.min(off + flen, m.payload.length)
           val slice = java.util.Arrays.copyOfRange(m.payload, off, end)
           FrameHash(m.doc_id, idx, ahash(MediaIn(m.doc_id, slice)).ahash)
+        }
+    }
+
+    /** Per-frame "energy" stub: m04's frame slicing with the byte sum
+      * per slice — the RMS-energy shape a voice-activity detector
+      * windows over an audio timeline (exact integers, so the
+      * adaptive threshold compares cross-multiplied with no doubles). */
+    def frameEnergies(m: MediaIn): Iterator[FrameEnergy] = {
+      val stride = 64
+      val flen = 32
+      Iterator.range(0, math.max(m.payload.length, 1), stride).zipWithIndex
+        .map { case (off, idx) =>
+          val end = math.min(off + flen, m.payload.length)
+          var e = 0L
+          var i = off
+          while (i < end) { e += (m.payload(i) & 0xff); i += 1 }
+          FrameEnergy(m.doc_id, idx, end - off, e)
         }
     }
 
@@ -564,6 +583,53 @@ object Multimodal {
               col("n_scenes_missed").cast("double"))
             .as("mean_missed_scene_len"))
         .orderBy(col("k"))
+    }),
+
+    // VOICE-ACTIVITY SEGMENTATION (round 12): the speech-data
+    // pipeline's first cut — window the media timeline into frames,
+    // score each frame's energy, keep frames above the recording's
+    // OWN mean energy density (adaptive threshold: a quiet podcast
+    // and a loud stream segment correctly under one rule), and stitch
+    // consecutive kept frames into segments (gaps-and-islands:
+    // frame_idx − row_number per doc). Decode is the deterministic
+    // byte-energy stub ([[MultimodalStub.frameEnergies]]); the
+    // Spark-side plumbing — frame explode, exact-integer adaptive
+    // threshold (e·Σlen > Σe·len cross-multiplied, no doubles), island
+    // assembly, per-segment rollup — is the real operator. Scale
+    // shape: frames never shuffle with payloads (the stub emits
+    // 4-integer rows), the threshold join keys on doc_id against a
+    // per-doc 1-row aggregate, and the islands window partitions by
+    // doc. Emits one row per segment.
+    "m21_voice_activity_segments" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val fr = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .where(length(col("payload")) > 0)
+        .as[MediaIn]
+        .mapPartitions(_.flatMap(MultimodalStub.frameEnergies))
+        .toDF()
+      val tot = fr.groupBy(col("doc_id"))
+        .agg(sum(col("energy")).as("tot_e"),
+          sum(col("flen")).cast("long").as("tot_len"))
+      val voiced = fr.join(tot, Seq("doc_id"))
+        .filter(col("energy") * col("tot_len") >
+          col("tot_e") * col("flen").cast("long"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      voiced
+        .withColumn("grp", col("frame_idx").cast("long") -
+          row_number().over(w).cast("long"))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("frame_idx")).cast("long").as("seg_start"),
+          max(col("frame_idx")).cast("long").as("seg_end"),
+          count(lit(1)).as("n_frames"),
+          sum(col("energy")).as("seg_energy"),
+          sum(col("flen")).cast("long").as("seg_bytes"))
+        .select(col("doc_id"), col("seg_start"), col("seg_end"),
+          col("n_frames"), col("seg_energy"), col("seg_bytes"),
+          (col("seg_energy").cast("double") /
+            col("seg_bytes").cast("double")).as("energy_per_byte"))
+        .orderBy(col("doc_id"), col("seg_start"))
     }),
 
     // CLIP-REUSE detection: maximal runs of CONSECUTIVE shared frames
@@ -1175,6 +1241,43 @@ object Multimodal {
                      CAST(n_scenes_missed AS DOUBLE) END
              AS mean_missed_scene_len
          FROM psc JOIN pdc USING (k) ORDER BY psc.k""",
+
+    // the frame/energy CTEs mirror the stub byte-for-byte (m14's
+    // idiom); the adaptive threshold is the same cross-multiplied
+    // integer compare, so segment membership is exact
+    "m21_voice_activity_segments" ->
+      """WITH s AS (SELECT doc_id, text,
+             CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS n
+           FROM documents WHERE OCTET_LENGTH(CAST(text AS BLOB)) > 0),
+         fr AS (SELECT doc_id, f, (f-1)*64 + 1 AS off,
+                  LEAST(32, n - ((f-1)*64 + 1) + 1) AS flen
+                FROM s, UNNEST(GENERATE_SERIES(1, ((n-1)//64) + 1))
+                  AS t(f)),
+         en AS (SELECT fr.doc_id, fr.f, fr.flen,
+                  CAST(SUM(ORD(SUBSTR(s.text, fr.off + i - 1, 1)))
+                    AS BIGINT) AS e
+                FROM fr JOIN s USING (doc_id),
+                  UNNEST(GENERATE_SERIES(1, fr.flen)) AS t(i)
+                GROUP BY 1, 2, 3),
+         tot AS (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS tot_e,
+                   CAST(SUM(flen) AS BIGINT) AS tot_len
+                 FROM en GROUP BY 1),
+         vo AS (SELECT en.doc_id, en.f - 1 AS idx0, en.flen, en.e
+                FROM en JOIN tot USING (doc_id)
+                WHERE e * tot_len > tot_e * CAST(flen AS BIGINT)),
+         seg AS (SELECT doc_id, idx0, flen, e,
+                   idx0 - ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY idx0) AS grp
+                 FROM vo)
+         SELECT doc_id, CAST(MIN(idx0) AS BIGINT) AS seg_start,
+           CAST(MAX(idx0) AS BIGINT) AS seg_end,
+           CAST(COUNT(1) AS BIGINT) AS n_frames,
+           CAST(SUM(e) AS BIGINT) AS seg_energy,
+           CAST(SUM(flen) AS BIGINT) AS seg_bytes,
+           CAST(SUM(e) AS DOUBLE) / CAST(SUM(flen) AS DOUBLE)
+             AS energy_per_byte
+         FROM seg GROUP BY doc_id, grp
+         ORDER BY doc_id, seg_start""",
 
     "m15_clip_reuse" ->
       """WITH f AS (SELECT doc_id,

@@ -1189,6 +1189,79 @@ object Similarity {
           when(col("mse_coarse") > 0.0,
             lit(1.0) - col("mse_rq") / col("mse_coarse")))
         .orderBy(col("cell"))
+    }),
+
+    // MATRYOSHKA (MRL) PREFIX-DIMENSION AUDIT (round 12): how much of
+    // the index's OWN serving answer survives truncating every
+    // embedding to its first m ∈ {8,16,32,64} dimensions? MRL-trained
+    // embeddings nest their information front-to-back, so production
+    // systems serve the 4-8x cheaper prefix and re-rank — this table
+    // is the accept/reject number for that swap, per prefix width:
+    // recall@1 of the prefix-cosine top-1 against the full-dim
+    // within-cell top-1 (e03's answer — the audit compares the
+    // TRUNCATION against the index it would replace, not against the
+    // declared-quadratic exhaustive truth), plus the mean full-space
+    // cosine of what the prefix actually chose vs what full dims
+    // choose — the semantic price of the bytes saved. m=64 is the
+    // identity row (recall 1) by construction — the self-test that
+    // pins the two ranking paths to the same tie order. Scale shape:
+    // ONE within-cell pair join (e03's candidate space, cell-bounded),
+    // prefix cosines computed per pair from sliced arrays with
+    // per-vector prefix norms precomputed once; the 4x width explode
+    // carries only (ids, cos) rows into the per-(width, query)
+    // window. Determinism: slices are positional, dots sequential,
+    // the cosine division shares e03's exact parenthesization, ties
+    // by neighbor id.
+    "e33_matryoshka_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val widths = Seq(8, 16, 32, 64)
+      val assigned = centroidRanked(s, d).filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cent_id").as("cell"))
+        .withColumn("pn", array(widths.map(m =>
+          sqrt(dot(expr(s"slice(v, 1, $m)"), expr(s"slice(v, 1, $m)")))): _*))
+      val a = assigned.select(col("vec_id"), col("v").as("va"),
+        col("nrm").as("na"), col("pn").as("pna"), col("cell"))
+      val b = assigned.select(col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"), col("pn").as("pnb"),
+        col("cell"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos_full",
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      val wFull = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_full").desc, col("neighbor_id"))
+      val fullTop = pairs
+        .withColumn("rn", row_number().over(wFull))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("neighbor_id").as("full_nb"),
+          col("cos_full").as("full_cos"))
+      val wP = Window.partitionBy(col("prefix_dims"), col("vec_id"))
+        .orderBy(col("cos_p").desc, col("neighbor_id"))
+      val chosen = pairs
+        .select(col("vec_id"), col("neighbor_id"), col("cos_full"),
+          explode(array(widths.zipWithIndex.map { case (m, i) =>
+            struct(lit(m).as("prefix_dims"),
+              (dot(expr(s"slice(va, 1, $m)"), expr(s"slice(vb, 1, $m)")) /
+                (element_at(col("pna"), i + 1) *
+                  element_at(col("pnb"), i + 1))).as("cos_p"))
+          }: _*)).as("e"))
+        .select(col("vec_id"), col("neighbor_id"), col("cos_full"),
+          col("e.prefix_dims").as("prefix_dims"), col("e.cos_p").as("cos_p"))
+        .withColumn("rn", row_number().over(wP))
+        .filter(col("rn") === 1)
+      chosen.join(fullTop, Seq("vec_id"))
+        .groupBy(col("prefix_dims"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("neighbor_id") === col("full_nb"), 1L)
+            .otherwise(0L)).as("n_match"),
+          Parity.davg(col("cos_full")).as("mean_cos_chosen"),
+          Parity.davg(col("full_cos")).as("mean_cos_full"))
+        .withColumn("recall_at1",
+          col("n_match").cast("double") / col("n_queries").cast("double"))
+        .select(col("prefix_dims"), col("n_queries"), col("n_match"),
+          col("recall_at1"), col("mean_cos_chosen"), col("mean_cos_full"))
+        .orderBy(col("prefix_dims"))
     })
   )
 
@@ -2123,7 +2196,54 @@ object Similarity {
          SELECT cell, n, n_codes_used, mse_coarse, mse_rq,
            CASE WHEN mse_coarse > 0.0
                 THEN 1.0 - mse_rq / mse_coarse END AS gain
-         FROM agg ORDER BY cell"""
+         FROM agg ORDER BY cell""",
+
+    // prefix cosines repeat the identical slice/dot/parenthesization;
+    // DuckDB list slices are 1-based inclusive like Spark's slice()
+    "e33_matryoshka_recall" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+             FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
+         asg AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, cell
+           FROM (SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1),
+         pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+             a.v AS va, b.v AS vb,
+             list_dot_product(a.v, b.v) /
+               (SQRT(list_dot_product(a.v, a.v)) *
+                SQRT(list_dot_product(b.v, b.v))) AS cos_full
+           FROM asg a JOIN asg b
+             ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         full_top AS (SELECT vec_id, neighbor_id AS full_nb,
+             cos_full AS full_cos FROM (
+             SELECT vec_id, neighbor_id, cos_full,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cos_full DESC, neighbor_id) AS rn
+             FROM pairs) t WHERE rn = 1),
+         pc AS (SELECT p.vec_id, p.neighbor_id, p.cos_full,
+             w.m AS prefix_dims,
+             list_dot_product(p.va[1:w.m], p.vb[1:w.m]) /
+               (SQRT(list_dot_product(p.va[1:w.m], p.va[1:w.m])) *
+                SQRT(list_dot_product(p.vb[1:w.m], p.vb[1:w.m]))) AS cos_p
+           FROM pairs p CROSS JOIN
+             (VALUES (8), (16), (32), (64)) w(m)),
+         chosen AS (SELECT vec_id, neighbor_id, cos_full, prefix_dims
+           FROM (SELECT vec_id, neighbor_id, cos_full, prefix_dims,
+               ROW_NUMBER() OVER (PARTITION BY prefix_dims, vec_id
+                 ORDER BY cos_p DESC, neighbor_id) AS rn
+             FROM pc) t WHERE rn = 1)
+         SELECT c.prefix_dims, CAST(COUNT(1) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN c.neighbor_id = f.full_nb
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           CAST(SUM(CASE WHEN c.neighbor_id = f.full_nb
+             THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(COUNT(1) AS DOUBLE) AS recall_at1,
+           ${Parity.davgSql("c.cos_full")} AS mean_cos_chosen,
+           ${Parity.davgSql("f.full_cos")} AS mean_cos_full
+         FROM chosen c JOIN full_top f USING (vec_id)
+         GROUP BY 1 ORDER BY 1"""
   )
 
   /** e31's per-subspace argmin-encode over CTE `vsub` against codebook
