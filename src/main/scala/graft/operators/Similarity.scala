@@ -1262,6 +1262,67 @@ object Similarity {
         .select(col("prefix_dims"), col("n_queries"), col("n_match"),
           col("recall_at1"), col("mean_cos_chosen"), col("mean_cos_full"))
         .orderBy(col("prefix_dims"))
+    }),
+
+    // BINARY (1-bit sign) QUANTIZATION search (round 12): the extreme
+    // end of the compression family (SQ8 e09, PQ e13, RQ e32, MRL
+    // e33) — each 64-dim vector collapses to its sign bits, which at
+    // d = 64 is exactly ONE int64 (512 bytes → 8: the 64x-in-RAM
+    // regime binary embeddings exist for), and search ranks by
+    // hamming distance (one xor + popcount per candidate — the
+    // cheapest distance on silicon). Per cell: recall@1 of the
+    // hamming top-1 against the full-precision within-cell top-1
+    // (the index's serving answer), the mean hamming of what binary
+    // chose, and the mean full-space cosine it settled for — the
+    // semantic price of 64x. Exactness: sign bits are exact double
+    // compares; distinct powers of two sum without carries, so the
+    // packed signature (incl. the two's-complement top bit) is
+    // bit-identical cross-engine; hamming is integer. Scale shape:
+    // ONE within-cell pair join; the hamming rank needs only the
+    // 8-byte signatures on the wire.
+    "e34_ann_binary_sign" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val assigned = centroidRanked(s, d).filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cent_id").as("cell"))
+        .withColumn("sig", expr(
+          "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> " +
+            "acc + CASE WHEN element_at(v, i + 1) > 0.0D " +
+            "THEN shiftleft(CAST(1 AS BIGINT), i) " +
+            "ELSE CAST(0 AS BIGINT) END)"))
+      val a = assigned.select(col("vec_id"), col("v").as("va"),
+        col("nrm").as("na"), col("sig").as("sa"), col("cell"))
+      val b = assigned.select(col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"), col("sig").as("sb"),
+        col("cell"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos_full",
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("ham", expr("bit_count(sa ^ sb)").cast("long"))
+      val wFull = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_full").desc, col("neighbor_id"))
+      val wHam = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ham"), col("neighbor_id"))
+      val fullTop = pairs.withColumn("rn", row_number().over(wFull))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("neighbor_id").as("full_nb"))
+      val chosen = pairs.withColumn("rn", row_number().over(wHam))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"), col("neighbor_id"),
+          col("ham"), col("cos_full"))
+      chosen.join(fullTop, Seq("vec_id"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("neighbor_id") === col("full_nb"), 1L)
+            .otherwise(0L)).as("n_match"),
+          Parity.davg(col("ham").cast("double")).as("mean_hamming"),
+          Parity.davg(col("cos_full")).as("mean_cos_chosen"))
+        .withColumn("recall_at1",
+          col("n_match").cast("double") / col("n_queries").cast("double"))
+        .select(col("cell"), col("n_queries"), col("n_match"),
+          col("recall_at1"), col("mean_hamming"), col("mean_cos_chosen"))
+        .orderBy(col("cell"))
     })
   )
 
@@ -2242,6 +2303,54 @@ object Similarity {
              CAST(COUNT(1) AS DOUBLE) AS recall_at1,
            ${Parity.davgSql("c.cos_full")} AS mean_cos_chosen,
            ${Parity.davgSql("f.full_cos")} AS mean_cos_full
+         FROM chosen c JOIN full_top f USING (vec_id)
+         GROUP BY 1 ORDER BY 1""",
+
+    // sign-bit packing: distinct powers of two sum carry-free; the
+    // HUGEINT sum cast back to BIGINT reproduces the two's-complement
+    // top bit exactly as the engine's long addition does
+    "e34_ann_binary_sign" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding
+             FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 204800),
+         asg AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, cell
+           FROM (SELECT a.vec_id, a.embedding, b.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY $cosExpr DESC, b.cent_id) AS crk
+             FROM embeddings a CROSS JOIN cents b) t
+           WHERE crk = 1),
+         sg AS (SELECT asg.vec_id,
+             CAST(SUM(CASE WHEN asg.v[i] <= 0.0 THEN 0
+               WHEN i = 64 THEN (-9223372036854775807::BIGINT - 1)
+               ELSE (1::BIGINT << (i - 1)) END) AS BIGINT) AS sig
+           FROM asg, UNNEST(GENERATE_SERIES(1, 64)) AS t(i)
+           GROUP BY asg.vec_id),
+         pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id, a.cell,
+             list_dot_product(a.v, b.v) /
+               (SQRT(list_dot_product(a.v, a.v)) *
+                SQRT(list_dot_product(b.v, b.v))) AS cos_full,
+             CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS ham
+           FROM asg a JOIN asg b
+               ON a.cell = b.cell AND a.vec_id <> b.vec_id
+             JOIN sg sa ON sa.vec_id = a.vec_id
+             JOIN sg sb ON sb.vec_id = b.vec_id),
+         full_top AS (SELECT vec_id, neighbor_id AS full_nb FROM (
+             SELECT vec_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cos_full DESC, neighbor_id) AS rn
+             FROM pairs) t WHERE rn = 1),
+         chosen AS (SELECT vec_id, cell, neighbor_id, ham, cos_full
+           FROM (SELECT vec_id, cell, neighbor_id, ham, cos_full,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY ham, neighbor_id) AS rn
+             FROM pairs) t WHERE rn = 1)
+         SELECT c.cell, CAST(COUNT(1) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN c.neighbor_id = f.full_nb
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           CAST(SUM(CASE WHEN c.neighbor_id = f.full_nb
+             THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(COUNT(1) AS DOUBLE) AS recall_at1,
+           ${Parity.davgSql("CAST(c.ham AS DOUBLE)")} AS mean_hamming,
+           ${Parity.davgSql("c.cos_full")} AS mean_cos_chosen
          FROM chosen c JOIN full_top f USING (vec_id)
          GROUP BY 1 ORDER BY 1"""
   )

@@ -48,6 +48,7 @@ class PlanLintSpec extends SparkSpec {
     "e12_semantic_dedup_against" -> "bounded cross: broadcast centroid assignment",
     "e13_ann_ivf_pq" -> "bounded cross: broadcast centroid assignment",
     "e33_matryoshka_recall" -> "bounded cross: broadcast centroid assignment; prefix-vs-full recall over cell-bounded pairs",
+    "e34_ann_binary_sign" -> "bounded cross: broadcast centroid assignment; hamming-vs-full recall over cell-bounded pairs",
     "e14_pq_recall" -> "eval-twin: exhaustive truth (!=) scoring e13's PQ recall",
     "q76_key_skew_profile" -> "O(1) broadcast: corpus scalars (total, n_keys)",
     "e15_kmeans_refine" -> "bounded cross: centroid assignment x3 iterations",
