@@ -777,6 +777,43 @@ object StreamingOps {
       (natsD / n.toDouble) / 0.6931471805599453)
   }
 
+  /** m14's streaming twin (the 18th batch==stream fold, and the first
+    * MULTIMODAL one): incremental scene-cut detection over a media
+    * asset's frame timeline. State per doc is (last consumed
+    * frame_idx, its perceptual hash, running frame/cut counts) — four
+    * integers, bounded regardless of stream length; each arriving
+    * frame past the watermark compares `bit_count(prev ^ ahash) > 8`
+    * exactly as batch m14's lag window does, so the final snapshot
+    * equals the batch row bit-for-bit (StatefulStreamSpec pins a cut
+    * mid-timeline). Frames must arrive in index order, each exactly
+    * once; replays/out-of-order drop via the lastIdx guard (the
+    * [[holtWintersFold]] discipline — a video ingest emits frames
+    * monotonically per asset). Emits one snapshot per doc per batch.
+    */
+  case class FrameObs(doc_id: Long, frame_idx: Int, ahash: Long)
+  case class SceneState(lastIdx: Int, lastHash: Long, nFrames: Long,
+      nCuts: Long)
+  case class SceneSnapshot(doc_id: Long, n_frames: Long, n_cuts: Long,
+      n_scenes: Long, mean_scene_frames: Double)
+  def sceneCutFold(doc: Long, it: Iterator[FrameObs],
+      state: GroupState[SceneState]): SceneSnapshot = {
+    var st = state.getOption.getOrElse(
+      SceneState(Int.MinValue, 0L, 0L, 0L))
+    it.toArray.sortBy(_.frame_idx).foreach { f =>
+      if (f.frame_idx > st.lastIdx) {
+        val cut =
+          if (st.nFrames > 0L &&
+            java.lang.Long.bitCount(st.lastHash ^ f.ahash) > 8) 1L
+          else 0L
+        st = SceneState(f.frame_idx, f.ahash, st.nFrames + 1L,
+          st.nCuts + cut)
+      }
+    }
+    state.update(st)
+    SceneSnapshot(doc, st.nFrames, st.nCuts, st.nCuts + 1L,
+      st.nFrames.toDouble / (st.nCuts + 1L).toDouble)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling event-time window aggregate. Streaming twin: identical plan
     // + withWatermark("ts", ...); partial agg keeps the shuffle tiny.

@@ -1130,6 +1130,60 @@ class StatefulStreamSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("sceneCutFold replays m14's frame timelines across micro-" +
+      "batches (cut mid-timeline) and the final snapshots equal the " +
+      "batch scene-cut rows bit-for-bit; replayed frames drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.StreamingOps
+    import graft.operators.StreamingOps.{FrameObs, SceneSnapshot}
+    import graft.operators.Multimodal.{MediaIn, MultimodalStub}
+    val dir = "/root/testdata/sf0.001"
+    val frames = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .where(length(col("payload")) > 0)
+      .as[MediaIn].collect()
+      .flatMap(m => MultimodalStub.frameHashes(m))
+      .map(f => FrameObs(f.doc_id, f.frame_idx, f.ahash))
+      .sortBy(f => (f.doc_id, f.frame_idx))
+    assert(frames.length > 200, "needs real frame timelines")
+    // cut INSIDE timelines: split by global position, so most docs
+    // straddle the micro-batch boundary mid-timeline
+    val (b1, b2) = frames.splitAt(frames.length / 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scene").toString
+    val input = MemoryStream[FrameObs](spark)
+    val q = input.toDS().groupByKey(_.doc_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        StreamingOps.sceneCutFold _)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("scene_xbatch")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // at-least-once chaos: batch 2 replays all of batch 1 first —
+      // the lastIdx guard must drop every replayed frame
+      input.addData((b1 ++ b2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scene_xbatch").as[SceneSnapshot]
+        .collect().groupBy(_.doc_id).view
+        .mapValues(_.maxBy(_.n_frames)).toMap
+      val batch = graft.SparkEntry.queries("m14_scene_cuts")(spark, dir)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_frames"), r.getAs[Long]("n_cuts"),
+            r.getAs[Long]("n_scenes"),
+            r.getAs[Double]("mean_scene_frames")))).toMap
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (doc, s) =>
+        assert((s.n_frames, s.n_cuts, s.n_scenes, s.mean_scene_frames)
+          === batch(doc),
+          s"streamed m14 row for doc $doc must equal batch bit-for-bit")
+      }
+      assert(streamed.values.exists(_.n_cuts > 0L),
+        "the corpus must exercise at least one detected cut")
+    } finally q.stop()
+  }
 }
 
 object StatefulStreamSpec {
