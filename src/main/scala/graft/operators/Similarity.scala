@@ -664,12 +664,15 @@ object Similarity {
     // the exact re-rank ride the same window pass family.
     "e09_ann_ivf_sq8" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val assigned = centroidRanked(s, d)
+      // LocalCheckpoint: the assignment + int8 encode runs ONCE and
+      // both join sides read the cut (the analyzer would otherwise
+      // expand the subtree twice — double scan, double assignment)
+      val assigned = Materialize.LocalCheckpoint(centroidRanked(s, d)
         .filter(col("crk") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
         .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
         .withColumn("q", transform(col("v"),
-          x => floor(lit(127.0) * x / col("scale"))).cast("array<double>"))
+          x => floor(lit(127.0) * x / col("scale"))).cast("array<double>")))
       val a = assigned.select(col("vec_id"), col("v").as("va"),
         col("nrm").as("na"), col("scale").as("sa"), col("q").as("qa"),
         col("cell"))
@@ -680,13 +683,20 @@ object Similarity {
         .orderBy(col("qcos").desc, col("neighbor_id"))
       val wE = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
+      // both distances compute BEFORE the ranking windows and the
+      // frame slims to four scalars: the re-rank exchange then carries
+      // (ids, qcos, cos) instead of hauling both full vectors through
+      // the top-5 rows (6x of this query's shuffle before round 12);
+      // the exact cosine is used only on qrk <= 5 rows, computing it
+      // eagerly is value-identical and the extra dots are map-side
       a.join(b, Seq("cell"))
         .filter(col("vec_id") =!= col("neighbor_id"))
         .withColumn("qcos", dot(col("qa"), col("qb")) * col("sa") * col("sb")
           / (lit(16129.0) * col("na") * col("nb")))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .select(col("vec_id"), col("neighbor_id"), col("qcos"), col("cos"))
         .withColumn("qrk", row_number().over(wQ))
         .filter(col("qrk") <= 5)
-        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .withColumn("rk", row_number().over(wE))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("neighbor_id"), col("cos"))
