@@ -135,7 +135,8 @@ object Bench {
     "q200_granger_causality", "t49_kneser_ney_bigram",
     "q201_engle_granger", "e31_pq_codebook_refine",
     "m20_sampler_coverage", "q202_page_hinkley", "t50_entropy_rate",
-    "e32_residual_quantization")
+    "e32_residual_quantization", "e33_matryoshka_recall",
+    "e34_ann_binary_sign", "m21_voice_activity_segments")
 
   /** Samples host/process CPU once a second so a run can prove it was
     * (or wasn't) contended — three NOTES.md incidents of a concurrent

@@ -302,4 +302,52 @@ class GraftPropertiesSpec extends AnyFunSuite {
     }
     assert(qualifying > 50, s"property under-exercised: $qualifying pairs")
   }
+
+  // --- KPL AggregatedRecord codec --------------------------------------
+
+  private val subRecordGen: Gen[graft.sources.SubRecord] = for {
+    pk <- Gen.chooseNum(0, 6).map(i => s"pk-$i") // force interning reuse
+    data <- Gen.listOf(Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray)
+    ehk <- Gen.option(Gen.chooseNum(0, 3).map(i => s"1${"0" * i}"))
+    tags <- Gen.listOfN(2, Gen.zip(
+      Gen.oneOf("source", "tier", "λkey"),
+      Gen.option(Gen.oneOf("", "v", "ünïcode"))))
+      .flatMap(ts => Gen.chooseNum(0, 2).map(ts.take))
+  } yield graft.sources.SubRecord(pk, data, ehk, tags)
+
+  test("KPL aggregate/deaggregate round-trips random sub-records with " +
+      "EHKs and tags (interned tables, unicode, empty payloads/values)") {
+    import graft.transport.KplAggregation
+    forAllSeeded(Gen.nonEmptyListOf(subRecordGen), n = 300) { subs =>
+      val out = KplAggregation.tryDeaggregate(KplAggregation.aggregate(subs))
+      assert(out.isDefined, "own encoding must deaggregate")
+      assert(out.get.size == subs.size)
+      out.get.zip(subs).foreach { case (got, want) =>
+        assert(got.partitionKey == want.partitionKey)
+        assert(java.util.Arrays.equals(got.data, want.data))
+        assert(got.explicitHashKey == want.explicitHashKey)
+        assert(got.tags == want.tags)
+      }
+    }
+  }
+
+  test("KPL decoder never crashes on random protobuf bodies carried " +
+      "under a VALID magic + MD5 envelope (the checksum gate bypassed, " +
+      "so the wire reader itself faces the fuzz): every outcome is " +
+      "Some(wellformed) or the plain-record fallback") {
+    import graft.transport.KplAggregation
+    val junk = Gen.listOf(Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray)
+    forAllSeeded(junk, n = 500) { body =>
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(body)
+      val prefixed = KplAggregation.Magic ++ body ++ md5
+      KplAggregation.tryDeaggregate(prefixed) match {
+        case None => () // malformed protobuf -> plain-record fallback
+        case Some(subs) => // parsed: structure must be fully resolved
+          assert(subs.nonEmpty)
+          subs.foreach { s =>
+            assert(s.partitionKey != null && s.data != null)
+          }
+      }
+    }
+  }
 }
