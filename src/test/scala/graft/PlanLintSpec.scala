@@ -39,7 +39,6 @@ class PlanLintSpec extends SparkSpec {
     "e04_ann_topk_partial" -> "eval-twin: pair-scan truth (!=) with map-side reduction; e02's cheaper variant",
     "e07_ann_recall" -> "eval-twin: exhaustive truth side (!=) scoring e03's IVF recall",
     "e08_ann_recall_sweep" -> "eval-twin: exhaustive truth + bounded centroid cross + O(1) totals join",
-    "e09_ann_ivf_sq8" -> "bounded cross: broadcast centroid assignment",
     "q63_kmv_sketch_union" -> "O(1) broadcast: 1-row sketch x 1-row exact scalar",
     "d11_boilerplate_strip" -> "O(1) broadcast: boiler-fingerprint set",
     "e10_semantic_dedup" -> "bounded cross: broadcast centroid assignment",
