@@ -46,8 +46,34 @@ object Tables {
     }
     raw.withColumn("ts", ts)
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** The corpus tables ship as single-row-group parquet files — ONE
+    * scan split no matter the core count — so every pre-exchange map
+    * stage over them (gram hashing, centroid assignment, payload
+    * decode: the heaviest per-row work in the engine) would execute in
+    * a single task. Repartition immediately after the read (the
+    * optimization guide's unsplittable-input rule, §2.5), but ONLY
+    * when the scan is actually narrower than the session parallelism:
+    * a production-scale table with real splits passes through
+    * untouched, so this stays scale-adaptive rather than a local[32]
+    * constant. Filters/pruning still reach the scan — Catalyst pushes
+    * predicates and column pruning through Repartition. */
+  /** [[spreadIfNarrow]] for operator code: project the frame to the
+    * columns you need FIRST (only those bytes cross the round-robin
+    * exchange), then spread — used by the heavy rollup carriers whose
+    * first stage (scan + broadcast-join probes + partial aggregate)
+    * would otherwise run inside the single scan task. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame =
+    spreadIfNarrow(s, df)
+
+  private def spreadIfNarrow(s: SparkSession, df: DataFrame): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    spreadIfNarrow(s, table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spreadIfNarrow(s, table(s, d, "embeddings"))
 }
 
 /** Oracle-parity helpers.

@@ -361,6 +361,112 @@ object AffineMinHashSignature {
   }
 }
 
+/** Native Catalyst expression for the PORTABLE 60-bit md5 word-gram
+  * fingerprint idiom the d/t families share:
+  *
+  * sliding (`step` = 1):
+  * `transform(sequence(1, size(split(trim(text),' ')) - n + 1),
+  *    i -> CAST(conv(substring(md5(encode(array_join(slice(
+  *      split(trim(text),' '), i, n), ' '), 'UTF-8')), 1, 15), 16, 10)
+  *      AS BIGINT))`  (empty array when the doc has < n words)
+  *
+  * chunked (`step` = n):
+  * `transform(sequence(0, (size(split(trim(text),' ')) - 1) div n),
+  *    i -> ... slice(..., i*n + 1, n) ...)`  (last chunk may be short;
+  *    always >= 1 chunk, even for an empty/whitespace-only text)
+  *
+  * The declarative chain is an interpreted lambda that, at the four
+  * hottest sites, also re-evaluates `split(trim(text))` PER GRAM —
+  * O(words²) work per document — and per position allocates a sliced
+  * array, a joined string, an encode copy, a 32-char hex string, a
+  * 15-char substring and a base-16 parse. This expression computes the
+  * identical values in one pass: trim once, find the word boundaries
+  * once (single-space split semantics — consecutive spaces yield empty
+  * words, exactly like `split(trim(text), ' ')`), and MD5 each gram
+  * directly over its ORIGINAL byte span (joining k consecutive words
+  * with single spaces reproduces that span byte-for-byte, because the
+  * separators between consecutive words are single 0x20 bytes by
+  * construction of the split). The 60-bit value is the big-endian long
+  * of digest bytes 0..7 shifted right 4 — [[Md5Hash60]]'s parse.
+  * Bit-identical to the conv chain (spec-pinned), so every DuckDB
+  * oracle built on the md5-prefix Horner parse is unchanged.
+  */
+case class Md5GramFps(child: Expression, n: Int, step: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_gram_fps"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
+      s"md5_gram_fps: expected STRING, got ${child.dataType.simpleString}")
+    else if (n < 1) TypeCheckResult.TypeCheckFailure(
+      s"md5_gram_fps: gram width must be >= 1, got $n")
+    else if (step != 1 && step != n) TypeCheckResult.TypeCheckFailure(
+      s"md5_gram_fps: step must be 1 (sliding) or n (chunked), got $step")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any =
+    Md5GramFps.fps(input.asInstanceOf[UTF8String], n, step)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5GramFps.fps($c, $n, $step);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object Md5GramFps {
+  private val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def fps(s0: UTF8String, n: Int, step: Int): ArrayData = {
+    val bytes = s0.trim().getBytes // one copy of the trimmed text
+    val len = bytes.length
+    // word boundaries of split(trim(text), " "): starts(w)..ends(w) is
+    // word w's byte span; consecutive spaces yield empty words, and an
+    // empty text yields the single empty word — matching Spark's split
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) spaces += 1; i += 1 }
+    val nw = spaces + 1
+    val starts = new Array[Int](nw)
+    val ends = new Array[Int](nw)
+    var w = 0
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        starts(w) = start; ends(w) = i; w += 1; start = i + 1
+      }
+      i += 1
+    }
+    val k =
+      if (step == 1) nw - n + 1
+      else (nw - 1) / n + 1 // chunked: always >= 1 chunk
+    if (k <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val md = digests.get()
+    val out = new Array[Long](k)
+    i = 0
+    while (i < k) {
+      val lo = i * step
+      val hi = math.min(lo + n, nw) - 1 // last chunk may be short
+      md.reset()
+      md.update(bytes, starts(lo), ends(hi) - starts(lo))
+      val d = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = h >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   /** Codegen'd packed character trigrams of a string column. */
   def packedTrigrams(c: Column): Column =
@@ -369,6 +475,13 @@ object TextFunctions {
   /** Codegen'd per-position word n-gram hash keys of a text column. */
   def wordGramHashes(c: Column, n: Int): Column =
     GraftBridge.column(WordGramHashes(GraftBridge.expression(c), n))
+
+  /** Codegen'd 60-bit md5 word-gram fingerprints of a text column —
+    * value-identical to the declarative
+    * `transform(sequence(...), i -> conv(substring(md5(...)...)))`
+    * sliding/chunked gram idiom (see [[Md5GramFps]]). */
+  def md5GramFps(c: Column, n: Int, step: Int = 1): Column =
+    GraftBridge.column(Md5GramFps(GraftBridge.expression(c), n, step))
 
   /** Codegen'd n-wide MinHash signature of an array<bigint> column. */
   def minhashSignature(c: Column, n: Int): Column =

@@ -99,8 +99,7 @@ object CustomAgg {
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
         .withColumn("h",
-          conv(substring(md5(encode(col("v").cast("string"), "UTF-8")), 1, 15),
-            16, 10).cast("long"))
+          graft.functions.HashFunctions.md5Hash60(col("v").cast("string")))
       cents.groupBy(col("l_returnflag"))
         .agg(graft.functions.QuantileSketchFunctions
           .quantileSketch(col("h"), col("v"), 128,

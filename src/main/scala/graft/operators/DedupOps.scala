@@ -520,10 +520,18 @@ object DedupOps {
     * Split into [[boilerplateSet]] (the corpus-wide count) and
     * [[stripBoilerplateWith]] (the map-only rewrite) so the set can be
     * built once and applied to later batches or a stream. */
+  /** Chunk strings from a PRE-SPLIT `__ws` word-array column — callers
+    * project `__ws = split(trim(text), ' ')` first so the split runs
+    * once per document, not once per chunk inside the lambda (the
+    * lambda references `__ws` twice, so CollapseProject keeps the
+    * hoisted projection instead of re-inlining the split). */
   private def chunkArray(chunkWords: Int) = expr(
-    s"transform(sequence(0, (size(split(trim(text), ' ')) - 1) div $chunkWords), " +
-      s"i -> array_join(slice(split(trim(text), ' '), i*$chunkWords + 1, " +
+    s"transform(sequence(0, (size(__ws) - 1) div $chunkWords), " +
+      s"i -> array_join(slice(__ws, i*$chunkWords + 1, " +
       s"$chunkWords), ' '))")
+
+  private def withWords(docs: DataFrame, keep: Seq[Column]): DataFrame =
+    docs.select(keep :+ split(trim(col("text")), " ").as("__ws"): _*)
 
   /** The corpus-wide half of [[stripBoilerplate]]: a ONE-ROW frame
     * holding the md5 fingerprints of every chunk occurring in >=
@@ -537,7 +545,8 @@ object DedupOps {
       minDocs: Int = 2): DataFrame = {
     require(chunkWords > 0 && minDocs >= 2,
       s"need chunkWords > 0, minDocs >= 2; got $chunkWords, $minDocs")
-    docs.select(col("doc_id"), chunkArray(chunkWords).as("chunks"))
+    withWords(docs, Seq(col("doc_id")))
+      .select(col("doc_id"), chunkArray(chunkWords).as("chunks"))
       .select(col("doc_id"),
         explode(expr("transform(chunks, c -> md5(encode(c, 'UTF-8')))")).as("fp"))
       .groupBy(col("fp"))
@@ -554,7 +563,8 @@ object DedupOps {
   def stripBoilerplateWith(docs: DataFrame, boilerSet: DataFrame,
       chunkWords: Int = 16): DataFrame = {
     val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
-    docs.select(keep :+ chunkArray(chunkWords).as("chunks"): _*)
+    withWords(docs, keep)
+      .select(keep :+ chunkArray(chunkWords).as("chunks"): _*)
       .join(broadcast(boilerSet), lit(true))
       .select(keep ++ Seq(
         size(col("chunks")).cast("long").as("n_chunks"),
@@ -650,7 +660,7 @@ object DedupOps {
   def passageDedupKeepFirst(docs: DataFrame,
       chunkWords: Int = 16): DataFrame = {
     require(chunkWords > 0, s"need chunkWords > 0; got $chunkWords")
-    val ch = docs
+    val ch = withWords(docs, Seq(col("doc_id")))
       .select(col("doc_id"), posexplode(chunkArray(chunkWords)))
       .toDF("doc_id", "ci", "chunk")
     val fp = ch.select(col("doc_id"), col("ci"),
@@ -904,8 +914,11 @@ object DedupOps {
     // |sources|² rows.
     "d17_dup_source_matrix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val m = nearDupComponents(docs)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      // the labeled frame feeds BOTH sides of the within-cluster pair
+      // join — cut it so the shingle + LSH + component pipeline runs
+      // once, not twice
+      val m = Materialize.LocalCheckpoint(nearDupComponents(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")))
       val a = m.select(col("cluster_rep"), col("doc_id").as("doc_a"),
         col("source").as("sa"))
       val b = m.select(col("cluster_rep"), col("doc_id").as("doc_b"),
@@ -972,14 +985,13 @@ object DedupOps {
       import s.implicits._
       val nH = 64
       val cfgs = Seq(8, 16, 32)
-      val gramExpr =
-        "transform(sequence(1, size(ws) - 2), i -> " +
-          "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 3), " +
-          "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
+      // one-pass codegen'd gram fps (Md5GramFps — bit-identical to the
+      // declarative conv(md5(...)) lambda); size(hs) > 0 <=> >= 3 words
       val g = Materialize.LocalCheckpoint(Tables.documents(s, d)
-        .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), expr(s"array_distinct($gramExpr)").as("gs")))
+        .select(col("doc_id"), graft.functions.TextFunctions
+          .md5GramFps(col("text"), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), array_distinct(col("hs")).as("gs")))
       val sig = g.select(col("doc_id"),
         graft.functions.TextFunctions
           .affineMinhashSignature(col("gs"), nH).as("sig"))
@@ -1053,14 +1065,11 @@ object DedupOps {
     // rollup (≤ 17 groups); the posting total rides a 1-row
     // broadcast.
     "d19_shingle_df_profile" -> ((s, d) => {
-      val gramExpr =
-        "transform(sequence(1, size(ws) - 2), i -> " +
-          "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 3), " +
-          "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
       val df = Tables.documents(s, d)
-        .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(expr(s"array_distinct($gramExpr)"))
+        .select(col("doc_id"), graft.functions.TextFunctions
+          .md5GramFps(col("text"), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), explode(array_distinct(col("hs")))
           .as("fp"))
         .groupBy(col("fp")).agg(count(lit(1)).as("df"))
       val tot = df.agg(sum(col("df")).as("total_postings"))
@@ -1144,14 +1153,11 @@ object DedupOps {
     // buckets.
     "d23_minhash_error_profile" -> ((s, d) => {
       val nH = 64
-      val gramExpr =
-        "transform(sequence(1, size(ws) - 2), i -> " +
-          "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 3), " +
-          "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
       val g = Materialize.LocalCheckpoint(Tables.documents(s, d)
-        .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), expr(s"array_distinct($gramExpr)").as("gs")))
+        .select(col("doc_id"), graft.functions.TextFunctions
+          .md5GramFps(col("text"), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), array_distinct(col("hs")).as("gs")))
       val sig = g.select(col("doc_id"),
         graft.functions.TextFunctions
           .affineMinhashSignature(col("gs"), nH).as("sig"))
@@ -1218,8 +1224,12 @@ object DedupOps {
     // and count are tiny and broadcast; each method reduces to a
     // 1-row aggregate before the 3-row union.
     "d22_method_agreement" -> ((s, d) => {
-      val truth = queries("d03_ngram_jaccard_pairs")(s, d)
-        .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1))
+      // the truth pair set is consumed by THREE method joins plus its
+      // own count — cut it once so the d03 pipeline (the most
+      // expensive of the four methods) runs a single time
+      val truth = Materialize.LocalCheckpoint(
+        queries("d03_ngram_jaccard_pairs")(s, d)
+          .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1)))
       val tc = truth.agg(count(lit(1)).as("n_truth"))
       val methods = Seq(
         "minhash_lsh" -> queries("d04_minhash_lsh_dedup"),
@@ -1352,16 +1362,16 @@ object DedupOps {
     // like e01's ground truth.
     "d27_source_minhash_jaccard" -> ((s, d) => {
       val nH = 16
-      val gramExpr =
-        "transform(sequence(1, size(ws) - 2), i -> " +
-          "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 3), " +
-          "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
-      val g = Tables.documents(s, d)
-        .select(col("source"), split(trim(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
+      // the gram frame feeds the signature AND the exact-set branch
+      // (sizes + the intersection self-join) — cut it so the md5 gram
+      // hashing runs once, not once per consumer
+      val g = Materialize.LocalCheckpoint(Tables.documents(s, d)
+        .select(col("source"), graft.functions.TextFunctions
+          .md5GramFps(col("text"), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
         .select(col("source"),
-          expr(s"transform(array_distinct($gramExpr), x -> x % $P31)")
-            .as("xs"))
+          expr(s"transform(array_distinct(hs), x -> x % $P31)")
+            .as("xs")))
       val docMins = g
         .select(col("source"), graft.functions.TextFunctions
           .affineMinhashSignature(col("xs"), nH).as("sig"))
@@ -1370,8 +1380,11 @@ object DedupOps {
       val sig = docMins.groupBy(col("source"))
         .agg(min(col("h0")).as("h0"),
           (1 until nH).map(i => min(col(s"h$i")).as(s"h$i")): _*)
-      val sets = g.select(col("source"), explode(col("xs")).as("x"))
-        .distinct()
+      // sets feeds the size rollup AND both sides of the intersection
+      // self-join — cut it so the explode + distinct exchange runs once
+      val sets = Materialize.LocalCheckpoint(
+        g.select(col("source"), explode(col("xs")).as("x"))
+          .distinct())
       val sz = sets.groupBy(col("source")).agg(count(lit(1)).as("sz"))
       val inter = sets.toDF("source_a", "x")
         .join(sets.toDF("source_b", "x"), "x")
@@ -1468,18 +1481,15 @@ object DedupOps {
     // broadcast doc count; outputs are 3 rows.
     "d29_shingle_width_profile" -> ((s, d) => {
       def profile(w: Int): DataFrame = {
-        val gramExpr =
-          s"transform(sequence(1, size(ws) - ${w - 1}), i -> " +
-            "CAST(conv(substring(md5(encode(array_join(slice(ws, i, " +
-            s"$w), ' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
         // the gram frame feeds both the corpus census and the df
         // aggregate — cut it so the md5 gram hashing runs once per
         // width (2 longs per posting)
         val g = Materialize.LocalCheckpoint(Tables.documents(s, d)
-          .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
-          .filter(size(col("ws")) >= w)
+          .select(col("doc_id"), graft.functions.TextFunctions
+            .md5GramFps(col("text"), w).as("hs"))
+          .filter(size(col("hs")) > 0)
           .select(col("doc_id"),
-            explode(expr(s"array_distinct($gramExpr)")).as("g")))
+            explode(array_distinct(col("hs"))).as("g")))
         val docs = g.agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("total_postings"))
         g.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -1536,9 +1546,7 @@ object DedupOps {
   private def simhashFrame(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
-      .withColumn("h",
-        conv(substring(md5(encode(col("w"), "UTF-8")), 1, 15), 16, 10)
-          .cast("long"))
+      .withColumn("h", graft.functions.HashFunctions.md5Hash60(col("w")))
       .groupBy(col("doc_id"))
       .agg(graft.functions.SimHashFunctions.simhash(col("h"))
         .as("simhash"))
@@ -1555,14 +1563,11 @@ object DedupOps {
     */
   private def winnowFps(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .withColumn("hs", expr(
-        "transform(sequence(1, size(ws) - 2), i -> " +
-          "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 3), " +
-          "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), graft.functions.TextFunctions
+        .md5GramFps(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
       .select(col("doc_id"),
-        (size(col("ws")) - 2).cast("long").as("n_grams"),
+        size(col("hs")).cast("long").as("n_grams"),
         expr("array_distinct(transform(" +
           "sequence(1, greatest(1, size(hs) - 3)), " +
           "i -> array_min(slice(hs, i, 4))))").as("fps"))

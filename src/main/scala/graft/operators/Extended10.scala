@@ -19,6 +19,28 @@ import graft.Tables
   */
 object Extended10 {
 
+  /** Directed co-purchase pair INSTANCES — one (u, v) row per order
+    * containing both parts, u != v, both directions — built IN-ROW:
+    * one exchange keyed on l_orderkey collapses each order to its
+    * distinct part set, then the O(k²) pair fan-out is row-local
+    * (baskets are bounded, ~4–7 items at any SF). Replaces the
+    * op-self-join edge build the whole graph family shipped with,
+    * which exchanged the distinct (order, part) frame on BOTH join
+    * sides plus the join key — three corpus-sized exchanges per build
+    * — before the pair aggregate. Pair multiset is identical (the
+    * self-join of a distinct frame emits exactly one (u, v) row per
+    * co-containing order), so every downstream count/distinct matches
+    * bit-for-bit. Shared by q105/q107/q125/q130/q197. */
+  private[operators] def copurchasePairs(
+      s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> transform(filter(ps, y -> y != x), " +
+          "y -> struct(x AS u, y AS v))))")).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TRIANGLE COUNT + local clustering coefficient over the part
@@ -38,16 +60,12 @@ object Extended10 {
     // map-locally into per-vertex counts. Clustering coefficient is a
     // pure function of two exact longs -> bit-identical doubles.
     "q107_triangle_count" -> ((s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
       // The edge frame feeds degree AND orientation (and, through
       // oriented, both closure branches) — cut it once so the
-      // fact-scan + pair self-join + distinct run a single time
+      // fact-scan + in-row pair fan-out + distinct run a single time
       // (the d21 Materialize lesson; 16 bytes/edge).
-      val e = Materialize.LocalCheckpoint(op.as("a").join(op.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      val e = Materialize.LocalCheckpoint(copurchasePairs(s, d)
+        .filter(col("u") < col("v"))
         .distinct())
       val deg = e.select(col("u").as("pk"))
         .unionAll(e.select(col("v").as("pk")))
@@ -937,13 +955,8 @@ object Extended10 {
     // (pk, hop) longs; 3 rounds = 3 bounded joins, the standard
     // multi-hop shape at any corpus size.
     "q125_khop_reachability" -> ((s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = Materialize.LocalCheckpoint(op.as("a").join(op.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct())
+      val edges = Materialize.LocalCheckpoint(
+        copurchasePairs(s, d).distinct())
       // checkpoint each FRONTIER, not the growing visited union: the
       // frontiers are disjoint by construction, so `visited` is their
       // lazy union and round k never re-materializes rounds 0..k−1's

@@ -72,8 +72,7 @@ object Extended11 {
     * the first 15 hex chars of md5 over the value's UTF-8 string form
     * (the q114/q51 discipline). */
   private def phash(c: Column): Column =
-    conv(substring(md5(encode(c.cast("string"), "UTF-8")), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.HashFunctions.md5Hash60(c.cast("string"))
 
   /** DuckDB twin of [[phash]]. */
   private def phashSql(expr: String): String =
@@ -181,15 +180,11 @@ object Extended11 {
     // longs) keyed on pk against the edge list; weights build on the
     // already-exchanged (u, v) aggregate; 3 rounds = 3 bounded joins.
     "q130_copurchase_distance" -> ((s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = Materialize.LocalCheckpoint(op.as("a").join(op.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
-        .select(col("u"), col("v"),
-          expr("CAST(1000000 AS BIGINT) div n_co").as("w")))
+      val edges = Materialize.LocalCheckpoint(
+        Extended10.copurchasePairs(s, d)
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
+          .select(col("u"), col("v"),
+            expr("CAST(1000000 AS BIGINT) div n_co").as("w")))
       // DELTA relaxation (the queue-based Bellman-Ford shape): only
       // nodes IMPROVED last round propose this round — round 1 joins
       // |seeds| rows against the edges instead of the whole dist

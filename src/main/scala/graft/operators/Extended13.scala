@@ -57,7 +57,8 @@ object Extended13 {
   private[graft] def nationWeeklyRevenue(
       s: SparkSession, d: String): DataFrame =
     Materialize.LocalCheckpoint(
-      Tables.lineitem(s, d)
+      Tables.spread(s, Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice")))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)),
@@ -73,7 +74,8 @@ object Extended13 {
     * nation — the shared input frame of q154. One fact rollup, the
     * dimension joins broadcast. */
   private def nationOrderDollars(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.spread(s, Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice")))
       .groupBy(col("l_orderkey"))
       .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -564,7 +566,8 @@ object Extended13 {
     // pruned pass (the d22 method-comparison bucket).
     "q164_poisson_bootstrap" -> ((s, d) => {
       val b = 32
-      val per = Tables.lineitem(s, d)
+      val per = Tables.spread(s, Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice")))
         .groupBy(col("l_orderkey"))
         .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
         .select(col("l_orderkey"), expr("rev div 100").as("v"))
@@ -750,7 +753,8 @@ object Extended13 {
     // window contract).
     "q170_bootstrap_median_ci" -> ((s, d) => {
       val b = 32
-      val per = Tables.lineitem(s, d)
+      val per = Tables.spread(s, Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice")))
         .groupBy(col("l_orderkey"))
         .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
         .select(col("l_orderkey"), expr("rev div 100").as("v"))
@@ -1002,8 +1006,7 @@ object Extended13 {
           round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
       val sk = cents
         .withColumn("h",
-          conv(substring(md5(encode(col("v").cast("string"), "UTF-8")),
-            1, 15), 16, 10).cast("long"))
+          graft.functions.HashFunctions.md5Hash60(col("v").cast("string")))
         .groupBy(col("l_returnflag"))
         .agg(graft.functions.QuantileSketchFunctions
           .quantileSketch(col("h"), col("v"), 128, Seq(0.5, 0.9))

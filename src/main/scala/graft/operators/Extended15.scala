@@ -37,7 +37,8 @@ object Extended15 {
     * single-partition lag window (~350 rows at ANY data scale — the
     * q156 aggregate-first stance). */
   private def weeklyBacktest(s: SparkSession, d: String): DataFrame = {
-    val wk = Tables.lineitem(s, d)
+    val wk = Tables.spread(s, Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice")))
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy(expr(
         "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7")

@@ -32,7 +32,8 @@ object Extended16 {
     * (~350 at ANY data scale), so every downstream single-partition
     * window in this file is over the grid, never over fact rows. */
   private def weekly(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.spread(s, Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice")))
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy(expr(
         "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7")
@@ -581,12 +582,12 @@ object Extended16 {
       // the expensive fact self-join collapses to the support-filtered
       // edge list ONCE inside linkPredictionScores; adjacency, wedges,
       // and the existence anti-join all reuse the cut
-      val support = Tables.lineitem(s, d).as("x")
-        .join(Tables.lineitem(s, d).as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-        .agg(countDistinct(col("x.l_orderkey")).as("support"))
+      // in-row basket pairs (one instance per co-containing order), so
+      // count(1) == the old countDistinct(orderkey) support
+      val support = Extended10.copurchasePairs(s, d)
+        .filter(col("u") < col("v"))
+        .groupBy(col("u").as("pa"), col("v").as("pb"))
+        .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select(col("pa"), col("pb"))
       linkPredictionScores(support)

@@ -36,7 +36,8 @@ object Extended17 {
     * then every downstream window is over the grid, never fact rows.
     */
   private def weeklyPair(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.spread(s, Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice")))
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy(expr(
         "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7")

@@ -797,13 +797,16 @@ object Extended4 {
     // — three parallel range exchanges over the per-user frame, no
     // single-task window at any size.
     "q72_rfm_segmentation" -> ((s, d) => {
-      val perUser = Tables.events(s, d)
+      // the per-user rollup feeds the max-day scalar, the count scalar,
+      // and the ranked base — cut it so the events scan + aggregate
+      // runs once, not three times
+      val perUser = Materialize.LocalCheckpoint(Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"),
           Parity.cents2(col("value")).as("cents"))
         .groupBy(col("user_id"))
         .agg(max(col("day")).as("last_day"),
           count(lit(1)).as("n_events"),
-          sum(col("cents")).as("monetary_cents"))
+          sum(col("cents")).as("monetary_cents")))
       val maxDay = perUser.agg(max(col("last_day")).as("corpus_max_day"))
       val nTot = perUser.agg(count(lit(1)).as("n_total"))
       // exact quintiles over |users| WITHOUT a single-task ntile window:

@@ -33,18 +33,34 @@ object Extended5 {
     "q84_market_basket" -> ((s, d) => {
       val minItem = 20L // item support floor (a-priori prune)
       val minPair = 3L  // rule support floor
-      val b = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val cnt = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
-      val freq = cnt.filter(col("c") >= minItem)
-      val fb = b.join(broadcast(freq.select("l_partkey")), "l_partkey")
+      // baskets built IN-ROW (one l_orderkey exchange, the q107/q130
+      // round-12 edge-build shape) and cut once: the frame feeds the
+      // item counts, the basket total, and the pair fan-out — the old
+      // distinct + self-join recomputed the (order, part) exchange
+      // three times and shuffled both sides of the pair join
+      val baskets = Materialize.LocalCheckpoint(Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+      val cnt = baskets.select(explode(col("ps")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val freq = Materialize.LocalCheckpoint(cnt.filter(col("c") >= minItem))
       // basket total as a 1-row broadcast (scalar rides the plan — no
       // separate driver-side count job)
-      val nb = b.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
-      val left = fb.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val right = fb.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      val pairs = left.join(right, "l_orderkey")
-        .filter(col("part_a") < col("part_b"))
+      val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+      // a-priori prune in-row against the broadcast frequent-item set,
+      // then the C(basket,2) pair fan-out is row-local
+      val fset = freq.agg(sort_array(collect_set(col("l_partkey")))
+        .as("fset"))
+      val pairs = baskets.crossJoin(broadcast(fset))
+        .select(array_intersect(col("ps"), col("fset")).as("fs"))
+        .select(explode(expr(
+          "CASE WHEN size(fs) >= 2 THEN flatten(transform(" +
+            "sequence(1, size(fs) - 1), i -> transform(" +
+            "slice(fs, i + 1, size(fs) - i), " +
+            "y -> struct(element_at(fs, i) AS part_a, y AS part_b)))) " +
+            "ELSE CAST(array() AS ARRAY<STRUCT<part_a: BIGINT, " +
+            "part_b: BIGINT>>) END")).as("e"))
+        .select(col("e.part_a").as("part_a"), col("e.part_b").as("part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("pair_cnt"))
         .filter(col("pair_cnt") >= minPair)

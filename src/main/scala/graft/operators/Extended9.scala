@@ -127,14 +127,15 @@ object Extended9 {
     // skew lands on the dst agg, where map-side combine absorbs it;
     // AQE's skew split covers the join side.
     "q105_copurchase_pagerank" -> ((s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = op.toDF("ok", "src")
-        .join(op.toDF("ok", "dst"), "ok")
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst")).distinct()
-      val deg = edges.groupBy(col("src"))
-        .agg(count(lit(1)).as("deg"))
+      // edges feeds deg, both rank iterations, and the final join —
+      // and each iteration's ranks feeds the next: without the cuts
+      // iteration 2 (and the final join) replays the whole edge build
+      // per consumer (the q125/q130 iterative-lineage discipline)
+      val edges = Materialize.LocalCheckpoint(
+        Extended10.copurchasePairs(s, d)
+          .toDF("src", "dst").distinct())
+      val deg = Materialize.LocalCheckpoint(
+        edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
       var ranks = deg.select(col("src").as("pk"),
         lit(1000000L).as("r"))
       for (_ <- 1 to 2) {
@@ -142,10 +143,10 @@ object Extended9 {
           .join(ranks, edges("src") === ranks("pk"))
           .join(deg, "src")
           .select(col("dst"), expr("r div deg").as("c"))
-        ranks = contrib.groupBy(col("dst"))
+        ranks = Materialize.LocalCheckpoint(contrib.groupBy(col("dst"))
           .agg(sum(col("c")).as("s"))
           .select(col("dst").as("pk"),
-            expr("150000L + (850 * s) div 1000").as("r"))
+            expr("150000L + (850 * s) div 1000").as("r")))
       }
       ranks.join(deg, ranks("pk") === deg("src"))
         .select(col("pk").as("partkey"), col("deg").as("degree"),

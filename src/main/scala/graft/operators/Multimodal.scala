@@ -196,7 +196,10 @@ object Multimodal {
   }
 
   private def phashPairs(s: SparkSession, d: String): DataFrame = {
-    val fp = ahashFrame(s, d)
+    // the fingerprint frame feeds the banding-width scalar AND both
+    // sides of the banded self-join — cut it so the payload decode +
+    // hash pass runs once, not three times (the m11 cut, shared)
+    val fp = Materialize.LocalCheckpoint(ahashFrame(s, d))
     // Banding is COUNT-ADAPTIVE (the ScaleCurve lesson): 4 bands x 15
     // bits carries a random-collision candidate term ~ 4n²/2^15 that
     // turns super-linear past n ≈ 32768 media items (measured: m17/m10

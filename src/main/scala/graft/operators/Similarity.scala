@@ -216,7 +216,7 @@ object Similarity {
     // through Parity.davg (decimal sums) so they are summation-order
     // independent.
     "e17_cell_silhouette" -> ((s, d) => {
-      val ranked = centroidRanked(s, d)
+      val ranked = Materialize.LocalCheckpoint(centroidRanked(s, d))
       val own = ranked.filter(col("crk") === 1)
         .select(col("vec_id"), col("cent_id").as("cell"),
           (lit(1d) - col("ccos")).as("a"))
@@ -289,7 +289,8 @@ object Similarity {
     // centroid assignment, equi join on cell, top-1 by exact cosine.
     "e06_ann_ivf_nprobe" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val ranked = centroidRanked(s, d)
+      // ranked feeds the assigned corpus side AND the probe side
+      val ranked = Materialize.LocalCheckpoint(centroidRanked(s, d))
       val assigned = ranked.filter(col("crk") === 1)
         .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
           col("nrm").as("nb"), col("cent_id").as("cell"))
@@ -320,7 +321,7 @@ object Similarity {
     // the filter). Probe cells are distinct and ownership single-cell,
     // so no pair can emit twice.
     "e22_range_search" -> ((s, d) => {
-      val ranked = centroidRanked(s, d)
+      val ranked = Materialize.LocalCheckpoint(centroidRanked(s, d))
       val assigned = ranked.filter(col("crk") === 1)
         .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
           col("nrm").as("nb"), col("cent_id").as("cell"))
@@ -374,9 +375,12 @@ object Similarity {
     // one-line ORDER BY swap on the same frame). Returns every vector
     // with its cell, its cluster representative, and the keep verdict.
     "e10_semantic_dedup" -> ((s, d) => {
-      val assigned = centroidRanked(s, d).filter(col("crk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("cent_id").as("cell"))
+      // the assignment feeds both pair sides, the node list, and the
+      // final labeled join — one cut, four consumers
+      val assigned = Materialize.LocalCheckpoint(
+        centroidRanked(s, d).filter(col("crk") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("cent_id").as("cell")))
       val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
         col("v").as("xa"), col("nrm").as("na"))
       val b = assigned.select(col("cell"), col("vec_id").as("doc_b"),
@@ -446,13 +450,17 @@ object Similarity {
     // so the refined centroids, and therefore the iteration-2
     // assignment itself, are bit-identical in both engines.
     "e15_kmeans_refine" -> ((s, d) => {
-      val v = vecs(s, d).select(col("vec_id"), col("v"))
+      // each assignment feeds its stats row AND the next iteration's
+      // recenter — without cuts the Lloyd chain re-derives every prior
+      // iteration per consumer (stats(a2) would replay a0->c1->a1->c2)
+      val v = Materialize.LocalCheckpoint(
+        vecs(s, d).select(col("vec_id"), col("v")))
       val c0 = coarseCents(s, d).select(col("cent_id"), col("cv"))
-      val a0 = assignTo(v, c0)
+      val a0 = Materialize.LocalCheckpoint(assignTo(v, c0))
       val c1 = cellMeans(a0)
-      val a1 = assignTo(v, c1)
+      val a1 = Materialize.LocalCheckpoint(assignTo(v, c1))
       val c2 = cellMeans(a1)
-      val a2 = assignTo(v, c2)
+      val a2 = Materialize.LocalCheckpoint(assignTo(v, c2))
       def stats(a: DataFrame, iter: Int): DataFrame =
         a.agg(countDistinct(col("cent_id")).as("n_cells"),
           Parity.davg(col("dist")).as("mse"))
@@ -474,8 +482,11 @@ object Similarity {
     // the cosine itself — bit-identical. Cells present on only one
     // side have no drift to measure and are dropped by the inner join.
     "e16_embedding_drift" -> ((s, d) => {
-      val r = centroidRanked(s, d).filter(col("crk") === 1)
-        .select(col("vec_id"), col("v"), col("cent_id"))
+      // r feeds two mean branches and two count branches — one cut,
+      // four consumers
+      val r = Materialize.LocalCheckpoint(
+        centroidRanked(s, d).filter(col("crk") === 1)
+          .select(col("vec_id"), col("v"), col("cent_id")))
       def meansOf(m: Int) = cellMeans(
         r.filter(col("vec_id") % 2 === m).select(col("cent_id"), col("v")))
       def countsOf(m: Int, n: String) = r.filter(col("vec_id") % 2 === m)
@@ -506,7 +517,8 @@ object Similarity {
     // bounded by |batch|. Returns (batch_id, dup_of = smallest
     // near-dup corpus vec_id, cos of that pair).
     "e12_semantic_dedup_against" -> ((s, d) => {
-      val ranked = centroidRanked(s, d).filter(col("crk") === 1)
+      val ranked = Materialize.LocalCheckpoint(
+        centroidRanked(s, d).filter(col("crk") === 1))
       val corpus = ranked.filter(col("vec_id") % 5 =!= 1)
         .select(col("vec_id").as("dup_of"), col("v").as("cv"),
           col("nrm").as("cn"), col("cent_id").as("cell"))
@@ -609,7 +621,7 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       val k = 3
       val v = vecs(s, d)
-      val ranked = centroidRanked(s, d)
+      val ranked = Materialize.LocalCheckpoint(centroidRanked(s, d))
       val assigned = ranked.filter(col("crk") === 1)
         .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
           col("nrm").as("nb"), col("cent_id").as("cell"))
@@ -633,11 +645,14 @@ object Similarity {
         col("nrm").as("nb"))
       val wT = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
-      val truth = a.join(b, col("vec_id") =!= col("neighbor_id"))
-        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .withColumn("rank", row_number().over(wT))
-        .filter(col("rank") <= k)
-        .select(col("vec_id"), col("neighbor_id"))
+      // the exhaustive truth feeds the totals AND the recall join —
+      // cut it so the O(n²) pass runs once
+      val truth = Materialize.LocalCheckpoint(
+        a.join(b, col("vec_id") =!= col("neighbor_id"))
+          .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .withColumn("rank", row_number().over(wT))
+          .filter(col("rank") <= k)
+          .select(col("vec_id"), col("neighbor_id")))
       val totals = truth.agg(count(lit(1)).as("n_truth"))
       topk.join(truth, Seq("vec_id", "neighbor_id"))
         .groupBy(col("nprobe"))
@@ -723,10 +738,13 @@ object Similarity {
         col("nrm").as("nb"))
       val wT = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
-      val truth = a.join(b, col("vec_id") =!= col("neighbor_id"))
-        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .withColumn("rk", row_number().over(wT)).filter(col("rk") === 1)
-        .select(col("vec_id"), col("neighbor_id"))
+      // the exhaustive truth scan feeds the total AND all three config
+      // joins — cut it so the O(n²) pass runs once, not four times
+      val truth = Materialize.LocalCheckpoint(
+        a.join(b, col("vec_id") =!= col("neighbor_id"))
+          .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .withColumn("rk", row_number().over(wT)).filter(col("rk") === 1)
+          .select(col("vec_id"), col("neighbor_id")))
       val tot = truth.agg(count(lit(1)).as("n_truth"))
       def config(m: Int): DataFrame = {
         val cents = v
@@ -735,12 +753,14 @@ object Similarity {
           .select(col("vec_id").as("cent_id"), col("v").as("cv"),
             col("nrm").as("cn"))
         val cr = centsRow(cents, "cent_id", "cv", col("cn"))
-        val assigned = v.crossJoin(broadcast(cr))
+        // assignment feeds the balance stats and BOTH sides of the
+        // within-cell self-join — one cut per config, three consumers
+        val assigned = Materialize.LocalCheckpoint(v.crossJoin(broadcast(cr))
           .withColumn("best",
             graft.functions.VectorFunctions.topCentroids(
               col("v"), col("nrm"), col("cents"), 1, byCosine = true)(0))
           .select(col("vec_id"), col("v"), col("nrm"),
-            col("best.cent_id").as("cell"))
+            col("best.cent_id").as("cell")))
         val stats = assigned.groupBy(col("cell"))
           .agg(count(lit(1)).as("sz"))
           .agg(count(lit(1)).as("n_cells"), sum(col("sz")).as("n_vecs"),
@@ -1225,20 +1245,34 @@ object Similarity {
     "e33_matryoshka_recall" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val widths = Seq(8, 16, 32, 64)
-      val assigned = centroidRanked(s, d).filter(col("crk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("cent_id").as("cell"))
-        .withColumn("pn", array(widths.map(m =>
-          sqrt(dot(expr(s"slice(v, 1, $m)"), expr(s"slice(v, 1, $m)")))): _*))
+      // assignment cut (two self-join sides) + a SLIM pair cut: all
+      // prefix cosines compute in the one pair pass, so the cut holds
+      // four scalars + a 4-struct array per pair instead of the two
+      // 64-double vectors — and fullTop/chosen both read it instead of
+      // re-running the cell join and every dot product twice
+      val assigned = Materialize.LocalCheckpoint(
+        centroidRanked(s, d).filter(col("crk") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("cent_id").as("cell"))
+          .withColumn("pn", array(widths.map(m =>
+            sqrt(dot(expr(s"slice(v, 1, $m)"), expr(s"slice(v, 1, $m)")))): _*)))
       val a = assigned.select(col("vec_id"), col("v").as("va"),
         col("nrm").as("na"), col("pn").as("pna"), col("cell"))
       val b = assigned.select(col("vec_id").as("neighbor_id"),
         col("v").as("vb"), col("nrm").as("nb"), col("pn").as("pnb"),
         col("cell"))
-      val pairs = a.join(b, Seq("cell"))
+      val pairs = Materialize.LocalCheckpoint(a.join(b, Seq("cell"))
         .filter(col("vec_id") =!= col("neighbor_id"))
         .withColumn("cos_full",
           dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("cps", array(widths.zipWithIndex.map { case (m, i) =>
+          struct(lit(m).as("prefix_dims"),
+            (dot(expr(s"slice(va, 1, $m)"), expr(s"slice(vb, 1, $m)")) /
+              (element_at(col("pna"), i + 1) *
+                element_at(col("pnb"), i + 1))).as("cos_p"))
+        }: _*))
+        .select(col("vec_id"), col("neighbor_id"), col("cos_full"),
+          col("cps")))
       val wFull = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos_full").desc, col("neighbor_id"))
       val fullTop = pairs
@@ -1250,12 +1284,7 @@ object Similarity {
         .orderBy(col("cos_p").desc, col("neighbor_id"))
       val chosen = pairs
         .select(col("vec_id"), col("neighbor_id"), col("cos_full"),
-          explode(array(widths.zipWithIndex.map { case (m, i) =>
-            struct(lit(m).as("prefix_dims"),
-              (dot(expr(s"slice(va, 1, $m)"), expr(s"slice(vb, 1, $m)")) /
-                (element_at(col("pna"), i + 1) *
-                  element_at(col("pnb"), i + 1))).as("cos_p"))
-          }: _*)).as("e"))
+          explode(col("cps")).as("e"))
         .select(col("vec_id"), col("neighbor_id"), col("cos_full"),
           col("e.prefix_dims").as("prefix_dims"), col("e.cos_p").as("cos_p"))
         .withColumn("rn", row_number().over(wP))
@@ -1292,24 +1321,30 @@ object Similarity {
     // 8-byte signatures on the wire.
     "e34_ann_binary_sign" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val assigned = centroidRanked(s, d).filter(col("crk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("cent_id").as("cell"))
-        .withColumn("sig", expr(
-          "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> " +
-            "acc + CASE WHEN element_at(v, i + 1) > 0.0D " +
-            "THEN shiftleft(CAST(1 AS BIGINT), i) " +
-            "ELSE CAST(0 AS BIGINT) END)"))
+      // assignment + slim pair cut (the e33 round-12 shape): both
+      // ranking windows read one materialized (ids, cos, ham) frame
+      // instead of re-running the cell join and the dot products
+      val assigned = Materialize.LocalCheckpoint(
+        centroidRanked(s, d).filter(col("crk") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("cent_id").as("cell"))
+          .withColumn("sig", expr(
+            "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> " +
+              "acc + CASE WHEN element_at(v, i + 1) > 0.0D " +
+              "THEN shiftleft(CAST(1 AS BIGINT), i) " +
+              "ELSE CAST(0 AS BIGINT) END)")))
       val a = assigned.select(col("vec_id"), col("v").as("va"),
         col("nrm").as("na"), col("sig").as("sa"), col("cell"))
       val b = assigned.select(col("vec_id").as("neighbor_id"),
         col("v").as("vb"), col("nrm").as("nb"), col("sig").as("sb"),
         col("cell"))
-      val pairs = a.join(b, Seq("cell"))
+      val pairs = Materialize.LocalCheckpoint(a.join(b, Seq("cell"))
         .filter(col("vec_id") =!= col("neighbor_id"))
         .withColumn("cos_full",
           dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .withColumn("ham", expr("bit_count(sa ^ sb)").cast("long"))
+        .select(col("vec_id"), col("cell"), col("neighbor_id"),
+          col("cos_full"), col("ham")))
       val wFull = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos_full").desc, col("neighbor_id"))
       val wHam = Window.partitionBy(col("vec_id"))
@@ -1347,9 +1382,11 @@ object Similarity {
     * e07 recall evaluation so both measure the identical index. */
   private def ivfTop1(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = centroidRanked(s, d)
+    // both sides of the within-cell self-join derive from the same
+    // assignment — cut it so the scan + broadcast ranking run once
+    val assigned = Materialize.LocalCheckpoint(centroidRanked(s, d)
       .filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell")))
     val wNb = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     val a = assigned.select(col("vec_id"), col("v").as("va"),
@@ -1397,8 +1434,11 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val m = 8
     val sub = 8
-    val assigned = centroidRanked(s, d).filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    // the assignment feeds the subspace explode, the search probe side,
+    // and e19's error join — cut it once for all consumers
+    val assigned = Materialize.LocalCheckpoint(
+      centroidRanked(s, d).filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id").as("cell")))
     val csub = vecs(s, d)
       .filter(col("vec_id") % 50 === 0 && col("vec_id") < lit(50L * CellCap))
       .select(col("vec_id").as("cb_id"),

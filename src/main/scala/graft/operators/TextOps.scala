@@ -71,12 +71,8 @@ object TextOps {
     * empty gram array — matching the oracle's empty series — or the
     * lambda would evaluate `slice(words, 0, 8)` and throw. */
   private[graft] def sourceGramFps(docs: DataFrame): DataFrame =
-    docs.select(col("source"), explode(expr(
-      "CASE WHEN size(split(trim(text), ' ')) >= 8 THEN " +
-        "transform(sequence(1, size(split(trim(text), ' ')) - 7), " +
-        "i -> CAST(conv(substring(md5(encode(array_join(slice(split(trim(text), ' '), i, 8), ' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT)) " +
-        "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
-      .as("fp"))
+    docs.select(col("source"), explode(
+      graft.functions.TextFunctions.md5GramFps(col("text"), 8)).as("fp"))
       .distinct()
 
   def repetitionStats(docs: DataFrame): DataFrame =
@@ -597,10 +593,8 @@ object TextOps {
     // and bounded); the pair rollup is map-side partial.
     "t20_source_overlap" -> ((s, d) => {
       val cf = Tables.documents(s, d)
-        .select(col("source"), explode(expr(
-          "transform(sequence(0, (size(split(trim(text), ' ')) - 1) div 16), " +
-            "i -> CAST(conv(substring(md5(encode(array_join(slice(split(trim(text), ' '), i*16 + 1, 16), ' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"))
-          .as("fp"))
+        .select(col("source"), explode(graft.functions.TextFunctions
+          .md5GramFps(col("text"), 16, step = 16)).as("fp"))
         .distinct()
       val a = cf.select(col("fp"), col("source").as("source_a"))
       val b = cf.select(col("fp"), col("source").as("source_b"))
@@ -622,11 +616,12 @@ object TextOps {
     // shuffle carries 8-byte keys — same trick as the shingle index),
     // one join back, one per-doc partial aggregate.
     "t17_boilerplate_chunks" -> ((s, d) => {
-      val chunks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, (size(split(trim(text), ' ')) - 1) div 16), "
-            + "i -> array_join(slice(split(trim(text), ' '), i*16 + 1, 16), ' '))"))
-          .as("chunk"))
+      // chunk identity rides the 60-bit md5 fp (the t19/t20 key — the
+      // shuffle carries 8-byte longs, never chunk text) and the chunk
+      // frame cuts once: it feeds the boiler count AND the join back
+      val chunks = Materialize.LocalCheckpoint(Tables.documents(s, d)
+        .select(col("doc_id"), explode(graft.functions.TextFunctions
+          .md5GramFps(col("text"), 16, step = 16)).as("chunk")))
       val boiler = chunks.groupBy(col("chunk"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
         .filter(col("ndocs") >= 2)
@@ -776,18 +771,15 @@ object TextOps {
     // corpus-sized past the fp exchanges.
     "t29_coverage_curve" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val shard = pmod(conv(substring(
-        md5(encode(concat(lit("shard|"), col("doc_id").cast("string")),
-          "UTF-8")), 1, 15), 16, 10).cast("long"), lit(16L)).cast("int")
-      val gram8 =
-        "transform(sequence(1, size(ws) - 7), i -> " +
-          "CAST(conv(substring(md5(encode(array_join(slice(ws, i, 8), " +
-          "' '), 'UTF-8')), 1, 15), 16, 10) AS BIGINT))"
+      val shard = pmod(graft.functions.HashFunctions.md5Hash60(
+        concat(lit("shard|"), col("doc_id").cast("string"))), lit(16L))
+        .cast("int")
       val sg = Tables.documents(s, d)
-        .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), graft.functions.TextFunctions
+          .md5GramFps(col("text"), 8).as("hs"))
+        .filter(size(col("hs")) > 0)
         .select(shard.as("shard"),
-          explode(expr(s"array_distinct($gram8)")).as("fp"))
+          explode(array_distinct(col("hs"))).as("fp"))
         .distinct()
       val per = sg
         .withColumn("first_shard",
