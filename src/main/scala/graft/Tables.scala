@@ -72,6 +72,13 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame =
     spreadIfNarrow(s, table(s, d, "documents"))
+
+  /** The unspread documents scan, for the few consumers whose per-row
+    * work is too light to repay the round-robin exchange (m08's
+    * octet-length manifest: measured 4.6 s spread vs 1.0 s unspread at
+    * sf0.1 — the exchange dominates a trivial map). */
+  def documentsNarrow(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     spreadIfNarrow(s, table(s, d, "embeddings"))
 }

@@ -47,17 +47,18 @@ object Extended5 {
       // basket total as a 1-row broadcast (scalar rides the plan — no
       // separate driver-side count job)
       val nb = baskets.agg(count(lit(1)).as("n_baskets"))
-      // a-priori prune in-row against the broadcast frequent-item set,
-      // then the C(basket,2) pair fan-out is row-local
-      val fset = freq.agg(sort_array(collect_set(col("l_partkey")))
-        .as("fset"))
-      val pairs = baskets.crossJoin(broadcast(fset))
-        .select(array_intersect(col("ps"), col("fset")).as("fs"))
+      // pair fan-out over the FULL basket (no in-row a-priori prune:
+      // at this support floor most parts are frequent, and a per-row
+      // array_intersect against the ~|parts| frequent set costs
+      // O(basket × |freq|) — measured 75 s at sf0.1; the ca/cb inner
+      // joins below filter pairs to frequent×frequent anyway, and
+      // pair_cnt is a global count the prune never changed)
+      val pairs = baskets
         .select(explode(expr(
-          "CASE WHEN size(fs) >= 2 THEN flatten(transform(" +
-            "sequence(1, size(fs) - 1), i -> transform(" +
-            "slice(fs, i + 1, size(fs) - i), " +
-            "y -> struct(element_at(fs, i) AS part_a, y AS part_b)))) " +
+          "CASE WHEN size(ps) >= 2 THEN flatten(transform(" +
+            "sequence(1, size(ps) - 1), i -> transform(" +
+            "slice(ps, i + 1, size(ps) - i), " +
+            "y -> struct(element_at(ps, i) AS part_a, y AS part_b)))) " +
             "ELSE CAST(array() AS ARRAY<STRUCT<part_a: BIGINT, " +
             "part_b: BIGINT>>) END")).as("e"))
         .select(col("e.part_a").as("part_a"), col("e.part_b").as("part_b"))
