@@ -196,10 +196,12 @@ object Multimodal {
   }
 
   private def phashPairs(s: SparkSession, d: String): DataFrame = {
-    // the fingerprint frame feeds the banding-width scalar AND both
-    // sides of the banded self-join — cut it so the payload decode +
-    // hash pass runs once, not three times (the m11 cut, shared)
-    val fp = Materialize.LocalCheckpoint(ahashFrame(s, d))
+    // NOT cut (round-12 measurement): a LocalCheckpoint here drops the
+    // frame's size stats (LogicalRDD defaults to huge), so the banded
+    // self-join flips from auto-broadcast to sort-merge and m07 slowed
+    // 0.6 s -> 3.1 s; the triple re-derivation of ahashFrame is the
+    // cheaper evil at every measured SF
+    val fp = ahashFrame(s, d)
     // Banding is COUNT-ADAPTIVE (the ScaleCurve lesson): 4 bands x 15
     // bits carries a random-collision candidate term ~ 4n²/2^15 that
     // turns super-linear past n ≈ 32768 media items (measured: m17/m10
