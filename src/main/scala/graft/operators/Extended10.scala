@@ -969,11 +969,17 @@ object Extended10 {
       for (h <- 1 to 3) {
         val visited = frontiers.map(_.select(col("pk")))
           .reduce(_.unionAll(_))
+        // frontier and visited are ≤|V| single-long frames (dimension-
+        // sized at any SF — the q107 deg-broadcast precedent), but the
+        // LocalCheckpoint cuts erase their stats and the planner sort-
+        // merge-joined them against the edge list — re-exchanging the
+        // whole edge frame every round. Broadcasting them streams the
+        // edges map-side; the only per-round exchange is the distinct.
         val next = Materialize.LocalCheckpoint(
-          frontiers.last.select(col("pk"))
-            .join(edges, col("pk") === col("u"))
+          edges.join(broadcast(frontiers.last.select(col("pk"))),
+              col("u") === col("pk"))
             .select(col("v").as("pk")).distinct()
-            .join(visited, Seq("pk"), "left_anti")
+            .join(broadcast(visited), Seq("pk"), "left_anti")
             .withColumn("hop", lit(h)))
         frontiers = frontiers :+ next
       }

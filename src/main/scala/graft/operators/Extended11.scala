@@ -200,7 +200,13 @@ object Extended11 {
           .withColumn("cost", lit(0L)))
       var frontier = dist
       for (_ <- 1 to 3) {
-        val cand = frontier.join(edges, col("pk") === col("u"))
+        // the frontier is a ≤|V| (pk, cost) frame (dimension-sized at
+        // any SF); the LocalCheckpoint cut erased its stats, so the
+        // planner sort-merge-joined it against the edge list — a fact-
+        // sized u exchange per round. Broadcasting it streams the
+        // edges; the only per-round exchanges left are the partial-
+        // aggregated min and the |V|-sized full-outer merge.
+        val cand = edges.join(broadcast(frontier), col("u") === col("pk"))
           .select(col("v").as("pk"), (col("cost") + col("w")).as("c"))
           .groupBy(col("pk")).agg(min(col("c")).as("cand"))
         val merged = Materialize.LocalCheckpoint(

@@ -139,16 +139,25 @@ object Extended9 {
       var ranks = deg.select(col("src").as("pk"),
         lit(1000000L).as("r"))
       for (_ <- 1 to 2) {
-        val contrib = edges
-          .join(ranks, edges("src") === ranks("pk"))
-          .join(deg, "src")
-          .select(col("dst"), expr("r div deg").as("c"))
+        // ranks and deg are |V|-sized (one row per part — dimension-
+        // sized at any SF, the q107 deg-broadcast precedent), but the
+        // LocalCheckpoint cuts erase their size stats, so the planner
+        // sort-merge-joined them against the edge list: TWO fact-sized
+        // src exchanges per iteration. Pre-divide r/deg on the tiny
+        // frame (same per-edge arithmetic — r div deg is a function of
+        // src alone), then stream the edges through ONE broadcast hash
+        // join: the only per-iteration exchange left is the partial-
+        // aggregated dst sum.
+        val rod = ranks.join(broadcast(deg), ranks("pk") === deg("src"))
+          .select(col("src"), expr("r div deg").as("c"))
+        val contrib = edges.join(broadcast(rod), "src")
+          .select(col("dst"), col("c"))
         ranks = Materialize.LocalCheckpoint(contrib.groupBy(col("dst"))
           .agg(sum(col("c")).as("s"))
           .select(col("dst").as("pk"),
             expr("150000L + (850 * s) div 1000").as("r")))
       }
-      ranks.join(deg, ranks("pk") === deg("src"))
+      ranks.join(broadcast(deg), ranks("pk") === deg("src"))
         .select(col("pk").as("partkey"), col("deg").as("degree"),
           col("r").as("rank_micro"),
           (col("r").cast("double") / lit(1000000.0)).as("rank"))
