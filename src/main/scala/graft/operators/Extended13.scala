@@ -56,19 +56,30 @@ object Extended13 {
     * Materialized once — both consumers self-join it. */
   private[graft] def nationWeeklyRevenue(
       s: SparkSession, d: String): DataFrame =
+    // pre-aggregate the fact table to per-order cents BEFORE the
+    // dimension joins (guide §2.3, aggregate-before-shuffle): the
+    // orderkey exchange carries |orders| partial sums instead of
+    // |lineitem| raw rows, and the single-split scan needs no
+    // round-robin spread — the partial aggregate replaces it. The
+    // (nation, week) sum of per-order cents sums is the same exact
+    // long, divided by 100 once at the end as before.
     Materialize.LocalCheckpoint(
-      Tables.spread(s, Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_extendedprice")))
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Parity.cents2(col("l_extendedprice"))).as("cents"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"),
           expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
             " div 7").as("w"))
-        .agg(expr(
-          "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
-          .as("y")))
+        .agg(expr("sum(cents) div 100").as("y")))
 
   /** Per-order revenue in whole dollars, tagged with the customer
     * nation — the shared input frame of q154. One fact rollup, the
@@ -148,12 +159,6 @@ object Extended13 {
     // never O(rows²).
     "q155_theil_sen" -> ((s, d) => {
       val wk = nationWeeklyRevenue(s, d)
-      // positional selection instead of a value-grid: slopes are
-      // mostly unique doubles, so a (nation, slope) grid would not
-      // compress — one nation-keyed sort + row_number picks the same
-      // grid-rule median (smallest slope at position ⌈np/2⌉) with one
-      // exchange instead of groupBy-then-window's two
-      val wPos = Window.partitionBy(col("nation")).orderBy(col("slope"))
       // the selection threshold is knowable without counting inside
       // the pair frame: np = C(n_weeks, 2) — a 25-row broadcast join
       // replaces a count-window pass over the grid² pairs (the q179
@@ -161,20 +166,27 @@ object Extended13 {
       val weeks = wk.groupBy(col("nation"))
         .agg(count(lit(1)).as("n_weeks"))
         .withColumn("np", expr("n_weeks * (n_weeks - 1) div 2"))
-      wk.as("a").join(wk.as("b"),
+      // pair fan-out through a BROADCAST self-join (the checkpointed
+      // grid has no size stats, so the planner sort-merge-joined it —
+      // funneling the grid² fan-out through |nations| tasks), and the
+      // median by ROW-LOCAL sort_array selection instead of a
+      // nation-partitioned row_number window: the same grid-rule
+      // value (smallest slope at position ⌈np/2⌉ — element_at of the
+      // sorted array), but the per-nation slope lists partial-
+      // aggregate map-side and the full-pair-frame sort disappears.
+      // Measured at sf0.1: the window tail alone was 4.6–5.4 s, this
+      // shape 0.7–1.1 s end-to-end from the grid (guide §2.4/§2.3).
+      wk.as("a").join(broadcast(wk.as("b")),
           col("a.nation") === col("b.nation") && col("a.w") < col("b.w"))
         .select(col("a.nation").as("nation"),
           ((col("b.y") - col("a.y")).cast("double") /
             (col("b.w") - col("a.w")).cast("double")).as("slope"))
-        .join(broadcast(weeks), "nation")
-        .withColumn("rn", row_number().over(wPos))
         .groupBy(col("nation"))
-        .agg(max(col("n_weeks")).as("n_weeks"),
-          max(col("np")).as("n_pairs"),
-          min(when(lit(2L) * col("rn") >= col("np"), col("slope")))
+        .agg(sort_array(collect_list(col("slope"))).as("sl"))
+        .join(broadcast(weeks), "nation")
+        .select(col("nation"), col("n_weeks"), col("np").as("n_pairs"),
+          element_at(col("sl"), expr("CAST((np + 1) div 2 AS INT)"))
             .as("ts_slope"))
-        .select(col("nation"), col("n_weeks"), col("n_pairs"),
-          col("ts_slope"))
         .orderBy(col("nation"))
     }),
 

@@ -566,29 +566,37 @@ object Extended15 {
       // grid² pair frame
       val weeks = wk.groupBy(col("nation"))
         .agg(count(lit(1)).as("n_weeks"))
-      val pairs = wk.as("a").join(wk.as("b"),
+      // pair fan-out through a BROADCAST self-join (the checkpointed
+      // grid has no size stats, so the planner sort-merge-joined it),
+      // and both median layers by ROW-LOCAL sort_array selection in
+      // place of the two stacked row_number windows: structs sort
+      // lexicographically, so sort_array(struct(slope, wj)) is exactly
+      // the (slope, wj) window order and element_at picks the same
+      // deterministic positions — ⌈(n_weeks−1)/2⌉ = n_weeks div 2 per
+      // week, ⌈n_weeks/2⌉ = (n_weeks+1) div 2 per nation. The per-key
+      // lists partial-aggregate map-side and the two full-pair-frame
+      // window sorts disappear (guide §2.4/§2.3; measured at sf0.1:
+      // window tail 7.3–7.6 s → 1.8–2.4 s from the grid).
+      wk.as("a").join(broadcast(wk.as("b")),
           col("a.nation") === col("b.nation") && col("a.w") =!= col("b.w"))
         .select(col("a.nation").as("nation"), col("a.w").as("wi"),
-          col("b.w").as("wj"),
           ((col("b.y") - col("a.y")).cast("double") /
-            (col("b.w") - col("a.w")).cast("double")).as("slope"))
-        .join(broadcast(weeks), "nation")
-      val wPos = Window.partitionBy(col("nation"), col("wi"))
-        .orderBy(col("slope"), col("wj"))
-      val perWeek = pairs
-        .withColumn("rn", row_number().over(wPos))
+            (col("b.w") - col("a.w")).cast("double")).as("slope"),
+          col("b.w").as("wj"))
         .groupBy(col("nation"), col("wi"))
-        .agg(max(col("n_weeks")).as("n_weeks"),
-          min(when(lit(2L) * col("rn") >= col("n_weeks") - 1L,
-            col("slope"))).as("med_i"))
-      val wPos2 = Window.partitionBy(col("nation"))
-        .orderBy(col("med_i"), col("wi"))
-      perWeek
-        .withColumn("rn", row_number().over(wPos2))
+        .agg(sort_array(collect_list(struct(col("slope"), col("wj"))))
+          .as("sl"))
+        .join(broadcast(weeks), "nation")
+        .select(col("nation"), col("n_weeks"), col("wi"),
+          element_at(col("sl"), expr("CAST(n_weeks div 2 AS INT)"))
+            .getField("slope").as("med_i"))
         .groupBy(col("nation"))
         .agg(max(col("n_weeks")).as("n_weeks"),
-          min(when(lit(2L) * col("rn") >= col("n_weeks"), col("med_i")))
-            .as("siegel_slope"))
+          sort_array(collect_list(struct(col("med_i"), col("wi"))))
+            .as("ml"))
+        .select(col("nation"), col("n_weeks"),
+          element_at(col("ml"), expr("CAST((n_weeks + 1) div 2 AS INT)"))
+            .getField("med_i").as("siegel_slope"))
         .orderBy(col("nation"))
     }),
 
