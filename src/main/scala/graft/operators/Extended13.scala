@@ -85,12 +85,20 @@ object Extended13 {
     * nation — the shared input frame of q154. One fact rollup, the
     * dimension joins broadcast. */
   private def nationOrderDollars(s: SparkSession, d: String): DataFrame =
-    Tables.spread(s, Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_extendedprice")))
+    // no round-robin spread before the per-order rollup: the groupBy
+    // exchange is the spread (guide §2.3 — the partial aggregate's
+    // per-row work is trivial, so the extra exchange never repaid
+    // itself), and the dimension joins carry only the columns they use
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
       .groupBy(col("l_orderkey"))
       .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("nation"), expr("rev div 100").as("v"))
@@ -578,12 +586,19 @@ object Extended13 {
     // pruned pass (the d22 method-comparison bucket).
     "q164_poisson_bootstrap" -> ((s, d) => {
       val b = 32
-      val per = Tables.spread(s, Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_extendedprice")))
+      // no round-robin spread: the per-order groupBy exchange is the
+      // spread (guide §2.3)
+      val per = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
         .groupBy(col("l_orderkey"))
         .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
         .select(col("l_orderkey"), expr("rev div 100").as("v"))
-      val reps = per
+      // spread the SMALL per-order frame before the ×32 hash fan-out,
+      // not the fact scan: AQE coalesces the few-MB rollup exchange to
+      // one partition, which would run all 32·|orders| md5s single-
+      // task; an explicit repartition pins the fan-out stage at session
+      // parallelism for the price of one |orders|-row narrow exchange
+      val reps = per.repartition(s.sparkContext.defaultParallelism)
         .select(col("l_orderkey"), col("v"),
           explode(sequence(lit(1), lit(b))).as("b"))
         .withColumn("u", poissonU(col("l_orderkey"), col("b")))
@@ -765,12 +780,17 @@ object Extended13 {
     // window contract).
     "q170_bootstrap_median_ci" -> ((s, d) => {
       val b = 32
-      val per = Tables.spread(s, Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_extendedprice")))
+      // no round-robin spread: the per-order groupBy exchange is the
+      // spread (guide §2.3)
+      val per = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
         .groupBy(col("l_orderkey"))
         .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
         .select(col("l_orderkey"), expr("rev div 100").as("v"))
-      val rep = per
+      // spread the SMALL per-order frame before the ×32 hash fan-out
+      // (see q164): AQE coalesces the few-MB rollup exchange to one
+      // partition, which would run all 32·|orders| md5s single-task
+      val rep = per.repartition(s.sparkContext.defaultParallelism)
         .select(col("l_orderkey"), col("v"),
           explode(sequence(lit(1), lit(b))).as("b"))
         .withColumn("u", poissonU(col("l_orderkey"), col("b")))

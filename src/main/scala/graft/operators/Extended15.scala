@@ -37,15 +37,21 @@ object Extended15 {
     * single-partition lag window (~350 rows at ANY data scale — the
     * q156 aggregate-first stance). */
   private def weeklyBacktest(s: SparkSession, d: String): DataFrame = {
-    val wk = Tables.spread(s, Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_extendedprice")))
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+    // pre-aggregate to per-order cents before the orders join (guide
+    // §2.3): |orders| partial sums cross the orderkey exchange instead
+    // of |lineitem| raw rows, replacing the round-robin spread.
+    val wk = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .groupBy(col("l_orderkey"))
+      .agg(expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT))")
+        .as("cents"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(expr(
         "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7")
         .as("w"))
-      .agg(expr(
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
-        .as("y"))
+      .agg(expr("sum(cents) div 100").as("y"))
     val wLag = Window.orderBy(col("w"))
     wk
       .withColumn("y1", lag(col("y"), 1).over(wLag))

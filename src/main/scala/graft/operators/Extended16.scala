@@ -32,15 +32,23 @@ object Extended16 {
     * (~350 at ANY data scale), so every downstream single-partition
     * window in this file is over the grid, never over fact rows. */
   private def weekly(s: SparkSession, d: String): DataFrame =
-    Tables.spread(s, Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_extendedprice")))
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+    // pre-aggregate the fact table to per-order cents BEFORE the
+    // orders join (guide §2.3, aggregate-before-shuffle): the orderkey
+    // exchange carries |orders| partial sums instead of |lineitem| raw
+    // rows, and the partial aggregate replaces the round-robin spread.
+    // Sum of per-order long sums == the flat long sum, divided once.
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .groupBy(col("l_orderkey"))
+      .agg(expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT))")
+        .as("cents"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(expr(
         "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7")
         .as("w"))
-      .agg(expr(
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100")
-        .as("y"))
+      .agg(expr("sum(cents) div 100").as("y"))
 
   /** q197's scoring engine over ANY undirected edge list `(pa, pb)`
     * (deduplicated, pa < pb): every NON-adjacent pair sharing ≥ 1

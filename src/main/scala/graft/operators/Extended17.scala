@@ -36,16 +36,25 @@ object Extended17 {
     * then every downstream window is over the grid, never fact rows.
     */
   private def weeklyPair(s: SparkSession, d: String): DataFrame =
-    Tables.spread(s, Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_extendedprice")))
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+    // pre-aggregate the fact table to per-order cents BEFORE the
+    // orders join (guide §2.3): the orderkey exchange carries |orders|
+    // partial sums instead of |lineitem| raw rows (replacing the
+    // round-robin spread), and the per-week COUNT DISTINCT of order
+    // keys collapses to a plain count(1) over the now-unique per-order
+    // rows — no Expand pass. Same exact longs both ways.
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .groupBy(col("l_orderkey"))
+      .agg(expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT))")
+        .as("cents"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(expr(
         "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) div 7")
         .as("w"))
-      .agg(expr(
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 100000")
-        .as("yv"),
-        countDistinct(col("l_orderkey")).as("xv"))
+      .agg(expr("sum(cents) div 100000").as("yv"),
+        count(lit(1)).as("xv"))
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
