@@ -15,48 +15,52 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String)(f: => DataFrame): DataFrame = {
+    val listener = new Bench.MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def time(name: String, explain: Boolean = false)(f: => DataFrame): Unit = {
+      listener.reset()
       val t0 = System.nanoTime(); val df = f
+      if (explain) df.explain("formatted")
       df.write.format("noop").mode("overwrite").save()
-      println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      df
+      Thread.sleep(200)
+      val mb = (listener.shuffleRead.get + listener.shuffleWrite.get) / 1048576.0
+      println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.3f s  shuffle $mb%.1f MB")
     }
     Tables.lineitem(spark, d).write.format("noop").mode("overwrite").save()
 
-    def perNoSpread = Tables.lineitem(spark, d)
-      .select(col("l_orderkey"), col("l_extendedprice"))
-      .groupBy(col("l_orderkey"))
-      .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
-      .select(col("l_orderkey"), expr("rev div 100").as("v"))
-    def perSpread = Tables.spread(spark, Tables.lineitem(spark, d)
-        .select(col("l_orderkey"), col("l_extendedprice")))
-      .groupBy(col("l_orderkey"))
-      .agg(sum(Parity.cents2(col("l_extendedprice"))).as("rev"))
-      .select(col("l_orderkey"), expr("rev div 100").as("v"))
+    def wk = operators.Extended13.nationWeeklyRevenue(spark, d)
 
-    def q170tail(per: DataFrame): DataFrame = {
-      val b = 32
-      import operators.Extended13.{poissonU, poissonW}
-      val rep = per
-        .select(col("l_orderkey"), col("v"),
-          explode(sequence(lit(1), lit(b))).as("b"))
-        .withColumn("u", poissonU(col("l_orderkey"), col("b")))
-        .withColumn("w", poissonW(col("u")))
-      val wsums = (1 to b).map(g =>
-        sum(when(col("b") === g, col("w")).otherwise(0L)).as(s"w$g"))
-      rep.groupBy(col("v"))
-        .agg(sum(when(col("b") === 1, 1L).otherwise(0L)).as("c"),
-          wsums: _*)
+    def q179tail(wkf: DataFrame): DataFrame = {
+      val weeks = wkf.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_weeks"))
+      wkf.as("a").join(broadcast(wkf.as("b")),
+          col("a.nation") === col("b.nation") && col("a.w") =!= col("b.w"))
+        .select(col("a.nation").as("nation"), col("a.w").as("wi"),
+          ((col("b.y") - col("a.y")).cast("double") /
+            (col("b.w") - col("a.w")).cast("double")).as("slope"),
+          col("b.w").as("wj"))
+        .groupBy(col("nation"), col("wi"))
+        .agg(sort_array(collect_list(struct(col("slope"), col("wj"))))
+          .as("sl"))
+        .join(broadcast(weeks), "nation")
+        .select(col("nation"), col("n_weeks"), col("wi"),
+          element_at(col("sl"), expr("CAST(n_weeks div 2 AS INT)"))
+            .getField("slope").as("med_i"))
+        .groupBy(col("nation"))
+        .agg(max(col("n_weeks")).as("n_weeks"),
+          sort_array(collect_list(struct(col("med_i"), col("wi"))))
+            .as("ml"))
+        .select(col("nation"), col("n_weeks"),
+          element_at(col("ml"), expr("CAST((n_weeks + 1) div 2 AS INT)"))
+            .getField("med_i").as("siegel_slope"))
+        .orderBy(col("nation"))
     }
 
     for (i <- 1 to 2) {
       println(s"--- pass $i ---")
-      time("per:no_spread")(perNoSpread)
-      time("per:spread")(perSpread)
-      time("q170grid:no_spread")(q170tail(perNoSpread))
-      time("q170grid:spread")(q170tail(perSpread))
-      time("q170grid:no_spread_repart_after")(q170tail(
-        perNoSpread.repartition(spark.sparkContext.defaultParallelism)))
+      time("wk(carrier)")(wk)
+      val cut = wk
+      time("q179tail", explain = i == 1)(q179tail(cut))
     }
     spark.stop()
   }

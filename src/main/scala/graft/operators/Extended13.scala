@@ -49,11 +49,19 @@ object Extended13 {
       case (acc, (c, k)) => when(u < lit(c), lit(k.toLong)).otherwise(acc)
     }
 
-  /** The (nation, week, whole-dollar revenue) aggregate shared by
+  /** The (nation-KEY, week, whole-dollar revenue) aggregate shared by
     * q155 Theil–Sen and Extended15's q179 Siegel repeated median:
     * calendar-bounded (~350 weeks per nation at ANY data scale), so
     * the pairwise-slope joins downstream are grid², never rows².
-    * Materialized once — both consumers self-join it. */
+    * Materialized once — both consumers self-join it.
+    *
+    * Round 13: the carrier keys on `nk` = c_nationkey (int) instead of
+    * the n_name string — the nation dimension join moved OUT of the
+    * carrier entirely; consumers join [[nationNames]] back over their
+    * |nations|-row results (key↔name is 1:1, so grouping by nk groups
+    * exactly as n_name did). The (nk, w) rollup exchange then carries
+    * a long instead of a 25-char string per partial row, and the hot
+    * fan-out stages never touch a string. */
   private[graft] def nationWeeklyRevenue(
       s: SparkSession, d: String): DataFrame =
     // pre-aggregate the fact table to per-order cents BEFORE the
@@ -61,7 +69,7 @@ object Extended13 {
     // orderkey exchange carries |orders| partial sums instead of
     // |lineitem| raw rows, and the single-split scan needs no
     // round-robin spread — the partial aggregate replaces it. The
-    // (nation, week) sum of per-order cents sums is the same exact
+    // (nk, week) sum of per-order cents sums is the same exact
     // long, divided by 100 once at the end as before.
     Materialize.LocalCheckpoint(
       Tables.lineitem(s, d)
@@ -74,12 +82,17 @@ object Extended13 {
         .join(Tables.customer(s, d)
           .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name").as("nation"),
+        .groupBy(col("c_nationkey").as("nk"),
           expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
             " div 7").as("w"))
         .agg(expr("sum(cents) div 100").as("y")))
+
+  /** The |nations|-row (nk, nation) name lookup q155/q179 broadcast-
+    * join back AFTER their per-nation aggregates (round 13): the
+    * string never rides an exchange wider than the final result. */
+  private[graft] def nationNames(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .select(col("n_nationkey").as("nk"), col("n_name").as("nation"))
 
   /** Per-order revenue in whole dollars, tagged with the customer
     * nation — the shared input frame of q154. One fact rollup, the
@@ -171,7 +184,7 @@ object Extended13 {
       // the pair frame: np = C(n_weeks, 2) — a 25-row broadcast join
       // replaces a count-window pass over the grid² pairs (the q179
       // rewrite applied back to its parent)
-      val weeks = wk.groupBy(col("nation"))
+      val weeks = wk.groupBy(col("nk"))
         .agg(count(lit(1)).as("n_weeks"))
         .withColumn("np", expr("n_weeks * (n_weeks - 1) div 2"))
       // pair fan-out through a BROADCAST self-join (the checkpointed
@@ -184,14 +197,21 @@ object Extended13 {
       // aggregate map-side and the full-pair-frame sort disappears.
       // Measured at sf0.1: the window tail alone was 4.6–5.4 s, this
       // shape 0.7–1.1 s end-to-end from the grid (guide §2.4/§2.3).
-      wk.as("a").join(broadcast(wk.as("b")),
-          col("a.nation") === col("b.nation") && col("a.w") < col("b.w"))
-        .select(col("a.nation").as("nation"),
+      // Round 13: the STREAMED side is pre-partitioned on nk — an
+      // exchange of the |nations|·|weeks| GRID (dimension-sized) that
+      // the pair join preserves and the groupBy(nk) then reuses, so
+      // the grid² slope frame itself never crosses a shuffle (before:
+      // every slope rode the collect_list exchange; the cut's
+      // LogicalRDD exposes no partitioning, so this must be explicit).
+      wk.repartition(col("nk")).as("a").join(broadcast(wk.as("b")),
+          col("a.nk") === col("b.nk") && col("a.w") < col("b.w"))
+        .select(col("a.nk").as("nk"),
           ((col("b.y") - col("a.y")).cast("double") /
             (col("b.w") - col("a.w")).cast("double")).as("slope"))
-        .groupBy(col("nation"))
+        .groupBy(col("nk"))
         .agg(sort_array(collect_list(col("slope"))).as("sl"))
-        .join(broadcast(weeks), "nation")
+        .join(broadcast(weeks), "nk")
+        .join(broadcast(nationNames(s, d)), "nk")
         .select(col("nation"), col("n_weeks"), col("np").as("n_pairs"),
           element_at(col("sl"), expr("CAST((np + 1) div 2 AS INT)"))
             .as("ts_slope"))

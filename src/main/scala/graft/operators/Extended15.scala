@@ -570,7 +570,7 @@ object Extended15 {
       // and every nation has n_weeks per-week medians — a broadcast
       // 25-row join replaces two count-window passes over the
       // grid² pair frame
-      val weeks = wk.groupBy(col("nation"))
+      val weeks = wk.groupBy(col("nk"))
         .agg(count(lit(1)).as("n_weeks"))
       // pair fan-out through a BROADCAST self-join (the checkpointed
       // grid has no size stats, so the planner sort-merge-joined it),
@@ -583,23 +583,32 @@ object Extended15 {
       // lists partial-aggregate map-side and the two full-pair-frame
       // window sorts disappear (guide §2.4/§2.3; measured at sf0.1:
       // window tail 7.3–7.6 s → 1.8–2.4 s from the grid).
-      wk.as("a").join(broadcast(wk.as("b")),
-          col("a.nation") === col("b.nation") && col("a.w") =!= col("b.w"))
-        .select(col("a.nation").as("nation"), col("a.w").as("wi"),
+      // Round 13: the STREAMED side is pre-partitioned on the
+      // (nk, w) group key — an exchange of the dimension-sized grid
+      // that the broadcast pair join preserves and the per-week
+      // groupBy(nk, wi) then reuses, so the grid² (slope, wj) struct
+      // frame itself never crosses a shuffle (it was this query's
+      // dominant exchange, ~50 of 75 shuffle-MB at sf0.1; the cut's
+      // LogicalRDD exposes no partitioning, so this must be explicit).
+      wk.repartition(col("nk"), col("w")).as("a")
+        .join(broadcast(wk.as("b")),
+          col("a.nk") === col("b.nk") && col("a.w") =!= col("b.w"))
+        .select(col("a.nk").as("nk"), col("a.w").as("wi"),
           ((col("b.y") - col("a.y")).cast("double") /
             (col("b.w") - col("a.w")).cast("double")).as("slope"),
           col("b.w").as("wj"))
-        .groupBy(col("nation"), col("wi"))
+        .groupBy(col("nk"), col("wi"))
         .agg(sort_array(collect_list(struct(col("slope"), col("wj"))))
           .as("sl"))
-        .join(broadcast(weeks), "nation")
-        .select(col("nation"), col("n_weeks"), col("wi"),
+        .join(broadcast(weeks), "nk")
+        .select(col("nk"), col("n_weeks"), col("wi"),
           element_at(col("sl"), expr("CAST(n_weeks div 2 AS INT)"))
             .getField("slope").as("med_i"))
-        .groupBy(col("nation"))
+        .groupBy(col("nk"))
         .agg(max(col("n_weeks")).as("n_weeks"),
           sort_array(collect_list(struct(col("med_i"), col("wi"))))
             .as("ml"))
+        .join(broadcast(Extended13.nationNames(s, d)), "nk")
         .select(col("nation"), col("n_weeks"),
           element_at(col("ml"), expr("CAST((n_weeks + 1) div 2 AS INT)"))
             .getField("med_i").as("siegel_slope"))

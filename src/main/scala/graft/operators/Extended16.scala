@@ -100,7 +100,8 @@ object Extended16 {
   }
 
   /** q196's scoring engine over ANY binary user×item matrix
-    * `(c, brand)` (distinct): item-item fixed-point squared-cosine
+    * `(c, brand)` (deduplicated here, keyed on c — callers pass raw
+    * ownership rows): item-item fixed-point squared-cosine
     * affinities sim_fp(i,j) = (co²·10⁹) div (nᵢ·nⱼ), then per-user
     * candidate scores = exact long sums of sim_fp over owned items,
     * for users matching `targetFilter` and candidates the user does
@@ -116,7 +117,24 @@ object Extended16 {
   def itemCfScores(rMatIn: DataFrame, targetFilter: Column,
       materialize: Materialize = Materialize.LocalCheckpoint)
       : DataFrame = {
-    val rMat = materialize(rMatIn.select(col("c"), col("brand")))
+    // The matrix is deduplicated HERE, keyed on c (round 13): one
+    // c-keyed exchange (collect_set dedups inside the aggregate, then
+    // explode restores rows — partitioning-preserving) replaces the
+    // caller's (c, brand)-keyed distinct, and the cut frame comes out
+    // HASH-PARTITIONED ON c — so the co-occurrence self-join below
+    // reuses that partitioning on BOTH sides and needs no further
+    // exchange of the matrix. Measured at sf0.1: matrix build 2.6 s →
+    // 1.0 s, co join 1.37 s → 0.57 s. The in-row collect_set pair
+    // fan-out (the q84/q197 basket shape) was tried first and measured
+    // SLOWER (1.5–2.5 s): the O(k²) fan-out runs as an interpreted HOF
+    // lambda over string structs, while the co-partitioned self-join
+    // stays whole-stage codegen — guide §1.2 step 2 feeding back into
+    // step 1. Pair multiset is unchanged either way.
+    val rMat = materialize(
+      rMatIn.select(col("c"), col("brand"))
+        .groupBy(col("c"))
+        .agg(sort_array(collect_set(col("brand"))).as("bs"))
+        .select(col("c"), explode(col("bs")).as("brand")))
     val nPer = rMat.groupBy(col("brand")).agg(count(lit(1)).as("n"))
     val co = rMat.as("x").join(rMat.as("y"),
         col("x.c") === col("y.c") && col("x.brand") < col("y.brand"))
@@ -132,6 +150,15 @@ object Extended16 {
     */
   def itemCfScoresFromCounts(rMat: DataFrame, nPer: DataFrame,
       co: DataFrame, targetFilter: Column): DataFrame = {
+    // NOT cut (round-13 measurement): `simBoth` consumes sim twice
+    // (both union branches) and the formatted plan textually repeats
+    // the co/nPer subtree — but at runtime ReusedExchange dedups the
+    // identical exchanges, so the repeat is FREE; an eager cut here
+    // re-ran the subtree in its own job where nothing is reusable
+    // (measured: 2.37 s / 10.8 shuffle-MB without the cut vs 2.76 s /
+    // 21.8 MB with it). Corollary to the d21 Materialize lesson: a
+    // multi-consumer subtree whose consumers sit in ONE plan and end
+    // at identical exchanges needs no cut.
     val sim = co
       .join(nPer.withColumnRenamed("brand", "bi")
         .withColumnRenamed("n", "ni"), "bi")
@@ -410,7 +437,6 @@ object Extended16 {
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .select(col("o_custkey").as("c"), col("p_brand").as("brand"))
-        .distinct()
       val scored = itemCfScores(rMat, col("c") % 10 === 0)
       val wTop = Window.partitionBy(col("c"))
         .orderBy(col("score_fp").desc, col("cand"))

@@ -195,36 +195,46 @@ object Multimodal {
       .toDF()
   }
 
-  private def phashPairs(s: SparkSession, d: String): DataFrame = {
-    // NOT cut (round-12 measurement): a LocalCheckpoint here drops the
-    // frame's size stats (LogicalRDD defaults to huge), so the banded
-    // self-join flips from auto-broadcast to sort-merge and m07 slowed
-    // 0.6 s -> 3.1 s; the triple re-derivation of ahashFrame is the
-    // cheaper evil at every measured SF
-    val fp = ahashFrame(s, d)
-    // Banding is COUNT-ADAPTIVE (the ScaleCurve lesson): 4 bands x 15
-    // bits carries a random-collision candidate term ~ 4n²/2^15 that
-    // turns super-linear past n ≈ 32768 media items (measured: m17/m10
-    // shuffle x37 at a x10 corpus). Above that the banding widens to
-    // 3 bands x 20 bits — one fewer collision chance (recall, which
-    // m11 measures) for a collision term that stays ~linear. The
-    // width scalar rides in-plan as a 1-row broadcast (the e30
-    // threshold idiom): no driver-side action, bit-identical plans
-    // and results at the gate SFs (n <= 32768 there).
-    val bw = fp.agg(count(lit(1)).as("n_media"))
-      .select(when(col("n_media") <= 32768, 4).otherwise(3).as("nb"),
-        when(col("n_media") <= 32768, 15L).otherwise(20L).as("w"))
-    val banded = fp.crossJoin(broadcast(bw))
-      .select(col("doc_id"), col("ahash"), col("w"),
-        explode(expr("sequence(0, nb - 1)")).as("band"))
+  private def phashPairs(s: SparkSession, d: String): DataFrame =
+    phashPairsFrom(s, Materialize.LocalCheckpoint(ahashFrame(s, d)))
+
+  /** The banded-LSH pair search over a MATERIALIZED fingerprint frame
+    * (round 13). The cut means the documents scan + ahash map pass runs
+    * ONCE per query instead of once per consumer (m11 previously paid
+    * it 3x: truth + both derivations inside this method). The round-12
+    * revert ("a cut erases size stats, the band join flips from
+    * auto-broadcast to sort-merge, 0.6 s -> 3.1 s") is answered the way
+    * the lesson prescribed rather than by giving up the cut: the join
+    * strategy is chosen HERE, deterministically, from the actual media
+    * count — counting an eagerly-checkpointed frame is a local block
+    * scan, and n_media is exactly the scalar the count-adaptive banding
+    * already keys on. Banding stays COUNT-ADAPTIVE (the ScaleCurve
+    * lesson): 4 bands x 15 bits carries a random-collision candidate
+    * term ~ 4n²/2^15 that turns super-linear past n ≈ 32768 media
+    * items; above that the banding widens to 3 bands x 20 bits — one
+    * fewer collision chance (recall, which m11 measures) for a
+    * collision term that stays ~linear. The same knee decides the join:
+    * at n <= 32768 the banded probe side (n·nb rows of 16 bytes,
+    * <= ~3 MB framed) is explicitly broadcast; past it the join falls
+    * back to the canonical shuffled LSH exchange on (band, bh) — never
+    * a corpus-sized broadcast. Values are identical either way (same
+    * nb/w per n_media as the old in-plan scalar; join strategy does not
+    * change results), so the oracle CTEs are untouched. */
+  private def phashPairsFrom(s: SparkSession, fp: DataFrame): DataFrame = {
+    val nMedia = fp.count()
+    val (nb, w) = if (nMedia <= 32768L) (4, 15) else (3, 20)
+    val banded = fp
+      .select(col("doc_id"), col("ahash"),
+        explode(expr(s"sequence(0, ${nb - 1})")).as("band"))
       .withColumn("bh", expr(
-        "shiftright(ahash, CAST(band * w AS INT)) & (shiftleft(1L, CAST(w AS INT)) - 1L)"))
+        s"shiftright(ahash, CAST(band * $w AS INT)) & ${(1L << w) - 1}L"))
       .select(col("doc_id"), col("ahash"), col("band"), col("bh"))
     val a = banded.select(col("doc_id").as("doc_a"),
       col("ahash").as("ha"), col("band"), col("bh"))
     val b = banded.select(col("doc_id").as("doc_b"),
       col("ahash").as("hb"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
+    val probe = if (nMedia <= 32768L) broadcast(b) else b
+    a.join(probe, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
@@ -392,14 +402,20 @@ object Multimodal {
     // side is the O(n²) scan — per-bucket / sampled only, like every
     // eval twin (e02/e07/e14); the index side is the m07 scale path.
     "m11_phash_recall" -> ((s, d) => {
-      val fp = ahashFrame(s, d)
+      // one cut shared by the truth scan and the banded index (round
+      // 13): the documents scan + ahash pass ran 3x here before (truth
+      // + twice inside phashPairs). The truth side's build frame is
+      // explicitly broadcast — n rows of 16 bytes, and the O(n²) scan
+      // is this query's DECLARED eval-twin contract — because the cut
+      // erases the stats the auto-broadcast decision used.
+      val fp = Materialize.LocalCheckpoint(ahashFrame(s, d))
       val a = fp.select(col("doc_id").as("doc_a"), col("ahash").as("ha"))
       val b = fp.select(col("doc_id").as("doc_b"), col("ahash").as("hb"))
-      val truth = a.join(b, col("doc_a") < col("doc_b"))
+      val truth = a.join(broadcast(b), col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
         .filter(col("hamming") <= 12)
-      val found = phashPairs(s, d)
+      val found = phashPairsFrom(s, fp)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
       truth.join(found, Seq("doc_a", "doc_b"), "left")
         .groupBy(when(col("hamming") <= 4, "d00_04")

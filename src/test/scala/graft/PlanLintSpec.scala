@@ -52,7 +52,9 @@ class PlanLintSpec extends SparkSpec {
     "q84_market_basket" -> "O(1) broadcast: basket-count scalar",
     "q86_decile_gain" -> "O(1) broadcast: customer-count scalar (ntile n)",
     "m11_phash_recall" -> "eval-twin: exhaustive hamming truth (a < b) scoring m07's LSH recall",
-    "m07_multimodal_phash_neardup" -> "O(1) broadcast: count-adaptive banding-width scalar (1 row; the ScaleCurve fix)",
+    // m07's banding-width scalar no longer rides in-plan (round 13:
+    // the width is chosen at plan build from the materialized
+    // fingerprint count), so its plan is product-free now
     "m19_band_tuning" -> "eval-twin: exhaustive hamming truth (a < b) + 1-row cost/found scalars for the banding sweep m07's adaptive widths are chosen from",
     "e18_cell_balance" -> "bounded cross: broadcast centroid assignment",
     "q89_abc_pareto" -> "O(1) broadcast: total-revenue scalar",

@@ -297,9 +297,15 @@ class Round7jOpsSpec extends SparkSpec {
     val rows = q("q179_siegel_slope").collect()
       .map(r => r.getAs[String]("nation") ->
         r.getAs[Double]("siegel_slope")).toMap
+    // the carrier keys on nk (round 13) — resolve names for the
+    // comparison against q179's nation-string output
+    val names = graft.operators.Extended13.nationNames(spark, sf)
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
     val wk = graft.operators.Extended13
       .nationWeeklyRevenue(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(r => (names(r.getAs[Number](0).longValue),
+        r.getLong(1), r.getLong(2)))
     // the q155/q179 positional median rule: smallest value at
     // position ceil(n/2) under (value, tiebreak) ordering
     def medByRule(xs: Seq[Double]): Double = {
