@@ -820,17 +820,48 @@ object Extended13 {
       val grid = rep.groupBy(col("v"))
         .agg(sum(when(col("b") === 1, 1L).otherwise(0L)).as("c"),
           wsums: _*)
-      val wCum = Window.orderBy(col("v"))
+      // TWO-PHASE cumulative sums over the value grid (round 13; the
+      // Packing.orderedPrefixSum shape lifted to 33 weight columns):
+      // the grid is value-bounded but this was the engine's last
+      // declared SINGLE-PARTITION window — every cum/total column ran
+      // through one task. Phase 1: range-partition the grid by v (the
+      // same exchange a global sort would pay), pin the partition ids
+      // with the cut, and run all 33 running sums in ONE per-range
+      // window; phase 2: per-range totals → exclusive prefix offsets
+      // via a window over ≤ numShufflePartitions rows (the only
+      // unpartitioned window left), broadcast-joined back; run totals
+      // ride the q164 1-row scalar broadcast. Exact long sums in
+      // v-order either way — identical values, oracle untouched.
+      val nParts = s.sessionState.conf.numShufflePartitions
+      val ranged = Materialize.LocalCheckpoint(
+        grid.repartitionByRange(nParts, col("v"))
+          .withColumn("_pid", spark_partition_id()))
+      val wLoc = Window.partitionBy(col("_pid")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val localCols = Seq(col("_pid"), col("v"),
+        sum(col("c")).over(wLoc).as("lc")) ++
+        (1 to b).map(g => sum(col(s"w$g")).over(wLoc).as(s"lw$g"))
+      val local = ranged.select(localCols: _*)
+      val wOff = Window.orderBy(col("_pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val perRange = Seq(sum(col("c")).as("tc")) ++
+        (1 to b).map(g => sum(col(s"w$g")).as(s"tw$g"))
+      val offs = ranged.groupBy(col("_pid"))
+        .agg(perRange.head, perRange.tail: _*)
+        .select(Seq(col("_pid"),
+          coalesce(sum(col("tc")).over(wOff), lit(0L)).as("oc")) ++
+          (1 to b).map(g =>
+            coalesce(sum(col(s"tw$g")).over(wOff), lit(0L)).as(s"ow$g")): _*)
+      val runTotals = Seq(sum(col("c")).as("n")) ++
+        (1 to b).map(g => sum(col(s"w$g")).as(s"tot_w$g"))
+      val tots = ranged.agg(runTotals.head, runTotals.tail: _*)
       val winCols = Seq(col("v"),
-        sum(col("c")).over(wCum).as("cum_c"),
-        sum(col("c")).over(wAll).as("n")) ++
+        (col("lc") + col("oc")).as("cum_c"), col("n")) ++
         (1 to b).flatMap(g => Seq(
-          sum(col(s"w$g")).over(wCum).as(s"cum_w$g"),
-          sum(col(s"w$g")).over(wAll).as(s"tot_w$g")))
-      val win = grid.select(winCols: _*)
+          (col(s"lw$g") + col(s"ow$g")).as(s"cum_w$g"), col(s"tot_w$g")))
+      val win = local.join(broadcast(offs), "_pid")
+        .crossJoin(broadcast(tots))
+        .select(winCols: _*)
       val aggCols = Seq(
         max(col("n")).as("n"),
         min(when(lit(2L) * col("cum_c") >= col("n"), col("v")))

@@ -83,6 +83,7 @@ class PlanLintSpec extends SparkSpec {
     "q202_page_hinkley" -> "O(1) broadcast: (sk, k) calibration scalars",
     "e32_residual_quantization" -> "bounded cross: broadcast coarse-centroid assignment + capped-256 residual-codebook assignment",
     "q164_poisson_bootstrap" -> "O(1) broadcast: (n, mean_exact) scalars",
+    "q170_bootstrap_median_ci" -> "O(1) broadcast: (n + 32 replicate-total) scalars (q164 pattern; round-13 two-phase grid cumsum)",
     "t36_ks_drift" -> "bounded cross: dim x dim pooled-jump-point grid (q83's class) + 1-row total",
     "q129_cms_frequency" -> "O(1) broadcast: CMS counter matrix",
     "q132_kmv_intersection" -> "O(1) broadcast: 1-row sketch x 1-row exact scalar",
@@ -116,7 +117,7 @@ class PlanLintSpec extends SparkSpec {
     "q164_poisson_bootstrap" ->
       "replicate windows partition on b; exact-branch cum over value grid",
     "q170_bootstrap_median_ci" ->
-      "replicate windows partition on b; exact-branch cum over value grid",
+      "range-partition offset table only (<=numShufflePartitions rows; round-13 two-phase grid cumsum)",
     "q171_roc_auc" -> "distinct score grid",
     "q178_wilcoxon_signed_rank" -> "|diff| value grid",
     "q184_brunner_munzel" -> "pooled midrank value grid",
